@@ -1,13 +1,496 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] is one operator family from SURVEY.md §2
+  * (or the training-data-pipeline tier), expressed as a pure
+  * `(SparkSession, sfDir) => DataFrame`; [[oracleSql]] carries the
+  * DuckDB-equivalent ANSI SQL for the driver's hash compare. Column
+  * names/types and value rounding are kept bit-stable across engines:
+  * doubles rounded before ranking, timestamps emitted as epoch seconds.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001 (SURVEY §7.1 minimum slice): documents →
+    * paragraph chunks → TF-IDF featurizer (E1 stand-in) → the 10 golden
+    * questions → exact cosine kNN top-3 with per-question summary. */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val chunks = Chunking.paragraphChunks(Tables.documents(spark, dir), minChars = 20)
+    val model = Embedding.fit(chunks.withColumnRenamed("content", "text"), dim = 384)
+    val index = Embedding.embed(model, chunks.withColumnRenamed("content", "text"))
+      .select(col("chunk_id"), col("document_id"), col("text"), col("embedding"))
+    val questions = Retrieval.goldenQuestions.zipWithIndex
+      .map { case (q, i) => (i, q) }.toDF("q_id", "text")
+    val qVecs = Embedding.embed(model, questions)
+      .select(col("q_id"), col("text").as("question"), col("embedding").as("q_embedding"))
+    Retrieval.knnCosine(qVecs, index, k = 3,
+        qidCol = "q_id", qvecCol = "q_embedding", idCol = "chunk_id")
+      .join(questions.withColumnRenamed("text", "question"), "q_id")
+  }
+
+  // ---------------------------------------------------------------------
+  // shared SQL fragments for the DuckDB oracles
+  private val stopSql = Chunking.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
+  private def esc(s: String) = s.replace("'", "''")
+  private val questionValuesSql = Retrieval.goldenQuestions.zipWithIndex
+    .map { case (q, i) => s"($i, '${esc(q)}')" }.mkString(", ")
+  private val langScoreSql = TextAnalysis.langMarkers.map { case (lang, words) =>
+    words.map(w => s"(CASE WHEN position(' $w ' IN pad) > 0 THEN 1 ELSE 0 END)")
+      .mkString("(", " + ", s") AS score_$lang")
+  }.mkString(", ")
+  private val langPredSql = {
+    val best = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
+      .mkString("greatest(", ", ", ")")
+    val chain = TextAnalysis.langMarkers.map { case (l, _) =>
+      s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
+    }.mkString(" ")
+    s"CASE $chain ELSE 'und' END"
+  }
+
+  private def questionsDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Retrieval.goldenQuestions.zipWithIndex
+      .map { case (q, i) => (i, q) }.toDF("question_id", "question")
+  }
+
+  // ---------------------------------------------------------------------
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- relational tier (SURVEY §2.7-2.8) -----------------------------
+    "q01_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
+    "q03_shipping_priority" -> ((s, d) =>
+      Relational.shippingPriority(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q05_local_supplier" -> ((s, d) =>
+      Relational.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d),
+        Tables.customer(s, d), Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q07_top_customers" -> ((s, d) => Relational.topCustomersPerNation(Tables.customer(s, d))),
+    "q08_running_totals" -> ((s, d) => Relational.runningOrderTotals(Tables.orders(s, d))),
+    "q09_semi_anti" -> ((s, d) =>
+      Relational.customerOrderPresence(Tables.customer(s, d), Tables.orders(s, d))),
+    "q10_rollup" -> ((s, d) => Relational.rollupQuantities(Tables.lineitem(s, d))),
+
+    // --- chunking (SURVEY §2.3) ----------------------------------------
+    "c2_paragraph_chunks" -> ((s, d) => Chunking.paragraphChunks(Tables.documents(s, d))),
+    "c6_sliding_chunks" -> ((s, d) =>
+      Chunking.slidingWindowChunks(Tables.documents(s, d), windowSize = 20, overlap = 4)),
+    "c8_token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d)).select("doc_id", "ws_tokens", "bpe_ish_tokens")),
+    "a1_doc_stats" -> ((s, d) =>
+      Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
+        .groupBy(col("document_id"))
+        .agg(count(lit(1)).as("chunks_count"), sum(length(col("content"))).as("total_characters"))),
+
+    // --- text analysis tier --------------------------------------------
+    "lang_id" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d))
+        .select(col("doc_id") +: col("pred_lang") +:
+          TextAnalysis.langMarkers.map { case (l, _) => col(s"score_$l") }: _*)),
+    "quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d))
+        .select("doc_id", "n_chars", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio")),
+
+    // --- dedup tier ----------------------------------------------------
+    "dedup_exact" -> ((s, d) => Dedup.exactDups(Tables.documents(s, d))),
+    "ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d).filter(col("doc_id") < 100))),
+    "minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d).filter(col("doc_id") < 500))),
+    "simhash" -> ((s, d) =>
+      Dedup.simhash32(Tables.documents(s, d)).withColumnRenamed("id", "doc_id")),
+
+    // --- similarity search tier (SURVEY §2.5) --------------------------
+    "knn_cosine" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Retrieval.knnCosine(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        e.filter(col("vec_id") >= 5), k = 10)
+    }),
+    "knn_filtered" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Retrieval.knnCosine(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        e.filter(col("vec_id") >= 5), k = 10, indexFilter = col("label") === 3)
+    }),
+    "lsh_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        e.filter(col("vec_id") >= 5), k = 10, dims = 4)
+    }),
+
+    // --- keyword fallback (SURVEY §2.6) --------------------------------
+    "keyword_search" -> ((s, d) =>
+      Retrieval.keywordSearch(questionsDF(s), Tables.documents(s, d), k = 3)),
+    "answer_summary" -> ((s, d) =>
+      Retrieval.keywordSearch(questionsDF(s), Tables.documents(s, d), k = 3)
+        .groupBy(col("question_id"))
+        .agg(count(lit(1)).as("n_results"), max(col("score")).as("best_score"),
+          max(when(col("rank") === 1, col("doc_id"))).as("best_doc"))),
+
+    // --- validation / ingest (SURVEY §2.1-2.2) -------------------------
+    "mime_sniff" -> ((s, d) =>
+      Validation.mimeFixturesDF(s).select(col("name"), Validation.sniffMime(col("head")).as("mime"))),
+    "validate_docs" -> ((s, d) =>
+      Validation.validate(Tables.documents(s, d), maxChars = 500,
+        langWhitelist = Seq("en", "de", "fr", "es"))
+        .select("doc_id", "errors", "is_valid")),
+    "ingest_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Validation.newDocsOnly(docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0))
+        .select("doc_id", "fp")
+    }),
+
+    // --- events / index maintenance (SURVEY §2.1, §2.10) ---------------
+    "events_tumbling" -> ((s, d) => EventOps.tumblingAgg(Tables.events(s, d))),
+    "events_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
+    "upsert_latest" -> ((s, d) => EventOps.latestPerKey(Tables.events(s, d))),
+    "delete_by_ids" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      EventOps.deleteByIds(ev, ev.filter(col("event_id") % 97 === 0).select("event_id"))
+        .select("event_id")
+    }),
+    "retention_recent" -> ((s, d) =>
+      EventOps.retention(Tables.events(s, d), maxAgeSec = 7 * 86400)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_events")))
+  )
+
+  // ---------------------------------------------------------------------
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 4) AS avg_qty,
+        | round(avg(l_extendedprice), 4) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,
+        | o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q05_local_supplier" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY n_name""".stripMargin,
+
+    "q07_top_customers" ->
+      """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal, rank FROM (
+        | SELECT c_nationkey, c_custkey, c_acctbal,
+        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC, c_custkey) AS rank
+        | FROM customer) WHERE rank <= 3""".stripMargin,
+
+    "q08_running_totals" ->
+      """SELECT o_custkey, o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
+        |FROM orders""".stripMargin,
+
+    "q09_semi_anti" ->
+      """SELECT c_custkey, true AS has_orders FROM customer
+        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |UNION ALL
+        |SELECT c_custkey, false AS has_orders FROM customer
+        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q10_rollup" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "c2_paragraph_chunks" ->
+      """WITH parts AS (
+        | SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx, trim(parts[i]) AS content
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS parts FROM documents) t,
+        |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g)
+        |SELECT doc_id || '_p0_para' || para_idx AS chunk_id, doc_id AS document_id,
+        | para_idx, content, 'paragraph' AS chunk_type,
+        | CAST(len(regexp_split_to_array(trim(content), '\s+')) AS INTEGER) AS word_count
+        |FROM parts WHERE length(content) > 50""".stripMargin,
+
+    "c6_sliding_chunks" ->
+      s"""WITH w AS (
+         | SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |   x -> regexp_full_match(x, '[a-z0-9]+') AND NOT list_contains($stopSql, x)) AS words
+         | FROM documents),
+         |ok AS (SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) >= 20),
+         |wins AS (
+         | SELECT doc_id, CAST(st / 16 AS INTEGER) AS win_idx,
+         |  array_to_string(words[st + 1 : st + 20], ' ') AS content
+         | FROM ok, LATERAL (SELECT unnest(generate_series(0, n - 20, 16)) AS st) g)
+         |SELECT doc_id || '_sliding_' || win_idx AS chunk_id, doc_id AS document_id,
+         | win_idx, content, 'sliding_window' AS chunk_type,
+         | CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS INTEGER) AS word_count
+         |FROM wins""".stripMargin,
+
+    "c8_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS ws_tokens,
+        | CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+
+    "a1_doc_stats" ->
+      """WITH parts AS (
+        | SELECT doc_id, trim(parts[i]) AS content
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS parts FROM documents) t,
+        |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g)
+        |SELECT doc_id AS document_id, count(*) AS chunks_count,
+        | sum(length(content)) AS total_characters
+        |FROM parts WHERE length(content) > 20 GROUP BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""SELECT doc_id, $langPredSql AS pred_lang,
+         | score_en, score_de, score_es, score_fr, score_pt
+         |FROM (SELECT doc_id, $langScoreSql
+         |      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents))""".stripMargin,
+
+    "quality_score" ->
+      s"""SELECT doc_id, length(trim(text)) AS n_chars,
+         | CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_words,
+         | round(CAST(length(trim(text)) - (len(regexp_split_to_array(trim(text), '\\s+')) - 1) AS DOUBLE)
+         |   / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len,
+         | round(CAST(length(trim(text)) - length(regexp_replace(trim(text), '[.,;:!?]', '', 'g')) AS DOUBLE)
+         |   / greatest(length(trim(text)), 1), 4) AS punct_ratio,
+         | round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |     w -> list_contains($stopSql, w))) AS DOUBLE)
+         |   / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS stopword_ratio
+         |FROM documents""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, fp, rn AS dup_rank, rn > 1 AS is_duplicate FROM (
+        | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        | FROM documents)""".stripMargin,
+
+    "ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id AS id, unnest(list_distinct(
+        |   CASE WHEN len(words) >= 3
+        |    THEN list_transform(generate_series(1, len(words) - 2), i -> array_to_string(words[i : i + 2], ' '))
+        |    ELSE [array_to_string(words, ' ')] END)) AS shingle
+        | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |       FROM documents WHERE doc_id < 100)),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+        |shr AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM shr GROUP BY id),
+        |pairs AS (
+        | SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        | FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.id < b.id
+        | GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, inter,
+        | round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b""".stripMargin,
+
+    "minhash_pairs" -> {
+      val params = Dedup.minhashParams(8)
+      val p = Dedup.minhashPrime
+      val sigDefs = params.zipWithIndex.map { case ((a, b), i) =>
+        s"min((hv * $a + $b) % $p) AS sig_$i"
+      }.mkString(", ")
+      val bandSelects = (0 until 4).map { bnd =>
+        s"SELECT id, $bnd AS band, CAST(sig_${2 * bnd} AS VARCHAR) || ':' || CAST(sig_${2 * bnd + 1} AS VARCHAR) AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      val matchSum = (0 until 8).map(i =>
+        s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH sh AS (
+         | SELECT doc_id AS id, unnest(list_distinct(
+         |   CASE WHEN len(words) >= 3
+         |    THEN list_transform(generate_series(1, len(words) - 2), i -> array_to_string(words[i : i + 2], ' '))
+         |    ELSE [array_to_string(words, ' ')] END)) AS shingle
+         | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+         |       FROM documents WHERE doc_id < 500)),
+         |h AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS hv FROM sh),
+         |sig AS (SELECT id, $sigDefs FROM h GROUP BY id),
+         |banded AS ($bandSelects),
+         |pairs AS (
+         | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+         |SELECT id_a, id_b, round(($matchSum) / 8.0, 4) AS est_jaccard
+         |FROM pairs JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b""".stripMargin
+    },
+
+    "simhash" ->
+      """WITH toks AS (
+        | SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+        | FROM documents),
+        |h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+        |bits AS (SELECT id, b, CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        |         FROM h, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) g),
+        |v AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b)
+        |SELECT id AS doc_id,
+        | sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        |FROM v GROUP BY id""".stripMargin,
+
+    "knn_cosine" ->
+      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
+        |scored AS (
+        | SELECT q_vec_id, vec_id,
+        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
+        | FROM q CROSS JOIN c)
+        |SELECT q_vec_id, vec_id, score, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
+        | FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "knn_filtered" ->
+      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5 AND label = 3),
+        |scored AS (
+        | SELECT q_vec_id, vec_id,
+        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
+        | FROM q CROSS JOIN c)
+        |SELECT q_vec_id, vec_id, score, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
+        | FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "lsh_topk" ->
+      """WITH b AS (
+        | SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        | FROM embeddings),
+        |q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, bucket FROM b WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e, bucket FROM b WHERE vec_id >= 5),
+        |scored AS (
+        | SELECT q_vec_id, vec_id,
+        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
+        | FROM q JOIN c USING (bucket))
+        |SELECT q_vec_id, vec_id, score, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
+        | FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "keyword_search" ->
+      s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
+         |qw AS (SELECT question_id,
+         |        CAST(len(regexp_split_to_array(lower(question), '\\s+')) AS INTEGER) AS n_words,
+         |        unnest(list_distinct(regexp_split_to_array(lower(question), '\\s+'))) AS word
+         |       FROM qs),
+         |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
+         |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
+         |      GROUP BY question_id, n_words, doc_id)
+         |SELECT question_id, doc_id, matches,
+         | round(CAST(matches AS DOUBLE) / n_words, 4) AS score, rank
+         |FROM (SELECT *, row_number() OVER (PARTITION BY question_id
+         |        ORDER BY round(CAST(matches AS DOUBLE) / n_words, 4) DESC, doc_id) AS rank
+         |      FROM m) WHERE rank <= 3""".stripMargin,
+
+    "answer_summary" ->
+      s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
+         |qw AS (SELECT question_id,
+         |        CAST(len(regexp_split_to_array(lower(question), '\\s+')) AS INTEGER) AS n_words,
+         |        unnest(list_distinct(regexp_split_to_array(lower(question), '\\s+'))) AS word
+         |       FROM qs),
+         |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
+         |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
+         |      GROUP BY question_id, n_words, doc_id),
+         |ranked AS (
+         |  SELECT question_id, doc_id,
+         |   round(CAST(matches AS DOUBLE) / n_words, 4) AS score,
+         |   row_number() OVER (PARTITION BY question_id
+         |     ORDER BY round(CAST(matches AS DOUBLE) / n_words, 4) DESC, doc_id) AS rank
+         |  FROM m)
+         |SELECT question_id, count(*) AS n_results, max(score) AS best_score,
+         | max(CASE WHEN rank = 1 THEN doc_id END) AS best_doc
+         |FROM ranked WHERE rank <= 3 GROUP BY question_id""".stripMargin,
+
+    "mime_sniff" -> {
+      val fixtureValues = Validation.mimeFixtures
+        .map { case (n, h) => s"('${esc(n)}', '${esc(h)}')" }.mkString(", ")
+      s"""SELECT name,
+         | CASE WHEN starts_with(head, '%PDF') THEN 'application/pdf'
+         |  WHEN starts_with(head, 'PK') AND position('word/' IN head) > 0
+         |   THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+         |  WHEN starts_with(head, 'PK') THEN 'application/zip'
+         |  WHEN starts_with(head, 'ÐÏà') THEN 'application/msword'
+         |  WHEN position('Return-Path:' IN substr(head, 1, 500)) > 0
+         |    OR position('MIME-Version:' IN substr(head, 1, 500)) > 0 THEN 'message/rfc822'
+         |  ELSE 'application/octet-stream' END AS mime
+         |FROM (VALUES $fixtureValues) AS t(name, head)""".stripMargin
+    },
+
+    "validate_docs" ->
+      """SELECT doc_id,
+        | array_to_string(list_filter([
+        |   CASE WHEN length(trim(text)) = 0 THEN 'empty_content' END,
+        |   CASE WHEN n_chars > 500 THEN 'file_too_large' END,
+        |   CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_type' END],
+        |  x -> x IS NOT NULL), ',') AS errors,
+        | len(list_filter([
+        |   CASE WHEN length(trim(text)) = 0 THEN 'empty_content' END,
+        |   CASE WHEN n_chars > 500 THEN 'file_too_large' END,
+        |   CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_type' END],
+        |  x -> x IS NOT NULL)) = 0 AS is_valid
+        |FROM documents""".stripMargin,
+
+    "ingest_dedup" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents
+        |WHERE doc_id % 2 = 1
+        | AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (
+        |   SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |   FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
+
+    "events_tumbling" ->
+      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start, event_type,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "events_sessionize" ->
+      """WITH x AS (
+        | SELECT user_id, ts, event_id, value,
+        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        | FROM events),
+        |y AS (
+        | SELECT *, CASE WHEN prev_ts IS NULL
+        |   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+        |  THEN 1 ELSE 0 END AS new_session FROM x),
+        |z AS (
+        | SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM y)
+        |SELECT user_id, session_idx,
+        | CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
+        | CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
+        | count(*) AS n_events, round(sum(value), 4) AS sum_value
+        |FROM z GROUP BY user_id, session_idx""".stripMargin,
+
+    "upsert_latest" ->
+      """SELECT user_id, event_id, event_type,
+        | CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, round(value, 4) AS value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1""".stripMargin,
+
+    "delete_by_ids" ->
+      "SELECT event_id FROM events WHERE event_id % 97 <> 0",
+
+    "retention_recent" ->
+      """SELECT event_type, count(*) AS n_events FROM events
+        |WHERE CAST(floor(epoch(ts)) AS BIGINT) >=
+        | (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) FROM events) - 604800
+        |GROUP BY event_type""".stripMargin
+  )
 }

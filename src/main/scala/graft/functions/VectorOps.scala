@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `ARRAY<FLOAT>`/`ARRAY<DOUBLE>` embedding columns,
+  * composed from codegen'd higher-order functions (no UDFs — stays inside
+  * whole-stage codegen).
+  *
+  * Mirrors the reference's vector semantics: 384-d L2-normalized float
+  * vectors with cosine metric (reference
+  * `src/services/vector_engine/config.py:9,19-20`,
+  * `embedding_generator.py:102,146`). The testdata embeddings are 64-d;
+  * nothing here hardcodes the dimension.
+  *
+  * All math is done in DOUBLE after an explicit cast so results are
+  * reproducible across engines (the DuckDB oracle casts the same way).
+  */
+object VectorOps {
+
+  /** Cast an embedding column to ARRAY<DOUBLE> for stable arithmetic. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential-fold dot product: SUM_i a[i]*b[i], left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Squared L2 norm. */
+  def normSq(v: Column): Column =
+    aggregate(asDouble(v), lit(0.0), (acc, x) => acc + x * x)
+
+  /** L2 norm. */
+  def norm(v: Column): Column = sqrt(normSq(v))
+
+  /** Cosine similarity = dot / (||a|| * ||b||); null-safe via NaN on zero
+    * vectors (caller filters). Reference delegates this to the Pinecone
+    * index (`pinecone_manager.py:115-121`, metric at `config.py:20`). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** L2-normalize a vector so cosine ≡ dot (reference
+    * `embedding_generator.py:102,146`: F.normalize(p=2, dim=1)). */
+  def l2Normalize(v: Column): Column = {
+    val n = norm(v)
+    transform(asDouble(v), x => x / n)
+  }
+
+  /** Euclidean (L2) distance — used by the LSH/ANN tier. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x))
+}

@@ -1,0 +1,38 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-provided parquet testdata (TESTDATA.md) and the
+  * engine's own derived tables.
+  *
+  * Design stance (SURVEY.md §7.0): the engine is "tables, not services" —
+  * `documents`, `chunks`, `index` (chunks + embedding), `questions`,
+  * `answers`, all parquet-backed with fixed schemas. The reference keeps
+  * everything as Python lists in RAM (reference
+  * `src/main.py:75`, `vectorizer.py:76`); here every stage is a DataFrame
+  * so Catalyst gets predicate pushdown / column pruning and the 100 TB
+  * path is partition-parallel by construction.
+  */
+object Tables {
+  private def p(dir: String, name: String) = s"$dir/$name.parquet"
+
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(p(dir, name))
+
+  // --- engine-surface tables -------------------------------------------
+  /** doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT */
+  def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
+  /** vec_id BIGINT, embedding ARRAY<FLOAT>, label INT */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
+  /** event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING */
+  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+
+  // --- TPC-H-ish relational tables -------------------------------------
+  def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "customer")
+  def part(spark: SparkSession, dir: String): DataFrame     = read(spark, dir, "part")
+  def supplier(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "region")
+}

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's chunking operators (SURVEY.md §2.3) — each maps one
+  * document row to N chunk rows. In Spark these are generators
+  * (`posexplode` over an array-building expression) so they stay inside
+  * whole-stage codegen and scale row-parallel; only the order-sensitive
+  * folds (C4/C5) drop to the typed Dataset API (`flatMapGroups`).
+  *
+  * Reference constants (BASELINE.md): chunk_size=1000, overlap=200,
+  * min_chunk=100 chars (`document_processing_service.py:542-545`);
+  * min paragraph length 50 (PDF) / 20 (email) (`:295,519`).
+  */
+object Chunking {
+
+  /** C8 — derived word count (`document_processing_service.py:56-58`:
+    * len(content.split())). */
+  def wordCount(content: Column): Column =
+    size(split(trim(content), "\\s+"))
+
+  /** C2 — paragraph splitter (`document_processing_service.py:290-302`):
+    * split on blank lines, trim, drop paragraphs ≤ `minChars`, emit
+    * chunk_id `{doc}_p{page}_para{idx}` (page is always 0 here: the
+    * testdata documents are pre-extracted single-page text). */
+  def paragraphChunks(docs: DataFrame, minChars: Int = 50,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n{2,}")).as(Seq("para_idx", "content")))
+      .withColumn("content", trim(col("content")))
+      .filter(length(col("content")) > minChars)
+      .select(
+        concat_ws("_", col(idCol), lit("p0"), concat(lit("para"), col("para_idx"))).as("chunk_id"),
+        col(idCol).as("document_id"),
+        col("para_idx"),
+        col("content"),
+        lit("paragraph").as("chunk_type"),
+        wordCount(col("content")).as("word_count"))
+
+  /** C1 — regex section splitter (`document_processing_service.py:273-349`).
+    * The reference scans lines and opens a new section whenever one of 4
+    * header patterns matches (`:311-316`); lines before the first header
+    * belong to an untitled preamble. Pure-relational formulation: explode
+    * lines with position, mark headers, running-count headers per document
+    * (the section id), then re-aggregate bodies in line order.
+    * One shuffle on (document_id) — partition-parallel across documents. */
+  val sectionHeaderRegex: String =
+    "(^[A-Z][A-Z\\s]{2,30}:)|(^\\d+\\.\\s+[A-Z][^.]{5,50}:)|(^Section\\s+\\d+[:.]\\s*.+)|(^\\([a-z]\\)\\s+.{5,50})"
+
+  def sectionChunks(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+      .withColumn("is_header", col("line").rlike(sectionHeaderRegex))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("line_idx"))
+    lines
+      .withColumn("section_id", sum(col("is_header").cast("int")).over(w))
+      .groupBy(col(idCol), col("section_id"))
+      .agg(
+        max(when(col("is_header"), trim(col("line")))).as("section_title"),
+        // collect_list drops nulls, so header lines are excluded from the
+        // body; sort_array on struct(line_idx, line) restores line order
+        // (structs compare field-by-field, line_idx first).
+        array_join(
+          transform(
+            sort_array(collect_list(when(!col("is_header"), struct(col("line_idx"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("content"))
+      .withColumn("content", trim(col("content")))
+      .filter(length(col("content")) > 0)
+      .select(
+        concat_ws("_", col(idCol), lit("sec"), col("section_id")).as("chunk_id"),
+        col(idCol).as("document_id"),
+        col("section_id"),
+        col("section_title"),
+        col("content"),
+        lit("section").as("chunk_type"),
+        wordCount(col("content")).as("word_count"))
+  }
+
+  /** C6 — sliding word windows (`document_processing_service.py:665-689`):
+    * lower + tokenize, drop non-alphanumeric tokens and stopwords, then
+    * windows of `windowSize` meaningful words with step
+    * `windowSize - overlap`, chunk_id `{doc}_sliding_{i}`. Reference
+    * defaults 1000/200; the synthetic docs are ~50 words so callers pick
+    * smaller parameters. Array-based ROWS-frame analogue — no shuffle at
+    * all (per-row generator). */
+  def slidingWindowChunks(docs: DataFrame, windowSize: Int = 1000, overlap: Int = 200,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val step = windowSize - overlap
+    val words = filter(
+      split(lower(trim(col(textCol))), "\\s+"),
+      w => w.rlike("^[a-z0-9]+$") && !array_contains(stopwordsLit, w))
+    docs
+      .withColumn("words", words)
+      .withColumn("n", size(col("words")))
+      .filter(col("n") >= windowSize)
+      .select(col(idCol),
+        posexplode(transform(
+          sequence(lit(0), col("n") - windowSize, lit(step)),
+          i => array_join(slice(col("words"), i + 1, lit(windowSize)), " "))).as(Seq("win_idx", "content")))
+      .select(
+        concat_ws("_", col(idCol), lit("sliding"), col("win_idx")).as("chunk_id"),
+        col(idCol).as("document_id"),
+        col("win_idx"),
+        col("content"),
+        lit("sliding_window").as("chunk_type"),
+        wordCount(col("content")).as("word_count"))
+  }
+
+  /** The reference removes NLTK english stopwords before windowing
+    * (`document_processing_service.py:668-669`). Deterministic subset used
+    * here (NLTK's list, public). */
+  val stopwords: Seq[String] = Seq(
+    "i", "me", "my", "we", "our", "you", "your", "he", "him", "his", "she",
+    "her", "it", "its", "they", "them", "their", "what", "which", "who",
+    "this", "that", "these", "those", "am", "is", "are", "was", "were",
+    "be", "been", "being", "have", "has", "had", "do", "does", "did",
+    "a", "an", "the", "and", "but", "if", "or", "because", "as", "until",
+    "while", "of", "at", "by", "for", "with", "about", "against",
+    "between", "into", "through", "during", "before", "after", "above",
+    "below", "to", "from", "up", "down", "in", "out", "on", "off", "over",
+    "under", "again", "further", "then", "once", "here", "there", "when",
+    "where", "why", "how", "all", "any", "both", "each", "few", "more",
+    "most", "other", "some", "such", "no", "nor", "not", "only", "own",
+    "same", "so", "than", "too", "very", "can", "will", "just", "should",
+    "now")
+  private def stopwordsLit: Column = array(stopwords.map(lit): _*)
+
+  /** C3 — table → text chunk (`document_processing_service.py:351-367`):
+    * header line + " | "-joined rows, one line per non-empty row.
+    * `headers ARRAY<STRING>`, `rows ARRAY<ARRAY<STRING>>`. */
+  def tableToText(headers: Column, rows: Column): Column = {
+    val rowLines = transform(
+      filter(rows, r => exists(r, c => length(trim(c)) > 0)),
+      r => array_join(r, " | "))
+    array_join(concat(array(array_join(headers, " | ")), rowLines), "\n")
+  }
+
+  /** C9 — section-title prefixing for embedding text
+    * (`vectorizer.py:51-57`): prepend "{title}\n\n" unless the content
+    * already contains the title. */
+  def withTitlePrefix(title: Column, content: Column): Column =
+    when(title.isNotNull && length(title) > 0 && !content.contains(title),
+      concat_ws("\n\n", title, content))
+      .otherwise(content)
+
+  /** C4 — sentence-bounded re-split of large chunks
+    * (`document_processing_service.py:589-627`): split into sentences,
+    * greedily pack consecutive sentences into sub-chunks of ≤ `maxChars`;
+    * a single over-long sentence becomes its own sub-chunk. Ordered fold →
+    * implemented as a pure Scala function (unit-testable) + a typed
+    * Dataset wrapper in [[ChunkFolds]]. */
+  def packSentences(text: String, maxChars: Int = 1000): Seq[String] = {
+    val sentences = text.split("(?<=[.!?])\\s+").toSeq.filter(_.nonEmpty)
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    for (s <- sentences) {
+      if (cur.isEmpty) cur.append(s)
+      else if (cur.length + 1 + s.length <= maxChars) { cur.append(' '); cur.append(s) }
+      else { out += cur.toString; cur.clear(); cur.append(s) }
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq
+  }
+
+  /** C5 — combine small consecutive chunks
+    * (`document_processing_service.py:629-663`): adjacent chunks shorter
+    * than `minChars` are merged (joined with "\n\n") until the combined
+    * text reaches `minChars`; a big chunk flushes the pending merge. */
+  def combineSmall(chunks: Seq[String], minChars: Int = 100): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val pending = new StringBuilder
+    for (c <- chunks) {
+      if (c.length >= minChars) {
+        if (pending.nonEmpty) { out += pending.toString; pending.clear() }
+        out += c
+      } else {
+        if (pending.nonEmpty) pending.append("\n\n")
+        pending.append(c)
+        if (pending.length >= minChars) { out += pending.toString; pending.clear() }
+      }
+    }
+    if (pending.nonEmpty) out += pending.toString
+    out.toSeq
+  }
+}

@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for the training-data-pipeline tier: exact
+  * (hash-groupBy), n-gram Jaccard, and MinHash+LSH near-dup. The scale
+  * stance: exact dedup is one shuffle on the fingerprint; near-dup NEVER
+  * does the all-pairs cross join — candidates come from shared shingles
+  * (Jaccard) or shared MinHash band buckets (LSH), so the join key
+  * distributes and the pair space stays sparse.
+  */
+object Dedup {
+
+  /** Exact duplicate detection: whitespace/case-invariant md5 fingerprint,
+    * first doc per fingerprint (lowest id) is the keeper. One hash-shuffle
+    * on the 16-byte fingerprint — the canonical 100 TB exact-dedup plan. */
+  def exactDups(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    docs
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("is_duplicate", col("dup_rank") > 1)
+      .select(col(idCol), col("fp"), col("dup_rank"), col("is_duplicate"))
+  }
+
+  /** Distinct word n-gram shingles of `text`, as an array column. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(lower(trim(text)), "\\s+")
+    array_distinct(
+      when(size(words) >= n,
+        transform(sequence(lit(0), size(words) - n),
+          i => array_join(slice(words, i + 1, lit(n)), " ")))
+        .otherwise(array(array_join(words, " "))))
+  }
+
+  /** N-gram Jaccard similarity for every pair of documents sharing at
+    * least one shingle. Shingle-inverted-index self-join (key = shingle)
+    * → intersection counts → |A∪B| = |A|+|B|−|A∩B|. The self-join key is
+    * the shingle, so common shingles are the skew risk at scale: AQE skew
+    * handling plus an optional frequency cap (drop shingles appearing in
+    * > `maxDf` docs — standard near-dup practice) keep it bounded. */
+  def ngramJaccard(docs: DataFrame, n: Int = 3, maxDf: Int = 1000,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+    val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf).select("shingle")
+    val shr = sh.join(rare, "shingle")
+    val sizes = shr.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val pairs = shr.as("a").join(shr.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
+      .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))
+  }
+
+  /** A 60-bit integer hash of a string, reproducible in any engine with
+    * md5: first 15 hex chars of md5, parsed base-16. (Spark's `hash()` is
+    * Murmur3 with Spark-specific seeding — NOT cross-engine.) */
+  def md5Hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  val minhashPrime: Long = 1000000007L
+  /** Deterministic affine hash family for MinHash: h_i(x) = (a_i·x + b_i) mod p. */
+  def minhashParams(numHashes: Int): Seq[(Long, Long)] =
+    (1 to numHashes).map(i => (2L * i + 1L, 7919L * i))
+
+  /** MinHash signatures: per doc, for each of `numHashes` affine hashes,
+    * the min over shingle hashes. Output: (id, sig ARRAY<LONG>). One
+    * aggregation shuffle on doc id. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+      .withColumn("h", pmod(md5Hash60(col("shingle")), lit(minhashPrime)))
+    val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * a + b, lit(minhashPrime))).as(s"sig_$i")
+    }
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH banding: signatures of `numHashes` hashes in bands of
+    * `bandSize`; docs sharing any band bucket become candidate pairs;
+    * estimated Jaccard = fraction of matching signature components.
+    * The pair join is on (band index, band values) — a distributed,
+    * shuffle-friendly key; no all-pairs blowup. */
+  def minhashCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
+                        bandSize: Int = 2, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val numBands = numHashes / bandSize
+    val sigs = minhashSignatures(docs, n, numHashes, idCol, textCol)
+    val sigCols = (0 until numHashes).map(i => col(s"sig_$i"))
+    val banded = sigs.select(
+      col("id"),
+      array(sigCols: _*).as("sig"),
+      posexplode(array((0 until numBands).map(b =>
+        concat_ws(":", (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}")): _*)): _*))
+        .as(Seq("band", "bucket")))
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    pairs.withColumn("est_jaccard",
+        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
+          x => x)).cast("double") / numHashes, 4))
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash 32-bit fingerprint: per token, md5-derived bits vote ±1 per
+    * position; fingerprint bit b = 1 iff the vote sum is positive.
+    * Cross-engine reproducible (md5-based, integer arithmetic only). */
+  def simhash32(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .withColumn("h", md5Hash60(col("tok")))
+    // SQL-form shiftright accepts a column shift amount (the Scala DSL
+    // overload is Int-only).
+    val bits = toks.select(col("id"),
+      posexplode(expr("transform(sequence(0, 31), b -> IF(shiftright(h, b) % 2 = 1, 1, -1))"))
+        .as(Seq("bit", "vote")))
+    bits.groupBy(col("id"), col("bit"))
+      .agg(sum(col("vote")).as("v"))
+      .groupBy(col("id"))
+      .agg(sum(expr("IF(v > 0, shiftleft(CAST(1 AS BIGINT), bit), CAST(0 AS BIGINT))"))
+        .as("simhash"))
+  }
+
+  /** Embedding-cosine near-dup: pairs with cosine ≥ `threshold` among
+    * vectors sharing a sign-LSH bucket (see [[Similarity.signBuckets]]) —
+    * the scale path; brute-force variant available for small inputs. */
+  def embeddingNearDups(vecs: DataFrame, threshold: Double, signDims: Int = 4,
+                        idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bucketed = vecs.withColumn("bucket", Similarity.signBucket(col(vecCol), signDims))
+    bucketed.as("a").join(bucketed.as("b"),
+        col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .withColumn("score",
+        round(graft.functions.VectorOps.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 4))
+      .filter(col("score") >= threshold)
+      .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("score"))
+  }
+}

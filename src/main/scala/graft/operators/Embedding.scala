@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.ml.{Pipeline, PipelineModel}
+import org.apache.spark.ml.feature.{HashingTF, IDF, Normalizer, RegexTokenizer, StopWordsRemover}
+import org.apache.spark.ml.functions.vector_to_array
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** E1/E2/E4 — the embedding stage (SURVEY.md §2.4). The reference runs a
+  * sentence-transformer under a lock, batch 32, with inter-batch sleeps
+  * (`embedding_generator.py:113-167`; model config `config.py:8-11`).
+  * Zero-egress stand-in: a deterministic MLlib featurizer
+  * `RegexTokenizer → StopWordsRemover → HashingTF(dim) → IDF →
+  * Normalizer(L2)` producing unit-norm `ARRAY<FLOAT>` — same schema
+  * contract (fixed dim, L2-normalized, cosine-ready) as the reference's
+  * 384-d vectors. MLlib `transform` is partition-parallel: the lock, the
+  * batching, and the sleeps all disappear (BASELINE.md implication).
+  *
+  * HashingTF is seedless-deterministic; IDF is fit once on the corpus and
+  * reused for queries (E2 is the same pipeline on a 1-row DataFrame —
+  * no special path, SURVEY §2.4).
+  */
+object Embedding {
+  val DefaultDim = 384
+
+  def buildPipeline(dim: Int = DefaultDim, textCol: String = "text"): Pipeline = {
+    val tok = new RegexTokenizer()
+      .setInputCol(textCol).setOutputCol("_words")
+      .setPattern("[a-z0-9]+").setGaps(false).setToLowercase(true)
+    val stop = new StopWordsRemover()
+      .setInputCol("_words").setOutputCol("_terms")
+      .setStopWords(Chunking.stopwords.toArray)
+    val tf = new HashingTF()
+      .setInputCol("_terms").setOutputCol("_tf").setNumFeatures(dim)
+    val idf = new IDF().setInputCol("_tf").setOutputCol("_tfidf")
+    val norm = new Normalizer().setInputCol("_tfidf").setOutputCol("_vec").setP(2.0)
+    new Pipeline().setStages(Array(tok, stop, tf, idf, norm))
+  }
+
+  /** Fit the featurizer on a corpus (IDF statistics). */
+  def fit(corpus: DataFrame, dim: Int = DefaultDim, textCol: String = "text"): PipelineModel =
+    buildPipeline(dim, textCol).fit(corpus)
+
+  /** Apply a fitted featurizer; returns the input plus `outCol
+    * ARRAY<FLOAT>` (unit-norm), internal columns dropped. */
+  def embed(model: PipelineModel, df: DataFrame, outCol: String = "embedding"): DataFrame =
+    model.transform(df)
+      .withColumn(outCol, vector_to_array(col("_vec"), "float32"))
+      .drop("_words", "_terms", "_tf", "_tfidf", "_vec")
+}

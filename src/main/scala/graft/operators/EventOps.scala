@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-table operators: the index-maintenance family (S12-S16 upsert /
+  * delete / retention, SURVEY.md §2.1) exercised on the `events` table,
+  * plus the event-time windowing the reference lacks (§2.10) — tumbling
+  * windows and gap-based sessionization. Timestamps are emitted as epoch
+  * seconds (BIGINT) so results hash identically across engines.
+  */
+object EventOps {
+
+  /** Tumbling event-time window aggregate: `window(ts, widthSec)` →
+    * per-(window, event_type) count + sum. Spark's `window()` starts are
+    * epoch-aligned, identical to floor(epoch/width)*width. Partial
+    * (map-side) aggregation before the shuffle — the 100 TB-safe shape. */
+  def tumblingAgg(events: DataFrame, widthSec: Int = 600): DataFrame =
+    events
+      .groupBy(window(col("ts"), s"$widthSec seconds").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Gap-based sessionization (batch formulation): a new session starts
+    * when the gap to the previous event of the same user exceeds
+    * `gapSec`. Classic gaps-and-islands: lag → boundary flag → running
+    * sum = session index → aggregate. One shuffle on user_id; state is
+    * per-user and bounded. (The Structured Streaming face of this is
+    * `session_window` / `flatMapGroupsWithState` — graft.streaming.) */
+  def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1).otherwise(0))
+      .withColumn("session_idx", sum(col("new_session")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(
+        unix_timestamp(min(col("ts"))).as("session_start"),
+        unix_timestamp(max(col("ts"))).as("session_end"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+  }
+
+  /** S12 — upsert as last-write-wins: latest row per key (reference
+    * re-upserts overwrite by chunk_id, `pinecone_manager.py:78,90`).
+    * `row_number() = 1` over (key, ts desc) — WindowGroupLimit applies. */
+  def latestPerKey(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_epoch"), round(col("value"), 4).as("value"))
+  }
+
+  /** S14 — delete by id set: left-anti join against tombstones. */
+  def deleteByIds(events: DataFrame, tombstones: DataFrame): DataFrame =
+    events.join(tombstones, Seq("event_id"), "left_anti")
+
+  /** S16 — retention by age: keep rows within `maxAgeSec` of the newest
+    * event (reference cache eviction, `ingestion_service.py:418-437`). */
+  def retention(events: DataFrame, maxAgeSec: Long): DataFrame = {
+    val cutoff = events.agg(max(unix_timestamp(col("ts"))).as("max_e"))
+    events.crossJoin(broadcast(cutoff))
+      .filter(unix_timestamp(col("ts")) >= col("max_e") - maxAgeSec)
+      .drop("max_e")
+  }
+}

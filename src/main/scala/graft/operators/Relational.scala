@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General relational surface over the TPC-H-ish testdata: the aggregate /
+  * join / window / set-op capabilities Catalyst supplies for free once the
+  * engine exposes DataFrames (SURVEY.md §2.7-2.8 notes the reference has
+  * only trivial aggregates; these queries prove the engine's relational
+  * tier at scale). All money sums rounded for cross-engine hashing.
+  *
+  * Scale notes per query are inline: what shuffles, what broadcasts,
+  * where partial aggregation happens.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary: scan-heavy, two-phase hash aggregate
+    * (partial map-side combine → 4-group final). The shuffle moves only
+    * |groups| rows per task regardless of scan size. */
+  def pricingSummary(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+          .as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3-style shipping priority: customer (small) broadcast to
+    * orders, orders⨝lineitem on the orderkey shuffle, top-10 by revenue.
+    * Revenue rounded BEFORE ordering so rank ties are engine-stable. */
+  def shippingPriority(customer: DataFrame, orders: DataFrame, lineitem: DataFrame,
+                       segment: String = "BUILDING"): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer.filter(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+
+  /** TPC-H Q5-style local-supplier revenue: the dimension chain
+    * region→nation is tiny → broadcast all the way; the only real
+    * shuffle is lineitem⨝orders. Grouped by nation name. */
+  def localSupplierVolume(region: DataFrame, nation: DataFrame, customer: DataFrame,
+                          supplier: DataFrame, orders: DataFrame, lineitem: DataFrame): DataFrame =
+    lineitem
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+
+  /** Per-nation top-3 customers by account balance — rank window with
+    * WindowGroupLimit pushdown (per-task top-3 before the shuffle). */
+  def topCustomersPerNation(customer: DataFrame, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(round(col("c_acctbal"), 2).desc, col("c_custkey"))
+    customer
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("c_nationkey"), col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+        col("rank"))
+  }
+
+  /** Running order total per customer — a ROWS-frame cumulative window.
+    * One shuffle on o_custkey; frame state is O(1). */
+  def runningOrderTotals(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      unix_timestamp(col("o_orderdate")).as("o_orderdate_epoch"),
+      round(sum(col("o_totalprice")).over(w), 2).as("running_total"))
+  }
+
+  /** Semi/anti join surface: customers with ≥1 order vs. customers with
+    * none — `left_semi` / `left_anti`, the plans Catalyst rewrites
+    * IN/EXISTS (and S14-style deletes) into. */
+  def customerOrderPresence(customer: DataFrame, orders: DataFrame): DataFrame = {
+    val withO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey")).withColumn("has_orders", lit(true))
+    val noO = customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey")).withColumn("has_orders", lit(false))
+    withO.unionByName(noO)
+  }
+
+  /** Grouping-sets rollup over (returnflag, linestatus) — free from
+    * Catalyst (§2.7: "the engine gets them free if we expose SQL"). */
+  def rollupQuantities(lineitem: DataFrame): DataFrame =
+    lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+/** The reference's two retrieval strategies, re-expressed as set-oriented
+  * Spark plans:
+  *
+  *  - Q1/Q2 semantic kNN: embed query, cosine top-k over the vector index
+  *    (reference `vectorizer.py:118-157`, `pinecone_manager.py:105-138`,
+  *    invoked per-question in a Python loop at `main.py:92-127`). Here ALL
+  *    questions are answered in one job: broadcast(questions) ⨯ index →
+  *    cosine → rank-limit. Spark ≥3.5 plans the `row_number() <= k` filter
+  *    as WindowGroupLimit, i.e. each map task keeps only its local top-k
+  *    per question BEFORE the shuffle — the shuffle moves O(k·|questions|)
+  *    rows per partition, not the whole index. That is the property that
+  *    survives a 100 TB index.
+  *
+  *  - Q4-Q6 keyword fallback: per-question substring-containment scoring
+  *    (reference `main.py:133-174`). A theta join (instr > 0) against a
+  *    broadcast questions side + countDistinct aggregate. NOTE the
+  *    reference counts SUBSTRING containment, not token equality ("car"
+  *    matches "card", `main.py:143`) — replicated faithfully as spec.
+  *
+  * Scores are rounded to 4 decimals BEFORE ranking so that rank order is
+  * reproducible bit-for-bit across engines (ties broken by id).
+  */
+object Retrieval {
+
+  /** Exact cosine kNN: for each row of `queries` (id column `qidCol`,
+    * vector column `qvecCol`), the top `k` rows of `index` by cosine
+    * similarity. Pre-filter (`indexFilter`) is applied below the ranking —
+    * the analogue of Pinecone's metadata filter evaluated inside the index
+    * (`pinecone_manager.py:118`), which Catalyst pushes into the scan. */
+  def knnCosine(queries: DataFrame, index: DataFrame, k: Int,
+                qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
+                idCol: String = "vec_id", vecCol: String = "embedding",
+                indexFilter: Column = lit(true)): DataFrame = {
+    val scored = broadcast(queries)
+      .join(index.filter(indexFilter))
+      .withColumn("score", round(VectorOps.cosine(col(qvecCol), col(vecCol)), 4))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Q4-Q6 keyword-containment scoring, exactly the reference formula
+    * (`main.py:137-157`): tokenize question on whitespace after lower();
+    * a chunk's matches = number of DISTINCT question words substring-
+    * contained in lower(content); score = matches / n_question_words;
+    * keep matches > 0; top `k` chunks per question.
+    *
+    * `questions`: (question_id INT, question STRING);
+    * `chunks`: (`idCol`, `textCol`). Questions side is tiny → broadcast
+    * theta-join (BroadcastNestedLoopJoin); chunk side streams. */
+  def keywordSearch(questions: DataFrame, chunks: DataFrame, k: Int,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val qWords = broadcast(
+      questions
+        .withColumn("n_words", size(split(lower(col("question")), "\\s+")))
+        .withColumn("word", explode(array_distinct(split(lower(col("question")), "\\s+")))))
+    val matched = qWords
+      .join(chunks, instr(lower(col(textCol)), col("word")) > 0)
+      .groupBy(col("question_id"), col("n_words"), col(idCol))
+      .agg(count_distinct(col("word")).as("matches"))
+      .withColumn("score", round(col("matches").cast("double") / col("n_words"), 4))
+    val w = Window.partitionBy(col("question_id")).orderBy(col("score").desc, col(idCol))
+    matched
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("question_id"), col(idCol), col("matches"), col("score"), col("rank"))
+  }
+
+  /** A4 answer summary: per question, result count + best-scoring hit
+    * (reference `main.py:116,163`). */
+  def answerSummary(ranked: DataFrame, qidCol: String = "question_id",
+                    idCol: String = "doc_id"): DataFrame =
+    ranked.groupBy(col(qidCol)).agg(
+      count(lit(1)).as("n_results"),
+      max(col("score")).as("best_score"),
+      max_by(col(idCol), struct(col("score"), col(idCol).cast("string"))).as("best_id"))
+
+  /** The reference's 10 golden questions (`src/scripts/main.py:54-65`),
+    * the end-to-end smoke fixture (FIXTURES.md §B2). */
+  val goldenQuestions: Seq[String] = Seq(
+    "What is the grace period for premium payment under the National Parivar Mediclaim Plus Policy?",
+    "What is the waiting period for pre-existing diseases (PED) to be covered?",
+    "Does this policy cover maternity expenses, and what are the conditions?",
+    "What is the waiting period for cataract surgery?",
+    "Are the medical expenses for an organ donor covered under this policy?",
+    "What is the No Claim Discount (NCD) offered in this policy?",
+    "Is there a benefit for preventive health check-ups?",
+    "How does the policy define a 'Hospital'?",
+    "What is the extent of coverage for AYUSH treatments?",
+    "Are there any sub-limits on room rent and ICU charges for Plan A?")
+}

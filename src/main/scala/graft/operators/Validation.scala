@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingestion-side validation/projection operators (SURVEY.md §2.2):
+  * P1 magic-byte MIME sniffing, P2 validation-predicate accumulation,
+  * S2 content-hash idempotent ingest. All per-row `when` chains —
+  * codegen'd conditional projections, no control flow.
+  */
+object Validation {
+
+  /** P1 — MIME sniffing by content prefix (reference
+    * `ingestion_service.py:128-155`): %PDF→pdf; PK\x03\x04 + "word/"
+    * marker→docx (bare PK→zip); OLE2 magic→doc; Return-Path:/
+    * MIME-Version: near the head→eml; else octet-stream. `head` is the
+    * leading bytes as STRING (testdata carries no binary; over real data
+    * the same chain runs on `substring(content, 1, 500)` of a
+    * binaryFile scan). */
+  def sniffMime(head: Column): Column =
+    when(head.startsWith("%PDF"), "application/pdf")
+      .when(head.startsWith("PK") && instr(head, "word/") > 0,
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
+      .when(head.startsWith("PK"), "application/zip")
+      .when(head.startsWith("ÐÏà"), "application/msword")
+      .when(instr(substring(head, 1, 500), "Return-Path:") > 0 ||
+        instr(substring(head, 1, 500), "MIME-Version:") > 0, "message/rfc822")
+      .otherwise("application/octet-stream")
+
+  /** P2 — validation predicates accumulated into an error list (reference
+    * `ingestion_service.py:157-218`): size bounds + supported-type check.
+    * Emits `errors` (comma-joined for cross-engine hashing) and
+    * `is_valid`. */
+  def validate(docs: DataFrame, maxChars: Long, langWhitelist: Seq[String],
+               textCol: String = "text", langCol: String = "lang"): DataFrame = {
+    val errs = array_compact(array(
+      when(length(trim(col(textCol))) === 0, "empty_content"),
+      when(col("n_chars") > maxChars, "file_too_large"),
+      when(!col(langCol).isin(langWhitelist: _*), "unsupported_type")))
+    docs
+      .withColumn("errors", array_join(errs, ","))
+      .withColumn("is_valid", size(errs) === 0)
+  }
+
+  /** S2 — content-hash idempotent ingest: drop incoming docs whose
+    * fingerprint is already in `existing` (read-through cache as a
+    * left-anti join; reference `ingestion_service.py:92-106,294-299`). */
+  def newDocsOnly(incoming: DataFrame, existing: DataFrame,
+                  textCol: String = "text"): DataFrame = {
+    val fp = TextAnalysis.fingerprint(col(textCol))
+    incoming.withColumn("fp", fp)
+      .join(existing.select(TextAnalysis.fingerprint(col(textCol)).as("fp")),
+        Seq("fp"), "left_anti")
+  }
+
+  /** Fixture rows for the P1 MIME chain (FIXTURES.md §B4) — one per
+    * branch, usable by both the Spark query and a VALUES-based oracle. */
+  val mimeFixtures: Seq[(String, String)] = Seq(
+    ("pdf_ok", "%PDF-1.4 body %%EOF"),
+    ("docx", "PK word/document.xml"),
+    ("zip", "PK other"),
+    ("doc_ole", "ÐÏàrest"),
+    ("eml_rp", "Return-Path: <a@b.c>"),
+    ("eml_mime", "Date: x MIME-Version: 1.0"),
+    ("junk", "hello world"))
+
+  def mimeFixturesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    mimeFixtures.toDF("name", "head")
+  }
+}
