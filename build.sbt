@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output normally goes through sbt's logger, which prefixes
+// every line with "[info] " — that breaks machine parsing of Bench's
+// single-line JSON. Inherit the parent's stdout/stderr instead.
+run / connectInput := true
+outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -257,7 +257,7 @@ object SparkEntry {
         | FROM (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS parts FROM documents) t,
         |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g)
         |SELECT doc_id AS document_id, count(*) AS chunks_count,
-        | sum(length(content)) AS total_characters
+        | CAST(sum(length(content)) AS BIGINT) AS total_characters
         |FROM parts WHERE length(content) > 20 GROUP BY doc_id""".stripMargin,
 
     "lang_id" ->
@@ -341,7 +341,7 @@ object SparkEntry {
         |         FROM h, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) g),
         |v AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b)
         |SELECT id AS doc_id,
-        | sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS simhash
+        | CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM v GROUP BY id""".stripMargin,
 
     "knn_cosine" ->
@@ -423,10 +423,10 @@ object SparkEntry {
         .map { case (n, h) => s"('${esc(n)}', '${esc(h)}')" }.mkString(", ")
       s"""SELECT name,
          | CASE WHEN starts_with(head, '%PDF') THEN 'application/pdf'
-         |  WHEN starts_with(head, 'PK') AND position('word/' IN head) > 0
+         |  WHEN starts_with(head, '${esc(Validation.zipMagic)}') AND position('word/' IN head) > 0
          |   THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
-         |  WHEN starts_with(head, 'PK') THEN 'application/zip'
-         |  WHEN starts_with(head, 'ÐÏà') THEN 'application/msword'
+         |  WHEN starts_with(head, '${esc(Validation.zipMagic)}') THEN 'application/zip'
+         |  WHEN starts_with(head, '${esc(Validation.oleMagic)}') THEN 'application/msword'
          |  WHEN position('Return-Path:' IN substr(head, 1, 500)) > 0
          |    OR position('MIME-Version:' IN substr(head, 1, 500)) > 0 THEN 'message/rfc822'
          |  ELSE 'application/octet-stream' END AS mime
@@ -435,11 +435,11 @@ object SparkEntry {
 
     "validate_docs" ->
       """SELECT doc_id,
-        | array_to_string(list_filter([
+        | COALESCE(array_to_string(list_filter([
         |   CASE WHEN length(trim(text)) = 0 THEN 'empty_content' END,
         |   CASE WHEN n_chars > 500 THEN 'file_too_large' END,
         |   CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_type' END],
-        |  x -> x IS NOT NULL), ',') AS errors,
+        |  x -> x IS NOT NULL), ','), '') AS errors,
         | len(list_filter([
         |   CASE WHEN length(trim(text)) = 0 THEN 'empty_content' END,
         |   CASE WHEN n_chars > 500 THEN 'file_too_large' END,
@@ -470,8 +470,8 @@ object SparkEntry {
         |   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
         |  THEN 1 ELSE 0 END AS new_session FROM x),
         |z AS (
-        | SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx FROM y)
+        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM y)
         |SELECT user_id, session_idx,
         | CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
         | CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,

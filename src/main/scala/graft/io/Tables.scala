@@ -24,8 +24,23 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "documents")
   /** vec_id BIGINT, embedding ARRAY<FLOAT>, label INT */
   def embeddings(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "embeddings")
-  /** event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE, props STRING */
-  def events(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "events")
+  /** event_id BIGINT, ts TIMESTAMP (µs), ts_ns BIGINT (full nanosecond
+    * epoch), user_id BIGINT, event_type STRING, value DOUBLE, props STRING.
+    *
+    * The testdata writes `ts` as parquet TIMESTAMP(NANOS), which Spark's
+    * vectorized reader rejects (PARQUET_TYPE_ILLEGAL) unless
+    * `nanosAsLong` is on. We read the raw nanos (no precision loss), keep
+    * them as `ts_ns` — the total-order column — and derive a proper
+    * µs TimestampType `ts` for event-time operators (`window()`,
+    * watermarks). Both reads of the flag are per-session runtime confs,
+    * safe to set here. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(spark, dir, "events")
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+  }
 
   // --- TPC-H-ish relational tables -------------------------------------
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")

@@ -123,16 +123,18 @@ object Dedup {
     val toks = docs.select(col(idCol).as("id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .withColumn("h", md5Hash60(col("tok")))
-    // SQL-form shiftright accepts a column shift amount (the Scala DSL
-    // overload is Int-only).
-    val bits = toks.select(col("id"),
-      posexplode(expr("transform(sequence(0, 31), b -> IF(shiftright(h, b) % 2 = 1, 1, -1))"))
-        .as(Seq("bit", "vote")))
-    bits.groupBy(col("id"), col("bit"))
-      .agg(sum(col("vote")).as("v"))
-      .groupBy(col("id"))
-      .agg(sum(expr("IF(v > 0, shiftleft(CAST(1 AS BIGINT), bit), CAST(0 AS BIGINT))"))
-        .as("simhash"))
+    // One hash-aggregate with 32 sum columns instead of exploding 32
+    // vote rows per token: the shuffle moves |docs| rows of 32 longs, not
+    // |docs|·|tokens|·32 rows — the map-side partial aggregation does the
+    // per-token vote folding in place. Same result, ~32× less shuffle.
+    val votes = (0 until 32).map(b =>
+      sum(expr(s"IF(shiftright(h, $b) % 2 = 1, 1, -1)")).as(s"v_$b"))
+    val bitSum = (0 until 32).map(b =>
+      expr(s"IF(v_$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"))
+      .reduce(_ + _)
+    toks.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), bitSum.as("simhash"))
   }
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ `threshold` among

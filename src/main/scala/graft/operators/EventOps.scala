@@ -30,17 +30,20 @@ object EventOps {
     * per-user and bounded. (The Structured Streaming face of this is
     * `session_window` / `flatMapGroupsWithState` — graft.streaming.) */
   def sessionize(events: DataFrame, gapSec: Long = 1800): DataFrame = {
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    // Order by the full-precision nanos column: two events in the same
+    // microsecond must still sessionize identically across engines.
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
     events
-      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("epoch_s", expr("ts_ns div 1000000000"))
+      .withColumn("prev_epoch_s", lag(col("epoch_s"), 1).over(byUser))
       .withColumn("new_session",
-        when(col("prev_ts").isNull ||
-          unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts")) > gapSec, 1).otherwise(0))
+        when(col("prev_epoch_s").isNull ||
+          col("epoch_s") - col("prev_epoch_s") > gapSec, 1).otherwise(0))
       .withColumn("session_idx", sum(col("new_session")).over(byUser))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
-        unix_timestamp(min(col("ts"))).as("session_start"),
-        unix_timestamp(max(col("ts"))).as("session_end"),
+        min(col("epoch_s")).as("session_start"),
+        max(col("epoch_s")).as("session_end"),
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
   }
@@ -50,10 +53,10 @@ object EventOps {
     * `row_number() = 1` over (key, ts desc) — WindowGroupLimit applies. */
   def latestPerKey(events: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts").desc, col("event_id").desc)
+      .orderBy(col("ts_ns").desc, col("event_id").desc)
     events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .select(col("user_id"), col("event_id"), col("event_type"),
-        unix_timestamp(col("ts")).as("ts_epoch"), round(col("value"), 4).as("value"))
+        expr("ts_ns div 1000000000").as("ts_epoch"), round(col("value"), 4).as("value"))
   }
 
   /** S14 — delete by id set: left-anti join against tombstones. */
@@ -63,9 +66,9 @@ object EventOps {
   /** S16 — retention by age: keep rows within `maxAgeSec` of the newest
     * event (reference cache eviction, `ingestion_service.py:418-437`). */
   def retention(events: DataFrame, maxAgeSec: Long): DataFrame = {
-    val cutoff = events.agg(max(unix_timestamp(col("ts"))).as("max_e"))
+    val cutoff = events.agg(max(expr("ts_ns div 1000000000")).as("max_e"))
     events.crossJoin(broadcast(cutoff))
-      .filter(unix_timestamp(col("ts")) >= col("max_e") - maxAgeSec)
+      .filter(expr("ts_ns div 1000000000") >= col("max_e") - maxAgeSec)
       .drop("max_e")
   }
 }

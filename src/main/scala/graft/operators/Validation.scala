@@ -10,6 +10,12 @@ import org.apache.spark.sql.functions._
   */
 object Validation {
 
+  /** Magic-byte prefixes (reference `ingestion_service.py:134,145,149`),
+    * shared between the Spark `when` chain, the fixtures, and the DuckDB
+    * oracle so all three stay byte-identical. */
+  val zipMagic = "PK\u0003\u0004"
+  val oleMagic = "\u00d0\u00cf\u0011\u00e0"
+
   /** P1 — MIME sniffing by content prefix (reference
     * `ingestion_service.py:128-155`): %PDF→pdf; PK\x03\x04 + "word/"
     * marker→docx (bare PK→zip); OLE2 magic→doc; Return-Path:/
@@ -19,10 +25,10 @@ object Validation {
     * binaryFile scan). */
   def sniffMime(head: Column): Column =
     when(head.startsWith("%PDF"), "application/pdf")
-      .when(head.startsWith("PK") && instr(head, "word/") > 0,
+      .when(head.startsWith(zipMagic) && instr(head, "word/") > 0,
         "application/vnd.openxmlformats-officedocument.wordprocessingml.document")
-      .when(head.startsWith("PK"), "application/zip")
-      .when(head.startsWith("ÐÏà"), "application/msword")
+      .when(head.startsWith(zipMagic), "application/zip")
+      .when(head.startsWith(oleMagic), "application/msword")
       .when(instr(substring(head, 1, 500), "Return-Path:") > 0 ||
         instr(substring(head, 1, 500), "MIME-Version:") > 0, "message/rfc822")
       .otherwise("application/octet-stream")
@@ -57,9 +63,9 @@ object Validation {
     * branch, usable by both the Spark query and a VALUES-based oracle. */
   val mimeFixtures: Seq[(String, String)] = Seq(
     ("pdf_ok", "%PDF-1.4 body %%EOF"),
-    ("docx", "PK word/document.xml"),
-    ("zip", "PK other"),
-    ("doc_ole", "ÐÏàrest"),
+    ("docx", zipMagic + " word/document.xml"),
+    ("zip", zipMagic + " other"),
+    ("doc_ole", oleMagic + "rest"),
     ("eml_rp", "Return-Path: <a@b.c>"),
     ("eml_mime", "Date: x MIME-Version: 1.0"),
     ("junk", "hello world"))
