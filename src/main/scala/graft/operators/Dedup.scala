@@ -48,7 +48,13 @@ object Dedup {
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
+    // shr feeds three consumers (sizes + both sides of the pair join);
+    // without persist Spark re-runs the shingle explode/filter subtree
+    // for each, re-reading the source 4×. The exploded candidate set is
+    // deliberately small relative to the corpus (rare shingles only), so
+    // caching it is the scale-correct call; spills to disk if not.
     val shr = sh.join(rare, "shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = shr.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val pairs = shr.as("a").join(shr.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -95,7 +101,11 @@ object Dedup {
                         bandSize: Int = 2, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val numBands = numHashes / bandSize
+    // Signatures feed both sides of the band join — persist to avoid
+    // recomputing the shingle→minhash aggregation twice. One row of
+    // numHashes longs per doc: tiny relative to the corpus.
     val sigs = minhashSignatures(docs, n, numHashes, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigCols = (0 until numHashes).map(i => col(s"sig_$i"))
     val banded = sigs.select(
       col("id"),

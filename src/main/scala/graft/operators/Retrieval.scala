@@ -63,8 +63,13 @@ object Retrieval {
       questions
         .withColumn("n_words", size(split(lower(col("question")), "\\s+")))
         .withColumn("word", explode(array_distinct(split(lower(col("question")), "\\s+")))))
+    // Lowercase the chunk text ONCE per row, below the join: the theta
+    // join's predicate runs per (word, chunk) pair, and lower() on a
+    // multi-KB string is the dominant cost — hoisting it out of the
+    // condition cuts |question_words|× redundant work.
+    val lowered = chunks.withColumn("_ltext", lower(col(textCol)))
     val matched = qWords
-      .join(chunks, instr(lower(col(textCol)), col("word")) > 0)
+      .join(lowered, instr(col("_ltext"), col("word")) > 0)
       .groupBy(col("question_id"), col("n_words"), col(idCol))
       .agg(count_distinct(col("word")).as("matches"))
       .withColumn("score", round(col("matches").cast("double") / col("n_words"), 4))
