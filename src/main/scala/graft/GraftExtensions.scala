@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.CosineSimilarity
+
+/** Engine SQL surface: `spark.sql.extensions=graft.GraftExtensions`
+  * registers the engine's native functions so plain `spark.sql(...)`
+  * users get them too (the Spark-idiomatic way to ship custom
+  * expressions — no internal APIs, works on any session including
+  * Connect server-side).
+  *
+  * Currently: `cosine_sim(ARRAY<FLOAT>, ARRAY<FLOAT>) -> DOUBLE`
+  * ([[graft.functions.CosineSimilarity]]).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.size == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
+      }))
+  }
+}

@@ -74,6 +74,11 @@ object SparkEntry {
     "q09_semi_anti" -> ((s, d) =>
       Relational.customerOrderPresence(Tables.customer(s, d), Tables.orders(s, d))),
     "q10_rollup" -> ((s, d) => Relational.rollupQuantities(Tables.lineitem(s, d))),
+    "q04_order_priority" -> ((s, d) =>
+      Relational.orderPriorityCounts(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q06_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(Tables.lineitem(s, d))),
+    "q11_distinct_agg" -> ((s, d) => Relational.nationCustomerStats(Tables.customer(s, d))),
+    "q12_cube" -> ((s, d) => Relational.cubeQuantities(Tables.lineitem(s, d))),
 
     // --- chunking (SURVEY §2.3) ----------------------------------------
     "c2_paragraph_chunks" -> ((s, d) => Chunking.paragraphChunks(Tables.documents(s, d))),
@@ -85,6 +90,28 @@ object SparkEntry {
       Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
         .groupBy(col("document_id"))
         .agg(count(lit(1)).as("chunks_count"), sum(length(col("content"))).as("total_characters"))),
+    "c1_sections" -> ((s, d) => Sections.sectionChunks(Tables.documents(s, d))),
+    "c9_embed_text" -> ((s, d) =>
+      Sections.embedText(Sections.sectionChunks(Tables.documents(s, d)), maxChars = 1000)
+        .select("chunk_id", "document_id", "embed_text")),
+    "s7_strategy" -> ((s, d) =>
+      Sections.extractWithFallback(Tables.documents(s, d),
+        primary = col("text"), fallback = upper(substring(col("text"), 1, 120)), minWords = 40)
+        .select("doc_id", "strategy", "extracted_text")),
+    // C4/C5 ordered folds (flatMapGroups) — not SQL-expressible in the
+    // oracle (greedy running state); driver records rows-only, ScalaTest
+    // covers semantics.
+    "c4_split_large" -> ((s, d) =>
+      ChunkFolds.splitLargeChunks(
+        Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
+          .select(col("document_id"), col("para_idx").as("position"), col("content")),
+        maxChars = 300).toDF),
+    "c5_combine_small" -> ((s, d) =>
+      ChunkFolds.combineSmallChunks(
+        Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
+          .select(col("document_id"), col("para_idx").as("position"), col("content")),
+        minChars = 150).toDF),
+    "e1_tf_buckets" -> ((s, d) => Embedding.tfBuckets(Tables.documents(s, d), dim = 384)),
 
     // --- text analysis tier --------------------------------------------
     "lang_id" -> ((s, d) =>
@@ -126,6 +153,20 @@ object SparkEntry {
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
         e.filter(col("vec_id") >= 5), k = 10, dims = 4)
     }),
+    // IVF ANN: KMeans cell assignment isn't reproducible in DuckDB →
+    // rows-only check (row count = k × |queries| is deterministic).
+    "ivf_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        e.filter(col("vec_id") >= 5), k = 10, nlist = 8, nprobe = 8)
+    }),
+    "index_stats" -> ((s, d) =>
+      Tables.embeddings(s, d).agg(
+        count(lit(1)).as("n_vectors"),
+        count_distinct(col("label")).as("n_labels"),
+        max(size(col("embedding"))).as("dim"))),
 
     // --- keyword fallback (SURVEY §2.6) --------------------------------
     "keyword_search" -> ((s, d) =>
@@ -160,7 +201,20 @@ object SparkEntry {
     }),
     "retention_recent" -> ((s, d) =>
       EventOps.retention(Tables.events(s, d), maxAgeSec = 7 * 86400)
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n_events")))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))),
+    "asof_join" -> ((s, d) => AsOf.asofJoin(Tables.events(s, d))),
+    "range_join" -> ((s, d) => AsOf.rangeJoin(Tables.events(s, d), windowSec = 600)),
+    "json_props" -> ((s, d) => EventOps.propsHistogram(Tables.events(s, d))),
+    "s11_chunks_json" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), to_json(struct(col("doc_id"), col("n_chars"))).as("js"))),
+
+    // --- multimodal tier ----------------------------------------------
+    "mm_decode_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d)))),
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d))), step = 10))
   )
 
   // ---------------------------------------------------------------------
@@ -491,6 +545,124 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n_events FROM events
         |WHERE CAST(floor(epoch(ts)) AS BIGINT) >=
         | (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) FROM events) - 604800
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q06_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q11_distinct_agg" ->
+      """SELECT c_nationkey, count(*) AS n_customers,
+        | count(DISTINCT c_mktsegment) AS n_segments,
+        | round(avg(c_acctbal), 2) AS avg_acctbal
+        |FROM customer GROUP BY c_nationkey""".stripMargin,
+
+    "q12_cube" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "c1_sections" -> c1SectionsSql("""SELECT doc_id || '_s' || section_idx AS chunk_id, doc_id AS document_id,
+        | section_idx, section_title, content, 'section' AS chunk_type,
+        | CAST(len(regexp_split_to_array(content, '\s+')) AS INTEGER) AS word_count
+        |FROM sections WHERE length(content) > 0""".stripMargin),
+
+    "c9_embed_text" -> c1SectionsSql("""SELECT doc_id || '_s' || section_idx AS chunk_id, doc_id AS document_id,
+        | substr(CASE WHEN position(section_title IN content) = 0
+        |   THEN section_title || chr(10) || chr(10) || content ELSE content END,
+        |  1, 1000) AS embed_text
+        |FROM sections WHERE length(content) > 0""".stripMargin),
+
+    "s7_strategy" ->
+      """SELECT doc_id,
+        | CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 40
+        |  THEN 'primary' ELSE 'fallback' END AS strategy,
+        | CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 40
+        |  THEN text ELSE upper(substr(text, 1, 120)) END AS extracted_text
+        |FROM documents""".stripMargin,
+
+    "e1_tf_buckets" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         | FROM documents)
+         |SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 384 AS bucket,
+         | count(*) AS tf
+         |FROM toks WHERE NOT list_contains($stopSql, tok)
+         |GROUP BY doc_id, bucket""".stripMargin,
+
+    "index_stats" ->
+      """SELECT count(*) AS n_vectors, count(DISTINCT label) AS n_labels,
+        | CAST(max(len(embedding)) AS INTEGER) AS dim FROM embeddings""".stripMargin,
+
+    "asof_join" ->
+      """SELECT c.event_id AS left_id, c.user_id, epoch_us(c.ts) AS left_ts_us,
+        | v.event_id AS right_id, epoch_us(v.ts) AS right_ts_us
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        | ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
+
+    "range_join" ->
+      """SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
+        | (epoch_us(r.ts) - epoch_us(l.ts)) // 1000000 AS gap_s
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+        | AND epoch_us(r.ts) > epoch_us(l.ts)
+        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 600000000""".stripMargin,
+
+    "json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        | count(*) AS n_events
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "s11_chunks_json" ->
+      """SELECT doc_id,
+        | to_json(struct_pack(doc_id := doc_id, n_chars := n_chars))::VARCHAR AS js
+        |FROM documents""".stripMargin,
+
+    "mm_decode_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        | lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
+        | 64 + octet_length(encode(text)) % 576 AS width,
+        | 64 + (octet_length(encode(text)) * 7) % 416 AS height,
+        | octet_length(encode(text)) // 100 + 1 AS n_frames
+        |FROM documents""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH meta AS (
+        | SELECT doc_id, octet_length(encode(text)) // 100 + 1 AS n_frames FROM documents),
+        |s AS (SELECT doc_id, n_frames, generate_series(0, n_frames - 1, 10) AS fs FROM meta)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sample_idx, fs[i] AS frame_idx,
+        | fs[i] * 40 AS frame_ts_ms
+        |FROM s, LATERAL (SELECT unnest(generate_series(1, len(fs))) AS i) g""".stripMargin
   )
+
+  /** Shared line→section CTE prefix for the C1/C9 oracles (mirrors
+    * [[Sections.sectionChunks]] exactly: header regexes, running-count
+    * section ids, ordered reassembly). */
+  private def c1SectionsSql(finalSelect: String): String = {
+    val headerPred = Sections.headerPatterns
+      .map(p => s"regexp_matches(line, '${esc(p)}')").mkString("(", " OR ", ")")
+    s"""WITH lines AS (
+       | SELECT doc_id, CAST(i - 1 AS INTEGER) AS line_idx, parts[i] AS line
+       | FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents) t,
+       |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
+       |flagged AS (SELECT *, $headerPred AS is_header FROM lines),
+       |numbered AS (
+       | SELECT *, CAST(sum(CASE WHEN is_header THEN 1 ELSE 0 END)
+       |   OVER (PARTITION BY doc_id ORDER BY line_idx
+       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS section_idx
+       | FROM flagged),
+       |sections AS (
+       | SELECT doc_id, section_idx,
+       |  COALESCE(max(CASE WHEN is_header THEN trim(line) END), 'Introduction') AS section_title,
+       |  trim(COALESCE(string_agg(CASE WHEN NOT is_header THEN line END, chr(10)
+       |    ORDER BY line_idx), '')) AS content
+       | FROM numbered GROUP BY doc_id, section_idx)
+       |$finalSelect"""
+  }.stripMargin
 }

@@ -37,6 +37,16 @@ object VectorOps {
     * index (`pinecone_manager.py:115-121`, metric at `config.py:20`). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine via the native codegen [[CosineSimilarity]] Expression — the
+    * hot-path variant: one fused primitive-float loop instead of three
+    * higher-order-function folds. Inputs must be ARRAY<FLOAT> (the
+    * at-rest embedding type); same left-to-right double accumulation as
+    * [[cosine]], so scores are bit-identical. */
+  def cosineNative(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      CosineSimilarity(org.apache.spark.sql.GraftColumns.expression(a.cast("array<float>")),
+        org.apache.spark.sql.GraftColumns.expression(b.cast("array<float>"))))
+
   /** L2-normalize a vector so cosine ≡ dot (reference
     * `embedding_generator.py:102,146`: F.normalize(p=2, dim=1)). */
   def l2Normalize(v: Column): Column = {

@@ -47,4 +47,21 @@ object Embedding {
     model.transform(df)
       .withColumn(outCol, vector_to_array(col("_vec"), "float32"))
       .drop("_words", "_terms", "_tf", "_tfidf", "_vec")
+
+  /** The TF stage of the featurizer in cross-engine-reproducible form:
+    * token → md5-derived bucket in [0, dim) → per-(doc, bucket) counts.
+    * (MLlib's HashingTF uses Murmur3 with Spark-private seeding, so its
+    * buckets can't be recomputed by another engine; this md5 variant
+    * keeps the featurizer's correctness oracle-checkable — SURVEY.md
+    * §7.4 risk #1.) Integer output: no float parity issues. */
+  def tfBuckets(docs: DataFrame, dim: Int = DefaultDim, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0))).as("tok"))
+      .filter(!col("tok").isin(Chunking.stopwords: _*))
+    toks
+      .withColumn("bucket", pmod(Dedup.md5Hash60(col("tok")), lit(dim)))
+      .groupBy(col("doc_id"), col("bucket"))
+      .agg(count(lit(1)).as("tf"))
+  }
 }

@@ -63,6 +63,16 @@ object EventOps {
   def deleteByIds(events: DataFrame, tombstones: DataFrame): DataFrame =
     events.join(tombstones, Seq("event_id"), "left_anti")
 
+  /** JSON scalar extraction over the open `props` column (the
+    * reference's schemaless metadata maps, SURVEY.md §1.2/§2.9 json
+    * family): pull a key out of each JSON string and aggregate. Pushed
+    * into one pass — extract + cast + hash-aggregate, no UDF. */
+  def propsHistogram(events: DataFrame, key: String = "k"): DataFrame =
+    events
+      .select(get_json_object(col("props"), s"$$.$key").cast("int").as(key))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"))
+
   /** S16 — retention by age: keep rows within `maxAgeSec` of the newest
     * event (reference cache eviction, `ingestion_service.py:418-437`). */
   def retention(events: DataFrame, maxAgeSec: Long): DataFrame = {

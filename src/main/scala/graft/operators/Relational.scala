@@ -104,4 +104,40 @@ object Relational {
   def rollupQuantities(lineitem: DataFrame): DataFrame =
     lineitem.rollup(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** TPC-H Q4-style order-priority check: left-semi join (EXISTS) on the
+    * orderkey, then a tiny hash aggregate. Semi-join shuffles only the
+    * distinct keys of the probe side. */
+  def orderPriorityCounts(orders: DataFrame, lineitem: DataFrame): DataFrame =
+    orders
+      .join(lineitem.select(col("l_orderkey")), col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** TPC-H Q6-style forecast revenue: pure scan + filter + single-row
+    * aggregate — the predicate-pushdown showcase (all three filters reach
+    * the parquet scan; `.explain` shows them under PushedFilters). */
+  def forecastRevenue(lineitem: DataFrame): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** Distinct aggregates per nation (Catalyst plans count-distinct as a
+    * two-level expand+aggregate; partials still combine map-side). */
+  def nationCustomerStats(customer: DataFrame): DataFrame =
+    customer
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_customers"),
+        count_distinct(col("c_mktsegment")).as("n_segments"),
+        round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+
+  /** CUBE over (returnflag, linestatus): all four grouping-set layers in
+    * one pass via Expand — the reference has nothing like it; Catalyst
+    * gives it free (SURVEY.md §2.7). */
+  def cubeQuantities(lineitem: DataFrame): DataFrame =
+    lineitem
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
 }

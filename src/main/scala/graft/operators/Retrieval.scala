@@ -40,7 +40,7 @@ object Retrieval {
                 indexFilter: Column = lit(true)): DataFrame = {
     val scored = broadcast(queries)
       .join(index.filter(indexFilter))
-      .withColumn("score", round(VectorOps.cosine(col(qvecCol), col(vecCol)), 4))
+      .withColumn("score", round(VectorOps.cosineNative(col(qvecCol), col(vecCol)), 4))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w))

@@ -48,4 +48,43 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("score"), col("rank"))
   }
+
+  /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
+    * a KMeans coarse quantizer (`nlist` centroids, fixed seed) partitions
+    * the candidate set; each query probes only its `nprobe` nearest
+    * cells. The candidate side is scanned once to assign cells (and the
+    * assignment would be precomputed/persisted in a real index build);
+    * the probe join is an equi-join on cell id — distributable, no
+    * all-pairs scan. Recall/latency tradeoff is nprobe/nlist, exactly as
+    * in FAISS-style IVF. */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    val cand = candidates.withColumn("_v", array_to_vector(col(vecCol).cast("array<double>")))
+    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_v")
+      .setPredictionCol("cell")
+    val model = km.fit(cand)
+    val assigned = model.transform(cand).drop("_v")
+    // centroid table is nlist rows — broadcast side of the probe ranking
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    val probes = broadcast(queries).join(broadcast(centroids))
+      .withColumn("c_score", graft.functions.VectorOps.cosineNative(col(qvecCol), col("centroid")))
+    val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("c_score").desc, col("cell"))
+    val probeCells = probes.withColumn("p_rank", row_number().over(wProbe))
+      .filter(col("p_rank") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("cell"))
+    val scored = broadcast(probeCells).join(assigned, "cell")
+      .withColumn("score", round(graft.functions.VectorOps.cosineNative(col(qvecCol), col(vecCol)), 4))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
 }

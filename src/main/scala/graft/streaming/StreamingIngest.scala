@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.Row
+import graft.operators.TextAnalysis
+
+/** Structured-Streaming face of the ingest pipeline (SURVEY.md §2.10).
+  *
+  * The reference ingests documents asynchronously under bounded
+  * concurrency, idempotent by content hash, with upsert-overwrite
+  * semantics in the vector index
+  * (`ingestion_service.py:387,92-106`, `pinecone_manager.py:78,90`).
+  * Streaming mapping: a file/`readStream` source replaces the arrival
+  * loop (`maxFilesPerTrigger` = the semaphore), watermarked
+  * `dropDuplicates` on the content fingerprint replaces the hash cache,
+  * and a `foreachBatch` last-write-wins merge into the parquet index
+  * table replaces the Pinecone upsert. Checkpointing gives the
+  * exactly-once behavior the reference approximates with its cache.
+  */
+object StreamingIngest {
+
+  /** Dedup + stamp stage, shared by batch and streaming callers: content
+    * fingerprint (S2), ingest timestamp, in-stream duplicate drop bounded
+    * by a watermark so state doesn't grow forever. */
+  def dedupStage(docs: DataFrame, withWatermark: Boolean = true): DataFrame = {
+    val stamped = docs
+      .withColumn("fp", TextAnalysis.fingerprint(col("text")))
+      .withColumn("ingest_ts", current_timestamp())
+    val wm = if (withWatermark) stamped.withWatermark("ingest_ts", "10 minutes")
+             else stamped
+    wm.dropDuplicates("fp")
+  }
+
+  /** Last-write-wins merge of a micro-batch into the parquet `target`
+    * table (S12 upsert semantics, keyed on `fp`): union old+new, keep the
+    * newest row per key. Overwrite-rewrite keeps it dependency-free; on a
+    * Delta/Iceberg table this becomes a real MERGE. */
+  def upsertBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
+    val existing =
+      try spark.read.parquet(targetDir)
+      catch { case _: Throwable => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], batch.schema) }
+    val w = Window.partitionBy(col("fp")).orderBy(col("ingest_ts").desc)
+    val merged = existing.unionByName(batch, allowMissingColumns = true)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+    // rewrite via temp dir: parquet can't overwrite a table being read
+    val tmp = targetDir + "_tmp"
+    merged.write.mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(targetDir)
+    fs.delete(dst, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+  }
+
+  /** End-to-end ingest stream: JSON-lines documents arriving in `srcDir`
+    * → fingerprint dedup → last-write-wins upsert into `targetDir`.
+    * `maxFilesPerTrigger=5` mirrors the reference's download semaphore
+    * (`ingestion_service.py:376`). Caller starts/stops the query. */
+  def ingestStream(spark: SparkSession, srcDir: String, targetDir: String,
+                   checkpointDir: String): DataStreamWriter[Row] = {
+    val schema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 5)
+      .json(srcDir)
+    dedupStage(src).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        upsertBatch(spark, batch, targetDir)
+      }
+  }
+
+  /** Streaming sessionization: event-time `session_window` with a 30 min
+    * gap under a watermark — the streaming twin of
+    * [[graft.operators.EventOps.sessionize]]'s batch gaps-and-islands.
+    * State per (user, open session), expired by the watermark. */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("sw"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+
+  /** Streaming tumbling-window aggregate over event-time with a
+    * watermark — the streaming twin of [[graft.operators.EventOps.tumblingAgg]]. */
+  def tumblingWindowAgg(events: DataFrame, width: String = "10 minutes",
+                        watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+}
