@@ -14,6 +14,17 @@ import graft.functions.CosineSimilarity
   * Currently: `cosine_sim(ARRAY<FLOAT>, ARRAY<FLOAT>) -> DOUBLE`
   * ([[graft.functions.CosineSimilarity]]).
   */
+object GraftExtensions {
+  /** Register the same functions on an already-running session (for
+    * sessions not built with the extensions config). */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    org.apache.spark.sql.GraftColumns.registerFunction(spark, "cosine_sim", {
+      children =>
+        require(children.size == 2, "cosine_sim takes exactly 2 arguments")
+        CosineSimilarity(children.head, children(1))
+    })
+}
+
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((

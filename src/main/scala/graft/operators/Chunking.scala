@@ -39,47 +39,6 @@ object Chunking {
         lit("paragraph").as("chunk_type"),
         wordCount(col("content")).as("word_count"))
 
-  /** C1 — regex section splitter (`document_processing_service.py:273-349`).
-    * The reference scans lines and opens a new section whenever one of 4
-    * header patterns matches (`:311-316`); lines before the first header
-    * belong to an untitled preamble. Pure-relational formulation: explode
-    * lines with position, mark headers, running-count headers per document
-    * (the section id), then re-aggregate bodies in line order.
-    * One shuffle on (document_id) — partition-parallel across documents. */
-  val sectionHeaderRegex: String =
-    "(^[A-Z][A-Z\\s]{2,30}:)|(^\\d+\\.\\s+[A-Z][^.]{5,50}:)|(^Section\\s+\\d+[:.]\\s*.+)|(^\\([a-z]\\)\\s+.{5,50})"
-
-  def sectionChunks(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
-    val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
-      .withColumn("is_header", col("line").rlike(sectionHeaderRegex))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("line_idx"))
-    lines
-      .withColumn("section_id", sum(col("is_header").cast("int")).over(w))
-      .groupBy(col(idCol), col("section_id"))
-      .agg(
-        max(when(col("is_header"), trim(col("line")))).as("section_title"),
-        // collect_list drops nulls, so header lines are excluded from the
-        // body; sort_array on struct(line_idx, line) restores line order
-        // (structs compare field-by-field, line_idx first).
-        array_join(
-          transform(
-            sort_array(collect_list(when(!col("is_header"), struct(col("line_idx"), col("line"))))),
-            s => s.getField("line")),
-          "\n").as("content"))
-      .withColumn("content", trim(col("content")))
-      .filter(length(col("content")) > 0)
-      .select(
-        concat_ws("_", col(idCol), lit("sec"), col("section_id")).as("chunk_id"),
-        col(idCol).as("document_id"),
-        col("section_id"),
-        col("section_title"),
-        col("content"),
-        lit("section").as("chunk_type"),
-        wordCount(col("content")).as("word_count"))
-  }
-
   /** C6 — sliding word windows (`document_processing_service.py:665-689`):
     * lower + tokenize, drop non-alphanumeric tokens and stopwords, then
     * windows of `windowSize` meaningful words with step

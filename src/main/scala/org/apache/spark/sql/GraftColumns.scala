@@ -13,4 +13,12 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object GraftColumns {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Runtime registration of the engine's SQL functions on an already-
+    * built session (the config-time path is
+    * `spark.sql.extensions=graft.GraftExtensions`). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      name, builder, "scala_udf")
 }

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.VectorOps
+
+class CosineSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def df2(a: Seq[Float], b: Seq[Float]) =
+    Seq((a, b)).toDF("a", "b")
+      .select(col("a").cast("array<float>").as("a"), col("b").cast("array<float>").as("b"))
+
+  test("native expression equals the higher-order-function composition") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 50) {
+      val n = 1 + rnd.nextInt(64)
+      val a = Seq.fill(n)(rnd.nextFloat() * 2 - 1)
+      val b = Seq.fill(n)(rnd.nextFloat() * 2 - 1)
+      val row = df2(a, b).select(
+        VectorOps.cosineNative(col("a"), col("b")).as("nat"),
+        VectorOps.cosine(col("a"), col("b")).as("hof")).head
+      assert(row.getDouble(0) === row.getDouble(1)) // bit-identical, not approx
+    }
+  }
+
+  test("orthogonal, identical, and opposite vectors") {
+    def c(a: Seq[Float], b: Seq[Float]): Double =
+      df2(a, b).select(VectorOps.cosineNative(col("a"), col("b"))).head.getDouble(0)
+    assert(c(Seq(1f, 0f), Seq(0f, 1f)) === 0.0)
+    assert(math.abs(c(Seq(1f, 2f, 3f), Seq(1f, 2f, 3f)) - 1.0) < 1e-12)
+    assert(math.abs(c(Seq(1f, 0f), Seq(-1f, 0f)) + 1.0) < 1e-12)
+  }
+
+  test("zero vector yields 0.0 (the reference's zero-vector fallback)") {
+    val v = df2(Seq(0f, 0f), Seq(1f, 2f))
+      .select(VectorOps.cosineNative(col("a"), col("b"))).head.getDouble(0)
+    assert(v === 0.0)
+  }
+
+  test("null input yields null") {
+    val row = Seq((Some(Seq(1f, 2f)), Option.empty[Seq[Float]])).toDF("a", "b")
+      .select(VectorOps.cosineNative(col("a"), col("b")).as("s")).head
+    assert(row.isNullAt(0))
+  }
+
+  test("cosine_sim is callable from SQL after registration") {
+    GraftExtensions.register(spark)
+    val sql = "SELECT cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), " +
+      "CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))"
+    assert(math.abs(spark.sql(sql).head.getDouble(0) - 1.0) < 1e-12)
+  }
+}

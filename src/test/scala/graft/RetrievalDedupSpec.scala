@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Retrieval}
+
+class RetrievalDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("keyword scoring replicates the reference's substring-containment quirk") {
+    // reference main.py:143 counts substring containment: "car" matches "card"
+    val questions = Seq((0, "car wash")).toDF("question_id", "question")
+    val chunks = Seq((1L, "a CARD game"), (2L, "wash the car"), (3L, "nothing"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.keywordSearch(questions, chunks, k = 3)
+      .orderBy("rank").collect()
+    // doc 2 matches both words (score 1.0); doc 1 matches "car" via "CARD"
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq ===
+      Seq((2L, 1.0), (1L, 0.5)))
+  }
+
+  test("knn top-k orders by rounded score desc with id tiebreak") {
+    val q = Seq((0L, Seq(1f, 0f))).toDF("q_vec_id", "q_embedding")
+    val idx = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>").as("embedding"))
+    val out = Retrieval.knnCosine(
+      q.select(col("q_vec_id"), col("q_embedding").cast("array<float>").as("q_embedding")),
+      idx, k = 2).orderBy("rank").collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(1L, 2L))
+    assert(out.head.getAs[Double]("score") === 1.0)
+  }
+
+  test("exact dedup ranks duplicates by id with whitespace/case-invariant fp") {
+    val docs = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDups(docs).orderBy("doc_id").collect()
+    assert(out.map(_.getAs[Boolean]("is_duplicate")).toSeq === Seq(false, true, false))
+  }
+
+  test("minhash estimated jaccard is 1.0 for identical docs") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    val out = Dedup.minhashCandidates(docs).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Double]("est_jaccard") === 1.0)
+  }
+
+  test("simhash is deterministic and insensitive to case") {
+    val a = Dedup.simhash32(Seq((1L, "Some Text Here")).toDF("doc_id", "text")).head.getLong(1)
+    val b = Dedup.simhash32(Seq((9L, "some text here")).toDF("doc_id", "text")).head.getLong(1)
+    assert(a === b)
+    assert(a >= 0 && a < (1L << 32))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Sections
+
+class SectionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val doc =
+    """intro line one
+      |intro line two
+      |DEFINITIONS AND TERMS:
+      |term a
+      |term b
+      |1. Coverage details
+      |covered stuff
+      |Section 2
+      |more text""".stripMargin
+
+  test("C1 groups lines into sections with an Introduction preamble") {
+    val out = Sections.sectionChunks(Seq((1L, doc)).toDF("doc_id", "text"))
+      .orderBy("section_idx").collect()
+    assert(out.map(_.getAs[String]("section_title")).toSeq ===
+      Seq("Introduction", "DEFINITIONS AND TERMS:", "1. Coverage details", "Section 2"))
+    assert(out.head.getAs[String]("content") === "intro line one\nintro line two")
+    assert(out(1).getAs[String]("content") === "term a\nterm b")
+    assert(out(3).getAs[String]("content") === "more text")
+    assert(out.map(_.getAs[String]("chunk_id")).toSeq ===
+      Seq("1_s0", "1_s1", "1_s2", "1_s3"))
+  }
+
+  test("C1 drops header-only sections with empty bodies") {
+    val out = Sections.sectionChunks(
+      Seq((1L, "HEADER ONE:\nHEADER TWO:\nbody")).toDF("doc_id", "text")).collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("section_title") === "HEADER TWO:")
+  }
+
+  test("C9 embed text prefixes titles and truncates to maxChars") {
+    val chunks = Seq(("T:", "body " * 100), ("T:", "contains T: here"))
+      .toDF("section_title", "content")
+    val out = Sections.embedText(chunks, maxChars = 20)
+      .select("embed_text").as[String].collect()
+    assert(out(0) === ("T:\n\n" + "body " * 100).take(20))
+    assert(out(1) === "contains T: here")
+  }
+
+  test("S7 strategy fallback picks primary only when long enough") {
+    val docs = Seq((1L, Seq.fill(50)("w").mkString(" ")), (2L, "too short"))
+      .toDF("doc_id", "text")
+    val out = Sections.extractWithFallback(docs, col("text"),
+        upper(substring(col("text"), 1, 120)), minWords = 40)
+      .orderBy("doc_id").select("strategy", "extracted_text").collect()
+    assert(out(0).getString(0) === "primary")
+    assert(out(1).getString(0) === "fallback")
+    assert(out(1).getString(1) === "TOO SHORT")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.Validation
+import graft.streaming.StreamingIngest
+
+class StreamingValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("P1 mime sniffing hits every branch on the shared fixtures") {
+    val out = Validation.mimeFixturesDF(spark)
+      .select(col("name"), Validation.sniffMime(col("head")).as("mime"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("pdf_ok") === "application/pdf")
+    assert(out("docx").contains("wordprocessingml"))
+    assert(out("zip") === "application/zip")
+    assert(out("doc_ole") === "application/msword")
+    assert(out("eml_rp") === "message/rfc822")
+    assert(out("eml_mime") === "message/rfc822")
+    assert(out("junk") === "application/octet-stream")
+  }
+
+  test("P2 validation accumulates error strings and derives is_valid") {
+    val docs = Seq((1L, "fine text", "en", 9L), (2L, "", "en", 0L), (3L, "x", "xx", 700L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+    val out = Validation.validate(docs, maxChars = 500, langWhitelist = Seq("en"))
+      .orderBy("doc_id").select("errors", "is_valid").collect()
+    assert(out(0).getString(0) === "" && out(0).getBoolean(1))
+    assert(out(1).getString(0) === "empty_content" && !out(1).getBoolean(1))
+    assert(out(2).getString(0) === "file_too_large,unsupported_type")
+  }
+
+  test("streaming ingest dedups by fingerprint and upserts idempotently") {
+    val src = Files.createTempDirectory("graft_src").toString
+    val tgt = Files.createTempDirectory("graft_tgt").toString + "/docs"
+    val ckp = Files.createTempDirectory("graft_ckp").toString
+
+    def writeBatch(file: String, rows: Seq[(Long, String)]): Unit = {
+      val lines = rows.map { case (id, text) =>
+        s"""{"doc_id": $id, "text": "$text", "lang": "en", "source": "t", "n_chars": ${text.length}}"""
+      }
+      Files.write(java.nio.file.Paths.get(src, file),
+        lines.mkString("\n").getBytes("UTF-8"))
+    }
+
+    // batch 1: two docs, one duplicated content
+    writeBatch("b1.json", Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "gamma")))
+    StreamingIngest.ingestStream(spark, src, tgt, ckp).start().awaitTermination()
+    val after1 = spark.read.parquet(tgt)
+    assert(after1.count() === 2) // fp-dedup collapsed 1 and 2
+    // batch 2: same content again (idempotent) + one new doc
+    writeBatch("b2.json", Seq((4L, "alpha beta"), (5L, "delta")))
+    StreamingIngest.ingestStream(spark, src, tgt, ckp).start().awaitTermination()
+    val after2 = spark.read.parquet(tgt)
+    assert(after2.count() === 3) // still one "alpha beta", plus gamma, delta
+    assert(after2.select(countDistinct(col("fp"))).head.getLong(0) === 3)
+  }
+
+  test("session_window aggregates event-time sessions (batch execution)") {
+    val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
+    val events = Seq(
+      (1L, ts(0), 10.0), (1L, ts(600), 5.0),    // same session (gap 10 min)
+      (1L, ts(6000), 1.0),                       // new session (gap > 30 min)
+      (2L, ts(0), 2.0))
+      .toDF("user_id", "ts", "value")
+    val out = StreamingIngest.sessionWindowAgg(events)
+      .orderBy("user_id", "session_start").collect()
+    assert(out.map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"))).toSeq ===
+      Seq((1L, 2L), (1L, 1L), (2L, 1L)))
+    assert(out.head.getAs[Double]("sum_value") === 15.0)
+  }
+}
