@@ -167,6 +167,21 @@ object SparkEntry {
         count(lit(1)).as("n_vectors"),
         count_distinct(col("label")).as("n_labels"),
         max(size(col("embedding"))).as("dim"))),
+    // Q3 deterministic fallback: vector path "fails" for q_vec_id >= 3
+    // (stands in for the reference's exception case, main.py:129-131);
+    // those questions fall back to the LSH keyword-analogue results.
+    "hybrid_search" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+      val vector = Retrieval.knnCosine(qs, e.filter(col("vec_id") >= 5), k = 10,
+          indexFilter = col("label") === 3)
+        .filter(col("q_vec_id") < 3)
+      val keyword = Similarity.lshTopK(qs, e.filter(col("vec_id") >= 5), k = 10, dims = 4)
+      Retrieval.hybridSearch(vector, keyword, qidCol = "q_vec_id")
+    }),
+    "salted_agg" -> ((s, d) =>
+      Relational.saltedCountSum(Tables.documents(s, d), "lang", "n_chars")),
 
     // --- keyword fallback (SURVEY §2.6) --------------------------------
     "keyword_search" -> ((s, d) =>
@@ -631,6 +646,42 @@ object SparkEntry {
         | 64 + (octet_length(encode(text)) * 7) % 416 AS height,
         | octet_length(encode(text)) // 100 + 1 AS n_frames
         |FROM documents""".stripMargin,
+
+    "hybrid_search" ->
+      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, embedding AS qraw
+        |           FROM embeddings WHERE vec_id < 5),
+        |cf AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5 AND label = 3),
+        |v AS (
+        | SELECT q_vec_id, vec_id, score, rank FROM (
+        |  SELECT q_vec_id, vec_id,
+        |   round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score,
+        |   row_number() OVER (PARTITION BY q_vec_id
+        |     ORDER BY round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) DESC, vec_id) AS rank
+        |  FROM q CROSS JOIN cf) WHERE rank <= 10 AND q_vec_id < 3),
+        |b AS (
+        | SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        | FROM embeddings),
+        |qb AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, bucket FROM b WHERE vec_id < 5),
+        |cb AS (SELECT vec_id, embedding::DOUBLE[] AS e, bucket FROM b WHERE vec_id >= 5),
+        |kw AS (
+        | SELECT q_vec_id, vec_id, score, rank FROM (
+        |  SELECT q_vec_id, vec_id,
+        |   round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score,
+        |   row_number() OVER (PARTITION BY q_vec_id
+        |     ORDER BY round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) DESC, vec_id) AS rank
+        |  FROM qb JOIN cb USING (bucket)) WHERE rank <= 10)
+        |SELECT q_vec_id, vec_id, score, rank, 'vector' AS search_method FROM v
+        |UNION ALL
+        |SELECT q_vec_id, vec_id, score, rank, 'keyword' AS search_method
+        |FROM kw WHERE q_vec_id NOT IN (SELECT q_vec_id FROM v)""".stripMargin,
+
+    "salted_agg" ->
+      """SELECT lang, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_val
+        |FROM documents GROUP BY lang""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH meta AS (

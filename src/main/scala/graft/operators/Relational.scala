@@ -133,6 +133,22 @@ object Relational {
         count_distinct(col("c_mktsegment")).as("n_segments"),
         round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
 
+  /** Salted two-phase aggregation — the skew-mitigation pattern for hot
+    * keys at scale (a handful of languages dominating 100 TB of
+    * documents): phase 1 aggregates on (key, salt) spreading each hot key
+    * over `saltBuckets` reducers; phase 2 merges the partials on the bare
+    * key. Same result as a direct groupBy, but no single reducer ever
+    * sees a whole hot key. (AQE skew handling covers joins; aggregation
+    * skew still wants explicit salting.) */
+  def saltedCountSum(df: DataFrame, keyCol: String, valCol: String,
+                     saltBuckets: Int = 16): DataFrame =
+    df
+      .withColumn("_salt", pmod(hash(monotonically_increasing_id()), lit(saltBuckets)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("_n"), sum(col(valCol)).as("_s"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_n")).as("n_rows"), sum(col("_s")).as("sum_val"))
+
   /** CUBE over (returnflag, linestatus): all four grouping-set layers in
     * one pass via Expand — the reference has nothing like it; Catalyst
     * gives it free (SURVEY.md §2.7). */

@@ -89,6 +89,20 @@ object Retrieval {
       max(col("score")).as("best_score"),
       max_by(col(idCol), struct(col("score"), col(idCol).cast("string"))).as("best_id"))
 
+  /** Q3 — vector→keyword fallback, deterministic form (SURVEY §7.4 #3):
+    * the reference falls back on EXCEPTION (`main.py:129-131`); a
+    * deterministic engine computes both strategies and prefers vector
+    * results per query when any exist. Left-anti join finds the queries
+    * the vector path failed; union fills them from the keyword side,
+    * tagging `search_method`. Both inputs: (qidCol, idCol, score, rank). */
+  def hybridSearch(vector: DataFrame, keyword: DataFrame,
+                   qidCol: String = "question_id"): DataFrame = {
+    val vq = vector.select(col(qidCol)).distinct()
+    val fallback = keyword.join(vq, Seq(qidCol), "left_anti")
+    vector.withColumn("search_method", lit("vector"))
+      .unionByName(fallback.withColumn("search_method", lit("keyword")))
+  }
+
   /** The reference's 10 golden questions (`src/scripts/main.py:54-65`),
     * the end-to-end smoke fixture (FIXTURES.md §B2). */
   val goldenQuestions: Seq[String] = Seq(

@@ -65,7 +65,7 @@ object Similarity {
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
     val cand = candidates.withColumn("_v", array_to_vector(col(vecCol).cast("array<double>")))
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_v")
-      .setPredictionCol("cell")
+      .setPredictionCol("cell").setMaxIter(5) // coarse cells: convergence not needed
     val model = km.fit(cand)
     val assigned = model.transform(cand).drop("_v")
     // centroid table is nlist rows — broadcast side of the probe ranking

@@ -59,6 +59,17 @@ object Validation {
         Seq("fp"), "left_anti")
   }
 
+  /** A2/A5/E6 — pipeline usage counters via `Dataset.observe`: metrics
+    * ride the job (collected by QueryExecutionListener / available after
+    * any action) instead of a second aggregation pass — the Spark face of
+    * the reference's success/total counters and embedding usage stats
+    * (`ingestion_service.py:413-414`, `embedding_generator.py:169-179`). */
+  def withUsageCounters(validated: DataFrame, name: String = "ingest_metrics"): DataFrame =
+    validated.observe(name,
+      count(lit(1)).as("total"),
+      count(when(col("is_valid"), 1)).as("valid"),
+      sum(length(col("text"))).as("chars_processed"))
+
   /** Fixture rows for the P1 MIME chain (FIXTURES.md §B4) — one per
     * branch, usable by both the Spark query and a VALUES-based oracle. */
   val mimeFixtures: Seq[(String, String)] = Seq(
