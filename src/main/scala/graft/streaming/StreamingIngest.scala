@@ -89,6 +89,54 @@ object StreamingIngest {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  // ---- custom state: flatMapGroupsWithState ---------------------------
+
+  case class FpDoc(fp: String, doc_id: Long, ingest_epoch: Long)
+  case class FpState(first_doc_id: Long, n_seen: Long)
+  case class FpDecision(fp: String, doc_id: Long, is_new: Boolean, dup_of: Long)
+
+  /** Stateful streaming dedup with explicit per-key state
+    * (`flatMapGroupsWithState`, SURVEY §2.11's custom-state tier): the
+    * first arrival of each content fingerprint is emitted `is_new=true`;
+    * later arrivals are tagged as duplicates of the keeper — the exact
+    * streaming analogue of the reference's hash-cache hit/miss
+    * (`ingestion_service.py:294-299`), with state that outlives a single
+    * micro-batch (unlike `dropDuplicates`, this reports the dup mapping).
+    * With `stateTtlMs` set, `ProcessingTimeTimeout` evicts idle keys like
+    * the reference's cache eviction (S16) — use it only with a real
+    * trigger interval: pending timeouts make the zero-interval
+    * micro-batch loop spin continuously (batches re-fire to check the
+    * clock), which also means `processAllAvailable` never settles in
+    * tests. Default is NoTimeout. */
+  def statefulDedup(docs: org.apache.spark.sql.Dataset[FpDoc],
+                    stateTtlMs: Option[Long] = None): org.apache.spark.sql.Dataset[FpDecision] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
+    docs.groupByKey(_.fp)
+      .flatMapGroupsWithState[FpState, FpDecision](OutputMode.Append(), timeoutConf) {
+        (fp: String, rows: Iterator[FpDoc], state: GroupState[FpState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val sorted = rows.toSeq.sortBy(r => (r.ingest_epoch, r.doc_id))
+            var st = state.getOption.getOrElse(FpState(-1L, 0L))
+            val out = sorted.map { r =>
+              if (st.first_doc_id < 0) {
+                st = FpState(r.doc_id, 1L)
+                FpDecision(fp, r.doc_id, is_new = true, dup_of = -1L)
+              } else {
+                st = st.copy(n_seen = st.n_seen + 1)
+                FpDecision(fp, r.doc_id, is_new = false, dup_of = st.first_doc_id)
+              }
+            }
+            state.update(st)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }
+  }
+
   /** Streaming tumbling-window aggregate over event-time with a
     * watermark — the streaming twin of [[graft.operators.EventOps.tumblingAgg]]. */
   def tumblingWindowAgg(events: DataFrame, width: String = "10 minutes",
