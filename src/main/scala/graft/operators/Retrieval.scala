@@ -59,22 +59,26 @@ object Retrieval {
     * theta-join (BroadcastNestedLoopJoin); chunk side streams. */
   def keywordSearch(questions: DataFrame, chunks: DataFrame, k: Int,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // Score in ONE projection per (chunk, question) pair: each question
+    // carries its distinct-word array; matches = count of words contained
+    // in the (once-lowercased) text. Compared to the word-level theta
+    // join + countDistinct shuffle, nothing but the final per-question
+    // top-k moves across the network — and WindowGroupLimit reduces that
+    // to O(k) rows per task. |chunks|×|questions| rows stream through a
+    // codegen'd array filter; no pre-aggregation shuffle at any size.
     val qWords = broadcast(
       questions
         .withColumn("n_words", size(split(lower(col("question")), "\\s+")))
-        .withColumn("word", explode(array_distinct(split(lower(col("question")), "\\s+")))))
-    // Lowercase the chunk text ONCE per row, below the join: the theta
-    // join's predicate runs per (word, chunk) pair, and lower() on a
-    // multi-KB string is the dominant cost — hoisting it out of the
-    // condition cuts |question_words|× redundant work.
-    val lowered = chunks.withColumn("_ltext", lower(col(textCol)))
-    val matched = qWords
-      .join(lowered, instr(col("_ltext"), col("word")) > 0)
-      .groupBy(col("question_id"), col("n_words"), col(idCol))
-      .agg(count_distinct(col("word")).as("matches"))
+        .withColumn("words", array_distinct(split(lower(col("question")), "\\s+"))))
+    val scored = chunks
+      .withColumn("_ltext", lower(col(textCol)))
+      .crossJoin(qWords)
+      .withColumn("matches",
+        size(filter(col("words"), w => instr(col("_ltext"), w) > 0)).cast("long"))
+      .filter(col("matches") > 0)
       .withColumn("score", round(col("matches").cast("double") / col("n_words"), 4))
     val w = Window.partitionBy(col("question_id")).orderBy(col("score").desc, col(idCol))
-    matched
+    scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("question_id"), col(idCol), col("matches"), col("score"), col("rank"))
