@@ -130,6 +130,15 @@ object SparkEntry {
       Dedup.minhashCandidates(Tables.documents(s, d).filter(col("doc_id") < 500))),
     "simhash" -> ((s, d) =>
       Dedup.simhash32(Tables.documents(s, d)).withColumnRenamed("id", "doc_id")),
+    "embed_near_dups" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.2, signDims = 4)),
+    "e4_l2norm" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        round(graft.functions.VectorOps.norm(
+          graft.functions.VectorOps.l2Normalize(col("embedding"))), 4).as("unit_norm"),
+        round(element_at(graft.functions.VectorOps.l2Normalize(col("embedding")), 1), 4)
+          .as("c0"))),
 
     // --- similarity search tier (SURVEY §2.5) --------------------------
     "knn_cosine" -> ((s, d) => {
@@ -412,6 +421,28 @@ object SparkEntry {
         |SELECT id AS doc_id,
         | CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
         |FROM v GROUP BY id""".stripMargin,
+
+    "embed_near_dups" ->
+      """WITH b AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e,
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        | FROM embeddings)
+        |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        | round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) >= 0.2""".stripMargin,
+
+    "e4_l2norm" ->
+      """SELECT vec_id,
+        | round(sqrt(list_inner_product(n, n)), 4) AS unit_norm,
+        | round(n[1], 4) AS c0
+        |FROM (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[],
+        |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS n
+        | FROM embeddings)""".stripMargin,
 
     "knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),

@@ -156,7 +156,7 @@ object Dedup {
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       .withColumn("score",
-        round(graft.functions.VectorOps.cosine(col(s"a.$vecCol"), col(s"b.$vecCol")), 4))
+        round(graft.functions.VectorOps.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")), 4))
       .filter(col("score") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("score"))
   }
