@@ -42,6 +42,23 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts_ns div 1000")))
   }
 
+  // --- engine table writers (S13 init / partitioned layout) ------------
+
+  /** S13 — (re)initialize a table: plain parquet overwrite (the
+    * reference's create-index-with-delete_if_exists,
+    * `pinecone_manager.py:19-59`). */
+  def overwrite(df: DataFrame, dir: String): Unit =
+    df.write.mode("overwrite").parquet(dir)
+
+  /** Partitioned table layout: hive-style `col=value` directories so
+    * per-key predicates (P5 metadata filters, S15 delete-by-filter,
+    * retention scans) become partition PRUNING — the scan never opens
+    * non-matching files. At 100 TB this is the difference between a
+    * metadata operation and a full-table read. Choose low-cardinality
+    * keys (lang, event_type, date) — one directory per value. */
+  def overwritePartitioned(df: DataFrame, dir: String, partitionCols: String*): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
+
   // --- TPC-H-ish relational tables -------------------------------------
   def lineitem(spark: SparkSession, dir: String): DataFrame = read(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame   = read(spark, dir, "orders")

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Plan-regression tests: the properties that make each operator hold at
+  * cluster scale, asserted on the optimized physical plan so a future
+  * "correct but quadratic" rewrite fails CI, not the 100 TB run.
+  * (sf0.001 inputs — plan shape, not data, is under test.)
+  */
+class PlanPropertiesSpec extends SparkSpec {
+  private val d = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution
+      .explainString(ExplainMode.fromString("formatted"))
+
+  /** Tree-only plan for node COUNTING (formatted mode prints every node
+    * twice — once in the tree, once in the details section). */
+  private def planTree(name: String): String =
+    SparkEntry.queries(name)(spark, d).queryExecution
+      .explainString(ExplainMode.fromString("simple"))
+
+  test("no accidental cartesian products anywhere") {
+    for ((name, fn) <- SparkEntry.queries) {
+      val p = fn(spark, d).queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(!p.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct — quadratic at scale")
+    }
+  }
+
+  test("Q1 kNN: filter pushed to scan, partial top-k before the shuffle") {
+    val p = plan("knn_filtered")
+    assert(p.contains("EqualTo(label,3)"), "metadata filter must reach the parquet scan")
+    // two WindowGroupLimit nodes = partial (map-side) + final: only O(k)
+    // rows per task cross the exchange
+    assert("WindowGroupLimit".r.findAllIn(planTree("knn_filtered")).size >= 2,
+      "need partial+final rank limit")
+    assert(p.contains("BroadcastNestedLoopJoin"), "tiny query side must broadcast")
+  }
+
+  test("Q1 scan prunes to the columns the query needs") {
+    val p = plan("knn_cosine")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("label"), "unfiltered kNN must not read the label column")
+  }
+
+  test("TPC-H Q1: two-phase aggregate with pushed date filter") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "shipdate predicate must reach the scan")
+    assert("HashAggregate".r.findAllIn(planTree("q01_pricing_summary")).size >= 2,
+      "need partial+final aggregation")
+  }
+
+  test("Q5 join chain broadcasts every dimension, streams the fact table") {
+    val p = plan("q05_local_supplier")
+    assert("BroadcastHashJoin".r.findAllIn(planTree("q05_local_supplier")).size >= 5)
+    assert(!p.contains("SortMergeJoin"), "no dimension is big enough to shuffle for")
+  }
+
+  test("keyword scoring has no pre-ranking aggregation shuffle") {
+    val p = plan("keyword_search")
+    assert(!p.contains("HashAggregate"),
+      "scoring must be a projection; an aggregate means the match table shuffles")
+    assert("WindowGroupLimit".r.findAllIn(planTree("keyword_search")).size >= 2)
+  }
+
+  test("as-of join is a window plan, not a join") {
+    val p = plan("asof_join")
+    assert(!p.contains("Join"), "as-of must not plan a range join (skew-fragile)")
+    assert(p.contains("Window"), "expected the running last_value window")
+  }
+
+  test("range join keeps the equi key, band as post-filter") {
+    val p = plan("range_join")
+    // any equi-join strategy is fine (AQE broadcasts the small side at
+    // test scale; a cluster-size side sort-merges) — what must NOT
+    // happen is a nested-loop over the band condition alone
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "user_id equi key lost — band-only join is quadratic per key")
+  }
+
+  test("exact dedup shuffles once on the fingerprint") {
+    assert("Exchange".r.findAllIn(planTree("dedup_exact")).size <= 1,
+      "one hash-partition on fp is enough")
+  }
+
+  test("frame sampling is a pure generator — no shuffle at all") {
+    val p = plan("mm_frame_sample")
+    assert(!p.contains("Exchange"))
+    assert(p.contains("Generate"))
+  }
+}

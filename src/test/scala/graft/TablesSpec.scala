@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+import graft.io.Tables
+
+class TablesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned layout prunes non-matching partitions at scan time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_part").toString + "/docs"
+    val docs = Seq((1L, "a", "en"), (2L, "b", "de"), (3L, "c", "en"), (4L, "d", "fr"))
+      .toDF("doc_id", "text", "lang")
+    Tables.overwritePartitioned(docs, dir, "lang")
+
+    // hive-style directories exist
+    val langDirs = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(langDirs.toSet === Set("lang=en", "lang=de", "lang=fr"))
+
+    val q = spark.read.parquet(dir).filter(col("lang") === "en")
+    val plan = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val pf = plan.linesIterator.filter(_.contains("PartitionFilters")).mkString
+    assert("lang#\\d+ = en".r.findFirstIn(pf).isDefined,
+      s"filter must prune partitions, got: $pf")
+    assert(q.count() === 2)
+  }
+
+  test("overwrite reinitializes a table (S13 delete_if_exists semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ow").toString + "/t"
+    Tables.overwrite(Seq((1L, "x")).toDF("id", "v"), dir)
+    Tables.overwrite(Seq((2L, "y"), (3L, "z")).toDF("id", "v"), dir)
+    assert(spark.read.parquet(dir).count() === 2)
+  }
+
+  test("events reader surfaces both full-precision nanos and event-time ts") {
+    val ev = Tables.events(spark, "/root/testdata/sf0.001")
+    val r = ev.select(col("ts_ns"), unix_timestamp(col("ts")).as("es")).head
+    assert(r.getLong(0) / 1000000000L === r.getLong(1))
+  }
+}
