@@ -200,6 +200,9 @@ object SparkEntry {
         .groupBy(col("question_id"))
         .agg(count(lit(1)).as("n_results"), max(col("score")).as("best_score"),
           max(when(col("rank") === 1, col("doc_id"))).as("best_doc"))),
+    "answers_payload" -> ((s, d) =>
+      Retrieval.answersPayload(
+        Retrieval.keywordSearch(questionsDF(s), Tables.documents(s, d), k = 3))),
 
     // --- validation / ingest (SURVEY §2.1-2.2) -------------------------
     "mime_sniff" -> ((s, d) =>
@@ -517,6 +520,42 @@ object SparkEntry {
          |SELECT question_id, count(*) AS n_results, max(score) AS best_score,
          | max(CASE WHEN rank = 1 THEN doc_id END) AS best_doc
          |FROM ranked WHERE rank <= 3 GROUP BY question_id""".stripMargin,
+
+    "answers_payload" ->
+      s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
+         |qw AS (SELECT question_id,
+         |        CAST(len(regexp_split_to_array(lower(question), '\\s+')) AS INTEGER) AS n_words,
+         |        unnest(list_distinct(regexp_split_to_array(lower(question), '\\s+'))) AS word
+         |       FROM qs),
+         |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
+         |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
+         |      GROUP BY question_id, n_words, doc_id),
+         |ranked AS (
+         |  SELECT question_id, doc_id,
+         |   round(CAST(matches AS DOUBLE) / n_words, 4) AS score,
+         |   row_number() OVER (PARTITION BY question_id
+         |     ORDER BY round(CAST(matches AS DOUBLE) / n_words, 4) DESC, doc_id) AS rank
+         |  FROM m)
+         |SELECT question_id, count(*) AS n_results, max(score) AS best_score,
+         | to_json(list(struct_pack(rank := CAST(rank AS INTEGER), doc_id := doc_id)
+         |   ORDER BY rank))::VARCHAR AS context_json,
+         | printf('Found %d relevant sections', count(*)) AS summary
+         |FROM ranked WHERE rank <= 3 GROUP BY question_id""".stripMargin,
+
+    // ivf_topk with nprobe == nlist probes every cell → exact: must equal
+    // the brute-force oracle (same candidate set, same scoring, same
+    // tiebreak) — upgrading the rows-only check to a full hash compare
+    // while keeping the IVF plan shape under test.
+    "ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
+        |scored AS (
+        | SELECT q_vec_id, vec_id,
+        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
+        | FROM q CROSS JOIN c)
+        |SELECT q_vec_id, vec_id, score, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
+        | FROM scored) WHERE rank <= 10""".stripMargin,
 
     "mime_sniff" -> {
       val fixtureValues = Validation.mimeFixtures

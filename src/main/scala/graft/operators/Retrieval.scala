@@ -93,6 +93,22 @@ object Retrieval {
       max(col("score")).as("best_score"),
       max_by(col(idCol), struct(col("score"), col(idCol).cast("string"))).as("best_id"))
 
+  /** Q2/A4/P6/S11 — the response assembly (reference `main.py:103-118,
+    * 176-186`): per question, the ranked context as a nested JSON array
+    * plus a result-count summary line. Doubles stay OUT of the JSON
+    * (separate numeric column) — cross-engine float-to-text is the one
+    * thing that doesn't hash stably. */
+  def answersPayload(ranked: DataFrame, qidCol: String = "question_id",
+                     idCol: String = "doc_id"): DataFrame =
+    ranked
+      .groupBy(col(qidCol))
+      .agg(
+        count(lit(1)).as("n_results"),
+        max(col("score")).as("best_score"),
+        to_json(sort_array(collect_list(struct(col("rank"), col(idCol)))))
+          .as("context_json"),
+        format_string("Found %d relevant sections", count(lit(1))).as("summary"))
+
   /** Q3 — vector→keyword fallback, deterministic form (SURVEY §7.4 #3):
     * the reference falls back on EXCEPTION (`main.py:129-131`); a
     * deterministic engine computes both strategies and prefers vector
