@@ -98,19 +98,29 @@ object SparkEntry {
       Sections.extractWithFallback(Tables.documents(s, d),
         primary = col("text"), fallback = upper(substring(col("text"), 1, 120)), minWords = 40)
         .select("doc_id", "strategy", "extracted_text")),
-    // C4/C5 ordered folds (flatMapGroups) — not SQL-expressible in the
-    // oracle (greedy running state); driver records rows-only, ScalaTest
-    // covers semantics.
+    // C4/C5 ordered folds (flatMapGroups), oracle-checked via recursive
+    // CTEs that replay the greedy state walk. NOTE the synthetic corpus
+    // has no sentence punctuation or blank lines, so the folds take the
+    // passthrough path on this data — the split/merge BEHAVIOR is pinned
+    // by the seeded property tests in ChunkingSpec; the oracle pins ids,
+    // ordering, passthrough content, and counts.
     "c4_split_large" -> ((s, d) =>
       ChunkFolds.splitLargeChunks(
         Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
           .select(col("document_id"), col("para_idx").as("position"), col("content")),
-        maxChars = 300).toDF),
-    "c5_combine_small" -> ((s, d) =>
-      ChunkFolds.combineSmallChunks(
+        maxChars = 120).toDF),
+    // C7 rechunk chain: C4 split (120) feeding C5 merge (100), total
+    // order inside a document = (original position, sub index).
+    "c7_rechunk" -> ((s, d) => {
+      val subs = ChunkFolds.splitLargeChunks(
         Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
           .select(col("document_id"), col("para_idx").as("position"), col("content")),
-        minChars = 150).toDF),
+        maxChars = 120).toDF
+      ChunkFolds.combineSmallChunks(
+        subs.select(col("document_id"),
+          (col("position") * 10000 + col("sub_index")).as("position"), col("content")),
+        minChars = 100).toDF
+    }),
     "e1_tf_buckets" -> ((s, d) => Embedding.tfBuckets(Tables.documents(s, d), dim = 384)),
 
     // --- text analysis tier --------------------------------------------
@@ -521,6 +531,52 @@ object SparkEntry {
          | max(CASE WHEN rank = 1 THEN doc_id END) AS best_doc
          |FROM ranked WHERE rank <= 3 GROUP BY question_id""".stripMargin,
 
+    "c4_split_large" ->
+      s"""$c4WalkSql
+         |SELECT document_id, document_id || '_' || position || '_sub_' || sub_idx AS chunk_id,
+         | position, CAST(sub_idx AS INTEGER) AS sub_index, content,
+         | CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS INTEGER) AS word_count
+         |FROM subs""".stripMargin,
+
+    "c7_rechunk" ->
+      s"""$c4WalkSql,
+         |seq AS (
+         | SELECT document_id,
+         |  row_number() OVER (PARTITION BY document_id ORDER BY position, sub_idx) AS i,
+         |  count(*) OVER (PARTITION BY document_id) AS n, content, length(content) AS clen
+         | FROM subs),
+         |merge_walk AS (
+         | SELECT document_id, i, n,
+         |  CASE WHEN clen >= 100 THEN '' ELSE content END AS pending,
+         |  CASE WHEN clen >= 100 THEN [content] ELSE CAST([] AS VARCHAR[]) END AS emitted,
+         |  CASE WHEN clen >= 100 THEN 1 ELSE 0 END AS k_after
+         | FROM seq WHERE i = 1
+         | UNION ALL
+         | SELECT nx.document_id, nx.i, nx.n,
+         |  CASE WHEN nx.clen >= 100 THEN ''
+         |   WHEN length(CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END) >= 100 THEN ''
+         |   ELSE CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END END,
+         |  CASE WHEN nx.clen >= 100 THEN
+         |    CASE WHEN w.pending <> '' THEN [w.pending, nx.content] ELSE [nx.content] END
+         |   WHEN length(CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END) >= 100
+         |    THEN [CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END]
+         |   ELSE CAST([] AS VARCHAR[]) END,
+         |  w.k_after + CASE WHEN nx.clen >= 100 THEN CASE WHEN w.pending <> '' THEN 2 ELSE 1 END
+         |   WHEN length(CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END) >= 100 THEN 1
+         |   ELSE 0 END
+         | FROM merge_walk w JOIN seq nx ON nx.document_id = w.document_id AND nx.i = w.i + 1),
+         |emissions AS (
+         | SELECT document_id, k_after - len(emitted) AS k_before, emitted FROM merge_walk
+         | UNION ALL
+         | SELECT document_id, k_after, [pending] FROM merge_walk WHERE i = n AND pending <> ''),
+         |final AS (
+         | SELECT document_id, CAST(k_before + j - 1 AS INTEGER) AS out_idx, emitted[j] AS content
+         | FROM emissions, LATERAL (SELECT unnest(generate_series(1, len(emitted))) AS j) g)
+         |SELECT document_id, document_id || '_merged_' || out_idx AS chunk_id,
+         | out_idx AS position, out_idx AS sub_index, content,
+         | CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS INTEGER) AS word_count
+         |FROM final""".stripMargin,
+
     "answers_payload" ->
       s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
          |qw AS (SELECT question_id,
@@ -761,6 +817,43 @@ object SparkEntry {
         | fs[i] * 40 AS frame_ts_ms
         |FROM s, LATERAL (SELECT unnest(generate_series(1, len(fs))) AS i) g""".stripMargin
   )
+
+  /** Shared CTE prefix replaying the C4 greedy sentence-packing fold
+    * (recursive walk carrying (sub_idx, cur_len) per chunk; RE2 has no
+    * lookbehind so the sentence split is marker-replace + split). */
+  private val c4WalkSql: String =
+    """WITH RECURSIVE parts AS (
+      | SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx, trim(parts[i]) AS content
+      | FROM (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS parts FROM documents) t,
+      |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
+      |pchunks AS (
+      | SELECT CAST(doc_id AS VARCHAR) AS document_id, para_idx AS position, content
+      | FROM parts WHERE length(content) > 20),
+      |sent AS (
+      | SELECT document_id, position,
+      |  list_filter(string_split(regexp_replace(content, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
+      |              x -> length(x) > 0) AS s
+      | FROM pchunks WHERE length(content) > 120),
+      |sent2 AS (
+      | SELECT document_id, position, i, s[i] AS sentence, length(s[i]) AS slen, len(s) AS n
+      | FROM sent, LATERAL (SELECT unnest(generate_series(1, len(s))) AS i) g),
+      |walk AS (
+      | SELECT document_id, position, i, n, 0 AS sub_idx, slen AS cur_len FROM sent2 WHERE i = 1
+      | UNION ALL
+      | SELECT nx.document_id, nx.position, nx.i, nx.n,
+      |  CASE WHEN w.cur_len + 1 + nx.slen <= 120 THEN w.sub_idx ELSE w.sub_idx + 1 END,
+      |  CASE WHEN w.cur_len + 1 + nx.slen <= 120 THEN w.cur_len + 1 + nx.slen ELSE nx.slen END
+      | FROM walk w JOIN sent2 nx
+      |   ON nx.document_id = w.document_id AND nx.position = w.position AND nx.i = w.i + 1),
+      |packed AS (
+      | SELECT w.document_id, w.position, w.sub_idx,
+      |  string_agg(s2.sentence, ' ' ORDER BY w.i) AS content
+      | FROM walk w JOIN sent2 s2
+      |   ON s2.document_id = w.document_id AND s2.position = w.position AND s2.i = w.i
+      | GROUP BY w.document_id, w.position, w.sub_idx),
+      |subs AS (
+      | SELECT document_id, position, 0 AS sub_idx, content FROM pchunks WHERE length(content) <= 120
+      | UNION ALL SELECT * FROM packed)""".stripMargin
 
   /** Shared line→section CTE prefix for the C1/C9 oracles (mirrors
     * [[Sections.sectionChunks]] exactly: header regexes, running-count
