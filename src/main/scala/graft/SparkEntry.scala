@@ -79,6 +79,8 @@ object SparkEntry {
     "q06_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(Tables.lineitem(s, d))),
     "q11_distinct_agg" -> ((s, d) => Relational.nationCustomerStats(Tables.customer(s, d))),
     "q12_cube" -> ((s, d) => Relational.cubeQuantities(Tables.lineitem(s, d))),
+    "q13_window_frames" -> ((s, d) => Relational.customerOrderWindows(Tables.orders(s, d))),
+    "q14_percentiles" -> ((s, d) => Relational.eventValuePercentiles(Tables.events(s, d))),
 
     // --- chunking (SURVEY §2.3) ----------------------------------------
     "c2_paragraph_chunks" -> ((s, d) => Chunking.paragraphChunks(Tables.documents(s, d))),
@@ -707,6 +709,21 @@ object SparkEntry {
     "q12_cube" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q13_window_frames" ->
+      """SELECT o_custkey, o_orderkey,
+        | round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
+        | round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3,
+        | CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+
+    "q14_percentiles" ->
+      """SELECT event_type,
+        | round(quantile_cont(value, 0.5), 4) AS p50,
+        | round(quantile_cont(value, 0.9), 4) AS p90,
+        | round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "c1_sections" -> c1SectionsSql("""SELECT doc_id || '_s' || section_idx AS chunk_id, doc_id AS document_id,
         | section_idx, section_title, content, 'section' AS chunk_type,

@@ -149,6 +149,30 @@ object Relational {
       .groupBy(col(keyCol))
       .agg(sum(col("_n")).as("n_rows"), sum(col("_s")).as("sum_val"))
 
+  /** Window-frame variety on one pass over orders: lag, a 3-row moving
+    * average (ROWS frame), and quartile bucketing — all sharing one
+    * (custkey, orderdate) sort so Catalyst plans a single Window node. */
+  def customerOrderWindows(orders: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders.select(
+      col("o_custkey"), col("o_orderkey"),
+      round(lag(col("o_totalprice"), 1).over(w), 2).as("prev_price"),
+      round(avg(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 4).as("mavg3"),
+      ntile(4).over(w).as("quartile"))
+  }
+
+  /** Exact interpolated percentiles per group (both engines define the
+    * continuous quantile identically; rounded for hashing). */
+  def eventValuePercentiles(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.9)"), 4).as("p90"),
+        round(min(col("value")), 4).as("min_v"),
+        round(max(col("value")), 4).as("max_v"))
+
   /** CUBE over (returnflag, linestatus): all four grouping-set layers in
     * one pass via Expand — the reference has nothing like it; Catalyst
     * gives it free (SURVEY.md §2.7). */
