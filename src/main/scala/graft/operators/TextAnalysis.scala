@@ -75,4 +75,19 @@ object TextAnalysis {
     * (`ingestion_service.py:92-94`) but invariant to whitespace/case. */
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Rolling polynomial (Rabin-Karp-style) fingerprint over the token
+    * stream: h = fold(h·B + hash(tok) mod p). Order-sensitive — unlike
+    * [[fingerprint]], transposed tokens change it — and incremental: the
+    * hash of a concatenation is computable from the parts (h(ab) =
+    * h(a)·B^|b| + h(b)), which is what makes it the standard primitive
+    * for content-defined chunking and shingle windows. Codegen'd
+    * higher-order fold; the zero seed makes the Spark `aggregate` and
+    * DuckDB `list_reduce` (no-seed) formulations identical. */
+  def rollingFingerprint(text: Column, base: Long = 1000003L,
+                         p: Long = 1000000007L): Column = {
+    val hashes = transform(split(lower(trim(text)), "\\s+"),
+      t => pmod(Dedup.md5Hash60(t), lit(p)))
+    aggregate(hashes, lit(0L), (h, x) => pmod(h * base + x, lit(p)))
+  }
 }
