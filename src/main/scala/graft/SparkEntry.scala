@@ -127,6 +127,7 @@ object SparkEntry {
     "rolling_fp" -> ((s, d) =>
       Tables.documents(s, d).select(col("doc_id"),
         TextAnalysis.rollingFingerprint(col("text")).as("rh"))),
+    "cdc_chunks" -> ((s, d) => Chunking.cdcChunks(Tables.documents(s, d), modulus = 16)),
 
     // --- text analysis tier --------------------------------------------
     "lang_id" -> ((s, d) =>
@@ -764,6 +765,31 @@ object SparkEntry {
         |  list_transform(string_split_regex(lower(trim(text)), '\s+'),
         |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS hs
         | FROM documents)""".stripMargin,
+
+    "cdc_chunks" ->
+      """WITH tk AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id, toks,
+        |  list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS hs
+        | FROM tk),
+        |pre AS (SELECT doc_id, toks,
+        |  list_transform(generate_series(1, len(toks)),
+        |    i -> list_reduce(hs[greatest(i - 3, 1) : i],
+        |           (a, b) -> (a * 1000003 + b) % 1000000007) % 16) AS pmods
+        | FROM h),
+        |b AS (SELECT doc_id, toks,
+        |  list_filter(generate_series(1, len(toks)), i -> pmods[i] = 0) AS bounds FROM pre),
+        |se AS (SELECT doc_id, toks,
+        |  list_prepend(0, bounds) AS starts, list_append(bounds, len(toks)) AS ends FROM b),
+        |seg AS (
+        | SELECT doc_id, toks, i - 1 AS j, starts[i] AS s, ends[i] AS e
+        | FROM se, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i) g
+        | WHERE ends[i] > starts[i])
+        |SELECT doc_id || '_cdc_' || j AS chunk_id, doc_id AS document_id,
+        | CAST(j AS INTEGER) AS cdc_idx,
+        | array_to_string(toks[s + 1 : e], ' ') AS content,
+        | CAST(e - s AS INTEGER) AS n_tokens
+        |FROM seg""".stripMargin,
 
     "index_stats" ->
       """SELECT count(*) AS n_vectors, count(DISTINCT label) AS n_labels,

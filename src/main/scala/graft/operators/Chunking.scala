@@ -125,6 +125,47 @@ object Chunking {
     out.toSeq
   }
 
+  /** Content-defined chunking: split the token stream where the rolling
+    * hash of the LAST `window` tokens ≡ 0 (mod `modulus`). Because the
+    * boundary test sees only a local window, an edit perturbs boundaries
+    * only within `window` tokens of the change — everything later
+    * re-chunks identically (the dedup-stability property fixed-size
+    * chunking lacks; a whole-prefix hash would lack it too). Avg chunk
+    * length ≈ `modulus` tokens.
+    *
+    * Array formulation (per-row generator, shuffle-free) with O(n·w)
+    * windowed folds — right for paragraph/document-sized token counts. A
+    * 100 TB corpus of BOOK-length texts would move the same hash to a
+    * byte-stream `mapPartitions` kernel; the boundary rule is identical. */
+  def cdcChunks(docs: DataFrame, modulus: Int = 16, window: Int = 4,
+                base: Long = 1000003L, p: Long = 1000000007L,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = split(lower(trim(col(textCol))), "\\s+")
+    val df = docs
+      .withColumn("_toks", toks)
+      .withColumn("_hs", transform(col("_toks"), t => pmod(Dedup.md5Hash60(t), lit(p))))
+      .withColumn("_wh", transform(sequence(lit(1), size(col("_toks"))),
+        i => aggregate(
+          slice(col("_hs"), greatest(i - (window - 1), lit(1)),
+            i - greatest(i - (window - 1), lit(1)) + 1),
+          lit(0L), (h, x) => pmod(h * base + x, lit(p)))))
+      .withColumn("_bounds", filter(sequence(lit(1), size(col("_toks"))),
+        i => pmod(element_at(col("_wh"), i), lit(modulus.toLong)) === 0))
+      .withColumn("_starts", concat(array(lit(0)), col("_bounds")))
+      .withColumn("_ends", concat(col("_bounds"), array(size(col("_toks")))))
+    df.select(col(idCol),
+        posexplode(filter(zip_with(col("_starts"), col("_ends"),
+            (s, e) => when(e > s, struct(s.as("s"), e.as("e")))),
+          x => x.isNotNull)).as(Seq("cdc_idx", "seg")),
+        col("_toks"))
+      .select(
+        concat_ws("_", col(idCol), lit("cdc"), col("cdc_idx")).as("chunk_id"),
+        col(idCol).as("document_id"), col("cdc_idx"),
+        array_join(slice(col("_toks"), col("seg.s") + 1, col("seg.e") - col("seg.s")), " ")
+          .as("content"),
+        (col("seg.e") - col("seg.s")).cast("int").as("n_tokens"))
+  }
+
   /** C5 — combine small consecutive chunks
     * (`document_processing_service.py:629-663`): adjacent chunks shorter
     * than `minChars` are merged (joined with "\n\n") until the combined

@@ -76,6 +76,29 @@ class ChunkingSpec extends SparkSpec {
     assert(df.as[String].collect().toSeq === Seq("T\n\nbody", "has T inside", "body"))
   }
 
+  // --- CDC content-defined chunking --------------------------------------
+  test("CDC chunks cover the token stream exactly, in order") {
+    val text = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val out = Chunking.cdcChunks(Seq((1L, text)).toDF("doc_id", "text"), modulus = 8)
+      .orderBy("cdc_idx").collect()
+    assert(out.length > 1, "expect several boundaries at modulus 8 over 200 tokens")
+    assert(out.map(_.getAs[String]("content")).mkString(" ") === text)
+    assert(out.map(_.getAs[Int]("n_tokens")).sum === 200)
+  }
+
+  test("CDC boundaries are content-defined: a prefix insertion shifts one region") {
+    val base = (1 to 100).map(i => s"w$i").mkString(" ")
+    val chunks = (t: String) =>
+      Chunking.cdcChunks(Seq((1L, t)).toDF("doc_id", "text"), modulus = 8)
+        .orderBy("cdc_idx").collect().map(_.getAs[String]("content")).toSeq
+    val a = chunks(base)
+    val b = chunks("inserted " + base)
+    // all chunks after the first boundary following the insertion are
+    // byte-identical — fixed-size chunking would shift every one
+    assert(a.toSet.intersect(b.toSet).size >= a.size - 2,
+      s"expected later chunks stable, got a=$a b=$b")
+  }
+
   // --- C6 sliding windows ----------------------------------------------
   test("C6 windows of meaningful words with the configured step") {
     val words = (1 to 30).map(i => s"w$i").mkString(" ")
