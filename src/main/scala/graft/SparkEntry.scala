@@ -257,7 +257,11 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d)))),
     "mm_frame_sample" -> ((s, d) =>
       Multimodal.frameSample(
-        Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d))), step = 10))
+        Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d))), step = 10)),
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizeMeta(
+        Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d))), maxSide = 224)
+        .select("doc_id", "width", "height", "out_width", "out_height", "scaled"))
   )
 
   // ---------------------------------------------------------------------
@@ -863,6 +867,20 @@ object SparkEntry {
     "salted_agg" ->
       """SELECT lang, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_val
         |FROM documents GROUP BY lang""".stripMargin,
+
+    "mm_resize" ->
+      """WITH meta AS (
+        | SELECT doc_id,
+        |  64 + octet_length(encode(text)) % 576 AS width,
+        |  64 + (octet_length(encode(text)) * 7) % 416 AS height
+        | FROM documents)
+        |SELECT doc_id, width, height,
+        | CAST(CASE WHEN greatest(width, height) > 224
+        |  THEN (width * 224) // greatest(width, height) ELSE width END AS INTEGER) AS out_width,
+        | CAST(CASE WHEN greatest(width, height) > 224
+        |  THEN (height * 224) // greatest(width, height) ELSE height END AS INTEGER) AS out_height,
+        | greatest(width, height) > 224 AS scaled
+        |FROM meta""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH meta AS (

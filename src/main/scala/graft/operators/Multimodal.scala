@@ -41,6 +41,24 @@ object Multimodal {
       (lit(64) + pmod(length(col("payload")) * 7, lit(416))).as("height"),
       expr("CAST(length(payload) AS BIGINT) div 100 + 1").as("n_frames"))
 
+  /** Resize planning: aspect-preserving target geometry with the long
+    * side capped at `maxSide` (integer math only — engine-reproducible).
+    * The actual pixel resample belongs in the stubbed decode kernel; the
+    * geometry computation is the part a query plan evaluates (e.g. to
+    * partition work by output size or filter thumbnails). */
+  def resizeMeta(meta: DataFrame, maxSide: Int = 224): DataFrame = {
+    val longSide = greatest(col("width"), col("height"))
+    val needs = longSide > maxSide
+    meta
+      .withColumn("out_width",
+        when(needs, expr(s"(width * $maxSide) div greatest(width, height)"))
+          .otherwise(col("width")).cast("int"))
+      .withColumn("out_height",
+        when(needs, expr(s"(height * $maxSide) div greatest(width, height)"))
+          .otherwise(col("height")).cast("int"))
+      .withColumn("scaled", needs)
+  }
+
   /** Frame sampling: every `step`-th frame index of each payload, with a
     * 25 fps fake timestamp. Generator (`sequence` + `posexplode`) — rows
     * scale with sampled frames, not with payload size. */
