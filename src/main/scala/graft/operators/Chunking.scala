@@ -141,15 +141,27 @@ object Chunking {
                 base: Long = 1000003L, p: Long = 1000000007L,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = split(lower(trim(col(textCol))), "\\s+")
-    val df = docs
+    // Windowed hash via (window-1) zip_with passes over zero-padded
+    // shifted copies: wh_i = fold over hs[i-w+1..i] with seed 0. The
+    // leading zero-pad reproduces the partial windows at the start
+    // (0·B + x = x), so semantics match the per-position fold exactly —
+    // but each pass is O(n) with no nested aggregate-over-slice, which
+    // doesn't codegen and costs minutes interpreted at corpus scale.
+    def shifted(hs: Column, n: Column, k: Int): Column =
+      if (k == 0) hs
+      else slice(concat(array_repeat(lit(0L), lit(k)), hs), lit(1), n)
+    val df0 = docs
       .withColumn("_toks", toks)
       .withColumn("_hs", transform(col("_toks"), t => pmod(Dedup.md5Hash60(t), lit(p))))
-      .withColumn("_wh", transform(sequence(lit(1), size(col("_toks"))),
-        i => aggregate(
-          slice(col("_hs"), greatest(i - (window - 1), lit(1)),
-            i - greatest(i - (window - 1), lit(1)) + 1),
-          lit(0L), (h, x) => pmod(h * base + x, lit(p)))))
-      .withColumn("_bounds", filter(sequence(lit(1), size(col("_toks"))),
+      .withColumn("_n", size(col("_toks")))
+    val wh = (window - 2 to 0 by -1).foldLeft(
+        shifted(col("_hs"), col("_n"), window - 1)) { (acc, k) =>
+      zip_with(acc, shifted(col("_hs"), col("_n"), k),
+        (x, y) => pmod(x * base + y, lit(p)))
+    }
+    val df = df0
+      .withColumn("_wh", wh)
+      .withColumn("_bounds", filter(sequence(lit(1), col("_n")),
         i => pmod(element_at(col("_wh"), i), lit(modulus.toLong)) === 0))
       .withColumn("_starts", concat(array(lit(0)), col("_bounds")))
       .withColumn("_ends", concat(col("_bounds"), array(size(col("_toks")))))
