@@ -159,10 +159,18 @@ object Chunking {
       zip_with(acc, shifted(col("_hs"), col("_n"), k),
         (x, y) => pmod(x * base + y, lit(p)))
     }
+    // Boundary positions via the (element, index) transform overload —
+    // _wh stays a transform INPUT (evaluated once per row). An
+    // index-based `filter(sequence(1,n), i => element_at(_wh, i) ...)`
+    // lets Catalyst inline the once-used _wh alias into the lambda BODY,
+    // re-evaluating the whole windowed-hash array per element: O(n²) and
+    // ~20× slower measured.
     val df = df0
       .withColumn("_wh", wh)
-      .withColumn("_bounds", filter(sequence(lit(1), col("_n")),
-        i => pmod(element_at(col("_wh"), i), lit(modulus.toLong)) === 0))
+      .withColumn("_bounds", filter(
+        transform(col("_wh"), (h, i) =>
+          when(pmod(h, lit(modulus.toLong)) === 0, i + 1)),
+        x => x.isNotNull))
       .withColumn("_starts", concat(array(lit(0)), col("_bounds")))
       .withColumn("_ends", concat(col("_bounds"), array(size(col("_toks")))))
     df.select(col(idCol),
