@@ -26,15 +26,30 @@ object Dedup {
       .select(col(idCol), col("fp"), col("dup_rank"), col("is_duplicate"))
   }
 
-  /** Distinct word n-gram shingles of `text`, as an array column. */
-  def shingles(text: Column, n: Int): Column = {
-    val words = split(lower(trim(text)), "\\s+")
+  /** Distinct word n-gram shingles over a pre-materialized words array.
+    * The words column must be a plain attribute (not an inline
+    * expression): the `slice` runs inside a per-position lambda, and an
+    * embedded split() subtree there re-tokenizes the document once PER
+    * SHINGLE — O(n²) re-splits (measured ~2× query cost). */
+  def shinglesFromWords(words: Column, n: Int): Column =
     array_distinct(
       when(size(words) >= n,
         transform(sequence(lit(0), size(words) - n),
           i => array_join(slice(words, i + 1, lit(n)), " ")))
         .otherwise(array(array_join(words, " "))))
-  }
+
+  /** Distinct word n-gram shingles of `text` (test/API convenience —
+    * hot paths materialize the words array first, see callers). */
+  def shingles(text: Column, n: Int): Column =
+    shinglesFromWords(split(lower(trim(text)), "\\s+"), n)
+
+  /** (id, shingle) pairs with the tokenization materialized once per row. */
+  private def explodedShingles(docs: DataFrame, n: Int, idCol: String,
+                               textCol: String): DataFrame =
+    docs
+      .withColumn("_words", split(lower(trim(col(textCol))), "\\s+"))
+      .select(col(idCol).as("id"),
+        explode(shinglesFromWords(col("_words"), n)).as("shingle"))
 
   /** N-gram Jaccard similarity for every pair of documents sharing at
     * least one shingle. Shingle-inverted-index self-join (key = shingle)
@@ -44,8 +59,7 @@ object Dedup {
     * > `maxDf` docs — standard near-dup practice) keep it bounded. */
   def ngramJaccard(docs: DataFrame, n: Int = 3, maxDf: Int = 1000,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+    val sh = explodedShingles(docs, n, idCol, textCol)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
     // shr feeds three consumers (sizes + both sides of the pair join);
@@ -84,7 +98,7 @@ object Dedup {
     * aggregation shuffle on doc id. */
   def minhashSignatures(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("shingle"))
+    val sh = explodedShingles(docs, n, idCol, textCol)
       .withColumn("h", pmod(md5Hash60(col("shingle")), lit(minhashPrime)))
     val aggs = minhashParams(numHashes).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * a + b, lit(minhashPrime))).as(s"sig_$i")
