@@ -48,7 +48,12 @@ object VectorOps {
         org.apache.spark.sql.GraftColumns.expression(b.cast("array<float>"))))
 
   /** L2-normalize a vector so cosine ≡ dot (reference
-    * `embedding_generator.py:102,146`: F.normalize(p=2, dim=1)). */
+    * `embedding_generator.py:102,146`: F.normalize(p=2, dim=1)).
+    * NOTE the norm expression sits in the lambda body, so it re-evaluates
+    * per component — O(d²). Fine at embedding dims (d ≤ 1k); for hot
+    * paths materialize `norm(v)` as its own column first and divide by
+    * the attribute, or use the MLlib `Normalizer` stage (the embedding
+    * pipeline's default path). */
   def l2Normalize(v: Column): Column = {
     val n = norm(v)
     transform(asDouble(v), x => x / n)
