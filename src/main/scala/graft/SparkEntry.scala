@@ -80,6 +80,15 @@ object SparkEntry {
     "q11_distinct_agg" -> ((s, d) => Relational.nationCustomerStats(Tables.customer(s, d))),
     "q12_cube" -> ((s, d) => Relational.cubeQuantities(Tables.lineitem(s, d))),
     "q13_window_frames" -> ((s, d) => Relational.customerOrderWindows(Tables.orders(s, d))),
+    // explicit GROUPING SETS (the general form behind rollup/cube):
+    // per-returnflag and per-linestatus layers only, no cross terms
+    "q15_grouping_sets" -> ((s, d) =>
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs") match { case _ =>
+        s.sql("""SELECT l_returnflag, l_linestatus,
+                 round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+                 FROM lineitem_gs
+                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
+      }),
     "q14_percentiles" -> ((s, d) => Relational.eventValuePercentiles(Tables.events(s, d))),
 
     // --- chunking (SURVEY §2.3) ----------------------------------------
@@ -717,6 +726,10 @@ object SparkEntry {
     "q12_cube" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q15_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
 
     "q13_window_frames" ->
       """SELECT o_custkey, o_orderkey,
