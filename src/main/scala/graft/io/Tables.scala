@@ -42,6 +42,22 @@ object Tables {
         org.apache.spark.sql.functions.expr("ts_ns div 1000")))
   }
 
+  // --- non-parquet sources ---------------------------------------------
+
+  /** documents-shaped table from JSON-lines or CSV-with-header files —
+    * the same downstream operators run unchanged (schema is the
+    * contract, not the format). Explicit schema: schema inference would
+    * scan the data twice and guess types per-file at scale. */
+  val documentsSchema = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+  def documentsFromJson(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema).json(path)
+
+  def documentsFromCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema)
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .csv(path)
+
   // --- engine table writers (S13 init / partitioned layout) ------------
 
   /** S13 — (re)initialize a table: plain parquet overwrite (the

@@ -89,6 +89,22 @@ object StreamingIngest {
       .select(col("user_id"), col("sw.start").as("session_start"),
         col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
 
+  /** Streaming retrieval — the reference's interactive per-request query
+    * path (`main.py:92-127`) as a stream: questions arrive on a stream,
+    * the vector index is a static table, and each micro-batch runs the
+    * exact same batch kNN (stream-static join; the static side is
+    * re-broadcast per batch, so index updates between batches are
+    * picked up). Top-k ranking needs the full batch → `foreachBatch`
+    * delegating to [[graft.operators.Retrieval.knnCosine]]; `sink` gets
+    * each batch's answers. */
+  def streamingRetrieval(questions: DataFrame, index: DataFrame, k: Int,
+                         sink: DataFrame => Unit): DataStreamWriter[Row] =
+    questions.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        sink(graft.operators.Retrieval.knnCosine(batch, index, k))
+      }
+
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
   case class FpDoc(fp: String, doc_id: Long, ingest_epoch: Long)
