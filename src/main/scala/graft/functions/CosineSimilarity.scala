@@ -17,10 +17,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * `doGenCode`) to a tight primitive-float loop inside whole-stage
   * codegen — no allocation, no virtual calls — and stays codegen-
   * compatible so the surrounding projection/filter fuses around it.
-  * Semantics match the composition bit-for-bit: dot(a,b) in double
-  * accumulation / (||a||·||b||), null if either side is null, NaN-safe
-  * division guarded by the 0-norm check (returns 0.0, the reference's
-  * zero-vector fallback, `embedding_generator.py:111`).
+  * Semantics vs the composition: identical double accumulation
+  * (dot(a,b) / (||a||·||b||)), null if either input is null, and null on
+  * MISMATCHED dimensions (a truncated score would mask corrupt data —
+  * the zip_with composition surfaces the same case as null). The one
+  * deliberate divergence: zero-norm inputs return 0.0 (the reference's
+  * zero-vector fallback, `embedding_generator.py:111`) where the
+  * composition yields NaN from 0/0.
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -36,6 +39,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
         s"got (${left.dataType.simpleString}, ${right.dataType.simpleString})")
   }
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true // null on mismatched dimensions
   override def prettyName: String = "cosine_sim"
 
   override protected def withNewChildrenInternal(
@@ -45,7 +49,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var dot = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
     while (i < n) {
       // Widen BEFORE multiplying: float*float rounds to float, which
@@ -63,14 +68,18 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val ny = ctx.freshName("ny")
       val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xi = (double) $a.getFloat($i); double $yi = (double) $b.getFloat($i);
-         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |if ($a.numElements() != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double $dot = 0.0; double $nx = 0.0; double $ny = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xi = (double) $a.getFloat($i); double $yi = (double) $b.getFloat($i);
+         |    $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
+         |  }
+         |  ${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
+         |    : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
          |}
-         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0
-         |  : $dot / (java.lang.Math.sqrt($nx) * java.lang.Math.sqrt($ny));
        """.stripMargin
     })
 }

@@ -32,8 +32,12 @@ object Tables {
     * `nanosAsLong` is on. We read the raw nanos (no precision loss), keep
     * them as `ts_ns` — the total-order column — and derive a proper
     * µs TimestampType `ts` for event-time operators (`window()`,
-    * watermarks). Both reads of the flag are per-session runtime confs,
-    * safe to set here. */
+    * watermarks). NOTE the flag is a session-level conf, so this getter
+    * widens how ALL later parquet reads in the session treat
+    * TIMESTAMP(NANOS) columns (BIGINT nanos instead of an error). It is
+    * not restored afterwards on purpose: DataFrames are lazy, and
+    * flipping the conf back before execution would make this read's own
+    * evaluation undefined. */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     read(spark, dir, "events")

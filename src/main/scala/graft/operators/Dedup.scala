@@ -63,12 +63,14 @@ object Dedup {
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
     // shr feeds three consumers (sizes + both sides of the pair join);
-    // without persist Spark re-runs the shingle explode/filter subtree
-    // for each, re-reading the source 4×. The exploded candidate set is
-    // deliberately small relative to the corpus (rare shingles only), so
-    // caching it is the scale-correct call; spills to disk if not.
-    val shr = sh.join(rare, "shingle")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // without materialization Spark re-runs the shingle explode/filter
+    // subtree for each, re-reading the source 4×. localCheckpoint (not
+    // persist): cache entries registered via persist() live in the
+    // CacheManager until explicitly unpersisted — a leak for a library
+    // function that can't know when its caller is done — while
+    // checkpoint blocks are reclaimed by the ContextCleaner when the
+    // DataFrame is garbage collected.
+    val shr = sh.join(rare, "shingle").localCheckpoint()
     val sizes = shr.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val pairs = shr.as("a").join(shr.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -115,11 +117,12 @@ object Dedup {
                         bandSize: Int = 2, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val numBands = numHashes / bandSize
-    // Signatures feed both sides of the band join — persist to avoid
-    // recomputing the shingle→minhash aggregation twice. One row of
-    // numHashes longs per doc: tiny relative to the corpus.
+    // Signatures feed both sides of the band join — materialize to avoid
+    // recomputing the shingle→minhash aggregation twice (localCheckpoint
+    // over persist for the same GC-cleanup reason as ngramJaccard). One
+    // row of numHashes longs per doc: tiny relative to the corpus.
     val sigs = minhashSignatures(docs, n, numHashes, idCol, textCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val sigCols = (0 until numHashes).map(i => col(s"sig_$i"))
     val banded = sigs.select(
       col("id"),

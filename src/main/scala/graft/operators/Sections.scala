@@ -63,7 +63,7 @@ object Sections {
           .as("chunk_id"),
         col("document_id"), col("section_idx"), col("section_title"),
         col("content"), lit("section").as("chunk_type"),
-        size(split(col("content"), "\\s+")).as("word_count"))
+        Chunking.wordCount(col("content")).as("word_count"))
   }
 
   /** C9 + P4 — embedding-text assembly: prefix the section title when the
@@ -73,11 +73,7 @@ object Sections {
                 titleCol: String = "section_title",
                 textCol: String = "content"): DataFrame =
     chunks.withColumn("embed_text",
-      substring(
-        when(col(titleCol).isNotNull && instr(col(textCol), col(titleCol)) === 0,
-          concat_ws("\n\n", col(titleCol), col(textCol)))
-          .otherwise(col(textCol)),
-        1, maxChars))
+      substring(Chunking.withTitlePrefix(col(titleCol), col(textCol)), 1, maxChars))
 
   /** S7 — extraction-strategy fallback as a conditional projection
     * (`document_processing_service.py:102-154`): take the primary

@@ -39,22 +39,35 @@ object StreamingIngest {
     * newest row per key. Overwrite-rewrite keeps it dependency-free; on a
     * Delta/Iceberg table this becomes a real MERGE. */
   def upsertBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(targetDir)
+    // resolve the TARGET's filesystem — FileSystem.get(conf) would
+    // resolve fs.defaultFS and break for any other scheme (s3a://, ...)
+    val fs = dst.getFileSystem(hadoopConf)
+    // Treat ONLY a missing table as empty; any other read failure
+    // (transient FS error, corrupt footer) must abort the batch — the
+    // merge would otherwise silently rebuild the table from this batch
+    // alone, destroying all previously ingested rows.
     val existing =
-      try spark.read.parquet(targetDir)
-      catch { case _: Throwable => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[Row], batch.schema) }
+      if (fs.exists(dst)) spark.read.parquet(targetDir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
     val w = Window.partitionBy(col("fp")).orderBy(col("ingest_ts").desc)
     val merged = existing.unionByName(batch, allowMissingColumns = true)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-    // rewrite via temp dir: parquet can't overwrite a table being read
-    val tmp = targetDir + "_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(targetDir)
+    // rewrite via temp dir: parquet can't overwrite a table being read.
+    // The delete→rename swap is not atomic on a raw filesystem (a real
+    // deployment uses Delta/Iceberg MERGE for that); what we guarantee:
+    // stale tmp is cleared first, and a failed rename aborts the batch
+    // (checkpoint retries with the tmp data intact) instead of leaving
+    // the table silently missing.
+    val tmp = new org.apache.hadoop.fs.Path(targetDir + "_tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    merged.write.mode("overwrite").parquet(tmp.toString)
     fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(
+        s"upsertBatch: rename $tmp -> $dst failed; table left at $tmp")
   }
 
   /** End-to-end ingest stream: JSON-lines documents arriving in `srcDir`
