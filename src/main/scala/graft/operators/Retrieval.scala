@@ -74,7 +74,9 @@ object Retrieval {
       .withColumn("_ltext", lower(col(textCol)))
       .crossJoin(qWords)
       .withColumn("matches",
-        size(filter(col("words"), w => instr(col("_ltext"), w) > 0)).cast("long"))
+        org.apache.spark.sql.GraftColumns.column(graft.functions.CountContained(
+          org.apache.spark.sql.GraftColumns.expression(col("words")),
+          org.apache.spark.sql.GraftColumns.expression(col("_ltext")))).cast("long"))
       .filter(col("matches") > 0)
       .withColumn("score", round(col("matches").cast("double") / col("n_words"), 4))
     val w = Window.partitionBy(col("question_id")).orderBy(col("score").desc, col(idCol))
