@@ -49,4 +49,24 @@ class CosineSimilaritySpec extends SparkSpec {
       "CAST(array(1.0, 0.0) AS ARRAY<FLOAT>))"
     assert(math.abs(spark.sql(sql).head.getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("count_contained matches the HOF composition incl. null/empty edges") {
+    GraftExtensions.register(spark)
+    val rows = spark.sql("""SELECT
+      count_contained(array('car', 'wash'), 'a card game') AS a,
+      count_contained(array('x', CAST(NULL AS STRING)), 'xyz') AS b,
+      count_contained(CAST(array() AS ARRAY<STRING>), 'xyz') AS c,
+      count_contained(array('x'), CAST(NULL AS STRING)) AS d""").head
+    assert(rows.getInt(0) === 1)   // substring quirk: "car" in "card"
+    assert(rows.getInt(1) === 1)   // null word not contained
+    assert(rows.getInt(2) === 0)   // empty word set
+    assert(rows.isNullAt(3))       // null text -> null
+  }
+
+  test("cosine_sim returns null on mismatched dimensions") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("SELECT cosine_sim(CAST(array(1.0, 0.0) AS ARRAY<FLOAT>), " +
+      "CAST(array(1.0) AS ARRAY<FLOAT>))").head
+    assert(r.isNullAt(0))
+  }
 }
