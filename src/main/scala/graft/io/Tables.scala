@@ -32,18 +32,33 @@ object Tables {
     * `nanosAsLong` is on. We read the raw nanos (no precision loss), keep
     * them as `ts_ns` — the total-order column — and derive a proper
     * µs TimestampType `ts` for event-time operators (`window()`,
-    * watermarks). NOTE the flag is a session-level conf, so this getter
-    * widens how ALL later parquet reads in the session treat
-    * TIMESTAMP(NANOS) columns (BIGINT nanos instead of an error). It is
-    * not restored afterwards on purpose: DataFrames are lazy, and
-    * flipping the conf back before execution would make this read's own
-    * evaluation undefined. */
+    * watermarks).
+    *
+    * The flag is a session-level conf, so it is SCOPED here: set, the
+    * frame is cached and eagerly materialized (so no later recompute
+    * depends on the flag), then the previous value is restored — an
+    * unrelated parquet read afterwards sees unchanged session behavior.
+    * The eager read is a testdata-shim cost only (a production table
+    * would carry µs timestamps and skip this path entirely); repeat
+    * calls hit Spark's cache-by-canonicalized-plan, so the table is
+    * materialized once per (session, dir). */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    read(spark, dir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try {
+      val df = read(spark, dir, "events")
+        .withColumnRenamed("ts", "ts_ns")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
+      df.cache().count() // materialize while the flag is still on
+      df
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
   }
 
   // --- non-parquet sources ---------------------------------------------

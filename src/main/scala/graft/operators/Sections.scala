@@ -9,7 +9,8 @@ import org.apache.spark.sql.functions._
   *
   * The reference scans lines and opens a new section whenever a line
   * matches one of four header shapes (ALL-CAPS heading with colon,
-  * numbered clause, `Section N`, `(a)` sub-clause —
+  * numbered clause with capitalized title, `Section N: Title`,
+  * `(a) Capitalized` sub-clause —
   * `document_processing_service.py:273-349`, regexes :311-316), with an
   * implicit "Introduction" section for text before the first header.
   *
@@ -22,12 +23,16 @@ import org.apache.spark.sql.functions._
   */
 object Sections {
 
-  /** Portable header shapes (Java regex ≡ RE2 subset for these). */
+  /** Portable header shapes (Java regex ≡ RE2 subset for these), matching
+    * the reference's four regexes (`document_processing_service.py:311-316`)
+    * shape for shape: ALL-CAPS heading with colon, numbered clause with a
+    * capitalized title and trailing colon, capitalized word + number
+    * ("Section 1: ..."), and "(a) Capitalized" sub-clauses. */
   val headerPatterns: Seq[String] = Seq(
-    "^[A-Z][A-Z0-9 ]{2,}:", // ALL-CAPS heading ending in colon
-    "^[0-9]+\\.\\s",        // "1. Definitions"
-    "^Section [0-9]+",      // "Section 3: ..."
-    "^\\([a-z]\\)\\s")      // "(a) ..."
+    "^[A-Z][A-Z\\s]+:",                          // "COVERAGE:"
+    "^[0-9]+\\.\\s+[A-Z][^.]+:",                 // "1. DEFINITIONS:"
+    "^[A-Z][a-z]+\\s+[0-9]+[.:]\\s*[A-Z][^.]+",  // "Section 1: Coverage Details"
+    "^\\([a-z]\\)\\s*[A-Z][^.]+")                // "(a) Premium Payment"
 
   def isHeader(line: Column): Column =
     headerPatterns.map(line.rlike(_)).reduce(_ || _)

@@ -36,14 +36,26 @@ object StreamingIngest {
 
   /** Last-write-wins merge of a micro-batch into the parquet `target`
     * table (S12 upsert semantics, keyed on `fp`): union old+new, keep the
-    * newest row per key. Overwrite-rewrite keeps it dependency-free; on a
-    * Delta/Iceberg table this becomes a real MERGE. */
+    * newest row per key (ties on `ingest_ts` — a same-second re-ingest or
+    * a retried batch — break deterministically by `doc_id` desc).
+    * Overwrite-rewrite keeps it dependency-free; on a Delta/Iceberg table
+    * this becomes a real MERGE.
+    *
+    * Crash safety: the swap is write-tmp → rename dst→bak → rename
+    * tmp→dst → delete bak, so a FULL copy of the table exists on disk at
+    * every instant; [[recoverSwap]] rolls an interrupted swap forward (or
+    * back) before the merge reads `existing`. A failed rename aborts the
+    * batch (checkpoint retries after recovery) — never a silent rebuild
+    * of the table from one micro-batch. */
   def upsertBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(targetDir)
+    val tmp = new org.apache.hadoop.fs.Path(targetDir + "_tmp")
+    val bak = new org.apache.hadoop.fs.Path(targetDir + "_bak")
     // resolve the TARGET's filesystem — FileSystem.get(conf) would
     // resolve fs.defaultFS and break for any other scheme (s3a://, ...)
     val fs = dst.getFileSystem(hadoopConf)
+    recoverSwap(fs, dst, tmp, bak)
     // Treat ONLY a missing table as empty; any other read failure
     // (transient FS error, corrupt footer) must abort the batch — the
     // merge would otherwise silently rebuild the table from this batch
@@ -51,23 +63,50 @@ object StreamingIngest {
     val existing =
       if (fs.exists(dst)) spark.read.parquet(targetDir)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
-    val w = Window.partitionBy(col("fp")).orderBy(col("ingest_ts").desc)
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("ingest_ts").desc, col("doc_id").desc)
     val merged = existing.unionByName(batch, allowMissingColumns = true)
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
-    // rewrite via temp dir: parquet can't overwrite a table being read.
-    // The delete→rename swap is not atomic on a raw filesystem (a real
-    // deployment uses Delta/Iceberg MERGE for that); what we guarantee:
-    // stale tmp is cleared first, and a failed rename aborts the batch
-    // (checkpoint retries with the tmp data intact) instead of leaving
-    // the table silently missing.
-    val tmp = new org.apache.hadoop.fs.Path(targetDir + "_tmp")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
     merged.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(dst, true)
-    if (!fs.rename(tmp, dst))
+    if (fs.exists(dst) && !fs.rename(dst, bak))
       throw new java.io.IOException(
-        s"upsertBatch: rename $tmp -> $dst failed; table left at $tmp")
+        s"upsertBatch: rename $dst -> $bak failed; table intact at $dst")
+    if (!fs.rename(tmp, dst)) {
+      // put the old table back so readers never see it missing
+      if (fs.exists(bak)) fs.rename(bak, dst)
+      throw new java.io.IOException(
+        s"upsertBatch: rename $tmp -> $dst failed; previous table restored")
+    }
+    if (fs.exists(bak)) fs.delete(bak, true)
+  }
+
+  /** Roll an interrupted [[upsertBatch]] swap to a consistent state.
+    * Invariant of the swap order: `tmp` is only ever a COMPLETE merged
+    * table once `dst` has been moved aside (the dst→bak rename happens
+    * strictly after the tmp write finishes), so:
+    *  - dst missing, tmp present → crashed between dst→bak and tmp→dst:
+    *    tmp is the newest full copy — roll FORWARD (tmp→dst);
+    *  - dst missing, only bak present → roll BACK (bak→dst); the retried
+    *    batch re-merges on top;
+    *  - dst present → any tmp is an unfinished write and any bak is a
+    *    completed swap's leftover: both are stale, delete them. */
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(dst)) {
+      if (fs.exists(tmp)) {
+        if (!fs.rename(tmp, dst))
+          throw new java.io.IOException(s"recoverSwap: roll-forward $tmp -> $dst failed")
+      } else if (fs.exists(bak)) {
+        if (!fs.rename(bak, dst))
+          throw new java.io.IOException(s"recoverSwap: roll-back $bak -> $dst failed")
+      }
+    }
+    if (fs.exists(dst)) {
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (fs.exists(bak)) fs.delete(bak, true)
+    }
   }
 
   /** End-to-end ingest stream: JSON-lines documents arriving in `srcDir`

@@ -57,6 +57,48 @@ class StreamingValidationSpec extends SparkSpec {
     assert(after2.select(countDistinct(col("fp"))).head.getLong(0) === 3)
   }
 
+  test("upsertBatch swap recovery rolls forward/back without losing the table") {
+    import org.apache.hadoop.fs.Path
+    val base = Files.createTempDirectory("graft_swap").toString
+    val dst = new Path(s"$base/docs"); val tmp = new Path(s"$base/docs_tmp")
+    val bak = new Path(s"$base/docs_bak")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def writeTable(p: Path, ids: Seq[Long]): Unit =
+      ids.toDF("doc_id").write.mode("overwrite").parquet(p.toString)
+    def ids(p: Path): Set[Long] =
+      spark.read.parquet(p.toString).as[Long].collect().toSet
+
+    // crash between dst->bak and tmp->dst: tmp is the newest full copy
+    writeTable(tmp, Seq(1L, 2L, 3L)); writeTable(bak, Seq(1L, 2L))
+    StreamingIngest.recoverSwap(fs, dst, tmp, bak)
+    assert(ids(dst) === Set(1L, 2L, 3L) && !fs.exists(tmp) && !fs.exists(bak))
+
+    // crash after tmp->dst but before delete bak: bak is stale
+    writeTable(bak, Seq(1L))
+    StreamingIngest.recoverSwap(fs, dst, tmp, bak)
+    assert(ids(dst) === Set(1L, 2L, 3L) && !fs.exists(bak))
+
+    // crash mid-tmp-write with dst intact: tmp is garbage
+    writeTable(tmp, Seq(9L))
+    StreamingIngest.recoverSwap(fs, dst, tmp, bak)
+    assert(ids(dst) === Set(1L, 2L, 3L) && !fs.exists(tmp))
+
+    // crash after dst->bak with tmp somehow gone: roll back to bak
+    fs.delete(dst, true); writeTable(bak, Seq(1L, 2L))
+    StreamingIngest.recoverSwap(fs, dst, tmp, bak)
+    assert(ids(dst) === Set(1L, 2L))
+  }
+
+  test("upsertBatch breaks ingest_ts ties deterministically by doc_id") {
+    val tgt = Files.createTempDirectory("graft_tie").toString + "/docs"
+    val ts = new java.sql.Timestamp(1000000L)
+    val b1 = Seq((1L, "fp_a", ts), (7L, "fp_a", ts), (3L, "fp_a", ts))
+      .toDF("doc_id", "fp", "ingest_ts")
+    StreamingIngest.upsertBatch(spark, b1, tgt)
+    val kept = spark.read.parquet(tgt).select("doc_id").as[Long].collect().toSeq
+    assert(kept === Seq(7L)) // highest doc_id wins the tie, every run
+  }
+
   test("session_window aggregates event-time sessions (batch execution)") {
     val ts = (s: Long) => new java.sql.Timestamp(s * 1000)
     val events = Seq(
