@@ -28,38 +28,22 @@ object Tables {
     * epoch), user_id BIGINT, event_type STRING, value DOUBLE, props STRING.
     *
     * The testdata writes `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * vectorized reader rejects (PARQUET_TYPE_ILLEGAL) unless
-    * `nanosAsLong` is on. We read the raw nanos (no precision loss), keep
-    * them as `ts_ns` — the total-order column — and derive a proper
-    * µs TimestampType `ts` for event-time operators (`window()`,
-    * watermarks).
-    *
-    * The flag is a session-level conf, so it is SCOPED here: set, the
-    * frame is cached and eagerly materialized (so no later recompute
-    * depends on the flag), then the previous value is restored — an
-    * unrelated parquet read afterwards sees unchanged session behavior.
-    * The eager read is a testdata-shim cost only (a production table
-    * would carry µs timestamps and skip this path entirely); repeat
-    * calls hit Spark's cache-by-canonicalized-plan, so the table is
-    * materialized once per (session, dir). */
-  def events(spark: SparkSession, dir: String): DataFrame = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
-    try {
-      val df = read(spark, dir, "events")
-        .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts_ns div 1000")))
-      df.cache().count() // materialize while the flag is still on
-      df
-    } finally {
-      prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None    => spark.conf.unset(key)
-      }
-    }
-  }
+    * schema INFERENCE rejects (PARQUET_TYPE_ILLEGAL) unless the
+    * session-wide `nanosAsLong` legacy conf is on. Supplying the schema
+    * explicitly (ts as LONG) sidesteps inference entirely — the
+    * vectorized reader then hands back the raw int64 nanos with NO
+    * session conf involved, so unrelated parquet reads are untouched and
+    * the frame stays fully lazy. We keep the raw nanos as `ts_ns` — the
+    * total-order column, no precision loss — and derive a proper µs
+    * TimestampType `ts` for event-time operators (`window()`,
+    * watermarks). */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    spark.read.schema(
+      "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
+      .parquet(p(dir, "events"))
+      .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts_ns div 1000")))
 
   // --- non-parquet sources ---------------------------------------------
 

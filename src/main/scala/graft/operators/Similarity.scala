@@ -50,32 +50,40 @@ object Similarity {
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
-    * a KMeans coarse quantizer (`nlist` centroids, fixed seed) partitions
-    * the candidate set; each query probes only its `nprobe` nearest
-    * cells. The candidate side is scanned once to assign cells (and the
-    * assignment would be precomputed/persisted in a real index build);
-    * the probe join is an equi-join on cell id — distributable, no
-    * all-pairs scan. Recall/latency tradeoff is nprobe/nlist, exactly as
-    * in FAISS-style IVF. */
+    * `nlist` coarse centroids partition the candidate set; each query
+    * probes only its `nprobe` nearest cells. Centroids are a
+    * deterministic hash-ordered sample of the candidate vectors (the
+    * FAISS "train on a subset" quantizer without the iterative fit — an
+    * iterative refinement would run in the OFFLINE index build, which
+    * also persists the assignment; queries pay only the probe join).
+    * Cell assignment is a map-side argmax-cosine against the nlist
+    * centroid literals: scan-only, zero shuffle, zero fit jobs. The
+    * probe join is an equi-join on cell id — distributable, no
+    * all-pairs scan. Recall/latency tradeoff is nprobe/nlist, exactly
+    * as in FAISS-style IVF. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
               qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
-    // NOTE: no explicit persist — KMeans caches its training RDD
-    // internally; an outer persist measured ~2× slower end-to-end.
-    val cand = candidates.withColumn("_v", array_to_vector(col(vecCol).cast("array<double>")))
-    val km = new KMeans().setK(nlist).setSeed(seed).setFeaturesCol("_v")
-      .setPredictionCol("cell").setMaxIter(5) // coarse cells: convergence not needed
-    val model = km.fit(cand)
-    val assigned = model.transform(cand).drop("_v")
-    // centroid table is nlist rows — broadcast side of the probe ranking
     val spark = candidates.sparkSession
     import spark.implicits._
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (c, i) => (i, c.toArray.map(_.toFloat)) }
-      .toSeq.toDF("cell", "centroid")
+    // nlist rows to the driver is metadata-sized (KMeans keeps the same
+    // centroid state driver-side); hash-order + id tiebreak makes the
+    // sample reproducible under any partitioning.
+    val cents: Seq[(Int, Seq[Float])] = candidates
+      .select(col(idCol), col(vecCol))
+      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .limit(nlist)
+      .collect().toSeq.zipWithIndex
+      .map { case (r, i) => (i, r.getSeq[Float](1)) }
+    val cellScores = array(cents.map { case (_, c) =>
+      graft.functions.VectorOps.cosineNative(col(vecCol), typedLit(c)) }: _*)
+    val assigned = candidates.withColumn("_cs", cellScores)
+      .withColumn("cell",
+        (array_position(col("_cs"), array_max(col("_cs"))) - 1).cast("int"))
+      .drop("_cs")
+    // centroid table is nlist rows — broadcast side of the probe ranking
+    val centroids = cents.toDF("cell", "centroid")
     val probes = broadcast(queries).join(broadcast(centroids))
       .withColumn("c_score", graft.functions.VectorOps.cosineNative(col(qvecCol), col("centroid")))
     val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("c_score").desc, col("cell"))

@@ -1,10 +1,35 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{Relational, Retrieval, Validation}
+import graft.operators.{Relational, Retrieval, Similarity, Validation}
 
 class HybridSaltedSpec extends SparkSpec {
   import spark.implicits._
+
+  test("IVF with nprobe == nlist is exact: equals brute-force top-k") {
+    val rnd = new scala.util.Random(7)
+    def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val cands = Seq.tabulate(200)(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val qs = Seq.tabulate(3)(i => (i.toLong, vec())).toDF("q_vec_id", "q_embedding")
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("q_vec_id", "rank")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = key(Similarity.bruteForceTopK(qs, cands, k = 5))
+    val ivf = key(Similarity.ivfTopK(qs, cands, k = 5, nlist = 4, nprobe = 4)
+      .select("q_vec_id", "vec_id", "score", "rank"))
+    assert(ivf === exact)
+  }
+
+  test("IVF cells partition the candidates: each id scored at most once per query") {
+    val rnd = new scala.util.Random(11)
+    def vec() = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    val cands = Seq.tabulate(100)(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val qs = Seq.tabulate(2)(i => (i.toLong, vec())).toDF("q_vec_id", "q_embedding")
+    val out = Similarity.ivfTopK(qs, cands, k = 100, nlist = 5, nprobe = 5)
+    val dups = out.groupBy("q_vec_id", "vec_id").count().filter(col("count") > 1).count()
+    assert(dups === 0)
+    assert(out.count() === 200) // k=100 ≥ candidates: every candidate ranked once
+  }
 
   test("Q3 hybrid prefers vector results, falls back per-question") {
     val vector = Seq((0, 10L, 0.9, 1), (1, 11L, 0.8, 1))
