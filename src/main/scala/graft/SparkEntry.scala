@@ -90,6 +90,20 @@ object SparkEntry {
                  GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
       }),
     "q14_percentiles" -> ((s, d) => Relational.eventValuePercentiles(Tables.events(s, d))),
+    "q16_pivot" -> ((s, d) => Relational.pivotOrderStatus(Tables.orders(s, d))),
+    "q17_unpivot" -> ((s, d) => Relational.unpivotCustomer(Tables.customer(s, d))),
+    // correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + join; the oracle runs the identical SQL
+    "q18_corr_subquery" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_corr")
+      s.sql("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+               FROM orders_corr o
+               WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                                     FROM orders_corr o2
+                                     WHERE o2.o_custkey = o.o_custkey)""")
+    }),
+    "q19_set_ops" -> ((s, d) =>
+      Relational.nationSetOps(Tables.customer(s, d), Tables.supplier(s, d))),
 
     // --- chunking (SURVEY §2.3) ----------------------------------------
     "c2_paragraph_chunks" -> ((s, d) => Chunking.paragraphChunks(Tables.documents(s, d))),
@@ -157,6 +171,25 @@ object SparkEntry {
       Dedup.simhash32(Tables.documents(s, d)).withColumnRenamed("id", "doc_id")),
     "embed_near_dups" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.2, signDims = 4)),
+    // canonical-keeper assignment over the minhash candidate pairs — the
+    // step that turns near-dup PAIRS into per-document keep/drop decisions
+    "dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      Dedup.dupClusters(docs, Dedup.minhashCandidates(docs))
+    }),
+
+    // --- deterministic sampling / splitting tier -----------------------
+    "split_train_test" -> ((s, d) =>
+      Sampling.trainTestSplit(Tables.documents(s, d), "doc_id", testFrac = 0.1)
+        .select("doc_id", "bucket", "split")),
+    "stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", frac = 0.1)
+        .select("doc_id", "lang")),
+    "len_deciles" -> ((s, d) =>
+      Sampling.quantileBuckets(Tables.documents(s, d), "n_chars", nBuckets = 10)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))),
     "e4_l2norm" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -228,6 +261,8 @@ object SparkEntry {
     "answers_payload" -> ((s, d) =>
       Retrieval.answersPayload(
         Retrieval.keywordSearch(questionsDF(s), Tables.documents(s, d), k = 3))),
+    "bm25_search" -> ((s, d) =>
+      Retrieval.bm25Search(questionsDF(s), Tables.documents(s, d), k = 3)),
 
     // --- validation / ingest (SURVEY §2.1-2.2) -------------------------
     "mime_sniff" -> ((s, d) =>
@@ -415,32 +450,25 @@ object SparkEntry {
         |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b""".stripMargin,
 
     "minhash_pairs" -> {
-      val params = Dedup.minhashParams(8)
-      val p = Dedup.minhashPrime
-      val sigDefs = params.zipWithIndex.map { case ((a, b), i) =>
-        s"min((hv * $a + $b) % $p) AS sig_$i"
-      }.mkString(", ")
-      val bandSelects = (0 until 4).map { bnd =>
-        s"SELECT id, $bnd AS band, CAST(sig_${2 * bnd} AS VARCHAR) || ':' || CAST(sig_${2 * bnd + 1} AS VARCHAR) AS bucket FROM sig"
-      }.mkString(" UNION ALL ")
       val matchSum = (0 until 8).map(i =>
         s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH sh AS (
-         | SELECT doc_id AS id, unnest(list_distinct(
-         |   CASE WHEN len(words) >= 3
-         |    THEN list_transform(generate_series(1, len(words) - 2), i -> array_to_string(words[i : i + 2], ' '))
-         |    ELSE [array_to_string(words, ' ')] END)) AS shingle
-         | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
-         |       FROM documents WHERE doc_id < 500)),
-         |h AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS hv FROM sh),
-         |sig AS (SELECT id, $sigDefs FROM h GROUP BY id),
-         |banded AS ($bandSelects),
-         |pairs AS (
-         | SELECT DISTINCT a.id AS id_a, b.id AS id_b
-         | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+      s"""$minhashPairsCte
          |SELECT id_a, id_b, round(($matchSum) / 8.0, 4) AS est_jaccard
          |FROM pairs JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b""".stripMargin
     },
+
+    "dup_clusters" ->
+      s"""$minhashPairsCte,
+         |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+         |          UNION ALL SELECT id_b AS id, id_a AS nbr FROM pairs),
+         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500)
+         |SELECT d.id AS doc_id,
+         | CASE WHEN min(e.nbr) IS NULL OR d.id < min(e.nbr)
+         |  THEN d.id ELSE min(e.nbr) END AS cluster,
+         | (CASE WHEN min(e.nbr) IS NULL OR d.id < min(e.nbr)
+         |  THEN d.id ELSE min(e.nbr) END = d.id) AS is_canonical
+         |FROM docs0 d LEFT JOIN edges e ON e.id = d.id
+         |GROUP BY d.id""".stripMargin,
 
     "simhash" ->
       """WITH toks AS (
@@ -617,6 +645,59 @@ object SparkEntry {
          | printf('Found %d relevant sections', count(*)) AS summary
          |FROM ranked WHERE rank <= 3 GROUP BY question_id""".stripMargin,
 
+    "bm25_search" ->
+      s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
+         |toks AS (SELECT doc_id, t AS term FROM (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+         |  FROM documents) WHERE t <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |qt AS (SELECT DISTINCT question_id, t AS term FROM (
+         |  SELECT question_id, unnest(regexp_split_to_array(lower(question), '\\s+')) AS t
+         |  FROM qs) WHERE t <> ''),
+         |scored AS (
+         | SELECT qt.question_id, tf.doc_id,
+         |  CAST(round(round(ln((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1), 6)
+         |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))
+         |    * 1000000) AS BIGINT) AS w6
+         | FROM qt JOIN tf USING (term) JOIN dl USING (doc_id)
+         |   JOIN dfreq USING (term), corpus),
+         |aggd AS (SELECT question_id, doc_id,
+         |  round(sum(w6) / 1000000.0, 4) AS score, count(*) AS n_terms
+         | FROM scored GROUP BY question_id, doc_id),
+         |ranked AS (SELECT *, row_number() OVER (
+         |  PARTITION BY question_id ORDER BY score DESC, doc_id) AS rank FROM aggd)
+         |SELECT question_id, doc_id, n_terms, score, rank
+         |FROM ranked WHERE rank <= 3""".stripMargin,
+
+    "split_train_test" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bucket,
+        | CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < 6554
+        |  THEN 'test' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM documents) WHERE rk <= ceil(n * 0.1)""".stripMargin,
+
+    "len_deciles" ->
+      s"""WITH cuts AS (SELECT
+         | ${(1 until 10).map(i => s"round(quantile_cont(n_chars, 0.$i), 4) AS c${i - 1}").mkString(", ")}
+         | FROM documents),
+         |bucketed AS (SELECT n_chars,
+         |  1 + ${(0 until 9).map(i => s"(CASE WHEN n_chars > c$i THEN 1 ELSE 0 END)").mkString(" + ")} AS bucket
+         | FROM documents, cuts)
+         |SELECT bucket, count(*) AS n_docs, min(n_chars) AS min_chars,
+         | max(n_chars) AS max_chars
+         |FROM bucketed GROUP BY bucket""".stripMargin,
+
     // ivf_topk with nprobe == nlist probes every cell → exact: must equal
     // the brute-force oracle (same candidate set, same scoring, same
     // tiebreak) — upgrading the rows-only check to a full hash compare
@@ -730,6 +811,37 @@ object SparkEntry {
     "q15_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    "q16_pivot" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
+        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
+        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q17_unpivot" ->
+      """SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS value FROM customer
+        |UNION ALL
+        |SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer""".stripMargin,
+
+    "q18_corr_subquery" ->
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
+        |FROM orders o
+        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
+        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
+
+    "q19_set_ops" ->
+      """SELECT nationkey, 'both' AS side FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  INTERSECT SELECT s_nationkey AS nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'customer_only' AS side FROM (
+        |  SELECT c_nationkey AS nationkey FROM customer
+        |  EXCEPT SELECT s_nationkey AS nationkey FROM supplier)
+        |UNION ALL
+        |SELECT nationkey, 'supplier_only' AS side FROM (
+        |  SELECT s_nationkey AS nationkey FROM supplier
+        |  EXCEPT SELECT c_nationkey AS nationkey FROM customer)""".stripMargin,
 
     "q13_window_frames" ->
       """SELECT o_custkey, o_orderkey,
@@ -940,6 +1052,34 @@ object SparkEntry {
       |subs AS (
       | SELECT document_id, position, 0 AS sub_idx, content FROM pchunks WHERE length(content) <= 120
       | UNION ALL SELECT * FROM packed)""".stripMargin
+
+  /** Shared shingle→minhash→band→candidate-pair CTE prefix for the
+    * minhash_pairs / dup_clusters oracles (mirrors
+    * [[Dedup.minhashCandidates]] on `documents WHERE doc_id < 500`:
+    * 3-gram shingles, 8 affine hashes, 4 bands of 2). */
+  private lazy val minhashPairsCte: String = {
+    val params = Dedup.minhashParams(8)
+    val p = Dedup.minhashPrime
+    val sigDefs = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min((hv * $a + $b) % $p) AS sig_$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { bnd =>
+      s"SELECT id, $bnd AS band, CAST(sig_${2 * bnd} AS VARCHAR) || ':' || CAST(sig_${2 * bnd + 1} AS VARCHAR) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""WITH sh AS (
+       | SELECT doc_id AS id, unnest(list_distinct(
+       |   CASE WHEN len(words) >= 3
+       |    THEN list_transform(generate_series(1, len(words) - 2), i -> array_to_string(words[i : i + 2], ' '))
+       |    ELSE [array_to_string(words, ' ')] END)) AS shingle
+       | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+       |       FROM documents WHERE doc_id < 500)),
+       |h AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS hv FROM sh),
+       |sig AS (SELECT id, $sigDefs FROM h GROUP BY id),
+       |banded AS ($bandSelects),
+       |pairs AS (
+       | SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)""".stripMargin
+  }
 
   /** Shared line→section CTE prefix for the C1/C9 oracles (mirrors
     * [[Sections.sectionChunks]] exactly: header regexes, running-count

@@ -164,6 +164,28 @@ object Dedup {
       .select(col("id"), bitSum.as("simhash"))
   }
 
+  /** Canonical-keeper assignment from near-dup candidate pairs (the step
+    * after [[minhashCandidates]] in a training-data dedup pipeline): each
+    * document's cluster id is the minimum doc id among itself and its
+    * direct pair neighbors — one round of min-label propagation. For full
+    * transitive connected components this iterates to a fixed point
+    * (alternating large-star/small-star at scale); near-dup clusters are
+    * overwhelmingly tiny cliques, where one round already yields the
+    * canonical keeper. Shape: pairs doubled into (id, nbr) edges, one
+    * hash aggregate on id — no iteration in this single-round form. */
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+                  idCol: String = "doc_id"): DataFrame = {
+    val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    docs.select(col(idCol).as("id"))
+      .join(edges, Seq("id"), "left")
+      .groupBy(col("id"))
+      .agg(least(col("id"), min(col("nbr"))).as("cluster"))
+      .withColumn("cluster", coalesce(col("cluster"), col("id")))
+      .withColumn("is_canonical", col("cluster") === col("id"))
+      .select(col("id").as(idCol), col("cluster"), col("is_canonical"))
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ `threshold` among
     * vectors sharing a sign-LSH bucket (see [[Similarity.signBuckets]]) —
     * the scale path; brute-force variant available for small inputs. */

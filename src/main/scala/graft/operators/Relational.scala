@@ -180,4 +180,38 @@ object Relational {
     lineitem
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+
+  /** PIVOT: order totals by priority × status. Pivot values are given
+    * EXPLICITLY — with them the plan is a single two-phase hash aggregate
+    * (no extra distinct-values job, and a stable output schema at any
+    * scale). */
+  def pivotOrderStatus(orders: DataFrame,
+                       statuses: Seq[String] = Seq("F", "O", "P")): DataFrame =
+    orders
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", statuses)
+      .agg(round(sum(col("o_totalprice")), 2))
+
+  /** UNPIVOT (melt): wide numeric customer columns to (key, metric,
+    * value) long form — the inverse reshape, a zero-shuffle Expand:
+    * each input row fans out to one row per metric in place. */
+  def unpivotCustomer(customer: DataFrame): DataFrame =
+    customer
+      .select(col("c_custkey"), round(col("c_acctbal"), 2).as("acctbal"),
+        col("c_nationkey").cast("double").as("nationkey"))
+      .unpivot(Array(col("c_custkey")), Array(col("acctbal"), col("nationkey")),
+        "metric", "value")
+
+  /** INTERSECT / EXCEPT set ops: nations present on both the customer and
+    * supplier side, customer-only, and supplier-only — tagged union of the
+    * three disjoint layers. Catalyst rewrites INTERSECT to a left-semi and
+    * EXCEPT to a left-anti over the distinct keys, so each layer shuffles
+    * only the (tiny) distinct nation-key sets. */
+  def nationSetOps(customer: DataFrame, supplier: DataFrame): DataFrame = {
+    val cn = customer.select(col("c_nationkey").as("nationkey")).distinct()
+    val sn = supplier.select(col("s_nationkey").as("nationkey")).distinct()
+    cn.intersect(sn).withColumn("side", lit("both"))
+      .unionByName(cn.except(sn).withColumn("side", lit("customer_only")))
+      .unionByName(sn.except(cn).withColumn("side", lit("supplier_only")))
+  }
 }

@@ -86,6 +86,53 @@ object Retrieval {
       .select(col("question_id"), col(idCol), col("matches"), col("score"), col("rank"))
   }
 
+  /** BM25 ranking of questions over a document corpus — the standard
+    * lexical-retrieval upgrade over the reference's containment scoring
+    * (same query surface as [[keywordSearch]], principled weighting):
+    * score(q,d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene/Okapi form).
+    *
+    * Shape at scale: tokenize → (doc,term) tf + per-doc length in two
+    * hash aggregates over the corpus scan; document frequencies are one
+    * more aggregate on term; the question side is tiny and broadcast.
+    * All joins are equi-joins on term/doc — no theta join, no cross
+    * product; the final per-question top-k is WindowGroupLimit-pruned.
+    * idf is rounded to 6 decimals before weighting (ln is the one
+    * libm-dependent step; rounding pins cross-engine bit-stability). */
+  def bm25Search(questions: DataFrame, docs: DataFrame, k: Int,
+                 k1: Double = 1.2, b: Double = 0.75,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(col(textCol)), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val qTerms = broadcast(questions.select(col("question_id"),
+        explode(array_distinct(split(lower(col("question")), "\\s+"))).as("term"))
+      .filter(col("term") =!= ""))
+    val scored = qTerms
+      .join(tf, "term")
+      .join(dl, idCol)
+      .join(dfreq, "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", round(
+        log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))
+      .withColumn("w", col("idf") * (col("tf") * (k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+      // fixed-point micro-units before the sum: double addition is not
+      // associative, and aggregation order differs between engines (and
+      // between runs) — summing longs is exact and order-free.
+      .withColumn("w6", round(col("w") * 1e6, 0).cast("long"))
+      .groupBy(col("question_id"), col(idCol))
+      .agg(round(sum(col("w6")) / 1e6, 4).as("score"), count(lit(1)).as("n_terms"))
+    val w = Window.partitionBy(col("question_id")).orderBy(col("score").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("question_id"), col(idCol), col("n_terms"), col("score"), col("rank"))
+  }
+
   /** A4 answer summary: per question, result count + best-scoring hit
     * (reference `main.py:116,163`). */
   def answerSummary(ranked: DataFrame, qidCol: String = "question_id",

@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling / splitting / bucketing for the training-data
+  * pipeline tier: every operator here is a pure function of the data (md5
+  * of the key, never an RNG), so any engine — and any re-run over 100 TB —
+  * selects byte-identical subsets. Spark's `sample()`/`randomSplit()` are
+  * seed-stable only for a fixed partitioning, which no production table
+  * keeps; hash-based selection is the reproducible form.
+  */
+object Sampling {
+
+  /** Uniform hash of a key into [0, 65536): the first 4 hex chars of md5,
+    * parsed base-16. Cross-engine: DuckDB `('0x' || substr(md5(k),1,4))::BIGINT`. */
+  def md5Bucket64k(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("long")
+
+  /** Deterministic train/test split by hash threshold — scan-only, zero
+    * shuffle, stable under any partitioning, re-run, or engine: a row is
+    * `test` iff its key's hash bucket falls below `testFrac` of the hash
+    * space. The standard held-out split for a 100 TB corpus (a random
+    * split would need a persisted assignment to be reproducible). */
+  def trainTestSplit(df: DataFrame, keyCol: String,
+                     testFrac: Double = 0.1): DataFrame = {
+    val cut = math.round(testFrac * 65536).toInt
+    df.withColumn("bucket", md5Bucket64k(col(keyCol)))
+      .withColumn("split", when(col("bucket") < cut, "test").otherwise("train"))
+  }
+
+  /** Stratified sample with EXACT per-stratum counts: within each stratum
+    * rank rows by key hash (deterministic shuffle order) and keep the
+    * first ceil(frac·|stratum|). One window shuffle partitioned by the
+    * stratum — fine while strata are numerous/balanced; for a handful of
+    * giant strata prefer [[trainTestSplit]]'s thresholding per stratum
+    * (scan-only, approximate counts) over ranking a hot partition. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, keyCol: String,
+                       frac: Double = 0.1): DataFrame = {
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(md5Bucket64k(col(keyCol)), col(keyCol))
+    val n = Window.partitionBy(col(stratumCol))
+    df.withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(n))
+      .filter(col("_rk") <= ceil(col("_n") * frac))
+      .drop("_rk", "_n")
+  }
+
+  /** Quantile bucketing without a global sort: cutoffs from one
+    * distributed `percentile` aggregate (both engines define the
+    * continuous quantile identically), bucket membership from a
+    * broadcast compare — scan-parallel at any scale, unlike `ntile()`
+    * over an unpartitioned window, which Spark executes in a SINGLE
+    * task. Buckets can be unequal when values tie across a cutoff;
+    * that is inherent to value-based bucketing and identical in any
+    * engine. */
+  def quantileBuckets(df: DataFrame, valCol: String,
+                      nBuckets: Int = 10): DataFrame = {
+    val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
+    // ONE percentile buffer for all cutoffs (array form), then unpack
+    val cuts = df
+      .agg(expr(s"percentile($valCol, array(${qs.mkString(",")}))").as("_cs"))
+      .select((0 until qs.size).map(i => round(col("_cs")(i), 4).as(s"c$i")): _*)
+    val bucket = (0 until qs.size)
+      .map(i => when(col(valCol) > col(s"c$i"), 1).otherwise(0))
+      .reduce(_ + _) + 1
+    df.crossJoin(broadcast(cuts)).withColumn("bucket", bucket)
+      .drop((0 until qs.size).map(i => s"c$i"): _*)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Relational, Retrieval, Sampling}
+
+class SamplingRelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq.tabulate(100)(i =>
+    (i.toLong, s"word$i common text ${"x " * (i % 7)}", if (i % 3 == 0) "en" else "de",
+      10L + i)).toDF("doc_id", "text", "lang", "n_chars")
+
+  test("train/test split is deterministic, keyed, and ~10% test") {
+    val a = Sampling.trainTestSplit(docs, "doc_id").select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val b = Sampling.trainTestSplit(docs.repartition(7), "doc_id")
+      .select("doc_id", "split")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(a === b) // partitioning-invariant: pure function of the key
+    val testFrac = a.values.count(_ == "test").toDouble / a.size
+    assert(testFrac > 0.0 && testFrac < 0.3)
+  }
+
+  test("stratified sample keeps exactly ceil(frac*n) per stratum") {
+    val out = Sampling.stratifiedSample(docs, "lang", "doc_id", frac = 0.1)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (lang, n) =>
+      assert(counts(lang) === math.ceil(n * 0.1).toLong, s"stratum $lang") }
+  }
+
+  test("quantile buckets cover all rows and respect cutoff ordering") {
+    val out = Sampling.quantileBuckets(docs, "n_chars", nBuckets = 4)
+    assert(out.count() === 100)
+    val perBucket = out.groupBy("bucket")
+      .agg(min("n_chars").as("lo"), max("n_chars").as("hi"))
+      .orderBy("bucket").collect()
+    // value ranges of consecutive buckets must not interleave
+    perBucket.sliding(2).foreach {
+      case Array(a, b) => assert(a.getAs[Long]("hi") <= b.getAs[Long]("lo"))
+      case _ => ()
+    }
+  }
+
+  test("pivot equals manual conditional aggregation") {
+    val orders = Seq((1L, "F", "HIGH", 10.0), (2L, "O", "HIGH", 20.0),
+      (3L, "F", "LOW", 5.0), (4L, "P", "LOW", 2.5))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val out = Relational.pivotOrderStatus(orders).orderBy("o_orderpriority").collect()
+    assert(out.map(_.getString(0)).toSeq === Seq("HIGH", "LOW"))
+    assert(out(0).getAs[Double]("F") === 10.0 && out(0).getAs[Double]("O") === 20.0)
+    assert(out(0).isNullAt(out(0).fieldIndex("P")))
+    assert(out(1).getAs[Double]("P") === 2.5)
+  }
+
+  test("unpivot emits one row per (key, metric)") {
+    val cust = Seq((1L, 50.5, 3)).toDF("c_custkey", "c_acctbal", "c_nationkey")
+    val out = Relational.unpivotCustomer(cust).orderBy("metric").collect()
+    assert(out.map(r => (r.getString(1), r.getDouble(2))).toSeq ===
+      Seq(("acctbal", 50.5), ("nationkey", 3.0)))
+  }
+
+  test("set ops split nation keys into disjoint tagged layers") {
+    val cust = Seq(1, 1, 2, 3).map(n => (n.toLong, n)).toDF("c_custkey", "c_nationkey")
+    val supp = Seq(2, 3, 4).map(n => (n.toLong, n)).toDF("s_suppkey", "s_nationkey")
+    val out = Relational.nationSetOps(cust, supp)
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toSet
+    assert(out === Set(2 -> "both", 3 -> "both", 1 -> "customer_only", 4 -> "supplier_only"))
+  }
+
+  test("bm25 ranks the doc with more matching rarer terms first") {
+    val corpus = (Seq((0L, "apple banana cherry"), (1L, "apple apple apple"),
+      (2L, "banana date elderberry")) ++
+      Seq.tabulate(20)(i => (10L + i, "filler text goes here"))).toDF("doc_id", "text")
+    val qs = Seq((0, "apple banana")).toDF("question_id", "question")
+    val out = Retrieval.bm25Search(qs, corpus, k = 3).orderBy("rank").collect()
+    // doc 0 matches both terms; docs 1/2 one each
+    assert(out.head.getAs[Long]("doc_id") === 0L)
+    assert(out.head.getAs[Long]("n_terms") === 2L)
+    assert(out.length === 3)
+    val scores = out.map(_.getAs[Double]("score"))
+    assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
+  }
+
+  test("dup clusters: every member points at the minimum id of its pair group") {
+    val d = Seq.tabulate(6)(i => Tuple1(i.toLong)).toDF("doc_id")
+    val pairs = Seq((0L, 3L), (3L, 5L), (1L, 2L)).toDF("id_a", "id_b")
+    val out = Dedup.dupClusters(d, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(0L) === (0L, true))
+    assert(out(3L) === (0L, false))
+    assert(out(5L) === (3L, false)) // one-hop label: 5's neighbors = {3}
+    assert(out(1L) === (1L, true) && out(2L) === (1L, false))
+    assert(out(4L) === (4L, true)) // isolated doc is its own canonical
+  }
+}
