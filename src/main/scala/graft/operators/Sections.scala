@@ -14,12 +14,13 @@ import org.apache.spark.sql.functions._
   * `document_processing_service.py:273-349`, regexes :311-316), with an
   * implicit "Introduction" section for text before the first header.
   *
-  * Re-expressed relationally (no per-document loop): explode lines with
-  * positions → flag header lines → running count of headers = section id
-  * → group. One shuffle on (doc, section); the per-group ordered
-  * reassembly uses sort-by-position inside the aggregate, so the plan is
-  * deterministic under any partitioning — the property that matters at
-  * 100 TB where input order is never physical order.
+  * Re-expressed as a pure per-row generator (no per-document loop, and —
+  * unlike the explode→window→group formulation — no shuffle at all):
+  * header positions come from one `filter(sequence(...))` pass over the
+  * line array, section spans from the positions, and the (title, body)
+  * structs from a `transform` + `explode`. Parallelism = input splits;
+  * at 100 TB the operator never moves a byte across the network, the
+  * same property the other chunkers (C2/C6/CDC) already have.
   */
 object Sections {
 
@@ -43,25 +44,35 @@ object Sections {
     * non-empty section content). */
   def sectionChunks(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val lines = docs.select(col(idCol).as("document_id"),
-        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
-      .withColumn("is_header", isHeader(col("line")))
-    val w = Window.partitionBy(col("document_id")).orderBy(col("line_idx"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lines
-      .withColumn("section_idx", sum(col("is_header").cast("int")).over(w))
-      .groupBy(col("document_id"), col("section_idx"))
-      .agg(
-        coalesce(max(when(col("is_header"), trim(col("line")))), lit("Introduction"))
+    // _lines / _hpos are materialized as plain attributes in their own
+    // projections: both are referenced inside lambda bodies below, and an
+    // inlined once-used alias re-evaluates per element (the interpreted-
+    // HOF pitfall documented in Dedup.shinglesFromWords).
+    val withLines = docs.select(col(idCol).as("document_id"),
+      split(col(textCol), "\n").as("_lines"))
+    // 1-based positions of header lines, one regex pass over the lines
+    val withHpos = withLines.withColumn("_hpos",
+      filter(sequence(lit(1), size(col("_lines"))),
+        i => isHeader(element_at(col("_lines"), i))))
+    // section k spans lines (_starts[k], _ends[k]): the pseudo-header at
+    // position 0 is the "Introduction" preamble before the first header
+    val withSpans = withHpos.select(col("document_id"), col("_lines"),
+      concat(array(lit(0)), col("_hpos")).as("_starts"),
+      concat(col("_hpos"), array(size(col("_lines")) + 1)).as("_ends"))
+    val sections = transform(sequence(lit(0), size(col("_starts")) - 1), k =>
+      struct(
+        k.cast("long").as("section_idx"),
+        when(k === 0, lit("Introduction"))
+          .otherwise(trim(element_at(col("_lines"), element_at(col("_starts"), k + 1))))
           .as("section_title"),
-        // collect_list drops nulls, so non-header-only; array_sort on the
-        // (line_idx, line) struct restores document order regardless of
-        // partitioning.
-        array_join(
-          transform(array_sort(collect_list(when(!col("is_header"),
-            struct(col("line_idx"), col("line"))))), s => s.getField("line")),
-          "\n").as("body"))
-      .withColumn("content", trim(col("body")))
+        trim(array_join(slice(col("_lines"),
+          element_at(col("_starts"), k + 1) + 1,
+          element_at(col("_ends"), k + 1) - element_at(col("_starts"), k + 1) - 1),
+          "\n")).as("content")))
+    withSpans
+      .select(col("document_id"), explode(sections).as("s"))
+      .select(col("document_id"), col("s.section_idx").as("section_idx"),
+        col("s.section_title").as("section_title"), col("s.content").as("content"))
       .filter(length(col("content")) > 0)
       .select(
         concat_ws("_", col("document_id"), concat(lit("s"), col("section_idx")))

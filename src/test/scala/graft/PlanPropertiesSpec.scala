@@ -93,4 +93,31 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Exchange"))
     assert(p.contains("Generate"))
   }
+
+  test("section chunking is a pure generator — no shuffle at all") {
+    val p = plan("c1_sections")
+    assert(!p.contains("Exchange"),
+      "sections must not shuffle: header spans are per-row array ops")
+    assert(p.contains("Generate"))
+  }
+
+  test("train/test split is scan-only: no shuffle, no aggregate") {
+    val p = planTree("split_train_test")
+    assert(!p.contains("Exchange") && !p.contains("HashAggregate"),
+      "hash-threshold selection must stay map-side")
+  }
+
+  test("quantile bucketing broadcasts cutoffs instead of sorting globally") {
+    val p = planTree("len_deciles")
+    assert(!p.contains("Window"), "no ntile: a global window would run in one task")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "cutoff row must broadcast")
+  }
+
+  test("bm25 joins are all equi-joins; question side broadcast") {
+    val p = planTree("bm25_search")
+    assert(!p.contains("CartesianProduct"))
+    assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
+      "per-question top-k must prune before the shuffle")
+  }
 }
