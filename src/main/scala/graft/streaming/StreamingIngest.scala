@@ -157,6 +157,30 @@ object StreamingIngest {
         sink(graft.operators.Retrieval.knnCosine(batch, index, k))
       }
 
+  /** Stream-stream interval join: each click joined to the purchases of
+    * the same user that happen within `windowSec` AFTER it — the
+    * streaming twin of [[graft.operators.AsOf.rangeJoin]]. Both sides
+    * carry watermarks and the join condition bounds event time in both
+    * directions, so Spark can size the state store and EVICT rows the
+    * watermark has passed — without the time bound the state grows
+    * forever. The join key is the user equi-key; the interval is a
+    * post-condition on it, exactly the skew-safe shape the batch range
+    * join uses. */
+  def clickPurchaseJoin(clicks: DataFrame, purchases: DataFrame,
+                        windowSec: Int = 600, watermark: String = "1 hour"): DataFrame = {
+    val l = clicks.withWatermark("ts", watermark)
+      .select(col("user_id"), col("event_id").as("click_id"), col("ts").as("click_ts"))
+    val r = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    l.join(r,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") > col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowSec SECONDS"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   // ---- custom state: flatMapGroupsWithState ---------------------------
 
   case class FpDoc(fp: String, doc_id: Long, ingest_epoch: Long)

@@ -31,6 +31,40 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks to in-window purchases") {
+    import org.apache.spark.sql.functions._
+    implicit val sqlCtx = spark.sqlContext
+    // offset event times away from epoch 0: the join's late-row filter
+    // drops rows with event_time <= watermark, and the INITIAL watermark
+    // is epoch 0 — a row stamped exactly 1970-01-01T00:00:00 is "late"
+    // before the first batch even runs
+    val ts = (s: Long) => new java.sql.Timestamp((1000000L + s) * 1000)
+    val clicks = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val purchases = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def shape(ms: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      ms.toDF().toDF("user_id", "event_id", "ts")
+    // watermark wider than the event-time span: the two MemoryStreams can
+    // land in different micro-batches, and a tight watermark would then
+    // (correctly) drop the older purchases as late data
+    val joined = StreamingIngest.clickPurchaseJoin(
+      shape(clicks), shape(purchases), windowSec = 600, watermark = "10 hours")
+    // enqueue BEFORE start so batch 0 sees both sides
+    clicks.addData((1L, 10L, ts(0)), (1L, 11L, ts(5000)), (2L, 12L, ts(0)))
+    purchases.addData(
+      (1L, 90L, ts(300)),   // within 10 min of click 10
+      (1L, 91L, ts(2000)),  // > 10 min after click 10, before click 11
+      (2L, 92L, ts(0)))     // same instant: excluded (strict >)
+    val q = joined.writeStream.format("memory").queryName("cp_join")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val out = spark.table("cp_join")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(out === Set((10L, 90L)))
+    } finally q.stop()
+  }
+
   test("binaryFile scan + MIME sniff over real bytes (S3 coverage)") {
     import org.apache.spark.sql.functions._
     import graft.operators.Validation
