@@ -104,6 +104,10 @@ object SparkEntry {
     }),
     "q19_set_ops" -> ((s, d) =>
       Relational.nationSetOps(Tables.customer(s, d), Tables.supplier(s, d))),
+    // HLL/KLL sketch aggregates: sketch estimates are engine-specific →
+    // deliberately NO oracleSql entry (driver records the rows-only
+    // check); the exact columns in the same row bound the error.
+    "approx_stats" -> ((s, d) => Relational.approxEventStats(Tables.events(s, d))),
 
     // --- chunking (SURVEY §2.3) ----------------------------------------
     "c2_paragraph_chunks" -> ((s, d) => Chunking.paragraphChunks(Tables.documents(s, d))),

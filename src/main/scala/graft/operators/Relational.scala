@@ -181,6 +181,24 @@ object Relational {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
 
+  /** Sketch-based approximate aggregates — the 100 TB form of distinct
+    * counting and quantiles: `approx_count_distinct` is a HyperLogLog++
+    * sketch (fixed ~kB state per group, partial-combinable, one shuffle
+    * of sketches instead of a distinct-expand), `approx_percentile` a
+    * KLL-style quantile sketch. Exact counterparts ride along so callers
+    * (and the spec) can bound the relative error. Sketch values are
+    * engine-specific → this operator is rows-only at the oracle (the
+    * exact columns are the cross-check). */
+  def approxEventStats(events: DataFrame, rsd: Double = 0.05): DataFrame =
+    events
+      .groupBy(col("event_type"))
+      .agg(
+        approx_count_distinct(col("user_id"), rsd).as("approx_users"),
+        count_distinct(col("user_id")).as("exact_users"),
+        expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
+        round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+        count(lit(1)).as("n_events"))
+
   /** PIVOT: order totals by priority × status. Pivot values are given
     * EXPLICITLY — with them the plan is a single two-phase hash aggregate
     * (no extra distinct-values job, and a stable output schema at any

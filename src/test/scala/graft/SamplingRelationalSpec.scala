@@ -84,6 +84,59 @@ class SamplingRelationalSpec extends SparkSpec {
     assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("approx sketches land within tolerance of the exact aggregates") {
+    val events = Seq.tabulate(5000)(i =>
+      (s"t${i % 3}", (i * 7919L) % 1200, (i % 100).toDouble))
+      .toDF("event_type", "user_id", "value")
+    val out = graft.operators.Relational.approxEventStats(events).collect()
+    assert(out.length === 3)
+    out.foreach { r =>
+      val (approx, exact) = (r.getAs[Long]("approx_users"), r.getAs[Long]("exact_users"))
+      assert(math.abs(approx - exact).toDouble / exact < 0.15,
+        s"HLL estimate $approx too far from exact $exact")
+      val (p50a, p50e) = (r.getAs[Double]("approx_p50"), r.getAs[Double]("exact_p50"))
+      assert(math.abs(p50a - p50e) <= 2.0, s"approx p50 $p50a vs exact $p50e")
+    }
+  }
+
+  test("bucketed tables co-locate the join: no shuffle at read time") {
+    import graft.io.Tables
+    val orders = Seq.tabulate(1000)(i => (i.toLong, (i % 50).toLong, i * 1.5))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val customers = Seq.tabulate(50)(i => (i.toLong, s"c$i"))
+      .toDF("c_custkey", "c_name")
+    // a fresh in-memory catalog doesn't know about a previous JVM's
+    // managed-table dirs — clear them or saveAsTable refuses the location
+    for (t <- Seq("orders_bkt", "cust_bkt")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val dir = new java.io.File(
+        spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), t)
+      if (dir.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+        }
+        rm(dir)
+      }
+    }
+    Tables.writeBucketed(orders, "orders_bkt", 8, "o_custkey")
+    Tables.writeBucketed(customers, "cust_bkt", 8, "c_custkey")
+    // join AND aggregate on the bucket key: both consume the bucketed
+    // distribution, so the whole plan runs without a single Exchange
+    val joined = spark.table("orders_bkt")
+      .join(spark.table("cust_bkt"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_custkey")).agg(sum(col("o_totalprice")).as("total"))
+    // disable broadcast so the bucket co-location (not the small size) is
+    // what removes the exchanges
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 50)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+  }
+
   test("dup clusters: every member points at the minimum id of its pair group") {
     val d = Seq.tabulate(6)(i => Tuple1(i.toLong)).toDF("doc_id")
     val pairs = Seq((0L, 3L), (3L, 5L), (1L, 2L)).toDF("id_a", "id_b")
