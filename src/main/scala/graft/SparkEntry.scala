@@ -194,6 +194,10 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))),
+    "sq_embeddings" -> ((s, d) =>
+      Similarity.scalarQuantize(Tables.embeddings(s, d))),
+    "label_centroids" -> ((s, d) =>
+      Embedding.labelCentroids(Tables.embeddings(s, d))),
     "e4_l2norm" -> ((s, d) =>
       Tables.embeddings(s, d).select(
         col("vec_id"),
@@ -507,6 +511,26 @@ object SparkEntry {
         |  list_transform(embedding::DOUBLE[],
         |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS n
         | FROM embeddings)""".stripMargin,
+
+    "sq_embeddings" ->
+      """SELECT vec_id,
+        | round(lo, 6) AS q_min,
+        | round((hi - lo) / 255.0, 9) AS q_scale,
+        | to_json(list_transform(embedding, x -> CASE WHEN hi = lo THEN 0
+        |   ELSE CAST(round((CAST(x AS DOUBLE) - lo) / ((hi - lo) / 255.0)) AS INTEGER)
+        |  END))::VARCHAR AS q_codes
+        |FROM (SELECT vec_id, embedding,
+        |  CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |  CAST(list_max(embedding) AS DOUBLE) AS hi
+        | FROM embeddings)""".stripMargin,
+
+    "label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS pos, count(*) AS n_vectors,
+        | round(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
+        |   / count(*) / 1000000.0, 6) AS mean_c
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        |GROUP BY label, i""".stripMargin,
 
     "knn_cosine" ->
       """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),

@@ -64,4 +64,23 @@ object Embedding {
       .groupBy(col("doc_id"), col("bucket"))
       .agg(count(lit(1)).as("tf"))
   }
+
+  /** Per-label centroid components — class prototypes for
+    * nearest-centroid classification / cluster summaries over the
+    * embedding table. Component values go through fixed-point micro-units
+    * before the sum (double addition is order-dependent; long addition is
+    * exact), so the result is bit-identical on any engine and any
+    * partitioning. Shape: one posexplode + one hash aggregate on
+    * (label, position) — the exactness-first form. Where bit-exactness
+    * isn't required, MLlib `Summarizer.mean` does the same in one
+    * aggregate over whole vectors (partial-combined, less shuffle
+    * volume). */
+  def labelCentroids(vecs: DataFrame, labelCol: String = "label",
+                     vecCol: String = "embedding"): DataFrame =
+    vecs
+      .select(col(labelCol), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .withColumn("x6", round(col("x").cast("double") * 1e6, 0).cast("long"))
+      .groupBy(col(labelCol), col("pos"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum(col("x6")) / count(lit(1)) / 1e6, 6).as("mean_c"))
 }

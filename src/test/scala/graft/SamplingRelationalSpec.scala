@@ -137,6 +137,44 @@ class SamplingRelationalSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
   }
 
+  test("scalar quantization reconstructs within half a step") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.tabulate(50)(i =>
+      (i.toLong, Seq.fill(16)(rnd.nextFloat() * 4 - 2))).toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantize(vecs)
+      .join(vecs, "vec_id")
+      .selectExpr("vec_id", "q_min", "q_scale",
+        "from_json(q_codes, 'array<int>') AS codes", "embedding")
+      .collect()
+    out.foreach { r =>
+      val (qmin, qscale) = (r.getDouble(1), r.getDouble(2))
+      val codes = r.getSeq[Int](3); val orig = r.getSeq[Float](4)
+      codes.zip(orig).foreach { case (c, x) =>
+        assert(c >= 0 && c <= 255)
+        assert(math.abs((qmin + c * qscale) - x) <= qscale * 0.51 + 1e-6,
+          s"dequant error beyond half a step for $x") }
+    }
+  }
+
+  test("scalar quantization of a constant vector is all zeros, scale 0") {
+    import graft.operators.Similarity
+    val vecs = Seq((1L, Seq(0.5f, 0.5f, 0.5f))).toDF("vec_id", "embedding")
+    val r = Similarity.scalarQuantize(vecs).head()
+    assert(r.getDouble(2) === 0.0 && r.getString(3) === "[0,0,0]")
+  }
+
+  test("label centroids equal the arithmetic mean per component") {
+    import graft.operators.Embedding
+    val vecs = Seq(
+      (0, Seq(1.0f, 2.0f)), (0, Seq(3.0f, 6.0f)), (1, Seq(10.0f, 0.0f)))
+      .toDF("label", "embedding")
+    val out = Embedding.labelCentroids(vecs)
+      .orderBy("label", "pos").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq === Seq((0, 0, 2L, 2.0), (0, 1, 2L, 4.0), (1, 0, 1L, 10.0), (1, 1, 1L, 0.0)))
+  }
+
   test("dup clusters: every member points at the minimum id of its pair group") {
     val d = Seq.tabulate(6)(i => Tuple1(i.toLong)).toDF("doc_id")
     val pairs = Seq((0L, 3L), (3L, 5L), (1L, 2L)).toDF("id_a", "id_b")
