@@ -200,15 +200,21 @@ object Relational {
         count(lit(1)).as("n_events"))
 
   /** PIVOT: order totals by priority × status. Pivot values are given
-    * EXPLICITLY — with them the plan is a single two-phase hash aggregate
-    * (no extra distinct-values job, and a stable output schema at any
-    * scale). */
+    * EXPLICITLY — no extra distinct-values job, and a stable output
+    * schema at any scale. Catalyst plans pivot as two aggregates (a
+    * pre-aggregate on (groupBy, pivot) keys, then PivotFirst on the
+    * groupBy key); that shape is scale-correct because the first
+    * aggregate collapses the scan to |groups × pivot values| rows
+    * before the second shuffle. The aggregate is a bare `sum` (rounding
+    * on the pivoted output) so the pre-aggregate stays partial-combinable. */
   def pivotOrderStatus(orders: DataFrame,
                        statuses: Seq[String] = Seq("F", "O", "P")): DataFrame =
     orders
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", statuses)
-      .agg(round(sum(col("o_totalprice")), 2))
+      .agg(sum(col("o_totalprice")))
+      .select(col("o_orderpriority") +:
+        statuses.map(v => round(col(v), 2).as(v)): _*)
 
   /** UNPIVOT (melt): wide numeric customer columns to (key, metric,
     * value) long form — the inverse reshape, a zero-shuffle Expand:
