@@ -181,6 +181,12 @@ object SparkEntry {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
       Dedup.dupClusters(docs, Dedup.minhashCandidates(docs))
     }),
+    // iterated min-label propagation to the fixed point — TRUE connected
+    // components; oracle = transitive closure via recursive CTE
+    "dup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      Dedup.connectedComponents(docs, Dedup.minhashCandidates(docs))
+    }),
 
     // --- deterministic sampling / splitting tier -----------------------
     "split_train_test" -> ((s, d) =>
@@ -464,6 +470,19 @@ object SparkEntry {
          |SELECT id_a, id_b, round(($matchSum) / 8.0, 4) AS est_jaccard
          |FROM pairs JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b""".stripMargin
     },
+
+    "dup_components" ->
+      s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+         |          UNION ALL SELECT id_b AS id, id_a AS nbr FROM pairs),
+         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+         |reach(id, lbl) AS (
+         |  SELECT id, id AS lbl FROM docs0
+         |  UNION
+         |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)
+         |SELECT id AS doc_id, min(lbl) AS cluster,
+         | (min(lbl) = id) AS is_canonical
+         |FROM reach GROUP BY id""".stripMargin,
 
     "dup_clusters" ->
       s"""$minhashPairsCte,

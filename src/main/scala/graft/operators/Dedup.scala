@@ -186,6 +186,43 @@ object Dedup {
       .select(col("id").as(idCol), col("cluster"), col("is_canonical"))
   }
 
+  /** TRUE connected components over the candidate-pair graph — iterated
+    * min-label propagation to a fixed point (the transitive closure
+    * [[dupClusters]]'s single round approximates). Per iteration: each
+    * node takes the minimum label among itself and its neighbors — one
+    * equi-join + one hash aggregate, both distributable; the driver loop
+    * checks a convergence COUNT and stops when no label changed.
+    * Iterations needed = graph diameter (near-dup clusters: a handful);
+    * `localCheckpoint` truncates the growing lineage each round so plan
+    * size stays constant. This is the standard large-scale CC shape
+    * (label propagation; alternating large/small-star is the same idea
+    * with better skew behavior on giant components). */
+  def connectedComponents(docs: DataFrame, pairs: DataFrame,
+                          idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
+      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+      .localCheckpoint()
+    var labels = dupClusters(docs, pairs, idCol)
+      .select(col(idCol).as("id"), col("cluster")).localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // candidate label from each neighbor's current label
+      val viaNbr = edges.join(labels.withColumnRenamed("id", "nbr"), "nbr")
+        .groupBy(col("id")).agg(min(col("cluster")).as("nbr_cluster"))
+      val next = labels.join(viaNbr, Seq("id"), "left")
+        .select(col("id"),
+          least(col("cluster"), col("nbr_cluster")).as("cluster"),
+          (col("nbr_cluster") < col("cluster")).as("_changed"))
+      val materialized = next.localCheckpoint()
+      converged = materialized.filter(col("_changed")).isEmpty
+      labels = materialized.drop("_changed")
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("cluster"),
+      (col("cluster") === col("id")).as("is_canonical"))
+  }
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ `threshold` among
     * vectors sharing a sign-LSH bucket (see [[Similarity.signBuckets]]) —
     * the scale path; brute-force variant available for small inputs. */

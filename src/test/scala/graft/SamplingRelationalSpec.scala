@@ -175,6 +175,21 @@ class SamplingRelationalSpec extends SparkSpec {
     assert(out.toSeq === Seq((0, 0, 2L, 2.0), (0, 1, 2L, 4.0), (1, 0, 1L, 10.0), (1, 1, 1L, 0.0)))
   }
 
+  test("connected components converge on a multi-hop chain where one-hop is wrong") {
+    val d = Seq.tabulate(8)(i => Tuple1(i.toLong)).toDF("doc_id")
+    // chain 0-3-5-6-7 (diameter 4) + pair 1-2 + isolated 4
+    val pairs = Seq((3L, 5L), (0L, 3L), (5L, 6L), (6L, 7L), (1L, 2L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 0L, 3L -> 0L, 5L -> 0L, 6L -> 0L, 7L -> 0L,
+      1L -> 1L, 2L -> 1L, 4L -> 4L))
+    // the single-round approximation provably differs on the chain tail
+    val oneHop = Dedup.dupClusters(d, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(oneHop(7L) === 6L && out(7L) === 0L)
+  }
+
   test("dup clusters: every member points at the minimum id of its pair group") {
     val d = Seq.tabulate(6)(i => Tuple1(i.toLong)).toDF("doc_id")
     val pairs = Seq((0L, 3L), (3L, 5L), (1L, 2L)).toDF("id_a", "id_b")
