@@ -234,6 +234,15 @@ object SparkEntry {
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
         e.filter(col("vec_id") >= 5), k = 10, dims = 4)
     }),
+    // multi-probe LSH: also probes the two nearest Hamming-1 buckets —
+    // higher recall, same distributable equi-join shape
+    "lsh_multiprobe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        e.filter(col("vec_id") >= 5), k = 10, dims = 4, probes = 3)
+    }),
     // IVF ANN: KMeans cell assignment isn't reproducible in DuckDB →
     // rows-only check (row count = k × |queries| is deterministic).
     "ivf_topk" -> ((s, d) => {
@@ -587,6 +596,30 @@ object SparkEntry {
         | SELECT q_vec_id, vec_id,
         |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
         | FROM q JOIN c USING (bucket))
+        |SELECT q_vec_id, vec_id, score, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
+        | FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "lsh_multiprobe" ->
+      """WITH b AS (
+        | SELECT vec_id, embedding,
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        | FROM embeddings),
+        |q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, bucket AS b0
+        |      FROM b WHERE vec_id < 5),
+        |qp AS (SELECT q_vec_id, qe, unnest([b0,
+        |   (CASE WHEN substr(b0, 1, 1) = '1' THEN '0' ELSE '1' END) || substr(b0, 2),
+        |   substr(b0, 1, 1) ||
+        |     (CASE WHEN substr(b0, 2, 1) = '1' THEN '0' ELSE '1' END) || substr(b0, 3)
+        |  ]) AS bucket FROM q),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e, bucket FROM b WHERE vec_id >= 5),
+        |scored AS (
+        | SELECT q_vec_id, vec_id,
+        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
+        | FROM qp JOIN c USING (bucket))
         |SELECT q_vec_id, vec_id, score, rank FROM (
         | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
         | FROM scored) WHERE rank <= 10""".stripMargin,

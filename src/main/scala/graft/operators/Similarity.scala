@@ -33,13 +33,28 @@ object Similarity {
       when(element_at(VectorOps.asDouble(vec), i + 1) >= 0, "1").otherwise("0")): _*)
 
   /** LSH-bucketed approximate top-k: only candidates in the query's
-    * bucket are scored. With `dims` hyperplanes the candidate set shrinks
-    * ~2^dims-fold; recall loss is the standard LSH tradeoff (multi-probe =
-    * union over several `dims` values if needed). */
+    * bucket(s) are scored. With `dims` hyperplanes the candidate set
+    * shrinks ~2^dims-fold; recall loss is the standard LSH tradeoff.
+    * `probes` > 1 is MULTI-PROBE LSH — the query additionally probes the
+    * buckets at Hamming distance 1 (first `probes-1` bit flips), trading
+    * a linear candidate-set increase for recall on near-boundary vectors.
+    * Probe buckets are distinct, so each candidate is scored at most
+    * once; the probe fan-out lives on the tiny broadcast side only. */
   def lshTopK(queries: DataFrame, candidates: DataFrame, k: Int, dims: Int = 4,
+              probes: Int = 1,
               qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val qb = broadcast(queries.withColumn("bucket", signBucket(col(qvecCol), dims)))
+    require(probes >= 1 && probes <= dims + 1,
+      s"probes must be in [1, dims+1], got $probes for dims=$dims")
+    val qb0 = queries.withColumn("_b0", signBucket(col(qvecCol), dims))
+    def flipAt(i: Int): Column = concat(
+      substring(col("_b0"), 1, i - 1),
+      when(substring(col("_b0"), i, 1) === "1", "0").otherwise("1"),
+      substring(col("_b0"), i + 1, dims - i))
+    val variants = col("_b0") +: (1 to dims).map(flipAt)
+    val qb = broadcast(qb0
+      .withColumn("bucket", explode(array(variants.take(probes): _*)))
+      .drop("_b0"))
     val cb = candidates.withColumn("bucket", signBucket(col(vecCol), dims))
     val scored = qb.join(cb, "bucket")
       .withColumn("score", round(VectorOps.cosine(col(qvecCol), col(vecCol)), 4))

@@ -20,6 +20,26 @@ class HybridSaltedSpec extends SparkSpec {
     assert(ivf === exact)
   }
 
+  test("multi-probe LSH never hurts recall and never scores a candidate twice") {
+    val rnd = new scala.util.Random(21)
+    def vec() = Seq.fill(12)(rnd.nextFloat() * 2 - 1)
+    val cands = Seq.tabulate(300)(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val qs = Seq.tabulate(5)(i => (i.toLong, vec())).toDF("q_vec_id", "q_embedding")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_vec_id", "vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(qs, cands, k = 5))
+    val single = Similarity.lshTopK(qs, cands, k = 5, dims = 4, probes = 1)
+    val multi = Similarity.lshTopK(qs, cands, k = 5, dims = 4, probes = 5)
+    val dups = multi.groupBy("q_vec_id", "vec_id").count()
+      .filter(col("count") > 1).count()
+    assert(dups === 0)
+    val rs = (hits(single) & exact).size
+    val rm = (hits(multi) & exact).size
+    assert(rm >= rs, s"multi-probe recall $rm fell below single-probe $rs")
+    assert(rm > 0)
+  }
+
   test("IVF cells partition the candidates: each id scored at most once per query") {
     val rnd = new scala.util.Random(11)
     def vec() = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
