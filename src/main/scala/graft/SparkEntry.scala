@@ -202,6 +202,8 @@ object SparkEntry {
           max(col("n_chars")).as("max_chars"))),
     "sq_embeddings" -> ((s, d) =>
       Similarity.scalarQuantize(Tables.embeddings(s, d))),
+    "jl_projection" -> ((s, d) =>
+      Embedding.randomProjection(Tables.embeddings(s, d), inDim = 64, outDim = 16)),
     "label_centroids" -> ((s, d) =>
       Embedding.labelCentroids(Tables.embeddings(s, d))),
     "e4_l2norm" -> ((s, d) =>
@@ -551,6 +553,22 @@ object SparkEntry {
         |  CAST(list_min(embedding) AS DOUBLE) AS lo,
         |  CAST(list_max(embedding) AS DOUBLE) AS hi
         | FROM embeddings)""".stripMargin,
+
+    "jl_projection" ->
+      """WITH m AS (
+        | SELECT j, i,
+        |  CASE WHEN ('0x' || substr(md5(j || ':' || i), 1, 15))::BIGINT % 2 = 1
+        |   THEN 1 ELSE -1 END AS s
+        | FROM generate_series(0, 15) t(j), generate_series(0, 63) u(i)),
+        |x AS (
+        | SELECT vec_id, i - 1 AS i,
+        |  CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        | FROM embeddings,
+        |   LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g)
+        |SELECT vec_id, CAST(j AS INTEGER) AS out_pos,
+        | CAST(sum(x6 * s) AS DOUBLE) * (1.0 / sqrt(16.0)) / 1000000.0 AS y
+        |FROM x JOIN m USING (i)
+        |GROUP BY vec_id, j""".stripMargin,
 
     "label_centroids" ->
       """SELECT label, CAST(i - 1 AS INTEGER) AS pos, count(*) AS n_vectors,

@@ -65,6 +65,50 @@ object Embedding {
       .agg(count(lit(1)).as("tf"))
   }
 
+  /** ±1 sign from md5 of "j:i" — the matrix entry formula shared
+    * verbatim with the DuckDB oracle, so both engines build the same
+    * projection matrix from nothing but md5. */
+  private def md5SignRow(j: Int, n: Int): Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until n).map { i =>
+      val hex = md.digest(s"$j:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 1) 1L else -1L
+    }
+  }
+
+  /** Johnson-Lindenstrauss random projection to `outDim` dimensions with
+    * a DETERMINISTIC ±1/√k sign matrix (Achlioptas-style), entries
+    * derived from md5(j:i) — no RNG, so any engine/re-run projects
+    * identically. The matrix is built driver-side (it is data-independent
+    * metadata) and shipped as literals: the projection is map-side
+    * per-row arithmetic, zero shuffle at any corpus size. Components go
+    * through fixed-point micro-units so the 64-term sums are exact
+    * integer folds (order-free) before the single float scale at the
+    * end. Output in long form (vec_id, out_pos, y) — one row per
+    * projected component. At 100 TB the same matrix feeds a compiled
+    * GEMM kernel; the semantics stay byte-identical. */
+  def randomProjection(vecs: DataFrame, inDim: Int = 64, outDim: Int = 16,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val inv = 1.0 / math.sqrt(outDim.toDouble)
+    // NO final round: the integer sum, the 1/√k factor, and the /1e6 are
+    // the same IEEE ops in any engine, so y is already bit-identical —
+    // while round(y, 6) would EXPOSE instability here (with k=16 the
+    // values land exactly on .25/.5/.75 micro-unit boundaries, where
+    // HALF_UP-on-decimal-digits and round-via-float-multiply disagree).
+    val ys = (0 until outDim).map { j =>
+      val w = typedLit(md5SignRow(j, inDim))
+      struct(lit(j).as("out_pos"),
+        (aggregate(zip_with(col("_x6"), w, (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v).cast("double") * lit(inv) / lit(1e6))
+          .as("y"))
+    }
+    vecs
+      .withColumn("_x6", transform(col(vecCol),
+        v => round(v.cast("double") * 1e6, 0).cast("long")))
+      .select(col(idCol), explode(array(ys: _*)).as("p"))
+      .select(col(idCol), col("p.out_pos").as("out_pos"), col("p.y").as("y"))
+  }
+
   /** Per-label centroid components — class prototypes for
     * nearest-centroid classification / cluster summaries over the
     * embedding table. Component values go through fixed-point micro-units

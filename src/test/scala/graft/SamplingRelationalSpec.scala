@@ -164,6 +164,29 @@ class SamplingRelationalSpec extends SparkSpec {
     assert(r.getDouble(2) === 0.0 && r.getString(3) === "[0,0,0]")
   }
 
+  test("JL projection preserves relative distances roughly and is deterministic") {
+    import graft.operators.Embedding
+    val rnd = new scala.util.Random(9)
+    val vecs = Seq.tabulate(40)(i =>
+      (i.toLong, Seq.fill(64)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val out = Embedding.randomProjection(vecs, inDim = 64, outDim = 16)
+    assert(out.count() === 40L * 16)
+    // deterministic across partitionings
+    val a = out.orderBy("vec_id", "out_pos").collect().map(_.getDouble(2)).toSeq
+    val b = Embedding.randomProjection(vecs.repartition(7), 64, 16)
+      .orderBy("vec_id", "out_pos").collect().map(_.getDouble(2)).toSeq
+    assert(a === b)
+    // JL property (loose): projected norm within 2x of scaled original
+    val byVec = out.orderBy("vec_id", "out_pos").collect()
+      .grouped(16).map(rs => (rs.head.getLong(0),
+        math.sqrt(rs.map(r => r.getDouble(2) * r.getDouble(2)).sum))).toMap
+    val orig = vecs.collect().map(r => (r.getLong(0),
+      math.sqrt(r.getSeq[Float](1).map(x => x * x.toDouble).sum))).toMap
+    orig.foreach { case (id, n0) =>
+      val ratio = byVec(id) / n0
+      assert(ratio > 0.4 && ratio < 2.5, s"vec $id norm ratio $ratio out of range") }
+  }
+
   test("label centroids equal the arithmetic mean per component") {
     import graft.operators.Embedding
     val vecs = Seq(
