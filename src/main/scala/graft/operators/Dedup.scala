@@ -231,8 +231,12 @@ object Dedup {
     val bucketed = vecs.withColumn("bucket", Similarity.signBucket(col(vecCol), signDims))
     bucketed.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .withColumn("score",
-        round(graft.functions.VectorOps.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")), 4))
+      // ComputeOnce: without the barrier the threshold filter is pushed
+      // below this projection and the cosine kernel runs TWICE per pair
+      // (once in the Filter, once in the Project)
+      .withColumn("score", org.apache.spark.sql.GraftColumns.column(
+        graft.functions.ComputeOnce(org.apache.spark.sql.GraftColumns.expression(
+          round(graft.functions.VectorOps.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")), 4)))))
       .filter(col("score") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("score"))
   }

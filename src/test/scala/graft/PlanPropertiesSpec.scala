@@ -114,6 +114,12 @@ class PlanPropertiesSpec extends SparkSpec {
       "cutoff row must broadcast")
   }
 
+  test("near-dup cosine kernel is evaluated once, not re-pushed into the filter") {
+    val p = planTree("embed_near_dups")
+    assert("cosine_sim".r.findAllIn(p).size === 1,
+      "threshold pushdown must not duplicate the scoring kernel")
+  }
+
   test("bm25 joins are all equi-joins; question side broadcast") {
     val p = planTree("bm25_search")
     assert(!p.contains("CartesianProduct"))
