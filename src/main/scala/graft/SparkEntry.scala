@@ -108,6 +108,12 @@ object SparkEntry {
     // deliberately NO oracleSql entry (driver records the rows-only
     // check); the exact columns in the same row bound the error.
     "approx_stats" -> ((s, d) => Relational.approxEventStats(Tables.events(s, d))),
+    "q20_multiset_ops" -> ((s, d) =>
+      Relational.multisetPriorityOps(Tables.orders(s, d), Tables.lineitem(s, d))),
+    "q21_range_frame" -> ((s, d) =>
+      Relational.trailingEventWindow(Tables.events(s, d), windowSec = 600)),
+    "doc_keywords" -> ((s, d) =>
+      TextAnalysis.topTfidfTerms(Tables.documents(s, d), k = 3)),
 
     // --- chunking (SURVEY §2.3) ----------------------------------------
     "c2_paragraph_chunks" -> ((s, d) => Chunking.paragraphChunks(Tables.documents(s, d))),
@@ -909,6 +915,47 @@ object SparkEntry {
     "q15_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
+
+    "q20_multiset_ops" ->
+      """SELECT o_orderpriority, count(*) AS n, 'intersect_all' AS op FROM (
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY o_orderpriority
+        |UNION ALL
+        |SELECT o_orderpriority, count(*) AS n, 'except_all' AS op FROM (
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q21_range_frame" ->
+      """SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s,
+        | count(*) OVER w AS n_in_window,
+        | round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w / 1000000.0, 4)
+        |   AS sum_in_window
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "doc_keywords" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, t AS term FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+        |  FROM documents)
+        | WHERE t <> '' AND NOT list_contains($stopSql, t)),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |scored AS (
+        | SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |  tf.tf * CAST(round(round(ln(CAST(corpus.n_docs AS DOUBLE) / dfreq.df), 6)
+        |    * 1000000) AS BIGINT) AS w6
+        | FROM tf JOIN dfreq USING (term), corpus),
+        |ranked AS (SELECT *, row_number() OVER (
+        |  PARTITION BY doc_id ORDER BY w6 DESC, term) AS rank FROM scored)
+        |SELECT doc_id, term, tf, df, round(w6 / 1000000.0, 4) AS tfidf, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin,
 
     "q16_pivot" ->
       """SELECT o_orderpriority,

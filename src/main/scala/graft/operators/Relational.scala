@@ -181,6 +181,44 @@ object Relational {
       .cube(col("l_returnflag"), col("l_linestatus"))
       .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
 
+  /** INTERSECT ALL / EXCEPT ALL — the multiset variants (bag semantics:
+    * occurrences pair up, so 3 vs 1 copies intersect as 1 and subtract
+    * as 2). Catalyst rewrites both into a count-compare aggregate +
+    * generate — no distinct collapse, duplicates preserved exactly. */
+  def multisetPriorityOps(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val fast = orders.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
+    val open = orders.filter(col("o_orderstatus") === "O").select(col("o_orderpriority"))
+    fast.intersectAll(open).groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+      .unionByName(
+        fast.exceptAll(open).groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all")))
+  }
+
+  /** RANGE-frame window over event time: per user, the running sum and
+    * count of event values within the trailing `windowSec` seconds —
+    * a value-based frame (RANGE), not a row-count frame (ROWS): frame
+    * membership follows the ORDER BY value, so irregular event spacing
+    * is handled exactly. One shuffle on user_id; frame state is a
+    * sliding aggregate. */
+  def trailingEventWindow(events: DataFrame, windowSec: Int = 600): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      .orderBy(col("ts_s"))
+      .rangeBetween(-windowSec.toLong, 0L)
+    events
+      // integer div: ts_ns ~1.7e18 exceeds double's 53-bit mantissa, a
+      // float division here would silently lose sub-second precision
+      .withColumn("ts_s", expr("ts_ns div 1000000000"))
+      // fixed-point values: sliding-frame float sums accumulate in
+      // engine-specific order (Spark running add/remove vs segment
+      // trees); long sums are exact and order-free
+      .withColumn("v6", round(col("value") * 1e6, 0).cast("long"))
+      .select(col("event_id"), col("user_id"), col("ts_s"),
+        count(lit(1)).over(w).as("n_in_window"),
+        round(sum(col("v6")).over(w) / 1e6, 4).as("sum_in_window"))
+  }
+
   /** Sketch-based approximate aggregates — the 100 TB form of distinct
     * counting and quantiles: `approx_count_distinct` is a HyperLogLog++
     * sketch (fixed ~kB state per group, partial-combinable, one shuffle

@@ -73,6 +73,33 @@ object TextAnalysis {
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the engine's analogue of the reference's sha-256 content hash
     * (`ingestion_service.py:92-94`) but invariant to whitespace/case. */
+  /** Top TF-IDF terms per document — the "document keywords" extractor of
+    * a training-data pipeline. tf from one tokenize+aggregate pass, df
+    * from one more; idf = ln(N/df) rounded to 6 (the one libm step),
+    * weight = tf·idf in fixed-point micro-units (exact, order-free), then
+    * a per-document rank-limit (WindowGroupLimit keeps O(k) rows/task).
+    * Stopwords dropped — they'd win every document otherwise. */
+  def topTfidfTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
+      .filter(col("term") =!= "" && !col("term").isin(Chunking.stopwords: _*))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds df AND the scoring join — tokenize once
+    val corpus = docs.agg(count_distinct(col(idCol)).as("n_docs"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("w6").desc, col("term"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", round(log(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("w6", (col("tf") * round(col("idf") * 1e6, 0).cast("long")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        round(col("w6") / 1e6, 4).as("tfidf"), col("rank"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 

@@ -84,6 +84,43 @@ class SamplingRelationalSpec extends SparkSpec {
     assert(scores.sliding(2).forall { case Array(a, b) => a >= b; case _ => true })
   }
 
+  test("multiset ops keep bag multiplicities that distinct set ops lose") {
+    val orders = (Seq.fill(3)(("F", "HIGH")) ++ Seq.fill(1)(("O", "HIGH")) ++
+      Seq.fill(2)(("F", "LOW"))).zipWithIndex
+      .map { case ((st, pr), i) => (i.toLong, st, pr) }
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority")
+    val out = graft.operators.Relational
+      .multisetPriorityOps(orders, orders.limit(0))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    // HIGH: 3 F vs 1 O → intersect_all 1, except_all 2; LOW: 2 F vs 0 O → except_all 2
+    assert(out === Set(("HIGH", 1L, "intersect_all"),
+      ("HIGH", 2L, "except_all"), ("LOW", 2L, "except_all")))
+  }
+
+  test("trailing RANGE window counts only events inside the time band") {
+    val ev = Seq(
+      (1L, 1L, 1000_000_000_000L, 1.0),   // t=1000s
+      (2L, 1L, 1500_000_000_000L, 2.0),   // t=1500s: within 600s of #1
+      (3L, 1L, 2200_000_000_000L, 4.0),   // t=2200s: outside both
+      (4L, 2L, 1000_000_000_000L, 8.0))
+      .toDF("event_id", "user_id", "ts_ns", "value")
+    val out = graft.operators.Relational.trailingEventWindow(ev, windowSec = 600)
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq((1L, 1L, 1.0), (2L, 2L, 3.0), (3L, 1L, 4.0), (4L, 1L, 8.0)))
+  }
+
+  test("doc keywords rank rare high-tf terms above common ones") {
+    val docs = (Seq((0L, "zebra zebra zebra common common"),
+      (1L, "common word word")) ++
+      Seq.tabulate(8)(i => (10L + i, "common filler"))).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.topTfidfTerms(docs, k = 2)
+    val top0 = out.filter(col("doc_id") === 0 && col("rank") === 1)
+      .select("term").head().getString(0)
+    assert(top0 === "zebra") // tf=3 × rare beats tf=2 × ubiquitous
+    assert(out.filter(col("rank") > 2).count() === 0)
+  }
+
   test("approx sketches land within tolerance of the exact aggregates") {
     val events = Seq.tabulate(5000)(i =>
       (s"t${i % 3}", (i * 7919L) % 1200, (i % 100).toDouble))
