@@ -260,6 +260,17 @@ object SparkEntry {
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
         e.filter(col("vec_id") >= 5), k = 10, nlist = 8, nprobe = 8)
     }),
+    // the SparkSessionExtensions SQL surface: the native cosine kernel
+    // invoked from plain SQL text, as an extensions-configured session
+    // (or GraftExtensions.register) exposes it
+    "sql_cosine_pairs" -> ((s, d) => {
+      graft.GraftExtensions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("emb_sql")
+      s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(cosine_sim(a.embedding, b.embedding), 4) AS score
+               FROM emb_sql a JOIN emb_sql b ON a.vec_id + 1 = b.vec_id
+               WHERE a.vec_id < 50""")
+    }),
     "index_stats" -> ((s, d) =>
       Tables.embeddings(s, d).agg(
         count(lit(1)).as("n_vectors"),
@@ -1064,6 +1075,15 @@ object SparkEntry {
         | array_to_string(toks[s + 1 : e], ' ') AS content,
         | CAST(e - s AS INTEGER) AS n_tokens
         |FROM seg""".stripMargin,
+
+    "sql_cosine_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        | round(list_inner_product(a.e, b.e) /
+        |   (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS score
+        |FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) a
+        |JOIN (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) b
+        |  ON a.vec_id + 1 = b.vec_id
+        |WHERE a.vec_id < 50""".stripMargin,
 
     "index_stats" ->
       """SELECT count(*) AS n_vectors, count(DISTINCT label) AS n_labels,
