@@ -16,9 +16,14 @@ import graft.operators._
   */
 object SparkEntry {
 
-  /** Flagship query on sf=0.001 (SURVEY §7.1 minimum slice): documents →
-    * paragraph chunks → TF-IDF featurizer (E1 stand-in) → the 10 golden
-    * questions → exact cosine kNN top-3 with per-question summary. */
+  /** Flagship query on sf=0.001 (SURVEY §7.1 minimum slice, extended):
+    * documents → paragraph chunks → two retrieval strategies over the
+    * same corpus — exact cosine kNN on the TF-IDF featurizer (E1
+    * stand-in) and BM25 lexical ranking — fused per question by
+    * reciprocal-rank fusion (score = Σ 1/(60+rank) over the lists that
+    * retrieved the chunk), top-3 per golden question. One job exercises
+    * scan, generator, featurize, broadcast join, two rankers, and the
+    * fusion aggregate — the engine's spine end to end. */
   def entry(spark: SparkSession): DataFrame = {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
@@ -30,9 +35,25 @@ object SparkEntry {
       .map { case (q, i) => (i, q) }.toDF("q_id", "text")
     val qVecs = Embedding.embed(model, questions)
       .select(col("q_id"), col("text").as("question"), col("embedding").as("q_embedding"))
-    Retrieval.knnCosine(qVecs, index, k = 3,
+    val vector = Retrieval.knnCosine(qVecs, index, k = 10,
         qidCol = "q_id", qvecCol = "q_embedding", idCol = "chunk_id")
-      .join(questions.withColumnRenamed("text", "question"), "q_id")
+      .select(col("q_id").as("question_id"), col("chunk_id"), col("rank"))
+    val lexical = Retrieval.bm25Search(
+        questions.withColumnRenamed("text", "question")
+          .withColumnRenamed("q_id", "question_id"),
+        chunks.withColumnRenamed("content", "text"), k = 10, idCol = "chunk_id")
+      .select(col("question_id"), col("chunk_id"), col("rank"))
+    val rrf = vector.withColumn("src", lit("vec"))
+      .unionByName(lexical.withColumn("src", lit("bm25")))
+      .groupBy(col("question_id"), col("chunk_id"))
+      .agg(round(sum(lit(1.0) / (lit(60) + col("rank"))), 6).as("rrf_score"),
+        count(lit(1)).as("n_lists"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("question_id"))
+      .orderBy(col("rrf_score").desc, col("chunk_id"))
+    rrf.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .join(questions.select(col("q_id").as("question_id"),
+        col("text").as("question")), "question_id")
   }
 
   // ---------------------------------------------------------------------

@@ -250,6 +250,28 @@ class SamplingRelationalSpec extends SparkSpec {
     assert(oneHop(7L) === 6L && out(7L) === 0L)
   }
 
+  test("connected components agree with union-find on random graphs") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val n = 60
+      val edges = Seq.fill(50)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // driver-side union-find reference
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+      val docs = (0 until n).map(i => Tuple1(i.toLong)).toDF("doc_id")
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(docs, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected, s"seed $seed")
+    }
+  }
+
   test("dup clusters: every member points at the minimum id of its pair group") {
     val d = Seq.tabulate(6)(i => Tuple1(i.toLong)).toDF("doc_id")
     val pairs = Seq((0L, 3L), (3L, 5L), (1L, 2L)).toDF("id_a", "id_b")
