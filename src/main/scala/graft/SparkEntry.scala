@@ -227,6 +227,10 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))),
+    "clip_outliers" -> ((s, d) =>
+      Sampling.winsorize(Tables.events(s, d), "value", lo = 0.05, hi = 0.95)
+        .select(col("event_id"), round(col("value"), 4).as("value"),
+          round(col("value_clipped"), 4).as("value_clipped"), col("was_clipped"))),
     "sq_embeddings" -> ((s, d) =>
       Similarity.scalarQuantize(Tables.embeddings(s, d))),
     "jl_projection" -> ((s, d) =>
@@ -833,6 +837,14 @@ object SparkEntry {
          |SELECT bucket, count(*) AS n_docs, min(n_chars) AS min_chars,
          | max(n_chars) AS max_chars
          |FROM bucketed GROUP BY bucket""".stripMargin,
+
+    "clip_outliers" ->
+      """WITH cuts AS (SELECT round(quantile_cont(value, 0.05), 4) AS lo,
+        |  round(quantile_cont(value, 0.95), 4) AS hi FROM events)
+        |SELECT event_id, round(value, 4) AS value,
+        | round(least(greatest(value, lo), hi), 4) AS value_clipped,
+        | (value < lo OR value > hi) AS was_clipped
+        |FROM events, cuts""".stripMargin,
 
     // ivf_topk with nprobe == nlist probes every cell → exact: must equal
     // the brute-force oracle (same candidate set, same scoring, same

@@ -47,6 +47,23 @@ object Sampling {
       .drop("_rk", "_n")
   }
 
+  /** Winsorization: clip a numeric column to its [lo, hi] percentile
+    * band — the standard outlier treatment before training-statistics
+    * aggregation. Same shape as [[quantileBuckets]]: one distributed
+    * percentile aggregate for the two cutoffs, broadcast to a
+    * scan-parallel clamp; no sort, no shuffle of the data itself. */
+  def winsorize(df: DataFrame, valCol: String,
+                lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    val cuts = df.agg(
+      round(expr(s"percentile($valCol, $lo)"), 4).as("_lo"),
+      round(expr(s"percentile($valCol, $hi)"), 4).as("_hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valCol}_clipped",
+        least(greatest(col(valCol), col("_lo")), col("_hi")))
+      .withColumn("was_clipped", col(valCol) < col("_lo") || col(valCol) > col("_hi"))
+      .drop("_lo", "_hi")
+  }
+
   /** Quantile bucketing without a global sort: cutoffs from one
     * distributed `percentile` aggregate (both engines define the
     * continuous quantile identically), bucket membership from a

@@ -31,6 +31,17 @@ class SamplingRelationalSpec extends SparkSpec {
       assert(counts(lang) === math.ceil(n * 0.1).toLong, s"stratum $lang") }
   }
 
+  test("winsorize clips exactly the tails and leaves the body untouched") {
+    val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("event_id", "value")
+    val out = graft.operators.Sampling.winsorize(df, "value", lo = 0.05, hi = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getBoolean(3))).toMap
+    val clipped = out.values.count(_._2 == true)
+    assert(clipped > 0 && clipped <= 10) // ~5% per tail
+    assert(out(50L)._1 === 50.0 && !out(50L)._2) // body untouched
+    val lo = out.values.map(_._1).min
+    assert(out(1L)._1 === lo && out(1L)._2) // bottom tail clamps to cutoff
+  }
+
   test("quantile buckets cover all rows and respect cutoff ordering") {
     val out = Sampling.quantileBuckets(docs, "n_chars", nBuckets = 4)
     assert(out.count() === 100)
