@@ -120,12 +120,20 @@ object Retrieval {
       .localCheckpoint()
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val qTerms = broadcast(questions.select(col("question_id"),
         explode(array_distinct(split(lower(col("question")), "\\s+"))).as("term"))
       .filter(col("term") =!= ""))
+    // prune tf to the query vocabulary BEFORE the df aggregate: df(t) is
+    // only consumed for query terms, and tf rows for a term are
+    // unaffected by dropping other terms — so the document-frequency
+    // shuffle moves |query terms| groups instead of the corpus vocabulary
+    // (no second checkpoint: tfq is a cheap broadcast-join over the
+    // already-materialized tf; recomputing it for dfreq and the scoring
+    // join costs less than another eager materialization job)
+    val tfq = tf.join(broadcast(qTerms.select(col("term")).distinct()), "term")
+    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = qTerms
-      .join(tf, "term")
+      .join(tfq, "term")
       .join(dl, idCol)
       .join(dfreq, "term")
       .crossJoin(broadcast(corpus))
