@@ -176,13 +176,18 @@ class SamplingRelationalSpec extends SparkSpec {
       .groupBy(col("c_custkey")).agg(sum(col("o_totalprice")).as("total"))
     // disable broadcast so the bucket co-location (not the small size) is
     // what removes the exchanges
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
     try {
       val plan = joined.queryExecution.executedPlan.toString
       assert(!plan.contains("Exchange"),
         s"bucketed join must not shuffle:\n$plan")
       assert(joined.count() === 50)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("scalar quantization reconstructs within half a step") {
