@@ -356,6 +356,11 @@ object SparkEntry {
     "retention_recent" -> ((s, d) =>
       EventOps.retention(Tables.events(s, d), maxAgeSec = 7 * 86400)
         .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))),
+    // funnel on µs-truncated times: DuckDB's TIMESTAMP_NS reader only
+    // surfaces microseconds, so both engines must compare at µs grain
+    "funnel_steps" -> ((s, d) =>
+      EventOps.funnel(Tables.events(s, d)
+        .withColumn("ts_ns", expr("ts_ns div 1000")))),
     "asof_join" -> ((s, d) => AsOf.asofJoin(Tables.events(s, d))),
     "range_join" -> ((s, d) => AsOf.rangeJoin(Tables.events(s, d), windowSec = 600)),
     "json_props" -> ((s, d) => EventOps.propsHistogram(Tables.events(s, d))),
@@ -837,6 +842,27 @@ object SparkEntry {
          |SELECT bucket, count(*) AS n_docs, min(n_chars) AS min_chars,
          | max(n_chars) AS max_chars
          |FROM bucketed GROUP BY bucket""".stripMargin,
+
+    "funnel_steps" ->
+      """WITH s1 AS (
+        | SELECT user_id, min(epoch_us(ts)) AS t1
+        | FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        | SELECT s1.user_id, s1.t1, min(e.tn) AS t2
+        | FROM s1 LEFT JOIN (
+        |   SELECT user_id, epoch_us(ts) AS tn FROM events WHERE event_type = 'click') e
+        |  ON e.user_id = s1.user_id AND e.tn > s1.t1
+        | GROUP BY s1.user_id, s1.t1),
+        |s3 AS (
+        | SELECT s2.user_id, s2.t1, s2.t2, min(e.tn) AS t3
+        | FROM s2 LEFT JOIN (
+        |   SELECT user_id, epoch_us(ts) AS tn FROM events WHERE event_type = 'purchase') e
+        |  ON e.user_id = s2.user_id AND e.tn > s2.t2
+        | GROUP BY s2.user_id, s2.t1, s2.t2)
+        |SELECT user_id, t1, t2, t3,
+        | 1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+        |   + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS funnel_depth
+        |FROM s3""".stripMargin,
 
     "clip_outliers" ->
       """WITH cuts AS (SELECT round(quantile_cont(value, 0.05), 4) AS lo,

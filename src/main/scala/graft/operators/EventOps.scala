@@ -81,4 +81,30 @@ object EventOps {
       .filter(expr("ts_ns div 1000000000") >= col("max_e") - maxAgeSec)
       .drop("max_e")
   }
+
+  /** Funnel analysis: for each user, the earliest time they completed
+    * each `steps` stage IN ORDER — t(k) = min event time of step k that
+    * is strictly after t(k-1); a user's funnel depth is the last non-null
+    * stage. Built as one conditional-min aggregation per step with the
+    * previous stage's time joined back in: |steps| small aggregates on
+    * the user key (each partial-combined map-side), no window over the
+    * raw event stream, no ordering assumption on the input — the shape
+    * that survives an unordered 100 TB event log. Times are raw int64
+    * nanos: exact, no float involved. */
+  def funnel(events: DataFrame, steps: Seq[String] = Seq("view", "click", "purchase")): DataFrame = {
+    require(steps.nonEmpty)
+    val first = events.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("t1"))
+    val result = steps.zipWithIndex.tail.foldLeft(first) { case (acc, (step, i)) =>
+      val nexts = events.filter(col("event_type") === step)
+        .select(col("user_id").as("_u"), col("ts_ns").as("_t"))
+      acc.join(nexts, col("user_id") === col("_u") && col("_t") > col(s"t$i"), "left")
+        .groupBy(acc.columns.map(col): _*)
+        .agg(min(col("_t")).as(s"t${i + 1}"))
+    }
+    val depth = steps.indices.tail
+      .map(i => when(col(s"t${i + 1}").isNotNull, 1).otherwise(0))
+      .reduceOption(_ + _).map(_ + 1).getOrElse(lit(1))
+    result.withColumn("funnel_depth", depth)
+  }
 }

@@ -49,4 +49,24 @@ class EventOpsSpec extends SparkSpec {
     assert(out.map(r => (Option(r.get(0)), r.getLong(1))).toSeq ===
       Seq((None, 1L), (Some(5), 2L)))
   }
+
+  test("funnel stages must happen in order; depth counts the reached prefix") {
+    val ev = Seq(
+      // user 1: full ordered funnel
+      (1L, "view", 100L), (1L, "click", 200L), (1L, "purchase", 300L),
+      // user 2: purchase BEFORE click → depth stops at click
+      (2L, "view", 100L), (2L, "purchase", 150L), (2L, "click", 200L),
+      // user 3: view only
+      (3L, "view", 100L),
+      // user 4: click without view → not in the funnel at all
+      (4L, "click", 100L))
+      .toDF("user_id", "event_type", "ts_ns")
+    val out = EventOps.funnel(ev).orderBy("user_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+        Option(r.get(3)), r.getInt(4)))
+    assert(out.toSeq === Seq(
+      (1L, Some(100L), Some(200L), Some(300L), 3),
+      (2L, Some(100L), Some(200L), None, 2),
+      (3L, Some(100L), None, None, 1)))
+  }
 }
