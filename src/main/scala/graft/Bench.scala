@@ -17,19 +17,24 @@ object Bench {
     // leaves the first query of every OTHER shape paying its own
     // class-loading/codegen bill, which lands on an arbitrary map-order
     // query and shows up as phantom per-query noise.
-    try {
+    locally {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
-      spark.read.parquet(s"$sfDir/documents.parquet")
-        .selectExpr("count(distinct lower(text))").collect()
       import spark.implicits._
+      // separate try per shape: one failing warmup must not silently
+      // skip the rest (a swallowed exception here showed up as phantom
+      // first-query cost in BENCH once already)
+      def warm(f: => Any): Unit = try { f } catch { case _: Throwable => () }
+      warm(spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("count(distinct lower(text))").collect())
       val tiny = Seq((1L, "a b"), (2L, "c d")).toDF("id", "t")
-      tiny.join(broadcast(tiny.withColumnRenamed("id", "id2")), $"id" === $"id2")
+      val dim = tiny.select(col("id").as("id2"), col("t").as("t2"))
+      warm(tiny.join(broadcast(dim), $"id" === $"id2")
         .withColumn("w", explode(split(col("t"), " ")))
         .withColumn("r", row_number().over(Window.partitionBy("id").orderBy("w")))
-        .filter($"r" <= 1).count()
-      tiny.localCheckpoint().count() // checkpoint block-manager machinery
-    } catch { case _: Throwable => () }
+        .filter($"r" <= 1).count())
+      warm(tiny.localCheckpoint().count()) // checkpoint block-manager machinery
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

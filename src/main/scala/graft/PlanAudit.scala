@@ -12,7 +12,9 @@ object PlanAudit {
       try {
         val p = fn(spark, d).queryExecution.explainString(ExplainMode.fromString("simple"))
         def c(s: String) = s.r.findAllIn(p).size
-        println(f"AUDIT $name%-22s ex=${c("Exchange")}%2d smj=${c("SortMergeJoin")}%d bhj=${c("BroadcastHashJoin")}%d bnlj=${c("BroadcastNestedLoopJoin")}%d win=${c("Window")}%d gen=${c("Generate")}%d agg=${c("HashAggregate")}%d")
+        // shuffle Exchange only (not BroadcastExchange); hash aggregates
+        // of either flavor counted separately from their Object variant
+        println(f"AUDIT $name%-22s shuf=${c("(?<!Broadcast)Exchange")}%2d bex=${c("BroadcastExchange")}%d smj=${c("SortMergeJoin")}%d bhj=${c("BroadcastHashJoin")}%d bnlj=${c("BroadcastNestedLoopJoin")}%d win=${c("(?<!Group)Window(?!GroupLimit)")}%d gen=${c("Generate")}%d agg=${c("(?<!Object)HashAggregate")}%d oagg=${c("ObjectHashAggregate")}%d")
       } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage.take(80)}") }
     }
     spark.stop()

@@ -1029,9 +1029,12 @@ object SparkEntry {
 
     "q16_pivot" ->
       """SELECT o_orderpriority,
-        | round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 2) AS "F",
-        | round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 2) AS "O",
-        | round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 2) AS "P"
+        | round(sum(CASE WHEN o_orderstatus = 'F'
+        |   THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 2) AS "F",
+        | round(sum(CASE WHEN o_orderstatus = 'O'
+        |   THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 2) AS "O",
+        | round(sum(CASE WHEN o_orderstatus = 'P'
+        |   THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 2) AS "P"
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
 
     "q17_unpivot" ->

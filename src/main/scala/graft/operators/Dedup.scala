@@ -219,6 +219,12 @@ object Dedup {
       labels = materialized.drop("_changed")
       iter += 1
     }
+    // no silent caps: returning the last iterate would hand out WRONG
+    // cluster ids for any component whose diameter exceeds the budget
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations — " +
+        "a component's diameter exceeds the budget; raise maxIter")
     labels.select(col("id").as(idCol), col("cluster"),
       (col("cluster") === col("id")).as("is_canonical"))
   }

@@ -248,11 +248,14 @@ object Relational {
   def pivotOrderStatus(orders: DataFrame,
                        statuses: Seq[String] = Seq("F", "O", "P")): DataFrame =
     orders
+      // fixed-point cents before the sum: double addition is
+      // order-dependent and this aggregate feeds a hash-compared output
+      .withColumn("_cents", round(col("o_totalprice") * 100, 0).cast("long"))
       .groupBy(col("o_orderpriority"))
       .pivot("o_orderstatus", statuses)
-      .agg(sum(col("o_totalprice")))
+      .agg(sum(col("_cents")))
       .select(col("o_orderpriority") +:
-        statuses.map(v => round(col(v), 2).as(v)): _*)
+        statuses.map(v => round(col(v) / 100.0, 2).as(v)): _*)
 
   /** UNPIVOT (melt): wide numeric customer columns to (key, metric,
     * value) long form — the inverse reshape, a zero-shuffle Expand:

@@ -82,10 +82,14 @@ object Retrieval {
     // above the scoring projection gets its predicate pushed below it,
     // and the kernel is then evaluated twice per pair (once in the
     // Filter, once in the Project — measured ~25% of query time).
-    // Zero-match rows sort strictly below every positive score, so they
-    // can never displace a positive row from the top-k; the final filter
-    // drops them from the tail, yielding identical results.
-    val w = Window.partitionBy(col("question_id")).orderBy(col("score").desc, col(idCol))
+    // The (matches > 0) sort key guarantees zero-match rows rank below
+    // every match — including a positive score that ROUNDS to 0.0000
+    // (n_words > 20000), which would otherwise tie with them — so they
+    // can never displace a match from the top-k; the final filter drops
+    // them from the tail. Among matches the key is constant, so rank
+    // order (score desc, id) is identical to ranking matches alone.
+    val w = Window.partitionBy(col("question_id"))
+      .orderBy(col("score").desc, (col("matches") > 0).desc, col(idCol))
     scored
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k && col("matches") > 0)
@@ -108,15 +112,15 @@ object Retrieval {
   def bm25Search(questions: DataFrame, docs: DataFrame, k: Int,
                  k1: Double = 1.2, b: Double = 0.75,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-        explode(split(lower(col(textCol)), "\\s+")).as("term"))
-      .filter(col("term") =!= "")
     // tf feeds three consumers (dl, dfreq, the scoring join) — without a
     // materialization barrier the tokenize/explode subtree re-runs for
     // each (localCheckpoint over persist for the GC-cleanup reason
     // documented in Dedup.ngramJaccard). dl is DERIVED from tf (sum of
     // term frequencies = document length) instead of re-tokenizing.
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    // No trim / no stopword drop here (BM25 scores every token; the
+    // oracle mirrors this exact configuration).
+    val tf = TextAnalysis
+      .termTf(docs, idCol, textCol, trimFirst = false, dropStopwords = false)
       .localCheckpoint()
     val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))

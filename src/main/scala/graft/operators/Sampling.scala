@@ -74,6 +74,7 @@ object Sampling {
     * engine. */
   def quantileBuckets(df: DataFrame, valCol: String,
                       nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"quantileBuckets needs >= 2 buckets, got $nBuckets")
     val qs = (1 until nBuckets).map(i => i.toDouble / nBuckets)
     // ONE percentile buffer for all cutoffs (array form), then unpack
     val cuts = df

@@ -73,6 +73,22 @@ object TextAnalysis {
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the engine's analogue of the reference's sha-256 content hash
     * (`ingestion_service.py:92-94`) but invariant to whitespace/case. */
+  /** Shared (id, term, tf) term-frequency table for the lexical operators
+    * (BM25 and TF-IDF keywords): whitespace tokenize after lower (and
+    * optionally trim), drop empty tokens (and optionally stopwords), one
+    * hash aggregate. Each caller's DuckDB oracle mirrors its exact
+    * configuration — a tokenization change here must update those SQL
+    * strings in lockstep. */
+  def termTf(docs: DataFrame, idCol: String, textCol: String,
+             trimFirst: Boolean, dropStopwords: Boolean): DataFrame = {
+    val base = if (trimFirst) lower(trim(col(textCol))) else lower(col(textCol))
+    val toks0 = docs.select(col(idCol), explode(split(base, "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val toks = if (dropStopwords)
+      toks0.filter(!col("term").isin(Chunking.stopwords: _*)) else toks0
+    toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+  }
+
   /** Top TF-IDF terms per document — the "document keywords" extractor of
     * a training-data pipeline. tf from one tokenize+aggregate pass, df
     * from one more; idf = ln(N/df) rounded to 6 (the one libm step),
@@ -81,10 +97,7 @@ object TextAnalysis {
     * Stopwords dropped — they'd win every document otherwise. */
   def topTfidfTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("term"))
-      .filter(col("term") =!= "" && !col("term").isin(Chunking.stopwords: _*))
-    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val tf = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
       .localCheckpoint() // feeds df AND the scoring join — tokenize once
     val corpus = docs.agg(count_distinct(col(idCol)).as("n_docs"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

@@ -82,25 +82,33 @@ object StreamingIngest {
   }
 
   /** Roll an interrupted [[upsertBatch]] swap to a consistent state.
-    * Invariant of the swap order: `tmp` is only ever a COMPLETE merged
-    * table once `dst` has been moved aside (the dst→bak rename happens
-    * strictly after the tmp write finishes), so:
-    *  - dst missing, tmp present → crashed between dst→bak and tmp→dst:
-    *    tmp is the newest full copy — roll FORWARD (tmp→dst);
-    *  - dst missing, only bak present → roll BACK (bak→dst); the retried
-    *    batch re-merges on top;
+    * Invariant of the swap order: `bak` only comes into existence via
+    * the dst→bak rename, which happens strictly AFTER the tmp write
+    * finishes — so `bak` present is the proof that `tmp` is a complete
+    * merged table. Without it, a `tmp` next to a missing `dst` is an
+    * unfinished FIRST-EVER write (the table never existed) and must be
+    * discarded, not promoted: renaming a half-written directory into
+    * place would leave an unreadable "table" that wedges every retry.
+    *  - dst missing, tmp AND bak present → crashed between dst→bak and
+    *    tmp→dst: roll FORWARD (tmp→dst, drop bak);
+    *  - dst missing, only bak present → roll BACK (bak→dst); the
+    *    retried batch re-merges on top;
+    *  - dst missing, only tmp present → first-batch crash mid-write:
+    *    delete tmp; the retried batch rebuilds it;
     *  - dst present → any tmp is an unfinished write and any bak is a
     *    completed swap's leftover: both are stale, delete them. */
   private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
       dst: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
       bak: org.apache.hadoop.fs.Path): Unit = {
     if (!fs.exists(dst)) {
-      if (fs.exists(tmp)) {
+      if (fs.exists(tmp) && fs.exists(bak)) {
         if (!fs.rename(tmp, dst))
           throw new java.io.IOException(s"recoverSwap: roll-forward $tmp -> $dst failed")
       } else if (fs.exists(bak)) {
         if (!fs.rename(bak, dst))
           throw new java.io.IOException(s"recoverSwap: roll-back $bak -> $dst failed")
+      } else if (fs.exists(tmp)) {
+        fs.delete(tmp, true) // unfinished first-ever write
       }
     }
     if (fs.exists(dst)) {

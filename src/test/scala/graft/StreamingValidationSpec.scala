@@ -87,6 +87,13 @@ class StreamingValidationSpec extends SparkSpec {
     fs.delete(dst, true); writeTable(bak, Seq(1L, 2L))
     StreamingIngest.recoverSwap(fs, dst, tmp, bak)
     assert(ids(dst) === Set(1L, 2L))
+
+    // FIRST-EVER batch crashed mid-tmp-write (no dst, no bak): the
+    // half-written tmp must be discarded, never promoted to dst
+    fs.delete(dst, true)
+    fs.mkdirs(tmp) // empty dir stands in for a partial, uncommitted write
+    StreamingIngest.recoverSwap(fs, dst, tmp, bak)
+    assert(!fs.exists(dst) && !fs.exists(tmp))
   }
 
   test("upsertBatch breaks ingest_ts ties deterministically by doc_id") {
