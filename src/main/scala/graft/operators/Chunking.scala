@@ -49,9 +49,14 @@ object Chunking {
   def slidingWindowChunks(docs: DataFrame, windowSize: Int = 1000, overlap: Int = 200,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val step = windowSize - overlap
-    val words = filter(
-      split(lower(trim(col(textCol))), "\\s+"),
-      w => w.rlike("^[a-z0-9]+$") && !array_contains(stopwordsLit, w))
+    // ComputeOnce: the min-length filter otherwise gets pushed below this
+    // projection and the tokenize+stopword HOF subtree is re-evaluated at
+    // every reference (three sites in the optimized plan — measured)
+    val words = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.ComputeOnce(org.apache.spark.sql.GraftColumns.expression(
+        filter(
+          split(lower(trim(col(textCol))), "\\s+"),
+          w => w.rlike("^[a-z0-9]+$") && !array_contains(stopwordsLit, w)))))
     docs
       .withColumn("words", words)
       .withColumn("n", size(col("words")))
