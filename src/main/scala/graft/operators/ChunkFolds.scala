@@ -2,15 +2,15 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 
-/** Typed-Dataset wrappers for the order-sensitive chunk folds C4/C5
-  * (SURVEY.md §2.11 "Grouped-map"): the reference walks the chunk list of
-  * one document in order, carrying running state
-  * (`document_processing_service.py:589-663`) — the one pattern that
-  * fights Spark's unordered relational model. `groupByKey(document_id)` +
-  * `flatMapGroups` with an explicit in-group sort on chunk position keeps
-  * it distributed: one shuffle on document_id, then a per-document
-  * sequential fold (documents are small; 100 TB of documents is still
-  * parallel across documents).
+/** Typed-Dataset wrappers for the chunk folds C4/C5 (SURVEY.md §2.11
+  * "Grouped-map"). C5 genuinely walks a document's chunk list in order
+  * with running state (`document_processing_service.py:629-663`) — the
+  * one pattern that fights Spark's unordered relational model:
+  * `groupByKey(document_id)` + `flatMapGroups` with an explicit in-group
+  * sort keeps it distributed (one shuffle on document_id, sequential
+  * fold per document). C4's sentence packing, by contrast, is local to
+  * ONE chunk (`:589-627` folds over a single chunk's sentences), so it
+  * is a plain per-row `flatMap` — zero shuffle, no ordering assumption.
   */
 object ChunkFolds {
 
@@ -31,16 +31,13 @@ object ChunkFolds {
       .selectExpr(s"cast($idCol as string) as document_id",
         s"cast($posCol as int) as position", s"$textCol as content")
       .as[ChunkRow]
-      .groupByKey(_.document_id)
-      .flatMapGroups { (doc, it) =>
-        it.toSeq.sortBy(_.position).iterator.flatMap { c =>
-          val subs =
-            if (c.content.length <= maxChars) Seq(c.content)
-            else Chunking.packSentences(c.content, maxChars)
-          subs.zipWithIndex.map { case (s, i) =>
-            SubChunkRow(doc, s"${doc}_${c.position}_sub_$i", c.position, i, s,
-              s.trim.split("\\s+").count(_.nonEmpty))
-          }
+      .flatMap { c =>
+        val subs =
+          if (c.content.length <= maxChars) Seq(c.content)
+          else Chunking.packSentences(c.content, maxChars)
+        subs.zipWithIndex.map { case (s, i) =>
+          SubChunkRow(c.document_id, s"${c.document_id}_${c.position}_sub_$i",
+            c.position, i, s, s.trim.split("\\s+").count(_.nonEmpty))
         }
       }
   }

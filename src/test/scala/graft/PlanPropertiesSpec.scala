@@ -94,6 +94,11 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("Generate"))
   }
 
+  test("C4 sentence repacking is per-row — no groupByKey shuffle") {
+    assert(!planTree("c4_split_large").contains("Exchange"),
+      "packing folds over ONE chunk's sentences; a shuffle means it regressed to grouped form")
+  }
+
   test("section chunking is a pure generator — no shuffle at all") {
     val p = plan("c1_sections")
     assert(!p.contains("Exchange"),
