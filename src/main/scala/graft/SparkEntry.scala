@@ -227,6 +227,8 @@ object SparkEntry {
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
           max(col("n_chars")).as("max_chars"))),
+    "pack_shards" -> ((s, d) =>
+      Sampling.packShards(Tables.documents(s, d), tokenBudget = 500, nBuckets = 8)),
     "clip_outliers" -> ((s, d) =>
       Sampling.winsorize(Tables.events(s, d), "value", lo = 0.05, hi = 0.95)
         .select(col("event_id"), round(col("value"), 4).as("value"),
@@ -863,6 +865,20 @@ object SparkEntry {
         | 1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
         |   + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS funnel_depth
         |FROM s3""".stripMargin,
+
+    "pack_shards" ->
+      """SELECT doc_id, bucket, bucket || '_' || shard_in_bucket AS shard_id, n_tokens
+        |FROM (
+        | SELECT doc_id, bucket, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 500)
+        |   AS INTEGER) AS shard_in_bucket
+        | FROM (
+        |  SELECT doc_id,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
+        |    AS INTEGER) AS bucket,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents))""".stripMargin,
 
     "clip_outliers" ->
       """WITH cuts AS (SELECT round(quantile_cont(value, 0.05), 4) AS lo,

@@ -47,6 +47,31 @@ object Sampling {
       .drop("_rk", "_n")
   }
 
+  /** Training-shard packing: assign documents to shards of roughly
+    * `tokenBudget` tokens — the sharding step in front of an LLM
+    * training run. Documents are spread over `nBuckets` independent
+    * pack streams by key hash (parallelism knob: each bucket packs on
+    * its own, so the window sort never sees more than corpus/nBuckets
+    * rows), then sharded by the running token total within the bucket:
+    * shard boundaries fall where the PRECEDING documents fill the
+    * budget, so every document lands wholly in one shard and shards
+    * overshoot by at most one document — the standard cumulative-sum
+    * packing. Pure function of (key, token counts): any engine or
+    * re-run shards identically. */
+  def packShards(docs: DataFrame, tokenBudget: Int, nBuckets: Int = 32,
+                 keyCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", size(split(trim(col(textCol)), "\\s+")))
+      .withColumn("bucket", (md5Bucket64k(col(keyCol)) % nBuckets).cast("int"))
+      .withColumn("shard_in_bucket",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / tokenBudget).cast("int"))
+      .withColumn("shard_id",
+        concat_ws("_", col("bucket"), col("shard_in_bucket")))
+      .select(col(keyCol), col("bucket"), col("shard_id"), col("n_tokens"))
+  }
+
   /** Winsorization: clip a numeric column to its [lo, hi] percentile
     * band — the standard outlier treatment before training-statistics
     * aggregation. Same shape as [[quantileBuckets]]: one distributed

@@ -31,6 +31,25 @@ class SamplingRelationalSpec extends SparkSpec {
       assert(counts(lang) === math.ceil(n * 0.1).toLong, s"stratum $lang") }
   }
 
+  test("shard packing: every doc in exactly one shard, budget respected modulo one doc") {
+    val corpus = Seq.tabulate(200)(i =>
+      (i.toLong, Seq.fill(10 + i % 40)("w").mkString(" "))).toDF("doc_id", "text")
+    val out = graft.operators.Sampling.packShards(corpus, tokenBudget = 100, nBuckets = 4)
+    assert(out.count() === 200) // exactly one row per doc
+    val shardTotals = out.groupBy("shard_id")
+      .agg(sum("n_tokens").as("total"), max("n_tokens").as("biggest"))
+      .collect()
+    shardTotals.foreach { r =>
+      // cumulative packing can overshoot by at most the straddling doc
+      assert(r.getAs[Long]("total") <= 100 + r.getAs[Int]("biggest"),
+        s"shard ${r.get(0)} over budget") }
+    // deterministic under repartitioning
+    val a = out.orderBy("doc_id").collect().map(_.getString(2)).toSeq
+    val b = graft.operators.Sampling.packShards(corpus.repartition(7), 100, 4)
+      .orderBy("doc_id").collect().map(_.getString(2)).toSeq
+    assert(a === b)
+  }
+
   test("winsorize clips exactly the tails and leaves the body untouched") {
     val df = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("event_id", "value")
     val out = graft.operators.Sampling.winsorize(df, "value", lo = 0.05, hi = 0.95)
