@@ -14,7 +14,7 @@ object PlanAudit {
         def c(s: String) = s.r.findAllIn(p).size
         // shuffle Exchange only (not BroadcastExchange); hash aggregates
         // of either flavor counted separately from their Object variant
-        println(f"AUDIT $name%-22s shuf=${c("(?<!Broadcast)Exchange")}%2d bex=${c("BroadcastExchange")}%d smj=${c("SortMergeJoin")}%d bhj=${c("BroadcastHashJoin")}%d bnlj=${c("BroadcastNestedLoopJoin")}%d win=${c("(?<!Group)Window(?!GroupLimit)")}%d gen=${c("Generate")}%d agg=${c("(?<!Object)HashAggregate")}%d oagg=${c("ObjectHashAggregate")}%d")
+        println(f"AUDIT $name%-22s shuf=${c("(?<!Broadcast)(?<!Reused)Exchange")}%2d bex=${c("BroadcastExchange")}%d smj=${c("SortMergeJoin")}%d bhj=${c("BroadcastHashJoin")}%d bnlj=${c("BroadcastNestedLoopJoin")}%d win=${c("(?<!Group)Window(?!GroupLimit)")}%d gen=${c("Generate")}%d agg=${c("(?<!Object)HashAggregate")}%d oagg=${c("ObjectHashAggregate")}%d")
       } catch { case e: Throwable => println(s"AUDIT $name ERROR ${e.getMessage.take(80)}") }
     }
     spark.stop()

@@ -130,7 +130,7 @@ object SparkEntry {
     // check); the exact columns in the same row bound the error.
     "approx_stats" -> ((s, d) => Relational.approxEventStats(Tables.events(s, d))),
     "q20_multiset_ops" -> ((s, d) =>
-      Relational.multisetPriorityOps(Tables.orders(s, d), Tables.lineitem(s, d))),
+      Relational.multisetPriorityOps(Tables.orders(s, d))),
     "q21_range_frame" -> ((s, d) =>
       Relational.trailingEventWindow(Tables.events(s, d), windowSec = 600)),
     "doc_keywords" -> ((s, d) =>

@@ -103,8 +103,13 @@ object Embedding {
           .as("y"))
     }
     vecs
-      .withColumn("_x6", transform(col(vecCol),
-        v => round(v.cast("double") * 1e6, 0).cast("long")))
+      // fail fast on a wrong-width vector: zip_with would null-pad it and
+      // emit silent NULL projections instead of an error
+      .withColumn("_x6", when(size(col(vecCol)) === inDim,
+        transform(col(vecCol), v => round(v.cast("double") * 1e6, 0).cast("long")))
+        .otherwise(raise_error(concat(
+          lit(s"randomProjection: expected $inDim-dim vector, got "),
+          size(col(vecCol)).cast("string")))))
       .select(col(idCol), explode(array(ys: _*)).as("p"))
       .select(col(idCol), col("p.out_pos").as("out_pos"), col("p.y").as("y"))
   }

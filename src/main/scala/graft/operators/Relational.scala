@@ -185,7 +185,7 @@ object Relational {
     * occurrences pair up, so 3 vs 1 copies intersect as 1 and subtract
     * as 2). Catalyst rewrites both into a count-compare aggregate +
     * generate — no distinct collapse, duplicates preserved exactly. */
-  def multisetPriorityOps(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+  def multisetPriorityOps(orders: DataFrame): DataFrame = {
     val fast = orders.filter(col("o_orderstatus") === "F").select(col("o_orderpriority"))
     val open = orders.filter(col("o_orderstatus") === "O").select(col("o_orderpriority"))
     fast.intersectAll(open).groupBy(col("o_orderpriority"))

@@ -120,7 +120,7 @@ class SamplingRelationalSpec extends SparkSpec {
       .map { case ((st, pr), i) => (i.toLong, st, pr) }
       .toDF("o_orderkey", "o_orderstatus", "o_orderpriority")
     val out = graft.operators.Relational
-      .multisetPriorityOps(orders, orders.limit(0))
+      .multisetPriorityOps(orders)
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
     // HIGH: 3 F vs 1 O → intersect_all 1, except_all 2; LOW: 2 F vs 0 O → except_all 2
     assert(out === Set(("HIGH", 1L, "intersect_all"),
