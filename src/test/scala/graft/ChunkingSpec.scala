@@ -109,4 +109,14 @@ class ChunkingSpec extends SparkSpec {
     assert(out.head.getAs[String]("content") === (1 to 10).map(i => s"w$i").mkString(" "))
     assert(out(1).getAs[String]("content") === (9 to 18).map(i => s"w$i").mkString(" "))
   }
+
+  test("C6 output is identical under repartitioning (ComputeOnce is a plan barrier only)") {
+    val docs = Seq.tabulate(40)(i =>
+      (i.toLong, (1 to 25).map(j => s"t${i}x$j").mkString(" "))).toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Chunking.slidingWindowChunks(df, windowSize = 10, overlap = 2)
+        .orderBy("document_id", "win_idx").collect()
+        .map(r => (r.getString(0), r.getAs[String]("content"))).toSeq
+    assert(run(docs) === run(docs.repartition(7)))
+  }
 }
