@@ -191,6 +191,8 @@ object SparkEntry {
     "quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d))
         .select("doc_id", "n_chars", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio")),
+    "redact_pii" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
+    "repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
 
     // --- dedup tier ----------------------------------------------------
     "dedup_exact" -> ((s, d) => Dedup.exactDups(Tables.documents(s, d))),
@@ -496,6 +498,45 @@ object SparkEntry {
          |     w -> list_contains($stopSql, w))) AS DOUBLE)
          |   / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS stopword_ratio
          |FROM documents""".stripMargin,
+
+    "redact_pii" -> {
+      val (u, e, ph) = (esc(TextAnalysis.urlPattern),
+        esc(TextAnalysis.emailPattern), esc(TextAnalysis.phonePattern))
+      s"""SELECT doc_id,
+         | len(regexp_extract_all(text, '$u')) AS n_urls,
+         | len(regexp_extract_all(text, '$e')) AS n_emails,
+         | len(regexp_extract_all(text, '$ph')) AS n_phones,
+         | regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$u', '[URL]', 'g'), '$e', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g')
+         |  AS redacted
+         |FROM documents""".stripMargin
+    },
+
+    "repetition_stats" ->
+      """WITH ls AS (
+        | SELECT doc_id, len(l) AS n_lines, len(list_distinct(l)) AS n_distinct_lines
+        | FROM (SELECT doc_id,
+        |   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |     x -> x <> '') AS l
+        |  FROM documents)),
+        |lp AS (SELECT doc_id, n_lines, n_distinct_lines,
+        |  CASE WHEN n_lines > 0
+        |   THEN round(1.0 - CAST(n_distinct_lines AS DOUBLE) / n_lines, 4)
+        |   ELSE 0.0 END AS dup_line_ratio FROM ls),
+        |bg AS (
+        | SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+        | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |       FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+        | WHERE len(w) >= 2),
+        |bs AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+        |bstat AS (SELECT doc_id, max(tf) AS top_bigram_tf,
+        |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(max(tf) AS DOUBLE) / sum(tf), 4) AS top_bigram_ratio
+        | FROM bs GROUP BY doc_id)
+        |SELECT lp.doc_id, lp.n_lines, lp.n_distinct_lines, lp.dup_line_ratio,
+        | b.top_bigram_tf, b.n_bigrams, b.top_bigram_ratio
+        |FROM lp LEFT JOIN bstat b ON b.doc_id = lp.doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT doc_id, fp, rn AS dup_rank, rn > 1 AS is_duplicate FROM (

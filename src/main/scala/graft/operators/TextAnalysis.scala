@@ -73,6 +73,64 @@ object TextAnalysis {
   /** Document fingerprint: md5 over whitespace-normalized lowercase text —
     * the engine's analogue of the reference's sha-256 content hash
     * (`ingestion_service.py:92-94`) but invariant to whitespace/case. */
+  /** PII redaction — the scrub step every training-data pipeline runs
+    * before anything else sees the text: URLs, emails, and
+    * NNN-NNN-NNNN-style phone numbers replaced with typed placeholders,
+    * with per-kind match counts for the audit trail. Pure per-row
+    * `regexp_replace`/`regexp_count` chain (RE2-safe patterns, identical
+    * semantics in any engine) — codegen'd, shuffle-free, streams at scan
+    * width. URL runs first so an email inside a URL is not re-matched. */
+  val urlPattern = "https?://[^\\s]+"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  def redactPii(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    docs.select(
+      col(idCol),
+      regexp_count(col(textCol), lit(urlPattern)).as("n_urls"),
+      regexp_count(col(textCol), lit(emailPattern)).as("n_emails"),
+      regexp_count(col(textCol), lit(phonePattern)).as("n_phones"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), urlPattern, "[URL]"),
+          emailPattern, "[EMAIL]"),
+        phonePattern, "[PHONE]").as("redacted"))
+
+  /** Repetition statistics — the Gopher-style quality signals for
+    * boilerplate/spam detection: fraction of non-blank lines that are
+    * duplicates (per-row array ops, no shuffle) and the most-frequent
+    * word-bigram's share of all bigrams (one (doc, bigram) aggregate +
+    * one per-doc max — relational, partial-combined). High values on
+    * either mark low-quality documents a training pipeline drops. */
+  def repetitionStats(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val lines = filter(transform(split(col(textCol), "\n"), l => trim(l)),
+      l => l =!= "")
+    val lineStats = docs.select(
+      col(idCol),
+      size(lines).as("n_lines"),
+      size(array_distinct(lines)).as("n_distinct_lines"))
+      .withColumn("dup_line_ratio",
+        when(col("n_lines") > 0,
+          round(lit(1.0) - col("n_distinct_lines").cast("double") / col("n_lines"), 4))
+          .otherwise(0.0))
+    val words = docs
+      .withColumn("_words", split(lower(trim(col(textCol))), "\\s+"))
+    val bigrams = words.select(col(idCol),
+        explode(when(size(col("_words")) >= 2,
+          transform(sequence(lit(0), size(col("_words")) - 2),
+            i => concat_ws(" ", element_at(col("_words"), i + 1),
+              element_at(col("_words"), i + 2))))).as("bigram"))
+    val bigramStats = bigrams
+      .groupBy(col(idCol), col("bigram")).agg(count(lit(1)).as("tf"))
+      .groupBy(col(idCol))
+      .agg(max(col("tf")).as("top_bigram_tf"), sum(col("tf")).as("n_bigrams"))
+      .withColumn("top_bigram_ratio",
+        round(col("top_bigram_tf").cast("double") / col("n_bigrams"), 4))
+    lineStats.join(bigramStats, Seq(idCol), "left")
+  }
+
   /** Shared (id, term, tf) term-frequency table for the lexical operators
     * (BM25 and TF-IDF keywords): whitespace tokenize after lower (and
     * optionally trim), drop empty tokens (and optionally stopwords), one

@@ -31,6 +31,34 @@ class SamplingRelationalSpec extends SparkSpec {
       assert(counts(lang) === math.ceil(n * 0.1).toLong, s"stratum $lang") }
   }
 
+  test("PII redaction replaces URLs, emails, and phones with typed placeholders") {
+    val docs = Seq(
+      (1L, "mail me at a.user+x@test.org or see https://ex.com/p?q=1 or call 555-123-4567"),
+      (2L, "clean text, nothing to scrub")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.redactPii(docs)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[String]("redacted") ===
+      "mail me at [EMAIL] or see [URL] or call [PHONE]")
+    assert((out(0).getAs[Number]("n_urls").longValue,
+      out(0).getAs[Number]("n_emails").longValue,
+      out(0).getAs[Number]("n_phones").longValue) === ((1L, 1L, 1L)))
+    assert(out(1).getAs[String]("redacted") === "clean text, nothing to scrub")
+  }
+
+  test("repetition stats flag duplicate lines and dominant bigrams") {
+    val docs = Seq(
+      (1L, "spam line\nspam line\nspam line\nunique one"),
+      (2L, "all fresh lines\nno repeats here")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.repetitionStats(docs)
+      .orderBy("doc_id").collect()
+    assert(out(0).getAs[Int]("n_lines") === 4)
+    assert(out(0).getAs[Int]("n_distinct_lines") === 2)
+    assert(out(0).getAs[Double]("dup_line_ratio") === 0.5)
+    // "spam line" bigram appears 3 times of 7 bigrams
+    assert(out(0).getAs[Long]("top_bigram_tf") === 3L)
+    assert(out(1).getAs[Double]("dup_line_ratio") === 0.0)
+  }
+
   test("shard packing: every doc in exactly one shard, budget respected modulo one doc") {
     val corpus = Seq.tabulate(200)(i =>
       (i.toLong, Seq.fill(10 + i % 40)("w").mkString(" "))).toDF("doc_id", "text")
