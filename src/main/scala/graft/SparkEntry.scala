@@ -381,7 +381,17 @@ object SparkEntry {
     "mm_resize" -> ((s, d) =>
       Multimodal.resizeMeta(
         Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d))), maxSide = 224)
-        .select("doc_id", "width", "height", "out_width", "out_height", "scaled"))
+        .select("doc_id", "width", "height", "out_width", "out_height", "scaled")),
+
+    // --- binary document extraction (SURVEY §2.1 S4/S8/S9/S10) --------
+    "docx_extract" -> ((s, d) =>
+      DocExtract.docxChunks(DocExtract.fixturesDF(s).filter(col("fmt") === "docx"))),
+    "eml_extract" -> ((s, d) =>
+      DocExtract.emlChunksDF(DocExtract.fixturesDF(s).filter(col("fmt") === "eml"))),
+    "pdf_pages" -> ((s, d) =>
+      DocExtract.pdfPages(DocExtract.fixturesDF(s).filter(col("fmt") === "pdf"))),
+    "doc_validate" -> ((s, d) =>
+      DocExtract.validateAll(DocExtract.fixturesDF(s)))
   )
 
   // ---------------------------------------------------------------------
@@ -1297,7 +1307,56 @@ object SparkEntry {
         |s AS (SELECT doc_id, n_frames, generate_series(0, n_frames - 1, 10) AS fs FROM meta)
         |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sample_idx, fs[i] AS frame_idx,
         | fs[i] * 40 AS frame_ts_ms
-        |FROM s, LATERAL (SELECT unnest(generate_series(1, len(fs))) AS i) g""".stripMargin
+        |FROM s, LATERAL (SELECT unnest(generate_series(1, len(fs))) AS i) g""".stripMargin,
+
+    // Expected rows hand-derived from the DocFixtures constants (the
+    // fixture builder and these literals are independent statements of
+    // the same contract — either side drifting breaks the hash match).
+    "docx_extract" ->
+      """SELECT * FROM (VALUES
+        | ('policy', 'policy_para_0', 'section', 'Coverage Policy', 'Heading1', 'Coverage Policy'),
+        | ('policy', 'policy_para_1', 'paragraph', NULL, 'Normal', 'This policy covers accidental damage to insured property.'),
+        | ('policy', 'policy_para_3', 'section', 'Exclusions', 'Heading2', 'Exclusions'),
+        | ('policy', 'policy_para_4', 'paragraph', NULL, 'Normal', 'Damage caused by war or nuclear events is excluded.'),
+        | ('policy', 'policy_para_5', 'paragraph', NULL, 'Normal', 'Contact support for claims.'),
+        | ('policy', 'policy_table_0', 'table', NULL, NULL, 'Item | Limit' || chr(10) || 'Laptop | 1000' || chr(10) || 'Phone | 500'),
+        | ('memo', 'memo_para_0', 'paragraph', NULL, 'Normal', 'Quarterly results improved.'),
+        | ('memo', 'memo_para_1', 'section', 'Next Steps', 'Heading1', 'Next Steps'),
+        | ('memo', 'memo_para_2', 'paragraph', NULL, 'Normal', 'Hire two engineers.')
+        |) AS t(doc, chunk_id, chunk_type, section_title, style, content)""".stripMargin,
+
+    "eml_extract" ->
+      """SELECT * FROM (VALUES
+        | ('simple', 'simple_headers', 'headers',
+        |  'Subject: Policy renewal' || chr(10) || 'From: alice@example.com' || chr(10) ||
+        |  'To: bob@example.com' || chr(10) || 'Date: Mon, 01 Jan 2024 10:00:00 +0000'),
+        | ('simple', 'simple_body_1', 'paragraph',
+        |  'Your insurance policy is due for renewal next month. Please review the terms.'),
+        | ('simple', 'simple_body_2', 'paragraph',
+        |  'Thanks from the renewals team at Example Insurance.'),
+        | ('multi', 'multi_headers', 'headers',
+        |  'Subject: Meeting notes' || chr(10) || 'From: carol@example.com' || chr(10) ||
+        |  'To: dave@example.com' || chr(10) || 'Date: Tue, 02 Jan 2024 09:30:00 +0000'),
+        | ('multi', 'multi_body_0', 'paragraph',
+        |  'Café meeting confirmed for Tuesday at noon sharp.' || chr(10) ||
+        |  'This is a base64 encoded paragraph body.')
+        |) AS t(doc, chunk_id, chunk_type, content)""".stripMargin,
+
+    "pdf_pages" ->
+      """SELECT doc, page, content, length(content) AS n_chars FROM (VALUES
+        | ('contract', 1, 'MASTER SERVICE AGREEMENT' || chr(10) ||
+        |   'This agreement is made between the parties.'),
+        | ('contract', 2, 'Termination requires thirty days notice.' || chr(10) ||
+        |   'Signed by both parties.')
+        |) AS t(doc, page, content)""".stripMargin,
+
+    "doc_validate" ->
+      """SELECT * FROM (VALUES
+        | ('policy', 'docx', true), ('memo', 'docx', true),
+        | ('simple', 'eml', true), ('multi', 'eml', true),
+        | ('contract', 'pdf', true),
+        | ('garbage_docx', 'docx', false), ('garbage_pdf', 'pdf', false)
+        |) AS t(doc, fmt, is_valid)""".stripMargin
   )
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold

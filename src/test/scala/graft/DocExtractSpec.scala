@@ -1,0 +1,130 @@
+package graft
+
+import graft.operators.{DocExtract, DocFixtures}
+
+/** S4/S8/S9 extractors against the deterministic fixtures — expected
+  * values are hand-derived from the fixture constants, not captured
+  * from the implementation. */
+class DocExtractSpec extends SparkSpec {
+
+  // ---- DOCX ------------------------------------------------------------
+
+  test("docx: paragraphs keep their full-enumeration index, headings become sections") {
+    val chunks = DocExtract.parseDocx(
+      DocFixtures.docxBytes(DocFixtures.policyParas, Seq(DocFixtures.policyTable))).get
+    val paras = chunks.filter(_.chunk_type != "table")
+    assert(paras.map(_.chunk_idx) == Seq(0, 1, 3, 4, 5)) // idx 2 is the blank paragraph
+    assert(paras.head.chunk_type == "section")
+    assert(paras.head.section_title.contains("Coverage Policy"))
+    assert(paras.head.style.contains("Heading1"))
+    assert(paras(1).chunk_type == "paragraph")
+    assert(paras(1).section_title.isEmpty)
+    assert(paras(1).style.contains("Normal"))
+    assert(paras(1).content == "This policy covers accidental damage to insured property.")
+  }
+
+  test("docx: table chunk is pipe-joined rows, newline-joined") {
+    val chunks = DocExtract.parseDocx(
+      DocFixtures.docxBytes(DocFixtures.policyParas, Seq(DocFixtures.policyTable))).get
+    val table = chunks.filter(_.chunk_type == "table")
+    assert(table.size == 1)
+    assert(table.head.content == "Item | Limit\nLaptop | 1000\nPhone | 500")
+  }
+
+  test("docx: corrupt bytes yield None, not an exception") {
+    assert(DocExtract.parseDocx(Array[Byte](0x50, 0x4b, 0x03, 0x04, 1, 2, 3)).isEmpty)
+    assert(DocExtract.parseDocx("not a zip at all".getBytes).isEmpty)
+  }
+
+  test("docx: XML external entities are rejected (untrusted input)") {
+    // a document.xml with a DOCTYPE must not parse (XXE hardening)
+    val evil = ("""<?xml version="1.0"?><!DOCTYPE d [<!ENTITY x SYSTEM "file:///etc/hostname">]>""" +
+      """<w:document xmlns:w="http://schemas.openxmlformats.org/wordprocessingml/2006/main">""" +
+      """<w:body><w:p><w:r><w:t>&x;</w:t></w:r></w:p></w:body></w:document>""").getBytes("UTF-8")
+    val zipped = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val zos = new java.util.zip.ZipOutputStream(bos)
+      zos.putNextEntry(new java.util.zip.ZipEntry("word/document.xml"))
+      zos.write(evil); zos.closeEntry(); zos.close()
+      bos.toByteArray
+    }
+    assert(DocExtract.parseDocx(zipped).isEmpty)
+  }
+
+  // ---- EML -------------------------------------------------------------
+
+  test("eml single-part: headers chunk + >20-char paragraphs with gap-preserving index") {
+    val p = DocExtract.parseEml(DocFixtures.simpleEml.getBytes("UTF-8")).get
+    assert(!p.multipart)
+    assert(p.subject == "Policy renewal")
+    assert(p.headerText ==
+      "Subject: Policy renewal\nFrom: alice@example.com\nTo: bob@example.com\n" +
+        "Date: Mon, 01 Jan 2024 10:00:00 +0000")
+    val chunks = DocExtract.emlChunks(p)
+    // "Hello Bob," (idx 0, 10 chars) is dropped; idx 1 and 2 survive
+    assert(chunks.map(c => (c.chunk_type, c.chunk_idx)) ==
+      Seq(("headers", -1), ("paragraph", 1), ("paragraph", 2)))
+    assert(chunks(1).content ==
+      "Your insurance policy is due for renewal next month. Please review the terms.")
+    assert(chunks(2).content == "Thanks from the renewals team at Example Insurance.")
+  }
+
+  test("eml multipart: QP and base64 text/plain parts concatenate, html skipped") {
+    val p = DocExtract.parseEml(DocFixtures.multiEml.getBytes("UTF-8")).get
+    assert(p.multipart)
+    assert(p.bodyText ==
+      "Café meeting confirmed for Tuesday at noon sharp.\n" +
+        "This is a base64 encoded paragraph body.\n")
+    val chunks = DocExtract.emlChunks(p)
+    assert(chunks.size == 2) // headers + the one (joined) paragraph
+    assert(chunks(1).content ==
+      "Café meeting confirmed for Tuesday at noon sharp.\nThis is a base64 encoded paragraph body.")
+  }
+
+  test("eml: folded headers unfold before extraction") {
+    val folded = "Subject: a very\r\n long subject\r\nFrom: x@y.z\r\n\r\nBody paragraph long enough to keep.\r\n"
+    val p = DocExtract.parseEml(folded.getBytes("UTF-8")).get
+    assert(p.subject == "a very long subject")
+  }
+
+  // ---- PDF -------------------------------------------------------------
+
+  test("pdf: FlateDecode content streams decode page text in order") {
+    val pages = DocExtract.parsePdf(DocFixtures.pdfBytes(DocFixtures.contractPages)).get
+    assert(pages.map(_.page) == Seq(1, 2))
+    assert(pages(0).text ==
+      "MASTER SERVICE AGREEMENT\nThis agreement is made between the parties.")
+    // page 2 line 2 went through a TJ array with a kerning number
+    assert(pages(1).text ==
+      "Termination requires thirty days notice.\nSigned by both parties.")
+  }
+
+  test("pdf: escaped parens and octal escapes in strings") {
+    val ops = "BT (paren \\( inside \\)) Tj T* (tab\\there) Tj T* (\\101\\102) Tj ET"
+    assert(DocExtract.decodeContentOps(ops) == "paren ( inside )\ntab\there\nAB")
+  }
+
+  test("pdf: corrupt bytes yield None") {
+    assert(DocExtract.parsePdf("%PDF-1.4 not really a pdf".getBytes).isEmpty)
+    assert(DocExtract.parsePdf("plain text".getBytes).isEmpty)
+  }
+
+  // ---- Spark surface ---------------------------------------------------
+
+  test("spark surface: chunk ids follow the reference scheme; validators agree") {
+    val fx = DocExtract.fixturesDF(spark)
+    val docx = DocExtract.docxChunks(fx.filter(org.apache.spark.sql.functions.col("fmt") === "docx"))
+      .collect().map(r => r.getAs[String]("chunk_id")).sorted
+    assert(docx.contains("policy_para_0"))
+    assert(docx.contains("policy_table_0"))
+    assert(docx.contains("memo_para_2"))
+    val eml = DocExtract.emlChunksDF(fx.filter(org.apache.spark.sql.functions.col("fmt") === "eml"))
+      .collect().map(r => r.getAs[String]("chunk_id")).sorted
+    assert(eml.toSeq == Seq("multi_body_0", "multi_headers", "simple_body_1", "simple_body_2", "simple_headers"))
+    val valid = DocExtract.validateAll(fx).collect()
+      .map(r => r.getAs[String]("doc") -> r.getAs[Boolean]("is_valid")).toMap
+    assert(valid == Map(
+      "policy" -> true, "memo" -> true, "simple" -> true, "multi" -> true,
+      "contract" -> true, "garbage_docx" -> false, "garbage_pdf" -> false))
+  }
+}
