@@ -391,7 +391,19 @@ object SparkEntry {
     "pdf_pages" -> ((s, d) =>
       DocExtract.pdfPages(DocExtract.fixturesDF(s).filter(col("fmt") === "pdf"))),
     "doc_validate" -> ((s, d) =>
-      DocExtract.validateAll(DocExtract.fixturesDF(s)))
+      DocExtract.validateAll(DocExtract.fixturesDF(s))),
+
+    // --- training-pipeline tier: decontamination + domain mixing -------
+    "decontam_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Decontaminate.report(docs, bench, n = 4)
+    }),
+    "domain_resample" -> ((s, d) =>
+      Sampling.domainResample(Tables.documents(s, d),
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)))
+        .select("doc_id", "lang"))
   )
 
   // ---------------------------------------------------------------------
@@ -1356,7 +1368,33 @@ object SparkEntry {
         | ('simple', 'eml', true), ('multi', 'eml', true),
         | ('contract', 'pdf', true),
         | ('garbage_docx', 'docx', false), ('garbage_pdf', 'pdf', false)
-        |) AS t(doc, fmt, is_valid)""".stripMargin
+        |) AS t(doc, fmt, is_valid)""".stripMargin,
+
+    "decontam_report" ->
+      """WITH dw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |dg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 4
+        |  THEN list_transform(generate_series(1, len(w) - 3), i -> array_to_string(w[i:i+3], ' '))
+        |  ELSE [array_to_string(w, ' ')] END)) AS shingle FROM dw),
+        |bg AS (SELECT doc_id AS bench_id, shingle FROM dg WHERE doc_id % 25 = 0),
+        |p AS (SELECT dg.doc_id, bench_id, count(*) AS n_shared
+        |      FROM dg JOIN bg USING (shingle) GROUP BY 1, 2),
+        |a AS (SELECT doc_id, count(*) AS n_bench_hits,
+        |             CAST(sum(n_shared) AS BIGINT) AS n_overlap FROM p GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.n_bench_hits, 0) AS n_bench_hits,
+        | COALESCE(a.n_overlap, 0) AS n_overlap,
+        | a.n_bench_hits IS NOT NULL AS contaminated
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+
+    "domain_resample" ->
+      """WITH t AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15), ('es', 0.15))
+        |           AS t(lang, share)),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |j AS (SELECT c.lang, n, share FROM c JOIN t USING (lang)),
+        |cuts AS (SELECT lang,
+        |  CAST(floor(share * (SELECT min(n / share) FROM j) / n * 65536) AS BIGINT) AS cut
+        | FROM j)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN cuts USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < cut""".stripMargin
   )
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold

@@ -111,4 +111,37 @@ object Sampling {
     df.crossJoin(broadcast(cuts)).withColumn("bucket", bucket)
       .drop((0 until qs.size).map(i => s"c$i"): _*)
   }
+
+  /** Domain reweighting by deterministic downsampling: given target
+    * mixture proportions per stratum (e.g. language or source domain —
+    * the knob every LLM data pipeline tunes), keep the LARGEST subset
+    * achieving exactly those proportions. The feasible sample size is
+    * `S = min_l(count_l / share_l)`; each stratum keeps rows whose key
+    * hash falls under `share_l · S / count_l` of the hash space —
+    * scan-only selection (no shuffle of the data), reproducible across
+    * engines/re-runs like every operator here. Strata absent from
+    * `targets` are dropped. The per-stratum counts are a tiny aggregate
+    * broadcast back; at 100 TB that is one metadata-sized exchange.
+    * All scalar arithmetic (no float SUMS) — both engines compute
+    * bit-identical doubles, so the integer cut compares identically. */
+  def domainResample(df: DataFrame, targets: Seq[(String, Double)],
+                     stratumCol: String = "lang",
+                     keyCol: String = "doc_id"): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "domainResample needs positive target shares")
+    import df.sparkSession.implicits._
+    val shares = targets.toDF(stratumCol, "_share")
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    // global min over a handful of stratum rows: an empty-frame window
+    // is the cheapest way to keep it in one plan (single-row exchange)
+    val cuts = counts.join(shares, stratumCol)
+      .withColumn("_scale",
+        min(col("_n") / col("_share")).over(Window.partitionBy()))
+      .withColumn("_cut", // explicit floor: DuckDB CAST(double) rounds, Spark truncates
+        floor(col("_share") * col("_scale") / col("_n") * 65536).cast("long"))
+      .select(col(stratumCol), col("_cut"))
+    df.join(broadcast(cuts), stratumCol)
+      .filter(md5Bucket64k(col(keyCol)) < col("_cut"))
+      .drop("_cut")
+  }
 }

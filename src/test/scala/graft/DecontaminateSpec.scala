@@ -1,0 +1,76 @@
+package graft
+
+import graft.operators.{Decontaminate, Sampling}
+import org.apache.spark.sql.functions._
+
+class DecontaminateSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate: shared n-grams counted once, clean docs get zeros") {
+    val docs = Seq(
+      (1L, "a b c d e f"),   // shares exactly "c d e f" with bench 10
+      (2L, "x y z w v u"),   // clean
+      (3L, "c d e f g h")    // identical to bench 10 → all 3 shingles shared
+    ).toDF("doc_id", "text")
+    val bench = Seq((10L, "c d e f g h")).toDF("bench_id", "text")
+    val r = Decontaminate.report(docs, bench, n = 4).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(1L) == ((1L, 1L, true)))
+    assert(r(2L) == ((0L, 0L, false)))
+    assert(r(3L) == ((1L, 3L, true)))
+  }
+
+  test("decontaminate: short docs fall back to whole-text shingle") {
+    val docs = Seq((1L, "a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val bench = Seq((9L, "a b")).toDF("bench_id", "text")
+    val r = Decontaminate.report(docs, bench, n = 4).collect()
+      .map(x => x.getLong(0) -> x.getBoolean(3)).toMap
+    assert(r(1L))       // "a b" == "a b"
+    assert(!r(2L))      // "a b c" != "a b"
+  }
+
+  test("domainResample: exact target mixture, deterministic membership") {
+    val rows = (0 until 40).map(i => (i.toLong, "a")) ++
+      (100 until 110).map(i => (i.toLong, "b")) ++
+      (200 until 205).map(i => (i.toLong, "c")) // not in targets → dropped
+    val df = rows.toDF("doc_id", "lang")
+    val kept = Sampling.domainResample(df, Seq(("a", 0.5), ("b", 0.5)))
+      .select("doc_id", "lang").collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    // S = min(40/0.5, 10/0.5) = 20 → b keeps all 10, a keeps hash < 16384
+    assert(byLang.getOrElse("c", 0) == 0)
+    assert(byLang("b") == 10)
+    // independent membership derivation: md5 first-4-hex of the key
+    val expectA = (0 until 40).count { i =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes).map("%02x".format(_)).mkString.substring(0, 4)
+      Integer.parseInt(hex, 16) < 16384
+    }
+    assert(byLang.getOrElse("a", 0) == expectA)
+    // every kept member individually verifies against the hash rule
+    kept.filter(_._2 == "a").foreach { case (id, _) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes).map("%02x".format(_)).mkString.substring(0, 4)
+      assert(Integer.parseInt(hex, 16) < 16384)
+    }
+  }
+
+  test("domainResample: rejects empty or non-positive targets") {
+    val df = Seq((1L, "a")).toDF("doc_id", "lang")
+    intercept[IllegalArgumentException] {
+      Sampling.domainResample(df, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.domainResample(df, Seq(("a", 0.0)))
+    }
+  }
+
+  test("decontaminate plan: benchmark side broadcasts, corpus never repartitions before the join") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val bench = Seq((10L, "c d e f g h")).toDF("bench_id", "text")
+    val plan = Decontaminate.overlapPairs(docs, bench, n = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"expected broadcast join in:\n$plan")
+  }
+}
