@@ -16,6 +16,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   private def p(dir: String, name: String) = s"$dir/$name.parquet"
 
+  // Note on local scan parallelism: the testdata parquet is ONE row
+  // group per table, so scans are single-task here (parquet splits at
+  // row-group granularity only). A round-robin fan-out after the scan
+  // was MEASURED (round 4) and rejected: sort-before-repartition plus
+  // one extra stage per query cost more than the parallelism returned
+  // (bench total 47 s → 64 s). Real tables at scale have thousands of
+  // row groups; nothing to fix in the operators themselves.
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(p(dir, name))
 

@@ -112,29 +112,36 @@ object Retrieval {
   def bm25Search(questions: DataFrame, docs: DataFrame, k: Int,
                  k1: Double = 1.2, b: Double = 0.75,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // tf feeds three consumers (dl, dfreq, the scoring join) — without a
-    // materialization barrier the tokenize/explode subtree re-runs for
-    // each (localCheckpoint over persist for the GC-cleanup reason
-    // documented in Dedup.ngramJaccard). dl is DERIVED from tf (sum of
-    // term frequencies = document length) instead of re-tokenizing.
     // No trim / no stopword drop here (BM25 scores every token; the
     // oracle mirrors this exact configuration).
-    val tf = TextAnalysis
-      .termTf(docs, idCol, textCol, trimFirst = false, dropStopwords = false)
-      .localCheckpoint()
-    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    //
+    // Shuffle inventory (the 100 TB view): document length dl is just
+    // the token COUNT, so it comes scan-only from size(words) — no
+    // full-corpus (id, term) aggregate exists in this plan at all. The
+    // exploded tokens are pruned to the query vocabulary by a broadcast
+    // semi-join BEFORE the tf aggregate, so the only shuffles are over
+    // O(query-vocab hits) rows: tf, df(t), and the final per-question
+    // score — each tiny next to the corpus. (An earlier form aggregated
+    // tf over the whole vocabulary first: one O(corpus tokens) exchange
+    // that existed only to be 99% discarded.)
+    val words = docs.select(col(idCol),
+      filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("_words"))
+    // dl > 0 keeps n_docs/avgdl identical to the aggregate-derived form
+    // (a zero-token document has no tf rows, so it never counted)
+    val dl = words.select(col(idCol), size(col("_words")).cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qTerms = broadcast(questions.select(col("question_id"),
         explode(array_distinct(split(lower(col("question")), "\\s+"))).as("term"))
       .filter(col("term") =!= ""))
-    // prune tf to the query vocabulary BEFORE the df aggregate: df(t) is
-    // only consumed for query terms, and tf rows for a term are
-    // unaffected by dropping other terms — so the document-frequency
-    // shuffle moves |query terms| groups instead of the corpus vocabulary
-    // (no second checkpoint: tfq is a cheap broadcast-join over the
-    // already-materialized tf; recomputing it for dfreq and the scoring
-    // join costs less than another eager materialization job)
-    val tfq = tf.join(broadcast(qTerms.select(col("term")).distinct()), "term")
+    // tfq feeds two consumers (dfreq + the scoring join). Recomputing it
+    // is two map-side tokenize+probe passes with no wide exchange — at
+    // local scale that is CHEAPER than a localCheckpoint's eager
+    // materialization job (measured); on a cluster, cache()/checkpoint
+    // here if the corpus scan dominates.
+    val tfq = words.select(col(idCol), explode(col("_words")).as("term"))
+      .join(broadcast(qTerms.select(col("term")).distinct()), "term")
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = qTerms
       .join(tfq, "term")

@@ -152,13 +152,23 @@ object TextAnalysis {
     * from one more; idf = ln(N/df) rounded to 6 (the one libm step),
     * weight = tf·idf in fixed-point micro-units (exact, order-free), then
     * a per-document rank-limit (WindowGroupLimit keeps O(k) rows/task).
-    * Stopwords dropped — they'd win every document otherwise. */
+    * Stopwords dropped — they'd win every document otherwise.
+    *
+    * The df table is BROADCAST into the scoring join: vocabulary size is
+    * sublinear in corpus size (Heaps' law), so shipping the vocab beats
+    * re-shuffling O(corpus tokens) tf rows by term. For a corpus whose
+    * vocab outgrows the broadcast budget, drop the hint and let AQE
+    * pick the exchange. */
   def topTfidfTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
+    // tf feeds df AND the scoring join; recomputing it is two map-side
+    // tokenize passes + a re-shuffled aggregate. Measured both ways at
+    // local scale: the localCheckpoint's eager materialization job costs
+    // more than the recompute. On a cluster with an expensive scan,
+    // cache() here instead.
     val tf = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
-      .localCheckpoint() // feeds df AND the scoring join — tokenize once
     val corpus = docs.agg(count_distinct(col(idCol)).as("n_docs"))
-    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("w6").desc, col("term"))
     tf.join(dfreq, "term")
