@@ -403,7 +403,9 @@ object SparkEntry {
     "domain_resample" -> ((s, d) =>
       Sampling.domainResample(Tables.documents(s, d),
         Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)))
-        .select("doc_id", "lang"))
+        .select("doc_id", "lang")),
+    "q22_year_spine" -> ((s, d) =>
+      Relational.yearSpineAgg(Tables.orders(s, d)))
   )
 
   // ---------------------------------------------------------------------
@@ -1394,7 +1396,20 @@ object SparkEntry {
         |  CAST(floor(share * (SELECT min(n / share) FROM j) / n * 65536) AS BIGINT) AS cut
         | FROM j)
         |SELECT d.doc_id, d.lang FROM documents d JOIN cuts USING (lang)
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < cut""".stripMargin
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < cut""".stripMargin,
+
+    "q22_year_spine" ->
+      """WITH RECURSIVE bounds AS (
+        | SELECT year(min(o_orderdate)) AS lo, year(max(o_orderdate)) AS hi FROM orders),
+        |years(y, hi) AS (
+        | SELECT lo, hi FROM bounds
+        | UNION ALL
+        | SELECT y + 1, hi FROM years WHERE y < hi
+        |)
+        |SELECT y, count(o_orderkey) AS n_orders,
+        | count(DISTINCT o_custkey) AS n_customers
+        |FROM years LEFT JOIN orders ON year(o_orderdate) = y
+        |GROUP BY y""".stripMargin
   )
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold

@@ -279,4 +279,32 @@ object Relational {
       .unionByName(cn.except(sn).withColumn("side", lit("customer_only")))
       .unionByName(sn.except(cn).withColumn("side", lit("supplier_only")))
   }
+
+  /** Recursive CTE (Spark 4.x `WITH RECURSIVE` / `UnionLoopExec`): a
+    * data-driven year spine — every year between the corpus' min and max
+    * order date, even empty ones — joined back for per-year order and
+    * customer counts. The recursion carries its bound `hi` as a COLUMN:
+    * a scalar subquery in the step predicate would re-aggregate `orders`
+    * once per iteration (measured 20 s vs 1 s at sf0.1). Depth = year
+    * span, independent of data volume — the one recursion shape that
+    * stays cheap at 100 TB. (Spark does not yet allow UNION-dedup
+    * recursion, so cyclic closures stay with
+    * [[graft.operators.Dedup.connectedComponents]]'s fixed-point.) */
+  def yearSpineAgg(orders: DataFrame): DataFrame = {
+    val spark = orders.sparkSession
+    orders.createOrReplaceTempView("graft_orders_spine")
+    spark.sql("""
+      WITH RECURSIVE bounds AS (
+        SELECT year(min(o_orderdate)) AS lo, year(max(o_orderdate)) AS hi
+        FROM graft_orders_spine),
+      years(y, hi) AS (
+        SELECT lo, hi FROM bounds
+        UNION ALL
+        SELECT y + 1, hi FROM years WHERE y < hi
+      )
+      SELECT y, count(o_orderkey) AS n_orders,
+             count(DISTINCT o_custkey) AS n_customers
+      FROM years LEFT JOIN graft_orders_spine ON year(o_orderdate) = y
+      GROUP BY y""")
+  }
 }

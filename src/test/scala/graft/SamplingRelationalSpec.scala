@@ -346,4 +346,19 @@ class SamplingRelationalSpec extends SparkSpec {
     assert(out(1L) === (1L, true) && out(2L) === (1L, false))
     assert(out(4L) === (4L, true)) // isolated doc is its own canonical
   }
+
+  test("yearSpineAgg: recursive spine includes empty years between min and max") {
+    val orders = Seq(
+      (1L, 10L, java.sql.Date.valueOf("1994-03-01")),
+      (2L, 10L, java.sql.Date.valueOf("1994-07-15")),
+      (3L, 20L, java.sql.Date.valueOf("1997-01-02")) // 1995/1996 have no orders
+    ).toDF("o_orderkey", "o_custkey", "o_orderdate")
+    val out = graft.operators.Relational.yearSpineAgg(orders).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out.keySet == Set(1994, 1995, 1996, 1997))
+    assert(out(1994) == ((2L, 1L)))
+    assert(out(1995) == ((0L, 0L)))
+    assert(out(1996) == ((0L, 0L)))
+    assert(out(1997) == ((1L, 1L)))
+  }
 }
