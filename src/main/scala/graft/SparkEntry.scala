@@ -405,7 +405,9 @@ object SparkEntry {
         Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)))
         .select("doc_id", "lang")),
     "q22_year_spine" -> ((s, d) =>
-      Relational.yearSpineAgg(Tables.orders(s, d)))
+      Relational.yearSpineAgg(Tables.orders(s, d))),
+    "lm_surprisal" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(Tables.documents(s, d)))
   )
 
   // ---------------------------------------------------------------------
@@ -1409,7 +1411,20 @@ object SparkEntry {
         |SELECT y, count(o_orderkey) AS n_orders,
         | count(DISTINCT o_custkey) AS n_customers
         |FROM years LEFT JOIN orders ON year(o_orderdate) = y
-        |GROUP BY y""".stripMargin
+        |GROUP BY y""".stripMargin,
+
+    "lm_surprisal" ->
+      """WITH toks AS (SELECT doc_id, t AS term FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents) WHERE t <> ''),
+        |counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+        |scored AS (SELECT doc_id,
+        |  CAST(round(round(ln(total::DOUBLE / cnt), 6) * 1000000) AS BIGINT) AS s6
+        | FROM toks JOIN counts USING (term), total)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(CAST(sum(s6) AS DOUBLE) / count(*) / 1000000, 4) AS avg_surprisal
+        |FROM scored GROUP BY doc_id""".stripMargin
   )
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold

@@ -61,6 +61,39 @@ object TextAnalysis {
           .cast("double") / greatest(size(words), lit(1)), 4))
   }
 
+  /** Unigram LM surprisal — the perplexity-style quality score a
+    * training pipeline runs to rank documents against the corpus
+    * language model (CCNet's KenLM filter, reduced to the unigram
+    * case): per document, the mean of −ln p(token) under the corpus
+    * unigram distribution. Gibberish and rare-token-heavy documents
+    * score high; formulaic ones score low.
+    *
+    * Scale shape: one corpus-wide term-count aggregate, whose result
+    * (the vocabulary — sublinear in corpus size, Heaps' law) is
+    * BROADCAST back for the per-token lookup; the only other exchange
+    * is the per-document mean. Per-token surprisal is rounded to 6
+    * decimals then fixed-point micro-units before the per-document sum
+    * (exact, order-free — the cross-engine determinism rule every
+    * float aggregate here follows). */
+  def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol),
+      filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "").as("_words"))
+    val toks = words.select(col(idCol), explode(col("_words")).as("term"))
+    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = counts.agg(sum(col("cnt")).as("total"))
+    val s6 = round(round(log(col("total").cast("double") / col("cnt")), 6) * 1e6, 0)
+      .cast("long")
+    toks
+      .join(broadcast(counts), "term")
+      .crossJoin(broadcast(total))
+      .withColumn("_s6", s6)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("_s6")).cast("double") / count(lit(1)) / 1e6, 4)
+          .as("avg_surprisal"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation). */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {

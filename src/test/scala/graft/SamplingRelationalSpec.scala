@@ -347,6 +347,15 @@ class SamplingRelationalSpec extends SparkSpec {
     assert(out(4L) === (4L, true)) // isolated doc is its own canonical
   }
 
+  test("unigramSurprisal: hand-computed corpus unigram surprisal") {
+    // counts: a=2, b=2, c=1, total=5 → s(a)=s(b)=ln(2.5), s(c)=ln(5)
+    val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
+    val out = graft.operators.TextAnalysis.unigramSurprisal(tiny).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((3L, 0.9163)))  // 3·916291 / 3 / 1e6 rounded
+    assert(out(2L) == ((2L, 1.2629)))  // (916291+1609438) / 2 / 1e6
+  }
+
   test("yearSpineAgg: recursive spine includes empty years between min and max") {
     val orders = Seq(
       (1L, 10L, java.sql.Date.valueOf("1994-03-01")),
