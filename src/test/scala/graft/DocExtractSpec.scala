@@ -111,6 +111,37 @@ class DocExtractSpec extends SparkSpec {
 
   // ---- Spark surface ---------------------------------------------------
 
+  test("streaming: binaryFile source → extractor → chunk rows (S3→S8 as a stream)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_binstream").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "policy.docx").toPath,
+        DocFixtures.docxBytes(DocFixtures.policyParas, Seq(DocFixtures.policyTable)))
+      java.nio.file.Files.write(new java.io.File(dir, "memo.docx").toPath,
+        DocFixtures.docxBytes(DocFixtures.memoParas, Seq.empty))
+      val seen = scala.collection.mutable.ArrayBuffer[String]()
+      val src = spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .option("pathGlobFilter", "*.docx").load(dir.getAbsolutePath)
+        .withColumn("doc", regexp_extract(col("path"), "([^/]+)\\.docx$", 1))
+      val q = src.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ids = DocExtract.docxChunks(batch).collect().map(_.getAs[String]("chunk_id"))
+          seen.synchronized { seen ++= ids }
+          ()
+        }
+        .start()
+      q.awaitTermination(60000L)
+      assert(seen.sorted.toSeq == Seq(
+        "memo_para_0", "memo_para_1", "memo_para_2",
+        "policy_para_0", "policy_para_1", "policy_para_3", "policy_para_4",
+        "policy_para_5", "policy_table_0"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+
   test("spark surface: chunk ids follow the reference scheme; validators agree") {
     val fx = DocExtract.fixturesDF(spark)
     val docx = DocExtract.docxChunks(fx.filter(org.apache.spark.sql.functions.col("fmt") === "docx"))
