@@ -170,7 +170,12 @@ object DocExtract {
       if (c == '=' && i + 2 < cleaned.length) {
         try { out.write(Integer.parseInt(cleaned.substring(i + 1, i + 3), 16)); i += 3 }
         catch { case _: NumberFormatException => out.write(c.toInt); i += 1 }
-      } else { out.write(c.toInt); i += 1 }
+      } else {
+        // literal chars re-encode as UTF-8 — writing the low byte would
+        // mangle any non-ASCII literal a sloppy mailer left undeclared
+        if (c < 0x80) out.write(c.toInt) else out.write(c.toString.getBytes(UTF_8))
+        i += 1
+      }
     }
     new String(out.toByteArray, UTF_8)
   }
@@ -192,8 +197,11 @@ object DocExtract {
     var done = false
     lines.foreach { line =>
       if (!done) {
-        if (line == s"--$b--") { if (cur != null) parts += cur.toSeq; cur = null; done = true }
-        else if (line == s"--$b") { if (cur != null) parts += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[String]() }
+        // RFC 2046 §5.1.1: boundary delimiter lines may carry trailing
+        // transport padding (spaces/tabs) — strip it before comparing
+        val l = line.replaceAll("[ \t]+$", "")
+        if (l == s"--$b--") { if (cur != null) parts += cur.toSeq; cur = null; done = true }
+        else if (l == s"--$b") { if (cur != null) parts += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[String]() }
         else if (cur != null) cur += line
       }
     }
@@ -262,6 +270,12 @@ object DocExtract {
       val n = inf.inflate(buf)
       if (n == 0 && !inf.finished()) throw new java.util.zip.DataFormatException("stalled")
       out.write(buf, 0, n)
+    }
+    // input exhausted before the deflate stream closed = truncated data;
+    // partial text must become None (the module contract), never emitted
+    if (!inf.finished()) {
+      inf.end()
+      throw new java.util.zip.DataFormatException("truncated deflate stream")
     }
     inf.end()
     out.toByteArray

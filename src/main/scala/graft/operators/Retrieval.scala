@@ -113,7 +113,9 @@ object Retrieval {
                  k1: Double = 1.2, b: Double = 0.75,
                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // No trim / no stopword drop here (BM25 scores every token; the
-    // oracle mirrors this exact configuration).
+    // oracle mirrors this exact configuration). `idCol` must be UNIQUE
+    // in `docs` (it is the corpus key): a duplicated id would fan out
+    // the dl join and double-count in n_docs/avgdl.
     //
     // Shuffle inventory (the 100 TB view): document length dl is just
     // the token COUNT, so it comes scan-only from size(words) — no

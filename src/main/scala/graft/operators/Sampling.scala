@@ -129,6 +129,9 @@ object Sampling {
                      keyCol: String = "doc_id"): DataFrame = {
     require(targets.nonEmpty && targets.forall(_._2 > 0),
       "domainResample needs positive target shares")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "domainResample targets must name each stratum once — a duplicate " +
+        "would fan out the cuts join and break the requested mixture")
     import df.sparkSession.implicits._
     val shares = targets.toDF(stratumCol, "_share")
     val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))

@@ -63,6 +63,9 @@ class DecontaminateSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.domainResample(df, Seq(("a", 0.0)))
     }
+    intercept[IllegalArgumentException] { // duplicate stratum would fan out the join
+      Sampling.domainResample(df, Seq(("a", 0.3), ("a", 0.2)))
+    }
   }
 
   test("decontaminate plan: benchmark side broadcasts, corpus never repartitions before the join") {

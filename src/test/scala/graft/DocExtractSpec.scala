@@ -81,6 +81,36 @@ class DocExtractSpec extends SparkSpec {
       "Café meeting confirmed for Tuesday at noon sharp.\nThis is a base64 encoded paragraph body.")
   }
 
+  test("eml: boundary lines with RFC-2046 transport padding still delimit") {
+    val padded = DocFixtures.multiEml.replace("--b42\r\n", "--b42 \r\n")
+      .replace("--b42--", "--b42-- ")
+    val p = DocExtract.parseEml(padded.getBytes("UTF-8")).get
+    assert(p.bodyText ==
+      "Café meeting confirmed for Tuesday at noon sharp.\n" +
+        "This is a base64 encoded paragraph body.\n")
+  }
+
+  test("eml: literal non-ASCII chars in a QP body survive decoding") {
+    val eml = ("Subject: s\r\nFrom: a@b.c\r\nTo: d@e.f\r\nDate: x\r\n" +
+      "Content-Type: text/plain; charset=utf-8\r\n" +
+      "Content-Transfer-Encoding: quoted-printable\r\n\r\n" +
+      "café und straße plus 中 literal with =C3=A9 encoded too.\r\n")
+      .getBytes("UTF-8")
+    val p = DocExtract.parseEml(eml).get
+    assert(p.bodyText == "café und straße plus 中 literal with é encoded too.\n")
+  }
+
+  test("pdf: truncated FlateDecode stream yields None, not partial text") {
+    val good = DocFixtures.pdfBytes(DocFixtures.contractPages)
+    val raw = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // chop the tail off the first stream's data, keeping structure around it
+    val s = raw.indexOf("stream\n") + "stream\n".length
+    val e = raw.indexOf("\nendstream")
+    val truncated = (raw.substring(0, s + (e - s) / 2) + raw.substring(e))
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(DocExtract.parsePdf(truncated).isEmpty)
+  }
+
   test("eml: folded headers unfold before extraction") {
     val folded = "Subject: a very\r\n long subject\r\nFrom: x@y.z\r\n\r\nBody paragraph long enough to keep.\r\n"
     val p = DocExtract.parseEml(folded.getBytes("UTF-8")).get
