@@ -407,7 +407,17 @@ object SparkEntry {
     "q22_year_spine" -> ((s, d) =>
       Relational.yearSpineAgg(Tables.orders(s, d))),
     "lm_surprisal" -> ((s, d) =>
-      TextAnalysis.unigramSurprisal(Tables.documents(s, d)))
+      TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
+    // seeded MLlib RNG → run-reproducible but not engine-reproducible:
+    // rows-only driver check (like approx_stats); the deterministic
+    // sign-LSH/IVF twins carry the hash-compared oracles
+    "ann_brp_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.brpLshTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        e.filter(col("vec_id") >= 5), k = 10)
+    })
   )
 
   // ---------------------------------------------------------------------

@@ -85,6 +85,39 @@ object Tables {
   def overwritePartitioned(df: DataFrame, dir: String, partitionCols: String*): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(dir)
 
+  /** Small-file compaction — the maintenance job every long-lived table
+    * needs: streaming upserts and incremental loads accrete files far
+    * smaller than a row group, and at 100 TB the scan's task count (and
+    * the NameNode/object-store listing) degrades with file count, not
+    * byte count. Rewrites the table as ceil(bytes/targetFileBytes)
+    * files. The swap is the same crash-safe bak dance as
+    * [[graft.streaming.StreamingIngest.upsertBatch]]: a full copy of the
+    * table exists on disk at every instant. Returns the output file
+    * count. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(dst).filter(_.isFile)
+      .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir + "_compact_bak")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    if (fs.exists(bak)) fs.delete(bak, true)
+    spark.read.parquet(dir).repartition(nFiles)
+      .write.mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(dst, bak))
+      throw new java.io.IOException(s"compact: rename $dst -> $bak failed; table intact")
+    if (!fs.rename(tmp, dst)) {
+      fs.rename(bak, dst) // put the old table back
+      throw new java.io.IOException(s"compact: rename $tmp -> $dst failed; table restored")
+    }
+    fs.delete(bak, true)
+    nFiles
+  }
+
   /** Bucketed table layout: hash-bucket (and sort) rows by the join key
     * at WRITE time, so every later equi-join or aggregation on that key
     * is co-located — zero shuffle at read time, the biggest repeated-join

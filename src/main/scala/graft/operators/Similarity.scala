@@ -135,4 +135,44 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("score"), col("rank"))
   }
+
+  /** MLlib `BucketedRandomProjectionLSH` top-k — the library ANN path
+    * SURVEY §2.5 names for Q1. Vectors are L2-normalized first so
+    * Euclidean distance (the only metric BRP-LSH hashes) is monotone in
+    * cosine: ‖a−b‖² = 2−2·cos on the unit sphere. `approxSimilarityJoin`
+    * prunes to same-bucket pairs (OR-amplified over `numHashTables`),
+    * then a per-query rank-limit keeps k. Seeded → run-reproducible, but
+    * NOT engine-reproducible (the hyperplanes come from MLlib's RNG), so
+    * the driver check is rows-only — the deterministic twins
+    * ([[lshTopK]], [[ivfTopK]]) carry the hash-compared oracles.
+    * Scale: the join shuffles by (table, bucket) key — candidates never
+    * cross-join; skewed buckets are the usual LSH tradeoff, tuned by
+    * `bucketLength`/`numHashTables`. */
+  def brpLshTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                 bucketLength: Double = 1.0, numHashTables: Int = 3,
+                 seed: Long = 42L,
+                 qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
+    import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Float]) => {
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum) max 1e-12
+      Vectors.dense(a.map(_ / n).toArray)
+    })
+    val cand = candidates.select(col(idCol), toVec(col(vecCol)).as("features"))
+    val qs = queries.select(col(qidCol), toVec(col(qvecCol)).as("features"))
+    val model = new BucketedRandomProjectionLSH()
+      .setInputCol("features").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
+      .setSeed(seed)
+      .fit(cand)
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("dist"), col(idCol))
+    model.approxSimilarityJoin(qs, cand, 2.1, "dist") // > unit-sphere diameter 2
+      .select(col(s"datasetA.$qidCol").as(qidCol), col(s"datasetB.$idCol").as(idCol),
+        round(lit(1.0) - col("dist") * col("dist") / 2.0, 4).as("score"),
+        col("dist"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
 }

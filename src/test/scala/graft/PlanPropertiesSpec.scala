@@ -131,4 +131,40 @@ class PlanPropertiesSpec extends SparkSpec {
     assert("WindowGroupLimit".r.findAllIn(p).size >= 2,
       "per-question top-k must prune before the shuffle")
   }
+
+  test("bm25 has no full-vocabulary aggregate: every groupBy sits above the query-vocab prune") {
+    // the r4 rewrite derives dl scan-only and prunes tokens to the query
+    // vocabulary via broadcast semi-join BEFORE any (id, term) aggregate;
+    // a regression to aggregate-then-prune shows up as a HashAggregate
+    // whose input subtree lacks the broadcast join with the term list
+    val p = SparkEntry.queries("bm25_search")(spark, d).queryExecution.executedPlan match {
+      // AQE root doesn't expose the plan as children — unwrap it
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.initialPlan
+      case other => other
+    }
+    def subtreeHasBroadcastJoin(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n.collect { case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b }.nonEmpty
+    // only corpus-fed aggregates matter: the question-side distinct() is
+    // term-keyed too but reads a LocalTableScan, not the parquet corpus
+    def readsCorpus(n: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      n.collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }.nonEmpty
+    val byTermAggs = p.collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+          if h.groupingExpressions.exists(_.toString.contains("term")) && readsCorpus(h) => h
+    }
+    assert(byTermAggs.nonEmpty, "expected corpus-fed term-keyed aggregates in the bm25 plan")
+    byTermAggs.foreach { agg =>
+      assert(subtreeHasBroadcastJoin(agg),
+        "a term-keyed aggregate runs over unpruned corpus tokens — " +
+          "the full-vocabulary exchange the rewrite removed is back")
+    }
+  }
+
+  test("decontamination never exchanges the corpus before the benchmark join") {
+    val p = planTree("decontam_report")
+    assert(p.contains("BroadcastHashJoin"), "benchmark n-gram index must broadcast")
+    // exchanges allowed: hit-count aggregates + the final left join back;
+    // the corpus-side token stream itself must reach the join unshuffled
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -37,4 +37,24 @@ class TablesSpec extends SparkSpec {
     val r = ev.select(col("ts_ns"), unix_timestamp(col("ts")).as("es")).head
     assert(r.getLong(0) / 1000000000L === r.getLong(1))
   }
+
+  test("compact: collapses a many-small-files table, preserves every row, leaves no debris") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    try {
+      (1L to 1000L).toDF("v").repartition(20).write.parquet(path)
+      def files = new java.io.File(path).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(files == 20)
+      val n = Tables.compact(spark, path) // default target ≫ table size → 1 file
+      assert(n == 1 && files == 1)
+      val vs = spark.read.parquet(path).as[Long].collect().sorted
+      assert(vs.toSeq == (1L to 1000L))
+      assert(!new java.io.File(path + "_compact_tmp").exists())
+      assert(!new java.io.File(path + "_compact_bak").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir); ()
+    }
+  }
 }
