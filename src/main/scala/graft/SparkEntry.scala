@@ -417,8 +417,82 @@ object SparkEntry {
         e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
         e.filter(col("vec_id") >= 5), k = 10)
+    }),
+    "clean_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Cleaning.cleanCorpus(docs, bench)
     })
   )
+
+  // shared component oracle SQL (also composed into clean_corpus)
+  private val dedupExactSql =
+    """SELECT doc_id, fp, rn AS dup_rank, rn > 1 AS is_duplicate FROM (
+        | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    ORDER BY doc_id) AS rn
+        | FROM documents)""".stripMargin
+
+  private val langIdSql =
+    s"""SELECT doc_id, $langPredSql AS pred_lang,
+         | score_en, score_de, score_es, score_fr, score_pt
+         |FROM (SELECT doc_id, $langScoreSql
+         |      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents))""".stripMargin
+
+  private val repetitionStatsSql =
+    """WITH ls AS (
+        | SELECT doc_id, len(l) AS n_lines, len(list_distinct(l)) AS n_distinct_lines
+        | FROM (SELECT doc_id,
+        |   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+        |     x -> x <> '') AS l
+        |  FROM documents)),
+        |lp AS (SELECT doc_id, n_lines, n_distinct_lines,
+        |  CASE WHEN n_lines > 0
+        |   THEN round(1.0 - CAST(n_distinct_lines AS DOUBLE) / n_lines, 4)
+        |   ELSE 0.0 END AS dup_line_ratio FROM ls),
+        |bg AS (
+        | SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
+        | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |       FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
+        | WHERE len(w) >= 2),
+        |bs AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
+        |bstat AS (SELECT doc_id, max(tf) AS top_bigram_tf,
+        |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |  round(CAST(max(tf) AS DOUBLE) / sum(tf), 4) AS top_bigram_ratio
+        | FROM bs GROUP BY doc_id)
+        |SELECT lp.doc_id, lp.n_lines, lp.n_distinct_lines, lp.dup_line_ratio,
+        | b.top_bigram_tf, b.n_bigrams, b.top_bigram_ratio
+        |FROM lp LEFT JOIN bstat b ON b.doc_id = lp.doc_id""".stripMargin
+
+  private val lmSurprisalSql =
+    """WITH toks AS (SELECT doc_id, t AS term FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents) WHERE t <> ''),
+        |counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
+        |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
+        |scored AS (SELECT doc_id,
+        |  CAST(round(round(ln(total::DOUBLE / cnt), 6) * 1000000) AS BIGINT) AS s6
+        | FROM toks JOIN counts USING (term), total)
+        |SELECT doc_id, count(*) AS n_tokens,
+        | round(CAST(sum(s6) AS DOUBLE) / count(*) / 1000000, 4) AS avg_surprisal
+        |FROM scored GROUP BY doc_id""".stripMargin
+
+  private val decontamReportSql =
+    """WITH dw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
+        |dg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 4
+        |  THEN list_transform(generate_series(1, len(w) - 3), i -> array_to_string(w[i:i+3], ' '))
+        |  ELSE [array_to_string(w, ' ')] END)) AS shingle FROM dw),
+        |bg AS (SELECT doc_id AS bench_id, shingle FROM dg WHERE doc_id % 25 = 0),
+        |p AS (SELECT dg.doc_id, bench_id, count(*) AS n_shared
+        |      FROM dg JOIN bg USING (shingle) GROUP BY 1, 2),
+        |a AS (SELECT doc_id, count(*) AS n_bench_hits,
+        |             CAST(sum(n_shared) AS BIGINT) AS n_overlap FROM p GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(a.n_bench_hits, 0) AS n_bench_hits,
+        | COALESCE(a.n_overlap, 0) AS n_overlap,
+        | a.n_bench_hits IS NOT NULL AS contaminated
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
 
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = Map(
@@ -517,11 +591,7 @@ object SparkEntry {
         | CAST(sum(length(content)) AS BIGINT) AS total_characters
         |FROM parts WHERE length(content) > 20 GROUP BY doc_id""".stripMargin,
 
-    "lang_id" ->
-      s"""SELECT doc_id, $langPredSql AS pred_lang,
-         | score_en, score_de, score_es, score_fr, score_pt
-         |FROM (SELECT doc_id, $langScoreSql
-         |      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents))""".stripMargin,
+    "lang_id" -> langIdSql,
 
     "quality_score" ->
       s"""SELECT doc_id, length(trim(text)) AS n_chars,
@@ -548,38 +618,9 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
 
-    "repetition_stats" ->
-      """WITH ls AS (
-        | SELECT doc_id, len(l) AS n_lines, len(list_distinct(l)) AS n_distinct_lines
-        | FROM (SELECT doc_id,
-        |   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-        |     x -> x <> '') AS l
-        |  FROM documents)),
-        |lp AS (SELECT doc_id, n_lines, n_distinct_lines,
-        |  CASE WHEN n_lines > 0
-        |   THEN round(1.0 - CAST(n_distinct_lines AS DOUBLE) / n_lines, 4)
-        |   ELSE 0.0 END AS dup_line_ratio FROM ls),
-        |bg AS (
-        | SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
-        | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-        |       FROM documents) t,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
-        | WHERE len(w) >= 2),
-        |bs AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
-        |bstat AS (SELECT doc_id, max(tf) AS top_bigram_tf,
-        |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
-        |  round(CAST(max(tf) AS DOUBLE) / sum(tf), 4) AS top_bigram_ratio
-        | FROM bs GROUP BY doc_id)
-        |SELECT lp.doc_id, lp.n_lines, lp.n_distinct_lines, lp.dup_line_ratio,
-        | b.top_bigram_tf, b.n_bigrams, b.top_bigram_ratio
-        |FROM lp LEFT JOIN bstat b ON b.doc_id = lp.doc_id""".stripMargin,
+    "repetition_stats" -> repetitionStatsSql,
 
-    "dedup_exact" ->
-      """SELECT doc_id, fp, rn AS dup_rank, rn > 1 AS is_duplicate FROM (
-        | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        |  row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |    ORDER BY doc_id) AS rn
-        | FROM documents)""".stripMargin,
+    "dedup_exact" -> dedupExactSql,
 
     "ngram_jaccard" ->
       """WITH sh AS (
@@ -1384,20 +1425,7 @@ object SparkEntry {
         | ('garbage_docx', 'docx', false), ('garbage_pdf', 'pdf', false)
         |) AS t(doc, fmt, is_valid)""".stripMargin,
 
-    "decontam_report" ->
-      """WITH dw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
-        |dg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 4
-        |  THEN list_transform(generate_series(1, len(w) - 3), i -> array_to_string(w[i:i+3], ' '))
-        |  ELSE [array_to_string(w, ' ')] END)) AS shingle FROM dw),
-        |bg AS (SELECT doc_id AS bench_id, shingle FROM dg WHERE doc_id % 25 = 0),
-        |p AS (SELECT dg.doc_id, bench_id, count(*) AS n_shared
-        |      FROM dg JOIN bg USING (shingle) GROUP BY 1, 2),
-        |a AS (SELECT doc_id, count(*) AS n_bench_hits,
-        |             CAST(sum(n_shared) AS BIGINT) AS n_overlap FROM p GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(a.n_bench_hits, 0) AS n_bench_hits,
-        | COALESCE(a.n_overlap, 0) AS n_overlap,
-        | a.n_bench_hits IS NOT NULL AS contaminated
-        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin,
+    "decontam_report" -> decontamReportSql,
 
     "domain_resample" ->
       """WITH t AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15), ('es', 0.15))
@@ -1423,18 +1451,31 @@ object SparkEntry {
         |FROM years LEFT JOIN orders ON year(o_orderdate) = y
         |GROUP BY y""".stripMargin,
 
-    "lm_surprisal" ->
-      """WITH toks AS (SELECT doc_id, t AS term FROM (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
-        |  FROM documents) WHERE t <> ''),
-        |counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
-        |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
-        |scored AS (SELECT doc_id,
-        |  CAST(round(round(ln(total::DOUBLE / cnt), 6) * 1000000) AS BIGINT) AS s6
-        | FROM toks JOIN counts USING (term), total)
-        |SELECT doc_id, count(*) AS n_tokens,
-        | round(CAST(sum(s6) AS DOUBLE) / count(*) / 1000000, 4) AS avg_surprisal
-        |FROM scored GROUP BY doc_id""".stripMargin
+    "lm_surprisal" -> lmSurprisalSql,
+
+    // composed from the five component oracles above — thresholds in
+    // lockstep with Cleaning.cleanCorpus's defaults
+    "clean_corpus" ->
+      s"""WITH dd AS ($dedupExactSql),
+         |lg AS ($langIdSql),
+         |rp AS ($repetitionStatsSql),
+         |sp AS ($lmSurprisalSql),
+         |dc AS ($decontamReportSql),
+         |j AS (SELECT d.doc_id, dd.is_duplicate, lg.pred_lang,
+         |        rp.top_bigram_ratio, sp.avg_surprisal, dc.contaminated
+         |      FROM documents d
+         |      JOIN dd USING (doc_id) JOIN lg USING (doc_id) JOIN rp USING (doc_id)
+         |      JOIN sp USING (doc_id) JOIN dc USING (doc_id)),
+         |r AS (SELECT doc_id, list_filter([
+         |   CASE WHEN is_duplicate THEN 'duplicate' END,
+         |   CASE WHEN pred_lang NOT IN ('en', 'pt') THEN 'lang' END,
+         |   CASE WHEN top_bigram_ratio > 0.08 THEN 'repetitive' END,
+         |   CASE WHEN avg_surprisal > 3.5 THEN 'high_surprisal' END,
+         |   CASE WHEN contaminated THEN 'contaminated' END],
+         |  x -> x IS NOT NULL) AS rs FROM j)
+         |SELECT doc_id, COALESCE(array_to_string(rs, ','), '') AS reasons,
+         | len(rs) = 0 AS keep
+         |FROM r""".stripMargin
   )
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold

@@ -68,6 +68,27 @@ class DecontaminateSpec extends SparkSpec {
     }
   }
 
+  test("cleanCorpus: each reason fires independently and composes in order") {
+    // en markers ("the and") keep language detection on-whitelist
+    val clean = "the quick results and the full report were sent out today"
+    val docs = Seq(
+      (1L, clean),                               // keep
+      (2L, clean),                               // duplicate of 1
+      (3L, "xyzzy qwfp zzyx glorb flurp blim"),  // no markers → 'und' lang
+      (4L, "the buy now and buy now and buy now and buy now offer"), // repetitive
+      (5L, "the rare1 rare2 rare3 rare4 and some rare5 rare6 words") // high surprisal
+    ).toDF("doc_id", "text")
+    val bench = Seq((9L, clean)).toDF("bench_id", "text") // contaminates 1 and 2
+    val out = graft.operators.Cleaning
+      .cleanCorpus(docs, bench, maxTopBigramRatio = 0.2, maxSurprisal = 3.2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out(1L) == (("contaminated", false)))
+    assert(out(2L) == (("duplicate,contaminated", false)))
+    assert(out(3L)._1.contains("lang") && !out(3L)._2)
+    assert(out(4L)._1.contains("repetitive") && !out(4L)._2)
+    assert(out(5L)._1.contains("high_surprisal") && !out(5L)._2)
+  }
+
   test("decontaminate plan: benchmark side broadcasts, corpus never repartitions before the join") {
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val bench = Seq((10L, "c d e f g h")).toDF("bench_id", "text")
