@@ -1465,7 +1465,7 @@ object SparkEntry {
          |        rp.top_bigram_ratio, sp.avg_surprisal, dc.contaminated
          |      FROM documents d
          |      JOIN dd USING (doc_id) JOIN lg USING (doc_id) JOIN rp USING (doc_id)
-         |      JOIN sp USING (doc_id) JOIN dc USING (doc_id)),
+         |      LEFT JOIN sp USING (doc_id) JOIN dc USING (doc_id)),
          |r AS (SELECT doc_id, list_filter([
          |   CASE WHEN is_duplicate THEN 'duplicate' END,
          |   CASE WHEN pred_lang NOT IN ('en', 'pt') THEN 'lang' END,

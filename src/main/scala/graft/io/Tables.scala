@@ -99,20 +99,28 @@ object Tables {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
+    val bak = new org.apache.hadoop.fs.Path(dir + "_compact_bak")
+    // roll an interrupted previous compact forward/back BEFORE reading —
+    // same recovery contract as the streaming upsert's swap
+    graft.streaming.StreamingIngest.recoverSwap(fs, dst, tmp, bak)
+    // a hive-partitioned layout (subdirectories) must be compacted per
+    // leaf directory: a flat rewrite would flatten the partition columns
+    // into data and break downstream partition pruning
+    require(!fs.listStatus(dst).exists(_.isDirectory),
+      s"compact: $dir has partition subdirectories — compact each leaf directory instead")
     val bytes = fs.listStatus(dst).filter(_.isFile)
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
-    val bak = new org.apache.hadoop.fs.Path(dir + "_compact_bak")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    if (fs.exists(bak)) fs.delete(bak, true)
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     if (!fs.rename(dst, bak))
       throw new java.io.IOException(s"compact: rename $dst -> $bak failed; table intact")
     if (!fs.rename(tmp, dst)) {
-      fs.rename(bak, dst) // put the old table back
-      throw new java.io.IOException(s"compact: rename $tmp -> $dst failed; table restored")
+      if (fs.exists(bak) && fs.rename(bak, dst)) // put the old table back
+        throw new java.io.IOException(s"compact: rename $tmp -> $dst failed; previous table restored")
+      throw new java.io.IOException(
+        s"compact: rename $tmp -> $dst failed AND restore failed; data intact at $bak")
     }
     fs.delete(bak, true)
     nFiles

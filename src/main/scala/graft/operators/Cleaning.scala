@@ -44,8 +44,12 @@ object Cleaning {
       when(col("top_bigram_ratio") > maxTopBigramRatio, "repetitive"),
       when(col("avg_surprisal") > maxSurprisal, "high_surprisal"),
       when(col("contaminated"), "contaminated")))
+    // sp joins LEFT: a zero-token document has no surprisal row, but it
+    // still needs its verdict (its 'lang' reason fires — empty text
+    // scores 'und'); an inner join would silently drop it entirely
     docs.select(col(idCol))
-      .join(dd, idCol).join(lg, idCol).join(rp, idCol).join(sp, idCol).join(dc, idCol)
+      .join(dd, idCol).join(lg, idCol).join(rp, idCol)
+      .join(sp, Seq(idCol), "left").join(dc, idCol)
       .withColumn("_r", reasons)
       .select(col(idCol),
         array_join(col("_r"), ",").as("reasons"),

@@ -164,18 +164,23 @@ object DocExtract {
   private def decodeQp(s: String): String = {
     val cleaned = s.replace("=\n", "") // soft line breaks
     val out = new java.io.ByteArrayOutputStream()
+    def isHex(ch: Char) = (ch >= '0' && ch <= '9') || (ch >= 'A' && ch <= 'F') ||
+      (ch >= 'a' && ch <= 'f')
     var i = 0
     while (i < cleaned.length) {
       val c = cleaned.charAt(i)
-      if (c == '=' && i + 2 < cleaned.length) {
-        try { out.write(Integer.parseInt(cleaned.substring(i + 1, i + 3), 16)); i += 3 }
-        catch { case _: NumberFormatException => out.write(c.toInt); i += 1 }
-      } else {
-        // literal chars re-encode as UTF-8 — writing the low byte would
-        // mangle any non-ASCII literal a sloppy mailer left undeclared
-        if (c < 0x80) out.write(c.toInt) else out.write(c.toString.getBytes(UTF_8))
-        i += 1
-      }
+      // RFC 2045: '=' is an escape ONLY before exactly two hex digits
+      // (an explicit check — parseInt would also accept '+9'/'-F')
+      if (c == '=' && i + 2 < cleaned.length &&
+          isHex(cleaned.charAt(i + 1)) && isHex(cleaned.charAt(i + 2))) {
+        out.write(Integer.parseInt(cleaned.substring(i + 1, i + 3), 16)); i += 3
+      } else if (c < 0x80) { out.write(c.toInt); i += 1 }
+      else if (Character.isHighSurrogate(c) && i + 1 < cleaned.length &&
+          Character.isLowSurrogate(cleaned.charAt(i + 1))) {
+        // literal chars re-encode as UTF-8, whole code point at a time —
+        // per-char encoding would turn a surrogate pair into "??"
+        out.write(cleaned.substring(i, i + 2).getBytes(UTF_8)); i += 2
+      } else { out.write(c.toString.getBytes(UTF_8)); i += 1 }
     }
     new String(out.toByteArray, UTF_8)
   }

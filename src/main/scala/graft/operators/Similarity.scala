@@ -155,12 +155,22 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
     import org.apache.spark.ml.linalg.Vectors
+    // zero-norm vectors are unrankable under the unit-sphere mapping (an
+    // unnormalized zero would sit at distance 1 from everything → a
+    // phantom cosine of 0.5 where brute force scores ~0) — exclude them
+    // BEFORE the vector UDF, with a plain column predicate (a null out
+    // of the UDF can reach MLlib's hash lambda through collapsed
+    // projections and NPE there)
     val toVec = udf((a: Seq[Float]) => {
-      val n = math.sqrt(a.map(x => x.toDouble * x).sum) max 1e-12
+      val n = math.sqrt(a.map(x => x.toDouble * x).sum)
       Vectors.dense(a.map(_ / n).toArray)
     })
-    val cand = candidates.select(col(idCol), toVec(col(vecCol)).as("features"))
-    val qs = queries.select(col(qidCol), toVec(col(qvecCol)).as("features"))
+    val cand = candidates
+      .filter(graft.functions.VectorOps.normSq(col(vecCol)) > 0)
+      .select(col(idCol), toVec(col(vecCol)).as("features"))
+    val qs = queries
+      .filter(graft.functions.VectorOps.normSq(col(qvecCol)) > 0)
+      .select(col(qidCol), toVec(col(qvecCol)).as("features"))
     val model = new BucketedRandomProjectionLSH()
       .setInputCol("features").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numHashTables)

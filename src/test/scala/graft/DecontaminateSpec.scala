@@ -89,6 +89,18 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(5L)._1.contains("high_surprisal") && !out(5L)._2)
   }
 
+  test("cleanCorpus: a zero-token document still gets a verdict (dropped as 'lang')") {
+    val docs = Seq((1L, "the quick report and the summary were long enough"),
+      (2L, "   ")).toDF("doc_id", "text")
+    val bench = Seq((9L, "nothing shared here at all honestly")).toDF("bench_id", "text")
+    val out = graft.operators.Cleaning
+      .cleanCorpus(docs, bench, maxTopBigramRatio = 0.5, maxSurprisal = 99.0)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    assert(out.contains(2L), "empty doc must not vanish from the verdict")
+    assert(out(2L)._1.contains("lang") && !out(2L)._2)
+    assert(out(1L)._2)
+  }
+
   test("decontaminate plan: benchmark side broadcasts, corpus never repartitions before the join") {
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val bench = Seq((10L, "c d e f g h")).toDF("bench_id", "text")

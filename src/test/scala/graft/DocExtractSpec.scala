@@ -111,6 +111,17 @@ class DocExtractSpec extends SparkSpec {
     assert(DocExtract.parsePdf(truncated).isEmpty)
   }
 
+  test("eml: QP escapes are strict two-hex-digit; astral-plane literals survive") {
+    val eml = ("Subject: s\r\nFrom: a@b.c\r\nTo: d@e.f\r\nDate: x\r\n" +
+      "Content-Type: text/plain; charset=utf-8\r\n" +
+      "Content-Transfer-Encoding: quoted-printable\r\n\r\n" +
+      "x=+9y and z=-1w stay literal; emoji 😀 survives; =41 decodes.\r\n")
+      .getBytes("UTF-8")
+    val p = DocExtract.parseEml(eml).get
+    assert(p.bodyText ==
+      "x=+9y and z=-1w stay literal; emoji 😀 survives; A decodes.\n")
+  }
+
   test("eml: folded headers unfold before extraction") {
     val folded = "Subject: a very\r\n long subject\r\nFrom: x@y.z\r\n\r\nBody paragraph long enough to keep.\r\n"
     val p = DocExtract.parseEml(folded.getBytes("UTF-8")).get

@@ -39,6 +39,11 @@ class HybridSaltedSpec extends SparkSpec {
       numHashTables = 4)
     assert(a.orderBy("q_vec_id", "rank").collect().toSeq ==
       b.orderBy("q_vec_id", "rank").collect().toSeq)
+    // a zero vector is unrankable: it must be excluded, not scored 0.5
+    val withZero = cands.union(Seq((999L, Seq.fill(16)(0f))).toDF("vec_id", "embedding"))
+    val z = Similarity.brpLshTopK(qs, withZero, k = 300, bucketLength = 4.0,
+      numHashTables = 4)
+    assert(!z.collect().exists(_.getLong(1) == 999L))
   }
 
   test("multi-probe LSH never hurts recall and never scores a candidate twice") {

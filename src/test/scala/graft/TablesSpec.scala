@@ -57,4 +57,39 @@ class TablesSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(dir); ()
     }
   }
+
+  test("compact: recovers a crash between the two swap renames on retry") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_crash").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    try {
+      (1L to 100L).toDF("v").repartition(4).write.parquet(path)
+      // simulate: previous compact died after dst->bak and tmp write,
+      // before tmp->dst — dst missing, full copies at tmp and bak
+      (1L to 100L).toDF("v").repartition(1).write.parquet(path + "_compact_tmp")
+      assert(new java.io.File(path).renameTo(new java.io.File(path + "_compact_bak")))
+      val n = Tables.compact(spark, path)
+      assert(n == 1)
+      val vs = spark.read.parquet(path).as[Long].collect().sorted
+      assert(vs.toSeq == (1L to 100L))
+      assert(!new java.io.File(path + "_compact_tmp").exists())
+      assert(!new java.io.File(path + "_compact_bak").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir); ()
+    }
+  }
+
+  test("compact: refuses a hive-partitioned layout instead of flattening it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_part").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    try {
+      Seq((1L, "a"), (2L, "b")).toDF("v", "k")
+        .write.partitionBy("k").parquet(path)
+      val e = intercept[IllegalArgumentException] { Tables.compact(spark, path) }
+      assert(e.getMessage.contains("partition subdirectories"))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir); ()
+    }
+  }
 }
