@@ -423,7 +423,9 @@ object SparkEntry {
       val bench = docs.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
       Cleaning.cleanCorpus(docs, bench)
-    })
+    }),
+    "q23_lateral" -> ((s, d) =>
+      Relational.lateralTopPerNation(Tables.nation(s, d), Tables.customer(s, d)))
   )
 
   // shared component oracle SQL (also composed into clean_corpus)
@@ -1475,7 +1477,15 @@ object SparkEntry {
          |  x -> x IS NOT NULL) AS rs FROM j)
          |SELECT doc_id, COALESCE(array_to_string(rs, ','), '') AS reasons,
          | len(rs) = 0 AS keep
-         |FROM r""".stripMargin
+         |FROM r""".stripMargin,
+
+    "q23_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal
+        |         FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
   )
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold

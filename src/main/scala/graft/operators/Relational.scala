@@ -280,6 +280,26 @@ object Relational {
       .unionByName(sn.except(cn).withColumn("side", lit("supplier_only")))
   }
 
+  /** Correlated LATERAL subquery (SQL-surface twin of the window-rank
+    * top-k): per nation, the top-`k` customers by account balance. The
+    * optimizer decorrelates the LATERAL into the same
+    * rank-then-limit-per-group plan as the DataFrame form — exposed here
+    * because a reference user migrating SQL workloads writes it this
+    * way. */
+  def lateralTopPerNation(nation: DataFrame, customer: DataFrame,
+                          k: Int = 2): DataFrame = {
+    val spark = nation.sparkSession
+    nation.createOrReplaceTempView("graft_nation_lat")
+    customer.createOrReplaceTempView("graft_customer_lat")
+    spark.sql(s"""
+      SELECT n.n_name, t.c_custkey, t.c_acctbal
+      FROM graft_nation_lat n,
+      LATERAL (SELECT c_custkey, c_acctbal
+               FROM graft_customer_lat
+               WHERE c_nationkey = n.n_nationkey
+               ORDER BY c_acctbal DESC, c_custkey LIMIT $k) t""")
+  }
+
   /** Recursive CTE (Spark 4.x `WITH RECURSIVE` / `UnionLoopExec`): a
     * data-driven year spine — every year between the corpus' min and max
     * order date, even empty ones — joined back for per-year order and
