@@ -425,7 +425,9 @@ object SparkEntry {
       Cleaning.cleanCorpus(docs, bench)
     }),
     "q23_lateral" -> ((s, d) =>
-      Relational.lateralTopPerNation(Tables.nation(s, d), Tables.customer(s, d)))
+      Relational.lateralTopPerNation(Tables.nation(s, d), Tables.customer(s, d))),
+    "pq_codes" -> ((s, d) =>
+      Similarity.pqCodes(Tables.embeddings(s, d)))
   )
 
   // shared component oracle SQL (also composed into clean_corpus)
@@ -1485,7 +1487,37 @@ object SparkEntry {
         |LATERAL (SELECT c_custkey, c_acctbal
         |         FROM customer
         |         WHERE c_nationkey = n.n_nationkey
-        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
+
+    // codebook = the 8 hash-minimal vectors by id; subspace distances
+    // rounded to 6 before the argmin, index tiebreak — in lockstep with
+    // Similarity.pqCodes (m=4 subspaces of 16 dims, k=8 codewords)
+    "pq_codes" ->
+      """WITH ranked AS (
+        | SELECT embedding::DOUBLE[] AS cw,
+        |  row_number() OVER (ORDER BY
+        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn
+        | FROM embeddings),
+        |cb AS (SELECT rn - 1 AS j, cw FROM ranked WHERE rn <= 8),
+        |d AS (
+        | SELECT e.vec_id, s.s, cb.j,
+        |  round(list_sum(list_transform(generate_series(1, 16),
+        |    i -> (e.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i])
+        |       * (e.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i]))), 6) AS d2
+        | FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e
+        | CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+        | CROSS JOIN cb),
+        |best AS (
+        | SELECT vec_id, s, j FROM (
+        |  SELECT vec_id, s, j,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS r
+        |  FROM d) WHERE r = 1)
+        |SELECT vec_id,
+        | CAST(max(CASE WHEN s = 0 THEN j END) AS INTEGER) AS code_0,
+        | CAST(max(CASE WHEN s = 1 THEN j END) AS INTEGER) AS code_1,
+        | CAST(max(CASE WHEN s = 2 THEN j END) AS INTEGER) AS code_2,
+        | CAST(max(CASE WHEN s = 3 THEN j END) AS INTEGER) AS code_3
+        |FROM best GROUP BY vec_id""".stripMargin
   )
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold

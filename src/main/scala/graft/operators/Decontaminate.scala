@@ -48,8 +48,11 @@ object Decontaminate {
     val pairs = overlapPairs(docs, bench, n, idCol, textCol, benchIdCol, benchTextCol)
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bench_hits"), sum(col("n_shared")).as("n_overlap"))
+    // the hit list is bounded by contamination (rare by construction) —
+    // broadcast it rather than sort-merge the whole corpus by id; drop
+    // the hint if a pathological corpus is mostly contaminated
     docs.select(col(idCol).as("doc_id"))
-      .join(pairs, Seq("doc_id"), "left")
+      .join(broadcast(pairs), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),

@@ -136,6 +136,41 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("score"), col("rank"))
   }
 
+  /** Product quantization (the PQ of FAISS's IVF-PQ): split each vector
+    * into `m` subvectors and store, per subspace, only the index of the
+    * nearest of `k` codewords — a `m·log2(k)`-bit sketch of the vector
+    * (here 4×3 bits for a 64-dim float vector, a 170× compression).
+    * The codebook is DETERMINISTIC: the `k` hash-minimal vectors by id
+    * (the same engine-reproducible sampling [[ivfTopK]] uses — k-means
+    * would wander between engines/runs). Codebook state is
+    * metadata-sized and driver-held; assignment is a pure per-row
+    * projection over broadcast literals — zero shuffle, parallelism =
+    * input splits, the property every sketch here shares. Subspace
+    * distances are rounded to 6 decimals before the argmin (index
+    * tiebreak) so any engine assigns identical codes. */
+  def pqCodes(vecs: DataFrame, m: Int = 4, k: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cw: Seq[Seq[Double]] = vecs
+      .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("e"))
+      .orderBy(Sampling.md5Bucket64k(col(idCol)), col(idCol))
+      .limit(k).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    require(cw.size == k, s"pqCodes: need at least $k vectors for the codebook")
+    val dim = cw.head.size
+    require(dim % m == 0, s"pqCodes: dim $dim not divisible by m=$m")
+    val sub = dim / m
+    val v = VectorOps.asDouble(col(vecCol))
+    def d2(s: Int, j: Int): Column = round(aggregate(
+      zip_with(slice(v, s * sub + 1, sub),
+        typedLit(cw(j).slice(s * sub, s * sub + sub)),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (a, x) => a + x), 6)
+    val codeCols = (0 until m).map { s =>
+      val ds = array((0 until k).map(j => d2(s, j)): _*)
+      (array_position(ds, array_min(ds)) - 1).cast("int").as(s"code_$s")
+    }
+    vecs.select(col(idCol) +: codeCols: _*)
+  }
+
   /** MLlib `BucketedRandomProjectionLSH` top-k — the library ANN path
     * SURVEY §2.5 names for Q1. Vectors are L2-normalized first so
     * Euclidean distance (the only metric BRP-LSH hashes) is monotone in

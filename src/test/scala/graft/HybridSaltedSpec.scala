@@ -46,6 +46,25 @@ class HybridSaltedSpec extends SparkSpec {
     assert(!z.collect().exists(_.getLong(1) == 999L))
   }
 
+  test("pqCodes: codebook vectors quantize to themselves in every subspace") {
+    val rnd = new scala.util.Random(13)
+    val vecs = Seq.tabulate(60)(i =>
+      (i.toLong, Seq.fill(32)(rnd.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(vecs, m = 4, k = 8).collect()
+      .map(r => r.getLong(0) -> (1 to 4).map(c => r.getInt(c))).toMap
+    // recompute the codebook selection independently (md5 hash-minimal ids)
+    def bucket(id: Long) = Integer.parseInt(java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes)
+      .map("%02x".format(_)).mkString.substring(0, 4), 16)
+    val cbIds = (0L until 60L).sortBy(id => (bucket(id), id)).take(8)
+    cbIds.zipWithIndex.foreach { case (id, j) =>
+      assert(out(id) == Seq.fill(4)(j),
+        s"codebook vector $id (codeword $j) must be its own nearest codeword")
+    }
+    // codes are within range for everyone
+    out.values.foreach(cs => cs.foreach(c => assert(c >= 0 && c < 8)))
+  }
+
   test("multi-probe LSH never hurts recall and never scores a candidate twice") {
     val rnd = new scala.util.Random(21)
     def vec() = Seq.fill(12)(rnd.nextFloat() * 2 - 1)
