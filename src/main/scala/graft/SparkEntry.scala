@@ -427,7 +427,14 @@ object SparkEntry {
     "q23_lateral" -> ((s, d) =>
       Relational.lateralTopPerNation(Tables.nation(s, d), Tables.customer(s, d))),
     "pq_codes" -> ((s, d) =>
-      Similarity.pqCodes(Tables.embeddings(s, d)))
+      Similarity.pqCodes(Tables.embeddings(s, d))),
+    "pq_adc_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqAdcTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        e.filter(col("vec_id") >= 5), k = 10)
+    })
   )
 
   // shared component oracle SQL (also composed into clean_corpus)
@@ -1517,7 +1524,55 @@ object SparkEntry {
         | CAST(max(CASE WHEN s = 1 THEN j END) AS INTEGER) AS code_1,
         | CAST(max(CASE WHEN s = 2 THEN j END) AS INTEGER) AS code_2,
         | CAST(max(CASE WHEN s = 3 THEN j END) AS INTEGER) AS code_3
-        |FROM best GROUP BY vec_id""".stripMargin
+        |FROM best GROUP BY vec_id""".stripMargin,
+
+    // ADC over the candidate-set codebook (vec_id >= 5): per (query,
+    // candidate), dot = Σ_s dot(q_s, cw[code_s]_s), score = cosine with
+    // the reconstruction — mirrors Similarity.pqAdcTopK expression for
+    // expression (sum order s=0..3, round 4, id tiebreak)
+    "pq_adc_topk" ->
+      """WITH ranked AS (
+        | SELECT embedding::DOUBLE[] AS cw,
+        |  row_number() OVER (ORDER BY
+        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn
+        | FROM embeddings WHERE vec_id >= 5),
+        |cb AS (SELECT rn - 1 AS j, cw FROM ranked WHERE rn <= 8),
+        |cand AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 5),
+        |d AS (
+        | SELECT cand.vec_id, s.s, cb.j,
+        |  round(list_sum(list_transform(generate_series(1, 16),
+        |    i -> (cand.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i])
+        |       * (cand.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i]))), 6) AS d2
+        | FROM cand
+        | CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+        | CROSS JOIN cb),
+        |codes AS (
+        | SELECT vec_id, s, j FROM (
+        |  SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS r
+        |  FROM d) WHERE r = 1),
+        |q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |parts AS (
+        | SELECT q.q_vec_id, c.vec_id,
+        |  list_sum(list_transform(generate_series(1, 16),
+        |    i -> q.qe[c.s * 16 + i] * cb.cw[c.s * 16 + i])) AS dot_s,
+        |  list_sum(list_transform(generate_series(1, 16),
+        |    i -> cb.cw[c.s * 16 + i] * cb.cw[c.s * 16 + i])) AS cn_s,
+        |  c.s
+        | FROM q CROSS JOIN codes c JOIN cb ON cb.j = c.j),
+        |scored AS (
+        | SELECT q_vec_id, vec_id,
+        |  (((sum(CASE WHEN s = 0 THEN dot_s END) + sum(CASE WHEN s = 1 THEN dot_s END))
+        |        + sum(CASE WHEN s = 2 THEN dot_s END)) + sum(CASE WHEN s = 3 THEN dot_s END)) AS dot_r,
+        |  (((sum(CASE WHEN s = 0 THEN cn_s END) + sum(CASE WHEN s = 1 THEN cn_s END))
+        |        + sum(CASE WHEN s = 2 THEN cn_s END)) + sum(CASE WHEN s = 3 THEN cn_s END)) AS cnormsq
+        | FROM parts GROUP BY q_vec_id, vec_id),
+        |qn AS (SELECT q_vec_id, sqrt(list_inner_product(qe, qe)) AS qnorm FROM q)
+        |SELECT q_vec_id, vec_id, score, rank FROM (
+        | SELECT s.q_vec_id, s.vec_id,
+        |  round(s.dot_r / (qn.qnorm * sqrt(s.cnormsq)), 4) AS score,
+        |  row_number() OVER (PARTITION BY s.q_vec_id
+        |    ORDER BY round(s.dot_r / (qn.qnorm * sqrt(s.cnormsq)), 4) DESC, s.vec_id) AS rank
+        | FROM scored s JOIN qn USING (q_vec_id)) WHERE rank <= 10""".stripMargin
   )
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold

@@ -171,6 +171,55 @@ object Similarity {
     vecs.select(col(idCol) +: codeCols: _*)
   }
 
+  /** PQ-ADC top-k: approximate cosine search over the [[pqCodes]] sketch
+    * by Asymmetric Distance Computation — the query stays exact, each
+    * candidate is its reconstruction (the concatenation of its per-
+    * subspace codewords), and the dot product collapses to `m` lookups
+    * in a per-query table of query-subvector × codeword dots. The LUT
+    * (m·k doubles per query) rides on the broadcast query side; the
+    * candidate side touches ONLY the integer codes — this is the read
+    * path where PQ's 170× compression pays: at 100 TB the scan reads a
+    * few bytes per vector instead of the vector. Exactly FAISS's
+    * IndexPQ search, as a query plan. */
+  def pqAdcTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                m: Int = 4, codebookSize: Int = 8,
+                qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
+                idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cw: Seq[Seq[Double]] = candidates
+      .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("e"))
+      .orderBy(Sampling.md5Bucket64k(col(idCol)), col(idCol))
+      .limit(codebookSize).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val dim = cw.head.size
+    val sub = dim / m
+    val codes = pqCodes(candidates, m, codebookSize, idCol, vecCol)
+    val qv = VectorOps.asDouble(col(qvecCol))
+    // per-query LUT: lut_s[j] = dot(q_s, cw_j_s); constant per-codeword
+    // reconstruction norms² live in a plain literal
+    val lutCols = (0 until m).map { s =>
+      array((0 until codebookSize).map { j =>
+        aggregate(zip_with(slice(qv, s * sub + 1, sub),
+          typedLit(cw(j).slice(s * sub, s * sub + sub)), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x)
+      }: _*).as(s"_lut_$s")
+    }
+    val cwNormSq: Seq[Seq[Double]] = (0 until m).map { s =>
+      (0 until codebookSize).map { j =>
+        cw(j).slice(s * sub, s * sub + sub).map(x => x * x).sum
+      }
+    }
+    val qs = queries.select(col(qidCol) +: sqrt(VectorOps.normSq(col(qvecCol))).as("_qn") +: lutCols: _*)
+    val dotExpr = (0 until m).map(s =>
+      element_at(col(s"_lut_$s"), col(s"code_$s") + 1)).reduce(_ + _)
+    val reconNormSq = (0 until m).map(s =>
+      element_at(typedLit(cwNormSq(s)), col(s"code_$s") + 1)).reduce(_ + _)
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
+    codes.crossJoin(broadcast(qs))
+      .withColumn("score", round(dotExpr / (col("_qn") * sqrt(reconNormSq)), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
+
   /** MLlib `BucketedRandomProjectionLSH` top-k — the library ANN path
     * SURVEY §2.5 names for Q1. Vectors are L2-normalized first so
     * Euclidean distance (the only metric BRP-LSH hashes) is monotone in

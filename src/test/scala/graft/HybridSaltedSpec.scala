@@ -65,6 +65,22 @@ class HybridSaltedSpec extends SparkSpec {
     out.values.foreach(cs => cs.foreach(c => assert(c >= 0 && c < 8)))
   }
 
+  test("pqAdcTopK: k ranked rows per query, cosine-bounded scores, partitioning-invariant") {
+    val rnd = new scala.util.Random(17)
+    def vec() = Seq.fill(32)(rnd.nextFloat() * 2 - 1)
+    val cands = Seq.tabulate(80)(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val qs = Seq.tabulate(3)(i => (i.toLong, vec())).toDF("q_vec_id", "q_embedding")
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.pqAdcTopK(qs, c, k = 5, m = 4, codebookSize = 8)
+        .orderBy("q_vec_id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val out = run(cands)
+    assert(out.size == 15)
+    assert(out.groupBy(_._1).values.forall(_.map(_._4).sorted == Seq(1, 2, 3, 4, 5)))
+    assert(out.forall(r => r._3 >= -1.0001 && r._3 <= 1.0001))
+    assert(run(cands.repartition(7)) == out) // codebook + ranks stable under partitioning
+  }
+
   test("multi-probe LSH never hurts recall and never scores a candidate twice") {
     val rnd = new scala.util.Random(21)
     def vec() = Seq.fill(12)(rnd.nextFloat() * 2 - 1)
