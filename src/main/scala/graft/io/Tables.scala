@@ -107,9 +107,10 @@ object Tables {
     // a hive-partitioned layout (subdirectories) must be compacted per
     // leaf directory: a flat rewrite would flatten the partition columns
     // into data and break downstream partition pruning
-    require(!fs.listStatus(dst).exists(_.isDirectory),
+    val entries = fs.listStatus(dst) // one LIST round-trip for guard + sizing
+    require(!entries.exists(_.isDirectory),
       s"compact: $dir has partition subdirectories — compact each leaf directory instead")
-    val bytes = fs.listStatus(dst).filter(_.isFile)
+    val bytes = entries.filter(_.isFile)
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(dir).repartition(nFiles)

@@ -148,13 +148,23 @@ object Similarity {
     * input splits, the property every sketch here shares. Subspace
     * distances are rounded to 6 decimals before the argmin (index
     * tiebreak) so any engine assigns identical codes. */
-  def pqCodes(vecs: DataFrame, m: Int = 4, k: Int = 8,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cw: Seq[Seq[Double]] = vecs
+  /** The `k` hash-minimal vectors by id — the engine-reproducible
+    * codebook/centroid sample shared by the PQ family (one driver-side
+    * TakeOrdered job; callers reuse the result rather than re-sampling). */
+  private def hashMinimalCodebook(vecs: DataFrame, k: Int, idCol: String,
+                                  vecCol: String): Seq[Seq[Double]] = {
+    val cw = vecs
       .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("e"))
       .orderBy(Sampling.md5Bucket64k(col(idCol)), col(idCol))
       .limit(k).collect().map(_.getSeq[Double](1).toSeq).toSeq
-    require(cw.size == k, s"pqCodes: need at least $k vectors for the codebook")
+    require(cw.size == k, s"codebook needs at least $k vectors, found ${cw.size}")
+    cw
+  }
+
+  def pqCodes(vecs: DataFrame, m: Int = 4, k: Int = 8,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              codebook: Option[Seq[Seq[Double]]] = None): DataFrame = {
+    val cw = codebook.getOrElse(hashMinimalCodebook(vecs, k, idCol, vecCol))
     val dim = cw.head.size
     require(dim % m == 0, s"pqCodes: dim $dim not divisible by m=$m")
     val sub = dim / m
@@ -185,13 +195,11 @@ object Similarity {
                 m: Int = 4, codebookSize: Int = 8,
                 qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cw: Seq[Seq[Double]] = candidates
-      .select(col(idCol), VectorOps.asDouble(col(vecCol)).as("e"))
-      .orderBy(Sampling.md5Bucket64k(col(idCol)), col(idCol))
-      .limit(codebookSize).collect().map(_.getSeq[Double](1).toSeq).toSeq
+    val cw = hashMinimalCodebook(candidates, codebookSize, idCol, vecCol)
     val dim = cw.head.size
+    require(dim % m == 0, s"pqAdcTopK: dim $dim not divisible by m=$m")
     val sub = dim / m
-    val codes = pqCodes(candidates, m, codebookSize, idCol, vecCol)
+    val codes = pqCodes(candidates, m, codebookSize, idCol, vecCol, Some(cw))
     val qv = VectorOps.asDouble(col(qvecCol))
     // per-query LUT: lut_s[j] = dot(q_s, cw_j_s); constant per-codeword
     // reconstruction norms² live in a plain literal
@@ -207,13 +215,21 @@ object Similarity {
         cw(j).slice(s * sub, s * sub + sub).map(x => x * x).sum
       }
     }
-    val qs = queries.select(col(qidCol) +: sqrt(VectorOps.normSq(col(qvecCol))).as("_qn") +: lutCols: _*)
+    // zero-norm queries are unrankable (cosine undefined → NULL scores
+    // would still get ranked by the id tiebreak) — exclude them, the
+    // same contract as brpLshTopK
+    val qs = queries
+      .filter(VectorOps.normSq(col(qvecCol)) > 0)
+      .select(col(qidCol) +: sqrt(VectorOps.normSq(col(qvecCol))).as("_qn") +: lutCols: _*)
     val dotExpr = (0 until m).map(s =>
       element_at(col(s"_lut_$s"), col(s"code_$s") + 1)).reduce(_ + _)
     val reconNormSq = (0 until m).map(s =>
       element_at(typedLit(cwNormSq(s)), col(s"code_$s") + 1)).reduce(_ + _)
     val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
     codes.crossJoin(broadcast(qs))
+      // a zero-norm reconstruction (all-zero codewords) is equally
+      // unrankable — drop it rather than rank NULL scores
+      .filter(reconNormSq > 0)
       .withColumn("score", round(dotExpr / (col("_qn") * sqrt(reconNormSq)), 4))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

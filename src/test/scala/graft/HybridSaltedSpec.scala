@@ -79,6 +79,10 @@ class HybridSaltedSpec extends SparkSpec {
     assert(out.groupBy(_._1).values.forall(_.map(_._4).sorted == Seq(1, 2, 3, 4, 5)))
     assert(out.forall(r => r._3 >= -1.0001 && r._3 <= 1.0001))
     assert(run(cands.repartition(7)) == out) // codebook + ranks stable under partitioning
+    // a zero-norm query is unrankable: excluded, not ranked with NULL scores
+    val qz = qs.union(Seq((9L, Seq.fill(32)(0f))).toDF("q_vec_id", "q_embedding"))
+    val z = Similarity.pqAdcTopK(qz, cands, k = 5, m = 4, codebookSize = 8).collect()
+    assert(!z.exists(_.getLong(0) == 9L))
   }
 
   test("multi-probe LSH never hurts recall and never scores a candidate twice") {

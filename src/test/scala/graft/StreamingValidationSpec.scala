@@ -49,12 +49,20 @@ class StreamingValidationSpec extends SparkSpec {
     StreamingIngest.ingestStream(spark, src, tgt, ckp).start().awaitTermination()
     val after1 = spark.read.parquet(tgt)
     assert(after1.count() === 2) // fp-dedup collapsed 1 and 2
-    // batch 2: same content again (idempotent) + one new doc
+    val gammaTs1 = after1.filter(col("doc_id") === 3L)
+      .select(col("ingest_ts")).head.getTimestamp(0)
+    // batch 2: same content again (idempotent) + one new doc — a RESTART
+    // from the same checkpoint must resume, not replay b1
     writeBatch("b2.json", Seq((4L, "alpha beta"), (5L, "delta")))
     StreamingIngest.ingestStream(spark, src, tgt, ckp).start().awaitTermination()
     val after2 = spark.read.parquet(tgt)
     assert(after2.count() === 3) // still one "alpha beta", plus gamma, delta
     assert(after2.select(countDistinct(col("fp"))).head.getLong(0) === 3)
+    // exactly-once at the source: a replay of b1 would re-stamp gamma
+    // with a fresh ingest_ts and win the last-write-wins merge
+    val gammaTs2 = after2.filter(col("doc_id") === 3L)
+      .select(col("ingest_ts")).head.getTimestamp(0)
+    assert(gammaTs2 === gammaTs1, "restart replayed the committed batch")
   }
 
   test("upsertBatch swap recovery rolls forward/back without losing the table") {
