@@ -434,8 +434,12 @@ object SparkEntry {
         e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
         e.filter(col("vec_id") >= 5), k = 10)
-    })
+    }),
+    "cms_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.cmsTermCounts(Tables.documents(s, d), cmsProbeTerms))
   )
+
+  private val cmsProbeTerms = Seq("the", "table", "query", "spark", "zzz_absent")
 
   // shared component oracle SQL (also composed into clean_corpus)
   private val dedupExactSql =
@@ -1572,7 +1576,32 @@ object SparkEntry {
         |  round(s.dot_r / (qn.qnorm * sqrt(s.cnormsq)), 4) AS score,
         |  row_number() OVER (PARTITION BY s.q_vec_id
         |    ORDER BY round(s.dot_r / (qn.qnorm * sqrt(s.cnormsq)), 4) DESC, s.vec_id) AS rank
-        | FROM scored s JOIN qn USING (q_vec_id)) WHERE rank <= 10""".stripMargin
+        | FROM scored s JOIN qn USING (q_vec_id)) WHERE rank <= 10""".stripMargin,
+
+    // relational replay of the count-min sketch cell math (md5 bucket
+    // rows, depth 4 × width 256 — in lockstep with CountMinAgg)
+    "cms_heavy_hitters" -> {
+      val probeValues = cmsProbeTerms.map(t => s"('${esc(t)}')").mkString(", ")
+      s"""WITH toks AS (SELECT t AS term FROM (
+         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         |  FROM documents) WHERE t <> ''),
+         |probes(term) AS (SELECT * FROM (VALUES $probeValues)),
+         |rows_ AS (SELECT unnest(generate_series(0, 3)) AS i),
+         |cells AS (
+         | SELECT r.i,
+         |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.term), 1, 8))::BIGINT % 256 AS b,
+         |  count(*) AS c
+         | FROM toks t CROSS JOIN rows_ r GROUP BY 1, 2),
+         |pe AS (
+         | SELECT p.term, r.i,
+         |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || p.term), 1, 8))::BIGINT % 256 AS b
+         | FROM probes p CROSS JOIN rows_ r),
+         |est AS (SELECT pe.term, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS est
+         |        FROM pe LEFT JOIN cells c ON c.i = pe.i AND c.b = pe.b GROUP BY pe.term),
+         |exact AS (SELECT term, count(*) AS n FROM toks GROUP BY term)
+         |SELECT est.term, est.est, CAST(COALESCE(exact.n, 0) AS BIGINT) AS exact
+         |FROM est LEFT JOIN exact USING (term)""".stripMargin
+    }
   )
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold

@@ -94,6 +94,35 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Heavy-hitter counting through the [[graft.functions.CountMinAgg]]
+    * count-min sketch (SURVEY §2.11's custom-Aggregator tier): ONE pass
+    * over the token stream builds a fixed depth×width sketch (partials
+    * merge element-wise like any sum — no per-key state), then the
+    * probe terms read their estimates out of the finished sketch with
+    * pure array lookups (bucket indices precomputed on the driver, the
+    * probe list is literal metadata). `exact` is joined alongside for
+    * the oracle's est ≥ exact validation — a real pipeline skips that
+    * full-vocabulary aggregate; avoiding it is the sketch's point. */
+  def cmsTermCounts(docs: DataFrame, probes: Seq[String],
+                    depth: Int = 4, width: Int = 256,
+                    textCol: String = "text"): DataFrame = {
+    import docs.sparkSession.implicits._
+    val cmsU = udaf(new graft.functions.CountMinAgg(depth, width))
+    val words = docs.select(
+      filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "").as("_w"))
+    val toks = words.select(explode(col("_w")).as("term"))
+    val sketch = toks.agg(cmsU(col("term")).as("sketch"))
+    val probeDF = probes.map { t =>
+      (t, (0 until depth).map(i =>
+        i * width + graft.functions.CountMinAgg.bucket(i, t, width) + 1))
+    }.toDF("term", "idxs")
+    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    probeDF.crossJoin(broadcast(sketch))
+      .withColumn("est", array_min(transform(col("idxs"), i => element_at(col("sketch"), i))))
+      .join(broadcast(exact), Seq("term"), "left")
+      .select(col("term"), col("est"), coalesce(col("n"), lit(0L)).as("exact"))
+  }
+
   /** Token counting: whitespace tokens + a BPE-ish regex segmentation
     * (letter runs / digit runs / single punctuation). */
   def tokenCounts(docs: DataFrame, textCol: String = "text"): DataFrame = {

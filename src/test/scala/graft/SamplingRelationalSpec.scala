@@ -347,6 +347,31 @@ class SamplingRelationalSpec extends SparkSpec {
     assert(out(4L) === (4L, true)) // isolated doc is its own canonical
   }
 
+  test("count-min sketch: est >= exact always, exact at ample width, overestimates under collision") {
+    val docs = Seq((1L, "a a a b b c"), (2L, "a c d")).toDF("doc_id", "text")
+    val wide = graft.operators.TextAnalysis
+      .cmsTermCounts(docs, Seq("a", "b", "c", "d", "nope"), depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(wide("a") == ((4L, 4L)) && wide("b") == ((2L, 2L)))
+    assert(wide("c") == ((2L, 2L)) && wide("d") == ((1L, 1L)))
+    assert(wide("nope")._2 == 0L && wide("nope")._1 >= 0L)
+    // width 1: every key shares the single bucket per row → est = total tokens
+    val tiny = graft.operators.TextAnalysis
+      .cmsTermCounts(docs, Seq("a", "d"), depth = 2, width = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny("a") == 9L && tiny("d") == 9L) // overestimate, never under
+  }
+
+  test("count-min sketch merge is element-wise and order-free") {
+    val agg = new graft.functions.CountMinAgg(3, 16)
+    val keys = Seq("x", "y", "x", "z", "x", "y")
+    val whole = keys.foldLeft(agg.zero)(agg.reduce)
+    val (l, r) = keys.splitAt(2)
+    val merged = agg.merge(l.foldLeft(agg.zero)(agg.reduce), r.foldLeft(agg.zero)(agg.reduce))
+    assert(whole.toSeq == merged.toSeq)
+    assert(graft.functions.CountMinAgg.estimate(whole.toSeq, "x", 3, 16) == 3L)
+  }
+
   test("unigramSurprisal: hand-computed corpus unigram surprisal") {
     // counts: a=2, b=2, c=1, total=5 → s(a)=s(b)=ln(2.5), s(c)=ln(5)
     val tiny = Seq((1L, "a a b"), (2L, "b c")).toDF("doc_id", "text")
