@@ -436,10 +436,15 @@ object SparkEntry {
         e.filter(col("vec_id") >= 5), k = 10)
     }),
     "cms_heavy_hitters" -> ((s, d) =>
-      TextAnalysis.cmsTermCounts(Tables.documents(s, d), cmsProbeTerms))
+      TextAnalysis.cmsTermCounts(Tables.documents(s, d), cmsProbeTerms,
+        depth = cmsDepth, width = cmsWidth))
   )
 
+  // CMS geometry shared by the query and its oracle — one definition, no
+  // silent drift between the Spark sketch and the SQL cell replay
   private val cmsProbeTerms = Seq("the", "table", "query", "spark", "zzz_absent")
+  private val cmsDepth = 4
+  private val cmsWidth = 256
 
   // shared component oracle SQL (also composed into clean_corpus)
   private val dedupExactSql =
@@ -1586,15 +1591,15 @@ object SparkEntry {
          |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
          |  FROM documents) WHERE t <> ''),
          |probes(term) AS (SELECT * FROM (VALUES $probeValues)),
-         |rows_ AS (SELECT unnest(generate_series(0, 3)) AS i),
+         |rows_ AS (SELECT unnest(generate_series(0, ${cmsDepth - 1})) AS i),
          |cells AS (
          | SELECT r.i,
-         |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.term), 1, 8))::BIGINT % 256 AS b,
+         |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.term), 1, 8))::BIGINT % $cmsWidth AS b,
          |  count(*) AS c
          | FROM toks t CROSS JOIN rows_ r GROUP BY 1, 2),
          |pe AS (
          | SELECT p.term, r.i,
-         |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || p.term), 1, 8))::BIGINT % 256 AS b
+         |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || p.term), 1, 8))::BIGINT % $cmsWidth AS b
          | FROM probes p CROSS JOIN rows_ r),
          |est AS (SELECT pe.term, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS est
          |        FROM pe LEFT JOIN cells c ON c.i = pe.i AND c.b = pe.b GROUP BY pe.term),

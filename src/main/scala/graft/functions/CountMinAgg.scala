@@ -42,14 +42,24 @@ class CountMinAgg(val depth: Int, val width: Int)
 }
 
 object CountMinAgg {
-  /** Row-`i` bucket of `key`: first 8 hex chars of md5("i:key"), mod
-    * width. Cross-engine: DuckDB
+  // reduce() hashes depth× per TOKEN — reuse the digest instance and
+  // read the first 4 bytes as an unsigned int directly (identical value
+  // to parsing the 8-hex-char prefix, without per-byte formatting)
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** Row-`i` bucket of `key`: first 8 hex chars of md5("i:key") as an
+    * unsigned int, mod width. Cross-engine: DuckDB
     * `('0x' || substr(md5(i || ':' || key), 1, 8))::BIGINT % width`. */
   def bucket(i: Int, key: String, width: Int): Int = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$i:$key".getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
-    (java.lang.Long.parseLong(hex, 16) % width).toInt
+    val d = md5.get()
+    d.reset()
+    val bytes = d.digest(s"$i:$key".getBytes("UTF-8"))
+    val v = ((bytes(0) & 0xffL) << 24) | ((bytes(1) & 0xffL) << 16) |
+      ((bytes(2) & 0xffL) << 8) | (bytes(3) & 0xffL)
+    (v % width).toInt
   }
 
   /** Estimate of `key` from a finished sketch: min over rows. */

@@ -75,10 +75,16 @@ object TextAnalysis {
     * decimals then fixed-point micro-units before the per-document sum
     * (exact, order-free — the cross-engine determinism rule every
     * float aggregate here follows). */
+  /** Canonical whitespace tokenization (lower, trim, drop empties) —
+    * every DuckDB oracle replays this bit-exactly
+    * (`regexp_split_to_array(lower(trim(text)), '\s+')` + `t <> ''`),
+    * so callers share ONE definition rather than drifting copies. */
+  private[operators] def wsTokens(text: Column): Column =
+    filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
+
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
                        textCol: String = "text"): DataFrame = {
-    val words = docs.select(col(idCol),
-      filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "").as("_words"))
+    val words = docs.select(col(idCol), wsTokens(col(textCol)).as("_words"))
     val toks = words.select(col(idCol), explode(col("_words")).as("term"))
     val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
     val total = counts.agg(sum(col("cnt")).as("total"))
@@ -108,15 +114,17 @@ object TextAnalysis {
                     textCol: String = "text"): DataFrame = {
     import docs.sparkSession.implicits._
     val cmsU = udaf(new graft.functions.CountMinAgg(depth, width))
-    val words = docs.select(
-      filter(split(lower(trim(col(textCol))), "\\s+"), w => w =!= "").as("_w"))
-    val toks = words.select(explode(col("_w")).as("term"))
+    val toks = docs.select(wsTokens(col(textCol)).as("_w"))
+      .select(explode(col("_w")).as("term"))
     val sketch = toks.agg(cmsU(col("term")).as("sketch"))
     val probeDF = probes.map { t =>
       (t, (0 until depth).map(i =>
         i * width + graft.functions.CountMinAgg.bucket(i, t, width) + 1))
     }.toDF("term", "idxs")
-    val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+    // exact counts only for the PROBE terms: the un-filtered form would
+    // aggregate + broadcast the whole vocabulary just to read 5 keys
+    val exact = toks.filter(col("term").isin(probes: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("n"))
     probeDF.crossJoin(broadcast(sketch))
       .withColumn("est", array_min(transform(col("idxs"), i => element_at(col("sketch"), i))))
       .join(broadcast(exact), Seq("term"), "left")
