@@ -62,23 +62,27 @@ object Dedup {
     val sh = explodedShingles(docs, n, idCol, textCol)
     val rare = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf).select("shingle")
-    // shr feeds three consumers (sizes + both sides of the pair join);
-    // without materialization Spark re-runs the shingle explode/filter
-    // subtree for each, re-reading the source 4×. localCheckpoint (not
+    // shr feeds both sides of the pair join; without materialization
+    // Spark re-runs the shingle explode/filter subtree for each,
+    // re-reading the source twice more. localCheckpoint (not
     // persist): cache entries registered via persist() live in the
     // CacheManager until explicitly unpersisted — a leak for a library
     // function that can't know when its caller is done — while
     // checkpoint blocks are reclaimed by the ContextCleaner when the
     // DataFrame is garbage collected.
-    val shr = sh.join(rare, "shingle").localCheckpoint()
-    val sizes = shr.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
-    val pairs = shr.as("a").join(shr.as("b"),
+    // per-doc shingle counts ride along as a window count BEFORE the
+    // checkpoint: one id-partitioned pass instead of a separate sizes
+    // aggregate joined back twice after the pair join (two fewer join
+    // stages; n_sh is constant per id so `first` recovers it per pair)
+    val shr = sh.join(rare, "shingle")
+      .withColumn("n_sh", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
+      .localCheckpoint()
+    shr.as("a").join(shr.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .agg(count(lit(1)).as("inter"),
+        first(col("a.n_sh")).as("n_a"), first(col("b.n_sh")).as("n_b"))
       .withColumn("jaccard",
         round(col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")), 4))
       .select(col("id_a"), col("id_b"), col("inter"), col("jaccard"))

@@ -117,38 +117,39 @@ object Retrieval {
     // in `docs` (it is the corpus key): a duplicated id would fan out
     // the dl join and double-count in n_docs/avgdl.
     //
-    // Shuffle inventory (the 100 TB view): document length dl is just
-    // the token COUNT, so it comes scan-only from size(words) — no
-    // full-corpus (id, term) aggregate exists in this plan at all. The
-    // exploded tokens are pruned to the query vocabulary by a broadcast
-    // semi-join BEFORE the tf aggregate, so the only shuffles are over
-    // O(query-vocab hits) rows: tf, df(t), and the final per-question
-    // score — each tiny next to the corpus. (An earlier form aggregated
-    // tf over the whole vocabulary first: one O(corpus tokens) exchange
-    // that existed only to be 99% discarded.)
+    // Shuffle inventory (the 100 TB view): the corpus is tokenized
+    // exactly TWICE — once for the scalar (n_docs, avgdl) aggregate,
+    // once for the scoring path. Document length dl rides through the
+    // token explode as a constant per-row column and is recovered in
+    // the tf aggregate by first(), so no separate dl table is joined;
+    // document frequency df is a window count over the already-pruned
+    // tf rows (distinct (doc,term) ⇒ the count IS df), so no separate
+    // vocabulary aggregate exists either. The exploded tokens are
+    // pruned to the query vocabulary by a broadcast semi-join BEFORE
+    // the tf aggregate, so the only shuffles are over O(query-vocab
+    // hits) rows: tf, the df window, and the final per-question score —
+    // each tiny next to the corpus. (Earlier forms aggregated tf over
+    // the whole vocabulary and joined dl/df back: one O(corpus tokens)
+    // exchange plus two joins that existed only to be 99% discarded.)
     val words = docs.select(col(idCol),
       filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("_words"))
     // dl > 0 keeps n_docs/avgdl identical to the aggregate-derived form
     // (a zero-token document has no tf rows, so it never counted)
-    val dl = words.select(col(idCol), size(col("_words")).cast("long").as("dl"))
+    val corpus = words.select(size(col("_words")).cast("long").as("dl"))
       .filter(col("dl") > 0)
-    val corpus = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val qTerms = broadcast(questions.select(col("question_id"),
         explode(array_distinct(split(lower(col("question")), "\\s+"))).as("term"))
       .filter(col("term") =!= ""))
-    // tfq feeds two consumers (dfreq + the scoring join). Recomputing it
-    // is two map-side tokenize+probe passes with no wide exchange — at
-    // local scale that is CHEAPER than a localCheckpoint's eager
-    // materialization job (measured); on a cluster, cache()/checkpoint
-    // here if the corpus scan dominates.
-    val tfq = words.select(col(idCol), explode(col("_words")).as("term"))
+    val tfq = words
+      .select(col(idCol), size(col("_words")).cast("long").as("dl"),
+        explode(col("_words")).as("term"))
       .join(broadcast(qTerms.select(col("term")).distinct()), "term")
-      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
-    val dfreq = tfq.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val wDf = Window.partitionBy(col("term"))
     val scored = qTerms
-      .join(tfq, "term")
-      .join(dl, idCol)
-      .join(dfreq, "term")
+      .join(tfq.withColumn("df", count(lit(1)).over(wDf)), "term")
       .crossJoin(broadcast(corpus))
       .withColumn("idf", round(
         log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0), 6))

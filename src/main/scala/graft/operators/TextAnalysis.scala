@@ -218,30 +218,33 @@ object TextAnalysis {
   }
 
   /** Top TF-IDF terms per document — the "document keywords" extractor of
-    * a training-data pipeline. tf from one tokenize+aggregate pass, df
-    * from one more; idf = ln(N/df) rounded to 6 (the one libm step),
-    * weight = tf·idf in fixed-point micro-units (exact, order-free), then
-    * a per-document rank-limit (WindowGroupLimit keeps O(k) rows/task).
-    * Stopwords dropped — they'd win every document otherwise.
+    * a training-data pipeline. ONE tokenize+aggregate pass builds tf;
+    * df rides along as `count(*) over (partition by term)` — every
+    * (doc, term) row is distinct after the tf aggregate, so the window
+    * count IS the document frequency, with no second tokenize pass, no
+    * vocabulary re-aggregation, and no broadcast build job. idf =
+    * ln(N/df) rounded to 6 (the one libm step), weight = tf·idf in
+    * fixed-point micro-units (exact, order-free), then a per-document
+    * rank-limit (WindowGroupLimit keeps O(k) rows/task). Stopwords
+    * dropped — they'd win every document otherwise.
     *
-    * The df table is BROADCAST into the scoring join: vocabulary size is
-    * sublinear in corpus size (Heaps' law), so shipping the vocab beats
-    * re-shuffling O(corpus tokens) tf rows by term. For a corpus whose
-    * vocab outgrows the broadcast budget, drop the hint and let AQE
-    * pick the exchange. */
+    * Shuffle ledger: (id,term) hash-agg → term window → id rank window,
+    * each moving the already-aggregated tf table (≤ one row per distinct
+    * (doc,term), far smaller than the token stream). The alternative —
+    * aggregate the vocabulary separately and broadcast it into a scoring
+    * join — reads and tokenizes the corpus twice unless tf is cached;
+    * with a 100 TB scan that only wins when the tf table is persisted,
+    * so the single-pass shape is the default. Term-partition skew is
+    * bounded: ≤ one row per document per term, and AQE splits any hot
+    * vocabulary term. */
   def topTfidfTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    // tf feeds df AND the scoring join; recomputing it is two map-side
-    // tokenize passes + a re-shuffled aggregate. Measured both ways at
-    // local scale: the localCheckpoint's eager materialization job costs
-    // more than the recompute. On a cluster with an expensive scan,
-    // cache() here instead.
     val tf = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
     val corpus = docs.agg(count_distinct(col(idCol)).as("n_docs"))
-    val dfreq = broadcast(tf.groupBy(col("term")).agg(count(lit(1)).as("df")))
+    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("w6").desc, col("term"))
-    tf.join(dfreq, "term")
+    tf.withColumn("df", count(lit(1)).over(wDf))
       .crossJoin(broadcast(corpus))
       .withColumn("idf", round(log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("w6", (col("tf") * round(col("idf") * 1e6, 0).cast("long")))
