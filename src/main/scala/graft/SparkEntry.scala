@@ -437,7 +437,27 @@ object SparkEntry {
     }),
     "cms_heavy_hitters" -> ((s, d) =>
       TextAnalysis.cmsTermCounts(Tables.documents(s, d), cmsProbeTerms,
-        depth = cmsDepth, width = cmsWidth))
+        depth = cmsDepth, width = cmsWidth)),
+
+    // --- r5 additions: simhash pairing, weighted sampling, graph
+    //     centrality, bloom decontam, k-means statistics ---------------
+    "simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d))),
+    "weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(Tables.documents(s, d), n = 50,
+        weightCol = "n_chars", keyCol = "doc_id")
+        .select("doc_id", "n_chars", "es_key")),
+    "pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      graft.operators.Graph.pageRank(docs, Dedup.minhashCandidates(docs))
+    }),
+    "bloom_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.bloomDecontam(docs,
+        docs.filter(col("doc_id") % 25 === 0).select(col("text")))
+    }),
+    "kmeans_step" -> ((s, d) =>
+      Similarity.kmeansStep(Tables.embeddings(s, d)))
   )
 
   // CMS geometry shared by the query and its oracle — one definition, no
@@ -513,6 +533,31 @@ object SparkEntry {
         | COALESCE(a.n_overlap, 0) AS n_overlap,
         | a.n_bench_hits IS NOT NULL AS contaminated
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
+
+  /** Shared CTE ending in `fp(id, simhash)` — replays
+    * [[graft.operators.Dedup.simhash32]] over the documents table. */
+  private val simhashFpCte: String =
+    """WITH toks AS (
+      | SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+      | FROM documents),
+      |h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
+      |bits AS (SELECT id, b, CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
+      |         FROM h, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) g),
+      |v AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b),
+      |fp AS (SELECT id,
+      | CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      | FROM v GROUP BY id)""".stripMargin
+
+  /** One PageRank iteration CTE (replays [[graft.operators.Graph.pageRank]]'s
+    * integer micro-unit update; `prev` is the prior iteration's CTE name). */
+  private def pageRankIterCte(name: String, prev: String): String =
+    s"""$name AS (SELECT d0.id,
+       | (15 * 1000000) // (100 * (SELECT n FROM nn)) +
+       | (85 * COALESCE(s.in6, 0)) // 100 AS pr6
+       |FROM docs0 d0 LEFT JOIN (
+       |  SELECT e.dst, CAST(sum(p.pr6 // g.deg) AS BIGINT) AS in6
+       |  FROM edges2 e JOIN $prev p ON p.id = e.src JOIN deg g ON g.src = e.src
+       |  GROUP BY e.dst) s ON s.dst = d0.id)""".stripMargin
 
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = Map(
@@ -695,17 +740,19 @@ object SparkEntry {
          |FROM docs0 d LEFT JOIN edges e ON e.id = d.id
          |GROUP BY d.id""".stripMargin,
 
-    "simhash" ->
-      """WITH toks AS (
-        | SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
-        | FROM documents),
-        |h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
-        |bits AS (SELECT id, b, CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
-        |         FROM h, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) g),
-        |v AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b)
-        |SELECT id AS doc_id,
-        | CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-        |FROM v GROUP BY id""".stripMargin,
+    "simhash" -> s"""$simhashFpCte
+        |SELECT id AS doc_id, simhash FROM fp""".stripMargin,
+
+    "simhash_pairs" ->
+      s"""$simhashFpCte,
+         |banded AS (SELECT id, simhash, g.b AS bnd, (simhash >> (g.b * 8)) & 255 AS byt
+         |           FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |          a.simhash AS fa, b.simhash AS fb
+         |         FROM banded a JOIN banded b
+         |          ON a.bnd = b.bnd AND a.byt = b.byt AND a.id < b.id)
+         |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
 
     "embed_near_dups" ->
       """WITH b AS (
@@ -1606,7 +1653,77 @@ object SparkEntry {
          |exact AS (SELECT term, count(*) AS n FROM toks GROUP BY term)
          |SELECT est.term, est.est, CAST(COALESCE(exact.n, 0) AS BIGINT) AS exact
          |FROM est LEFT JOIN exact USING (term)""".stripMargin
-    }
+    },
+
+    "weighted_sample" ->
+      """SELECT doc_id, n_chars, es_key FROM (
+        | SELECT doc_id, n_chars,
+        |  round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |        / 1152921504606846976.0) / n_chars, 9) AS es_key
+        | FROM documents WHERE n_chars > 0)
+        |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
+
+    "pagerank" ->
+      s"""$minhashPairsCte,
+         |edges2 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |           UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+         |nn AS (SELECT count(*) AS n FROM docs0),
+         |deg AS (SELECT src, count(*) AS deg FROM edges2 GROUP BY src),
+         |pr0 AS (SELECT id, 1000000 // (SELECT n FROM nn) AS pr6 FROM docs0),
+         |${pageRankIterCte("it1", "pr0")},
+         |${pageRankIterCte("it2", "it1")},
+         |${pageRankIterCte("it3", "it2")}
+         |SELECT d.id AS doc_id, COALESCE(g.deg, 0) AS deg, p.pr6
+         |FROM docs0 d LEFT JOIN deg g ON g.src = d.id
+         |JOIN it3 p ON p.id = d.id""".stripMargin,
+
+    "bloom_decontam" ->
+      """WITH bfp AS (SELECT DISTINCT
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents WHERE doc_id % 25 = 0),
+        |bloom AS (SELECT pos // 64 AS word,
+        |  bit_or(CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER)) AS bits
+        | FROM (SELECT ('0x' || substr(fp, 1 + 5 * g.i, 5))::BIGINT % 1024 AS pos
+        |       FROM bfp, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) g)
+        | GROUP BY 1),
+        |dfp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |probe AS (SELECT doc_id, fp,
+        |  COALESCE(((b.bits >> CAST(pos % 64 AS INTEGER)) & 1) = 1, FALSE) AS bit_set
+        | FROM (SELECT doc_id, fp,
+        |        ('0x' || substr(fp, 1 + 5 * g.i, 5))::BIGINT % 1024 AS pos
+        |       FROM dfp, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) g) d
+        |  LEFT JOIN bloom b ON b.word = d.pos // 64),
+        |verdict AS (SELECT doc_id, fp,
+        |  count(CASE WHEN bit_set THEN 1 END) = 3 AS bloom_hit
+        | FROM probe GROUP BY doc_id, fp)
+        |SELECT v.doc_id, v.bloom_hit, b.fp IS NOT NULL AS exact,
+        | v.bloom_hit AND b.fp IS NULL AS false_positive
+        |FROM verdict v LEFT JOIN bfp b ON b.fp = v.fp""".stripMargin,
+
+    "kmeans_step" ->
+      """WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |cb AS (SELECT ce, cidx FROM (
+        |        SELECT e AS ce, row_number() OVER (
+        |          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT,
+        |                   vec_id) - 1 AS cidx
+        |        FROM nz) WHERE cidx < 8),
+        |sc AS (SELECT n.vec_id, n.e, c.cidx,
+        |        round(list_inner_product(n.e, c.ce) /
+        |          (sqrt(list_inner_product(n.e, n.e)) * sqrt(list_inner_product(c.ce, c.ce))),
+        |          6) AS score
+        |       FROM nz n CROSS JOIN cb c),
+        |asg AS (SELECT vec_id, e, cidx AS cell FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY score DESC, cidx) AS rn
+        |         FROM sc) WHERE rn = 1)
+        |SELECT a.cell, g.i - 1 AS dim, count(*) AS n_members,
+        | CAST(sum(CAST(round(a.e[g.i] * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum6
+        |FROM asg a, LATERAL (SELECT unnest(generate_series(1, len(a.e))) AS i) g
+        |GROUP BY 1, 2""".stripMargin
   )
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold

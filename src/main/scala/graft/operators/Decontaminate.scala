@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Benchmark decontamination for the training-data tier: flag training
@@ -57,5 +57,64 @@ object Decontaminate {
         coalesce(col("n_bench_hits"), lit(0L)).as("n_bench_hits"),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         coalesce(col("n_bench_hits") > 0, lit(false)).as("contaminated"))
+  }
+
+  // ---- Bloom-filter membership (the sketch-sized decontam guard) -------
+
+  /** The `k` bit positions an md5-hex key sets in an `m`-bit Bloom
+    * filter: disjoint 20-bit slices of the hex string, each mod m. Pure
+    * string/integer math — identical in any engine with md5. */
+  private def bloomPositions(fpHex: Column, m: Int, k: Int): Column =
+    array((0 until k).map(i =>
+      pmod(conv(substring(fpHex, 1 + 5 * i, 5), 16, 10).cast("long"), lit(m.toLong))): _*)
+
+  /** `m`-bit Bloom filter over a fingerprint column, as a ≤ m/64-row
+    * (word, bits) table — `bit_or` of the per-key masks. The filter's
+    * size is fixed by `m` regardless of how many keys went in: that is
+    * the point at 100 TB, where the exact benchmark fingerprint set may
+    * be too large to broadcast but 16 longs always fit. */
+  def bloomBits(keys: DataFrame, fpCol: String, m: Int = 1024,
+                k: Int = 3): DataFrame =
+    keys
+      .select(explode(bloomPositions(col(fpCol), m, k)).as("pos"))
+      .select(expr("pos div 64").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("mask"))
+      .groupBy(col("word")).agg(bit_or(col("mask")).as("bits"))
+
+  /** Bloom-filter decontamination verdict per document: probe the filter
+    * built from the benchmark's content fingerprints; `bloom_hit` rows
+    * are possibly-contaminated (to be dropped or routed to the exact
+    * [[report]] n-gram pass), and the exact fingerprint join alongside
+    * exposes the filter's false positives. Probe shape at scale: the
+    * corpus explodes k=3 positions per document and hash-joins the
+    * broadcast ≤ m/64-row filter table — map-side only; the benchmark
+    * set itself is never shipped (only its `exact` twin here, kept for
+    * the false-positive audit — production would skip it). A word with
+    * no set bits has no filter row, so the probe join is left and a
+    * missing row reads as bit-clear. */
+  def bloomDecontam(docs: DataFrame, bench: DataFrame, m: Int = 1024,
+                    k: Int = 3, idCol: String = "doc_id",
+                    textCol: String = "text",
+                    benchTextCol: String = "text"): DataFrame = {
+    val benchFp = bench
+      .select(TextAnalysis.fingerprint(col(benchTextCol)).as("fp")).distinct()
+    val bloom = broadcast(bloomBits(benchFp, "fp", m, k))
+    val probes = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .select(col("doc_id"), col("fp"),
+        explode(bloomPositions(col("fp"), m, k)).as("pos"))
+      .select(col("doc_id"), col("fp"),
+        expr("pos div 64").as("word"), col("pos"))
+      .join(bloom, Seq("word"), "left")
+      .withColumn("bit_set",
+        coalesce(expr("(shiftright(bits, CAST(pos % 64 AS INT)) & 1) = 1"), lit(false)))
+    val verdict = probes.groupBy(col("doc_id"), col("fp"))
+      .agg((count(when(col("bit_set"), 1)) === k).as("bloom_hit"))
+    verdict
+      .join(broadcast(benchFp.withColumn("_inb", lit(1))), Seq("fp"), "left")
+      .select(col("doc_id"), col("bloom_hit"),
+        col("_inb").isNotNull.as("exact"),
+        (col("bloom_hit") && col("_inb").isNull).as("false_positive"))
   }
 }

@@ -168,6 +168,35 @@ object Dedup {
       .select(col("id"), bitSum.as("simhash"))
   }
 
+  /** SimHash near-dup candidate pairs by Hamming-bucket banding: the
+    * 32-bit [[simhash32]] fingerprint splits into 4 byte bands, documents
+    * sharing any band's byte become candidates (equi-join on
+    * (band, byte) — distributable, no all-pairs scan), and candidates
+    * within `maxHamming` XOR-popcount bits survive. By pigeonhole, a pair
+    * within Hamming distance 3 differs in at most 3 of the 4 bands, so
+    * one band is intact — recall is EXACT for `maxHamming` ≤ 3; larger
+    * thresholds keep the same plan with the standard banding recall
+    * tradeoff. The fingerprint table (one row of two longs per document)
+    * is the only thing checkpointed — the corpus is never rescanned for
+    * the pairing. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val fp = simhash32(docs, idCol, textCol).localCheckpoint()
+    val banded = fp.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band", "byte")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Canonical-keeper assignment from near-dup candidate pairs (the step
     * after [[minhashCandidates]] in a training-data dedup pipeline): each
     * document's cluster id is the minimum doc id among itself and its

@@ -47,6 +47,30 @@ object Sampling {
       .drop("_rk", "_n")
   }
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis): each
+    * row draws a deterministic uniform u from its key's md5 and ranks by
+    * the exponential key ln(u)/w — the top `n` rows are EXACTLY a
+    * w-weighted sample, and the derivation is a pure function of the key
+    * so any engine or re-run selects the same rows. The top-n is
+    * `orderBy().limit()` — Spark plans `TakeOrderedAndProject`, a
+    * per-partition heap + driver merge of n rows, never a global sort of
+    * the corpus. ln is the one libm step; the key is rounded to 9
+    * decimals (far above double ULP noise, far below the key spacing)
+    * and ties break by key id, pinning the cross-engine order. */
+  def weightedSample(df: DataFrame, n: Int, weightCol: String,
+                     keyCol: String): DataFrame = {
+    // u = (h+1)/2^60 ∈ (0, 1]; h is the 60-bit md5 integer of the key's
+    // STRING form (a bare numeric key would md5 its binary encoding —
+    // not what any other engine computes). long→double rounding is IEEE
+    // round-to-nearest in both Spark and DuckDB.
+    val u = (Dedup.md5Hash60(col(keyCol).cast("string")) + 1).cast("double") /
+      lit(1152921504606846976.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol).cast("double"), 9))
+      .orderBy(col("es_key").desc, col(keyCol))
+      .limit(n)
+  }
+
   /** Training-shard packing: assign documents to shards of roughly
     * `tokenBudget` tokens — the sharding step in front of an LLM
     * training run. Documents are spread over `nBuckets` independent

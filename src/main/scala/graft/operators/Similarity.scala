@@ -236,6 +236,45 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("score"), col("rank"))
   }
 
+  /** One Lloyd iteration of k-means, emitted as SUFFICIENT STATISTICS —
+    * per (cell, dimension): member count and the micro-unit component
+    * sum. This is the map-reduce form of the k-means update (what every
+    * distributed implementation reduces; the new centroid is sum/n on
+    * the consumer side), and the offline refinement step behind
+    * [[ivfTopK]]/[[pqCodes]]' quantizers. Seeds are the engine-
+    * reproducible hash-minimal sample (k-means|| would wander between
+    * engines); assignment is argmax cosine against k centroid literals
+    * rounded to 6 decimals with first-index tiebreak — scan-only, zero
+    * shuffle; the single exchange is the (cell, dim) aggregate of
+    * k·dim rows. Integer micro-unit sums are order-free, so any engine
+    * reduces to identical statistics. Zero-norm vectors have no cosine
+    * cell and are excluded (the [[pqAdcTopK]]/brpLshTopK contract). */
+  def kmeansStep(vecs: DataFrame, kCents: Int = 8, idCol: String = "vec_id",
+                 vecCol: String = "embedding"): DataFrame = {
+    val nz = vecs.filter(VectorOps.normSq(col(vecCol)) > 0)
+    val cw = hashMinimalCodebook(nz, kCents, idCol, vecCol)
+    val cwNorm = cw.map(c => math.sqrt(c.map(x => x * x).sum))
+    val v = VectorOps.asDouble(col(vecCol))
+    val scores = array((0 until kCents).map { j =>
+      round(
+        aggregate(zip_with(v, typedLit(cw(j)), (x, y) => x * y),
+          lit(0.0), (a, x) => a + x)
+          / (sqrt(VectorOps.normSq(col(vecCol))) * lit(cwNorm(j))), 6)
+    }: _*)
+    // ComputeOnce: _scores feeds array_position AND array_max — without
+    // the barrier CollapseProject inlines the k-way scoring array into
+    // both consumers, doubling the kernel work.
+    nz.withColumn("_scores", org.apache.spark.sql.GraftColumns.column(
+        graft.functions.ComputeOnce(
+          org.apache.spark.sql.GraftColumns.expression(scores))))
+      .withColumn("cell",
+        (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
+      .select(col("cell"), posexplode(v).as(Seq("dim", "x")))
+      .groupBy(col("cell"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(round(col("x") * 1e6, 0).cast("long")).as("sum6"))
+  }
+
   /** MLlib `BucketedRandomProjectionLSH` top-k — the library ANN path
     * SURVEY §2.5 names for Q1. Vectors are L2-normalized first so
     * Euclidean distance (the only metric BRP-LSH hashes) is monotone in

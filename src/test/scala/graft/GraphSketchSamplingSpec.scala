@@ -1,0 +1,160 @@
+package graft
+
+import graft.operators.{Decontaminate, Dedup, Graph, Sampling, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Round-5 operators: simhash Hamming pairs, weighted sampling,
+  * PageRank, Bloom decontamination, k-means sufficient statistics. */
+class GraphSketchSamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- simhashPairs ----------------------------------------------------
+
+  private def nearDupCorpus = {
+    val a = "the quick brown fox jumps over the lazy dog again and again today"
+    val b = "completely different content about spark shuffles and parquet footers"
+    val va = (0 until 8).map(i => (i.toLong, s"$a v$i"))
+    val vb = (0 until 8).map(i => ((100 + i).toLong, s"$b v$i"))
+    (va ++ vb).toDF("doc_id", "text")
+  }
+
+  test("simhashPairs equals brute force over fingerprints at the exact-recall threshold") {
+    val docs = nearDupCorpus
+    val fps = Dedup.simhash32(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (for {
+      (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
+      h = java.lang.Long.bitCount(fa ^ fb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    val got = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // pigeonhole: ≤3 differing bits leave one of the 4 byte bands intact,
+    // so banding loses nothing at this threshold
+    assert(got == expected)
+    assert(got.nonEmpty) // the mutated copies really are near-dups
+    assert(got.forall { case (a, b, _) => a < b })
+  }
+
+  test("simhashPairs respects the Hamming threshold") {
+    val got = Dedup.simhashPairs(nearDupCorpus, maxHamming = 1).collect()
+    assert(got.forall(_.getInt(2) <= 1))
+  }
+
+  // ---- weightedSample --------------------------------------------------
+
+  test("weightedSample is deterministic, bounded, and drops nonpositive weights") {
+    val docs = (1 to 40).map(i => (i.toLong, if (i % 10 == 0) 0L else i.toLong * 7))
+      .toDF("doc_id", "w")
+    val s1 = Sampling.weightedSample(docs, 10, "w", "doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val s2 = Sampling.weightedSample(docs, 10, "w", "doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(s1 == s2 && s1.size == 10)
+    assert(s1.forall(_ % 10 != 0)) // zero-weight rows can never be drawn
+    val all = Sampling.weightedSample(docs, 100, "w", "doc_id").collect()
+    assert(all.length == 36) // 40 minus the four zero-weight rows
+  }
+
+  test("weightedSample ranks by the Efraimidis-Spirakis key") {
+    val docs = (1 to 30).map(i => (i.toLong, 1000L)).toDF("doc_id", "w")
+    val got = Sampling.weightedSample(docs, 5, "w", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    // keys are ln(u)/w ≤ 0 and the selected 5 are the largest overall
+    val keys = Sampling.weightedSample(docs, 30, "w", "doc_id")
+      .collect().map(r => r.getDouble(2)).sorted(Ordering[Double].reverse)
+    assert(got.forall(_._2 <= 0.0))
+    assert(got.map(_._2).sorted(Ordering[Double].reverse).sameElements(keys.take(5)))
+  }
+
+  // ---- pageRank --------------------------------------------------------
+
+  test("pageRank matches the hand-computed integer fixed point on a star graph") {
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Graph.pageRank(nodes, pairs, iters = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // N=4: teleport = 15e6/400 = 37500, pr0 = 250000; three exact integer
+    // iterations (see scaladoc formula) give:
+    assert(got(1L) == ((2L, 435405L)))
+    assert(got(2L) == ((1L, 157296L)))
+    assert(got(3L) == ((1L, 157296L)))
+    assert(got(4L) == ((0L, 37500L))) // dangling: teleport share only
+  }
+
+  test("pageRank on a symmetric pair is symmetric and mass-bounded") {
+    val nodes = Seq(1L, 2L).toDF("doc_id")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    val got = Graph.pageRank(nodes, pairs, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == got(2L))
+    // truncating integer division only ever LOSES mass
+    assert(got.values.sum <= 2L * 1000000L / 2)
+  }
+
+  // ---- bloomDecontam ---------------------------------------------------
+
+  test("bloomDecontam has no false negatives and flags only non-members as FPs") {
+    val docs = (1 to 60).map(i => (i.toLong, s"document number $i body"))
+      .toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" % 5 === 0).select($"text")
+    val r = Decontaminate.bloomDecontam(docs, bench).collect()
+      .map(x => x.getLong(0) -> ((x.getBoolean(1), x.getBoolean(2), x.getBoolean(3))))
+      .toMap
+    assert(r.size == 60)
+    r.foreach { case (id, (hit, exact, fp)) =>
+      assert(exact == (id % 5 == 0))
+      if (exact) assert(hit)    // a Bloom filter never misses a member
+      assert(fp == (hit && !exact))
+    }
+  }
+
+  test("bloomDecontam with a tiny filter shows false positives but never negatives") {
+    val docs = (1 to 80).map(i => (i.toLong, s"text $i")).toDF("doc_id", "text")
+    val bench = docs.filter($"doc_id" <= 20).select($"text")
+    val r = Decontaminate.bloomDecontam(docs, bench, m = 64, k = 2).collect()
+      .map(x => (x.getBoolean(1), x.getBoolean(2), x.getBoolean(3)))
+    assert(r.forall { case (hit, exact, _) => !exact || hit })
+    assert(r.exists { case (hit, exact, fp) => hit && !exact && fp }) // m=64 must FP
+  }
+
+  // ---- kmeansStep ------------------------------------------------------
+
+  test("kmeansStep statistics equal a Scala brute-force replay") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f)), (2L, Seq(0.9f, 0.1f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f)), (4L, Seq(0.1f, 0.9f, 0.0f)),
+      (5L, Seq(0.0f, 0.0f, 1.0f)), (6L, Seq(0.0f, 0.1f, 0.9f)),
+      (7L, Seq(0.0f, 0.0f, 0.0f)) // zero-norm: excluded
+    ).toDF("vec_id", "embedding")
+    val k = 2
+    val got = Similarity.kmeansStep(vecs, kCents = k).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+
+    // replay: same hash-minimal codebook, same rounded-cosine argmax
+    val nz = vecs.filter(expr("aggregate(transform(embedding, x -> double(x) * double(x)), 0D, (a, x) -> a + x) > 0"))
+    val cb = nz
+      .orderBy(Sampling.md5Bucket64k($"vec_id"), $"vec_id").limit(k)
+      .collect().map(_.getSeq[Float](1).map(_.toDouble).toSeq)
+    def cos(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val d = math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum)
+      BigDecimal(dot / d).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val members = nz.collect().map(r => r.getSeq[Float](1).map(_.toDouble).toSeq)
+    val expected = members
+      .map { v =>
+        val scores = cb.map(c => cos(v, c))
+        (scores.indexOf(scores.max), v)
+      }
+      .flatMap { case (cell, v) => v.zipWithIndex.map { case (x, d) => (cell, d, x) } }
+      .groupBy { case (cell, d, _) => (cell, d) }
+      .map { case (key, xs) =>
+        key -> ((xs.size.toLong, xs.map { case (_, _, x) =>
+          BigDecimal(x * 1e6).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }.sum))
+      }
+    assert(got == expected)
+    // every nonzero vector lands in exactly one cell
+    assert(got.collect { case ((_, 0), (n, _)) => n }.sum == 6L)
+  }
+}
