@@ -457,7 +457,18 @@ object SparkEntry {
         docs.filter(col("doc_id") % 25 === 0).select(col("text")))
     }),
     "kmeans_step" -> ((s, d) =>
-      Similarity.kmeansStep(Tables.embeddings(s, d)))
+      Similarity.kmeansStep(Tables.embeddings(s, d))),
+    "token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+    "contrastive_triplets" -> ((s, d) =>
+      Embedding.contrastiveTriplets(Tables.embeddings(s, d), nAnchors = 20)),
+    "rrf_fusion" -> ((s, d) => {
+      val qs = questionsDF(s)
+      val docs = Tables.documents(s, d)
+      Retrieval.rrfFuse(
+        Retrieval.bm25Search(qs, docs, k = 10),
+        Retrieval.keywordSearch(qs, docs, k = 10), k = 5)
+    })
   )
 
   // CMS geometry shared by the query and its oracle — one definition, no
@@ -1723,7 +1734,92 @@ object SparkEntry {
         |SELECT a.cell, g.i - 1 AS dim, count(*) AS n_members,
         | CAST(sum(CAST(round(a.e[g.i] * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum6
         |FROM asg a, LATERAL (SELECT unnest(generate_series(1, len(a.e))) AS i) g
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    "token_entropy" ->
+      """WITH toks AS (SELECT doc_id, t AS term FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents) WHERE t <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |tn AS (SELECT doc_id, tf,
+        |        CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM tf)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        | round(CAST(sum(tf * CAST(round(round(ln(n::DOUBLE / tf), 6) * 1000000) AS BIGINT))
+        |       AS DOUBLE) / max(n) / 1000000, 4) AS entropy
+        |FROM tn GROUP BY doc_id""".stripMargin,
+
+    "contrastive_triplets" ->
+      """WITH nz AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |anc AS (SELECT vec_id AS anchor_id, label AS a_label, e AS ae
+        |        FROM nz WHERE vec_id < 20),
+        |ps AS (SELECT anchor_id, nz.vec_id,
+        |        round(list_inner_product(ae, e) /
+        |          (sqrt(list_inner_product(ae, ae)) * sqrt(list_inner_product(e, e))),
+        |          4) AS pos_score
+        |       FROM anc JOIN nz ON nz.label = a_label AND nz.vec_id <> anchor_id),
+        |pos AS (SELECT anchor_id, vec_id AS pos_id, pos_score FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY anchor_id ORDER BY pos_score DESC, vec_id) AS rn
+        |         FROM ps) WHERE rn = 1),
+        |ns AS (SELECT anchor_id, nz.vec_id,
+        |        ('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':' ||
+        |          CAST(nz.vec_id AS VARCHAR)), 1, 4))::BIGINT AS nk
+        |       FROM anc JOIN nz ON nz.label <> a_label),
+        |neg AS (SELECT anchor_id, vec_id AS neg_id FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY anchor_id ORDER BY nk, vec_id) AS rn
+        |         FROM ns) WHERE rn = 1)
+        |SELECT p.anchor_id, p.pos_id, p.pos_score, n.neg_id
+        |FROM pos p JOIN neg n USING (anchor_id)""".stripMargin,
+
+    "rrf_fusion" ->
+      s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
+         |toks AS (SELECT doc_id, t AS term FROM (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+         |  FROM documents) WHERE t <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |qt AS (SELECT DISTINCT question_id, t AS term FROM (
+         |  SELECT question_id, unnest(regexp_split_to_array(lower(question), '\\s+')) AS t
+         |  FROM qs) WHERE t <> ''),
+         |scored AS (
+         | SELECT qt.question_id, tf.doc_id,
+         |  CAST(round(round(ln((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1), 6)
+         |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))
+         |    * 1000000) AS BIGINT) AS w6
+         | FROM qt JOIN tf USING (term) JOIN dl USING (doc_id)
+         |   JOIN dfreq USING (term), corpus),
+         |aggd AS (SELECT question_id, doc_id, round(sum(w6) / 1000000.0, 4) AS score
+         | FROM scored GROUP BY question_id, doc_id),
+         |fa AS (SELECT question_id, doc_id, rank_a FROM (
+         |  SELECT question_id, doc_id, row_number() OVER (
+         |    PARTITION BY question_id ORDER BY score DESC, doc_id) AS rank_a
+         |  FROM aggd) WHERE rank_a <= 10),
+         |qw AS (SELECT question_id,
+         |        CAST(len(regexp_split_to_array(lower(question), '\\s+')) AS INTEGER) AS n_words,
+         |        unnest(list_distinct(regexp_split_to_array(lower(question), '\\s+'))) AS word
+         |       FROM qs),
+         |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
+         |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
+         |      GROUP BY question_id, n_words, doc_id),
+         |fb AS (SELECT question_id, doc_id, rank_b FROM (
+         |  SELECT question_id, doc_id, row_number() OVER (PARTITION BY question_id
+         |    ORDER BY round(CAST(matches AS DOUBLE) / n_words, 4) DESC, doc_id) AS rank_b
+         |  FROM m) WHERE rank_b <= 10),
+         |fused AS (SELECT COALESCE(fa.question_id, fb.question_id) AS question_id,
+         |  COALESCE(fa.doc_id, fb.doc_id) AS doc_id,
+         |  COALESCE(fa.rank_a, 0) AS rank_a, COALESCE(fb.rank_b, 0) AS rank_b,
+         |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + fa.rank_a), 0) +
+         |        COALESCE(CAST(1 AS DOUBLE) / (60 + fb.rank_b), 0), 6) AS rrf6
+         | FROM fa FULL OUTER JOIN fb
+         |  ON fa.question_id = fb.question_id AND fa.doc_id = fb.doc_id)
+         |SELECT question_id, doc_id, rank_a, rank_b, rrf6, rank FROM (
+         | SELECT *, row_number() OVER (
+         |   PARTITION BY question_id ORDER BY rrf6 DESC, doc_id) AS rank
+         | FROM fused) WHERE rank <= 5""".stripMargin
   )
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold

@@ -132,4 +132,48 @@ object Embedding {
       .groupBy(col(labelCol), col("pos"))
       .agg(count(lit(1)).as("n_vectors"),
         round(sum(col("x6")) / count(lit(1)) / 1e6, 6).as("mean_c"))
+
+  /** Deterministic contrastive training triplets over a labeled embedding
+    * table — the (anchor, positive, negative) generator in front of a
+    * metric-learning / embedding fine-tune job. Positive = the anchor's
+    * nearest same-label neighbor by rounded cosine (hard positive);
+    * negative = the md5-minimal different-label row keyed on the
+    * (anchor, candidate) pair — a reproducible stand-in for uniform
+    * negative sampling, a different draw per anchor, identical across
+    * engines and re-runs (the [[Sampling]] stance: hashes, never RNGs).
+    *
+    * Scale shape: anchors are the tiny side and broadcast into BOTH
+    * selections. The positive join is label-equi (distributes; per-label
+    * skew is the usual caveat); the negative pass is a broadcast
+    * nested-loop over anchors × corpus — O(|anchors|·|corpus|) scored
+    * rows that never shuffle, reduced to one row per anchor by the same
+    * partial-rank window the retrieval family uses. Zero-norm vectors
+    * are excluded on both sides (no cosine cell — the brpLshTopK
+    * contract). */
+  def contrastiveTriplets(vecs: DataFrame, nAnchors: Int = 20,
+                          idCol: String = "vec_id", vecCol: String = "embedding",
+                          labelCol: String = "label"): DataFrame = {
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.expressions.Window
+    val nz = vecs.filter(VectorOps.normSq(col(vecCol)) > 0)
+    val anchors = broadcast(nz.filter(col(idCol) < nAnchors)
+      .select(col(idCol).as("anchor_id"), col(vecCol).as("a_emb"),
+        col(labelCol).as("a_label")))
+    val wp = Window.partitionBy(col("anchor_id"))
+      .orderBy(col("pos_score").desc, col(idCol))
+    val posTop = anchors
+      .join(nz, col(labelCol) === col("a_label") && col(idCol) =!= col("anchor_id"))
+      .withColumn("pos_score",
+        round(VectorOps.cosineNative(col("a_emb"), col(vecCol)), 4))
+      .withColumn("_rn", row_number().over(wp)).filter(col("_rn") === 1)
+      .select(col("anchor_id"), col(idCol).as("pos_id"), col("pos_score"))
+    val wn = Window.partitionBy(col("anchor_id")).orderBy(col("_nk"), col(idCol))
+    val negTop = anchors
+      .join(nz, col(labelCol) =!= col("a_label"))
+      .withColumn("_nk",
+        Sampling.md5Bucket64k(concat_ws(":", col("anchor_id"), col(idCol))))
+      .withColumn("_rn", row_number().over(wn)).filter(col("_rn") === 1)
+      .select(col("anchor_id"), col(idCol).as("neg_id"))
+    posTop.join(negTop, "anchor_id")
+  }
 }

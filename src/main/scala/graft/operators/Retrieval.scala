@@ -167,6 +167,34 @@ object Retrieval {
       .select(col("question_id"), col(idCol), col("n_terms"), col("score"), col("rank"))
   }
 
+  /** Reciprocal-rank fusion of two per-question rankings — the standard
+    * hybrid-retrieval combiner (Cormack et al.'s RRF; what production
+    * search stacks use to merge BM25 with vector ranks without score
+    * calibration): rrf(d) = Σ_lists 1/(c + rank_d), documents absent
+    * from a list contribute 0. Both inputs follow the retrieval-family
+    * contract (`qidCol`, `idCol`, `rank`). Rank-only fusion sidesteps
+    * cross-engine float-score comparability entirely; the two reciprocal
+    * terms are summed in fixed expression order (no aggregation), so the
+    * fused score is bit-stable. Shape: one full-outer equi-join of two
+    * already-k-bounded lists (O(k·|questions|) rows — trivially small at
+    * any corpus scale) + the usual WindowGroupLimit re-rank. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, c: Int = 60,
+              qidCol: String = "question_id", idCol: String = "doc_id"): DataFrame = {
+    val ra = a.select(col(qidCol), col(idCol), col("rank").as("rank_a"))
+    val rb = b.select(col(qidCol), col(idCol), col("rank").as("rank_b"))
+    val fused = ra.join(rb, Seq(qidCol, idCol), "full_outer")
+      .withColumn("rrf6", round(
+        coalesce(lit(1.0) / (lit(c) + col("rank_a")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("rank_b")), lit(0.0)), 6))
+    val w = Window.partitionBy(col(qidCol)).orderBy(col("rrf6").desc, col(idCol))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qidCol), col(idCol),
+        coalesce(col("rank_a"), lit(0)).as("rank_a"),
+        coalesce(col("rank_b"), lit(0)).as("rank_b"),
+        col("rrf6"), col("rank"))
+  }
+
   /** A4 answer summary: per question, result count + best-scoring hit
     * (reference `main.py:116,163`). */
   def answerSummary(ranked: DataFrame, qidCol: String = "question_id",

@@ -254,6 +254,27 @@ object TextAnalysis {
         round(col("w6") / 1e6, 4).as("tfidf"), col("rank"))
   }
 
+  /** Per-document Shannon entropy of the token distribution — the
+    * information-density quality signal (near-zero entropy = degenerate
+    * repetition, the tail a corpus filter drops). H = (Σ tf·ln(n/tf))/n
+    * over the per-doc term frequencies; the per-term ln is rounded to 6
+    * decimals and scaled to integer micro-units BEFORE the weighted sum
+    * (the [[unigramSurprisal]] fixed-point pattern), so the aggregate is
+    * order-free and engine-exact. One tokenize pass; the token count `n`
+    * rides as a window sum over the tf table — same single-pass shape as
+    * [[topTfidfTerms]]. */
+  def tokenEntropy(docs: DataFrame, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val tf = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = false)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(idCol))
+    tf.withColumn("n", sum(col("tf")).over(w))
+      .withColumn("_s6", col("tf") *
+        round(round(log(col("n").cast("double") / col("tf")), 6) * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(max(col("n")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        round(sum(col("_s6")).cast("double") / max(col("n")) / 1e6, 4).as("entropy"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 

@@ -1,10 +1,11 @@
 package graft
 
-import graft.operators.{Decontaminate, Dedup, Graph, Sampling, Similarity}
+import graft.operators.{Decontaminate, Dedup, Embedding, Graph, Retrieval, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 /** Round-5 operators: simhash Hamming pairs, weighted sampling,
-  * PageRank, Bloom decontamination, k-means sufficient statistics. */
+  * PageRank, Bloom decontamination, k-means sufficient statistics,
+  * token entropy, contrastive triplets, RRF fusion. */
 class GraphSketchSamplingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -156,5 +157,60 @@ class GraphSketchSamplingSpec extends SparkSpec {
     assert(got == expected)
     // every nonzero vector lands in exactly one cell
     assert(got.collect { case ((_, 0), (n, _)) => n }.sum == 6L)
+  }
+
+  // ---- tokenEntropy ----------------------------------------------------
+
+  test("tokenEntropy matches hand-computed Shannon entropy") {
+    val docs = Seq(
+      (1L, "a a b b"),      // H = ln 2
+      (2L, "x x x x"),      // degenerate: H = 0
+      (3L, "a b c d")       // uniform over 4: H = ln 4
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenEntropy(docs).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r(1L) == ((4L, 2L, 0.6931)))
+    assert(r(2L) == ((4L, 1L, 0.0)))
+    assert(r(3L) == ((4L, 4L, 1.3863)))
+  }
+
+  // ---- contrastiveTriplets ---------------------------------------------
+
+  test("contrastive triplets: positive is the nearest same-label, negative crosses labels") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (1L, Seq(0.9f, 0.1f), 1), (2L, Seq(0.5f, 0.5f), 1),
+      (3L, Seq(0.0f, 1.0f), 2), (4L, Seq(0.1f, 0.9f), 2),
+      (5L, Seq(0.0f, 0.0f), 2)  // zero-norm: never selected
+    ).toDF("vec_id", "embedding", "label")
+    val labels = Map(0L -> 1, 1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2)
+    val r = Embedding.contrastiveTriplets(vecs, nAnchors = 5).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getLong(3)))).toMap
+    assert(r.size == 5)
+    r.foreach { case (a, (p, score, n)) =>
+      assert(p != a && labels(p) == labels(a), s"positive of $a must share its label")
+      assert(labels(n) != labels(a), s"negative of $a must cross labels")
+      assert(n != 5L, "zero-norm vector must never be drawn")
+      assert(score >= -1.0 && score <= 1.0)
+    }
+    // anchor 0 (1,0): same-label candidates are 1 (cos .9938) and 2 (cos .7071)
+    assert(r(0L)._1 == 1L)
+    // determinism
+    val r2 = Embedding.contrastiveTriplets(vecs, nAnchors = 5).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getDouble(2), x.getLong(3)))).toMap
+    assert(r == r2)
+  }
+
+  // ---- rrfFuse ---------------------------------------------------------
+
+  test("RRF fusion matches the hand-computed reciprocal sums") {
+    val a = Seq((1, 10L, 1), (1, 20L, 2)).toDF("question_id", "doc_id", "rank")
+    val b = Seq((1, 20L, 1), (1, 30L, 2)).toDF("question_id", "doc_id", "rank")
+    val r = Retrieval.rrfFuse(a, b, k = 3).collect()
+      .map(x => (x.getLong(1), x.getInt(2), x.getInt(3), x.getDouble(4), x.getInt(5)))
+      .sortBy(_._5)
+    // d20 in both lists: 1/62 + 1/61; d10 only in A: 1/61; d30 only in B: 1/62
+    assert(r(0) == ((20L, 2, 1, 0.032522, 1)))
+    assert(r(1) == ((10L, 1, 0, 0.016393, 2)))
+    assert(r(2) == ((30L, 0, 2, 0.016129, 3)))
   }
 }

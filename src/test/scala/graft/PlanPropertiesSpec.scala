@@ -167,4 +167,32 @@ class PlanPropertiesSpec extends SparkSpec {
     // the corpus-side token stream itself must reach the join unshuffled
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("weighted sample is a distributed top-n, never a global sort") {
+    val p = planTree("weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"),
+      "orderBy+limit must plan the per-partition-heap top-n")
+    assert(!p.contains("Exchange rangepartitioning"),
+      "a range-partitioned sort means the whole corpus is being ordered")
+  }
+
+  test("bloom probe broadcasts the filter table, never shuffles the corpus to it") {
+    val p = planTree("bloom_decontam")
+    assert(p.contains("BroadcastHashJoin"),
+      "the <= m/64-row filter table must ride broadcast")
+  }
+
+  test("k-means assignment is scan-only: the single exchange is the statistics aggregate") {
+    val p = planTree("kmeans_step")
+    assert(!p.contains("Join"),
+      "centroids are literals — any join means the codebook got planned as a table")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "need partial+final statistics aggregation")
+  }
+
+  test("simhash pairing joins on band buckets — an equi-join, not a similarity scan") {
+    val p = planTree("simhash_pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "band-bucket candidate join must be an equi-join")
+  }
 }
