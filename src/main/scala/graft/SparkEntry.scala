@@ -546,14 +546,15 @@ object SparkEntry {
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
 
   /** Shared CTE ending in `fp(id, simhash)` — replays
-    * [[graft.operators.Dedup.simhash32]] over the documents table. */
-  private val simhashFpCte: String =
-    """WITH toks AS (
-      | SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS tok
+    * [[graft.operators.Dedup.simhash32]]/`simhash60` (fingerprint width
+    * = `bits`) over the documents table. */
+  private def simhashFpCte(bits: Int): String =
+    s"""WITH toks AS (
+      | SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
       | FROM documents),
       |h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
       |bits AS (SELECT id, b, CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
-      |         FROM h, LATERAL (SELECT unnest(generate_series(0, 31)) AS b) g),
+      |         FROM h, LATERAL (SELECT unnest(generate_series(0, ${bits - 1})) AS b) g),
       |v AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b),
       |fp AS (SELECT id,
       | CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
@@ -751,12 +752,12 @@ object SparkEntry {
          |FROM docs0 d LEFT JOIN edges e ON e.id = d.id
          |GROUP BY d.id""".stripMargin,
 
-    "simhash" -> s"""$simhashFpCte
+    "simhash" -> s"""${simhashFpCte(32)}
         |SELECT id AS doc_id, simhash FROM fp""".stripMargin,
 
     "simhash_pairs" ->
-      s"""$simhashFpCte,
-         |banded AS (SELECT id, simhash, g.b AS bnd, (simhash >> (g.b * 8)) & 255 AS byt
+      s"""${simhashFpCte(60)},
+         |banded AS (SELECT id, simhash, g.b AS bnd, (simhash >> (g.b * 15)) & 32767 AS byt
          |           FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
          |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
          |          a.simhash AS fa, b.simhash AS fb
@@ -1667,12 +1668,12 @@ object SparkEntry {
     },
 
     "weighted_sample" ->
-      """SELECT doc_id, n_chars, es_key FROM (
+      """SELECT doc_id, n_chars, round(es_raw, 9) AS es_key FROM (
         | SELECT doc_id, n_chars,
-        |  round(ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
-        |        / 1152921504606846976.0) / n_chars, 9) AS es_key
+        |  ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |        / 1152921504606846976.0) / n_chars AS es_raw
         | FROM documents WHERE n_chars > 0)
-        |ORDER BY es_key DESC, doc_id LIMIT 50""".stripMargin,
+        |ORDER BY es_raw DESC, doc_id LIMIT 50""".stripMargin,
 
     "pagerank" ->
       s"""$minhashPairsCte,

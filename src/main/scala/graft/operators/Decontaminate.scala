@@ -63,10 +63,17 @@ object Decontaminate {
 
   /** The `k` bit positions an md5-hex key sets in an `m`-bit Bloom
     * filter: disjoint 20-bit slices of the hex string, each mod m. Pure
-    * string/integer math — identical in any engine with md5. */
-  private def bloomPositions(fpHex: Column, m: Int, k: Int): Column =
+    * string/integer math — identical in any engine with md5. md5 has 32
+    * hex chars = 6 full 5-char slices; k beyond that would silently read
+    * an empty substring (NULL position → a filter that never hits), so
+    * it is rejected here. */
+  private def bloomPositions(fpHex: Column, m: Int, k: Int): Column = {
+    require(k >= 1 && k <= 6,
+      s"k must be in [1, 6] (md5 provides 32 hex chars = 6 disjoint 20-bit slices), got $k")
+    require(m >= 2 && m <= (1 << 20), s"m must be in [2, 2^20] (20-bit slices), got $m")
     array((0 until k).map(i =>
       pmod(conv(substring(fpHex, 1 + 5 * i, 5), 16, 10).cast("long"), lit(m.toLong))): _*)
+  }
 
   /** `m`-bit Bloom filter over a fingerprint column, as a ≤ m/64-row
     * (word, bits) table — `bit_or` of the per-key masks. The filter's

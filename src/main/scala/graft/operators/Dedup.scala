@@ -168,26 +168,48 @@ object Dedup {
       .select(col("id"), bitSum.as("simhash"))
   }
 
+  /** 60-bit SimHash — the wide twin of [[simhash32]] (same vote math
+    * over all 60 bits of [[md5Hash60]]) used for Hamming-bucket pairing,
+    * where bucket count is what bounds the candidate join: 15-bit bands
+    * give 32768 buckets per band where an 8-bit band of the 32-bit
+    * fingerprint would give 256 — a ~128× denser candidate set. */
+  private[graft] def simhash60(docs: DataFrame, idCol: String = "doc_id",
+                               textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
+      .withColumn("h", md5Hash60(col("tok")))
+    val votes = (0 until 60).map(b =>
+      sum(expr(s"IF(shiftright(h, $b) % 2 = 1, 1, -1)")).as(s"v_$b"))
+    val bitSum = (0 until 60).map(b =>
+      expr(s"IF(v_$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"))
+      .reduce(_ + _)
+    toks.groupBy(col("id"))
+      .agg(votes.head, votes.tail: _*)
+      .select(col("id"), bitSum.as("simhash"))
+  }
+
   /** SimHash near-dup candidate pairs by Hamming-bucket banding: the
-    * 32-bit [[simhash32]] fingerprint splits into 4 byte bands, documents
-    * sharing any band's byte become candidates (equi-join on
-    * (band, byte) — distributable, no all-pairs scan), and candidates
-    * within `maxHamming` XOR-popcount bits survive. By pigeonhole, a pair
-    * within Hamming distance 3 differs in at most 3 of the 4 bands, so
-    * one band is intact — recall is EXACT for `maxHamming` ≤ 3; larger
-    * thresholds keep the same plan with the standard banding recall
-    * tradeoff. The fingerprint table (one row of two longs per document)
-    * is the only thing checkpointed — the corpus is never rescanned for
-    * the pairing. */
+    * 60-bit [[simhash60]] fingerprint splits into 4 bands of 15 bits,
+    * documents sharing any band's value become candidates (equi-join on
+    * (band, bucket) — distributable), and candidates within `maxHamming`
+    * XOR-popcount bits survive. By pigeonhole, a pair within Hamming
+    * distance 3 differs in at most 3 of the 4 bands, so one band is
+    * intact — recall is EXACT for `maxHamming` ≤ 3; larger thresholds
+    * keep the same plan with the standard banding recall tradeoff.
+    * Candidate volume scales with corpus²/buckets per band (32768 here —
+    * the reason for the 60-bit fingerprint; production simhash systems
+    * use exactly this shape at 64 bits). The fingerprint table (one row
+    * of two longs per document) is the only thing checkpointed — the
+    * corpus is never rescanned for the pairing. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = simhash32(docs, idCol, textCol).localCheckpoint()
+    val fp = simhash60(docs, idCol, textCol).localCheckpoint()
     val banded = fp.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(lit(255L))): _*))
-        .as(Seq("band", "byte")))
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band", "bucket")))
     banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.byte") === col("b.byte") &&
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
@@ -196,6 +218,16 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
+
+  /** Distinct (id_a < id_b) candidate pairs → symmetric directed edge
+    * list — THE edge contract every graph consumer of the dedup family
+    * shares ([[dupClusters]], [[connectedComponents]],
+    * [[graft.operators.Graph.pageRank]]): one definition, so a change to
+    * the pair contract propagates everywhere. */
+  def symmetricEdges(pairs: DataFrame, srcName: String = "id",
+                     dstName: String = "nbr"): DataFrame =
+    pairs.select(col("id_a").as(srcName), col("id_b").as(dstName))
+      .unionByName(pairs.select(col("id_b").as(srcName), col("id_a").as(dstName)))
 
   /** Canonical-keeper assignment from near-dup candidate pairs (the step
     * after [[minhashCandidates]] in a training-data dedup pipeline): each
@@ -208,8 +240,7 @@ object Dedup {
     * hash aggregate on id — no iteration in this single-round form. */
   def dupClusters(docs: DataFrame, pairs: DataFrame,
                   idCol: String = "doc_id"): DataFrame = {
-    val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
+    val edges = symmetricEdges(pairs)
     docs.select(col(idCol).as("id"))
       .join(edges, Seq("id"), "left")
       .groupBy(col("id"))
@@ -232,9 +263,7 @@ object Dedup {
     * with better skew behavior on giant components). */
   def connectedComponents(docs: DataFrame, pairs: DataFrame,
                           idCol: String = "doc_id", maxIter: Int = 20): DataFrame = {
-    val edges = pairs.select(col("id_a").as("id"), col("id_b").as("nbr"))
-      .unionByName(pairs.select(col("id_b").as("id"), col("id_a").as("nbr")))
-      .localCheckpoint()
+    val edges = symmetricEdges(pairs).localCheckpoint()
     var labels = dupClusters(docs, pairs, idCol)
       .select(col(idCol).as("id"), col("cluster")).localCheckpoint()
     var iter = 0

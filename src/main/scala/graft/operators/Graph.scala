@@ -38,13 +38,13 @@ object Graph {
     // Both sides of every iteration reuse these — checkpoint once
     // (localCheckpoint over persist: blocks are reclaimed on GC, no
     // CacheManager entry leaks from a library function).
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    val edges = Dedup.symmetricEdges(pairs, srcName = "src", dstName = "dst")
       .localCheckpoint()
     val base = nodes.select(col(idCol).as("id")).localCheckpoint()
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // N is a driver-held scalar (metadata-sized, like the PQ codebook)
     val nNodes = base.count()
+    require(nNodes > 0, "pageRank needs a non-empty nodes table")
     val teleport = (100L - dampPct) * 1000000L / (100L * nNodes)
     var pr = base.withColumn("pr6", lit(1000000L / nNodes))
     for (_ <- 1 to iters) {

@@ -54,9 +54,18 @@ object Sampling {
     * so any engine or re-run selects the same rows. The top-n is
     * `orderBy().limit()` — Spark plans `TakeOrderedAndProject`, a
     * per-partition heap + driver merge of n rows, never a global sort of
-    * the corpus. ln is the one libm step; the key is rounded to 9
-    * decimals (far above double ULP noise, far below the key spacing)
-    * and ties break by key id, pinning the cross-engine order. */
+    * the corpus.
+    *
+    * The RANKING key is the unrounded double: any absolute rounding
+    * collapses the keys once weights grow (w ≈ 1e9 squeezes every key
+    * into [-4e-8, 0], where 9-decimal rounding would leave ~40 distinct
+    * values and the id tiebreak — not the weights — would pick the
+    * sample). The EMITTED `es_key` is rounded to 9 decimals only so the
+    * output column hash-compares across engines; selection never reads
+    * it. ln is the one libm step — an engine pair disagreeing by an ULP
+    * could in principle flip a pair of keys within ~1e-16 relative of
+    * each other at the cutoff, which no rounding scheme fixes without
+    * breaking the weighting. */
   def weightedSample(df: DataFrame, n: Int, weightCol: String,
                      keyCol: String): DataFrame = {
     // u = (h+1)/2^60 ∈ (0, 1]; h is the 60-bit md5 integer of the key's
@@ -66,9 +75,11 @@ object Sampling {
     val u = (Dedup.md5Hash60(col(keyCol).cast("string")) + 1).cast("double") /
       lit(1152921504606846976.0)
     df.filter(col(weightCol) > 0)
-      .withColumn("es_key", round(log(u) / col(weightCol).cast("double"), 9))
-      .orderBy(col("es_key").desc, col(keyCol))
+      .withColumn("_es_raw", log(u) / col(weightCol).cast("double"))
+      .orderBy(col("_es_raw").desc, col(keyCol))
       .limit(n)
+      .withColumn("es_key", round(col("_es_raw"), 9))
+      .drop("_es_raw")
   }
 
   /** Training-shard packing: assign documents to shards of roughly

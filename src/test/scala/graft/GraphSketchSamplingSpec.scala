@@ -21,7 +21,7 @@ class GraphSketchSamplingSpec extends SparkSpec {
 
   test("simhashPairs equals brute force over fingerprints at the exact-recall threshold") {
     val docs = nearDupCorpus
-    val fps = Dedup.simhash32(docs).collect()
+    val fps = Dedup.simhash60(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val expected = (for {
       (ia, fa) <- fps; (ib, fb) <- fps if ia < ib
