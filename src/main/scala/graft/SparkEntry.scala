@@ -460,6 +460,13 @@ object SparkEntry {
       Similarity.kmeansStep(Tables.embeddings(s, d))),
     "token_entropy" -> ((s, d) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+    // the synthetic corpus draws from a ~30-term vocabulary, so nearly
+    // every term is corpus-wide — the cap stays high here to exercise
+    // long posting lists; production calls keep the default maxDf
+    "inverted_index" -> ((s, d) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, d), minDf = 2, maxDf = 10000)),
+    "pmi_cooccur" -> ((s, d) =>
+      TextAnalysis.pmiCooccurrence(Tables.documents(s, d))),
     "contrastive_triplets" -> ((s, d) =>
       Embedding.contrastiveTriplets(Tables.embeddings(s, d), nAnchors = 20)),
     "rrf_fusion" -> ((s, d) => {
@@ -1736,6 +1743,38 @@ object SparkEntry {
         | CAST(sum(CAST(round(a.e[g.i] * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum6
         |FROM asg a, LATERAL (SELECT unnest(generate_series(1, len(a.e))) AS i) g
         |GROUP BY 1, 2""".stripMargin,
+
+    "inverted_index" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, t AS term FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+        |  FROM documents)
+        | WHERE t <> '' AND NOT list_contains($stopSql, t)),
+        |dt AS (SELECT DISTINCT doc_id, term FROM toks)
+        |SELECT term, count(*) AS df,
+        | to_json(list_sort(list(doc_id))) AS postings
+        |FROM dt GROUP BY term HAVING count(*) BETWEEN 2 AND 10000""".stripMargin,
+
+    "pmi_cooccur" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, t AS term FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+        |  FROM documents)
+        | WHERE t <> '' AND NOT list_contains($stopSql, t)),
+        |pres AS (SELECT DISTINCT doc_id AS id, term FROM toks),
+        |vocab AS (SELECT term, c FROM (
+        |  SELECT term, count(*) AS c,
+        |   row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+        |  FROM pres GROUP BY term) WHERE rn <= 50),
+        |pv AS (SELECT p.id, p.term, v.c FROM pres p JOIN vocab v USING (term)),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |pairs AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS c_ab,
+        |           CAST(max(a.c) AS BIGINT) AS c_a, CAST(max(b.c) AS BIGINT) AS c_b
+        |          FROM pv a JOIN pv b ON a.id = b.id AND a.term < b.term
+        |          GROUP BY a.term, b.term HAVING count(*) >= 2)
+        |SELECT term_a, term_b, c_ab, c_a, c_b,
+        | round(ln(CAST(n_docs AS DOUBLE) * c_ab / (c_a * c_b)), 6) AS pmi
+        |FROM pairs, nd""".stripMargin,
 
     "token_entropy" ->
       """WITH toks AS (SELECT doc_id, t AS term FROM (

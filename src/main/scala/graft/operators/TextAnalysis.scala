@@ -275,6 +275,57 @@ object TextAnalysis {
         round(sum(col("_s6")).cast("double") / max(col("n")) / 1e6, 4).as("entropy"))
   }
 
+  /** Inverted-index materialization — the posting-list build behind any
+    * lexical search engine (what Lucene's IndexWriter or the reference's
+    * Pinecone-side keyword fallback would precompute): one row per
+    * retained term with its document frequency and the SORTED posting
+    * list, JSON-encoded for a hash-stable compare. `minDf`/`maxDf`
+    * bound the output: hapaxes are noise, stop-like terms have
+    * posting lists as long as the corpus (the classic skew key — at
+    * scale those lists are the rows that blow a task, exactly why
+    * production indexes store them as skip-list blocks). One tokenize
+    * pass; shuffles are the (doc,term) dedup and the term aggregate. */
+  def invertedIndex(docs: DataFrame, minDf: Int = 2, maxDf: Int = 100,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dt = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
+    dt.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        to_json(sort_array(collect_list(col(idCol)))).as("postings"))
+      .filter(col("df").between(minDf, maxDf))
+  }
+
+  /** Pointwise mutual information over within-document co-occurrence —
+    * the standard collocation/phrase-mining signal. The pair space is
+    * bounded to the `vocabSize` highest-df terms (ties by term) BEFORE
+    * pairing: unrestricted co-occurrence is quadratic in document
+    * vocabulary, restricted it is ≤ C(vocabSize, 2) rows total —
+    * the difference between a collocation job that runs at 100 TB and
+    * one that doesn't. Presence counts (distinct per doc), pairs from a
+    * doc-keyed self-join of the vocab-pruned presence table,
+    * pmi = ln(N·c_ab / (c_a·c_b)) with the ln rounded to 6 (the
+    * cross-engine libm pin). */
+  def pmiCooccurrence(docs: DataFrame, vocabSize: Int = 50, minPairs: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val present = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
+      .select(col(idCol).as("id"), col("term"))
+    val vocab = broadcast(present.groupBy(col("term"))
+      .agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("term")).limit(vocabSize))
+    // pv feeds both sides of the pair self-join — materialize once
+    // (localCheckpoint over persist: no CacheManager entry to leak)
+    val pv = present.join(vocab, "term").localCheckpoint()
+    val nDocs = docs.agg(count_distinct(col(idCol)).as("n_docs"))
+    val pairs = pv.as("a").join(pv.as("b"),
+        col("a.id") === col("b.id") && col("a.term") < col("b.term"))
+      .groupBy(col("a.term").as("term_a"), col("b.term").as("term_b"))
+      .agg(count(lit(1)).as("c_ab"), first(col("a.c")).as("c_a"), first(col("b.c")).as("c_b"))
+      .filter(col("c_ab") >= minPairs)
+    pairs.crossJoin(broadcast(nDocs))
+      .withColumn("pmi", round(log(
+        col("n_docs").cast("double") * col("c_ab") / (col("c_a") * col("c_b"))), 6))
+      .select(col("term_a"), col("term_b"), col("c_ab"), col("c_a"), col("c_b"), col("pmi"))
+  }
+
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(trim(text)), "\\s+", " "))
 

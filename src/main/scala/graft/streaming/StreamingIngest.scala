@@ -237,6 +237,52 @@ object StreamingIngest {
       }
   }
 
+  // ---- custom state: transformWithState (Spark 4 arbitrary state) -----
+
+  case class UserEvent(user_id: Long, value: Double)
+  case class UserTotal(user_id: Long, n_events: Long, total_value: Double,
+                       batches_seen: Long)
+
+  /** Running per-user totals through `transformWithState` — Spark 4's
+    * arbitrary-state API (the successor to `flatMapGroupsWithState`
+    * [[statefulDedup]] uses): typed `ValueState` in the RocksDB state
+    * store, explicit `init`, per-key input iteration. Each micro-batch
+    * emits the UPDATED cumulative (count, sum, batches) row per user
+    * that received events — the streaming analogue of the reference's
+    * per-request usage counters (`embedding_generator.py:169-179`) kept
+    * durably across batches. Requires
+    * `spark.sql.streaming.stateStore.providerClass` =
+    * RocksDBStateStoreProvider (the only provider backing the new API). */
+  class RunningTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, UserEvent, UserTotal] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var state: ValueState[UserTotal] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserTotal]("totals",
+        E.product[UserTotal], TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[UserEvent],
+                                 tv: TimerValues): Iterator[UserTotal] = {
+      val prev = if (state.exists()) state.get() else UserTotal(key, 0L, 0.0, 0L)
+      var n = prev.n_events
+      var tot = prev.total_value
+      rows.foreach { r => n += 1; tot += r.value }
+      val next = UserTotal(key, n, tot, prev.batches_seen + 1)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  def runningUserTotals(
+      events: org.apache.spark.sql.Dataset[UserEvent]): org.apache.spark.sql.Dataset[UserTotal] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningTotalProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Streaming tumbling-window aggregate over event-time with a
     * watermark — the streaming twin of [[graft.operators.EventOps.tumblingAgg]]. */
   def tumblingWindowAgg(events: DataFrame, width: String = "10 minutes",

@@ -174,6 +174,32 @@ class GraphSketchSamplingSpec extends SparkSpec {
     assert(r(3L) == ((4L, 4L, 1.3863)))
   }
 
+  // ---- invertedIndex ---------------------------------------------------
+
+  test("inverted index: sorted postings, df bounds, stopwords dropped") {
+    val docs = Seq(
+      (5L, "spark the parquet"), (1L, "spark shuffle"),
+      (3L, "spark parquet"), (2L, "hapax")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.invertedIndex(docs, minDf = 2, maxDf = 2).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getString(2)))).toMap
+    // "spark" df=3 > maxDf, "shuffle"/"hapax" df=1 < minDf, "the" is a stopword
+    assert(r == Map("parquet" -> ((2L, "[3,5]"))))
+  }
+
+  // ---- pmiCooccurrence -------------------------------------------------
+
+  test("PMI co-occurrence matches the hand computation") {
+    val docs = Seq(
+      (1L, "xx yy"), (2L, "xx yy"), (3L, "xx zz"), (4L, "ww qq")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.pmiCooccurrence(docs, vocabSize = 10, minPairs = 2).collect()
+      .map(x => (x.getString(0), x.getString(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getDouble(5)))
+    // only (xx, yy) co-occurs twice: pmi = ln(4*2/(3*2)) = ln(4/3)
+    assert(r.toSeq == Seq(("xx", "yy", 2L, 3L, 2L, 0.287682)))
+  }
+
   // ---- contrastiveTriplets ---------------------------------------------
 
   test("contrastive triplets: positive is the nearest same-label, negative crosses labels") {

@@ -31,6 +31,40 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState running totals accumulate across micro-batches") {
+    import graft.streaming.StreamingIngest.{UserEvent, UserTotal}
+    implicit val sqlCtx = spark.sqlContext
+    // the new arbitrary-state API runs only on the RocksDB provider —
+    // scope the conf to this query and restore afterwards
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[UserEvent]
+    val q = StreamingIngest.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("user_totals")
+      .outputMode("update").start()
+    try {
+      input.addData(UserEvent(1L, 0.5), UserEvent(1L, 0.25), UserEvent(2L, 1.0))
+      q.processAllAvailable()
+      input.addData(UserEvent(1L, 0.25), UserEvent(3L, 2.0))
+      q.processAllAvailable()
+      val out = spark.table("user_totals").as[UserTotal].collect()
+      // last emitted row per user = the cumulative state
+      val last = out.groupBy(_.user_id).map { case (u, rows) =>
+        u -> rows.maxBy(_.batches_seen)
+      }
+      assert(last(1L) == UserTotal(1L, 3L, 1.0, 2L))  // state crossed the batch
+      assert(last(2L) == UserTotal(2L, 1L, 1.0, 1L))
+      assert(last(3L) == UserTotal(3L, 1L, 2.0, 1L))
+      // batch 1 emitted user 1's intermediate total too (update mode)
+      assert(out.exists(t => t.user_id == 1L && t.n_events == 2L && t.total_value == 0.75))
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("stream-stream interval join matches clicks to in-window purchases") {
     import org.apache.spark.sql.functions._
     implicit val sqlCtx = spark.sqlContext
