@@ -68,6 +68,17 @@ object Tables {
       .option("header", "true").option("multiLine", "true").option("escape", "\"")
       .csv(path)
 
+  /** ORC is the other columnar table format Spark reads vectorized with
+    * pushdown/pruning — same operator pipeline, different layout. */
+  def documentsFromOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema).orc(path)
+
+  /** Spark 4's built-in XML source (the merged spark-xml): one `<doc>`
+    * row element per document. Explicit schema for the same
+    * no-double-scan reason as JSON/CSV. */
+  def documentsFromXml(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(documentsSchema).option("rowTag", "doc").xml(path)
+
   // --- engine table writers (S13 init / partitioned layout) ------------
 
   /** S13 — (re)initialize a table: plain parquet overwrite (the

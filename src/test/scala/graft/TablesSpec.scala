@@ -25,6 +25,19 @@ class TablesSpec extends SparkSpec {
     assert(q.count() === 2)
   }
 
+  test("ORC and XML sources roundtrip the documents schema byte-exactly") {
+    import graft.io.Tables
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    docs.write.orc(s"$base/orc")
+    docs.write.option("rowTag", "doc").option("rootTag", "docs").xml(s"$base/xml")
+    val viaOrc = Tables.documentsFromOrc(spark, s"$base/orc")
+    val viaXml = Tables.documentsFromXml(spark, s"$base/xml")
+    val want = docs.collect().map(_.toSeq).toSet
+    assert(viaOrc.collect().map(_.toSeq).toSet == want)
+    assert(viaXml.collect().map(_.toSeq).toSet == want)
+  }
+
   test("overwrite reinitializes a table (S13 delete_if_exists semantics)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ow").toString + "/t"
     Tables.overwrite(Seq((1L, "x")).toDF("id", "v"), dir)
