@@ -469,6 +469,16 @@ object SparkEntry {
       TextAnalysis.pmiCooccurrence(Tables.documents(s, d))),
     "contrastive_triplets" -> ((s, d) =>
       Embedding.contrastiveTriplets(Tables.embeddings(s, d), nAnchors = 20)),
+    // exact→ANN auto-switch: at verification scale the Catalyst size
+    // statistic keeps it on the exact path, so the brute-force oracle
+    // applies; the ANN path's plan shape is pinned in PlanPropertiesSpec
+    "knn_auto" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Retrieval.knnAuto(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        e.filter(col("vec_id") >= 5), k = 10)
+    }),
     "rrf_fusion" -> ((s, d) => {
       val qs = questionsDF(s)
       val docs = Tables.documents(s, d)
@@ -1743,6 +1753,17 @@ object SparkEntry {
         | CAST(sum(CAST(round(a.e[g.i] * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum6
         |FROM asg a, LATERAL (SELECT unnest(generate_series(1, len(a.e))) AS i) g
         |GROUP BY 1, 2""".stripMargin,
+
+    "knn_auto" ->
+      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
+        |scored AS (
+        | SELECT q_vec_id, vec_id,
+        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
+        | FROM q CROSS JOIN c)
+        |SELECT q_vec_id, vec_id, score, rank FROM (
+        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
+        | FROM scored) WHERE rank <= 10""".stripMargin,
 
     "inverted_index" ->
       s"""WITH toks AS (

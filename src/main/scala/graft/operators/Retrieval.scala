@@ -48,6 +48,32 @@ object Retrieval {
       .select(col(qidCol), col(idCol), col("score"), col("rank"))
   }
 
+  /** The exact→ANN switch (SURVEY §4.3 #2 — what Pinecone performs
+    * internally, surfaced as an engine decision): score the index
+    * exhaustively while it is small enough that a broadcast-cross scan
+    * is cheap, and switch to the sign-LSH bucketed plan once the index
+    * outgrows `annThresholdBytes`. The decision reads Catalyst's own
+    * size statistics off the index's optimized plan — filter pushdown
+    * and column pruning have already happened there, so a metadata
+    * filter (P5) shrinks the estimate and can keep a query on the exact
+    * path; this is the same statistic the planner itself uses to pick
+    * broadcast joins. Exact results below the threshold, standard LSH
+    * recall above it (all Hamming-1 probes on, the high-recall
+    * setting); both paths share the scoring and rank-limit contract. */
+  def knnAuto(queries: DataFrame, index: DataFrame, k: Int,
+              annThresholdBytes: Long = 1L << 30, dims: Int = 4,
+              qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              indexFilter: Column = lit(true)): DataFrame = {
+    val filtered = index.filter(indexFilter)
+    val sizeBytes = filtered.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (sizeBytes <= BigInt(annThresholdBytes))
+      knnCosine(queries, filtered, k, qidCol, qvecCol, idCol, vecCol)
+    else
+      Similarity.lshTopK(queries, filtered, k, dims, probes = dims + 1,
+        qidCol, qvecCol, idCol, vecCol)
+  }
+
   /** Q4-Q6 keyword-containment scoring, exactly the reference formula
     * (`main.py:137-157`): tokenize question on whitespace after lower();
     * a chunk's matches = number of DISTINCT question words substring-

@@ -190,6 +190,30 @@ class PlanPropertiesSpec extends SparkSpec {
       "need partial+final statistics aggregation")
   }
 
+  test("knnAuto switches plans on the Catalyst size statistic") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val e = graft.io.Tables.embeddings(spark, d)
+    val qs = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val idx = e.filter(col("vec_id") >= 5)
+    def planOf(threshold: Long) = graft.operators.Retrieval
+      .knnAuto(qs, idx, k = 10, annThresholdBytes = threshold)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    // big threshold → exact path: broadcast-cross scoring of every candidate
+    assert(planOf(Long.MaxValue).contains("BroadcastNestedLoopJoin"))
+    // zero threshold → ANN path: equi-join on LSH buckets, no cross scan
+    val ann = planOf(0L)
+    assert(!ann.contains("BroadcastNestedLoopJoin") && !ann.contains("CartesianProduct"))
+    assert(ann.contains("bucket"), "ANN path must join on the sign-LSH bucket key")
+    // exact path below the threshold must equal knnCosine row-for-row
+    val auto = graft.operators.Retrieval.knnAuto(qs, idx, k = 10).collect().toSet
+    val exact = graft.operators.Retrieval.knnCosine(qs, idx, k = 10).collect().toSet
+    assert(auto == exact)
+  }
+
   test("simhash pairing joins on band buckets — an equi-join, not a similarity scan") {
     val p = planTree("simhash_pairs")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
