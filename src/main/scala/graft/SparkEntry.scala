@@ -562,6 +562,23 @@ object SparkEntry {
         | a.n_bench_hits IS NOT NULL AS contaminated
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
 
+  /** Brute-force exact-cosine top-10 over the standard (vec_id < 5
+    * queries) ⨯ (vec_id >= 5 candidates) split — the ONE scoring/rank
+    * contract shared by every exact-equivalent retrieval oracle:
+    * `knn_cosine` (directly), `ivf_topk` (nprobe == nlist probes every
+    * cell → must equal brute force), `knn_auto` (exact path at
+    * verification scale). One constant, no drift. */
+  private val bruteForceKnnSql: String =
+    """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
+      |scored AS (
+      | SELECT q_vec_id, vec_id,
+      |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
+      | FROM q CROSS JOIN c)
+      |SELECT q_vec_id, vec_id, score, rank FROM (
+      | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
+      | FROM scored) WHERE rank <= 10""".stripMargin
+
   /** Shared CTE ending in `fp(id, simhash)` — replays
     * [[graft.operators.Dedup.simhash32]]/`simhash60` (fingerprint width
     * = `bits`) over the documents table. */
@@ -841,16 +858,7 @@ object SparkEntry {
         |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
         |GROUP BY label, i""".stripMargin,
 
-    "knn_cosine" ->
-      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
-        |scored AS (
-        | SELECT q_vec_id, vec_id,
-        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
-        | FROM q CROSS JOIN c)
-        |SELECT q_vec_id, vec_id, score, rank FROM (
-        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
-        | FROM scored) WHERE rank <= 10""".stripMargin,
+    "knn_cosine" -> bruteForceKnnSql,
 
     "knn_filtered" ->
       """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
@@ -1106,16 +1114,7 @@ object SparkEntry {
     // the brute-force oracle (same candidate set, same scoring, same
     // tiebreak) — upgrading the rows-only check to a full hash compare
     // while keeping the IVF plan shape under test.
-    "ivf_topk" ->
-      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
-        |scored AS (
-        | SELECT q_vec_id, vec_id,
-        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
-        | FROM q CROSS JOIN c)
-        |SELECT q_vec_id, vec_id, score, rank FROM (
-        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
-        | FROM scored) WHERE rank <= 10""".stripMargin,
+    "ivf_topk" -> bruteForceKnnSql,
 
     "mime_sniff" -> {
       val fixtureValues = Validation.mimeFixtures
@@ -1754,16 +1753,9 @@ object SparkEntry {
         |FROM asg a, LATERAL (SELECT unnest(generate_series(1, len(a.e))) AS i) g
         |GROUP BY 1, 2""".stripMargin,
 
-    "knn_auto" ->
-      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
-        |scored AS (
-        | SELECT q_vec_id, vec_id,
-        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
-        | FROM q CROSS JOIN c)
-        |SELECT q_vec_id, vec_id, score, rank FROM (
-        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
-        | FROM scored) WHERE rank <= 10""".stripMargin,
+    // knn_auto rides the exact path at verification scale → the SAME
+    // brute-force oracle as knn_cosine (shared constant, no drift)
+    "knn_auto" -> bruteForceKnnSql,
 
     "inverted_index" ->
       s"""WITH toks AS (

@@ -53,11 +53,15 @@ object Retrieval {
     * exhaustively while it is small enough that a broadcast-cross scan
     * is cheap, and switch to the sign-LSH bucketed plan once the index
     * outgrows `annThresholdBytes`. The decision reads Catalyst's own
-    * size statistics off the index's optimized plan — filter pushdown
-    * and column pruning have already happened there, so a metadata
-    * filter (P5) shrinks the estimate and can keep a query on the exact
-    * path; this is the same statistic the planner itself uses to pick
-    * broadcast joins. Exact results below the threshold, standard LSH
+    * size statistics off the index's optimized plan — the same statistic
+    * the planner uses to pick broadcast joins. Honest contract: without
+    * CBO, the size-only stats visitor passes `sizeInBytes` through an
+    * ordinary attribute Filter UNCHANGED, so a selective `indexFilter`
+    * does NOT shrink the estimate here — only partition-pruning filters
+    * (a hive-partitioned index, `Tables.overwritePartitioned`) or
+    * CBO-computed stats do. A caller who knows the filtered set is small
+    * should pre-filter into a materialized/partitioned index or raise
+    * the threshold. Exact results below the threshold, standard LSH
     * recall above it (all Hamming-1 probes on, the high-recall
     * setting); both paths share the scoring and rank-limit contract. */
   def knnAuto(queries: DataFrame, index: DataFrame, k: Int,

@@ -287,11 +287,20 @@ object TextAnalysis {
     * pass; shuffles are the (doc,term) dedup and the term aggregate. */
   def invertedIndex(docs: DataFrame, minDf: Int = 2, maxDf: Int = 100,
                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // df bounds are enforced BEFORE any posting list materializes: a
+    // count-only aggregate picks the retained vocabulary, and only then
+    // does collect_list run, joined against that (bounded, broadcast)
+    // term set — a corpus-wide stop-like term never accumulates its
+    // full list in an aggregation buffer just to be discarded. dt feeds
+    // both the df aggregate and the join → checkpoint once.
     val dt = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
-    dt.groupBy(col("term"))
-      .agg(count(lit(1)).as("df"),
+      .localCheckpoint()
+    val kept = broadcast(dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .filter(col("df").between(minDf, maxDf)))
+    dt.join(kept, "term")
+      .groupBy(col("term"))
+      .agg(first(col("df")).as("df"),
         to_json(sort_array(collect_list(col(idCol)))).as("postings"))
-      .filter(col("df").between(minDf, maxDf))
   }
 
   /** Pointwise mutual information over within-document co-occurrence —
@@ -306,14 +315,17 @@ object TextAnalysis {
     * cross-engine libm pin). */
   def pmiCooccurrence(docs: DataFrame, vocabSize: Int = 50, minPairs: Int = 2,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // present feeds the vocab aggregate AND the pruning join (which in
+    // turn feeds both sides of the pair self-join) — checkpoint at the
+    // source so the corpus is tokenized exactly once; everything
+    // downstream is a broadcast probe over the materialized frame.
     val present = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
       .select(col(idCol).as("id"), col("term"))
+      .localCheckpoint()
     val vocab = broadcast(present.groupBy(col("term"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("term")).limit(vocabSize))
-    // pv feeds both sides of the pair self-join — materialize once
-    // (localCheckpoint over persist: no CacheManager entry to leak)
-    val pv = present.join(vocab, "term").localCheckpoint()
+    val pv = present.join(vocab, "term")
     val nDocs = docs.agg(count_distinct(col(idCol)).as("n_docs"))
     val pairs = pv.as("a").join(pv.as("b"),
         col("a.id") === col("b.id") && col("a.term") < col("b.term"))
