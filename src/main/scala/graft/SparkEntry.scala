@@ -392,6 +392,26 @@ object SparkEntry {
       DocExtract.pdfPages(DocExtract.fixturesDF(s).filter(col("fmt") === "pdf"))),
     "doc_validate" -> ((s, d) =>
       DocExtract.validateAll(DocExtract.fixturesDF(s))),
+    // S5-lite: whitespace-alignment table detection over the PDF text
+    // layer (pdfplumber stand-in); arrays emitted as to_json for a
+    // stable hash compare
+    "pdf_tables" -> ((s, d) =>
+      DocExtract.pdfTables(DocExtract.fixturesDF(s).filter(col("fmt") === "pdf"))
+        .select(col("doc"), col("page"), col("table_idx"),
+          to_json(col("headers")).as("headers_json"),
+          to_json(col("rows")).as("rows_json"))),
+    // C3: both structured table surfaces (DOCX w:tbl + detected PDF
+    // tables) through the same table→text chunk kernel
+    "c3_table_text" -> ((s, d) => {
+      val fx = DocExtract.fixturesDF(s)
+      DocExtract.docxTables(fx.filter(col("fmt") === "docx"))
+        .withColumn("source", lit("docx"))
+        .unionByName(
+          DocExtract.pdfTables(fx.filter(col("fmt") === "pdf"))
+            .withColumn("source", lit("pdf")))
+        .select(col("doc"), col("source"), col("page"), col("table_idx"),
+          Chunking.tableToText(col("headers"), col("rows")).as("content"))
+    }),
 
     // --- training-pipeline tier: decontamination + domain mixing -------
     "decontam_report" -> ((s, d) => {
@@ -1509,14 +1529,47 @@ object SparkEntry {
         | ('contract', 1, 'MASTER SERVICE AGREEMENT' || chr(10) ||
         |   'This agreement is made between the parties.'),
         | ('contract', 2, 'Termination requires thirty days notice.' || chr(10) ||
-        |   'Signed by both parties.')
+        |   'Signed by both parties.'),
+        | ('invoice', 1, 'INVOICE 2024-001' || chr(10) ||
+        |   'Billed to Example Corp for consulting services.' || chr(10) ||
+        |   'Item      Qty   Price' || chr(10) ||
+        |   'Widget    2     10.00' || chr(10) ||
+        |   'Gadget    1     25.50' || chr(10) ||
+        |   'Assembly  3     45.00' || chr(10) ||
+        |   'Thank you for your business.'),
+        | ('invoice', 2, 'PAYMENT TERMS' || chr(10) ||
+        |   'Net thirty days from invoice date.' || chr(10) ||
+        |   'Method    Fee' || chr(10) ||
+        |   'Wire      0.00' || chr(10) ||
+        |   'Card      3.50')
         |) AS t(doc, page, content)""".stripMargin,
+
+    // S5-lite expectations hand-derived from DocFixtures.invoicePages
+    // (the contract fixture's prose pages must yield NO tables)
+    "pdf_tables" ->
+      """SELECT * FROM (VALUES
+        | ('invoice', 1, 0, '["Item","Qty","Price"]',
+        |  '[["Widget","2","10.00"],["Gadget","1","25.50"],["Assembly","3","45.00"]]'),
+        | ('invoice', 2, 0, '["Method","Fee"]',
+        |  '[["Wire","0.00"],["Card","3.50"]]')
+        |) AS t(doc, page, table_idx, headers_json, rows_json)""".stripMargin,
+
+    "c3_table_text" ->
+      """SELECT * FROM (VALUES
+        | ('policy', 'docx', 0, 0, 'Item | Limit' || chr(10) ||
+        |   'Laptop | 1000' || chr(10) || 'Phone | 500'),
+        | ('invoice', 'pdf', 1, 0, 'Item | Qty | Price' || chr(10) ||
+        |   'Widget | 2 | 10.00' || chr(10) || 'Gadget | 1 | 25.50' || chr(10) ||
+        |   'Assembly | 3 | 45.00'),
+        | ('invoice', 'pdf', 2, 0, 'Method | Fee' || chr(10) ||
+        |   'Wire | 0.00' || chr(10) || 'Card | 3.50')
+        |) AS t(doc, source, page, table_idx, content)""".stripMargin,
 
     "doc_validate" ->
       """SELECT * FROM (VALUES
         | ('policy', 'docx', true), ('memo', 'docx', true),
         | ('simple', 'eml', true), ('multi', 'eml', true),
-        | ('contract', 'pdf', true),
+        | ('contract', 'pdf', true), ('invoice', 'pdf', true),
         | ('garbage_docx', 'docx', false), ('garbage_pdf', 'pdf', false)
         |) AS t(doc, fmt, is_valid)""".stripMargin,
 

@@ -394,9 +394,91 @@ object DocExtract {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  // ---- PDF tables (S5-lite) --------------------------------------------
+
+  /** One detected table, mirroring the reference's pdfplumber surface
+    * (`document_processing_service.py:187-239`: per-page
+    * `extract_tables()` → first row = headers, rest = data rows). */
+  case class PdfTable(page: Int, table_idx: Int,
+                      headers: Seq[String], rows: Seq[Seq[String]])
+
+  /** S5-lite column-alignment table detector over an extracted page's
+    * text layer. pdfplumber clusters words by x-coordinate; a JDK-only
+    * text layer has no coordinates, so the stand-in alignment signal is
+    * runs of 2+ spaces (what fixed-pitch tabular layout leaves in the
+    * extracted text). A maximal run of consecutive lines that each split
+    * into ≥2 cells is a table when it spans ≥ `minRows` lines; the first
+    * line is the header row (pdfplumber's convention in the reference).
+    * Ragged rows are right-padded with "" to the block's max width —
+    * without x-coords a short row's missing column position is unknowable
+    * (pdfplumber would place it by coordinate), so the pad goes at the
+    * end; deterministic either way. */
+  private[graft] def detectTables(pageText: String, minRows: Int = 2): Seq[(Seq[String], Seq[Seq[String]])] = {
+    val cells: Array[Seq[String]] = pageText.split("\n", -1).map { l =>
+      val t = l.trim
+      if (t.isEmpty) Seq.empty[String] else t.split("\\s{2,}").toSeq
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Seq[String], Seq[Seq[String]])]
+    var i = 0
+    while (i < cells.length) {
+      if (cells(i).length >= 2) {
+        var j = i
+        while (j < cells.length && cells(j).length >= 2) j += 1
+        val block = cells.slice(i, j).toSeq
+        if (block.length >= minRows) {
+          val ncols = block.map(_.length).max
+          val padded = block.map(r => r.padTo(ncols, ""))
+          out += ((padded.head, padded.tail))
+        }
+        i = j
+      } else i += 1
+    }
+    out.toSeq
+  }
+
+  /** Parse a PDF straight to its detected tables (S5 surface feeding C3). */
+  def parsePdfTables(bytes: Array[Byte]): Option[Seq[PdfTable]] =
+    parsePdf(bytes).map(_.flatMap { p =>
+      detectTables(p.text).zipWithIndex.map { case ((h, rs), ti) =>
+        PdfTable(p.page, ti, h, rs)
+      }
+    })
+
+  // ---- DOCX tables (structured C3 input) -------------------------------
+
+  /** Structured form of a `w:tbl` — same headers/rows shape as
+    * [[PdfTable]], so both feed [[Chunking.tableToText]] (C3). */
+  case class DocxTable(table_idx: Int, headers: Seq[String], rows: Seq[Seq[String]])
+
+  /** Re-walk the DOCX body emitting tables as structured rows (first
+    * `w:tr` = header row) instead of the flattened text [[parseDocx]]
+    * produces for the S8 chunk stream. */
+  def parseDocxTables(bytes: Array[Byte]): Option[Seq[DocxTable]] =
+    try {
+      readZipEntry(bytes, "word/document.xml").map { xml =>
+        val doc = parseXml(xml)
+        val body = childElems(doc.getDocumentElement)
+          .find(_.getLocalName == "body")
+          .getOrElse(throw new IllegalArgumentException("no w:body"))
+        childElems(body).filter(_.getLocalName == "tbl").zipWithIndex.map {
+          case (tbl, tIdx) =>
+            val rows = childElems(tbl).filter(_.getLocalName == "tr").map { tr =>
+              childElems(tr).filter(_.getLocalName == "tc").map { tc =>
+                childElems(tc).filter(_.getLocalName == "p")
+                  .map(paraText).mkString("\n").trim
+              }
+            }
+            DocxTable(tIdx, rows.headOption.getOrElse(Seq.empty),
+              if (rows.isEmpty) Seq.empty else rows.tail)
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   // ---- Spark surface ---------------------------------------------------
 
   val docxChunksUdf = udf((bytes: Array[Byte]) => parseDocx(bytes))
+  val pdfTablesUdf = udf((bytes: Array[Byte]) => parsePdfTables(bytes))
+  val docxTablesUdf = udf((bytes: Array[Byte]) => parseDocxTables(bytes))
   val emlChunksUdf = udf((bytes: Array[Byte]) => parseEml(bytes).map(emlChunks(_)))
   val pdfPagesUdf = udf((bytes: Array[Byte]) => parsePdf(bytes))
   val validDocxUdf = udf((bytes: Array[Byte]) => parseDocx(bytes).isDefined)
@@ -443,6 +525,25 @@ object DocExtract {
         explode(pdfPagesUdf(col(binCol))).as("p"))
       .select(col("doc"), col("p.page").as("page"), col("p.text").as("content"),
         length(col("p.text")).as("n_chars"))
+
+  /** S5 surface: one row per detected PDF table, pdfplumber's per-page
+    * shape (`headers ARRAY<STRING>`, `rows ARRAY<ARRAY<STRING>>`). */
+  def pdfTables(docs: DataFrame, docCol: String = "doc",
+                binCol: String = "content"): DataFrame =
+    docs.select(col(docCol).as("doc"),
+        explode(pdfTablesUdf(col(binCol))).as("t"))
+      .select(col("doc"), col("t.page").as("page"),
+        col("t.table_idx").as("table_idx"),
+        col("t.headers").as("headers"), col("t.rows").as("rows"))
+
+  /** Structured DOCX-table surface (same shape, page fixed at 0). */
+  def docxTables(docs: DataFrame, docCol: String = "doc",
+                 binCol: String = "content"): DataFrame =
+    docs.select(col(docCol).as("doc"),
+        explode(docxTablesUdf(col(binCol))).as("t"))
+      .select(col("doc"), lit(0).as("page"),
+        col("t.table_idx").as("table_idx"),
+        col("t.headers").as("headers"), col("t.rows").as("rows"))
 
   /** S10 surface: per-format validator verdict for every fixture. */
   def validateAll(docs: DataFrame): DataFrame =

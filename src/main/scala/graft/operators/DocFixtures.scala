@@ -165,6 +165,25 @@ object DocFixtures {
     Seq("Termination requires thirty days notice.",
       "Signed by both parties."))
 
+  /** Page texts of the `invoice` fixture — each page carries one
+    * whitespace-aligned table (columns separated by runs of 2+ spaces,
+    * the alignment a fixed-pitch PDF text layer produces) surrounded by
+    * prose lines, for the S5-lite table detector. Page 2's line 1 goes
+    * through the TJ special case in [[pdfBytes]] like `contract`'s. */
+  val invoicePages: Seq[Seq[String]] = Seq(
+    Seq("INVOICE 2024-001",
+      "Billed to Example Corp for consulting services.",
+      "Item      Qty   Price",
+      "Widget    2     10.00",
+      "Gadget    1     25.50",
+      "Assembly  3     45.00",
+      "Thank you for your business."),
+    Seq("PAYMENT TERMS",
+      "Net thirty days from invoice date.",
+      "Method    Fee",
+      "Wire      0.00",
+      "Card      3.50"))
+
   private def pdfStrEsc(s: String) =
     s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
 
@@ -233,6 +252,7 @@ object DocFixtures {
     ("simple", "eml", simpleEml.getBytes(UTF_8)),
     ("multi", "eml", multiEml.getBytes(UTF_8)),
     ("contract", "pdf", pdfBytes(contractPages)),
+    ("invoice", "pdf", pdfBytes(invoicePages)),
     ("garbage_docx", "docx", Array[Byte](0x50, 0x4b, 0x03, 0x04, 0x00, 0x01, 0x02)),
     ("garbage_pdf", "pdf", "%PDF-1.4 not really a pdf".getBytes(UTF_8)))
 }

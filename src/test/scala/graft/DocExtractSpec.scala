@@ -197,6 +197,56 @@ class DocExtractSpec extends SparkSpec {
       .map(r => r.getAs[String]("doc") -> r.getAs[Boolean]("is_valid")).toMap
     assert(valid == Map(
       "policy" -> true, "memo" -> true, "simple" -> true, "multi" -> true,
-      "contract" -> true, "garbage_docx" -> false, "garbage_pdf" -> false))
+      "contract" -> true, "invoice" -> true,
+      "garbage_docx" -> false, "garbage_pdf" -> false))
+  }
+
+  // ---- S5-lite table detection ----------------------------------------
+
+  test("S5: detector finds aligned blocks, first row is headers") {
+    val page = DocFixtures.invoicePages.head.mkString("\n")
+    val ts = DocExtract.detectTables(page)
+    assert(ts.size == 1)
+    val (h, rows) = ts.head
+    assert(h == Seq("Item", "Qty", "Price"))
+    assert(rows == Seq(
+      Seq("Widget", "2", "10.00"),
+      Seq("Gadget", "1", "25.50"),
+      Seq("Assembly", "3", "45.00")))
+  }
+
+  test("S5: prose pages yield no tables; single aligned line is below minRows") {
+    val prose = DocFixtures.contractPages.head.mkString("\n")
+    assert(DocExtract.detectTables(prose).isEmpty)
+    assert(DocExtract.detectTables("Name  Value\nsome prose line").isEmpty)
+  }
+
+  test("S5: ragged rows right-pad to the block's max width") {
+    val page = Seq(
+      "Item      Qty   Price",
+      "Widget    2     10.00",
+      "Total           80.50").mkString("\n")
+    val ts = DocExtract.detectTables(page)
+    assert(ts.size == 1)
+    // no x-coords → the short row pads at the END (documented deviation
+    // from pdfplumber's coordinate placement)
+    assert(ts.head._2.last == Seq("Total", "80.50", ""))
+  }
+
+  test("S5: two separate blocks on one page get distinct table_idx") {
+    val bytes = DocFixtures.pdfBytes(DocFixtures.invoicePages)
+    val ts = DocExtract.parsePdfTables(bytes).get
+    assert(ts.map(t => (t.page, t.table_idx)) == Seq((1, 0), (2, 0)))
+    assert(DocExtract.parsePdfTables("%PDF-1.4 junk".getBytes("UTF-8")).isEmpty)
+  }
+
+  test("C3 input: structured DOCX tables carry header/data row split") {
+    val ts = DocExtract.parseDocxTables(
+      DocFixtures.docxBytes(DocFixtures.policyParas, Seq(DocFixtures.policyTable))).get
+    assert(ts.size == 1)
+    assert(ts.head.headers == Seq("Item", "Limit"))
+    assert(ts.head.rows == Seq(Seq("Laptop", "1000"), Seq("Phone", "500")))
+    assert(DocExtract.parseDocxTables(
+      DocFixtures.docxBytes(DocFixtures.memoParas, Seq.empty)).get.isEmpty)
   }
 }
