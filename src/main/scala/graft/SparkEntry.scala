@@ -289,6 +289,32 @@ object SparkEntry {
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
         e.filter(col("vec_id") >= 5), k = 10, nlist = 8, nprobe = 8)
     }),
+    // recall@10 audit of every deterministic approximate path against
+    // brute force — the number an ANN deployment is tuned by; the oracle
+    // replays each method end-to-end in DuckDB
+    "ann_recall" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+      val cand = e.filter(col("vec_id") >= 5)
+      val exact = Retrieval.knnCosine(qs, cand, k = 10)
+      Similarity.recallAudit(exact, Seq(
+        "sign_lsh" -> Similarity.lshTopK(qs, cand, k = 10, dims = 4),
+        "multiprobe" -> Similarity.lshTopK(qs, cand, k = 10, dims = 4, probes = 3),
+        "ivf_nprobe2" -> Similarity.ivfTopK(qs, cand, k = 10, nlist = 8, nprobe = 2),
+        "pq_adc" -> Similarity.pqAdcTopK(qs, cand, k = 10)))
+    }),
+    // BRP-LSH recall rides MLlib's seeded RNG → run- but not
+    // engine-reproducible: rows-only check, like ann_brp_lsh itself
+    "ann_recall_brp" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+      val cand = e.filter(col("vec_id") >= 5)
+      val exact = Retrieval.knnCosine(qs, cand, k = 10)
+      Similarity.recallAudit(exact,
+        Seq("brp_lsh" -> Similarity.brpLshTopK(qs, cand, k = 10)))
+    }),
     // the SparkSessionExtensions SQL surface: the native cosine kernel
     // invoked from plain SQL text, as an extensions-configured session
     // (or GraftExtensions.register) exposes it
@@ -598,6 +624,86 @@ object SparkEntry {
       |SELECT q_vec_id, vec_id, score, rank FROM (
       | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
       | FROM scored) WHERE rank <= 10""".stripMargin
+
+  /** Replays [[graft.operators.Similarity.recallAudit]] over the four
+    * deterministic ANN paths: each method's full DuckDB replay (the same
+    * expressions as its standalone oracle, with IVF at nprobe=2 — a
+    * genuinely approximate probe set) joined against brute force. */
+  private val annRecallSql: String =
+    """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+      |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
+      |exact AS (
+      | SELECT q_vec_id, vec_id FROM (
+      |  SELECT q_vec_id, vec_id, row_number() OVER (PARTITION BY q_vec_id ORDER BY
+      |   round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) DESC, vec_id) AS rank
+      |  FROM q CROSS JOIN c) WHERE rank <= 10),
+      |ex_n AS (SELECT count(*) AS expected FROM exact),
+      |cbk AS (SELECT vec_id, e,
+      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+      | FROM c),
+      |qbk AS (SELECT q_vec_id, qe,
+      |  (CASE WHEN qe[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN qe[2] >= 0 THEN '1' ELSE '0' END) ||
+      |  (CASE WHEN qe[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN qe[4] >= 0 THEN '1' ELSE '0' END) AS b0
+      | FROM q),
+      |sign_r AS (SELECT q_vec_id, vec_id FROM (
+      |  SELECT qbk.q_vec_id, cbk.vec_id, row_number() OVER (PARTITION BY qbk.q_vec_id ORDER BY
+      |   round(list_inner_product(qbk.qe, cbk.e) / (sqrt(list_inner_product(qbk.qe, qbk.qe)) * sqrt(list_inner_product(cbk.e, cbk.e))), 4) DESC, cbk.vec_id) AS rank
+      |  FROM qbk JOIN cbk ON qbk.b0 = cbk.bucket) WHERE rank <= 10),
+      |mp_q AS (SELECT q_vec_id, qe, unnest([b0,
+      |   (CASE WHEN substr(b0, 1, 1) = '1' THEN '0' ELSE '1' END) || substr(b0, 2),
+      |   substr(b0, 1, 1) || (CASE WHEN substr(b0, 2, 1) = '1' THEN '0' ELSE '1' END) || substr(b0, 3)
+      |  ]) AS bucket FROM qbk),
+      |mp_r AS (SELECT q_vec_id, vec_id FROM (
+      |  SELECT p.q_vec_id, cbk.vec_id, row_number() OVER (PARTITION BY p.q_vec_id ORDER BY
+      |   round(list_inner_product(p.qe, cbk.e) / (sqrt(list_inner_product(p.qe, p.qe)) * sqrt(list_inner_product(cbk.e, cbk.e))), 4) DESC, cbk.vec_id) AS rank
+      |  FROM mp_q p JOIN cbk USING (bucket)) WHERE rank <= 10),
+      |iv_ranked AS (SELECT e AS cw, row_number() OVER (ORDER BY
+      |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn FROM c),
+      |cents AS (SELECT rn - 1 AS cell, cw FROM iv_ranked WHERE rn <= 8),
+      |asg AS (SELECT vec_id, cell FROM (
+      |  SELECT c.vec_id, ct.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY
+      |   round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
+      |  FROM c CROSS JOIN cents ct) WHERE r = 1),
+      |qpr AS (SELECT q_vec_id, cell FROM (
+      |  SELECT q.q_vec_id, ct.cell, row_number() OVER (PARTITION BY q.q_vec_id ORDER BY
+      |   round(list_inner_product(q.qe, ct.cw) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
+      |  FROM q CROSS JOIN cents ct) WHERE r <= 2),
+      |ivf_r AS (SELECT q_vec_id, vec_id FROM (
+      |  SELECT qp.q_vec_id, c.vec_id, row_number() OVER (PARTITION BY qp.q_vec_id ORDER BY
+      |   round(list_inner_product(q.qe, c.e) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 4) DESC, c.vec_id) AS rank
+      |  FROM qpr qp JOIN q ON q.q_vec_id = qp.q_vec_id
+      |  JOIN asg a ON a.cell = qp.cell JOIN c ON c.vec_id = a.vec_id) WHERE rank <= 10),
+      |cb8 AS (SELECT rn - 1 AS j, cw FROM iv_ranked WHERE rn <= 8),
+      |pd AS (SELECT c.vec_id, s.s, cb8.j,
+      |  round(list_sum(list_transform(generate_series(1, 16),
+      |    i -> (c.e[s.s * 16 + i] - cb8.cw[s.s * 16 + i]) * (c.e[s.s * 16 + i] - cb8.cw[s.s * 16 + i]))), 6) AS d2
+      | FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s CROSS JOIN cb8),
+      |pcodes AS (SELECT vec_id, s, j FROM (
+      |  SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS r FROM pd) WHERE r = 1),
+      |pparts AS (SELECT q.q_vec_id, pc.vec_id, pc.s,
+      |  list_sum(list_transform(generate_series(1, 16), i -> q.qe[pc.s * 16 + i] * cb8.cw[pc.s * 16 + i])) AS dot_s,
+      |  list_sum(list_transform(generate_series(1, 16), i -> cb8.cw[pc.s * 16 + i] * cb8.cw[pc.s * 16 + i])) AS cn_s
+      | FROM q CROSS JOIN pcodes pc JOIN cb8 ON cb8.j = pc.j),
+      |pscored AS (SELECT q_vec_id, vec_id,
+      |  (((sum(CASE WHEN s = 0 THEN dot_s END) + sum(CASE WHEN s = 1 THEN dot_s END))
+      |       + sum(CASE WHEN s = 2 THEN dot_s END)) + sum(CASE WHEN s = 3 THEN dot_s END)) AS dot_r,
+      |  (((sum(CASE WHEN s = 0 THEN cn_s END) + sum(CASE WHEN s = 1 THEN cn_s END))
+      |       + sum(CASE WHEN s = 2 THEN cn_s END)) + sum(CASE WHEN s = 3 THEN cn_s END)) AS cnormsq
+      | FROM pparts GROUP BY q_vec_id, vec_id),
+      |qn AS (SELECT q_vec_id, sqrt(list_inner_product(qe, qe)) AS qnorm FROM q),
+      |pq_r AS (SELECT q_vec_id, vec_id FROM (
+      |  SELECT s.q_vec_id, s.vec_id, row_number() OVER (PARTITION BY s.q_vec_id ORDER BY
+      |   round(s.dot_r / (qn.qnorm * sqrt(s.cnormsq)), 4) DESC, s.vec_id) AS rank
+      |  FROM pscored s JOIN qn USING (q_vec_id)) WHERE rank <= 10),
+      |hits AS (
+      | SELECT 'sign_lsh' AS method, count(*) AS hits FROM sign_r JOIN exact USING (q_vec_id, vec_id)
+      | UNION ALL SELECT 'multiprobe', count(*) FROM mp_r JOIN exact USING (q_vec_id, vec_id)
+      | UNION ALL SELECT 'ivf_nprobe2', count(*) FROM ivf_r JOIN exact USING (q_vec_id, vec_id)
+      | UNION ALL SELECT 'pq_adc', count(*) FROM pq_r JOIN exact USING (q_vec_id, vec_id))
+      |SELECT method, CAST(hits AS BIGINT) AS hits, CAST(expected AS BIGINT) AS expected,
+      | round(CAST(hits AS DOUBLE) / expected, 4) AS recall_at_10
+      |FROM hits CROSS JOIN ex_n""".stripMargin
 
   /** Shared CTE ending in `fp(id, simhash)` — replays
     * [[graft.operators.Dedup.simhash32]]/`simhash60` (fingerprint width
@@ -1135,6 +1241,8 @@ object SparkEntry {
     // tiebreak) — upgrading the rows-only check to a full hash compare
     // while keeping the IVF plan shape under test.
     "ivf_topk" -> bruteForceKnnSql,
+
+    "ann_recall" -> annRecallSql,
 
     "mime_sniff" -> {
       val fixtureValues = Validation.mimeFixtures

@@ -94,13 +94,18 @@ object Similarity {
     * FAISS "train on a subset" quantizer without the iterative fit — an
     * iterative refinement would run in the OFFLINE index build, which
     * also persists the assignment; queries pay only the probe join).
+    * The sample order is the md5 bucket the PQ codebook uses, and cell /
+    * probe scores are rounded to 6 decimals before the argmax/rank, so
+    * any engine (the DuckDB oracle included) assigns identical cells —
+    * which is what lets [[SparkEntry]]'s `ann_recall` replay a genuinely
+    * approximate nprobe < nlist run.
     * Cell assignment is a map-side argmax-cosine against the nlist
     * centroid literals: scan-only, zero shuffle, zero fit jobs. The
     * probe join is an equi-join on cell id — distributable, no
     * all-pairs scan. Recall/latency tradeoff is nprobe/nlist, exactly
     * as in FAISS-style IVF. */
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              nlist: Int = 16, nprobe: Int = 4,
               qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = candidates.sparkSession
@@ -110,12 +115,12 @@ object Similarity {
     // sample reproducible under any partitioning.
     val cents: Seq[(Int, Seq[Float])] = candidates
       .select(col(idCol), col(vecCol))
-      .orderBy(xxhash64(col(idCol), lit(seed)), col(idCol))
+      .orderBy(Sampling.md5Bucket64k(col(idCol)), col(idCol))
       .limit(nlist)
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }
     val cellScores = array(cents.map { case (_, c) =>
-      graft.functions.VectorOps.cosineNative(col(vecCol), typedLit(c)) }: _*)
+      round(graft.functions.VectorOps.cosineNative(col(vecCol), typedLit(c)), 6) }: _*)
     val assigned = candidates.withColumn("_cs", cellScores)
       .withColumn("cell",
         (array_position(col("_cs"), array_max(col("_cs"))) - 1).cast("int"))
@@ -123,7 +128,8 @@ object Similarity {
     // centroid table is nlist rows — broadcast side of the probe ranking
     val centroids = cents.toDF("cell", "centroid")
     val probes = broadcast(queries).join(broadcast(centroids))
-      .withColumn("c_score", graft.functions.VectorOps.cosineNative(col(qvecCol), col("centroid")))
+      .withColumn("c_score",
+        round(graft.functions.VectorOps.cosineNative(col(qvecCol), col("centroid")), 6))
     val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("c_score").desc, col("cell"))
     val probeCells = probes.withColumn("p_rank", row_number().over(wProbe))
       .filter(col("p_rank") <= nprobe)
@@ -234,6 +240,30 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
+
+  /** Recall audit of approximate top-k paths against an exact result:
+    * one row per method with `hits` (approx ∩ exact pairs), `expected`
+    * (|exact|) and `recall_at_k = hits / expected`. The exact frame is
+    * k·|queries| rows — metadata-sized next to the corpus, so each
+    * method branch joins it broadcast; at index-build scale you'd
+    * checkpoint `exact` once and reuse it across the audit (here each
+    * branch re-derives it, fine at audit query counts). This is the
+    * recall@k number an ANN deployment is tuned by (nprobe/nlist,
+    * probes/dims, PQ m×k). */
+  def recallAudit(exact: DataFrame, approx: Seq[(String, DataFrame)],
+                  qidCol: String = "q_vec_id", idCol: String = "vec_id"): DataFrame = {
+    val ex = exact.select(col(qidCol), col(idCol))
+    val expected = ex.agg(count(lit(1)).as("expected"))
+    approx.map { case (m, df) =>
+      df.select(col(qidCol), col(idCol))
+        .join(broadcast(ex), Seq(qidCol, idCol))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(m).as("method"), col("hits"))
+    }.reduce(_ unionByName _)
+      .crossJoin(broadcast(expected))
+      .select(col("method"), col("hits"), col("expected"),
+        round(col("hits").cast("double") / col("expected"), 4).as("recall_at_10"))
   }
 
   /** One Lloyd iteration of k-means, emitted as SUFFICIENT STATISTICS —

@@ -105,6 +105,23 @@ class HybridSaltedSpec extends SparkSpec {
     assert(rm > 0)
   }
 
+  test("recallAudit: exact path scores 1.0, approximate paths stay in [0, 1]") {
+    val rnd = new scala.util.Random(13)
+    def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val cands = Seq.tabulate(200)(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val qs = Seq.tabulate(3)(i => (i.toLong, vec())).toDF("q_vec_id", "q_embedding")
+    val exact = Similarity.bruteForceTopK(qs, cands, k = 5)
+    val out = Similarity.recallAudit(exact, Seq(
+      // nprobe == nlist probes everything → exact → recall must be 1.0
+      "ivf_all" -> Similarity.ivfTopK(qs, cands, k = 5, nlist = 4, nprobe = 4),
+      "sign_lsh" -> Similarity.lshTopK(qs, cands, k = 5, dims = 4)))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("ivf_all")._3 === 1.0)
+    assert(out("sign_lsh")._3 >= 0.0 && out("sign_lsh")._3 <= 1.0)
+    assert(out("ivf_all")._2 === 15) // 3 queries × k=5
+  }
+
   test("IVF cells partition the candidates: each id scored at most once per query") {
     val rnd = new scala.util.Random(11)
     def vec() = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
