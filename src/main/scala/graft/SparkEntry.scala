@@ -373,6 +373,18 @@ object SparkEntry {
       Validation.newDocsOnly(docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0))
         .select("doc_id", "fp")
     }),
+    // S1: url-list ingestion over the offline file:// transport — retry
+    // metadata, 50MB cap, sha256 + cache naming, layered MIME, type
+    // validation; one URL 404s (3 attempts), one wears a lying extension
+    "ingest_urls" -> ((s, d) => {
+      import s.implicits._
+      val dir = UrlIngest.stageQueryFixtures()
+      val urls = Seq(
+        s"file://$dir/simple.eml", s"file://$dir/multi.eml",
+        s"file://$dir/notes.txt", s"file://$dir/report.pdf",
+        s"file://$dir/missing.docx").toDF("url")
+      UrlIngest.ingest(urls)
+    }),
 
     // --- events / index maintenance (SURVEY §2.1, §2.10) ---------------
     "events_tumbling" -> ((s, d) => EventOps.tumblingAgg(Tables.events(s, d))),
@@ -1280,6 +1292,39 @@ object SparkEntry {
         | AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (
         |   SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |   FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
+
+    // replays the staged files with read_blob; ASCII-only fixtures +
+    // decode() keep the sha256 byte-faithful (a VARCHAR cast would
+    // \x-escape control bytes like CRLF; see UrlIngest scaladoc).
+    // The sniff CASE carries only the branches these fixtures can hit —
+    // the full branch set is mime_sniff's oracle.
+    "ingest_urls" ->
+      """WITH f AS (
+        | SELECT filename, size, decode(content) AS txt
+        | FROM read_blob('/tmp/graft_url_stage/*.eml')
+        | UNION ALL SELECT filename, size, decode(content)
+        | FROM read_blob('/tmp/graft_url_stage/*.txt')
+        | UNION ALL SELECT filename, size, decode(content)
+        | FROM read_blob('/tmp/graft_url_stage/*.pdf')),
+        |r AS (SELECT 'file://' || filename AS url, size, txt,
+        |  lower(regexp_extract(filename, '(\.[A-Za-z0-9]+)$', 1)) AS ext FROM f),
+        |m AS (SELECT url, size, txt, ext,
+        |  CASE WHEN position('Return-Path:' IN substr(txt, 1, 500)) > 0
+        |      OR position('MIME-Version:' IN substr(txt, 1, 500)) > 0 THEN 'message/rfc822'
+        |   WHEN ext = '.txt' THEN 'text/plain'
+        |   ELSE 'application/octet-stream' END AS mime
+        | FROM r),
+        |v AS (SELECT url,
+        |  substr(md5(url), 1, 8) || '_' || substr(sha256(txt), 1, 12) || ext AS cache_name,
+        |  CAST(size AS BIGINT) AS file_size, mime AS mime_type, sha256(txt) AS file_hash,
+        |  1 AS attempts,
+        |  (mime = 'message/rfc822' AND ext = '.eml')
+        |   OR (mime = 'text/plain' AND ext IN ('.txt', '.eml')) AS is_valid,
+        |  CASE WHEN mime IN ('message/rfc822', 'text/plain') THEN '' ELSE 'unsupported_type' END AS errors
+        | FROM m)
+        |SELECT * FROM v
+        |UNION ALL SELECT 'file:///tmp/graft_url_stage/missing.docx',
+        | NULL, NULL, NULL, NULL, 3, false, 'download_failed_after_3_attempts:fetch_error'""".stripMargin,
 
     "events_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start, event_type,

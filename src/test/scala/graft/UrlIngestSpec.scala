@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.functions._
+import graft.operators.{DocFixtures, UrlIngest}
+
+/** S1 url ingestion — the halves the driver query can't cover: binary
+  * formats (hashes checked against JVM-computed sha256), the size cap,
+  * the retry/backoff loop, and the scheme guard. */
+class UrlIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def stageAll(): java.io.File = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_url_spec").toFile
+    DocFixtures.all.foreach { case (doc, fmt, bytes) =>
+      java.nio.file.Files.write(new java.io.File(dir, s"$doc.$fmt").toPath, bytes)
+    }
+    dir
+  }
+
+  private def sha256Hex(b: Array[Byte]): String =
+    java.security.MessageDigest.getInstance("SHA-256").digest(b)
+      .map("%02x".format(_)).mkString
+
+  test("S1: binary formats ingest with correct hash, cache name, and sniffed MIME") {
+    val dir = stageAll()
+    try {
+      val urls = Seq(s"file://$dir/policy.docx", s"file://$dir/contract.pdf")
+        .toDF("url")
+      val out = UrlIngest.ingest(urls).collect()
+        .map(r => r.getAs[String]("url") -> r).toMap
+      val docxBytes = DocFixtures.docxBytes(DocFixtures.policyParas, Seq(DocFixtures.policyTable))
+      val docxRow = out(s"file://$dir/policy.docx")
+      assert(docxRow.getAs[String]("file_hash") == sha256Hex(docxBytes))
+      assert(docxRow.getAs[String]("mime_type") == UrlIngest.DocxMime)
+      assert(docxRow.getAs[Boolean]("is_valid"))
+      assert(docxRow.getAs[Long]("file_size") == docxBytes.length.toLong)
+      // {md5(url)[:8]}_{sha256[:12]}{ext} (ingestion_service.py:102-106)
+      assert(docxRow.getAs[String]("cache_name")
+        .matches("[0-9a-f]{8}_" + sha256Hex(docxBytes).take(12) + "\\.docx"))
+      val pdfRow = out(s"file://$dir/contract.pdf")
+      assert(pdfRow.getAs[String]("mime_type") == "application/pdf")
+      assert(pdfRow.getAs[Boolean]("is_valid"))
+      assert(pdfRow.getAs[Int]("attempts") == 1)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+
+  test("S1: shallow validation passes a lying %PDF body — deep parse is S10's job") {
+    val dir = stageAll()
+    try {
+      // garbage_pdf starts with %PDF so magic+type+size all pass here;
+      // doc_validate (S10) is the stage that rejects it
+      val out = UrlIngest.ingest(Seq(s"file://$dir/garbage_pdf.pdf").toDF("url")).collect()
+      assert(out.head.getAs[Boolean]("is_valid"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+
+  test("S1: missing file retries maxRetries times then fails the row, not the job") {
+    val out = UrlIngest.ingest(
+      Seq("file:///nonexistent/nope.pdf").toDF("url"), backoffMs = 1L).collect()
+    assert(out.head.getAs[Int]("attempts") == 3)
+    assert(out.head.getAs[String]("errors") == "download_failed_after_3_attempts:fetch_error")
+    assert(!out.head.getAs[Boolean]("is_valid"))
+    assert(out.head.isNullAt(out.head.fieldIndex("file_hash")))
+  }
+
+  test("S1: size cap and scheme guard fail with stable error kinds") {
+    val dir = stageAll()
+    try {
+      val capped = UrlIngest.ingest(
+        Seq(s"file://$dir/policy.docx").toDF("url"), maxBytes = 10L).collect()
+      assert(capped.head.getAs[String]("errors")
+        == "download_failed_after_3_attempts:file_too_large")
+      val scheme = UrlIngest.ingest(
+        Seq("https://example.com/x.pdf").toDF("url")).collect()
+      assert(scheme.head.getAs[String]("errors")
+        == "download_failed_after_3_attempts:unsupported_scheme")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+
+  test("S1: extension mismatch on a supported MIME is flagged") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_url_spec").toFile
+    try {
+      // rfc822 content wearing .txt: text/plain allows .txt AND .eml, so
+      // sniff wins with rfc822 whose only extension is .eml → mismatch
+      java.nio.file.Files.write(new java.io.File(dir, "mail.txt").toPath,
+        DocFixtures.simpleEml.getBytes(UTF_8))
+      val out = UrlIngest.ingest(Seq(s"file://$dir/mail.txt").toDF("url")).collect()
+      assert(out.head.getAs[String]("errors") == "extension_mismatch")
+      assert(!out.head.getAs[Boolean]("is_valid"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+}
