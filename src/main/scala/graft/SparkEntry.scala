@@ -543,6 +543,19 @@ object SparkEntry {
       Retrieval.rrfFuse(
         Retrieval.bm25Search(qs, docs, k = 10),
         Retrieval.keywordSearch(qs, docs, k = 10), k = 5)
+    }),
+    // the golden end-to-end spine: the chunk → featurize → vector-kNN +
+    // BM25 → RRF chain entry() runs, in its engine-reproducible form
+    // (md5-bucket tf-idf standing in for HashingTF's Murmur3 — the
+    // SURVEY §7.4 #1 trade, same chain shape)
+    "golden_e2e" -> ((s, d) => {
+      val qs = questionsDF(s)
+      val chunks = Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
+        .select(col("chunk_id"), col("content").as("text"))
+      val vector = Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id")
+      val lexical = Retrieval.bm25Search(qs, chunks, k = 10, idCol = "chunk_id")
+      Retrieval.rrfFuse(vector, lexical, k = 3, idCol = "chunk_id")
+        .join(broadcast(qs), "question_id")
     })
   )
 
@@ -716,6 +729,82 @@ object SparkEntry {
       |SELECT method, CAST(hits AS BIGINT) AS hits, CAST(expected AS BIGINT) AS expected,
       | round(CAST(hits AS DOUBLE) / expected, 4) AS recall_at_10
       |FROM hits CROSS JOIN ex_n""".stripMargin
+
+  /** Replays the golden end-to-end chain: paragraph chunks (C2, the
+    * min-20 variant) → md5-bucket tf-idf cosine top-10 + BM25 top-10
+    * over the same chunks → RRF top-3 with the question text joined
+    * back. Mirrors `Retrieval.tfidfCosineSearch` / `bm25Search` /
+    * `rrfFuse` expression for expression (3-decimal fixed-point dot and
+    * norm sums, round-4 ranks, id tiebreaks). */
+  private val goldenE2eSql: String =
+    s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
+       |ch AS (SELECT doc_id || '_p0_para' || para_idx AS chunk_id, content AS text FROM (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx, trim(parts[i]) AS content
+       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\n{2,}') AS parts FROM documents) t,
+       |       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g)
+       | WHERE length(content) > 20),
+       |ctoks AS (SELECT chunk_id, t AS tok FROM (
+       |  SELECT chunk_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM ch)
+       | WHERE NOT list_contains($stopSql, t)),
+       |ctf AS (SELECT chunk_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 384 AS bucket,
+       |  count(*) AS tf FROM ctoks GROUP BY 1, 2),
+       |nd AS (SELECT count(*) AS n_docs FROM ch),
+       |idf AS (SELECT bucket, round(ln(CAST(n_docs + 1 AS DOUBLE) / (count(*) + 1)), 6) AS idf
+       | FROM ctf, nd GROUP BY bucket, n_docs),
+       |cw AS (SELECT chunk_id, bucket, CAST(round(tf * idf * 1000) AS BIGINT) AS cw3
+       | FROM ctf JOIN idf USING (bucket)),
+       |cn AS (SELECT chunk_id, CAST(sum(cw3 * cw3) AS BIGINT) AS cn FROM cw GROUP BY chunk_id),
+       |qtoks AS (SELECT question_id, t AS tok FROM (
+       |  SELECT question_id, unnest(regexp_extract_all(lower(question), '[a-z0-9]+')) AS t FROM qs)
+       | WHERE NOT list_contains($stopSql, t)),
+       |qtf AS (SELECT question_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 384 AS bucket,
+       |  count(*) AS tf FROM qtoks GROUP BY 1, 2),
+       |qwt AS (SELECT question_id, bucket,
+       |  CAST(round(tf * COALESCE(idf, round(ln(CAST(n_docs + 1 AS DOUBLE)), 6)) * 1000) AS BIGINT) AS qw3
+       | FROM qtf LEFT JOIN idf USING (bucket), nd),
+       |qn AS (SELECT question_id, CAST(sum(qw3 * qw3) AS BIGINT) AS qn FROM qwt GROUP BY question_id),
+       |vdot AS (SELECT question_id, chunk_id, CAST(sum(qw3 * cw3) AS BIGINT) AS dot
+       | FROM qwt JOIN cw USING (bucket) GROUP BY 1, 2),
+       |va AS (SELECT question_id, chunk_id, rank_a FROM (
+       |  SELECT v.question_id, v.chunk_id, row_number() OVER (PARTITION BY v.question_id ORDER BY
+       |   round(CAST(v.dot AS DOUBLE) / (sqrt(CAST(qn.qn AS DOUBLE)) * sqrt(CAST(cn.cn AS DOUBLE))), 4) DESC,
+       |   v.chunk_id) AS rank_a
+       |  FROM vdot v JOIN qn USING (question_id) JOIN cn USING (chunk_id)) WHERE rank_a <= 10),
+       |btoks AS (SELECT chunk_id, t AS term FROM (
+       |  SELECT chunk_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+       |  FROM ch) WHERE t <> ''),
+       |btf AS (SELECT chunk_id, term, count(*) AS tf FROM btoks GROUP BY chunk_id, term),
+       |bdl AS (SELECT chunk_id, count(*) AS dl FROM btoks GROUP BY chunk_id),
+       |bcorpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bdl),
+       |bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
+       |bqt AS (SELECT DISTINCT question_id, t AS term FROM (
+       |  SELECT question_id, unnest(regexp_split_to_array(lower(question), '\\s+')) AS t
+       |  FROM qs) WHERE t <> ''),
+       |bscored AS (
+       | SELECT bqt.question_id, btf.chunk_id,
+       |  CAST(round(round(ln((bcorpus.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1), 6)
+       |    * (btf.tf * 2.2) / (btf.tf + 1.2 * (1 - 0.75 + 0.75 * bdl.dl / bcorpus.avgdl))
+       |    * 1000000) AS BIGINT) AS w6
+       | FROM bqt JOIN btf USING (term) JOIN bdl USING (chunk_id)
+       |   JOIN bdf USING (term), bcorpus),
+       |baggd AS (SELECT question_id, chunk_id, round(sum(w6) / 1000000.0, 4) AS score
+       | FROM bscored GROUP BY question_id, chunk_id),
+       |vb AS (SELECT question_id, chunk_id, rank_b FROM (
+       |  SELECT question_id, chunk_id, row_number() OVER (
+       |    PARTITION BY question_id ORDER BY score DESC, chunk_id) AS rank_b
+       |  FROM baggd) WHERE rank_b <= 10),
+       |fused AS (SELECT COALESCE(va.question_id, vb.question_id) AS question_id,
+       |  COALESCE(va.chunk_id, vb.chunk_id) AS chunk_id,
+       |  COALESCE(va.rank_a, 0) AS rank_a, COALESCE(vb.rank_b, 0) AS rank_b,
+       |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + va.rank_a), 0) +
+       |        COALESCE(CAST(1 AS DOUBLE) / (60 + vb.rank_b), 0), 6) AS rrf6
+       | FROM va FULL OUTER JOIN vb
+       |  ON va.question_id = vb.question_id AND va.chunk_id = vb.chunk_id),
+       |top AS (SELECT question_id, chunk_id, rank_a, rank_b, rrf6, rank FROM (
+       | SELECT *, row_number() OVER (
+       |   PARTITION BY question_id ORDER BY rrf6 DESC, chunk_id) AS rank
+       | FROM fused) WHERE rank <= 3)
+       |SELECT top.*, qs.question FROM top JOIN qs USING (question_id)""".stripMargin
 
   /** Shared CTE ending in `fp(id, simhash)` — replays
     * [[graft.operators.Dedup.simhash32]]/`simhash60` (fingerprint width
@@ -1255,6 +1344,8 @@ object SparkEntry {
     "ivf_topk" -> bruteForceKnnSql,
 
     "ann_recall" -> annRecallSql,
+
+    "golden_e2e" -> goldenE2eSql,
 
     "mime_sniff" -> {
       val fixtureValues = Validation.mimeFixtures

@@ -197,6 +197,56 @@ object Retrieval {
       .select(col("question_id"), col(idCol), col("n_terms"), col("score"), col("rank"))
   }
 
+  /** Sparse tf-idf cosine search — the engine-reproducible twin of the
+    * dense featurize→kNN leg [[SparkEntry.entry]] runs (MLlib HashingTF's
+    * Murmur3 buckets can't be recomputed by another engine, so the
+    * oracle-checkable form uses [[Embedding.tfBuckets]]' md5 buckets and
+    * the same MLlib IDF formula ln((N+1)/(df+1))). Vectors never
+    * materialize: the dot product is an inverted-index equi-join on the
+    * bucket id — the form that WINS at corpus scale anyway (score work
+    * is O(shared buckets), not O(dim · |corpus|), and the join
+    * distributes on the bucket key). Weights go through 3-decimal
+    * fixed-point so every dot/norm sum is an exact order-free long fold;
+    * a question bucket unseen in the corpus still contributes its
+    * df=0 idf to the QUERY norm, exactly as a fitted IDF model would.
+    * Output follows the retrieval-family contract
+    * (question_id, `idCol`, score, rank). */
+  def tfidfCosineSearch(questions: DataFrame, docs: DataFrame, k: Int,
+                        dim: Int = 384,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val ctf = Embedding.tfBuckets(docs, dim, idCol, textCol)
+      .withColumnRenamed("doc_id", "_cid")
+    // tf rows are distinct (doc, bucket) ⇒ the count IS document freq
+    val idf = broadcast(ctf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
+      .crossJoin(nDocs)
+      .select(col("bucket"),
+        round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6).as("idf")))
+    val cw = ctf.join(idf, "bucket")
+      .select(col("_cid"), col("bucket"),
+        round(col("tf") * col("idf") * 1e3, 0).cast("long").as("cw3"))
+    val cnorm = cw.groupBy(col("_cid")).agg(sum(col("cw3") * col("cw3")).as("cn"))
+    val qw = broadcast(Embedding.tfBuckets(questions, dim, "question_id", "question")
+      .withColumnRenamed("doc_id", "question_id")
+      .join(idf, Seq("bucket"), "left")
+      .crossJoin(broadcast(nDocs))
+      .select(col("question_id"), col("bucket"),
+        round(col("tf") * coalesce(col("idf"),
+          round(log((col("n_docs") + 1).cast("double")), 6)) * 1e3, 0)
+          .cast("long").as("qw3")))
+    val qnorm = broadcast(qw.groupBy(col("question_id")).agg(sum(col("qw3") * col("qw3")).as("qn")))
+    val scored = qw.join(cw, "bucket")
+      .groupBy(col("question_id"), col("_cid"))
+      .agg(sum(col("qw3") * col("cw3")).as("dot"))
+      .join(broadcast(qnorm), "question_id")
+      .join(cnorm, "_cid")
+      .withColumn("score", round(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 4))
+    val w = Window.partitionBy(col("question_id")).orderBy(col("score").desc, col("_cid"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("question_id"), col("_cid").as(idCol), col("score"), col("rank"))
+  }
+
   /** Reciprocal-rank fusion of two per-question rankings — the standard
     * hybrid-retrieval combiner (Cormack et al.'s RRF; what production
     * search stacks use to merge BM25 with vector ranks without score
