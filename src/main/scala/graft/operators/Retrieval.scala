@@ -53,24 +53,36 @@ object Retrieval {
     * exhaustively while it is small enough that a broadcast-cross scan
     * is cheap, and switch to the sign-LSH bucketed plan once the index
     * outgrows `annThresholdBytes`. The decision reads Catalyst's own
-    * size statistics off the index's optimized plan — the same statistic
-    * the planner uses to pick broadcast joins. Honest contract: without
-    * CBO, the size-only stats visitor passes `sizeInBytes` through an
-    * ordinary attribute Filter UNCHANGED, so a selective `indexFilter`
-    * does NOT shrink the estimate here — only partition-pruning filters
-    * (a hive-partitioned index, `Tables.overwritePartitioned`) or
-    * CBO-computed stats do. A caller who knows the filtered set is small
-    * should pre-filter into a materialized/partitioned index or raise
-    * the threshold. Exact results below the threshold, standard LSH
-    * recall above it (all Hamming-1 probes on, the high-recall
-    * setting); both paths share the scoring and rank-limit contract. */
+    * statistics off the index's optimized plan — the same statistics
+    * the planner uses to pick broadcast joins. Estimate preference:
+    * `rowCount × logical-row-width` when `stats.rowCount` is defined,
+    * else `sizeInBytes`. Two reasons rowCount wins when present: (a)
+    * for catalog tables `sizeInBytes` is ON-DISK (compressed parquet)
+    * size while the threshold means in-memory scan cost — rowCount ×
+    * schema width is unit-consistent; (b) with CBO + ANALYZE'd column
+    * stats, `FilterEstimation` shrinks rowCount through an ordinary
+    * attribute `indexFilter`, so a selective filter now flips the
+    * switch to exact (the round-5 caveat). Honest residual: WITHOUT
+    * CBO the size-only visitor supplies no rowCount and passes
+    * `sizeInBytes` through attribute filters unchanged — there a
+    * caller who knows the filtered set is small should pre-filter into
+    * a materialized/partitioned index or raise the threshold. Exact
+    * results below the threshold, standard LSH recall above it (all
+    * Hamming-1 probes on, the high-recall setting); both paths share
+    * the scoring and rank-limit contract. */
   def knnAuto(queries: DataFrame, index: DataFrame, k: Int,
               annThresholdBytes: Long = 1L << 30, dims: Int = 4,
               qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
               idCol: String = "vec_id", vecCol: String = "embedding",
               indexFilter: Column = lit(true)): DataFrame = {
     val filtered = index.filter(indexFilter)
-    val sizeBytes = filtered.queryExecution.optimizedPlan.stats.sizeInBytes
+    val plan = filtered.queryExecution.optimizedPlan
+    val stats = plan.stats
+    // 8 bytes of row overhead + each column's type-default width — the
+    // same logical width Catalyst's EstimationUtils.getSizePerRow uses
+    // when no column statistics are attached.
+    val rowWidth = BigInt(8L + plan.output.map(_.dataType.defaultSize.toLong).sum)
+    val sizeBytes = stats.rowCount.map(_ * rowWidth).getOrElse(stats.sizeInBytes)
     if (sizeBytes <= BigInt(annThresholdBytes))
       knnCosine(queries, filtered, k, qidCol, qvecCol, idCol, vecCol)
     else

@@ -214,6 +214,43 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(auto == exact)
   }
 
+  test("knnAuto prefers rowCount: a CBO-estimated selective filter flips the switch to exact") {
+    import org.apache.spark.sql.functions.col
+    // A catalog table carries ANALYZE'd rowCount + column stats; with CBO
+    // on, FilterEstimation shrinks rowCount through the attribute filter —
+    // the case the size-only visitor can't see (r5 watch item).
+    val e = graft.io.Tables.embeddings(spark, d)
+    spark.sql("DROP TABLE IF EXISTS knnauto_idx")
+    e.write.mode("overwrite").saveAsTable("knnauto_idx")
+    spark.sql("ANALYZE TABLE knnauto_idx COMPUTE STATISTICS FOR COLUMNS label")
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val idx = spark.table("knnauto_idx")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+      val full = idx.queryExecution.optimizedPlan.stats
+      assert(full.rowCount.isDefined, "ANALYZE must yield a catalog rowCount")
+      val rowWidth = 8L + idx.queryExecution.optimizedPlan.output
+        .map(_.dataType.defaultSize.toLong).sum
+      // threshold between the filtered (~rowCount/ndv) and full estimates
+      val threshold = (full.rowCount.get.toLong * rowWidth) / 2
+      def planOf(filter: org.apache.spark.sql.Column) = graft.operators.Retrieval
+        .knnAuto(qs, idx, k = 10, annThresholdBytes = threshold, indexFilter = filter)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      // label = 3 selects ~1/10 of rows → estimate below threshold → exact scan
+      assert(planOf(col("label") === 3).contains("BroadcastNestedLoopJoin"),
+        "selective filter under CBO must plan the exact broadcast-cross scan")
+      // unfiltered index sits above the threshold → ANN bucket join
+      val ann = planOf(org.apache.spark.sql.functions.lit(true))
+      assert(!ann.contains("BroadcastNestedLoopJoin") && ann.contains("bucket"),
+        "full index above threshold must plan the sign-LSH path")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.sql("DROP TABLE IF EXISTS knnauto_idx")
+    }
+  }
+
   test("simhash pairing joins on band buckets — an equi-join, not a similarity scan") {
     val p = planTree("simhash_pairs")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
