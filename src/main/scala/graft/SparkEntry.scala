@@ -28,12 +28,15 @@ object SparkEntry {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
     val chunks = Chunking.paragraphChunks(Tables.documents(spark, dir), minChars = 20)
-    val model = Embedding.fit(chunks.withColumnRenamed("content", "text"), dim = 384)
-    val index = Embedding.embed(model, chunks.withColumnRenamed("content", "text"))
+    // through the pluggable-encoder seam; TfIdfEmbedder delegates to
+    // Embedding.fit/embed, so results are byte-identical to calling the
+    // featurizer directly
+    val model = TfIdfEmbedder(dim = 384).fit(chunks.withColumnRenamed("content", "text"))
+    val index = model.embed(chunks.withColumnRenamed("content", "text"))
       .select(col("chunk_id"), col("document_id"), col("text"), col("embedding"))
     val questions = Retrieval.goldenQuestions.zipWithIndex
       .map { case (q, i) => (i, q) }.toDF("q_id", "text")
-    val qVecs = Embedding.embed(model, questions)
+    val qVecs = model.embed(questions)
       .select(col("q_id"), col("text").as("question"), col("embedding").as("q_embedding"))
     val vector = Retrieval.knnCosine(qVecs, index, k = 10,
         qidCol = "q_id", qvecCol = "q_embedding", idCol = "chunk_id")
