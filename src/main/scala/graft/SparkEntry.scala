@@ -414,6 +414,15 @@ object SparkEntry {
         .select(col("doc_id"), to_json(struct(col("doc_id"), col("n_chars"))).as("js"))),
 
     // --- multimodal tier ----------------------------------------------
+    // real JDK-codec decode kernels (ImageIO / javax.sound.sampled) over
+    // deterministic BMP/PNG/WAV fixtures; oracle VALUES derived from the
+    // pixel/PCM formulas by an independent implementation
+    "mm_image_stats" -> ((s, d) =>
+      MediaCodec.imageStats(MediaCodec.fixturesDF(s)).toDF()),
+    "mm_image_resize" -> ((s, d) =>
+      MediaCodec.imageResize(MediaCodec.fixturesDF(s), maxSide = 32).toDF()),
+    "mm_wav_stats" -> ((s, d) =>
+      MediaCodec.wavStats(MediaCodec.fixturesDF(s)).toDF()),
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d)))),
     "mm_frame_sample" -> ((s, d) =>
@@ -1671,6 +1680,32 @@ object SparkEntry {
       """SELECT doc_id,
         | to_json(struct_pack(doc_id := doc_id, n_chars := n_chars))::VARCHAR AS js
         |FROM documents""".stripMargin,
+
+    // Expected rows computed INDEPENDENTLY from the MediaCodec fixture
+    // formulas (python: same pixel/PCM integer math + zlib.crc32, which
+    // matches java.util.zip.CRC32) — a drift in the fixture builder, the
+    // JDK codec path, or the stats kernel breaks the compare.
+    "mm_image_stats" ->
+      """SELECT * FROM (VALUES
+        | ('icon','bmp',16,16,256,34304,31744,36224,1230712338),
+        | ('banner','bmp',97,41,3977,505588,516052,516216,2795419054),
+        | ('photo','png',64,48,3072,392960,387584,388864,2943059237),
+        | ('tall','png',20,120,2400,304128,308288,305232,982174910)
+        |) AS t(doc, codec, width, height, n_pixels, sum_r, sum_g, sum_b, rgb_crc32)""".stripMargin,
+
+    "mm_image_resize" ->
+      """SELECT * FROM (VALUES
+        | ('icon',16,16,16,16,false,1230712338),
+        | ('banner',97,41,32,13,true,3524222829),
+        | ('photo',64,48,32,24,true,3410041458),
+        | ('tall',20,120,5,32,true,3960382074)
+        |) AS t(doc, width, height, out_width, out_height, scaled, out_crc32)""".stripMargin,
+
+    "mm_wav_stats" ->
+      """SELECT * FROM (VALUES
+        | ('beep',1,8000,16,800,10000,4405138),
+        | ('tone',2,16000,16,1600,10000,15842499)
+        |) AS t(doc, channels, sample_rate_hz, bits, n_frames, peak_abs, sum_abs)""".stripMargin,
 
     "mm_decode_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * opaque `BINARY` payloads with typed metadata, and run decode /
   * feature-extraction as partition-parallel transforms.
   *
-  * The actual codecs are NOT in this environment, so the decode kernel is
-  * a clearly-marked deterministic STUB ([[stubDecode]]) — but everything
-  * Spark-side is real and scale-shaped: BinaryType columns, per-partition
-  * batch decode via `mapPartitions` (one decoder instance per partition,
-  * the Scala analogue of `mapInPandas` batching), generator-style frame
-  * sampling with `sequence`/`posexplode`, and column-pruning-friendly
-  * schemas (payload column only touched by the decode stage).
+  * Image and audio decode are REAL — [[MediaCodec]] runs the JDK's own
+  * codecs (`javax.imageio`, `javax.sound.sampled`) inside the same
+  * `mapPartitions` shape. Only VIDEO, whose codecs genuinely aren't in
+  * the JDK, keeps the clearly-marked deterministic STUB ([[stubDecode]])
+  * below; everything Spark-side around it is real and scale-shaped:
+  * BinaryType columns, per-partition batch decode via `mapPartitions`
+  * (one decoder instance per partition, the Scala analogue of
+  * `mapInPandas` batching), generator-style frame sampling with
+  * `sequence`/`posexplode`, and column-pruning-friendly schemas (payload
+  * column only touched by the decode stage).
   */
 object Multimodal {
 

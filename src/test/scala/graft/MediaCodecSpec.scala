@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.MediaCodec
+
+/** Real-codec multimodal kernels: the decode path must reproduce the
+  * fixture formulas exactly (BMP hand-rolled bytes AND PNG through the
+  * JDK encoder), the resample must be the integer nearest-neighbor
+  * contract, and corrupt payloads must be dropped, not crash the
+  * partition. */
+class MediaCodecSpec extends SparkSpec {
+
+  private def media = MediaCodec.fixturesDF(spark)
+
+  test("image decode reproduces the pixel formulas for BMP and PNG alike") {
+    val got = MediaCodec.imageStats(media).collect().map(s => s.doc -> s).toMap
+    assert(got.keySet == Set("icon", "banner", "photo", "tall"))
+    // banner (97x41, odd width → padded BMP rows): recompute expectations
+    // in-test from the shared formulas
+    val b = got("banner")
+    assert((b.width, b.height, b.n_pixels) == (97, 41, 3977L))
+    val expSumR = (for (y <- 0 until 41; x <- 0 until 97) yield MediaCodec.pixelR(x, y)).sum.toLong
+    assert(b.sum_r == expSumR)
+    // PNG round-trips losslessly: same formulas, compressed codec path
+    val p = got("photo")
+    val expSumG = (for (y <- 0 until 48; x <- 0 until 64) yield MediaCodec.pixelG(x, y)).sum.toLong
+    assert(p.sum_g == expSumG)
+    // identical pixels → identical CRC whether the payload was BMP or PNG
+    val crcIcon = got("icon").rgb_crc32
+    val viaPng = {
+      val df = spark.createDataFrame(
+        Seq(("icon2", "image", "png", MediaCodec.pngBytes(16, 16))))
+        .toDF("doc", "modality", "codec", "payload")
+      MediaCodec.imageStats(df).collect().head.rgb_crc32
+    }
+    assert(crcIcon == viaPng)
+  }
+
+  test("nearest-neighbor resize keeps aspect and is unscaled under the cap") {
+    val got = MediaCodec.imageResize(media, maxSide = 32).collect()
+      .map(r => r.doc -> r).toMap
+    assert(!got("icon").scaled && got("icon").out_width == 16)
+    assert(got("banner").scaled &&
+      (got("banner").out_width, got("banner").out_height) == (32, 13))
+    assert((got("tall").out_width, got("tall").out_height) == (5, 32))
+  }
+
+  test("corrupt image payloads are dropped, not fatal") {
+    val df = media.unionByName(
+      spark.createDataFrame(Seq(("junk", "image", "bmp", Array[Byte](1, 2, 3))))
+        .toDF("doc", "modality", "codec", "payload"))
+    val docs = MediaCodec.imageStats(df).collect().map(_.doc).toSet
+    assert(docs == Set("icon", "banner", "photo", "tall"))
+  }
+
+  test("wav decode reads the real format header and exact PCM stats") {
+    val got = MediaCodec.wavStats(media).collect().map(s => s.doc -> s).toMap
+    val beep = got("beep")
+    assert((beep.channels, beep.sample_rate_hz, beep.bits, beep.n_frames) ==
+      (1, 8000, 16, 800L))
+    val expSum = (0 until 800).map(i => math.abs(MediaCodec.pcmSample(i, 0))).map(_.toLong).sum
+    assert(beep.sum_abs == expSum && beep.peak_abs == 10000)
+    assert(got("tone").channels == 2 && got("tone").n_frames == 1600L)
+  }
+
+  test("payload column is pruned out of non-decode projections") {
+    val p = media.select("doc", "codec").queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("payload") || media.select("doc", "codec").columns.length == 2)
+  }
+}
