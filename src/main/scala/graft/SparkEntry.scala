@@ -433,6 +433,10 @@ object SparkEntry {
         Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d))), maxSide = 224)
         .select("doc_id", "width", "height", "out_width", "out_height", "scaled")),
 
+    // S6-lite: real decode → layout discovery → template recognition
+    // over rendered page scans (tesseract's contract, in-repo kernel)
+    "ocr_extract" -> ((s, d) => Ocr.ocrLines(Ocr.fixturesDF(s)).toDF()),
+
     // --- binary document extraction (SURVEY §2.1 S4/S8/S9/S10) --------
     "docx_extract" -> ((s, d) =>
       DocExtract.docxChunks(DocExtract.fixturesDF(s).filter(col("fmt") === "docx"))),
@@ -1680,6 +1684,15 @@ object SparkEntry {
       """SELECT doc_id,
         | to_json(struct_pack(doc_id := doc_id, n_chars := n_chars))::VARCHAR AS js
         |FROM documents""".stripMargin,
+
+    // The OCR fixture's ground-truth strings, stated directly
+    "ocr_extract" ->
+      """SELECT * FROM (VALUES
+        | ('scan1', 1, 1, 'CLAIM FORM 7'),
+        | ('scan1', 1, 2, 'POLICY NO 42'),
+        | ('scan1', 2, 1, 'TOTAL DUE 1350'),
+        | ('scan2', 1, 1, 'HELLO WORLD')
+        |) AS t(doc, page, line_no, text)""".stripMargin,
 
     // Expected rows computed INDEPENDENTLY from the MediaCodec fixture
     // formulas (python: same pixel/PCM integer math + zlib.crc32, which
