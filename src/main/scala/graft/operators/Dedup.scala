@@ -315,4 +315,44 @@ object Dedup {
       .filter(col("score") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("score"))
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding table with the engine's
+    * deterministic coarse quantizer, then WITHIN each cluster flag every
+    * vector that has a smaller-id neighbor above the cosine threshold —
+    * the keep-one-representative rule, hash-stable across engines. The
+    * paper's two-stage shape is exactly why it scales: the O(n²) cosine
+    * never happens globally, only inside cells, and cell population is
+    * controlled by `nClusters` (scale it with the corpus; AQE skew-join
+    * handles a hot cell). Assignment is the [[Similarity.ivfTopK]]
+    * argmax-cosine against nClusters centroid LITERALS — metadata-sized
+    * driver state, map-side, zero shuffle; the only shuffle is the
+    * cell-keyed candidate self-join.
+    *
+    * Output: one row per input vector — (id, cell, is_semantic_dup). */
+  def semanticDedup(vecs: DataFrame, nClusters: Int = 8, threshold: Double = 0.85,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val cents: Seq[Seq[Float]] = vecs
+      .select(col(idCol), col(vecCol))
+      .orderBy(Sampling.md5Bucket64k(col(idCol)), col(idCol))
+      .limit(nClusters)
+      .collect().toSeq.map(_.getSeq[Float](1))
+    val cellScores = array(cents.map(c =>
+      round(graft.functions.VectorOps.cosineNative(col(vecCol), typedLit(c)), 6)): _*)
+    val assigned = vecs.select(col(idCol), col(vecCol))
+      .withColumn("_cs", cellScores)
+      .withColumn("cell",
+        (array_position(col("_cs"), array_max(col("_cs"))) - 1).cast("int"))
+      .drop("_cs")
+    val dupIds = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
+      .filter(round(graft.functions.VectorOps.cosineNative(
+        col(s"a.$vecCol"), col(s"b.$vecCol")), 6) >= threshold)
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+    assigned.select(col(idCol), col("cell"))
+      .join(dupIds.withColumn("is_semantic_dup", lit(true)), Seq(idCol), "left")
+      .withColumn("is_semantic_dup", coalesce(col("is_semantic_dup"), lit(false)))
+  }
 }

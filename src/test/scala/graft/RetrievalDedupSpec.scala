@@ -51,4 +51,20 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(a === b)
     assert(a >= 0 && a < (1L << 32))
   }
+
+  test("semantic dedup flags the larger id of a near-identical pair, keeps the smaller") {
+    // vec 1 and 7 are (near-)parallel → same cell, cosine 1.0; vec 3 is
+    // orthogonal to both
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.0f, 0.0f)),
+      (7L, Seq(0.99f, 0.01f, 0.0f, 0.0f)),
+      (3L, Seq(0.0f, 1.0f, 0.0f, 0.0f)),
+      (4L, Seq(0.0f, -1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(vecs, nClusters = 2, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out.keySet == Set(1L, 3L, 4L, 7L), "one row per input vector")
+    assert(!out(1L) && out(7L), "keeper is the smallest id of the near-dup pair")
+    assert(!out(3L) && !out(4L), "orthogonal/opposite vectors are not dups")
+  }
 }
