@@ -207,6 +207,12 @@ object SparkEntry {
       Dedup.simhash32(Tables.documents(s, d)).withColumnRenamed("id", "doc_id")),
     "embed_near_dups" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.2, signDims = 4)),
+    // SemDeDup two-stage semantic dedup; the synthetic embeddings are
+    // near-orthogonal (max within-cell cosine ≈ 0.49), so the demo
+    // threshold sits below the 0.85 production default to exercise the
+    // flag path
+    "semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(Tables.embeddings(s, d), nClusters = 8, threshold = 0.4)),
     // canonical-keeper assignment over the minhash candidate pairs — the
     // step that turns near-dup PAIRS into per-document keep/drop decisions
     "dup_clusters" -> ((s, d) => {
@@ -482,6 +488,8 @@ object SparkEntry {
       Relational.yearSpineAgg(Tables.orders(s, d))),
     "lm_surprisal" -> ((s, d) =>
       TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
+    "lm_bigram" -> ((s, d) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
     // seeded MLlib RNG → run-reproducible but not engine-reproducible:
     // rows-only driver check (like approx_stats); the deterministic
     // sign-LSH/IVF twins carry the hash-compared oracles
@@ -1055,6 +1063,24 @@ object SparkEntry {
         | round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score
         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         |WHERE round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) >= 0.2""".stripMargin,
+
+    // replays the full SemDeDup path: hash-ordered centroid sample →
+    // argmax-cosine assignment (round 6, cell tiebreak) → within-cell
+    // smaller-id neighbor above threshold
+    "semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |ranked AS (SELECT vec_id, e, row_number() OVER (ORDER BY
+        |  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn FROM c),
+        |cents AS (SELECT rn - 1 AS cell, e AS cw FROM ranked WHERE rn <= 8),
+        |asg AS (SELECT vec_id, cell, e FROM (
+        | SELECT c.vec_id, ct.cell, c.e, row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |  round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
+        | FROM c CROSS JOIN cents ct) WHERE r = 1),
+        |dups AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        | ON a.cell = b.cell AND a.vec_id < b.vec_id
+        | WHERE round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) >= 0.4)
+        |SELECT asg.vec_id, asg.cell, (dups.vec_id IS NOT NULL) AS is_semantic_dup
+        |FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id""".stripMargin,
 
     "e4_l2norm" ->
       """SELECT vec_id,
@@ -1895,6 +1921,24 @@ object SparkEntry {
         |GROUP BY y""".stripMargin,
 
     "lm_surprisal" -> lmSurprisalSql,
+    "lm_bigram" ->
+      """WITH words AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS ws
+        | FROM documents),
+        |v AS (SELECT count(DISTINCT t) AS vocab FROM (SELECT unnest(ws) AS t FROM words)),
+        |bigr AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        | FROM words WHERE len(ws) >= 2),
+        |bc AS (SELECT bigram, count(*) AS c12 FROM bigr GROUP BY 1),
+        |cc AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS cctx FROM bc GROUP BY 1),
+        |scored AS (SELECT g.doc_id,
+        |  CAST(round(round(ln(CAST(cc.cctx + v.vocab AS DOUBLE) / CAST(bc.c12 + 1 AS DOUBLE)), 6) * 1e6) AS BIGINT) AS s6
+        | FROM bigr g JOIN bc USING (bigram)
+        | JOIN cc ON cc.w1 = split_part(g.bigram, ' ', 1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | round(CAST(sum(s6) AS DOUBLE) / count(*) / 1e6, 4) AS avg_surprisal
+        |FROM scored GROUP BY doc_id""".stripMargin,
 
     // composed from the five component oracles above — thresholds in
     // lockstep with Cleaning.cleanCorpus's defaults

@@ -100,6 +100,52 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** Bigram-LM surprisal — the next rung from [[unigramSurprisal]]
+    * toward CCNet's KenLM corpus-fit filter: per document, the mean
+    * −ln p(w2|w1) under the corpus bigram model with add-one smoothing,
+    * `p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)` where `c(w1·)` counts w1 in
+    * CONTEXT position and V is the unigram vocabulary. Documents whose
+    * word TRANSITIONS are unusual for the corpus score high even when
+    * every individual word is common — the signal unigrams can't see.
+    *
+    * Scale shape: bigrams are generated per row (`zip_with` over the
+    * words array and its shift — zero shuffle); the corpus bigram count
+    * is one map-combined aggregate; context counts derive from the
+    * COUNT TABLE (a re-aggregate of vocab²-bounded rows, not a second
+    * corpus scan); V and the context table are unigram-sized →
+    * broadcast. The one data-scale exchange is the doc-bigram ⨝ count
+    * equi-join on the bigram key (Zipf-skew watch shared with every
+    * term-keyed join here; AQE splits hot keys). Fixed-point micro-unit
+    * sums keep the mean engine-exact. */
+  def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    val words = docs.select(col(idCol), wsTokens(col(textCol)).as("_words"))
+    val vocab = words.select(explode(col("_words")).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    val bigrams = words.filter(size(col("_words")) >= 2)
+      .select(col(idCol),
+        explode(zip_with(
+          slice(col("_words"), lit(1), size(col("_words")) - 1),
+          slice(col("_words"), lit(2), size(col("_words")) - 1),
+          (a, b) => concat_ws(" ", a, b))).as("bigram"))
+    val bcounts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val ccounts = bcounts
+      .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
+      .agg(sum(col("c12")).as("cctx"))
+    val s6 = round(round(log((col("cctx") + col("v")).cast("double") /
+      (col("c12") + lit(1)).cast("double")), 6) * 1e6, 0).cast("long")
+    bigrams
+      .join(bcounts, "bigram")
+      .join(broadcast(ccounts),
+        substring_index(col("bigram"), " ", 1) === col("w1"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("_s6", s6)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("_s6")).cast("double") / count(lit(1)) / 1e6, 4)
+          .as("avg_surprisal"))
+  }
+
   /** Heavy-hitter counting through the [[graft.functions.CountMinAgg]]
     * count-min sketch (SURVEY §2.11's custom-Aggregator tier): ONE pass
     * over the token stream builds a fixed depth×width sketch (partials
