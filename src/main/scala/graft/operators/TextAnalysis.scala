@@ -282,7 +282,10 @@ object TextAnalysis {
     * with a 100 TB scan that only wins when the tf table is persisted,
     * so the single-pass shape is the default. Term-partition skew is
     * bounded: ≤ one row per document per term, and AQE splits any hot
-    * vocabulary term. */
+    * vocabulary term. Measured (r7, sf0.1 local[32], warm): the
+    * count-table join variant (df via groupBy(term) + equi-join,
+    * exchange-reused) runs 0.90–1.03× of this window form — no win;
+    * the tf exchange dominates both. */
   def topTfidfTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val tf = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
