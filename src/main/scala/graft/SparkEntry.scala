@@ -574,6 +574,9 @@ object SparkEntry {
     // SURVEY §7.4 #1 trade, same chain shape)
     "golden_e2e" -> ((s, d) => {
       val qs = questionsDF(s)
+      // NOT checkpointed: measured at sf0.1 (r7), materializing the
+      // chunk table first changes nothing (3.24 vs 3.25 s warm) — the
+      // chain's cost is its aggregate/join stages, not chunk re-derivation
       val chunks = Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
         .select(col("chunk_id"), col("content").as("text"))
       val vector = Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id")

@@ -251,6 +251,22 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("semantic dedup: centroid assignment is map-side literals; pairing is a cell equi-join") {
+    val p = planTree("semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "within-cell pairing must join on the cell key, never scan all pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "expected the cell-keyed candidate equi-join")
+  }
+
+  test("bigram LM generates bigrams per row and partial-aggregates counts") {
+    val p = planTree("lm_bigram")
+    assert(p.contains("Generate"), "bigrams must come from a per-row generator")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "bigram counting needs map-side partial aggregation")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("simhash pairing joins on band buckets — an equi-join, not a similarity scan") {
     val p = planTree("simhash_pairs")
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
