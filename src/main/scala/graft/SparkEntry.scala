@@ -754,7 +754,7 @@ object SparkEntry {
       | UNION ALL SELECT 'ivf_nprobe2', count(*) FROM ivf_r JOIN exact USING (q_vec_id, vec_id)
       | UNION ALL SELECT 'pq_adc', count(*) FROM pq_r JOIN exact USING (q_vec_id, vec_id))
       |SELECT method, CAST(hits AS BIGINT) AS hits, CAST(expected AS BIGINT) AS expected,
-      | round(CAST(hits AS DOUBLE) / expected, 4) AS recall_at_10
+      | round(CAST(hits AS DOUBLE) / expected, 4) AS recall
       |FROM hits CROSS JOIN ex_n""".stripMargin
 
   /** Replays the golden end-to-end chain: paragraph chunks (C2, the
@@ -1728,7 +1728,10 @@ object SparkEntry {
     // matches java.util.zip.CRC32) — a drift in the fixture builder, the
     // JDK codec path, or the stats kernel breaks the compare.
     "mm_image_stats" ->
-      """SELECT * FROM (VALUES
+      """SELECT doc, codec, width, height, CAST(n_pixels AS BIGINT) AS n_pixels,
+        | CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        | CAST(sum_b AS BIGINT) AS sum_b, CAST(rgb_crc32 AS BIGINT) AS rgb_crc32
+        |FROM (VALUES
         | ('icon','bmp',16,16,256,34304,31744,36224,1230712338),
         | ('banner','bmp',97,41,3977,505588,516052,516216,2795419054),
         | ('photo','png',64,48,3072,392960,387584,388864,2943059237),
@@ -1736,7 +1739,9 @@ object SparkEntry {
         |) AS t(doc, codec, width, height, n_pixels, sum_r, sum_g, sum_b, rgb_crc32)""".stripMargin,
 
     "mm_image_resize" ->
-      """SELECT * FROM (VALUES
+      """SELECT doc, width, height, out_width, out_height, scaled,
+        | CAST(out_crc32 AS BIGINT) AS out_crc32
+        |FROM (VALUES
         | ('icon',16,16,16,16,false,1230712338),
         | ('banner',97,41,32,13,true,3524222829),
         | ('photo',64,48,32,24,true,3410041458),
@@ -1744,7 +1749,10 @@ object SparkEntry {
         |) AS t(doc, width, height, out_width, out_height, scaled, out_crc32)""".stripMargin,
 
     "mm_wav_stats" ->
-      """SELECT * FROM (VALUES
+      """SELECT doc, channels, sample_rate_hz, bits,
+        | CAST(n_frames AS BIGINT) AS n_frames, peak_abs,
+        | CAST(sum_abs AS BIGINT) AS sum_abs
+        |FROM (VALUES
         | ('beep',1,8000,16,800,10000,4405138),
         | ('tone',2,16000,16,1600,10000,15842499)
         |) AS t(doc, channels, sample_rate_hz, bits, n_frames, peak_abs, sum_abs)""".stripMargin,

@@ -332,20 +332,9 @@ object Dedup {
     * Output: one row per input vector — (id, cell, is_semantic_dup). */
   def semanticDedup(vecs: DataFrame, nClusters: Int = 8, threshold: Double = 0.85,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = vecs.sparkSession
-    import spark.implicits._
-    val cents: Seq[Seq[Float]] = vecs
-      .select(col(idCol), col(vecCol))
-      .orderBy(Sampling.md5Bucket64k(col(idCol)), col(idCol))
-      .limit(nClusters)
-      .collect().toSeq.map(_.getSeq[Float](1))
-    val cellScores = array(cents.map(c =>
-      round(graft.functions.VectorOps.cosineNative(col(vecCol), typedLit(c)), 6)): _*)
-    val assigned = vecs.select(col(idCol), col(vecCol))
-      .withColumn("_cs", cellScores)
-      .withColumn("cell",
-        (array_position(col("_cs"), array_max(col("_cs"))) - 1).cast("int"))
-      .drop("_cs")
+    val cents = Similarity.coarseCentroids(vecs, nClusters, idCol, vecCol)
+    val assigned = Similarity.assignCells(
+      vecs.select(col(idCol), col(vecCol)), cents, vecCol)
     val dupIds = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
       .filter(round(graft.functions.VectorOps.cosineNative(

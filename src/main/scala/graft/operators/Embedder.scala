@@ -10,7 +10,7 @@ import org.apache.spark.sql.DataFrame
   * fit-time text column to a fixed-dimension unit-norm `ARRAY<FLOAT>`.
   *
   * The contract every implementation must keep, because everything
-  * downstream ([[Retrieval]], [[Similarity]], [[Dedup.embedNearDups]])
+  * downstream ([[Retrieval]], [[Similarity]], [[Dedup.embeddingNearDups]])
   * assumes it:
   *   - output column is `ARRAY<FLOAT>` of exactly `dim` entries;
   *   - vectors are L2-normalized (cosine = dot product);

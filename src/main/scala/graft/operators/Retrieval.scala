@@ -54,19 +54,25 @@ object Retrieval {
     * is cheap, and switch to the sign-LSH bucketed plan once the index
     * outgrows `annThresholdBytes`. The decision reads Catalyst's own
     * statistics off the index's optimized plan — the same statistics
-    * the planner uses to pick broadcast joins. Estimate preference:
-    * `rowCount × logical-row-width` when `stats.rowCount` is defined,
-    * else `sizeInBytes`. Two reasons rowCount wins when present: (a)
-    * for catalog tables `sizeInBytes` is ON-DISK (compressed parquet)
-    * size while the threshold means in-memory scan cost — rowCount ×
-    * schema width is unit-consistent; (b) with CBO + ANALYZE'd column
-    * stats, `FilterEstimation` shrinks rowCount through an ordinary
-    * attribute `indexFilter`, so a selective filter now flips the
-    * switch to exact (the round-5 caveat). Honest residual: WITHOUT
-    * CBO the size-only visitor supplies no rowCount and passes
-    * `sizeInBytes` through attribute filters unchanged — there a
-    * caller who knows the filtered set is small should pre-filter into
-    * a materialized/partitioned index or raise the threshold. Exact
+    * the planner uses to pick broadcast joins. Estimate: when
+    * `stats.rowCount` is defined, `max(rowCount × schema-default row
+    * width, sizeInBytes)`; else `sizeInBytes` alone. Why the max of
+    * both: the schema-default width UNDERCOUNTS variable-length columns
+    * (an `ARRAY<FLOAT>` embedding column defaults to one element — a
+    * ~dim× underestimate that would keep a huge vector index on the
+    * brute-force path), while catalog `sizeInBytes` is ON-DISK
+    * compressed size, under the in-memory cost only by the compression
+    * ratio. Taking the larger errs toward the ANN path — the cheap
+    * mistake — and stays unit-sane for narrow scalar schemas. The
+    * rowCount term is what makes the switch respond to filters: with
+    * CBO + ANALYZE'd column stats, `FilterEstimation` shrinks BOTH
+    * statistics through an ordinary attribute `indexFilter`, so a
+    * selective filter flips the switch to exact (the round-5 caveat).
+    * Honest residual: WITHOUT CBO the size-only visitor supplies no
+    * rowCount and passes `sizeInBytes` through attribute filters
+    * unchanged — there a caller who knows the filtered set is small
+    * should pre-filter into a materialized/partitioned index or raise
+    * the threshold. Exact
     * results below the threshold, standard LSH recall above it (all
     * Hamming-1 probes on, the high-recall setting); both paths share
     * the scoring and rank-limit contract. */
@@ -80,9 +86,12 @@ object Retrieval {
     val stats = plan.stats
     // 8 bytes of row overhead + each column's type-default width — the
     // same logical width Catalyst's EstimationUtils.getSizePerRow uses
-    // when no column statistics are attached.
+    // when no column statistics are attached. Guarded by max() against
+    // sizeInBytes because defaultSize counts one element per array.
     val rowWidth = BigInt(8L + plan.output.map(_.dataType.defaultSize.toLong).sum)
-    val sizeBytes = stats.rowCount.map(_ * rowWidth).getOrElse(stats.sizeInBytes)
+    val sizeBytes = stats.rowCount
+      .map(rc => (rc * rowWidth).max(stats.sizeInBytes))
+      .getOrElse(stats.sizeInBytes)
     if (sizeBytes <= BigInt(annThresholdBytes))
       knnCosine(queries, filtered, k, qidCol, qvecCol, idCol, vecCol)
     else

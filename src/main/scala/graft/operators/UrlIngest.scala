@@ -41,14 +41,17 @@ object UrlIngest {
     * (`backoffMs * 2^attempt`; the reference sleeps 2^attempt seconds —
     * parameterized here so tests don't sleep), failing a single row —
     * never the job — with `download_failed_after_N_attempts:<kind>`.
-    * Oversized files fail inside the loop like any transport error, the
-    * reference's behavior for its content-length check. */
+    * Permanently-failing conditions — unsupported scheme, size cap —
+    * fail FAST (attempt 1, no backoff): no retry can change them, and
+    * the reference likewise validates scheme/size outside its transport
+    * retry loop. Only transport errors take the backoff path. */
   def fetchUdf(maxBytes: Long, maxRetries: Int, backoffMs: Long) =
     udf((url: String) => {
       var attempt = 0
       var kind: String = null
+      var fatal = false
       var out: Array[Byte] = null
-      while (out == null && attempt < maxRetries) {
+      while (out == null && !fatal && attempt < maxRetries) {
         attempt += 1
         try {
           val uri = new java.net.URI(url)
@@ -63,10 +66,11 @@ object UrlIngest {
           case e: IllegalArgumentException
               if e.getMessage == "file_too_large" || e.getMessage == "unsupported_scheme" =>
             kind = e.getMessage
+            fatal = true
           case scala.util.control.NonFatal(_) =>
             kind = "fetch_error"
         }
-        if (out == null && attempt < maxRetries && backoffMs > 0)
+        if (out == null && !fatal && attempt < maxRetries && backoffMs > 0)
           Thread.sleep(backoffMs << (attempt - 1))
       }
       if (out != null) Fetched(out, attempt, null)
@@ -138,6 +142,12 @@ object UrlIngest {
       "multi.eml" -> DocFixtures.multiEml.getBytes(UTF_8),
       "notes.txt" -> notesTxt.getBytes(UTF_8),
       "report.pdf" -> reportPdf.getBytes(UTF_8))
+    // the oracle reads this dir back by GLOB — remove anything that is
+    // not the current fixture set, or a stale file makes the oracle see
+    // rows the engine side never ingested
+    val keep = files.map(_._1).toSet
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filterNot(f => keep(f.getName)).foreach(_.delete())
     files.foreach { case (n, b) =>
       java.nio.file.Files.write(new java.io.File(d, n).toPath, b)
     }

@@ -63,9 +63,14 @@ class MediaCodecSpec extends SparkSpec {
     assert(got("tone").channels == 2 && got("tone").n_frames == 1600L)
   }
 
-  test("payload column is pruned out of non-decode projections") {
-    val p = media.select("doc", "codec").queryExecution
+  test("payload column is pruned out of the scan for metadata-only projections") {
+    // through a real parquet round trip — pruning must reach ReadSchema
+    val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(tmp)
+    val p = spark.read.parquet(tmp).select("doc", "codec").queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-    assert(!p.contains("payload") || media.select("doc", "codec").columns.length == 2)
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(readSchema.nonEmpty && !readSchema.contains("payload"),
+      "metadata projection must not read the payload bytes from parquet")
   }
 }

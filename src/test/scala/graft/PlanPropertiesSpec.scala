@@ -233,8 +233,10 @@ class PlanPropertiesSpec extends SparkSpec {
       assert(full.rowCount.isDefined, "ANALYZE must yield a catalog rowCount")
       val rowWidth = 8L + idx.queryExecution.optimizedPlan.output
         .map(_.dataType.defaultSize.toLong).sum
-      // threshold between the filtered (~rowCount/ndv) and full estimates
-      val threshold = (full.rowCount.get.toLong * rowWidth) / 2
+      // same estimate the switch computes: max(rowCount·width, sizeInBytes);
+      // threshold halfway — the ~1/10 filtered estimate lands below it
+      val threshold =
+        (BigInt(full.rowCount.get.toLong * rowWidth).max(full.sizeInBytes) / 2).toLong
       def planOf(filter: org.apache.spark.sql.Column) = graft.operators.Retrieval
         .knnAuto(qs, idx, k = 10, annThresholdBytes = threshold, indexFilter = filter)
         .queryExecution.explainString(ExplainMode.fromString("simple"))

@@ -69,17 +69,20 @@ class UrlIngestSpec extends SparkSpec {
     assert(out.head.isNullAt(out.head.fieldIndex("file_hash")))
   }
 
-  test("S1: size cap and scheme guard fail with stable error kinds") {
+  test("S1: size cap and scheme guard fail fast with stable error kinds") {
     val dir = stageAll()
     try {
+      // permanent conditions must NOT burn the retry budget: 1 attempt
       val capped = UrlIngest.ingest(
         Seq(s"file://$dir/policy.docx").toDF("url"), maxBytes = 10L).collect()
+      assert(capped.head.getAs[Int]("attempts") == 1)
       assert(capped.head.getAs[String]("errors")
-        == "download_failed_after_3_attempts:file_too_large")
+        == "download_failed_after_1_attempts:file_too_large")
       val scheme = UrlIngest.ingest(
         Seq("https://example.com/x.pdf").toDF("url")).collect()
+      assert(scheme.head.getAs[Int]("attempts") == 1)
       assert(scheme.head.getAs[String]("errors")
-        == "download_failed_after_3_attempts:unsupported_scheme")
+        == "download_failed_after_1_attempts:unsupported_scheme")
     } finally {
       dir.listFiles().foreach(_.delete()); dir.delete(); ()
     }
