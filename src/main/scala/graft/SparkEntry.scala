@@ -255,8 +255,10 @@ object SparkEntry {
         col("vec_id"),
         round(graft.functions.VectorOps.norm(
           graft.functions.VectorOps.l2Normalize(col("embedding"))), 4).as("unit_norm"),
-        round(element_at(graft.functions.VectorOps.l2Normalize(col("embedding")), 1), 4)
-          .as("c0"))),
+        // + 0.0 collapses IEEE negative zero (a tiny negative component
+        // rounds to -0.0 in one engine and 0.0 in the other)
+        (round(element_at(graft.functions.VectorOps.l2Normalize(col("embedding")), 1), 4)
+          + lit(0.0)).as("c0"))),
 
     // --- similarity search tier (SURVEY §2.5) --------------------------
     "knn_cosine" -> ((s, d) => {
@@ -1088,7 +1090,7 @@ object SparkEntry {
     "e4_l2norm" ->
       """SELECT vec_id,
         | round(sqrt(list_inner_product(n, n)), 4) AS unit_norm,
-        | round(n[1], 4) AS c0
+        | round(n[1], 4) + 0.0 AS c0
         |FROM (SELECT vec_id,
         |  list_transform(embedding::DOUBLE[],
         |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS n
@@ -2114,7 +2116,10 @@ object SparkEntry {
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
         | FROM documents WHERE doc_id % 25 = 0),
         |bloom AS (SELECT pos // 64 AS word,
-        |  bit_or(CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER)) AS bits
+        |  -- bit 63: DuckDB's checked << overflows on 1<<63, so state the
+        |  -- sign-bit mask (Long.MIN_VALUE, = Spark's wrapping shiftleft)
+        |  bit_or(CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER) END) AS bits
         | FROM (SELECT ('0x' || substr(fp, 1 + 5 * g.i, 5))::BIGINT % 1024 AS pos
         |       FROM bfp, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) g)
         | GROUP BY 1),
