@@ -1515,7 +1515,8 @@ object SparkEntry {
     "q11_distinct_agg" ->
       """SELECT c_nationkey, count(*) AS n_customers,
         | count(DISTINCT c_mktsegment) AS n_segments,
-        | round(avg(c_acctbal), 2) AS avg_acctbal
+        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
+        |   / (count(*) * 100) AS avg_acctbal
         |FROM customer GROUP BY c_nationkey""".stripMargin,
 
     "q12_cube" ->

@@ -131,7 +131,12 @@ object Relational {
       .groupBy(col("c_nationkey"))
       .agg(count(lit(1)).as("n_customers"),
         count_distinct(col("c_mktsegment")).as("n_segments"),
-        round(avg(col("c_acctbal")), 2).as("avg_acctbal"))
+        // exact integer cents, UNROUNDED quotient: avg(acctbal) can land
+        // on a half cent (…1.315), where HALF_UP vs float-multiply
+        // rounding disagree across engines; the integer sum ÷ (100·n) is
+        // the same IEEE op on both sides
+        (sum(round(col("c_acctbal") * 100, 0).cast("long")).cast("double") /
+          (count(lit(1)) * 100)).as("avg_acctbal"))
 
   /** Salted two-phase aggregation — the skew-mitigation pattern for hot
     * keys at scale (a handful of languages dominating 100 TB of
