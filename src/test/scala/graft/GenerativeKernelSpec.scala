@@ -64,6 +64,56 @@ class GenerativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("packSentences preserves every word in order and respects maxChars where it can") {
+    import graft.operators.Chunking
+    val word = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val sentence = for {
+      ws <- Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, word))
+      p <- Gen.oneOf(".", "!", "?")
+    } yield ws.mkString(" ") + p
+    val text = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, sentence)).map(_.mkString(" "))
+    val cfg = for { t <- text; m <- Gen.choose(20, 120) } yield (t, m)
+    samples(cfg, 40).foreach { case (t, maxChars) =>
+      val packs = Chunking.packSentences(t, maxChars)
+      // lossless: same words, same order
+      assert(packs.mkString(" ").split("\\s+").toSeq == t.split("\\s+").toSeq,
+        s"words changed for maxChars=$maxChars text=$t")
+      // every pack over the limit must be a single unsplittable sentence
+      packs.filter(_.length > maxChars).foreach { p =>
+        assert(Chunking.packSentences(p, maxChars).size == 1,
+          s"oversized pack was splittable: '$p'")
+      }
+      // greediness: two adjacent packs never fit together
+      packs.sliding(2).filter(_.size == 2).foreach { case Seq(a, b) =>
+        assert(a.length + 1 + b.split("(?<=[.!?])\\s+").head.length > maxChars,
+          s"pack '$a' should have absorbed the next sentence")
+      }
+    }
+  }
+
+  test("combineSmall preserves order/content and only emits undersized tails") {
+    import graft.operators.Chunking
+    val chunk = Gen.choose(1, 60).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val cfg = for {
+      cs <- Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, chunk))
+      m <- Gen.choose(10, 80)
+    } yield (cs, m)
+    samples(cfg, 40).foreach { case (chunks, minChars) =>
+      val out = Chunking.combineSmall(chunks, minChars)
+      // lossless modulo the \n\n joiners, order preserved
+      assert(out.mkString("\n\n").split("\n\n").toSeq == chunks.mkString("\n\n").split("\n\n").toSeq)
+      // reference contract (document_processing_service.py:629-663): an
+      // undersized pending run flushes when a LARGE chunk follows — so
+      // every undersized output is either the tail or immediately
+      // followed by a chunk >= minChars; never two adjacent undersized
+      // outputs mid-sequence
+      out.sliding(2).filter(_.size == 2).foreach { case Seq(a, b) =>
+        assert(a.length >= minChars || b.length >= minChars,
+          s"two adjacent undersized outputs for minChars=$minChars: $out")
+      }
+    }
+  }
+
   test("trimmed OCR glyph templates stay pairwise distinct") {
     val bitmaps = Ocr.trimmedFont.values.toSeq
     assert(bitmaps.distinct.size == bitmaps.size,
