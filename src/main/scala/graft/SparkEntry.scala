@@ -486,6 +486,12 @@ object SparkEntry {
       Sampling.domainResample(Tables.documents(s, d),
         Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)))
         .select("doc_id", "lang")),
+    // the sizing step in front of the resample: a 200k-token budget over
+    // the same mixture — en underfills (rate < 1), the rest repeat
+    "token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetPlan(Tables.documents(s, d),
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)),
+        budgetTokens = 200000L)),
     "q22_year_spine" -> ((s, d) =>
       Relational.yearSpineAgg(Tables.orders(s, d))),
     "lm_surprisal" -> ((s, d) =>
@@ -1920,6 +1926,24 @@ object SparkEntry {
         | FROM j)
         |SELECT d.doc_id, d.lang FROM documents d JOIN cuts USING (lang)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < cut""".stripMargin,
+
+    // exact replay: micro-unit weights (sum 1_000_000), integer div
+    // allocation, unrounded BIGINT/BIGINT rate
+    "token_budget" ->
+      """WITH w AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
+        |  ('fr', 150000), ('es', 150000)) t(lang, w6)),
+        |avail AS (SELECT lang,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> t <> ''))) AS BIGINT) AS available_tokens
+        | FROM documents GROUP BY lang),
+        |j AS (SELECT a.lang, available_tokens, w6,
+        |  (200000::BIGINT * w6) // 1000000 AS target_tokens
+        | FROM avail a JOIN w USING (lang))
+        |SELECT lang, available_tokens, w6, target_tokens,
+        | CAST(target_tokens AS DOUBLE) / available_tokens AS sample_rate,
+        | (target_tokens + available_tokens - 1) // available_tokens AS epochs,
+        | target_tokens > available_tokens AS repeats_data
+        |FROM j""".stripMargin,
 
     "q22_year_spine" ->
       """WITH RECURSIVE bounds AS (
