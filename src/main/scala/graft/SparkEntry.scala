@@ -315,6 +315,19 @@ object SparkEntry {
         "ivf_nprobe2" -> Similarity.ivfTopK(qs, cand, k = 10, nlist = 8, nprobe = 2),
         "pq_adc" -> Similarity.pqAdcTopK(qs, cand, k = 10)))
     }),
+    // graded IR metrics over the exact kNN lists, relevance = label
+    // match (the standard ANN-benchmark relevance definition)
+    "ranking_quality" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+      val cand = e.filter(col("vec_id") >= 5)
+      val rel = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("label").as("_ql"))
+        .join(cand.select(col("vec_id"), col("label")), col("label") === col("_ql"))
+        .select(col("q_vec_id"), col("vec_id"))
+      Retrieval.rankingQuality(Retrieval.knnCosine(qs, cand, k = 10), rel, k = 10)
+    }),
     // BRP-LSH recall rides MLlib's seeded RNG → run- but not
     // engine-reproducible: rows-only check, like ann_brp_lsh itself
     "ann_recall_brp" -> ((s, d) => {
@@ -1397,6 +1410,36 @@ object SparkEntry {
     "ivf_topk" -> bruteForceKnnSql,
 
     "ann_recall" -> annRecallSql,
+    // metric replay: same rounded-cosine ranking, ln-quotient log2,
+    // integer micro-unit gains, unrounded ndcg quotient
+    "ranking_quality" ->
+      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, label AS ql
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id >= 5),
+        |ranked AS (SELECT q_vec_id, vec_id, rank FROM (
+        | SELECT q_vec_id, vec_id, row_number() OVER (PARTITION BY q_vec_id ORDER BY
+        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) DESC, vec_id) AS rank
+        | FROM q CROSS JOIN c) WHERE rank <= 10),
+        |rel AS (SELECT q.q_vec_id, c.vec_id FROM q JOIN c ON c.label = q.ql),
+        |h AS (SELECT r.q_vec_id,
+        |  CAST(sum(CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+        |  min(CASE WHEN rel.vec_id IS NOT NULL THEN rank END) AS frr,
+        |  CAST(sum(CASE WHEN rel.vec_id IS NOT NULL
+        |    THEN CAST(round(1e6 / round(ln(rank + 1.0) / ln(2.0), 6)) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS dcg6
+        | FROM ranked r LEFT JOIN rel ON rel.q_vec_id = r.q_vec_id AND rel.vec_id = r.vec_id
+        | GROUP BY r.q_vec_id),
+        |ic AS (SELECT q_vec_id,
+        |  CAST(sum(CAST(round(1e6 / round(ln(g.r + 1.0) / ln(2.0), 6)) AS BIGINT)) AS BIGINT) AS idcg6
+        | FROM (SELECT q_vec_id, least(count(*), 10) AS nrel FROM rel GROUP BY 1) n,
+        |  LATERAL (SELECT unnest(generate_series(1, CAST(n.nrel AS INTEGER))) AS r) g
+        | GROUP BY q_vec_id)
+        |SELECT h.q_vec_id, hits_at_k,
+        | COALESCE(frr, 0) AS first_rel_rank,
+        | CAST(CASE WHEN frr IS NOT NULL THEN 1000000 // frr ELSE 0 END AS BIGINT) AS mrr6,
+        | dcg6, CAST(COALESCE(idcg6, 0) AS BIGINT) AS idcg6,
+        | CASE WHEN COALESCE(idcg6, 0) > 0 THEN CAST(dcg6 AS DOUBLE) / idcg6 ELSE 0.0 END AS ndcg
+        |FROM h LEFT JOIN ic ON ic.q_vec_id = h.q_vec_id""".stripMargin,
 
     "golden_e2e" -> goldenE2eSql,
 

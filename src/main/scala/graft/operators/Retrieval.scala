@@ -296,6 +296,47 @@ object Retrieval {
         col("rrf6"), col("rank"))
   }
 
+  /** Graded ranking-quality metrics — the IR evaluation face next to
+    * [[Similarity.recallAudit]]: per query, hits@k, the first relevant
+    * rank, MRR, DCG and nDCG@k against a binary relevance table. The
+    * numbers a retrieval deployment is tuned by (MRR for single-answer
+    * QA, nDCG when position matters).
+    *
+    * Cross-engine discipline: MRR is `1_000_000 div first_rank` (exact
+    * integer). Per-rank DCG gain is `round(1e6 / round(ln(r+1)/ln 2,
+    * 6))` — the explicit ln-quotient so both engines run the same IEEE
+    * ops — summed as longs (order-free); nDCG is the unrounded
+    * long/long quotient. IDCG places the query's relevant items at
+    * ranks 1..min(n_rel, k) via a generator, so no driver state.
+    * Shape: ranked lists are k-bounded, the relevance join is an
+    * equi-join, and every aggregate is per-query — trivially small at
+    * any corpus scale. */
+  def rankingQuality(ranked: DataFrame, relevant: DataFrame, k: Int,
+                     qidCol: String = "q_vec_id", idCol: String = "vec_id"): DataFrame = {
+    def gain6(rank: Column): Column =
+      round(lit(1e6) / round(log(2.0, rank.cast("double") + 1), 6), 0).cast("long")
+    val rel = relevant.select(col(qidCol), col(idCol), lit(1).as("_rel"))
+    val hits = ranked.join(rel, Seq(qidCol, idCol), "left")
+      .groupBy(col(qidCol))
+      .agg(sum(coalesce(col("_rel"), lit(0))).as("hits_at_k"),
+        min(when(col("_rel") === 1, col("rank"))).as("first_rel_rank"),
+        sum(when(col("_rel") === 1, gain6(col("rank"))).otherwise(lit(0L))).as("dcg6"))
+    val idcg = rel.groupBy(col(qidCol)).agg(count(lit(1)).as("_n_rel"))
+      .select(col(qidCol),
+        explode(sequence(lit(1), least(col("_n_rel"), lit(k)).cast("int"))).as("_r"))
+      .groupBy(col(qidCol)).agg(sum(gain6(col("_r"))).as("idcg6"))
+    hits.join(idcg, Seq(qidCol), "left")
+      .select(col(qidCol), col("hits_at_k"),
+        coalesce(col("first_rel_rank"), lit(0)).as("first_rel_rank"),
+        when(col("first_rel_rank").isNotNull,
+          lit(1000000L) / col("first_rel_rank")).otherwise(lit(0L))
+          .cast("long").as("mrr6"),
+        col("dcg6"),
+        coalesce(col("idcg6"), lit(0L)).as("idcg6"),
+        when(coalesce(col("idcg6"), lit(0L)) > 0,
+          col("dcg6").cast("double") / col("idcg6")).otherwise(lit(0.0)).as("ndcg"))
+  }
+
   /** A4 answer summary: per question, result count + best-scoring hit
     * (reference `main.py:116,163`). */
   def answerSummary(ranked: DataFrame, qidCol: String = "question_id",
