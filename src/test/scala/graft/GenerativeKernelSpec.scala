@@ -114,6 +114,57 @@ class GenerativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("PDF build-parse round-trips arbitrary pages, escaping included") {
+    import graft.operators.{DocExtract, DocFixtures}
+    // charset deliberately includes the three escaped PDF chars \ ( )
+    val ch = Gen.oneOf(('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9') ++
+      Seq(' ', '.', ',', '-', '(', ')', '\\'))
+    val line = Gen.choose(1, 30).flatMap(n => Gen.listOfN(n, ch)).map(_.mkString)
+      .map(_.trim).suchThat(_.nonEmpty)
+    val page = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, line))
+    val doc = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, page))
+    samples(doc, 25).foreach { pages =>
+      val parsed = DocExtract.parsePdf(DocFixtures.pdfBytes(pages))
+      assert(parsed.isDefined, s"parse failed for $pages")
+      assert(parsed.get.map(_.text) == pages.map(_.mkString("\n")),
+        s"text changed through the FlateDecode/Tj/TJ round trip: $pages")
+    }
+  }
+
+  test("DOCX build-parse round-trips paragraphs, styles, blanks and tables") {
+    import graft.operators.{DocExtract, DocFixtures}
+    val ch = Gen.oneOf(('a' to 'z') ++ Seq(' ', '&', '<', '>', '.', ','))
+    val text = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n, ch))
+      .map(_.mkString.trim).suchThat(_.nonEmpty)
+    val para = for {
+      t <- Gen.frequency(1 -> Gen.const(""), 4 -> text) // blanks skip but keep idx
+      s <- Gen.oneOf(None, None, Some("Heading1"), Some("Heading2"))
+    } yield (t, s)
+    val cell = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val table = for {
+      cols <- Gen.choose(1, 4); rows <- Gen.choose(2, 4)
+      data <- Gen.listOfN(rows, Gen.listOfN(cols, cell))
+    } yield data.map(_.toSeq)
+    val docGen = for {
+      ps <- Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, para))
+      ts <- Gen.choose(0, 2).flatMap(n => Gen.listOfN(n, table))
+    } yield (ps, ts)
+    samples(docGen, 20).foreach { case (paras, tables) =>
+      val parsed = DocExtract.parseDocx(DocFixtures.docxBytes(paras, tables))
+      assert(parsed.isDefined)
+      val expParas = paras.zipWithIndex.filter(_._1._1.trim.nonEmpty).map {
+        case ((t, s), i) =>
+          val heading = s.exists(_.startsWith("Heading"))
+          (i, if (heading) "section" else "paragraph", t, s.getOrElse("Normal"))
+      }
+      val gotParas = parsed.get.filter(_.chunk_type != "table")
+        .map(c => (c.chunk_idx, c.chunk_type, c.content, c.style.get))
+      assert(gotParas == expParas, s"paras changed for $paras")
+      assert(parsed.get.filter(_.chunk_type == "table").map(_.content) ==
+        tables.map(_.map(_.mkString(" | ")).mkString("\n")))
+    }
+  }
+
   test("trimmed OCR glyph templates stay pairwise distinct") {
     val bitmaps = Ocr.trimmedFont.values.toSeq
     assert(bitmaps.distinct.size == bitmaps.size,
