@@ -165,6 +165,38 @@ class GenerativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("EML parse round-trips arbitrary bodies across all three transfer encodings") {
+    import graft.operators.DocExtract
+    val word = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val paraGen = Gen.choose(3, 12).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val bodyGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, paraGen)).map(_.mkString("\n\n"))
+    val subjGen = Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    def msg(subj: String, body: String, enc: String): Array[Byte] = {
+      val encoded = enc match {
+        case "base64" => java.util.Base64.getMimeEncoder
+          .encodeToString(body.getBytes("UTF-8"))
+        case "quoted-printable" => body.replace("=", "=3D")
+        case _ => body
+      }
+      (s"Subject: $subj\nFrom: a@x.com\nTo: b@y.com\nDate: Tue, 1 Jul 2026 10:00:00 +0000\n" +
+        s"Content-Type: text/plain\nContent-Transfer-Encoding: $enc\n\n$encoded").getBytes("UTF-8")
+    }
+    val cfg = for { s <- subjGen; b <- bodyGen
+                    e <- Gen.oneOf("7bit", "base64", "quoted-printable") } yield (s, b, e)
+    samples(cfg, 25).foreach { case (subj, body, enc) =>
+      val p = DocExtract.parseEml(msg(subj, body, enc))
+      assert(p.isDefined, s"parse failed enc=$enc")
+      assert(p.get.subject == subj && p.get.from == "a@x.com")
+      assert(p.get.bodyText == body, s"body changed through $enc")
+      // chunk rule: headers chunk first, then >20-char paragraphs only
+      val chunks = DocExtract.emlChunks(p.get)
+      assert(chunks.head.chunk_type == "headers")
+      val expected = body.split("\n\n").map(_.trim).filter(_.nonEmpty)
+        .zipWithIndex.collect { case (t, i) if t.length > 20 => (i, t) }.toSeq
+      assert(chunks.tail.map(c => (c.chunk_idx, c.content)) == expected)
+    }
+  }
+
   test("trimmed OCR glyph templates stay pairwise distinct") {
     val bitmaps = Ocr.trimmedFont.values.toSeq
     assert(bitmaps.distinct.size == bitmaps.size,
