@@ -191,6 +191,8 @@ object SparkEntry {
       TextAnalysis.languageId(Tables.documents(s, d))
         .select(col("doc_id") +: col("pred_lang") +:
           TextAnalysis.langMarkers.map { case (l, _) => col(s"score_$l") }: _*)),
+    "corpus_datacard" -> ((s, d) =>
+      TextAnalysis.corpusDatacard(Tables.documents(s, d))),
     "quality_score" -> ((s, d) =>
       TextAnalysis.qualityScore(Tables.documents(s, d))
         .select("doc_id", "n_chars", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio")),
@@ -978,6 +980,28 @@ object SparkEntry {
         |FROM parts WHERE length(content) > 20 GROUP BY doc_id""".stripMargin,
 
     "lang_id" -> langIdSql,
+
+    // composes the quality_score and dedup_exact formulas, then exact
+    // 1e4-unit means with unrounded quotients
+    "corpus_datacard" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         |  round(CAST(length(trim(text)) - length(regexp_replace(trim(text), '[.,;:!?]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(trim(text)), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      w -> list_contains($stopSql, w))) AS DOUBLE)
+         |    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS stopword_ratio
+         | FROM documents),
+         |d AS (SELECT doc_id, rn > 1 AS is_duplicate FROM (
+         | SELECT doc_id, row_number() OVER (
+         |   PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |   ORDER BY doc_id) AS rn FROM documents))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_words) AS BIGINT) AS total_words,
+         | CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+         | CAST(sum(CAST(round(punct_ratio * 1e4) AS BIGINT)) AS DOUBLE) / (count(*) * 10000) AS avg_punct_ratio,
+         | CAST(sum(CAST(round(stopword_ratio * 1e4) AS BIGINT)) AS DOUBLE) / (count(*) * 10000) AS avg_stopword_ratio
+         |FROM q JOIN d USING (doc_id) GROUP BY lang""".stripMargin,
 
     "quality_score" ->
       s"""SELECT doc_id, length(trim(text)) AS n_chars,

@@ -61,6 +61,33 @@ object TextAnalysis {
           .cast("double") / greatest(size(words), lit(1)), 4))
   }
 
+  /** Per-language corpus DATA CARD — the datasheet summary a curator
+    * reads before committing a mixture (Gebru et al.'s datasheets,
+    * reduced to the columns this engine computes): document and word
+    * volume, exact-duplicate rate, and mean punctuation/stopword
+    * ratios per language stratum. Pure composition of [[qualityScore]]
+    * and [[Dedup.exactDups]] — one quality pass, one fingerprint
+    * shuffle, one per-language aggregate; means go through exact
+    * 1e4-unit integer sums (the ratios are already rounded to 4) with
+    * an unrounded final quotient. */
+  def corpusDatacard(docs: DataFrame, langCol: String = "lang",
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val q = qualityScore(docs, textCol)
+      .select(col(idCol), col(langCol), col("n_words"),
+        col("punct_ratio"), col("stopword_ratio"))
+    val dups = Dedup.exactDups(docs, idCol, textCol)
+      .select(col(idCol), col("is_duplicate"))
+    q.join(dups, idCol)
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words").cast("long")).as("total_words"),
+        sum(when(col("is_duplicate"), 1L).otherwise(0L)).as("dup_docs"),
+        (sum(round(col("punct_ratio") * 1e4, 0).cast("long")).cast("double") /
+          (count(lit(1)) * 10000)).as("avg_punct_ratio"),
+        (sum(round(col("stopword_ratio") * 1e4, 0).cast("long")).cast("double") /
+          (count(lit(1)) * 10000)).as("avg_stopword_ratio"))
+  }
+
   /** Unigram LM surprisal — the perplexity-style quality score a
     * training pipeline runs to rank documents against the corpus
     * language model (CCNet's KenLM filter, reduced to the unigram
