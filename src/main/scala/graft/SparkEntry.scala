@@ -446,6 +446,11 @@ object SparkEntry {
       MediaCodec.imageResize(MediaCodec.fixturesDF(s), maxSide = 32).toDF()),
     "mm_wav_stats" -> ((s, d) =>
       MediaCodec.wavStats(MediaCodec.fixturesDF(s)).toDF()),
+    // the multimodal→similarity bridge: integer histogram emitted for
+    // the exact compare; the normalized ARRAY<FLOAT> feeds retrieval
+    "mm_image_embed" -> ((s, d) =>
+      MediaCodec.imageEmbedding(MediaCodec.fixturesDF(s)).toDF()
+        .select(col("doc"), col("n_pixels"), to_json(col("hist")).as("hist_json"))),
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d)))),
     "mm_frame_sample" -> ((s, d) =>
@@ -1823,6 +1828,14 @@ object SparkEntry {
         | ('photo',64,48,32,24,true,3410041458),
         | ('tall',20,120,5,32,true,3960382074)
         |) AS t(doc, width, height, out_width, out_height, scaled, out_crc32)""".stripMargin,
+
+    "mm_image_embed" ->
+      """SELECT doc, CAST(n_pixels AS BIGINT) AS n_pixels, hist_json FROM (VALUES
+        | ('icon',256,'[0,0,0,0,0,0,24,6,14,2,0,0,0,0,0,0,0,0,0,0,12,0,27,31,0,0,0,0,0,0,0,0,0,0,0,0,11,0,13,15,15,0,9,16,0,0,0,0,0,0,0,0,0,0,0,0,30,0,6,25,0,0,0,0]'),
+        | ('banner',3977,'[94,96,93,90,10,12,43,19,107,91,106,107,30,39,37,24,60,73,99,92,47,24,49,57,64,62,66,53,61,68,63,61,0,0,5,15,111,101,95,104,42,60,54,39,90,81,90,108,61,59,48,53,80,91,82,66,33,37,53,50,64,60,66,82]'),
+        | ('photo',3072,'[96,69,62,88,30,22,38,24,82,68,56,77,10,11,10,5,82,67,58,72,26,8,33,39,34,43,33,36,61,64,61,61,7,7,5,2,82,73,70,77,48,48,21,40,80,69,65,94,61,35,42,53,62,53,51,64,33,32,49,50,44,58,30,41]'),
+        | ('tall',2400,'[34,55,32,44,35,34,58,22,59,30,43,63,17,32,31,18,31,32,15,20,26,25,59,63,57,31,34,20,47,59,39,49,17,34,33,33,51,48,61,56,45,42,40,25,37,37,4,32,13,44,36,39,34,37,36,17,61,42,53,60,30,36,20,33]')
+        |) AS t(doc, n_pixels, hist_json)""".stripMargin,
 
     "mm_wav_stats" ->
       """SELECT doc, channels, sample_rate_hz, bits,

@@ -183,6 +183,41 @@ object MediaCodec {
       }
   }
 
+  case class ImageEmbedding(doc: String, n_pixels: Long, hist: Seq[Long],
+                            embedding: Seq[Float])
+
+  /** Image → embedding: decode, then a 4×4×4 RGB color histogram (2
+    * high bits per channel, 64 bins) L2-normalized to the engine's
+    * `ARRAY<FLOAT>` embedding contract — the bridge from the multimodal
+    * tier into [[Retrieval.knnCosine]]/[[Dedup.semanticDedup]] (what a
+    * neural image encoder would produce; this deterministic featurizer
+    * is its [[Embedding]]-style zero-egress stand-in, and a codec-exact
+    * one: identical pixels give identical embeddings whether the bytes
+    * were BMP or PNG). The raw integer histogram rides along so the
+    * oracle can check the embedding's exact content without float
+    * hashing. */
+  def imageEmbedding(media: DataFrame): Dataset[ImageEmbedding] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "image")
+      .select(col("doc"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (doc, payload) =>
+          Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+            val hist = new Array[Long](64)
+            for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+              val (r, g, b) = rgbOf(img, x, y)
+              hist(((r >> 6) << 4) | ((g >> 6) << 2) | (b >> 6)) += 1
+            }
+            val norm = math.sqrt(hist.map(c => c.toDouble * c).sum)
+            ImageEmbedding(doc, img.getWidth.toLong * img.getHeight, hist.toSeq,
+              hist.map(c => (c / norm).toFloat).toSeq)
+          }
+        }
+      }
+  }
+
   /** Decode WAV audio through `javax.sound.sampled`: format header from
     * the real codec, then exact integer amplitude statistics over the
     * 16-bit PCM stream (all channels, interleaved order). */

@@ -63,6 +63,28 @@ class MediaCodecSpec extends SparkSpec {
     assert(got("tone").channels == 2 && got("tone").n_frames == 1600L)
   }
 
+  test("image embeddings are codec-invariant and drive cosine retrieval") {
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    // same pixels as BMP and as PNG → identical embedding
+    val both = spark.createDataFrame(Seq(
+        ("as_bmp", "image", "bmp", MediaCodec.bmpBytes(16, 16)),
+        ("as_png", "image", "png", MediaCodec.pngBytes(16, 16))))
+      .toDF("doc", "modality", "codec", "payload")
+    val e = MediaCodec.imageEmbedding(both).collect().map(r => r.doc -> r.embedding).toMap
+    assert(e("as_bmp") == e("as_png"))
+    // unit norm, and knnCosine ranks the identical image first at 1.0
+    val emb = MediaCodec.imageEmbedding(MediaCodec.fixturesDF(spark)).toDF()
+      .select(col("doc").as("vec_id"), col("embedding"))
+    val qs = emb.filter(col("vec_id") === "icon")
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val top = graft.operators.Retrieval.knnCosine(qs, emb, k = 2, idCol = "vec_id")
+      .orderBy("rank").collect()
+    assert(top.head.getString(1) == "icon" && top.head.getDouble(2) == 1.0)
+    assert(top(1).getDouble(2) < 1.0)
+  }
+
   test("payload column is pruned out of the scan for metadata-only projections") {
     // through a real parquet round trip — pruning must reach ReadSchema
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
