@@ -197,6 +197,38 @@ class GenerativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("URL ingest computes the reference cache name and hash for arbitrary payloads") {
+    import graft.operators.UrlIngest
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    def md5Hex(b: Array[Byte]) = java.security.MessageDigest.getInstance("MD5")
+      .digest(b).map("%02x".format(_)).mkString
+    def sha256Hex(b: Array[Byte]) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(b).map("%02x".format(_)).mkString
+    val bodyGen = Gen.choose(1, 400)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf(('a' to 'z') ++ Seq(' ', '\n', '.'))))
+      .map(_.mkString)
+    val dir = java.nio.file.Files.createTempDirectory("graft_url_gen").toFile
+    try {
+      val cases = samples(bodyGen, 12).zipWithIndex.map { case (body, i) =>
+        val f = new java.io.File(dir, s"gen_$i.txt")
+        java.nio.file.Files.write(f.toPath, body.getBytes("UTF-8"))
+        (s"file://$f", body.getBytes("UTF-8"))
+      }
+      val out = UrlIngest.ingest(cases.map(_._1).toDF("url")).collect()
+        .map(r => r.getAs[String]("url") -> r).toMap
+      cases.foreach { case (url, bytes) =>
+        val r = out(url)
+        // the reference's {md5(url)[:8]}_{sha256[:12]}{ext} cache scheme
+        assert(r.getAs[String]("cache_name") ==
+          s"${md5Hex(url.getBytes("UTF-8")).take(8)}_${sha256Hex(bytes).take(12)}.txt")
+        assert(r.getAs[String]("file_hash") == sha256Hex(bytes))
+        assert(r.getAs[Long]("file_size") == bytes.length)
+        assert(r.getAs[String]("mime_type") == "text/plain" && r.getAs[Boolean]("is_valid"))
+      }
+    } finally { dir.listFiles().foreach(_.delete()); dir.delete(); () }
+  }
+
   test("trimmed OCR glyph templates stay pairwise distinct") {
     val bitmaps = Ocr.trimmedFont.values.toSeq
     assert(bitmaps.distinct.size == bitmaps.size,
