@@ -2473,7 +2473,7 @@ object SparkEntry {
        | SELECT doc_id, section_idx,
        |  COALESCE(max(CASE WHEN is_header THEN trim(line) END), 'Introduction') AS section_title,
        |  trim(COALESCE(string_agg(CASE WHEN NOT is_header THEN line END, chr(10)
-       |    ORDER BY line_idx), '')) AS content
+       |    ORDER BY line_idx), ''), ' ' || chr(9) || chr(10) || chr(13)) AS content
        | FROM numbered GROUP BY doc_id, section_idx)
        |$finalSelect"""
   }.stripMargin

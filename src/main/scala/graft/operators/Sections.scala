@@ -65,10 +65,13 @@ object Sections {
         when(k === 0, lit("Introduction"))
           .otherwise(trim(element_at(col("_lines"), element_at(col("_starts"), k + 1))))
           .as("section_title"),
+        // trim ALL whitespace, not just spaces: the reference strip()s
+        // section content, so a section ending in blank lines must not
+        // keep a trailing newline (caught by the generative cross-check)
         trim(array_join(slice(col("_lines"),
           element_at(col("_starts"), k + 1) + 1,
           element_at(col("_ends"), k + 1) - element_at(col("_starts"), k + 1) - 1),
-          "\n")).as("content")))
+          "\n"), " \t\n\r").as("content")))
     withSpans
       .select(col("document_id"), explode(sections).as("s"))
       .select(col("document_id"), col("s.section_idx").as("section_idx"),

@@ -229,6 +229,49 @@ class GenerativeKernelSpec extends AnyFunSuite {
     } finally { dir.listFiles().foreach(_.delete()); dir.delete(); () }
   }
 
+  test("vectorized section splitter agrees with a straightforward scan on arbitrary documents") {
+    import graft.operators.Sections
+    val spark2 = TestSpark.spark
+    import spark2.implicits._
+    val upWord = Gen.choose(3, 8).flatMap(n => Gen.listOfN(n, Gen.alphaUpperChar)).map(_.mkString)
+    val loWord = Gen.choose(2, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)
+    val capWord = for { h <- Gen.alphaUpperChar; t <- loWord } yield s"$h$t"
+    val headerGen = Gen.oneOf(
+      Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, upWord)).map(_.mkString(" ") + ":"),
+      for { d <- Gen.choose(1, 9); t <- capWord } yield s"$d. $t terms:",
+      for { w <- capWord; d <- Gen.choose(1, 9); t <- capWord } yield s"$w $d: $t",
+      for { c <- Gen.choose('a', 'z'); t <- capWord } yield s"($c) $t clause")
+    // body lines start lowercase → can never match a header shape
+    val bodyGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, loWord)).map(_.mkString(" "))
+    val lineGen = Gen.frequency(1 -> headerGen, 3 -> bodyGen, 1 -> Gen.const(""))
+    val docGen = Gen.choose(1, 14).flatMap(n => Gen.listOfN(n, lineGen))
+
+    val pats = Sections.headerPatterns.map(java.util.regex.Pattern.compile)
+    def expected(lines: Seq[String]): Seq[(Long, String, String)] = {
+      val hpos = lines.zipWithIndex.collect {
+        case (l, i) if pats.exists(_.matcher(l).find()) => i + 1 }
+      val starts = 0 +: hpos
+      val ends = hpos :+ (lines.size + 1)
+      starts.indices.map { k =>
+        val title = if (k == 0) "Introduction" else lines(starts(k) - 1).trim
+        val content = lines.slice(starts(k), ends(k) - 1).mkString("\n").trim
+        (k.toLong, title, content)
+      }.filter(_._3.nonEmpty)
+    }
+
+    val docs = samples(docGen, 30).zipWithIndex.map { case (ls, i) => (i.toLong, ls) }
+    val df = docs.map { case (id, ls) => (id, ls.mkString("\n")) }.toDF("doc_id", "text")
+    val got = Sections.sectionChunks(df).collect()
+      .groupBy(_.getAs[Long]("document_id"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("section_idx")).map(r =>
+        (r.getAs[Long]("section_idx"), r.getAs[String]("section_title"),
+          r.getAs[String]("content"))).toSeq).toMap
+    docs.foreach { case (id, lines) =>
+      assert(got.getOrElse(id, Seq.empty) == expected(lines),
+        s"sections diverge for doc $id: $lines")
+    }
+  }
+
   test("trimmed OCR glyph templates stay pairwise distinct") {
     val bitmaps = Ocr.trimmedFont.values.toSeq
     assert(bitmaps.distinct.size == bitmaps.size,
