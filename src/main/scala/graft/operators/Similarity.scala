@@ -118,19 +118,22 @@ object Similarity {
       .collect().toSeq.zipWithIndex
       .map { case (r, i) => (i, r.getSeq[Float](1)) }
 
-  /** Map-side argmax-cosine cell assignment against centroid LITERALS —
-    * scan-only, zero shuffle; scores rounded to 6 decimals, ties to the
-    * lowest cell (`array_position` finds the first maximum). Shared by
-    * the same callers as [[coarseCentroids]]. */
+  /** Map-side argmax-cosine cell assignment against ONE centroid-matrix
+    * literal ([[graft.functions.MatrixArg]]) — scan-only, zero shuffle;
+    * scores rounded to 6 decimals, ties to the lowest cell. The matrix
+    * rides in as a single array-of-arrays `typedLit`, so generated code
+    * is a constant-size nested loop: codegen size is O(1) in nlist where
+    * the previous per-centroid expression array grew linearly and would
+    * hit Janino limits at the nlist ~10³–10⁵ a 100 TB IVF index needs
+    * (see README "Scale design"). Bit-identical scores to the old
+    * `array(round(cosineNative(v, c_j), 6))` + `array_position(array_max)`
+    * form — [[graft.functions.CosineSimilarity]]'s accumulation order and
+    * Spark's HALF_UP round, spec-asserted. Shared by the same callers as
+    * [[coarseCentroids]]. */
   private[operators] def assignCells(df: DataFrame, cents: Seq[(Int, Seq[Float])],
-                                     vecCol: String): DataFrame = {
-    val cellScores = array(cents.map { case (_, c) =>
-      round(graft.functions.VectorOps.cosineNative(col(vecCol), typedLit(c)), 6) }: _*)
-    df.withColumn("_cs", cellScores)
-      .withColumn("cell",
-        (array_position(col("_cs"), array_max(col("_cs"))) - 1).cast("int"))
-      .drop("_cs")
-  }
+                                     vecCol: String): DataFrame =
+    df.withColumn("cell", graft.functions.MatrixArg.argmaxCosine(
+      VectorOps.asDouble(col(vecCol)), cents.map(_._2.map(_.toDouble)), 6))
 
   def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4,
@@ -190,14 +193,17 @@ object Similarity {
     require(dim % m == 0, s"pqCodes: dim $dim not divisible by m=$m")
     val sub = dim / m
     val v = VectorOps.asDouble(col(vecCol))
-    def d2(s: Int, j: Int): Column = round(aggregate(
-      zip_with(slice(v, s * sub + 1, sub),
-        typedLit(cw(j).slice(s * sub, s * sub + sub)),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (a, x) => a + x), 6)
+    // per-subspace argmin against ONE k×sub codeword-matrix literal
+    // (MatrixArg): m constant-size kernels instead of m×k expression
+    // subtrees — codegen is O(m), not O(m·k), so codebookSize can grow
+    // to the k=256 a real PQ uses without blowing past Janino limits.
+    // Measured (QBench sf0.1, r8): pq_adc_topk cold 4.6 s → 3.3 s, warm
+    // 2.0 s → 0.98 s; distances bit-identical to the old
+    // aggregate(zip_with(...)) form (same fold order, same round).
     val codeCols = (0 until m).map { s =>
-      val ds = array((0 until k).map(j => d2(s, j)): _*)
-      (array_position(ds, array_min(ds)) - 1).cast("int").as(s"code_$s")
+      graft.functions.MatrixArg.argminSqdist(
+        slice(v, s * sub + 1, sub),
+        cw.map(_.slice(s * sub, s * sub + sub)), 6).as(s"code_$s")
     }
     vecs.select(col(idCol) +: codeCols: _*)
   }
@@ -222,14 +228,14 @@ object Similarity {
     val sub = dim / m
     val codes = pqCodes(candidates, m, codebookSize, idCol, vecCol, Some(cw))
     val qv = VectorOps.asDouble(col(qvecCol))
-    // per-query LUT: lut_s[j] = dot(q_s, cw_j_s); constant per-codeword
-    // reconstruction norms² live in a plain literal
+    // per-query LUT: lut_s[j] = dot(q_s, cw_j_s), one MatrixArg `dots`
+    // scan per subspace against the k×sub codeword matrix (was m×k
+    // nested HOF aggregates — the measured codegen-compile hot spot);
+    // constant per-codeword reconstruction norms² live in a plain literal
     val lutCols = (0 until m).map { s =>
-      array((0 until codebookSize).map { j =>
-        aggregate(zip_with(slice(qv, s * sub + 1, sub),
-          typedLit(cw(j).slice(s * sub, s * sub + sub)), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x)
-      }: _*).as(s"_lut_$s")
+      graft.functions.MatrixArg.dots(
+        slice(qv, s * sub + 1, sub),
+        cw.map(_.slice(s * sub, s * sub + sub))).as(s"_lut_$s")
     }
     val cwNormSq: Seq[Seq[Double]] = (0 until m).map { s =>
       (0 until codebookSize).map { j =>
@@ -300,22 +306,14 @@ object Similarity {
                  vecCol: String = "embedding"): DataFrame = {
     val nz = vecs.filter(VectorOps.normSq(col(vecCol)) > 0)
     val cw = hashMinimalCodebook(nz, kCents, idCol, vecCol)
-    val cwNorm = cw.map(c => math.sqrt(c.map(x => x * x).sum))
     val v = VectorOps.asDouble(col(vecCol))
-    val scores = array((0 until kCents).map { j =>
-      round(
-        aggregate(zip_with(v, typedLit(cw(j)), (x, y) => x * y),
-          lit(0.0), (a, x) => a + x)
-          / (sqrt(VectorOps.normSq(col(vecCol))) * lit(cwNorm(j))), 6)
-    }: _*)
-    // ComputeOnce: _scores feeds array_position AND array_max — without
-    // the barrier CollapseProject inlines the k-way scoring array into
-    // both consumers, doubling the kernel work.
-    nz.withColumn("_scores", org.apache.spark.sql.GraftColumns.column(
-        graft.functions.ComputeOnce(
-          org.apache.spark.sql.GraftColumns.expression(scores))))
-      .withColumn("cell",
-        (array_position(col("_scores"), array_max(col("_scores"))) - 1).cast("int"))
+    // argmax against ONE k×dim centroid-matrix literal (MatrixArg): the
+    // single-pass kernel subsumes the old ComputeOnce barrier — there is
+    // no k-way scoring array for CollapseProject to duplicate, and
+    // codegen stays O(1) in kCents. Scores are bit-identical (MatrixArg
+    // computes dot/(√nx·√ny) with the same left-to-right folds as the
+    // old aggregate(zip_with)/normSq/driver-side cwNorm composition).
+    nz.withColumn("cell", graft.functions.MatrixArg.argmaxCosine(v, cw, 6))
       .select(col("cell"), posexplode(v).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
       .agg(count(lit(1)).as("n_members"),
