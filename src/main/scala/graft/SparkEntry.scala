@@ -212,9 +212,12 @@ object SparkEntry {
     // SemDeDup two-stage semantic dedup; the synthetic embeddings are
     // near-orthogonal (max within-cell cosine ≈ 0.49), so the demo
     // threshold sits below the 0.85 production default to exercise the
-    // flag path
+    // flag path. nClusters pinned (oracle replays the 8-cell sample);
+    // maxCellReps = 48 BINDS at sf0.01+ (~62 per cell) so the per-cell
+    // pair cap is itself hash-checked, not just the uncapped path
     "semantic_dedup" -> ((s, d) =>
-      Dedup.semanticDedup(Tables.embeddings(s, d), nClusters = 8, threshold = 0.4)),
+      Dedup.semanticDedup(Tables.embeddings(s, d), nClusters = 8, threshold = 0.4,
+        maxCellReps = 48)),
     // canonical-keeper assignment over the minhash candidate pairs — the
     // step that turns near-dup PAIRS into per-document keep/drop decisions
     "dup_clusters" -> ((s, d) => {
@@ -1119,7 +1122,8 @@ object SparkEntry {
 
     // replays the full SemDeDup path: hash-ordered centroid sample →
     // argmax-cosine assignment (round 6, cell tiebreak) → within-cell
-    // smaller-id neighbor above threshold
+    // smaller-id REPRESENTATIVE (per-cell id rank ≤ 48 — the pair cap)
+    // above threshold
     "semantic_dedup" ->
       """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         |ranked AS (SELECT vec_id, e, row_number() OVER (ORDER BY
@@ -1129,7 +1133,10 @@ object SparkEntry {
         | SELECT c.vec_id, ct.cell, c.e, row_number() OVER (PARTITION BY c.vec_id ORDER BY
         |  round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
         | FROM c CROSS JOIN cents ct) WHERE r = 1),
-        |dups AS (SELECT DISTINCT b.vec_id FROM asg a JOIN asg b
+        |reps AS (SELECT vec_id, cell, e FROM (
+        | SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rep_rank
+        | FROM asg) WHERE rep_rank <= 48),
+        |dups AS (SELECT DISTINCT b.vec_id FROM reps a JOIN asg b
         | ON a.cell = b.cell AND a.vec_id < b.vec_id
         | WHERE round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) >= 0.4)
         |SELECT asg.vec_id, asg.cell, (dups.vec_id IS NOT NULL) AS is_semantic_dup

@@ -316,30 +316,76 @@ object Dedup {
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("score"))
   }
 
+  /** The capped within-cell candidate stage of [[semanticDedup]]: each
+    * member is paired against the cell's `maxCellReps` LOWEST-ID members
+    * (its representatives) with `rep_id < id` — so pairs per cell are
+    * bounded by `min(maxCellReps, |cell|) · |cell|`, LINEAR in cell
+    * population instead of the quadratic all-pairs self-join. Exposed at
+    * package level so the generative spec can bound the emitted pair set
+    * directly. */
+  private[graft] def semanticCandidatePairs(assigned: DataFrame, maxCellReps: Int,
+                                            idCol: String, vecCol: String): DataFrame = {
+    val w = Window.partitionBy(col("cell")).orderBy(col(idCol))
+    val reps = assigned
+      .withColumn("_rep_rank", row_number().over(w))
+      .filter(col("_rep_rank") <= maxCellReps)
+      .select(col("cell"), col(idCol).as("_rep_id"), col(vecCol).as("_rep_vec"))
+    reps.join(assigned, Seq("cell"))
+      .filter(col("_rep_id") < col(idCol))
+      .select(col("cell"), col("_rep_id").as("id_a"), col(idCol).as("id_b"),
+        round(graft.functions.VectorOps.cosineNative(
+          col("_rep_vec"), col(vecCol)), 6).as("score"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
     * arXiv:2303.09540): cluster the embedding table with the engine's
     * deterministic coarse quantizer, then WITHIN each cluster flag every
-    * vector that has a smaller-id neighbor above the cosine threshold —
-    * the keep-one-representative rule, hash-stable across engines. The
-    * paper's two-stage shape is exactly why it scales: the O(n²) cosine
-    * never happens globally, only inside cells, and cell population is
-    * controlled by `nClusters` (scale it with the corpus; AQE skew-join
-    * handles a hot cell). Assignment is the [[Similarity.ivfTopK]]
-    * argmax-cosine against nClusters centroid LITERALS — metadata-sized
-    * driver state, map-side, zero shuffle; the only shuffle is the
-    * cell-keyed candidate self-join.
+    * vector that has a smaller-id representative above the cosine
+    * threshold — the keep-one-representative rule, hash-stable across
+    * engines. The paper's two-stage shape is exactly why it scales: the
+    * O(n²) cosine never happens globally, only inside cells — and the two
+    * knobs here keep the inside-cell half bounded at any corpus size:
+    *
+    *  - '''k ∝ N''' (the SemDeDup regime): pass `nClusters = 0` (the
+    *    default) and the cluster count is derived as
+    *    `k = ceil(N / targetCellSize)`, so expected cell population stays
+    *    at `targetCellSize` and within-cell work per cell is constant as
+    *    the corpus grows (one exact `count()` job at plan time —
+    *    index-build cost, same class as the centroid sample). An explicit
+    *    `nClusters > 0` pins k (the oracle-replayed demo query does).
+    *  - '''per-cell pair cap''' (the skew guard, mirroring
+    *    [[ngramJaccard]]'s `maxDf`): members are compared only against
+    *    the cell's `maxCellReps` lowest-id members, so a runaway hot cell
+    *    costs `maxCellReps · |cell|` comparisons, not `|cell|²`. Members
+    *    beyond the cap are still FLAGGABLE (every comparison's b-side is
+    *    unrestricted) but no longer serve as anyone's keeper — the recall
+    *    loss is only a dup pair whose BOTH ends rank past the cap inside
+    *    one cell, and the cap binding at all means the cell outgrew
+    *    `targetCellSize` by that factor. Sizing rules: README
+    *    "Scale design".
+    *
+    * Assignment is the [[Similarity.ivfTopK]] argmax-cosine against ONE
+    * k×dim centroid-matrix literal ([[graft.functions.MatrixArg]] —
+    * codegen O(1) in k) — metadata-sized driver state, map-side, zero
+    * shuffle; the only shuffles are the cell-keyed rep window and the
+    * cell-keyed candidate equi-join (AQE skew-join handles a hot cell).
     *
     * Output: one row per input vector — (id, cell, is_semantic_dup). */
-  def semanticDedup(vecs: DataFrame, nClusters: Int = 8, threshold: Double = 0.85,
+  def semanticDedup(vecs: DataFrame, nClusters: Int = 0, threshold: Double = 0.85,
+                    targetCellSize: Int = 1024, maxCellReps: Int = 4096,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = Similarity.coarseCentroids(vecs, nClusters, idCol, vecCol)
+    require(maxCellReps >= 1, s"maxCellReps must be >= 1, got $maxCellReps")
+    require(nClusters > 0 || targetCellSize >= 1,
+      s"targetCellSize must be >= 1 to derive nClusters, got $targetCellSize")
+    val k = if (nClusters > 0) nClusters
+      else math.max(1L, (vecs.count() + targetCellSize - 1L) / targetCellSize)
+        .min(Int.MaxValue).toInt
+    val cents = Similarity.coarseCentroids(vecs, k, idCol, vecCol)
     val assigned = Similarity.assignCells(
       vecs.select(col(idCol), col(vecCol)), cents, vecCol)
-    val dupIds = assigned.as("a").join(assigned.as("b"),
-        col("a.cell") === col("b.cell") && col(s"a.$idCol") < col(s"b.$idCol"))
-      .filter(round(graft.functions.VectorOps.cosineNative(
-        col(s"a.$vecCol"), col(s"b.$vecCol")), 6) >= threshold)
-      .select(col(s"b.$idCol").as(idCol)).distinct()
+    val dupIds = semanticCandidatePairs(assigned, maxCellReps, idCol, vecCol)
+      .filter(col("score") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
     assigned.select(col(idCol), col("cell"))
       .join(dupIds.withColumn("is_semantic_dup", lit(true)), Seq(idCol), "left")
       .withColumn("is_semantic_dup", coalesce(col("is_semantic_dup"), lit(false)))

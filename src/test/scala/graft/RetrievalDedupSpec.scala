@@ -67,4 +67,55 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(!out(1L) && out(7L), "keeper is the smallest id of the near-dup pair")
     assert(!out(3L) && !out(4L), "orthogonal/opposite vectors are not dups")
   }
+
+  test("semantic dedup derives k from corpus size when nClusters is not pinned") {
+    val rnd = new scala.util.Random(3)
+    val vecs = (0L until 90L).map(i => (i, Seq.fill(8)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    // 90 rows / targetCellSize 16 → k = ceil(90/16) = 6 cells
+    val out = Dedup.semanticDedup(vecs, threshold = 0.99, targetCellSize = 16)
+    assert(out.count() === 90, "one row per input vector")
+    val cells = out.select("cell").distinct().collect().map(_.getInt(0)).toSet
+    assert(cells.max < 6 && cells.min >= 0, s"cells must be drawn from 0..5, got $cells")
+  }
+
+  test("semantic dedup pair cap bounds candidates per cell and caps only the rep side") {
+    // generative: seeded random vectors + random cell skew, several draws
+    val rnd = new scala.util.Random(17)
+    for (draw <- 1 to 5) {
+      val nCells = 1 + rnd.nextInt(4)
+      val maxReps = 1 + rnd.nextInt(5)
+      val n = 20 + rnd.nextInt(60)
+      // skewed assignment: cell 0 gets ~half the rows
+      val assigned = (0L until n.toLong).map { i =>
+        val cell = if (rnd.nextBoolean()) 0 else rnd.nextInt(nCells)
+        (i, Seq.fill(6)(rnd.nextFloat() * 2 - 1), cell)
+      }.toDF("vec_id", "embedding", "cell")
+      val pairs = Dedup.semanticCandidatePairs(assigned, maxReps, "vec_id", "embedding")
+        .collect()
+      val cellSizes = assigned.groupBy("cell").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // (1) pair volume per cell is linear: ≤ min(maxReps, |cell|) · |cell|
+      pairs.groupBy(_.getInt(0)).foreach { case (cell, ps) =>
+        val size = cellSizes(cell)
+        assert(ps.length <= math.min(maxReps, size) * size,
+          s"draw $draw cell $cell: ${ps.length} pairs exceeds the cap bound")
+      }
+      // (2) every id_a is one of its cell's maxReps lowest ids; id_a < id_b
+      val lowIds = assigned.collect().map(r => (r.getInt(2), r.getLong(0)))
+        .groupBy(_._1).map { case (c, xs) =>
+          c -> xs.map(_._2).sorted.take(maxReps).toSet }
+      pairs.foreach { p =>
+        assert(p.getLong(1) < p.getLong(2))
+        assert(lowIds(p.getInt(0)).contains(p.getLong(1)),
+          s"draw $draw: id_a ${p.getLong(1)} is not a representative of cell ${p.getInt(0)}")
+      }
+      // (3) an unbinding cap reproduces the full all-pairs candidate set
+      val uncapped = Dedup.semanticCandidatePairs(assigned, n, "vec_id", "embedding")
+      val allPairs = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .count()
+      assert(uncapped.count() === allPairs, s"draw $draw: uncapped must be all-pairs")
+    }
+  }
 }
