@@ -414,6 +414,21 @@ object SparkEntry {
         s"file://$dir/missing.docx").toDF("url")
       UrlIngest.ingest(urls)
     }),
+    // S1 over the REAL http:// transport (loopback fixture server):
+    // /flaky/notes.txt eats a genuine 503 + backoff + retry (attempts=2),
+    // missing.docx 404s through all 3 attempts. url/cache_name embed the
+    // server's ephemeral port, so the compared surface is the path — the
+    // port-independent half; naming semantics are ingest_urls' check
+    "ingest_http" -> ((s, d) => {
+      import s.implicits._
+      val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+      val urls = Seq(s"$base/simple.eml", s"$base/multi.eml", s"$base/notes.txt",
+        s"$base/report.pdf", s"$base/flaky/notes.txt", s"$base/missing.docx").toDF("url")
+      UrlIngest.ingest(urls, backoffMs = 1)
+        .withColumn("path", regexp_replace(col("url"), "^http://[^/]+", ""))
+        .select("path", "file_size", "mime_type", "file_hash", "attempts",
+          "is_valid", "errors")
+    }),
 
     // --- events / index maintenance (SURVEY §2.1, §2.10) ---------------
     "events_tumbling" -> ((s, d) => EventOps.tumblingAgg(Tables.events(s, d))),
@@ -1548,6 +1563,36 @@ object SparkEntry {
         |SELECT * FROM v
         |UNION ALL SELECT 'file:///tmp/graft_url_stage/missing.docx',
         | NULL, NULL, NULL, NULL, 3, false, 'download_failed_after_3_attempts:fetch_error'""".stripMargin,
+
+    // same staged bytes replayed path-keyed; the flaky route is the
+    // notes.txt payload at attempts=2, the 404 row carries the http kind
+    "ingest_http" ->
+      """WITH f AS (
+        | SELECT replace(filename, '/tmp/graft_url_stage', '') AS path, size, decode(content) AS txt
+        | FROM read_blob('/tmp/graft_url_stage/*.eml')
+        | UNION ALL SELECT replace(filename, '/tmp/graft_url_stage', ''), size, decode(content)
+        | FROM read_blob('/tmp/graft_url_stage/*.txt')
+        | UNION ALL SELECT replace(filename, '/tmp/graft_url_stage', ''), size, decode(content)
+        | FROM read_blob('/tmp/graft_url_stage/*.pdf')),
+        |fl AS (SELECT path, size, txt, 1 AS attempts FROM f
+        | UNION ALL SELECT '/flaky' || path, size, txt, 2 FROM f WHERE path = '/notes.txt'),
+        |m AS (SELECT path, size, txt, attempts,
+        |  lower(regexp_extract(path, '(\.[A-Za-z0-9]+)$', 1)) AS ext,
+        |  CASE WHEN position('Return-Path:' IN substr(txt, 1, 500)) > 0
+        |      OR position('MIME-Version:' IN substr(txt, 1, 500)) > 0 THEN 'message/rfc822'
+        |   WHEN lower(regexp_extract(path, '(\.[A-Za-z0-9]+)$', 1)) = '.txt' THEN 'text/plain'
+        |   ELSE 'application/octet-stream' END AS mime
+        | FROM fl),
+        |v AS (SELECT path,
+        |  CAST(size AS BIGINT) AS file_size, mime AS mime_type, sha256(txt) AS file_hash,
+        |  attempts,
+        |  (mime = 'message/rfc822' AND ext = '.eml')
+        |   OR (mime = 'text/plain' AND ext IN ('.txt', '.eml')) AS is_valid,
+        |  CASE WHEN mime IN ('message/rfc822', 'text/plain') THEN '' ELSE 'unsupported_type' END AS errors
+        | FROM m)
+        |SELECT * FROM v
+        |UNION ALL SELECT '/missing.docx',
+        | NULL, NULL, NULL, 3, false, 'download_failed_after_3_attempts:http_404'""".stripMargin,
 
     "events_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start, event_type,

@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * supported-type/size validation that gates a document into the
   * pipeline.
   *
-  * The sandbox has no egress, so the fetch kernel accepts `file://` URLs
-  * only — the retry loop, size cap and naming semantics are identical,
-  * and an HTTP transport would swap into [[fetchUdf]] without touching
-  * the plan. Spark-first shape: the URL list is a DataFrame, the fetch
+  * The fetch kernel speaks `http://` (real `HttpURLConnection` GET with
+  * status/size handling and the reference's retry-any-non-200 contract)
+  * and `file://` (the zero-server path). The sandbox has no egress, so
+  * HTTP coverage runs against [[fixtureServerPort]] — a loopback
+  * `com.sun.net.httpserver` instance serving the same staged fixtures,
+  * including a deterministic 503-then-200 flaky route that exercises the
+  * real backoff/retry path. Spark-first shape: the URL list is a
+  * DataFrame, the fetch
   * is a per-row executor-side kernel (parallelism = partitions of the
   * url list — a 1000-executor cluster fans the download out for free),
   * and everything downstream of the fetch is plain codegen'd column
@@ -36,15 +40,52 @@ object UrlIngest {
     * hash compare needs byte-identical output across runs). */
   case class Fetched(content: Array[Byte], attempts: Int, error: String)
 
+  /** One `http://` GET, the transport half of [[fetchUdf]]. Mirrors the
+    * reference's per-attempt contract (`ingestion_service.py:229-246`):
+    * non-200 status raises (and is RETRIED — the reference funnels HTTP
+    * status errors through the same retry loop as network errors), the
+    * Content-Length header is checked against the cap before the body is
+    * read, and the read body is size-checked again (a lying or absent
+    * header must not smuggle an oversized payload). The attempt number
+    * rides on an `X-Graft-Attempt` header — retry telemetry, and what
+    * lets the loopback fixture server fail first attempts
+    * deterministically. */
+  private def httpGet(uri: java.net.URI, maxBytes: Long, attempt: Int): Array[Byte] = {
+    val conn = uri.toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(15000)
+    conn.setRequestProperty("X-Graft-Attempt", attempt.toString)
+    try {
+      val code = conn.getResponseCode
+      if (code != 200) {
+        // drain+close the error stream so the connection is reusable
+        Option(conn.getErrorStream).foreach { es => es.readAllBytes(); es.close() }
+        throw new java.io.IOException(s"http_$code")
+      }
+      val declared = conn.getContentLengthLong
+      if (declared > maxBytes)
+        throw new IllegalArgumentException("file_too_large")
+      val in = conn.getInputStream
+      try {
+        val body = in.readNBytes(maxBytes.min(Int.MaxValue - 8L).toInt + 1)
+        if (body.length > maxBytes)
+          throw new IllegalArgumentException("file_too_large")
+        body
+      } finally in.close()
+    } finally conn.disconnect()
+  }
+
   /** The `_download_with_retry` analogue (`ingestion_service.py:220-269`):
     * up to `maxRetries` attempts with exponential backoff
     * (`backoffMs * 2^attempt`; the reference sleeps 2^attempt seconds —
     * parameterized here so tests don't sleep), failing a single row —
     * never the job — with `download_failed_after_N_attempts:<kind>`.
-    * Permanently-failing conditions — unsupported scheme, size cap —
-    * fail FAST (attempt 1, no backoff): no retry can change them, and
-    * the reference likewise validates scheme/size outside its transport
-    * retry loop. Only transport errors take the backoff path. */
+    * Transport errors AND non-200 HTTP statuses take the backoff path
+    * (kind `fetch_error` / `http_<code>` — the reference retries status
+    * errors through the same loop). Permanently-failing conditions —
+    * unsupported scheme, size cap — fail FAST (attempt 1, no backoff):
+    * no retry can change them, and the reference likewise validates
+    * scheme/size outside its transport retry loop. */
   def fetchUdf(maxBytes: Long, maxRetries: Int, backoffMs: Long) =
     udf((url: String) => {
       var attempt = 0
@@ -55,18 +96,25 @@ object UrlIngest {
         attempt += 1
         try {
           val uri = new java.net.URI(url)
-          if (uri.getScheme != "file")
-            throw new IllegalArgumentException("unsupported_scheme")
-          val p = java.nio.file.Paths.get(uri)
-          val size = java.nio.file.Files.size(p)
-          if (size > maxBytes)
-            throw new IllegalArgumentException("file_too_large")
-          out = java.nio.file.Files.readAllBytes(p)
+          uri.getScheme match {
+            case "file" =>
+              val p = java.nio.file.Paths.get(uri)
+              if (java.nio.file.Files.size(p) > maxBytes)
+                throw new IllegalArgumentException("file_too_large")
+              out = java.nio.file.Files.readAllBytes(p)
+            case "http" =>
+              out = httpGet(uri, maxBytes, attempt)
+            case _ =>
+              throw new IllegalArgumentException("unsupported_scheme")
+          }
         } catch {
           case e: IllegalArgumentException
               if e.getMessage == "file_too_large" || e.getMessage == "unsupported_scheme" =>
             kind = e.getMessage
             fatal = true
+          case e: java.io.IOException if e.getMessage != null &&
+              e.getMessage.startsWith("http_") =>
+            kind = e.getMessage
           case scala.util.control.NonFatal(_) =>
             kind = "fetch_error"
         }
@@ -152,5 +200,70 @@ object UrlIngest {
       java.nio.file.Files.write(new java.io.File(d, n).toPath, b)
     }
     dir
+  }
+
+  /** Loopback HTTP fixture server (JDK `com.sun.net.httpserver`, no
+    * egress): serves the [[stageQueryFixtures]] files from 127.0.0.1 so
+    * [[fetchUdf]]'s REAL `http://` transport — status handling, headers,
+    * retry/backoff — runs end-to-end in the sandbox. Routes:
+    *
+    *  - `/<name>` → 200 + the staged file's bytes; 404 if absent.
+    *  - `/flaky/<name>` → 503 whenever the request's `X-Graft-Attempt`
+    *    header is `1`, else the file. Keying the failure on the CLIENT'S
+    *    attempt counter (rather than server-side request history) makes
+    *    the flake deterministic per fetch — every run observes exactly
+    *    one 503 + one real backoff sleep + one 200, however many times
+    *    the query executes in the JVM.
+    *
+    * Lazily started on an ephemeral port, lives for the JVM (queries
+    * build DataFrames that execute AFTER the builder returns, so
+    * per-query start/stop would race the lazy execution). EVERY server
+    * thread must be a daemon — including the `HTTP-Dispatcher` thread
+    * `HttpServer.start()` spawns internally, which inherits daemon
+    * status from its creating thread; hence create+start run inside a
+    * short-lived daemon boot thread. (A non-daemon dispatcher deadlocks
+    * JVM exit: DestroyJavaVM waits on it, while any stop() shutdown hook
+    * waits on DestroyJavaVM — observed as a hung `runMain graft.Verify`.)
+    * Test fixture only: on a real cluster executors cannot reach the
+    * driver's loopback — production URL lists point at real hosts and
+    * never touch this object. */
+  lazy val fixtureServerPort: Int = {
+    val dir = stageQueryFixtures()
+    @volatile var port = -1
+    val boot = new Thread(() => {
+      val srv = com.sun.net.httpserver.HttpServer.create(
+        new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4, r => {
+        val t = new Thread(r, "graft-http-fixtures"); t.setDaemon(true); t
+      })
+      srv.setExecutor(pool)
+      srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
+        try {
+          val raw = ex.getRequestURI.getPath
+          val flaky = raw.startsWith("/flaky/")
+          val name = (if (flaky) raw.stripPrefix("/flaky/") else raw.stripPrefix("/"))
+            .replace("/", "") // no traversal: fixtures are a flat dir
+          val f = new java.io.File(dir, name)
+          val firstAttempt = ex.getRequestHeaders.getFirst("X-Graft-Attempt") == "1"
+          if (flaky && firstAttempt) {
+            val body = "try again".getBytes(UTF_8)
+            ex.sendResponseHeaders(503, body.length); ex.getResponseBody.write(body)
+          } else if (f.isFile) {
+            val body = java.nio.file.Files.readAllBytes(f.toPath)
+            ex.sendResponseHeaders(200, body.length); ex.getResponseBody.write(body)
+          } else {
+            val body = "not found".getBytes(UTF_8)
+            ex.sendResponseHeaders(404, body.length); ex.getResponseBody.write(body)
+          }
+        } finally ex.close()
+      })
+      srv.start()
+      port = srv.getAddress.getPort
+    }, "graft-http-fixtures-boot")
+    boot.setDaemon(true)
+    boot.start()
+    boot.join(30000)
+    require(port > 0, "loopback fixture server failed to start")
+    port
   }
 }

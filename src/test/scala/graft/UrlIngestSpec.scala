@@ -88,6 +88,48 @@ class UrlIngestSpec extends SparkSpec {
     }
   }
 
+  test("S1: http transport fetches real bytes from the loopback fixture server") {
+    val port = UrlIngest.fixtureServerPort
+    val out = UrlIngest.ingest(
+      Seq(s"http://127.0.0.1:$port/notes.txt").toDF("url")).collect().head
+    assert(out.getAs[Int]("attempts") == 1)
+    assert(out.getAs[Boolean]("is_valid"))
+    assert(out.getAs[String]("mime_type") == "text/plain")
+    assert(out.getAs[String]("file_hash")
+      == sha256Hex(UrlIngest.notesTxt.getBytes(UTF_8)))
+    assert(out.getAs[Long]("file_size") == UrlIngest.notesTxt.length.toLong)
+  }
+
+  test("S1: a 503 is retried through the real backoff path and succeeds on attempt 2") {
+    val port = UrlIngest.fixtureServerPort
+    val out = UrlIngest.ingest(
+      Seq(s"http://127.0.0.1:$port/flaky/notes.txt").toDF("url"),
+      backoffMs = 1L).collect().head
+    assert(out.getAs[Int]("attempts") == 2, "first attempt must eat the 503")
+    assert(out.getAs[Boolean]("is_valid"))
+    assert(out.getAs[String]("file_hash")
+      == sha256Hex(UrlIngest.notesTxt.getBytes(UTF_8)))
+  }
+
+  test("S1: http 404 burns the whole retry budget with the status in the error kind") {
+    val port = UrlIngest.fixtureServerPort
+    val out = UrlIngest.ingest(
+      Seq(s"http://127.0.0.1:$port/never-staged.pdf").toDF("url"),
+      backoffMs = 1L).collect().head
+    assert(out.getAs[Int]("attempts") == 3)
+    assert(out.getAs[String]("errors") == "download_failed_after_3_attempts:http_404")
+  }
+
+  test("S1: http size cap fails fast off the Content-Length header") {
+    val port = UrlIngest.fixtureServerPort
+    val out = UrlIngest.ingest(
+      Seq(s"http://127.0.0.1:$port/notes.txt").toDF("url"),
+      maxBytes = 10L, backoffMs = 1L).collect().head
+    assert(out.getAs[Int]("attempts") == 1, "cap is permanent — no retry")
+    assert(out.getAs[String]("errors")
+      == "download_failed_after_1_attempts:file_too_large")
+  }
+
   test("S1: extension mismatch on a supported MIME is flagged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_url_spec").toFile
     try {
