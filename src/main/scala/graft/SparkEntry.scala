@@ -525,10 +525,12 @@ object SparkEntry {
         Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)))
         .select("doc_id", "lang")),
     // the sizing step in front of the resample: a 200k-token budget over
-    // the same mixture — en underfills (rate < 1), the rest repeat
+    // the same mixture — en underfills (rate < 1), the rest repeat; 'xx'
+    // names a stratum with no corpus data and must still surface
+    // (available 0, rate/epochs NULL, repeats_data true)
     "token_budget" -> ((s, d) =>
       Sampling.tokenBudgetPlan(Tables.documents(s, d),
-        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)),
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15), ("xx", 0.05)),
         budgetTokens = 200000L)),
     "q22_year_spine" -> ((s, d) =>
       Relational.yearSpineAgg(Tables.orders(s, d))),
@@ -620,9 +622,10 @@ object SparkEntry {
     // SURVEY §7.4 #1 trade, same chain shape)
     "golden_e2e" -> ((s, d) => {
       val qs = questionsDF(s)
-      // NOT checkpointed: measured at sf0.1 (r7), materializing the
-      // chunk table first changes nothing (3.24 vs 3.25 s warm) — the
-      // chain's cost is its aggregate/join stages, not chunk re-derivation
+      // NOT checkpointed: measured at sf0.1 twice (r7: 3.24 vs 3.25 s
+      // warm; r8 re-probe: within ±0.6 s run noise) — the chain's cost
+      // is its ~25 AQE stages, not chunk re-derivation, and a head
+      // checkpoint only serializes one more job before them
       val chunks = Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
         .select(col("chunk_id"), col("content").as("text"))
       val vector = Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id")
@@ -2059,21 +2062,25 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang FROM documents d JOIN cuts USING (lang)
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < cut""".stripMargin,
 
-    // exact replay: micro-unit weights (sum 1_000_000), integer div
-    // allocation, unrounded BIGINT/BIGINT rate
+    // exact replay: micro-unit weights (sum 1_050_000 with the absent
+    // 'xx'), integer div allocation, unrounded BIGINT/BIGINT rate;
+    // LEFT join from the targets side mirrors the planner's
+    // absent-stratum contract (available 0, NULL rate/epochs)
     "token_budget" ->
       """WITH w AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
-        |  ('fr', 150000), ('es', 150000)) t(lang, w6)),
+        |  ('fr', 150000), ('es', 150000), ('xx', 50000)) t(lang, w6)),
         |avail AS (SELECT lang,
         |  CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
         |    t -> t <> ''))) AS BIGINT) AS available_tokens
         | FROM documents GROUP BY lang),
-        |j AS (SELECT a.lang, available_tokens, w6,
-        |  (200000::BIGINT * w6) // 1000000 AS target_tokens
-        | FROM avail a JOIN w USING (lang))
+        |j AS (SELECT w.lang, COALESCE(available_tokens, 0) AS available_tokens, w6,
+        |  (200000::BIGINT * w6) // 1050000 AS target_tokens
+        | FROM w LEFT JOIN avail a USING (lang))
         |SELECT lang, available_tokens, w6, target_tokens,
-        | CAST(target_tokens AS DOUBLE) / available_tokens AS sample_rate,
-        | (target_tokens + available_tokens - 1) // available_tokens AS epochs,
+        | CASE WHEN available_tokens > 0
+        |  THEN CAST(target_tokens AS DOUBLE) / available_tokens END AS sample_rate,
+        | CASE WHEN available_tokens > 0
+        |  THEN (target_tokens + available_tokens - 1) // available_tokens END AS epochs,
         | target_tokens > available_tokens AS repeats_data
         |FROM j""".stripMargin,
 

@@ -220,7 +220,11 @@ object MediaCodec {
 
   /** Decode WAV audio through `javax.sound.sampled`: format header from
     * the real codec, then exact integer amplitude statistics over the
-    * 16-bit PCM stream (all channels, interleaved order). */
+    * 16-bit PCM stream (all channels, interleaved order). Corrupt or
+    * unsupported payloads DROP the row, never the job — the same
+    * contract as [[imageStats]] (where `ImageIO.read` signals failure
+    * with null, `getAudioInputStream` throws
+    * `UnsupportedAudioFileException`; both become a skipped row). */
   def wavStats(media: DataFrame): Dataset[WavStats] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -228,20 +232,23 @@ object MediaCodec {
       .select(col("doc"), col("payload"))
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
-        rows.map { case (doc, payload) =>
-          val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
-          val fmt = in.getFormat
-          val bytes = in.readAllBytes()
-          val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
-          var (peak, sum) = (0, 0L)
-          while (bb.remaining() >= 2) {
-            val v = math.abs(bb.getShort.toInt)
-            if (v > peak) peak = v
-            sum += v
+        rows.flatMap { case (doc, payload) =>
+          scala.util.Try {
+            AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+          }.toOption.map { in =>
+            val fmt = in.getFormat
+            val bytes = in.readAllBytes()
+            val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+            var (peak, sum) = (0, 0L)
+            while (bb.remaining() >= 2) {
+              val v = math.abs(bb.getShort.toInt)
+              if (v > peak) peak = v
+              sum += v
+            }
+            WavStats(doc, fmt.getChannels, fmt.getSampleRate.toInt,
+              fmt.getSampleSizeInBits,
+              bytes.length / (2L * fmt.getChannels), peak, sum)
           }
-          WavStats(doc, fmt.getChannels, fmt.getSampleRate.toInt,
-            fmt.getSampleSizeInBits,
-            bytes.length / (2L * fmt.getChannels), peak, sum)
         }
       }
   }

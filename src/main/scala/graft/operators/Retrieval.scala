@@ -185,7 +185,10 @@ object Retrieval {
     val words = docs.select(col(idCol),
       filter(split(lower(col(textCol)), "\\s+"), w => w =!= "").as("_words"))
     // dl > 0 keeps n_docs/avgdl identical to the aggregate-derived form
-    // (a zero-token document has no tf rows, so it never counted)
+    // (a zero-token document has no tf rows, so it never counted).
+    // Lazy broadcast subquery, not an eager collect — see the n_docs
+    // note in [[tfidfCosineSearch]] (eager fit-state literals measured
+    // slower: build-time jobs serialize).
     val corpus = words.select(size(col("_words")).cast("long").as("dl"))
       .filter(col("dl") > 0)
       .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
@@ -235,18 +238,44 @@ object Retrieval {
   def tfidfCosineSearch(questions: DataFrame, docs: DataFrame, k: Int,
                         dim: Int = 384,
                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // lazy scalar subquery, NOT an eager collect: resolving fit-state
+    // scalars to driver literals was measured (r8, sf0.1, 7 reps) to
+    // SLOW the golden chain ~0.5 s — the build-time jobs serialize where
+    // broadcast-subquery stages overlap the main job's scheduling.
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // ctf feeds multiple consumers (the idf aggregate and the scored
+    // join's cw side) — unmaterialized, the corpus tokenize+md5-bucket
+    // aggregate (the single most expensive pass here: one md5 per token)
+    // runs once PER CONSUMER. localCheckpoint (GC-reclaimed, see
+    // ngramJaccard) runs it once; this frame IS the sparse index a
+    // deployment would persist anyway. r8 measurement honesty (sf0.1,
+    // 7 reps): the sf0.1 chain is stage-count-bound (~25 AQE stages ×
+    // ~0.15 s scheduling floor), so wall-clock sits at 3.2-4.4 s warm
+    // for ALL structural variants probed (ctf checkpoint, norm window
+    // folds, eager fit-state literals, chunk checkpoint) — the
+    // checkpoint is kept for the corpus-pass count (3→1 tokenize+
+    // aggregate passes), which is what scales, not for the local floor.
     val ctf = Embedding.tfBuckets(docs, dim, idCol, textCol)
       .withColumnRenamed("doc_id", "_cid")
+      .localCheckpoint()
     // tf rows are distinct (doc, bucket) ⇒ the count IS document freq
     val idf = broadcast(ctf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
       .crossJoin(nDocs)
       .select(col("bucket"),
         round(log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 6).as("idf")))
+    // Norms ride along as window sums instead of separate aggregate
+    // branches joined back: the old qnorm/cnorm frames each rebuilt
+    // per-key sums (plus a broadcast/join) the scoring path already had
+    // in hand — two fewer aggregate branches and joins, the same single
+    // by-key exchange. A windowed long sum is the same exact order-free
+    // arithmetic; `first()` recovers the per-key constant after the dot
+    // aggregate. (Local wall-clock: within the sf0.1 stage-count noise
+    // floor — see the ctf note above.)
     val cw = ctf.join(idf, "bucket")
       .select(col("_cid"), col("bucket"),
         round(col("tf") * col("idf") * 1e3, 0).cast("long").as("cw3"))
-    val cnorm = cw.groupBy(col("_cid")).agg(sum(col("cw3") * col("cw3")).as("cn"))
+      .withColumn("cn", sum(col("cw3") * col("cw3"))
+        .over(Window.partitionBy(col("_cid"))))
     val qw = broadcast(Embedding.tfBuckets(questions, dim, "question_id", "question")
       .withColumnRenamed("doc_id", "question_id")
       .join(idf, Seq("bucket"), "left")
@@ -254,13 +283,13 @@ object Retrieval {
       .select(col("question_id"), col("bucket"),
         round(col("tf") * coalesce(col("idf"),
           round(log((col("n_docs") + 1).cast("double")), 6)) * 1e3, 0)
-          .cast("long").as("qw3")))
-    val qnorm = broadcast(qw.groupBy(col("question_id")).agg(sum(col("qw3") * col("qw3")).as("qn")))
+          .cast("long").as("qw3"))
+      .withColumn("qn", sum(col("qw3") * col("qw3"))
+        .over(Window.partitionBy(col("question_id")))))
     val scored = qw.join(cw, "bucket")
       .groupBy(col("question_id"), col("_cid"))
-      .agg(sum(col("qw3") * col("cw3")).as("dot"))
-      .join(broadcast(qnorm), "question_id")
-      .join(cnorm, "_cid")
+      .agg(sum(col("qw3") * col("cw3")).as("dot"),
+        first(col("qn")).as("qn"), first(col("cn")).as("cn"))
       .withColumn("score", round(col("dot") / (sqrt(col("qn")) * sqrt(col("cn"))), 4))
     val w = Window.partitionBy(col("question_id")).orderBy(col("score").desc, col("_cid"))
     scored.withColumn("rank", row_number().over(w))
@@ -316,7 +345,11 @@ object Retrieval {
     def gain6(rank: Column): Column =
       round(lit(1e6) / round(log(2.0, rank.cast("double") + 1), 6), 0).cast("long")
     val rel = relevant.select(col(qidCol), col(idCol), lit(1).as("_rel"))
-    val hits = ranked.join(rel, Seq(qidCol, idCol), "left")
+    // the @k contract is enforced HERE, not by caller convention: a
+    // ranked list longer than k would otherwise silently mislabel
+    // hits_at_k/dcg6 (and diverge from the oracle, which filters
+    // rank <= k explicitly)
+    val hits = ranked.filter(col("rank") <= k).join(rel, Seq(qidCol, idCol), "left")
       .groupBy(col(qidCol))
       .agg(sum(coalesce(col("_rel"), lit(0))).as("hits_at_k"),
         min(when(col("_rel") === 1, col("rank"))).as("first_rel_rank"),

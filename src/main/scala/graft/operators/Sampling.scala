@@ -147,6 +147,48 @@ object Sampling {
       .drop((0 until qs.size).map(i => s"c$i"): _*)
   }
 
+  /** Token-budget mixture PLANNER — the sizing step in front of
+    * [[domainResample]]: given target mixture weights and a total token
+    * budget, per domain report the tokens available, the tokens the
+    * budget allocates, the implied sampling rate, and the epoch count —
+    * `epochs > 1` means the mixture REPEATS that domain's data, the
+    * data-constrained-scaling warning a curator acts on (shrink the
+    * weight, or accept N-epoch repetition). The plan is TARGETS-driven:
+    * a requested stratum with zero corpus presence still gets its row
+    * (available 0, rate/epochs NULL, `repeats_data` true) — the exact
+    * infeasibility a planner exists to surface; an inner join would
+    * silently drop it. All integer arithmetic: weights go to literal
+    * micro-units so the allocation `budget · w6 ÷ Σw6` is exact on any
+    * engine; the one float column (`sample_rate`) is an unrounded
+    * quotient of two BIGINTs — the same IEEE division everywhere. One
+    * tokenize+aggregate pass over the corpus; targets ride as a
+    * broadcast literal table. */
+  def tokenBudgetPlan(docs: DataFrame, targets: Seq[(String, Double)],
+                      budgetTokens: Long, stratumCol: String = "lang",
+                      textCol: String = "text"): DataFrame = {
+    require(targets.nonEmpty && targets.forall(_._2 > 0),
+      "tokenBudgetPlan needs positive target weights")
+    require(targets.map(_._1).distinct.size == targets.size,
+      "tokenBudgetPlan targets must name each stratum once")
+    import docs.sparkSession.implicits._
+    val w6 = targets.map { case (s, w) => (s, math.round(w * 1e6)) }
+    val sumW6 = w6.map(_._2).sum
+    val shares = w6.toDF(stratumCol, "w6")
+    val avail = docs
+      .select(col(stratumCol),
+        size(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
+          .cast("long").as("_tok"))
+      .groupBy(col(stratumCol)).agg(sum(col("_tok")).as("available_tokens"))
+    shares.join(avail, Seq(stratumCol), "left")
+      .withColumn("available_tokens", coalesce(col("available_tokens"), lit(0L)))
+      .withColumn("target_tokens", expr(s"($budgetTokens * w6) div $sumW6"))
+      .withColumn("sample_rate", when(col("available_tokens") > 0,
+        col("target_tokens").cast("double") / col("available_tokens")))
+      .withColumn("epochs", when(col("available_tokens") > 0,
+        expr("(target_tokens + available_tokens - 1) div available_tokens")))
+      .withColumn("repeats_data", col("target_tokens") > col("available_tokens"))
+  }
+
   /** Domain reweighting by deterministic downsampling: given target
     * mixture proportions per stratum (e.g. language or source domain —
     * the knob every LLM data pipeline tunes), keep the LARGEST subset
@@ -159,43 +201,6 @@ object Sampling {
     * broadcast back; at 100 TB that is one metadata-sized exchange.
     * All scalar arithmetic (no float SUMS) — both engines compute
     * bit-identical doubles, so the integer cut compares identically. */
-  /** Token-budget mixture PLANNER — the sizing step in front of
-    * [[domainResample]]: given target mixture weights and a total token
-    * budget, per domain report the tokens available, the tokens the
-    * budget allocates, the implied sampling rate, and the epoch count —
-    * `epochs > 1` means the mixture REPEATS that domain's data, the
-    * data-constrained-scaling warning a curator acts on (shrink the
-    * weight, or accept N-epoch repetition). All integer arithmetic:
-    * weights go to literal micro-units so the allocation
-    * `budget · w6 ÷ Σw6` is exact on any engine; the one float column
-    * (`sample_rate`) is an unrounded quotient of two BIGINTs — the same
-    * IEEE division everywhere. One tokenize+aggregate pass over the
-    * corpus; targets ride as a broadcast literal table. */
-  def tokenBudgetPlan(docs: DataFrame, targets: Seq[(String, Double)],
-                      budgetTokens: Long, stratumCol: String = "lang",
-                      textCol: String = "text"): DataFrame = {
-    require(targets.nonEmpty && targets.forall(_._2 > 0),
-      "tokenBudgetPlan needs positive target weights")
-    require(targets.map(_._1).distinct.size == targets.size,
-      "tokenBudgetPlan targets must name each stratum once")
-    import docs.sparkSession.implicits._
-    val w6 = targets.map { case (s, w) => (s, math.round(w * 1e6)) }
-    val sumW6 = w6.map(_._2).sum
-    val shares = w6.toDF(stratumCol, "w6")
-    docs
-      .select(col(stratumCol),
-        size(filter(split(lower(trim(col(textCol))), "\\s+"), t => t =!= ""))
-          .cast("long").as("_tok"))
-      .groupBy(col(stratumCol)).agg(sum(col("_tok")).as("available_tokens"))
-      .join(broadcast(shares), stratumCol)
-      .withColumn("target_tokens", expr(s"($budgetTokens * w6) div $sumW6"))
-      .withColumn("sample_rate",
-        col("target_tokens").cast("double") / col("available_tokens"))
-      .withColumn("epochs",
-        expr("(target_tokens + available_tokens - 1) div available_tokens"))
-      .withColumn("repeats_data", col("target_tokens") > col("available_tokens"))
-  }
-
   def domainResample(df: DataFrame, targets: Seq[(String, Double)],
                      stratumCol: String = "lang",
                      keyCol: String = "doc_id"): DataFrame = {

@@ -271,7 +271,12 @@ object Similarity {
     * checkpoint `exact` once and reuse it across the audit (here each
     * branch re-derives it, fine at audit query counts). This is the
     * recall@k number an ANN deployment is tuned by (nprobe/nlist,
-    * probes/dims, PQ m×k). */
+    * probes/dims, PQ m×k).
+    *
+    * Schema note (r7): the output column was renamed `recall_at_10` →
+    * `recall` (k is whatever the caller's rankings used, so a literal 10
+    * in the name was wrong). All in-repo consumers were migrated;
+    * external readers of the audit frame must rename on read. */
   def recallAudit(exact: DataFrame, approx: Seq[(String, DataFrame)],
                   qidCol: String = "q_vec_id", idCol: String = "vec_id"): DataFrame = {
     val ex = exact.select(col(qidCol), col(idCol))

@@ -53,6 +53,15 @@ class MediaCodecSpec extends SparkSpec {
     assert(docs == Set("icon", "banner", "photo", "tall"))
   }
 
+  test("corrupt audio payloads are dropped, not fatal") {
+    val valid = MediaCodec.wavStats(media).collect().map(_.doc).toSet
+    val df = media.unionByName(
+      spark.createDataFrame(Seq(("noise", "audio", "wav", Array[Byte](9, 9, 9))))
+        .toDF("doc", "modality", "codec", "payload"))
+    val docs = MediaCodec.wavStats(df).collect().map(_.doc).toSet
+    assert(docs == valid, "the junk payload must be skipped, valid rows kept")
+  }
+
   test("wav decode reads the real format header and exact PCM stats") {
     val got = MediaCodec.wavStats(media).collect().map(s => s.doc -> s).toMap
     val beep = got("beep")
