@@ -266,12 +266,14 @@ object Similarity {
   /** Recall audit of approximate top-k paths against an exact result:
     * one row per method with `hits` (approx ∩ exact pairs), `expected`
     * (|exact|) and `recall_at_k = hits / expected`. The exact frame is
-    * k·|queries| rows — metadata-sized next to the corpus, so each
-    * method branch joins it broadcast; at index-build scale you'd
-    * checkpoint `exact` once and reuse it across the audit (here each
-    * branch re-derives it, fine at audit query counts). This is the
-    * recall@k number an ANN deployment is tuned by (nprobe/nlist,
-    * probes/dims, PQ m×k).
+    * k·|queries| rows — metadata-sized next to the corpus — and it is
+    * `localCheckpoint`ed here ONCE: brute force over the candidate set
+    * is the expensive half of the audit, and without materialization
+    * every method branch plus the `expected` aggregate re-derives it
+    * (N+1 full scans for an N-method audit). Checkpointed, one
+    * brute-force job feeds every branch's broadcast join — the form
+    * that survives index-build scale. This is the recall@k number an
+    * ANN deployment is tuned by (nprobe/nlist, probes/dims, PQ m×k).
     *
     * Schema note (r7): the output column was renamed `recall_at_10` →
     * `recall` (k is whatever the caller's rankings used, so a literal 10
@@ -279,7 +281,7 @@ object Similarity {
     * external readers of the audit frame must rename on read. */
   def recallAudit(exact: DataFrame, approx: Seq[(String, DataFrame)],
                   qidCol: String = "q_vec_id", idCol: String = "vec_id"): DataFrame = {
-    val ex = exact.select(col(qidCol), col(idCol))
+    val ex = exact.select(col(qidCol), col(idCol)).localCheckpoint()
     val expected = ex.agg(count(lit(1)).as("expected"))
     approx.map { case (m, df) =>
       df.select(col(qidCol), col(idCol))

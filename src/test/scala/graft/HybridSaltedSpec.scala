@@ -122,6 +122,44 @@ class HybridSaltedSpec extends SparkSpec {
     assert(out("ivf_all")._2 === 15) // 3 queries × k=5
   }
 
+  test("recallAudit materializes the exact baseline once for all consumers") {
+    val rnd = new scala.util.Random(17)
+    def vec() = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
+    val cands = Seq.tabulate(100)(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    val qs = Seq.tabulate(2)(i => (i.toLong, vec())).toDF("q_vec_id", "q_embedding")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    // branch construction has its own driver-state jobs (IVF collects
+    // its codebook sample) — build everything first, then isolate the
+    // jobs recallAudit itself runs
+    val exact = Similarity.bruteForceTopK(qs, cands, k = 5)
+    val branches = Seq("a" -> Similarity.lshTopK(qs, cands, k = 5, dims = 4),
+      "b" -> Similarity.ivfTopK(qs, cands, k = 5, nlist = 4, nprobe = 2))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val audit = Similarity.recallAudit(exact, branches)
+      // listener delivery is async; the checkpoint action itself is not
+      val deadline = System.currentTimeMillis() + 5000
+      while (jobs < 1 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      // the checkpoint is EAGER: brute force runs at audit build (AQE
+      // materializes its stages as >=1 job here), not once per consumer
+      assert(jobs >= 1, "exact baseline was not materialized at audit build")
+      val jobsAtBuild = jobs
+      // ...and the audit plan reads that one checkpointed RDD in every
+      // consumer (expected-aggregate + each method branch) — the exact
+      // path's own plan appears nowhere, so collecting the audit cannot
+      // re-derive it
+      val plan = audit.queryExecution.optimizedPlan.toString
+      val nRdd = "LogicalRDD".r.findAllIn(plan).size
+      assert(nRdd === 3, // expected-aggregate + 2 method branches
+        s"expected 3 checkpoint reads in the plan, saw $nRdd:\n$plan")
+      assert(jobsAtBuild === jobs, "plan inspection must not run jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("IVF cells partition the candidates: each id scored at most once per query") {
     val rnd = new scala.util.Random(11)
     def vec() = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
