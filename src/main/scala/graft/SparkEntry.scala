@@ -464,6 +464,11 @@ object SparkEntry {
       MediaCodec.imageResize(MediaCodec.fixturesDF(s), maxSide = 32).toDF()),
     "mm_wav_stats" -> ((s, d) =>
       MediaCodec.wavStats(MediaCodec.fixturesDF(s)).toDF()),
+    // real video decode: the uncompressed-AVI RIFF walk + per-frame
+    // pixel stats, sampling every 5th frame (the frameSample contract
+    // over real pixels)
+    "mm_video_frames" -> ((s, d) =>
+      MediaCodec.aviFrames(MediaCodec.fixturesDF(s), step = 5).toDF()),
     // the multimodal→similarity bridge: integer histogram emitted for
     // the exact compare; the normalized ARRAY<FLOAT> feeds retrieval
     "mm_image_embed" -> ((s, d) =>
@@ -1900,6 +1905,19 @@ object SparkEntry {
         | ('beep',1,8000,16,800,10000,4405138),
         | ('tone',2,16000,16,1600,10000,15842499)
         |) AS t(doc, channels, sample_rate_hz, bits, n_frames, peak_abs, sum_abs)""".stripMargin,
+
+    "mm_video_frames" ->
+      """SELECT doc, frame_idx, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+        | width, height, n_frames, CAST(sum_r AS BIGINT) AS sum_r,
+        | CAST(sum_g AS BIGINT) AS sum_g, CAST(sum_b AS BIGINT) AS sum_b,
+        | CAST(rgb_crc32 AS BIGINT) AS rgb_crc32
+        |FROM (VALUES
+        | ('clip',0,0,24,16,12,51200,52224,49216,2338444615),
+        | ('clip',5,200,24,16,12,47488,52864,47808,2053037352),
+        | ('clip',10,400,24,16,12,48128,42240,49472,1875251231),
+        | ('short',0,0,8,8,3,4480,5888,11104,2577235947)
+        |) AS t(doc, frame_idx, frame_ts_ms, width, height, n_frames,
+        |       sum_r, sum_g, sum_b, rgb_crc32)""".stripMargin,
 
     "mm_decode_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

@@ -39,12 +39,17 @@ object MediaCodec {
   //   g(x,y) = (3x + 5y + 64)  % 256
   //   b(x,y) = (11x + 2y + 128)% 256
   //   pcm(frame i, channel c)  = ((i * (31 + 17c)) % 20001) - 10000
+  // Video frames add a frame shift (frame 0 IS the still-image formula):
+  //   r(x,y,f) = (7x + 13y + 19f) % 256   and g/h analogously
 
   private[graft] def pixelR(x: Int, y: Int): Int = (7 * x + 13 * y) % 256
   private[graft] def pixelG(x: Int, y: Int): Int = (3 * x + 5 * y + 64) % 256
   private[graft] def pixelB(x: Int, y: Int): Int = (11 * x + 2 * y + 128) % 256
   private[graft] def pcmSample(i: Int, ch: Int): Int =
     ((i.toLong * (31 + 17 * ch)) % 20001).toInt - 10000
+  private[graft] def frameR(x: Int, y: Int, f: Int): Int = (7 * x + 13 * y + 19 * f) % 256
+  private[graft] def frameG(x: Int, y: Int, f: Int): Int = (3 * x + 5 * y + 23 * f + 64) % 256
+  private[graft] def frameB(x: Int, y: Int, f: Int): Int = (11 * x + 2 * y + 29 * f + 128) % 256
 
   /** Hand-rolled 24-bpp bottom-up BMP (BITMAPFILEHEADER +
     * BITMAPINFOHEADER, rows padded to 4 bytes, BGR order) — byte-exact
@@ -93,6 +98,80 @@ object MediaCodec {
     buf.array()
   }
 
+  // RIFF helpers shared by the AVI writer: a chunk is id + LE u32 size +
+  // body (padded to even size per the RIFF spec); a LIST is a chunk whose
+  // body starts with its 4-byte list type.
+  private def riffChunk(id: String, body: Array[Byte]): Array[Byte] = {
+    val padded = if (body.length % 2 == 1) body :+ 0.toByte else body
+    val buf = ByteBuffer.allocate(8 + padded.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put(id.getBytes("US-ASCII")).putInt(body.length).put(padded)
+    buf.array()
+  }
+  private def riffList(listType: String, bodies: Array[Byte]*): Array[Byte] =
+    riffChunk("LIST", listType.getBytes("US-ASCII") ++ bodies.flatten)
+
+  /** One uncompressed 24-bpp bottom-up DIB frame (rows padded to 4
+    * bytes, BGR order — the BMP pixel-array layout without any headers,
+    * which is exactly what a 'DIB '-handler AVI stores per '00db'
+    * chunk). */
+  private[graft] def dibFrame(w: Int, h: Int, f: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val buf = ByteBuffer.allocate(rowBytes * h)
+    for (row <- 0 until h) {
+      val y = h - 1 - row
+      for (x <- 0 until w)
+        buf.put(frameB(x, y, f).toByte).put(frameG(x, y, f).toByte).put(frameR(x, y, f).toByte)
+      for (_ <- w * 3 until rowBytes) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  /** Hand-rolled uncompressed AVI (RIFF 'AVI '): LIST hdrl with the
+    * 56-byte `avih` main header and a LIST strl carrying the 'vids'
+    * `strh` (handler 'DIB ', dwScale/dwRate = the frame clock) and a
+    * BITMAPINFOHEADER `strf` (24 bpp, BI_RGB); then LIST movi with one
+    * '00db' chunk of raw DIB pixels per frame. The same container walk
+    * the WAV fixture exercises for audio, one level deeper. `rate`
+    * frames per `scale` seconds — defaults give 25 fps = 40 ms/frame. */
+  private[graft] def aviBytes(w: Int, h: Int, nFrames: Int,
+                              scale: Int = 1, rate: Int = 25): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val frameSize = rowBytes * h
+    val avih = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt((1000000L * scale / rate).toInt) // dwMicroSecPerFrame
+        .putInt(0).putInt(0).putInt(0)          // maxBytesPerSec, padding, flags
+        .putInt(nFrames).putInt(0).putInt(1)    // totalFrames, initialFrames, streams
+        .putInt(frameSize).putInt(w).putInt(h)  // suggestedBufferSize, width, height
+        .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
+      b.array()
+    }
+    val strh = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0)          // flags, priority+language, initialFrames
+        .putInt(scale).putInt(rate)             // dwScale, dwRate
+        .putInt(0).putInt(nFrames)              // dwStart, dwLength
+        .putInt(frameSize).putInt(0).putInt(0)  // suggestedBufferSize, quality, sampleSize
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
+      b.array()
+    }
+    val strf = {
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(frameSize).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = riffList("hdrl", riffChunk("avih", avih),
+      riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf)))
+    val movi = riffList("movi",
+      (0 until nFrames).map(f => riffChunk("00db", dibFrame(w, h, f))): _*)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val buf = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    buf.array()
+  }
+
   /** (doc, modality, codec, payload) fixture table — the shape a
     * `binaryFile` scan of a media landing zone produces. */
   def fixturesDF(spark: SparkSession): DataFrame = {
@@ -103,7 +182,9 @@ object MediaCodec {
       ("photo", "image", "png", pngBytes(64, 48)),
       ("tall", "image", "png", pngBytes(20, 120)),
       ("beep", "audio", "wav", wavBytes(8000, 1, 800)),
-      ("tone", "audio", "wav", wavBytes(16000, 2, 1600)))
+      ("tone", "audio", "wav", wavBytes(16000, 2, 1600)),
+      ("clip", "video", "avi", aviBytes(24, 16, 12)),  // 25 fps, 12 frames
+      ("short", "video", "avi", aviBytes(8, 8, 3, scale = 1, rate = 10)))
     rows.toDF("doc", "modality", "codec", "payload")
   }
 
@@ -248,6 +329,111 @@ object MediaCodec {
             WavStats(doc, fmt.getChannels, fmt.getSampleRate.toInt,
               fmt.getSampleSizeInBits,
               bytes.length / (2L * fmt.getChannels), peak, sum)
+          }
+        }
+      }
+  }
+
+  case class VideoFrameStats(doc: String, frame_idx: Int, frame_ts_ms: Long,
+                             width: Int, height: Int, n_frames: Int,
+                             sum_r: Long, sum_g: Long, sum_b: Long,
+                             rgb_crc32: Long)
+
+  private case class AviStream(width: Int, height: Int, scale: Int, rate: Int,
+                               frames: Vector[Array[Byte]])
+
+  /** Walk the RIFF container: verify the 'AVI ' form, descend into the
+    * hdrl/strl/movi LISTs, pick up geometry from `avih`, the frame clock
+    * from the 'vids' `strh`, require uncompressed 24-bpp BI_RGB from
+    * `strf`, and collect the '00db'/'00dc' frame chunks in stream order.
+    * Throws on anything else — the caller maps that to a dropped row. */
+  private def parseAvi(payload: Array[Byte]): AviStream = {
+    val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
+    def fourCC(): String = {
+      val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
+    }
+    require(fourCC() == "RIFF", "not a RIFF file")
+    bb.getInt // RIFF size
+    require(fourCC() == "AVI ", "not an AVI form")
+    var (width, height, scale, rate) = (0, 0, 1, 25)
+    var isVids = false
+    val frames = Vector.newBuilder[Array[Byte]]
+    while (bb.remaining() >= 8) {
+      val id = fourCC()
+      val size = bb.getInt
+      id match {
+        case "LIST" =>
+          val listType = fourCC()
+          // descend into the lists that carry our structure (children are
+          // contiguous, so walking on IS the descent); skip any other
+          if (!Set("hdrl", "strl", "movi").contains(listType))
+            bb.position(bb.position() + (size - 4) + size % 2)
+        case "avih" =>
+          val start = bb.position()
+          width = bb.getInt(start + 32); height = bb.getInt(start + 36)
+          bb.position(start + size + size % 2)
+        case "strh" =>
+          val start = bb.position()
+          isVids = bb.getInt(start) == ByteBuffer.wrap("vids".getBytes("US-ASCII"))
+            .order(ByteOrder.LITTLE_ENDIAN).getInt
+          if (isVids) { scale = bb.getInt(start + 20); rate = bb.getInt(start + 24) }
+          bb.position(start + size + size % 2)
+        case "strf" if isVids =>
+          val start = bb.position()
+          require(bb.getShort(start + 14) == 24, "not 24 bpp")
+          require(bb.getInt(start + 16) == 0, "not BI_RGB (uncompressed)")
+          bb.position(start + size + size % 2)
+        case "00db" | "00dc" =>
+          val frame = new Array[Byte](size)
+          bb.get(frame)
+          if (size % 2 == 1) bb.get
+          frames += frame
+        case _ =>
+          bb.position(bb.position() + size + size % 2)
+      }
+    }
+    require(width > 0 && height > 0 && rate > 0, "missing avih/strh geometry")
+    AviStream(width, height, scale, rate, frames.result())
+  }
+
+  /** Decode uncompressed-AVI video payloads frame by frame — the real
+    * half of the video seam ([[Multimodal.frameSample]] carries the
+    * metadata-stub tier for codecs the JVM lacks). Every `step`-th frame
+    * is reduced to the same integer footprint as [[imageStats]]: channel
+    * sums + CRC32 over the scanline-ordered (top-down) RGB stream, so a
+    * wrong byte anywhere in the container walk or the bottom-up row
+    * flip moves the CRC. `frame_ts_ms` is the stream clock
+    * `frame_idx · 1000 · dwScale / dwRate` (exact integer at the fixture
+    * rates). Corrupt/unsupported payloads drop the row, never the job —
+    * the [[wavStats]] contract. Scale shape: one container walk per row
+    * inside `mapPartitions`; only sampled frames are decoded to stats,
+    * the rest are skipped at chunk granularity. */
+  def aviFrames(media: DataFrame, step: Int = 1): Dataset[VideoFrameStats] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "video")
+      .select(col("doc"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (doc, payload) =>
+          scala.util.Try(parseAvi(payload)).toOption.toSeq.flatMap { avi =>
+            val rowBytes = (avi.width * 3 + 3) / 4 * 4
+            avi.frames.zipWithIndex
+              .filter { case (f, i) => i % step == 0 && f.length == rowBytes * avi.height }
+              .map { case (frame, i) =>
+                var (sr, sg, sb) = (0L, 0L, 0L)
+                val crc = new CRC32()
+                for (y <- 0 until avi.height; x <- 0 until avi.width) {
+                  val off = (avi.height - 1 - y) * rowBytes + x * 3
+                  val b = frame(off) & 0xFF
+                  val g = frame(off + 1) & 0xFF
+                  val r = frame(off + 2) & 0xFF
+                  sr += r; sg += g; sb += b
+                  crc.update(r); crc.update(g); crc.update(b)
+                }
+                VideoFrameStats(doc, i, i.toLong * 1000 * avi.scale / avi.rate,
+                  avi.width, avi.height, avi.frames.size, sr, sg, sb, crc.getValue)
+              }
           }
         }
       }

@@ -72,6 +72,39 @@ class MediaCodecSpec extends SparkSpec {
     assert(got("tone").channels == 2 && got("tone").n_frames == 1600L)
   }
 
+  test("avi decode walks the RIFF container and reproduces the frame formulas") {
+    val got = MediaCodec.aviFrames(media, step = 1).collect()
+      .map(s => (s.doc, s.frame_idx) -> s).toMap
+    // every frame of both fixtures decoded at step=1
+    assert(got.keySet == ((0 until 12).map(("clip", _)) ++ (0 until 3).map(("short", _))).toSet)
+    val c7 = got(("clip", 7))
+    assert((c7.width, c7.height, c7.n_frames, c7.frame_ts_ms) == (24, 16, 12, 280L))
+    val expSumR = (for (y <- 0 until 16; x <- 0 until 24)
+      yield MediaCodec.frameR(x, y, 7)).sum.toLong
+    assert(c7.sum_r == expSumR)
+    // frame 0 IS the still-image formula: its CRC equals the BMP/PNG
+    // decode of the same geometry (pixel path, bottom-up flip and all)
+    val img = spark.createDataFrame(Seq(("ref", "image", "bmp", MediaCodec.bmpBytes(24, 16))))
+      .toDF("doc", "modality", "codec", "payload")
+    assert(got(("clip", 0)).rgb_crc32 ==
+      MediaCodec.imageStats(img).collect().head.rgb_crc32)
+    // short runs at 10 fps → 100 ms per frame
+    assert(got(("short", 2)).frame_ts_ms == 200L)
+  }
+
+  test("avi frame sampling keeps every step-th frame; corrupt payloads drop") {
+    val sampled = MediaCodec.aviFrames(media, step = 5).collect()
+    assert(sampled.map(s => (s.doc, s.frame_idx)).toSet ==
+      Set(("clip", 0), ("clip", 5), ("clip", 10), ("short", 0)))
+    val df = media.unionByName(
+      spark.createDataFrame(Seq(
+        ("static", "video", "avi", Array[Byte](82, 73, 70, 70)),  // truncated RIFF
+        ("wrong", "video", "avi", MediaCodec.wavBytes(8000, 1, 4)))) // RIFF but WAVE
+        .toDF("doc", "modality", "codec", "payload"))
+    val docs = MediaCodec.aviFrames(df, step = 5).collect().map(_.doc).toSet
+    assert(docs == Set("clip", "short"), "non-AVI payloads must be skipped")
+  }
+
   test("image embeddings are codec-invariant and drive cosine retrieval") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark
