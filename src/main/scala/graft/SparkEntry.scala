@@ -305,6 +305,19 @@ object SparkEntry {
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
         e.filter(col("vec_id") >= 5), k = 10, nlist = 8, nprobe = 8)
     }),
+    // the persisted-index face of IVF: build writes the cell-partitioned
+    // vector table + centroid sidecar, probe reads it back with dynamic
+    // partition pruning; nprobe=2 < nlist → a genuinely approximate run,
+    // replayed end-to-end by the DuckDB oracle
+    "ivf_persisted" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+      graft.io.IvfIndex.build(e.filter(col("vec_id") >= 5), dir, nlist = 8)
+      graft.io.IvfIndex.probe(s, dir,
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        k = 10, nprobe = 2)
+    }),
     // recall@10 audit of every deterministic approximate path against
     // brute force — the number an ANN deployment is tuned by; the oracle
     // replays each method end-to-end in DuckDB
@@ -1467,6 +1480,32 @@ object SparkEntry {
     // tiebreak) — upgrading the rows-only check to a full hash compare
     // while keeping the IVF plan shape under test.
     "ivf_topk" -> bruteForceKnnSql,
+
+    // full replay of the persisted-index probe at nprobe=2: the same
+    // hash-minimal centroid sample, argmax-cosine assignment, probe
+    // ranking and exact-cosine scoring the index stores and serves (the
+    // ivf_nprobe2 chain from annRecallSql, with score/rank emitted)
+    "ivf_persisted" ->
+      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
+        |iv_ranked AS (SELECT e AS cw, row_number() OVER (ORDER BY
+        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn FROM c),
+        |cents AS (SELECT rn - 1 AS cell, cw FROM iv_ranked WHERE rn <= 8),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT c.vec_id, ct.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |   round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
+        |  FROM c CROSS JOIN cents ct) WHERE r = 1),
+        |qpr AS (SELECT q_vec_id, cell FROM (
+        |  SELECT q.q_vec_id, ct.cell, row_number() OVER (PARTITION BY q.q_vec_id ORDER BY
+        |   round(list_inner_product(q.qe, ct.cw) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
+        |  FROM q CROSS JOIN cents ct) WHERE r <= 2)
+        |SELECT q_vec_id, vec_id, score, rank FROM (
+        |  SELECT qp.q_vec_id, c.vec_id,
+        |   round(list_inner_product(q.qe, c.e) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score,
+        |   row_number() OVER (PARTITION BY qp.q_vec_id ORDER BY
+        |    round(list_inner_product(q.qe, c.e) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 4) DESC, c.vec_id) AS rank
+        |  FROM qpr qp JOIN q ON q.q_vec_id = qp.q_vec_id
+        |  JOIN asg a ON a.cell = qp.cell JOIN c ON c.vec_id = a.vec_id) WHERE rank <= 10""".stripMargin,
 
     "ann_recall" -> annRecallSql,
     // metric replay: same rounded-cosine ranking, ln-quotient log2,

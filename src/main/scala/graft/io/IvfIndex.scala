@@ -1,0 +1,74 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** Persisted IVF index — the OFFLINE build / ONLINE serve split that
+  * [[graft.operators.Similarity.ivfTopK]]'s scaladoc prescribes for
+  * index-build scale, and the piece that makes IVF an INDEX rather than
+  * a per-query re-computation (reference contract: the Pinecone index
+  * the reference builds once and probes per query,
+  * `/root/reference/src/services/vector_engine/pinecone_manager.py:30-64`).
+  *
+  * Layout under `dir`:
+  *  - `vectors/cell=<c>/…parquet` — every vector with its coarse-cell
+  *    assignment, hive-partitioned BY CELL. A probe equi-joins its
+  *    nprobe cells against this scan, and because cell is the partition
+  *    key, Spark's dynamic partition pruning drops every unprobed
+  *    directory at the scan: a query batch reads ~nprobe/nlist of the
+  *    index bytes, the I/O story a 100 TB index needs (spec-asserted on
+  *    the plan's PartitionFilters).
+  *  - `centroids/…parquet` — the nlist-row sidecar (cell, centroid).
+  *    Metadata-sized driver state on read, exactly like the in-query
+  *    codebook samples (README "Scale design": past nlist ~10⁵ the
+  *    collect would give way to a broadcast-join form).
+  *
+  * Determinism: the build stores the same hash-minimal centroid sample
+  * and argmax-cosine assignment `ivfTopK` derives in-query, so
+  * `probe(build(C), Q)` ≡ `ivfTopK(Q, C)` row for row — spec-asserted
+  * and oracle-replayed (`ivf_persisted`). Rebuilding over the same
+  * vectors rewrites byte-identical content (mode=overwrite, the
+  * S13 create/overwrite contract).
+  */
+object IvfIndex {
+
+  /** Build the index: one pass assigns every candidate to its coarse
+    * cell and writes the cell-partitioned vector table plus the
+    * centroid sidecar. The assignment is map-side (one matrix-scan per
+    * row against the broadcast centroid literal); the only exchange is
+    * the partitioned write's own file layout. */
+  def build(candidates: DataFrame, dir: String, nlist: Int,
+            idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val cents = Similarity.coarseCentroids(candidates, nlist, idCol, vecCol)
+    cents.toDF("cell", "centroid")
+      .coalesce(1) // nlist rows — one sidecar file
+      .write.mode("overwrite").parquet(s"$dir/centroids")
+    Similarity.assignCells(candidates.select(col(idCol), col(vecCol)), cents, vecCol)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
+  /** The stored centroid sample, cell-ordered — nlist rows of driver
+    * state, the same shape the in-query quantizers hold. */
+  def centroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Float])] =
+    spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell").collect().toSeq
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+
+  /** Probe the persisted index: identical ranking semantics to
+    * [[graft.operators.Similarity.ivfTopK]], but the assignment comes
+    * from the cell-partitioned scan (no per-query re-assignment of the
+    * corpus) and unprobed cells are pruned at the scan. */
+  def probe(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
+            nprobe: Int,
+            qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids(spark, dir)
+    val assigned = spark.read.parquet(s"$dir/vectors")
+    Similarity.probeScore(queries, assigned, cents, k, nprobe,
+      qidCol, qvecCol, idCol, vecCol)
+  }
+}

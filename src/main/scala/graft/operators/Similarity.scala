@@ -110,8 +110,8 @@ object Similarity {
     * driver-side); hash-order + id tiebreak makes the sample
     * reproducible under any partitioning. ONE definition so every
     * DuckDB replay of the sample stays in lockstep. */
-  private[operators] def coarseCentroids(vecs: DataFrame, n: Int, idCol: String,
-                                         vecCol: String): Seq[(Int, Seq[Float])] =
+  private[graft] def coarseCentroids(vecs: DataFrame, n: Int, idCol: String,
+                                     vecCol: String): Seq[(Int, Seq[Float])] =
     vecs.select(col(idCol), col(vecCol))
       .orderBy(Sampling.md5Bucket64k(col(idCol)), col(idCol))
       .limit(n)
@@ -130,19 +130,25 @@ object Similarity {
     * form — [[graft.functions.CosineSimilarity]]'s accumulation order and
     * Spark's HALF_UP round, spec-asserted. Shared by the same callers as
     * [[coarseCentroids]]. */
-  private[operators] def assignCells(df: DataFrame, cents: Seq[(Int, Seq[Float])],
-                                     vecCol: String): DataFrame =
+  private[graft] def assignCells(df: DataFrame, cents: Seq[(Int, Seq[Float])],
+                                 vecCol: String): DataFrame =
     df.withColumn("cell", graft.functions.MatrixArg.argmaxCosine(
       VectorOps.asDouble(col(vecCol)), cents.map(_._2.map(_.toDouble)), 6))
 
-  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
-              nlist: Int = 16, nprobe: Int = 4,
-              qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = candidates.sparkSession
+  /** The probe-and-score stage shared by [[ivfTopK]] (in-query
+    * assignment) and [[graft.io.IvfIndex]] (assignment read back from a
+    * cell-partitioned index): rank each query's `nprobe` nearest cells
+    * against the broadcast centroid table, equi-join the probe set to
+    * the assigned vectors on cell, exact-cosine score, top-k per query.
+    * When `assigned` is a scan of a table PARTITIONED BY cell, the
+    * broadcast probe join triggers dynamic partition pruning — only the
+    * probed nprobe·|queries| cell directories are read. */
+  private[graft] def probeScore(queries: DataFrame, assigned: DataFrame,
+                                cents: Seq[(Int, Seq[Float])], k: Int, nprobe: Int,
+                                qidCol: String, qvecCol: String,
+                                idCol: String, vecCol: String): DataFrame = {
+    val spark = assigned.sparkSession
     import spark.implicits._
-    val cents = coarseCentroids(candidates, nlist, idCol, vecCol)
-    val assigned = assignCells(candidates, cents, vecCol)
     // centroid table is nlist rows — broadcast side of the probe ranking
     val centroids = cents.toDF("cell", "centroid")
     val probes = broadcast(queries).join(broadcast(centroids))
@@ -158,6 +164,15 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col(qidCol), col(idCol), col("score"), col("rank"))
+  }
+
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4,
+              qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = coarseCentroids(candidates, nlist, idCol, vecCol)
+    val assigned = assignCells(candidates, cents, vecCol)
+    probeScore(queries, assigned, cents, k, nprobe, qidCol, qvecCol, idCol, vecCol)
   }
 
   /** Product quantization (the PQ of FAISS's IVF-PQ): split each vector

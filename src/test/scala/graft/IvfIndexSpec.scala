@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.io.IvfIndex
+import graft.operators.Similarity
+
+/** The persisted IVF index: build/probe must be byte-for-byte the same
+  * ranking as the in-query ivfTopK, the vector table must land
+  * cell-partitioned, and a probe must PRUNE the unprobed cells at the
+  * scan (the whole point of persisting the assignment). */
+class IvfIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(n: Int, dim: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.tabulate(n)(i => (i.toLong, Seq.fill(dim)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("persisted probe equals in-query ivfTopK row for row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val cands = vecs(300, 16, seed = 5)
+    val qs = vecs(4, 16, seed = 99)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    IvfIndex.build(cands, dir, nlist = 8)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val persisted = rows(IvfIndex.probe(spark, dir, qs, k = 10, nprobe = 3))
+    val inQuery = rows(Similarity.ivfTopK(qs, cands, k = 10, nlist = 8, nprobe = 3))
+    assert(persisted == inQuery)
+    assert(persisted.nonEmpty)
+    // rebuild over the same vectors: same index, same answers (S13
+    // overwrite semantics)
+    IvfIndex.build(cands, dir, nlist = 8)
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 10, nprobe = 3)) == inQuery)
+  }
+
+  test("the vector table is hive-partitioned by cell and probes prune it") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val cands = vecs(300, 16, seed = 7)
+    val qs = vecs(2, 16, seed = 42)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    IvfIndex.build(cands, dir, nlist = 8)
+    val cellDirs = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).sorted
+    assert(cellDirs.length > 1, s"expected multiple cell partitions, saw ${cellDirs.mkString(",")}")
+    // the probe plan must carry a dynamic partition-pruning filter on
+    // the cell scan — unprobed directories are never read
+    val plan = IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 2)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.contains("dynamicpruning"),
+      s"probe scan is not partition-pruned:\n$plan")
+  }
+}
