@@ -58,6 +58,23 @@ object IvfIndex {
       .orderBy("cell").collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
 
+  /** Incremental maintenance: assign NEW vectors against the STORED
+    * centroids and append them to their cell partitions — the
+    * add-without-retrain half of the FAISS train/add split (centroids
+    * are fixed between rebuilds; a drifted corpus gets a fresh
+    * [[build]], which atomically overwrites). Map-side assignment, an
+    * append-mode partitioned write, no touch of existing files. This is
+    * the S12-style upsert face of the index: wire it as a Structured
+    * Streaming `foreachBatch` sink to keep the index current as
+    * documents stream in (spec does exactly that with a MemoryStream). */
+  def append(newVecs: DataFrame, dir: String,
+             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = centroids(spark, dir)
+    Similarity.assignCells(newVecs.select(col(idCol), col(vecCol)), cents, vecCol)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+  }
+
   /** Probe the persisted index: identical ranking semantics to
     * [[graft.operators.Similarity.ivfTopK]], but the assignment comes
     * from the cell-partitioned scan (no per-query re-assignment of the

@@ -37,6 +37,45 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 10, nprobe = 3)) == inQuery)
   }
 
+  test("append assigns against the STORED centroids and a stream keeps the index current") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val base = vecs(150, 16, seed = 3)
+    val late = vecs(80, 16, seed = 31).withColumn("vec_id", col("vec_id") + 1000L)
+    IvfIndex.build(base, dir, nlist = 6)
+    val storedCents = IvfIndex.centroids(spark, dir)
+    // feed the late vectors through a real micro-batch stream into the
+    // foreachBatch append sink
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = input.toDF()
+      .selectExpr("_1 AS vec_id", "CAST(_2 AS ARRAY<FLOAT>) AS embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        IvfIndex.append(batch, dir)
+      }
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-ivf-ck").toString)
+      .start()
+    try {
+      input.addData(late.collect().toSeq.map(r => (r.getLong(0), r.getSeq[Float](1))))
+      q.processAllAvailable()
+    } finally q.stop()
+    // probing the appended index == probeScore over base+late with the
+    // BASE-derived centroids (append must NOT re-train)
+    val qs = vecs(3, 16, seed = 77)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val expected = rows(Similarity.probeScore(qs,
+      Similarity.assignCells(base.unionByName(late), storedCents, "embedding"),
+      storedCents, k = 8, nprobe = 3, "q_vec_id", "q_embedding", "vec_id", "embedding"))
+    val got = rows(IvfIndex.probe(spark, dir, qs, k = 8, nprobe = 3))
+    assert(got == expected)
+    // the appended ids are actually reachable
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 6))
+      .exists(_._2 >= 1000L))
+  }
+
   test("the vector table is hive-partitioned by cell and probes prune it") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val cands = vecs(300, 16, seed = 7)
