@@ -207,6 +207,9 @@ object SparkEntry {
       Dedup.minhashCandidates(Tables.documents(s, d).filter(col("doc_id") < 500))),
     "simhash" -> ((s, d) =>
       Dedup.simhash32(Tables.documents(s, d)).withColumnRenamed("id", "doc_id")),
+    // span-granularity exact substring dedup (Lee et al. 2022): maximal
+    // cross-document duplicated passages >= 8 words, by word offset
+    "dup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d))),
     "embed_near_dups" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.2, signDims = 4)),
     // SemDeDup two-stage semantic dedup; the synthetic embeddings are
@@ -1094,6 +1097,29 @@ object SparkEntry {
         |SELECT id_a, id_b, inter,
         | round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
         |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b""".stripMargin,
+
+    // positional 4-grams -> cross-doc duplicated fingerprints ->
+    // gaps-and-islands span merge (windows within n touch or overlap);
+    // same md5-60bit fingerprint and \s+ tokenization as the operator
+    "dup_spans" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos,
+        |       ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT AS fp
+        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) g
+        |      WHERE len(ws) >= 4),
+        |d AS (SELECT fp FROM p GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM p JOIN d USING (fp)),
+        |seg AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+        |         THEN 0 ELSE 1 END AS new_seg
+        |        FROM dp),
+        |grp AS (SELECT doc_id, pos,
+        |        sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id FROM seg),
+        |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
+        |           CAST(count(*) AS BIGINT) AS n_dup_grams,
+        |           max(pos) + 3 - min(pos) + 1 AS span_words
+        |          FROM grp GROUP BY doc_id, seg_id)
+        |SELECT * FROM spans WHERE span_words >= 8""".stripMargin,
 
     "minhash_pairs" -> {
       val matchSum = (0 until 8).map(i =>

@@ -390,4 +390,59 @@ object Dedup {
       .join(dupIds.withColumn("is_semantic_dup", lit(true)), Seq(idCol), "left")
       .withColumn("is_semantic_dup", coalesce(col("is_semantic_dup"), lit(false)))
   }
+
+  /** Duplicated-PASSAGE extraction — exact substring dedup at span
+    * rather than document granularity (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better" regime:
+    * most web duplication is repeated boilerplate/quotes INSIDE
+    * otherwise-distinct documents, which whole-document [[dedupExact]] /
+    * [[minhashCandidates]] never see). A word position's n-gram is
+    * duplicated when the same n words occur in ≥ `minDocs` DISTINCT
+    * documents; runs of duplicated positions closer than n words merge
+    * into maximal spans (adjacent-or-overlapping gram windows), and
+    * spans shorter than `minSpanWords` are dropped. Output per span:
+    * (id, span_start, span_end — word offsets, inclusive —
+    * n_dup_grams, span_words); a curator clips `[span_start, span_end]`
+    * from the training copy.
+    *
+    * Scale shape: positional grams are a per-row generator (one
+    * tokenize, no re-split per gram — the [[shinglesFromWords]]
+    * attribute discipline); the dup test is ONE count-distinct
+    * aggregate keyed by gram fingerprint, and the flag-back is an
+    * equi-join on the same key whose output is bounded by the input
+    * positions (a hot boilerplate gram widens its group, it cannot blow
+    * up the join — each position emits once). The span merge is a
+    * per-document window (gaps-and-islands by running new-segment sum).
+    * Grams ride as [[md5Hash60]] fingerprints — 32-hex-char strings
+    * would shuffle 4× the bytes at 100 TB for the same key equality. */
+  def duplicatedSpans(docs: DataFrame, n: Int = 4, minDocs: Int = 2,
+                      minSpanWords: Int = 8,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pos = docs
+      .withColumn("_words", split(lower(trim(col(textCol))), "\\s+"))
+      .filter(size(col("_words")) >= n)
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), size(col("_words")) - n),
+          i => array_join(slice(col("_words"), i + 1, lit(n)), " "))).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), md5Hash60(col("gram")).as("fp"))
+    val dup = pos.groupBy("fp")
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") >= minDocs)
+      .select("fp")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id")).orderBy(col("pos"))
+    pos.join(dup, "fp")
+      // windows [pos, pos+n-1] within n of each other touch or overlap
+      .withColumn("_new_seg",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, lit(0)).otherwise(lit(1)))
+      .withColumn("_seg", sum(col("_new_seg")).over(w))
+      .groupBy(col("id"), col("_seg"))
+      .agg(min(col("pos")).as("span_start"),
+        (max(col("pos")) + n - 1).as("span_end"),
+        count(lit(1)).as("n_dup_grams"))
+      .withColumn("span_words", col("span_end") - col("span_start") + 1)
+      .filter(col("span_words") >= minSpanWords)
+      .select(col("id").as(idCol), col("span_start"), col("span_end"),
+        col("n_dup_grams"), col("span_words"))
+  }
 }

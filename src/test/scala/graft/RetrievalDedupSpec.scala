@@ -45,6 +45,43 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(out.head.getAs[Double]("est_jaccard") === 1.0)
   }
 
+  test("duplicated spans find the shared passage, not the distinct surroundings") {
+    val passage = "the quick brown fox jumps over the lazy dog tonight"   // 10 words
+    val docs = Seq(
+      (1L, s"intro one two three $passage outro alpha beta"),
+      (2L, s"completely different lead in here $passage and a different tail"),
+      (3L, "no shared material at all in this document body whatsoever"))
+      .toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, n = 4, minDocs = 2, minSpanWords = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getInt(4)))).toMap
+    // doc 1: passage starts at word 4 (0-based), doc 2: at word 5
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L) == ((4, 13, 10)))
+    assert(out(2L) == ((5, 14, 10)))
+  }
+
+  test("duplicated spans: within-doc repetition is not cross-doc duplication") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta alpha beta gamma delta alpha beta gamma delta"),
+      (2L, "entirely unrelated words in this second document right here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.duplicatedSpans(docs, n = 4, minDocs = 2, minSpanWords = 4)
+      .count() === 0)
+  }
+
+  test("duplicated spans merge overlapping gram windows into one maximal span") {
+    // two docs share one contiguous 12-word block: every 4-gram inside it
+    // is duplicated, and they must fuse into a single span, not 9 pieces
+    val block = "one two three four five six seven eight nine ten eleven twelve"
+    val docs = Seq((1L, s"header $block"), (2L, s"$block trailer words here"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicatedSpans(docs, n = 4, minDocs = 2, minSpanWords = 8)
+      .collect()
+    assert(spans.length === 2) // exactly one span per doc
+    assert(spans.forall(_.getInt(4) == 12))
+  }
+
   test("simhash is deterministic and insensitive to case") {
     val a = Dedup.simhash32(Seq((1L, "Some Text Here")).toDF("doc_id", "text")).head.getLong(1)
     val b = Dedup.simhash32(Seq((9L, "some text here")).toDF("doc_id", "text")).head.getLong(1)
