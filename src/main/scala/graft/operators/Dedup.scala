@@ -418,6 +418,11 @@ object Dedup {
   def duplicatedSpans(docs: DataFrame, n: Int = 4, minDocs: Int = 2,
                       minSpanWords: Int = 8,
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // pos feeds BOTH the dup aggregate and the flag-back join; without
+    // materialization the gram explode + per-position md5 (the dominant
+    // cost) runs twice. localCheckpoint over persist for the
+    // ngramJaccard GC-cleanup reason; at cluster scale this is the
+    // positions table a curation run would land on local disk anyway.
     val pos = docs
       .withColumn("_words", split(lower(trim(col(textCol))), "\\s+"))
       .filter(size(col("_words")) >= n)
@@ -425,6 +430,7 @@ object Dedup {
         posexplode(transform(sequence(lit(0), size(col("_words")) - n),
           i => array_join(slice(col("_words"), i + 1, lit(n)), " "))).as(Seq("pos", "gram")))
       .select(col("id"), col("pos"), md5Hash60(col("gram")).as("fp"))
+      .localCheckpoint()
     val dup = pos.groupBy("fp")
       .agg(countDistinct(col("id")).as("ndocs"))
       .filter(col("ndocs") >= minDocs)
