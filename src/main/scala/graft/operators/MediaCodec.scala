@@ -339,15 +339,15 @@ object MediaCodec {
                              sum_r: Long, sum_g: Long, sum_b: Long,
                              rgb_crc32: Long)
 
-  private case class AviStream(width: Int, height: Int, scale: Int, rate: Int,
-                               frames: Vector[Array[Byte]])
+  private[graft] case class AviStream(width: Int, height: Int, scale: Int, rate: Int,
+                                      frames: Vector[Array[Byte]])
 
   /** Walk the RIFF container: verify the 'AVI ' form, descend into the
     * hdrl/strl/movi LISTs, pick up geometry from `avih`, the frame clock
     * from the 'vids' `strh`, require uncompressed 24-bpp BI_RGB from
     * `strf`, and collect the '00db'/'00dc' frame chunks in stream order.
     * Throws on anything else — the caller maps that to a dropped row. */
-  private def parseAvi(payload: Array[Byte]): AviStream = {
+  private[graft] def parseAvi(payload: Array[Byte]): AviStream = {
     val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     def fourCC(): String = {
       val a = new Array[Byte](4); bb.get(a); new String(a, "US-ASCII")
@@ -361,8 +361,15 @@ object MediaCodec {
     while (bb.remaining() >= 8) {
       val id = fourCC()
       val size = bb.getInt
+      // reject negative/oversized chunk lengths BEFORE using them: a
+      // crafted size could otherwise walk the cursor backwards (infinite
+      // loop) or allocate a frame buffer the payload can't back — with
+      // this check every iteration strictly advances, so the walk always
+      // terminates
+      require(size >= 0 && size <= bb.remaining(), "bad chunk size")
       id match {
         case "LIST" =>
+          require(size >= 4, "bad LIST size")
           val listType = fourCC()
           // descend into the lists that carry our structure (children are
           // contiguous, so walking on IS the descent); skip any other

@@ -64,6 +64,43 @@ class GenerativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("hand-rolled AVI bytes round-trip through the RIFF walk at arbitrary geometry") {
+    val gen = for {
+      w <- Gen.choose(1, 24); h <- Gen.choose(1, 20)
+      nf <- Gen.choose(1, 8); rate <- Gen.oneOf(10, 25, 30)
+    } yield (w, h, nf, rate)
+    samples(gen, 15).foreach { case (w, h, nf, rate) =>
+      val avi = MediaCodec.parseAvi(MediaCodec.aviBytes(w, h, nf, scale = 1, rate = rate))
+      assert((avi.width, avi.height, avi.rate, avi.frames.size) == ((w, h, rate, nf)))
+      // spot-check corner + interior pixels of the first and last frames
+      val rowBytes = (w * 3 + 3) / 4 * 4
+      for (f <- Seq(0, nf - 1); (x, y) <- Seq((0, 0), (w - 1, h - 1), (w / 2, h / 2))) {
+        val frame = avi.frames(f)
+        assert(frame.length == rowBytes * h)
+        val off = (h - 1 - y) * rowBytes + x * 3
+        assert((frame(off) & 0xFF) == MediaCodec.frameB(x, y, f), s"B at ($x,$y) f$f of ${w}x$h")
+        assert((frame(off + 1) & 0xFF) == MediaCodec.frameG(x, y, f))
+        assert((frame(off + 2) & 0xFF) == MediaCodec.frameR(x, y, f))
+      }
+    }
+  }
+
+  test("arbitrary bytes never hang or crash the AVI walk — they throw and drop") {
+    val junk = Gen.choose(0, 200).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)))
+    // raw junk, RIFF-prefixed junk (penetrates the form check), and a
+    // truncated real AVI (penetrates the full header walk)
+    val real = MediaCodec.aviBytes(6, 4, 2)
+    val cases = samples(junk, 40).map(_.toArray) ++
+      samples(junk, 40).map(t => "RIFF".getBytes("US-ASCII") ++
+        Array[Byte](8, 0, 0, 0) ++ "AVI ".getBytes("US-ASCII") ++ t.toArray) ++
+      (1 until real.length by 13).map(real.take)
+    cases.foreach { payload =>
+      // must terminate promptly and either parse or throw — never loop
+      val ok = scala.util.Try(MediaCodec.parseAvi(payload))
+      assert(ok.isSuccess || ok.isFailure) // tautology: the point is termination
+    }
+  }
+
   test("packSentences preserves every word in order and respects maxChars where it can") {
     import graft.operators.Chunking
     val word = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar)).map(_.mkString)

@@ -94,6 +94,21 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("Generate"))
   }
 
+  test("duplicated spans: bounded shuffles, broadcast flag-back, per-doc span window") {
+    val p = planTree("dup_spans")
+    // fp aggregate + window exchanges only; the dup-gram flag-back is a
+    // broadcast equi-join (the dup set is aggregate-reduced), never a
+    // sort-merge of the full positions table against itself
+    assert("(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(p).size <= 3,
+      s"unexpected shuffle count:\n$p")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("Window"))
+  }
+
+  test("video frame decode is a pure generator — no shuffle at all") {
+    assert(!planTree("mm_video_frames").contains("Exchange"))
+  }
+
   test("C4 sentence repacking is per-row — no groupByKey shuffle") {
     assert(!planTree("c4_split_large").contains("Exchange"),
       "packing folds over ONE chunk's sentences; a shuffle means it regressed to grouped form")
