@@ -75,6 +75,26 @@ object IvfIndex {
       .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
   }
 
+  /** Compact the index's cell partitions in place. Streaming [[append]]
+    * accretes one file per micro-batch per touched cell, and at 100 TB
+    * scan task count and object-store listing degrade with file count,
+    * not byte count ([[Tables.compact]]'s rationale). Each `cell=<c>`
+    * leaf is compacted independently with the same crash-safe
+    * tmp/bak swap — the partition layout (and so probe-time pruning) is
+    * untouched, and a full copy of every leaf exists on disk at every
+    * instant. Returns the total file count after compaction. */
+  def compact(spark: SparkSession, dir: String,
+              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .filter(leaf => fs.listStatus(leaf.getPath)
+        .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
+      .map(leaf => Tables.compact(spark, leaf.getPath.toString, targetFileBytes))
+      .sum
+  }
+
   /** Probe the persisted index: identical ranking semantics to
     * [[graft.operators.Similarity.ivfTopK]], but the assignment comes
     * from the cell-partitioned scan (no per-query re-assignment of the

@@ -76,6 +76,34 @@ class IvfIndexSpec extends SparkSpec {
       .exists(_._2 >= 1000L))
   }
 
+  test("compact collapses per-cell small files, preserves layout and answers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val base = vecs(120, 16, seed = 13)
+    IvfIndex.build(base, dir, nlist = 4)
+    // several appends -> several files per touched cell
+    for (s <- 1 to 3)
+      IvfIndex.append(vecs(40, 16, seed = 100 + s)
+        .withColumn("vec_id", col("vec_id") + s * 1000L), dir)
+    def parquetFiles() = {
+      val root = new java.io.File(s"$dir/vectors")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val qs = vecs(3, 16, seed = 55)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 10, nprobe = 4))
+    val filesBefore = parquetFiles()
+    assert(filesBefore.values.max > 1, s"appends should accrete files: $filesBefore")
+    val total = IvfIndex.compact(spark, dir)
+    val filesAfter = parquetFiles()
+    assert(filesAfter.keySet == filesBefore.keySet, "partition layout must survive")
+    assert(filesAfter.values.forall(_ == 1), s"expected 1 file per cell: $filesAfter")
+    assert(total == filesAfter.values.sum)
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 10, nprobe = 4)) == before)
+  }
+
   test("the vector table is hive-partitioned by cell and probes prune it") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val cands = vecs(300, 16, seed = 7)
