@@ -149,6 +149,12 @@ object TextAnalysis {
     val words = docs.select(col(idCol), wsTokens(col(textCol)).as("_words"))
     val vocab = words.select(explode(col("_words")).as("term"))
       .agg(count_distinct(col("term")).as("v"))
+    // bigrams feed the count aggregate AND the scoring join, so the
+    // zip_with explode runs once per consumer. A localCheckpoint here
+    // was probed (r8, sf0.1, 4 warm reps each way): 1.40-1.59 s without
+    // vs 1.29-1.78 s with — inside run noise, under the repo's 20%
+    // keep bar, so NOT kept (unlike dup_spans, whose per-position md5
+    // made the second pass expensive enough to pay).
     val bigrams = words.filter(size(col("_words")) >= 2)
       .select(col(idCol),
         explode(zip_with(
