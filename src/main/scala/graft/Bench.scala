@@ -39,14 +39,20 @@ object Bench {
     // distorted ~1.5-6x by transient machine contention (verified by
     // warm local replay of identical code); a single sample cannot tell
     // a regression from a noisy neighbor, while the min of two is robust
-    // to a one-off spike and still reflects steady-state cost.
+    // to a one-off spike and still reflects steady-state cost. The min
+    // is over SUCCESSFUL runs only — a fast failure must not masquerade
+    // as the query's best time; if every run fails, report the slowest
+    // failing duration (never a phantom speedup) and say so on stderr.
     val results = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).count(); true }
+                 catch { case _: Throwable => false }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      name -> times.min
+      val good = times.collect { case (t, true) => t }
+      if (good.isEmpty) System.err.println(s"[bench] $name FAILED every run")
+      name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // The harness that reads this line keeps only the LAST ~2000 chars of

@@ -29,34 +29,71 @@ import graft.operators.Similarity
   * and argmax-cosine assignment `ivfTopK` derives in-query, so
   * `probe(build(C), Q)` ≡ `ivfTopK(Q, C)` row for row — spec-asserted
   * and oracle-replayed (`ivf_persisted`). Rebuilding over the same
-  * vectors rewrites byte-identical content (mode=overwrite, the
-  * S13 create/overwrite contract).
+  * vectors rewrites equivalent content through the whole-index
+  * crash-safe swap (the S13 create/overwrite contract, made atomic —
+  * see [[build]]).
   */
 object IvfIndex {
+
+  private def fsOf(spark: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def buildTmp(dir: String) = new org.apache.hadoop.fs.Path(dir + "_build_tmp")
+  private def buildBak(dir: String) = new org.apache.hadoop.fs.Path(dir + "_build_bak")
 
   /** Build the index: one pass assigns every candidate to its coarse
     * cell and writes the cell-partitioned vector table plus the
     * centroid sidecar. The assignment is map-side (one matrix-scan per
     * row against the broadcast centroid literal); the only exchange is
-    * the partitioned write's own file layout. */
+    * the partitioned write's own file layout.
+    *
+    * A rebuild is ATOMIC at the whole-index level: centroids and
+    * vectors are staged together under a `_build_tmp` sibling, then
+    * swapped in with the same crash-safe tmp/bak rename dance as
+    * [[Tables.compact]] — a reader never sees new centroids paired with
+    * old assignments, and a mid-build crash leaves the previous index
+    * (rolled forward/back on the next build or read). A per-table
+    * overwrite could not promise that: parquet overwrite is
+    * delete-then-write, and the two tables would flip at different
+    * moments. */
   def build(candidates: DataFrame, dir: String, nlist: Int,
             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = candidates.sparkSession
     import spark.implicits._
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dst)
+    val (tmp, bak) = (buildTmp(dir), buildBak(dir))
+    graft.streaming.StreamingIngest.recoverSwap(fs, dst, tmp, bak)
+    fs.delete(tmp, true)
     val cents = Similarity.coarseCentroids(candidates, nlist, idCol, vecCol)
     cents.toDF("cell", "centroid")
       .coalesce(1) // nlist rows — one sidecar file
-      .write.mode("overwrite").parquet(s"$dir/centroids")
+      .write.parquet(s"$tmp/centroids")
     Similarity.assignCells(candidates.select(col(idCol), col(vecCol)), cents, vecCol)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/vectors")
+      .write.partitionBy("cell").parquet(s"$tmp/vectors")
+    if (fs.exists(dst) && !fs.rename(dst, bak))
+      throw new java.io.IOException(s"build: rename $dst -> $bak failed; index intact")
+    if (!fs.rename(tmp, dst)) {
+      if (fs.exists(bak) && fs.rename(bak, dst))
+        throw new java.io.IOException(s"build: rename $tmp -> $dst failed; previous index restored")
+      throw new java.io.IOException(
+        s"build: rename $tmp -> $dst failed AND restore failed; data intact at $bak")
+    }
+    fs.delete(bak, true)
   }
 
   /** The stored centroid sample, cell-ordered — nlist rows of driver
-    * state, the same shape the in-query quantizers hold. */
-  def centroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Float])] =
+    * state, the same shape the in-query quantizers hold. Rolls an
+    * interrupted [[build]] swap forward/back first, so every read entry
+    * point ([[probe]]/[[append]] come through here) sees a consistent
+    * index even after a crash mid-rebuild. */
+  def centroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Float])] = {
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    graft.streaming.StreamingIngest.recoverSwap(
+      fsOf(spark, dst), dst, buildTmp(dir), buildBak(dir))
     spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
+  }
 
   /** Incremental maintenance: assign NEW vectors against the STORED
     * centroids and append them to their cell partitions — the
@@ -79,20 +116,45 @@ object IvfIndex {
     * accretes one file per micro-batch per touched cell, and at 100 TB
     * scan task count and object-store listing degrade with file count,
     * not byte count ([[Tables.compact]]'s rationale). Each `cell=<c>`
-    * leaf is compacted independently with the same crash-safe
-    * tmp/bak swap — the partition layout (and so probe-time pruning) is
+    * leaf is compacted independently with the same crash-safe tmp/bak
+    * swap — the partition layout (and so probe-time pruning) is
     * untouched, and a full copy of every leaf exists on disk at every
-    * instant. Returns the total file count after compaction. */
+    * instant. The swap siblings live in a `compact_work` area OUTSIDE
+    * the partition root: an in-place `cell=3_compact_bak` sibling would
+    * pollute partition discovery (breaking the cell column's type for
+    * every reader) and, after a crash, masquerade as a partition.
+    * Interrupted swaps are recovered FIRST, driven from the work area —
+    * a crash mid-swap can leave the leaf missing from `vectors/`
+    * entirely, so the leaf listing alone cannot see it. Returns the
+    * total file count after compaction. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.listStatus(root)
+    val work = new org.apache.hadoop.fs.Path(s"$dir/compact_work")
+    if (fs.exists(work)) {
+      fs.listStatus(work).map(_.getPath.getName)
+        .collect {
+          case n if n.endsWith("_compact_tmp") => n.stripSuffix("_compact_tmp")
+          case n if n.endsWith("_compact_bak") => n.stripSuffix("_compact_bak")
+        }
+        .distinct
+        .foreach { leaf =>
+          graft.streaming.StreamingIngest.recoverSwap(fs,
+            new org.apache.hadoop.fs.Path(root, leaf),
+            new org.apache.hadoop.fs.Path(work, leaf + "_compact_tmp"),
+            new org.apache.hadoop.fs.Path(work, leaf + "_compact_bak"))
+        }
+    }
+    val total = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .filter(leaf => fs.listStatus(leaf.getPath)
         .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
-      .map(leaf => Tables.compact(spark, leaf.getPath.toString, targetFileBytes))
+      .map(leaf => Tables.compact(spark, leaf.getPath.toString, targetFileBytes,
+        workDir = Some(work.toString)))
       .sum
+    fs.delete(work, true) // empty after successful swaps
+    total
   }
 
   /** Probe the persisted index: identical ranking semantics to

@@ -106,12 +106,27 @@ object Tables {
     * table exists on disk at every instant. Returns the output file
     * count. */
   def compact(spark: SparkSession, dir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              workDir: Option[String] = None): Int = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val tmp = new org.apache.hadoop.fs.Path(dir + "_compact_tmp")
-    val bak = new org.apache.hadoop.fs.Path(dir + "_compact_bak")
+    // workDir relocates the swap siblings: when dir is a LEAF of a
+    // hive-partitioned table, in-place `<dir>_compact_tmp/bak` siblings
+    // would sit inside the partition root and pollute partition
+    // discovery (a non-`col=value` name breaks the partition column's
+    // type for every concurrent reader) — the caller passes a work area
+    // OUTSIDE the root instead (see graft.io.IvfIndex.compact).
+    val (tmp, bak) = workDir match {
+      case Some(w) =>
+        val wp = new org.apache.hadoop.fs.Path(w)
+        if (!fs.exists(wp)) fs.mkdirs(wp)
+        (new org.apache.hadoop.fs.Path(wp, dst.getName + "_compact_tmp"),
+          new org.apache.hadoop.fs.Path(wp, dst.getName + "_compact_bak"))
+      case None =>
+        (new org.apache.hadoop.fs.Path(dir + "_compact_tmp"),
+          new org.apache.hadoop.fs.Path(dir + "_compact_bak"))
+    }
     // roll an interrupted previous compact forward/back BEFORE reading —
     // same recovery contract as the streaming upsert's swap
     graft.streaming.StreamingIngest.recoverSwap(fs, dst, tmp, bak)

@@ -53,21 +53,17 @@ object MediaCodec {
 
   /** Hand-rolled 24-bpp bottom-up BMP (BITMAPFILEHEADER +
     * BITMAPINFOHEADER, rows padded to 4 bytes, BGR order) — byte-exact
-    * deterministic, no encoder in the loop. */
+    * deterministic, no encoder in the loop. The pixel array IS
+    * [[dibFrame]] at frame 0 (one writer for the layout both fixtures
+    * are contractually pinned to — the spec asserts the CRCs match). */
   private[graft] def bmpBytes(w: Int, h: Int): Array[Byte] = {
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    val imageSize = rowBytes * h
-    val buf = ByteBuffer.allocate(54 + imageSize).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put('B'.toByte).put('M'.toByte).putInt(54 + imageSize)
+    val pixels = dibFrame(w, h, 0)
+    val buf = ByteBuffer.allocate(54 + pixels.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put('B'.toByte).put('M'.toByte).putInt(54 + pixels.length)
       .putShort(0).putShort(0).putInt(54)
     buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-      .putInt(0).putInt(imageSize).putInt(2835).putInt(2835).putInt(0).putInt(0)
-    for (row <- 0 until h) {
-      val y = h - 1 - row // bottom-up storage, top-down formula
-      for (x <- 0 until w)
-        buf.put(pixelB(x, y).toByte).put(pixelG(x, y).toByte).put(pixelR(x, y).toByte)
-      for (_ <- w * 3 until rowBytes) buf.put(0.toByte)
-    }
+      .putInt(0).putInt(pixels.length).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    buf.put(pixels)
     buf.array()
   }
 
@@ -375,17 +371,23 @@ object MediaCodec {
           // contiguous, so walking on IS the descent); skip any other
           if (!Set("hdrl", "strl", "movi").contains(listType))
             bb.position(bb.position() + (size - 4) + size % 2)
+        // header chunks must be big enough to CONTAIN the fields read
+        // from them — absolute gets would otherwise index past a short
+        // chunk into the neighbor's bytes and accept garbage geometry
         case "avih" =>
+          require(size >= 40, "avih too short")
           val start = bb.position()
           width = bb.getInt(start + 32); height = bb.getInt(start + 36)
           bb.position(start + size + size % 2)
         case "strh" =>
+          require(size >= 28, "strh too short")
           val start = bb.position()
           isVids = bb.getInt(start) == ByteBuffer.wrap("vids".getBytes("US-ASCII"))
             .order(ByteOrder.LITTLE_ENDIAN).getInt
           if (isVids) { scale = bb.getInt(start + 20); rate = bb.getInt(start + 24) }
           bb.position(start + size + size % 2)
         case "strf" if isVids =>
+          require(size >= 20, "strf too short")
           val start = bb.position()
           require(bb.getShort(start + 14) == 24, "not 24 bpp")
           require(bb.getInt(start + 16) == 0, "not BI_RGB (uncompressed)")

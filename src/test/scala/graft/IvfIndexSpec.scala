@@ -104,6 +104,54 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 10, nprobe = 4)) == before)
   }
 
+  test("a crash between compact's swap renames is recovered; work area stays outside vectors/") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vecs(120, 16, seed = 23), dir, nlist = 4)
+    val qs = vecs(3, 16, seed = 66)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 10, nprobe = 4))
+    // simulate the worst crash point of a per-leaf compact: tmp fully
+    // written in the work area, dst already renamed to bak, process dies
+    // before tmp -> dst (the leaf is GONE from vectors/)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val leaf = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head.getName
+    val leafPath = new org.apache.hadoop.fs.Path(s"$dir/vectors/$leaf")
+    spark.read.parquet(leafPath.toString).repartition(1)
+      .write.parquet(s"$dir/compact_work/${leaf}_compact_tmp")
+    assert(fs.rename(leafPath,
+      new org.apache.hadoop.fs.Path(s"$dir/compact_work/${leaf}_compact_bak")))
+    // NO stray partition dirs pollute the root while crashed: the swap
+    // siblings are in compact_work, not vectors/
+    val strays = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filterNot(_.matches("cell=\\d+"))
+    assert(strays.isEmpty, s"partition root polluted: ${strays.mkString(",")}")
+    // next compact recovers the interrupted swap first, then compacts
+    IvfIndex.compact(spark, dir)
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 10, nprobe = 4)) == before)
+    assert(!new java.io.File(s"$dir/compact_work").exists())
+  }
+
+  test("a crash between build's swap renames is rolled back at the next read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    IvfIndex.build(vecs(100, 16, seed = 29), dir, nlist = 4)
+    val qs = vecs(2, 16, seed = 88)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 4))
+    // simulate a rebuild dying right after dst -> bak (no tmp yet
+    // swapped in): the index dir is gone, only the bak survives
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_build_bak")))
+    // the next read entry point rolls the previous index back
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 4)) == before)
+    assert(!new java.io.File(dir + "_build_bak").exists())
+  }
+
   test("the vector table is hive-partitioned by cell and probes prune it") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val cands = vecs(300, 16, seed = 7)
