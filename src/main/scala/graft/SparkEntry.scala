@@ -210,6 +210,10 @@ object SparkEntry {
     // span-granularity exact substring dedup (Lee et al. 2022): maximal
     // cross-document duplicated passages >= 8 words, by word offset
     "dup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d))),
+    // ...and the action half: the corpus with those passages clipped out
+    "dup_spans_clip" -> ((s, d) =>
+      Dedup.clipDuplicatedSpans(Tables.documents(s, d))
+        .filter(col("n_words_removed") > 0)),
     "embed_near_dups" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.2, signDims = 4)),
     // SemDeDup two-stage semantic dedup; the synthetic embeddings are
@@ -1124,6 +1128,41 @@ object SparkEntry {
         |           max(pos) + 3 - min(pos) + 1 AS span_words
         |          FROM grp GROUP BY doc_id, seg_id)
         |SELECT * FROM spans WHERE span_words >= 8""".stripMargin,
+
+    // independent formulation of the clip: per-token anti-join against
+    // the span ranges (the operator uses an index-lambda filter), then
+    // order-preserving string_agg — only docs that lost words emitted
+    "dup_spans_clip" ->
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+        |p AS (SELECT doc_id, i - 1 AS pos,
+        |       ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT AS fp
+        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) g
+        |      WHERE len(ws) >= 4),
+        |d AS (SELECT fp FROM p GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM p JOIN d USING (fp)),
+        |seg AS (SELECT doc_id, pos,
+        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+        |         THEN 0 ELSE 1 END AS new_seg
+        |        FROM dp),
+        |grp AS (SELECT doc_id, pos,
+        |        sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id FROM seg),
+        |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
+        |          FROM grp GROUP BY doc_id, seg_id
+        |          HAVING max(pos) + 3 - min(pos) + 1 >= 8),
+        |tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tk
+        |        FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
+        |keep AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
+        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
+        |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)),
+        |agg AS (SELECT k.doc_id,
+        |         COALESCE(string_agg(k.tk, ' ' ORDER BY k.pos), '') AS clean_text,
+        |         count(*) AS n_kept
+        |        FROM keep k GROUP BY k.doc_id)
+        |SELECT w.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+        | CAST(len(w.ws) AS INTEGER) AS n_words,
+        | CAST(len(w.ws) - COALESCE(a.n_kept, 0) AS INTEGER) AS n_words_removed
+        |FROM w LEFT JOIN agg a USING (doc_id)
+        |WHERE len(w.ws) - COALESCE(a.n_kept, 0) > 0""".stripMargin,
 
     "minhash_pairs" -> {
       val matchSum = (0 until 8).map(i =>

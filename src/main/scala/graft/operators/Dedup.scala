@@ -451,4 +451,40 @@ object Dedup {
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         col("n_dup_grams"), col("span_words"))
   }
+
+  /** The ACTION half of [[duplicatedSpans]]: emit each document with
+    * its duplicated passages clipped out — the text a curation run
+    * ships to training, not just the offsets. Spans are derived
+    * in-operator (same n/minDocs/minSpanWords knobs, same
+    * tokenization), so offsets always align with the words they index.
+    * Output: (id, clean_text, n_words, n_words_removed).
+    *
+    * Shape: [[duplicatedSpans]]' plan plus one per-doc span
+    * `collect_list` (span counts per doc are tiny) equi-joined back to
+    * the corpus on the doc id — NOT broadcast-hinted: only documents
+    * with duplicated passages appear, but at heavy-boilerplate corpora
+    * that can be most of them, so the join stays a distributable
+    * id-keyed exchange (AQE demotes it to broadcast when it is small).
+    * The clip itself is a per-row index-lambda filter over the words
+    * array. The span test is order-independent (`exists` over the span
+    * array), so the collect_list's nondeterministic order cannot change
+    * the output. */
+  def clipDuplicatedSpans(docs: DataFrame, n: Int = 4, minDocs: Int = 2,
+                          minSpanWords: Int = 8,
+                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spans = duplicatedSpans(docs, n, minDocs, minSpanWords, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("_spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("_words", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_words")).otherwise(
+          filter(col("_words"), (_, i) =>
+            !exists(col("_spans"), s => i >= s("s") && i <= s("e")))))
+      .select(col(idCol),
+        array_join(col("_kept"), " ").as("clean_text"),
+        size(col("_words")).as("n_words"),
+        (size(col("_words")) - size(col("_kept"))).as("n_words_removed"))
+  }
 }

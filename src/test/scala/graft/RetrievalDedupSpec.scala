@@ -82,6 +82,21 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(spans.forall(_.getInt(4) == 12))
   }
 
+  test("clipDuplicatedSpans removes exactly the span words, keeps everything else in order") {
+    val passage = "the quick brown fox jumps over the lazy dog tonight" // 10 words
+    val docs = Seq(
+      (1L, s"intro one two three $passage outro alpha beta"),
+      (2L, s"completely different lead in here $passage and a different tail"),
+      (3L, "no shared material at all in this document body whatsoever"))
+      .toDF("doc_id", "text")
+    val out = Dedup.clipDuplicatedSpans(docs, n = 4, minDocs = 2, minSpanWords = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(out(1L) == (("intro one two three outro alpha beta", 17, 10)))
+    assert(out(2L) == (("completely different lead in here and a different tail", 19, 10)))
+    // untouched doc comes through whole
+    assert(out(3L)._3 == 0 && out(3L)._1.startsWith("no shared material"))
+  }
+
   test("simhash is deterministic and insensitive to case") {
     val a = Dedup.simhash32(Seq((1L, "Some Text Here")).toDF("doc_id", "text")).head.getLong(1)
     val b = Dedup.simhash32(Seq((9L, "some text here")).toDF("doc_id", "text")).head.getLong(1)
