@@ -210,9 +210,11 @@ object SparkEntry {
     // span-granularity exact substring dedup (Lee et al. 2022): maximal
     // cross-document duplicated passages >= 8 words, by word offset
     "dup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d))),
-    // ...and the action half: the corpus with those passages clipped out
+    // ...and the action half: the corpus with those passages clipped
+    // out (demo scoped to a doc subset, the ngram_jaccard precedent —
+    // dup_spans above keeps the full-corpus detection pass)
     "dup_spans_clip" -> ((s, d) =>
-      Dedup.clipDuplicatedSpans(Tables.documents(s, d))
+      Dedup.clipDuplicatedSpans(Tables.documents(s, d).filter(col("doc_id") < 1000))
         .filter(col("n_words_removed") > 0)),
     "embed_near_dups" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.2, signDims = 4)),
@@ -1133,7 +1135,8 @@ object SparkEntry {
     // the span ranges (the operator uses an index-lambda filter), then
     // order-preserving string_agg — only docs that lost words emitted
     "dup_spans_clip" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
+      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
+        |          FROM documents WHERE doc_id < 1000),
         |p AS (SELECT doc_id, i - 1 AS pos,
         |       ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT AS fp
         |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) g
