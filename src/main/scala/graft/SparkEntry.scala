@@ -314,6 +314,16 @@ object SparkEntry {
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
         e.filter(col("vec_id") >= 5), k = 10, nlist = 8, nprobe = 8)
     }),
+    // IVF-SQ8: coarse cells + int8-compressed storage, queries score the
+    // dequantized reconstruction — approximate in BOTH the probe set
+    // (nprobe=2 < nlist) and the stored precision; full DuckDB replay
+    "ivf_sq8_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfSq8TopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        e.filter(col("vec_id") >= 5), k = 10, nlist = 8, nprobe = 2)
+    }),
     // the persisted-index face of IVF: build writes the cell-partitioned
     // vector table + centroid sidecar, probe reads it back with dynamic
     // partition pruning; nprobe=2 < nlist → a genuinely approximate run,
@@ -1552,6 +1562,40 @@ object SparkEntry {
     // tiebreak) — upgrading the rows-only check to a full hash compare
     // while keeping the IVF plan shape under test.
     "ivf_topk" -> bruteForceKnnSql,
+
+    // full replay of IVF-SQ8: centroid sample + assignment as the IVF
+    // chain, then int8 codes (the sq_embeddings expression), rounded
+    // (min, scale) reconstruction, and cosine over the dequantized
+    // vectors inside the probed cells
+    "ivf_sq8_topk" ->
+      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
+        |iv_ranked AS (SELECT e AS cw, row_number() OVER (ORDER BY
+        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn FROM c),
+        |cents AS (SELECT rn - 1 AS cell, cw FROM iv_ranked WHERE rn <= 8),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT c.vec_id, ct.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |   round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
+        |  FROM c CROSS JOIN cents ct) WHERE r = 1),
+        |sq AS (SELECT vec_id,
+        |        round(lo, 6) AS qmin, round((hi - lo) / 255.0, 9) AS qscale,
+        |        list_transform(e, x -> CASE WHEN hi = lo THEN 0
+        |          ELSE CAST(round((x - lo) / ((hi - lo) / 255.0)) AS INTEGER) END) AS codes
+        |       FROM (SELECT vec_id, e, list_min(e) AS lo, list_max(e) AS hi FROM c) t),
+        |rec AS (SELECT vec_id, re FROM (
+        |        SELECT vec_id, list_transform(codes, cd -> qmin + cd * qscale) AS re FROM sq)
+        |        WHERE list_inner_product(re, re) > 0),
+        |qpr AS (SELECT q_vec_id, cell FROM (
+        |  SELECT q.q_vec_id, ct.cell, row_number() OVER (PARTITION BY q.q_vec_id ORDER BY
+        |   round(list_inner_product(q.qe, ct.cw) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
+        |  FROM q CROSS JOIN cents ct) WHERE r <= 2)
+        |SELECT q_vec_id, vec_id, score, rank FROM (
+        |  SELECT qp.q_vec_id, a.vec_id,
+        |   round(list_inner_product(q.qe, rec.re) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(rec.re, rec.re))), 4) AS score,
+        |   row_number() OVER (PARTITION BY qp.q_vec_id ORDER BY
+        |    round(list_inner_product(q.qe, rec.re) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(rec.re, rec.re))), 4) DESC, a.vec_id) AS rank
+        |  FROM qpr qp JOIN q ON q.q_vec_id = qp.q_vec_id
+        |  JOIN asg a ON a.cell = qp.cell JOIN rec ON rec.vec_id = a.vec_id) WHERE rank <= 10""".stripMargin,
 
     // full replay of the persisted-index probe at nprobe=2: the same
     // hash-minimal centroid sample, argmax-cosine assignment, probe

@@ -146,7 +146,15 @@ object Similarity {
   private[graft] def probeScore(queries: DataFrame, assigned: DataFrame,
                                 cents: Seq[(Int, Seq[Float])], k: Int, nprobe: Int,
                                 qidCol: String, qvecCol: String,
-                                idCol: String, vecCol: String): DataFrame = {
+                                idCol: String, vecCol: String,
+                                // scorer for the within-cell stage: the
+                                // float-native kernel by default; IVF-SQ8
+                                // passes the double HOF fold because its
+                                // reconstructed vectors are doubles and a
+                                // float cast would shear them off the
+                                // DuckDB replay
+                                scoreFn: (Column, Column) => Column =
+                                  graft.functions.VectorOps.cosineNative): DataFrame = {
     val spark = assigned.sparkSession
     import spark.implicits._
     // centroid table is nlist rows — broadcast side of the probe ranking
@@ -159,7 +167,7 @@ object Similarity {
       .filter(col("p_rank") <= nprobe)
       .select(col(qidCol), col(qvecCol), col("cell"))
     val scored = broadcast(probeCells).join(assigned, "cell")
-      .withColumn("score", round(graft.functions.VectorOps.cosineNative(col(qvecCol), col(vecCol)), 4))
+      .withColumn("score", round(scoreFn(col(qvecCol), col(vecCol)), 4))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -173,6 +181,48 @@ object Similarity {
     val cents = coarseCentroids(candidates, nlist, idCol, vecCol)
     val assigned = assignCells(candidates, cents, vecCol)
     probeScore(queries, assigned, cents, k, nprobe, qidCol, qvecCol, idCol, vecCol)
+  }
+
+  /** IVF-SQ8 — FAISS's standard memory-lever index, composed from two
+    * kernels this file already ships: [[ivfTopK]]'s coarse cells
+    * partition the candidates, and each STORED vector is scalar-
+    * quantized to int8 codes + a per-vector (min, scale) affine header
+    * ([[scalarQuantize]]'s map) — a 4× memory cut over float32, the
+    * difference between a 100 TB index fitting the cluster or not.
+    * Queries stay float and score against the DEQUANTIZED reconstruction
+    * `min + code·scale` inside their nprobe probed cells; the stored
+    * (min, scale) are rounded (6/9 decimals) so both engines reconstruct
+    * bit-identical doubles and the round-4 score ranks identically (the
+    * `ivf_sq8_topk` oracle replays codes → reconstruction → cosine).
+    * Zero reconstructions (an all-zero vector) are unrankable and
+    * dropped — the [[pqAdcTopK]] contract. Shape: quantization and
+    * assignment are per-row map-side; the probe join and top-k are
+    * exactly [[ivfTopK]]'s; nothing new shuffles. Accuracy: the 255-step
+    * grid puts dequantized components within half a step of the
+    * original, so scores move at the 4th decimal and recall@k stays at
+    * the IVF level (spec asserts self-query top-1 and ≥80% agreement
+    * with uncompressed IVF at equal parameters). */
+  def ivfSq8TopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                 nlist: Int = 16, nprobe: Int = 4,
+                 qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = coarseCentroids(candidates, nlist, idCol, vecCol)
+    val v = VectorOps.asDouble(col(vecCol))
+    val loRaw = array_min(v)
+    val hiRaw = array_max(v)
+    // codes from the RAW range (scalarQuantize's exact expression); the
+    // stored header is the ROUNDED (q_min, q_scale) a deployment keeps
+    val codes = transform(v, x => when(hiRaw === loRaw, lit(0))
+      .otherwise(round((x - loRaw) / ((hiRaw - loRaw) / 255.0), 0).cast("int")))
+    val coded = assignCells(candidates, cents, vecCol)
+      .withColumn("_qmin", round(loRaw, 6))
+      .withColumn("_qscale", round((hiRaw - loRaw) / 255.0, 9))
+      .withColumn("_recon",
+        transform(codes, c => col("_qmin") + c.cast("double") * col("_qscale")))
+      .filter(VectorOps.normSq(col("_recon")) > 0)
+      .select(col(idCol), col("cell"), col("_recon"))
+    probeScore(queries, coded, cents, k, nprobe, qidCol, qvecCol, idCol, "_recon",
+      scoreFn = VectorOps.cosine)
   }
 
   /** Product quantization (the PQ of FAISS's IVF-PQ): split each vector

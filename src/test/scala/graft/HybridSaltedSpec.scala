@@ -122,6 +122,30 @@ class HybridSaltedSpec extends SparkSpec {
     assert(out("ivf_all")._2 === 15) // 3 queries × k=5
   }
 
+  test("IVF-SQ8 self-query hits itself at ~1.0 and tracks uncompressed IVF") {
+    val rnd = new scala.util.Random(19)
+    def vec() = Seq.fill(16)(rnd.nextFloat() * 2 - 1)
+    val cands = Seq.tabulate(250)(i => (i.toLong, vec())).toDF("vec_id", "embedding")
+    // query 0 IS candidate 7's vector: the dequantized copy must still
+    // win with a score within the 255-step grid's reach of 1.0
+    val c7 = cands.filter(col("vec_id") === 7L).collect().head.getSeq[Float](1)
+    val qs = (Seq((0L, c7)) ++ Seq.tabulate(3)(i => ((i + 1).toLong, vec())))
+      .toDF("q_vec_id", "q_embedding")
+    val sq = Similarity.ivfSq8TopK(qs, cands, k = 5, nlist = 4, nprobe = 4)
+    val top0 = sq.filter(col("q_vec_id") === 0L).orderBy("rank").collect().head
+    assert(top0.getLong(1) == 7L && top0.getDouble(2) >= 0.999)
+    // at equal parameters the compressed index agrees with uncompressed
+    // IVF on >= 80% of the returned pairs
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_vec_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Similarity.ivfTopK(qs, cands, k = 5, nlist = 4, nprobe = 4))
+    val agree = (pairs(sq) & full).size.toDouble / full.size
+    assert(agree >= 0.8, s"SQ8 agreement with IVF fell to $agree")
+    // partitioning cannot move codes, cells, or ranks
+    assert(pairs(Similarity.ivfSq8TopK(qs, cands.repartition(7), k = 5,
+      nlist = 4, nprobe = 4)) == pairs(sq))
+  }
+
   test("recallAudit materializes the exact baseline once for all consumers") {
     val rnd = new scala.util.Random(17)
     def vec() = Seq.fill(8)(rnd.nextFloat() * 2 - 1)
