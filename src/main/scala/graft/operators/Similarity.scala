@@ -208,17 +208,27 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = coarseCentroids(candidates, nlist, idCol, vecCol)
     val v = VectorOps.asDouble(col(vecCol))
-    val loRaw = array_min(v)
-    val hiRaw = array_max(v)
+    // ComputeOnce barriers: (lo, hi) referenced inside the code lambda
+    // would otherwise be CollapseProject-inlined INTO the lambda body and
+    // re-evaluate array_min/array_max PER ELEMENT — O(d²) per row (the
+    // l2Normalize/shinglesFromWords trap). The recon barrier keeps the
+    // zero-norm filter from re-running the whole dequantization
+    // (pushdown duplicates it Filter+Project). Measured (QBench sf0.1):
+    // 3.7-4.0 s warm inlined -> 0.87-0.93 s with the barriers.
+    def co(c: Column): Column = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.ComputeOnce(org.apache.spark.sql.GraftColumns.expression(c)))
     // codes from the RAW range (scalarQuantize's exact expression); the
     // stored header is the ROUNDED (q_min, q_scale) a deployment keeps
-    val codes = transform(v, x => when(hiRaw === loRaw, lit(0))
-      .otherwise(round((x - loRaw) / ((hiRaw - loRaw) / 255.0), 0).cast("int")))
     val coded = assignCells(candidates, cents, vecCol)
-      .withColumn("_qmin", round(loRaw, 6))
-      .withColumn("_qscale", round((hiRaw - loRaw) / 255.0, 9))
-      .withColumn("_recon",
-        transform(codes, c => col("_qmin") + c.cast("double") * col("_qscale")))
+      .withColumn("_lo", co(array_min(v)))
+      .withColumn("_hi", co(array_max(v)))
+      .withColumn("_qmin", round(col("_lo"), 6))
+      .withColumn("_qscale", round((col("_hi") - col("_lo")) / 255.0, 9))
+      .withColumn("_recon", co(transform(
+        transform(v, x => when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(round((x - col("_lo")) / ((col("_hi") - col("_lo")) / 255.0), 0)
+            .cast("int"))),
+        c => col("_qmin") + c.cast("double") * col("_qscale"))))
       .filter(VectorOps.normSq(col("_recon")) > 0)
       .select(col(idCol), col("cell"), col("_recon"))
     probeScore(queries, coded, cents, k, nprobe, qidCol, qvecCol, idCol, "_recon",
