@@ -74,17 +74,25 @@ object Similarity {
   def scalarQuantize(vecs: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val v = col(vecCol)
-    val lo = array_min(v).cast("double")
-    val hi = array_max(v).cast("double")
-    vecs.select(
-      col(idCol),
-      round(lo, 6).as("q_min"),
-      round((hi - lo) / 255.0, 9).as("q_scale"),
-      // JSON-encoded codes: keeps the driver's hash compare on a plain
-      // string column (cross-engine array formatting is not hash-stable)
-      to_json(transform(v, x => when(hi === lo, lit(0))
-        .otherwise(round((x.cast("double") - lo) / ((hi - lo) / 255.0), 0).cast("int"))))
-        .as("q_codes"))
+    // (lo, hi) as ComputeOnce attributes, NOT inlined into the lambda:
+    // inlined they re-evaluate array_min/array_max per element — the
+    // O(d²) trap measured 4x on ivfSq8TopK (which shares this map)
+    def co(c: Column): Column = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.ComputeOnce(org.apache.spark.sql.GraftColumns.expression(c)))
+    val lo = col("_lo")
+    val hi = col("_hi")
+    vecs
+      .withColumn("_lo", co(array_min(v).cast("double")))
+      .withColumn("_hi", co(array_max(v).cast("double")))
+      .select(
+        col(idCol),
+        round(lo, 6).as("q_min"),
+        round((hi - lo) / 255.0, 9).as("q_scale"),
+        // JSON-encoded codes: keeps the driver's hash compare on a plain
+        // string column (cross-engine array formatting is not hash-stable)
+        to_json(transform(v, x => when(hi === lo, lit(0))
+          .otherwise(round((x.cast("double") - lo) / ((hi - lo) / 255.0), 0).cast("int"))))
+          .as("q_codes"))
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
