@@ -354,6 +354,7 @@ object SparkEntry {
         "sign_lsh" -> Similarity.lshTopK(qs, cand, k = 10, dims = 4),
         "multiprobe" -> Similarity.lshTopK(qs, cand, k = 10, dims = 4, probes = 3),
         "ivf_nprobe2" -> Similarity.ivfTopK(qs, cand, k = 10, nlist = 8, nprobe = 2),
+        "ivf_sq8_nprobe2" -> Similarity.ivfSq8TopK(qs, cand, k = 10, nlist = 8, nprobe = 2),
         "pq_adc" -> Similarity.pqAdcTopK(qs, cand, k = 10)))
     }),
     // graded IR metrics over the exact kNN lists, relevance = label
@@ -816,6 +817,18 @@ object SparkEntry {
       |   round(list_inner_product(q.qe, c.e) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 4) DESC, c.vec_id) AS rank
       |  FROM qpr qp JOIN q ON q.q_vec_id = qp.q_vec_id
       |  JOIN asg a ON a.cell = qp.cell JOIN c ON c.vec_id = a.vec_id) WHERE rank <= 10),
+      |sqt AS (SELECT vec_id, round(lo, 6) AS qmin, round((hi - lo) / 255.0, 9) AS qscale,
+      |        list_transform(e, x -> CASE WHEN hi = lo THEN 0
+      |          ELSE CAST(round((x - lo) / ((hi - lo) / 255.0)) AS INTEGER) END) AS codes
+      |       FROM (SELECT vec_id, e, list_min(e) AS lo, list_max(e) AS hi FROM c) t),
+      |rec AS (SELECT vec_id, re FROM (
+      |        SELECT vec_id, list_transform(codes, cd -> qmin + cd * qscale) AS re FROM sqt)
+      |        WHERE list_inner_product(re, re) > 0),
+      |sq8_r AS (SELECT q_vec_id, vec_id FROM (
+      |  SELECT qp.q_vec_id, a.vec_id, row_number() OVER (PARTITION BY qp.q_vec_id ORDER BY
+      |   round(list_inner_product(q.qe, rec.re) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(rec.re, rec.re))), 4) DESC, a.vec_id) AS rank
+      |  FROM qpr qp JOIN q ON q.q_vec_id = qp.q_vec_id
+      |  JOIN asg a ON a.cell = qp.cell JOIN rec ON rec.vec_id = a.vec_id) WHERE rank <= 10),
       |cb8 AS (SELECT rn - 1 AS j, cw FROM iv_ranked WHERE rn <= 8),
       |pd AS (SELECT c.vec_id, s.s, cb8.j,
       |  round(list_sum(list_transform(generate_series(1, 16),
@@ -842,6 +855,7 @@ object SparkEntry {
       | SELECT 'sign_lsh' AS method, count(*) AS hits FROM sign_r JOIN exact USING (q_vec_id, vec_id)
       | UNION ALL SELECT 'multiprobe', count(*) FROM mp_r JOIN exact USING (q_vec_id, vec_id)
       | UNION ALL SELECT 'ivf_nprobe2', count(*) FROM ivf_r JOIN exact USING (q_vec_id, vec_id)
+      | UNION ALL SELECT 'ivf_sq8_nprobe2', count(*) FROM sq8_r JOIN exact USING (q_vec_id, vec_id)
       | UNION ALL SELECT 'pq_adc', count(*) FROM pq_r JOIN exact USING (q_vec_id, vec_id))
       |SELECT method, CAST(hits AS BIGINT) AS hits, CAST(expected AS BIGINT) AS expected,
       | round(CAST(hits AS DOUBLE) / expected, 4) AS recall
