@@ -330,13 +330,14 @@ object SparkEntry {
     // replayed end-to-end by the DuckDB oracle
     "ivf_persisted" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      // FIXED path, not createTempDirectory-per-call: build's crash-safe
-      // swap makes the rebuild an atomic overwrite, so repeated
-      // invocations (bench runs twice, verify again) reuse one directory
-      // instead of leaking a full vector-table copy per call
-      val dir = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-persisted-q"
-      graft.io.IvfIndex.build(e.filter(col("vec_id") >= 5), dir, nlist = 8)
-      graft.io.IvfIndex.probe(s, dir,
+      // ONE temp dir per JVM (lazy val): per-call createTempDirectory
+      // leaked a full vector-table copy per invocation, while a fixed
+      // world-shared path raced concurrent processes (two Verify JVMs
+      // would swap each other's builds) and collided across users.
+      // Per-JVM unique + reused across calls (bench's min-of-two,
+      // verify) bounds the footprint to one copy per run with no race.
+      graft.io.IvfIndex.build(e.filter(col("vec_id") >= 5), ivfDemoDir, nlist = 8)
+      graft.io.IvfIndex.probe(s, ivfDemoDir,
         e.filter(col("vec_id") < 5)
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
         k = 10, nprobe = 2)
@@ -679,6 +680,10 @@ object SparkEntry {
 
   // CMS geometry shared by the query and its oracle — one definition, no
   // silent drift between the Spark sketch and the SQL cell replay
+  /** The ivf_persisted demo index location — see that query's comment. */
+  private lazy val ivfDemoDir: String =
+    java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
+
   private val cmsProbeTerms = Seq("the", "table", "query", "spark", "zzz_absent")
   private val cmsDepth = 4
   private val cmsWidth = 256

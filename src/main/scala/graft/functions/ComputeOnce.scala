@@ -25,6 +25,16 @@ import org.apache.spark.sql.types.DataType
   * column. Where the consumer is `row_number() <= k`, prefer ranking
   * first and filtering after — see `Retrieval.keywordSearch`.
   */
+object ComputeOnce {
+  /** Column-level wrapper — the form every call site wants: projects
+    * `c` behind the barrier so downstream lambdas/filters reference the
+    * materialized attribute instead of inlining (and re-evaluating) the
+    * expression. */
+  def once(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftColumns.column(
+      ComputeOnce(org.apache.spark.sql.GraftColumns.expression(c)))
+}
+
 case class ComputeOnce(child: Expression) extends UnaryExpression {
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = child.nullable

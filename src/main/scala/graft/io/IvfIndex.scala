@@ -70,26 +70,32 @@ object IvfIndex {
       .write.parquet(s"$tmp/centroids")
     Similarity.assignCells(candidates.select(col(idCol), col(vecCol)), cents, vecCol)
       .write.partitionBy("cell").parquet(s"$tmp/vectors")
-    if (fs.exists(dst) && !fs.rename(dst, bak))
-      throw new java.io.IOException(s"build: rename $dst -> $bak failed; index intact")
-    if (!fs.rename(tmp, dst)) {
-      if (fs.exists(bak) && fs.rename(bak, dst))
-        throw new java.io.IOException(s"build: rename $tmp -> $dst failed; previous index restored")
-      throw new java.io.IOException(
-        s"build: rename $tmp -> $dst failed AND restore failed; data intact at $bak")
-    }
-    fs.delete(bak, true)
+    graft.streaming.StreamingIngest.swapInto(fs, dst, tmp, bak, "build")
+  }
+
+  /** Reader-side recovery: roll an interrupted [[build]] swap
+    * forward/back ONLY when the index dir is missing — that is the one
+    * inconsistent crash state. When the dir exists the index is
+    * consistent, and a `_build_tmp` sibling may belong to an IN-FLIGHT
+    * rebuild in another process: deleting it (what an unconditional
+    * recoverSwap's dst-exists branch does) would kill that build
+    * mid-write. Stale staging from a crash-after-commit is cleaned by
+    * the next [[build]], which recovers unconditionally as the single
+    * writer. */
+  private def recoverIfMissing(spark: SparkSession, dir: String): Unit = {
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    val fs = fsOf(spark, dst)
+    if (!fs.exists(dst))
+      graft.streaming.StreamingIngest.recoverSwap(fs, dst, buildTmp(dir), buildBak(dir))
   }
 
   /** The stored centroid sample, cell-ordered — nlist rows of driver
-    * state, the same shape the in-query quantizers hold. Rolls an
-    * interrupted [[build]] swap forward/back first, so every read entry
-    * point ([[probe]]/[[append]] come through here) sees a consistent
-    * index even after a crash mid-rebuild. */
+    * state, the same shape the in-query quantizers hold. Every read
+    * entry point ([[probe]]/[[append]] come through here) first heals a
+    * crashed build swap via [[recoverIfMissing]] — conditional, so it
+    * never touches an in-flight rebuild's staging. */
   def centroids(spark: SparkSession, dir: String): Seq[(Int, Seq[Float])] = {
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    graft.streaming.StreamingIngest.recoverSwap(
-      fsOf(spark, dst), dst, buildTmp(dir), buildBak(dir))
+    recoverIfMissing(spark, dir)
     spark.read.parquet(s"$dir/centroids")
       .orderBy("cell").collect().toSeq
       .map(r => (r.getInt(0), r.getSeq[Float](1)))
@@ -126,9 +132,18 @@ object IvfIndex {
     * Interrupted swaps are recovered FIRST, driven from the work area —
     * a crash mid-swap can leave the leaf missing from `vectors/`
     * entirely, so the leaf listing alone cannot see it. Returns the
-    * total file count after compaction. */
+    * total file count after compaction.
+    *
+    * Concurrency contract: compaction (like [[build]]) is SINGLE-WRITER
+    * maintenance. The tmp/bak dance makes every state crash-safe — a
+    * full copy of each leaf exists on disk at every instant — but a
+    * probe that scans `vectors/` in the instants between a leaf's two
+    * renames will not see that cell (rename gives atomic per-path
+    * swaps, not snapshot isolation across the root). Run probes against
+    * a quiesced index, or point readers at a copy, while compacting. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    recoverIfMissing(spark, dir) // heal a crashed build swap first, like every entry
     val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val work = new org.apache.hadoop.fs.Path(s"$dir/compact_work")

@@ -141,15 +141,7 @@ object Tables {
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
-    if (!fs.rename(dst, bak))
-      throw new java.io.IOException(s"compact: rename $dst -> $bak failed; table intact")
-    if (!fs.rename(tmp, dst)) {
-      if (fs.exists(bak) && fs.rename(bak, dst)) // put the old table back
-        throw new java.io.IOException(s"compact: rename $tmp -> $dst failed; previous table restored")
-      throw new java.io.IOException(
-        s"compact: rename $tmp -> $dst failed AND restore failed; data intact at $bak")
-    }
-    fs.delete(bak, true)
+    graft.streaming.StreamingIngest.swapInto(fs, dst, tmp, bak, "compact")
     nFiles
   }
 

@@ -52,11 +52,10 @@ object Chunking {
     // ComputeOnce: the min-length filter otherwise gets pushed below this
     // projection and the tokenize+stopword HOF subtree is re-evaluated at
     // every reference (three sites in the optimized plan — measured)
-    val words = org.apache.spark.sql.GraftColumns.column(
-      graft.functions.ComputeOnce(org.apache.spark.sql.GraftColumns.expression(
-        filter(
-          split(lower(trim(col(textCol))), "\\s+"),
-          w => w.rlike("^[a-z0-9]+$") && !array_contains(stopwordsLit, w)))))
+    val words = graft.functions.ComputeOnce.once(
+      filter(
+        split(lower(trim(col(textCol))), "\\s+"),
+        w => w.rlike("^[a-z0-9]+$") && !array_contains(stopwordsLit, w)))
     docs
       .withColumn("words", words)
       .withColumn("n", size(col("words")))

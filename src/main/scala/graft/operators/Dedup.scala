@@ -309,9 +309,8 @@ object Dedup {
       // ComputeOnce: without the barrier the threshold filter is pushed
       // below this projection and the cosine kernel runs TWICE per pair
       // (once in the Filter, once in the Project)
-      .withColumn("score", org.apache.spark.sql.GraftColumns.column(
-        graft.functions.ComputeOnce(org.apache.spark.sql.GraftColumns.expression(
-          round(graft.functions.VectorOps.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")), 4)))))
+      .withColumn("score", graft.functions.ComputeOnce.once(
+        round(graft.functions.VectorOps.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")), 4)))
       .filter(col("score") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("score"))
   }

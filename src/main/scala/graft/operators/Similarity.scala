@@ -71,28 +71,30 @@ object Similarity {
     * Pure per-row arithmetic — scan-parallel, no shuffle; dequantized
     * values land within half a step of the original, which the spec
     * asserts. Constant vectors (max == min) quantize to 0 with scale 0. */
+  /** The int8 affine code map shared by [[scalarQuantize]] and
+    * [[ivfSq8TopK]] — and replayed verbatim by both DuckDB oracles, so
+    * ONE definition keeps operator and replay in lockstep. `lo`/`hi`
+    * MUST be plain (ComputeOnce'd) attributes: inlined aggregates
+    * re-evaluate per element — the O(d²) trap measured 4× on
+    * ivfSq8TopK. */
+  private def sq8Codes(vDouble: Column, lo: Column, hi: Column): Column =
+    transform(vDouble, x => when(hi === lo, lit(0))
+      .otherwise(round((x - lo) / ((hi - lo) / 255.0), 0).cast("int")))
+
   def scalarQuantize(vecs: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
-    val v = col(vecCol)
-    // (lo, hi) as ComputeOnce attributes, NOT inlined into the lambda:
-    // inlined they re-evaluate array_min/array_max per element — the
-    // O(d²) trap measured 4x on ivfSq8TopK (which shares this map)
-    def co(c: Column): Column = org.apache.spark.sql.GraftColumns.column(
-      graft.functions.ComputeOnce(org.apache.spark.sql.GraftColumns.expression(c)))
     val lo = col("_lo")
     val hi = col("_hi")
     vecs
-      .withColumn("_lo", co(array_min(v).cast("double")))
-      .withColumn("_hi", co(array_max(v).cast("double")))
+      .withColumn("_lo", graft.functions.ComputeOnce.once(array_min(col(vecCol)).cast("double")))
+      .withColumn("_hi", graft.functions.ComputeOnce.once(array_max(col(vecCol)).cast("double")))
       .select(
         col(idCol),
         round(lo, 6).as("q_min"),
         round((hi - lo) / 255.0, 9).as("q_scale"),
         // JSON-encoded codes: keeps the driver's hash compare on a plain
         // string column (cross-engine array formatting is not hash-stable)
-        to_json(transform(v, x => when(hi === lo, lit(0))
-          .otherwise(round((x.cast("double") - lo) / ((hi - lo) / 255.0), 0).cast("int"))))
-          .as("q_codes"))
+        to_json(sq8Codes(VectorOps.asDouble(col(vecCol)), lo, hi)).as("q_codes"))
   }
 
   /** IVF (inverted-file) approximate top-k — the classic ANN scale path:
@@ -216,26 +218,23 @@ object Similarity {
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = coarseCentroids(candidates, nlist, idCol, vecCol)
     val v = VectorOps.asDouble(col(vecCol))
-    // ComputeOnce barriers: (lo, hi) referenced inside the code lambda
-    // would otherwise be CollapseProject-inlined INTO the lambda body and
-    // re-evaluate array_min/array_max PER ELEMENT — O(d²) per row (the
-    // l2Normalize/shinglesFromWords trap). The recon barrier keeps the
+    // ComputeOnce barriers ([[sq8Codes]]' contract): inlined (lo, hi)
+    // re-evaluate array_min/array_max per element — O(d²) per row, the
+    // l2Normalize/shinglesFromWords trap. The recon barrier keeps the
     // zero-norm filter from re-running the whole dequantization
     // (pushdown duplicates it Filter+Project). Measured (QBench sf0.1):
     // 3.7-4.0 s warm inlined -> 0.87-0.93 s with the barriers.
-    def co(c: Column): Column = org.apache.spark.sql.GraftColumns.column(
-      graft.functions.ComputeOnce(org.apache.spark.sql.GraftColumns.expression(c)))
-    // codes from the RAW range (scalarQuantize's exact expression); the
-    // stored header is the ROUNDED (q_min, q_scale) a deployment keeps
+    // Codes from the RAW range (scalarQuantize's shared sq8Codes map);
+    // the stored header is the ROUNDED (q_min, q_scale) a deployment
+    // keeps.
+    val once = graft.functions.ComputeOnce.once _
     val coded = assignCells(candidates, cents, vecCol)
-      .withColumn("_lo", co(array_min(v)))
-      .withColumn("_hi", co(array_max(v)))
+      .withColumn("_lo", once(array_min(v)))
+      .withColumn("_hi", once(array_max(v)))
       .withColumn("_qmin", round(col("_lo"), 6))
       .withColumn("_qscale", round((col("_hi") - col("_lo")) / 255.0, 9))
-      .withColumn("_recon", co(transform(
-        transform(v, x => when(col("_hi") === col("_lo"), lit(0))
-          .otherwise(round((x - col("_lo")) / ((col("_hi") - col("_lo")) / 255.0), 0)
-            .cast("int"))),
+      .withColumn("_recon", once(transform(
+        sq8Codes(v, col("_lo"), col("_hi")),
         c => col("_qmin") + c.cast("double") * col("_qscale"))))
       .filter(VectorOps.normSq(col("_recon")) > 0)
       .select(col(idCol), col("cell"), col("_recon"))

@@ -69,14 +69,28 @@ object StreamingIngest {
       .withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1).drop("_rn")
     merged.write.mode("overwrite").parquet(tmp.toString)
+    swapInto(fs, dst, tmp, bak, "upsertBatch")
+  }
+
+  /** The COMMIT half of the tmp/bak dance, shared by [[upsertBatch]],
+    * [[graft.io.Tables.compact]] and [[graft.io.IvfIndex.build]]:
+    * `tmp` must already hold the COMPLETE new table. Renames dst→bak,
+    * tmp→dst, drops bak; a failed promotion restores the old table (and
+    * says which state survived if even that fails). ONE definition so
+    * the [[recoverSwap]] invariant — bak exists ⇒ tmp was complete — is
+    * enforced by construction at every caller, not by three hand-rolled
+    * copies drifting apart. */
+  private[graft] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+      dst: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      bak: org.apache.hadoop.fs.Path, what: String): Unit = {
     if (fs.exists(dst) && !fs.rename(dst, bak))
-      throw new java.io.IOException(
-        s"upsertBatch: rename $dst -> $bak failed; table intact at $dst")
+      throw new java.io.IOException(s"$what: rename $dst -> $bak failed; previous table intact")
     if (!fs.rename(tmp, dst)) {
-      // put the old table back so readers never see it missing
-      if (fs.exists(bak)) fs.rename(bak, dst)
+      if (fs.exists(bak) && fs.rename(bak, dst))
+        throw new java.io.IOException(
+          s"$what: rename $tmp -> $dst failed; previous table restored")
       throw new java.io.IOException(
-        s"upsertBatch: rename $tmp -> $dst failed; previous table restored")
+        s"$what: rename $tmp -> $dst failed AND restore failed; data intact at $bak")
     }
     if (fs.exists(bak)) fs.delete(bak, true)
   }
