@@ -134,6 +134,25 @@ class IvfIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/compact_work").exists())
   }
 
+  test("readers leave an in-flight rebuild's staging alone; only a missing index recovers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    IvfIndex.build(vecs(80, 16, seed = 41), dir, nlist = 4)
+    // simulate another process mid-rebuild: staging exists NEXT TO a
+    // consistent index — a read must not delete it (the old
+    // unconditional recovery did, killing the concurrent build)
+    val staging = new java.io.File(dir + "_build_tmp/centroids")
+    staging.mkdirs()
+    val marker = new java.io.File(staging, "in-flight.parquet")
+    marker.createNewFile()
+    val cents = IvfIndex.centroids(spark, dir)
+    assert(cents.size == 4)
+    assert(marker.exists(), "reader deleted an in-flight build's staging")
+    // the single writer cleans it up on its next build, and still works
+    IvfIndex.build(vecs(80, 16, seed = 41), dir, nlist = 4)
+    assert(!marker.exists())
+    assert(IvfIndex.centroids(spark, dir).size == 4)
+  }
+
   test("a crash between build's swap renames is rolled back at the next read") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
     IvfIndex.build(vecs(100, 16, seed = 29), dir, nlist = 4)
