@@ -575,6 +575,12 @@ object SparkEntry {
       Sampling.tokenBudgetPlan(Tables.documents(s, d),
         Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15), ("xx", 0.05)),
         budgetTokens = 200000L)),
+    // the materialized training list the plan sizes: one row per
+    // (doc, epoch), repeating data where the mixture demands it
+    "epoch_mixture" -> ((s, d) =>
+      Sampling.epochMixture(Tables.documents(s, d),
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15), ("xx", 0.05)),
+        budgetTokens = 200000L)),
     "q22_year_spine" -> ((s, d) =>
       Relational.yearSpineAgg(Tables.orders(s, d))),
     "lm_surprisal" -> ((s, d) =>
@@ -2275,6 +2281,25 @@ object SparkEntry {
         |  THEN (target_tokens + available_tokens - 1) // available_tokens END AS epochs,
         | target_tokens > available_tokens AS repeats_data
         |FROM j""".stripMargin,
+
+    // the plan MATERIALIZED: full epochs for every doc of a repeating
+    // stratum, the remainder epoch by 64k-quantized md5 threshold (the
+    // domain_resample mechanism), absent strata emit nothing
+    "epoch_mixture" ->
+      """WITH w AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
+        |  ('fr', 150000), ('es', 150000), ('xx', 50000)) t(lang, w6)),
+        |avail AS (SELECT lang,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> t <> ''))) AS BIGINT) AS a
+        | FROM documents GROUP BY lang),
+        |plan AS (SELECT w.lang, a, (200000::BIGINT * w6) // 1050000 AS tgt
+        |         FROM w JOIN avail USING (lang) WHERE a > 0),
+        |p2 AS (SELECT lang, tgt // a AS fe, ((tgt % a) * 65536) // a AS rem FROM plan)
+        |SELECT doc_id, d.lang, epoch_idx
+        |FROM documents d JOIN p2 USING (lang),
+        | LATERAL (SELECT unnest(generate_series(0, fe)) AS epoch_idx) g
+        |WHERE epoch_idx < fe
+        |   OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < rem""".stripMargin,
 
     "q22_year_spine" ->
       """WITH RECURSIVE bounds AS (

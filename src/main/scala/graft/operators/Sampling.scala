@@ -189,6 +189,40 @@ object Sampling {
       .withColumn("repeats_data", col("target_tokens") > col("available_tokens"))
   }
 
+  /** Materialize the [[tokenBudgetPlan]] into the actual training list —
+    * the step that turns the sizing report into data: one output row per
+    * (document, epoch) the mixture trains on. A stratum whose target
+    * exceeds its available tokens REPEATS its data (the
+    * data-constrained-scaling regime the plan's `epochs` column warns
+    * about): every doc appears in epochs `0 .. target div available - 1`
+    * in full, and the remainder epoch keeps the docs whose key hash
+    * falls under `(target mod available) / available` of the hash space
+    * — the same deterministic [[md5Bucket64k]] thresholding as
+    * [[trainTestSplit]]/[[domainResample]], quantized to 1/65536 (row-
+    * fraction ≈ token-fraction; exact-token packing belongs to
+    * [[packShards]]). Absent strata have no docs to emit. Scan-only per
+    * row after a broadcast plan join — the epoch explode is bounded by
+    * the plan's epoch counts, and every engine/re-run emits the
+    * identical list. */
+  def epochMixture(docs: DataFrame, targets: Seq[(String, Double)],
+                   budgetTokens: Long, stratumCol: String = "lang",
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val plan = tokenBudgetPlan(docs, targets, budgetTokens, stratumCol, textCol)
+      .filter(col("available_tokens") > 0)
+      .select(col(stratumCol),
+        expr("target_tokens div available_tokens").as("_full"),
+        expr("((target_tokens % available_tokens) * 65536) div available_tokens")
+          .as("_rem64k"))
+    docs.select(col(idCol), col(stratumCol))
+      .join(broadcast(plan), stratumCol)
+      .select(col(idCol), col(stratumCol),
+        explode(sequence(lit(0L), col("_full"))).as("epoch_idx"),
+        col("_full"), col("_rem64k"))
+      .filter(col("epoch_idx") < col("_full") ||
+        md5Bucket64k(col(idCol)) < col("_rem64k"))
+      .select(col(idCol), col(stratumCol), col("epoch_idx"))
+  }
+
   /** Domain reweighting by deterministic downsampling: given target
     * mixture proportions per stratum (e.g. language or source domain —
     * the knob every LLM data pipeline tunes), keep the LARGEST subset

@@ -31,6 +31,32 @@ class SamplingRelationalSpec extends SparkSpec {
       assert(counts(lang) === math.ceil(n * 0.1).toLong, s"stratum $lang") }
   }
 
+  test("epoch mixture repeats data exactly per the plan, partial epoch by hash") {
+    // aa: 2 docs x 5 tokens = 10 available; target 40 -> exactly 4 full
+    // epochs, zero remainder. bb: 4 docs x 5 = 20 available; target 10
+    // -> 0 full epochs, remainder rate 32768/65536 of the hash space.
+    val corpus = (Seq((1L, "a b c d e", "aa"), (2L, "f g h i j", "aa")) ++
+      Seq.tabulate(4)(i => ((10 + i).toLong, "k l m n o", "bb")))
+      .toDF("doc_id", "text", "lang")
+    val out = Sampling.epochMixture(corpus, Seq(("aa", 0.8), ("bb", 0.2)),
+      budgetTokens = 50L)
+    val rows = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val aa = rows.filter(_._2 == "aa")
+    assert(aa.groupBy(_._1).view.mapValues(_.map(_._3).sorted.toSeq).toMap ==
+      Map(1L -> Seq(0L, 1L, 2L, 3L), 2L -> Seq(0L, 1L, 2L, 3L)))
+    val bb = rows.filter(_._2 == "bb")
+    assert(bb.forall(_._3 == 0L), "bb must only reach the partial epoch")
+    // the partial epoch keeps EXACTLY the docs under the 64k hash cut
+    val expected = corpus.filter(col("lang") === "bb")
+      .filter(Sampling.md5Bucket64k(col("doc_id")) < 32768)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bb.map(_._1).toSet == expected)
+    // deterministic under re-run and repartitioning
+    assert(Sampling.epochMixture(corpus.repartition(5), Seq(("aa", 0.8), ("bb", 0.2)),
+      budgetTokens = 50L).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq == rows.sorted.toSeq)
+  }
+
   test("PII redaction replaces URLs, emails, and phones with typed placeholders") {
     val docs = Seq(
       (1L, "mail me at a.user+x@test.org or see https://ex.com/p?q=1 or call 555-123-4567"),
