@@ -684,12 +684,23 @@ object SparkEntry {
     })
   )
 
+  /** The ivf_persisted demo index location — see that query's comment.
+    * Deleted on JVM exit so repeated harness runs don't accumulate
+    * vector-table copies under the system tmpdir. */
+  private lazy val ivfDemoDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-q")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del))
+        f.delete(): Unit
+      }
+      del(p.toFile)
+    }))
+    p.toString
+  }
+
   // CMS geometry shared by the query and its oracle — one definition, no
   // silent drift between the Spark sketch and the SQL cell replay
-  /** The ivf_persisted demo index location — see that query's comment. */
-  private lazy val ivfDemoDir: String =
-    java.nio.file.Files.createTempDirectory("graft-ivf-q").toString
-
   private val cmsProbeTerms = Seq("the", "table", "query", "spark", "zzz_absent")
   private val cmsDepth = 4
   private val cmsWidth = 256
@@ -2283,8 +2294,10 @@ object SparkEntry {
         |FROM j""".stripMargin,
 
     // the plan MATERIALIZED: full epochs for every doc of a repeating
-    // stratum, the remainder epoch by 64k-quantized md5 threshold (the
-    // domain_resample mechanism), absent strata emit nothing
+    // stratum, the remainder epoch by SALTED 64k-quantized md5 threshold
+    // (independent of the unsalted split/resample buckets) with a
+    // one-bucket floor when any remainder tokens exist; absent strata
+    // emit nothing
     "epoch_mixture" ->
       """WITH w AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
         |  ('fr', 150000), ('es', 150000), ('xx', 50000)) t(lang, w6)),
@@ -2294,12 +2307,14 @@ object SparkEntry {
         | FROM documents GROUP BY lang),
         |plan AS (SELECT w.lang, a, (200000::BIGINT * w6) // 1050000 AS tgt
         |         FROM w JOIN avail USING (lang) WHERE a > 0),
-        |p2 AS (SELECT lang, tgt // a AS fe, ((tgt % a) * 65536) // a AS rem FROM plan)
+        |p2 AS (SELECT lang, tgt // a AS fe,
+        |        GREATEST(((tgt % a) * 65536) // a,
+        |          CASE WHEN tgt % a > 0 THEN 1 ELSE 0 END) AS rem FROM plan)
         |SELECT doc_id, d.lang, epoch_idx
         |FROM documents d JOIN p2 USING (lang),
         | LATERAL (SELECT unnest(generate_series(0, fe)) AS epoch_idx) g
         |WHERE epoch_idx < fe
-        |   OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < rem""".stripMargin,
+        |   OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT < rem""".stripMargin,
 
     "q22_year_spine" ->
       """WITH RECURSIVE bounds AS (

@@ -81,7 +81,17 @@ object IvfIndex {
     * recoverSwap's dst-exists branch does) would kill that build
     * mid-write. Stale staging from a crash-after-commit is cleaned by
     * the next [[build]], which recovers unconditionally as the single
-    * writer. */
+    * writer.
+    *
+    * Residual window, stated honestly: during a LIVE rebuild's commit
+    * the dir is also briefly missing (between swapInto's two renames),
+    * and a reader landing exactly there will run the same recovery the
+    * builder is about to complete — both sides then race the renames
+    * and one can fail spuriously. That window is two rename syscalls
+    * (vs. the whole build duration before this guard); closing it
+    * entirely needs a coordinator or catalog, which rename-based
+    * layouts don't have. Operationally: rebuilds are maintenance —
+    * schedule them off the read path, like [[compact]]'s contract. */
   private def recoverIfMissing(spark: SparkSession, dir: String): Unit = {
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = fsOf(spark, dst)

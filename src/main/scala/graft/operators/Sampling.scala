@@ -195,11 +195,15 @@ object Sampling {
     * exceeds its available tokens REPEATS its data (the
     * data-constrained-scaling regime the plan's `epochs` column warns
     * about): every doc appears in epochs `0 .. target div available - 1`
-    * in full, and the remainder epoch keeps the docs whose key hash
-    * falls under `(target mod available) / available` of the hash space
-    * — the same deterministic [[md5Bucket64k]] thresholding as
-    * [[trainTestSplit]]/[[domainResample]], quantized to 1/65536 (row-
-    * fraction ≈ token-fraction; exact-token packing belongs to
+    * in full, and the remainder epoch keeps the docs whose SALTED key
+    * hash (`md5(id || ":epoch")`) falls under
+    * `(target mod available) / available` of the hash space — salted so
+    * the cut is independent of [[trainTestSplit]]/[[domainResample]]'s
+    * unsalted buckets (an input pre-filtered by those would otherwise
+    * see an empty or over-full remainder epoch), quantized to 1/65536
+    * with a floor of one bucket whenever any remainder tokens exist (a
+    * funded stratum must never silently vanish below the quantum; row-
+    * fraction ≈ token-fraction, exact-token packing belongs to
     * [[packShards]]). Absent strata have no docs to emit. Scan-only per
     * row after a broadcast plan join — the epoch explode is bounded by
     * the plan's epoch counts, and every engine/re-run emits the
@@ -211,7 +215,9 @@ object Sampling {
       .filter(col("available_tokens") > 0)
       .select(col(stratumCol),
         expr("target_tokens div available_tokens").as("_full"),
-        expr("((target_tokens % available_tokens) * 65536) div available_tokens")
+        greatest(
+          expr("((target_tokens % available_tokens) * 65536) div available_tokens"),
+          expr("CASE WHEN target_tokens % available_tokens > 0 THEN 1 ELSE 0 END"))
           .as("_rem64k"))
     docs.select(col(idCol), col(stratumCol))
       .join(broadcast(plan), stratumCol)
@@ -219,7 +225,7 @@ object Sampling {
         explode(sequence(lit(0L), col("_full"))).as("epoch_idx"),
         col("_full"), col("_rem64k"))
       .filter(col("epoch_idx") < col("_full") ||
-        md5Bucket64k(col(idCol)) < col("_rem64k"))
+        md5Bucket64k(concat(col(idCol).cast("string"), lit(":epoch"))) < col("_rem64k"))
       .select(col(idCol), col(stratumCol), col("epoch_idx"))
   }
 

@@ -64,13 +64,6 @@ object Similarity {
       .select(col(qidCol), col(idCol), col("score"), col("rank"))
   }
 
-  /** Scalar (int8) quantization of an embedding column — the standard
-    * memory lever for a 100 TB vector index (4× smaller than float32, and
-    * SIMD-friendly at query time): per-vector affine map of each
-    * component to 0..255 with the vector's own (min, max) as the range.
-    * Pure per-row arithmetic — scan-parallel, no shuffle; dequantized
-    * values land within half a step of the original, which the spec
-    * asserts. Constant vectors (max == min) quantize to 0 with scale 0. */
   /** The int8 affine code map shared by [[scalarQuantize]] and
     * [[ivfSq8TopK]] — and replayed verbatim by both DuckDB oracles, so
     * ONE definition keeps operator and replay in lockstep. `lo`/`hi`
@@ -81,6 +74,13 @@ object Similarity {
     transform(vDouble, x => when(hi === lo, lit(0))
       .otherwise(round((x - lo) / ((hi - lo) / 255.0), 0).cast("int")))
 
+  /** Scalar (int8) quantization of an embedding column — the standard
+    * memory lever for a 100 TB vector index (4× smaller than float32, and
+    * SIMD-friendly at query time): per-vector affine map of each
+    * component to 0..255 with the vector's own (min, max) as the range.
+    * Pure per-row arithmetic — scan-parallel, no shuffle; dequantized
+    * values land within half a step of the original, which the spec
+    * asserts. Constant vectors (max == min) quantize to 0 with scale 0. */
   def scalarQuantize(vecs: DataFrame, idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
     val lo = col("_lo")

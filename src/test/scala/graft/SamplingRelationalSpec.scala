@@ -46,11 +46,31 @@ class SamplingRelationalSpec extends SparkSpec {
       Map(1L -> Seq(0L, 1L, 2L, 3L), 2L -> Seq(0L, 1L, 2L, 3L)))
     val bb = rows.filter(_._2 == "bb")
     assert(bb.forall(_._3 == 0L), "bb must only reach the partial epoch")
-    // the partial epoch keeps EXACTLY the docs under the 64k hash cut
+    // the partial epoch keeps EXACTLY the docs under the SALTED 64k
+    // hash cut — salted so composing with trainTestSplit/domainResample
+    // (unsalted buckets) cannot skew or empty the remainder epoch
     val expected = corpus.filter(col("lang") === "bb")
-      .filter(Sampling.md5Bucket64k(col("doc_id")) < 32768)
+      .filter(Sampling.md5Bucket64k(
+        concat(col("doc_id").cast("string"), lit(":epoch"))) < 32768)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(bb.map(_._1).toSet == expected)
+    // a funded remainder below the 1/65536 quantum keeps the one-bucket
+    // floor: available 200000 >> 65536 x target 1 floors the unguarded
+    // cut to zero — the floor admits exactly the bucket-0 docs
+    def saltedBucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$id:epoch".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      Integer.parseInt(hex.substring(0, 4), 16)
+    }
+    val hit = (0L to 400000L).find(saltedBucket(_) == 0).get
+    val others = Iterator.from(1).map(_ + 1000000L)
+      .filter(saltedBucket(_) != 0).take(49).toSeq
+    val big = (hit +: others).map(id => (id, ("w " * 4000).trim, "cc"))
+      .toDF("doc_id", "text", "lang")
+    val floored = Sampling.epochMixture(big, Seq(("cc", 1.0)), budgetTokens = 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(floored.toSeq == Seq((hit, 0L)),
+      "the one-bucket floor must admit exactly the bucket-0 doc")
     // deterministic under re-run and repartitioning
     assert(Sampling.epochMixture(corpus.repartition(5), Seq(("aa", 0.8), ("bb", 0.2)),
       budgetTokens = 50L).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
