@@ -603,6 +603,33 @@ object SparkEntry {
         .select(col("doc_id").as("bench_id"), col("text"))
       Cleaning.cleanCorpus(docs, bench)
     }),
+    // the curation SPINE — golden_e2e's training-data sibling: quality/
+    // dedup/decontamination verdict -> keep -> duplicated-passage clip
+    // -> token-budget mixture materialized over the CLEANED text. Pins
+    // the whole detect -> act -> size -> materialize chain against one
+    // oracle. Whitelist covers the mixture's strata (a lang the verdict
+    // rejects wholesale would leave a funded stratum nearly empty and
+    // blow its epoch count up to the repetition bound)
+    "curation_e2e" -> ((s, d) => {
+      // full-corpus on purpose: wall-clock here is the chain's ~40-stage
+      // critical path, NOT data (measured 5.4 s warm at sf0.001 AND
+      // sf0.1, scoped or not — the golden_e2e scheduling floor, deeper);
+      // a doc-subset demo would cost the same and test less
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      val kept = docs.join(
+        Cleaning.cleanCorpus(docs, bench,
+          langWhitelist = Seq("en", "de", "fr", "es", "pt"))
+          .filter(col("keep")).select("doc_id"),
+        "doc_id")
+      val cleaned = Dedup.clipDuplicatedSpans(kept)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      Sampling.epochMixture(cleaned,
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)),
+        budgetTokens = 100000L)
+    }),
     "q23_lateral" -> ((s, d) =>
       Relational.lateralTopPerNation(Tables.nation(s, d), Tables.customer(s, d))),
     "pq_codes" -> ((s, d) =>
@@ -2372,6 +2399,66 @@ object SparkEntry {
          |SELECT doc_id, COALESCE(array_to_string(rs, ','), '') AS reasons,
          | len(rs) = 0 AS keep
          |FROM r""".stripMargin,
+
+    // the curation spine, composed from the same shared sub-oracles the
+    // component queries replay: verdict (wider whitelist covering the
+    // mixture strata) -> kept -> passage clip -> salted/floored epoch
+    // mixture over the CLEANED token counts
+    "curation_e2e" ->
+      s"""WITH dd AS ($dedupExactSql),
+         |lg AS ($langIdSql),
+         |rp AS ($repetitionStatsSql),
+         |sp AS ($lmSurprisalSql),
+         |dc AS ($decontamReportSql),
+         |vj AS (SELECT d.doc_id, dd.is_duplicate, lg.pred_lang,
+         |        rp.top_bigram_ratio, sp.avg_surprisal, dc.contaminated
+         |      FROM documents d
+         |      JOIN dd USING (doc_id) JOIN lg USING (doc_id) JOIN rp USING (doc_id)
+         |      LEFT JOIN sp USING (doc_id) JOIN dc USING (doc_id)),
+         |vr AS (SELECT doc_id, list_filter([
+         |   CASE WHEN is_duplicate THEN 'duplicate' END,
+         |   CASE WHEN pred_lang NOT IN ('en', 'de', 'fr', 'es', 'pt') THEN 'lang' END,
+         |   CASE WHEN top_bigram_ratio > 0.08 THEN 'repetitive' END,
+         |   CASE WHEN avg_surprisal > 3.5 THEN 'high_surprisal' END,
+         |   CASE WHEN contaminated THEN 'contaminated' END],
+         |  x -> x IS NOT NULL) AS rs FROM vj),
+         |kept AS (SELECT d.doc_id, d.text, d.lang
+         |         FROM documents d JOIN vr USING (doc_id) WHERE len(rs) = 0),
+         |cw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM kept),
+         |cp AS (SELECT doc_id, i - 1 AS pos,
+         |       ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT AS fp
+         |      FROM cw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) g
+         |      WHERE len(ws) >= 4),
+         |cd AS (SELECT fp FROM cp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+         |cdp AS (SELECT doc_id, pos FROM cp JOIN cd USING (fp)),
+         |cseg AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+         |         THEN 0 ELSE 1 END AS new_seg
+         |        FROM cdp),
+         |cgrp AS (SELECT doc_id, pos,
+         |        sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id FROM cseg),
+         |cspans AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
+         |          FROM cgrp GROUP BY doc_id, seg_id
+         |          HAVING max(pos) + 3 - min(pos) + 1 >= 8),
+         |ctok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tk
+         |        FROM cw, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
+         |ckeep AS (SELECT t.doc_id, t.tk FROM ctok t
+         |         WHERE t.tk <> '' AND NOT EXISTS (SELECT 1 FROM cspans s
+         |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)),
+         |mavail AS (SELECT k.lang, CAST(count(*) AS BIGINT) AS a
+         |          FROM ckeep c JOIN kept k USING (doc_id) GROUP BY k.lang),
+         |mw AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
+         |  ('fr', 150000), ('es', 150000)) t(lang, w6)),
+         |mplan AS (SELECT mw.lang, a, (100000::BIGINT * w6) // 1000000 AS tgt
+         |         FROM mw JOIN mavail USING (lang) WHERE a > 0),
+         |mp2 AS (SELECT lang, tgt // a AS fe,
+         |        GREATEST(((tgt % a) * 65536) // a,
+         |          CASE WHEN tgt % a > 0 THEN 1 ELSE 0 END) AS rem FROM mplan)
+         |SELECT doc_id, k.lang, epoch_idx
+         |FROM kept k JOIN mp2 USING (lang),
+         | LATERAL (SELECT unnest(generate_series(0, fe)) AS epoch_idx) g
+         |WHERE epoch_idx < fe
+         |   OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT < rem""".stripMargin,
 
     "q23_lateral" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal
