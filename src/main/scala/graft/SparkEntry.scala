@@ -716,13 +716,8 @@ object SparkEntry {
     * vector-table copies under the system tmpdir. */
   private lazy val ivfDemoDir: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-ivf-q")
-    Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      def del(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(del))
-        f.delete(): Unit
-      }
-      del(p.toFile)
-    }))
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
     p.toString
   }
 
@@ -799,6 +794,33 @@ object SparkEntry {
         | COALESCE(a.n_overlap, 0) AS n_overlap,
         | a.n_bench_hits IS NOT NULL AS contaminated
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
+
+  /** Shared DuckDB replay of `Dedup.duplicatedSpans` (n=4, minDocs=2,
+    * minSpanWords=8) over source `src(doc_id, text, …)`: a CTE chain
+    * ending in `dsspans(doc_id, span_start, span_end, n_dup_grams,
+    * span_words)`, with the tokenized corpus exposed as `dsw(doc_id,
+    * ws)` for clip tails. Composed by dup_spans, dup_spans_clip AND
+    * curation_e2e — ONE definition, no silent drift (the same
+    * fragment discipline as the verdict sub-oracles). */
+  private def dupSpanCtes(src: String): String =
+    s"""dsw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM $src),
+       |dsp AS (SELECT doc_id, i - 1 AS pos,
+       |       ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT AS fp
+       |      FROM dsw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) g
+       |      WHERE len(ws) >= 4),
+       |dsd AS (SELECT fp FROM dsp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
+       |dsdp AS (SELECT doc_id, pos FROM dsp JOIN dsd USING (fp)),
+       |dsseg AS (SELECT doc_id, pos,
+       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+       |         THEN 0 ELSE 1 END AS new_seg
+       |        FROM dsdp),
+       |dsgrp AS (SELECT doc_id, pos,
+       |        sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id FROM dsseg),
+       |dsspans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
+       |           CAST(count(*) AS BIGINT) AS n_dup_grams,
+       |           max(pos) + 3 - min(pos) + 1 AS span_words
+       |          FROM dsgrp GROUP BY doc_id, seg_id
+       |          HAVING max(pos) + 3 - min(pos) + 1 >= 8)""".stripMargin
 
   /** Brute-force exact-cosine top-10 over the standard (vec_id < 5
     * queries) ⨯ (vec_id >= 5 candidates) split — the ONE scoring/rank
@@ -1185,60 +1207,29 @@ object SparkEntry {
     // gaps-and-islands span merge (windows within n touch or overlap);
     // same md5-60bit fingerprint and \s+ tokenization as the operator
     "dup_spans" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws FROM documents),
-        |p AS (SELECT doc_id, i - 1 AS pos,
-        |       ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT AS fp
-        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) g
-        |      WHERE len(ws) >= 4),
-        |d AS (SELECT fp FROM p GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
-        |dp AS (SELECT doc_id, pos FROM p JOIN d USING (fp)),
-        |seg AS (SELECT doc_id, pos,
-        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
-        |         THEN 0 ELSE 1 END AS new_seg
-        |        FROM dp),
-        |grp AS (SELECT doc_id, pos,
-        |        sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id FROM seg),
-        |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
-        |           CAST(count(*) AS BIGINT) AS n_dup_grams,
-        |           max(pos) + 3 - min(pos) + 1 AS span_words
-        |          FROM grp GROUP BY doc_id, seg_id)
-        |SELECT * FROM spans WHERE span_words >= 8""".stripMargin,
+      s"""WITH ${dupSpanCtes("documents")}
+         |SELECT * FROM dsspans""".stripMargin,
 
     // independent formulation of the clip: per-token anti-join against
     // the span ranges (the operator uses an index-lambda filter), then
     // order-preserving string_agg — only docs that lost words emitted
     "dup_spans_clip" ->
-      """WITH w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS ws
-        |          FROM documents WHERE doc_id < 1000),
-        |p AS (SELECT doc_id, i - 1 AS pos,
-        |       ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT AS fp
-        |      FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) g
-        |      WHERE len(ws) >= 4),
-        |d AS (SELECT fp FROM p GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
-        |dp AS (SELECT doc_id, pos FROM p JOIN d USING (fp)),
-        |seg AS (SELECT doc_id, pos,
-        |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
-        |         THEN 0 ELSE 1 END AS new_seg
-        |        FROM dp),
-        |grp AS (SELECT doc_id, pos,
-        |        sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id FROM seg),
-        |spans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end
-        |          FROM grp GROUP BY doc_id, seg_id
-        |          HAVING max(pos) + 3 - min(pos) + 1 >= 8),
-        |tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tk
-        |        FROM w, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
-        |keep AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
-        |         WHERE NOT EXISTS (SELECT 1 FROM spans s
-        |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)),
-        |agg AS (SELECT k.doc_id,
-        |         COALESCE(string_agg(k.tk, ' ' ORDER BY k.pos), '') AS clean_text,
-        |         count(*) AS n_kept
-        |        FROM keep k GROUP BY k.doc_id)
-        |SELECT w.doc_id, COALESCE(a.clean_text, '') AS clean_text,
-        | CAST(len(w.ws) AS INTEGER) AS n_words,
-        | CAST(len(w.ws) - COALESCE(a.n_kept, 0) AS INTEGER) AS n_words_removed
-        |FROM w LEFT JOIN agg a USING (doc_id)
-        |WHERE len(w.ws) - COALESCE(a.n_kept, 0) > 0""".stripMargin,
+      s"""WITH clip_src AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+         |${dupSpanCtes("clip_src")},
+         |tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tk
+         |        FROM dsw, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
+         |keep AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
+         |         WHERE NOT EXISTS (SELECT 1 FROM dsspans s
+         |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)),
+         |agg AS (SELECT k.doc_id,
+         |         COALESCE(string_agg(k.tk, ' ' ORDER BY k.pos), '') AS clean_text,
+         |         count(*) AS n_kept
+         |        FROM keep k GROUP BY k.doc_id)
+         |SELECT dsw.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+         | CAST(len(dsw.ws) AS INTEGER) AS n_words,
+         | CAST(len(dsw.ws) - COALESCE(a.n_kept, 0) AS INTEGER) AS n_words_removed
+         |FROM dsw LEFT JOIN agg a USING (doc_id)
+         |WHERE len(dsw.ws) - COALESCE(a.n_kept, 0) > 0""".stripMargin,
 
     "minhash_pairs" -> {
       val matchSum = (0 until 8).map(i =>
@@ -2321,10 +2312,11 @@ object SparkEntry {
         |FROM j""".stripMargin,
 
     // the plan MATERIALIZED: full epochs for every doc of a repeating
-    // stratum, the remainder epoch by SALTED 64k-quantized md5 threshold
-    // (independent of the unsalted split/resample buckets) with a
-    // one-bucket floor when any remainder tokens exist; absent strata
-    // emit nothing
+    // stratum; the remainder epoch keeps docs under the SALTED
+    // 64k-quantized md5 cut (independent of the unsalted split/resample
+    // buckets) PLUS the stratum's hash-minimal doc whenever remainder
+    // tokens exist — funded strata always emit, overshoot bounded by
+    // one doc; absent strata emit nothing
     "epoch_mixture" ->
       """WITH w AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
         |  ('fr', 150000), ('es', 150000), ('xx', 50000)) t(lang, w6)),
@@ -2334,14 +2326,18 @@ object SparkEntry {
         | FROM documents GROUP BY lang),
         |plan AS (SELECT w.lang, a, (200000::BIGINT * w6) // 1050000 AS tgt
         |         FROM w JOIN avail USING (lang) WHERE a > 0),
-        |p2 AS (SELECT lang, tgt // a AS fe,
-        |        GREATEST(((tgt % a) * 65536) // a,
-        |          CASE WHEN tgt % a > 0 THEN 1 ELSE 0 END) AS rem FROM plan)
-        |SELECT doc_id, d.lang, epoch_idx
-        |FROM documents d JOIN p2 USING (lang),
+        |p2 AS (SELECT lang, tgt // a AS fe, ((tgt % a) * 65536) // a AS rem,
+        |        tgt % a > 0 AS has_rem FROM plan),
+        |hm AS (SELECT doc_id, lang,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT AS sb,
+        |        row_number() OVER (PARTITION BY lang ORDER BY
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT,
+        |          doc_id) = 1 AS hmin
+        |       FROM documents)
+        |SELECT d.doc_id, d.lang, epoch_idx
+        |FROM documents d JOIN hm USING (doc_id, lang) JOIN p2 USING (lang),
         | LATERAL (SELECT unnest(generate_series(0, fe)) AS epoch_idx) g
-        |WHERE epoch_idx < fe
-        |   OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT < rem""".stripMargin,
+        |WHERE epoch_idx < fe OR (has_rem AND (sb < rem OR hmin))""".stripMargin,
 
     "q22_year_spine" ->
       """WITH RECURSIVE bounds AS (
@@ -2424,41 +2420,30 @@ object SparkEntry {
          |  x -> x IS NOT NULL) AS rs FROM vj),
          |kept AS (SELECT d.doc_id, d.text, d.lang
          |         FROM documents d JOIN vr USING (doc_id) WHERE len(rs) = 0),
-         |cw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM kept),
-         |cp AS (SELECT doc_id, i - 1 AS pos,
-         |       ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT AS fp
-         |      FROM cw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) g
-         |      WHERE len(ws) >= 4),
-         |cd AS (SELECT fp FROM cp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
-         |cdp AS (SELECT doc_id, pos FROM cp JOIN cd USING (fp)),
-         |cseg AS (SELECT doc_id, pos,
-         |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
-         |         THEN 0 ELSE 1 END AS new_seg
-         |        FROM cdp),
-         |cgrp AS (SELECT doc_id, pos,
-         |        sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id FROM cseg),
-         |cspans AS (SELECT doc_id, min(pos) AS s, max(pos) + 3 AS e
-         |          FROM cgrp GROUP BY doc_id, seg_id
-         |          HAVING max(pos) + 3 - min(pos) + 1 >= 8),
+         |${dupSpanCtes("kept")},
          |ctok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tk
-         |        FROM cw, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
+         |        FROM dsw, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
          |ckeep AS (SELECT t.doc_id, t.tk FROM ctok t
-         |         WHERE t.tk <> '' AND NOT EXISTS (SELECT 1 FROM cspans s
-         |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.s AND s.e)),
+         |         WHERE t.tk <> '' AND NOT EXISTS (SELECT 1 FROM dsspans s
+         |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)),
          |mavail AS (SELECT k.lang, CAST(count(*) AS BIGINT) AS a
          |          FROM ckeep c JOIN kept k USING (doc_id) GROUP BY k.lang),
          |mw AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
          |  ('fr', 150000), ('es', 150000)) t(lang, w6)),
          |mplan AS (SELECT mw.lang, a, (100000::BIGINT * w6) // 1000000 AS tgt
          |         FROM mw JOIN mavail USING (lang) WHERE a > 0),
-         |mp2 AS (SELECT lang, tgt // a AS fe,
-         |        GREATEST(((tgt % a) * 65536) // a,
-         |          CASE WHEN tgt % a > 0 THEN 1 ELSE 0 END) AS rem FROM mplan)
-         |SELECT doc_id, k.lang, epoch_idx
-         |FROM kept k JOIN mp2 USING (lang),
+         |mp2 AS (SELECT lang, tgt // a AS fe, ((tgt % a) * 65536) // a AS rem,
+         |        tgt % a > 0 AS has_rem FROM mplan),
+         |mhm AS (SELECT doc_id, lang,
+         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT AS sb,
+         |        row_number() OVER (PARTITION BY lang ORDER BY
+         |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT,
+         |          doc_id) = 1 AS hmin
+         |       FROM kept)
+         |SELECT k.doc_id, k.lang, epoch_idx
+         |FROM kept k JOIN mhm USING (doc_id, lang) JOIN mp2 USING (lang),
          | LATERAL (SELECT unnest(generate_series(0, fe)) AS epoch_idx) g
-         |WHERE epoch_idx < fe
-         |   OR ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT < rem""".stripMargin,
+         |WHERE epoch_idx < fe OR (has_rem AND (sb < rem OR hmin))""".stripMargin,
 
     "q23_lateral" ->
       """SELECT n.n_name, t.c_custkey, t.c_acctbal

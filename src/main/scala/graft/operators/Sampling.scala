@@ -200,14 +200,18 @@ object Sampling {
     * `(target mod available) / available` of the hash space — salted so
     * the cut is independent of [[trainTestSplit]]/[[domainResample]]'s
     * unsalted buckets (an input pre-filtered by those would otherwise
-    * see an empty or over-full remainder epoch), quantized to 1/65536
-    * with a floor of one bucket whenever any remainder tokens exist (a
-    * funded stratum must never silently vanish below the quantum; row-
-    * fraction ≈ token-fraction, exact-token packing belongs to
-    * [[packShards]]). Absent strata have no docs to emit. Scan-only per
-    * row after a broadcast plan join — the epoch explode is bounded by
-    * the plan's epoch counts, and every engine/re-run emits the
-    * identical list. */
+    * see an empty or over-full remainder epoch), quantized to 1/65536.
+    * Whenever ANY remainder tokens exist, the stratum's hash-MINIMAL
+    * doc is additionally always in: a funded stratum is guaranteed to
+    * emit, and the guarantee's overshoot is bounded by ONE document —
+    * the irreducible row granularity (a flat one-bucket floor would
+    * give neither bound: it admits ~N/65536 docs when it binds, and
+    * still nothing when no doc hashes under it; exact-token packing
+    * belongs to [[packShards]]). Absent strata have no docs to emit.
+    * One per-stratum window ranks the hash-minimal doc; everything else
+    * is scan-side after a broadcast plan join, epoch explode bounded by
+    * the plan's epoch counts — every engine/re-run emits the identical
+    * list. */
   def epochMixture(docs: DataFrame, targets: Seq[(String, Double)],
                    budgetTokens: Long, stratumCol: String = "lang",
                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -215,17 +219,20 @@ object Sampling {
       .filter(col("available_tokens") > 0)
       .select(col(stratumCol),
         expr("target_tokens div available_tokens").as("_full"),
-        greatest(
-          expr("((target_tokens % available_tokens) * 65536) div available_tokens"),
-          expr("CASE WHEN target_tokens % available_tokens > 0 THEN 1 ELSE 0 END"))
-          .as("_rem64k"))
+        expr("((target_tokens % available_tokens) * 65536) div available_tokens")
+          .as("_rem64k"),
+        expr("target_tokens % available_tokens > 0").as("_has_rem"))
+    val salted = md5Bucket64k(concat(col(idCol).cast("string"), lit(":epoch")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol)).orderBy(salted, col(idCol))
     docs.select(col(idCol), col(stratumCol))
+      .withColumn("_hmin", row_number().over(w) === 1)
       .join(broadcast(plan), stratumCol)
       .select(col(idCol), col(stratumCol),
         explode(sequence(lit(0L), col("_full"))).as("epoch_idx"),
-        col("_full"), col("_rem64k"))
+        col("_full"), col("_rem64k"), col("_has_rem"), col("_hmin"))
       .filter(col("epoch_idx") < col("_full") ||
-        md5Bucket64k(concat(col(idCol).cast("string"), lit(":epoch"))) < col("_rem64k"))
+        (col("_has_rem") && (salted < col("_rem64k") || col("_hmin"))))
       .select(col(idCol), col(stratumCol), col("epoch_idx"))
   }
 

@@ -46,31 +46,29 @@ class SamplingRelationalSpec extends SparkSpec {
       Map(1L -> Seq(0L, 1L, 2L, 3L), 2L -> Seq(0L, 1L, 2L, 3L)))
     val bb = rows.filter(_._2 == "bb")
     assert(bb.forall(_._3 == 0L), "bb must only reach the partial epoch")
-    // the partial epoch keeps EXACTLY the docs under the SALTED 64k
-    // hash cut — salted so composing with trainTestSplit/domainResample
-    // (unsalted buckets) cannot skew or empty the remainder epoch
-    val expected = corpus.filter(col("lang") === "bb")
-      .filter(Sampling.md5Bucket64k(
-        concat(col("doc_id").cast("string"), lit(":epoch"))) < 32768)
-      .select("doc_id").collect().map(_.getLong(0)).toSet
-    assert(bb.map(_._1).toSet == expected)
-    // a funded remainder below the 1/65536 quantum keeps the one-bucket
-    // floor: available 200000 >> 65536 x target 1 floors the unguarded
-    // cut to zero — the floor admits exactly the bucket-0 docs
+    // the partial epoch keeps the docs under the SALTED 64k hash cut
+    // (salted so composing with trainTestSplit/domainResample cannot
+    // skew or empty it) PLUS the stratum's hash-minimal doc
     def saltedBucket(id: Long): Int = {
       val md = java.security.MessageDigest.getInstance("MD5")
       val hex = md.digest(s"$id:epoch".getBytes("UTF-8")).map("%02x".format(_)).mkString
       Integer.parseInt(hex.substring(0, 4), 16)
     }
-    val hit = (0L to 400000L).find(saltedBucket(_) == 0).get
-    val others = Iterator.from(1).map(_ + 1000000L)
-      .filter(saltedBucket(_) != 0).take(49).toSeq
-    val big = (hit +: others).map(id => (id, ("w " * 4000).trim, "cc"))
+    val bbIds = corpus.filter(col("lang") === "bb")
+      .select("doc_id").collect().map(_.getLong(0))
+    val expected = bbIds.filter(saltedBucket(_) < 32768).toSet +
+      bbIds.minBy(id => (saltedBucket(id), id))
+    assert(bb.map(_._1).toSet == expected)
+    // a funded remainder far below the 1/65536 quantum STILL emits —
+    // exactly the hash-minimal doc (available 200000 >> 65536 x target
+    // 1 puts the unfloored cut at zero; the guarantee costs one doc)
+    val bigIds = (1L to 50L).map(_ + 1000000L)
+    val big = bigIds.map(id => (id, ("w " * 4000).trim, "cc"))
       .toDF("doc_id", "text", "lang")
-    val floored = Sampling.epochMixture(big, Seq(("cc", 1.0)), budgetTokens = 1L)
+    val guaranteed = Sampling.epochMixture(big, Seq(("cc", 1.0)), budgetTokens = 1L)
       .collect().map(r => (r.getLong(0), r.getLong(2)))
-    assert(floored.toSeq == Seq((hit, 0L)),
-      "the one-bucket floor must admit exactly the bucket-0 doc")
+    assert(guaranteed.toSeq == Seq((bigIds.minBy(id => (saltedBucket(id), id)), 0L)),
+      "the funded remainder must emit exactly the stratum's hash-minimal doc")
     // deterministic under re-run and repartitioning
     assert(Sampling.epochMixture(corpus.repartition(5), Seq(("aa", 0.8), ("bb", 0.2)),
       budgetTokens = 50L).collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
