@@ -336,13 +336,17 @@ object MediaCodec {
                              rgb_crc32: Long)
 
   private[graft] case class AviStream(width: Int, height: Int, scale: Int, rate: Int,
-                                      frames: Vector[Array[Byte]])
+                                      codec: String, frames: Vector[Array[Byte]])
+
+  private val MJPG_FOURCC =
+    ByteBuffer.wrap("MJPG".getBytes("US-ASCII")).order(ByteOrder.LITTLE_ENDIAN).getInt
 
   /** Walk the RIFF container: verify the 'AVI ' form, descend into the
     * hdrl/strl/movi LISTs, pick up geometry from `avih`, the frame clock
-    * from the 'vids' `strh`, require uncompressed 24-bpp BI_RGB from
-    * `strf`, and collect the '00db'/'00dc' frame chunks in stream order.
-    * Throws on anything else — the caller maps that to a dropped row. */
+    * from the 'vids' `strh`, the frame codec from `strf` (uncompressed
+    * 24-bpp BI_RGB, or 'MJPG' whose frames are plain JPEGs), and collect
+    * the '00db'/'00dc' frame chunks in stream order. Throws on anything
+    * else — the caller maps that to a dropped row. */
   private[graft] def parseAvi(payload: Array[Byte]): AviStream = {
     val bb = ByteBuffer.wrap(payload).order(ByteOrder.LITTLE_ENDIAN)
     def fourCC(): String = {
@@ -353,6 +357,7 @@ object MediaCodec {
     require(fourCC() == "AVI ", "not an AVI form")
     var (width, height, scale, rate) = (0, 0, 1, 25)
     var isVids = false
+    var codec = "" // set only by an accepted vids strf
     val frames = Vector.newBuilder[Array[Byte]]
     while (bb.remaining() >= 8) {
       val id = fourCC()
@@ -389,8 +394,20 @@ object MediaCodec {
         case "strf" if isVids =>
           require(size >= 20, "strf too short")
           val start = bb.position()
-          require(bb.getShort(start + 14) == 24, "not 24 bpp")
-          require(bb.getInt(start + 16) == 0, "not BI_RGB (uncompressed)")
+          // biCompression picks the frame codec: BI_RGB (0) = raw 24-bpp
+          // DIB scanlines; 'MJPG' = one JPEG per frame, which the JDK's
+          // own ImageIO decoder handles. Anything else is unsupported
+          // and must REJECT the stream here — degrading to zero sampled
+          // frames via the frame-size filter would look like a parsed-
+          // but-empty stream (the r8 ADVICE hazard).
+          bb.getInt(start + 16) match {
+            case 0 =>
+              require(bb.getShort(start + 14) == 24, "not 24 bpp")
+              codec = "dib"
+            case MJPG_FOURCC => codec = "mjpg"
+            case other => throw new IllegalArgumentException(
+              s"unsupported biCompression 0x${other.toHexString}")
+          }
           bb.position(start + size + size % 2)
         case "00db" | "00dc" =>
           val frame = new Array[Byte](size)
@@ -401,8 +418,12 @@ object MediaCodec {
           bb.position(bb.position() + size + size % 2)
       }
     }
-    require(width > 0 && height > 0 && rate > 0, "missing avih/strh geometry")
-    AviStream(width, height, scale, rate, frames.result())
+    // a vids strf must have been SEEN and ACCEPTED: without it the frame
+    // format is unknown, and an AVI that omits it would otherwise pass
+    // geometry checks and silently emit nothing downstream
+    require(width > 0 && height > 0 && rate > 0 && codec.nonEmpty,
+      "missing avih/strh/strf geometry")
+    AviStream(width, height, scale, rate, codec, frames.result())
   }
 
   /** Decode uncompressed-AVI video payloads frame by frame — the real
