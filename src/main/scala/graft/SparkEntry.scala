@@ -507,6 +507,13 @@ object SparkEntry {
     // over real pixels)
     "mm_video_frames" -> ((s, d) =>
       MediaCodec.aviFrames(MediaCodec.fixturesDF(s), step = 5).toDF()),
+    // compressed-video decode: MJPG AVI through the same container walk,
+    // each sampled frame JPEG-decoded with ImageIO; oracle VALUES derived
+    // by decoding the fixture's frame bytes directly (independent pixel
+    // walk — the container walk, sampling, and stream clock are what the
+    // compare actually validates; the JPEG codec is the JDK's only one)
+    "mm_video_mjpg" -> ((s, d) =>
+      MediaCodec.aviFrames(MediaCodec.mjpgFixturesDF(s), step = 5).toDF()),
     // the multimodal→similarity bridge: integer histogram emitted for
     // the exact compare; the normalized ARRAY<FLOAT> feeds retrieval
     "mm_image_embed" -> ((s, d) =>
@@ -1033,6 +1040,42 @@ object SparkEntry {
        |  SELECT e.dst, CAST(sum(p.pr6 // g.deg) AS BIGINT) AS in6
        |  FROM edges2 e JOIN $prev p ON p.id = e.src JOIN deg g ON g.src = e.src
        |  GROUP BY e.dst) s ON s.dst = d0.id)""".stripMargin
+
+  /** Expected `mm_video_mjpg` rows, derived INDEPENDENTLY of
+    * [[graft.operators.MediaCodec.aviFrames]]: decode each sampled
+    * fixture frame's JPEG bytes directly (no RIFF container in the
+    * loop) with a raw bit-shift pixel walk, and compute the stream
+    * clock from the fixture's (scale, rate) constants. What the compare
+    * validates end-to-end is therefore the container walk, the codec
+    * branch, the frame sampling, and the clock; the JPEG codec itself
+    * is common-mode (the JDK ships exactly one). Lazy: only Verify's
+    * oracle dump forces it. */
+  private lazy val mmVideoMjpgSql: String = {
+    val clips = Seq(("anim", 24, 16, 12, 1, 25), ("mini", 8, 8, 3, 1, 10))
+    val rows = for {
+      (doc, w, h, nFrames, scale, rate) <- clips
+      i <- 0 until nFrames if i % 5 == 0
+    } yield {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(MediaCodec.mjpgFrameJpeg(w, h, i)))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      val crc = new java.util.zip.CRC32()
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+        crc.update((p >> 16) & 0xFF); crc.update((p >> 8) & 0xFF); crc.update(p & 0xFF)
+      }
+      s"('$doc',$i,${i.toLong * 1000 * scale / rate},$w,$h,$nFrames,$sr,$sg,$sb,${crc.getValue})"
+    }
+    s"""SELECT doc, frame_idx, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+       | width, height, n_frames, CAST(sum_r AS BIGINT) AS sum_r,
+       | CAST(sum_g AS BIGINT) AS sum_g, CAST(sum_b AS BIGINT) AS sum_b,
+       | CAST(rgb_crc32 AS BIGINT) AS rgb_crc32
+       |FROM (VALUES
+       | ${rows.mkString(",\n ")}
+       |) AS t(doc, frame_idx, frame_ts_ms, width, height, n_frames,
+       |       sum_r, sum_g, sum_b, rgb_crc32)""".stripMargin
+  }
 
   // ---------------------------------------------------------------------
   def oracleSql: Map[String, String] = Map(
@@ -2127,6 +2170,8 @@ object SparkEntry {
         | ('short',0,0,8,8,3,4480,5888,11104,2577235947)
         |) AS t(doc, frame_idx, frame_ts_ms, width, height, n_frames,
         |       sum_r, sum_g, sum_b, rgb_crc32)""".stripMargin,
+
+    "mm_video_mjpg" -> mmVideoMjpgSql,
 
     "mm_decode_meta" ->
       """SELECT doc_id, octet_length(encode(text)) AS byte_len,

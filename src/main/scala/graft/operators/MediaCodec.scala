@@ -168,6 +168,76 @@ object MediaCodec {
     buf.array()
   }
 
+  /** One MJPG frame: the [[dibFrame]] pixel formulas rendered through
+    * the JDK's own JPEG ENCODER (default quality). Lossy — decoded
+    * pixels are NOT the formulas anymore — but the encode is
+    * deterministic for a given JDK, so decoded stats are bit-stable and
+    * the oracle can derive its expected rows by decoding these same
+    * bytes with an independent pixel walk (the container walk, frame
+    * sampling and stream clock stay independently checked; only the
+    * JPEG codec itself is common-mode — there is exactly one in the
+    * JDK). */
+  private[graft] def mjpgFrameJpeg(w: Int, h: Int, f: Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y, (frameR(x, y, f) << 16) | (frameG(x, y, f) << 8) | frameB(x, y, f))
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** Motion-JPEG AVI: the same RIFF skeleton as [[aviBytes]] but with
+    * handler 'MJPG', `strf.biCompression = 'MJPG'`, and one
+    * JPEG-compressed '00dc' chunk per frame (compressed streams use
+    * '00dc'; raw DIB uses '00db' — [[parseAvi]] accepts both). */
+  private[graft] def mjpgAviBytes(w: Int, h: Int, nFrames: Int,
+                                  scale: Int = 1, rate: Int = 25): Array[Byte] = {
+    val jpegs = (0 until nFrames).map(f => mjpgFrameJpeg(w, h, f))
+    val avih = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt((1000000L * scale / rate).toInt)
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(nFrames).putInt(0).putInt(1)
+        .putInt(jpegs.map(_.length).max).putInt(w).putInt(h)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val strh = {
+      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
+      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
+        .putInt(0).putInt(0).putInt(0)
+        .putInt(scale).putInt(rate)
+        .putInt(0).putInt(nFrames)
+        .putInt(jpegs.map(_.length).max).putInt(0).putInt(0)
+        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
+      b.array()
+    }
+    val strf = {
+      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(MJPG_FOURCC).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    val hdrl = riffList("hdrl", riffChunk("avih", avih),
+      riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf)))
+    val movi = riffList("movi", jpegs.map(j => riffChunk("00dc", j)): _*)
+    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    val buf = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
+    buf.array()
+  }
+
+  /** MJPG fixture clips, kept separate from [[fixturesDF]] so the
+    * raw-DIB oracle VALUES (formula-derived) stay untouched; the MJPG
+    * oracle derives its rows by decoding these JPEG frames instead. */
+  def mjpgFixturesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq(
+      ("anim", "video", "avi", mjpgAviBytes(24, 16, 12)),          // 25 fps, 12 frames
+      ("mini", "video", "avi", mjpgAviBytes(8, 8, 3, scale = 1, rate = 10)))
+      .toDF("doc", "modality", "codec", "payload")
+  }
+
   /** (doc, modality, codec, payload) fixture table — the shape a
     * `binaryFile` scan of a media landing zone produces. */
   def fixturesDF(spark: SparkSession): DataFrame = {
@@ -426,13 +496,18 @@ object MediaCodec {
     AviStream(width, height, scale, rate, codec, frames.result())
   }
 
-  /** Decode uncompressed-AVI video payloads frame by frame — the real
-    * half of the video seam ([[Multimodal.frameSample]] carries the
-    * metadata-stub tier for codecs the JVM lacks). Every `step`-th frame
-    * is reduced to the same integer footprint as [[imageStats]]: channel
-    * sums + CRC32 over the scanline-ordered (top-down) RGB stream, so a
-    * wrong byte anywhere in the container walk or the bottom-up row
-    * flip moves the CRC. `frame_ts_ms` is the stream clock
+  /** Decode AVI video payloads frame by frame — the real half of the
+    * video seam ([[Multimodal.frameSample]] carries the metadata-stub
+    * tier for codecs the JVM lacks). Every `step`-th frame is reduced to
+    * the same integer footprint as [[imageStats]]: channel sums + CRC32
+    * over the scanline-ordered (top-down) RGB stream, so a wrong byte
+    * anywhere in the container walk, the bottom-up DIB row flip, or the
+    * JPEG decode moves the CRC. The frame path branches on the codec the
+    * `strf` header declared: `"dib"` frames are raw bottom-up BGR
+    * scanlines (size-checked against the geometry); `"mjpg"` frames are
+    * standalone JPEGs decoded with `ImageIO` (a null decode or a
+    * geometry mismatch drops the FRAME, the [[imageStats]] contract).
+    * `frame_ts_ms` is the stream clock
     * `frame_idx · 1000 · dwScale / dwRate` (exact integer at the fixture
     * rates). Corrupt/unsupported payloads drop the row, never the job —
     * the [[wavStats]] contract. Scale shape: one container walk per row
@@ -447,23 +522,44 @@ object MediaCodec {
       .mapPartitions { rows =>
         rows.flatMap { case (doc, payload) =>
           scala.util.Try(parseAvi(payload)).toOption.toSeq.flatMap { avi =>
-            val rowBytes = (avi.width * 3 + 3) / 4 * 4
-            avi.frames.zipWithIndex
-              .filter { case (f, i) => i % step == 0 && f.length == rowBytes * avi.height }
-              .map { case (frame, i) =>
-                var (sr, sg, sb) = (0L, 0L, 0L)
-                val crc = new CRC32()
-                for (y <- 0 until avi.height; x <- 0 until avi.width) {
-                  val off = (avi.height - 1 - y) * rowBytes + x * 3
-                  val b = frame(off) & 0xFF
-                  val g = frame(off + 1) & 0xFF
-                  val r = frame(off + 2) & 0xFF
-                  sr += r; sg += g; sb += b
-                  crc.update(r); crc.update(g); crc.update(b)
+            def row(i: Int, sr: Long, sg: Long, sb: Long, crc: Long) =
+              VideoFrameStats(doc, i, i.toLong * 1000 * avi.scale / avi.rate,
+                avi.width, avi.height, avi.frames.size, sr, sg, sb, crc)
+            val sampled = avi.frames.zipWithIndex.filter(_._2 % step == 0)
+            avi.codec match {
+              case "dib" =>
+                val rowBytes = (avi.width * 3 + 3) / 4 * 4
+                sampled
+                  .filter { case (f, _) => f.length == rowBytes * avi.height }
+                  .map { case (frame, i) =>
+                    var (sr, sg, sb) = (0L, 0L, 0L)
+                    val crc = new CRC32()
+                    for (y <- 0 until avi.height; x <- 0 until avi.width) {
+                      val off = (avi.height - 1 - y) * rowBytes + x * 3
+                      val b = frame(off) & 0xFF
+                      val g = frame(off + 1) & 0xFF
+                      val r = frame(off + 2) & 0xFF
+                      sr += r; sg += g; sb += b
+                      crc.update(r); crc.update(g); crc.update(b)
+                    }
+                    row(i, sr, sg, sb, crc.getValue)
+                  }
+              case "mjpg" =>
+                sampled.flatMap { case (frame, i) =>
+                  Option(ImageIO.read(new ByteArrayInputStream(frame)))
+                    .filter(img => img.getWidth == avi.width && img.getHeight == avi.height)
+                    .map { img =>
+                      var (sr, sg, sb) = (0L, 0L, 0L)
+                      val crc = new CRC32()
+                      for (y <- 0 until avi.height; x <- 0 until avi.width) {
+                        val (r, g, b) = rgbOf(img, x, y)
+                        sr += r; sg += g; sb += b
+                        crc.update(r); crc.update(g); crc.update(b)
+                      }
+                      row(i, sr, sg, sb, crc.getValue)
+                    }
                 }
-                VideoFrameStats(doc, i, i.toLong * 1000 * avi.scale / avi.rate,
-                  avi.width, avi.height, avi.frames.size, sr, sg, sb, crc.getValue)
-              }
+            }
           }
         }
       }

@@ -85,6 +85,21 @@ class GenerativeKernelSpec extends AnyFunSuite {
     }
   }
 
+  test("mjpg AVI bytes round-trip: codec tagged, every frame a decodable JPEG") {
+    val gen = for {
+      w <- Gen.choose(1, 16); h <- Gen.choose(1, 12); nf <- Gen.choose(1, 4)
+    } yield (w, h, nf)
+    samples(gen, 8).foreach { case (w, h, nf) =>
+      val avi = MediaCodec.parseAvi(MediaCodec.mjpgAviBytes(w, h, nf, scale = 1, rate = 25))
+      assert((avi.width, avi.height, avi.codec, avi.frames.size) == ((w, h, "mjpg", nf)))
+      avi.frames.foreach { f =>
+        val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(f))
+        assert(img != null && img.getWidth == w && img.getHeight == h,
+          s"each 00dc chunk must be a standalone JPEG of ${w}x$h")
+      }
+    }
+  }
+
   test("arbitrary bytes never hang or crash the AVI walk — they throw and drop") {
     val junk = Gen.choose(0, 200).flatMap(n => Gen.listOfN(n, Gen.choose(-128, 127).map(_.toByte)))
     // raw junk, RIFF-prefixed junk (penetrates the form check), and a

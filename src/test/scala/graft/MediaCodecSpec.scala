@@ -105,6 +105,48 @@ class MediaCodecSpec extends SparkSpec {
     assert(docs == Set("clip", "short"), "non-AVI payloads must be skipped")
   }
 
+  test("mjpg avi decode: JPEG frames through the container walk give exact stats") {
+    import java.io.ByteArrayInputStream
+    import java.util.zip.CRC32
+    import javax.imageio.ImageIO
+    val got = MediaCodec.aviFrames(MediaCodec.mjpgFixturesDF(spark), step = 1)
+      .collect().map(s => (s.doc, s.frame_idx) -> s).toMap
+    // every frame of both clips decodes — no silent parsed-but-empty stream
+    assert(got.keySet == ((0 until 12).map(("anim", _)) ++ (0 until 3).map(("mini", _))).toSet)
+    // stats must equal an INDEPENDENT decode of the same frame's JPEG
+    // bytes (no RIFF container in this loop)
+    val img = ImageIO.read(new ByteArrayInputStream(MediaCodec.mjpgFrameJpeg(24, 16, 7)))
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    val crc = new CRC32()
+    for (y <- 0 until 16; x <- 0 until 24) {
+      val p = img.getRGB(x, y)
+      sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
+      crc.update((p >> 16) & 0xFF); crc.update((p >> 8) & 0xFF); crc.update(p & 0xFF)
+    }
+    val a7 = got(("anim", 7))
+    assert((a7.sum_r, a7.sum_g, a7.sum_b, a7.rgb_crc32) == ((sr, sg, sb, crc.getValue)))
+    assert((a7.width, a7.height, a7.n_frames, a7.frame_ts_ms) == ((24, 16, 12, 280L)))
+    // mini runs at 10 fps → 100 ms per frame
+    assert(got(("mini", 2)).frame_ts_ms == 200L)
+  }
+
+  test("unsupported biCompression rejects the stream; mixed codec tables decode per row") {
+    // patch strf.biCompression (the SECOND 'MJPG' in the container — the
+    // first is the strh handler fourcc) to an unknown codec
+    val bytes = MediaCodec.mjpgAviBytes(8, 8, 2)
+    val mjpg = "MJPG".getBytes("US-ASCII")
+    val hits = (0 to bytes.length - 4).filter(i => mjpg.indices.forall(j => bytes(i + j) == mjpg(j)))
+    assert(hits.size >= 2, "fixture must contain handler + biCompression fourccs")
+    val patched = bytes.clone()
+    "XVID".getBytes("US-ASCII").copyToArray(patched, hits(1))
+    assert(scala.util.Try(MediaCodec.parseAvi(patched)).isFailure,
+      "an unknown biCompression must reject the stream at parse time")
+    // a mixed dib+mjpg table decodes each row on its own codec branch
+    val mixed = media.unionByName(MediaCodec.mjpgFixturesDF(spark))
+    val docs = MediaCodec.aviFrames(mixed, step = 5).collect().map(_.doc).toSet
+    assert(docs == Set("clip", "short", "anim", "mini"))
+  }
+
   test("image embeddings are codec-invariant and drive cosine retrieval") {
     import org.apache.spark.sql.functions.col
     val spark2 = spark
