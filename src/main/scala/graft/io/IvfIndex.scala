@@ -24,6 +24,10 @@ import graft.operators.Similarity
   *    Metadata-sized driver state on read, exactly like the in-query
   *    codebook samples (README "Scale design": past nlist ~10⁵ the
   *    collect would give way to a broadcast-join form).
+  *  - `appends/batch=<id>/cell=<c>/…parquet` — streaming [[append]]
+  *    batches, each published whole by one atomic rename (the
+  *    exactly-once story under foreachBatch retries); folded back into
+  *    `vectors/` by the next [[build]]'s whole-index swap.
   *
   * Determinism: the build stores the same hash-minimal centroid sample
   * and argmax-cosine assignment `ivfTopK` derives in-query, so
@@ -112,20 +116,57 @@ object IvfIndex {
   }
 
   /** Incremental maintenance: assign NEW vectors against the STORED
-    * centroids and append them to their cell partitions — the
-    * add-without-retrain half of the FAISS train/add split (centroids
-    * are fixed between rebuilds; a drifted corpus gets a fresh
-    * [[build]], which atomically overwrites). Map-side assignment, an
-    * append-mode partitioned write, no touch of existing files. This is
-    * the S12-style upsert face of the index: wire it as a Structured
-    * Streaming `foreachBatch` sink to keep the index current as
-    * documents stream in (spec does exactly that with a MemoryStream). */
+    * centroids and append them to the index — the add-without-retrain
+    * half of the FAISS train/add split (centroids are fixed between
+    * rebuilds; a drifted corpus gets a fresh [[build]], which atomically
+    * overwrites). Map-side assignment, a partitioned write, no touch of
+    * existing files.
+    *
+    * This is the S12-style upsert face of the index: wire it as a
+    * Structured Streaming `foreachBatch` sink, passing foreachBatch's
+    * OWN `batchId`, to keep the index current as documents stream in
+    * (spec does exactly that with a MemoryStream). With a `batchId` the
+    * write is EXACTLY-ONCE under foreachBatch's at-least-once retries:
+    * the batch is staged under `appends_staging/<id>` and published by a
+    * single atomic rename to `appends/batch=<id>` — a retry of a batch
+    * that already committed sees the target and no-ops; a retry of a
+    * crashed attempt deletes the partial staging and redoes it; nothing
+    * under `appends/` is ever partial. [[probe]] reads `vectors/` plus
+    * every committed batch (cell stays a partition column in both trees,
+    * so pruning holds), and the next [[build]] folds the whole forest
+    * back into one `vectors/` tree through its whole-index swap — the
+    * LSM-style L0/rebuild split.
+    *
+    * Without a `batchId` (ad-hoc, single-shot maintenance) the write is
+    * a plain append into the cell partitions: simplest layout, but a
+    * caller that retries a failed call can duplicate rows — streaming
+    * sinks must pass the id. */
   def append(newVecs: DataFrame, dir: String,
-             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             batchId: Option[Long] = None): Unit = {
     val spark = newVecs.sparkSession
     val cents = centroids(spark, dir)
-    Similarity.assignCells(newVecs.select(col(idCol), col(vecCol)), cents, vecCol)
-      .write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+    val assigned =
+      Similarity.assignCells(newVecs.select(col(idCol), col(vecCol)), cents, vecCol)
+    batchId match {
+      case None =>
+        assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
+      case Some(b) =>
+        val committed = new org.apache.hadoop.fs.Path(s"$dir/appends/batch=$b")
+        val fs = fsOf(spark, committed)
+        if (!fs.exists(committed)) { // retried batch already published → no-op
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/appends_staging/$b")
+          fs.delete(tmp, true) // a crashed attempt's partial staging
+          assigned.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+          fs.mkdirs(committed.getParent)
+          if (!fs.rename(tmp, committed)) {
+            // lost a race against a concurrent retry that just published:
+            // fine iff the batch is now committed; anything else is real
+            require(fs.exists(committed), s"commit rename failed for batch $b")
+            fs.delete(tmp, true)
+          }
+        }
+    }
   }
 
   /** Compact the index's cell partitions in place. Streaming [[append]]
@@ -191,7 +232,20 @@ object IvfIndex {
             qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = centroids(spark, dir)
-    val assigned = spark.read.parquet(s"$dir/vectors")
+    val base = spark.read.parquet(s"$dir/vectors")
+    // committed streaming appends live beside the build tree (see
+    // [[append]]); `cell` is a partition column in both, so the probe's
+    // pruning applies to each scan. The rename-atomic publish means
+    // every `batch=<id>` here is complete — no partial batch is visible.
+    val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val fs = fsOf(spark, appends)
+    val assigned =
+      if (fs.exists(appends) &&
+          fs.listStatus(appends).exists(_.getPath.getName.startsWith("batch=")))
+        base.select(col(idCol), col(vecCol), col("cell"))
+          .unionByName(spark.read.parquet(appends.toString)
+            .select(col(idCol), col(vecCol), col("cell")))
+      else base
     Similarity.probeScore(queries, assigned, cents, k, nprobe,
       qidCol, qvecCol, idCol, vecCol)
   }

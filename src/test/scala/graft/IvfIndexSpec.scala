@@ -50,8 +50,8 @@ class IvfIndexSpec extends SparkSpec {
     val q = input.toDF()
       .selectExpr("_1 AS vec_id", "CAST(_2 AS ARRAY<FLOAT>) AS embedding")
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        IvfIndex.append(batch, dir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        IvfIndex.append(batch, dir, batchId = Some(id))
       }
       .option("checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft-ivf-ck").toString)
@@ -74,6 +74,38 @@ class IvfIndexSpec extends SparkSpec {
     // the appended ids are actually reachable
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 6))
       .exists(_._2 >= 1000L))
+  }
+
+  test("a replayed foreachBatch append is a no-op — no duplicate probe rows") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vecs(150, 16, seed = 9), dir, nlist = 6)
+    val late = vecs(60, 16, seed = 91).withColumn("vec_id", col("vec_id") + 2000L)
+    val qs = vecs(3, 16, seed = 47)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    IvfIndex.append(late, dir, batchId = Some(7L))
+    val once = IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(once.exists(_._2 >= 2000L), "the appended batch must be reachable")
+    // at-least-once retry: the SAME batch id replays (the sink already
+    // committed, the stream's checkpoint didn't) — must be a no-op
+    IvfIndex.append(late, dir, batchId = Some(7L))
+    val twice = IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    assert(twice.toSeq.sorted == once.toSeq.sorted,
+      "a replayed batch must not change probe results")
+    val pairs = twice.map(r => (r._1, r._2))
+    assert(pairs.distinct.length == pairs.length,
+      s"duplicate (query, vec_id) rows after replay")
+    // a retry over a CRASHED attempt (partial staging, no commit) also
+    // lands exactly once
+    val staging = new java.io.File(s"$dir/appends_staging/8")
+    staging.mkdirs()
+    new java.io.File(staging, "partial.parquet").createNewFile()
+    IvfIndex.append(late.withColumn("vec_id", col("vec_id") + 1000L), dir, batchId = Some(8L))
+    val after = IvfIndex.probe(spark, dir, qs, k = 300, nprobe = 6).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.exists(_._2 >= 3000L) && after.distinct.length == after.length)
+    assert(!staging.exists(), "crashed staging must be cleaned by the retry")
   }
 
   test("compact collapses per-cell small files, preserves layout and answers") {
