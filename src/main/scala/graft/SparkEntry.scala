@@ -1255,12 +1255,16 @@ object SparkEntry {
 
     // independent formulation of the clip: per-token anti-join against
     // the span ranges (the operator uses an index-lambda filter), then
-    // order-preserving string_agg — only docs that lost words emitted
+    // order-preserving string_agg — only docs that lost words emitted.
+    // Detection stays on the lowercased dsw tokens; the SHIPPED tokens
+    // come from a case-preserving split (position-aligned: lower never
+    // changes whitespace) — the operator's casing contract
     "dup_spans_clip" ->
       s"""WITH clip_src AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
          |${dupSpanCtes("clip_src")},
-         |tok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tk
-         |        FROM dsw, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
+         |cw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS cs FROM clip_src),
+         |tok AS (SELECT doc_id, i - 1 AS pos, cs[i] AS tk
+         |        FROM cw, LATERAL (SELECT unnest(generate_series(1, len(cs))) AS i) g),
          |keep AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
          |         WHERE NOT EXISTS (SELECT 1 FROM dsspans s
          |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)),

@@ -453,10 +453,15 @@ object Dedup {
 
   /** The ACTION half of [[duplicatedSpans]]: emit each document with
     * its duplicated passages clipped out — the text a curation run
-    * ships to training, not just the offsets. Spans are derived
-    * in-operator (same n/minDocs/minSpanWords knobs, same
-    * tokenization), so offsets always align with the words they index.
-    * Output: (id, clean_text, n_words, n_words_removed).
+    * ships to training, not just the offsets. Span DETECTION uses
+    * [[duplicatedSpans]]' lowercased tokenization (duplication is
+    * case-insensitive), but the kept-index filter applies to a
+    * CASE-PRESERVING split of the same text: `lower` never changes
+    * whitespace, so the two tokenizations are position-aligned, and the
+    * shipped text keeps its original casing in every undamaged region
+    * (an untouched document round-trips byte-identically up to the
+    * \\s+ → single-space join). Output: (id, clean_text, n_words,
+    * n_words_removed).
     *
     * Shape: [[duplicatedSpans]]' plan plus one per-doc span
     * `collect_list` (span counts per doc are tiny) equi-joined back to
@@ -476,7 +481,7 @@ object Dedup {
       .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
         .as("_spans"))
     docs.join(spans, Seq(idCol), "left")
-      .withColumn("_words", split(lower(trim(col(textCol))), "\\s+"))
+      .withColumn("_words", split(trim(col(textCol)), "\\s+"))
       .withColumn("_kept",
         when(col("_spans").isNull, col("_words")).otherwise(
           filter(col("_words"), (_, i) =>

@@ -97,6 +97,23 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(out(3L)._3 == 0 && out(3L)._1.startsWith("no shared material"))
   }
 
+  test("clipDuplicatedSpans preserves casing: detection is case-insensitive, shipped text is not") {
+    // the shared passage differs in case across the two docs — detection
+    // must still fire (lowercased grams), but the SURVIVING text must
+    // keep its original casing, and an untouched single-space document
+    // must round-trip byte-identically
+    val docs = Seq(
+      (1L, "Intro McDonald gave IBM the quick Brown Fox jumps over the Lazy Dog tonight"),
+      (2L, "other lead-in words go here THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG TONIGHT"),
+      (3L, "No Shared Material AT ALL in This Document BODY whatsoever OK"))
+      .toDF("doc_id", "text")
+    val out = Dedup.clipDuplicatedSpans(docs, n = 4, minDocs = 2, minSpanWords = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(3)))).toMap
+    assert(out(1L) == (("Intro McDonald gave IBM", 10)))
+    assert(out(2L) == (("other lead-in words go here", 10)))
+    assert(out(3L) == (("No Shared Material AT ALL in This Document BODY whatsoever OK", 0)))
+  }
+
   test("simhash is deterministic and insensitive to case") {
     val a = Dedup.simhash32(Seq((1L, "Some Text Here")).toDF("doc_id", "text")).head.getLong(1)
     val b = Dedup.simhash32(Seq((9L, "some text here")).toDF("doc_id", "text")).head.getLong(1)
