@@ -209,12 +209,22 @@ object Sampling {
     * still nothing when no doc hashes under it; exact-token packing
     * belongs to [[packShards]]). Absent strata have no docs to emit.
     * One per-stratum window ranks the hash-minimal doc; everything else
-    * is scan-side after a broadcast plan join, epoch explode bounded by
-    * the plan's epoch counts — every engine/re-run emits the identical
+    * is scan-side after a broadcast join against the PLAN-side epoch
+    * spine: the `(stratum, epoch_idx)` rows are exploded from the
+    * handful-of-rows plan frame, never as a per-document array, so a
+    * huge budget over a tiny stratum allocates one bounded array per
+    * stratum instead of a million-element array per document.
+    * `maxEpochs` (default 65536, the remainder cut's own quantization
+    * granularity — orders of magnitude past any data-constrained-scaling
+    * regime) is a fail-fast `raise_error` guard: a plan demanding more
+    * full epochs is a sizing bug, and it bounds the broadcast spine at
+    * strata·(maxEpochs+1) rows. Every engine/re-run emits the identical
     * list. */
   def epochMixture(docs: DataFrame, targets: Seq[(String, Double)],
                    budgetTokens: Long, stratumCol: String = "lang",
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+                   idCol: String = "doc_id", textCol: String = "text",
+                   maxEpochs: Long = 65536L): DataFrame = {
+    require(maxEpochs > 0, "epochMixture needs a positive maxEpochs")
     val plan = tokenBudgetPlan(docs, targets, budgetTokens, stratumCol, textCol)
       .filter(col("available_tokens") > 0)
       .select(col(stratumCol),
@@ -222,15 +232,24 @@ object Sampling {
         expr("((target_tokens % available_tokens) * 65536) div available_tokens")
           .as("_rem64k"),
         expr("target_tokens % available_tokens > 0").as("_has_rem"))
+      // the guard lives INSIDE the _full value path — an unreferenced
+      // check column would be pruned away unevaluated; raise_error's
+      // NullType coerces to LONG in the CaseWhen
+      .withColumn("_full",
+        when(col("_full") <= maxEpochs, col("_full")).otherwise(raise_error(
+          format_string("epochMixture: stratum %s needs %s full epochs " +
+            s"(> maxEpochs=$maxEpochs) — the token budget vastly exceeds " +
+            "this stratum's available tokens; fix the mixture weights or " +
+            "raise maxEpochs explicitly", col(stratumCol), col("_full")))))
+    // epoch spine exploded on the plan side: one row per funded epoch
+    val spine = plan.select(col(stratumCol), col("_rem64k"), col("_has_rem"),
+      col("_full"), explode(sequence(lit(0L), col("_full"))).as("epoch_idx"))
     val salted = md5Bucket64k(concat(col(idCol).cast("string"), lit(":epoch")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(stratumCol)).orderBy(salted, col(idCol))
     docs.select(col(idCol), col(stratumCol))
       .withColumn("_hmin", row_number().over(w) === 1)
-      .join(broadcast(plan), stratumCol)
-      .select(col(idCol), col(stratumCol),
-        explode(sequence(lit(0L), col("_full"))).as("epoch_idx"),
-        col("_full"), col("_rem64k"), col("_has_rem"), col("_hmin"))
+      .join(broadcast(spine), stratumCol)
       .filter(col("epoch_idx") < col("_full") ||
         (col("_has_rem") && (salted < col("_rem64k") || col("_hmin"))))
       .select(col(idCol), col(stratumCol), col("epoch_idx"))

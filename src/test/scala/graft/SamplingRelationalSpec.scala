@@ -75,6 +75,28 @@ class SamplingRelationalSpec extends SparkSpec {
       .sorted.toSeq == rows.sorted.toSeq)
   }
 
+  test("epoch mixture fails fast past maxEpochs and runs bounded at the limit") {
+    def msgs(t: Throwable): String = Iterator.iterate(t)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse("")).mkString(" | ")
+    // 1 doc x 5 tokens, budget 10M -> 2,000,000 full epochs: far past the
+    // default 65536 cap; must raise the documented error, not allocate
+    val tiny = Seq((1L, "a b c d e", "aa")).toDF("doc_id", "text", "lang")
+    val err = intercept[Throwable] {
+      Sampling.epochMixture(tiny, Seq(("aa", 1.0)), budgetTokens = 10000000L).collect()
+    }
+    assert(msgs(err).contains("maxEpochs=65536"), s"got: ${msgs(err)}")
+    // at the boundary the run is bounded and complete: 4 full epochs with
+    // maxEpochs=4 emits all of them; maxEpochs=3 rejects the same plan
+    val out = Sampling.epochMixture(tiny, Seq(("aa", 1.0)), budgetTokens = 20L,
+      maxEpochs = 4L).collect().map(_.getLong(2)).sorted
+    assert(out.toSeq == Seq(0L, 1L, 2L, 3L))
+    val err2 = intercept[Throwable] {
+      Sampling.epochMixture(tiny, Seq(("aa", 1.0)), budgetTokens = 20L,
+        maxEpochs = 3L).collect()
+    }
+    assert(msgs(err2).contains("maxEpochs=3"))
+  }
+
   test("PII redaction replaces URLs, emails, and phones with typed placeholders") {
     val docs = Seq(
       (1L, "mail me at a.user+x@test.org or see https://ex.com/p?q=1 or call 555-123-4567"),
