@@ -435,6 +435,31 @@ object SparkEntry {
       Validation.validate(Tables.documents(s, d), maxChars = 500,
         langWhitelist = Seq("en", "de", "fr", "es"))
         .select("doc_id", "errors", "is_valid")),
+    // E6/A5 — usage counters ride the validation job via Dataset.observe
+    // (no second aggregation pass over the corpus); the harvested metrics
+    // project to the reference's 1-row usage-stats shape
+    "usage_counters" -> ((s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val counted = Validation.withUsageCounters(
+        Validation.validate(Tables.documents(s, d), maxChars = 500,
+          langWhitelist = Seq("en", "de", "fr", "es")), obs)
+      counted.foreach(_ => ()) // the one action the metrics ride
+      val m = obs.get
+      Seq((m("total").asInstanceOf[Long], m("valid").asInstanceOf[Long],
+        m("chars_processed").asInstanceOf[Long]))
+        .toDF("total", "valid", "chars_processed")
+    }),
+    // S13 — table create/overwrite init (the reference's
+    // create-index-with-delete_if_exists): two writes to one location,
+    // the read-back must contain ONLY the second write's rows
+    "index_init" -> ((s, d) => {
+      import s.implicits._
+      Tables.overwrite(Seq((0L, "stale")).toDF("id", "payload"), indexInitDir)
+      Tables.overwrite(Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+        .toDF("id", "payload"), indexInitDir)
+      s.read.parquet(indexInitDir)
+    }),
     "ingest_dedup" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       Validation.newDocsOnly(docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0))
@@ -726,6 +751,15 @@ object SparkEntry {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
     p.toString
+  }
+
+  /** The index_init demo table location — same per-JVM lifecycle (and
+    * rationale) as [[ivfDemoDir]]. */
+  private lazy val indexInitDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-init-q")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p.toString + "/table"
   }
 
   // CMS geometry shared by the query and its oracle — one definition, no
@@ -1786,6 +1820,20 @@ object SparkEntry {
         |   CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_type' END],
         |  x -> x IS NOT NULL)) = 0 AS is_valid
         |FROM documents""".stripMargin,
+
+    // independent recount of the observed metrics: valid = zero errors
+    // under the same validate_docs predicates
+    "usage_counters" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total,
+        | CAST(count(CASE WHEN length(trim(text)) > 0 AND n_chars <= 500
+        |   AND lang IN ('en', 'de', 'fr', 'es') THEN 1 END) AS BIGINT) AS valid,
+        | CAST(sum(length(text)) AS BIGINT) AS chars_processed
+        |FROM documents""".stripMargin,
+
+    // the overwrite-init contract: only the SECOND write's rows survive
+    "index_init" ->
+      """SELECT CAST(id AS BIGINT) AS id, payload
+        |FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, payload)""".stripMargin,
 
     "ingest_dedup" ->
       """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp

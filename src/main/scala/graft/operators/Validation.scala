@@ -70,6 +70,16 @@ object Validation {
       count(when(col("is_valid"), 1)).as("valid"),
       sum(length(col("text"))).as("chars_processed"))
 
+  /** Same counters harvested through an [[org.apache.spark.sql.Observation]]
+    * handle — the batch-job face: `obs.get` blocks until the first action
+    * on the returned frame completes, with no listener bookkeeping. */
+  def withUsageCounters(validated: DataFrame,
+                        obs: org.apache.spark.sql.Observation): DataFrame =
+    validated.observe(obs,
+      count(lit(1)).as("total"),
+      count(when(col("is_valid"), 1)).as("valid"),
+      sum(length(col("text"))).as("chars_processed"))
+
   /** Fixture rows for the P1 MIME chain (FIXTURES.md §B4) — one per
     * branch, usable by both the Spark query and a VALUES-based oracle. */
   val mimeFixtures: Seq[(String, String)] = Seq(
