@@ -127,11 +127,14 @@ object IvfIndex {
     * OWN `batchId`, to keep the index current as documents stream in
     * (spec does exactly that with a MemoryStream). With a `batchId` the
     * write is EXACTLY-ONCE under foreachBatch's at-least-once retries:
-    * the batch is staged under `appends_staging/<id>` and published by a
-    * single atomic rename to `appends/batch=<id>` — a retry of a batch
-    * that already committed sees the target and no-ops; a retry of a
-    * crashed attempt deletes the partial staging and redoes it; nothing
-    * under `appends/` is ever partial. [[probe]] reads `vectors/` plus
+    * the batch is staged under a per-ATTEMPT-unique
+    * `appends_staging/<id>_<attempt>` and published by a single atomic
+    * rename to `appends/batch=<id>` — a retry of a batch that already
+    * committed sees the target and no-ops; concurrent attempts (a zombie
+    * driver racing its replacement) each stage privately, one rename
+    * wins, losers discard their own staging; crashed attempts' orphan
+    * staging is swept after commit; nothing under `appends/` is ever
+    * partial. [[probe]] reads `vectors/` plus
     * every committed batch (cell stays a partition column in both trees,
     * so pruning holds), and the next [[build]] folds the whole forest
     * back into one `vectors/` tree through its whole-index swap — the
@@ -145,9 +148,10 @@ object IvfIndex {
              idCol: String = "vec_id", vecCol: String = "embedding",
              batchId: Option[Long] = None): Unit = {
     val spark = newVecs.sparkSession
-    val cents = centroids(spark, dir)
-    val assigned =
-      Similarity.assignCells(newVecs.select(col(idCol), col(vecCol)), cents, vecCol)
+    // deferred: the replayed-batch no-op path below must not pay the
+    // centroid sidecar read + collect it will never use
+    def assigned = Similarity.assignCells(
+      newVecs.select(col(idCol), col(vecCol)), centroids(spark, dir), vecCol)
     batchId match {
       case None =>
         assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
@@ -155,8 +159,14 @@ object IvfIndex {
         val committed = new org.apache.hadoop.fs.Path(s"$dir/appends/batch=$b")
         val fs = fsOf(spark, committed)
         if (!fs.exists(committed)) { // retried batch already published → no-op
-          val tmp = new org.apache.hadoop.fs.Path(s"$dir/appends_staging/$b")
-          fs.delete(tmp, true) // a crashed attempt's partial staging
+          // staging is PER-ATTEMPT-unique: a shared path would let a
+          // zombie driver's resumed write interleave with a concurrent
+          // retry staging the same batch (the restarted-driver replay
+          // this feature exists for) and publish a mixed directory. With
+          // unique paths each attempt renames only bytes it wrote alone;
+          // losers fail the rename and discard their own staging.
+          val attempt = java.util.UUID.randomUUID().toString.substring(0, 8)
+          val tmp = new org.apache.hadoop.fs.Path(s"$dir/appends_staging/${b}_$attempt")
           assigned.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
           fs.mkdirs(committed.getParent)
           if (!fs.rename(tmp, committed)) {
@@ -166,24 +176,39 @@ object IvfIndex {
             fs.delete(tmp, true)
           }
         }
+        // crashed attempts leave orphan staging for this batch — clean
+        // them now that it is committed (deleting a LIVE concurrent
+        // attempt's staging is also safe: its rename fails, it sees the
+        // committed dir, and its own delete becomes a no-op)
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+          s"$dir/appends_staging/${b}_*"))).getOrElse(Array.empty)
+          .foreach(s => fs.delete(s.getPath, true))
     }
   }
 
-  /** Compact the index's cell partitions in place. Streaming [[append]]
-    * accretes one file per micro-batch per touched cell, and at 100 TB
-    * scan task count and object-store listing degrade with file count,
-    * not byte count ([[Tables.compact]]'s rationale). Each `cell=<c>`
-    * leaf is compacted independently with the same crash-safe tmp/bak
-    * swap — the partition layout (and so probe-time pruning) is
-    * untouched, and a full copy of every leaf exists on disk at every
-    * instant. The swap siblings live in a `compact_work` area OUTSIDE
-    * the partition root: an in-place `cell=3_compact_bak` sibling would
-    * pollute partition discovery (breaking the cell column's type for
-    * every reader) and, after a crash, masquerade as a partition.
-    * Interrupted swaps are recovered FIRST, driven from the work area —
-    * a crash mid-swap can leave the leaf missing from `vectors/`
-    * entirely, so the leaf listing alone cannot see it. Returns the
-    * total file count after compaction.
+  /** Compact the index's cell partitions. Streaming [[append]] accretes
+    * one `appends/batch=<id>` tree per micro-batch, and at 100 TB scan
+    * task count and object-store listing degrade with file count, not
+    * byte count ([[Tables.compact]]'s rationale) — so compaction FIRST
+    * folds every committed append batch back into `vectors/` through the
+    * same ATOMIC whole-index swap as [[build]] (centroids are copied
+    * unchanged; no retraining): a reader never sees a row in both trees,
+    * and a mid-fold crash leaves the previous forest intact. The fold
+    * keeps each batch's `appends/batch=<id>` dir as an EMPTY marker, so
+    * [[append]]'s exactly-once no-op check still recognizes a replayed
+    * batch after its rows moved — [[probe]] reads the marker-only tree
+    * as zero rows via its explicit schema. Then each `cell=<c>` leaf is
+    * compacted independently with the crash-safe tmp/bak swap — the
+    * partition layout (and so probe-time pruning) is untouched, and a
+    * full copy of every leaf exists on disk at every instant. The swap
+    * siblings live in a `compact_work` area OUTSIDE the partition root:
+    * an in-place `cell=3_compact_bak` sibling would pollute partition
+    * discovery (breaking the cell column's type for every reader) and,
+    * after a crash, masquerade as a partition. Interrupted swaps are
+    * recovered FIRST, driven from the work area — a crash mid-swap can
+    * leave the leaf missing from `vectors/` entirely, so the leaf
+    * listing alone cannot see it. Returns the total file count after
+    * compaction.
     *
     * Concurrency contract: compaction (like [[build]]) is SINGLE-WRITER
     * maintenance. The tmp/bak dance makes every state crash-safe — a
@@ -195,6 +220,7 @@ object IvfIndex {
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     recoverIfMissing(spark, dir) // heal a crashed build swap first, like every entry
+    foldAppends(spark, dir)
     val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val work = new org.apache.hadoop.fs.Path(s"$dir/compact_work")
@@ -223,6 +249,43 @@ object IvfIndex {
     total
   }
 
+  /** The fold half of [[compact]]: rewrite `vectors/` as base ∪ committed
+    * appends under `_build_tmp` (centroids copied unchanged, batch dirs
+    * re-created as empty markers inside the staged tree) and publish with
+    * the one atomic whole-index swap — the only ordering under which no
+    * reader can ever double-count a row between the two trees and no
+    * crash point loses either. */
+  private def foldAppends(spark: SparkSession, dir: String): Unit = {
+    val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
+    val fs = fsOf(spark, appends)
+    val batches =
+      if (fs.exists(appends))
+        fs.listStatus(appends).map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
+      else Seq.empty
+    // data files anywhere under the batch dirs? markers alone need no fold
+    val hasRows = batches.nonEmpty && {
+      val it = fs.listFiles(appends, true)
+      var found = false
+      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
+      found
+    }
+    if (hasRows) {
+      val dst = new org.apache.hadoop.fs.Path(dir)
+      val (tmp, bak) = (buildTmp(dir), buildBak(dir))
+      fs.delete(tmp, true)
+      val base = spark.read.parquet(s"$dir/vectors")
+      spark.read.parquet(s"$dir/centroids").coalesce(1)
+        .write.parquet(s"$tmp/centroids")
+      base.unionByName(spark.read
+          .schema(base.schema.add("batch", org.apache.spark.sql.types.LongType))
+          .parquet(appends.toString).drop("batch"))
+        .write.partitionBy("cell").parquet(s"$tmp/vectors")
+      batches.foreach(b =>
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/appends/$b")))
+      graft.streaming.StreamingIngest.swapInto(fs, dst, tmp, bak, "compact-fold")
+    }
+  }
+
   /** Probe the persisted index: identical ranking semantics to
     * [[graft.operators.Similarity.ivfTopK]], but the assignment comes
     * from the cell-partitioned scan (no per-query re-assignment of the
@@ -242,8 +305,15 @@ object IvfIndex {
     val assigned =
       if (fs.exists(appends) &&
           fs.listStatus(appends).exists(_.getPath.getName.startsWith("batch=")))
+        // EXPLICIT schema (from the build tree): an empty micro-batch —
+        // and the empty marker dirs [[compact]] leaves after folding —
+        // publish a batch dir with no data files, which schema inference
+        // would reject ("unable to infer schema") on an otherwise
+        // healthy index
         base.select(col(idCol), col(vecCol), col("cell"))
-          .unionByName(spark.read.parquet(appends.toString)
+          .unionByName(spark.read
+            .schema(base.schema.add("batch", org.apache.spark.sql.types.LongType))
+            .parquet(appends.toString)
             .select(col(idCol), col(vecCol), col("cell")))
       else base
     Similarity.probeScore(queries, assigned, cents, k, nprobe,

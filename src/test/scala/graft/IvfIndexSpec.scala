@@ -96,16 +96,59 @@ class IvfIndexSpec extends SparkSpec {
     val pairs = twice.map(r => (r._1, r._2))
     assert(pairs.distinct.length == pairs.length,
       s"duplicate (query, vec_id) rows after replay")
-    // a retry over a CRASHED attempt (partial staging, no commit) also
-    // lands exactly once
-    val staging = new java.io.File(s"$dir/appends_staging/8")
+    // a retry over a CRASHED attempt (orphan per-attempt staging, no
+    // commit) lands exactly once and sweeps the orphan
+    val staging = new java.io.File(s"$dir/appends_staging/8_deadbeef")
     staging.mkdirs()
     new java.io.File(staging, "partial.parquet").createNewFile()
     IvfIndex.append(late.withColumn("vec_id", col("vec_id") + 1000L), dir, batchId = Some(8L))
     val after = IvfIndex.probe(spark, dir, qs, k = 300, nprobe = 6).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     assert(after.exists(_._2 >= 3000L) && after.distinct.length == after.length)
-    assert(!staging.exists(), "crashed staging must be cleaned by the retry")
+    assert(!staging.exists(), "crashed attempt's staging must be swept after commit")
+  }
+
+  test("an EMPTY committed batch does not break the probe") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vecs(100, 16, seed = 17), dir, nlist = 4)
+    val qs = vecs(2, 16, seed = 61)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 4))
+    // an empty micro-batch (routine after recovery / AvailableNow):
+    // publishes a batch dir with no data files — the probe must still
+    // serve the base index, not die on schema inference
+    IvfIndex.append(vecs(100, 16, seed = 17).limit(0), dir, batchId = Some(0L))
+    assert(new java.io.File(s"$dir/appends/batch=0").exists())
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 4)) == before)
+  }
+
+  test("compact folds committed appends into vectors/ and keeps the batch markers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vecs(120, 16, seed = 19), dir, nlist = 4)
+    val late = vecs(50, 16, seed = 191).withColumn("vec_id", col("vec_id") + 5000L)
+    IvfIndex.append(late, dir, batchId = Some(3L))
+    val qs = vecs(3, 16, seed = 71)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
+    assert(before.exists(_._2 >= 5000L), "appended rows reachable before the fold")
+    IvfIndex.compact(spark, dir)
+    // answers unchanged; the appended rows now live in vectors/ and the
+    // batch dir survives as an EMPTY exactly-once marker
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == before)
+    val batchDir = new java.io.File(s"$dir/appends/batch=3")
+    assert(batchDir.exists() && batchDir.listFiles().isEmpty,
+      "fold must leave the batch dir as an empty marker")
+    // a post-compact replay of the folded batch is STILL a no-op
+    IvfIndex.append(late, dir, batchId = Some(3L))
+    val after = IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.distinct.length == after.length,
+      "replaying a folded batch must not duplicate rows")
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == before)
   }
 
   test("compact collapses per-cell small files, preserves layout and answers") {
