@@ -131,37 +131,51 @@ object MediaCodec {
     * frames per `scale` seconds — defaults give 25 fps = 40 ms/frame. */
   private[graft] def aviBytes(w: Int, h: Int, nFrames: Int,
                               scale: Int = 1, rate: Int = 25): Array[Byte] = {
-    val rowBytes = (w * 3 + 3) / 4 * 4
-    val frameSize = rowBytes * h
+    val frameSize = (w * 3 + 3) / 4 * 4 * h
+    aviContainer(w, h, (0 until nFrames).map(f => dibFrame(w, h, f)),
+      handler = "DIB ", biCompression = 0, biSizeImage = frameSize,
+      chunkId = "00db", scale = scale, rate = rate)
+  }
+
+  /** The ONE RIFF/hdrl/strl/movi container assembly both AVI fixture
+    * builders share, parameterized by the spots where a raw-DIB and an
+    * MJPG stream differ (handler fourCC, `strf.biCompression` /
+    * `biSizeImage`, movi chunk id, frame payloads) — a container-layout
+    * fix lands in both formats by construction. */
+  private def aviContainer(w: Int, h: Int, frames: Seq[Array[Byte]],
+                           handler: String, biCompression: Int,
+                           biSizeImage: Int, chunkId: String,
+                           scale: Int, rate: Int): Array[Byte] = {
+    val bufSize = frames.map(_.length).max
     val avih = {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
       b.putInt((1000000L * scale / rate).toInt) // dwMicroSecPerFrame
         .putInt(0).putInt(0).putInt(0)          // maxBytesPerSec, padding, flags
-        .putInt(nFrames).putInt(0).putInt(1)    // totalFrames, initialFrames, streams
-        .putInt(frameSize).putInt(w).putInt(h)  // suggestedBufferSize, width, height
+        .putInt(frames.size).putInt(0).putInt(1) // totalFrames, initialFrames, streams
+        .putInt(bufSize).putInt(w).putInt(h)    // suggestedBufferSize, width, height
         .putInt(0).putInt(0).putInt(0).putInt(0) // dwReserved[4]
       b.array()
     }
     val strh = {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      b.put("vids".getBytes("US-ASCII")).put("DIB ".getBytes("US-ASCII"))
+      b.put("vids".getBytes("US-ASCII")).put(handler.getBytes("US-ASCII"))
         .putInt(0).putInt(0).putInt(0)          // flags, priority+language, initialFrames
         .putInt(scale).putInt(rate)             // dwScale, dwRate
-        .putInt(0).putInt(nFrames)              // dwStart, dwLength
-        .putInt(frameSize).putInt(0).putInt(0)  // suggestedBufferSize, quality, sampleSize
+        .putInt(0).putInt(frames.size)          // dwStart, dwLength
+        .putInt(bufSize).putInt(0).putInt(0)    // suggestedBufferSize, quality, sampleSize
         .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort) // rcFrame
       b.array()
     }
     val strf = {
       val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
       b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-        .putInt(0).putInt(frameSize).putInt(0).putInt(0).putInt(0).putInt(0)
+        .putInt(biCompression).putInt(biSizeImage)
+        .putInt(0).putInt(0).putInt(0).putInt(0)
       b.array()
     }
     val hdrl = riffList("hdrl", riffChunk("avih", avih),
       riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf)))
-    val movi = riffList("movi",
-      (0 until nFrames).map(f => riffChunk("00db", dibFrame(w, h, f))): _*)
+    val movi = riffList("movi", frames.map(f => riffChunk(chunkId, f)): _*)
     val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
     val buf = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
     buf.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
@@ -191,41 +205,10 @@ object MediaCodec {
     * JPEG-compressed '00dc' chunk per frame (compressed streams use
     * '00dc'; raw DIB uses '00db' — [[parseAvi]] accepts both). */
   private[graft] def mjpgAviBytes(w: Int, h: Int, nFrames: Int,
-                                  scale: Int = 1, rate: Int = 25): Array[Byte] = {
-    val jpegs = (0 until nFrames).map(f => mjpgFrameJpeg(w, h, f))
-    val avih = {
-      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt((1000000L * scale / rate).toInt)
-        .putInt(0).putInt(0).putInt(0)
-        .putInt(nFrames).putInt(0).putInt(1)
-        .putInt(jpegs.map(_.length).max).putInt(w).putInt(h)
-        .putInt(0).putInt(0).putInt(0).putInt(0)
-      b.array()
-    }
-    val strh = {
-      val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
-      b.put("vids".getBytes("US-ASCII")).put("MJPG".getBytes("US-ASCII"))
-        .putInt(0).putInt(0).putInt(0)
-        .putInt(scale).putInt(rate)
-        .putInt(0).putInt(nFrames)
-        .putInt(jpegs.map(_.length).max).putInt(0).putInt(0)
-        .putShort(0).putShort(0).putShort(w.toShort).putShort(h.toShort)
-      b.array()
-    }
-    val strf = {
-      val b = ByteBuffer.allocate(40).order(ByteOrder.LITTLE_ENDIAN)
-      b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-        .putInt(MJPG_FOURCC).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
-      b.array()
-    }
-    val hdrl = riffList("hdrl", riffChunk("avih", avih),
-      riffList("strl", riffChunk("strh", strh), riffChunk("strf", strf)))
-    val movi = riffList("movi", jpegs.map(j => riffChunk("00dc", j)): _*)
-    val body = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
-    val buf = ByteBuffer.allocate(8 + body.length).order(ByteOrder.LITTLE_ENDIAN)
-    buf.put("RIFF".getBytes("US-ASCII")).putInt(body.length).put(body)
-    buf.array()
-  }
+                                  scale: Int = 1, rate: Int = 25): Array[Byte] =
+    aviContainer(w, h, (0 until nFrames).map(f => mjpgFrameJpeg(w, h, f)),
+      handler = "MJPG", biCompression = MJPG_FOURCC, biSizeImage = 0,
+      chunkId = "00dc", scale = scale, rate = rate)
 
   /** MJPG fixture clips, kept separate from [[fixturesDF]] so the
     * raw-DIB oracle VALUES (formula-derived) stay untouched; the MJPG

@@ -64,21 +64,20 @@ object Validation {
     * any action) instead of a second aggregation pass — the Spark face of
     * the reference's success/total counters and embedding usage stats
     * (`ingestion_service.py:413-414`, `embedding_generator.py:169-179`). */
+  private def usageAggs: Seq[Column] = Seq(
+    count(lit(1)).as("total"),
+    count(when(col("is_valid"), 1)).as("valid"),
+    sum(length(col("text"))).as("chars_processed"))
+
   def withUsageCounters(validated: DataFrame, name: String = "ingest_metrics"): DataFrame =
-    validated.observe(name,
-      count(lit(1)).as("total"),
-      count(when(col("is_valid"), 1)).as("valid"),
-      sum(length(col("text"))).as("chars_processed"))
+    validated.observe(name, usageAggs.head, usageAggs.tail: _*)
 
   /** Same counters harvested through an [[org.apache.spark.sql.Observation]]
     * handle — the batch-job face: `obs.get` blocks until the first action
     * on the returned frame completes, with no listener bookkeeping. */
   def withUsageCounters(validated: DataFrame,
                         obs: org.apache.spark.sql.Observation): DataFrame =
-    validated.observe(obs,
-      count(lit(1)).as("total"),
-      count(when(col("is_valid"), 1)).as("valid"),
-      sum(length(col("text"))).as("chars_processed"))
+    validated.observe(obs, usageAggs.head, usageAggs.tail: _*)
 
   /** Fixture rows for the P1 MIME chain (FIXTURES.md §B4) — one per
     * branch, usable by both the Spark query and a VALUES-based oracle. */
