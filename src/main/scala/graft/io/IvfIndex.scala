@@ -220,10 +220,14 @@ object IvfIndex {
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     recoverIfMissing(spark, dir) // heal a crashed build swap first, like every entry
-    foldAppends(spark, dir)
     val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val work = new org.apache.hadoop.fs.Path(s"$dir/compact_work")
+    // leaf-swap recovery MUST precede the fold: a crashed per-leaf swap
+    // leaves that cell only in the work area, and a fold that reads
+    // vectors/ before the leaf is restored would rewrite (and swap in)
+    // an index missing the leaf's rows — then delete the only copy with
+    // the old tree
     if (fs.exists(work)) {
       fs.listStatus(work).map(_.getPath.getName)
         .collect {
@@ -238,6 +242,7 @@ object IvfIndex {
             new org.apache.hadoop.fs.Path(work, leaf + "_compact_bak"))
         }
     }
+    foldAppends(spark, dir)
     val total = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .filter(leaf => fs.listStatus(leaf.getPath)

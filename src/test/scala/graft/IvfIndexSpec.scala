@@ -209,6 +209,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/compact_work").exists())
   }
 
+  test("compact recovers a crashed leaf swap BEFORE folding appends — no row lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vecs(120, 16, seed = 37), dir, nlist = 4)
+    IvfIndex.append(vecs(40, 16, seed = 371).withColumn("vec_id", col("vec_id") + 7000L),
+      dir, batchId = Some(1L))
+    val qs = vecs(3, 16, seed = 73)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
+    // crash a leaf swap: the leaf lives only in compact_work's bak while
+    // committed appends are ALSO pending — the dangerous combination:
+    // folding first would rewrite the index without the leaf's rows
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val leaf = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head.getName
+    spark.read.parquet(s"$dir/vectors/$leaf").repartition(1)
+      .write.parquet(s"$dir/compact_work/${leaf}_compact_tmp")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/vectors/$leaf"),
+      new org.apache.hadoop.fs.Path(s"$dir/compact_work/${leaf}_compact_bak")))
+    IvfIndex.compact(spark, dir)
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == before,
+      "recovery must restore the crashed leaf before the fold rewrites the index")
+  }
+
   test("readers leave an in-flight rebuild's staging alone; only a missing index recovers") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
     IvfIndex.build(vecs(80, 16, seed = 41), dir, nlist = 4)
