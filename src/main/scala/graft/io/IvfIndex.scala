@@ -156,6 +156,11 @@ object IvfIndex {
       case None =>
         assigned.write.mode("append").partitionBy("cell").parquet(s"$dir/vectors")
       case Some(b) =>
+        // heal a crashed build/fold swap BEFORE the marker check: with
+        // the index dir missing, exists(committed) is vacuously false
+        // and a replayed batch would re-stage (and re-publish) instead
+        // of no-oping
+        recoverIfMissing(spark, dir)
         val committed = new org.apache.hadoop.fs.Path(s"$dir/appends/batch=$b")
         val fs = fsOf(spark, committed)
         if (!fs.exists(committed)) { // retried batch already published → no-op
@@ -164,7 +169,10 @@ object IvfIndex {
           // retry staging the same batch (the restarted-driver replay
           // this feature exists for) and publish a mixed directory. With
           // unique paths each attempt renames only bytes it wrote alone;
-          // losers fail the rename and discard their own staging.
+          // losers either fail the rename (local FS) or nest their
+          // staging INSIDE the winner's published dir (HDFS/object-store
+          // rename-onto-existing-directory semantics) — the nested case
+          // is detected and undone right below.
           val attempt = java.util.UUID.randomUUID().toString.substring(0, 8)
           val tmp = new org.apache.hadoop.fs.Path(s"$dir/appends_staging/${b}_$attempt")
           assigned.write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
@@ -174,14 +182,26 @@ object IvfIndex {
             // fine iff the batch is now committed; anything else is real
             require(fs.exists(committed), s"commit rename failed for batch $b")
             fs.delete(tmp, true)
+          } else {
+            // on HDFS a rename onto an existing dir SUCCEEDS by moving
+            // the source inside it: batch=<b>/<b>_<attempt>/… — we lost
+            // the publish race, the winner's content stands; remove our
+            // nested staging (cell= children make a false match
+            // impossible)
+            val nested = new org.apache.hadoop.fs.Path(committed, tmp.getName)
+            if (fs.exists(nested)) fs.delete(nested, true)
           }
         }
-        // crashed attempts leave orphan staging for this batch — clean
-        // them now that it is committed (deleting a LIVE concurrent
-        // attempt's staging is also safe: its rename fails, it sees the
-        // committed dir, and its own delete becomes a no-op)
-        Option(fs.globStatus(new org.apache.hadoop.fs.Path(
-          s"$dir/appends_staging/${b}_*"))).getOrElse(Array.empty)
+        // crashed attempts leave orphans — staging dirs, and (cluster
+        // rename semantics) staging nested inside the committed dir by
+        // an attempt that died before its own cleanup. Sweep both now
+        // that the batch is committed (deleting a LIVE concurrent
+        // attempt's staging is also safe: its rename fails or nests, it
+        // sees the committed dir, and its own cleanup becomes a no-op)
+        (Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$dir/appends_staging/${b}_*"))).getOrElse(Array.empty) ++
+         Option(fs.globStatus(new org.apache.hadoop.fs.Path(
+            s"$dir/appends/batch=$b/${b}_*"))).getOrElse(Array.empty))
           .foreach(s => fs.delete(s.getPath, true))
     }
   }
@@ -211,12 +231,18 @@ object IvfIndex {
     * compaction.
     *
     * Concurrency contract: compaction (like [[build]]) is SINGLE-WRITER
-    * maintenance. The tmp/bak dance makes every state crash-safe — a
-    * full copy of each leaf exists on disk at every instant — but a
-    * probe that scans `vectors/` in the instants between a leaf's two
-    * renames will not see that cell (rename gives atomic per-path
-    * swaps, not snapshot isolation across the root). Run probes against
-    * a quiesced index, or point readers at a copy, while compacting. */
+    * maintenance — and "writer" includes the [[append]] stream: the
+    * fold's whole-index swap replaces the `appends/` tree, so a batch
+    * committed mid-fold would vanish (rows AND marker). The fold
+    * re-lists batches after staging and skips the swap when anything
+    * new appeared, but the re-list-to-rename window remains — stop the
+    * stream (or schedule compaction between triggers) while compacting.
+    * The tmp/bak dance makes every state crash-safe — a full copy of
+    * each leaf exists on disk at every instant — but a probe that scans
+    * `vectors/` in the instants between a leaf's two renames will not
+    * see that cell (rename gives atomic per-path swaps, not snapshot
+    * isolation across the root). Run probes against a quiesced index,
+    * or point readers at a copy, while compacting. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024): Int = {
     recoverIfMissing(spark, dir) // heal a crashed build swap first, like every entry
@@ -277,7 +303,11 @@ object IvfIndex {
     if (hasRows) {
       val dst = new org.apache.hadoop.fs.Path(dir)
       val (tmp, bak) = (buildTmp(dir), buildBak(dir))
-      fs.delete(tmp, true)
+      // clear stale swap siblings the way build does: a crash between a
+      // previous swap's promote and its bak delete leaves a healthy dst
+      // plus a lingering bak, which would fail (or, on HDFS, nest) the
+      // next swap's dst→bak rename forever
+      graft.streaming.StreamingIngest.recoverSwap(fs, dst, tmp, bak)
       val base = spark.read.parquet(s"$dir/vectors")
       spark.read.parquet(s"$dir/centroids").coalesce(1)
         .write.parquet(s"$tmp/centroids")
@@ -287,7 +317,18 @@ object IvfIndex {
         .write.partitionBy("cell").parquet(s"$tmp/vectors")
       batches.foreach(b =>
         fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/appends/$b")))
-      graft.streaming.StreamingIngest.swapInto(fs, dst, tmp, bak, "compact-fold")
+      // last-moment guard against a live appender: a batch committed
+      // while the fold was writing is in neither the staged tree nor its
+      // markers, and the swap would silently destroy it — re-list and
+      // skip the fold if anything new appeared (the next compact gets
+      // it). A commit landing between this check and the swap's first
+      // rename is still lost: compaction, like build, is SINGLE-WRITER
+      // maintenance — quiesce the append stream too.
+      val now = fs.listStatus(appends).map(_.getPath.getName)
+        .filter(_.startsWith("batch=")).toSet
+      if (now == batches.toSet)
+        graft.streaming.StreamingIngest.swapInto(fs, dst, tmp, bak, "compact-fold")
+      else fs.delete(tmp, true)
     }
   }
 

@@ -146,7 +146,8 @@ object MediaCodec {
                            handler: String, biCompression: Int,
                            biSizeImage: Int, chunkId: String,
                            scale: Int, rate: Int): Array[Byte] = {
-    val bufSize = frames.map(_.length).max
+    // geometry fallback keeps a zero-frame clip buildable (empty movi)
+    val bufSize = frames.map(_.length).maxOption.getOrElse((w * 3 + 3) / 4 * 4 * h)
     val avih = {
       val b = ByteBuffer.allocate(56).order(ByteOrder.LITTLE_ENDIAN)
       b.putInt((1000000L * scale / rate).toInt) // dwMicroSecPerFrame

@@ -64,7 +64,7 @@ object Validation {
     * any action) instead of a second aggregation pass — the Spark face of
     * the reference's success/total counters and embedding usage stats
     * (`ingestion_service.py:413-414`, `embedding_generator.py:169-179`). */
-  private def usageAggs: Seq[Column] = Seq(
+  private val usageAggs: Seq[Column] = Seq(
     count(lit(1)).as("total"),
     count(when(col("is_valid"), 1)).as("valid"),
     sum(length(col("text"))).as("chars_processed"))

@@ -234,6 +234,48 @@ class IvfIndexSpec extends SparkSpec {
       "recovery must restore the crashed leaf before the fold rewrites the index")
   }
 
+  test("compact folds through a stale _build_bak left by a crash after promote") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    IvfIndex.build(vecs(100, 16, seed = 43), dir, nlist = 4)
+    IvfIndex.append(vecs(30, 16, seed = 431).withColumn("vec_id", col("vec_id") + 9000L),
+      dir, batchId = Some(1L))
+    // a previous build/fold died between swapInto's promote and its bak
+    // delete: healthy index, lingering bak — the fold's own swap must
+    // clear it (build's recoverSwap discipline), not fail forever
+    new java.io.File(dir + "_build_bak/stale").mkdirs()
+    val qs = vecs(2, 16, seed = 83)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
+    IvfIndex.compact(spark, dir)
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == before)
+    assert(!new java.io.File(dir + "_build_bak").exists())
+  }
+
+  test("a batch replay over a crashed index swap heals first, then no-ops") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    IvfIndex.build(vecs(100, 16, seed = 53), dir, nlist = 4)
+    val late = vecs(30, 16, seed = 531).withColumn("vec_id", col("vec_id") + 4000L)
+    IvfIndex.append(late, dir, batchId = Some(2L))
+    val qs = vecs(2, 16, seed = 85)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
+    // crash the swap right after dst -> bak: the index dir is missing,
+    // so the committed-marker check alone would wrongly re-stage the
+    // replayed batch into a healed-mid-write index
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + "_build_bak")))
+    IvfIndex.append(late, dir, batchId = Some(2L)) // foreachBatch retry
+    val after = IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(after.distinct.length == after.length, "replay must not duplicate rows")
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == before)
+  }
+
   test("readers leave an in-flight rebuild's staging alone; only a missing index recovers") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
     IvfIndex.build(vecs(80, 16, seed = 41), dir, nlist = 4)
