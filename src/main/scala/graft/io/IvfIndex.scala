@@ -213,7 +213,11 @@ object IvfIndex {
     * folds every committed append batch back into `vectors/` through the
     * same ATOMIC whole-index swap as [[build]] (centroids are copied
     * unchanged; no retraining): a reader never sees a row in both trees,
-    * and a mid-fold crash leaves the previous forest intact. The fold
+    * and a mid-fold crash leaves the previous forest intact. The fold is
+    * amortized: it runs only once append bytes reach `foldMinRatio` of
+    * the base tree (see [[foldAppends]]; `0.0` forces it), because it
+    * rewrites all of `vectors/` — below the threshold only the per-cell
+    * pass below runs. The fold
     * keeps each batch's `appends/batch=<id>` dir as an EMPTY marker, so
     * [[append]]'s exactly-once no-op check still recognizes a replayed
     * batch after its rows moved — [[probe]] reads the marker-only tree
@@ -244,7 +248,8 @@ object IvfIndex {
     * isolation across the root). Run probes against a quiesced index,
     * or point readers at a copy, while compacting. */
   def compact(spark: SparkSession, dir: String,
-              targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+              targetFileBytes: Long = 128L * 1024 * 1024,
+              foldMinRatio: Double = 0.1): Int = {
     recoverIfMissing(spark, dir) // heal a crashed build swap first, like every entry
     val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -268,7 +273,7 @@ object IvfIndex {
             new org.apache.hadoop.fs.Path(work, leaf + "_compact_bak"))
         }
     }
-    foldAppends(spark, dir)
+    foldAppends(spark, dir, foldMinRatio)
     val total = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .filter(leaf => fs.listStatus(leaf.getPath)
@@ -285,8 +290,19 @@ object IvfIndex {
     * re-created as empty markers inside the staged tree) and publish with
     * the one atomic whole-index swap — the only ordering under which no
     * reader can ever double-count a row between the two trees and no
-    * crash point loses either. */
-  private def foldAppends(spark: SparkSession, dir: String): Unit = {
+    * crash point loses either.
+    *
+    * The fold pays a FULL `vectors/` rewrite, so it is amortized against
+    * accumulated append volume: it runs only once append bytes reach
+    * `foldMinRatio` of the base tree (default 10%). Below the threshold
+    * the batches stay where they are — probe's extra file count is
+    * bounded by the batches a 10% ratio admits, and the next
+    * above-threshold compact (or any [[build]]) folds them. `0.0` forces
+    * the fold unconditionally. At 100 TB this is the difference between
+    * maintenance that costs O(appended) per cycle and maintenance that
+    * rewrites the whole index to absorb one micro-batch. */
+  private def foldAppends(spark: SparkSession, dir: String,
+                          foldMinRatio: Double): Unit = {
     val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
     val fs = fsOf(spark, appends)
     val batches =
@@ -300,7 +316,11 @@ object IvfIndex {
       while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
       found
     }
-    if (hasRows) {
+    val dueByVolume = hasRows && (foldMinRatio <= 0.0 ||
+      fs.getContentSummary(appends).getLength >=
+        foldMinRatio * fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$dir/vectors")).getLength)
+    if (dueByVolume) {
       val dst = new org.apache.hadoop.fs.Path(dir)
       val (tmp, bak) = (buildTmp(dir), buildBak(dir))
       // clear stale swap siblings the way build does: a crash between a

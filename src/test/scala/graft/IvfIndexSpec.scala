@@ -209,6 +209,37 @@ class IvfIndexSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/compact_work").exists())
   }
 
+  test("the fold is amortized: tiny appends stay put until the ratio (or 0.0) says fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vecs(400, 16, seed = 59), dir, nlist = 4)
+    // 3 vectors against 400: far under the default 10% volume threshold
+    IvfIndex.append(vecs(3, 16, seed = 591).withColumn("vec_id", col("vec_id") + 8000L),
+      dir, batchId = Some(1L))
+    val qs = vecs(2, 16, seed = 87)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    def batchFiles() = {
+      val d = new java.io.File(s"$dir/appends/batch=1")
+      if (!d.exists()) -1
+      else {
+        def walk(f: java.io.File): Int =
+          if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+          else Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        walk(d)
+      }
+    }
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4))
+    assert(before.exists(_._2 >= 8000L))
+    assert(batchFiles() > 0)
+    IvfIndex.compact(spark, dir) // default ratio: fold NOT due
+    assert(batchFiles() > 0, "a below-threshold batch must stay in appends/")
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4)) == before)
+    IvfIndex.compact(spark, dir, foldMinRatio = 0.0) // forced fold
+    assert(batchFiles() == 0, "a forced fold must leave only the empty marker")
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4)) == before)
+  }
+
   test("compact recovers a crashed leaf swap BEFORE folding appends — no row lost") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     IvfIndex.build(vecs(120, 16, seed = 37), dir, nlist = 4)
