@@ -359,5 +359,15 @@ class IvfIndexSpec extends SparkSpec {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(plan.contains("dynamicpruning"),
       s"probe scan is not partition-pruned:\n$plan")
+    // ...and pruning must SURVIVE the appends union: with a committed
+    // batch present the probe reads base ∪ appends, and the base scan —
+    // the 100 TB side — must still be dynamically pruned
+    IvfIndex.append(vecs(40, 16, seed = 75).withColumn("vec_id", col("vec_id") + 6000L),
+      dir, batchId = Some(1L))
+    val unionPlan = IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 2)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    val dppScans = "dynamicpruningexpression".r.findAllIn(unionPlan).length
+    assert(dppScans >= 2,
+      s"both sides of the union must stay partition-pruned (saw $dppScans):\n$unionPlan")
   }
 }
