@@ -58,7 +58,17 @@ object IvfIndex {
     * (rolled forward/back on the next build or read). A per-table
     * overwrite could not promise that: parquet overwrite is
     * delete-then-write, and the two tables would flip at different
-    * moments. */
+    * moments.
+    *
+    * A rebuild REPLACES the whole dir from `candidates` alone — any
+    * `appends/` batches (rows AND their exactly-once markers) are
+    * dropped with the old tree. The caller owns two obligations:
+    * `candidates` must include every appended row that should survive,
+    * and the stream feeding [[append]] must have checkpointed past its
+    * last batch before the rebuild (a post-rebuild replay of a
+    * pre-rebuild batch finds no marker and re-appends rows the rebuild
+    * already absorbed). Fold pending batches with [[compact]] first when
+    * in doubt — its markers survive. */
   def build(candidates: DataFrame, dir: String, nlist: Int,
             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = candidates.sparkSession
@@ -182,22 +192,19 @@ object IvfIndex {
             // fine iff the batch is now committed; anything else is real
             require(fs.exists(committed), s"commit rename failed for batch $b")
             fs.delete(tmp, true)
-          } else {
-            // on HDFS a rename onto an existing dir SUCCEEDS by moving
-            // the source inside it: batch=<b>/<b>_<attempt>/… — we lost
-            // the publish race, the winner's content stands; remove our
-            // nested staging (cell= children make a false match
-            // impossible)
-            val nested = new org.apache.hadoop.fs.Path(committed, tmp.getName)
-            if (fs.exists(nested)) fs.delete(nested, true)
           }
+          // NOTE: on HDFS a rename onto an existing dir SUCCEEDS by
+          // moving the source inside it (batch=<b>/<b>_<attempt>/…), so
+          // a losing attempt may believe it published — the sweep below
+          // removes exactly that nested staging (cell= children make a
+          // false match impossible), and [[foldAppends]] sweeps orphans
+          // from attempts that died before reaching it.
         }
         // crashed attempts leave orphans — staging dirs, and (cluster
-        // rename semantics) staging nested inside the committed dir by
-        // an attempt that died before its own cleanup. Sweep both now
-        // that the batch is committed (deleting a LIVE concurrent
-        // attempt's staging is also safe: its rename fails or nests, it
-        // sees the committed dir, and its own cleanup becomes a no-op)
+        // rename semantics) staging nested inside the committed dir.
+        // Sweep both now that the batch is committed (deleting a LIVE
+        // concurrent attempt's staging is also safe: its rename fails or
+        // nests, it sees the committed dir, and its own sweep no-ops)
         (Option(fs.globStatus(new org.apache.hadoop.fs.Path(
             s"$dir/appends_staging/${b}_*"))).getOrElse(Array.empty) ++
          Option(fs.globStatus(new org.apache.hadoop.fs.Path(
@@ -214,10 +221,11 @@ object IvfIndex {
     * same ATOMIC whole-index swap as [[build]] (centroids are copied
     * unchanged; no retraining): a reader never sees a row in both trees,
     * and a mid-fold crash leaves the previous forest intact. The fold is
-    * amortized: it runs only once append bytes reach `foldMinRatio` of
-    * the base tree (see [[foldAppends]]; `0.0` forces it), because it
-    * rewrites all of `vectors/` — below the threshold only the per-cell
-    * pass below runs. The fold
+    * amortized: it runs once append bytes reach `foldMinRatio` of the
+    * base tree or once `foldMaxBatches` batches accumulate (see
+    * [[foldAppends]]; ratio `0.0` forces it), because it rewrites all of
+    * `vectors/` — below both thresholds only the per-cell pass below
+    * runs. The fold
     * keeps each batch's `appends/batch=<id>` dir as an EMPTY marker, so
     * [[append]]'s exactly-once no-op check still recognizes a replayed
     * batch after its rows moved — [[probe]] reads the marker-only tree
@@ -249,7 +257,8 @@ object IvfIndex {
     * or point readers at a copy, while compacting. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
-              foldMinRatio: Double = 0.1): Int = {
+              foldMinRatio: Double = 0.1,
+              foldMaxBatches: Int = 64): Int = {
     recoverIfMissing(spark, dir) // heal a crashed build swap first, like every entry
     val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -273,7 +282,7 @@ object IvfIndex {
             new org.apache.hadoop.fs.Path(work, leaf + "_compact_bak"))
         }
     }
-    foldAppends(spark, dir, foldMinRatio)
+    foldAppends(spark, dir, foldMinRatio, foldMaxBatches)
     val total = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .filter(leaf => fs.listStatus(leaf.getPath)
@@ -292,35 +301,56 @@ object IvfIndex {
     * reader can ever double-count a row between the two trees and no
     * crash point loses either.
     *
-    * The fold pays a FULL `vectors/` rewrite, so it is amortized against
-    * accumulated append volume: it runs only once append bytes reach
-    * `foldMinRatio` of the base tree (default 10%). Below the threshold
-    * the batches stay where they are — probe's extra file count is
-    * bounded by the batches a 10% ratio admits, and the next
-    * above-threshold compact (or any [[build]]) folds them. `0.0` forces
-    * the fold unconditionally. At 100 TB this is the difference between
-    * maintenance that costs O(appended) per cycle and maintenance that
-    * rewrites the whole index to absorb one micro-batch. */
+    * The fold pays a FULL `vectors/` rewrite, so it is amortized: it
+    * runs once append bytes reach `foldMinRatio` of the base tree
+    * (default 10%) OR once `foldMaxBatches` batches have accumulated —
+    * the count trigger bounds probe's file count and listing cost even
+    * when the batches are tiny relative to a huge base (bytes alone
+    * would let a million small files ride below a byte threshold
+    * forever). Below both thresholds the batches stay where they are
+    * until a later compact trips a trigger (NOT [[build]]: a rebuild
+    * replaces the whole dir from its own candidates — see its scaladoc).
+    * `foldMinRatio = 0.0` forces the fold unconditionally. The count
+    * trigger is evaluated first so the common below-threshold call pays
+    * one appends walk and no base-tree listing; the byte-ratio check is
+    * the one `getContentSummary(vectors)` listing a volume policy costs.
+    * At 100 TB this is the difference between maintenance that costs
+    * O(appended) per cycle and maintenance that rewrites the whole
+    * index to absorb one micro-batch.
+    *
+    * Also sweeps nested-staging orphans (`batch=<b>/<b>_<attempt>`) left
+    * by publish-race losers that died before their own sweep — without
+    * it a single such orphan wedges every later appends read on
+    * mixed-depth partition discovery. */
   private def foldAppends(spark: SparkSession, dir: String,
-                          foldMinRatio: Double): Unit = {
+                          foldMinRatio: Double, foldMaxBatches: Int): Unit = {
     val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
     val fs = fsOf(spark, appends)
     val batches =
       if (fs.exists(appends))
         fs.listStatus(appends).map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
       else Seq.empty
-    // data files anywhere under the batch dirs? markers alone need no fold
-    val hasRows = batches.nonEmpty && {
-      val it = fs.listFiles(appends, true)
-      var found = false
-      while (!found && it.hasNext) found = it.next().getPath.getName.endsWith(".parquet")
-      found
+    if (batches.isEmpty) return
+    // self-heal nested staging orphans: anything under batch=<b> named
+    // <b>_* is a dead attempt's staging, never data
+    batches.foreach { bn =>
+      val b = bn.stripPrefix("batch=")
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/appends/$bn/${b}_*")))
+        .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
     }
-    val dueByVolume = hasRows && (foldMinRatio <= 0.0 ||
-      fs.getContentSummary(appends).getLength >=
-        foldMinRatio * fs.getContentSummary(
-          new org.apache.hadoop.fs.Path(s"$dir/vectors")).getLength)
-    if (dueByVolume) {
+    // ONE recursive walk: data-file count and byte volume together
+    var nFiles = 0L
+    var appendBytes = 0L
+    val it = fs.listFiles(appends, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { nFiles += 1; appendBytes += f.getLen }
+    }
+    val due = nFiles > 0 && (foldMinRatio <= 0.0 ||
+      batches.size >= foldMaxBatches ||
+      appendBytes >= foldMinRatio * fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(s"$dir/vectors")).getLength)
+    if (due) {
       val dst = new org.apache.hadoop.fs.Path(dir)
       val (tmp, bak) = (buildTmp(dir), buildBak(dir))
       // clear stale swap siblings the way build does: a crash between a

@@ -86,6 +86,15 @@ object StreamingIngest {
     if (fs.exists(dst) && !fs.rename(dst, bak))
       throw new java.io.IOException(s"$what: rename $dst -> $bak failed; previous table intact")
     if (!fs.rename(tmp, dst)) {
+      if (fs.exists(dst)) {
+        // a concurrent recoverSwap (a reader landing in the two-rename
+        // window) already rolled OUR complete tmp forward: the new table
+        // is live, so finish the commit rather than "restore" — on HDFS
+        // rename(bak, dst) with dst present would nest the old table
+        // INSIDE the live one and no recovery path would ever clean it
+        if (fs.exists(bak)) fs.delete(bak, true)
+        return
+      }
       if (fs.exists(bak) && fs.rename(bak, dst))
         throw new java.io.IOException(
           s"$what: rename $tmp -> $dst failed; previous table restored")

@@ -240,6 +240,49 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4)) == before)
   }
 
+  test("the batch-COUNT trigger folds tiny batches the byte ratio would never reach") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vecs(400, 16, seed = 67), dir, nlist = 4)
+    for (b <- 1 to 3)
+      IvfIndex.append(vecs(2, 16, seed = 670 + b)
+        .withColumn("vec_id", col("vec_id") + b * 10000L), dir, batchId = Some(b.toLong))
+    val qs = vecs(2, 16, seed = 89)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4))
+    // 6 vectors vs 400: far under the 10% byte ratio, but 3 batches
+    // >= foldMaxBatches=3 — the file-count bound must trip the fold
+    IvfIndex.compact(spark, dir, foldMaxBatches = 3)
+    for (b <- 1 to 3) {
+      val d = new java.io.File(s"$dir/appends/batch=$b")
+      assert(d.exists() && d.listFiles().isEmpty, s"batch $b should be an empty marker")
+    }
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4)) == before)
+  }
+
+  test("compact sweeps a dead publish-race loser's staging nested inside a batch dir") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vecs(100, 16, seed = 79), dir, nlist = 4)
+    IvfIndex.append(vecs(30, 16, seed = 791).withColumn("vec_id", col("vec_id") + 3000L),
+      dir, batchId = Some(5L))
+    val qs = vecs(2, 16, seed = 93)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
+    // HDFS rename-onto-existing nests a losing attempt's staging inside
+    // the committed dir; if that attempt dies pre-sweep the orphan wedges
+    // partition discovery on every later appends read — compact must heal
+    val orphan = new java.io.File(s"$dir/appends/batch=5/5_deadbeef/cell=0")
+    orphan.mkdirs()
+    new java.io.File(orphan, "part-orphan.parquet").createNewFile()
+    IvfIndex.compact(spark, dir)
+    assert(!new java.io.File(s"$dir/appends/batch=5/5_deadbeef").exists(),
+      "the nested orphan must be swept")
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == before)
+  }
+
   test("compact recovers a crashed leaf swap BEFORE folding appends — no row lost") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     IvfIndex.build(vecs(120, 16, seed = 37), dir, nlist = 4)
