@@ -222,10 +222,10 @@ object IvfIndex {
     * unchanged; no retraining): a reader never sees a row in both trees,
     * and a mid-fold crash leaves the previous forest intact. The fold is
     * amortized: it runs once append bytes reach `foldMinRatio` of the
-    * base tree or once `foldMaxBatches` batches accumulate (see
-    * [[foldAppends]]; ratio `0.0` forces it), because it rewrites all of
-    * `vectors/` — below both thresholds only the per-cell pass below
-    * runs. The fold
+    * base tree or once `foldMaxBatches` data-bearing batches accumulate
+    * (see [[foldAppends]]; ratio `0.0` forces it), because it rewrites
+    * all of `vectors/` — below both thresholds only the per-cell pass
+    * below runs. The fold
     * keeps each batch's `appends/batch=<id>` dir as an EMPTY marker, so
     * [[append]]'s exactly-once no-op check still recognizes a replayed
     * batch after its rows moved — [[probe]] reads the marker-only tree
@@ -303,11 +303,12 @@ object IvfIndex {
     *
     * The fold pays a FULL `vectors/` rewrite, so it is amortized: it
     * runs once append bytes reach `foldMinRatio` of the base tree
-    * (default 10%) OR once `foldMaxBatches` batches have accumulated —
-    * the count trigger bounds probe's file count and listing cost even
-    * when the batches are tiny relative to a huge base (bytes alone
-    * would let a million small files ride below a byte threshold
-    * forever). Below both thresholds the batches stay where they are
+    * (default 10%) OR once `foldMaxBatches` DATA-BEARING batches have
+    * accumulated (folded batches survive only as empty markers and do
+    * not count — else the trigger would latch permanently) — the count
+    * trigger bounds probe's file count and listing cost even when the
+    * batches are tiny relative to a huge base (bytes alone would let a
+    * million small files ride below a byte threshold forever). Below both thresholds the batches stay where they are
     * until a later compact trips a trigger (NOT [[build]]: a rebuild
     * replaces the whole dir from its own candidates — see its scaladoc).
     * `foldMinRatio = 0.0` forces the fold unconditionally. The count
@@ -331,23 +332,34 @@ object IvfIndex {
         fs.listStatus(appends).map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
       else Seq.empty
     if (batches.isEmpty) return
-    // self-heal nested staging orphans: anything under batch=<b> named
-    // <b>_* is a dead attempt's staging, never data
-    batches.foreach { bn =>
-      val b = bn.stripPrefix("batch=")
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(s"$dir/appends/$bn/${b}_*")))
-        .getOrElse(Array.empty).foreach(s => fs.delete(s.getPath, true))
-    }
-    // ONE recursive walk: data-file count and byte volume together
+    // ONE recursive walk computes everything: data-file count, byte
+    // volume, the set of batches that actually CARRY data (markers left
+    // by previous folds must not latch the count trigger — they are
+    // permanent, and counting them would make every compact after
+    // foldMaxBatches lifetime batches a full rewrite), and nested
+    // staging orphans (a dead publish-race loser's dir under batch=<b>;
+    // detected by path shape — the child of a batch dir is either a
+    // cell=* partition or staging — so the sweep costs zero extra
+    // listing RPCs and orphan contents never count as data)
+    val appendsDepth = fs.makeQualified(appends).depth
+    val dataBatches = scala.collection.mutable.Set[String]()
+    val orphans = scala.collection.mutable.Set[org.apache.hadoop.fs.Path]()
     var nFiles = 0L
     var appendBytes = 0L
     val it = fs.listFiles(appends, true)
     while (it.hasNext) {
       val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) { nFiles += 1; appendBytes += f.getLen }
+      var p = f.getPath // climb to the component directly under the batch dir
+      while (p.getParent.depth > appendsDepth + 1) p = p.getParent
+      if (p != f.getPath && !p.getName.startsWith("cell="))
+        orphans += p
+      else if (f.getPath.getName.endsWith(".parquet")) {
+        nFiles += 1; appendBytes += f.getLen; dataBatches += p.getParent.getName
+      }
     }
+    orphans.foreach(o => fs.delete(o, true))
     val due = nFiles > 0 && (foldMinRatio <= 0.0 ||
-      batches.size >= foldMaxBatches ||
+      dataBatches.size >= foldMaxBatches ||
       appendBytes >= foldMinRatio * fs.getContentSummary(
         new org.apache.hadoop.fs.Path(s"$dir/vectors")).getLength)
     if (due) {

@@ -251,14 +251,21 @@ class IvfIndexSpec extends SparkSpec {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4))
-    // 6 vectors vs 400: far under the 10% byte ratio, but 3 batches
-    // >= foldMaxBatches=3 — the file-count bound must trip the fold
-    IvfIndex.compact(spark, dir, foldMaxBatches = 3)
+    // an impossible byte ratio isolates the COUNT branch: only
+    // 3 data-bearing batches >= foldMaxBatches=3 can trip this fold
+    IvfIndex.compact(spark, dir, foldMinRatio = 1000.0, foldMaxBatches = 3)
     for (b <- 1 to 3) {
       val d = new java.io.File(s"$dir/appends/batch=$b")
       assert(d.exists() && d.listFiles().isEmpty, s"batch $b should be an empty marker")
     }
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4)) == before)
+    // markers do NOT latch the trigger: with all three batches folded to
+    // markers, one tiny new batch must NOT re-trip the count branch
+    IvfIndex.append(vecs(2, 16, seed = 679).withColumn("vec_id", col("vec_id") + 50000L),
+      dir, batchId = Some(9L))
+    IvfIndex.compact(spark, dir, foldMinRatio = 1000.0, foldMaxBatches = 3)
+    assert(new java.io.File(s"$dir/appends/batch=9").listFiles().nonEmpty,
+      "folded markers must not count toward foldMaxBatches")
   }
 
   test("compact sweeps a dead publish-race loser's staging nested inside a batch dir") {
