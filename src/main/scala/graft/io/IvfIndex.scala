@@ -43,6 +43,25 @@ object IvfIndex {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
   private def buildTmp(dir: String) = new org.apache.hadoop.fs.Path(dir + "_build_tmp")
   private def buildBak(dir: String) = new org.apache.hadoop.fs.Path(dir + "_build_bak")
+  private def foldedManifest(dir: String) =
+    new org.apache.hadoop.fs.Path(s"$dir/appends_folded")
+
+  /** Batch dir names already folded into `vectors/` — the exactly-once
+    * memory for batches whose dirs the fold REMOVED. One flat file
+    * rewritten atomically inside the fold's whole-index swap: the
+    * listing stays flat no matter how many batches a stream commits
+    * over its lifetime (one line of bytes each, not one directory —
+    * marker dirs would grow `appends/` listing cost without bound). */
+  private def foldedBatches(fs: org.apache.hadoop.fs.FileSystem,
+                            dir: String): Set[String] = {
+    val m = foldedManifest(dir)
+    if (fs.exists(m)) {
+      val in = fs.open(m)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toSet
+      finally in.close()
+    } else Set.empty
+  }
 
   /** Build the index: one pass assigns every candidate to its coarse
     * cell and writes the cell-partitioned vector table plus the
@@ -61,14 +80,13 @@ object IvfIndex {
     * moments.
     *
     * A rebuild REPLACES the whole dir from `candidates` alone — any
-    * `appends/` batches (rows AND their exactly-once markers) are
-    * dropped with the old tree. The caller owns two obligations:
-    * `candidates` must include every appended row that should survive,
-    * and the stream feeding [[append]] must have checkpointed past its
-    * last batch before the rebuild (a post-rebuild replay of a
-    * pre-rebuild batch finds no marker and re-appends rows the rebuild
-    * already absorbed). Fold pending batches with [[compact]] first when
-    * in doubt — its markers survive. */
+    * `appends/` batches (rows AND their exactly-once commit records,
+    * dirs and folded manifest alike) are dropped with the old tree. The
+    * caller owns two obligations: `candidates` must include every
+    * appended row that should survive, and the stream feeding
+    * [[append]] must have checkpointed past its last batch before the
+    * rebuild (a post-rebuild replay of a pre-rebuild batch finds no
+    * commit record and re-appends rows the rebuild already absorbed). */
   def build(candidates: DataFrame, dir: String, nlist: Int,
             idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
     val spark = candidates.sparkSession
@@ -140,15 +158,16 @@ object IvfIndex {
     * the batch is staged under a per-ATTEMPT-unique
     * `appends_staging/<id>_<attempt>` and published by a single atomic
     * rename to `appends/batch=<id>` — a retry of a batch that already
-    * committed sees the target and no-ops; concurrent attempts (a zombie
-    * driver racing its replacement) each stage privately, one rename
-    * wins, losers discard their own staging; crashed attempts' orphan
-    * staging is swept after commit; nothing under `appends/` is ever
-    * partial. [[probe]] reads `vectors/` plus
+    * committed sees the target (or, after a fold removed the dir, its
+    * line in the `appends_folded` manifest) and no-ops; concurrent
+    * attempts (a zombie driver racing its replacement) each stage
+    * privately, one rename wins, losers discard their own staging;
+    * crashed attempts' orphan staging is swept after commit; nothing
+    * under `appends/` is ever partial. [[probe]] reads `vectors/` plus
     * every committed batch (cell stays a partition column in both trees,
-    * so pruning holds), and the next [[build]] folds the whole forest
-    * back into one `vectors/` tree through its whole-index swap — the
-    * LSM-style L0/rebuild split.
+    * so pruning holds), and [[compact]] folds accumulated batches back
+    * into one `vectors/` tree through the build-style whole-index swap —
+    * the LSM-style L0/compaction split.
     *
     * Without a `batchId` (ad-hoc, single-shot maintenance) the write is
     * a plain append into the cell partitions: simplest layout, but a
@@ -173,7 +192,11 @@ object IvfIndex {
         recoverIfMissing(spark, dir)
         val committed = new org.apache.hadoop.fs.Path(s"$dir/appends/batch=$b")
         val fs = fsOf(spark, committed)
-        if (!fs.exists(committed)) { // retried batch already published → no-op
+        // a replayed batch no-ops on EITHER commit record: its dir (not
+        // yet folded) or its line in the folded manifest (dir removed by
+        // a fold)
+        if (!fs.exists(committed) &&
+            !foldedBatches(fs, dir).contains(s"batch=$b")) {
           // staging is PER-ATTEMPT-unique: a shared path would let a
           // zombie driver's resumed write interleave with a concurrent
           // retry staging the same batch (the restarted-driver replay
@@ -225,11 +248,12 @@ object IvfIndex {
     * base tree or once `foldMaxBatches` data-bearing batches accumulate
     * (see [[foldAppends]]; ratio `0.0` forces it), because it rewrites
     * all of `vectors/` — below both thresholds only the per-cell pass
-    * below runs. The fold
-    * keeps each batch's `appends/batch=<id>` dir as an EMPTY marker, so
-    * [[append]]'s exactly-once no-op check still recognizes a replayed
-    * batch after its rows moved — [[probe]] reads the marker-only tree
-    * as zero rows via its explicit schema. Then each `cell=<c>` leaf is
+    * below runs. The fold REMOVES the folded batch dirs and records
+    * their ids in the `appends_folded` manifest (swapped in atomically
+    * with the new tree), so [[append]]'s exactly-once no-op check still
+    * recognizes a replayed batch after its rows moved, and `appends/`
+    * listing cost stays bounded by the UNFOLDED batches rather than
+    * growing one dir per lifetime batch. Then each `cell=<c>` leaf is
     * compacted independently with the crash-safe tmp/bak swap — the
     * partition layout (and so probe-time pruning) is untouched, and a
     * full copy of every leaf exists on disk at every instant. The swap
@@ -245,7 +269,7 @@ object IvfIndex {
     * Concurrency contract: compaction (like [[build]]) is SINGLE-WRITER
     * maintenance — and "writer" includes the [[append]] stream: the
     * fold's whole-index swap replaces the `appends/` tree, so a batch
-    * committed mid-fold would vanish (rows AND marker). The fold
+    * committed mid-fold would vanish (rows AND commit record). The fold
     * re-lists batches after staging and skips the swap when anything
     * new appeared, but the re-list-to-rename window remains — stop the
     * stream (or schedule compaction between triggers) while compacting.
@@ -295,34 +319,37 @@ object IvfIndex {
   }
 
   /** The fold half of [[compact]]: rewrite `vectors/` as base ∪ committed
-    * appends under `_build_tmp` (centroids copied unchanged, batch dirs
-    * re-created as empty markers inside the staged tree) and publish with
-    * the one atomic whole-index swap — the only ordering under which no
-    * reader can ever double-count a row between the two trees and no
-    * crash point loses either.
+    * appends under `_build_tmp` (centroids copied unchanged, folded
+    * batch ids recorded in the staged `appends_folded` manifest) and
+    * publish with the one atomic whole-index swap — the only ordering
+    * under which no reader can ever double-count a row between the two
+    * trees and no crash point loses either row or commit record.
     *
     * The fold pays a FULL `vectors/` rewrite, so it is amortized: it
     * runs once append bytes reach `foldMinRatio` of the base tree
     * (default 10%) OR once `foldMaxBatches` DATA-BEARING batches have
-    * accumulated (folded batches survive only as empty markers and do
-    * not count — else the trigger would latch permanently) — the count
-    * trigger bounds probe's file count and listing cost even when the
-    * batches are tiny relative to a huge base (bytes alone would let a
-    * million small files ride below a byte threshold forever). Below both thresholds the batches stay where they are
-    * until a later compact trips a trigger (NOT [[build]]: a rebuild
-    * replaces the whole dir from its own candidates — see its scaladoc).
-    * `foldMinRatio = 0.0` forces the fold unconditionally. The count
-    * trigger is evaluated first so the common below-threshold call pays
-    * one appends walk and no base-tree listing; the byte-ratio check is
-    * the one `getContentSummary(vectors)` listing a volume policy costs.
-    * At 100 TB this is the difference between maintenance that costs
-    * O(appended) per cycle and maintenance that rewrites the whole
-    * index to absorb one micro-batch.
+    * accumulated — the count trigger bounds probe's file count and
+    * listing cost even when the batches are tiny relative to a huge
+    * base (bytes alone would let a million small files ride below a
+    * byte threshold forever). Below both thresholds the batches stay
+    * where they are until a later compact trips a trigger (NOT
+    * [[build]]: a rebuild replaces the whole dir from its own
+    * candidates — see its scaladoc). `foldMinRatio = 0.0` forces the
+    * fold unconditionally. The count trigger is evaluated first so the
+    * common below-threshold call pays one appends walk and no base-tree
+    * listing; the byte-ratio check is the one `getContentSummary
+    * (vectors)` listing a volume policy costs. At 100 TB this is the
+    * difference between maintenance that costs O(appended) per cycle
+    * and maintenance that rewrites the whole index to absorb one
+    * micro-batch.
     *
-    * Also sweeps nested-staging orphans (`batch=<b>/<b>_<attempt>`) left
-    * by publish-race losers that died before their own sweep — without
-    * it a single such orphan wedges every later appends read on
-    * mixed-depth partition discovery. */
+    * Also sweeps file-bearing nested-staging orphans
+    * (`batch=<b>/<b>_<attempt>`) left by publish-race losers that died
+    * before their own sweep — without it a single such orphan wedges
+    * every later appends read on mixed-depth partition discovery. A
+    * FILE-LESS nested orphan is invisible to the walk (and to Spark's
+    * leaf-file partition discovery — harmless) and is cleared when its
+    * batch folds, since the fold removes the whole batch dir. */
   private def foldAppends(spark: SparkSession, dir: String,
                           foldMinRatio: Double, foldMaxBatches: Int): Unit = {
     val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
@@ -333,14 +360,13 @@ object IvfIndex {
       else Seq.empty
     if (batches.isEmpty) return
     // ONE recursive walk computes everything: data-file count, byte
-    // volume, the set of batches that actually CARRY data (markers left
-    // by previous folds must not latch the count trigger — they are
-    // permanent, and counting them would make every compact after
-    // foldMaxBatches lifetime batches a full rewrite), and nested
-    // staging orphans (a dead publish-race loser's dir under batch=<b>;
-    // detected by path shape — the child of a batch dir is either a
-    // cell=* partition or staging — so the sweep costs zero extra
-    // listing RPCs and orphan contents never count as data)
+    // volume, the set of batches that actually CARRY data (empty batch
+    // dirs — published empty micro-batches — must not trip the count
+    // trigger), and nested staging orphans (a dead publish-race loser's
+    // dir under batch=<b>; detected by path shape — the child of a
+    // batch dir is either a cell=* partition or staging — so the sweep
+    // costs zero extra listing RPCs and orphan contents never count as
+    // data)
     val appendsDepth = fs.makeQualified(appends).depth
     val dataBatches = scala.collection.mutable.Set[String]()
     val orphans = scala.collection.mutable.Set[org.apache.hadoop.fs.Path]()
@@ -377,15 +403,19 @@ object IvfIndex {
           .schema(base.schema.add("batch", org.apache.spark.sql.types.LongType))
           .parquet(appends.toString).drop("batch"))
         .write.partitionBy("cell").parquet(s"$tmp/vectors")
-      batches.foreach(b =>
-        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$tmp/appends/$b")))
+      // record the folded batches in the manifest INSIDE the staged
+      // tree (atomic with the swap): their dirs are gone after the
+      // fold, and the manifest is what keeps a replay a no-op
+      val manifest = (foldedBatches(fs, dir) ++ batches).toSeq.sorted.mkString("\n")
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/appends_folded"), true)
+      try out.write(manifest.getBytes("UTF-8")) finally out.close()
       // last-moment guard against a live appender: a batch committed
-      // while the fold was writing is in neither the staged tree nor its
-      // markers, and the swap would silently destroy it — re-list and
-      // skip the fold if anything new appeared (the next compact gets
-      // it). A commit landing between this check and the swap's first
-      // rename is still lost: compaction, like build, is SINGLE-WRITER
-      // maintenance — quiesce the append stream too.
+      // while the fold was writing is in neither the staged tree nor
+      // its manifest, and the swap would silently destroy it — re-list
+      // and skip the fold if anything new appeared (the next compact
+      // gets it). A commit landing between this check and the swap's
+      // first rename is still lost: compaction, like build, is
+      // SINGLE-WRITER maintenance — quiesce the append stream too.
       val now = fs.listStatus(appends).map(_.getPath.getName)
         .filter(_.startsWith("batch=")).toSet
       if (now == batches.toSet)
@@ -413,11 +443,10 @@ object IvfIndex {
     val assigned =
       if (fs.exists(appends) &&
           fs.listStatus(appends).exists(_.getPath.getName.startsWith("batch=")))
-        // EXPLICIT schema (from the build tree): an empty micro-batch —
-        // and the empty marker dirs [[compact]] leaves after folding —
-        // publish a batch dir with no data files, which schema inference
-        // would reject ("unable to infer schema") on an otherwise
-        // healthy index
+        // EXPLICIT schema (from the build tree): an empty micro-batch
+        // publishes a batch dir with no data files, which schema
+        // inference would reject ("unable to infer schema") on an
+        // otherwise healthy index
         base.select(col(idCol), col(vecCol), col("cell"))
           .unionByName(spark.read
             .schema(base.schema.add("batch", org.apache.spark.sql.types.LongType))

@@ -124,7 +124,7 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 4)) == before)
   }
 
-  test("compact folds committed appends into vectors/ and keeps the batch markers") {
+  test("compact folds committed appends into vectors/ and the manifest keeps replays no-ops") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     IvfIndex.build(vecs(120, 16, seed = 19), dir, nlist = 4)
     val late = vecs(50, 16, seed = 191).withColumn("vec_id", col("vec_id") + 5000L)
@@ -136,12 +136,13 @@ class IvfIndexSpec extends SparkSpec {
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
     assert(before.exists(_._2 >= 5000L), "appended rows reachable before the fold")
     IvfIndex.compact(spark, dir)
-    // answers unchanged; the appended rows now live in vectors/ and the
-    // batch dir survives as an EMPTY exactly-once marker
+    // answers unchanged; the appended rows now live in vectors/, the
+    // batch dir is GONE, and the manifest records the folded id
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == before)
-    val batchDir = new java.io.File(s"$dir/appends/batch=3")
-    assert(batchDir.exists() && batchDir.listFiles().isEmpty,
-      "fold must leave the batch dir as an empty marker")
+    assert(!new java.io.File(s"$dir/appends/batch=3").exists(),
+      "fold must remove the folded batch dir")
+    assert(new java.io.File(s"$dir/appends_folded").exists(),
+      "fold must write the folded-batch manifest")
     // a post-compact replay of the folded batch is STILL a no-op
     IvfIndex.append(late, dir, batchId = Some(3L))
     val after = IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4).collect()
@@ -236,7 +237,7 @@ class IvfIndexSpec extends SparkSpec {
     assert(batchFiles() > 0, "a below-threshold batch must stay in appends/")
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4)) == before)
     IvfIndex.compact(spark, dir, foldMinRatio = 0.0) // forced fold
-    assert(batchFiles() == 0, "a forced fold must leave only the empty marker")
+    assert(batchFiles() == -1, "a forced fold must remove the batch dir (manifest remembers)")
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4)) == before)
   }
 
@@ -254,30 +255,36 @@ class IvfIndexSpec extends SparkSpec {
     // an impossible byte ratio isolates the COUNT branch: only
     // 3 data-bearing batches >= foldMaxBatches=3 can trip this fold
     IvfIndex.compact(spark, dir, foldMinRatio = 1000.0, foldMaxBatches = 3)
-    for (b <- 1 to 3) {
-      val d = new java.io.File(s"$dir/appends/batch=$b")
-      assert(d.exists() && d.listFiles().isEmpty, s"batch $b should be an empty marker")
-    }
+    for (b <- 1 to 3)
+      assert(!new java.io.File(s"$dir/appends/batch=$b").exists(),
+        s"batch $b should be folded away")
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4)) == before)
-    // markers do NOT latch the trigger: with all three batches folded to
-    // markers, one tiny new batch must NOT re-trip the count branch
+    // folded batches do NOT latch the trigger: one tiny new batch must
+    // NOT re-trip the count branch on its own
     IvfIndex.append(vecs(2, 16, seed = 679).withColumn("vec_id", col("vec_id") + 50000L),
       dir, batchId = Some(9L))
     IvfIndex.compact(spark, dir, foldMinRatio = 1000.0, foldMaxBatches = 3)
     assert(new java.io.File(s"$dir/appends/batch=9").listFiles().nonEmpty,
-      "folded markers must not count toward foldMaxBatches")
+      "already-folded batches must not count toward foldMaxBatches")
+    // and a replay of a long-folded batch still no-ops via the manifest
+    IvfIndex.append(vecs(2, 16, seed = 671).withColumn("vec_id", col("vec_id") + 10000L),
+      dir, batchId = Some(1L))
+    assert(!new java.io.File(s"$dir/appends/batch=1").exists(),
+      "a replayed folded batch must not re-publish")
   }
 
   test("compact sweeps a dead publish-race loser's staging nested inside a batch dir") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
-    IvfIndex.build(vecs(100, 16, seed = 79), dir, nlist = 4)
-    IvfIndex.append(vecs(30, 16, seed = 791).withColumn("vec_id", col("vec_id") + 3000L),
+    // big base + tiny batch keeps the fold below threshold: the WALK
+    // sweep (not the fold's dir removal) must clear the orphan
+    IvfIndex.build(vecs(400, 16, seed = 79), dir, nlist = 4)
+    IvfIndex.append(vecs(2, 16, seed = 791).withColumn("vec_id", col("vec_id") + 3000L),
       dir, batchId = Some(5L))
     val qs = vecs(2, 16, seed = 93)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
-    val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4))
     // HDFS rename-onto-existing nests a losing attempt's staging inside
     // the committed dir; if that attempt dies pre-sweep the orphan wedges
     // partition discovery on every later appends read — compact must heal
@@ -287,7 +294,9 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.compact(spark, dir)
     assert(!new java.io.File(s"$dir/appends/batch=5/5_deadbeef").exists(),
       "the nested orphan must be swept")
-    assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == before)
+    assert(new java.io.File(s"$dir/appends/batch=5").exists(),
+      "the un-folded batch itself must survive the sweep")
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4)) == before)
   }
 
   test("compact recovers a crashed leaf swap BEFORE folding appends — no row lost") {
