@@ -51,16 +51,33 @@ object IvfIndex {
     * rewritten atomically inside the fold's whole-index swap: the
     * listing stays flat no matter how many batches a stream commits
     * over its lifetime (one line of bytes each, not one directory —
-    * marker dirs would grow `appends/` listing cost without bound). */
+    * marker dirs would grow `appends/` listing cost without bound).
+    * Cached per (modTime, length) so the streaming hot path — one
+    * [[append]] per micro-batch — pays one `getFileStatus` RPC, not an
+    * O(lifetime-batches) re-read per commit; the manifest only changes
+    * through a fold's swap (new modTime) and only grows (new length). */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Set[String])]()
   private def foldedBatches(fs: org.apache.hadoop.fs.FileSystem,
                             dir: String): Set[String] = {
     val m = foldedManifest(dir)
-    if (fs.exists(m)) {
-      val in = fs.open(m)
-      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toSet
-      finally in.close()
-    } else Set.empty
+    if (!fs.exists(m)) Set.empty
+    else {
+      val st = fs.getFileStatus(m)
+      val key = fs.makeQualified(m).toString
+      val cached = manifestCache.get(key)
+      if (cached != null && cached._1 == st.getModificationTime && cached._2 == st.getLen)
+        cached._3
+      else {
+        val in = fs.open(m)
+        val set =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty).toSet
+          finally in.close()
+        manifestCache.put(key, (st.getModificationTime, st.getLen, set))
+        set
+      }
+    }
   }
 
   /** Build the index: one pass assigns every candidate to its coarse
@@ -245,7 +262,7 @@ object IvfIndex {
     * unchanged; no retraining): a reader never sees a row in both trees,
     * and a mid-fold crash leaves the previous forest intact. The fold is
     * amortized: it runs once append bytes reach `foldMinRatio` of the
-    * base tree or once `foldMaxBatches` data-bearing batches accumulate
+    * base tree or once `foldMaxBatches` unfolded batch dirs accumulate
     * (see [[foldAppends]]; ratio `0.0` forces it), because it rewrites
     * all of `vectors/` — below both thresholds only the per-cell pass
     * below runs. The fold REMOVES the folded batch dirs and records
@@ -327,11 +344,13 @@ object IvfIndex {
     *
     * The fold pays a FULL `vectors/` rewrite, so it is amortized: it
     * runs once append bytes reach `foldMinRatio` of the base tree
-    * (default 10%) OR once `foldMaxBatches` DATA-BEARING batches have
-    * accumulated — the count trigger bounds probe's file count and
-    * listing cost even when the batches are tiny relative to a huge
-    * base (bytes alone would let a million small files ride below a
-    * byte threshold forever). Below both thresholds the batches stay
+    * (default 10%) OR once `foldMaxBatches` unfolded batch dirs have
+    * accumulated — data-bearing or empty alike, since each is one
+    * `appends/` listing entry only a fold can retire, and folded dirs
+    * are removed so the count cannot latch. The count trigger bounds
+    * probe's file count and listing cost even when the batches are tiny
+    * relative to a huge base (bytes alone would let a million small
+    * files ride below a byte threshold forever). Below both thresholds the batches stay
     * where they are until a later compact trips a trigger (NOT
     * [[build]]: a rebuild replaces the whole dir from its own
     * candidates — see its scaladoc). `foldMinRatio = 0.0` forces the
@@ -359,16 +378,12 @@ object IvfIndex {
         fs.listStatus(appends).map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
       else Seq.empty
     if (batches.isEmpty) return
-    // ONE recursive walk computes everything: data-file count, byte
-    // volume, the set of batches that actually CARRY data (empty batch
-    // dirs — published empty micro-batches — must not trip the count
-    // trigger), and nested staging orphans (a dead publish-race loser's
-    // dir under batch=<b>; detected by path shape — the child of a
-    // batch dir is either a cell=* partition or staging — so the sweep
-    // costs zero extra listing RPCs and orphan contents never count as
-    // data)
+    // ONE recursive walk computes the data-file count and byte volume,
+    // plus nested staging orphans (a dead publish-race loser's dir
+    // under batch=<b>; detected by path shape — the child of a batch
+    // dir is either a cell=* partition or staging — so the sweep costs
+    // zero extra listing RPCs and orphan contents never count as data)
     val appendsDepth = fs.makeQualified(appends).depth
-    val dataBatches = scala.collection.mutable.Set[String]()
     val orphans = scala.collection.mutable.Set[org.apache.hadoop.fs.Path]()
     var nFiles = 0L
     var appendBytes = 0L
@@ -380,13 +395,17 @@ object IvfIndex {
       if (p != f.getPath && !p.getName.startsWith("cell="))
         orphans += p
       else if (f.getPath.getName.endsWith(".parquet")) {
-        nFiles += 1; appendBytes += f.getLen; dataBatches += p.getParent.getName
+        nFiles += 1; appendBytes += f.getLen
       }
     }
     orphans.foreach(o => fs.delete(o, true))
-    val due = nFiles > 0 && (foldMinRatio <= 0.0 ||
-      dataBatches.size >= foldMaxBatches ||
-      appendBytes >= foldMinRatio * fs.getContentSummary(
+    // every listed dir is an UNFOLDED batch (folded dirs are removed, so
+    // the count trigger cannot latch) — empty dirs from empty
+    // micro-batches count too: each is one listing entry only a fold can
+    // retire. The byte trigger additionally needs actual data.
+    val due = foldMinRatio <= 0.0 ||
+      batches.size >= foldMaxBatches ||
+      (nFiles > 0 && appendBytes >= foldMinRatio * fs.getContentSummary(
         new org.apache.hadoop.fs.Path(s"$dir/vectors")).getLength)
     if (due) {
       val dst = new org.apache.hadoop.fs.Path(dir)

@@ -122,6 +122,15 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.append(vecs(100, 16, seed = 17).limit(0), dir, batchId = Some(0L))
     assert(new java.io.File(s"$dir/appends/batch=0").exists())
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 4)) == before)
+    // empty batch dirs are foldable cleanup: a forced fold retires the
+    // dir into the manifest, and a replay still no-ops
+    IvfIndex.compact(spark, dir, foldMinRatio = 0.0)
+    assert(!new java.io.File(s"$dir/appends/batch=0").exists(),
+      "a forced fold must retire even an empty batch dir")
+    IvfIndex.append(vecs(100, 16, seed = 17).limit(0), dir, batchId = Some(0L))
+    assert(!new java.io.File(s"$dir/appends/batch=0").exists(),
+      "a replayed folded-empty batch must not re-publish")
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 4)) == before)
   }
 
   test("compact folds committed appends into vectors/ and the manifest keeps replays no-ops") {
