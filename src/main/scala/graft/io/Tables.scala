@@ -34,21 +34,28 @@ object Tables {
   /** event_id BIGINT, ts TIMESTAMP (µs), ts_ns BIGINT (full nanosecond
     * epoch), user_id BIGINT, event_type STRING, value DOUBLE, props STRING.
     *
-    * The testdata writes `ts` as parquet TIMESTAMP(NANOS), which Spark's
-    * schema INFERENCE rejects (PARQUET_TYPE_ILLEGAL) unless the
-    * session-wide `nanosAsLong` legacy conf is on. Supplying the schema
-    * explicitly (ts as LONG) sidesteps inference entirely — the
-    * vectorized reader then hands back the raw int64 nanos with NO
-    * session conf involved, so unrelated parquet reads are untouched and
-    * the frame stays fully lazy. We keep the raw nanos as `ts_ns` — the
-    * total-order column, no precision loss — and derive a proper µs
-    * TimestampType `ts` for event-time operators (`window()`,
-    * watermarks). */
+    * The testdata has shipped `ts` as BOTH parquet TIMESTAMP(NANOS) and
+    * TIMESTAMP(MICROS) across generations. Either way the physical type
+    * is INT64, and supplying the schema explicitly (ts as LONG) reads
+    * the raw integer with no session conf and no inference (NANOS would
+    * otherwise need the session-wide `nanosAsLong` legacy flag;
+    * PARQUET_TYPE_ILLEGAL). The UNIT, however, follows the writer — so
+    * it is normalized per row by magnitude: epoch-µs for any date
+    * before year ~5100 sits below 1e17 while epoch-ns for any date
+    * after 1973 sits above it, so `raw >= 1e17 → already ns, else
+    * µs → ×1000` is unambiguous for any plausible event time. The
+    * branch is one codegen'd conditional per row — the frame stays
+    * fully lazy and unrelated parquet reads are untouched. `ts_ns` is
+    * the total-order column (no precision loss from a NANOS writer); a
+    * proper µs TimestampType `ts` is derived for event-time operators
+    * (`window()`, watermarks). */
   def events(spark: SparkSession, dir: String): DataFrame =
     spark.read.schema(
       "event_id LONG, ts LONG, user_id LONG, event_type STRING, value DOUBLE, props STRING")
       .parquet(p(dir, "events"))
       .withColumnRenamed("ts", "ts_ns")
+      .withColumn("ts_ns", org.apache.spark.sql.functions.expr(
+        "CASE WHEN ts_ns >= 100000000000000000 THEN ts_ns ELSE ts_ns * 1000 END"))
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts_ns div 1000")))
 
