@@ -530,7 +530,13 @@ object MediaCodec {
                   }
               case "mjpg" =>
                 sampled.flatMap { case (frame, i) =>
-                  Option(ImageIO.read(new ByteArrayInputStream(frame)))
+                  // Try, not just Option: ImageIO.read returns null only
+                  // when NO reader claims the bytes — a reader that claims
+                  // a damaged JPEG (intact SOI, rotted body) THROWS
+                  // mid-decode, which would escape the flatMap and fail
+                  // the task; the contract is drop-the-frame, never the job
+                  scala.util.Try(ImageIO.read(new ByteArrayInputStream(frame)))
+                    .toOption.flatMap(Option(_))
                     .filter(img => img.getWidth == avi.width && img.getHeight == avi.height)
                     .map { img =>
                       var (sr, sg, sb) = (0L, 0L, 0L)

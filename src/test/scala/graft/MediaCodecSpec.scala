@@ -130,6 +130,28 @@ class MediaCodecSpec extends SparkSpec {
     assert(got(("mini", 2)).frame_ts_ms == 200L)
   }
 
+  test("a corrupt JPEG frame drops that frame, not the job or the clip") {
+    // damage ONE frame's JPEG body in place: keep the FF D8 FF signature
+    // (so the JDK JPEG reader CLAIMS the bytes) and zero the rest (so
+    // the decode THROWS mid-parse rather than returning null) — the
+    // exact shape that must not escape the task as an exception
+    val bytes = MediaCodec.mjpgAviBytes(8, 8, 3)
+    val dc = "00dc".getBytes("US-ASCII")
+    val chunks = (0 to bytes.length - 4)
+      .filter(i => dc.indices.forall(j => bytes(i + j) == dc(j)))
+    assert(chunks.size == 3, "fixture must contain three frame chunks")
+    val patched = bytes.clone()
+    val dataStart = chunks(1) + 8 // skip fourcc + length
+    val len = java.nio.ByteBuffer.wrap(bytes, chunks(1) + 4, 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+    java.util.Arrays.fill(patched, dataStart + 3, dataStart + len, 0.toByte)
+    val df = spark.createDataFrame(Seq(("damaged", "video", "avi", patched)))
+      .toDF("doc", "modality", "codec", "payload")
+    val got = MediaCodec.aviFrames(df, step = 1).collect()
+    assert(got.map(_.frame_idx).sorted.toSeq == Seq(0, 2),
+      "intact frames must survive a corrupt sibling frame")
+  }
+
   test("unsupported biCompression rejects the stream; mixed codec tables decode per row") {
     // patch strf.biCompression (the SECOND 'MJPG' in the container — the
     // first is the strh handler fourcc) to an unknown codec
