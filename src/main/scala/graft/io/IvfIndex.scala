@@ -55,9 +55,15 @@ object IvfIndex {
     * Cached per (modTime, length) so the streaming hot path — one
     * [[append]] per micro-batch — pays one `getFileStatus` RPC, not an
     * O(lifetime-batches) re-read per commit; the manifest only changes
-    * through a fold's swap (new modTime) and only grows (new length). */
+    * through a fold's swap (new modTime) and only grows (new length).
+    * Bounded: entries are evicted when their index is rebuilt
+    * ([[build]] drops the manifest with the old tree) and the map is
+    * cleared wholesale past a size cap — a driver cycling through many
+    * ephemeral index dirs must not accrete one batch-name Set per dir
+    * for the JVM's lifetime. */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Set[String])]()
+  private val ManifestCacheMax = 64
   private def foldedBatches(fs: org.apache.hadoop.fs.FileSystem,
                             dir: String): Set[String] = {
     val m = foldedManifest(dir)
@@ -74,11 +80,24 @@ object IvfIndex {
           try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
             .filter(_.nonEmpty).toSet
           finally in.close()
+        if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
         manifestCache.put(key, (st.getModificationTime, st.getLen, set))
         set
       }
     }
   }
+
+  /** The committed appends forest, read with the BASE tree's schema
+    * plus the synthetic `batch` partition column. The EXPLICIT schema
+    * matters: an empty micro-batch publishes a batch dir with no data
+    * files, which schema inference would reject ("unable to infer
+    * schema") on an otherwise healthy index. Shared by [[probe]] and
+    * the fold so the invariant lives once. */
+  private def appendsFrame(spark: SparkSession, dir: String,
+                           baseSchema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read
+      .schema(baseSchema.add("batch", org.apache.spark.sql.types.LongType))
+      .parquet(s"$dir/appends")
 
   /** Build the index: one pass assigns every candidate to its coarse
     * cell and writes the cell-partitioned vector table plus the
@@ -120,6 +139,10 @@ object IvfIndex {
     Similarity.assignCells(candidates.select(col(idCol), col(vecCol)), cents, vecCol)
       .write.partitionBy("cell").parquet(s"$tmp/vectors")
     graft.streaming.StreamingIngest.swapInto(fs, dst, tmp, bak, "build")
+    // the rebuild dropped the old tree's folded manifest — evict its
+    // cache row too, or a dir-path reuse could serve stale batch names
+    manifestCache.remove(fs.makeQualified(foldedManifest(dir)).toString)
+    ()
   }
 
   /** Reader-side recovery: roll an interrupted [[build]] swap
@@ -233,6 +256,20 @@ object IvfIndex {
             require(fs.exists(committed), s"commit rename failed for batch $b")
             fs.delete(tmp, true)
           }
+          // REVALIDATE against the manifest after publishing: a zombie
+          // attempt can pass the pre-check, stall through a concurrent
+          // commit AND a fold of this very batch, then resume and
+          // publish rows the fold already moved into vectors/ — a
+          // duplicate the manifest can't undo once the next fold unions
+          // it in. The post-publish check closes that ordering: if the
+          // batch is in the manifest, this publish is a stale replay —
+          // remove it (idempotently; a racing replica removing too is
+          // fine). A fold IN FLIGHT during this window is caught by the
+          // fold's own re-list guard instead; the residual exposure is
+          // the fold's re-list-to-rename instant, the same documented
+          // single-writer window as every other rename-based layout here.
+          if (foldedBatches(fs, dir).contains(s"batch=$b"))
+            fs.delete(committed, true)
           // NOTE: on HDFS a rename onto an existing dir SUCCEEDS by
           // moving the source inside it (batch=<b>/<b>_<attempt>/…), so
           // a losing attempt may believe it published — the sweep below
@@ -373,10 +410,18 @@ object IvfIndex {
                           foldMinRatio: Double, foldMaxBatches: Int): Unit = {
     val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
     val fs = fsOf(spark, appends)
-    val batches =
+    val listed =
       if (fs.exists(appends))
         fs.listStatus(appends).map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
       else Seq.empty
+    // a dir whose batch is ALREADY in the manifest is a stale replay
+    // (a zombie attempt that re-published after a fold moved its rows
+    // into vectors/ — see append's post-publish revalidation): its rows
+    // are already in the base tree, so folding it would double them.
+    // Delete it here instead — the fold is the self-healing pass.
+    val alreadyFolded = foldedBatches(fs, dir)
+    val (stale, batches) = listed.partition(alreadyFolded.contains)
+    stale.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(appends, s), true))
     if (batches.isEmpty) return
     // ONE recursive walk computes the data-file count and byte volume,
     // plus nested staging orphans (a dead publish-race loser's dir
@@ -418,9 +463,7 @@ object IvfIndex {
       val base = spark.read.parquet(s"$dir/vectors")
       spark.read.parquet(s"$dir/centroids").coalesce(1)
         .write.parquet(s"$tmp/centroids")
-      base.unionByName(spark.read
-          .schema(base.schema.add("batch", org.apache.spark.sql.types.LongType))
-          .parquet(appends.toString).drop("batch"))
+      base.unionByName(appendsFrame(spark, dir, base.schema).drop("batch"))
         .write.partitionBy("cell").parquet(s"$tmp/vectors")
       // record the folded batches in the manifest INSIDE the staged
       // tree (atomic with the swap): their dirs are gone after the
@@ -462,15 +505,20 @@ object IvfIndex {
     val assigned =
       if (fs.exists(appends) &&
           fs.listStatus(appends).exists(_.getPath.getName.startsWith("batch=")))
-        // EXPLICIT schema (from the build tree): an empty micro-batch
-        // publishes a batch dir with no data files, which schema
-        // inference would reject ("unable to infer schema") on an
-        // otherwise healthy index
+        // a batch dir whose id is in the folded manifest is a stale
+        // zombie re-publish whose rows are ALREADY in the base tree
+        // (append revalidates and the fold deletes, but a probe can land
+        // in between) — filter on the batch partition column, so the
+        // stale dirs are PRUNED at the scan, not read-and-discarded
         base.select(col(idCol), col(vecCol), col("cell"))
-          .unionByName(spark.read
-            .schema(base.schema.add("batch", org.apache.spark.sql.types.LongType))
-            .parquet(appends.toString)
-            .select(col(idCol), col(vecCol), col("cell")))
+          .unionByName {
+            val folded = foldedBatches(fs, dir)
+              .flatMap(n => n.stripPrefix("batch=").toLongOption)
+            val app = appendsFrame(spark, dir, base.schema)
+            (if (folded.isEmpty) app
+             else app.filter(!col("batch").isInCollection(folded)))
+              .select(col(idCol), col(vecCol), col("cell"))
+          }
       else base
     Similarity.probeScore(queries, assigned, cents, k, nprobe,
       qidCol, qvecCol, idCol, vecCol)

@@ -161,6 +161,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == before)
   }
 
+  test("a zombie re-publish of a folded batch is pruned by probe and healed by the next fold") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vecs(120, 16, seed = 23), dir, nlist = 4)
+    val late = vecs(40, 16, seed = 231).withColumn("vec_id", col("vec_id") + 7000L)
+    IvfIndex.append(late, dir, batchId = Some(9L))
+    val qs = vecs(3, 16, seed = 72)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    IvfIndex.compact(spark, dir, foldMinRatio = 0.0) // fold batch 9 into vectors/
+    val folded = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
+    // simulate the zombie: an attempt that passed the pre-check before
+    // the fold, stalled, and published its staging AFTER the fold moved
+    // the rows — the dir reappears although the manifest lists batch=9
+    spark.read.parquet(s"$dir/vectors")
+      .filter(col("vec_id") >= 7000L)
+      .write.partitionBy("cell").parquet(s"$dir/appends/batch=9")
+    // probe must PRUNE the stale dir — same answers, no duplicates
+    val seen = IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(seen.distinct.length == seen.length, "stale re-publish must not duplicate")
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == folded)
+    // the next fold deletes the stale dir instead of unioning it again
+    IvfIndex.compact(spark, dir, foldMinRatio = 0.0)
+    assert(!new java.io.File(s"$dir/appends/batch=9").exists(),
+      "fold must delete a stale re-published batch dir")
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == folded)
+  }
+
   test("compact collapses per-cell small files, preserves layout and answers") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val base = vecs(120, 16, seed = 13)
