@@ -896,11 +896,11 @@ object SparkEntry {
       |cbk AS (SELECT vec_id, e,
       |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
       |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-      | FROM c),
+      | FROM c WHERE list_inner_product(e, e) > 0),
       |qbk AS (SELECT q_vec_id, qe,
       |  (CASE WHEN qe[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN qe[2] >= 0 THEN '1' ELSE '0' END) ||
       |  (CASE WHEN qe[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN qe[4] >= 0 THEN '1' ELSE '0' END) AS b0
-      | FROM q),
+      | FROM q WHERE list_inner_product(qe, qe) > 0),
       |sign_r AS (SELECT q_vec_id, vec_id FROM (
       |  SELECT qbk.q_vec_id, cbk.vec_id, row_number() OVER (PARTITION BY qbk.q_vec_id ORDER BY
       |   round(list_inner_product(qbk.qe, cbk.e) / (sqrt(list_inner_product(qbk.qe, qbk.qe)) * sqrt(list_inner_product(cbk.e, cbk.e))), 4) DESC, cbk.vec_id) AS rank
@@ -1460,7 +1460,8 @@ object SparkEntry {
         |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
         |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
         |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-        | FROM embeddings),
+        | FROM embeddings
+        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, bucket FROM b WHERE vec_id < 5),
         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e, bucket FROM b WHERE vec_id >= 5),
         |scored AS (
@@ -1478,7 +1479,8 @@ object SparkEntry {
         |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
         |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
         |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-        | FROM embeddings),
+        | FROM embeddings
+        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, bucket AS b0
         |      FROM b WHERE vec_id < 5),
         |qp AS (SELECT q_vec_id, qe, unnest([b0,
@@ -1498,8 +1500,8 @@ object SparkEntry {
     "keyword_search" ->
       s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
          |qw AS (SELECT question_id,
-         |        CAST(len(regexp_split_to_array(lower(question), '\\s+')) AS INTEGER) AS n_words,
-         |        unnest(list_distinct(regexp_split_to_array(lower(question), '\\s+'))) AS word
+         |        CAST(len(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> '')) AS INTEGER) AS n_words,
+         |        unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> ''))) AS word
          |       FROM qs),
          |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
          |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
@@ -1513,8 +1515,8 @@ object SparkEntry {
     "answer_summary" ->
       s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
          |qw AS (SELECT question_id,
-         |        CAST(len(regexp_split_to_array(lower(question), '\\s+')) AS INTEGER) AS n_words,
-         |        unnest(list_distinct(regexp_split_to_array(lower(question), '\\s+'))) AS word
+         |        CAST(len(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> '')) AS INTEGER) AS n_words,
+         |        unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> ''))) AS word
          |       FROM qs),
          |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
          |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
@@ -1578,8 +1580,8 @@ object SparkEntry {
     "answers_payload" ->
       s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
          |qw AS (SELECT question_id,
-         |        CAST(len(regexp_split_to_array(lower(question), '\\s+')) AS INTEGER) AS n_words,
-         |        unnest(list_distinct(regexp_split_to_array(lower(question), '\\s+'))) AS word
+         |        CAST(len(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> '')) AS INTEGER) AS n_words,
+         |        unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> ''))) AS word
          |       FROM qs),
          |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
          |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
@@ -2250,7 +2252,8 @@ object SparkEntry {
         |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
         |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
         |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-        | FROM embeddings),
+        | FROM embeddings
+        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
         |qb AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, bucket FROM b WHERE vec_id < 5),
         |cb AS (SELECT vec_id, embedding::DOUBLE[] AS e, bucket FROM b WHERE vec_id >= 5),
         |kw AS (
@@ -2825,8 +2828,8 @@ object SparkEntry {
          |    PARTITION BY question_id ORDER BY score DESC, doc_id) AS rank_a
          |  FROM aggd) WHERE rank_a <= 10),
          |qw AS (SELECT question_id,
-         |        CAST(len(regexp_split_to_array(lower(question), '\\s+')) AS INTEGER) AS n_words,
-         |        unnest(list_distinct(regexp_split_to_array(lower(question), '\\s+'))) AS word
+         |        CAST(len(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> '')) AS INTEGER) AS n_words,
+         |        unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> ''))) AS word
          |       FROM qs),
          |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
          |      FROM qw JOIN documents ON position(word IN lower(text)) > 0

@@ -48,6 +48,9 @@ object Chunking {
     * all (per-row generator). */
   def slidingWindowChunks(docs: DataFrame, windowSize: Int = 1000, overlap: Int = 200,
                           idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(windowSize > 0 && overlap >= 0 && overlap < windowSize,
+      s"need 0 <= overlap < windowSize, got windowSize=$windowSize overlap=$overlap" +
+        " (overlap >= windowSize gives a non-advancing window)")
     val step = windowSize - overlap
     // ComputeOnce: the min-length filter otherwise gets pushed below this
     // projection and the tokenize+stopword HOF subtree is re-evaluated at

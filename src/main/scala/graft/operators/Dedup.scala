@@ -146,27 +146,34 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** SimHash 32-bit fingerprint: per token, md5-derived bits vote ±1 per
-    * position; fingerprint bit b = 1 iff the vote sum is positive.
-    * Cross-engine reproducible (md5-based, integer arithmetic only). */
-  def simhash32(docs: DataFrame, idCol: String = "doc_id",
-                textCol: String = "text"): DataFrame = {
+  /** The shared SimHash vote pipeline: per token, md5-derived bits vote
+    * ±1 per position; fingerprint bit b = 1 iff the vote sum is
+    * positive. ONE hash-aggregate with `bits` sum columns instead of
+    * exploding `bits` vote rows per token: the shuffle moves |docs| rows
+    * of `bits` longs, not |docs|·|tokens|·`bits` rows — the map-side
+    * partial aggregation does the per-token vote folding in place.
+    * Cross-engine reproducible (md5-based, integer arithmetic only).
+    * One body for both widths so a fix to the vote expression cannot
+    * silently drift between them (the sq8Codes sharing rule). */
+  private def simhashN(docs: DataFrame, bits: Int, idCol: String,
+                       textCol: String): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
         explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
       .withColumn("h", md5Hash60(col("tok")))
-    // One hash-aggregate with 32 sum columns instead of exploding 32
-    // vote rows per token: the shuffle moves |docs| rows of 32 longs, not
-    // |docs|·|tokens|·32 rows — the map-side partial aggregation does the
-    // per-token vote folding in place. Same result, ~32× less shuffle.
-    val votes = (0 until 32).map(b =>
+    val votes = (0 until bits).map(b =>
       sum(expr(s"IF(shiftright(h, $b) % 2 = 1, 1, -1)")).as(s"v_$b"))
-    val bitSum = (0 until 32).map(b =>
+    val bitSum = (0 until bits).map(b =>
       expr(s"IF(v_$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"))
       .reduce(_ + _)
     toks.groupBy(col("id"))
       .agg(votes.head, votes.tail: _*)
       .select(col("id"), bitSum.as("simhash"))
   }
+
+  /** SimHash 32-bit fingerprint — see [[simhashN]]. */
+  def simhash32(docs: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text"): DataFrame =
+    simhashN(docs, 32, idCol, textCol)
 
   /** 60-bit SimHash — the wide twin of [[simhash32]] (same vote math
     * over all 60 bits of [[md5Hash60]]) used for Hamming-bucket pairing,
@@ -181,19 +188,8 @@ object Dedup {
     * (16-bit fields cap per-doc tokens at 65535; silent wrap beyond).
     * The wide form has no such cap, so it stays. */
   private[graft] def simhash60(docs: DataFrame, idCol: String = "doc_id",
-                               textCol: String = "text"): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"),
-        explode(split(lower(trim(col(textCol))), "\\s+")).as("tok"))
-      .withColumn("h", md5Hash60(col("tok")))
-    val votes = (0 until 60).map(b =>
-      sum(expr(s"IF(shiftright(h, $b) % 2 = 1, 1, -1)")).as(s"v_$b"))
-    val bitSum = (0 until 60).map(b =>
-      expr(s"IF(v_$b > 0, shiftleft(CAST(1 AS BIGINT), $b), CAST(0 AS BIGINT))"))
-      .reduce(_ + _)
-    toks.groupBy(col("id"))
-      .agg(votes.head, votes.tail: _*)
-      .select(col("id"), bitSum.as("simhash"))
-  }
+                               textCol: String = "text"): DataFrame =
+    simhashN(docs, 60, idCol, textCol)
 
   /** SimHash near-dup candidate pairs by Hamming-bucket banding: the
     * 60-bit [[simhash60]] fingerprint splits into 4 bands of 15 bits,

@@ -259,6 +259,15 @@ object MediaCodec {
     * the deterministic footprint of a real decode (a wrong pixel anywhere
     * moves the CRC). Corrupt/unsupported payloads yield no row here; use
     * [[Validation]]-style predicates upstream to count them. */
+  /** Decode image bytes, or None when undecodable. Try AND null-check:
+    * `ImageIO.read` returns null only when NO reader claims the bytes —
+    * a reader that claims a damaged payload (intact signature, rotted
+    * body) THROWS mid-decode, and either outcome must become a dropped
+    * row, never a failed task (the module's drop-the-row contract). */
+  private[graft] def decodeImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    scala.util.Try(ImageIO.read(new ByteArrayInputStream(payload)))
+      .toOption.flatMap(Option(_))
+
   def imageStats(media: DataFrame): Dataset[ImageStats] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -267,7 +276,7 @@ object MediaCodec {
       .as[(String, String, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (doc, codec, payload) =>
-          Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+          decodeImage(payload).map { img =>
             val (w, h) = (img.getWidth, img.getHeight)
             var (sr, sg, sb) = (0L, 0L, 0L)
             val crc = new CRC32()
@@ -296,7 +305,7 @@ object MediaCodec {
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (doc, payload) =>
-          Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+          decodeImage(payload).map { img =>
             val (w, h) = (img.getWidth, img.getHeight)
             val long = math.max(w, h)
             val scaled = long > maxSide
@@ -335,7 +344,7 @@ object MediaCodec {
       .as[(String, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (doc, payload) =>
-          Option(ImageIO.read(new ByteArrayInputStream(payload))).map { img =>
+          decodeImage(payload).map { img =>
             val hist = new Array[Long](64)
             for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
               val (r, g, b) = rgbOf(img, x, y)
@@ -352,10 +361,13 @@ object MediaCodec {
   /** Decode WAV audio through `javax.sound.sampled`: format header from
     * the real codec, then exact integer amplitude statistics over the
     * 16-bit PCM stream (all channels, interleaved order). Corrupt or
-    * unsupported payloads DROP the row, never the job — the same
-    * contract as [[imageStats]] (where `ImageIO.read` signals failure
-    * with null, `getAudioInputStream` throws
-    * `UnsupportedAudioFileException`; both become a skipped row). */
+    * unsupported payloads DROP the row, never the job — the
+    * [[decodeImage]] contract (`getAudioInputStream` throws
+    * `UnsupportedAudioFileException`; that becomes a skipped row). The
+    * amplitude loop reads little-endian signed 16-bit samples, so any
+    * OTHER valid WAV shape (8-bit, float, a-law/µ-law, big-endian) is
+    * dropped too rather than silently fused into garbage shorts while
+    * the `bits` column truthfully reports a different width. */
   def wavStats(media: DataFrame): Dataset[WavStats] = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -366,7 +378,11 @@ object MediaCodec {
         rows.flatMap { case (doc, payload) =>
           scala.util.Try {
             AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
-          }.toOption.map { in =>
+          }.toOption.filter { in =>
+            val f = in.getFormat
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16 && !f.isBigEndian
+          }.map { in =>
             val fmt = in.getFormat
             val bytes = in.readAllBytes()
             val bb = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
@@ -530,13 +546,7 @@ object MediaCodec {
                   }
               case "mjpg" =>
                 sampled.flatMap { case (frame, i) =>
-                  // Try, not just Option: ImageIO.read returns null only
-                  // when NO reader claims the bytes — a reader that claims
-                  // a damaged JPEG (intact SOI, rotted body) THROWS
-                  // mid-decode, which would escape the flatMap and fail
-                  // the task; the contract is drop-the-frame, never the job
-                  scala.util.Try(ImageIO.read(new ByteArrayInputStream(frame)))
-                    .toOption.flatMap(Option(_))
+                  decodeImage(frame)
                     .filter(img => img.getWidth == avi.width && img.getHeight == avi.height)
                     .map { img =>
                       var (sr, sg, sb) = (0L, 0L, 0L)

@@ -184,7 +184,9 @@ object Ocr {
       .as[(String, Int, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (doc, page, payload) =>
-          Option(ImageIO.read(new ByteArrayInputStream(payload))).toSeq
+          // decodeImage, not bare ImageIO.read: a claimed-but-corrupt
+          // payload THROWS mid-decode and must drop the row, not the job
+          MediaCodec.decodeImage(payload).toSeq
             .flatMap(img => recognize(img).zipWithIndex.map {
               case (text, i) => OcrLine(doc, page, i + 1, text)
             })

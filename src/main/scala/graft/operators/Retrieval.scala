@@ -117,10 +117,16 @@ object Retrieval {
     // top-k moves across the network — and WindowGroupLimit reduces that
     // to O(k) rows per task. |chunks|×|questions| rows stream through a
     // codegen'd array filter; no pre-aggregation shuffle at any size.
+    // trim + drop-empties like the reference's Python str.split():
+    // split('\\s+') keeps a boundary empty token for leading/trailing
+    // whitespace, and ""-containment is TRUE for every text — one
+    // whitespace-padded question would otherwise match the whole corpus
+    // (matches>0 never cuts) with scores deflated by the phantom word
+    val qToks = filter(split(lower(trim(col("question"))), "\\s+"), t => t =!= "")
     val qWords = broadcast(
       questions
-        .withColumn("n_words", size(split(lower(col("question")), "\\s+")))
-        .withColumn("words", array_distinct(split(lower(col("question")), "\\s+"))))
+        .withColumn("n_words", size(qToks))
+        .withColumn("words", array_distinct(qToks)))
     val scored = chunks
       .withColumn("_ltext", lower(col(textCol)))
       .crossJoin(qWords)

@@ -181,7 +181,13 @@ object Sampling {
       .groupBy(col(stratumCol)).agg(sum(col("_tok")).as("available_tokens"))
     shares.join(avail, Seq(stratumCol), "left")
       .withColumn("available_tokens", coalesce(col("available_tokens"), lit(0L)))
-      .withColumn("target_tokens", expr(s"($budgetTokens * w6) div $sumW6"))
+      // DECIMAL(38,0) for the share product: budget × w6 overflows LONG
+      // at trillion-token budgets (15e12 × 1e6 > 2^63), and non-ANSI
+      // Long multiply would wrap SILENTLY into negative targets; 38
+      // digits holds any real budget × weight, and all operands are
+      // non-negative so `div` equals the exact floor
+      .withColumn("target_tokens", expr(
+        s"CAST((CAST($budgetTokens AS DECIMAL(38,0)) * w6) div $sumW6 AS BIGINT)"))
       .withColumn("sample_rate", when(col("available_tokens") > 0,
         col("target_tokens").cast("double") / col("available_tokens")))
       .withColumn("epochs", when(col("available_tokens") > 0,

@@ -53,9 +53,17 @@ object Similarity {
       substring(col("_b0"), i + 1, dims - i))
     val variants = col("_b0") +: (1 to dims).map(flipAt)
     val qb = broadcast(qb0
+      // zero-norm queries are unrankable (cosine undefined → NULL
+      // scores) — excluded up front, the family-wide contract the
+      // BRP/PQ/IVF-SQ8 paths already apply; without it knnAuto would
+      // silently change zero-vector semantics when the index size
+      // crosses the exact→ANN switch
+      .filter(VectorOps.normSq(col(qvecCol)) > 0)
       .withColumn("bucket", explode(array(variants.take(probes): _*)))
       .drop("_b0"))
-    val cb = candidates.withColumn("bucket", signBucket(col(vecCol), dims))
+    val cb = candidates
+      .filter(VectorOps.normSq(col(vecCol)) > 0) // unrankable, as above
+      .withColumn("bucket", signBucket(col(vecCol), dims))
     val scored = qb.join(cb, "bucket")
       .withColumn("score", round(VectorOps.cosine(col(qvecCol), col(vecCol)), 4))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))

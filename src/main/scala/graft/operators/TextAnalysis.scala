@@ -224,11 +224,18 @@ object TextAnalysis {
     * (`ingestion_service.py:92-94`) but invariant to whitespace/case. */
   /** PII redaction — the scrub step every training-data pipeline runs
     * before anything else sees the text: URLs, emails, and
-    * NNN-NNN-NNNN-style phone numbers replaced with typed placeholders,
-    * with per-kind match counts for the audit trail. Pure per-row
-    * `regexp_replace`/`regexp_count` chain (RE2-safe patterns, identical
-    * semantics in any engine) — codegen'd, shuffle-free, streams at scan
-    * width. URL runs first so an email inside a URL is not re-matched. */
+    * NNN-NNN-NNNN-style phone numbers replaced with typed placeholders.
+    * The `n_*` columns are per-kind DETECTION counts over the RAW text,
+    * not replacement counts: replacement is layered (URL first, so an
+    * email inside an already-redacted URL is not separately replaced)
+    * while each count matches its pattern independently — an email
+    * inside a URL counts once in `n_emails` yet surfaces as part of the
+    * `[URL]` placeholder. Detection-on-raw is the right audit signal
+    * (what PII was PRESENT), and keeping counts independent of the
+    * replacement order makes them stable if the layering ever changes.
+    * Pure per-row `regexp_replace`/`regexp_count` chain (RE2-safe
+    * patterns, identical semantics in any engine) — codegen'd,
+    * shuffle-free, streams at scan width. */
   val urlPattern = "https?://[^\\s]+"
   val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val phonePattern = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
