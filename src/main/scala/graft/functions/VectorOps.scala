@@ -49,14 +49,20 @@ object VectorOps {
 
   /** L2-normalize a vector so cosine ≡ dot (reference
     * `embedding_generator.py:102,146`: F.normalize(p=2, dim=1)).
-    * NOTE the norm expression sits in the lambda body, so it re-evaluates
-    * per component — O(d²). Fine at embedding dims (d ≤ 1k); for hot
-    * paths materialize `norm(v)` as its own column first and divide by
-    * the attribute, or use the MLlib `Normalizer` stage (the embedding
-    * pipeline's default path). */
+    *
+    * The norm is folded ONCE per row via `aggregate`'s finish lambda and
+    * referenced as a lambda VARIABLE in the per-element division — the
+    * naive `transform(v, x => x / norm(v))` inlines the whole norm
+    * aggregate into the lambda body, re-evaluating it per component
+    * (O(d²), measured 1.2 s on e4_l2norm at sf0.1 once the bench's noop
+    * sink stopped count() from pruning the projection away). Bit-exact
+    * with the naive form: same left-to-right squared-sum fold, one
+    * sqrt, same per-element IEEE division (zero vectors yield ±Inf/NaN
+    * elements either way — callers filter, as with [[cosine]]). */
   def l2Normalize(v: Column): Column = {
-    val n = norm(v)
-    transform(asDouble(v), x => x / n)
+    val d = asDouble(v)
+    aggregate(d, lit(0.0), (acc, x) => acc + x * x,
+      s => transform(d, x => x / sqrt(s)))
   }
 
   /** Euclidean (L2) distance — used by the LSH/ANN tier. */
