@@ -753,6 +753,17 @@ object SparkEntry {
     p.toString
   }
 
+  /** The staged URL-ingest fixture dir — per-JVM unique (a fixed
+    * world-shared /tmp path raced concurrent processes and collided
+    * across users, the exact mode the ivf_persisted comment documents)
+    * but NOT delete-on-exit, unlike [[ivfDemoDir]]: the driver's DuckDB
+    * replay `read_blob`s these files AFTER the Verify JVM exits, so they
+    * must outlive it (few KB of text fixtures). The oracle SQL
+    * interpolates this value, so engine and replay always read the same
+    * files. Staging happens here so the dir is populated even if the
+    * oracle is dumped without the ingest queries having run. */
+  private lazy val urlStageDir: String = UrlIngest.stageQueryFixtures()
+
   /** The index_init demo table location — same per-JVM lifecycle (and
     * rationale) as [[ivfDemoDir]]. */
   private lazy val indexInitDir: String = {
@@ -1851,15 +1862,15 @@ object SparkEntry {
     // The sniff CASE carries only the branches these fixtures can hit —
     // the full branch set is mime_sniff's oracle.
     "ingest_urls" ->
-      """WITH f AS (
+      raw"""WITH f AS (
         | SELECT filename, size, decode(content) AS txt
-        | FROM read_blob('/tmp/graft_url_stage/*.eml')
+        | FROM read_blob('${urlStageDir}/*.eml')
         | UNION ALL SELECT filename, size, decode(content)
-        | FROM read_blob('/tmp/graft_url_stage/*.txt')
+        | FROM read_blob('${urlStageDir}/*.txt')
         | UNION ALL SELECT filename, size, decode(content)
-        | FROM read_blob('/tmp/graft_url_stage/*.pdf')),
+        | FROM read_blob('${urlStageDir}/*.pdf')),
         |r AS (SELECT 'file://' || filename AS url, size, txt,
-        |  lower(regexp_extract(filename, '(\.[A-Za-z0-9]+)$', 1)) AS ext FROM f),
+        |  lower(regexp_extract(filename, '(\.[A-Za-z0-9]+)$$', 1)) AS ext FROM f),
         |m AS (SELECT url, size, txt, ext,
         |  CASE WHEN position('Return-Path:' IN substr(txt, 1, 500)) > 0
         |      OR position('MIME-Version:' IN substr(txt, 1, 500)) > 0 THEN 'message/rfc822'
@@ -1875,26 +1886,26 @@ object SparkEntry {
         |  CASE WHEN mime IN ('message/rfc822', 'text/plain') THEN '' ELSE 'unsupported_type' END AS errors
         | FROM m)
         |SELECT * FROM v
-        |UNION ALL SELECT 'file:///tmp/graft_url_stage/missing.docx',
+        |UNION ALL SELECT 'file://${urlStageDir}/missing.docx',
         | NULL, NULL, NULL, NULL, 3, false, 'download_failed_after_3_attempts:fetch_error'""".stripMargin,
 
     // same staged bytes replayed path-keyed; the flaky route is the
     // notes.txt payload at attempts=2, the 404 row carries the http kind
     "ingest_http" ->
-      """WITH f AS (
-        | SELECT replace(filename, '/tmp/graft_url_stage', '') AS path, size, decode(content) AS txt
-        | FROM read_blob('/tmp/graft_url_stage/*.eml')
-        | UNION ALL SELECT replace(filename, '/tmp/graft_url_stage', ''), size, decode(content)
-        | FROM read_blob('/tmp/graft_url_stage/*.txt')
-        | UNION ALL SELECT replace(filename, '/tmp/graft_url_stage', ''), size, decode(content)
-        | FROM read_blob('/tmp/graft_url_stage/*.pdf')),
+      raw"""WITH f AS (
+        | SELECT replace(filename, '${urlStageDir}', '') AS path, size, decode(content) AS txt
+        | FROM read_blob('${urlStageDir}/*.eml')
+        | UNION ALL SELECT replace(filename, '${urlStageDir}', ''), size, decode(content)
+        | FROM read_blob('${urlStageDir}/*.txt')
+        | UNION ALL SELECT replace(filename, '${urlStageDir}', ''), size, decode(content)
+        | FROM read_blob('${urlStageDir}/*.pdf')),
         |fl AS (SELECT path, size, txt, 1 AS attempts FROM f
         | UNION ALL SELECT '/flaky' || path, size, txt, 2 FROM f WHERE path = '/notes.txt'),
         |m AS (SELECT path, size, txt, attempts,
-        |  lower(regexp_extract(path, '(\.[A-Za-z0-9]+)$', 1)) AS ext,
+        |  lower(regexp_extract(path, '(\.[A-Za-z0-9]+)$$', 1)) AS ext,
         |  CASE WHEN position('Return-Path:' IN substr(txt, 1, 500)) > 0
         |      OR position('MIME-Version:' IN substr(txt, 1, 500)) > 0 THEN 'message/rfc822'
-        |   WHEN lower(regexp_extract(path, '(\.[A-Za-z0-9]+)$', 1)) = '.txt' THEN 'text/plain'
+        |   WHEN lower(regexp_extract(path, '(\.[A-Za-z0-9]+)$$', 1)) = '.txt' THEN 'text/plain'
         |   ELSE 'application/octet-stream' END AS mime
         | FROM fl),
         |v AS (SELECT path,

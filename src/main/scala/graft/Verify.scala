@@ -19,7 +19,16 @@ object Verify {
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // e.toString (class + message; getMessage alone is null for many
+        // throwables) + the trace for the real diagnostic
+        System.err.println(s"[verify] $name failed: $e")
+        e.printStackTrace()
+        // delete any PREVIOUS run's output for this name: on a reused
+        // outDir a stale passing parquet would make the driver's compare
+        // score the now-failing query green — the inverse of the
+        // silently-zeroed-correctness hazard the escaper below guards
+        org.apache.commons.io.FileUtils.deleteQuietly(
+          new java.io.File(s"$outDir/$name")): Unit
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

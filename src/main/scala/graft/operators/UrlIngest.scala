@@ -182,7 +182,15 @@ object UrlIngest {
     * overwrite) and return it — the offline stand-in for the url list's
     * remote side. The DuckDB oracle reads the same files back with
     * `read_blob`. */
-  def stageQueryFixtures(dir: String = "/tmp/graft_url_stage"): String = {
+  /** Per-JVM staged-fixture location. Unique per process (no cross-user
+    * /tmp collision, no concurrent-Verify race on a shared path) and
+    * deliberately NOT cleaned on exit: the driver's DuckDB oracle reads
+    * these files back by glob after this JVM is gone. A few KB each,
+    * under the system tmpdir's normal reaping. */
+  lazy val defaultStageDir: String =
+    java.nio.file.Files.createTempDirectory("graft-url-stage").toString
+
+  def stageQueryFixtures(dir: String = defaultStageDir): String = {
     val d = new java.io.File(dir)
     d.mkdirs()
     val files: Seq[(String, Array[Byte])] = Seq(
