@@ -110,6 +110,17 @@ class ChunkingSpec extends SparkSpec {
     assert(out(1).getAs[String]("content") === (9 to 18).map(i => s"w$i").mkString(" "))
   }
 
+  test("C6 rejects a non-advancing window at entry, not as a codegen error") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      Chunking.slidingWindowChunks(docs, windowSize = 10, overlap = 10)
+    }
+    assert(e.getMessage.contains("overlap"), "the error must name the bad parameter")
+    intercept[IllegalArgumentException] {
+      Chunking.slidingWindowChunks(docs, windowSize = 0, overlap = 0)
+    }
+  }
+
   test("C6 output is identical under repartitioning (ComputeOnce is a plan barrier only)") {
     val docs = Seq.tabulate(40)(i =>
       (i.toLong, (1 to 25).map(j => s"t${i}x$j").mkString(" "))).toDF("doc_id", "text")

@@ -23,6 +23,28 @@ class CosineSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("l2Normalize: unit-norm output, bit-identical to the naive per-element form") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 20) {
+      val n = 1 + rnd.nextInt(64)
+      val v = Seq.fill(n)(rnd.nextFloat() * 2 - 1)
+      val row = Seq(Tuple1(v)).toDF("v")
+        .select(col("v").cast("array<float>").as("v"))
+        .select(
+          VectorOps.l2Normalize(col("v")).as("fast"),
+          // the naive O(d^2) form the fold-once rewrite must match bit
+          // for bit: same left-to-right squared-sum, sqrt, division
+          transform(col("v").cast("array<double>"),
+            x => x / sqrt(aggregate(col("v").cast("array<double>"),
+              lit(0.0), (acc, y) => acc + y * y))).as("naive"))
+        .head
+      val fast = row.getSeq[Double](0)
+      assert(fast == row.getSeq[Double](1), "must equal the naive form exactly")
+      val norm = math.sqrt(fast.map(x => x * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-9, s"output must be unit-norm, got $norm")
+    }
+  }
+
   test("orthogonal, identical, and opposite vectors") {
     def c(a: Seq[Float], b: Seq[Float]): Double =
       df2(a, b).select(VectorOps.cosineNative(col("a"), col("b"))).head.getDouble(0)

@@ -103,6 +103,15 @@ class HybridSaltedSpec extends SparkSpec {
     val rm = (hits(multi) & exact).size
     assert(rm >= rs, s"multi-probe recall $rm fell below single-probe $rs")
     assert(rm > 0)
+    // zero-norm exclusion, the family-wide contract (brp/pq siblings
+    // have the twin assertions): a zero CANDIDATE must not surface as a
+    // NULL-score row, and a zero QUERY is unrankable and emits nothing
+    val zc = cands.union(Seq((999L, Seq.fill(12)(0f))).toDF("vec_id", "embedding"))
+    assert(!Similarity.lshTopK(qs, zc, k = 300, dims = 4).collect()
+      .exists(_.getLong(1) == 999L), "zero-norm candidate must be excluded")
+    val zq = qs.union(Seq((99L, Seq.fill(12)(0f))).toDF("q_vec_id", "q_embedding"))
+    assert(!Similarity.lshTopK(zq, cands, k = 5, dims = 4).collect()
+      .exists(_.getLong(0) == 99L), "zero-norm query must emit no rows")
   }
 
   test("recallAudit: exact path scores 1.0, approximate paths stay in [0, 1]") {

@@ -19,14 +19,18 @@ class IvfIndexSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
   }
 
+  /** The probe-result comparison key: (q_vec_id, vec_id, score, rank).
+    * One definition for every test — a probe schema change is a
+    * one-line edit, not fifteen. */
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+
   test("persisted probe equals in-query ivfTopK row for row") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
     val cands = vecs(300, 16, seed = 5)
     val qs = vecs(4, 16, seed = 99)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
     IvfIndex.build(cands, dir, nlist = 8)
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val persisted = rows(IvfIndex.probe(spark, dir, qs, k = 10, nprobe = 3))
     val inQuery = rows(Similarity.ivfTopK(qs, cands, k = 10, nlist = 8, nprobe = 3))
     assert(persisted == inQuery)
@@ -64,8 +68,6 @@ class IvfIndexSpec extends SparkSpec {
     // BASE-derived centroids (append must NOT re-train)
     val qs = vecs(3, 16, seed = 77)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val expected = rows(Similarity.probeScore(qs,
       Similarity.assignCells(base.unionByName(late), storedCents, "embedding"),
       storedCents, k = 8, nprobe = 3, "q_vec_id", "q_embedding", "vec_id", "embedding"))
@@ -113,8 +115,6 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.build(vecs(100, 16, seed = 17), dir, nlist = 4)
     val qs = vecs(2, 16, seed = 61)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 4))
     // an empty micro-batch (routine after recovery / AvailableNow):
     // publishes a batch dir with no data files — the probe must still
@@ -140,8 +140,6 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.append(late, dir, batchId = Some(3L))
     val qs = vecs(3, 16, seed = 71)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
     assert(before.exists(_._2 >= 5000L), "appended rows reachable before the fold")
     IvfIndex.compact(spark, dir)
@@ -168,8 +166,6 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.append(late, dir, batchId = Some(9L))
     val qs = vecs(3, 16, seed = 72)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     IvfIndex.compact(spark, dir, foldMinRatio = 0.0) // fold batch 9 into vectors/
     val folded = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
     // simulate the zombie: an attempt that passed the pre-check before
@@ -205,8 +201,6 @@ class IvfIndexSpec extends SparkSpec {
     }
     val qs = vecs(3, 16, seed = 55)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 10, nprobe = 4))
     val filesBefore = parquetFiles()
     assert(filesBefore.values.max > 1, s"appends should accrete files: $filesBefore")
@@ -223,8 +217,6 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.build(vecs(120, 16, seed = 23), dir, nlist = 4)
     val qs = vecs(3, 16, seed = 66)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 10, nprobe = 4))
     // simulate the worst crash point of a per-leaf compact: tmp fully
     // written in the work area, dst already renamed to bak, process dies
@@ -256,8 +248,6 @@ class IvfIndexSpec extends SparkSpec {
       dir, batchId = Some(1L))
     val qs = vecs(2, 16, seed = 87)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     def batchFiles() = {
       val d = new java.io.File(s"$dir/appends/batch=1")
       if (!d.exists()) -1
@@ -287,8 +277,6 @@ class IvfIndexSpec extends SparkSpec {
         .withColumn("vec_id", col("vec_id") + b * 10000L), dir, batchId = Some(b.toLong))
     val qs = vecs(2, 16, seed = 89)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4))
     // an impossible byte ratio isolates the COUNT branch: only
     // 3 data-bearing batches >= foldMaxBatches=3 can trip this fold
@@ -320,8 +308,6 @@ class IvfIndexSpec extends SparkSpec {
       dir, batchId = Some(5L))
     val qs = vecs(2, 16, seed = 93)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 500, nprobe = 4))
     // HDFS rename-onto-existing nests a losing attempt's staging inside
     // the committed dir; if that attempt dies pre-sweep the orphan wedges
@@ -344,8 +330,6 @@ class IvfIndexSpec extends SparkSpec {
       dir, batchId = Some(1L))
     val qs = vecs(3, 16, seed = 73)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
     // crash a leaf swap: the leaf lives only in compact_work's bak while
     // committed appends are ALSO pending — the dangerous combination:
@@ -373,8 +357,6 @@ class IvfIndexSpec extends SparkSpec {
     new java.io.File(dir + "_build_bak/stale").mkdirs()
     val qs = vecs(2, 16, seed = 83)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
     IvfIndex.compact(spark, dir)
     assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == before)
@@ -388,8 +370,6 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.append(late, dir, batchId = Some(2L))
     val qs = vecs(2, 16, seed = 85)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
     // crash the swap right after dst -> bak: the index dir is missing,
     // so the committed-marker check alone would wrongly re-stage the
@@ -428,8 +408,6 @@ class IvfIndexSpec extends SparkSpec {
     IvfIndex.build(vecs(100, 16, seed = 29), dir, nlist = 4)
     val qs = vecs(2, 16, seed = 88)
       .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-    def rows(df: org.apache.spark.sql.DataFrame) =
-      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     val before = rows(IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 4))
     // simulate a rebuild dying right after dst -> bak (no tmp yet
     // swapped in): the index dir is gone, only the bak survives

@@ -46,11 +46,23 @@ class MediaCodecSpec extends SparkSpec {
   }
 
   test("corrupt image payloads are dropped, not fatal") {
+    // two corruption shapes: bytes NO reader claims (null-return branch)
+    // and a payload with an intact PNG signature whose body is rotted —
+    // a reader CLAIMS those bytes and then THROWS mid-decode, the branch
+    // decodeImage's Try exists for (a bare ImageIO.read here fails the
+    // whole task, not the row)
+    val claimed = MediaCodec.pngBytes(16, 16).take(24) ++ Array.fill[Byte](64)(0)
     val df = media.unionByName(
-      spark.createDataFrame(Seq(("junk", "image", "bmp", Array[Byte](1, 2, 3))))
+      spark.createDataFrame(Seq(
+        ("junk", "image", "bmp", Array[Byte](1, 2, 3)),
+        ("rotted", "image", "png", claimed)))
         .toDF("doc", "modality", "codec", "payload"))
-    val docs = MediaCodec.imageStats(df).collect().map(_.doc).toSet
-    assert(docs == Set("icon", "banner", "photo", "tall"))
+    for (got <- Seq(
+        MediaCodec.imageStats(df).collect().map(_.doc).toSet,
+        MediaCodec.imageResize(df, maxSide = 8).collect().map(_.doc).toSet,
+        MediaCodec.imageEmbedding(df).collect().map(_.doc).toSet))
+      assert(got == Set("icon", "banner", "photo", "tall"),
+        "both corruption shapes must drop the row on every decode path")
   }
 
   test("corrupt audio payloads are dropped, not fatal") {
@@ -60,6 +72,28 @@ class MediaCodecSpec extends SparkSpec {
         .toDF("doc", "modality", "codec", "payload"))
     val docs = MediaCodec.wavStats(df).collect().map(_.doc).toSet
     assert(docs == valid, "the junk payload must be skipped, valid rows kept")
+  }
+
+  test("a valid WAV of an unsupported shape (8-bit PCM) is dropped, not misread") {
+    // a real RIFF/WAVE container that AudioSystem parses fine, but whose
+    // samples are 8-bit: the 16-bit short-reading loop would fuse byte
+    // pairs into garbage stats while the bits column truthfully said 8 —
+    // the format guard must drop the row instead
+    val n = 64
+    val buf = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+      .putShort(1).putInt(8000).putInt(8000).putShort(1).putShort(8)
+    buf.put("data".getBytes("US-ASCII")).putInt(n)
+    for (i <- 0 until n) buf.put((i * 3).toByte)
+    val df = media.unionByName(
+      spark.createDataFrame(Seq(("eightbit", "audio", "wav", buf.array())))
+        .toDF("doc", "modality", "codec", "payload"))
+    val docs = MediaCodec.wavStats(df).collect().map(_.doc).toSet
+    assert(!docs.contains("eightbit"), "8-bit PCM must be dropped, not fused")
+    assert(docs == MediaCodec.wavStats(media).collect().map(_.doc).toSet)
   }
 
   test("wav decode reads the real format header and exact PCM stats") {

@@ -18,6 +18,21 @@ class RetrievalDedupSpec extends SparkSpec {
       Seq((2L, 1.0), (1L, 0.5)))
   }
 
+  test("a whitespace-padded question does not match the whole corpus") {
+    // split('\s+') keeps a boundary empty token for padded input, and
+    // ""-containment is true for every text — without the trim+filter
+    // every chunk matches and n_words counts the phantom word
+    val questions = Seq((0, "  car wash  ")).toDF("question_id", "question")
+    val chunks = Seq((1L, "a CARD game"), (2L, "wash the car"), (3L, "nothing"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.keywordSearch(questions, chunks, k = 3)
+      .orderBy("rank").collect()
+    // identical to the unpadded run: doc 3 must NOT appear, scores use
+    // n_words = 2 (not 3 or 4 with boundary empties)
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("score"))).toSeq ===
+      Seq((2L, 1.0), (1L, 0.5)))
+  }
+
   test("knn top-k orders by rounded score desc with id tiebreak") {
     val q = Seq((0L, Seq(1f, 0f))).toDF("q_vec_id", "q_embedding")
     val idx = Seq((1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)), (3L, Seq(0f, 1f)))

@@ -447,6 +447,27 @@ class SamplingRelationalSpec extends SparkSpec {
     assert(out(2L) == ((2L, 1.2629)))  // (916291+1609438) / 2 / 1e6
   }
 
+  test("tokenBudgetPlan: exact shares, and a trillion-token budget does not wrap") {
+    val plan = Sampling.tokenBudgetPlan(docs, Seq("en" -> 0.7, "de" -> 0.3),
+      budgetTokens = 1000L).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("target_tokens"), r.getAs[Boolean]("repeats_data")))).toMap
+    // floor(1000 * 0.7) / floor(1000 * 0.3): exact integer share math
+    assert(plan("en")._1 == 700L && plan("de")._1 == 300L)
+    // the silent-negative-wrap regression: 15e12 * 1e6 > 2^63 overflows a
+    // plain Long multiply; the DECIMAL(38,0) form must keep every target
+    // positive and sum (to within per-stratum floor loss) to the budget
+    val big = Sampling.tokenBudgetPlan(docs, Seq("en" -> 1.0, "de" -> 0.5),
+      budgetTokens = 15_000_000_000_000L).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("target_tokens"),
+        r.getAs[Boolean]("repeats_data")))
+    assert(big.forall(_._2 > 0), s"trillion-token targets must stay positive: $big")
+    val total = big.map(_._2).sum
+    assert(total <= 15_000_000_000_000L && total > 15_000_000_000_000L - 2,
+      s"targets must partition the budget, got $total")
+    assert(big.forall(_._3), "targets far beyond available tokens must repeat data")
+  }
+
   test("yearSpineAgg: recursive spine includes empty years between min and max") {
     val orders = Seq(
       (1L, 10L, java.sql.Date.valueOf("1994-03-01")),
