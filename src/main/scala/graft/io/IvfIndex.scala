@@ -131,7 +131,9 @@ object IvfIndex {
     val fs = fsOf(spark, dst)
     val (tmp, bak) = (buildTmp(dir), buildBak(dir))
     graft.streaming.StreamingIngest.recoverSwap(fs, dst, tmp, bak)
-    fs.delete(tmp, true)
+    // no fs.delete(tmp) here: recoverSwap's postcondition already
+    // guarantees tmp is gone (rolled forward, or deleted as stale)
+    recoverLeafSwaps(fs, dir) // make the outgoing tree whole before replacing it
     val cents = Similarity.coarseCentroids(candidates, nlist, idCol, vecCol)
     cents.toDF("cell", "centroid")
       .coalesce(1) // nlist rows — one sidecar file
@@ -169,6 +171,44 @@ object IvfIndex {
     val fs = fsOf(spark, dst)
     if (!fs.exists(dst))
       graft.streaming.StreamingIngest.recoverSwap(fs, dst, buildTmp(dir), buildBak(dir))
+    // ALSO heal a crashed per-leaf compact swap (after a build roll too —
+    // not an else): that crash state leaves
+    // an entire cell missing from vectors/ (its only copies in
+    // compact_work) while the index DIR looks healthy — without this,
+    // every probe would silently drop that cell's vectors until the next
+    // compact, and a rebuild would delete the work area holding the only
+    // copy. A non-empty compact_work on the read path can only be a
+    // CRASH remnant under the documented quiesce-while-compacting
+    // contract (a live compact means no concurrent readers), so healing
+    // here never races a healthy maintenance run.
+    if (fs.exists(dst)) recoverLeafSwaps(fs, dir)
+  }
+
+  /** Roll interrupted per-leaf compact swaps forward/back, driven from
+    * the `compact_work` area (a crash mid-swap can leave the leaf
+    * missing from `vectors/` entirely, so the leaf listing alone cannot
+    * see it). Shared by [[compact]] (which must run it before the fold)
+    * and [[recoverIfMissing]] (so the read path never silently serves an
+    * index missing a cell). */
+  private def recoverLeafSwaps(fs: org.apache.hadoop.fs.FileSystem,
+                               dir: String): Unit = {
+    val work = new org.apache.hadoop.fs.Path(s"$dir/compact_work")
+    if (!fs.exists(work)) return
+    val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
+    fs.listStatus(work).map(_.getPath.getName)
+      .collect {
+        case n if n.endsWith("_compact_tmp") => n.stripSuffix("_compact_tmp")
+        case n if n.endsWith("_compact_bak") => n.stripSuffix("_compact_bak")
+      }
+      .distinct
+      .foreach { leaf =>
+        graft.streaming.StreamingIngest.recoverSwap(fs,
+          new org.apache.hadoop.fs.Path(root, leaf),
+          new org.apache.hadoop.fs.Path(work, leaf + "_compact_tmp"),
+          new org.apache.hadoop.fs.Path(work, leaf + "_compact_bak"))
+      }
+    // all healed: drop the empty work area so later entries short-circuit
+    if (fs.listStatus(work).isEmpty) { fs.delete(work, true); () }
   }
 
   /** The stored centroid sample, cell-ordered — nlist rows of driver
@@ -332,11 +372,17 @@ object IvfIndex {
     * `vectors/` in the instants between a leaf's two renames will not
     * see that cell (rename gives atomic per-path swaps, not snapshot
     * isolation across the root). Run probes against a quiesced index,
-    * or point readers at a copy, while compacting. */
+    * or point readers at a copy, while compacting.
+    *
+    * `manifestRetain` bounds the folded-batch manifest to the newest
+    * ids (see the retention note in [[foldAppends]]) so a long-lived
+    * stream's manifest, probe filter, and driver cache stay O(retain),
+    * not O(lifetime batches). */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               foldMinRatio: Double = 0.1,
-              foldMaxBatches: Int = 64): Int = {
+              foldMaxBatches: Int = 64,
+              manifestRetain: Long = 10000L): Int = {
     recoverIfMissing(spark, dir) // heal a crashed build swap first, like every entry
     val root = new org.apache.hadoop.fs.Path(s"$dir/vectors")
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -346,21 +392,8 @@ object IvfIndex {
     // vectors/ before the leaf is restored would rewrite (and swap in)
     // an index missing the leaf's rows — then delete the only copy with
     // the old tree
-    if (fs.exists(work)) {
-      fs.listStatus(work).map(_.getPath.getName)
-        .collect {
-          case n if n.endsWith("_compact_tmp") => n.stripSuffix("_compact_tmp")
-          case n if n.endsWith("_compact_bak") => n.stripSuffix("_compact_bak")
-        }
-        .distinct
-        .foreach { leaf =>
-          graft.streaming.StreamingIngest.recoverSwap(fs,
-            new org.apache.hadoop.fs.Path(root, leaf),
-            new org.apache.hadoop.fs.Path(work, leaf + "_compact_tmp"),
-            new org.apache.hadoop.fs.Path(work, leaf + "_compact_bak"))
-        }
-    }
-    foldAppends(spark, dir, foldMinRatio, foldMaxBatches)
+    recoverLeafSwaps(fs, dir)
+    foldAppends(spark, dir, foldMinRatio, foldMaxBatches, manifestRetain)
     val total = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .filter(leaf => fs.listStatus(leaf.getPath)
@@ -407,7 +440,8 @@ object IvfIndex {
     * leaf-file partition discovery — harmless) and is cleared when its
     * batch folds, since the fold removes the whole batch dir. */
   private def foldAppends(spark: SparkSession, dir: String,
-                          foldMinRatio: Double, foldMaxBatches: Int): Unit = {
+                          foldMinRatio: Double, foldMaxBatches: Int,
+                          manifestRetain: Long): Unit = {
     val appends = new org.apache.hadoop.fs.Path(s"$dir/appends")
     val fs = fsOf(spark, appends)
     val listed =
@@ -468,7 +502,22 @@ object IvfIndex {
       // record the folded batches in the manifest INSIDE the staged
       // tree (atomic with the swap): their dirs are gone after the
       // fold, and the manifest is what keeps a replay a no-op
-      val manifest = (foldedBatches(fs, dir) ++ batches).toSeq.sorted.mkString("\n")
+      // RETENTION: keep only entries within `manifestRetain` of the
+      // newest folded id — without a bound the manifest (and probe's
+      // NOT-IN literal set, and the driver-pinned cache entry) grows one
+      // line per lifetime batch forever on a long-lived stream. Safe
+      // because foreachBatch replays only the trailing batches after the
+      // engine's last committed offset, never ids tens of thousands
+      // behind the tip. (A RESET checkpoint restarts ids at 0 — the
+      // manifest would wrongly no-op those regardless of retention; a
+      // checkpoint reset requires a fresh [[build]], which clears it.)
+      // Unparseable names are retained unconditionally.
+      val all = foldedBatches(fs, dir) ++ batches
+      val ids = all.flatMap(n => n.stripPrefix("batch=").toLongOption)
+      val cutoff = if (ids.nonEmpty) ids.max - manifestRetain else Long.MinValue
+      val manifest = all
+        .filter(n => n.stripPrefix("batch=").toLongOption.forall(_ >= cutoff))
+        .toSeq.sorted.mkString("\n")
       val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/appends_folded"), true)
       try out.write(manifest.getBytes("UTF-8")) finally out.close()
       // last-moment guard against a live appender: a batch committed

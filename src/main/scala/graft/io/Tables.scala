@@ -131,8 +131,20 @@ object Tables {
         (new org.apache.hadoop.fs.Path(wp, dst.getName + "_compact_tmp"),
           new org.apache.hadoop.fs.Path(wp, dst.getName + "_compact_bak"))
       case None =>
-        (new org.apache.hadoop.fs.Path(dir + "_compact_tmp"),
-          new org.apache.hadoop.fs.Path(dir + "_compact_bak"))
+        // SAME sibling names as StreamingIngest.upsertBatch, deliberately:
+        // compaction's documented use case is the streaming upsert table,
+        // and recovery at each entry point only knows its own sibling
+        // names. With per-family names, a compact that crashed between
+        // its two renames (dst missing, table only in the siblings) is
+        // invisible to the stream's recoverSwap — the resumed stream
+        // would treat the missing dst as a FIRST-EVER table and commit a
+        // one-micro-batch rebuild, and a later compact's recovery would
+        // then delete the stranded siblings, the only surviving copy.
+        // One shared namespace per dst makes every writer's recoverSwap
+        // heal every other's crash. (Both writers are single-writer on
+        // the dst by contract; the names cannot collide live.)
+        (new org.apache.hadoop.fs.Path(dir + "_tmp"),
+          new org.apache.hadoop.fs.Path(dir + "_bak"))
     }
     // roll an interrupted previous compact forward/back BEFORE reading —
     // same recovery contract as the streaming upsert's swap

@@ -98,8 +98,14 @@ object StreamingIngest {
       if (fs.exists(bak) && fs.rename(bak, dst))
         throw new java.io.IOException(
           s"$what: rename $tmp -> $dst failed; previous table restored")
+      // name the path that actually holds data: on a FIRST-EVER write no
+      // bak was created (dst didn't exist), so the complete new table
+      // sits at tmp — and the next recoverSwap will deliberately discard
+      // it (tmp-only is indistinguishable from a half-written first
+      // table), so the retry rebuilds from source
       throw new java.io.IOException(
-        s"$what: rename $tmp -> $dst failed AND restore failed; data intact at $bak")
+        s"$what: rename $tmp -> $dst failed AND restore failed; data intact at " +
+          (if (fs.exists(bak)) bak else tmp))
     }
     if (fs.exists(bak)) fs.delete(bak, true)
   }

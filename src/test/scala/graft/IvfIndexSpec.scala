@@ -346,6 +346,50 @@ class IvfIndexSpec extends SparkSpec {
       "recovery must restore the crashed leaf before the fold rewrites the index")
   }
 
+  test("a PROBE heals a crashed leaf swap — no silently missing cell on the read path") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vecs(120, 16, seed = 41), dir, nlist = 4)
+    val qs = vecs(3, 16, seed = 74)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4))
+    // crash a leaf swap with NO compact to clean it up: the cell exists
+    // only in compact_work, the index dir looks healthy — a probe that
+    // doesn't heal would silently drop every vector in that cell forever
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val leaf = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell=")).head.getName
+    spark.read.parquet(s"$dir/vectors/$leaf").repartition(1)
+      .write.parquet(s"$dir/compact_work/${leaf}_compact_tmp")
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/vectors/$leaf"),
+      new org.apache.hadoop.fs.Path(s"$dir/compact_work/${leaf}_compact_bak")))
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 200, nprobe = 4)) == before,
+      "the read path must restore the crashed leaf, not serve a partial index")
+    assert(!new java.io.File(s"$dir/compact_work").exists(),
+      "the healed work area must be cleaned up")
+  }
+
+  test("the folded-batch manifest is bounded by the retention window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    IvfIndex.build(vecs(80, 16, seed = 53), dir, nlist = 4)
+    // fold two early batches, then — far beyond the retention window —
+    // a late one; the early entries must be pruned from the manifest
+    for (b <- Seq(1L, 2L)) IvfIndex.append(
+      vecs(5, 16, seed = 500 + b.toInt).withColumn("vec_id", col("vec_id") + b * 1000L),
+      dir, batchId = Some(b))
+    IvfIndex.compact(spark, dir, foldMinRatio = 0.0, manifestRetain = 10L)
+    IvfIndex.append(vecs(5, 16, seed = 531).withColumn("vec_id", col("vec_id") + 90000L),
+      dir, batchId = Some(5000L))
+    IvfIndex.compact(spark, dir, foldMinRatio = 0.0, manifestRetain = 10L)
+    val manifest = scala.io.Source.fromFile(s"$dir/appends_folded").getLines().toSet
+    assert(manifest == Set("batch=5000"),
+      s"entries older than retain must be pruned, got $manifest")
+    // a replay WITHIN the window still no-ops
+    IvfIndex.append(vecs(5, 16, seed = 531).withColumn("vec_id", col("vec_id") + 90000L),
+      dir, batchId = Some(5000L))
+    assert(!new java.io.File(s"$dir/appends/batch=5000").exists(),
+      "an in-window replay must no-op against the manifest")
+  }
+
   test("compact folds through a stale _build_bak left by a crash after promote") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
     IvfIndex.build(vecs(100, 16, seed = 43), dir, nlist = 4)

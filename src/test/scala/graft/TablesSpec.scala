@@ -86,8 +86,8 @@ class TablesSpec extends SparkSpec {
       assert(n == 1 && files == 1)
       val vs = spark.read.parquet(path).as[Long].collect().sorted
       assert(vs.toSeq == (1L to 1000L))
-      assert(!new java.io.File(path + "_compact_tmp").exists())
-      assert(!new java.io.File(path + "_compact_bak").exists())
+      assert(!new java.io.File(path + "_tmp").exists())
+      assert(!new java.io.File(path + "_bak").exists())
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir); ()
     }
@@ -101,14 +101,44 @@ class TablesSpec extends SparkSpec {
       (1L to 100L).toDF("v").repartition(4).write.parquet(path)
       // simulate: previous compact died after dst->bak and tmp write,
       // before tmp->dst — dst missing, full copies at tmp and bak
-      (1L to 100L).toDF("v").repartition(1).write.parquet(path + "_compact_tmp")
-      assert(new java.io.File(path).renameTo(new java.io.File(path + "_compact_bak")))
+      (1L to 100L).toDF("v").repartition(1).write.parquet(path + "_tmp")
+      assert(new java.io.File(path).renameTo(new java.io.File(path + "_bak")))
       val n = Tables.compact(spark, path)
       assert(n == 1)
       val vs = spark.read.parquet(path).as[Long].collect().sorted
       assert(vs.toSeq == (1L to 100L))
-      assert(!new java.io.File(path + "_compact_tmp").exists())
-      assert(!new java.io.File(path + "_compact_bak").exists())
+      assert(!new java.io.File(path + "_tmp").exists())
+      assert(!new java.io.File(path + "_bak").exists())
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir); ()
+    }
+  }
+
+  test("a crashed compact on the upsert table is healed by the stream's own recovery") {
+    import spark.implicits._
+    // the cross-family composition hazard: compact and upsertBatch share
+    // one swap-sibling namespace per dst, so the stream's recoverSwap
+    // rolls a crashed compact forward instead of treating the missing
+    // table as first-ever and silently rebuilding it from one micro-batch
+    val dir = java.nio.file.Files.createTempDirectory("graft_xfam").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    try {
+      val prior = Seq((1L, "old doc one"), (2L, "old doc two"))
+        .toDF("doc_id", "text")
+        .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col("text")))
+        .withColumn("ingest_ts", current_timestamp())
+      prior.write.parquet(path)
+      // simulate compact crashing between its two renames: dst gone,
+      // complete copies at the (shared) tmp and bak siblings
+      prior.repartition(1).write.parquet(path + "_tmp")
+      assert(new java.io.File(path).renameTo(new java.io.File(path + "_bak")))
+      val batch = Seq((3L, "new doc")).toDF("doc_id", "text")
+        .withColumn("fp", graft.operators.TextAnalysis.fingerprint(col("text")))
+        .withColumn("ingest_ts", current_timestamp())
+      graft.streaming.StreamingIngest.upsertBatch(spark, batch, path)
+      val ids = spark.read.parquet(path).select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L),
+        s"prior rows must survive a crashed compact + resumed stream, got ${ids.toSeq}")
     } finally {
       org.apache.commons.io.FileUtils.deleteDirectory(dir); ()
     }
