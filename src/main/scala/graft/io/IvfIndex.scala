@@ -60,7 +60,14 @@ object IvfIndex {
     * ([[build]] drops the manifest with the old tree) and the map is
     * cleared wholesale past a size cap — a driver cycling through many
     * ephemeral index dirs must not accrete one batch-name Set per dir
-    * for the JVM's lifetime. */
+    * for the JVM's lifetime.
+    *
+    * Besides `batch=<id>` lines the manifest may carry ONE
+    * `watermark=<id>` line — the low-watermark persisted by retention
+    * eviction (see [[foldAppends]]): every batch id `<= watermark` is
+    * known folded even though its own line was evicted. The set returned
+    * here is the raw line set; [[foldedWatermark]] extracts the
+    * watermark, and every exactly-once check consults BOTH. */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Long, Long, Set[String])]()
   private val ManifestCacheMax = 64
@@ -86,6 +93,17 @@ object IvfIndex {
       }
     }
   }
+
+  private val WatermarkPrefix = "watermark="
+
+  /** The retention low-watermark carried in the manifest line set: the
+    * largest id ever evicted from the manifest by `manifestRetain`
+    * pruning. `Long.MinValue` when no eviction has happened (no line).
+    * Monotone: each fold writes `max(old, newCutoff - 1)`. */
+  private def foldedWatermark(manifestLines: Set[String]): Long =
+    manifestLines.iterator.filter(_.startsWith(WatermarkPrefix))
+      .flatMap(_.stripPrefix(WatermarkPrefix).toLongOption)
+      .foldLeft(Long.MinValue)(math.max)
 
   /** The committed appends forest, read with the BASE tree's schema
     * plus the synthetic `batch` partition column. The EXPLICIT schema
@@ -272,11 +290,15 @@ object IvfIndex {
         recoverIfMissing(spark, dir)
         val committed = new org.apache.hadoop.fs.Path(s"$dir/appends/batch=$b")
         val fs = fsOf(spark, committed)
-        // a replayed batch no-ops on EITHER commit record: its dir (not
-        // yet folded) or its line in the folded manifest (dir removed by
-        // a fold)
+        // a replayed batch no-ops on ANY commit record: its dir (not
+        // yet folded), its line in the folded manifest (dir removed by
+        // a fold), or an id at/below the retention low-watermark (line
+        // itself evicted by manifestRetain — the watermark is the
+        // structural guarantee that eviction never reopens exactly-once,
+        // however far behind the tip a replay reaches)
+        val manifest0 = foldedBatches(fs, dir)
         if (!fs.exists(committed) &&
-            !foldedBatches(fs, dir).contains(s"batch=$b")) {
+            !manifest0.contains(s"batch=$b") && b > foldedWatermark(manifest0)) {
           // staging is PER-ATTEMPT-unique: a shared path would let a
           // zombie driver's resumed write interleave with a concurrent
           // retry staging the same batch (the restarted-driver replay
@@ -308,7 +330,8 @@ object IvfIndex {
           // fold's own re-list guard instead; the residual exposure is
           // the fold's re-list-to-rename instant, the same documented
           // single-writer window as every other rename-based layout here.
-          if (foldedBatches(fs, dir).contains(s"batch=$b"))
+          val manifest1 = foldedBatches(fs, dir)
+          if (manifest1.contains(s"batch=$b") || b <= foldedWatermark(manifest1))
             fs.delete(committed, true)
           // NOTE: on HDFS a rename onto an existing dir SUCCEEDS by
           // moving the source inside it (batch=<b>/<b>_<attempt>/…), so
@@ -377,7 +400,9 @@ object IvfIndex {
     * `manifestRetain` bounds the folded-batch manifest to the newest
     * ids (see the retention note in [[foldAppends]]) so a long-lived
     * stream's manifest, probe filter, and driver cache stay O(retain),
-    * not O(lifetime batches). */
+    * not O(lifetime batches); the eviction cutoff is persisted as a
+    * `watermark=<id>` manifest line so evicted ids still no-op on
+    * replay — retention never reopens the exactly-once guarantee. */
   def compact(spark: SparkSession, dir: String,
               targetFileBytes: Long = 128L * 1024 * 1024,
               foldMinRatio: Double = 0.1,
@@ -448,13 +473,17 @@ object IvfIndex {
       if (fs.exists(appends))
         fs.listStatus(appends).map(_.getPath.getName).filter(_.startsWith("batch=")).toSeq
       else Seq.empty
-    // a dir whose batch is ALREADY in the manifest is a stale replay
+    // a dir whose batch is ALREADY in the manifest — by its own line or
+    // by an id at/below the retention low-watermark — is a stale replay
     // (a zombie attempt that re-published after a fold moved its rows
     // into vectors/ — see append's post-publish revalidation): its rows
     // are already in the base tree, so folding it would double them.
     // Delete it here instead — the fold is the self-healing pass.
     val alreadyFolded = foldedBatches(fs, dir)
-    val (stale, batches) = listed.partition(alreadyFolded.contains)
+    val wm = foldedWatermark(alreadyFolded)
+    val (stale, batches) = listed.partition(n =>
+      alreadyFolded.contains(n) ||
+        n.stripPrefix("batch=").toLongOption.exists(_ <= wm))
     stale.foreach(s => fs.delete(new org.apache.hadoop.fs.Path(appends, s), true))
     if (batches.isEmpty) return
     // ONE recursive walk computes the data-file count and byte volume,
@@ -505,19 +534,28 @@ object IvfIndex {
       // RETENTION: keep only entries within `manifestRetain` of the
       // newest folded id — without a bound the manifest (and probe's
       // NOT-IN literal set, and the driver-pinned cache entry) grows one
-      // line per lifetime batch forever on a long-lived stream. Safe
-      // because foreachBatch replays only the trailing batches after the
-      // engine's last committed offset, never ids tens of thousands
-      // behind the tip. (A RESET checkpoint restarts ids at 0 — the
-      // manifest would wrongly no-op those regardless of retention; a
-      // checkpoint reset requires a fresh [[build]], which clears it.)
+      // line per lifetime batch forever on a long-lived stream. Eviction
+      // is made SAFE structurally by the `watermark=<id>` line: evicted
+      // ids are at most `cutoff - 1`, so persisting max(old watermark,
+      // cutoff - 1) keeps "id <= watermark → already folded" true for
+      // every id whose line is gone — append's no-op checks and this
+      // fold's stale filter consult it, so even a replay far below the
+      // retention window cannot duplicate rows. Sound because
+      // foreachBatch ids are dense and monotone: when id N folds, every
+      // id < N was committed earlier and folded by an earlier (or this)
+      // all-listed-batches fold. (A RESET checkpoint restarts ids at 0 —
+      // the manifest would wrongly no-op those regardless of retention;
+      // a checkpoint reset requires a fresh [[build]], which clears it.)
       // Unparseable names are retained unconditionally.
-      val all = foldedBatches(fs, dir) ++ batches
+      val all = (foldedBatches(fs, dir) ++ batches)
+        .filterNot(_.startsWith(WatermarkPrefix))
       val ids = all.flatMap(n => n.stripPrefix("batch=").toLongOption)
       val cutoff = if (ids.nonEmpty) ids.max - manifestRetain else Long.MinValue
-      val manifest = all
-        .filter(n => n.stripPrefix("batch=").toLongOption.forall(_ >= cutoff))
-        .toSeq.sorted.mkString("\n")
+      val newWm = if (cutoff == Long.MinValue) wm else math.max(wm, cutoff - 1)
+      val manifest = ((if (newWm == Long.MinValue) Seq.empty
+                       else Seq(WatermarkPrefix + newWm)) ++
+        all.filter(n => n.stripPrefix("batch=").toLongOption.forall(_ >= cutoff))
+          .toSeq.sorted).mkString("\n")
       val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/appends_folded"), true)
       try out.write(manifest.getBytes("UTF-8")) finally out.close()
       // last-moment guard against a live appender: a batch committed
@@ -561,12 +599,18 @@ object IvfIndex {
         // stale dirs are PRUNED at the scan, not read-and-discarded
         base.select(col(idCol), col(vecCol), col("cell"))
           .unionByName {
-            val folded = foldedBatches(fs, dir)
-              .flatMap(n => n.stripPrefix("batch=").toLongOption)
+            val manifest = foldedBatches(fs, dir)
+            val folded = manifest.flatMap(n => n.stripPrefix("batch=").toLongOption)
+            val wm = foldedWatermark(manifest)
             val app = appendsFrame(spark, dir, base.schema)
-            (if (folded.isEmpty) app
-             else app.filter(!col("batch").isInCollection(folded)))
-              .select(col(idCol), col(vecCol), col("cell"))
+            val unfolded = {
+              val f = if (folded.isEmpty) app
+                      else app.filter(!col("batch").isInCollection(folded))
+              // ids at/below the retention low-watermark are folded too,
+              // their lines merely evicted — same partition-column prune
+              if (wm == Long.MinValue) f else f.filter(col("batch") > wm)
+            }
+            unfolded.select(col(idCol), col(vecCol), col("cell"))
           }
       else base
     Similarity.probeScore(queries, assigned, cents, k, nprobe,

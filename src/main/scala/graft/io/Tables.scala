@@ -43,7 +43,14 @@ object Tables {
     * it is normalized per row by magnitude: epoch-µs for any date
     * before year ~5100 sits below 1e17 while epoch-ns for any date
     * after 1973 sits above it, so `raw >= 1e17 → already ns, else
-    * µs → ×1000` is unambiguous for any plausible event time. The
+    * µs → ×1000` is unambiguous for any plausible event time. BLIND
+    * SPOT: a NANOS-generation writer's pre-1973 values (including
+    * negative, pre-1970) also sit below 1e17 and would be wrongly
+    * re-multiplied ×1000 — "plausible event time" here means the
+    * testdata's recent-epoch telemetry, not historical dates. If the
+    * corpus ever carries pre-1973 event times, disambiguate per file
+    * from the parquet footer's logical-type annotation instead of by
+    * magnitude. The
     * branch is one codegen'd conditional per row — the frame stays
     * fully lazy and unrelated parquet reads are untouched. `ts_ns` is
     * the total-order column (no precision loss from a NANOS writer); a
@@ -146,6 +153,17 @@ object Tables {
         (new org.apache.hadoop.fs.Path(dir + "_tmp"),
           new org.apache.hadoop.fs.Path(dir + "_bak"))
     }
+    // one-time LEGACY healing: compacts before the shared-sibling
+    // rename staged at `<dir>_compact_tmp`/`_compact_bak`. A crash
+    // remnant under those names is invisible to the current recovery
+    // (and to the stream's), so a missing dst would be misread as a
+    // first-ever table and the stranded siblings — the only surviving
+    // copy — later deleted. Same roll-forward/back rules; with dst
+    // healthy it just clears the stale legacy staging.
+    if (workDir.isEmpty)
+      graft.streaming.StreamingIngest.recoverSwap(fs, dst,
+        new org.apache.hadoop.fs.Path(dir + "_compact_tmp"),
+        new org.apache.hadoop.fs.Path(dir + "_compact_bak"))
     // roll an interrupted previous compact forward/back BEFORE reading —
     // same recovery contract as the streaming upsert's swap
     graft.streaming.StreamingIngest.recoverSwap(fs, dst, tmp, bak)

@@ -381,13 +381,37 @@ class IvfIndexSpec extends SparkSpec {
       dir, batchId = Some(5000L))
     IvfIndex.compact(spark, dir, foldMinRatio = 0.0, manifestRetain = 10L)
     val manifest = scala.io.Source.fromFile(s"$dir/appends_folded").getLines().toSet
-    assert(manifest == Set("batch=5000"),
-      s"entries older than retain must be pruned, got $manifest")
+    assert(manifest == Set("watermark=4989", "batch=5000"),
+      s"entries older than retain must be pruned and the eviction cutoff " +
+        s"persisted as the watermark line, got $manifest")
     // a replay WITHIN the window still no-ops
     IvfIndex.append(vecs(5, 16, seed = 531).withColumn("vec_id", col("vec_id") + 90000L),
       dir, batchId = Some(5000L))
     assert(!new java.io.File(s"$dir/appends/batch=5000").exists(),
       "an in-window replay must no-op against the manifest")
+    // a replay BELOW the retention cutoff — its own manifest line is
+    // gone — must no-op against the persisted watermark, not silently
+    // duplicate its rows into vectors/ (the hole retention would
+    // otherwise reopen)
+    val qs = vecs(2, 16, seed = 99)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    val before = rows(IvfIndex.probe(spark, dir, qs, k = 1000, nprobe = 4))
+    IvfIndex.append(
+      vecs(5, 16, seed = 501).withColumn("vec_id", col("vec_id") + 1000L),
+      dir, batchId = Some(1L))
+    assert(!new java.io.File(s"$dir/appends/batch=1").exists(),
+      "an evicted-id replay must no-op against the watermark")
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 1000, nprobe = 4)) == before,
+      "an evicted-id replay must not change the index contents")
+    // and the next fold treats a zombie-published evicted-id dir as
+    // stale: force one past the pre-check by planting the dir directly
+    val zombie = new java.io.File(s"$dir/appends/batch=2/cell=0")
+    zombie.mkdirs()
+    IvfIndex.compact(spark, dir, foldMinRatio = 0.0, manifestRetain = 10L)
+    assert(!new java.io.File(s"$dir/appends/batch=2").exists(),
+      "the fold must delete (not re-fold) a below-watermark batch dir")
+    assert(rows(IvfIndex.probe(spark, dir, qs, k = 1000, nprobe = 4)) == before,
+      "a below-watermark zombie dir must not be folded into the base tree")
   }
 
   test("compact folds through a stale _build_bak left by a crash after promote") {

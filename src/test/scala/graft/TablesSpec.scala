@@ -114,6 +114,37 @@ class TablesSpec extends SparkSpec {
     }
   }
 
+  test("compact: heals a legacy _compact_tmp/_compact_bak crash remnant after upgrade") {
+    import spark.implicits._
+    // upgrade hazard: pre-shared-namespace compacts staged at
+    // `<dir>_compact_tmp`/`_compact_bak`. A crash remnant under those
+    // names with dst missing would otherwise read as a first-ever
+    // table; the one-time legacy recovery must roll it forward/back
+    // instead of stranding (then deleting) the only surviving copy.
+    val dir = java.nio.file.Files.createTempDirectory("graft_compact_legacy").toFile
+    val path = new java.io.File(dir, "t").getAbsolutePath
+    try {
+      // old-version compact died after dst->bak, before tmp->dst:
+      // dst missing, full copies at the LEGACY-named siblings
+      (1L to 100L).toDF("v").repartition(1).write.parquet(path + "_compact_tmp")
+      (1L to 100L).toDF("v").repartition(4).write.parquet(path + "_compact_bak")
+      val n = Tables.compact(spark, path)
+      assert(n == 1)
+      val vs = spark.read.parquet(path).as[Long].collect().sorted
+      assert(vs.toSeq == (1L to 100L),
+        "the legacy remnant must be rolled forward, not treated as first-ever")
+      assert(!new java.io.File(path + "_compact_tmp").exists())
+      assert(!new java.io.File(path + "_compact_bak").exists())
+      // and with dst healthy, stale legacy staging is simply cleared
+      (1L to 50L).toDF("v").repartition(1).write.parquet(path + "_compact_tmp")
+      Tables.compact(spark, path)
+      assert(!new java.io.File(path + "_compact_tmp").exists())
+      assert(spark.read.parquet(path).as[Long].collect().sorted.toSeq == (1L to 100L))
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(dir); ()
+    }
+  }
+
   test("a crashed compact on the upsert table is healed by the stream's own recovery") {
     import spark.implicits._
     // the cross-family composition hazard: compact and upsertBatch share
