@@ -650,14 +650,23 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val bench = docs.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
-      val kept = docs.join(
+      // the cleaned corpus is MATERIALIZED (localCheckpoint) before the
+      // clip/mixture stages: three downstream consumers shuffle it on
+      // different keys (shingle hash, doc id, stratum), so exchange
+      // reuse never applies and an unmaterialized `kept` re-runs the
+      // whole 11-exchange verdict chain per consumer (measured ~0.8 s
+      // of the query at sf0.1). At scale this is the pipeline's natural
+      // persist point anyway — the keep/drop verdict is exactly what a
+      // curator checkpoints before materializing training mixtures.
+      // Slimmed to the three columns the tail needs before the copy.
+      val kept = docs.select("doc_id", "text", "lang").join(
         Cleaning.cleanCorpus(docs, bench,
           langWhitelist = Seq("en", "de", "fr", "es", "pt"))
           .filter(col("keep")).select("doc_id"),
-        "doc_id")
+        "doc_id").localCheckpoint()
       val cleaned = Dedup.clipDuplicatedSpans(kept)
         .select(col("doc_id"), col("clean_text").as("text"))
-        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+        .join(kept.select(col("doc_id"), col("lang")), "doc_id")
       Sampling.epochMixture(cleaned,
         Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)),
         budgetTokens = 100000L)

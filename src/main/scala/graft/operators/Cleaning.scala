@@ -15,12 +15,14 @@ import org.apache.spark.sql.functions._
   *   - corpus-LM surprisal band ([[TextAnalysis.unigramSurprisal]])
   *   - benchmark contamination ([[Decontaminate.report]])
   *
-  * Scale shape: each component keeps its own optimal plan (scan-only,
-  * broadcast-pruned, or one keyed aggregate) and the verdict join is
-  * five equi-joins on the document key — co-partitioned after the first
-  * exchange, and trivially colocated if the table is bucketed by id
-  * ([[graft.io.Tables.writeBucketed]]). Reasons are ordered and joined
-  * to a string so the output hashes stably across engines.
+  * Scale shape: the per-row language-id family rides the base scan as a
+  * projection — no join, no shuffle — while each aggregated component
+  * keeps its own optimal plan (fingerprint window, partial-combined
+  * bigram tally, broadcast-scored LM, n-gram semi-join), so the verdict
+  * join is four equi-joins on the document key — co-partitioned after
+  * the first exchange, and trivially colocated if the table is bucketed
+  * by id ([[graft.io.Tables.writeBucketed]]). Reasons are ordered and
+  * joined to a string so the output hashes stably across engines.
   */
 object Cleaning {
 
@@ -31,7 +33,15 @@ object Cleaning {
                   maxSurprisal: Double = 3.5,
                   idCol: String = "doc_id"): DataFrame = {
     val dd = Dedup.exactDups(docs, idCol).select(col(idCol), col("is_duplicate"))
-    val lg = TextAnalysis.languageId(docs).select(col(idCol), col("pred_lang"))
+    // language id is a PER-ROW computation (marker-score CASE chain) —
+    // kept as a projection of the base scan rather than a component
+    // joined back on the key: one fewer corpus-wide exchange. (The
+    // repetition signal stays RELATIONAL and joined: a per-row
+    // sorted-array run-length tally was measured 5× slower — the HOF
+    // aggregate falls out of whole-stage codegen and pays a per-row
+    // string sort — while groupBy(id, bigram) is partial-combined
+    // Tungsten hash aggregation.)
+    val base = TextAnalysis.languageId(docs).select(col(idCol), col("pred_lang"))
     val rp = TextAnalysis.repetitionStats(docs, idCol)
       .select(col(idCol), col("top_bigram_ratio"))
     val sp = TextAnalysis.unigramSurprisal(docs, idCol)
@@ -47,8 +57,8 @@ object Cleaning {
     // sp joins LEFT: a zero-token document has no surprisal row, but it
     // still needs its verdict (its 'lang' reason fires — empty text
     // scores 'und'); an inner join would silently drop it entirely
-    docs.select(col(idCol))
-      .join(dd, idCol).join(lg, idCol).join(rp, idCol)
+    base
+      .join(dd, idCol).join(rp, idCol)
       .join(sp, Seq(idCol), "left").join(dc, idCol)
       .withColumn("_r", reasons)
       .select(col(idCol),
