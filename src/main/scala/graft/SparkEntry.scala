@@ -739,10 +739,14 @@ object SparkEntry {
     // SURVEY §7.4 #1 trade, same chain shape)
     "golden_e2e" -> ((s, d) => {
       val qs = questionsDF(s)
-      // NOT checkpointed: measured at sf0.1 twice (r7: 3.24 vs 3.25 s
-      // warm; r8 re-probe: within ±0.6 s run noise) — the chain's cost
-      // is its ~25 AQE stages, not chunk re-derivation, and a head
-      // checkpoint only serializes one more job before them
+      // NOT checkpointed: measured at sf0.1 three times (r7: 3.24 vs
+      // 3.25 s warm; r8 re-probe: within ±0.6 s run noise; r11 re-probe
+      // under the noop-sink methodology: 2.45 s min both ways) — the
+      // chain's cost is its ~25 AQE stages, not chunk re-derivation
+      // (a map-side explode), and a head checkpoint only serializes one
+      // more job before them. Contrast curation_e2e, where the shared
+      // frame IS expensive (the 11-exchange verdict chain) and the
+      // checkpoint pays for itself.
       val chunks = Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
         .select(col("chunk_id"), col("content").as("text"))
       val vector = Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id")
