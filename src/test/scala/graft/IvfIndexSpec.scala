@@ -513,4 +513,55 @@ class IvfIndexSpec extends SparkSpec {
     assert(dppScans >= 2,
       s"both sides of the union must stay partition-pruned (saw $dppScans):\n$unionPlan")
   }
+
+  test("randomized commit/replay/compact schedules never lose or duplicate a row") {
+    // the exactly-once state machine under adversarial schedules: fresh
+    // batches commit in order, arbitrary earlier ids replay at any
+    // point (foreachBatch retries, zombie drivers), and compacts with a
+    // TINY manifest retention fold + evict aggressively — so replays
+    // routinely land below the retention cutoff and only the persisted
+    // watermark stands between them and silent duplication. Invariant
+    // at every compact point and at the end: the index holds exactly
+    // the base vectors plus each committed batch's vectors, once.
+    val rnd = new scala.util.Random(1107)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    IvfIndex.build(vecs(60, 16, seed = 61), dir, nlist = 4)
+    val baseIds = spark.read.parquet(s"$dir/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def batchVecs(b: Long) = vecs(3, 16, seed = 6100 + b.toInt)
+      .withColumn("vec_id", col("vec_id") + b * 100L + 10000L)
+    var committed = List.empty[Long]
+    var next = 0L
+    def expectIds = baseIds ++ committed.flatMap(b => Seq(0L, 1L, 2L).map(_ + b * 100L + 10000L))
+    def checkExact(): Unit = {
+      val got = spark.read.parquet(s"$dir/vectors").select("vec_id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got.size == got.distinct.size,
+        s"duplicated rows after schedule prefix (committed=$committed)")
+      // vectors/ plus any still-unfolded committed appends is the full view
+      val appends = new java.io.File(s"$dir/appends")
+      val unfolded = Option(appends.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.startsWith("batch=")).map(_.getName.stripPrefix("batch=").toLong)
+      val appendIds = unfolded.flatMap(b =>
+        Seq(0L, 1L, 2L).map(_ + b * 100L + 10000L)).toSet
+      assert(got.toSet ++ appendIds == expectIds,
+        s"lost rows: missing=${(expectIds -- got.toSet -- appendIds).take(5)} " +
+          s"extra=${(got.toSet ++ appendIds -- expectIds).take(5)}")
+    }
+    for (_ <- 1 to 24) rnd.nextInt(3) match {
+      case 0 => // fresh commit
+        IvfIndex.append(batchVecs(next), dir, batchId = Some(next))
+        committed ::= next; next += 1
+      case 1 if committed.nonEmpty => // replay an arbitrary earlier id
+        val b = committed(rnd.nextInt(committed.size))
+        IvfIndex.append(batchVecs(b), dir, batchId = Some(b))
+      case 2 => // fold + evict with a retention window of 2
+        IvfIndex.compact(spark, dir, foldMinRatio = 0.0, manifestRetain = 2L)
+        checkExact()
+      case _ => ()
+    }
+    IvfIndex.compact(spark, dir, foldMinRatio = 0.0, manifestRetain = 2L)
+    checkExact()
+    assert(committed.size >= 5, "schedule must exercise real commits")
+  }
 }
