@@ -342,6 +342,62 @@ object SparkEntry {
           .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
         k = 10, nprobe = 2)
     }),
+    // the STREAMING lifecycle of the persisted index as one oracle-checked
+    // chain: build from the older corpus half (vec_id >= 200), stream the
+    // rest in through a real micro-batch foreachBatch append (batches 0
+    // and 1), FOLD them into the base tree via compact (foldMinRatio=0
+    // forces it), replay batch 1 afterwards (a zombie retry — the folded
+    // manifest makes it a no-op), then commit batch 2 post-compact so the
+    // final probe unions base + one unfolded append batch. Every row the
+    // stream delivered is probed with the BUILD-half centroids (append
+    // assigns against STORED centroids, never re-trains), so the whole
+    // chain equals one probe over the full corpus with those centroids —
+    // exactly what the DuckDB oracle replays. The MemoryStream feed
+    // collects 195 fixture rows (bounded at every SF) to make the
+    // micro-batch boundaries deterministic.
+    "ivf_stream_e2e" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val dir = ivfStreamDir
+      // rebuild wipes prior appends + manifest: every invocation (bench's
+      // min-of-two, verify) replays the identical lifecycle from scratch
+      graft.io.IvfIndex.build(e.filter(col("vec_id") >= 200), dir, nlist = 8)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val late = e.filter(col("vec_id") >= 5 && col("vec_id") < 200)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Seq[Float])]
+      val q = input.toDF()
+        .selectExpr("_1 AS vec_id", "CAST(_2 AS ARRAY<FLOAT>) AS embedding")
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.io.IvfIndex.append(b, dir, batchId = Some(id))
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ivf-e2e-ck").toString)
+        .start()
+      try {
+        input.addData(late.filter(_._1 < 70).toSeq) // batch 0
+        q.processAllAvailable()
+        input.addData(late.filter(t => t._1 >= 70 && t._1 < 135).toSeq) // batch 1
+        q.processAllAvailable()
+        // compact between triggers — the documented quiesce window; the
+        // forced fold moves batches 0 and 1 into vectors/
+        graft.io.IvfIndex.compact(s, dir, foldMinRatio = 0.0)
+        // at-least-once replay of batch 1 AFTER its fold: the manifest
+        // (not the long-gone batch dir) must make this a no-op
+        graft.io.IvfIndex.append(
+          e.filter(col("vec_id") >= 70 && col("vec_id") < 135), dir,
+          batchId = Some(1L))
+        input.addData(late.filter(_._1 >= 135).toSeq) // batch 2, stays unfolded
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.io.IvfIndex.probe(s, dir,
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        k = 10, nprobe = 2)
+    }),
     // recall@10 audit of every deterministic approximate path against
     // brute force — the number an ANN deployment is tuned by; the oracle
     // replays each method end-to-end in DuckDB
@@ -761,6 +817,16 @@ object SparkEntry {
     * vector-table copies under the system tmpdir. */
   private lazy val ivfDemoDir: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-ivf-q")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p.toString
+  }
+
+  /** The ivf_stream_e2e index location — same per-JVM lifecycle (and
+    * rationale) as [[ivfDemoDir]]; separate dir because the two queries
+    * may interleave under the bench and each rebuilds destructively. */
+  private lazy val ivfStreamDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ivf-se")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
     p.toString
@@ -1767,6 +1833,36 @@ object SparkEntry {
         |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
         |iv_ranked AS (SELECT e AS cw, row_number() OVER (ORDER BY
         |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn FROM c),
+        |cents AS (SELECT rn - 1 AS cell, cw FROM iv_ranked WHERE rn <= 8),
+        |asg AS (SELECT vec_id, cell FROM (
+        |  SELECT c.vec_id, ct.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |   round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
+        |  FROM c CROSS JOIN cents ct) WHERE r = 1),
+        |qpr AS (SELECT q_vec_id, cell FROM (
+        |  SELECT q.q_vec_id, ct.cell, row_number() OVER (PARTITION BY q.q_vec_id ORDER BY
+        |   round(list_inner_product(q.qe, ct.cw) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
+        |  FROM q CROSS JOIN cents ct) WHERE r <= 2)
+        |SELECT q_vec_id, vec_id, score, rank FROM (
+        |  SELECT qp.q_vec_id, c.vec_id,
+        |   round(list_inner_product(q.qe, c.e) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score,
+        |   row_number() OVER (PARTITION BY qp.q_vec_id ORDER BY
+        |    round(list_inner_product(q.qe, c.e) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 4) DESC, c.vec_id) AS rank
+        |  FROM qpr qp JOIN q ON q.q_vec_id = qp.q_vec_id
+        |  JOIN asg a ON a.cell = qp.cell JOIN c ON c.vec_id = a.vec_id) WHERE rank <= 10""".stripMargin,
+
+    // the streaming chain collapses, by construction, to ONE probe over
+    // the full candidate set with centroids hash-sampled from the BUILD
+    // half only (vec_id >= 200): stream-append assigns against stored
+    // centroids, the fold moves rows without rescoring, the batch-1
+    // replay no-ops, and the post-compact batch unions in unchanged —
+    // so the replay is the ivf_persisted SQL with `iv_ranked` drawn
+    // from the build half
+    "ivf_stream_e2e" ->
+      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
+        |iv_ranked AS (SELECT e AS cw, row_number() OVER (ORDER BY
+        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn
+        |  FROM c WHERE vec_id >= 200),
         |cents AS (SELECT rn - 1 AS cell, cw FROM iv_ranked WHERE rn <= 8),
         |asg AS (SELECT vec_id, cell FROM (
         |  SELECT c.vec_id, ct.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY

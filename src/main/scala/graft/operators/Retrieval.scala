@@ -68,11 +68,16 @@ object Retrieval {
     * CBO + ANALYZE'd column stats, `FilterEstimation` shrinks BOTH
     * statistics through an ordinary attribute `indexFilter`, so a
     * selective filter flips the switch to exact (the round-5 caveat).
-    * Honest residual: WITHOUT CBO the size-only visitor supplies no
-    * rowCount and passes `sizeInBytes` through attribute filters
-    * unchanged — there a caller who knows the filtered set is small
-    * should pre-filter into a materialized/partitioned index or raise
-    * the threshold. Exact
+    * WITHOUT CBO the size-only visitor supplies no rowCount and passes
+    * `sizeInBytes` through attribute filters unchanged — there the
+    * switch falls back to [[prunedParquetEstimate]]: the estimate is
+    * read off the partition-pruned parquet FILE LISTING the physical
+    * scan would actually perform (plus footer row counts when the
+    * listing is small), so a selective partition-column filter still
+    * flips the switch to exact with no catalog and no ANALYZE. A pure
+    * data-column filter cannot prune the listing, so there the
+    * conservative over-estimate keeps the ANN path — the cheap
+    * mistake. Exact
     * results below the threshold, standard LSH recall above it (all
     * Hamming-1 probes on, the high-recall setting); both paths share
     * the scoring and rank-limit contract. */
@@ -91,12 +96,70 @@ object Retrieval {
     val rowWidth = BigInt(8L + plan.output.map(_.dataType.defaultSize.toLong).sum)
     val sizeBytes = stats.rowCount
       .map(rc => (rc * rowWidth).max(stats.sizeInBytes))
-      .getOrElse(stats.sizeInBytes)
+      .getOrElse(prunedParquetEstimate(filtered, rowWidth, annThresholdBytes)
+        .getOrElse(stats.sizeInBytes))
     if (sizeBytes <= BigInt(annThresholdBytes))
       knnCosine(queries, filtered, k, qidCol, qvecCol, idCol, vecCol)
     else
       Similarity.lshTopK(queries, filtered, k, dims, probes = dims + 1,
         qidCol, qvecCol, idCol, vecCol)
+  }
+
+  /** The no-catalog statistics path for [[knnAuto]]: when the optimizer
+    * supplies no rowCount (CBO off, or no ANALYZE), the logical-plan
+    * `sizeInBytes` passes through filters UNCHANGED — so the switch
+    * would never see that a selective filter shrank the index. But the
+    * physical scan knows: its partition filters prune the parquet file
+    * listing before a single byte is read. This reads the estimate off
+    * that listing — the same metadata-only information
+    * `FileSourceScanExec` uses to plan its tasks:
+    *
+    *  - sum of the PRUNED listing's file lengths (on-disk, compressed);
+    *  - when that sum is at or below the decision threshold, footer row
+    *    counts of the selected files (each footer is one metadata read;
+    *    only paid when total selected data is threshold-small, so the
+    *    file count is too — the over-threshold branch short-circuits on
+    *    bytes alone, costing ZERO footer reads on a 100 TB index).
+    *
+    * The estimate is `max(rows × rowWidth, prunedBytes)`, mirroring the
+    * CBO formula. Exact under partition-column filters; an upper bound
+    * under data-column filters (the listing can't see them — the
+    * conservative miss keeps the ANN path, the cheap mistake).
+    * Applies only when the filtered plan is Filter/Project stages over
+    * ONE parquet file scan — any other shape (joins, unions, cached or
+    * in-memory relations) returns None and the caller keeps the plain
+    * `sizeInBytes` estimate. Dynamic-pruning subqueries are excluded
+    * from the listing predicate (they need runtime results; static
+    * pruning alone is the planning-time information). */
+  private def prunedParquetEstimate(filtered: DataFrame, rowWidth: BigInt,
+                                    thresholdBytes: Long): Option[BigInt] = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, FilterExec, ProjectExec, SparkPlan}
+    def scanUnder(p: SparkPlan): Option[FileSourceScanExec] = p match {
+      case s: FileSourceScanExec => Some(s)
+      case f: FilterExec => scanUnder(f.child)
+      case pr: ProjectExec => scanUnder(pr.child)
+      case _ => None
+    }
+    scanUnder(filtered.queryExecution.sparkPlan)
+      .filter(_.relation.fileFormat
+        .isInstanceOf[org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat])
+      .map { scan =>
+        val staticPartFilters = scan.partitionFilters.filterNot(_.exists(
+          _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.PlanExpression[_]]))
+        val files = scan.relation.location
+          .listFiles(staticPartFilters, scan.dataFilters).flatMap(_.files)
+        val bytes = files.foldLeft(BigInt(0))(_ + _.getLen)
+        if (bytes > BigInt(thresholdBytes)) bytes
+        else {
+          val conf = filtered.sparkSession.sessionState.newHadoopConf()
+          val rows = files.map { f =>
+            val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+              org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f.getPath, conf))
+            try r.getRecordCount finally r.close()
+          }.sum
+          (BigInt(rows) * rowWidth).max(bytes)
+        }
+      }
   }
 
   /** Q4-Q6 keyword-containment scoring, exactly the reference formula

@@ -268,6 +268,44 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("knnAuto without CBO: partition pruning flips a selective filter to exact") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // No catalog, no ANALYZE, CBO off (the session default here): the
+    // size-only visitor passes sizeInBytes through filters unchanged and
+    // supplies no rowCount — the switch must instead read the
+    // partition-pruned file listing (prunedParquetEstimate).
+    assert(spark.conf.get("spark.sql.cbo.enabled") == "false",
+      "this spec exercises the no-CBO fallback")
+    val dir = java.nio.file.Files.createTempDirectory("knnauto_part").toString
+    try {
+      val e = graft.io.Tables.embeddings(spark, d)
+      e.write.mode("overwrite").partitionBy("label").parquet(dir)
+      val idx = spark.read.parquet(dir)
+      assert(idx.filter(col("label") === 3).queryExecution
+        .optimizedPlan.stats.rowCount.isEmpty,
+        "precondition: the logical plan must carry no rowCount")
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+      // threshold between one partition's bytes and the whole table's:
+      // half the full listing (labels are ~uniform over 10 values)
+      val fs = new java.io.File(dir)
+      def bytesUnder(f: java.io.File): Long =
+        if (f.isFile) f.length
+        else Option(f.listFiles).map(_.map(bytesUnder).sum).getOrElse(0L)
+      val threshold = bytesUnder(fs) / 2
+      def planOf(filter: org.apache.spark.sql.Column) = graft.operators.Retrieval
+        .knnAuto(qs, idx, k = 10, annThresholdBytes = threshold, indexFilter = filter)
+        .queryExecution.explainString(ExplainMode.fromString("simple"))
+      assert(planOf(col("label") === 3).contains("BroadcastNestedLoopJoin"),
+        "partition filter must prune the listing below threshold → exact scan")
+      val ann = planOf(lit(true))
+      assert(!ann.contains("BroadcastNestedLoopJoin") && ann.contains("bucket"),
+        "full index above threshold must still plan the sign-LSH path")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("semantic dedup: centroid assignment is map-side literals; pairing is a cell equi-join") {
     val p = planTree("semantic_dedup")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
