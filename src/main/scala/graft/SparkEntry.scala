@@ -809,6 +809,24 @@ object SparkEntry {
       val lexical = Retrieval.bm25Search(qs, chunks, k = 10, idCol = "chunk_id")
       Retrieval.rrfFuse(vector, lexical, k = 3, idCol = "chunk_id")
         .join(broadcast(qs), "question_id")
+    }),
+    // --- distributed BPE tokenizer training (vocab-compressed): the
+    // corpus collapses once to (word, freq) and every merge iteration
+    // runs over the vocabulary, never the corpus — the SentencePiece/
+    // HuggingFace-trainers compression, so k merges cost k small jobs
+    // regardless of corpus size
+    "bpe_pairs" -> ((s, d) =>
+      Bpe.pairCounts(Bpe.wordVocab(Tables.documents(s, d)))
+        .orderBy(desc("freq"), asc("lhs"), asc("rhs")).limit(20)),
+    "bpe_learn" -> ((s, d) => {
+      val (merges, _) = Bpe.learnMerges(Tables.documents(s, d), numMerges = 6)
+      Bpe.mergesDf(s, merges).select(col("rank").as("merge_rank"),
+        col("lhs"), col("rhs"), col("merged"), col("freq"))
+    }),
+    "bpe_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, finalVocab) = Bpe.learnMerges(docs, numMerges = 6)
+      Bpe.tokenCounts(docs, finalVocab)
     })
   )
 
@@ -2968,8 +2986,59 @@ object SparkEntry {
          |SELECT question_id, doc_id, rank_a, rank_b, rrf6, rank FROM (
          | SELECT *, row_number() OVER (
          |   PARTITION BY question_id ORDER BY rrf6 DESC, doc_id) AS rank
-         | FROM fused) WHERE rank <= 5""".stripMargin
+         | FROM fused) WHERE rank <= 5""".stripMargin,
+
+    "bpe_pairs" ->
+      s"""WITH ${bpeCtes(1)}
+         |SELECT lhs, rhs, freq FROM p1
+         |ORDER BY freq DESC, lhs, rhs LIMIT 20""".stripMargin,
+
+    "bpe_learn" -> {
+      val rows = (1 to 6).map(j =>
+        s"SELECT CAST($j AS INTEGER) AS merge_rank, lhs, rhs, lhs || rhs AS merged, freq FROM b$j")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${bpeCtes(6)}
+         |$rows""".stripMargin
+    },
+
+    "bpe_tokens" ->
+      s"""WITH ${bpeCtes(6)},
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |       FROM documents),
+         |wt AS (SELECT word, CAST(len(string_split(seq, ' ')) AS INTEGER) AS word_tokens
+         |       FROM v6)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(word_tokens) AS BIGINT) AS n_tokens
+         |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin
   )
+
+  /** Shared CTE chain replaying the vocab-compressed BPE trainer
+    * (`graft.operators.Bpe`): v0 = corpus → (word, freq, spaced-chars)
+    * vocabulary, then per merge j: pair counts p_j over v_{j-1}, argmax
+    * b_j under (freq DESC, lhs, rhs), rewrite v_j with the SAME 4-pass
+    * padded leftmost-non-overlapping replace the engine applies — the
+    * merge semantics are pinned by construction on both sides. */
+  private def bpeCtes(numMerges: Int): String = {
+    val sb = new StringBuilder(
+      """v0 AS (
+        | SELECT w AS word, count(*) AS freq,
+        |  trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq
+        | FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |       FROM documents) uw
+        | GROUP BY w)""".stripMargin)
+    for (j <- 1 to numMerges) {
+      val rep = (1 to operators.Bpe.MergePasses).foldLeft("' ' || v.seq || ' '")((x, _) =>
+        s"replace($x, ' ' || b.lhs || ' ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' ')")
+      sb ++= s""",
+        |p$j AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+        |         CAST(sum(freq) AS BIGINT) AS freq
+        |        FROM (SELECT freq, string_split(seq, ' ') AS syms FROM v${j - 1}) s,
+        |             LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+        |        GROUP BY 1, 2),
+        |b$j AS (SELECT lhs, rhs, freq FROM p$j ORDER BY freq DESC, lhs, rhs LIMIT 1),
+        |v$j AS (SELECT v.word, v.freq, trim($rep) AS seq FROM v${j - 1} v, b$j b)""".stripMargin
+    }
+    sb.toString
+  }
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold
     * (recursive walk carrying (sub_idx, cur_len) per chunk; RE2 has no

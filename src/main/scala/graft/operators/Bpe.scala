@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training (beyond-reference
+  * training-data-pipeline tier; the reference counts tokens with a
+  * provider-supplied tokenizer, `embedding_service.py` — here the
+  * tokenizer itself is TRAINED on the corpus, the way SentencePiece /
+  * HuggingFace `tokenizers` do it).
+  *
+  * Scale design — the whole trainer is vocab-compressed: the corpus is
+  * collapsed ONCE to `(word, freq)` (one shuffle over the scan), and
+  * every subsequent pass — pair counting, argmax, merge application —
+  * runs over the VOCABULARY, never the corpus. At 100 TB the corpus is
+  * ~10^11 words but the distinct-word vocab is ~10^8 rows, so the k
+  * merge iterations are k cheap jobs over a checkpointed 10^8-row
+  * frame, exactly the compression real BPE trainers rely on. The only
+  * driver-side state is the argmax pair per iteration (k rows total —
+  * the MLlib centroid pattern, not a data-scale collect).
+  *
+  * Merge-application semantics: a merge (l, r) rewrites the
+  * space-delimited symbol sequence by LEFTMOST NON-OVERLAPPING
+  * replacement of " l r " with " lr " on the space-padded sequence,
+  * iterated [[MergePasses]] times. One replace pass is exactly a greedy
+  * left-to-right scan except that a match consumes its trailing
+  * delimiter, hiding an immediately-adjacent second occurrence
+  * ("a b a b" → pass 1 merges the 1st and 3rd pairs it can see, pass 2
+  * the one the consumed space hid); iterating to fixpoint converges on
+  * the symbol-level greedy result. Words here are ≤ 8 symbols so 4
+  * passes are well past fixpoint (`BpeSpec` asserts a 5th pass changes
+  * nothing over the full corpus vocabulary). Both this implementation
+  * and the DuckDB oracle apply the SAME padded-replace form, so the
+  * semantics are pinned by construction, not by luck.
+  */
+object Bpe {
+
+  /** Replace passes per merge application — fixpoint for words up to
+    * ~2^MergePasses symbols of pathological self-overlap; asserted at
+    * fixpoint over the real vocab by `BpeSpec`. */
+  val MergePasses = 4
+
+  /** Words = lowercase `[a-z]+` runs — the same token alphabet the
+    * lang-id/quality tier uses, and trivially replayable in DuckDB. */
+  private def wordsCol(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Corpus → `(word, freq, seq)` vocabulary: ONE aggregation over the
+    * scan, `seq` = characters joined by single spaces ("key" → "k e y").
+    * This is the frame every BPE iteration runs on. */
+  def wordVocab(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(wordsCol(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("seq", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+
+  /** Adjacent-symbol pair counts over a vocabulary, weighted by word
+    * frequency: `(lhs, rhs, freq)` (not left/right — those are join
+    * keywords in the oracle's SQL dialect). Per-row generator + one
+    * vocab-bounded aggregation — the pair space is O(vocab · word_len),
+    * independent of corpus size. */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .withColumn("syms", split(col("seq"), " "))
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(0, size(syms) - 2)," +
+          " i -> struct(syms[i] AS lhs, syms[i + 1] AS rhs))")).as("pair"))
+      .groupBy(col("pair.lhs").as("lhs"), col("pair.rhs").as("rhs"))
+      .agg(sum("freq").as("freq"))
+
+  /** One padded-replace pass of merge (l, r) over a padded sequence. */
+  private def replaceOnce(padSeq: Column, l: String, r: String): Column =
+    replace(padSeq, lit(s" $l $r "), lit(s" $l$r "))
+
+  /** Apply merge (l, r) to `seq`: pad, `passes` replace passes, trim.
+    * Literal pattern — the merge is already driver-side (it IS the
+    * learned model), so no join is needed to apply it. */
+  def applyMerge(seq: Column, l: String, r: String, passes: Int = MergePasses): Column = {
+    val padded = concat(lit(" "), seq, lit(" "))
+    val folded = (1 to passes).foldLeft(padded)((c, _) => replaceOnce(c, l, r))
+    trim(folded)
+  }
+
+  /** A learned merge: rank (1-based), the pair, the fused symbol, and
+    * the weighted pair frequency at selection time. */
+  final case class Merge(rank: Int, lhs: String, rhs: String, merged: String, freq: Long)
+
+  /** Learn `numMerges` merges: iteratively (pair-count → argmax →
+    * rewrite vocab). Ties break on (freq DESC, left ASC, right ASC) —
+    * the same total order the oracle's window sort uses. Returns the
+    * merge list and the final rewritten vocabulary. The per-iteration
+    * `localCheckpoint` truncates lineage (k nested rewrites would
+    * otherwise stack k plans); at real scale the vocab frame is the
+    * natural persist point and each iteration is one small job. */
+  def learnMerges(docs: DataFrame, numMerges: Int,
+                  textCol: String = "text"): (Seq[Merge], DataFrame) = {
+    require(numMerges >= 1, s"need numMerges >= 1, got $numMerges")
+    var vocab = wordVocab(docs, textCol).localCheckpoint()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    while (rank <= numMerges && !exhausted) {
+      val best = pairCounts(vocab)
+        .orderBy(desc("freq"), asc("lhs"), asc("rhs"))
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        merges += Merge(rank, l, r, l + r, f)
+        vocab = vocab.withColumn("seq", applyMerge(col("seq"), l, r)).localCheckpoint()
+        rank += 1
+      }
+    }
+    (merges.result(), vocab)
+  }
+
+  /** The learned merge table as a DataFrame — k rows, driver-built (the
+    * merges ARE driver state, like fitted centroids). */
+  def mergesDf(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF()
+  }
+
+  /** Per-document token counts under a trained vocabulary: explode each
+    * doc's words, join the final vocab (broadcast — the trained
+    * tokenizer is exactly the small side you'd ship to every executor),
+    * sum per-word symbol counts. `(doc_id, n_words, n_tokens)`. */
+  def tokenCounts(docs: DataFrame, finalVocab: DataFrame,
+                  idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val perWord = broadcast(
+      finalVocab.select(col("word"), size(split(col("seq"), " ")).as("word_tokens")))
+    docs
+      .select(col(idCol), explode(wordsCol(col(textCol))).as("word"))
+      .join(perWord, "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum("word_tokens").as("n_tokens"))
+  }
+}
