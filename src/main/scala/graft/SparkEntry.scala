@@ -827,6 +827,19 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val (_, finalVocab) = Bpe.learnMerges(docs, numMerges = 6)
       Bpe.tokenCounts(docs, finalVocab)
+    }),
+    // corpus snapshot delta for incremental runs: old = docs minus the
+    // %13 ids (so those read as added), new = docs minus the %17 ids
+    // (removed), with the %5 ids edited (changed) — every status
+    // exercised from the one deterministic table
+    "corpus_delta" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val oldSnap = docs.filter(col("doc_id") % 13 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")))
+      Snapshot.corpusDelta(oldSnap, newSnap)
     })
   )
 
@@ -3008,7 +3021,24 @@ object SparkEntry {
          |wt AS (SELECT word, CAST(len(string_split(seq, ' ')) AS INTEGER) AS word_tokens
          |       FROM v6)
          |SELECT doc_id, count(*) AS n_words, CAST(sum(word_tokens) AS BIGINT) AS n_tokens
-         |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin
+         |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin,
+
+    "corpus_delta" ->
+      """WITH oldc AS (
+        | SELECT doc_id, md5(coalesce(text, '')) AS old_hash
+        | FROM documents WHERE doc_id % 13 <> 0),
+        |newc AS (
+        | SELECT doc_id, md5(coalesce(
+        |   CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END, '')) AS new_hash
+        | FROM documents WHERE doc_id % 17 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        | CASE WHEN o.old_hash IS NULL THEN 'added'
+        |      WHEN n.new_hash IS NULL THEN 'removed'
+        |      WHEN o.old_hash <> n.new_hash THEN 'changed' END AS status,
+        | o.old_hash, n.new_hash
+        |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
+        |WHERE o.old_hash IS NULL OR n.new_hash IS NULL
+        |   OR o.old_hash <> n.new_hash""".stripMargin
   )
 
   /** Shared CTE chain replaying the vocab-compressed BPE trainer
