@@ -840,6 +840,16 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
             .otherwise(col("text")))
       Snapshot.corpusDelta(oldSnap, newSnap)
+    }),
+    // Z-order (Morton) interleave for multi-dimensional file skipping:
+    // the oracle pins the bit-interleave math; LayoutSpec pins the
+    // layout effect (per-partition min/max rectangles shrink on BOTH
+    // dimensions vs a single-key sort)
+    "zorder_layout" -> ((s, d) => {
+      val xb = expr("user_id % 256")
+      val yb = expr("(ts_ns div 1000000000) % 256")
+      Tables.events(s, d).select(col("event_id"), xb.as("x_bucket"),
+        yb.as("y_bucket"), graft.io.Layout.zValue(xb, yb, 8).as("zval"))
     })
   )
 
@@ -3038,7 +3048,17 @@ object SparkEntry {
         | o.old_hash, n.new_hash
         |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
         |WHERE o.old_hash IS NULL OR n.new_hash IS NULL
-        |   OR o.old_hash <> n.new_hash""".stripMargin
+        |   OR o.old_hash <> n.new_hash""".stripMargin,
+
+    "zorder_layout" -> {
+      val terms = (0 until 8).flatMap(i => Seq(
+        s"(((xb >> $i) & 1) << ${2 * i})", s"(((yb >> $i) & 1) << ${2 * i + 1})"))
+        .mkString(" | ")
+      s"""WITH b AS (SELECT event_id, user_id % 256 AS xb,
+         | (epoch_us(ts) // 1000000) % 256 AS yb FROM events)
+         |SELECT event_id, xb AS x_bucket, yb AS y_bucket,
+         | CAST($terms AS BIGINT) AS zval FROM b""".stripMargin
+    }
   )
 
   /** Shared CTE chain replaying the vocab-compressed BPE trainer

@@ -1,0 +1,62 @@
+package graft
+
+import graft.io.Layout
+import org.apache.spark.sql.functions._
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refZ(x: Long, y: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L)((z, i) =>
+      z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1)))
+
+  test("zValue equals the reference interleave over the full 8-bit grid edge cases") {
+    val pts = (for {
+      x <- Seq(0L, 1L, 2L, 127L, 128L, 200L, 255L)
+      y <- Seq(0L, 1L, 3L, 64L, 255L)
+    } yield (x, y)) ++ Seq((255L, 255L), (170L, 85L))
+    val out = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zValue(col("x"), col("y"), 8).as("z"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getLong(2) === refZ(r.getLong(0), r.getLong(1), 8),
+        s"(${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
+  test("zValue bit budget is validated at entry") {
+    intercept[IllegalArgumentException](Layout.zValue(lit(1L), lit(1L), 0))
+    intercept[IllegalArgumentException](Layout.zValue(lit(1L), lit(1L), 32))
+  }
+
+  test("zorderBy bounds BOTH dimensions per partition; single-key sort does not") {
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts_ns"))
+    // normalized mean per-partition span of each dimension
+    def spans(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val withPid = df.withColumn("pid", spark_partition_id())
+      val g = withPid.groupBy("pid").agg(
+        (max("user_id") - min("user_id")).as("us"),
+        (max("ts_ns") - min("ts_ns")).as("ts")).agg(avg("us"), avg("ts")).head()
+      val r = df.agg(max("user_id") - min("user_id"),
+        max("ts_ns") - min("ts_ns")).head()
+      (g.getDouble(0) / r.getLong(0), g.getDouble(1) / r.getLong(1))
+    }
+    val (zU, zT) = spans(Layout.zorderBy(ev, "user_id", "ts_ns", bits = 8, numFiles = 8))
+    val (sU, sT) = spans(
+      ev.repartitionByRange(8, col("ts_ns")).sortWithinPartitions("ts_ns"))
+    // ts-only sort: perfect ts intervals but full-width user intervals
+    assert(sU > 0.9, s"ts-sorted user span $sU")
+    assert(sT < 0.3, s"ts-sorted ts span $sT")
+    // z-order: both dimensions bounded — every partition covers a
+    // rectangle, not a stripe (8 files over an 8-bit z space → blocks
+    // of at most half the range per dimension, plus block-boundary slop)
+    assert(zU < 0.7, s"zorder user span $zU")
+    assert(zT < 0.7, s"zorder ts span $zT")
+  }
+
+  test("zorderBy rejects empty input (no min/max to scale against)") {
+    val empty = Seq.empty[(Long, Long)].toDF("user_id", "ts_ns")
+    intercept[IllegalArgumentException](Layout.zorderBy(empty, "user_id", "ts_ns"))
+  }
+}
