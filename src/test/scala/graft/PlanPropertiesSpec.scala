@@ -327,4 +327,36 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"), "band-bucket candidate join must be an equi-join")
   }
+
+  test("corpus delta hashes below the shuffle — bodies never cross the exchange") {
+    val p = planTree("corpus_delta")
+    assert(p.contains("FullOuter"), "snapshot diff must be a full-outer join")
+    val exchange = p.indexOf("Exchange hashpartitioning(id")
+    val hash = p.indexOf("md5")
+    assert(exchange >= 0 && hash > exchange,
+      "md5 must be projected BELOW the exchange (children print after parents): " +
+        "shuffling document bodies to hash them post-join is the 100 TB killer")
+  }
+
+  test("BPE token counting broadcasts the trained vocab and partial-aggregates") {
+    val p = planTree("bpe_tokens")
+    assert(p.contains("BroadcastHashJoin"),
+      "the trained tokenizer is the small side — it must broadcast")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "per-doc token totals need map-side partial aggregation")
+  }
+
+  test("BPE pair counting: per-row generator, partial agg, top-k without full sort") {
+    val p = planTree("bpe_pairs")
+    assert(p.contains("Generate"), "pairs must come from a per-row generator")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "word-freq and pair-count aggregations each need a partial phase")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must be a bounded take, not a global sort")
+  }
+
+  test("z-value projection is shuffle-free — pure codegen over the scan") {
+    val p = planTree("zorder_layout")
+    assert(!p.contains("Exchange"), "bit interleave must not cost a shuffle")
+  }
 }
