@@ -239,6 +239,12 @@ object SparkEntry {
       val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
       Dedup.connectedComponents(docs, Dedup.minhashCandidates(docs))
     }),
+    // leakage-safe split: hash the COMPONENT label, not the doc id — no
+    // near-dup cluster ever straddles train/test
+    "leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      Dedup.leakageSafeSplit(docs, Dedup.minhashCandidates(docs))
+    }),
 
     // --- deterministic sampling / splitting tier -----------------------
     "split_train_test" -> ((s, d) =>
@@ -1463,6 +1469,21 @@ object SparkEntry {
          |SELECT id AS doc_id, min(lbl) AS cluster,
          | (min(lbl) = id) AS is_canonical
          |FROM reach GROUP BY id""".stripMargin,
+
+    "leakage_split" ->
+      s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+         |          UNION ALL SELECT id_b AS id, id_a AS nbr FROM pairs),
+         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+         |reach(id, lbl) AS (
+         |  SELECT id, id AS lbl FROM docs0
+         |  UNION
+         |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr),
+         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id)
+         |SELECT doc_id, cluster,
+         | CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT < 13107
+         |      THEN 'test' ELSE 'train' END AS split
+         |FROM cc""".stripMargin,
 
     "dup_clusters" ->
       s"""$minhashPairsCte,

@@ -294,6 +294,19 @@ object Dedup {
       (col("cluster") === col("id")).as("is_canonical"))
   }
 
+  /** Train/test split that CANNOT leak near-duplicates across splits:
+    * the split key is the connected-component label of the near-dup
+    * graph, so every member of a duplicate cluster lands on the same
+    * side — the guarantee a plain per-document hash split silently
+    * lacks (a near-copy of a test document in train is memorized
+    * evaluation data). Cost = the component labeling itself plus a
+    * scan-only hash threshold on the label; at 100 TB the labeling is
+    * the one iterated phase and the split adds nothing. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame, testFrac: Double = 0.2,
+                       idCol: String = "doc_id"): DataFrame =
+    Sampling.trainTestSplit(connectedComponents(docs, pairs, idCol), "cluster", testFrac)
+      .select(col(idCol), col("cluster"), col("split"))
+
   /** Embedding-cosine near-dup: pairs with cosine ≥ `threshold` among
     * vectors sharing a sign-LSH bucket (see [[Similarity.signBuckets]]) —
     * the scale path; brute-force variant available for small inputs. */

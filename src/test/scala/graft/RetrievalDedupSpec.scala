@@ -202,4 +202,28 @@ class RetrievalDedupSpec extends SparkSpec {
       assert(uncapped.count() === allPairs, s"draw $draw: uncapped must be all-pairs")
     }
   }
+
+  test("leakage-safe split: no near-dup pair straddles train/test; id-hash split would") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+      .filter(col("doc_id") < 500)
+    val pairs = Dedup.minhashCandidates(docs).localCheckpoint()
+    assert(pairs.count() > 0, "corpus must actually contain near-dup pairs")
+    val split = Dedup.leakageSafeSplit(docs, pairs)
+    val bySide = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySide.getOrElse("train", 0L) > 0 && bySide.getOrElse("test", 0L) > 0,
+      s"both sides populated: $bySide")
+    def straddles(assign: org.apache.spark.sql.DataFrame): Long =
+      pairs.join(assign.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+        .join(assign.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+        .filter(col("sa") =!= col("sb")).count()
+    assert(straddles(split) === 0L, "a near-dup pair crossed the split")
+    // the guarantee is not vacuous: the naive per-document hash split
+    // DOES tear pairs apart on this same corpus (md5-deterministic)
+    val naive = graft.operators.Sampling.trainTestSplit(docs, "doc_id", 0.2)
+      .select(col("doc_id"), col("split"))
+    assert(straddles(naive) > 0L,
+      "expected the id-hash split to violate cluster purity on this corpus")
+  }
 }
