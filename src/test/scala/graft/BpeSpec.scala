@@ -2,9 +2,15 @@ package graft
 
 import graft.operators.Bpe
 import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 
 class BpeSpec extends SparkSpec {
   import spark.implicits._
+
+  /** n deterministic draws from g (seeded — no flaky CI). */
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(4242L + i)))
 
   private def docs(texts: String*) =
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
@@ -82,6 +88,63 @@ class BpeSpec extends SparkSpec {
     // pairs (b,a) and (a,c) both freq 1 → (a,c) wins on lhs
     val (merges, _) = Bpe.learnMerges(docs("ba ac"), numMerges = 1)
     assert(merges.head === Bpe.Merge(1, "a", "c", "ac", 1L))
+  }
+
+  /** In-memory replay of the EXACT shipped semantics: MergePasses
+    * padded replaces (java String.replace is leftmost non-overlapping,
+    * same as Spark's and DuckDB's). */
+  private def applyP(seq: String, l: String, r: String): String = {
+    var s = s" $seq "
+    for (_ <- 1 to Bpe.MergePasses) s = s.replace(s" $l $r ", s" $l$r ")
+    s.trim
+  }
+
+  test("property: MergePasses passes reach fixpoint on random symbol sequences") {
+    val symsGen = Gen.choose(2, 16).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b")))
+    val pairGen = Gen.oneOf(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
+    samples(Gen.zip(symsGen, pairGen), 400).foreach { case (syms, (l, r)) =>
+      val p4 = applyP(syms.mkString(" "), l, r)
+      assert(applyP(p4, l, r) === p4, s"not fixpoint: $syms merge ($l,$r)")
+    }
+  }
+
+  test("property: distributed trainer equals the in-memory reference on random corpora") {
+    def refTrain(texts: Seq[String], k: Int)
+        : (Seq[Bpe.Merge], Map[String, (Long, String)]) = {
+      val words = texts.flatMap(t => "[a-z]+".r.findAllIn(t.toLowerCase))
+      var vocab: Map[String, (Long, String)] = words.groupBy(identity)
+        .map { case (w, ws) => w -> (ws.size.toLong, w.map(_.toString).mkString(" ")) }
+      val merges = Seq.newBuilder[Bpe.Merge]
+      var rank = 1
+      var done = false
+      while (rank <= k && !done) {
+        val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+        vocab.values.foreach { case (f, seq) =>
+          seq.split(' ').sliding(2).filter(_.length == 2)
+            .foreach(p => pc((p(0), p(1))) = pc.getOrElse((p(0), p(1)), 0L) + f)
+        }
+        if (pc.isEmpty) done = true
+        else {
+          val ((l, r), f) = pc.minBy { case ((l, r), f) => (-f, l, r) }
+          merges += Bpe.Merge(rank, l, r, l + r, f)
+          vocab = vocab.map { case (w, (f0, seq)) => w -> (f0, applyP(seq, l, r)) }
+          rank += 1
+        }
+      }
+      (merges.result(), vocab)
+    }
+    val wordGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b')))
+      .map(_.mkString)
+    val docGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(1, 6).flatMap(n => Gen.listOfN(n, docGen))
+    samples(corpusGen, 8).foreach { texts =>
+      val (refM, refV) = refTrain(texts, 4)
+      val (gotM, gotV) = Bpe.learnMerges(docs(texts: _*), numMerges = 4)
+      assert(gotM === refM, s"merges diverged for corpus $texts")
+      val gotVocab = gotV.collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+      assert(gotVocab === refV, s"final vocab diverged for corpus $texts")
+    }
   }
 
   test("tokenCounts: per-doc word and token totals under the trained vocab") {
