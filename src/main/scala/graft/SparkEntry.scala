@@ -856,7 +856,28 @@ object SparkEntry {
       val yb = expr("(ts_ns div 1000000000) % 256")
       Tables.events(s, d).select(col("event_id"), xb.as("x_bucket"),
         yb.as("y_bucket"), graft.io.Layout.zValue(xb, yb, 8).as("zval"))
-    })
+    }),
+    // greedy longest-match ENCODE under the trained vocab (WordPiece's
+    // inference loop, distinct from bpe_tokens' merge-history lengths):
+    // corpus-wide piece frequencies, segmentation vocab-compressed
+    "subword_encode" -> ((s, d) => {
+      val (_, finalVocab) = Bpe.learnMerges(Tables.documents(s, d), numMerges = 6)
+      Bpe.greedyPieceCounts(finalVocab)
+    }),
+    // the per-document face of the same encoder — greedy piece counts
+    // joined back to the exploded corpus
+    "subword_doc_tokens" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (_, finalVocab) = Bpe.learnMerges(docs, numMerges = 6)
+      Bpe.greedyTokenCounts(docs, finalVocab)
+    }),
+    // contiguous global training-example ids in key order, with NO
+    // single-partition window (the plan shape is pinned in
+    // PlanPropertiesSpec) — core's zipWithIndex re-expressed on frames
+    "global_index" -> ((s, d) =>
+      graft.io.Layout.globalIndex(
+        Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
+        .select("doc_id", "n_chars", "global_idx"))
   )
 
   /** The ivf_persisted demo index location — see that query's comment.
@@ -3079,8 +3100,54 @@ object SparkEntry {
          | (epoch_us(ts) // 1000000) % 256 AS yb FROM events)
          |SELECT event_id, xb AS x_bucket, yb AS y_bucket,
          | CAST($terms AS BIGINT) AS zval FROM b""".stripMargin
-    }
+    },
+
+    "subword_encode" ->
+      s"""WITH RECURSIVE ${bpeCtes(6)},
+         |$greedyCtes
+         |SELECT piece, CAST(sum(freq) AS BIGINT) AS freq
+         |FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
+         |      FROM r WHERE pos > len(word)) u
+         |GROUP BY piece""".stripMargin,
+
+    "subword_doc_tokens" ->
+      s"""WITH RECURSIVE ${bpeCtes(6)},
+         |$greedyCtes,
+         |wt AS (SELECT word,
+         |        CAST(len(string_split(trim(out), ' ')) AS INTEGER) AS word_pieces
+         |       FROM r WHERE pos > len(word)),
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |       FROM documents)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(word_pieces) AS BIGINT) AS n_pieces
+         |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin,
+
+    "global_index" ->
+      """SELECT doc_id, n_chars,
+        | CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_idx
+        |FROM documents""".stripMargin
   )
+
+  /** Greedy longest-match ENCODE replay (`Bpe.greedyPieces`) on top of
+    * the [[bpeCtes]] chain: the piece inventory is v6's distinct symbol
+    * set, and the recursion walks each vocab word left-to-right taking
+    * the longest inventory piece that prefixes the remainder (the
+    * correlated max-length scalar subquery), single-char fallback —
+    * the same longest-first probe order the engine's when-chain
+    * compiles. Both oracles over the encoder share this text. */
+  private def greedyCtes: String =
+    """pieces AS (SELECT DISTINCT unnest(string_split(seq, ' ')) AS piece FROM v6),
+      |r(word, freq, pos, out) AS (
+      | SELECT word, freq, 1, '' FROM v6
+      | UNION ALL
+      | SELECT word, freq, pos + l, out || ' ' || substr(word, pos, l)
+      | FROM (
+      |  SELECT word, freq, pos, out,
+      |   coalesce((SELECT max(len(p.piece)) FROM pieces p
+      |             WHERE substr(r.word, r.pos, len(p.piece)) = p.piece
+      |               AND r.pos + len(p.piece) <= len(r.word) + 1), 1) AS l
+      |  FROM r WHERE pos <= len(word)
+      | ) stepped
+      |)""".stripMargin
 
   /** Shared CTE chain replaying the vocab-compressed BPE trainer
     * (`graft.operators.Bpe`): v0 = corpus → (word, freq, spaced-chars)

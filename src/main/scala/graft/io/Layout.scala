@@ -57,4 +57,42 @@ object Layout {
       .sortWithinPartitions("__z")
       .drop("__z")
   }
+
+  /** Contiguous global row numbers `0..n-1` in `orderCol` order WITHOUT
+    * the single-partition sort a naive `row_number() OVER (ORDER BY …)`
+    * plans (one reducer holding the whole table — the classic 100 TB
+    * cliff; `PlanPropertiesSpec` pins that no SinglePartition exchange
+    * appears here). The distributed shape is core's `zipWithIndex`
+    * re-expressed on DataFrames:
+    *
+    *  1. range-partition + in-partition sort on `orderCol`, pinned with
+    *     `localCheckpoint` so the count job and the numbering job see
+    *     the SAME partitioning (range boundaries come from sampling; at
+    *     production scale this pin is the training-shard materialization
+    *     you'd do anyway before stamping ids);
+    *  2. per-partition counts — `numParts` longs to the driver, size
+    *     independent of data — prefix-summed into offsets;
+    *  3. one shuffle-free projection: `monotonically_increasing_id`'s
+    *     documented layout (partition id ≪ 33 | per-partition counter
+    *     in row order) yields the in-partition ordinal, plus the
+    *     broadcast offset literal.
+    *
+    * Total cost: one range shuffle + one tiny agg + one map — no window
+    * exchange, no driver data. Ties in `orderCol` get arbitrary but
+    * contiguous ids (stamp a unique key for full determinism). */
+  def globalIndex(df: DataFrame, orderCol: String, numParts: Int = 32,
+                  outCol: String = "global_idx"): DataFrame = {
+    val ranged = df.repartitionByRange(numParts, col(orderCol))
+      .sortWithinPartitions(orderCol).localCheckpoint()
+    val counts = ranged.groupBy(spark_partition_id().as("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // prefix offsets over ALL partition ids (range partitioning may
+    // leave some empty; they contribute 0 and never appear in rows)
+    val offsets = (0 until numParts)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L))
+    val offsetByPid = typedlit((0 until numParts).map(p => p -> offsets(p)).toMap)
+    val pid = spark_partition_id()
+    val local = monotonically_increasing_id() - shiftleft(pid.cast("long"), 33)
+    ranged.withColumn(outCol, element_at(offsetByPid, pid) + local)
+  }
 }

@@ -139,4 +139,92 @@ object Bpe {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_words"), sum("word_tokens").as("n_tokens"))
   }
+
+  // --- greedy longest-match inference (the WordPiece / SentencePiece
+  //     ENCODE algorithm, distinct from merge-order BPE application) ---
+
+  /** The trained model's piece inventory — every distinct symbol the
+    * merge-rewritten vocabulary uses — collected driver-side. Like the
+    * merge list, the inventory IS the fitted model (WordPiece ships
+    * exactly this artifact to inference workers); its size is bounded by
+    * the merge count + alphabet, never the corpus. Sorted for a
+    * deterministic literal. */
+  def pieceInventory(finalVocab: DataFrame): Seq[String] =
+    finalVocab.select(explode(split(col("seq"), " ")).as("piece"))
+      .distinct().collect().map(_.getString(0)).toSeq.sorted
+
+  /** Greedy longest-match segmentation of `word` against a piece
+    * inventory: from the left, take the LONGEST inventory piece that
+    * prefixes the remainder; if none matches (out-of-alphabet input),
+    * emit the single character and continue — WordPiece's `tokenize`
+    * loop, as one codegen'd expression tree with no UDF.
+    *
+    * Shape: `aggregate` walks positions 1..len carrying (pos, pieces);
+    * a position below the carried cursor was consumed by an earlier
+    * multi-char match and passes through. The longest-match probe is a
+    * when-chain from maxLen down to 2 over `array_contains` on the
+    * literal inventory — O(maxLen · |inventory|) comparisons per
+    * position, the right trade while the inventory is merge-bounded
+    * (dozens); a production 50k-piece inventory would swap the probe
+    * for a trie inside a custom Expression, leaving this aggregate
+    * skeleton unchanged. The guard `pos + l <= len + 1` stops a
+    * truncated end-of-word substring from impersonating a shorter
+    * piece. */
+  def greedyPieces(word: Column, pieces: Seq[String]): Column = {
+    require(pieces.nonEmpty, "empty piece inventory")
+    val maxL = pieces.map(_.length).max
+    val inv = array(pieces.map(lit): _*)
+    def matchLen(pos: Column): Column =
+      (2 to maxL).foldLeft(lit(1)) { (shorter, l) =>
+        when(pos + l <= length(word) + 1 &&
+          array_contains(inv, word.substr(pos, lit(l))), lit(l))
+          .otherwise(shorter)
+      }
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(lit(1).as("pos"), array().cast("array<string>").as("pieces")),
+      (acc, i) => {
+        val pos = acc.getField("pos")
+        val l = matchLen(pos)
+        when(i < pos, acc).otherwise(
+          struct((pos + l).as("pos"),
+            array_append(acc.getField("pieces"), word.substr(pos, l)).as("pieces")))
+      },
+      acc => acc.getField("pieces"))
+  }
+
+  /** Corpus-wide greedy-piece frequencies under a trained vocabulary:
+    * `(piece, freq)`, freq weighted by word frequency. Vocab-compressed
+    * like the trainer — segmentation runs once per DISTINCT word (the
+    * `finalVocab` frame), never per corpus occurrence, so at 100 TB the
+    * encode job is vocab-bounded and the inventory rides along as a
+    * literal (the broadcast-a-model pattern without even a broadcast
+    * join). Greedy output ≠ the training segmentation in general (a
+    * piece minted inside one word may tile a different word better than
+    * its own merge history) — that drift is the semantic this operator
+    * measures. */
+  def greedyPieceCounts(finalVocab: DataFrame): DataFrame = {
+    val pieces = pieceInventory(finalVocab)
+    finalVocab
+      .select(col("freq"), explode(greedyPieces(col("word"), pieces)).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("freq"))
+  }
+
+  /** Per-document greedy token counts: each word's greedy piece count
+    * (computed once per distinct word over the vocab, broadcast back)
+    * joined to the exploded corpus — `(doc_id, n_words, n_pieces)`.
+    * [[tokenCounts]]' inference twin: same join shape, greedy encode
+    * instead of merge-history length. */
+  def greedyTokenCounts(docs: DataFrame, finalVocab: DataFrame,
+                        idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pieces = pieceInventory(finalVocab)
+    val perWord = broadcast(
+      finalVocab.select(col("word"),
+        size(greedyPieces(col("word"), pieces)).as("word_pieces")))
+    docs
+      .select(col(idCol), explode(wordsCol(col(textCol))).as("word"))
+      .join(perWord, "word")
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"), sum("word_pieces").as("n_pieces"))
+  }
 }

@@ -156,4 +156,81 @@ class BpeSpec extends SparkSpec {
     assert(tc.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ===
       Seq((0L, 2L, 3L), (1L, 3L, 3L)))
   }
+
+  /** Pure-Scala greedy longest-match reference (the WordPiece tokenize
+    * loop) for the encode properties. */
+  private def refGreedy(word: String, pieces: Set[String]): Seq[String] = {
+    val maxL = pieces.map(_.length).max
+    val out = Seq.newBuilder[String]
+    var pos = 0
+    while (pos < word.length) {
+      val l = (math.min(maxL, word.length - pos) to 1 by -1)
+        .find(l => pieces(word.substring(pos, pos + l))).getOrElse(1)
+      out += word.substring(pos, pos + l)
+      pos += l
+    }
+    out.result()
+  }
+
+  test("greedyPieces: hand cases — longest-first, OOV char fallback, end guard") {
+    val pieces = Seq("a", "ab", "abc", "bc", "c")
+    val rows = Seq("abcabc", "abab", "xay", "cba", "b").toDF("word")
+      .select(col("word"), Bpe.greedyPieces(col("word"), pieces).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(rows("abcabc") === Seq("abc", "abc"))
+    // after 'ab', remainder "ab": longest match again 'ab'
+    assert(rows("abab") === Seq("ab", "ab"))
+    // x and y are out-of-inventory → single-char fallback
+    assert(rows("xay") === Seq("x", "a", "y"))
+    // at pos 1 remainder "ba": 'b' not in inventory alone → fallback "b"
+    assert(rows("cba") === Seq("c", "b", "a"))
+    assert(rows("b") === Seq("b"))
+  }
+
+  test("greedyPieces: end-of-word truncation cannot impersonate a shorter piece") {
+    // inventory has "aa" but NOT trailing 'a'-at-end 3-char probe; word
+    // "baa" at pos 2: probing length 2 beyond the end must not match
+    // piece "aa" via a truncated substring and overshoot the cursor
+    val pieces = Seq("aa", "ba", "a", "b")
+    val got = Seq("baa", "ab", "aab").toDF("word")
+      .select(col("word"), Bpe.greedyPieces(col("word"), pieces).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    got.foreach { case (w, ps) =>
+      assert(ps === refGreedy(w, pieces.toSet), s"word=$w")
+      assert(ps.mkString === w, s"concat invariant broke for $w")
+    }
+  }
+
+  test("property: greedyPieces equals the in-memory reference; concat invariant") {
+    val pieceGen = Gen.choose(1, 3).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    val invGen = Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, pieceGen)).map(_.distinct)
+    val wordGen = Gen.choose(1, 12).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c', 'd')))
+      .map(_.mkString)
+    val caseGen = Gen.zip(invGen, Gen.listOfN(12, wordGen))
+    samples(caseGen, 40).foreach { case (inv, words) =>
+      val got = words.distinct.toDF("word")
+        .select(col("word"), Bpe.greedyPieces(col("word"), inv).as("p"))
+        .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+      words.distinct.foreach { w =>
+        assert(got(w) === refGreedy(w, inv.toSet), s"word=$w inv=$inv")
+        assert(got(w).mkString === w, s"concat invariant broke: $w inv=$inv")
+      }
+    }
+  }
+
+  test("greedyPieceCounts and greedyTokenCounts: weighted totals reconcile") {
+    val corpus = docs("aa ab aa", "ab b")
+    val (_, fv) = Bpe.learnMerges(corpus, numMerges = 2)
+    val pieceTotal = Bpe.greedyPieceCounts(fv)
+      .agg(sum("freq")).collect()(0).getLong(0)
+    val docTotal = Bpe.greedyTokenCounts(corpus, fv)
+      .agg(sum("n_pieces")).collect()(0).getLong(0)
+    // corpus-wide piece mass must equal the per-doc rollup's mass
+    assert(pieceTotal === docTotal)
+    // and every vocab word's pieces concatenate back to the word
+    val pieces = Bpe.pieceInventory(fv)
+    fv.select(col("word"), Bpe.greedyPieces(col("word"), pieces).as("p"))
+      .collect().foreach(r => assert(r.getSeq[String](1).mkString === r.getString(0)))
+  }
 }

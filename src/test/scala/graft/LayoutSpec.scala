@@ -59,4 +59,34 @@ class LayoutSpec extends SparkSpec {
     val empty = Seq.empty[(Long, Long)].toDF("user_id", "ts_ns")
     intercept[IllegalArgumentException](Layout.zorderBy(empty, "user_id", "ts_ns"))
   }
+
+  test("globalIndex stamps 0..n-1 in key order across a genuinely multi-partition frame") {
+    // shuffled insert order; unique keys → fully deterministic ids
+    val keys = scala.util.Random.shuffle((0L until 997L).toList)
+    val df = keys.map(k => (k, s"v$k")).toDF("k", "v")
+    val out = Layout.globalIndex(df, "k", numParts = 7)
+    // more than one partition actually carries rows (distributed shape)
+    assert(out.select(spark_partition_id()).distinct().count() > 1)
+    val got = out.select("k", "global_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.map(_._2).toSeq === (0L until 997L),
+      "ids must be the contiguous ordinals of the key order")
+  }
+
+  test("globalIndex with duplicate keys: ids are a contiguous permutation, key-sorted") {
+    val df = (0 until 500).map(i => (i % 7L, i)).toDF("k", "payload")
+    val got = Layout.globalIndex(df, "k", numParts = 5)
+      .select("k", "global_idx").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.map(_._2).sorted.toSeq === (0L until 500L), "contiguous 0..n-1")
+    // every id respects the key order even where ties are arbitrary
+    val byId = got.sortBy(_._2).map(_._1)
+    assert(byId.toSeq === byId.sorted.toSeq, "ids must be nondecreasing in key")
+  }
+
+  test("globalIndex on one partition degenerates gracefully") {
+    val got = Layout.globalIndex(Seq((3L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v"),
+      "k", numParts = 1).select("k", "global_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
+  }
 }

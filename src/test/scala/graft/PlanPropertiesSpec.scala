@@ -359,4 +359,23 @@ class PlanPropertiesSpec extends SparkSpec {
     val p = planTree("zorder_layout")
     assert(!p.contains("Exchange"), "bit interleave must not cost a shuffle")
   }
+
+  test("global_index never plans a single-partition exchange") {
+    val p = planTree("global_index")
+    assert(!p.contains("SinglePartition"),
+      "a global ORDER BY window would funnel 100 TB through one reducer")
+    assert(!p.contains("Window"),
+      "the ordinal must come from the id projection, not a window")
+  }
+
+  test("subword encode runs vocab-compressed: generator over the vocab agg") {
+    val p = planTree("subword_encode")
+    assert(p.contains("Generate"), "piece explode must be a per-row generator")
+    // the word-vocab agg lives in the trainer's checkpointed jobs; the
+    // encode plan itself carries the piece-count partial + final pair
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "piece-count aggregation needs a map-side partial phase")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the inventory is a literal — no join may appear")
+  }
 }
