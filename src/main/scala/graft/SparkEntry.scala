@@ -877,7 +877,12 @@ object SparkEntry {
     "global_index" -> ((s, d) =>
       graft.io.Layout.globalIndex(
         Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
-        .select("doc_id", "n_chars", "global_idx"))
+        .select("doc_id", "n_chars", "global_idx")),
+    // unigram-LM (SentencePiece-family) Viterbi segmentation: substring
+    // seed vocab → pruned inventory → per-word optimal DP, all under
+    // the integer (min pieces, max frequency mass) objective
+    "unigram_viterbi" -> ((s, d) =>
+      graft.operators.Unigram.segmentCorpus(Tables.documents(s, d)))
   )
 
   /** The ivf_persisted demo index location — see that query's comment.
@@ -3124,7 +3129,46 @@ object SparkEntry {
     "global_index" ->
       """SELECT doc_id, n_chars,
         | CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_idx
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // replay of `Unigram.segmentCorpus` (maxPieceLen 4, keepTop 40):
+    // substring seed counts, single-chars + top-40 multi-char pruning,
+    // then the per-word Viterbi cost table grown one character per
+    // recursion step — min over pieces ending at the new position via
+    // the correlated scalar subquery, cost base BIG recomputed from the
+    // same definition (max word length · max piece count + 1)
+    "unigram_viterbi" ->
+      """WITH RECURSIVE
+        |uv AS (SELECT w AS word, count(*) AS freq
+        |       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |             FROM documents) x GROUP BY w),
+        |sub AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+        |   SELECT freq, substr(word, s, l) AS piece
+        |   FROM uv,
+        |        LATERAL (SELECT unnest(generate_series(1, len(word))) AS s) g1,
+        |        LATERAL (SELECT unnest(generate_series(1, least(4, len(word) - s + 1))) AS l) g2)
+        |  GROUP BY piece),
+        |pieces AS (
+        |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+        |  UNION ALL
+        |  SELECT piece, cnt FROM (
+        |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+        |    FROM sub WHERE len(piece) > 1) WHERE rn <= 40),
+        |bigc AS (SELECT (SELECT max(len(word)) FROM uv) * (SELECT max(cnt) FROM pieces) + 1 AS big),
+        |r(word, freq, pos, costs) AS (
+        |  SELECT word, freq, 0, [CAST(0 AS BIGINT)] FROM uv
+        |  UNION ALL
+        |  SELECT word, freq, pos + 1, list_append(costs,
+        |    (SELECT min(r.costs[r.pos + 2 - len(p.piece)] + (SELECT big FROM bigc) - p.cnt)
+        |     FROM pieces p
+        |     WHERE len(p.piece) <= r.pos + 1
+        |       AND substr(r.word, r.pos + 2 - len(p.piece), len(p.piece)) = p.piece))
+        |  FROM r WHERE pos < len(word))
+        |SELECT word, freq,
+        |  CAST(costs[len(word) + 1] // (SELECT big FROM bigc) + 1 AS BIGINT) AS n_pieces,
+        |  CAST((costs[len(word) + 1] // (SELECT big FROM bigc) + 1) * (SELECT big FROM bigc)
+        |       - costs[len(word) + 1] AS BIGINT) AS piece_mass
+        |FROM r WHERE pos = len(word)""".stripMargin
   )
 
   /** Greedy longest-match ENCODE replay (`Bpe.greedyPieces`) on top of

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword segmentation (the SentencePiece model family),
+  * beyond-reference training-pipeline tier alongside [[Bpe]].
+  *
+  * SentencePiece seeds a piece vocabulary from frequent substrings,
+  * then EM-iterates: E-step = per-word Viterbi-best segmentation under
+  * per-piece scores, M-step = re-estimate scores from the expected
+  * counts. This implements the seed + the Viterbi DP with an INTEGER
+  * objective — lexicographically (fewest pieces, then largest summed
+  * piece frequency mass), encoded as one long `n·BIG − mass` — because
+  * an engine-replayable oracle cannot compare float log-prob sums
+  * (ulp-level `ln` differences across engines flip ties; see the
+  * verify-skill gotchas). Swapping the per-piece cost `BIG − cnt` for
+  * `round(−1e6·log p)` turns this into the textbook E-step unchanged.
+  *
+  * Scale design: everything is vocab-compressed like [[Bpe]] — the
+  * corpus collapses once to `(word, freq)`, substring seeding and the
+  * DP run over the vocabulary, and the kept piece inventory (all
+  * single characters + top-K multi-char substrings: SentencePiece's
+  * seed pruning) is driver-collected model state, shipped as a literal
+  * map. The DP itself is one codegen'd `aggregate` walk per word — no
+  * UDF, no join, no shuffle beyond the vocab aggregation.
+  */
+object Unigram {
+
+  /** Substring seed counts over a `(word, freq)` vocabulary: every
+    * substring of length 1..`maxPieceLen`, weighted by word frequency
+    * and counted per occurrence position. One generator + one
+    * aggregation, both vocab-bounded. */
+  def seedPieces(vocab: DataFrame, maxPieceLen: Int = 4): DataFrame = {
+    val subs = flatten(expr(
+      s"""transform(sequence(1, length(word)), s ->
+         |  transform(sequence(1, least($maxPieceLen, length(word) - s + 1)), l ->
+         |    substring(word, s, l)))""".stripMargin))
+    vocab
+      .select(col("freq"), explode(subs).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+  }
+
+  /** SentencePiece's seed pruning, determinized: keep EVERY length-1
+    * piece (so any in-alphabet word stays segmentable) plus the top
+    * `keepTop` multi-character pieces by (cnt desc, piece asc). */
+  def prunedSeed(seed: DataFrame, keepTop: Int = 40): DataFrame = {
+    val ones = seed.filter(length(col("piece")) === 1)
+    val multi = seed.filter(length(col("piece")) > 1)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(desc("cnt"), asc("piece"))))
+      .filter(col("__rn") <= keepTop).drop("__rn")
+    ones.unionByName(multi)
+  }
+
+  /** The fitted seed model: piece → count map plus the cost-encoding
+    * base `BIG = maxWordLen · maxCnt + 1`, chosen so that within one
+    * piece-count tier no achievable mass (≤ maxWordLen · maxCnt) can
+    * outweigh a tier step — minimizing `n·BIG − mass` is exactly the
+    * lexicographic (min pieces, max mass) objective. */
+  final case class SeedModel(pieces: Map[String, Long], maxPieceLen: Int, big: Long)
+
+  /** Collect the pruned seed + the DP constants driver-side (the model
+    * artifact — piece inventory sizes are pruning-bounded, not
+    * corpus-bounded). */
+  def fitSeed(vocab: DataFrame, maxPieceLen: Int = 4, keepTop: Int = 40): SeedModel = {
+    val kept = prunedSeed(seedPieces(vocab, maxPieceLen), keepTop)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(kept.nonEmpty, "empty corpus: no seed pieces")
+    val maxWordLen = vocab.agg(max(length(col("word")))).head().getInt(0).toLong
+    SeedModel(kept, maxPieceLen, maxWordLen * kept.values.max + 1)
+  }
+
+  /** Viterbi DP cost of `word` under the seed model, as a codegen'd
+    * expression: `aggregate` grows the per-prefix cost table one
+    * character at a time; each step takes the min over pieces ending at
+    * the new position (`least` skips the null candidates where the
+    * substring is not in the inventory — length-1 pieces guarantee at
+    * least one survivor for in-alphabet words). Returns the full-word
+    * cost `n_pieces · BIG − piece_mass`. */
+  def viterbiCost(word: Column, model: SeedModel): Column = {
+    val cntMap = typedlit(model.pieces)
+    val maxL = math.min(model.maxPieceLen,
+      model.pieces.keys.map(_.length).max)
+    val table = aggregate(
+      sequence(lit(1), length(word)),
+      array(lit(0L)),
+      (acc, j) => {
+        val candidates = (1 to maxL).map { l =>
+          val piece = word.substr(j - lit(l) + 1, lit(l))
+          val cnt = element_at(cntMap, piece)
+          when(j >= l && cnt.isNotNull,
+            element_at(acc, j - lit(l) + 1) + lit(model.big) - cnt)
+        }
+        array_append(acc, candidates.reduce(least(_, _)))
+      },
+      acc => element_at(acc, -1))
+    table
+  }
+
+  /** Per-word optimal segmentation statistics over a `(word, freq)`
+    * vocabulary: `(word, freq, n_pieces, piece_mass)` where `n_pieces`
+    * is the MINIMUM piece count under the inventory and `piece_mass`
+    * the largest frequency mass among those minimal segmentations —
+    * decoded from the single DP cost, so tie-broken paths (same n, same
+    * mass) need no canonical order. A word containing a character
+    * absent from the model's alphabet yields a null cost and is
+    * surfaced with null stats rather than dropped. */
+  def viterbiStats(vocab: DataFrame, model: SeedModel): DataFrame = {
+    val cost = viterbiCost(col("word"), model)
+    // exact long floor-division (a float divide would lose ulps once
+    // costs pass 2^53 at real corpus scale); mass ≥ 1 keeps the cost
+    // strictly inside its tier so `div` never lands on a boundary
+    val n = expr(s"__cost div ${model.big}") + 1L
+    vocab
+      .withColumn("__cost", cost)
+      .select(col("word"), col("freq"), n.as("n_pieces"),
+        (n * lit(model.big) - col("__cost")).as("piece_mass"))
+  }
+
+  /** The whole operator over a corpus: collapse to the word vocabulary,
+    * fit the seed model, run the DP. */
+  def segmentCorpus(docs: DataFrame, maxPieceLen: Int = 4, keepTop: Int = 40,
+                    textCol: String = "text"): DataFrame = {
+    val vocab = Bpe.wordVocab(docs, textCol).select("word", "freq").localCheckpoint()
+    viterbiStats(vocab, fitSeed(vocab, maxPieceLen, keepTop))
+  }
+}

@@ -378,4 +378,10 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin"),
       "the inventory is a literal — no join may appear")
   }
+
+  test("unigram Viterbi DP is a pure projection over the checkpointed vocab") {
+    val p = planTree("unigram_viterbi")
+    assert(!p.contains("Join"), "the seed inventory is a literal map — no join")
+    assert(!p.contains("Exchange"), "the per-word DP must not shuffle")
+  }
 }

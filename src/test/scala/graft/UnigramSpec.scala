@@ -1,0 +1,133 @@
+package graft
+
+import graft.operators.{Bpe, Unigram}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(777L + i)))
+
+  private def docs(texts: String*) =
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  /** In-memory reference: substring seeding, pruning, and the exact
+    * (min pieces, max mass) DP the engine encodes as `n·BIG − mass`. */
+  private def refSeed(words: Map[String, Long], maxLen: Int): Map[String, Long] = {
+    val m = scala.collection.mutable.Map.empty[String, Long]
+    for ((w, f) <- words; s <- 0 until w.length;
+         l <- 1 to math.min(maxLen, w.length - s))
+      m(w.substring(s, s + l)) = m.getOrElse(w.substring(s, s + l), 0L) + f
+    m.toMap
+  }
+
+  private def refPrune(seed: Map[String, Long], keepTop: Int): Map[String, Long] = {
+    val ones = seed.filter(_._1.length == 1)
+    val multi = seed.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(keepTop)
+    ones ++ multi
+  }
+
+  /** (n_pieces, mass) by direct lexicographic DP — no BIG encoding, so
+    * it cross-checks the encoding itself. */
+  private def refDp(word: String, inv: Map[String, Long]): Option[(Long, Long)] = {
+    val maxL = inv.keys.map(_.length).max
+    // best(i) for prefix length i
+    val best = Array.fill[Option[(Long, Long)]](word.length + 1)(None)
+    best(0) = Some((0L, 0L))
+    for (i <- 1 to word.length; l <- 1 to math.min(maxL, i)) {
+      val piece = word.substring(i - l, i)
+      for (cnt <- inv.get(piece); (pn, pm) <- best(i - l)) {
+        val cand = (pn + 1, pm + cnt)
+        val better = best(i) match {
+          case None => true
+          case Some((bn, bm)) => cand._1 < bn || (cand._1 == bn && cand._2 > bm)
+        }
+        if (better) best(i) = Some(cand)
+      }
+    }
+    best(word.length)
+  }
+
+  test("segmentCorpus equals the reference DP on the testdata corpus") {
+    val d = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = Bpe.wordVocab(d).select("word", "freq").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val inv = refPrune(refSeed(words, 4), 40)
+    val got = Unigram.segmentCorpus(d).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.keySet === words.keySet)
+    words.keys.foreach { w =>
+      assert(Some(got(w)) === refDp(w, inv), s"word=$w")
+    }
+  }
+
+  test("hand case: repeated bigrams dominate and the mass decodes exactly") {
+    // corpus 'abab ab': pieces include 'ab' (cnt: abab has ab at 0 and 2
+    // → 2·1, plus word ab 1·1 = 3 occurrences... weighted by freq 1)
+    val corpus = docs("abab ab abab")
+    val vocab = Bpe.wordVocab(corpus).select("word", "freq")
+    val model = Unigram.fitSeed(vocab)
+    val got = Unigram.viterbiStats(vocab, model).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val inv = refPrune(refSeed(Map("abab" -> 2L, "ab" -> 1L), 4), 40)
+    got.foreach { case (w, n, m) =>
+      assert(Some((n, m)) === refDp(w, inv), s"word=$w")
+    }
+    // abab segments as one 4-char piece (minimum piece count is 1)
+    assert(got.find(_._1 == "abab").get._2 === 1L)
+  }
+
+  test("property: engine DP equals reference on random corpora; greedy never beats it") {
+    val wordGen = Gen.choose(1, 9).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')))
+      .map(_.mkString)
+    val corpusGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, wordGen))
+      .map(_.mkString(" "))
+    samples(Gen.listOfN(3, corpusGen), 12).foreach { texts =>
+      val corpus = docs(texts: _*)
+      val vocab = Bpe.wordVocab(corpus).select("word", "freq").localCheckpoint()
+      val model = Unigram.fitSeed(vocab)
+      val inv = model.pieces
+      val got = Unigram.viterbiStats(vocab, model).collect()
+        .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+      got.foreach { case (w, n, m) =>
+        assert(Some((n, m)) === refDp(w, inv), s"word=$w corpus=$texts")
+        // optimality: greedy longest-match can only use ≥ as many pieces
+        val greedyN = {
+          val maxL = inv.keys.map(_.length).max
+          var pos = 0; var cnt = 0
+          while (pos < w.length) {
+            val l = (math.min(maxL, w.length - pos) to 1 by -1)
+              .find(l => inv.contains(w.substring(pos, pos + l))).getOrElse(1)
+            pos += l; cnt += 1
+          }
+          cnt
+        }
+        assert(n <= greedyN, s"DP worse than greedy for $w")
+      }
+    }
+  }
+
+  test("prunedSeed keeps every single character and exactly top-K multis") {
+    val corpus = docs("abc bcd cde abc abc")
+    val seed = Unigram.seedPieces(Bpe.wordVocab(corpus).select("word", "freq"))
+    val kept = Unigram.prunedSeed(seed, keepTop = 2).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val singles = kept.keys.filter(_.length == 1).toSet
+    assert(singles === Set("a", "b", "c", "d", "e"))
+    assert(kept.keys.count(_.length > 1) === 2)
+    // top-2 multis by (cnt desc, piece asc): 'ab'(3),'abc'(3),'bc'(4: 3+1)…
+    // compute via the reference to keep the assertion honest
+    val ref = refPrune(refSeed(Map("abc" -> 3L, "bcd" -> 1L, "cde" -> 1L), 4), 2)
+    assert(kept === ref)
+  }
+
+  test("fitSeed rejects an empty corpus instead of fitting a degenerate model") {
+    val empty = docs("1234 !!")
+    intercept[IllegalArgumentException](
+      Unigram.fitSeed(Bpe.wordVocab(empty).select("word", "freq")))
+  }
+}
