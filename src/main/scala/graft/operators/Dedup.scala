@@ -175,6 +175,34 @@ object Dedup {
                 textCol: String = "text"): DataFrame =
     simhashN(docs, 32, idCol, textCol)
 
+  /** Per-ROW 60-bit SimHash — bit-identical to [[simhash60]] (a spec
+    * asserts equality over the corpus) but computed as one codegen'd
+    * fold over the row's own tokens instead of an explode + groupBy.
+    * This is the STREAMING form: stateful operators need the
+    * fingerprint before any aggregation (an upstream agg would change
+    * the query's output-mode contract), and at batch scale it trades
+    * the vote shuffle for per-row work — the right shape whenever the
+    * fingerprint is consumed row-wise rather than re-keyed. */
+  def simhash60Col(text: Column): Column = {
+    val toks = split(lower(trim(text)), "\\s+")
+    // shiftright/shiftleft with a COLUMN shift amount need the SQL
+    // function form (the Scala wrappers only take Int shifts)
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 60),
+      (acc, t) => {
+        val h = md5Hash60(t)
+        zip_with(acc,
+          transform(sequence(lit(0), lit(59)),
+            b => when(call_function("shiftright", h, b) % 2 === 1, lit(1L))
+              .otherwise(lit(-1L))),
+          (a, v) => a + v)
+      })
+    aggregate(sequence(lit(0), lit(59)), lit(0L),
+      (acc, b) => acc + when(element_at(votes, b + 1) > 0,
+        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
+  }
+
   /** 60-bit SimHash — the wide twin of [[simhash32]] (same vote math
     * over all 60 bits of [[md5Hash60]]) used for Hamming-bucket pairing,
     * where bucket count is what bounds the candidate join: 15-bit bands

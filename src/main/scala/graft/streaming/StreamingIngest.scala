@@ -312,6 +312,78 @@ object StreamingIngest {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- streaming NEAR-dup: banded SimHash with per-bucket state ------
+
+  case class NearDoc(doc_id: Long, text: String, ingest_epoch: Long)
+  case class NearDupHit(doc_id: Long, dup_of: Long, hamming: Int)
+  case class BandState(ids: List[Long], fps: List[Long])
+
+  /** Streaming NEAR-duplicate detection — the banding half of
+    * [[graft.operators.Dedup.simhashPairs]] lifted onto per-bucket
+    * stream state. Each document's per-row 60-bit SimHash
+    * ([[graft.operators.Dedup.simhash60Col]] — computed BEFORE any
+    * stateful operator, so the query stays a single flatMapGroups stage)
+    * explodes into 4 × 15-bit band keys; each (band, bucket) group keeps
+    * the fingerprints it has seen and reports every incoming document
+    * within `maxHamming` XOR-popcount bits of a stored one, tagged with
+    * the EARLIEST matching keeper of that bucket. Pigeonhole gives the
+    * same exact-recall-≤-3 guarantee as the batch operator; a pair
+    * sharing several bands is reported by each (consumers
+    * `dropDuplicates(doc_id, dup_of)` — band-local state cannot know
+    * what other buckets already emitted).
+    *
+    * Scale/state honesty: per-bucket state is capped at `perBucketCap`
+    * fingerprints FIFO (a hot bucket would otherwise grow with the
+    * stream; beyond the cap, recall degrades against the evicted tail
+    * exactly like a production sliding dedup window), and `stateTtlMs`
+    * evicts idle buckets wholesale under the same
+    * ProcessingTimeTimeout contract (and caveats) as [[statefulDedup]]. */
+  def streamingNearDups(docs: org.apache.spark.sql.Dataset[NearDoc],
+                        maxHamming: Int = 3, perBucketCap: Int = 64,
+                        stateTtlMs: Option[Long] = None)
+      : org.apache.spark.sql.Dataset[NearDupHit] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val timeoutConf = if (stateTtlMs.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
+                      else GroupStateTimeout.NoTimeout()
+    val banded = docs
+      .withColumn("fp", graft.operators.Dedup.simhash60Col(col("text")))
+      .select(col("doc_id"), col("ingest_epoch"), col("fp"),
+        explode(org.apache.spark.sql.functions.array((0 until 4).map(b =>
+          (lit(b.toLong) * 32768L) +
+            shiftright(col("fp"), b * 15).bitwiseAND(lit(32767L))): _*))
+          .as("band_key"))
+      .as[(Long, Long, Long, Long)] // (doc_id, ingest_epoch, fp, band_key)
+    banded.groupByKey(_._4)
+      .flatMapGroupsWithState[BandState, NearDupHit](OutputMode.Append(), timeoutConf) {
+        (_: Long, rows: Iterator[(Long, Long, Long, Long)], state: GroupState[BandState]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var st = state.getOption.getOrElse(BandState(Nil, Nil))
+            // oldest-first within the batch so in-batch pairs resolve to
+            // the earliest keeper, like the batch operator's id order
+            val sorted = rows.toSeq.sortBy(r => (r._2, r._1))
+            val out = Seq.newBuilder[NearDupHit]
+            sorted.foreach { case (id, _, fp, _) =>
+              // earliest stored entry within range wins (state lists are
+              // append-ordered, so the first hit is the earliest)
+              st.ids.iterator.zip(st.fps.iterator)
+                .find { case (_, sfp) =>
+                  java.lang.Long.bitCount(sfp ^ fp) <= maxHamming } match {
+                case Some((keeper, sfp)) =>
+                  out += NearDupHit(id, keeper, java.lang.Long.bitCount(sfp ^ fp))
+                case None => ()
+              }
+              st = BandState((st.ids :+ id).takeRight(perBucketCap),
+                (st.fps :+ fp).takeRight(perBucketCap))
+            }
+            state.update(st)
+            stateTtlMs.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
   /** Streaming tumbling-window aggregate over event-time with a
     * watermark — the streaming twin of [[graft.operators.EventOps.tumblingAgg]]. */
   def tumblingWindowAgg(events: DataFrame, width: String = "10 minutes",
