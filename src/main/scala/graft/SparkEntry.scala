@@ -882,7 +882,15 @@ object SparkEntry {
     // seed vocab → pruned inventory → per-word optimal DP, all under
     // the integer (min pieces, max frequency mass) objective
     "unigram_viterbi" -> ((s, d) =>
-      graft.operators.Unigram.segmentCorpus(Tables.documents(s, d)))
+      graft.operators.Unigram.segmentCorpus(Tables.documents(s, d))),
+    // the EM M-step over the same model: expected piece counts from the
+    // canonical (longest-piece-first backtrack) optimal segmentations
+    "unigram_em" -> ((s, d) => {
+      val vocab = Bpe.wordVocab(Tables.documents(s, d))
+        .select("word", "freq").localCheckpoint()
+      graft.operators.Unigram.expectedPieceCounts(
+        vocab, graft.operators.Unigram.fitSeed(vocab))
+    })
   )
 
   /** The ivf_persisted demo index location — see that query's comment.
@@ -3138,38 +3146,72 @@ object SparkEntry {
     // the correlated scalar subquery, cost base BIG recomputed from the
     // same definition (max word length · max piece count + 1)
     "unigram_viterbi" ->
-      """WITH RECURSIVE
-        |uv AS (SELECT w AS word, count(*) AS freq
-        |       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        |             FROM documents) x GROUP BY w),
-        |sub AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-        |   SELECT freq, substr(word, s, l) AS piece
-        |   FROM uv,
-        |        LATERAL (SELECT unnest(generate_series(1, len(word))) AS s) g1,
-        |        LATERAL (SELECT unnest(generate_series(1, least(4, len(word) - s + 1))) AS l) g2)
-        |  GROUP BY piece),
-        |pieces AS (
-        |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
-        |  UNION ALL
-        |  SELECT piece, cnt FROM (
-        |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
-        |    FROM sub WHERE len(piece) > 1) WHERE rn <= 40),
-        |bigc AS (SELECT (SELECT max(len(word)) FROM uv) * (SELECT max(cnt) FROM pieces) + 1 AS big),
-        |r(word, freq, pos, costs) AS (
-        |  SELECT word, freq, 0, [CAST(0 AS BIGINT)] FROM uv
-        |  UNION ALL
-        |  SELECT word, freq, pos + 1, list_append(costs,
-        |    (SELECT min(r.costs[r.pos + 2 - len(p.piece)] + (SELECT big FROM bigc) - p.cnt)
-        |     FROM pieces p
-        |     WHERE len(p.piece) <= r.pos + 1
-        |       AND substr(r.word, r.pos + 2 - len(p.piece), len(p.piece)) = p.piece))
-        |  FROM r WHERE pos < len(word))
+      s"""$unigramCtes
         |SELECT word, freq,
         |  CAST(costs[len(word) + 1] // (SELECT big FROM bigc) + 1 AS BIGINT) AS n_pieces,
         |  CAST((costs[len(word) + 1] // (SELECT big FROM bigc) + 1) * (SELECT big FROM bigc)
         |       - costs[len(word) + 1] AS BIGINT) AS piece_mass
-        |FROM r WHERE pos = len(word)""".stripMargin
+        |FROM r WHERE pos = len(word)""".stripMargin,
+
+    // the unigram chain extended by the canonical backtrack: from each
+    // word's end take the LONGEST piece whose cost edge is tight
+    // (cost(pos−l) + BIG − cnt = cost(pos)) — the same max-length
+    // integer-equality rule `Unigram.backtrack` compiles — then roll
+    // the emitted pieces into frequency-weighted expected counts
+    "unigram_em" ->
+      s"""$unigramCtes,
+         |tab AS (SELECT word, freq, costs FROM r WHERE pos = len(word)),
+         |bt(word, freq, pos, out) AS (
+         |  SELECT word, freq, len(word), '' FROM tab
+         |  UNION ALL
+         |  SELECT bt.word, bt.freq, bt.pos - l, substr(bt.word, bt.pos - l + 1, l) || ' ' || out
+         |  FROM (
+         |    SELECT b.word, b.freq, b.pos, b.out,
+         |      (SELECT max(len(p.piece)) FROM pieces p, tab t
+         |       WHERE t.word = b.word AND len(p.piece) <= b.pos
+         |         AND substr(b.word, b.pos - len(p.piece) + 1, len(p.piece)) = p.piece
+         |         AND t.costs[b.pos - len(p.piece) + 1] + (SELECT big FROM bigc) - p.cnt
+         |             = t.costs[b.pos + 1]) AS l
+         |    FROM bt b WHERE b.pos > 0
+         |  ) bt)
+         |SELECT piece, CAST(sum(freq) AS BIGINT) AS expected_cnt
+         |FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
+         |      FROM bt WHERE pos = 0) u
+         |GROUP BY piece""".stripMargin
   )
+
+  /** The unigram-LM chain shared by `unigram_viterbi` and `unigram_em`:
+    * corpus → word vocab, substring seed + pruning, and the recursive
+    * per-word Viterbi cost table (see the `unigram_viterbi` comment).
+    * Ends INSIDE the WITH clause so callers append their own CTEs or a
+    * final SELECT. */
+  private def unigramCtes: String =
+    """WITH RECURSIVE
+      |uv AS (SELECT w AS word, count(*) AS freq
+      |       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+      |             FROM documents) x GROUP BY w),
+      |sub AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+      |   SELECT freq, substr(word, s, l) AS piece
+      |   FROM uv,
+      |        LATERAL (SELECT unnest(generate_series(1, len(word))) AS s) g1,
+      |        LATERAL (SELECT unnest(generate_series(1, least(4, len(word) - s + 1))) AS l) g2)
+      |  GROUP BY piece),
+      |pieces AS (
+      |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
+      |  UNION ALL
+      |  SELECT piece, cnt FROM (
+      |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
+      |    FROM sub WHERE len(piece) > 1) WHERE rn <= 40),
+      |bigc AS (SELECT (SELECT max(len(word)) FROM uv) * (SELECT max(cnt) FROM pieces) + 1 AS big),
+      |r(word, freq, pos, costs) AS (
+      |  SELECT word, freq, 0, [CAST(0 AS BIGINT)] FROM uv
+      |  UNION ALL
+      |  SELECT word, freq, pos + 1, list_append(costs,
+      |    (SELECT min(r.costs[r.pos + 2 - len(p.piece)] + (SELECT big FROM bigc) - p.cnt)
+      |     FROM pieces p
+      |     WHERE len(p.piece) <= r.pos + 1
+      |       AND substr(r.word, r.pos + 2 - len(p.piece), len(p.piece)) = p.piece))
+      |  FROM r WHERE pos < len(word))""".stripMargin
 
   /** Greedy longest-match ENCODE replay (`Bpe.greedyPieces`) on top of
     * the [[bpeCtes]] chain: the piece inventory is v6's distinct symbol

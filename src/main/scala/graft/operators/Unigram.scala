@@ -72,22 +72,23 @@ object Unigram {
     SeedModel(kept, maxPieceLen, maxWordLen * kept.values.max + 1)
   }
 
-  /** Viterbi DP cost of `word` under the seed model, as a codegen'd
-    * expression: `aggregate` grows the per-prefix cost table one
-    * character at a time; each step takes the min over pieces ending at
-    * the new position (`least` skips the null candidates where the
-    * substring is not in the inventory — length-1 pieces guarantee at
-    * least one survivor for in-alphabet words). Returns the full-word
-    * cost `n_pieces · BIG − piece_mass`. */
-  def viterbiCost(word: Column, model: SeedModel): Column = {
+  private def probeLen(model: SeedModel): Int =
+    math.min(model.maxPieceLen, model.pieces.keys.map(_.length).max)
+
+  /** The full Viterbi cost table of `word` under the seed model, as a
+    * codegen'd expression: `aggregate` grows the per-prefix cost table
+    * one character at a time; each step takes the min over pieces
+    * ending at the new position (`least` skips the null candidates
+    * where the substring is not in the inventory — length-1 pieces
+    * guarantee at least one survivor for in-alphabet words). Entry
+    * `i+1` is the best cost of the first `i` characters. */
+  def viterbiTable(word: Column, model: SeedModel): Column = {
     val cntMap = typedlit(model.pieces)
-    val maxL = math.min(model.maxPieceLen,
-      model.pieces.keys.map(_.length).max)
-    val table = aggregate(
+    aggregate(
       sequence(lit(1), length(word)),
       array(lit(0L)),
       (acc, j) => {
-        val candidates = (1 to maxL).map { l =>
+        val candidates = (1 to probeLen(model)).map { l =>
           val piece = word.substr(j - lit(l) + 1, lit(l))
           val cnt = element_at(cntMap, piece)
           when(j >= l && cnt.isNotNull,
@@ -95,9 +96,66 @@ object Unigram {
         }
         array_append(acc, candidates.reduce(least(_, _)))
       },
-      acc => element_at(acc, -1))
-    table
+      acc => acc)
   }
+
+  /** Full-word Viterbi cost `n_pieces · BIG − piece_mass` — the last
+    * table entry. */
+  def viterbiCost(word: Column, model: SeedModel): Column =
+    element_at(viterbiTable(word, model), -1)
+
+  /** The CANONICAL optimal segmentation, reconstructed from the cost
+    * table by the deterministic longest-piece-first backtrack: from the
+    * word's end, take the LONGEST piece whose cost edge is tight
+    * (`cost(pos−l) + BIG − cnt = cost(pos)`) and step back. Every tie
+    * among optimal paths resolves the same way in any engine — integer
+    * equality, no float compare — which is what lets the M-step's
+    * expected counts be oracle-checked. Emitted in word order. */
+  def viterbiPieces(word: Column, model: SeedModel): Column =
+    backtrack(word, viterbiTable(word, model), model)
+
+  /** Backtrack against an already-bound cost `table` column. Callers on
+    * a hot path bind the table with `withColumn` first — the lambda
+    * references the table 2·probeLen times per step, and an inline
+    * table expression would be copied (and recomputed) at every one of
+    * those references. */
+  def backtrack(word: Column, table: Column, model: SeedModel): Column = {
+    val cntMap = typedlit(model.pieces)
+    val walked = aggregate(
+      sequence(lit(1), length(word)),
+      struct(length(word).as("pos"), array().cast("array<string>").as("rev")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val matchLen = (1 to probeLen(model)).foldLeft(lit(0)) { (shorter, l) =>
+          val piece = word.substr(pos - lit(l) + 1, lit(l))
+          val cnt = element_at(cntMap, piece)
+          when(pos >= l && cnt.isNotNull &&
+            element_at(table, pos - lit(l) + 1) + lit(model.big) - cnt ===
+              element_at(table, pos + 1), lit(l))
+            .otherwise(shorter)
+        }
+        when(pos <= 0, acc).otherwise(
+          struct((pos - matchLen).as("pos"),
+            array_append(acc.getField("rev"),
+              word.substr(pos - matchLen + 1, matchLen)).as("rev")))
+      },
+      acc => reverse(acc.getField("rev")))
+    walked
+  }
+
+  /** M-step statistics of the EM iteration: expected piece counts over
+    * the corpus — each vocab word's canonical optimal segmentation,
+    * weighted by word frequency — `(piece, expected_cnt)`. Re-deriving
+    * piece scores from these counts and re-running [[viterbiStats]] IS
+    * the next EM round; like everything here it is vocab-compressed, so
+    * an iteration costs one vocab-bounded job regardless of corpus
+    * size. */
+  def expectedPieceCounts(vocab: DataFrame, model: SeedModel): DataFrame =
+    vocab
+      .withColumn("__tab", viterbiTable(col("word"), model))
+      .select(col("freq"),
+        explode(backtrack(col("word"), col("__tab"), model)).as("piece"))
+      .groupBy("piece").agg(sum("freq").as("expected_cnt"))
 
   /** Per-word optimal segmentation statistics over a `(word, freq)`
     * vocabulary: `(word, freq, n_pieces, piece_mass)` where `n_pieces`

@@ -130,4 +130,64 @@ class UnigramSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Unigram.fitSeed(Bpe.wordVocab(empty).select("word", "freq")))
   }
+
+  /** In-memory canonical backtrack: longest tight cost edge from the
+    * end — the exact rule `Unigram.backtrack` compiles. */
+  private def refBacktrack(word: String, inv: Map[String, Long], big: Long): Seq[String] = {
+    val maxL = inv.keys.map(_.length).max
+    val cost = Array.fill(word.length + 1)(Long.MaxValue)
+    cost(0) = 0L
+    for (i <- 1 to word.length; l <- 1 to math.min(maxL, i);
+         c <- inv.get(word.substring(i - l, i)) if cost(i - l) != Long.MaxValue)
+      cost(i) = math.min(cost(i), cost(i - l) + big - c)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var pos = word.length
+    while (pos > 0) {
+      val l = (math.min(maxL, pos) to 1 by -1).find { l =>
+        inv.get(word.substring(pos - l, pos))
+          .exists(c => cost(pos - l) != Long.MaxValue && cost(pos - l) + big - c == cost(pos))
+      }.get
+      out.prepend(word.substring(pos - l, pos))
+      pos -= l
+    }
+    out.toSeq
+  }
+
+  test("viterbiPieces: canonical path matches the reference backtrack; invariants hold") {
+    val d = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = Bpe.wordVocab(d).select("word", "freq").localCheckpoint()
+    val model = Unigram.fitSeed(vocab)
+    val stats = Unigram.viterbiStats(vocab, model).collect()
+      .map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    val paths = vocab.select(col("word"),
+        Unigram.viterbiPieces(col("word"), model).as("p")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    paths.foreach { case (w, ps) =>
+      assert(ps === refBacktrack(w, model.pieces, model.big), s"word=$w")
+      assert(ps.mkString === w, s"concat invariant broke for $w")
+      // the path must decode to exactly the DP's (n, mass) optimum
+      assert(ps.size.toLong === stats(w)._1, s"piece count drifted for $w")
+      assert(ps.map(model.pieces).sum === stats(w)._2, s"mass drifted for $w")
+    }
+  }
+
+  test("expectedPieceCounts: total mass reconciles with the per-word rollup") {
+    val corpus = docs("abab ab aba", "bb ab abab")
+    val vocab = Bpe.wordVocab(corpus).select("word", "freq").localCheckpoint()
+    val model = Unigram.fitSeed(vocab)
+    val em = Unigram.expectedPieceCounts(vocab, model).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // Σ_piece cnt·len(piece) = Σ_word freq·len(word): characters conserve
+    val charMassEm = em.map { case (p, c) => p.length.toLong * c }.sum
+    val charMassCorpus = vocab.collect()
+      .map(r => r.getString(0).length.toLong * r.getLong(1)).sum
+    assert(charMassEm === charMassCorpus)
+    // and the counts match the reference backtrack exploded by hand
+    val ref = scala.collection.mutable.Map.empty[String, Long]
+    vocab.collect().foreach { r =>
+      refBacktrack(r.getString(0), model.pieces, model.big)
+        .foreach(p => ref(p) = ref.getOrElse(p, 0L) + r.getLong(1))
+    }
+    assert(em === ref.toMap)
+  }
 }
