@@ -384,4 +384,12 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Join"), "the seed inventory is a literal map — no join")
     assert(!p.contains("Exchange"), "the per-word DP must not shuffle")
   }
+
+  test("unigram EM M-step: generator + one count shuffle, no join") {
+    val p = planTree("unigram_em")
+    assert(!p.contains("Join"), "the model rides along as a literal — no join")
+    assert(p.contains("Generate"), "piece explode must be a per-row generator")
+    assert("(?<!Broadcast)(?<!Reused)Exchange".r.findAllIn(p).size === 1,
+      "exactly the expected-count aggregation may shuffle")
+  }
 }
