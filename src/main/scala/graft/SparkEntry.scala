@@ -890,6 +890,20 @@ object SparkEntry {
         .select("word", "freq").localCheckpoint()
       graft.operators.Unigram.expectedPieceCounts(
         vocab, graft.operators.Unigram.fitSeed(vocab))
+    }),
+    // manifest-level file skipping: cluster events on the Z curve, write
+    // with a footer-derived per-file min/max manifest, then answer a
+    // selective user_id range by reading ONLY the overlapping files
+    // (LayoutSpec asserts genuine file skipping; values must equal the
+    // oracle's plain filter — skipping is an optimization, never a
+    // filter)
+    "stats_prune" -> ((s, d) => {
+      val ev = Tables.events(s, d).select("event_id", "user_id", "ts_ns")
+      graft.io.Layout.writeWithStats(
+        graft.io.Layout.zorderBy(ev, "user_id", "ts_ns", bits = 8, numFiles = 8),
+        statsPruneDir, Seq("user_id", "ts_ns"))
+      graft.io.Layout.readPruned(s, statsPruneDir, "user_id", 10L, 20L)
+        .select("event_id", "user_id", "ts_ns")
     })
   )
 
@@ -928,6 +942,15 @@ object SparkEntry {
     * rationale) as [[ivfDemoDir]]. */
   private lazy val indexInitDir: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-init-q")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p.toString + "/table"
+  }
+
+  /** The stats_prune demo table location — same per-JVM lifecycle (and
+    * rationale) as [[ivfDemoDir]]. */
+  private lazy val statsPruneDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-stats-q")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
     p.toString + "/table"
@@ -3177,7 +3200,15 @@ object SparkEntry {
          |SELECT piece, CAST(sum(freq) AS BIGINT) AS expected_cnt
          |FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
          |      FROM bt WHERE pos = 0) u
-         |GROUP BY piece""".stripMargin
+         |GROUP BY piece""".stripMargin,
+
+    // file skipping must be invisible to results: the oracle is the
+    // PLAIN filter. epoch_us(ts) is unit-agnostic on the DuckDB side
+    // (µs per the verify-skill gotcha), ×1000 matches Tables.events'
+    // ts_ns normalization
+    "stats_prune" ->
+      """SELECT event_id, user_id, epoch_us(ts) * 1000 AS ts_ns
+        |FROM events WHERE user_id BETWEEN 10 AND 20""".stripMargin
   )
 
   /** The unigram-LM chain shared by `unigram_viterbi` and `unigram_em`:

@@ -80,6 +80,112 @@ object Layout {
     * Total cost: one range shuffle + one tiny agg + one map — no window
     * exchange, no driver data. Ties in `orderCol` get arbitrary but
     * contiguous ids (stamp a unique key for full determinism). */
+  /** Write `df` as parquet plus a per-file min/max statistics manifest
+    * for `statsCols` (long-typed), read from the PARQUET FOOTERS — no
+    * second data scan; at 100 TB the stats collection is a
+    * footer-listing job, not a table read. This is the data-skipping
+    * half that [[zorderBy]]'s clustering exists to feed: cluster so
+    * files cover small rectangles, then let [[readPruned]] drop every
+    * file whose stats interval misses the predicate before Spark ever
+    * lists it. The manifest (`_graft_stats.json`, one JSON line per
+    * file) commits via tmp + rename after the parquet write, so a crash
+    * leaves a readable table with at worst a stale/absent manifest —
+    * and [[prunedPaths]] treats an absent entry as unprunable, never
+    * wrong. */
+  def writeWithStats(df: DataFrame, dir: String, statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "need at least one stats column")
+    df.write.mode("overwrite").parquet(dir)
+    val conf = df.sparkSession.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }.map(_.getPath)
+    val lines = files.map { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val stats = statsCols.map { c =>
+          var lo = Long.MaxValue; var hi = Long.MinValue; var usable = true
+          blocks.forEach { b =>
+            b.getColumns.forEach { cc =>
+              if (cc.getPath.toDotString == c) {
+                val st = cc.getStatistics
+                if (st == null || !st.hasNonNullValue) usable = false
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: java.lang.Long, mx: java.lang.Long) =>
+                    lo = math.min(lo, mn); hi = math.max(hi, mx)
+                  case _ => usable = false // not a long column: no pruning
+                }
+              }
+            }
+          }
+          if (usable && lo <= hi) s""""min_$c":$lo,"max_$c":$hi""" else ""
+        }.filter(_.nonEmpty)
+        (s"""{"file":"${f.getName}"""" +: stats).mkString(",") + "}"
+      } finally reader.close()
+    }
+    val tmp = new org.apache.hadoop.fs.Path(dir, "._graft_stats.json.tmp")
+    val dst = new org.apache.hadoop.fs.Path(dir, "_graft_stats.json")
+    val out = fs.create(tmp, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes("UTF-8")) finally out.close()
+    fs.delete(dst, false)
+    if (!fs.rename(tmp, dst))
+      throw new java.io.IOException(s"stats manifest commit failed for $dir")
+  }
+
+  /** File paths of `dir` whose `[min, max]` interval for `col` overlaps
+    * `[lo, hi]` — plus every file the manifest cannot bound (absent
+    * line or absent stats): skipping is an optimization, never a filter.
+    * Returns (kept paths, total data files). */
+  def prunedPaths(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  colName: String, lo: Long, hi: Long): (Seq[String], Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val files = fs.listStatus(p).filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }.map(_.getPath.toString).toSeq.sorted
+    val manifest = new org.apache.hadoop.fs.Path(dir, "_graft_stats.json")
+    if (!fs.exists(manifest)) return (files, files.size)
+    val text = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    // manifest lines are machine-written with a fixed field order; a
+    // regex pull keeps this dependency-free (no JSON parser in scope)
+    val entry = ("""\{"file":"([^"]+)"(.*)\}""").r
+    val bound = (s"""\"min_$colName\":(-?\\d+),\"max_$colName\":(-?\\d+)""").r
+    val bounds = text.split('\n').flatMap {
+      case entry(name, rest) =>
+        bound.findFirstMatchIn(rest).map(m =>
+          name -> ((m.group(1).toLong, m.group(2).toLong)))
+      case _ => None
+    }.toMap
+    val kept = files.filter { f =>
+      val name = new org.apache.hadoop.fs.Path(f).getName
+      bounds.get(name) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // unbounded file: must be read
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Read `dir` with manifest-level file skipping for `colName ∈ [lo,
+    * hi]`, then apply the SAME predicate as a residual filter (file
+    * stats only bound files — rows inside a kept file still need the
+    * row-level filter, which also pushes into the row-group stats). */
+  def readPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
+                 colName: String, lo: Long, hi: Long): DataFrame = {
+    val (kept, _) = prunedPaths(spark, dir, colName, lo, hi)
+    if (kept.isEmpty)
+      spark.read.parquet(dir).filter(lit(false)) // empty frame, right schema
+    else spark.read.parquet(kept: _*)
+      .filter(col(colName) >= lo && col(colName) <= hi)
+  }
+
   def globalIndex(df: DataFrame, orderCol: String, numParts: Int = 32,
                   outCol: String = "global_idx"): DataFrame = {
     val ranged = df.repartitionByRange(numParts, col(orderCol))

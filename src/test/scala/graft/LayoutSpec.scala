@@ -83,6 +83,44 @@ class LayoutSpec extends SparkSpec {
     assert(byId.toSeq === byId.sorted.toSeq, "ids must be nondecreasing in key")
   }
 
+  test("writeWithStats + readPruned: genuine file skipping, identical values") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-stats").toString + "/t"
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts_ns")
+    Layout.writeWithStats(
+      Layout.zorderBy(ev, "user_id", "ts_ns", bits = 8, numFiles = 8),
+      dir, Seq("user_id", "ts_ns"))
+    val (kept, total) = Layout.prunedPaths(spark, dir, "user_id", 10L, 20L)
+    assert(total === 8, "expected the 8 requested output files")
+    assert(kept.size < total,
+      s"z-clustered files must allow skipping (kept ${kept.size}/$total)")
+    assert(kept.nonEmpty)
+    val got = Layout.readPruned(spark, dir, "user_id", 10L, 20L)
+      .select("event_id", "user_id", "ts_ns").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val want = ev.filter(col("user_id").between(10L, 20L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq === want.toSeq, "skipping must never change the answer")
+    assert(want.nonEmpty)
+  }
+
+  test("prunedPaths without a manifest keeps every file (skip is optional)") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-noman").toString + "/t"
+    Seq((1L, 2L), (3L, 4L)).toDF("user_id", "ts_ns")
+      .repartition(2).write.parquet(dir)
+    val (kept, total) = Layout.prunedPaths(spark, dir, "user_id", 100L, 200L)
+    assert(kept.size === total, "no manifest → nothing may be skipped")
+  }
+
+  test("readPruned with a fully-out-of-range predicate returns an empty, well-typed frame") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-empty").toString + "/t"
+    val df = Seq((1L, 5L), (2L, 6L)).toDF("user_id", "ts_ns")
+    Layout.writeWithStats(df.repartition(1), dir, Seq("user_id"))
+    val out = Layout.readPruned(spark, dir, "user_id", 100L, 200L)
+    assert(out.columns.toSeq.sorted === Seq("ts_ns", "user_id"))
+    assert(out.count() === 0L)
+  }
+
   test("globalIndex on one partition degenerates gracefully") {
     val got = Layout.globalIndex(Seq((3L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v"),
       "k", numParts = 1).select("k", "global_idx").collect()
