@@ -93,9 +93,19 @@ object Layout {
     * and [[prunedPaths]] treats an absent entry as unprunable, never
     * wrong. */
   def writeWithStats(df: DataFrame, dir: String, statsCols: Seq[String]): Unit = {
-    require(statsCols.nonEmpty, "need at least one stats column")
     df.write.mode("overwrite").parquet(dir)
-    val conf = df.sparkSession.sessionState.newHadoopConf()
+    refreshStats(df.sparkSession, dir, statsCols)
+  }
+
+  /** (Re)derive the stats manifest for an EXISTING parquet dir — the
+    * footer-scan + tmp/rename commit of [[writeWithStats]] without the
+    * data write. [[graft.io.Tables.compact]] calls this after its swap
+    * (compaction re-files the table, which orphans the old manifest;
+    * re-deriving restores skipping without another data pass). */
+  def refreshStats(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   statsCols: Seq[String]): Unit = {
+    require(statsCols.nonEmpty, "need at least one stats column")
+    val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
     val files = fs.listStatus(p).filter { st =>
@@ -133,6 +143,22 @@ object Layout {
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"stats manifest commit failed for $dir")
+  }
+
+  /** The column names a dir's manifest tracks (parsed from its
+    * `min_<col>` keys) — empty when there is no manifest. Lets a
+    * rewriter ([[graft.io.Tables.compact]]) re-derive stats without
+    * being told which columns the writer originally chose. */
+  def trackedCols(spark: org.apache.spark.sql.SparkSession, dir: String): Seq[String] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val manifest = new org.apache.hadoop.fs.Path(dir, "_graft_stats.json")
+    val fs = manifest.getFileSystem(conf)
+    if (!fs.exists(manifest)) return Seq.empty
+    val text = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    """"min_([A-Za-z0-9_]+)":""".r.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
   }
 
   /** File paths of `dir` whose `[min, max]` interval for `col` overlaps

@@ -176,9 +176,16 @@ object Tables {
     val bytes = entries.filter(_.isFile)
       .filter(_.getPath.getName.endsWith(".parquet")).map(_.getLen).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    // a skipping manifest (Layout.writeWithStats) names the PRE-compact
+    // files; capture its tracked columns now and re-derive after the
+    // swap, or skipping silently stops on the re-filed table. (A crash
+    // between swap and refresh leaves a manifest-less table — readers
+    // treat that as unprunable, never wrong.)
+    val statsCols = Layout.trackedCols(spark, dir)
     spark.read.parquet(dir).repartition(nFiles)
       .write.mode("overwrite").parquet(tmp.toString)
     graft.streaming.StreamingIngest.swapInto(fs, dst, tmp, bak, "compact")
+    if (statsCols.nonEmpty) Layout.refreshStats(spark, dir, statsCols)
     nFiles
   }
 

@@ -121,6 +121,32 @@ class LayoutSpec extends SparkSpec {
     assert(out.count() === 0L)
   }
 
+  test("compact re-derives the stats manifest so skipping survives re-filing") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-compact").toString + "/t"
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts_ns")
+    Layout.writeWithStats(
+      Layout.zorderBy(ev, "user_id", "ts_ns", bits = 8, numFiles = 8),
+      dir, Seq("user_id", "ts_ns"))
+    assert(Layout.trackedCols(spark, dir).sorted === Seq("ts_ns", "user_id"))
+    val want = Layout.readPruned(spark, dir, "user_id", 10L, 20L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    // compact into fewer, larger files — the old manifest's names die
+    val n = graft.io.Tables.compact(spark, dir, targetFileBytes = 1L << 40)
+    assert(n === 1)
+    assert(Layout.trackedCols(spark, dir).sorted === Seq("ts_ns", "user_id"),
+      "compact must re-derive the manifest for the new files")
+    val got = Layout.readPruned(spark, dir, "user_id", 10L, 20L)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === want, "skipping after compact must not change the answer")
+    // the single compacted file is everything — prune keeps it, bounded
+    val (kept, total) = Layout.prunedPaths(spark, dir, "user_id", 10L, 20L)
+    assert(total === 1 && kept.size === 1)
+    // and an impossible range now skips the WHOLE table via the manifest
+    val (none, _) = Layout.prunedPaths(spark, dir, "user_id", Long.MaxValue - 1, Long.MaxValue)
+    assert(none.isEmpty, "re-derived bounds must allow full skips")
+  }
+
   test("globalIndex on one partition degenerates gracefully") {
     val got = Layout.globalIndex(Seq((3L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v"),
       "k", numParts = 1).select("k", "global_idx").collect()
