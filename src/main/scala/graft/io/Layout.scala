@@ -58,28 +58,6 @@ object Layout {
       .drop("__z")
   }
 
-  /** Contiguous global row numbers `0..n-1` in `orderCol` order WITHOUT
-    * the single-partition sort a naive `row_number() OVER (ORDER BY …)`
-    * plans (one reducer holding the whole table — the classic 100 TB
-    * cliff; `PlanPropertiesSpec` pins that no SinglePartition exchange
-    * appears here). The distributed shape is core's `zipWithIndex`
-    * re-expressed on DataFrames:
-    *
-    *  1. range-partition + in-partition sort on `orderCol`, pinned with
-    *     `localCheckpoint` so the count job and the numbering job see
-    *     the SAME partitioning (range boundaries come from sampling; at
-    *     production scale this pin is the training-shard materialization
-    *     you'd do anyway before stamping ids);
-    *  2. per-partition counts — `numParts` longs to the driver, size
-    *     independent of data — prefix-summed into offsets;
-    *  3. one shuffle-free projection: `monotonically_increasing_id`'s
-    *     documented layout (partition id ≪ 33 | per-partition counter
-    *     in row order) yields the in-partition ordinal, plus the
-    *     broadcast offset literal.
-    *
-    * Total cost: one range shuffle + one tiny agg + one map — no window
-    * exchange, no driver data. Ties in `orderCol` get arbitrary but
-    * contiguous ids (stamp a unique key for full determinism). */
   /** Write `df` as parquet plus a per-file min/max statistics manifest
     * for `statsCols` (long-typed), read from the PARQUET FOOTERS — no
     * second data scan; at 100 TB the stats collection is a
@@ -110,32 +88,20 @@ object Layout {
     val fs = p.getFileSystem(conf)
     val files = fs.listStatus(p).filter { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
-    }.map(_.getPath)
-    val lines = files.map { f =>
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        val blocks = reader.getFooter.getBlocks
-        val stats = statsCols.map { c =>
-          var lo = Long.MaxValue; var hi = Long.MinValue; var usable = true
-          blocks.forEach { b =>
-            b.getColumns.forEach { cc =>
-              if (cc.getPath.toDotString == c) {
-                val st = cc.getStatistics
-                if (st == null || !st.hasNonNullValue) usable = false
-                else (st.genericGetMin, st.genericGetMax) match {
-                  case (mn: java.lang.Long, mx: java.lang.Long) =>
-                    lo = math.min(lo, mn); hi = math.max(hi, mx)
-                  case _ => usable = false // not a long column: no pruning
-                }
-              }
-            }
-          }
-          if (usable && lo <= hi) s""""min_$c":$lo,"max_$c":$hi""" else ""
-        }.filter(_.nonEmpty)
-        (s"""{"file":"${f.getName}"""" +: stats).mkString(",") + "}"
-      } finally reader.close()
-    }
+    }.map(_.getPath.toString).toSeq.sorted
+    // footer reads run as a JOB (one task per slice), not a serial
+    // driver loop: at 100 TB that is ~1e6 footer round-trips — hours if
+    // serialized on the driver, minutes fanned out
+    val lines =
+      if (files.isEmpty) Seq.empty[String]
+      else {
+        val sconf = new org.apache.spark.util.SerializableConfiguration(conf)
+        val cols = statsCols // avoid closing over the method scope
+        val slices = math.max(1, math.min(files.size,
+          spark.sparkContext.defaultParallelism))
+        spark.sparkContext.parallelize(files, slices)
+          .map(f => statsLine(f, sconf.value, cols)).collect().toSeq.sorted
+      }
     val tmp = new org.apache.hadoop.fs.Path(dir, "._graft_stats.json.tmp")
     val dst = new org.apache.hadoop.fs.Path(dir, "_graft_stats.json")
     val out = fs.create(tmp, true)
@@ -143,6 +109,36 @@ object Layout {
     fs.delete(dst, false)
     if (!fs.rename(tmp, dst))
       throw new java.io.IOException(s"stats manifest commit failed for $dir")
+  }
+
+  /** One manifest line for one parquet file: footer-derived min/max per
+    * stats column. Executor-side (see [[refreshStats]]). */
+  private def statsLine(file: String, conf: org.apache.hadoop.conf.Configuration,
+                        statsCols: Seq[String]): String = {
+    val f = new org.apache.hadoop.fs.Path(file)
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(f, conf)
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = reader.getFooter.getBlocks
+      val stats = statsCols.map { c =>
+        var lo = Long.MaxValue; var hi = Long.MinValue; var usable = true
+        blocks.forEach { b =>
+          b.getColumns.forEach { cc =>
+            if (cc.getPath.toDotString == c) {
+              val st = cc.getStatistics
+              if (st == null || !st.hasNonNullValue) usable = false
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: java.lang.Long, mx: java.lang.Long) =>
+                  lo = math.min(lo, mn); hi = math.max(hi, mx)
+                case _ => usable = false // not a long column: no pruning
+              }
+            }
+          }
+        }
+        if (usable && lo <= hi) s""""min_$c":$lo,"max_$c":$hi""" else ""
+      }.filter(_.nonEmpty)
+      (s"""{"file":"${f.getName}"""" +: stats).mkString(",") + "}"
+    } finally reader.close()
   }
 
   /** The column names a dir's manifest tracks (parsed from its
@@ -158,7 +154,9 @@ object Layout {
       val in = fs.open(manifest)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    """"min_([A-Za-z0-9_]+)":""".r.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
+    // any key chars up to the closing quote: nested-field names carry
+    // dots via toDotString and must round-trip through compact intact
+    """"min_([^"]+)":""".r.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
   }
 
   /** File paths of `dir` whose `[min, max]` interval for `col` overlaps
@@ -170,7 +168,15 @@ object Layout {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(conf)
-    val files = fs.listStatus(p).filter { st =>
+    val entries = fs.listStatus(p)
+    // a hive-partitioned layout keeps its data in subdirectories this
+    // listing would miss ENTIRELY — an empty kept-list here would turn
+    // "skipping is an optimization" into a silent filter. Refuse loudly;
+    // readPruned degrades to an unpruned read instead.
+    require(!entries.exists(_.isDirectory),
+      s"prunedPaths: $dir has partition subdirectories — stats skipping " +
+        "works per leaf directory; use a partition filter for the tree")
+    val files = entries.filter { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }.map(_.getPath.toString).toSeq.sorted
     val manifest = new org.apache.hadoop.fs.Path(dir, "_graft_stats.json")
@@ -182,7 +188,8 @@ object Layout {
     // manifest lines are machine-written with a fixed field order; a
     // regex pull keeps this dependency-free (no JSON parser in scope)
     val entry = ("""\{"file":"([^"]+)"(.*)\}""").r
-    val bound = (s"""\"min_$colName\":(-?\\d+),\"max_$colName\":(-?\\d+)""").r
+    val q = java.util.regex.Pattern.quote(colName)
+    val bound = (s"""\"min_$q\":(-?\\d+),\"max_$q\":(-?\\d+)""").r
     val bounds = text.split('\n').flatMap {
       case entry(name, rest) =>
         bound.findFirstMatchIn(rest).map(m =>
@@ -205,6 +212,14 @@ object Layout {
     * row-level filter, which also pushes into the row-group stats). */
   def readPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
                  colName: String, lo: Long, hi: Long): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    // partitioned tree: no manifest skipping (see prunedPaths) — fall
+    // back to the plain read so the answer is never wrong, and let the
+    // filter drive Spark's own partition pruning
+    if (p.getFileSystem(conf).listStatus(p).exists(_.isDirectory))
+      return spark.read.parquet(dir)
+        .filter(col(colName) >= lo && col(colName) <= hi)
     val (kept, _) = prunedPaths(spark, dir, colName, lo, hi)
     if (kept.isEmpty)
       spark.read.parquet(dir).filter(lit(false)) // empty frame, right schema
@@ -212,12 +227,43 @@ object Layout {
       .filter(col(colName) >= lo && col(colName) <= hi)
   }
 
+  /** Contiguous global row numbers `0..n-1` in `orderCol` order WITHOUT
+    * the single-partition sort a naive `row_number() OVER (ORDER BY …)`
+    * plans (one reducer holding the whole table — the classic 100 TB
+    * cliff; `PlanPropertiesSpec` pins that no SinglePartition exchange
+    * appears here). The distributed shape is core's `zipWithIndex`
+    * re-expressed on DataFrames:
+    *
+    *  1. range-partition + in-partition sort on `orderCol`, pinned with
+    *     `localCheckpoint` so the count job and the numbering job see
+    *     the SAME partitioning (range boundaries come from sampling; at
+    *     production scale this pin is the training-shard materialization
+    *     you'd do anyway before stamping ids);
+    *  2. per-partition counts — `numParts` longs to the driver, size
+    *     independent of data — prefix-summed into offsets;
+    *  3. one shuffle-free projection: `monotonically_increasing_id`'s
+    *     documented layout (partition id ≪ 33 | per-partition counter
+    *     in row order) yields the in-partition ordinal, plus the
+    *     broadcast offset literal.
+    *
+    * Total cost: one range shuffle + one tiny agg + one map — no window
+    * exchange, no driver data. Ties in `orderCol` get arbitrary but
+    * contiguous ids (stamp a unique key for full determinism). The
+    * monotonic-id layout caps a partition at 2^33 rows — beyond that the
+    * counter would bleed into the partition-id bits and silently corrupt
+    * ids, so the already-collected counts are checked and the caller is
+    * told to raise `numParts`. */
   def globalIndex(df: DataFrame, orderCol: String, numParts: Int = 32,
                   outCol: String = "global_idx"): DataFrame = {
     val ranged = df.repartitionByRange(numParts, col(orderCol))
       .sortWithinPartitions(orderCol).localCheckpoint()
     val counts = ranged.groupBy(spark_partition_id().as("__pid")).count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    counts.find(_._2 >= (1L << 33)).foreach { case (pid, n) =>
+      throw new IllegalArgumentException(
+        s"globalIndex: partition $pid holds $n rows >= 2^33, past the " +
+          "monotonic-id per-partition counter — raise numParts")
+    }
     // prefix offsets over ALL partition ids (range partitioning may
     // leave some empty; they contribute 0 and never appear in rows)
     val offsets = (0 until numParts)

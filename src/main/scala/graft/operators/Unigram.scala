@@ -46,11 +46,13 @@ object Unigram {
     * `keepTop` multi-character pieces by (cnt desc, piece asc). */
   def prunedSeed(seed: DataFrame, keepTop: Int = 40): DataFrame = {
     val ones = seed.filter(length(col("piece")) === 1)
+    // top-K via orderBy+limit (TakeOrderedAndProject): a global
+    // row_number window would funnel the whole multi-char substring
+    // space — vocab · wordLen · maxPieceLen rows at corpus scale —
+    // through one reducer; the bounded take is distributed and has the
+    // identical deterministic result
     val multi = seed.filter(length(col("piece")) > 1)
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .orderBy(desc("cnt"), asc("piece"))))
-      .filter(col("__rn") <= keepTop).drop("__rn")
+      .orderBy(desc("cnt"), asc("piece")).limit(keepTop)
     ones.unionByName(multi)
   }
 
@@ -121,6 +123,19 @@ object Unigram {
     * those references. */
   def backtrack(word: Column, table: Column, model: SeedModel): Column = {
     val cntMap = typedlit(model.pieces)
+    val raw = backtrackWalk(word, table, cntMap, model)
+    // OUT-OF-ALPHABET guard: a null cost table (word has a character the
+    // model never saw — cross-corpus model reuse) makes every tight-edge
+    // test false, the walk stalls, and the unguarded result would be
+    // len(word) empty strings. Surface null instead, mirroring
+    // [[viterbiStats]]' null stats (and explode() then drops the word
+    // from [[expectedPieceCounts]] rather than polluting it).
+    when(element_at(table, -1).isNull, lit(null).cast("array<string>"))
+      .otherwise(raw)
+  }
+
+  private def backtrackWalk(word: Column, table: Column, cntMap: Column,
+                            model: SeedModel): Column = {
     val walked = aggregate(
       sequence(lit(1), length(word)),
       struct(length(word).as("pos"), array().cast("array<string>").as("rev")),
@@ -153,8 +168,15 @@ object Unigram {
   def expectedPieceCounts(vocab: DataFrame, model: SeedModel): DataFrame =
     vocab
       .withColumn("__tab", viterbiTable(col("word"), model))
-      .select(col("freq"),
-        explode(backtrack(col("word"), col("__tab"), model)).as("piece"))
+      // the backtrack is aliased BEFORE the explode, in a separate
+      // projection: explode(backtrack(...)) in one select lets the
+      // optimizer collapse `__tab` inline into the walk's aggregate
+      // lambda, and nesting one HOF aggregate inside another's lambda
+      // collides their lambda variables (observed: the walk then reads
+      // a corrupt table and emits empty-string pieces). The Generate
+      // boundary below keeps the two aggregates in separate projections.
+      .withColumn("__pieces", backtrack(col("word"), col("__tab"), model))
+      .select(col("freq"), explode(col("__pieces")).as("piece"))
       .groupBy("piece").agg(sum("freq").as("expected_cnt"))
 
   /** Per-word optimal segmentation statistics over a `(word, freq)`

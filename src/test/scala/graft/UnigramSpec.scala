@@ -171,6 +171,25 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("out-of-alphabet words surface null paths and drop out of the M-step") {
+    // model fit on a-b-c words, applied to a vocab with a 'z' word —
+    // the cross-corpus reuse the API invites
+    val model = Unigram.fitSeed(
+      Bpe.wordVocab(docs("abc ab abc")).select("word", "freq"))
+    val foreign = Seq(("zab", 4L), ("ab", 2L)).toDF("word", "freq")
+    val paths = foreign
+      .withColumn("__tab", Unigram.viterbiTable(col("word"), model))
+      .select(col("word"),
+        Unigram.backtrack(col("word"), col("__tab"), model).as("p"))
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(paths("zab").isEmpty, "unsegmentable word must yield null, not junk")
+    assert(paths("ab").isDefined)
+    val em = Unigram.expectedPieceCounts(foreign, model).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!em.contains(""), "no empty-string piece may leak from a stalled walk")
+    assert(em.values.sum === 2L, "only the in-alphabet word contributes ('ab' = 1 piece × freq 2)")
+  }
+
   test("expectedPieceCounts: total mass reconciles with the per-word rollup") {
     val corpus = docs("abab ab aba", "bb ab abab")
     val vocab = Bpe.wordVocab(corpus).select("word", "freq").localCheckpoint()
