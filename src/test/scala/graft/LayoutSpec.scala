@@ -147,6 +147,37 @@ class LayoutSpec extends SparkSpec {
     assert(none.isEmpty, "re-derived bounds must allow full skips")
   }
 
+  test("nested (dotted) stats columns round-trip the manifest and still prune") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-nested").toString + "/t"
+    val df = (0L until 100L).map(i => (i, (i * 10, s"p$i")))
+      .toDF("id", "s").selectExpr("id", "named_struct('x', s._1, 'tag', s._2) AS s")
+    Layout.writeWithStats(
+      df.repartitionByRange(4, col("s.x")).sortWithinPartitions("s.x"),
+      dir, Seq("s.x"))
+    // the dotted name must survive manifest parsing (regex quoting)
+    assert(Layout.trackedCols(spark, dir) === Seq("s.x"))
+    val (kept, total) = Layout.prunedPaths(spark, dir, "s.x", 0L, 90L)
+    assert(total === 4 && kept.size < total, s"kept ${kept.size}/$total")
+    val got = Layout.readPruned(spark, dir, "s.x", 0L, 90L)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L to 9L), "s.x <= 90 keeps ids 0..9")
+    // and compact re-derives the dotted-key manifest intact
+    graft.io.Tables.compact(spark, dir, targetFileBytes = 1L << 40)
+    assert(Layout.trackedCols(spark, dir) === Seq("s.x"),
+      "dotted key must survive the compact re-derivation")
+  }
+
+  test("prunedPaths refuses a partitioned tree; readPruned degrades to a plain filter") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-part").toString + "/t"
+    (0L until 50L).map(i => (i, i % 3L)).toDF("user_id", "p")
+      .write.partitionBy("p").parquet(dir)
+    intercept[IllegalArgumentException](
+      Layout.prunedPaths(spark, dir, "user_id", 0L, 10L))
+    val got = Layout.readPruned(spark, dir, "user_id", 0L, 10L)
+      .select("user_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(got === (0L to 10L), "fallback read must still answer correctly")
+  }
+
   test("globalIndex on one partition degenerates gracefully") {
     val got = Layout.globalIndex(Seq((3L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v"),
       "k", numParts = 1).select("k", "global_idx").collect()
