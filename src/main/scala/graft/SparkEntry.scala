@@ -891,6 +891,15 @@ object SparkEntry {
       graft.operators.Unigram.expectedPieceCounts(
         vocab, graft.operators.Unigram.fitSeed(vocab))
     }),
+    // the loop actually closes: M-step counts become the round-2 model
+    // (unused pieces pruned), and the corpus re-segments under it
+    "unigram_em2" -> ((s, d) => {
+      val vocab = Bpe.wordVocab(Tables.documents(s, d))
+        .select("word", "freq").localCheckpoint()
+      val m0 = graft.operators.Unigram.fitSeed(vocab)
+      graft.operators.Unigram.viterbiStats(vocab,
+        graft.operators.Unigram.emRound(vocab, m0))
+    }),
     // manifest-level file skipping: cluster events on the Z curve, write
     // with a footer-derived per-file min/max manifest, then answer a
     // selective user_id range by reading ONLY the overlapping files
@@ -3183,24 +3192,38 @@ object SparkEntry {
     // the emitted pieces into frequency-weighted expected counts
     "unigram_em" ->
       s"""$unigramCtes,
-         |tab AS (SELECT word, freq, costs FROM r WHERE pos = len(word)),
-         |bt(word, freq, pos, out) AS (
-         |  SELECT word, freq, len(word), '' FROM tab
-         |  UNION ALL
-         |  SELECT bt.word, bt.freq, bt.pos - l, substr(bt.word, bt.pos - l + 1, l) || ' ' || out
-         |  FROM (
-         |    SELECT b.word, b.freq, b.pos, b.out,
-         |      (SELECT max(len(p.piece)) FROM pieces p, tab t
-         |       WHERE t.word = b.word AND len(p.piece) <= b.pos
-         |         AND substr(b.word, b.pos - len(p.piece) + 1, len(p.piece)) = p.piece
-         |         AND t.costs[b.pos - len(p.piece) + 1] + (SELECT big FROM bigc) - p.cnt
-         |             = t.costs[b.pos + 1]) AS l
-         |    FROM bt b WHERE b.pos > 0
-         |  ) bt)
+         |$unigramBtCtes
          |SELECT piece, CAST(sum(freq) AS BIGINT) AS expected_cnt
          |FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
          |      FROM bt WHERE pos = 0) u
          |GROUP BY piece""".stripMargin,
+
+    // the unigram chain + the backtrack, then ROUND 2: the expected
+    // counts become pieces2, BIG re-derives over the new count range,
+    // and the same cost-table recursion re-runs under the round-2 model
+    "unigram_em2" ->
+      s"""$unigramCtes,
+         |$unigramBtCtes,
+         |pieces2 AS (
+         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
+         |        FROM bt WHERE pos = 0) u
+         |  GROUP BY piece),
+         |bigc2 AS (SELECT (SELECT max(len(word)) FROM uv) * (SELECT max(cnt) FROM pieces2) + 1 AS big),
+         |r2(word, freq, pos, costs) AS (
+         |  SELECT word, freq, 0, [CAST(0 AS BIGINT)] FROM uv
+         |  UNION ALL
+         |  SELECT word, freq, pos + 1, list_append(costs,
+         |    (SELECT min(r2.costs[r2.pos + 2 - len(p.piece)] + (SELECT big FROM bigc2) - p.cnt)
+         |     FROM pieces2 p
+         |     WHERE len(p.piece) <= r2.pos + 1
+         |       AND substr(r2.word, r2.pos + 2 - len(p.piece), len(p.piece)) = p.piece))
+         |  FROM r2 WHERE pos < len(word))
+         |SELECT word, freq,
+         |  CAST(costs[len(word) + 1] // (SELECT big FROM bigc2) + 1 AS BIGINT) AS n_pieces,
+         |  CAST((costs[len(word) + 1] // (SELECT big FROM bigc2) + 1) * (SELECT big FROM bigc2)
+         |       - costs[len(word) + 1] AS BIGINT) AS piece_mass
+         |FROM r2 WHERE pos = len(word)""".stripMargin,
 
     // file skipping must be invisible to results: the oracle is the
     // PLAIN filter. epoch_us(ts) is unit-agnostic on the DuckDB side
@@ -3243,6 +3266,25 @@ object SparkEntry {
       |     WHERE len(p.piece) <= r.pos + 1
       |       AND substr(r.word, r.pos + 2 - len(p.piece), len(p.piece)) = p.piece))
       |  FROM r WHERE pos < len(word))""".stripMargin
+
+  /** The canonical-backtrack CTEs shared by `unigram_em`/`unigram_em2`
+    * (`Unigram.backtrack`'s longest-tight-edge walk over the [[
+    * unigramCtes]] cost tables). Ends INSIDE the WITH clause. */
+  private def unigramBtCtes: String =
+    """tab AS (SELECT word, freq, costs FROM r WHERE pos = len(word)),
+      |bt(word, freq, pos, out) AS (
+      |  SELECT word, freq, len(word), '' FROM tab
+      |  UNION ALL
+      |  SELECT bt.word, bt.freq, bt.pos - l, substr(bt.word, bt.pos - l + 1, l) || ' ' || out
+      |  FROM (
+      |    SELECT b.word, b.freq, b.pos, b.out,
+      |      (SELECT max(len(p.piece)) FROM pieces p, tab t
+      |       WHERE t.word = b.word AND len(p.piece) <= b.pos
+      |         AND substr(b.word, b.pos - len(p.piece) + 1, len(p.piece)) = p.piece
+      |         AND t.costs[b.pos - len(p.piece) + 1] + (SELECT big FROM bigc) - p.cnt
+      |             = t.costs[b.pos + 1]) AS l
+      |    FROM bt b WHERE b.pos > 0
+      |  ) bt)""".stripMargin
 
   /** Greedy longest-match ENCODE replay (`Bpe.greedyPieces`) on top of
     * the [[bpeCtes]] chain: the piece inventory is v6's distinct symbol

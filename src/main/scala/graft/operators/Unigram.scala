@@ -206,4 +206,19 @@ object Unigram {
     val vocab = Bpe.wordVocab(docs, textCol).select("word", "freq").localCheckpoint()
     viterbiStats(vocab, fitSeed(vocab, maxPieceLen, keepTop))
   }
+
+  /** One full EM round: the M-step's expected counts BECOME the next
+    * model's piece scores (unused pieces drop — SentencePiece's
+    * pruning), with `BIG` re-derived for the new count range. Every
+    * word stays segmentable: its previous canonical path's pieces all
+    * earned counts, so at least that segmentation survives into the
+    * next round. One vocab-bounded job per round regardless of corpus
+    * size. */
+  def emRound(vocab: DataFrame, model: SeedModel): SeedModel = {
+    val counts = expectedPieceCounts(vocab, model).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "EM round over an empty segmentation")
+    val maxWordLen = vocab.agg(max(length(col("word")))).head().getInt(0).toLong
+    SeedModel(counts, model.maxPieceLen, maxWordLen * counts.values.max + 1)
+  }
 }

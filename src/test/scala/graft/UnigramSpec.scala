@@ -190,6 +190,31 @@ class UnigramSpec extends SparkSpec {
     assert(em.values.sum === 2L, "only the in-alphabet word contributes ('ab' = 1 piece × freq 2)")
   }
 
+  test("emRound: round-2 model re-scores from the M-step and stays segmentable") {
+    val d = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = Bpe.wordVocab(d).select("word", "freq").localCheckpoint()
+    val m0 = Unigram.fitSeed(vocab)
+    val m1 = Unigram.emRound(vocab, m0)
+    // reference round 2: explode reference backtracks into counts, re-DP
+    val words = vocab.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val refCnt = scala.collection.mutable.Map.empty[String, Long]
+    words.foreach { case (w, f) =>
+      refBacktrack(w, m0.pieces, m0.big).foreach(p =>
+        refCnt(p) = refCnt.getOrElse(p, 0L) + f)
+    }
+    assert(m1.pieces === refCnt.toMap, "round-2 scores must be the M-step counts")
+    val got = Unigram.viterbiStats(vocab, m1).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3)))
+    got.foreach { case (w, n, m) =>
+      // every word stays segmentable (no null stats sneaked through)
+      assert(Some((n, m)) === refDp(w, m1.pieces), s"round-2 word=$w")
+    }
+    // pruning really happened: the round-2 inventory only keeps used pieces
+    assert(m1.pieces.keySet.subsetOf(m0.pieces.keySet))
+    assert(m1.pieces.size < m0.pieces.size,
+      "some seed pieces must go unused on this corpus")
+  }
+
   test("expectedPieceCounts: total mass reconciles with the per-word rollup") {
     val corpus = docs("abab ab aba", "bb ab abab")
     val vocab = Bpe.wordVocab(corpus).select("word", "freq").localCheckpoint()
