@@ -154,9 +154,38 @@ object Layout {
       val in = fs.open(manifest)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    // any key chars up to the closing quote: nested-field names carry
-    // dots via toDotString and must round-trip through compact intact
-    """"min_([^"]+)":""".r.findAllMatchIn(text).map(_.group(1)).toSeq.distinct
+    // nested-field names carry dots via toDotString and must round-trip
+    // through compact intact — the JSON key is taken whole
+    parsedManifest(text).flatMap(_._2.keys).distinct
+  }
+
+  /** Parse a stats manifest (one JSON object per line) into
+    * `(fileName, col -> (min, max))` entries with a REAL JSON reader
+    * (json4s, already on the Spark classpath) — field order, extra
+    * keys, and whitespace are all tolerated; a malformed line or a
+    * non-integral bound drops only that line/column, which errs in the
+    * safe direction (the file stays unprunable, never skipped). */
+  private def parsedManifest(text: String): Seq[(String, Map[String, (Long, Long)])] = {
+    import org.json4s._
+    text.split('\n').toSeq.filter(_.trim.nonEmpty).flatMap { line =>
+      val parsed = try Some(org.json4s.jackson.JsonMethods.parse(line))
+                   catch { case _: Exception => None }
+      parsed.collect { case JObject(fields) =>
+        val kv = fields.toMap
+        kv.get("file").collect { case JString(name) =>
+          val longs = kv.collect {
+            case (k, JInt(v)) if v.isValidLong => k -> v.toLong
+            case (k, JLong(v)) => k -> v
+          }
+          val bounds = longs.collect {
+            case (k, mn) if k.startsWith("min_") &&
+              longs.contains("max_" + k.stripPrefix("min_")) =>
+              k.stripPrefix("min_") -> ((mn, longs("max_" + k.stripPrefix("min_"))))
+          }
+          name -> bounds
+        }
+      }.flatten
+    }
   }
 
   /** File paths of `dir` whose `[min, max]` interval for `col` overlaps
@@ -185,17 +214,8 @@ object Layout {
       val in = fs.open(manifest)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    // manifest lines are machine-written with a fixed field order; a
-    // regex pull keeps this dependency-free (no JSON parser in scope)
-    val entry = ("""\{"file":"([^"]+)"(.*)\}""").r
-    val q = java.util.regex.Pattern.quote(colName)
-    val bound = (s"""\"min_$q\":(-?\\d+),\"max_$q\":(-?\\d+)""").r
-    val bounds = text.split('\n').flatMap {
-      case entry(name, rest) =>
-        bound.findFirstMatchIn(rest).map(m =>
-          name -> ((m.group(1).toLong, m.group(2).toLong)))
-      case _ => None
-    }.toMap
+    val bounds = parsedManifest(text)
+      .flatMap { case (name, cols) => cols.get(colName).map(name -> _) }.toMap
     val kept = files.filter { f =>
       val name = new org.apache.hadoop.fs.Path(f).getName
       bounds.get(name) match {

@@ -180,7 +180,7 @@ object Bpe {
           array_contains(inv, word.substr(pos, lit(l))), lit(l))
           .otherwise(shorter)
       }
-    aggregate(
+    val walked = aggregate(
       sequence(lit(1), length(word)),
       struct(lit(1).as("pos"), array().cast("array<string>").as("pieces")),
       (acc, i) => {
@@ -191,6 +191,11 @@ object Bpe {
             array_append(acc.getField("pieces"), word.substr(pos, l)).as("pieces")))
       },
       acc => acc.getField("pieces"))
+    // empty-word guard: sequence(1, 0) defaults to step -1 and yields
+    // [1, 0], so the unguarded fold would emit one spurious "" piece.
+    // Unreachable via the [a-z]+ wordVocab paths, but this is a public
+    // Column API over arbitrary input — "" segments to [].
+    when(length(word) === 0, array().cast("array<string>")).otherwise(walked)
   }
 
   /** Corpus-wide greedy-piece frequencies under a trained vocabulary:

@@ -184,20 +184,21 @@ object Dedup {
     * the vote shuffle for per-row work — the right shape whenever the
     * fingerprint is consumed row-wise rather than re-keyed. */
   def simhash60Col(text: Column): Column = {
-    val toks = split(lower(trim(text)), "\\s+")
+    // hash each token ONCE up front: common-subexpression elimination is
+    // limited inside higher-order-function lambdas, so an md5 subtree
+    // referenced per bit branch would re-evaluate up to ~120× per token
+    val toks = transform(split(lower(trim(text)), "\\s+"), t => md5Hash60(t))
     // shiftright/shiftleft with a COLUMN shift amount need the SQL
     // function form (the Scala wrappers only take Int shifts)
     val votes = aggregate(
       toks,
       array_repeat(lit(0L), 60),
-      (acc, t) => {
-        val h = md5Hash60(t)
+      (acc, h) =>
         zip_with(acc,
           transform(sequence(lit(0), lit(59)),
             b => when(call_function("shiftright", h, b) % 2 === 1, lit(1L))
               .otherwise(lit(-1L))),
-          (a, v) => a + v)
-      })
+          (a, v) => a + v))
     aggregate(sequence(lit(0), lit(59)), lit(0L),
       (acc, b) => acc + when(element_at(votes, b + 1) > 0,
         call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))

@@ -86,7 +86,7 @@ object Unigram {
     * `i+1` is the best cost of the first `i` characters. */
   def viterbiTable(word: Column, model: SeedModel): Column = {
     val cntMap = typedlit(model.pieces)
-    aggregate(
+    val table = aggregate(
       sequence(lit(1), length(word)),
       array(lit(0L)),
       (acc, j) => {
@@ -99,6 +99,10 @@ object Unigram {
         array_append(acc, candidates.reduce(least(_, _)))
       },
       acc => acc)
+    // empty-word guard: sequence(1, 0) yields [1, 0] (step -1), padding
+    // the table to 3 null-costed entries; the empty word's true table is
+    // the single zero-cost entry (and it then segments to []).
+    when(length(word) === 0, array(lit(0L))).otherwise(table)
   }
 
   /** Full-word Viterbi cost `n_pieces · BIG − piece_mass` — the last

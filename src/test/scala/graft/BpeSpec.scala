@@ -187,6 +187,16 @@ class BpeSpec extends SparkSpec {
     assert(rows("b") === Seq("b"))
   }
 
+  test("greedyPieces: empty word segments to [], not a spurious empty piece") {
+    // sequence(1, 0) yields [1, 0] (step -1); the unguarded fold would
+    // emit [""] — the guard pins [] for the public Column API
+    val got = Seq("", "a").toDF("word")
+      .select(col("word"), Bpe.greedyPieces(col("word"), Seq("a")).as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(got("") === Seq.empty)
+    assert(got("a") === Seq("a"))
+  }
+
   test("greedyPieces: end-of-word truncation cannot impersonate a shorter piece") {
     // inventory has "aa" but NOT trailing 'a'-at-end 3-char probe; word
     // "baa" at pos 2: probing length 2 beyond the end must not match

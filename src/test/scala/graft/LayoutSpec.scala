@@ -112,6 +112,46 @@ class LayoutSpec extends SparkSpec {
     assert(kept.size === total, "no manifest → nothing may be skipped")
   }
 
+  test("manifest parsing survives field reorder / extra keys; malformed lines fail safe") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-drift").toString + "/t"
+    val df = Seq((1L, 5L), (200L, 6L)).toDF("user_id", "ts_ns")
+    Layout.writeWithStats(df.repartition(2, col("user_id")), dir, Seq("user_id"))
+    val (keptBefore, total) = Layout.prunedPaths(spark, dir, "user_id", 100L, 300L)
+    assert(total === 2 && keptBefore.size === 1, "baseline: one file skipped")
+    // rewrite the manifest with reordered fields, injected keys, and one
+    // malformed line — a REAL JSON reader must tolerate the first two;
+    // the malformed line's file must stay unprunable (kept), never skipped
+    val mPath = java.nio.file.Paths.get(dir, "_graft_stats.json")
+    val lines = scala.io.Source.fromFile(mPath.toFile).getLines().toSeq
+    val drifted = lines.zipWithIndex.map { case (l, i) =>
+      if (i == 0) {
+        // reorder: max before min, plus an unknown key in between
+        val f = """"file":"([^"]+)"""".r.findFirstMatchIn(l).get.group(1)
+        val mn = """"min_user_id":(-?\d+)""".r.findFirstMatchIn(l).get.group(1)
+        val mx = """"max_user_id":(-?\d+)""".r.findFirstMatchIn(l).get.group(1)
+        s"""{"max_user_id":$mx, "rows": 1, "min_user_id":$mn, "file":"$f"}"""
+      } else "{not json at all"
+    }
+    java.nio.file.Files.write(mPath, drifted.mkString("\n").getBytes("UTF-8"))
+    // drop the Hadoop local-FS checksum sidecar our out-of-band rewrite broke
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(dir, "._graft_stats.json.crc"))
+    val (kept, _) = Layout.prunedPaths(spark, dir, "user_id", 100L, 300L)
+    // the reordered line still prunes or keeps per its bounds; the
+    // malformed line's file is kept unconditionally
+    val firstFile = drifted.head.split("\"file\":\"")(1).takeWhile(_ != '"')
+    val firstKept = kept.exists(_.endsWith(firstFile))
+    val firstInRange = {
+      val mn = """"min_user_id":(-?\d+)""".r.findFirstMatchIn(drifted.head).get.group(1).toLong
+      val mx = """"max_user_id":(-?\d+)""".r.findFirstMatchIn(drifted.head).get.group(1).toLong
+      mx >= 100L && mn <= 300L
+    }
+    assert(firstKept === firstInRange, "reordered JSON line must still be parsed")
+    assert(kept.size >= 1, "the malformed line's file must be kept (fail safe)")
+    assert(kept.size === (if (firstInRange) 2 else 1))
+    assert(Layout.trackedCols(spark, dir) === Seq("user_id"))
+  }
+
   test("readPruned with a fully-out-of-range predicate returns an empty, well-typed frame") {
     val dir = java.nio.file.Files.createTempDirectory("layout-empty").toString + "/t"
     val df = Seq((1L, 5L), (2L, 6L)).toDF("user_id", "ts_ns")

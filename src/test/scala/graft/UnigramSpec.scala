@@ -171,6 +171,18 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("empty word: table is the single zero-cost entry; path is []") {
+    val model = Unigram.fitSeed(
+      Bpe.wordVocab(docs("abc ab abc")).select("word", "freq"))
+    val r = Seq("").toDF("word")
+      .withColumn("__tab", Unigram.viterbiTable(col("word"), model))
+      .select(col("__tab"),
+        Unigram.backtrack(col("word"), col("__tab"), model).as("p"))
+      .head()
+    assert(r.getSeq[Long](0) === Seq(0L), "empty word's DP table is [0]")
+    assert(r.getSeq[String](1) === Seq.empty, "empty word segments to []")
+  }
+
   test("out-of-alphabet words surface null paths and drop out of the M-step") {
     // model fit on a-b-c words, applied to a vocab with a 'z' word —
     // the cross-corpus reuse the API invites
