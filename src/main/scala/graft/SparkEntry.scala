@@ -900,6 +900,18 @@ object SparkEntry {
       graft.operators.Unigram.viterbiStats(vocab,
         graft.operators.Unigram.emRound(vocab, m0))
     }),
+    // EM to CONVERGENCE: iterate M-step refits until the weighted total
+    // piece count stops improving (integer rule, oracle-replayable);
+    // the output trace — one row per round run, including the stopping
+    // round — witnesses the convergence itself
+    "unigram_em_loop" -> ((s, d) => {
+      import s.implicits._
+      val vocab = Bpe.wordVocab(Tables.documents(s, d))
+        .select("word", "freq").localCheckpoint()
+      val (_, iters) = graft.operators.Unigram.emLoop(
+        vocab, graft.operators.Unigram.fitSeed(vocab), maxIters = 4)
+      iters.toDF()
+    }),
     // manifest-level file skipping: cluster events on the Z curve, write
     // with a footer-derived per-file min/max manifest, then answer a
     // selective user_id range by reading ONLY the overlapping files
@@ -3225,6 +3237,13 @@ object SparkEntry {
          |       - costs[len(word) + 1] AS BIGINT) AS piece_mass
          |FROM r2 WHERE pos = len(word)""".stripMargin,
 
+    // the EM loop's trace: replay maxIters rounds of (DP → canonical
+    // backtrack → refit) as generated CTEs, compute each round's
+    // corpus totals, then keep rows up to and including the first
+    // non-improving round — the same integer stopping rule the engine
+    // runs
+    "unigram_em_loop" -> unigramLoopSql(maxRounds = 4),
+
     // file skipping must be invisible to results: the oracle is the
     // PLAIN filter. epoch_us(ts) is unit-agnostic on the DuckDB side
     // (µs per the verify-skill gotcha), ×1000 matches Tables.events'
@@ -3285,6 +3304,81 @@ object SparkEntry {
       |             = t.costs[b.pos + 1]) AS l
       |    FROM bt b WHERE b.pos > 0
       |  ) bt)""".stripMargin
+
+  /** The full EM-loop replay (`Unigram.emLoop`): rounds 2..N extend the
+    * [[unigramCtes]]+[[unigramBtCtes]] chain — each round's expected
+    * counts become the next round's piece scores, `BIG` re-derives,
+    * and the DP recursion re-runs — then a per-round summary applies
+    * the engine's exact integer stopping rule (keep rows up to and
+    * including the first round whose weighted total piece count fails
+    * to improve). The last round needs no backtrack: only rounds that
+    * feed a successor build `bt`. */
+  private def unigramLoopSql(maxRounds: Int): String = {
+    require(maxRounds >= 2, "the loop trace needs at least two rounds to compare")
+    val sb = new StringBuilder(unigramCtes + ",\n" + unigramBtCtes)
+    for (j <- 2 to maxRounds) {
+      val prevBt = if (j == 2) "bt" else s"bt${j - 1}"
+      // MATERIALIZED is load-bearing: without it DuckDB inlines the
+      // round-j frames into round j+1's correlated subqueries, and the
+      // r→pieces→bt→tab chain re-evaluates once per outer row per
+      // round — exponential in maxRounds. Materializing each round
+      // boundary pins the replay to one evaluation per round.
+      sb ++= s""",
+        |pieces$j AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
+        |  FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
+        |        FROM $prevBt WHERE pos = 0) u
+        |  GROUP BY piece),
+        |bigc$j AS MATERIALIZED (SELECT (SELECT max(len(word)) FROM uv) * (SELECT max(cnt) FROM pieces$j) + 1 AS big),
+        |r$j(word, freq, pos, costs) AS (
+        |  SELECT word, freq, 0, [CAST(0 AS BIGINT)] FROM uv
+        |  UNION ALL
+        |  SELECT word, freq, pos + 1, list_append(costs,
+        |    (SELECT min(r$j.costs[r$j.pos + 2 - len(p.piece)] + (SELECT big FROM bigc$j) - p.cnt)
+        |     FROM pieces$j p
+        |     WHERE len(p.piece) <= r$j.pos + 1
+        |       AND substr(r$j.word, r$j.pos + 2 - len(p.piece), len(p.piece)) = p.piece))
+        |  FROM r$j WHERE pos < len(word))""".stripMargin
+      if (j < maxRounds) sb ++= s""",
+        |tab$j AS MATERIALIZED (SELECT word, freq, costs FROM r$j WHERE pos = len(word)),
+        |bt$j(word, freq, pos, out) AS (
+        |  SELECT word, freq, len(word), '' FROM tab$j
+        |  UNION ALL
+        |  SELECT s.word, s.freq, s.pos - l, substr(s.word, s.pos - l + 1, l) || ' ' || out
+        |  FROM (
+        |    SELECT b.word, b.freq, b.pos, b.out,
+        |      (SELECT max(len(p.piece)) FROM pieces$j p, tab$j t
+        |       WHERE t.word = b.word AND len(p.piece) <= b.pos
+        |         AND substr(b.word, b.pos - len(p.piece) + 1, len(p.piece)) = p.piece
+        |         AND t.costs[b.pos - len(p.piece) + 1] + (SELECT big FROM bigc$j) - p.cnt
+        |             = t.costs[b.pos + 1]) AS l
+        |    FROM bt$j b WHERE b.pos > 0
+        |  ) s)""".stripMargin
+    }
+    // per-round corpus totals (round 1 = the seed-model names)
+    def roundSummary(j: Int): String = {
+      val (rName, piecesName, bigName) =
+        if (j == 1) ("r", "pieces", "bigc") else (s"r$j", s"pieces$j", s"bigc$j")
+      s"""SELECT $j AS iter, (SELECT count(*) FROM $piecesName) AS model_pieces,
+         |  CAST(sum(freq * (costs[len(word) + 1] // (SELECT big FROM $bigName) + 1)) AS BIGINT) AS total_pieces,
+         |  CAST(sum(freq * ((costs[len(word) + 1] // (SELECT big FROM $bigName) + 1) * (SELECT big FROM $bigName)
+         |       - costs[len(word) + 1])) AS BIGINT) AS total_mass
+         |FROM $rName WHERE pos = len(word)""".stripMargin
+    }
+    sb ++= s""",
+      |summary AS (
+      |${(1 to maxRounds).map(roundSummary).mkString("\nUNION ALL\n")}),
+      |flagged AS (SELECT iter, model_pieces, total_pieces, total_mass,
+      |  CASE WHEN iter = 1 THEN 0
+      |       WHEN total_pieces >= lag(total_pieces) OVER (ORDER BY iter) THEN 1
+      |       ELSE 0 END AS stopf
+      |  FROM summary),
+      |kept AS (SELECT *, sum(stopf) OVER (ORDER BY iter
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      |  FROM flagged)
+      |SELECT iter, model_pieces, total_pieces, total_mass
+      |FROM kept WHERE s = 0 OR (stopf = 1 AND s = 1)""".stripMargin
+    sb.toString
+  }
 
   /** Greedy longest-match ENCODE replay (`Bpe.greedyPieces`) on top of
     * the [[bpeCtes]] chain: the piece inventory is v6's distinct symbol

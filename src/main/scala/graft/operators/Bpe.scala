@@ -95,27 +95,107 @@ object Bpe {
     * merge list and the final rewritten vocabulary. The per-iteration
     * `localCheckpoint` truncates lineage (k nested rewrites would
     * otherwise stack k plans); at real scale the vocab frame is the
-    * natural persist point and each iteration is one small job. */
+    * natural persist point and each iteration is one small job.
+    *
+    * BATCHED iterations: a naive trainer runs one count job + one
+    * rewrite per merge — O(k) driver round-trips, prohibitive at a
+    * production 50k-merge vocabulary. Each iteration here collects the
+    * HEAD of the pair ranking once and accepts the longest rank-prefix
+    * provably safe to apply together (see [[selectBatch]] for the
+    * exactness argument), so k merges cost O(k/m) jobs while the merge
+    * sequence — order, freqs, ties — is bit-identical to the
+    * one-at-a-time trainer (`BpeSpec` pins both the equality and the
+    * job-count drop). `maxBatch = 1` recovers the sequential loop. */
   def learnMerges(docs: DataFrame, numMerges: Int,
-                  textCol: String = "text"): (Seq[Merge], DataFrame) = {
+                  textCol: String = "text", maxBatch: Int = 16): (Seq[Merge], DataFrame) = {
     require(numMerges >= 1, s"need numMerges >= 1, got $numMerges")
+    require(maxBatch >= 1, s"need maxBatch >= 1, got $maxBatch")
     var vocab = wordVocab(docs, textCol).localCheckpoint()
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
     while (rank <= numMerges && !exhausted) {
-      val best = pairCounts(vocab)
+      val remaining = numMerges - rank + 1
+      val take = math.min(maxBatch, remaining)
+      // head size: enough rows to both fill a batch and witness the
+      // created-pair threat set; the +1 marks the completeness floor
+      // (every pair with freq > the last collected row's freq is in the
+      // list; at the floor itself the limit may have cut ties)
+      val topN = math.max(take * 4, 8) + 1
+      val top = pairCounts(vocab)
         .orderBy(desc("freq"), asc("lhs"), asc("rhs"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true // every word is a single symbol
+        .limit(topN).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (top.isEmpty) exhausted = true // every word is a single symbol
       else {
-        val (l, r, f) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Merge(rank, l, r, l + r, f)
-        vocab = vocab.withColumn("seq", applyMerge(col("seq"), l, r)).localCheckpoint()
-        rank += 1
+        val batch = selectBatch(top, topN, take)
+        batch.foreach { case (l, r, f) =>
+          merges += Merge(rank, l, r, l + r, f); rank += 1
+        }
+        val rewritten = batch.foldLeft(col("seq")) {
+          case (c, (l, r, _)) => applyMerge(c, l, r)
+        }
+        vocab = vocab.withColumn("seq", rewritten).localCheckpoint()
       }
     }
     (merges.result(), vocab)
+  }
+
+  /** The longest rank-prefix of `top` that can be applied in ONE vocab
+    * rewrite while reproducing the sequential trainer's merge sequence
+    * exactly. A candidate joins the batch only when, for every already-
+    * accepted merge j = (lj, rj):
+    *
+    *  - its symbols (lhs, rhs, and the fused lhs+rhs) are disjoint from
+    *    j's {lj, rj, ljrj}: no shared symbol means no occurrence of the
+    *    candidate pair can be destroyed, created, or overlapped by
+    *    applying j (pair occurrences overlap only through a shared
+    *    symbol position; minted occurrences always involve the fused
+    *    symbol);
+    *  - no CURRENT pair q adjacent to j — q.rhs = lj or q.lhs = rj —
+    *    has freq ≥ the candidate's: a pair minted by applying j, e.g.
+    *    (x, ljrj), occurs at most once per "x lj rj" trigram, so its
+    *    count is ≤ freq(x, lj); bounding every potential creator below
+    *    the candidate's freq (strictly — a tie could still win on the
+    *    lexicographic tie-break) guarantees no minted pair outranks the
+    *    candidate at its sequential selection step. The bound survives
+    *    minted-from-minted chains: a pair minted off another minted
+    *    symbol is count-dominated by the same current-count neighbor.
+    *  - its freq is strictly above the completeness floor (the last
+    *    collected row), so every possible creator q is IN the list;
+    *  - no accepted merge is a self-pair (lj = rj): overlapping
+    *    occurrences break the disjoint-replacement reasoning, so a
+    *    self-pair closes its batch (it still merges — alone).
+    *
+    * On the first rejection the batch CLOSES (a non-prefix batch could
+    * skip the pair the sequential trainer would pick next). Within the
+    * accepted prefix, disjointness makes the merges commute, so one
+    * fold of [[applyMerge]] equals applying them one checkpoint at a
+    * time. */
+  private def selectBatch(top: Array[(String, String, Long)], topN: Int,
+                          maxTake: Int): Seq[(String, String, Long)] = {
+    val complete = top.length < topN // the list IS the whole pair space
+    val floor = if (complete) Long.MinValue else top.last._3
+    val accepted = Seq.newBuilder[(String, String, Long)]
+    var acceptedPairs = List.empty[(String, String)]
+    var used = Set.empty[String]
+    var n = 0
+    var closed = false
+    for (cand @ (l, r, f) <- top if !closed && n < maxTake) {
+      val syms = Set(l, r, l + r)
+      if (n == 0) {
+        accepted += cand; acceptedPairs ::= (l -> r); used = syms; n = 1
+        if (l == r) closed = true
+      } else {
+        val threat = acceptedPairs.exists { case (lj, rj) =>
+          top.exists { case (ql, qr, qf) => qf >= f && (qr == lj || ql == rj) }
+        }
+        if (l != r && f > floor && (syms & used).isEmpty && !threat) {
+          accepted += cand; acceptedPairs ::= (l -> r); used ++= syms; n += 1
+        } else closed = true
+      }
+    }
+    accepted.result()
   }
 
   /** The learned merge table as a DataFrame — k rows, driver-built (the

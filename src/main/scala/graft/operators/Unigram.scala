@@ -225,4 +225,51 @@ object Unigram {
     val maxWordLen = vocab.agg(max(length(col("word")))).head().getInt(0).toLong
     SeedModel(counts, model.maxPieceLen, maxWordLen * counts.values.max + 1)
   }
+
+  /** One EM iteration's corpus-level summary: the model's piece
+    * inventory size and the frequency-weighted totals of the optimal
+    * segmentations — `total_pieces` is the integer objective's primary
+    * tier, comparable ACROSS rounds (piece counts don't depend on the
+    * per-round `BIG` rescale the way raw costs do), which is what the
+    * loop's stopping rule reads. */
+  final case class EmIter(iter: Int, model_pieces: Int,
+                          total_pieces: Long, total_mass: Long)
+
+  /** Corpus totals under a model: `(Σ freq·n_pieces, Σ freq·mass)`. */
+  private def corpusTotals(vocab: DataFrame, model: SeedModel): (Long, Long) = {
+    val r = viterbiStats(vocab, model)
+      .agg(sum(col("freq") * col("n_pieces")).as("tp"),
+        sum(col("freq") * col("piece_mass")).as("tm")).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  /** EM to CONVERGENCE — the loop SentencePiece runs, over the integer
+    * objective: iterate [[emRound]] (M-step refit, unused pieces
+    * pruned) until the weighted total piece count stops improving by
+    * more than `minDelta`, or `maxIters` rounds. Returns the final
+    * model plus one [[EmIter]] row per round RUN — including the round
+    * that triggered the stop, so the trace itself witnesses
+    * convergence. Deterministic end to end (integer compares only),
+    * hence DuckDB-replayable; each round costs two vocab-bounded jobs
+    * regardless of corpus size. */
+  def emLoop(vocab: DataFrame, seed: SeedModel, maxIters: Int,
+             minDelta: Long = 0L): (SeedModel, Seq[EmIter]) = {
+    require(maxIters >= 1, s"need maxIters >= 1, got $maxIters")
+    require(minDelta >= 0L, s"need minDelta >= 0, got $minDelta")
+    var model = seed
+    var (tp, tm) = corpusTotals(vocab, model)
+    val iters = Seq.newBuilder[EmIter]
+    iters += EmIter(1, model.pieces.size, tp, tm)
+    var i = 1
+    var stopped = false
+    while (i < maxIters && !stopped) {
+      val next = emRound(vocab, model)
+      val (tp2, tm2) = corpusTotals(vocab, next)
+      i += 1
+      iters += EmIter(i, next.pieces.size, tp2, tm2)
+      if (tp2 >= tp - minDelta) stopped = true // no (sufficient) improvement
+      model = next; tp = tp2; tm = tm2
+    }
+    (model, iters.result())
+  }
 }

@@ -84,6 +84,35 @@ class BpeSpec extends SparkSpec {
       Seq(("aa", "aa"), ("ab", "ab")))
   }
 
+  test("batched trainer: merge sequence identical to sequential, far fewer jobs") {
+    val d = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    def jobsDuring(tag: String)(body: => Unit): Int = {
+      val sc = spark.sparkContext
+      sc.setJobGroup(tag, tag, interruptOnCancel = false)
+      try body finally sc.clearJobGroup()
+      // statusTracker trails the listener bus — poll until stable
+      var last = -1
+      var cur = sc.statusTracker.getJobIdsForGroup(tag).length
+      while (cur != last) {
+        last = cur; Thread.sleep(200)
+        cur = sc.statusTracker.getJobIdsForGroup(tag).length
+      }
+      cur
+    }
+    var seqM: Seq[Bpe.Merge] = Seq.empty
+    var batM: Seq[Bpe.Merge] = Seq.empty
+    val seqJobs = jobsDuring("bpe-seq") { seqM = Bpe.learnMerges(d, 12, maxBatch = 1)._1 }
+    val batJobs = jobsDuring("bpe-bat") { batM = Bpe.learnMerges(d, 12, maxBatch = 16)._1 }
+    assert(batM === seqM, "batching must not change the merge sequence")
+    assert(batM.size === 12, "corpus must support 12 merges for this measurement")
+    // early character-level merges share symbols heavily (th/he/er...),
+    // so prefix batches stay small at first — still a ~2× cut here, and
+    // the amortization grows with the longer, more disjoint symbols of a
+    // production 50k-merge run
+    assert(batJobs * 3 <= seqJobs * 2,
+      s"batched trainer ran $batJobs jobs vs sequential $seqJobs — expected <= 2/3")
+  }
+
   test("learnMerges tie-break is (freq desc, lhs asc, rhs asc)") {
     // pairs (b,a) and (a,c) both freq 1 → (a,c) wins on lhs
     val (merges, _) = Bpe.learnMerges(docs("ba ac"), numMerges = 1)

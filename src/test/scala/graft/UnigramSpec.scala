@@ -171,6 +171,33 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("emLoop: trace equals composed emRounds, stops on the first non-improving round") {
+    val d = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = Bpe.wordVocab(d).select("word", "freq").localCheckpoint()
+    val seed = Unigram.fitSeed(vocab)
+    val (fin, iters) = Unigram.emLoop(vocab, seed, maxIters = 4)
+    assert(iters.head.iter === 1)
+    assert(iters.map(_.iter) === (1 to iters.size))
+    // replay by hand: compose emRound and compare every trace row
+    def totals(m: Unigram.SeedModel): (Long, Long) = {
+      val r = Unigram.viterbiStats(vocab, m)
+        .agg(sum(col("freq") * col("n_pieces")), sum(col("freq") * col("piece_mass"))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var m = seed
+    iters.zipWithIndex.foreach { case (it, i) =>
+      if (i > 0) m = Unigram.emRound(vocab, m)
+      val (tp, tm) = totals(m)
+      assert(it === Unigram.EmIter(i + 1, m.pieces.size, tp, tm), s"round ${i + 1}")
+    }
+    assert(fin.pieces === m.pieces, "returned model must be the last round's")
+    // every pre-stop step strictly improved; the final row did not
+    // (unless the loop ran out of rounds first)
+    val tps = iters.map(_.total_pieces)
+    tps.sliding(2).toSeq.dropRight(1).foreach { case Seq(a, b) => assert(b < a) }
+    if (iters.size < 4) assert(tps(iters.size - 1) >= tps(iters.size - 2))
+  }
+
   test("empty word: table is the single zero-cost entry; path is []") {
     val model = Unigram.fitSeed(
       Bpe.wordVocab(docs("abc ab abc")).select("word", "freq"))
