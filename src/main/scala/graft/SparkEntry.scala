@@ -925,6 +925,32 @@ object SparkEntry {
         statsPruneDir, Seq("user_id", "ts_ns"))
       graft.io.Layout.readPruned(s, statsPruneDir, "user_id", 10L, 20L)
         .select("event_id", "user_id", "ts_ns")
+    }),
+    // the skipping manifest feeding a real CONSUMER: the tumbling-agg
+    // tier answers a time-slice question from a z-ordered stats table
+    // through readPruned, so the manifest drops the files whose ts_ns
+    // interval misses the slice before Spark lists them (the 100 TB
+    // shape: an event-log day-slice reads the day's files, not the
+    // year's). The slice [min + span/4, min + span/2] derives from the
+    // data so it is SF-independent; sums are fixed-point micro-units
+    // (order-independent). LayoutSpec asserts genuine file skipping for
+    // this exact consumer; the oracle is the plain unpruned filter —
+    // skipping must be invisible in values
+    "prune_tumbling" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "event_type", "value", "user_id", "ts_ns")
+      graft.io.Layout.writeWithStats(
+        graft.io.Layout.zorderBy(ev, "user_id", "ts_ns", bits = 8, numFiles = 8),
+        pruneTumblingDir, Seq("user_id", "ts_ns"))
+      val r = ev.agg(min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (r.getLong(0), r.getLong(1))
+      val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+      graft.io.Layout.readPruned(s, pruneTumblingDir, "ts_ns", lo, hi)
+        .groupBy(expr("ts_ns div 600000000000").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(expr("CAST(round(value * 1e6) AS BIGINT)")).as("sum_value_micro"))
+        .select((col("win") * 600).as("win_start_s"), col("event_type"),
+          col("n_events"), col("sum_value_micro"))
     })
   )
 
@@ -972,6 +998,16 @@ object SparkEntry {
     * rationale) as [[ivfDemoDir]]. */
   private lazy val statsPruneDir: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-stats-q")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p.toString + "/table"
+  }
+
+  /** The prune_tumbling demo table location — separate from
+    * [[statsPruneDir]] because the two queries may interleave under the
+    * bench and each rebuilds destructively. */
+  private lazy val pruneTumblingDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ptumb-q")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
     p.toString + "/table"
@@ -3250,7 +3286,23 @@ object SparkEntry {
     // ts_ns normalization
     "stats_prune" ->
       """SELECT event_id, user_id, epoch_us(ts) * 1000 AS ts_ns
-        |FROM events WHERE user_id BETWEEN 10 AND 20""".stripMargin
+        |FROM events WHERE user_id BETWEEN 10 AND 20""".stripMargin,
+
+    // skipping must be invisible to the tumbling consumer too: the
+    // oracle is the plain filtered aggregate over the whole table. The
+    // slice bounds replay the engine's integer arithmetic (positive
+    // spans, so // and Long division agree)
+    "prune_tumbling" ->
+      """WITH b AS (SELECT min(epoch_us(ts) * 1000) AS mn, max(epoch_us(ts) * 1000) AS mx
+        |           FROM events),
+        |f AS (SELECT event_type, epoch_us(ts) * 1000 AS ts_ns, value
+        |      FROM events, b
+        |      WHERE epoch_us(ts) * 1000 BETWEEN mn + (mx - mn) // 4
+        |                                    AND mn + (mx - mn) // 2)
+        |SELECT (ts_ns // 600000000000) * 600 AS win_start_s, event_type,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micro
+        |FROM f GROUP BY 1, 2""".stripMargin
   )
 
   /** The unigram-LM chain shared by `unigram_viterbi` and `unigram_em`:

@@ -337,10 +337,17 @@ object StreamingIngest {
     * stream; beyond the cap, recall degrades against the evicted tail
     * exactly like a production sliding dedup window), and `stateTtlMs`
     * evicts idle buckets wholesale under the same
-    * ProcessingTimeTimeout contract (and caveats) as [[statefulDedup]]. */
+    * ProcessingTimeTimeout contract (and caveats) as [[statefulDedup]].
+    *
+    * The cap is not silent: pass `evictions` to count every
+    * fingerprint dropped past `perBucketCap` (across all band buckets).
+    * It is an accumulator, so task retries / micro-batch replays can
+    * overcount — a MONITORING signal for "this stream is losing
+    * recall", not an exactly-once metric; zero still means zero. */
   def streamingNearDups(docs: org.apache.spark.sql.Dataset[NearDoc],
                         maxHamming: Int = 3, perBucketCap: Int = 64,
-                        stateTtlMs: Option[Long] = None)
+                        stateTtlMs: Option[Long] = None,
+                        evictions: Option[org.apache.spark.util.LongAccumulator] = None)
       : org.apache.spark.sql.Dataset[NearDupHit] = {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -374,7 +381,10 @@ object StreamingIngest {
                   out += NearDupHit(id, keeper, java.lang.Long.bitCount(sfp ^ fp))
                 case None => ()
               }
-              st = BandState((st.ids :+ id).takeRight(perBucketCap),
+              val grown = st.ids :+ id
+              val dropped = grown.size - perBucketCap
+              if (dropped > 0) evictions.foreach(_.add(dropped.toLong))
+              st = BandState(grown.takeRight(perBucketCap),
                 (st.fps :+ fp).takeRight(perBucketCap))
             }
             state.update(st)

@@ -161,6 +161,33 @@ class LayoutSpec extends SparkSpec {
     assert(out.count() === 0L)
   }
 
+  test("tumbling consumer over a stats table: fewer files read, values unchanged") {
+    // the prune_tumbling driver query's shape: z-order events, write
+    // with a manifest, answer a ts_ns slice through readPruned
+    val dir = java.nio.file.Files.createTempDirectory("layout-consumer").toString + "/t"
+    val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "event_type", "value", "user_id", "ts_ns")
+    Layout.writeWithStats(
+      Layout.zorderBy(ev, "user_id", "ts_ns", bits = 8, numFiles = 8),
+      dir, Seq("user_id", "ts_ns"))
+    val r = ev.agg(min("ts_ns"), max("ts_ns")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
+    val (kept, total) = Layout.prunedPaths(spark, dir, "ts_ns", lo, hi)
+    assert(total === 8)
+    assert(kept.size < total,
+      s"the quarter-to-half time slice must skip files (kept ${kept.size}/$total)")
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(expr("ts_ns div 600000000000").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(expr("CAST(round(value * 1e6) AS BIGINT)")).as("sv"))
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val pruned = agg(Layout.readPruned(spark, dir, "ts_ns", lo, hi))
+    val plain = agg(ev.filter(col("ts_ns").between(lo, hi)))
+    assert(pruned === plain, "skipping must not change the aggregate")
+    assert(plain.nonEmpty)
+  }
+
   test("compact re-derives the stats manifest so skipping survives re-filing") {
     val dir = java.nio.file.Files.createTempDirectory("layout-compact").toString + "/t"
     val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")

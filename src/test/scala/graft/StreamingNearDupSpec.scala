@@ -78,12 +78,15 @@ class StreamingNearDupSpec extends SparkSpec {
   test("perBucketCap evicts FIFO: the keeper shifts to the oldest retained entry") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[NearDoc]
-    val q = StreamingIngest.streamingNearDups(input.toDS(), perBucketCap = 1)
+    val evicted = spark.sparkContext.longAccumulator("near-dup-evictions")
+    val q = StreamingIngest.streamingNearDups(input.toDS(), perBucketCap = 1,
+        evictions = Some(evicted))
       .writeStream.format("memory").queryName("near_cap")
       .outputMode("append").start()
     try {
       input.addData(NearDoc(1L, "same words here", 100L))
       q.processAllAvailable()
+      assert(evicted.value === 0L, "cap not reached yet — counter must stay silent")
       input.addData(NearDoc(2L, "same words here", 200L))
       q.processAllAvailable()
       input.addData(NearDoc(3L, "same words here", 300L))
@@ -93,6 +96,30 @@ class StreamingNearDupSpec extends SparkSpec {
       // cap 1: after doc 2 arrives, doc 1's fingerprint is evicted, so
       // doc 3 resolves to keeper 2, not 1
       assert(hits.toSeq === Seq((2L, 1L), (3L, 2L)))
+      // the cap is observable: docs 2 and 3 each evict one fingerprint
+      // in each of the 4 band buckets (identical text → same 4 buckets)
+      assert(evicted.value === 8L,
+        s"expected 2 docs x 4 bands evictions, saw ${evicted.value}")
+    } finally q.stop()
+  }
+
+  test("below the cap the eviction counter stays zero while pairing parity holds") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[NearDoc]
+    val evicted = spark.sparkContext.longAccumulator("near-dup-evictions-parity")
+    val q = StreamingIngest.streamingNearDups(input.toDS(), perBucketCap = 64,
+        evictions = Some(evicted))
+      .writeStream.format("memory").queryName("near_zero")
+      .outputMode("append").start()
+    try {
+      input.addData((1L to 10L).map(i =>
+        NearDoc(i, "the quick brown fox jumps over the lazy dog", i * 100L)): _*)
+      q.processAllAvailable()
+      val hits = spark.table("near_zero").as[NearDupHit].collect()
+        .map(h => (h.doc_id, h.dup_of)).distinct
+      // all 10 identical docs pair to the earliest keeper, nothing evicted
+      assert(hits.toSeq.sortBy(_._1) === (2L to 10L).map(i => i -> 1L))
+      assert(evicted.value === 0L, "under-cap stream must not report evictions")
     } finally q.stop()
   }
 }
