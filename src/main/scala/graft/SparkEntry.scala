@@ -951,6 +951,27 @@ object SparkEntry {
           sum(expr("CAST(round(value * 1e6) AS BIGINT)")).as("sum_value_micro"))
         .select((col("win") * 600).as("win_start_s"), col("event_type"),
           col("n_events"), col("sum_value_micro"))
+    }),
+    // STRING-column skipping: cluster events by the categorical
+    // event_type (range partition + in-partition sort gives each file a
+    // narrow string interval), write footer-derived string min/max into
+    // the manifest, and answer `event_type = 'purchase'` reading only
+    // the files whose byte-interval admits it — the "read only the
+    // English shards" shape for a lang/source-clustered 100 TB corpus.
+    // Bounds compare as unsigned UTF-8 bytes (parquet's BINARY stats
+    // order), so non-ASCII categories prune correctly too (spec-pinned)
+    "prune_by_type" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select("event_id", "event_type", "user_id", "value")
+      graft.io.Layout.writeWithStats(
+        ev.repartitionByRange(8, col("event_type"), col("event_id"))
+          .sortWithinPartitions("event_type"),
+        pruneTypeDir, Seq("event_type"))
+      graft.io.Layout.readPrunedEq(s, pruneTypeDir, "event_type", "purchase")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(expr("CAST(round(value * 1e6) AS BIGINT)")).as("sum_value_micro"))
     })
   )
 
@@ -1008,6 +1029,14 @@ object SparkEntry {
     * bench and each rebuilds destructively. */
   private lazy val pruneTumblingDir: String = {
     val p = java.nio.file.Files.createTempDirectory("graft-ptumb-q")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p.toString + "/table"
+  }
+
+  /** The prune_by_type demo table location — same lifecycle. */
+  private lazy val pruneTypeDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-ptype-q")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
     p.toString + "/table"
@@ -3302,7 +3331,15 @@ object SparkEntry {
         |SELECT (ts_ns // 600000000000) * 600 AS win_start_s, event_type,
         |  CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micro
-        |FROM f GROUP BY 1, 2""".stripMargin
+        |FROM f GROUP BY 1, 2""".stripMargin,
+
+    // string skipping must be invisible too: plain equality filter
+    "prune_by_type" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micro
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY event_type""".stripMargin
   )
 
   /** The unigram-LM chain shared by `unigram_viterbi` and `unigram_em`:

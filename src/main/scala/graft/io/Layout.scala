@@ -121,7 +121,9 @@ object Layout {
     try {
       val blocks = reader.getFooter.getBlocks
       val stats = statsCols.map { c =>
-        var lo = Long.MaxValue; var hi = Long.MinValue; var usable = true
+        var lo = Long.MaxValue; var hi = Long.MinValue
+        var slo: Array[Byte] = null; var shi: Array[Byte] = null
+        var usable = true
         blocks.forEach { b =>
           b.getColumns.forEach { cc =>
             if (cc.getPath.toDotString == c) {
@@ -130,15 +132,55 @@ object Layout {
               else (st.genericGetMin, st.genericGetMax) match {
                 case (mn: java.lang.Long, mx: java.lang.Long) =>
                   lo = math.min(lo, mn); hi = math.max(hi, mx)
-                case _ => usable = false // not a long column: no pruning
+                case (mn: org.apache.parquet.io.api.Binary,
+                      mx: org.apache.parquet.io.api.Binary) =>
+                  // string stats, compared the way parquet wrote them:
+                  // unsigned lexicographic on UTF-8 bytes. A truncating
+                  // writer still yields VALID bounds (truncated min <=
+                  // data, padded max >= data), so pruning stays safe.
+                  val (mnB, mxB) = (mn.getBytes, mx.getBytes)
+                  if (slo == null || bytesCompare(mnB, slo) < 0) slo = mnB
+                  if (shi == null || bytesCompare(mxB, shi) > 0) shi = mxB
+                case _ => usable = false // unsupported type: no pruning
               }
             }
           }
         }
-        if (usable && lo <= hi) s""""min_$c":$lo,"max_$c":$hi""" else ""
+        if (usable && slo != null && lo == Long.MaxValue)
+          s""""min_$c":${jsonStr(slo)},"max_$c":${jsonStr(shi)}"""
+        else if (usable && slo == null && lo <= hi) s""""min_$c":$lo,"max_$c":$hi"""
+        else ""
       }.filter(_.nonEmpty)
       (s"""{"file":"${f.getName}"""" +: stats).mkString(",") + "}"
     } finally reader.close()
+  }
+
+  /** Unsigned lexicographic byte compare — parquet's BINARY stats
+    * order, which plain String compare (UTF-16 code units) does NOT
+    * match beyond ASCII. */
+  private def bytesCompare(a: Array[Byte], b: Array[Byte]): Int = {
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
+  /** JSON string literal for UTF-8 bytes (quotes/backslash/control
+    * chars escaped — the manifest is parsed by a real JSON reader). */
+  private def jsonStr(utf8: Array[Byte]): String = {
+    val s = new String(utf8, "UTF-8")
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"' => sb ++= "\\\""
+      case '\\' => sb ++= "\\\\"
+      case c if c < ' ' => sb ++= f"\\u${c.toInt}%04x"
+      case c => sb += c
+    }
+    (sb += '"').toString
   }
 
   /** The column names a dir's manifest tracks (parsed from its
@@ -156,16 +198,22 @@ object Layout {
     }
     // nested-field names carry dots via toDotString and must round-trip
     // through compact intact — the JSON key is taken whole
-    parsedManifest(text).flatMap(_._2.keys).distinct
+    parsedManifest(text).flatMap { case (_, b) => b.longs.keys ++ b.strs.keys }.distinct
   }
 
+  /** One manifest file's bounds: long-typed and string-typed columns
+    * (string bounds compared as unsigned UTF-8 bytes, parquet's own
+    * BINARY stats order). */
+  private final case class FileBounds(longs: Map[String, (Long, Long)],
+                                      strs: Map[String, (String, String)])
+
   /** Parse a stats manifest (one JSON object per line) into
-    * `(fileName, col -> (min, max))` entries with a REAL JSON reader
-    * (json4s, already on the Spark classpath) — field order, extra
-    * keys, and whitespace are all tolerated; a malformed line or a
-    * non-integral bound drops only that line/column, which errs in the
+    * `(fileName, bounds)` entries with a REAL JSON reader (json4s,
+    * already on the Spark classpath) — field order, extra keys, and
+    * whitespace are all tolerated; a malformed line or a bound of an
+    * unsupported type drops only that line/column, which errs in the
     * safe direction (the file stays unprunable, never skipped). */
-  private def parsedManifest(text: String): Seq[(String, Map[String, (Long, Long)])] = {
+  private def parsedManifest(text: String): Seq[(String, FileBounds)] = {
     import org.json4s._
     text.split('\n').toSeq.filter(_.trim.nonEmpty).flatMap { line =>
       val parsed = try Some(org.json4s.jackson.JsonMethods.parse(line))
@@ -177,12 +225,13 @@ object Layout {
             case (k, JInt(v)) if v.isValidLong => k -> v.toLong
             case (k, JLong(v)) => k -> v
           }
-          val bounds = longs.collect {
+          val strs = kv.collect { case (k, JString(v)) if k != "file" => k -> v }
+          def paired[T](m: Map[String, T]): Map[String, (T, T)] = m.collect {
             case (k, mn) if k.startsWith("min_") &&
-              longs.contains("max_" + k.stripPrefix("min_")) =>
-              k.stripPrefix("min_") -> ((mn, longs("max_" + k.stripPrefix("min_"))))
+              m.contains("max_" + k.stripPrefix("min_")) =>
+              k.stripPrefix("min_") -> ((mn, m("max_" + k.stripPrefix("min_"))))
           }
-          name -> bounds
+          name -> FileBounds(paired(longs), paired(strs))
         }
       }.flatten
     }
@@ -215,7 +264,7 @@ object Layout {
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
     val bounds = parsedManifest(text)
-      .flatMap { case (name, cols) => cols.get(colName).map(name -> _) }.toMap
+      .flatMap { case (name, b) => b.longs.get(colName).map(name -> _) }.toMap
     val kept = files.filter { f =>
       val name = new org.apache.hadoop.fs.Path(f).getName
       bounds.get(name) match {
@@ -224,6 +273,63 @@ object Layout {
       }
     }
     (kept, files.size)
+  }
+
+  /** String-column variant of [[prunedPaths]]: keep files whose
+    * `[min, max]` UTF-8-byte interval for `colName` contains `value`
+    * (plus every file the manifest cannot bound). The comparator is
+    * the one the bounds were WRITTEN under — unsigned lexicographic on
+    * UTF-8 bytes, parquet's BINARY stats order — so non-ASCII values
+    * prune correctly too. */
+  def prunedPathsEq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    colName: String, value: String): (Seq[String], Int) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val entries = fs.listStatus(p)
+    require(!entries.exists(_.isDirectory),
+      s"prunedPathsEq: $dir has partition subdirectories — stats skipping " +
+        "works per leaf directory; use a partition filter for the tree")
+    val files = entries.filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }.map(_.getPath.toString).toSeq.sorted
+    val manifest = new org.apache.hadoop.fs.Path(dir, "_graft_stats.json")
+    if (!fs.exists(manifest)) return (files, files.size)
+    val text = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val bounds = parsedManifest(text)
+      .flatMap { case (name, b) => b.strs.get(colName).map(name -> _) }.toMap
+    val v = value.getBytes("UTF-8")
+    val kept = files.filter { f =>
+      val name = new org.apache.hadoop.fs.Path(f).getName
+      bounds.get(name) match {
+        case Some((mn, mx)) =>
+          bytesCompare(mn.getBytes("UTF-8"), v) <= 0 &&
+            bytesCompare(v, mx.getBytes("UTF-8")) <= 0
+        case None => true // unbounded file: must be read
+      }
+    }
+    (kept, files.size)
+  }
+
+  /** Read `dir` keeping only files whose string stats admit
+    * `colName = value`, then apply the equality as a residual filter —
+    * the "read only the English shards" shape for a table clustered on
+    * a categorical column. Same never-wrong contract as [[readPruned]]:
+    * partitioned trees and unbounded files degrade to a plain filtered
+    * read. */
+  def readPrunedEq(spark: org.apache.spark.sql.SparkSession, dir: String,
+                   colName: String, value: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    if (p.getFileSystem(conf).listStatus(p).exists(_.isDirectory))
+      return spark.read.parquet(dir).filter(col(colName) === value)
+    val (kept, _) = prunedPathsEq(spark, dir, colName, value)
+    if (kept.isEmpty)
+      spark.read.parquet(dir).filter(lit(false)) // empty frame, right schema
+    else spark.read.parquet(kept: _*).filter(col(colName) === value)
   }
 
   /** Read `dir` with manifest-level file skipping for `colName ∈ [lo,

@@ -188,6 +188,34 @@ class LayoutSpec extends SparkSpec {
     assert(plain.nonEmpty)
   }
 
+  test("string stats: categorical clustering prunes files; non-ASCII compares as UTF-8 bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("layout-str").toString + "/t"
+    // é (UTF-8 0xC3A9) sorts ABOVE 'z' in unsigned byte order but BELOW
+    // it in UTF-16 code-unit order? No — é = U+00E9 > 'z' = U+007A in
+    // both; use a 4-byte emoji (U+1F600, surrogate pair) where UTF-16
+    // code-unit compare and UTF-8 byte compare genuinely diverge from
+    // naive expectations; the manifest must stay consistent with the
+    // parquet footer's byte order either way
+    val rows = Seq((1L, "apple"), (2L, "banana"), (3L, "cherry"),
+      (4L, "zebra"), (5L, "éclair"), (6L, "😀moji"))
+    val df = rows.toDF("id", "cat")
+    Layout.writeWithStats(
+      df.repartitionByRange(3, col("cat")).sortWithinPartitions("cat"),
+      dir, Seq("cat"))
+    assert(Layout.trackedCols(spark, dir) === Seq("cat"))
+    for ((v, wantId) <- Seq("apple" -> 1L, "zebra" -> 4L,
+        "éclair" -> 5L, "😀moji" -> 6L)) {
+      val (kept, total) = Layout.prunedPathsEq(spark, dir, "cat", v)
+      assert(total === 3)
+      assert(kept.size < total, s"value '$v' must skip files (kept ${kept.size}/$total)")
+      val got = Layout.readPrunedEq(spark, dir, "cat", v)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got === Seq(wantId), s"value '$v'")
+    }
+    // absent value: possibly zero files kept, but never a wrong row
+    assert(Layout.readPrunedEq(spark, dir, "cat", "nope").count() === 0L)
+  }
+
   test("compact re-derives the stats manifest so skipping survives re-filing") {
     val dir = java.nio.file.Files.createTempDirectory("layout-compact").toString + "/t"
     val ev = graft.io.Tables.events(spark, "/root/testdata/sf0.001")
