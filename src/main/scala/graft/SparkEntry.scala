@@ -834,6 +834,19 @@ object SparkEntry {
       val (_, finalVocab) = Bpe.learnMerges(docs, numMerges = 6)
       Bpe.tokenCounts(docs, finalVocab)
     }),
+    // the full model-ARTIFACT lifecycle: train → persist → load in a
+    // (conceptually) different job → re-derive the vocab from the raw
+    // corpus → apply the LOADED merge history → count tokens. Output
+    // must equal bpe_tokens exactly (same oracle), which pins that
+    // nothing about the model survives only in driver memory
+    "bpe_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (merges, _) = Bpe.learnMerges(docs, numMerges = 6)
+      Bpe.saveModel(s, merges, bpeModelDir)
+      val loaded = Bpe.loadModel(s, bpeModelDir)
+      val vocab = Bpe.wordVocab(docs).select("word", "freq")
+      Bpe.tokenCounts(docs, Bpe.applyMergeHistory(vocab, loaded))
+    }),
     // corpus snapshot delta for incremental runs: old = docs minus the
     // %13 ids (so those read as added), new = docs minus the %17 ids
     // (removed), with the %5 ids edited (changed) — every status
@@ -1040,6 +1053,14 @@ object SparkEntry {
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
     p.toString + "/table"
+  }
+
+  /** The bpe_artifact persisted-model location — same lifecycle. */
+  private lazy val bpeModelDir: String = {
+    val p = java.nio.file.Files.createTempDirectory("graft-bpem-q")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
+    p.toString + "/model"
   }
 
   // CMS geometry shared by the query and its oracle — one definition, no
@@ -3189,6 +3210,18 @@ object SparkEntry {
     },
 
     "bpe_tokens" ->
+      s"""WITH ${bpeCtes(6)},
+         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+         |       FROM documents),
+         |wt AS (SELECT word, CAST(len(string_split(seq, ' ')) AS INTEGER) AS word_tokens
+         |       FROM v6)
+         |SELECT doc_id, count(*) AS n_words, CAST(sum(word_tokens) AS BIGINT) AS n_tokens
+         |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin,
+
+    // the artifact roundtrip changes WHERE the merges come from (a
+    // persisted parquet model), not WHAT they compute — the oracle is
+    // bpe_tokens' replay verbatim
+    "bpe_artifact" ->
       s"""WITH ${bpeCtes(6)},
          |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
          |       FROM documents),

@@ -205,6 +205,33 @@ object Bpe {
     merges.toDF()
   }
 
+  /** Persist a trained merge list (the model ARTIFACT — train once,
+    * ship everywhere; a production 50k-merge train is far too expensive
+    * to redo per job). Parquet, one row per merge, rank-ordered on
+    * read. */
+  def saveModel(spark: SparkSession, merges: Seq[Merge], dir: String): Unit =
+    mergesDf(spark, merges).write.mode("overwrite").parquet(dir)
+
+  /** Load a persisted merge list, rank order restored (parquet readers
+    * return files/rows in any order). */
+  def loadModel(spark: SparkSession, dir: String): Seq[Merge] = {
+    import spark.implicits._
+    spark.read.parquet(dir).as[Merge].collect().toSeq.sortBy(_.rank)
+  }
+
+  /** Apply a full merge HISTORY to a (word, freq) vocabulary in rank
+    * order — the BPE inference path for a NEW corpus under a persisted
+    * model: rebuild `seq`, fold every merge. One shuffle-free
+    * projection regardless of k (the merges fold into one expression
+    * tree; for a 50k-merge production model swap the literal fold for
+    * a codegen'd trie Expression, same frame contract). */
+  def applyMergeHistory(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val base = trim(regexp_replace(col("word"), "(.)", "$1 "))
+    val rewritten = merges.sortBy(_.rank).foldLeft(base)(
+      (c, m) => applyMerge(c, m.lhs, m.rhs))
+    vocab.withColumn("seq", rewritten)
+  }
+
   /** Per-document token counts under a trained vocabulary: explode each
     * doc's words, join the final vocab (broadcast — the trained
     * tokenizer is exactly the small side you'd ship to every executor),

@@ -243,6 +243,28 @@ object Unigram {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** Persist a fitted seed model (piece scores + DP constants) — the
+    * unigram analogue of [[Bpe.saveModel]]'s train-once artifact.
+    * Parquet, one row per piece with the two scalar constants repeated
+    * (self-describing single table; no sidecar file to lose). */
+  def saveModel(spark: org.apache.spark.sql.SparkSession, model: SeedModel,
+                dir: String): Unit = {
+    import spark.implicits._
+    model.pieces.toSeq.sortBy(_._1)
+      .map { case (p, c) => (p, c, model.maxPieceLen, model.big) }
+      .toDF("piece", "cnt", "max_piece_len", "big")
+      .write.mode("overwrite").parquet(dir)
+  }
+
+  /** Load a persisted seed model. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, dir: String): SeedModel = {
+    val rows = spark.read.parquet(dir)
+      .select("piece", "cnt", "max_piece_len", "big").collect()
+    require(rows.nonEmpty, s"empty unigram model at $dir")
+    SeedModel(rows.map(r => r.getString(0) -> r.getLong(1)).toMap,
+      rows.head.getInt(2), rows.head.getLong(3))
+  }
+
   /** EM to CONVERGENCE — the loop SentencePiece runs, over the integer
     * objective: iterate [[emRound]] (M-step refit, unused pieces
     * pruned) until the weighted total piece count stops improving by

@@ -176,6 +176,30 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("model artifact: save/load roundtrip; loaded history re-tokenizes a NEW corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("bpe-model").toString + "/m"
+    val (merges, fvTrain) = Bpe.learnMerges(docs("aa ab aa", "aa aa b"), numMerges = 3)
+    Bpe.saveModel(spark, merges, dir)
+    assert(Bpe.loadModel(spark, dir) === merges, "roundtrip must be exact")
+    // transfer: apply the LOADED history to an unseen corpus and check
+    // against the in-memory padded-replace fold in rank order
+    val fresh = docs("aab ba aa")
+    val got = Bpe.applyMergeHistory(
+        Bpe.wordVocab(fresh).select("word", "freq"), Bpe.loadModel(spark, dir))
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    def refHistory(w: String): String =
+      merges.sortBy(_.rank).foldLeft(w.map(_.toString).mkString(" "))(
+        (s, m) => applyP(s, m.lhs, m.rhs))
+    got.foreach { case (w, seq) => assert(seq === refHistory(w), s"word=$w") }
+    // and on the TRAINING corpus the history reproduces the trainer's
+    // final vocab exactly (merge order is the model)
+    val replayed = Bpe.applyMergeHistory(
+        Bpe.wordVocab(docs("aa ab aa", "aa aa b")).select("word", "freq"), merges)
+      .collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    val trained = fvTrain.collect().map(r => r.getString(0) -> r.getString(2)).toMap
+    assert(replayed === trained)
+  }
+
   test("tokenCounts: per-doc word and token totals under the trained vocab") {
     val corpus = docs("aa ab", "aa aa b")
     val (merges, fv) = Bpe.learnMerges(corpus, numMerges = 1)

@@ -171,6 +171,19 @@ class UnigramSpec extends SparkSpec {
     }
   }
 
+  test("model artifact: save/load roundtrip preserves the model and its segmentations") {
+    val dir = java.nio.file.Files.createTempDirectory("unigram-model").toString + "/m"
+    val d = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
+    val vocab = Bpe.wordVocab(d).select("word", "freq").localCheckpoint()
+    val m0 = Unigram.fitSeed(vocab)
+    Unigram.saveModel(spark, m0, dir)
+    val m1 = Unigram.loadModel(spark, dir)
+    assert(m1 === m0, "roundtrip must be exact (pieces, maxPieceLen, big)")
+    val a = Unigram.viterbiStats(vocab, m0).collect().map(_.toString).sorted
+    val b = Unigram.viterbiStats(vocab, m1).collect().map(_.toString).sorted
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("emLoop: trace equals composed emRounds, stops on the first non-improving round") {
     val d = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val vocab = Bpe.wordVocab(d).select("word", "freq").localCheckpoint()
