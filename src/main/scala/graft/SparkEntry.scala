@@ -952,11 +952,14 @@ object SparkEntry {
     "prune_tumbling" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select("event_id", "event_type", "value", "user_id", "ts_ns")
+      // one bounds pass serves both the z-order scaling and the slice
+      // predicate (zorderBy would otherwise re-scan for its min/max)
+      val r = ev.agg(min("user_id"), max("user_id"), min("ts_ns"), max("ts_ns")).head()
+      val (mn, mx) = (r.getLong(2), r.getLong(3))
       graft.io.Layout.writeWithStats(
-        graft.io.Layout.zorderBy(ev, "user_id", "ts_ns", bits = 8, numFiles = 8),
+        graft.io.Layout.zorderBy(ev, "user_id", "ts_ns", bits = 8, numFiles = 8,
+          bounds = Some((r.getLong(0), r.getLong(1), mn, mx))),
         pruneTumblingDir, Seq("user_id", "ts_ns"))
-      val r = ev.agg(min("ts_ns"), max("ts_ns")).head()
-      val (mn, mx) = (r.getLong(0), r.getLong(1))
       val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
       graft.io.Layout.readPruned(s, pruneTumblingDir, "ts_ns", lo, hi)
         .groupBy(expr("ts_ns div 600000000000").as("win"), col("event_type"))
@@ -988,25 +991,25 @@ object SparkEntry {
     })
   )
 
-  /** The ivf_persisted demo index location — see that query's comment.
-    * Deleted on JVM exit so repeated harness runs don't accumulate
-    * vector-table copies under the system tmpdir. */
-  private lazy val ivfDemoDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-ivf-q")
+  /** A per-JVM-unique, deleted-on-exit demo location: each stateful
+    * query gets its OWN dir (queries may interleave under the bench and
+    * each rebuilds destructively; a fixed world-shared /tmp path would
+    * race concurrent processes), and the shutdown hook keeps repeated
+    * harness runs from accumulating table copies under the system
+    * tmpdir. `leaf` appends a path segment for callers whose writer
+    * wants a not-yet-existing target. */
+  private def tmpQueryDir(prefix: String, leaf: String = ""): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
-    p.toString
+    if (leaf.isEmpty) p.toString else p.toString + "/" + leaf
   }
 
-  /** The ivf_stream_e2e index location — same per-JVM lifecycle (and
-    * rationale) as [[ivfDemoDir]]; separate dir because the two queries
-    * may interleave under the bench and each rebuilds destructively. */
-  private lazy val ivfStreamDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-ivf-se")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
-    p.toString
-  }
+  /** The ivf_persisted demo index location — see that query's comment. */
+  private lazy val ivfDemoDir: String = tmpQueryDir("graft-ivf-q")
+
+  /** The ivf_stream_e2e index location. */
+  private lazy val ivfStreamDir: String = tmpQueryDir("graft-ivf-se")
 
   /** The staged URL-ingest fixture dir — per-JVM unique (a fixed
     * world-shared /tmp path raced concurrent processes and collided
@@ -1019,49 +1022,20 @@ object SparkEntry {
     * oracle is dumped without the ingest queries having run. */
   private lazy val urlStageDir: String = UrlIngest.stageQueryFixtures()
 
-  /** The index_init demo table location — same per-JVM lifecycle (and
-    * rationale) as [[ivfDemoDir]]. */
-  private lazy val indexInitDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-init-q")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
-    p.toString + "/table"
-  }
+  /** The index_init demo table location. */
+  private lazy val indexInitDir: String = tmpQueryDir("graft-init-q", "table")
 
-  /** The stats_prune demo table location — same per-JVM lifecycle (and
-    * rationale) as [[ivfDemoDir]]. */
-  private lazy val statsPruneDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-stats-q")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
-    p.toString + "/table"
-  }
+  /** The stats_prune demo table location. */
+  private lazy val statsPruneDir: String = tmpQueryDir("graft-stats-q", "table")
 
-  /** The prune_tumbling demo table location — separate from
-    * [[statsPruneDir]] because the two queries may interleave under the
-    * bench and each rebuilds destructively. */
-  private lazy val pruneTumblingDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-ptumb-q")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
-    p.toString + "/table"
-  }
+  /** The prune_tumbling demo table location. */
+  private lazy val pruneTumblingDir: String = tmpQueryDir("graft-ptumb-q", "table")
 
-  /** The prune_by_type demo table location — same lifecycle. */
-  private lazy val pruneTypeDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-ptype-q")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
-    p.toString + "/table"
-  }
+  /** The prune_by_type demo table location. */
+  private lazy val pruneTypeDir: String = tmpQueryDir("graft-ptype-q", "table")
 
-  /** The bpe_artifact persisted-model location — same lifecycle. */
-  private lazy val bpeModelDir: String = {
-    val p = java.nio.file.Files.createTempDirectory("graft-bpem-q")
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
-    p.toString + "/model"
-  }
+  /** The bpe_artifact persisted-model location. */
+  private lazy val bpeModelDir: String = tmpQueryDir("graft-bpem-q", "model")
 
   // CMS geometry shared by the query and its oracle — one definition, no
   // silent drift between the Spark sketch and the SQL cell replay
@@ -3209,26 +3183,13 @@ object SparkEntry {
          |$rows""".stripMargin
     },
 
-    "bpe_tokens" ->
-      s"""WITH ${bpeCtes(6)},
-         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-         |       FROM documents),
-         |wt AS (SELECT word, CAST(len(string_split(seq, ' ')) AS INTEGER) AS word_tokens
-         |       FROM v6)
-         |SELECT doc_id, count(*) AS n_words, CAST(sum(word_tokens) AS BIGINT) AS n_tokens
-         |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin,
+    "bpe_tokens" -> bpeTokensOracle,
 
     // the artifact roundtrip changes WHERE the merges come from (a
     // persisted parquet model), not WHAT they compute — the oracle is
-    // bpe_tokens' replay verbatim
-    "bpe_artifact" ->
-      s"""WITH ${bpeCtes(6)},
-         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-         |       FROM documents),
-         |wt AS (SELECT word, CAST(len(string_split(seq, ' ')) AS INTEGER) AS word_tokens
-         |       FROM v6)
-         |SELECT doc_id, count(*) AS n_words, CAST(sum(word_tokens) AS BIGINT) AS n_tokens
-         |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin,
+    // bpe_tokens' replay, shared by reference so the two can never
+    // drift
+    "bpe_artifact" -> bpeTokensOracle,
 
     "corpus_delta" ->
       """WITH oldc AS (
@@ -3426,6 +3387,18 @@ object SparkEntry {
       |             = t.costs[b.pos + 1]) AS l
       |    FROM bt b WHERE b.pos > 0
       |  ) bt)""".stripMargin
+
+  /** Per-document token counts under the 6-merge trained vocab —
+    * `bpe_tokens`' replay, and byte-identically `bpe_artifact`'s (the
+    * artifact query only changes where the merges come from). */
+  private lazy val bpeTokensOracle: String =
+    s"""WITH ${bpeCtes(6)},
+       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+       |       FROM documents),
+       |wt AS (SELECT word, CAST(len(string_split(seq, ' ')) AS INTEGER) AS word_tokens
+       |       FROM v6)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(word_tokens) AS BIGINT) AS n_tokens
+       |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin
 
   /** The full EM-loop replay (`Unigram.emLoop`): rounds 2..N extend the
     * [[unigramCtes]]+[[unigramBtCtes]] chain — each round's expected

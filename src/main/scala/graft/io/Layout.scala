@@ -47,10 +47,16 @@ object Layout {
     * parallelism; each written file then covers a ~square rectangle of
     * the (cx, cy) space instead of a full-width stripe. */
   def zorderBy(df: DataFrame, cx: String, cy: String,
-               bits: Int = 8, numFiles: Int = 8): DataFrame = {
-    val r = df.agg(min(col(cx)), max(col(cx)), min(col(cy)), max(col(cy))).head()
-    require(!r.anyNull, s"zorderBy: empty input or all-null $cx/$cy")
-    val (lox, hix, loy, hiy) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+               bits: Int = 8, numFiles: Int = 8,
+               bounds: Option[(Long, Long, Long, Long)] = None): DataFrame = {
+    // callers that already know the min/max (e.g. they computed a
+    // predicate range from the same scan) pass `bounds` to skip this
+    // full-table aggregation — one saved pass per write at data scale
+    val (lox, hix, loy, hiy) = bounds.getOrElse {
+      val r = df.agg(min(col(cx)), max(col(cx)), min(col(cy)), max(col(cy))).head()
+      require(!r.anyNull, s"zorderBy: empty input or all-null $cx/$cy")
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    }
     val z = zValue(bucket(col(cx), lox, hix, bits), bucket(col(cy), loy, hiy, bits), bits)
     df.withColumn("__z", z)
       .repartitionByRange(numFiles, col("__z"))
@@ -135,12 +141,20 @@ object Layout {
                 case (mn: org.apache.parquet.io.api.Binary,
                       mx: org.apache.parquet.io.api.Binary) =>
                   // string stats, compared the way parquet wrote them:
-                  // unsigned lexicographic on UTF-8 bytes. A truncating
-                  // writer still yields VALID bounds (truncated min <=
-                  // data, padded max >= data), so pruning stays safe.
+                  // unsigned lexicographic on UTF-8 bytes. The bounds
+                  // survive the manifest's String round-trip ONLY for
+                  // valid UTF-8 — a raw BINARY column, or a truncating
+                  // writer cutting mid-codepoint, would decode lossily
+                  // (U+FFFD) and CORRUPT the bound (can exceed the true
+                  // min → wrongly skipped files), so non-UTF-8 bytes
+                  // drop the column's stats instead (file stays
+                  // unprunable — the safe direction)
                   val (mnB, mxB) = (mn.getBytes, mx.getBytes)
-                  if (slo == null || bytesCompare(mnB, slo) < 0) slo = mnB
-                  if (shi == null || bytesCompare(mxB, shi) > 0) shi = mxB
+                  if (!utf8RoundTrips(mnB) || !utf8RoundTrips(mxB)) usable = false
+                  else {
+                    if (slo == null || bytesCompare(mnB, slo) < 0) slo = mnB
+                    if (shi == null || bytesCompare(mxB, shi) > 0) shi = mxB
+                  }
                 case _ => usable = false // unsupported type: no pruning
               }
             }
@@ -151,7 +165,7 @@ object Layout {
         else if (usable && slo == null && lo <= hi) s""""min_$c":$lo,"max_$c":$hi"""
         else ""
       }.filter(_.nonEmpty)
-      (s"""{"file":"${f.getName}"""" +: stats).mkString(",") + "}"
+      (s"""{"file":${jsonStr(f.getName)}""" +: stats).mkString(",") + "}"
     } finally reader.close()
   }
 
@@ -169,10 +183,25 @@ object Layout {
     a.length - b.length
   }
 
+  /** True iff `bytes` decodes as UTF-8 and re-encodes to the SAME
+    * bytes — the precondition for a string bound to survive the
+    * manifest's String round-trip without corrupting its byte order. */
+  private def utf8RoundTrips(bytes: Array[Byte]): Boolean =
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      val s = dec.decode(java.nio.ByteBuffer.wrap(bytes)).toString
+      java.util.Arrays.equals(s.getBytes("UTF-8"), bytes)
+    } catch { case _: java.nio.charset.CharacterCodingException => false }
+
   /** JSON string literal for UTF-8 bytes (quotes/backslash/control
-    * chars escaped — the manifest is parsed by a real JSON reader). */
-  private def jsonStr(utf8: Array[Byte]): String = {
-    val s = new String(utf8, "UTF-8")
+    * chars escaped — the manifest is parsed by a real JSON reader).
+    * Callers guarantee [[utf8RoundTrips]] for stats bounds; file names
+    * route through here too so a hostile name cannot break a line. */
+  private def jsonStr(utf8: Array[Byte]): String = jsonStr(new String(utf8, "UTF-8"))
+
+  private def jsonStr(s: String): String = {
     val sb = new StringBuilder("\"")
     s.foreach {
       case '"' => sb ++= "\\\""
@@ -237,41 +266,52 @@ object Layout {
     }
   }
 
+  /** Shared listing for the pruning paths: a leaf dir's sorted parquet
+    * files plus its manifest's per-file bounds (empty when absent).
+    * Refuses a hive-partitioned layout — its data lives in
+    * subdirectories this listing would miss ENTIRELY, and an empty
+    * kept-list would turn "skipping is an optimization" into a silent
+    * filter (the readPruned* callers degrade to an unpruned read
+    * first). ONE definition so the long and string paths can never
+    * drift. */
+  private def listWithBounds(spark: org.apache.spark.sql.SparkSession, dir: String,
+                             caller: String): (Seq[String], Map[String, FileBounds]) = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(conf)
+    val entries = fs.listStatus(p)
+    require(!entries.exists(_.isDirectory),
+      s"$caller: $dir has partition subdirectories — stats skipping " +
+        "works per leaf directory; use a partition filter for the tree")
+    val files = entries.filter { st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet")
+    }.map(_.getPath.toString).toSeq.sorted
+    val manifest = new org.apache.hadoop.fs.Path(dir, "_graft_stats.json")
+    if (!fs.exists(manifest)) return (files, Map.empty)
+    val text = {
+      val in = fs.open(manifest)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    (files, parsedManifest(text).toMap)
+  }
+
+  /** Keep `files` whose bound (when present) satisfies `overlaps`;
+    * unbounded files always survive — skipping is never a filter. */
+  private def keepFiles[T](files: Seq[String], bound: String => Option[T],
+                           overlaps: T => Boolean): Seq[String] =
+    files.filter { f =>
+      bound(new org.apache.hadoop.fs.Path(f).getName).forall(overlaps)
+    }
+
   /** File paths of `dir` whose `[min, max]` interval for `col` overlaps
     * `[lo, hi]` — plus every file the manifest cannot bound (absent
     * line or absent stats): skipping is an optimization, never a filter.
     * Returns (kept paths, total data files). */
   def prunedPaths(spark: org.apache.spark.sql.SparkSession, dir: String,
                   colName: String, lo: Long, hi: Long): (Seq[String], Int) = {
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(conf)
-    val entries = fs.listStatus(p)
-    // a hive-partitioned layout keeps its data in subdirectories this
-    // listing would miss ENTIRELY — an empty kept-list here would turn
-    // "skipping is an optimization" into a silent filter. Refuse loudly;
-    // readPruned degrades to an unpruned read instead.
-    require(!entries.exists(_.isDirectory),
-      s"prunedPaths: $dir has partition subdirectories — stats skipping " +
-        "works per leaf directory; use a partition filter for the tree")
-    val files = entries.filter { st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet")
-    }.map(_.getPath.toString).toSeq.sorted
-    val manifest = new org.apache.hadoop.fs.Path(dir, "_graft_stats.json")
-    if (!fs.exists(manifest)) return (files, files.size)
-    val text = {
-      val in = fs.open(manifest)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
-    val bounds = parsedManifest(text)
-      .flatMap { case (name, b) => b.longs.get(colName).map(name -> _) }.toMap
-    val kept = files.filter { f =>
-      val name = new org.apache.hadoop.fs.Path(f).getName
-      bounds.get(name) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true // unbounded file: must be read
-      }
-    }
+    val (files, bounds) = listWithBounds(spark, dir, "prunedPaths")
+    val kept = keepFiles[(Long, Long)](files, bounds.get(_).flatMap(_.longs.get(colName)),
+      { case (mn, mx) => mx >= lo && mn <= hi })
     (kept, files.size)
   }
 
@@ -283,34 +323,12 @@ object Layout {
     * prune correctly too. */
   def prunedPathsEq(spark: org.apache.spark.sql.SparkSession, dir: String,
                     colName: String, value: String): (Seq[String], Int) = {
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(dir)
-    val fs = p.getFileSystem(conf)
-    val entries = fs.listStatus(p)
-    require(!entries.exists(_.isDirectory),
-      s"prunedPathsEq: $dir has partition subdirectories — stats skipping " +
-        "works per leaf directory; use a partition filter for the tree")
-    val files = entries.filter { st =>
-      st.isFile && st.getPath.getName.endsWith(".parquet")
-    }.map(_.getPath.toString).toSeq.sorted
-    val manifest = new org.apache.hadoop.fs.Path(dir, "_graft_stats.json")
-    if (!fs.exists(manifest)) return (files, files.size)
-    val text = {
-      val in = fs.open(manifest)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    }
-    val bounds = parsedManifest(text)
-      .flatMap { case (name, b) => b.strs.get(colName).map(name -> _) }.toMap
+    val (files, bounds) = listWithBounds(spark, dir, "prunedPathsEq")
     val v = value.getBytes("UTF-8")
-    val kept = files.filter { f =>
-      val name = new org.apache.hadoop.fs.Path(f).getName
-      bounds.get(name) match {
-        case Some((mn, mx)) =>
-          bytesCompare(mn.getBytes("UTF-8"), v) <= 0 &&
-            bytesCompare(v, mx.getBytes("UTF-8")) <= 0
-        case None => true // unbounded file: must be read
-      }
-    }
+    val kept = keepFiles[(String, String)](files, bounds.get(_).flatMap(_.strs.get(colName)),
+      { case (mn, mx) =>
+        bytesCompare(mn.getBytes("UTF-8"), v) <= 0 &&
+          bytesCompare(v, mx.getBytes("UTF-8")) <= 0 })
     (kept, files.size)
   }
 
@@ -321,36 +339,35 @@ object Layout {
     * partitioned trees and unbounded files degrade to a plain filtered
     * read. */
   def readPrunedEq(spark: org.apache.spark.sql.SparkSession, dir: String,
-                   colName: String, value: String): DataFrame = {
-    val conf = spark.sessionState.newHadoopConf()
-    val p = new org.apache.hadoop.fs.Path(dir)
-    if (p.getFileSystem(conf).listStatus(p).exists(_.isDirectory))
-      return spark.read.parquet(dir).filter(col(colName) === value)
-    val (kept, _) = prunedPathsEq(spark, dir, colName, value)
-    if (kept.isEmpty)
-      spark.read.parquet(dir).filter(lit(false)) // empty frame, right schema
-    else spark.read.parquet(kept: _*).filter(col(colName) === value)
-  }
+                   colName: String, value: String): DataFrame =
+    readKept(spark, dir, col(colName) === value,
+      prunedPathsEq(spark, dir, colName, value)._1)
 
   /** Read `dir` with manifest-level file skipping for `colName ∈ [lo,
     * hi]`, then apply the SAME predicate as a residual filter (file
     * stats only bound files — rows inside a kept file still need the
     * row-level filter, which also pushes into the row-group stats). */
   def readPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
-                 colName: String, lo: Long, hi: Long): DataFrame = {
+                 colName: String, lo: Long, hi: Long): DataFrame =
+    readKept(spark, dir, col(colName) >= lo && col(colName) <= hi,
+      prunedPaths(spark, dir, colName, lo, hi)._1)
+
+  /** The shared read tail of both readPruned variants: a partitioned
+    * tree degrades to a plain filtered read (no manifest skipping — see
+    * [[listWithBounds]] — and the filter drives Spark's own partition
+    * pruning); otherwise read only the kept files with the residual
+    * predicate applied. `kept` is by-name so the tree check wins before
+    * any listing happens. */
+  private def readKept(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       predicate: Column, kept: => Seq[String]): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
-    // partitioned tree: no manifest skipping (see prunedPaths) — fall
-    // back to the plain read so the answer is never wrong, and let the
-    // filter drive Spark's own partition pruning
     if (p.getFileSystem(conf).listStatus(p).exists(_.isDirectory))
-      return spark.read.parquet(dir)
-        .filter(col(colName) >= lo && col(colName) <= hi)
-    val (kept, _) = prunedPaths(spark, dir, colName, lo, hi)
-    if (kept.isEmpty)
+      return spark.read.parquet(dir).filter(predicate)
+    val k = kept
+    if (k.isEmpty)
       spark.read.parquet(dir).filter(lit(false)) // empty frame, right schema
-    else spark.read.parquet(kept: _*)
-      .filter(col(colName) >= lo && col(colName) <= hi)
+    else spark.read.parquet(k: _*).filter(predicate)
   }
 
   /** Contiguous global row numbers `0..n-1` in `orderCol` order WITHOUT

@@ -48,6 +48,14 @@ object Bpe {
   private def wordsCol(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
+  /** A word as its space-joined character sequence ("key" → "k e y") —
+    * ONE definition shared by the trainer ([[wordVocab]]) and the
+    * inference replay ([[applyMergeHistory]]): the artifact roundtrip
+    * reproduces the trained vocab only if both sides build `seq`
+    * identically. */
+  private def charSeq(word: Column): Column =
+    trim(regexp_replace(word, "(.)", "$1 "))
+
   /** Corpus → `(word, freq, seq)` vocabulary: ONE aggregation over the
     * scan, `seq` = characters joined by single spaces ("key" → "k e y").
     * This is the frame every BPE iteration runs on. */
@@ -55,7 +63,7 @@ object Bpe {
     docs
       .select(explode(wordsCol(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("freq"))
-      .withColumn("seq", trim(regexp_replace(col("word"), "(.)", "$1 ")))
+      .withColumn("seq", charSeq(col("word")))
 
   /** Adjacent-symbol pair counts over a vocabulary, weighted by word
     * frequency: `(lhs, rhs, freq)` (not left/right — those are join
@@ -226,8 +234,7 @@ object Bpe {
     * tree; for a 50k-merge production model swap the literal fold for
     * a codegen'd trie Expression, same frame contract). */
   def applyMergeHistory(vocab: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val base = trim(regexp_replace(col("word"), "(.)", "$1 "))
-    val rewritten = merges.sortBy(_.rank).foldLeft(base)(
+    val rewritten = merges.sortBy(_.rank).foldLeft(charSeq(col("word")))(
       (c, m) => applyMerge(c, m.lhs, m.rhs))
     vocab.withColumn("seq", rewritten)
   }

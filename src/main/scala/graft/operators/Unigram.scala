@@ -268,12 +268,19 @@ object Unigram {
   /** EM to CONVERGENCE — the loop SentencePiece runs, over the integer
     * objective: iterate [[emRound]] (M-step refit, unused pieces
     * pruned) until the weighted total piece count stops improving by
-    * more than `minDelta`, or `maxIters` rounds. Returns the final
+    * more than `minDelta`, or `maxIters` rounds. Returns the kept
     * model plus one [[EmIter]] row per round RUN — including the round
     * that triggered the stop, so the trace itself witnesses
-    * convergence. Deterministic end to end (integer compares only),
-    * hence DuckDB-replayable; each round costs two vocab-bounded jobs
-    * regardless of corpus size. */
+    * convergence.
+    *
+    * The integer surrogate is NOT guaranteed monotone under the count
+    * refit, so the returned model is the LATEST non-regressing round:
+    * a stopping round whose total merely failed to improve enough
+    * (equal, or within `minDelta`) is kept — it carries the pruning —
+    * but a round that made the corpus total strictly WORSE is
+    * discarded in favor of its predecessor. Deterministic end to end
+    * (integer compares only), hence DuckDB-replayable; each round
+    * costs two vocab-bounded jobs regardless of corpus size. */
   def emLoop(vocab: DataFrame, seed: SeedModel, maxIters: Int,
              minDelta: Long = 0L): (SeedModel, Seq[EmIter]) = {
     require(maxIters >= 1, s"need maxIters >= 1, got $maxIters")
@@ -290,7 +297,7 @@ object Unigram {
       i += 1
       iters += EmIter(i, next.pieces.size, tp2, tm2)
       if (tp2 >= tp - minDelta) stopped = true // no (sufficient) improvement
-      model = next; tp = tp2; tm = tm2
+      if (tp2 <= tp) { model = next; tp = tp2; tm = tm2 } // never keep a regression
     }
     (model, iters.result())
   }

@@ -198,12 +198,17 @@ class UnigramSpec extends SparkSpec {
       (r.getLong(0), r.getLong(1))
     }
     var m = seed
+    var kept = seed
+    var keptTp = totals(seed)._1
     iters.zipWithIndex.foreach { case (it, i) =>
-      if (i > 0) m = Unigram.emRound(vocab, m)
+      if (i > 0) m = Unigram.emRound(vocab, kept)
       val (tp, tm) = totals(m)
       assert(it === Unigram.EmIter(i + 1, m.pieces.size, tp, tm), s"round ${i + 1}")
+      // the keep rule: a round is adopted unless it strictly regressed
+      if (tp <= keptTp) { kept = m; keptTp = tp }
     }
-    assert(fin.pieces === m.pieces, "returned model must be the last round's")
+    assert(fin.pieces === kept.pieces,
+      "returned model must be the latest non-regressing round's")
     // every pre-stop step strictly improved; the final row did not
     // (unless the loop ran out of rounds first)
     val tps = iters.map(_.total_pieces)
