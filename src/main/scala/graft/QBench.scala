@@ -6,6 +6,11 @@ object QBench {
     // honor the same env as Bench so per-query drill-downs are measured
     // under the SAME parallelism as the BENCH numbers they're compared to
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // shuffle partitions sized separately from parallelism: at the big
+    // scale-rehearsal SFs (x1000) a 32-partition shuffle of the shingle
+    // explosion overflows execution memory — the same partition-sizing
+    // knob a real cluster job turns (defaults to cpus, the bench shape)
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val names = args.toSeq
     val unknown = names.filterNot(SparkEntry.queries.contains)
     if (unknown.nonEmpty) {
@@ -14,7 +19,7 @@ object QBench {
       sys.exit(2)
     }
     val spark = SparkSession.builder().master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try { spark.read.parquet(s"$sfDir/documents.parquet").selectExpr("count(distinct lower(text))").collect() } catch { case _: Throwable => () }
