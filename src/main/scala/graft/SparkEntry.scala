@@ -752,6 +752,12 @@ object SparkEntry {
     //     centrality, bloom decontam, k-means statistics ---------------
     "simhash_pairs" -> ((s, d) =>
       Dedup.simhashPairs(Tables.documents(s, d))),
+    // the hot-bucket mitigation the x1000 rehearsal motivated: only the
+    // cap smallest ids per band bucket act as pair sources. cap=2 here
+    // so the cap genuinely bites at every test SF (the synthetic corpus
+    // has wide duplicate groups); production calls keep the default 64
+    "simhash_pairs_capped" -> ((s, d) =>
+      Dedup.simhashPairsCapped(Tables.documents(s, d), cap = 2)),
     "weighted_sample" -> ((s, d) =>
       Sampling.weightedSample(Tables.documents(s, d), n = 50,
         weightCol = "n_chars", keyCol = "doc_id")
@@ -1647,6 +1653,21 @@ object SparkEntry {
          |          a.simhash AS fa, b.simhash AS fb
          |         FROM banded a JOIN banded b
          |          ON a.bnd = b.bnd AND a.byt = b.byt AND a.id < b.id)
+         |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+
+    // the capped variant: keepers = the 2 smallest ids per band bucket
+    "simhash_pairs_capped" ->
+      s"""${simhashFpCte(60)},
+         |banded AS (SELECT id, simhash, g.b AS bnd, (simhash >> (g.b * 15)) & 32767 AS byt
+         |           FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
+         |keepers AS (SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY id) AS rk
+         |            FROM banded),
+         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+         |          a.simhash AS fa, b.simhash AS fb
+         |         FROM keepers a JOIN banded b
+         |          ON a.bnd = b.bnd AND a.byt = b.byt AND a.id < b.id
+         |         WHERE a.rk <= 2)
          |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
          |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
 

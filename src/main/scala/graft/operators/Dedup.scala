@@ -251,6 +251,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** [[simhashPairs]] with a per-bucket KEEPER cap — the batch twin of
+    * [[graft.streaming.StreamingIngest.streamingNearDups]]'
+    * `perBucketCap`, for the pathological corpus the ×1000 scale
+    * rehearsal demonstrated (SCALING.md): when a band bucket holds n
+    * near-identical documents the exact pair space is O(n²), but a
+    * dedup pipeline only needs each document matched to SOME earlier
+    * keeper. Here only the `cap` smallest ids per (band, bucket) act as
+    * pair SOURCES — every later document still compares against all of
+    * them — so the bucket's work drops to O(n · cap) plus an O(n log n)
+    * in-bucket rank, while any bucket within the cap produces EXACTLY
+    * [[simhashPairs]]' output (spec-pinned). Recall loss past the cap
+    * mirrors the streaming FIFO semantics: hits against evicted
+    * (here: rank > cap) fingerprints are the ones forgone, and like the
+    * streaming side the cap is a stated contract, not a silent
+    * truncation. Deterministic — keepers are an id-ordered rank. */
+  def simhashPairsCapped(docs: DataFrame, maxHamming: Int = 3, cap: Int = 64,
+                         idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    val fp = simhash60(docs, idCol, textCol).localCheckpoint()
+    val banded = fp.select(col("id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
+        .as(Seq("band", "bucket")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val keepers = banded
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap).drop("_rk")
+    keepers.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Distinct (id_a < id_b) candidate pairs → symmetric directed edge
     * list — THE edge contract every graph consumer of the dedup family
     * shares ([[dupClusters]], [[connectedComponents]],

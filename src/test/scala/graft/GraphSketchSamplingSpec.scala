@@ -36,6 +36,36 @@ class GraphSketchSamplingSpec extends SparkSpec {
     assert(got.forall { case (a, b, _) => a < b })
   }
 
+  test("simhashPairsCapped: exact parity above the cap, bounded keepers below it") {
+    val docs = nearDupCorpus
+    val exact = Dedup.simhashPairs(docs, maxHamming = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // cap far above any bucket width: output must be identical
+    val wide = Dedup.simhashPairsCapped(docs, maxHamming = 3, cap = 1000).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(wide == exact, "an unreached cap must not change the pair set")
+    // cap 1: every emitted pair's SOURCE is its bucket's smallest id, so
+    // within each near-dup group only the earliest doc pairs forward —
+    // a strict subset, still covering every later doc at least once
+    val capped = Dedup.simhashPairsCapped(docs, maxHamming = 3, cap = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped.subsetOf(exact))
+    assert(capped.size < exact.size, "the cap must genuinely bite on 8-wide groups")
+    // exact in-memory reference of the cap semantics: per (band, bucket)
+    // the cap smallest ids are the only pair sources
+    val fps = Dedup.simhash60(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val buckets = fps.toSeq.flatMap { case (id, fp) =>
+      (0 until 4).map(b => ((b, (fp >> (b * 15)) & 32767L), id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    val want = (for {
+      (_, ids) <- buckets.toSeq
+      a <- ids.take(1); b <- ids if a < b
+      h = java.lang.Long.bitCount(fps(a) ^ fps(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    assert(capped == want, "capped pairs must equal the keeper-rank reference")
+  }
+
   test("simhashPairs respects the Hamming threshold") {
     val got = Dedup.simhashPairs(nearDupCorpus, maxHamming = 1).collect()
     assert(got.forall(_.getInt(2) <= 1))
