@@ -1645,31 +1645,12 @@ object SparkEntry {
     "simhash" -> s"""${simhashFpCte(32)}
         |SELECT id AS doc_id, simhash FROM fp""".stripMargin,
 
-    "simhash_pairs" ->
-      s"""${simhashFpCte(60)},
-         |banded AS (SELECT id, simhash, g.b AS bnd, (simhash >> (g.b * 15)) & 32767 AS byt
-         |           FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         |          a.simhash AS fa, b.simhash AS fb
-         |         FROM banded a JOIN banded b
-         |          ON a.bnd = b.bnd AND a.byt = b.byt AND a.id < b.id)
-         |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
-         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+    "simhash_pairs" -> simhashPairsSql(sourcesCte = "banded"),
 
     // the capped variant: keepers = the 2 smallest ids per band bucket
-    "simhash_pairs_capped" ->
-      s"""${simhashFpCte(60)},
-         |banded AS (SELECT id, simhash, g.b AS bnd, (simhash >> (g.b * 15)) & 32767 AS byt
-         |           FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
-         |keepers AS (SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY id) AS rk
-         |            FROM banded),
-         |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-         |          a.simhash AS fa, b.simhash AS fb
-         |         FROM keepers a JOIN banded b
-         |          ON a.bnd = b.bnd AND a.byt = b.byt AND a.id < b.id
-         |         WHERE a.rk <= 2)
-         |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
-         |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+    "simhash_pairs_capped" -> simhashPairsSql(sourcesCte =
+      """(SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY id) AS rk
+        |               FROM banded) WHERE rk <= 2)""".stripMargin),
 
     "embed_near_dups" ->
       """WITH b AS (
@@ -3408,6 +3389,23 @@ object SparkEntry {
       |             = t.costs[b.pos + 1]) AS l
       |    FROM bt b WHERE b.pos > 0
       |  ) bt)""".stripMargin
+
+  /** SimHash banded-pair replay shared by `simhash_pairs` (sources =
+    * the whole banding) and `simhash_pairs_capped` (sources = the
+    * keeper-ranked subquery): ONE copy of the band layout and the
+    * join/distinct/Hamming tail, mirroring `Dedup.banded60`/`pairTail`
+    * on the engine side — neither side of the parity contract can
+    * drift alone. */
+  private def simhashPairsSql(sourcesCte: String): String =
+    s"""${simhashFpCte(60)},
+       |banded AS (SELECT id, simhash, g.b AS bnd, (simhash >> (g.b * 15)) & 32767 AS byt
+       |           FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
+       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       |          a.simhash AS fa, b.simhash AS fb
+       |         FROM $sourcesCte a JOIN banded b
+       |          ON a.bnd = b.bnd AND a.byt = b.byt AND a.id < b.id)
+       |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
 
   /** Per-document token counts under the 6-merge trained vocab —
     * `bpe_tokens`' replay, and byte-identically `bpe_artifact`'s (the

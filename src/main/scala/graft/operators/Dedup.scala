@@ -233,14 +233,22 @@ object Dedup {
     * use exactly this shape at 64 bits). The fingerprint table (one row
     * of two longs per document) is the only thing checkpointed — the
     * corpus is never rescanned for the pairing. */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
-                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val fp = simhash60(docs, idCol, textCol).localCheckpoint()
-    val banded = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
-        .as(Seq("band", "bucket")))
-    banded.as("a").join(banded.as("b"),
+  /** The 4×15-bit band explode shared by the exact and capped pair
+    * operators — ONE definition of the band layout, so a mask/width
+    * change cannot desynchronize them. */
+  private def banded60(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhash60(docs, idCol, textCol).localCheckpoint()
+      .select(col("id"), col("simhash"),
+        posexplode(array((0 until 4).map(b =>
+          shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
+          .as(Seq("band", "bucket")))
+
+  /** The shared pair tail: bucket-equi-join `sources` (the pair-source
+    * side) against the full banding, dedup across bands, score and
+    * threshold the Hamming distance. */
+  private def pairTail(sources: DataFrame, banded: DataFrame,
+                       maxHamming: Int): DataFrame =
+    sources.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
@@ -249,6 +257,11 @@ object Dedup {
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3,
+                   idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val banded = banded60(docs, idCol, textCol)
+    pairTail(banded, banded, maxHamming)
   }
 
   /** [[simhashPairs]] with a per-bucket KEEPER cap — the batch twin of
@@ -269,25 +282,13 @@ object Dedup {
   def simhashPairsCapped(docs: DataFrame, maxHamming: Int = 3, cap: Int = 64,
                          idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(cap >= 1, s"need cap >= 1, got $cap")
-    val fp = simhash60(docs, idCol, textCol).localCheckpoint()
-    val banded = fp.select(col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
-        .as(Seq("band", "bucket")))
+    val banded = banded60(docs, idCol, textCol)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bucket")).orderBy(col("id"))
     val keepers = banded
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= cap).drop("_rk")
-    keepers.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
-      .distinct()
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+    pairTail(keepers, banded, maxHamming)
   }
 
   /** Distinct (id_a < id_b) candidate pairs → symmetric directed edge
