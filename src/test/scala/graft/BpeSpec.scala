@@ -200,6 +200,26 @@ class BpeSpec extends SparkSpec {
     assert(replayed === trained)
   }
 
+  test("property: batched trainer equals sequential on wider alphabets (threat-rule stress)") {
+    // {a,b,c} words give richer pair spaces than the in-memory-reference
+    // property above: more disjoint top pairs (bigger batches taken) AND
+    // more adjacent-pair threats (batches cut short) — both sides of
+    // selectBatch's acceptance rule. Sequential (maxBatch=1) IS the
+    // semantics; the batched run must reproduce it bit-for-bit.
+    val wordGen = Gen.choose(1, 8)
+      .flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))).map(_.mkString)
+    val docGen = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+    val corpusGen = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, docGen))
+    samples(corpusGen, 10).foreach { texts =>
+      val (seqM, seqV) = Bpe.learnMerges(docs(texts: _*), numMerges = 6, maxBatch = 1)
+      val (batM, batV) = Bpe.learnMerges(docs(texts: _*), numMerges = 6, maxBatch = 8)
+      assert(batM === seqM, s"merge sequence diverged for corpus $texts")
+      val sv = seqV.collect().map(r => (r.getString(0), r.getString(2))).toMap
+      val bv = batV.collect().map(r => (r.getString(0), r.getString(2))).toMap
+      assert(bv === sv, s"final vocab diverged for corpus $texts")
+    }
+  }
+
   test("tokenCounts: per-doc word and token totals under the trained vocab") {
     val corpus = docs("aa ab", "aa aa b")
     val (merges, fv) = Bpe.learnMerges(corpus, numMerges = 1)
