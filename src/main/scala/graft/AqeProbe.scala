@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** EXECUTED-plan audit — the adaptive (post-AQE) complement to
+  * [[PlanAudit]], which prints the static plan Catalyst committed to
+  * BEFORE runtime statistics existed. AQE can re-plan a sort-merge
+  * join back to broadcast when a side's real shuffle size is small, so
+  * a static broadcast→SMJ demote (SCALING.md's ×100 flip class) may or
+  * may not survive execution; this main runs each query through the
+  * noop sink and prints the join flavors of the FINAL adaptive plan.
+  * Measured round 12 at sf10: the demotes are real at runtime — AQE
+  * does not convert them back, because the demoted sides' runtime
+  * shuffle sizes genuinely exceed the adaptive broadcast threshold —
+  * which is the conservative behavior the hint-free design wants.
+  *
+  * Usage: `runMain graft.AqeProbe <sfDir> <query>...`
+  */
+object AqeProbe {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: AqeProbe <sfDir> <query>...")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (name <- args.drop(1)) {
+      try {
+        val df = SparkEntry.queries(name)(spark, args(0))
+        df.write.mode("overwrite").format("noop").save()
+        val p = df.queryExecution.executedPlan.toString
+        def c(s: String) = s.r.findAllIn(p).size
+        println(f"AQEFINAL $name%-22s smj=${c("SortMergeJoin")}%d " +
+          f"bhj=${c("BroadcastHashJoin")}%d bnlj=${c("BroadcastNestedLoopJoin")}%d " +
+          f"shj=${c("ShuffledHashJoin")}%d")
+      } catch { case e: Throwable =>
+        println(s"AQEFINAL $name ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}
