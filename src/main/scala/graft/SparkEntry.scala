@@ -902,6 +902,18 @@ object SparkEntry {
     // the integer (min pieces, max frequency mass) objective
     "unigram_viterbi" -> ((s, d) =>
       graft.operators.Unigram.segmentCorpus(Tables.documents(s, d))),
+    // the unigram artifact lifecycle, mirroring bpe_artifact: fit the
+    // seed model, persist it as parquet, LOAD it back, and re-segment
+    // the corpus under the loaded model — must equal unigram_viterbi
+    // exactly (same oracle, shared by reference)
+    "unigram_artifact" -> ((s, d) => {
+      val vocab = Bpe.wordVocab(Tables.documents(s, d))
+        .select("word", "freq").localCheckpoint()
+      graft.operators.Unigram.saveModel(s,
+        graft.operators.Unigram.fitSeed(vocab), unigramModelDir)
+      graft.operators.Unigram.viterbiStats(vocab,
+        graft.operators.Unigram.loadModel(s, unigramModelDir))
+    }),
     // the EM M-step over the same model: expected piece counts from the
     // canonical (longest-piece-first backtrack) optimal segmentations
     "unigram_em" -> ((s, d) => {
@@ -1042,6 +1054,9 @@ object SparkEntry {
 
   /** The bpe_artifact persisted-model location. */
   private lazy val bpeModelDir: String = tmpQueryDir("graft-bpem-q", "model")
+
+  /** The unigram_artifact persisted-model location. */
+  private lazy val unigramModelDir: String = tmpQueryDir("graft-ugm-q", "model")
 
   // CMS geometry shared by the query and its oracle — one definition, no
   // silent drift between the Spark sketch and the SQL cell replay
@@ -3250,13 +3265,11 @@ object SparkEntry {
     // recursion step — min over pieces ending at the new position via
     // the correlated scalar subquery, cost base BIG recomputed from the
     // same definition (max word length · max piece count + 1)
-    "unigram_viterbi" ->
-      s"""$unigramCtes
-        |SELECT word, freq,
-        |  CAST(costs[len(word) + 1] // (SELECT big FROM bigc) + 1 AS BIGINT) AS n_pieces,
-        |  CAST((costs[len(word) + 1] // (SELECT big FROM bigc) + 1) * (SELECT big FROM bigc)
-        |       - costs[len(word) + 1] AS BIGINT) AS piece_mass
-        |FROM r WHERE pos = len(word)""".stripMargin,
+    "unigram_viterbi" -> unigramViterbiOracle,
+
+    // the artifact roundtrip changes WHERE the model comes from (a
+    // persisted parquet artifact), not WHAT it computes — shared oracle
+    "unigram_artifact" -> unigramViterbiOracle,
 
     // the unigram chain extended by the canonical backtrack: from each
     // word's end take the LONGEST piece whose cost edge is tight
@@ -3418,6 +3431,18 @@ object SparkEntry {
        |       FROM v6)
        |SELECT doc_id, count(*) AS n_words, CAST(sum(word_tokens) AS BIGINT) AS n_tokens
        |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin
+
+  /** Per-word Viterbi segmentation stats under the fitted seed model —
+    * `unigram_viterbi`'s replay, and byte-identically
+    * `unigram_artifact`'s (the artifact query only changes where the
+    * model comes from). */
+  private lazy val unigramViterbiOracle: String =
+    s"""$unigramCtes
+      |SELECT word, freq,
+      |  CAST(costs[len(word) + 1] // (SELECT big FROM bigc) + 1 AS BIGINT) AS n_pieces,
+      |  CAST((costs[len(word) + 1] // (SELECT big FROM bigc) + 1) * (SELECT big FROM bigc)
+      |       - costs[len(word) + 1] AS BIGINT) AS piece_mass
+      |FROM r WHERE pos = len(word)""".stripMargin
 
   /** The full EM-loop replay (`Unigram.emLoop`): rounds 2..N extend the
     * [[unigramCtes]]+[[unigramBtCtes]] chain — each round's expected
