@@ -7,12 +7,12 @@ import org.apache.spark.sql.SparkSession
   * BEFORE runtime statistics existed. AQE can re-plan a sort-merge
   * join back to broadcast when a side's real shuffle size is small, so
   * a static broadcast→SMJ demote (SCALING.md's ×100 flip class) may or
-  * may not survive execution; this main runs each query through the
-  * noop sink and prints the join flavors of the FINAL adaptive plan.
-  * Measured round 12 at sf10: the demotes are real at runtime — AQE
-  * does not convert them back, because the demoted sides' runtime
-  * shuffle sizes genuinely exceed the adaptive broadcast threshold —
-  * which is the conservative behavior the hint-free design wants.
+  * may not survive execution; this main executes each query's OWN
+  * QueryExecution (not a separate write job — a `df.write` builds its
+  * own QE, leaving `df.queryExecution` un-executed and its adaptive
+  * plan unfinalized) and prints the join flavors of the FINAL adaptive
+  * plan, refusing to count a plan that has not reached
+  * `isFinalPlan=true`.
   *
   * Usage: `runMain graft.AqeProbe <sfDir> <query>...`
   */
@@ -27,12 +27,20 @@ object AqeProbe {
     for (name <- args.drop(1)) {
       try {
         val df = SparkEntry.queries(name)(spark, args(0))
-        df.write.mode("overwrite").format("noop").save()
-        val p = df.queryExecution.executedPlan.toString
-        def c(s: String) = s.r.findAllIn(p).size
-        println(f"AQEFINAL $name%-22s smj=${c("SortMergeJoin")}%d " +
-          f"bhj=${c("BroadcastHashJoin")}%d bnlj=${c("BroadcastNestedLoopJoin")}%d " +
-          f"shj=${c("ShuffledHashJoin")}%d")
+        val qe = df.queryExecution
+        // Drive THIS QueryExecution to completion so its
+        // AdaptiveSparkPlanExec finalizes — discard rows on executors.
+        qe.toRdd.foreachPartition(_ => ())
+        val p = qe.executedPlan.toString
+        val adaptive = p.contains("AdaptiveSparkPlan")
+        if (adaptive && !p.contains("isFinalPlan=true")) {
+          println(s"AQEFINAL $name NOT-FINAL (adaptive plan did not finalize)")
+        } else {
+          def c(s: String) = s.r.findAllIn(p).size
+          println(f"AQEFINAL $name%-22s smj=${c("SortMergeJoin")}%d " +
+            f"bhj=${c("BroadcastHashJoin")}%d bnlj=${c("BroadcastNestedLoopJoin")}%d " +
+            f"shj=${c("ShuffledHashJoin")}%d final=${if (adaptive) "aqe" else "static"}%s")
+        }
       } catch { case e: Throwable =>
         println(s"AQEFINAL $name ERROR ${e.getMessage.take(80)}")
       }

@@ -681,6 +681,26 @@ object SparkEntry {
       TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
     "lm_bigram" -> ((s, d) =>
       TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
+    // the LM-artifact lifecycle (train → persist → load → score),
+    // mirroring bpe_artifact/unigram_artifact: the corpus gram
+    // aggregate runs once and lands on disk; scoring reads the frozen
+    // model. Must equal lm_surprisal exactly (same oracle) — nothing
+    // about the model may survive only in driver memory
+    "lm_unigram_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.saveLm(TextAnalysis.trainUnigramLm(docs), lmUnigramModelDir)
+      TextAnalysis.unigramSurprisalWith(docs,
+        TextAnalysis.loadLm(s, lmUnigramModelDir, Seq("term", "cnt", "total")))
+    }),
+    // same lifecycle for the bigram LM — the operator SCALING.md's
+    // ×1000 probe flagged for re-exploding ~1e9 grams per scoring run;
+    // the artifact pays that once at train time
+    "lm_bigram_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.saveLm(TextAnalysis.trainBigramLm(docs), lmBigramModelDir)
+      TextAnalysis.bigramSurprisalWith(docs,
+        TextAnalysis.loadLm(s, lmBigramModelDir, Seq("bigram", "c12", "cctx", "v")))
+    }),
     // seeded MLlib RNG → run-reproducible but not engine-reproducible:
     // rows-only driver check (like approx_stats); the deterministic
     // sign-LSH/IVF twins carry the hash-compared oracles
@@ -1058,6 +1078,12 @@ object SparkEntry {
   /** The unigram_artifact persisted-model location. */
   private lazy val unigramModelDir: String = tmpQueryDir("graft-ugm-q", "model")
 
+  /** The lm_unigram_artifact persisted-model location. */
+  private lazy val lmUnigramModelDir: String = tmpQueryDir("graft-lmu-q", "model")
+
+  /** The lm_bigram_artifact persisted-model location. */
+  private lazy val lmBigramModelDir: String = tmpQueryDir("graft-lmb-q", "model")
+
   // CMS geometry shared by the query and its oracle — one definition, no
   // silent drift between the Spark sketch and the SQL cell replay
   private val cmsProbeTerms = Seq("the", "table", "query", "spark", "zzz_absent")
@@ -1115,6 +1141,25 @@ object SparkEntry {
         | FROM toks JOIN counts USING (term), total)
         |SELECT doc_id, count(*) AS n_tokens,
         | round(CAST(sum(s6) AS DOUBLE) / count(*) / 1000000, 4) AS avg_surprisal
+        |FROM scored GROUP BY doc_id""".stripMargin
+
+  private val lmBigramSql =
+    """WITH words AS (SELECT doc_id,
+        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS ws
+        | FROM documents),
+        |v AS (SELECT count(DISTINCT t) AS vocab FROM (SELECT unnest(ws) AS t FROM words)),
+        |bigr AS (SELECT doc_id,
+        |  unnest(list_transform(generate_series(1, len(ws) - 1),
+        |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+        | FROM words WHERE len(ws) >= 2),
+        |bc AS (SELECT bigram, count(*) AS c12 FROM bigr GROUP BY 1),
+        |cc AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS cctx FROM bc GROUP BY 1),
+        |scored AS (SELECT g.doc_id,
+        |  CAST(round(round(ln(CAST(cc.cctx + v.vocab AS DOUBLE) / CAST(bc.c12 + 1 AS DOUBLE)), 6) * 1e6) AS BIGINT) AS s6
+        | FROM bigr g JOIN bc USING (bigram)
+        | JOIN cc ON cc.w1 = split_part(g.bigram, ' ', 1) CROSS JOIN v)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        | round(CAST(sum(s6) AS DOUBLE) / count(*) / 1e6, 4) AS avg_surprisal
         |FROM scored GROUP BY doc_id""".stripMargin
 
   private val decontamReportSql =
@@ -2790,24 +2835,11 @@ object SparkEntry {
         |GROUP BY y""".stripMargin,
 
     "lm_surprisal" -> lmSurprisalSql,
-    "lm_bigram" ->
-      """WITH words AS (SELECT doc_id,
-        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS ws
-        | FROM documents),
-        |v AS (SELECT count(DISTINCT t) AS vocab FROM (SELECT unnest(ws) AS t FROM words)),
-        |bigr AS (SELECT doc_id,
-        |  unnest(list_transform(generate_series(1, len(ws) - 1),
-        |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
-        | FROM words WHERE len(ws) >= 2),
-        |bc AS (SELECT bigram, count(*) AS c12 FROM bigr GROUP BY 1),
-        |cc AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS cctx FROM bc GROUP BY 1),
-        |scored AS (SELECT g.doc_id,
-        |  CAST(round(round(ln(CAST(cc.cctx + v.vocab AS DOUBLE) / CAST(bc.c12 + 1 AS DOUBLE)), 6) * 1e6) AS BIGINT) AS s6
-        | FROM bigr g JOIN bc USING (bigram)
-        | JOIN cc ON cc.w1 = split_part(g.bigram, ' ', 1) CROSS JOIN v)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        | round(CAST(sum(s6) AS DOUBLE) / count(*) / 1e6, 4) AS avg_surprisal
-        |FROM scored GROUP BY doc_id""".stripMargin,
+    "lm_bigram" -> lmBigramSql,
+    // the artifact queries change WHERE the model lives, not what it
+    // says — the train-time oracles replay them verbatim
+    "lm_unigram_artifact" -> lmSurprisalSql,
+    "lm_bigram_artifact" -> lmBigramSql,
 
     // composed from the five component oracles above — thresholds in
     // lockstep with Cleaning.cleanCorpus's defaults

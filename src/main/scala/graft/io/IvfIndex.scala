@@ -576,13 +576,34 @@ object IvfIndex {
   /** Probe the persisted index: identical ranking semantics to
     * [[graft.operators.Similarity.ivfTopK]], but the assignment comes
     * from the cell-partitioned scan (no per-query re-assignment of the
-    * corpus) and unprobed cells are pruned at the scan. */
+    * corpus) and unprobed cells are pruned TWICE — at planning time the
+    * base tree LISTS only the probed cell directories (the probe's cell
+    * set is computable up front from the queries × the driver-held
+    * centroid sidecar, so at nlist=10⁵ the scan pays ≤ nprobe·|queries|
+    * directory existence checks instead of a 10⁵-partition discovery —
+    * on an object store the listing is the dominant probe cost), and at
+    * runtime the broadcast probe join's dynamic partition pruning
+    * covers whatever a listing-based reader cannot (the appends forest,
+    * and the spec pins it stays on the plan). Correctness is unchanged
+    * by construction: the listing prune and the probe join share ONE
+    * cell-ranking definition ([[Similarity.probeCellsDF]]), and a cell
+    * outside the probe set cannot contribute rows to the join. The
+    * query frame is evaluated once more for the cell set — it is
+    * broadcast-sized by the probe contract. */
   def probe(spark: SparkSession, dir: String, queries: DataFrame, k: Int,
             nprobe: Int,
             qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val cents = centroids(spark, dir)
-    val base = spark.read.parquet(s"$dir/vectors")
+    val vroot = s"$dir/vectors"
+    val vfs = fsOf(spark, new org.apache.hadoop.fs.Path(vroot))
+    val probedDirs = Similarity.probeCellIds(queries, cents, nprobe, qidCol, qvecCol)
+      .map(c => new org.apache.hadoop.fs.Path(s"$vroot/cell=$c"))
+      .filter(vfs.exists) // a cell no vector landed in has no directory
+    val base =
+      if (probedDirs.isEmpty) spark.read.parquet(vroot) // degenerate: empty/alien probe set
+      else spark.read.option("basePath", vroot)
+        .parquet(probedDirs.map(_.toString): _*)
     // committed streaming appends live beside the build tree (see
     // [[append]]); `cell` is a partition column in both, so the probe's
     // pruning applies to each scan. The rename-atomic publish means

@@ -283,16 +283,29 @@ object Layout {
     require(!entries.exists(_.isDirectory),
       s"$caller: $dir has partition subdirectories — stats skipping " +
         "works per leaf directory; use a partition filter for the tree")
-    val files = entries.filter { st =>
+    (parquetFiles(entries), manifestBounds(fs, dir))
+  }
+
+  /** Sorted parquet data files out of an already-fetched listing —
+    * shared by [[listWithBounds]] and [[readKept]] so a pruned read
+    * lists the directory exactly ONCE (at ~1e6 files per dir the remote
+    * listing dominates a pruned read's cost). */
+  private def parquetFiles(entries: Array[org.apache.hadoop.fs.FileStatus]): Seq[String] =
+    entries.filter { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }.map(_.getPath.toString).toSeq.sorted
+
+  /** The dir's manifest bounds (empty when absent) — one small-file
+    * read, no directory listing. */
+  private def manifestBounds(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: String): Map[String, FileBounds] = {
     val manifest = new org.apache.hadoop.fs.Path(dir, "_graft_stats.json")
-    if (!fs.exists(manifest)) return (files, Map.empty)
+    if (!fs.exists(manifest)) return Map.empty
     val text = {
       val in = fs.open(manifest)
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     }
-    (files, parsedManifest(text).toMap)
+    parsedManifest(text).toMap
   }
 
   /** Keep `files` whose bound (when present) satisfies `overlaps`;
@@ -310,10 +323,16 @@ object Layout {
   def prunedPaths(spark: org.apache.spark.sql.SparkSession, dir: String,
                   colName: String, lo: Long, hi: Long): (Seq[String], Int) = {
     val (files, bounds) = listWithBounds(spark, dir, "prunedPaths")
-    val kept = keepFiles[(Long, Long)](files, bounds.get(_).flatMap(_.longs.get(colName)),
-      { case (mn, mx) => mx >= lo && mn <= hi })
-    (kept, files.size)
+    (keptRange(files, bounds, colName, lo, hi), files.size)
   }
+
+  /** Range-overlap keep rule over pre-listed files — shared by
+    * [[prunedPaths]] and [[readPruned]] so the read path reuses its own
+    * listing instead of listing again. */
+  private def keptRange(files: Seq[String], bounds: Map[String, FileBounds],
+                        colName: String, lo: Long, hi: Long): Seq[String] =
+    keepFiles[(Long, Long)](files, bounds.get(_).flatMap(_.longs.get(colName)),
+      { case (mn, mx) => mx >= lo && mn <= hi })
 
   /** String-column variant of [[prunedPaths]]: keep files whose
     * `[min, max]` UTF-8-byte interval for `colName` contains `value`
@@ -324,12 +343,17 @@ object Layout {
   def prunedPathsEq(spark: org.apache.spark.sql.SparkSession, dir: String,
                     colName: String, value: String): (Seq[String], Int) = {
     val (files, bounds) = listWithBounds(spark, dir, "prunedPathsEq")
+    (keptEq(files, bounds, colName, value), files.size)
+  }
+
+  /** Equality keep rule over pre-listed files (see [[keptRange]]). */
+  private def keptEq(files: Seq[String], bounds: Map[String, FileBounds],
+                     colName: String, value: String): Seq[String] = {
     val v = value.getBytes("UTF-8")
-    val kept = keepFiles[(String, String)](files, bounds.get(_).flatMap(_.strs.get(colName)),
+    keepFiles[(String, String)](files, bounds.get(_).flatMap(_.strs.get(colName)),
       { case (mn, mx) =>
         bytesCompare(mn.getBytes("UTF-8"), v) <= 0 &&
           bytesCompare(v, mx.getBytes("UTF-8")) <= 0 })
-    (kept, files.size)
   }
 
   /** Read `dir` keeping only files whose string stats admit
@@ -341,7 +365,7 @@ object Layout {
   def readPrunedEq(spark: org.apache.spark.sql.SparkSession, dir: String,
                    colName: String, value: String): DataFrame =
     readKept(spark, dir, col(colName) === value,
-      prunedPathsEq(spark, dir, colName, value)._1)
+      (files, bounds) => keptEq(files, bounds, colName, value))
 
   /** Read `dir` with manifest-level file skipping for `colName ∈ [lo,
     * hi]`, then apply the SAME predicate as a residual filter (file
@@ -350,21 +374,26 @@ object Layout {
   def readPruned(spark: org.apache.spark.sql.SparkSession, dir: String,
                  colName: String, lo: Long, hi: Long): DataFrame =
     readKept(spark, dir, col(colName) >= lo && col(colName) <= hi,
-      prunedPaths(spark, dir, colName, lo, hi)._1)
+      (files, bounds) => keptRange(files, bounds, colName, lo, hi))
 
   /** The shared read tail of both readPruned variants: a partitioned
     * tree degrades to a plain filtered read (no manifest skipping — see
     * [[listWithBounds]] — and the filter drives Spark's own partition
     * pruning); otherwise read only the kept files with the residual
-    * predicate applied. `kept` is by-name so the tree check wins before
-    * any listing happens. */
+    * predicate applied. The directory is listed exactly ONCE — the tree
+    * check, the file inventory, and the keep rule all consume the same
+    * listing (remote listings dominate at ~1e6 files/dir). */
   private def readKept(spark: org.apache.spark.sql.SparkSession, dir: String,
-                       predicate: Column, kept: => Seq[String]): DataFrame = {
+                       predicate: Column,
+                       kept: (Seq[String], Map[String, FileBounds]) => Seq[String])
+      : DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(dir)
-    if (p.getFileSystem(conf).listStatus(p).exists(_.isDirectory))
+    val fs = p.getFileSystem(conf)
+    val entries = fs.listStatus(p)
+    if (entries.exists(_.isDirectory))
       return spark.read.parquet(dir).filter(predicate)
-    val k = kept
+    val k = kept(parquetFiles(entries), manifestBounds(fs, dir))
     if (k.isEmpty)
       spark.read.parquet(dir).filter(lit(false)) // empty frame, right schema
     else spark.read.parquet(k: _*).filter(predicate)

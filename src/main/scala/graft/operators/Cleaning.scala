@@ -26,12 +26,21 @@ import org.apache.spark.sql.functions._
   */
 object Cleaning {
 
+  /** @param lm optional pre-trained unigram LM
+    *   ([[TextAnalysis.trainUnigramLm]] output, possibly loaded from a
+    *   persisted artifact via [[TextAnalysis.loadLm]]). When given, the
+    *   surprisal band scores against the FROZEN model instead of
+    *   re-aggregating this corpus — the train-once shape an incremental
+    *   100 TB pipeline runs, where each day's batch is scored against
+    *   the model fitted on the reference corpus. Default (None) trains
+    *   on `docs` itself, the self-contained batch semantics. */
   def cleanCorpus(docs: DataFrame, bench: DataFrame,
                   decontamN: Int = 4,
                   langWhitelist: Seq[String] = Seq("en", "pt"),
                   maxTopBigramRatio: Double = 0.08,
                   maxSurprisal: Double = 3.5,
-                  idCol: String = "doc_id"): DataFrame = {
+                  idCol: String = "doc_id",
+                  lm: Option[DataFrame] = None): DataFrame = {
     val dd = Dedup.exactDups(docs, idCol).select(col(idCol), col("is_duplicate"))
     // language id is a PER-ROW computation (marker-score CASE chain) —
     // kept as a projection of the base scan rather than a component
@@ -44,7 +53,8 @@ object Cleaning {
     val base = TextAnalysis.languageId(docs).select(col(idCol), col("pred_lang"))
     val rp = TextAnalysis.repetitionStats(docs, idCol)
       .select(col(idCol), col("top_bigram_ratio"))
-    val sp = TextAnalysis.unigramSurprisal(docs, idCol)
+    val sp = TextAnalysis.unigramSurprisalWith(docs,
+        lm.getOrElse(TextAnalysis.trainUnigramLm(docs)), idCol)
       .select(col(idCol), col("avg_surprisal"))
     val dc = Decontaminate.report(docs, bench, decontamN, idCol)
       .select(col("doc_id").as(idCol), col("contaminated"))

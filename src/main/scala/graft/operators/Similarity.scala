@@ -161,6 +161,38 @@ object Similarity {
     * When `assigned` is a scan of a table PARTITIONED BY cell, the
     * broadcast probe join triggers dynamic partition pruning — only the
     * probed nprobe·|queries| cell directories are read. */
+  /** Each query's `nprobe` probe cells, ranked against the broadcast
+    * centroid table (rounded cosine desc, ties to the lowest cell) —
+    * ONE definition shared by [[probeScore]]'s join side and
+    * [[probeCellIds]]' driver-side listing prune, so the two can never
+    * disagree about which cells a query probes. */
+  private[graft] def probeCellsDF(queries: DataFrame, cents: Seq[(Int, Seq[Float])],
+                                  nprobe: Int, qidCol: String, qvecCol: String)
+      : DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    // centroid table is nlist rows — broadcast side of the probe ranking
+    val centroids = cents.toDF("cell", "centroid")
+    val probes = broadcast(queries).join(broadcast(centroids))
+      .withColumn("c_score",
+        round(graft.functions.VectorOps.cosineNative(col(qvecCol), col("centroid")), 6))
+    val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("c_score").desc, col("cell"))
+    probes.withColumn("p_rank", row_number().over(wProbe))
+      .filter(col("p_rank") <= nprobe)
+      .select(col(qidCol), col(qvecCol), col("cell"))
+  }
+
+  /** The DISTINCT cell ids a query batch will probe — metadata-sized
+    * (≤ nprobe·|queries|, and the query side is broadcast-sized by the
+    * probe contract), collected to the driver so a persisted index can
+    * list ONLY those cell directories instead of discovering all nlist
+    * partitions (see [[graft.io.IvfIndex.probe]]). */
+  private[graft] def probeCellIds(queries: DataFrame, cents: Seq[(Int, Seq[Float])],
+                                  nprobe: Int, qidCol: String, qvecCol: String)
+      : Seq[Int] =
+    probeCellsDF(queries, cents, nprobe, qidCol, qvecCol)
+      .select(col("cell")).distinct().collect().map(_.getInt(0)).sorted.toSeq
+
   private[graft] def probeScore(queries: DataFrame, assigned: DataFrame,
                                 cents: Seq[(Int, Seq[Float])], k: Int, nprobe: Int,
                                 qidCol: String, qvecCol: String,
@@ -173,17 +205,7 @@ object Similarity {
                                 // DuckDB replay
                                 scoreFn: (Column, Column) => Column =
                                   graft.functions.VectorOps.cosineNative): DataFrame = {
-    val spark = assigned.sparkSession
-    import spark.implicits._
-    // centroid table is nlist rows — broadcast side of the probe ranking
-    val centroids = cents.toDF("cell", "centroid")
-    val probes = broadcast(queries).join(broadcast(centroids))
-      .withColumn("c_score",
-        round(graft.functions.VectorOps.cosineNative(col(qvecCol), col("centroid")), 6))
-    val wProbe = Window.partitionBy(col(qidCol)).orderBy(col("c_score").desc, col("cell"))
-    val probeCells = probes.withColumn("p_rank", row_number().over(wProbe))
-      .filter(col("p_rank") <= nprobe)
-      .select(col(qidCol), col(qvecCol), col("cell"))
+    val probeCells = probeCellsDF(queries, cents, nprobe, qidCol, qvecCol)
     val scored = broadcast(probeCells).join(assigned, "cell")
       .withColumn("score", round(scoreFn(col(qvecCol), col(vecCol)), 4))
     val w = Window.partitionBy(col(qidCol)).orderBy(col("score").desc, col(idCol))

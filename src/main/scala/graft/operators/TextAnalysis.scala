@@ -110,21 +110,66 @@ object TextAnalysis {
     filter(split(lower(trim(text)), "\\s+"), w => w =!= "")
 
   def unigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    val words = docs.select(col(idCol), wsTokens(col(textCol)).as("_words"))
-    val toks = words.select(col(idCol), explode(col("_words")).as("term"))
-    val counts = toks.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = counts.agg(sum(col("cnt")).as("total"))
+                       textCol: String = "text"): DataFrame =
+    unigramSurprisalWith(docs, trainUnigramLm(docs, textCol), idCol, textCol)
+
+  /** Train the corpus unigram LM ONCE: `(term, cnt, total)` — the
+    * corpus total denormalized into every row so the table is
+    * self-describing (one parquet dir, no sidecar; the `Bpe.saveModel`
+    * pattern). This is the expensive half of [[unigramSurprisal]] — the
+    * full-corpus token aggregate — split out so a 100 TB deployment
+    * trains once, persists via [[saveLm]], and scores every later batch
+    * from the artifact instead of re-exploding the corpus per run
+    * (CCNet ships its KenLM model the same way). Vocabulary-sized
+    * output (sublinear in corpus size, Heaps' law). */
+  def trainUnigramLm(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val counts = docs.select(wsTokens(col(textCol)).as("_w"))
+      .select(explode(col("_w")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
+  }
+
+  /** Score documents against an ALREADY-TRAINED unigram LM (fresh from
+    * [[trainUnigramLm]] or loaded from a persisted artifact): broadcast
+    * model join + per-document fixed-point mean — the only corpus-scale
+    * exchange is the final per-doc aggregate. Tokens absent from the
+    * model are DROPPED (inner join), the right boundary for a frozen
+    * model scoring new data: an unseen token has no corpus probability,
+    * and inventing one (smoothing) would un-pin the train-time oracle.
+    * A document with no in-model tokens therefore yields no row —
+    * compose with a left join downstream (see [[Cleaning.cleanCorpus]]). */
+  def unigramSurprisalWith(docs: DataFrame, model: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val toks = docs.select(col(idCol), wsTokens(col(textCol)).as("_words"))
+      .select(col(idCol), explode(col("_words")).as("term"))
     val s6 = round(round(log(col("total").cast("double") / col("cnt")), 6) * 1e6, 0)
       .cast("long")
     toks
-      .join(broadcast(counts), "term")
-      .crossJoin(broadcast(total))
+      .join(broadcast(model), "term")
       .withColumn("_s6", s6)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
         round(sum(col("_s6")).cast("double") / count(lit(1)) / 1e6, 4)
           .as("avg_surprisal"))
+  }
+
+  /** Persist a trained LM table (unigram or bigram — both are plain
+    * self-describing frames) as the scoring artifact. */
+  def saveLm(model: DataFrame, dir: String): Unit =
+    model.write.mode("overwrite").parquet(dir)
+
+  /** Load a persisted LM artifact, checking it carries the columns the
+    * matching scorer reads — a wrong-directory mistake fails here with
+    * the column list, not deep inside a resolution error. */
+  def loadLm(spark: org.apache.spark.sql.SparkSession, dir: String,
+             required: Seq[String]): DataFrame = {
+    val df = spark.read.parquet(dir)
+    val missing = required.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"LM artifact at $dir lacks column(s) ${missing.mkString(", ")} — " +
+        s"found ${df.columns.mkString(", ")}")
+    df
   }
 
   /** Bigram-LM surprisal — the next rung from [[unigramSurprisal]]
@@ -145,33 +190,68 @@ object TextAnalysis {
     * term-keyed join here; AQE splits hot keys). Fixed-point micro-unit
     * sums keep the mean engine-exact. */
   def bigramSurprisal(docs: DataFrame, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text"): DataFrame =
+    bigramSurprisalWith(docs, trainBigramLm(docs, textCol), idCol, textCol)
+
+  /** Per-document bigram stream: `(id, bigram)` via `zip_with` over the
+    * words array and its shift — zero shuffle, shared by train and
+    * score so the two tokenizations can never drift. */
+  private def docBigrams(docs: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
     val words = docs.select(col(idCol), wsTokens(col(textCol)).as("_words"))
-    val vocab = words.select(explode(col("_words")).as("term"))
-      .agg(count_distinct(col("term")).as("v"))
-    // bigrams feed the count aggregate AND the scoring join, so the
-    // zip_with explode runs once per consumer. A localCheckpoint here
-    // was probed (r8, sf0.1, 4 warm reps each way): 1.40-1.59 s without
-    // vs 1.29-1.78 s with — inside run noise, under the repo's 20%
-    // keep bar, so NOT kept (unlike dup_spans, whose per-position md5
-    // made the second pass expensive enough to pay).
-    val bigrams = words.filter(size(col("_words")) >= 2)
+    words.filter(size(col("_words")) >= 2)
       .select(col(idCol),
         explode(zip_with(
           slice(col("_words"), lit(1), size(col("_words")) - 1),
           slice(col("_words"), lit(2), size(col("_words")) - 1),
           (a, b) => concat_ws(" ", a, b))).as("bigram"))
-    val bcounts = bigrams.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+  }
+
+  /** Train the corpus bigram LM ONCE: `(bigram, c12, cctx, v)` — the
+    * context count and vocabulary size denormalized into every row
+    * (cctx repeats per shared w1, v everywhere; both RLE-compress to
+    * nothing in parquet), so scoring needs ONE equi-join instead of
+    * re-running the corpus-wide gram aggregate. This is the artifact
+    * answer to the ×1000 single-node wall SCALING.md measured for
+    * `lm_bigram`: the ~corpus-sized gram explosion happens at train
+    * time only; each scoring batch pays batch-sized work. Context
+    * counts derive from the count table itself (vocab²-bounded
+    * re-aggregate, not a second corpus scan). */
+  def trainBigramLm(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val words = docs.select(wsTokens(col(textCol)).as("_words"))
+    val vocab = words.select(explode(col("_words")).as("term"))
+      .agg(count_distinct(col("term")).as("v"))
+    val bcounts = words.filter(size(col("_words")) >= 2)
+      .select(explode(zip_with(
+        slice(col("_words"), lit(1), size(col("_words")) - 1),
+        slice(col("_words"), lit(2), size(col("_words")) - 1),
+        (a, b) => concat_ws(" ", a, b))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
     val ccounts = bcounts
       .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum(col("c12")).as("cctx"))
-    val s6 = round(round(log((col("cctx") + col("v")).cast("double") /
-      (col("c12") + lit(1)).cast("double")), 6) * 1e6, 0).cast("long")
-    bigrams
-      .join(bcounts, "bigram")
+    bcounts
       .join(broadcast(ccounts),
         substring_index(col("bigram"), " ", 1) === col("w1"))
+      .drop("w1")
       .crossJoin(broadcast(vocab))
+  }
+
+  /** Score documents against an already-trained bigram LM (fresh from
+    * [[trainBigramLm]] or loaded via [[loadLm]]): add-one-smoothed
+    * `−ln p(w2|w1)` read straight off the model row. One data-scale
+    * exchange — the doc-bigram ⨝ model equi-join on the bigram key
+    * (NOT broadcast: the bigram inventory grows with the corpus;
+    * Catalyst/AQE picks the join flavor from the artifact's real size).
+    * Unseen bigrams drop (inner join) — same frozen-model boundary as
+    * [[unigramSurprisalWith]]. */
+  def bigramSurprisalWith(docs: DataFrame, model: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val s6 = round(round(log((col("cctx") + col("v")).cast("double") /
+      (col("c12") + lit(1)).cast("double")), 6) * 1e6, 0).cast("long")
+    docBigrams(docs, idCol, textCol)
+      .join(model, "bigram")
       .withColumn("_s6", s6)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"),

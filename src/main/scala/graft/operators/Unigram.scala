@@ -235,11 +235,17 @@ object Unigram {
   final case class EmIter(iter: Int, model_pieces: Int,
                           total_pieces: Long, total_mass: Long)
 
-  /** Corpus totals under a model: `(Σ freq·n_pieces, Σ freq·mass)`. */
+  /** Corpus totals under a model: `(Σ freq·n_pieces, Σ freq·mass)`.
+    * An empty/all-filtered vocabulary sums to null — surface that as a
+    * descriptive error instead of letting `getLong` throw an opaque
+    * NullPointerException from inside the EM loop. */
   private def corpusTotals(vocab: DataFrame, model: SeedModel): (Long, Long) = {
     val r = viterbiStats(vocab, model)
       .agg(sum(col("freq") * col("n_pieces")).as("tp"),
         sum(col("freq") * col("piece_mass")).as("tm")).head()
+    require(!r.isNullAt(0),
+      "unigram corpusTotals: empty vocabulary — the corpus produced no " +
+        "words (all rows filtered or empty text); nothing to fit")
     (r.getLong(0), r.getLong(1))
   }
 

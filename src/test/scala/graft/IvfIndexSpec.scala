@@ -514,6 +514,30 @@ class IvfIndexSpec extends SparkSpec {
       s"both sides of the union must stay partition-pruned (saw $dppScans):\n$unionPlan")
   }
 
+  test("probe LISTS only the probed cell directories — planning-time prune " +
+      "on top of the runtime DPP") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    val cands = vecs(400, 16, seed = 11)
+    val qs = vecs(2, 16, seed = 47)
+      .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+    IvfIndex.build(cands, dir, nlist = 8)
+    val allCells = new java.io.File(s"$dir/vectors").listFiles()
+      .filter(_.isDirectory).map(_.getName).filter(_.startsWith("cell=")).toSet
+    val probed = Similarity.probeCellIds(qs, IvfIndex.centroids(spark, dir),
+      nprobe = 2, "q_vec_id", "q_embedding").map(c => s"cell=$c").toSet
+    assert(probed.size < allCells.size,
+      s"fixture must leave unprobed cells (probed $probed of $allCells)")
+    val res = IvfIndex.probe(spark, dir, qs, k = 5, nprobe = 2)
+    // the scan's file inventory must cover EXACTLY the probed cells —
+    // an unprobed directory is never even listed
+    val listedCells = res.inputFiles.flatMap(
+      "cell=\\d+".r.findFirstIn(_)).toSet
+    assert(listedCells == probed,
+      s"listing prune read $listedCells, probe set is $probed")
+    // and the prune changes nothing about the answer
+    assert(rows(res) == rows(Similarity.ivfTopK(qs, cands, k = 5, nlist = 8, nprobe = 2)))
+  }
+
   test("randomized commit/replay/compact schedules never lose or duplicate a row") {
     // the exactly-once state machine under adversarial schedules: fresh
     // batches commit in order, arbitrary earlier ids replay at any
