@@ -12,7 +12,10 @@ import org.apache.spark.sql.SparkSession
   * own QE, leaving `df.queryExecution` un-executed and its adaptive
   * plan unfinalized) and prints the join flavors of the FINAL adaptive
   * plan, refusing to count a plan that has not reached
-  * `isFinalPlan=true`.
+  * `isFinalPlan=true`. Measured round 13 at sf10 (SCALING.md): the
+  * corpus-derived demotes survive finalization, while AQE re-promotes
+  * exactly the sides whose runtime size stays small (`delete_by_ids`'
+  * tombstones at every SF; `clean_corpus`'s lone static smj at sf0.1).
   *
   * Usage: `runMain graft.AqeProbe <sfDir> <query>...`
   */
@@ -31,7 +34,11 @@ object AqeProbe {
         // Drive THIS QueryExecution to completion so its
         // AdaptiveSparkPlanExec finalizes — discard rows on executors.
         qe.toRdd.foreachPartition(_ => ())
-        val p = qe.executedPlan.toString
+        // the finalized AdaptiveSparkPlanExec stringifies BOTH the final
+        // plan and an "== Initial Plan ==" section — count only the
+        // former, or every flavor is double-counted (or worse, the
+        // initial flavor masks the re-planned one)
+        val p = qe.executedPlan.toString.split("== Initial Plan ==")(0)
         val adaptive = p.contains("AdaptiveSparkPlan")
         if (adaptive && !p.contains("isFinalPlan=true")) {
           println(s"AQEFINAL $name NOT-FINAL (adaptive plan did not finalize)")

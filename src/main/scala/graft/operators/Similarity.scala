@@ -457,17 +457,17 @@ object Similarity {
                  qidCol: String = "q_vec_id", qvecCol: String = "q_embedding",
                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-    import org.apache.spark.ml.linalg.Vectors
     // zero-norm vectors are unrankable under the unit-sphere mapping (an
     // unnormalized zero would sit at distance 1 from everything → a
     // phantom cosine of 0.5 where brute force scores ~0) — exclude them
-    // BEFORE the vector UDF, with a plain column predicate (a null out
-    // of the UDF can reach MLlib's hash lambda through collapsed
-    // projections and NPE there)
-    val toVec = udf((a: Seq[Float]) => {
-      val n = math.sqrt(a.map(x => x.toDouble * x).sum)
-      Vectors.dense(a.map(_ / n).toArray)
-    })
+    // BEFORE the vector conversion, with a plain column predicate (a
+    // null reaching MLlib's hash lambda through collapsed projections
+    // would NPE there). Normalization stays in codegen
+    // ([[graft.functions.VectorOps.l2Normalize]] — same left-to-right
+    // double fold and IEEE division a lambda would run) and only the
+    // ml-Vector conversion is the library's own `array_to_vector`.
+    val toVec = (c: Column) => org.apache.spark.ml.functions.array_to_vector(
+      graft.functions.VectorOps.l2Normalize(c))
     val cand = candidates
       .filter(graft.functions.VectorOps.normSq(col(vecCol)) > 0)
       .select(col(idCol), toVec(col(vecCol)).as("features"))
