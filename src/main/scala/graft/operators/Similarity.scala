@@ -460,14 +460,20 @@ object Similarity {
     // zero-norm vectors are unrankable under the unit-sphere mapping (an
     // unnormalized zero would sit at distance 1 from everything → a
     // phantom cosine of 0.5 where brute force scores ~0) — exclude them
-    // BEFORE the vector conversion, with a plain column predicate (a
-    // null reaching MLlib's hash lambda through collapsed projections
-    // would NPE there). Normalization stays in codegen
-    // ([[graft.functions.VectorOps.l2Normalize]] — same left-to-right
-    // double fold and IEEE division a lambda would run) and only the
-    // ml-Vector conversion is the library's own `array_to_vector`.
-    val toVec = (c: Column) => org.apache.spark.ml.functions.array_to_vector(
-      graft.functions.VectorOps.l2Normalize(c))
+    // BEFORE the vector conversion, with a plain column predicate.
+    // Normalization stays in codegen (same left-to-right double fold
+    // and IEEE division as [[graft.functions.VectorOps.l2Normalize]]),
+    // but the division must be TOTAL: MLlib's hash predicate is a
+    // deterministic UDF, so the optimizer may evaluate it BELOW the
+    // norm filter, and an ANSI divide-by-zero on a row the filter was
+    // about to drop would kill the job (the zero branch maps to the
+    // zero vector — hashable, never surfaced). Only the ml-Vector
+    // conversion is the library's own `array_to_vector`.
+    val toVec = (c: Column) => org.apache.spark.ml.functions.array_to_vector({
+      val d = graft.functions.VectorOps.asDouble(c)
+      aggregate(d, lit(0.0), (acc, x) => acc + x * x,
+        s => transform(d, x => when(s > 0.0, x / sqrt(s)).otherwise(0.0)))
+    })
     val cand = candidates
       .filter(graft.functions.VectorOps.normSq(col(vecCol)) > 0)
       .select(col(idCol), toVec(col(vecCol)).as("features"))
