@@ -279,4 +279,61 @@ class LayoutSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     assert(got.toSeq === Seq((1L, 0L), (2L, 1L), (3L, 2L)))
   }
+
+  test("generative: skipping is NEVER a filter — random tables, boundary longs, " +
+      "non-ASCII strings, random ranges (seeded)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    def samples[A](g: Gen[A], n: Int, salt: Long): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(salt + i)))
+    val extremeLong = Gen.oneOf(
+      Gen.oneOf(Long.MinValue, Long.MinValue + 1, -1L, 0L, 1L,
+        Long.MaxValue - 1, Long.MaxValue),
+      Gen.choose(-1000L, 1000L))
+    // strings across the UTF-8 byte-order traps: ASCII, Latin-1,
+    // multi-byte CJK, an astral pair, and the empty string
+    val str = Gen.oneOf("", "a", "z", "Z", "zz", "é", "ü",
+      "中文", "😀", "abcé", "~", "")
+    val rowGen = for { v <- extremeLong; s <- str } yield (v, s)
+    val tableGen = for {
+      n <- Gen.choose(1, 60)
+      rows <- Gen.listOfN(n, rowGen)
+      files <- Gen.choose(1, 6)
+    } yield (rows, files)
+    samples(tableGen, 8, 4200L).zipWithIndex.foreach { case ((rows, files), i) =>
+      val dir = java.nio.file.Files.createTempDirectory(s"layout-gen$i")
+        .toString + "/t"
+      val df = rows.zipWithIndex.map { case ((v, s), j) => (j.toLong, v, s) }
+        .toDF("id", "v", "s")
+      // range-cluster on v so bounds are tight and skipping actually
+      // happens for narrow ranges (correctness must hold either way)
+      Layout.writeWithStats(
+        df.repartitionByRange(files, col("v")).sortWithinPartitions("v"),
+        dir, Seq("v", "s"))
+      // random ranges: inverted, point, wide, and data-derived
+      val vs = rows.map(_._1)
+      val ranges = samples(for {
+        a <- Gen.oneOf(Gen.oneOf(vs), extremeLong)
+        b <- Gen.oneOf(Gen.oneOf(vs), extremeLong)
+      } yield (math.min(a, b), math.max(a, b)), 5, 77L * (i + 1)) ++
+        Seq((Long.MinValue, Long.MaxValue), (5L, -5L)) // full + empty-inverted
+      ranges.foreach { case (lo, hi) =>
+        val got = Layout.readPruned(spark, dir, "v", lo, hi)
+          .select("id").collect().map(_.getLong(0)).sorted
+        val want = df.filter(col("v") >= lo && col("v") <= hi)
+          .select("id").collect().map(_.getLong(0)).sorted
+        assert(got.toSeq === want.toSeq,
+          s"table $i range [$lo,$hi]: pruned read changed the answer")
+      }
+      // equality reads: every distinct present value plus two absent ones
+      (rows.map(_._2).distinct ++ Seq("absent", "不在")).foreach { v =>
+        val got = Layout.readPrunedEq(spark, dir, "s", v)
+          .select("id").collect().map(_.getLong(0)).sorted
+        val want = df.filter(col("s") === v)
+          .select("id").collect().map(_.getLong(0)).sorted
+        assert(got.toSeq === want.toSeq,
+          s"table $i value '$v': pruned eq-read changed the answer")
+      }
+    }
+  }
 }
