@@ -1026,6 +1026,54 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
           sum(expr("CAST(round(value * 1e6) AS BIGINT)")).as("sum_value_micro"))
+    }),
+
+    // WordPiece training — likelihood-scored merges over the ##-marked
+    // alphabet (the BERT tokenizer family; BPE and unigram-LM are the
+    // other two). 6 merges like bpe_learn so the two trainers' outputs
+    // are directly comparable in the same CORRECTNESS run
+    "wordpiece_learn" -> ((s, d) => {
+      val (merges, _) = Wordpiece.learnMerges(Tables.documents(s, d), numMerges = 6)
+      Bpe.mergesDf(s, merges).select(col("rank").as("merge_rank"),
+        col("lhs"), col("rhs"), col("merged"), col("freq"))
+    }),
+    // greedy ##-marked encode of the whole corpus under the trained
+    // vocabulary — (piece, freq) with BERT's continuation convention
+    "wordpiece_tokens" -> ((s, d) => {
+      val (_, finalVocab) = Wordpiece.learnMerges(Tables.documents(s, d), numMerges = 6)
+      Wordpiece.pieceCounts(finalVocab)
+    }),
+    // the full artifact lifecycle: train → persist → load → replay the
+    // merge HISTORY over a re-derived raw vocab → encode. Must equal
+    // wordpiece_tokens exactly (shared oracle) — nothing about the
+    // model survives only in driver memory
+    "wordpiece_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val (merges, _) = Wordpiece.learnMerges(docs, numMerges = 6)
+      Bpe.saveModel(s, merges, wordpieceModelDir)
+      val loaded = Bpe.loadModel(s, wordpieceModelDir)
+      val vocab = Wordpiece.wordVocab(docs).select("word", "freq")
+      Wordpiece.pieceCounts(Wordpiece.applyMergeHistory(vocab, loaded))
+    }),
+
+    // trained NB classifier (the fastText/CCNet-style model-based
+    // filter; the heuristic tier is quality_score) — fit on the lang
+    // column as target-language weak supervision
+    "nb_train" -> ((s, d) =>
+      Classify.nbTrain(Tables.documents(s, d))
+        .select("term", "pos_cnt", "neg_cnt")),
+    // score the corpus under the fitted model: micro-nat fixed-point
+    // llr sums, so the result is partitioning-invariant
+    "nb_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Classify.nbScore(docs, Classify.nbTrain(docs))
+    }),
+    // artifact lifecycle: fit → persist → load → score. Must equal
+    // nb_score exactly (shared oracle)
+    "nb_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Classify.saveNb(Classify.nbTrain(docs), nbModelDir)
+      Classify.nbScore(docs, Classify.loadNb(s, nbModelDir))
     })
   )
 
@@ -1083,6 +1131,12 @@ object SparkEntry {
 
   /** The lm_bigram_artifact persisted-model location. */
   private lazy val lmBigramModelDir: String = tmpQueryDir("graft-lmb-q", "model")
+
+  /** The wordpiece_artifact persisted-model location. */
+  private lazy val wordpieceModelDir: String = tmpQueryDir("graft-wpm-q", "model")
+
+  /** The nb_artifact persisted-model location. */
+  private lazy val nbModelDir: String = tmpQueryDir("graft-nbm-q", "model")
 
   // CMS geometry shared by the query and its oracle — one definition, no
   // silent drift between the Spark sketch and the SQL cell replay
@@ -3380,7 +3434,40 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micro
         |FROM events WHERE event_type = 'purchase'
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+
+    // WordPiece training replay: like bpe_learn's chain but each round
+    // also recounts SYMBOL frequencies (sy_j) and ranks pairs by the
+    // likelihood score freq/(fl·fr) — the same IEEE double division the
+    // engine computes — with the fused symbol keeping only the leading
+    // ## marker
+    "wordpiece_learn" -> {
+      val rows = (1 to 6).map(j =>
+        s"SELECT CAST($j AS INTEGER) AS merge_rank, lhs, rhs, merged, freq FROM b$j")
+        .mkString("\nUNION ALL ")
+      s"""WITH ${wpCtes(6)}
+         |$rows""".stripMargin
+    },
+
+    // greedy ##-marked encode under the trained vocabulary: position 1
+    // matches only unmarked pieces, later positions only ##-marked ones
+    // (on their marker-stripped surface), the emitted piece carries the
+    // marker — the engine's wordpiecePieces fold as a recursive CTE
+    "wordpiece_tokens" -> wordpieceTokensOracle,
+
+    // the artifact roundtrip changes WHERE the merges come from (a
+    // persisted parquet model), not WHAT they compute — shared oracle
+    "wordpiece_artifact" -> wordpieceTokensOracle,
+
+    // NB training: per-term class counts under the lang='en' weak label
+    "nb_train" ->
+      s"""WITH $nbCtes
+         |SELECT term, pos_cnt, neg_cnt FROM counts""".stripMargin,
+
+    "nb_score" -> nbScoreOracle,
+
+    // artifact roundtrip: fit → persist → load → score, same oracle
+    "nb_artifact" -> nbScoreOracle
   )
 
   /** The unigram-LM chain shared by `unigram_viterbi` and `unigram_em`:
@@ -3601,6 +3688,121 @@ object SparkEntry {
     }
     sb.toString
   }
+
+  /** WordPiece training replay — [[bpeCtes]]' structure over the
+    * ##-marked alphabet with likelihood argmax: w0 seeds `k ##e ##y`
+    * sequences, each round recounts symbol frequencies (sy_j), scores
+    * pairs by `freq / (fl · fr)` as IEEE doubles (the engine's exact
+    * expression), picks the (score DESC, lhs, rhs) head, and rewrites
+    * with the marker-stripped fusion carried in b_j.merged.
+    *
+    * Every w_j is `AS MATERIALIZED`: each round reads its predecessor
+    * from THREE places (sy_j, p_j, and w_j's own projection), so the
+    * default inlining would re-expand the chain 4^k times — measured
+    * 267 s at sf0.001 vs sub-second materialized. ([[bpeCtes]] gets
+    * away without the hint at 2 references per round.) */
+  private def wpCtes(numMerges: Int): String = {
+    val sb = new StringBuilder(
+      """w0 AS MATERIALIZED (
+        | SELECT w AS word, count(*) AS freq,
+        |  CASE WHEN len(w) <= 1 THEN w
+        |       ELSE substr(w, 1, 1) || ' ' ||
+        |            trim(regexp_replace(substr(w, 2), '(.)', '##\1 ', 'g')) END AS seq
+        | FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |       FROM documents) uw
+        | GROUP BY w)""".stripMargin)
+    for (j <- 1 to numMerges) {
+      val rep = (1 to operators.Bpe.MergePasses).foldLeft("' ' || v.seq || ' '")((x, _) =>
+        s"replace($x, ' ' || b.lhs || ' ' || b.rhs || ' ', ' ' || b.merged || ' ')")
+      sb ++= s""",
+        |sy$j AS MATERIALIZED (SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt
+        |        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS sym FROM w${j - 1}) s
+        |        GROUP BY sym),
+        |p$j AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
+        |         CAST(sum(freq) AS BIGINT) AS freq
+        |        FROM (SELECT freq, string_split(seq, ' ') AS syms FROM w${j - 1}) s,
+        |             LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
+        |        GROUP BY 1, 2),
+        |b$j AS MATERIALIZED (SELECT p.lhs, p.rhs,
+        |         p.lhs || CASE WHEN p.rhs LIKE '##%' THEN substr(p.rhs, 3)
+        |                       ELSE p.rhs END AS merged, p.freq
+        |        FROM p$j p JOIN sy$j a ON a.sym = p.lhs JOIN sy$j c ON c.sym = p.rhs
+        |        ORDER BY CAST(p.freq AS DOUBLE) /
+        |                 (CAST(a.cnt AS DOUBLE) * CAST(c.cnt AS DOUBLE)) DESC,
+        |                 p.lhs, p.rhs LIMIT 1),
+        |w$j AS MATERIALIZED (SELECT v.word, v.freq, trim($rep) AS seq FROM w${j - 1} v, b$j b)""".stripMargin
+    }
+    sb.toString
+  }
+
+  /** The WordPiece greedy-encode replay: [[greedyCtes]]' walk made
+    * marker-aware — the matchable surface of a ##-piece is its last
+    * `len-2` characters, position 1 may only take unmarked pieces, and
+    * the emitted token re-attaches the marker. */
+  private val wordpieceTokensOracle: String =
+    s"""WITH RECURSIVE ${wpCtes(6)},
+       |wpieces AS (SELECT DISTINCT unnest(string_split(seq, ' ')) AS piece FROM w6),
+       |r(word, freq, pos, out) AS (
+       | SELECT word, freq, 1, '' FROM w6
+       | UNION ALL
+       | SELECT word, freq, pos + l,
+       |  out || ' ' || CASE WHEN pos = 1 THEN substr(word, pos, l)
+       |                     ELSE '##' || substr(word, pos, l) END
+       | FROM (
+       |  SELECT word, freq, pos, out,
+       |   coalesce((SELECT max(CASE WHEN p.piece LIKE '##%' THEN len(p.piece) - 2
+       |                             ELSE len(p.piece) END)
+       |             FROM wpieces p
+       |             WHERE CASE WHEN r.pos = 1 THEN
+       |                     p.piece NOT LIKE '##%'
+       |                     AND r.pos + len(p.piece) <= len(r.word) + 1
+       |                     AND substr(r.word, r.pos, len(p.piece)) = p.piece
+       |                   ELSE
+       |                     p.piece LIKE '##%'
+       |                     AND r.pos + len(p.piece) - 2 <= len(r.word) + 1
+       |                     AND substr(r.word, r.pos, len(p.piece) - 2) = substr(p.piece, 3)
+       |                   END), 1) AS l
+       |  FROM r WHERE pos <= len(word)
+       | ) stepped
+       |)
+       |SELECT piece, CAST(sum(freq) AS BIGINT) AS freq
+       |FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
+       |      FROM r WHERE pos > len(word)) u
+       |GROUP BY piece""".stripMargin
+
+  /** Shared NB CTEs: the lang='en' weak label, `[a-z]+` tokens, and the
+    * per-term class counts — one definition for train and score. */
+  private val nbCtes: String =
+    """lab AS (SELECT doc_id, coalesce(lang, '') = 'en' AS pos, text FROM documents),
+      |toks AS (SELECT doc_id, pos,
+      |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM lab),
+      |counts AS (SELECT term,
+      |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt,
+      |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_cnt
+      | FROM toks GROUP BY term)""".stripMargin
+
+  /** NB scoring replay: the one-logarithm smoothed llr per token,
+    * rounded to 6 decimals then micro-nat fixed point (order-free long
+    * sums — the repo-wide ln discipline), plus the class-prior llr. */
+  private val nbScoreOracle: String =
+    s"""WITH $nbCtes,
+       |tot AS (SELECT CAST(sum(pos_cnt) AS BIGINT) AS pos_tot,
+       |         CAST(sum(neg_cnt) AS BIGINT) AS neg_tot,
+       |         CAST(count(*) AS BIGINT) AS vocab FROM counts),
+       |dt AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_docs,
+       |        CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_docs FROM lab),
+       |pr AS (SELECT CAST(round(round(ln(CAST(pos_docs AS DOUBLE) /
+       |         CAST(neg_docs AS DOUBLE)), 6) * 1e6) AS BIGINT) AS p6 FROM dt),
+       |scored AS (SELECT t.doc_id,
+       |  CAST(round(round(ln(
+       |    (CAST(coalesce(c.pos_cnt, 0) + 1 AS DOUBLE) * CAST(tot.neg_tot + tot.vocab AS DOUBLE)) /
+       |    (CAST(coalesce(c.neg_cnt, 0) + 1 AS DOUBLE) * CAST(tot.pos_tot + tot.vocab AS DOUBLE))),
+       |   6) * 1e6) AS BIGINT) AS s6
+       | FROM toks t LEFT JOIN counts c USING (term) CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       | CAST(pr.p6 + sum(s6) AS DOUBLE) / 1e6 AS nb_llr,
+       | CASE WHEN pr.p6 + sum(s6) > 0 THEN 1 ELSE 0 END AS pred
+       |FROM scored CROSS JOIN pr GROUP BY doc_id, pr.p6""".stripMargin
 
   /** Shared CTE prefix replaying the C4 greedy sentence-packing fold
     * (recursive walk carrying (sub_idx, cur_len) per chunk; RE2 has no
