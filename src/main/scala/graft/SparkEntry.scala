@@ -1074,6 +1074,41 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       Classify.saveNb(Classify.nbTrain(docs), nbModelDir)
       Classify.nbScore(docs, Classify.loadNb(s, nbModelDir))
+    }),
+
+    // DSIR — hashed-n-gram importance resampling (Xie et al. 2023),
+    // the FIXED-SIZE-model member of the selection tier (quality_score
+    // is the heuristic, nb_* the open-vocabulary trained filter): the
+    // model is ≤ numBuckets rows no matter the corpus. Target = the
+    // lang='en' slice as weak supervision, like nb_train
+    "dsir_fit" -> ((s, d) =>
+      Dsir.fitBuckets(Tables.documents(s, d),
+        coalesce(col("lang"), lit("")) === "en")),
+    // per-document log importance weight ln p(x)/q(x) under the fitted
+    // buckets: micro-nat fixed-point cross-ratio sums, so the weight is
+    // partitioning-invariant (the nb_score discipline)
+    "dsir_weights" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dsir.logImportance(docs,
+        Dsir.fitBuckets(docs, coalesce(col("lang"), lit("")) === "en"))
+    }),
+    // the paper's resampling step: Gumbel-top-k without replacement
+    // ∝ exp(logw), md5-derived noise so every engine draws the same 50
+    "dsir_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dsir.gumbelTopK(
+        Dsir.logImportance(docs,
+          Dsir.fitBuckets(docs, coalesce(col("lang"), lit("")) === "en")),
+        n = 50)
+    }),
+    // artifact lifecycle: fit → persist → load → weight. Must equal
+    // dsir_weights exactly (shared oracle)
+    "dsir_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dsir.saveDsir(
+        Dsir.fitBuckets(docs, coalesce(col("lang"), lit("")) === "en"),
+        dsirModelDir)
+      Dsir.logImportance(docs, Dsir.loadDsir(s, dsirModelDir))
     })
   )
 
@@ -1137,6 +1172,9 @@ object SparkEntry {
 
   /** The nb_artifact persisted-model location. */
   private lazy val nbModelDir: String = tmpQueryDir("graft-nbm-q", "model")
+
+  /** The dsir_artifact persisted-model location. */
+  private lazy val dsirModelDir: String = tmpQueryDir("graft-dsm-q", "model")
 
   // CMS geometry shared by the query and its oracle — one definition, no
   // silent drift between the Spark sketch and the SQL cell replay
@@ -3467,8 +3505,75 @@ object SparkEntry {
     "nb_score" -> nbScoreOracle,
 
     // artifact roundtrip: fit → persist → load → score, same oracle
-    "nb_artifact" -> nbScoreOracle
+    "nb_artifact" -> nbScoreOracle,
+
+    // DSIR fit replay: hashed unigram+bigram features into 1024 buckets
+    // (the repo's md5-prefix integer), raw = whole corpus, target = the
+    // lang='en' slice; every row carries the denormalized totals
+    "dsir_fit" ->
+      s"""WITH $dsirCtes
+         |SELECT bucket, tgt_cnt, raw_cnt, tgt_tot, raw_tot,
+         | CAST(1024 AS BIGINT) AS n_buckets
+         |FROM dcounts CROSS JOIN dtot""".stripMargin,
+
+    "dsir_weights" -> dsirWeightsOracle,
+
+    // Gumbel-top-k replay: the same micro-nat weight plus
+    // −ln(−ln u), u = (md5-prefix-int + 1)/2^60 — deterministic noise,
+    // ranked on the unrounded double (the weighted_sample discipline)
+    "dsir_sample" ->
+      s"""WITH $dsirCtes,
+         |$dsirWeightCte
+         |SELECT doc_id, n_feats, logw, round(g_raw, 9) AS g_key FROM (
+         | SELECT *, logw - ln(-ln(
+         |   ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+         |      / 1152921504606846976.0))) AS g_raw FROM dw) keyed
+         |ORDER BY g_raw DESC, doc_id LIMIT 50""".stripMargin,
+
+    // artifact roundtrip: fit → persist → load → weight, same oracle
+    "dsir_artifact" -> dsirWeightsOracle
   )
+
+  /** Shared DSIR CTEs: hashed word-unigram + adjacent-bigram features
+    * (md5-prefix integer % 1024 — [[graft.operators.Dsir.bucketCol]]),
+    * per-bucket target/raw counts, and the totals. Ends inside the WITH
+    * clause. */
+  private val dsirCtes: String =
+    """dbase AS (SELECT doc_id, coalesce(lang, '') = 'en' AS tgt,
+      |           regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
+      |dfeats AS (
+      | SELECT doc_id, tgt, unnest(ws) AS f FROM dbase
+      | UNION ALL
+      | SELECT doc_id, tgt, ws[i] || ' ' || ws[i + 1] AS f
+      | FROM dbase, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
+      |db AS (SELECT doc_id, tgt,
+      |        ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS bucket FROM dfeats),
+      |dcounts AS (SELECT bucket,
+      |  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt,
+      |  CAST(count(*) AS BIGINT) AS raw_cnt FROM db GROUP BY bucket),
+      |dtot AS (SELECT CAST(sum(tgt_cnt) AS BIGINT) AS tgt_tot,
+      |          CAST(sum(raw_cnt) AS BIGINT) AS raw_tot FROM dcounts)""".stripMargin
+
+  /** The per-document weight CTE on top of [[dsirCtes]]: each feature's
+    * smoothed cross-ratio log in micro-nats (ONE ln of an integer-count
+    * ratio, rounded to 6 decimals — the nb_score fixed point), summed
+    * order-free per document. */
+  private val dsirWeightCte: String =
+    """dscored AS (SELECT db.doc_id,
+      |  CAST(round(round(ln(
+      |    (CAST(coalesce(c.tgt_cnt, 0) + 1 AS DOUBLE) * CAST(dtot.raw_tot + 1024 AS DOUBLE)) /
+      |    (CAST(coalesce(c.raw_cnt, 0) + 1 AS DOUBLE) * CAST(dtot.tgt_tot + 1024 AS DOUBLE))),
+      |   6) * 1e6) AS BIGINT) AS s6
+      | FROM db LEFT JOIN dcounts c USING (bucket) CROSS JOIN dtot),
+      |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+      |        CAST(sum(s6) AS DOUBLE) / 1e6 AS logw
+      |       FROM dscored GROUP BY doc_id)""".stripMargin
+
+  /** The dsir_weights / dsir_artifact shared oracle. */
+  private val dsirWeightsOracle: String =
+    s"""WITH $dsirCtes,
+       |$dsirWeightCte
+       |SELECT doc_id, n_feats, logw FROM dw""".stripMargin
 
   /** The unigram-LM chain shared by `unigram_viterbi` and `unigram_em`:
     * corpus → word vocab, substring seed + pruning, and the recursive

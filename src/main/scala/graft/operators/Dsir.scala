@@ -1,0 +1,151 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al.,
+  * NeurIPS 2023) — the published scale path for "pick the raw-corpus
+  * documents that look most like a small high-quality target corpus".
+  * The third member of the selection tier: [[TextAnalysis.qualityScore]]
+  * is the heuristic filter, [[Classify]] the trained per-term NB filter,
+  * and this the HASHED-feature importance sampler whose model size is a
+  * CONSTANT `numBuckets` — independent of the vocabulary, which is what
+  * survives 100 TB (an open-vocabulary count table grows with the
+  * corpus; the hashed model is a few KB broadcast forever).
+  *
+  * Method, exactly as published: featurize each document as hashed word
+  * unigrams + adjacent bigrams (the paper's hashed n-gram features),
+  * fit two smoothed multinomials — target p and raw q — over the
+  * `numBuckets` feature buckets, weight every raw document by
+  * `log w = Σ_feats [ln p(b) − ln q(b)]`, then resample without
+  * replacement ∝ w via the Gumbel-top-k trick (`key = log w + G_i`,
+  * take the top n — equivalent to softmax sampling without
+  * replacement; the noise is md5-derived like
+  * [[Sampling.weightedSample]]'s Efraimidis–Spirakis keys, so every
+  * engine draws the same sample).
+  *
+  * Numeric discipline: the per-bucket log-ratio folds into ONE
+  * logarithm of an integer-count cross-ratio, rounded to 6 decimals
+  * and scaled to micro-nat longs BEFORE the per-document sum (the
+  * [[Classify.nbScore]] fixed-point pattern) — long sums are
+  * order-free, so weights are partitioning-invariant and exactly
+  * replayable in the DuckDB oracle.
+  *
+  * Scale design: fitting is one aggregation over the token scan into a
+  * ≤ `numBuckets`-row frame; scoring is scan + BROADCAST bucket join +
+  * order-free long sums; resampling is a global top-k
+  * (TakeOrderedAndProject — O(n) rows per task, no full sort). No
+  * corpus-sized shuffle anywhere beyond the per-doc aggregation.
+  */
+object Dsir {
+
+  /** Paper-scale is 10k; the default keeps the testdata buckets
+    * meaningfully collided (feature hashing MUST collide — that's the
+    * fixed-size-model contract being exercised, not a defect). */
+  val DefaultBuckets = 1024
+
+  private def wordsCol(text: Column): Column =
+    regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
+
+  /** Hashed-n-gram feature list: word unigrams ++ adjacent bigrams
+    * ("w1 w2"). The `size >= 2` guard dodges the `sequence(1, 0)`
+    * descending-range trap (see [[Bpe]] — sequence(1,0) = [1,0]). */
+  def featureList(text: Column): Column = {
+    val ws = wordsCol(text)
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    concat(ws, bigrams)
+  }
+
+  /** A feature's bucket: the shared 60-bit md5 integer mod
+    * `numBuckets` (non-negative by construction, so `%` and `pmod`
+    * agree — the DuckDB twin uses plain `%`). */
+  def bucketCol(feat: Column, numBuckets: Int): Column =
+    Dedup.md5Hash60(feat) % numBuckets
+
+  /** `(doc_id, bucket)` exploded hashed features of a corpus. */
+  def hashedFeatures(docs: DataFrame, numBuckets: Int = DefaultBuckets,
+                     idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol), explode(featureList(col(textCol))).as("_f"))
+      .select(col(idCol), bucketCol(col("_f"), numBuckets).as("bucket"))
+
+  /** Fit the two hashed multinomials: `(bucket, tgt_cnt, raw_cnt)` for
+    * every OCCUPIED bucket plus the denormalized totals each row
+    * carries (`tgt_tot`, `raw_tot`, `n_buckets`) so the persisted
+    * artifact is self-contained (the [[TextAnalysis.saveLm]]
+    * convention). `target` marks the high-quality target slice; the
+    * raw distribution is the WHOLE corpus, target included — the
+    * paper's q is the big corpus as-is. */
+  def fitBuckets(docs: DataFrame, target: Column,
+                 numBuckets: Int = DefaultBuckets,
+                 textCol: String = "text"): DataFrame = {
+    val feats = docs
+      .select(target.as("tgt"), explode(featureList(col(textCol))).as("_f"))
+      .select(col("tgt"), bucketCol(col("_f"), numBuckets).as("bucket"))
+    val counts = feats.groupBy("bucket").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_cnt"),
+      count(lit(1)).as("raw_cnt"))
+    val totals = counts.agg(
+      sum("tgt_cnt").as("tgt_tot"), sum("raw_cnt").as("raw_tot"))
+    counts.crossJoin(broadcast(totals))
+      .withColumn("n_buckets", lit(numBuckets.toLong))
+  }
+
+  /** Persist / load the fitted bucket model (parquet; columns checked
+    * on load like [[TextAnalysis.loadLm]]). */
+  def saveDsir(model: DataFrame, dir: String): Unit =
+    model.write.mode("overwrite").parquet(dir)
+
+  def loadDsir(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.loadLm(spark, dir,
+      Seq("bucket", "tgt_cnt", "raw_cnt", "tgt_tot", "raw_tot", "n_buckets"))
+
+  /** Per-document log importance weight under a fitted model:
+    * `(doc_id, n_feats, logw)`. Each feature contributes the smoothed
+    * cross-ratio log
+    * `ln((tgt_cnt+1)·(raw_tot+B) / ((raw_cnt+1)·(tgt_tot+B)))` in
+    * micro-nats; buckets the model never saw take the zero-count
+    * smoothing via the left join + coalesce. `logw` is the exact
+    * micro-nat long divided back to double UNROUNDED — the integer sum
+    * is the same IEEE double everywhere. Documents with no `[a-z]+`
+    * token have no rows and drop out (the explode-join semantics every
+    * token scorer here shares). */
+  def logImportance(docs: DataFrame, model: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val m = model.agg(max("tgt_tot"), max("raw_tot"), max("n_buckets")).collect()(0)
+    val (tgtTot, rawTot, b) = (m.getLong(0), m.getLong(1), m.getLong(2))
+    require(tgtTot > 0, s"DSIR needs a non-empty target slice, got tgt_tot=$tgtTot")
+    val llr6 = round(round(log(
+      ((coalesce(col("tgt_cnt"), lit(0L)) + 1L).cast("double") * lit((rawTot + b).toDouble)) /
+        ((coalesce(col("raw_cnt"), lit(0L)) + 1L).cast("double") * lit((tgtTot + b).toDouble))),
+      6) * 1e6, 0).cast("long")
+    val buckets = model.groupBy("bucket").agg(
+      max("tgt_cnt").as("tgt_cnt"), max("raw_cnt").as("raw_cnt"))
+    hashedFeatures(docs, b.toInt, idCol, textCol)
+      .join(broadcast(buckets), Seq("bucket"), "left")
+      .select(col(idCol), llr6.as("s6"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_feats"),
+        (sum("s6").cast("double") / 1e6).as("logw"))
+  }
+
+  /** Gumbel-top-k resample without replacement ∝ exp(logw): perturb
+    * each weight with deterministic md5-derived Gumbel noise
+    * `G = −ln(−ln(u))`, `u = (h+1)/2^60 ∈ (0, 1]`, and take the top
+    * `n` by `logw + G` (ties on id). TakeOrderedAndProject — the
+    * driver holds n rows, never the corpus. `g_key` is emitted at 9
+    * decimals like [[Sampling.weightedSample]]'s `es_key`. */
+  def gumbelTopK(weights: DataFrame, n: Int,
+                 idCol: String = "doc_id"): DataFrame = {
+    val u = (Dedup.md5Hash60(col(idCol).cast("string")) + 1).cast("double") /
+      lit(1152921504606846976.0)
+    weights
+      .withColumn("_g_raw", col("logw") - log(-log(u)))
+      .orderBy(col("_g_raw").desc, col(idCol))
+      .limit(n)
+      .withColumn("g_key", round(col("_g_raw"), 9))
+      .drop("_g_raw")
+  }
+}
