@@ -102,25 +102,39 @@ object Dsir {
     TextAnalysis.loadLm(spark, dir,
       Seq("bucket", "tgt_cnt", "raw_cnt", "tgt_tot", "raw_tot", "n_buckets"))
 
-  /** Per-document log importance weight under a fitted model:
-    * `(doc_id, n_feats, logw)`. Each feature contributes the smoothed
-    * cross-ratio log
-    * `ln((tgt_cnt+1)·(raw_tot+B) / ((raw_cnt+1)·(tgt_tot+B)))` in
-    * micro-nats; buckets the model never saw take the zero-count
-    * smoothing via the left join + coalesce. `logw` is the exact
-    * micro-nat long divided back to double UNROUNDED — the integer sum
-    * is the same IEEE double everywhere. Documents with no `[a-z]+`
-    * token have no rows and drop out (the explode-join semantics every
-    * token scorer here shares). */
-  def logImportance(docs: DataFrame, model: DataFrame,
-                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The model's denormalized scalars `(tgt_tot, raw_tot, n_buckets)`,
+    * with the non-empty-target guard every scoring path shares. */
+  private def modelTotals(model: DataFrame): (Long, Long, Long) = {
     val m = model.agg(max("tgt_tot"), max("raw_tot"), max("n_buckets")).collect()(0)
     val (tgtTot, rawTot, b) = (m.getLong(0), m.getLong(1), m.getLong(2))
     require(tgtTot > 0, s"DSIR needs a non-empty target slice, got tgt_tot=$tgtTot")
-    val llr6 = round(round(log(
-      ((coalesce(col("tgt_cnt"), lit(0L)) + 1L).cast("double") * lit((rawTot + b).toDouble)) /
-        ((coalesce(col("raw_cnt"), lit(0L)) + 1L).cast("double") * lit((tgtTot + b).toDouble))),
+    (tgtTot, rawTot, b)
+  }
+
+  /** One feature's smoothed cross-ratio log
+    * `ln((tgt+1)·(raw_tot+B) / ((raw+1)·(tgt_tot+B)))`, rounded to 6
+    * decimals then micro-nat fixed point — ONE definition shared by the
+    * join path and the collected-map path, so the two are bit-identical
+    * by construction (both evaluate Spark's own log/round). */
+  private def llr6Expr(tgtTot: Long, rawTot: Long, b: Long)(
+      tgt: Column, raw: Column): Column =
+    round(round(log(
+      ((tgt + 1L).cast("double") * lit((rawTot + b).toDouble)) /
+        ((raw + 1L).cast("double") * lit((tgtTot + b).toDouble))),
       6) * 1e6, 0).cast("long")
+
+  /** Per-document log importance weight under a fitted model:
+    * `(doc_id, n_feats, logw)`. Buckets the model never saw take the
+    * zero-count smoothing via the left join + coalesce. `logw` is the
+    * exact micro-nat long divided back to double UNROUNDED — the
+    * integer sum is the same IEEE double everywhere. Documents with no
+    * `[a-z]+` token have no rows and drop out (the explode-join
+    * semantics every token scorer here shares). */
+  def logImportance(docs: DataFrame, model: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val (tgtTot, rawTot, b) = modelTotals(model)
+    val llr6 = llr6Expr(tgtTot, rawTot, b)(
+      coalesce(col("tgt_cnt"), lit(0L)), coalesce(col("raw_cnt"), lit(0L)))
     val buckets = model.groupBy("bucket").agg(
       max("tgt_cnt").as("tgt_cnt"), max("raw_cnt").as("raw_cnt"))
     hashedFeatures(docs, b.toInt, idCol, textCol)
@@ -129,6 +143,48 @@ object Dsir {
       .groupBy(idCol)
       .agg(count(lit(1)).as("n_feats"),
         (sum("s6").cast("double") / 1e6).as("logw"))
+  }
+
+  /** The fitted model collected to the driver: per-bucket micro-nat
+    * llr plus the unseen-bucket default. This is the fixed-size
+    * contract cashing out — ≤ `numBuckets` entries no matter the
+    * corpus, so the whole model rides inside one map LITERAL and
+    * scoring needs no join, no shuffle, and no state. The llr values
+    * are computed by Spark's own log/round expressions
+    * ([[llr6Expr]]), never re-derived in driver math, so the map path
+    * scores bit-identically to [[logImportance]]'s join path. */
+  case class DsirModel(llr6: Map[Long, Long], default6: Long, numBuckets: Int)
+
+  def collectModel(model: DataFrame): DsirModel = {
+    val (tgtTot, rawTot, b) = modelTotals(model)
+    val llr = llr6Expr(tgtTot, rawTot, b) _
+    val pairs = model.groupBy("bucket")
+      .agg(max("tgt_cnt").as("t"), max("raw_cnt").as("r"))
+      .select(col("bucket"), llr(col("t"), col("r")).as("s6"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val default6 = model.sparkSession.range(1)
+      .select(llr(lit(0L), lit(0L)).as("s6")).collect()(0).getLong(0)
+    DsirModel(pairs, default6, b.toInt)
+  }
+
+  /** STATELESS per-row scoring under a collected model — works
+    * unchanged on a batch frame or a streaming one (no aggregation, no
+    * watermark, no state store): each row folds its own feature list
+    * through the broadcast-literal map. Emits the [[logImportance]]
+    * columns; rows with no `[a-z]+` token are dropped to keep the two
+    * paths' contracts identical. */
+  def scoreWith(dm: DsirModel, docs: DataFrame,
+                idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lut = typedlit(dm.llr6)
+    val feats = featureList(col(textCol))
+    val s6 = aggregate(
+      transform(feats,
+        f => coalesce(element_at(lut, bucketCol(f, dm.numBuckets)),
+          lit(dm.default6))),
+      lit(0L), (acc, x) => acc + x)
+    docs.select(col(idCol), size(feats).cast("long").as("n_feats"),
+        (s6.cast("double") / 1e6).as("logw"))
+      .filter(col("n_feats") > 0)
   }
 
   /** Gumbel-top-k resample without replacement ∝ exp(logw): perturb
