@@ -128,10 +128,16 @@ object SparkEntry {
     }),
     "q19_set_ops" -> ((s, d) =>
       Relational.nationSetOps(Tables.customer(s, d), Tables.supplier(s, d))),
-    // HLL/KLL sketch aggregates: sketch estimates are engine-specific →
-    // deliberately NO oracleSql entry (driver records the rows-only
-    // check); the exact columns in the same row bound the error.
-    "approx_stats" -> ((s, d) => Relational.approxEventStats(Tables.events(s, d))),
+    // HLL/KLL sketch aggregates: the sketch ESTIMATES are
+    // engine-specific, so the checked projection is the exact twins plus
+    // the bounded-error verdict booleans (deterministic — both sketches
+    // are hash-based, no RNG); the oracle recomputes the exact side and
+    // asserts the verdicts are true. The approx values themselves stay
+    // on the operator's full output for API users.
+    "approx_stats" -> ((s, d) =>
+      Relational.approxEventStats(Tables.events(s, d))
+        .select("event_type", "exact_users", "exact_p50", "n_events",
+          "users_ok", "p50_ok")),
     "q20_multiset_ops" -> ((s, d) =>
       Relational.multisetPriorityOps(Tables.orders(s, d))),
     "q21_range_frame" -> ((s, d) =>
@@ -433,8 +439,12 @@ object SparkEntry {
         .select(col("q_vec_id"), col("vec_id"))
       Retrieval.rankingQuality(Retrieval.knnCosine(qs, cand, k = 10), rel, k = 10)
     }),
-    // BRP-LSH recall rides MLlib's seeded RNG → run- but not
-    // engine-reproducible: rows-only check, like ann_brp_lsh itself
+    // BRP-LSH recall rides MLlib's seeded RNG → the recall VALUE is
+    // run-reproducible (fixed seed) but not engine-replayable, so the
+    // checked projection is a verdict: recall ≥ 0.8, far under the
+    // measured 0.94 tuning point (README's audit table) — the oracle
+    // asserts the verdict, catching bucket-join collapse or a seed/
+    // normalization regression without pinning RNG-specific hyperplanes
     "ann_recall_brp" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
       val qs = e.filter(col("vec_id") < 5)
@@ -443,6 +453,8 @@ object SparkEntry {
       val exact = Retrieval.knnCosine(qs, cand, k = 10)
       Similarity.recallAudit(exact,
         Seq("brp_lsh" -> Similarity.brpLshTopK(qs, cand, k = 10)))
+        .select(col("method"), col("expected"),
+          (col("recall") >= 0.8).as("recall_ok"))
     }),
     // the SparkSessionExtensions SQL surface: the native cosine kernel
     // invoked from plain SQL text, as an extensions-configured session
@@ -627,6 +639,13 @@ object SparkEntry {
       DocExtract.emlChunksDF(DocExtract.fixturesDF(s).filter(col("fmt") === "eml"))),
     "pdf_pages" -> ((s, d) =>
       DocExtract.pdfPages(DocExtract.fixturesDF(s).filter(col("fmt") === "pdf"))),
+    // the PDF 1.5+ shape (the dominant modern layout PyMuPDF reads
+    // transparently, document_processing_service.py:156-185): xref
+    // STREAM (FlateDecode + PNG Up predictor), catalog/pages/page dicts
+    // compressed in an OBJECT stream, indirect /Length, and a
+    // /Contents ARRAY on page 2 — all through the xref-driven reader
+    "pdf_pages_xrefstream" -> ((s, d) =>
+      DocExtract.pdfPages(DocExtract.xrefFixturesDF(s))),
     "doc_validate" -> ((s, d) =>
       DocExtract.validateAll(DocExtract.fixturesDF(s))),
     // S5-lite: whitespace-alignment table detection over the PDF text
@@ -701,15 +720,25 @@ object SparkEntry {
       TextAnalysis.bigramSurprisalWith(docs,
         TextAnalysis.loadLm(s, lmBigramModelDir, Seq("bigram", "c12", "cctx", "v")))
     }),
-    // seeded MLlib RNG → run-reproducible but not engine-reproducible:
-    // rows-only driver check (like approx_stats); the deterministic
-    // sign-LSH/IVF twins carry the hash-compared oracles
+    // seeded MLlib RNG → run-reproducible but not engine-replayable;
+    // the deterministic sign-LSH/IVF twins carry the hash-compared
+    // ranked-list oracles, and THIS query checks the library path
+    // per-query: every question must come back non-empty with ≥ 0.5
+    // recall@10 vs brute force (measured 0.94 aggregate — the verdict
+    // catches per-bucket starvation the aggregate audit can average away)
     "ann_brp_lsh" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
-      Similarity.brpLshTopK(
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
-        e.filter(col("vec_id") >= 5), k = 10)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+      val cand = e.filter(col("vec_id") >= 5)
+      val exact = Retrieval.knnCosine(qs, cand, k = 10)
+      val hits = Similarity.brpLshTopK(qs, cand, k = 10)
+        .select(col("q_vec_id"), col("vec_id"))
+        .join(exact.select(col("q_vec_id"), col("vec_id")), Seq("q_vec_id", "vec_id"))
+        .groupBy("q_vec_id").agg(count(lit(1)).as("_hits"))
+      qs.select(col("q_vec_id")).join(hits, Seq("q_vec_id"), "left")
+        .select(col("q_vec_id"),
+          (coalesce(col("_hits"), lit(0L)) >= 5).as("recall_ok"))
     }),
     "clean_corpus" -> ((s, d) => {
       val docs = Tables.documents(s, d)
@@ -1086,21 +1115,29 @@ object SparkEntry {
         coalesce(col("lang"), lit("")) === "en")),
     // per-document log importance weight ln p(x)/q(x) under the fitted
     // buckets: micro-nat fixed-point cross-ratio sums, so the weight is
-    // partitioning-invariant (the nb_score discipline)
-    "dsir_weights" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dsir.logImportance(docs,
-        Dsir.fitBuckets(docs, coalesce(col("lang"), lit("")) === "en"))
-    }),
+    // partitioning-invariant (the nb_score discipline). The model comes
+    // from the per-dir memoized fit (dsirFitted) — passing the
+    // UNMATERIALIZED fitBuckets frame here re-ran the whole corpus
+    // explode+aggregate twice per query (once for modelTotals' collect,
+    // once for the broadcast side) before scoring even started —
+    // measured 17.6 s/query at sf0.1 vs 11.8 s through the persisted
+    // artifact. The production shape is fit-once-score-many anyway.
+    "dsir_weights" -> ((s, d) =>
+      Dsir.logImportance(Tables.documents(s, d), dsirFitted(s, d))),
     // the paper's resampling step: Gumbel-top-k without replacement
     // ∝ exp(logw), md5-derived noise so every engine draws the same 50
-    "dsir_sample" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+    "dsir_sample" -> ((s, d) =>
       Dsir.gumbelTopK(
-        Dsir.logImportance(docs,
-          Dsir.fitBuckets(docs, coalesce(col("lang"), lit("")) === "en")),
-        n = 50)
-    }),
+        Dsir.logImportance(Tables.documents(s, d), dsirFitted(s, d)),
+        n = 50)),
+    // the STATELESS scoring twin: the ≤1024-row model collected into one
+    // map literal, scored with zero joins and zero shuffles (the form a
+    // streaming selector runs). Must equal dsir_weights bit-for-bit
+    // (shared oracle) — the llr values come from the same Spark
+    // expressions, only the delivery differs (broadcast join vs literal)
+    "dsir_score_map" -> ((s, d) =>
+      Dsir.scoreWith(Dsir.collectModel(dsirFitted(s, d)),
+        Tables.documents(s, d))),
     // artifact lifecycle: fit → persist → load → weight. Must equal
     // dsir_weights exactly (shared oracle)
     "dsir_artifact" -> ((s, d) => {
@@ -1175,6 +1212,24 @@ object SparkEntry {
 
   /** The dsir_artifact persisted-model location. */
   private lazy val dsirModelDir: String = tmpQueryDir("graft-dsm-q", "model")
+
+  /** One fitted DSIR model per data dir, fit ONCE and persisted (the
+    * dsir_artifact shape): dsir_weights / dsir_sample / dsir_score_map
+    * all score under the same model, and re-fitting per query paid ≥2
+    * extra full-corpus explode+aggregate passes each (r13 verdict: 4
+    * DSIR queries = 53 s of a 138 s bench). ConcurrentHashMap because
+    * bench/verify may interleave queries; keyed by data dir so a
+    * different SF never reuses a stale model. */
+  private val dsirFitDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def dsirFitted(s: SparkSession, d: String): DataFrame =
+    Dsir.loadDsir(s, dsirFitDirs.computeIfAbsent(d, _ => {
+      val out = tmpQueryDir("graft-dsf-q", "model")
+      Dsir.saveDsir(
+        Dsir.fitBuckets(Tables.documents(s, d),
+          coalesce(col("lang"), lit("")) === "en"),
+        out)
+      out
+    }))
 
   // CMS geometry shared by the query and its oracle — one definition, no
   // silent drift between the Spark sketch and the SQL cell replay
@@ -2235,6 +2290,21 @@ object SparkEntry {
         |  JOIN asg a ON a.cell = qp.cell JOIN c ON c.vec_id = a.vec_id) WHERE rank <= 10""".stripMargin,
 
     "ann_recall" -> annRecallSql,
+
+    // the seeded-RNG BRP paths are replayed as VERDICTS: the oracle
+    // recomputes the deterministic frame (queries / exact-pair count)
+    // and asserts the recall verdicts hold — see the query comments
+    "ann_recall_brp" ->
+      """SELECT 'brp_lsh' AS method,
+        | CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5)
+        |   * least(10, (SELECT count(*) FROM embeddings WHERE vec_id >= 5))
+        |   AS BIGINT) AS expected,
+        | true AS recall_ok""".stripMargin,
+
+    "ann_brp_lsh" ->
+      """SELECT vec_id AS q_vec_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
     // metric replay: same rounded-cosine ranking, ln-quotient log2,
     // integer micro-unit gains, unrounded ndcg quotient
     "ranking_quality" ->
@@ -2457,6 +2527,18 @@ object SparkEntry {
         |  EXCEPT ALL
         |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
         |GROUP BY o_orderpriority""".stripMargin,
+
+    // sketch aggregates: the oracle recomputes the exact twins and
+    // asserts the bounded-error verdicts hold — the sketch values
+    // themselves are engine-specific but the verdicts are deterministic
+    // (hash-based sketches, no RNG; see Relational.approxEventStats)
+    "approx_stats" ->
+      """SELECT event_type,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        | round(median(value), 4) AS exact_p50,
+        | CAST(count(*) AS BIGINT) AS n_events,
+        | true AS users_ok, true AS p50_ok
+        |FROM events GROUP BY event_type""".stripMargin,
 
     "q21_range_frame" ->
       """SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s,
@@ -2819,6 +2901,18 @@ object SparkEntry {
         |   'Method    Fee' || chr(10) ||
         |   'Wire      0.00' || chr(10) ||
         |   'Card      3.50')
+        |) AS t(doc, page, content)""".stripMargin,
+
+    // hand-derived from DocFixtures.amendmentPages — the same text the
+    // classic builder would emit, reached through xref stream + ObjStm
+    "pdf_pages_xrefstream" ->
+      """SELECT doc, page, content, length(content) AS n_chars FROM (VALUES
+        | ('amendment', 1, 'AMENDMENT NO 3' || chr(10) ||
+        |   'Effective date is the first of March.'),
+        | ('amendment', 2, 'Scope of changes.' || chr(10) ||
+        |   'Payment terms move to net sixty days.'),
+        | ('amendment', 3, 'Governing law stays unchanged.' || chr(10) ||
+        |   'Signatures follow on the last page.')
         |) AS t(doc, page, content)""".stripMargin,
 
     // S5-lite expectations hand-derived from DocFixtures.invoicePages
@@ -3518,15 +3612,22 @@ object SparkEntry {
 
     "dsir_weights" -> dsirWeightsOracle,
 
+    // the collected-map scoring twin is bit-identical by construction
+    // (same llr expressions, literal delivery) — same oracle
+    "dsir_score_map" -> dsirWeightsOracle,
+
     // Gumbel-top-k replay: the same micro-nat weight plus
-    // −ln(−ln u), u = (md5-prefix-int + 1)/2^60 — deterministic noise,
-    // ranked on the unrounded double (the weighted_sample discipline)
+    // −ln(−ln u), u = (md5-prefix-int + 0.5)/2^60 — deterministic noise
+    // strictly inside (0,1) (at u=1 Spark's log(0) NULLs while DuckDB's
+    // ln(0) raises — the half-step keeps the engines agreeing even on
+    // the ~2⁻⁵³ edge), ranked on the unrounded double (the
+    // weighted_sample discipline)
     "dsir_sample" ->
       s"""WITH $dsirCtes,
          |$dsirWeightCte
          |SELECT doc_id, n_feats, logw, round(g_raw, 9) AS g_key FROM (
          | SELECT *, logw - ln(-ln(
-         |   ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+         |   ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
          |      / 1152921504606846976.0))) AS g_raw FROM dw) keyed
          |ORDER BY g_raw DESC, doc_id LIMIT 50""".stripMargin,
 
@@ -3780,8 +3881,10 @@ object SparkEntry {
         |       FROM documents) uw
         | GROUP BY w)""".stripMargin)
     for (j <- 1 to numMerges) {
-      val rep = (1 to operators.Bpe.MergePasses).foldLeft("' ' || v.seq || ' '")((x, _) =>
-        s"replace($x, ' ' || b.lhs || ' ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' ')")
+      // spread-replace-collapse: separators doubled so ONE replace is
+      // the exact token-level greedy merge (Bpe.applyMerge's scaladoc)
+      val rep = "replace(' ' || replace(v.seq, ' ', '  ') || ' ', " +
+        "' ' || b.lhs || '  ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' ')"
       sb ++= s""",
         |p$j AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
         |         CAST(sum(freq) AS BIGINT) AS freq
@@ -3789,7 +3892,8 @@ object SparkEntry {
         |             LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
         |        GROUP BY 1, 2),
         |b$j AS (SELECT lhs, rhs, freq FROM p$j ORDER BY freq DESC, lhs, rhs LIMIT 1),
-        |v$j AS (SELECT v.word, v.freq, trim($rep) AS seq FROM v${j - 1} v, b$j b)""".stripMargin
+        |v$j AS (SELECT v.word, v.freq, trim(replace($rep, '  ', ' ')) AS seq
+        |        FROM v${j - 1} v, b$j b)""".stripMargin
     }
     sb.toString
   }
@@ -3805,7 +3909,13 @@ object SparkEntry {
     * from THREE places (sy_j, p_j, and w_j's own projection), so the
     * default inlining would re-expand the chain 4^k times — measured
     * 267 s at sf0.001 vs sub-second materialized. ([[bpeCtes]] gets
-    * away without the hint at 2 references per round.) */
+    * away without the hint at 2 references per round.)
+    *
+    * Degenerate-corpus parity: when a round has no learnable pair, the
+    * engine's `Wordpiece.learnMerges` stops and keeps the last vocab —
+    * so w_j LEFT-joins b_j and falls back to w_{j-1}'s sequences when
+    * b_j is empty, instead of cascading to an empty (and silently
+    * engine-divergent) result through the remaining rounds. */
   private def wpCtes(numMerges: Int): String = {
     val sb = new StringBuilder(
       """w0 AS MATERIALIZED (
@@ -3817,8 +3927,10 @@ object SparkEntry {
         |       FROM documents) uw
         | GROUP BY w)""".stripMargin)
     for (j <- 1 to numMerges) {
-      val rep = (1 to operators.Bpe.MergePasses).foldLeft("' ' || v.seq || ' '")((x, _) =>
-        s"replace($x, ' ' || b.lhs || ' ' || b.rhs || ' ', ' ' || b.merged || ' ')")
+      // spread-replace-collapse, identical to bpeCtes but substituting
+      // the marker-stripped b.merged (Wordpiece.applyMerge)
+      val rep = "replace(' ' || replace(v.seq, ' ', '  ') || ' ', " +
+        "' ' || b.lhs || '  ' || b.rhs || ' ', ' ' || b.merged || ' ')"
       sb ++= s""",
         |sy$j AS MATERIALIZED (SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt
         |        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS sym FROM w${j - 1}) s
@@ -3835,7 +3947,11 @@ object SparkEntry {
         |        ORDER BY CAST(p.freq AS DOUBLE) /
         |                 (CAST(a.cnt AS DOUBLE) * CAST(c.cnt AS DOUBLE)) DESC,
         |                 p.lhs, p.rhs LIMIT 1),
-        |w$j AS MATERIALIZED (SELECT v.word, v.freq, trim($rep) AS seq FROM w${j - 1} v, b$j b)""".stripMargin
+        |w$j AS MATERIALIZED (
+        | SELECT v.word, v.freq,
+        |  CASE WHEN b.lhs IS NULL THEN v.seq
+        |       ELSE trim(replace($rep, '  ', ' ')) END AS seq
+        | FROM w${j - 1} v LEFT JOIN b$j b ON true)""".stripMargin
     }
     sb.toString
   }

@@ -20,28 +20,23 @@ import org.apache.spark.sql.functions._
   * the MLlib centroid pattern, not a data-scale collect).
   *
   * Merge-application semantics: a merge (l, r) rewrites the
-  * space-delimited symbol sequence by LEFTMOST NON-OVERLAPPING
-  * replacement of " l r " with " lr " on the space-padded sequence,
-  * iterated [[MergePasses]] times. One replace pass is exactly a greedy
-  * left-to-right scan except that a match consumes its trailing
-  * delimiter, hiding an immediately-adjacent second occurrence
-  * ("a b a b" → pass 1 merges the 1st and 3rd pairs it can see, pass 2
-  * the one the consumed space hid); iterating to fixpoint converges on
-  * the symbol-level greedy result. Words here are ≤ 8 symbols so 4
-  * passes are well past fixpoint (`BpeSpec` asserts a 5th pass changes
-  * nothing over the full corpus vocabulary). Both this implementation
-  * and the DuckDB oracle apply the SAME padded-replace form, so the
-  * semantics are pinned by construction, not by luck.
+  * space-delimited symbol sequence by TOKEN-LEVEL GREEDY LEFTMOST
+  * NON-OVERLAPPING replacement — the published BPE rule — computed
+  * EXACTLY by one literal string replace over a separator-doubled
+  * form: double every separator, pad, replace " l  r " with " lr ".
+  * Each boundary carries TWO spaces, so a match consumes one from each
+  * side and still leaves its neighbors' delimiters intact — the
+  * consumed-delimiter artifact of a single-spaced replace (which hides
+  * the adjacent next occurrence and, on runs of ≥ 5 identical symbols,
+  * converges to a DIFFERENT fixpoint than token greedy: found by the
+  * r14 long-run property test) cannot occur, and one pass is provably
+  * exhaustive: a merge never creates a new (l, r) adjacency because
+  * the fused symbol is strictly longer than either side. Both this
+  * implementation and the DuckDB oracle apply the SAME
+  * spread-replace-collapse form, so the semantics are pinned by
+  * construction, not by luck.
   */
 object Bpe {
-
-  /** Replace passes per merge application. Measured bound: leftmost
-    * non-overlapping replace reaches fixpoint in ≤ 2 passes for any
-    * symbol sequence up to 32 symbols (exhaustive chains + 60k random
-    * draws; the consumed-delimiter effect halves geometrically), so 4
-    * is 2× headroom. `BpeSpec` asserts fixpoint over the real corpus
-    * vocab AND property-checks 4-pass == fixpoint on random sequences. */
-  val MergePasses = 4
 
   /** Words = lowercase `[a-z]+` runs — the same token alphabet the
     * lang-id/quality tier uses, and trivially replayable in DuckDB. */
@@ -80,18 +75,23 @@ object Bpe {
       .groupBy(col("pair.lhs").as("lhs"), col("pair.rhs").as("rhs"))
       .agg(sum("freq").as("freq"))
 
-  /** One padded-replace pass of merge (l, r) over a padded sequence. */
-  private def replaceOnce(padSeq: Column, l: String, r: String): Column =
-    replace(padSeq, lit(s" $l $r "), lit(s" $l$r "))
+  /** Separator-doubled padded form: every boundary carries two spaces,
+    * one for each neighboring match (see the object scaladoc). */
+  private[operators] def spread(seq: Column): Column =
+    concat(lit(" "), replace(seq, lit(" "), lit("  ")), lit(" "))
 
-  /** Apply merge (l, r) to `seq`: pad, `passes` replace passes, trim.
-    * Literal pattern — the merge is already driver-side (it IS the
-    * learned model), so no join is needed to apply it. */
-  def applyMerge(seq: Column, l: String, r: String, passes: Int = MergePasses): Column = {
-    val padded = concat(lit(" "), seq, lit(" "))
-    val folded = (1 to passes).foldLeft(padded)((c, _) => replaceOnce(c, l, r))
-    trim(folded)
-  }
+  /** Undo [[spread]]: the double-separator invariant holds after any
+    * number of merge replacements, so one collapse pass suffices. */
+  private[operators] def collapse(c: Column): Column =
+    trim(replace(c, lit("  "), lit(" ")))
+
+  /** Apply merge (l, r) to `seq`: spread, ONE replace of " l  r " →
+    * " lr ", collapse — exact token-level greedy leftmost
+    * non-overlapping merge (object scaladoc has the argument). Literal
+    * pattern — the merge is already driver-side (it IS the learned
+    * model), so no join is needed to apply it. */
+  def applyMerge(seq: Column, l: String, r: String): Column =
+    collapse(replace(spread(seq), lit(s" $l  $r "), lit(s" $l$r ")))
 
   /** A learned merge: rank (1-based), the pair, the fused symbol, and
     * the weighted pair frequency at selection time. */

@@ -353,15 +353,449 @@ object DocExtract {
     lines.mkString("\n")
   }
 
+  // ---- PDF object model + xref-driven reader (S4, PDF 1.5+) -----------
+  //
+  // PDFs written since 1.5 replace the classic `xref` table with a
+  // cross-reference STREAM (FlateDecode + usually a PNG row predictor)
+  // and pack non-stream objects into object streams (`/Type /ObjStm`) —
+  // the reference's PyMuPDF reads these transparently
+  // (document_processing_service.py:156-185). Both constructs are
+  // themselves FlateDecode, so a JDK-only reader stays feasible: the
+  // reader below resolves startxref → xref chain (classic tables, xref
+  // streams, hybrid /XRefStm trailers, /Prev links) → /Root → the page
+  // TREE → per-page /Contents (single ref or array, /Length direct or
+  // indirect), which also fixes page ATTRIBUTION (tree order, not
+  // stream-in-file order). Anything it cannot resolve falls back to the
+  // linear whole-file stream scan ([[parsePdfLinear]]), which remains
+  // the right answer for damaged files.
+
+  /** Minimal PDF COS value model — just what xref/page traversal needs. */
+  private sealed trait PVal
+  private case class PNum(v: Double) extends PVal { def toInt: Int = v.toInt }
+  private case class PRef(num: Int) extends PVal
+  private case class PName(v: String) extends PVal
+  private case class PStr(v: String) extends PVal
+  private case class PDict(m: Map[String, PVal]) extends PVal
+  private case class PArr(items: Vector[PVal]) extends PVal
+  private case object PNullV extends PVal
+
+  /** Recursive-descent lexer over the ISO-8859-1 view (char index ==
+    * byte offset). Parses dicts/arrays/names/numbers/refs/strings —
+    * strings only far enough to skip them correctly (escapes, nested
+    * parens, hex). */
+  private final class PdfLex(s: String, var i: Int) {
+    private def isDelim(c: Char) = "()<>[]{}/%".indexOf(c) >= 0
+    def ws(): Unit = {
+      var go = true
+      while (go && i < s.length) {
+        val c = s.charAt(i)
+        if (c == '%') while (i < s.length && s.charAt(i) != '\n' && s.charAt(i) != '\r') i += 1
+        else if (c.isWhitespace || c == 0) i += 1
+        else go = false
+      }
+    }
+    def keyword(): String = {
+      ws(); val j = i
+      while (i < s.length && !s.charAt(i).isWhitespace && !isDelim(s.charAt(i))) i += 1
+      s.substring(j, i)
+    }
+    private def name(): PName = {
+      i += 1 // '/'
+      val sb = new StringBuilder
+      while (i < s.length && !s.charAt(i).isWhitespace && !isDelim(s.charAt(i))) {
+        if (s.charAt(i) == '#' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar); i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      PName(sb.toString)
+    }
+    private def number(): Double = {
+      val j = i
+      if (i < s.length && (s.charAt(i) == '+' || s.charAt(i) == '-')) i += 1
+      while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+      s.substring(j, i).toDouble
+    }
+    private def litString(): PStr = {
+      var depth = 1; i += 1
+      val j = i
+      while (i < s.length && depth > 0) {
+        val c = s.charAt(i)
+        if (c == '\\') i += 2
+        else { if (c == '(') depth += 1 else if (c == ')') depth -= 1; i += 1 }
+      }
+      PStr(s.substring(j, math.max(j, i - 1)))
+    }
+    def value(): PVal = {
+      ws()
+      if (i >= s.length) throw new IllegalArgumentException("pdf: eof in value")
+      s.charAt(i) match {
+        case '<' if i + 1 < s.length && s.charAt(i + 1) == '<' =>
+          i += 2
+          val m = scala.collection.mutable.LinkedHashMap[String, PVal]()
+          var closed = false
+          while (!closed) {
+            ws()
+            if (i + 1 < s.length && s.charAt(i) == '>' && s.charAt(i + 1) == '>') { i += 2; closed = true }
+            else { val k = name().v; m(k) = value() }
+          }
+          PDict(m.toMap)
+        case '<' =>
+          val e = s.indexOf('>', i + 1)
+          val v = PStr(s.substring(i + 1, if (e < 0) s.length else e))
+          i = (if (e < 0) s.length else e + 1); v
+        case '[' =>
+          i += 1
+          val items = Vector.newBuilder[PVal]
+          var closed = false
+          while (!closed) {
+            ws()
+            if (i < s.length && s.charAt(i) == ']') { i += 1; closed = true }
+            else items += value()
+          }
+          PArr(items.result())
+        case '/' => name()
+        case '(' => litString()
+        case c if c.isDigit || c == '+' || c == '-' || c == '.' =>
+          val n1 = number()
+          // `n g R` lookahead: an integer followed by a generation
+          // integer and a bare R is an indirect reference
+          if (n1 >= 0 && n1 == math.floor(n1)) {
+            val save = i
+            ws()
+            if (i < s.length && s.charAt(i).isDigit) {
+              number(); ws()
+              if (i < s.length && s.charAt(i) == 'R' &&
+                  (i + 1 >= s.length || s.charAt(i + 1).isWhitespace || isDelim(s.charAt(i + 1)))) {
+                i += 1
+                return PRef(n1.toInt)
+              }
+            }
+            i = save
+          }
+          PNum(n1)
+        case _ =>
+          keyword() match {
+            case "true" | "false" | "null" => PNullV
+            case k => throw new IllegalArgumentException(s"pdf: unexpected token '$k'")
+          }
+      }
+    }
+  }
+
+  /** Undo a /DecodeParms predictor. PNG predictors (≥10) carry a
+    * per-row filter byte (None/Sub/Up/Average/Paeth — RFC 2083 §6);
+    * TIFF predictor 2 is a horizontal byte diff. Only 8-bit components
+    * are supported (all an xref stream ever uses). */
+  private def unpredict(data: Array[Byte], predictor: Int, columns: Int,
+                        colors: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    val bpp = math.max(1, colors)
+    val rowLen = columns * colors
+    if (predictor == 2) {
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var c = bpp
+        while (c < rowLen) { out(r + c) = ((out(r + c) + out(r + c - bpp)) & 0xff).toByte; c += 1 }
+        r += rowLen
+      }
+      return out
+    }
+    val nRows = data.length / (rowLen + 1)
+    val out = new Array[Byte](nRows * rowLen)
+    var r = 0
+    while (r < nRows) {
+      val ft = data(r * (rowLen + 1)) & 0xff
+      val src = r * (rowLen + 1) + 1
+      val dst = r * rowLen
+      var c = 0
+      while (c < rowLen) {
+        val rawB = data(src + c) & 0xff
+        val left = if (c >= bpp) out(dst + c - bpp) & 0xff else 0
+        val up = if (r > 0) out(dst - rowLen + c) & 0xff else 0
+        val ul = if (r > 0 && c >= bpp) out(dst - rowLen + c - bpp) & 0xff else 0
+        val rec = ft match {
+          case 0 => rawB
+          case 1 => rawB + left
+          case 2 => rawB + up
+          case 3 => rawB + (left + up) / 2
+          case 4 =>
+            val p = left + up - ul
+            val (pa, pb, pc) = (math.abs(p - left), math.abs(p - up), math.abs(p - ul))
+            rawB + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul)
+          case _ => throw new IllegalArgumentException(s"pdf: png filter $ft")
+        }
+        out(dst + c) = (rec & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** One loaded PDF: xref entries, object cache, page-tree walk.
+    * Throws on anything unsupported — [[parsePdf]] catches and falls
+    * back to the linear scan. */
+  private final class PdfDoc(bytes: Array[Byte], raw: String) {
+    /** obj num → Left(byte offset) | Right((container ObjStm num, idx)). */
+    private val entries = scala.collection.mutable.Map[Int, Either[Long, (Int, Int)]]()
+    private var rootRef: Option[PRef] = None
+    private val cache = scala.collection.mutable.Map[Int, (PVal, Option[Array[Byte]])]()
+    private val loading = scala.collection.mutable.Set[Int]()
+
+    private def bigToInt(v: PVal, what: String): Int = v match {
+      case PNum(n) => n.toInt
+      case PRef(n) => resolve(PRef(n)) match {
+        case PNum(m) => m.toInt
+        case _ => throw new IllegalArgumentException(s"pdf: $what ref not numeric")
+      }
+      case _ => throw new IllegalArgumentException(s"pdf: $what not numeric")
+    }
+
+    /** Decode a stream body: /Length (direct or indirect; endstream
+      * scan as last resort), then /Filter (+/DecodeParms). */
+    private def streamData(d: PDict, afterDict: Int, allowIndirectLen: Boolean): Array[Byte] = {
+      val si = raw.indexOf("stream", afterDict)
+      if (si < 0) throw new IllegalArgumentException("pdf: stream keyword missing")
+      var ds = si + "stream".length
+      if (ds < raw.length && raw.charAt(ds) == '\r') ds += 1
+      if (ds < raw.length && raw.charAt(ds) == '\n') ds += 1
+      val len = d.m.get("Length") match {
+        case Some(PNum(n)) => Some(n.toInt)
+        case Some(r: PRef) if allowIndirectLen => Some(bigToInt(r, "Length"))
+        case _ => None
+      }
+      val de = len.map(ds + _)
+        .getOrElse { val e = raw.indexOf("endstream", ds); if (e < 0) raw.length else e }
+      val data = java.util.Arrays.copyOfRange(bytes, ds, math.min(de, bytes.length))
+      val filters: Seq[String] = d.m.get("Filter") match {
+        case Some(PName(f)) => Seq(f)
+        case Some(PArr(fs)) => fs.collect { case PName(f) => f }
+        case None => Seq.empty
+        case _ => throw new IllegalArgumentException("pdf: bad /Filter")
+      }
+      val decoded = filters.foldLeft(data) {
+        case (acc, "FlateDecode") => inflate(acc)
+        case (_, other) => throw new IllegalArgumentException(s"pdf: filter $other unsupported")
+      }
+      d.m.get("DecodeParms").orElse(d.m.get("DP")).map(resolve) match {
+        case Some(PDict(p)) =>
+          val pred = p.get("Predictor").map(bigToInt(_, "Predictor")).getOrElse(1)
+          val cols = p.get("Columns").map(bigToInt(_, "Columns")).getOrElse(1)
+          val colors = p.get("Colors").map(bigToInt(_, "Colors")).getOrElse(1)
+          unpredict(decoded, pred, cols, colors)
+        case _ => decoded
+      }
+    }
+
+    /** `N G obj <value> [stream …]` at a byte offset. */
+    private def parseObjAt(off: Int): (PVal, Option[Array[Byte]]) = {
+      val lex = new PdfLex(raw, off)
+      lex.keyword(); lex.keyword() // obj number, generation
+      if (lex.keyword() != "obj") throw new IllegalArgumentException("pdf: obj keyword missing")
+      val v = lex.value()
+      lex.ws()
+      if (raw.startsWith("stream", lex.i))
+        (v, Some(streamData(v.asInstanceOf[PDict], lex.i - 1, allowIndirectLen = true)))
+      else (v, None)
+    }
+
+    /** Decoded ObjStm → (objnum → parse offset past /First) header map
+      * plus body string. Memoized: a production ObjStm can hold
+      * thousands of objects, and re-parsing the header per contained
+      * object would be O(N²). */
+    private val objStmCache = scala.collection.mutable.Map[Int, (Map[Int, Int], String, Int)]()
+    private def objStmParts(stmNum: Int): (Map[Int, Int], String, Int) = objStmCache.getOrElseUpdate(stmNum, {
+      val (d, dataOpt) = obj(stmNum)
+      val dict = d match { case p: PDict => p; case _ => throw new IllegalArgumentException("pdf: ObjStm not dict") }
+      val data = dataOpt.getOrElse(throw new IllegalArgumentException("pdf: ObjStm without stream"))
+      val n = bigToInt(dict.m("N"), "N")
+      val first = bigToInt(dict.m("First"), "First")
+      val body = new String(data, ISO_8859_1)
+      val lex = new PdfLex(body, 0)
+      val header = (0 until n).map { _ =>
+        val num = lex.keyword().toInt
+        val o = lex.keyword().toInt
+        num -> o
+      }.toMap
+      (header, body, first)
+    })
+
+    /** Load object `num` through the xref map, memoized, cycle-guarded. */
+    def obj(num: Int): (PVal, Option[Array[Byte]]) = cache.getOrElseUpdate(num, {
+      if (!loading.add(num)) throw new IllegalArgumentException(s"pdf: circular object $num")
+      try entries.get(num) match {
+        case Some(Left(off)) => parseObjAt(off.toInt)
+        case Some(Right((stm, _))) =>
+          val (header, body, first) = objStmParts(stm)
+          val o = header.getOrElse(num, throw new IllegalArgumentException(s"pdf: $num not in ObjStm $stm"))
+          (new PdfLex(body, first + o).value(), None)
+        case None => (PNullV, None)
+      } finally loading.remove(num)
+    })
+
+    def resolve(v: PVal): PVal = v match {
+      case PRef(n) => obj(n)._1
+      case other => other
+    }
+
+    /** Classic `xref` table at `pos` → trailer dict. First-seen entry
+      * wins (later tables in the /Prev chain are OLDER). */
+    private def classicXref(pos: Int): PDict = {
+      val lex = new PdfLex(raw, pos)
+      if (lex.keyword() != "xref") throw new IllegalArgumentException("pdf: xref keyword missing")
+      var trailer: Option[PDict] = None
+      while (trailer.isEmpty) {
+        lex.ws()
+        if (raw.startsWith("trailer", lex.i)) {
+          lex.keyword()
+          trailer = Some(lex.value().asInstanceOf[PDict])
+        } else {
+          val start = lex.keyword().toInt
+          val count = lex.keyword().toInt
+          (0 until count).foreach { k =>
+            val off = lex.keyword().toLong
+            lex.keyword() // generation
+            val tpe = lex.keyword()
+            if (tpe == "n" && !entries.contains(start + k)) entries(start + k) = Left(off)
+          }
+        }
+      }
+      trailer.get
+    }
+
+    /** Xref STREAM at `pos` (`/Type /XRef`): decode, walk /W-sized rows
+      * over the /Index subsections. The stream dict doubles as the
+      * trailer. */
+    private def xrefStream(pos: Int): PDict = {
+      val (v, dataOpt) = parseObjAt(pos)
+      val dict = v match { case d: PDict => d; case _ => throw new IllegalArgumentException("pdf: xref obj not dict") }
+      val data = dataOpt.getOrElse(throw new IllegalArgumentException("pdf: xref stream missing body"))
+      val w = dict.m("W") match {
+        case PArr(ws) => ws.map(x => bigToInt(x, "W"))
+        case _ => throw new IllegalArgumentException("pdf: /W")
+      }
+      val size = bigToInt(dict.m("Size"), "Size")
+      val index: Seq[(Int, Int)] = dict.m.get("Index") match {
+        case Some(PArr(xs)) => xs.map(x => bigToInt(x, "Index")).grouped(2).collect { case Seq(a, b) => (a, b) }.toSeq
+        case _ => Seq((0, size))
+      }
+      val rowLen = w.sum
+      var p = 0
+      def field(width: Int): Long = {
+        var acc = 0L
+        (0 until width).foreach { _ => acc = (acc << 8) | (data(p) & 0xff); p += 1 }
+        acc
+      }
+      index.foreach { case (start, count) =>
+        (0 until count).foreach { k =>
+          if (p + rowLen <= data.length) {
+            val t = if (w(0) == 0) 1L else field(w(0))
+            val f2 = field(w(1))
+            val f3 = field(w(2))
+            val num = start + k
+            if (!entries.contains(num)) t match {
+              case 1L => entries(num) = Left(f2)
+              case 2L => entries(num) = Right((f2.toInt, f3.toInt))
+              case _ => () // type 0 = free; unknown types are no-ops per spec
+            }
+          }
+        }
+      }
+      dict
+    }
+
+    /** Follow the startxref → /Prev chain (cycle-guarded), absorbing
+      * hybrid-reference `/XRefStm` side streams. */
+    def loadXrefChain(start: Long): Unit = {
+      var pos: Option[Long] = Some(start)
+      val seen = scala.collection.mutable.Set[Long]()
+      while (pos.isDefined) {
+        val p = pos.get
+        if (p < 0 || p >= raw.length || !seen.add(p)) pos = None
+        else {
+          val lex = new PdfLex(raw, p.toInt); lex.ws()
+          val trailer = if (raw.startsWith("xref", lex.i)) classicXref(lex.i) else xrefStream(lex.i)
+          if (rootRef.isEmpty) trailer.m.get("Root").foreach {
+            case r: PRef => rootRef = Some(r)
+            case _ => ()
+          }
+          // hybrid-reference file: the classic trailer points at a
+          // parallel xref stream holding the ObjStm entries
+          trailer.m.get("XRefStm").foreach {
+            case PNum(x) if seen.add(x.toLong) => xrefStream(x.toInt)
+            case _ => ()
+          }
+          pos = trailer.m.get("Prev").collect { case PNum(x) => x.toLong }
+        }
+      }
+    }
+
+    /** Page-tree walk (depth- and cycle-guarded) → per-page decoded
+      * text, tree order. Multiple /Contents streams concatenate with a
+      * newline (the spec treats them as one stream with whitespace
+      * between). */
+    def pageTexts(): Seq[String] = {
+      val root = resolve(rootRef.getOrElse(throw new IllegalArgumentException("pdf: no /Root")))
+      val pagesV = root match {
+        case PDict(m) => m.getOrElse("Pages", throw new IllegalArgumentException("pdf: no /Pages"))
+        case _ => throw new IllegalArgumentException("pdf: /Root not dict")
+      }
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      val visited = scala.collection.mutable.Set[Int]()
+      def contentBytes(v: PVal): Array[Byte] = v match {
+        case PRef(n) => obj(n)._2.getOrElse(Array.emptyByteArray)
+        case PArr(xs) =>
+          xs.map(contentBytes).filter(_.nonEmpty)
+            .reduceOption((a, b) => a ++ "\n".getBytes(UTF_8) ++ b).getOrElse(Array.emptyByteArray)
+        case _ => Array.emptyByteArray
+      }
+      def walk(v: PVal, depth: Int): Unit = {
+        if (depth > 32) throw new IllegalArgumentException("pdf: page tree too deep")
+        v match { case PRef(n) if !visited.add(n) => return; case _ => () }
+        resolve(v) match {
+          case PDict(m) if m.get("Type").contains(PName("Page")) || (m.contains("Contents") && !m.contains("Kids")) =>
+            out += decodeContentOps(new String(contentBytes(m.getOrElse("Contents", PNullV)), UTF_8))
+          case PDict(m) =>
+            m.get("Kids") match {
+              case Some(k) => resolve(k) match {
+                case PArr(kids) => kids.foreach(walk(_, depth + 1))
+                case _ => ()
+              }
+              case None => ()
+            }
+          case _ => ()
+        }
+      }
+      walk(pagesV, 0)
+      out.toSeq
+    }
+  }
+
+  /** Xref-driven parse: startxref → xref chain → page tree. Page
+    * numbers are TREE positions (empty pages keep their slot for the
+    * numbering but emit no row — same surface as the linear scan on
+    * fully-textual documents). */
+  private def parsePdfXref(bytes: Array[Byte], raw: String): Option[Seq[PdfPage]] = {
+    val sx = raw.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val lex = new PdfLex(raw, sx + "startxref".length)
+    val off = lex.keyword().toLong
+    val doc = new PdfDoc(bytes, raw)
+    doc.loadXrefChain(off)
+    val texts = doc.pageTexts()
+    val pages = texts.zipWithIndex.collect { case (t, i) if t.nonEmpty => PdfPage(i + 1, t) }
+    if (pages.isEmpty) None else Some(pages)
+  }
+
   /** Pull every content stream out of the raw PDF (document order), via
     * the `/Length` entry when present, falling back to an `endstream`
     * scan; inflate FlateDecode streams. Returns None unless the bytes
-    * start with `%PDF` and at least one stream decodes. */
-  def parsePdf(bytes: Array[Byte]): Option[Seq[PdfPage]] =
-    try {
-      val raw = new String(bytes, ISO_8859_1)
-      if (!raw.startsWith("%PDF")) None
-      else {
+    * start with `%PDF` and at least one stream decodes. This is the
+    * DAMAGED-FILE path: [[parsePdf]] tries the xref-driven reader first
+    * and lands here only when the cross-reference data is missing,
+    * truncated, or lies about offsets. */
+  private def parsePdfLinear(bytes: Array[Byte], raw: String): Option[Seq[PdfPage]] = {
         val pages = scala.collection.mutable.ArrayBuffer[String]()
         var from = 0
         var keep = true
@@ -374,7 +808,12 @@ object DocExtract {
             var dataStart = si + "stream".length
             if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
             if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
-            val len = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict).map(_.group(1).toInt)
+            // an INDIRECT length (`/Length 12 0 R`) must not match as 12
+            // — fall through to the endstream scan for those. (?!\d)
+            // pins the digit run so backtracking can't shorten it past
+            // the ref lookahead
+            val len = "/Length\\s+(\\d+)(?!\\d)(?!\\s+\\d+\\s+R)".r
+              .findFirstMatchIn(dict).map(_.group(1).toInt)
             val dataEnd = len.map(dataStart + _)
               .getOrElse { val e = raw.indexOf("endstream", dataStart); if (e < 0) raw.length else e }
             val data = java.util.Arrays.copyOfRange(bytes, dataStart, math.min(dataEnd, bytes.length))
@@ -389,8 +828,24 @@ object DocExtract {
             from = if (es < 0) raw.length else es + "endstream".length
           }
         }
-        if (pages.isEmpty) None
-        else Some(pages.toSeq.zipWithIndex.map { case (t, i) => PdfPage(i + 1, t) })
+    if (pages.isEmpty) None
+    else Some(pages.toSeq.zipWithIndex.map { case (t, i) => PdfPage(i + 1, t) })
+  }
+
+  /** Parse a PDF to its page texts: xref-driven (classic tables, PDF
+    * 1.5+ xref/object streams, hybrids — see [[PdfDoc]]) with the
+    * linear stream scan as the damaged-file fallback. Returns None
+    * unless the bytes start with `%PDF` and at least one page yields
+    * text. */
+  def parsePdf(bytes: Array[Byte]): Option[Seq[PdfPage]] =
+    try {
+      val raw = new String(bytes, ISO_8859_1)
+      if (!raw.startsWith("%PDF")) None
+      else {
+        val viaXref =
+          try parsePdfXref(bytes, raw)
+          catch { case scala.util.control.NonFatal(_) => None }
+        viaXref.orElse(parsePdfLinear(bytes, raw))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -490,6 +945,14 @@ object DocExtract {
   def fixturesDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     DocFixtures.all.toDF("doc", "fmt", "content")
+  }
+
+  /** The PDF 1.5+ fixture corpus (xref stream + object streams) — kept
+    * separate from [[fixturesDF]] so the classic VALUES oracles stay
+    * untouched; see [[DocFixtures.pdfBytesXrefStream]]. */
+  def xrefFixturesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    DocFixtures.xrefAll.toDF("doc", "fmt", "content")
   }
 
   /** S8 surface: one row per DOCX chunk, reference chunk-id scheme

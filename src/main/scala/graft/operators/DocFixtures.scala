@@ -242,6 +242,163 @@ object DocFixtures {
 
   private val StandardCharsets_ISO = java.nio.charset.StandardCharsets.ISO_8859_1
 
+  // ---- PDF 1.5+: xref stream + object streams ---------------------------
+
+  /** Page texts of the `amendment` fixture (the PDF 1.5 builder below).
+    * Three pages exercise a multi-kid page tree; page 2's ops are split
+    * across TWO content streams (a `/Contents` array); the last page's
+    * second line goes through TJ like the classic fixtures. */
+  val amendmentPages: Seq[Seq[String]] = Seq(
+    Seq("AMENDMENT NO 3",
+      "Effective date is the first of March."),
+    Seq("Scope of changes.",
+      "Payment terms move to net sixty days."),
+    Seq("Governing law stays unchanged.",
+      "Signatures follow on the last page."))
+
+  /** Modern (PDF 1.5+) shape of [[pdfBytes]]: the catalog, page-tree
+    * and page objects live compressed inside an OBJECT STREAM
+    * (`/Type /ObjStm`), content-stream `/Length`s are INDIRECT
+    * references to integers that also live in the object stream, page 2
+    * (when present) spreads its ops over a `/Contents` ARRAY of two
+    * streams, and the only cross-reference is an XREF STREAM
+    * (`/Type /XRef`, `/W [1 4 2]`, FlateDecode behind a PNG Up
+    * predictor — the layout pdflatex/Chromium emit). Same visible text
+    * as `pdfBytes(pages)`, so the two readers can be differentially
+    * tested. */
+  def pdfBytesXrefStream(pages: Seq[Seq[String]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets_ISO))
+    val n = pages.size
+
+    def lineOps(line: String, li: Int, useTJ: Boolean): String = {
+      val prefix = if (li > 0) "T* " else ""
+      if (useTJ && line.contains(' ')) {
+        val cut = line.indexOf(' ') + 1
+        s"$prefix[(${pdfStrEsc(line.substring(0, cut))}) -20 (${pdfStrEsc(line.substring(cut))})] TJ "
+      } else s"$prefix(${pdfStrEsc(line)}) Tj "
+    }
+    // ops per page, pre-split into this page's content-stream parts
+    val partsPerPage: Seq[Seq[String]] = pages.zipWithIndex.map { case (lines, i) =>
+      val frags = lines.zipWithIndex.map { case (l, li) =>
+        lineOps(l, li, useTJ = li == 1 && i == n - 1)
+      }
+      val head = "BT /F1 12 Tf 72 720 Td "
+      if (i == 1 && frags.size >= 2)
+        Seq(head + frags.head, frags.tail.mkString + "ET")
+      else Seq(head + frags.mkString + "ET")
+    }
+
+    // object numbering: 1 catalog, 2 pages, 3..2+n page dicts (all in
+    // the ObjStm), then per content part a stream obj + its length obj,
+    // then the ObjStm, then the XRef stream
+    var next = 3 + n
+    val contentNums: Seq[Seq[Int]] = partsPerPage.map(_.map { _ => val c = next; next += 1; c })
+    val lengthNums: Seq[Seq[Int]] = contentNums.map(_.map { _ => val l = next; next += 1; l })
+    val objStmNum = { val v = next; next += 1; v }
+    val xrefNum = { val v = next; next += 1; v }
+    val size = next
+
+    w("%PDF-1.5\n")
+    // top-level content streams, offsets recorded for the xref rows
+    val offsets = scala.collection.mutable.Map[Int, Long]()
+    val deflatedParts: Seq[Seq[Array[Byte]]] = partsPerPage.map(_.map(p => deflate(p.getBytes(UTF_8))))
+    pages.indices.foreach { i =>
+      deflatedParts(i).zipWithIndex.foreach { case (data, pi) =>
+        val num = contentNums(i)(pi)
+        offsets(num) = out.size().toLong
+        w(s"$num 0 obj\n<< /Length ${lengthNums(i)(pi)} 0 R /Filter /FlateDecode >>\nstream\n")
+        out.write(data)
+        w("\nendstream\nendobj\n")
+      }
+    }
+    // the object stream: catalog + pages + page dicts + length ints
+    val contained: Seq[(Int, String)] =
+      Seq(
+        1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+        2 -> s"<< /Type /Pages /Kids [${(0 until n).map(i => s"${3 + i} 0 R").mkString(" ")}] /Count $n >>") ++
+      pages.indices.map { i =>
+        val contents =
+          if (contentNums(i).size == 1) s"${contentNums(i).head} 0 R"
+          else s"[${contentNums(i).map(c => s"$c 0 R").mkString(" ")}]"
+        (3 + i) -> s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents $contents >>"
+      } ++
+      pages.indices.flatMap(i => deflatedParts(i).indices.map(pi =>
+        lengthNums(i)(pi) -> deflatedParts(i)(pi).length.toString))
+    val bodyOffsets = contained.map(_._2 + "\n").scanLeft(0)(_ + _.length)
+    val header = contained.zip(bodyOffsets).map { case ((num, _), off) => s"$num $off" }.mkString(" ") + "\n"
+    val objStmData = deflate((header + contained.map(_._2 + "\n").mkString).getBytes(UTF_8))
+    offsets(objStmNum) = out.size().toLong
+    w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${contained.size} /First ${header.length} " +
+      s"/Length ${objStmData.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(objStmData)
+    w("\nendstream\nendobj\n")
+    // the xref stream: W [1 4 2] rows behind a PNG Up predictor
+    val xrefPos = out.size().toLong
+    offsets(xrefNum) = xrefPos
+    val inObjStm: Map[Int, Int] = contained.map(_._1).zipWithIndex.toMap
+    def row(num: Int): Array[Byte] = {
+      val (t, f2, f3): (Int, Long, Int) =
+        if (num == 0) (0, 0L, 65535)
+        else inObjStm.get(num) match {
+          case Some(idx) => (2, objStmNum.toLong, idx)
+          case None => (1, offsets(num), 0)
+        }
+      Array[Byte](t.toByte,
+        ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
+        ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+        ((f3 >> 8) & 0xff).toByte, (f3 & 0xff).toByte)
+    }
+    val rowLen = 7
+    val pred = new ByteArrayOutputStream()
+    var prev = new Array[Byte](rowLen)
+    (0 until size).foreach { num =>
+      val r = row(num)
+      pred.write(2) // PNG Up
+      (0 until rowLen).foreach(c => pred.write((r(c) - prev(c)) & 0xff))
+      prev = r
+    }
+    val xrefData = deflate(pred.toByteArray)
+    w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] /Root 1 0 R " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $rowLen >> " +
+      s"/Length ${xrefData.length} >>\nstream\n")
+    out.write(xrefData)
+    w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** HYBRID-reference variant (Acrobat's 1.4-compat layout): the same
+    * body as [[pdfBytesXrefStream]], but `startxref` points at a
+    * CLASSIC xref table whose trailer carries `/XRefStm` → the xref
+    * stream that actually holds the compressed-object entries. A
+    * classic-only reader sees a well-formed (if sparse) table; a 1.5
+    * reader follows /XRefStm for the ObjStm members. */
+  def pdfBytesHybrid(pages: Seq[Seq[String]]): Array[Byte] = {
+    val base = pdfBytesXrefStream(pages)
+    val iso = StandardCharsets_ISO
+    val raw = new String(base, iso)
+    // body = everything up to (and excluding) the builder's startxref
+    val sx = raw.lastIndexOf("startxref")
+    val body = raw.substring(0, sx)
+    val xrefStmPos = raw.substring(sx + "startxref".length).trim.takeWhile(_.isDigit).toLong
+    val size = "/Size (\\d+)".r.findFirstMatchIn(raw).map(_.group(1).toInt)
+      .getOrElse(throw new IllegalStateException("no /Size in base pdf"))
+    val out = new ByteArrayOutputStream()
+    out.write(body.getBytes(iso))
+    val tablePos = out.size()
+    out.write((s"xref\n0 1\n0000000000 65535 f \n" +
+      s"trailer\n<< /Size $size /Root 1 0 R /XRefStm $xrefStmPos >>\n" +
+      s"startxref\n$tablePos\n%%EOF\n").getBytes(iso))
+    out.toByteArray
+  }
+
+  /** PDF 1.5+ fixture set for the xref-stream query surface (kept
+    * separate from [[all]] so the classic-fixture VALUES oracles stay
+    * untouched). */
+  def xrefAll: Seq[(String, String, Array[Byte])] = Seq(
+    ("amendment", "pdf", pdfBytesXrefStream(amendmentPages)))
+
   // ---- assembled fixture set ------------------------------------------
 
   /** (doc, fmt, bytes): the parse-query corpus, including two corrupt

@@ -47,11 +47,17 @@ object Dsir {
   private def wordsCol(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z]+"), lit(0))
 
-  /** Hashed-n-gram feature list: word unigrams ++ adjacent bigrams
-    * ("w1 w2"). The `size >= 2` guard dodges the `sequence(1, 0)`
+  /** Hashed-n-gram features over a PRE-MATERIALIZED words attribute:
+    * word unigrams ++ adjacent bigrams ("w1 w2"). `ws` MUST be a plain
+    * attribute column, not an inline tokenizer expression — the bigram
+    * lambda reads `element_at(ws, i)` twice per position, and an
+    * embedded regexp_extract_all subtree there re-tokenizes the
+    * document once PER BIGRAM — O(n²) in document length (the exact
+    * pitfall [[Dedup.shinglesFromWords]] documents; measured here as
+    * dsir_fit costing 5.7 s where the shape-identical nb_train explode
+    * costs <1 s). The `size >= 2` guard dodges the `sequence(1, 0)`
     * descending-range trap (see [[Bpe]] — sequence(1,0) = [1,0]). */
-  def featureList(text: Column): Column = {
-    val ws = wordsCol(text)
+  def featuresFromWords(ws: Column): Column = {
     val bigrams = when(size(ws) >= 2,
       transform(sequence(lit(1), size(ws) - 1),
         i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
@@ -59,16 +65,26 @@ object Dsir {
     concat(ws, bigrams)
   }
 
+  /** Feature list straight from text (test/API convenience — hot paths
+    * materialize the words array as an attribute first, see
+    * [[featuresFromWords]]'s O(n²) note and the callers below). */
+  def featureList(text: Column): Column =
+    featuresFromWords(wordsCol(text))
+
   /** A feature's bucket: the shared 60-bit md5 integer mod
     * `numBuckets` (non-negative by construction, so `%` and `pmod`
     * agree — the DuckDB twin uses plain `%`). */
   def bucketCol(feat: Column, numBuckets: Int): Column =
     Dedup.md5Hash60(feat) % numBuckets
 
-  /** `(doc_id, bucket)` exploded hashed features of a corpus. */
+  /** `(doc_id, bucket)` exploded hashed features of a corpus. The words
+    * array is materialized as an attribute in its own projection first
+    * (the multi-reference consumer keeps CollapseProject from inlining
+    * it back), so the tokenizer runs ONCE per document. */
   def hashedFeatures(docs: DataFrame, numBuckets: Int = DefaultBuckets,
                      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs.select(col(idCol), explode(featureList(col(textCol))).as("_f"))
+    docs.withColumn("_ws", wordsCol(col(textCol)))
+      .select(col(idCol), explode(featuresFromWords(col("_ws"))).as("_f"))
       .select(col(idCol), bucketCol(col("_f"), numBuckets).as("bucket"))
 
   /** Fit the two hashed multinomials: `(bucket, tgt_cnt, raw_cnt)` for
@@ -82,7 +98,8 @@ object Dsir {
                  numBuckets: Int = DefaultBuckets,
                  textCol: String = "text"): DataFrame = {
     val feats = docs
-      .select(target.as("tgt"), explode(featureList(col(textCol))).as("_f"))
+      .withColumn("_ws", wordsCol(col(textCol)))
+      .select(target.as("tgt"), explode(featuresFromWords(col("_ws"))).as("_f"))
       .select(col("tgt"), bucketCol(col("_f"), numBuckets).as("bucket"))
     val counts = feats.groupBy("bucket").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_cnt"),
@@ -175,27 +192,42 @@ object Dsir {
     * paths' contracts identical. */
   def scoreWith(dm: DsirModel, docs: DataFrame,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val lut = typedlit(dm.llr6)
-    val feats = featureList(col(textCol))
+    // DENSE array literal indexed by bucket, not a map literal: Spark's
+    // element_at over an ArrayBasedMapData literal is a LINEAR scan of
+    // all ≤numBuckets entries per lookup — measured 13.8 s vs the join
+    // path's 2.1 s at sf0.1. The array lookup is O(1), and absent
+    // buckets pre-fill the unseen-bucket default, which also drops the
+    // per-feature coalesce
+    val lut = typedlit(
+      (0 until dm.numBuckets).map(b => dm.llr6.getOrElse(b.toLong, dm.default6)))
     val s6 = aggregate(
-      transform(feats,
-        f => coalesce(element_at(lut, bucketCol(f, dm.numBuckets)),
-          lit(dm.default6))),
+      transform(col("_feats"),
+        f => element_at(lut, (bucketCol(f, dm.numBuckets) + 1).cast("int"))),
       lit(0L), (acc, x) => acc + x)
-    docs.select(col(idCol), size(feats).cast("long").as("n_feats"),
+    docs
+      // words then features as attributes, each in its own projection:
+      // both are multiply referenced downstream, which is exactly what
+      // keeps CollapseProject from inlining (and re-running) them —
+      // see [[featuresFromWords]]'s O(n²) note
+      .withColumn("_ws", wordsCol(col(textCol)))
+      .withColumn("_feats", featuresFromWords(col("_ws")))
+      .select(col(idCol), size(col("_feats")).cast("long").as("n_feats"),
         (s6.cast("double") / 1e6).as("logw"))
       .filter(col("n_feats") > 0)
   }
 
   /** Gumbel-top-k resample without replacement ∝ exp(logw): perturb
     * each weight with deterministic md5-derived Gumbel noise
-    * `G = −ln(−ln(u))`, `u = (h+1)/2^60 ∈ (0, 1]`, and take the top
+    * `G = −ln(−ln(u))`, `u = (h+0.5)/2^60 ∈ (0, 1)` — the half-step
+    * offset keeps u strictly below 1, where Spark's log(-log(1)) would
+    * return NULL (row silently sorts last) while DuckDB's ln(0) raises —
+    * the two engines must agree even on the ~2⁻⁵³ edge. Take the top
     * `n` by `logw + G` (ties on id). TakeOrderedAndProject — the
     * driver holds n rows, never the corpus. `g_key` is emitted at 9
     * decimals like [[Sampling.weightedSample]]'s `es_key`. */
   def gumbelTopK(weights: DataFrame, n: Int,
                  idCol: String = "doc_id"): DataFrame = {
-    val u = (Dedup.md5Hash60(col(idCol).cast("string")) + 1).cast("double") /
+    val u = (Dedup.md5Hash60(col(idCol).cast("string")) + 0.5) /
       lit(1152921504606846976.0)
     weights
       .withColumn("_g_raw", col("logw") - log(-log(u)))

@@ -229,9 +229,15 @@ object Relational {
     * sketch (fixed ~kB state per group, partial-combinable, one shuffle
     * of sketches instead of a distinct-expand), `approx_percentile` a
     * KLL-style quantile sketch. Exact counterparts ride along so callers
-    * (and the spec) can bound the relative error. Sketch values are
-    * engine-specific → this operator is rows-only at the oracle (the
-    * exact columns are the cross-check). */
+    * can bound the relative error, and BOTH bounds are also cashed out
+    * here as verdict booleans — `users_ok` (HLL estimate within 5·rsd of
+    * exact, with an absolute floor of 10 for tiny groups) and `p50_ok`
+    * (the sketch median lands between the exact 45th and 55th
+    * percentiles; accuracy=1000 guarantees rank error ≤ n/1000, far
+    * inside that window). The sketch VALUES are engine-specific, but the
+    * verdicts are deterministic given the data (both sketches are
+    * hash-based, no RNG), so an oracle that recomputes the exact twins
+    * and asserts `true` verdicts fully checks this operator. */
   def approxEventStats(events: DataFrame, rsd: Double = 0.05): DataFrame =
     events
       .groupBy(col("event_type"))
@@ -240,7 +246,15 @@ object Relational {
         count_distinct(col("user_id")).as("exact_users"),
         expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
         round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
+        expr("percentile(value, 0.45)").as("_p45"),
+        expr("percentile(value, 0.55)").as("_p55"),
         count(lit(1)).as("n_events"))
+      .withColumn("users_ok",
+        abs(col("approx_users") - col("exact_users")).cast("double") <=
+          greatest(round(col("exact_users") * (5 * rsd), 0), lit(10.0)))
+      .withColumn("p50_ok",
+        col("approx_p50").between(col("_p45"), col("_p55")))
+      .drop("_p45", "_p55")
 
   /** PIVOT: order totals by priority × status. Pivot values are given
     * EXPLICITLY — no extra distinct-values job, and a stable output

@@ -89,17 +89,15 @@ object Wordpiece {
   def fuse(l: String, r: String): String =
     l + (if (r.startsWith("##")) r.drop(2) else r)
 
-  /** One padded-replace application of merge (l, r) → `merged` —
-    * [[Bpe.applyMerge]]'s semantics (leftmost non-overlapping,
-    * [[Bpe.MergePasses]] passes to fixpoint) with the marker-stripped
-    * fused symbol substituted instead of plain concatenation. */
-  def applyMerge(seq: Column, l: String, r: String, merged: String,
-                 passes: Int = Bpe.MergePasses): Column = {
-    val padded = concat(lit(" "), seq, lit(" "))
-    val folded = (1 to passes).foldLeft(padded)(
-      (c, _) => replace(c, lit(s" $l $r "), lit(s" $merged ")))
-    trim(folded)
-  }
+  /** One spread-replace-collapse application of merge (l, r) →
+    * `merged` — [[Bpe.applyMerge]]'s EXACT token-level greedy leftmost
+    * non-overlapping semantics (see [[Bpe]]'s scaladoc for the
+    * doubled-separator argument) with the marker-stripped fused symbol
+    * substituted instead of plain concatenation. `WordpieceSpec`'s
+    * property test drives 24-char single-char runs against a
+    * token-level reference to pin the run behavior. */
+  def applyMerge(seq: Column, l: String, r: String, merged: String): Column =
+    Bpe.collapse(replace(Bpe.spread(seq), lit(s" $l  $r "), lit(s" $merged ")))
 
   /** Learn `numMerges` likelihood-scored merges. Ties break on
     * (score DESC, lhs ASC, rhs ASC). Returns the merge list (reusing

@@ -15,14 +15,19 @@ class BpeSpec extends SparkSpec {
   private def docs(texts: String*) =
     texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
 
-  /** Pure-Scala reference for the padded-replace-to-fixpoint merge
-    * semantics (java String.replace is leftmost non-overlapping, same as
-    * the engine's). */
+  /** Pure-Scala reference: TOKEN-LEVEL greedy leftmost non-overlapping
+    * merge — the published BPE rule the engine's spread-replace-collapse
+    * must equal exactly (one scan is exhaustive: a merge never creates
+    * a new (l, r) adjacency, the fused symbol being strictly longer). */
   private def refApply(seq: String, l: String, r: String): String = {
-    var s = s" $seq "
-    var prev = ""
-    while (s != prev) { prev = s; s = s.replace(s" $l $r ", s" $l$r ") }
-    s.trim
+    val syms = seq.split(' ')
+    val out = scala.collection.mutable.ListBuffer[String]()
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) { out += l + r; i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.mkString(" ")
   }
 
   test("wordVocab: frequencies over [a-z]+ runs, seq is space-joined chars") {
@@ -40,10 +45,13 @@ class BpeSpec extends SparkSpec {
       Seq(("a", "a", 3L), ("a", "b", 2L)))
   }
 
-  test("applyMerge matches the pure-Scala fixpoint reference on hostile chains") {
-    // "aaaaa" exercises the consumed-delimiter alternation; "babab" the
-    // symbol-boundary hazard a naive unpadded replace would hit
-    val rows = Seq("a a a a a", "b a b a b", "a b a b a b a b", "x", "a b")
+  test("applyMerge matches the token-level greedy reference on hostile chains") {
+    // long same-symbol runs are where a single-spaced replace's
+    // consumed delimiter used to diverge (r14: " a a a a a " merged
+    // alternately, a DIFFERENT fixpoint than token greedy); "babab"
+    // exercises the symbol-boundary hazard a naive unpadded replace hits
+    val rows = Seq("a a a a a", "b a b a b", "a b a b a b a b", "x", "a b",
+        "a a a a a a a a a a a a a", "b a a a a a a b")
       .toDF("seq")
     val out = rows.select(col("seq"), Bpe.applyMerge(col("seq"), "a", "b").as("m"))
       .collect()
@@ -57,19 +65,21 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("MergePasses is past fixpoint for the real corpus vocabulary") {
+  test("applyMerge is exhaustive on the real corpus vocabulary (reapply = identity)") {
+    // one token-greedy pass removes every (l, r) adjacency and can
+    // never create one, so applying the same merge twice must change
+    // nothing — the invariant the old multi-pass form only approximated
     val d = graft.io.Tables.documents(spark, "/root/testdata/sf0.001")
     val vocab = Bpe.wordVocab(d)
     val (merges, _) = Bpe.learnMerges(d, numMerges = 6)
-    // replay the whole merge chain at P and P+1 passes; identical at every step
-    var vP = vocab
-    var vP1 = vocab
+    var v1 = vocab
+    var v2 = vocab
     merges.foreach { m =>
-      vP = vP.withColumn("seq", Bpe.applyMerge(col("seq"), m.lhs, m.rhs)).localCheckpoint()
-      vP1 = vP1.withColumn("seq",
-        Bpe.applyMerge(col("seq"), m.lhs, m.rhs, passes = Bpe.MergePasses + 1)).localCheckpoint()
+      v1 = v1.withColumn("seq", Bpe.applyMerge(col("seq"), m.lhs, m.rhs)).localCheckpoint()
+      v2 = v2.withColumn("seq", Bpe.applyMerge(
+        Bpe.applyMerge(col("seq"), m.lhs, m.rhs), m.lhs, m.rhs)).localCheckpoint()
     }
-    val diff = vP.as("a").join(vP1.as("b"), "word")
+    val diff = v1.as("a").join(v2.as("b"), "word")
       .filter(col("a.seq") =!= col("b.seq")).count()
     assert(diff === 0L)
   }
@@ -119,21 +129,23 @@ class BpeSpec extends SparkSpec {
     assert(merges.head === Bpe.Merge(1, "a", "c", "ac", 1L))
   }
 
-  /** In-memory replay of the EXACT shipped semantics: MergePasses
-    * padded replaces (java String.replace is leftmost non-overlapping,
-    * same as Spark's and DuckDB's). */
-  private def applyP(seq: String, l: String, r: String): String = {
-    var s = s" $seq "
-    for (_ <- 1 to Bpe.MergePasses) s = s.replace(s" $l $r ", s" $l$r ")
-    s.trim
-  }
+  /** In-memory replay of the EXACT shipped semantics: the
+    * spread-replace-collapse string form (java String.replace is
+    * leftmost non-overlapping, same as Spark's and DuckDB's) — kept as
+    * a STRING-level twin so the property below can check it against
+    * the token-level [[refApply]] independently of Spark. */
+  private def applyP(seq: String, l: String, r: String): String =
+    (" " + seq.replace(" ", "  ") + " ")
+      .replace(s" $l  $r ", s" $l$r ").replace("  ", " ").trim
 
-  test("property: MergePasses passes reach fixpoint on random symbol sequences") {
-    val symsGen = Gen.choose(2, 16).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b")))
+  test("property: string-form merge == token-level greedy on random symbol sequences") {
+    val symsGen = Gen.choose(2, 40).flatMap(n => Gen.listOfN(n, Gen.oneOf("a", "b")))
     val pairGen = Gen.oneOf(("a", "a"), ("a", "b"), ("b", "a"), ("b", "b"))
     samples(Gen.zip(symsGen, pairGen), 400).foreach { case (syms, (l, r)) =>
-      val p4 = applyP(syms.mkString(" "), l, r)
-      assert(applyP(p4, l, r) === p4, s"not fixpoint: $syms merge ($l,$r)")
+      val s = syms.mkString(" ")
+      val once = applyP(s, l, r)
+      assert(once === refApply(s, l, r), s"diverged: $syms merge ($l,$r)")
+      assert(applyP(once, l, r) === once, s"not exhaustive: $syms merge ($l,$r)")
     }
   }
 

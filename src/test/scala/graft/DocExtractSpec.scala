@@ -150,6 +150,51 @@ class DocExtractSpec extends SparkSpec {
     assert(DocExtract.parsePdf("plain text".getBytes).isEmpty)
   }
 
+  test("pdf 1.5: xref stream + ObjStm + indirect /Length parse in tree order") {
+    val pages = DocExtract.parsePdf(
+      DocFixtures.pdfBytesXrefStream(DocFixtures.amendmentPages)).get
+    assert(pages.map(_.page) == Seq(1, 2, 3))
+    assert(pages(0).text ==
+      "AMENDMENT NO 3\nEffective date is the first of March.")
+    // page 2's ops are split over a /Contents ARRAY of two streams
+    assert(pages(1).text ==
+      "Scope of changes.\nPayment terms move to net sixty days.")
+    // last page's second line went through a TJ array
+    assert(pages(2).text ==
+      "Governing law stays unchanged.\nSignatures follow on the last page.")
+  }
+
+  test("pdf 1.5: differential — same text as the classic builder") {
+    val modern = DocExtract.parsePdf(
+      DocFixtures.pdfBytesXrefStream(DocFixtures.contractPages)).get
+    val classic = DocExtract.parsePdf(
+      DocFixtures.pdfBytes(DocFixtures.contractPages)).get
+    assert(modern == classic)
+  }
+
+  test("pdf hybrid: classic trailer's /XRefStm reaches the ObjStm entries") {
+    val pages = DocExtract.parsePdf(
+      DocFixtures.pdfBytesHybrid(DocFixtures.amendmentPages)).get
+    assert(pages == DocExtract.parsePdf(
+      DocFixtures.pdfBytesXrefStream(DocFixtures.amendmentPages)).get)
+  }
+
+  test("pdf 1.5: lying startxref falls back to the linear stream scan") {
+    val iso = java.nio.charset.StandardCharsets.ISO_8859_1
+    val good = new String(
+      DocFixtures.pdfBytesXrefStream(DocFixtures.amendmentPages), iso)
+    val broken = good.replaceAll("startxref\\n\\d+", "startxref\n2").getBytes(iso)
+    val pages = DocExtract.parsePdf(broken).get
+    // the linear scan sees raw content STREAMS, not the page tree: the
+    // /Contents-array page contributes two entries (4 total), and the
+    // ObjStm/xref streams decode to op-less bytes that emit nothing
+    assert(pages.map(_.text) == Seq(
+      "AMENDMENT NO 3\nEffective date is the first of March.",
+      "Scope of changes.",
+      "Payment terms move to net sixty days.",
+      "Governing law stays unchanged.\nSignatures follow on the last page."))
+  }
+
   // ---- Spark surface ---------------------------------------------------
 
   test("streaming: binaryFile source → extractor → chunk rows (S3→S8 as a stream)") {

@@ -94,6 +94,21 @@ class DsirSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("scoreWith under a collected model equals logImportance row-for-row") {
+    val d = docs(
+      (1L, "en", "alpha beta beta gamma"), (2L, "de", "beta gamma"),
+      (3L, "en", "alpha alpha"), (4L, "fr", "123 456"), (5L, "xx", "omega alpha"))
+    val m = Dsir.fitBuckets(d, tgt, numBuckets = 32)
+    val joinPath = Dsir.logImportance(d, m).orderBy("doc_id").collect().toSeq
+    val mapPath = Dsir.scoreWith(Dsir.collectModel(m), d)
+      .orderBy("doc_id").collect().toSeq
+    // bit-identical including schema order: same llr6 Spark expressions,
+    // only the delivery differs (broadcast join vs map literal)
+    assert(mapPath == joinPath)
+    // the tokenless doc (id 4) is dropped by BOTH paths
+    assert(!joinPath.exists(_.getLong(0) == 4L) && joinPath.size == 4)
+  }
+
   test("gumbelTopK is deterministic, sized, and ranked by perturbed weight") {
     val d = docs((1 to 40).map(i =>
       (i.toLong, if (i % 3 == 0) "en" else "de", s"word$i alpha beta gamma")): _*)

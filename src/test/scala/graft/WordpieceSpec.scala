@@ -142,8 +142,20 @@ class WordpieceSpec extends SparkSpec {
   }
 
   test("property: trainer matches reference and encode round-trips on random corpora") {
-    val wordGen = Gen.choose(1, 6).flatMap(n =>
-      Gen.listOfN(n, Gen.oneOf('a' to 'e')).map(_.mkString))
+    // 1-in-4 words are LONG single-char runs (8–24 chars): the case
+    // where the old single-spaced 4-pass replace converged to a
+    // DIFFERENT fixpoint than token-level greedy (alternating merges —
+    // this very test found it in r14, prompting the exact
+    // spread-replace-collapse form); the reference below is token-level,
+    // so any regression on runs diverges here
+    val runGen = for {
+      c <- Gen.oneOf('a' to 'e')
+      n <- Gen.choose(8, 24)
+    } yield c.toString * n
+    val wordGen = Gen.frequency(
+      3 -> Gen.choose(1, 6).flatMap(n =>
+        Gen.listOfN(n, Gen.oneOf('a' to 'e')).map(_.mkString)),
+      1 -> runGen)
     val caseGen = for {
       n <- Gen.choose(3, 12)
       words <- Gen.listOfN(n, wordGen)
