@@ -192,25 +192,33 @@ object Dsir {
     * paths' contracts identical. */
   def scoreWith(dm: DsirModel, docs: DataFrame,
                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // DENSE array literal indexed by bucket, not a map literal: Spark's
-    // element_at over an ArrayBasedMapData literal is a LINEAR scan of
-    // all ≤numBuckets entries per lookup — measured 13.8 s vs the join
-    // path's 2.1 s at sf0.1. The array lookup is O(1), and absent
-    // buckets pre-fill the unseen-bucket default, which also drops the
-    // per-feature coalesce
-    val lut = typedlit(
-      (0 until dm.numBuckets).map(b => dm.llr6.getOrElse(b.toLong, dm.default6)))
-    val s6 = aggregate(
-      transform(col("_feats"),
-        f => element_at(lut, (bucketCol(f, dm.numBuckets) + 1).cast("int"))),
-      lit(0L), (acc, x) => acc + x)
+    // the fold runs in the NATIVE codegen'd kernel, not a composed
+    // aggregate/transform HOF: HOFs are CodegenFallback, so the
+    // md5+conv+modulo subtree re-evaluated INTERPRETED per feature
+    // (measured 13.8 s with a map-literal lut, 6.5 s with a dense
+    // array-literal lut, vs the join path's 1.6 s at sf0.1 — see
+    // [[graft.functions.DsirScoreSum]]). The model rides along as a
+    // dense per-bucket long[] with unseen buckets pre-filled by the
+    // smoothing default — O(1) lookups, values straight from
+    // [[llr6Expr]] so the path stays bit-identical to [[logImportance]]
+    val lut = (0 until dm.numBuckets)
+      .map(b => dm.llr6.getOrElse(b.toLong, dm.default6)).toIndexedSeq
+    val s6 = org.apache.spark.sql.GraftColumns.column(
+      graft.functions.DsirScoreSum(
+        org.apache.spark.sql.GraftColumns.expression(col("_feats")),
+        lut, dm.default6))
     docs
       // words then features as attributes, each in its own projection:
-      // both are multiply referenced downstream, which is exactly what
-      // keeps CollapseProject from inlining (and re-running) them —
-      // see [[featuresFromWords]]'s O(n²) note
+      // both are multiply referenced downstream, which keeps
+      // CollapseProject from inlining (and re-running) them — see
+      // [[featuresFromWords]]'s O(n²) note. The features column is
+      // additionally a ComputeOnce barrier: the n_feats filter below
+      // would otherwise be PUSHED UNDER both projections, re-inlining
+      // the whole tokenize+featurize tree (O(n²) again) into a per-row
+      // scan Filter — measured 5.4 s vs 1.0 s at sf0.1
       .withColumn("_ws", wordsCol(col(textCol)))
-      .withColumn("_feats", featuresFromWords(col("_ws")))
+      .withColumn("_feats",
+        graft.functions.ComputeOnce.once(featuresFromWords(col("_ws"))))
       .select(col(idCol), size(col("_feats")).cast("long").as("n_feats"),
         (s6.cast("double") / 1e6).as("logw"))
       .filter(col("n_feats") > 0)

@@ -245,16 +245,18 @@ object Relational {
         approx_count_distinct(col("user_id"), rsd).as("approx_users"),
         count_distinct(col("user_id")).as("exact_users"),
         expr("approx_percentile(value, 0.5, 1000)").as("approx_p50"),
-        round(expr("percentile(value, 0.5)"), 4).as("exact_p50"),
-        expr("percentile(value, 0.45)").as("_p45"),
-        expr("percentile(value, 0.55)").as("_p55"),
+        // ONE exact-percentile aggregate for all three quantiles — the
+        // Percentile buffer is shared, vs three independent sorts
+        expr("percentile(value, array(0.45, 0.5, 0.55))").as("_pcts"),
         count(lit(1)).as("n_events"))
+      .withColumn("exact_p50", round(element_at(col("_pcts"), 2), 4))
       .withColumn("users_ok",
         abs(col("approx_users") - col("exact_users")).cast("double") <=
           greatest(round(col("exact_users") * (5 * rsd), 0), lit(10.0)))
       .withColumn("p50_ok",
-        col("approx_p50").between(col("_p45"), col("_p55")))
-      .drop("_p45", "_p55")
+        col("approx_p50").between(
+          element_at(col("_pcts"), 1), element_at(col("_pcts"), 3)))
+      .drop("_pcts")
 
   /** PIVOT: order totals by priority × status. Pivot values are given
     * EXPLICITLY — no extra distinct-values job, and a stable output

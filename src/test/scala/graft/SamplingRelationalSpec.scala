@@ -257,6 +257,9 @@ class SamplingRelationalSpec extends SparkSpec {
         s"HLL estimate $approx too far from exact $exact")
       val (p50a, p50e) = (r.getAs[Double]("approx_p50"), r.getAs[Double]("exact_p50"))
       assert(math.abs(p50a - p50e) <= 2.0, s"approx p50 $p50a vs exact $p50e")
+      // the driver-checkable verdict columns must agree with the bounds
+      assert(r.getAs[Boolean]("users_ok") && r.getAs[Boolean]("p50_ok"),
+        s"verdict columns must hold: $r")
     }
   }
 
