@@ -67,20 +67,24 @@ object DsirScoreSum {
       java.security.MessageDigest.getInstance("MD5")
   }
 
-  /** `conv(substring(md5(s), 1, 15), 16, 10) % numBuckets`, computed on
-    * the raw digest: hex chars 1..15 are bytes 0..6 plus the high
-    * nibble of byte 7, big-endian. Value ∈ [0, 2^60) — non-negative,
-    * so `%` is `pmod`. */
-  def bucket60(bytes: Array[Byte], numBuckets: Int): Int = {
+  /** `conv(substring(md5(s), 1, 15), 16, 10)` — the engine's shared
+    * 60-bit string hash ([[graft.operators.Dedup.md5Hash60]]) computed
+    * on the raw digest: hex chars 1..15 are bytes 0..6 plus the high
+    * nibble of byte 7, big-endian. Value ∈ [0, 2^60) — non-negative. */
+  def md5Prefix60(bytes: Array[Byte]): Long = {
     val d = md5.get()
     d.reset()
     val h = d.digest(bytes)
     var v = 0L
     var k = 0
     while (k < 7) { v = (v << 8) | (h(k) & 0xffL); k += 1 }
-    v = (v << 4) | ((h(7) & 0xffL) >>> 4)
-    (v % numBuckets).toInt
+    (v << 4) | ((h(7) & 0xffL) >>> 4)
   }
+
+  /** [[md5Prefix60]] mod `numBuckets` (`%` == `pmod`, the value being
+    * non-negative). */
+  def bucket60(bytes: Array[Byte], numBuckets: Int): Int =
+    (md5Prefix60(bytes) % numBuckets).toInt
 
   /** The per-row fold the generated code calls. */
   def score(feats: ArrayData, lut: Array[Long], default6: Long): Long = {

@@ -183,26 +183,16 @@ object Dedup {
     * the query's output-mode contract), and at batch scale it trades
     * the vote shuffle for per-row work — the right shape whenever the
     * fingerprint is consumed row-wise rather than re-keyed. */
-  def simhash60Col(text: Column): Column = {
-    // hash each token ONCE up front: common-subexpression elimination is
-    // limited inside higher-order-function lambdas, so an md5 subtree
-    // referenced per bit branch would re-evaluate up to ~120× per token
-    val toks = transform(split(lower(trim(text)), "\\s+"), t => md5Hash60(t))
-    // shiftright/shiftleft with a COLUMN shift amount need the SQL
-    // function form (the Scala wrappers only take Int shifts)
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 60),
-      (acc, h) =>
-        zip_with(acc,
-          transform(sequence(lit(0), lit(59)),
-            b => when(call_function("shiftright", h, b) % 2 === 1, lit(1L))
-              .otherwise(lit(-1L))),
-          (a, v) => a + v))
-    aggregate(sequence(lit(0), lit(59)), lit(0L),
-      (acc, b) => acc + when(element_at(votes, b + 1) > 0,
-        call_function("shiftleft", lit(1L), b)).otherwise(lit(0L)))
-  }
+  def simhash60Col(text: Column): Column =
+    // the NATIVE codegen'd kernel, not the composed HOF fold: the
+    // aggregate/zip_with/transform form is CodegenFallback — ~120
+    // interpreted expression nodes per token plus two transient
+    // 60-element arrays (see [[graft.functions.SimHash60]]'s scaladoc
+    // for the bit-identical tokenize/vote contract; the parity specs
+    // pin it against [[simhash60]]'s explode+aggregate form)
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.SimHash60(
+        org.apache.spark.sql.GraftColumns.expression(text)))
 
   /** 60-bit SimHash — the wide twin of [[simhash32]] (same vote math
     * over all 60 bits of [[md5Hash60]]) used for Hamming-bucket pairing,
@@ -235,9 +225,15 @@ object Dedup {
     * corpus is never rescanned for the pairing. */
   /** The 4×15-bit band explode shared by the exact and capped pair
     * operators — ONE definition of the band layout, so a mask/width
-    * change cannot desynchronize them. */
+    * change cannot desynchronize them. Fingerprints come from the
+    * NATIVE per-row kernel ([[simhash60Col]]) — bit-identical to
+    * [[simhash60]]'s explode+aggregate form (spec-pinned) but with
+    * ZERO shuffle before the checkpoint: the vote fold happens inside
+    * the scan's codegen stage, so the only exchanges left in the pair
+    * queries are the band-bucket join's own. */
   private def banded60(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhash60(docs, idCol, textCol).localCheckpoint()
+    docs.select(col(idCol).as("id"), simhash60Col(col(textCol)).as("simhash"))
+      .localCheckpoint()
       .select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
