@@ -109,6 +109,31 @@ class DsirSpec extends SparkSpec {
     assert(!joinPath.exists(_.getLong(0) == 4L) && joinPath.size == 4)
   }
 
+  test("scoreWith runs UNCHANGED on a stream and equals the batch scores") {
+    // the stateless-claim cash-out: no aggregation, no watermark, no
+    // state store — the same scoreWith call compiles as an append-mode
+    // streaming query, and its rows equal the batch run's exactly
+    implicit val sqlCtx = spark.sqlContext
+    val d = docs(
+      (1L, "en", "alpha beta beta gamma"), (2L, "de", "beta gamma"),
+      (3L, "en", "alpha alpha"), (4L, "fr", "123 456"), (5L, "xx", "omega alpha"))
+    val dm = Dsir.collectModel(Dsir.fitBuckets(d, tgt, numBuckets = 32))
+    val batch = Dsir.scoreWith(dm, d).orderBy("doc_id").collect().toSeq
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = Dsir.scoreWith(dm, input.toDS().toDF("doc_id", "lang", "text"))
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "en", "alpha beta beta gamma"), (2L, "de", "beta gamma"))
+      q.processAllAvailable()
+      input.addData((3L, "en", "alpha alpha"), (4L, "fr", "123 456"),
+        (5L, "xx", "omega alpha"))
+      q.processAllAvailable()
+      val streamed = spark.table("dsir_stream").orderBy("doc_id").collect().toSeq
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("gumbelTopK is deterministic, sized, and ranked by perturbed weight") {
     val d = docs((1 to 40).map(i =>
       (i.toLong, if (i % 3 == 0) "en" else "de", s"word$i alpha beta gamma")): _*)
