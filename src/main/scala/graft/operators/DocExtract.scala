@@ -289,6 +289,22 @@ object DocExtract {
   /** Decode one text-showing content stream: `Tj`/`'` show the last
     * string, `TJ` shows each string in its array, and `Td`/`TD`/`T*`/`'`
     * start a new output line. Escapes `\( \) \\ \n \r \t` and octal. */
+  /** Decode one hex show-string's digits to text: odd length pads a
+    * trailing 0; an even byte count whose high bytes are all zero is
+    * UTF-16BE (Identity-H's ASCII/Latin-1 layout), else Latin-1. */
+  private def decodeHexShow(raw: String): String = {
+    // lenient: drop anything non-hex (malformed bytes in a damaged
+    // stream must degrade to less text, not fail the page)
+    val hex = raw.filter(ch => Character.digit(ch, 16) >= 0)
+    val padded = if (hex.length % 2 == 1) hex + "0" else hex
+    val bytes = padded.grouped(2).map(h =>
+      Integer.parseInt(h, 16).toByte).toArray
+    val utf16 = bytes.length >= 2 && bytes.length % 2 == 0 &&
+      bytes.indices.forall(k => k % 2 == 1 || bytes(k) == 0)
+    if (utf16) new String(bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    else new String(bytes, ISO_8859_1)
+  }
+
   private[graft] def decodeContentOps(ops: String): String = {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
@@ -333,6 +349,25 @@ object DocExtract {
     while (i < n) {
       val c = ops.charAt(i)
       if (c == '(') lastStrings += readString()
+      else if (c == '<') {
+        // hex show-string `<48656C6C6F>` — the form CID/Identity-H
+        // text uses. `<<` opens an (inline-image or marked-content)
+        // dict instead: skip the delimiters, its body parses as inert
+        // ops. Odd hex length pads a trailing 0 (spec §7.3.4.3);
+        // 2-byte codes with zero high bytes decode as UTF-16BE (the
+        // Identity-H ASCII/Latin layout), anything else as Latin-1
+        // bytes — true CID→Unicode needs the font's ToUnicode CMap,
+        // which is the documented out-of-scope edge (yields '?'-free
+        // best-effort text, never a crash)
+        if (i + 1 < n && ops.charAt(i + 1) == '<') i += 2
+        else {
+          val e = ops.indexOf('>', i + 1)
+          val hex = (if (e < 0) ops.substring(i + 1) else ops.substring(i + 1, e))
+            .filterNot(_.isWhitespace)
+          i = if (e < 0) n else e + 1
+          lastStrings += decodeHexShow(hex)
+        }
+      }
       else if (c == '[') { inArray = true; lastStrings.clear(); i += 1 }
       else if (c == ']') { inArray = false; i += 1 }
       else if (c.isLetter || c == '\'' || c == '"' || c == '*') {

@@ -271,17 +271,22 @@ object DocFixtures {
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets_ISO))
     val n = pages.size
 
-    def lineOps(line: String, li: Int, useTJ: Boolean): String = {
+    def lineOps(line: String, li: Int, useTJ: Boolean, useHex: Boolean): String = {
       val prefix = if (li > 0) "T* " else ""
-      if (useTJ && line.contains(' ')) {
+      if (useHex)
+        // UTF-16BE hex show-string — the Identity-H text form
+        s"$prefix<${line.map(ch => f"${ch.toInt}%04X").mkString}> Tj "
+      else if (useTJ && line.contains(' ')) {
         val cut = line.indexOf(' ') + 1
         s"$prefix[(${pdfStrEsc(line.substring(0, cut))}) -20 (${pdfStrEsc(line.substring(cut))})] TJ "
       } else s"$prefix(${pdfStrEsc(line)}) Tj "
     }
-    // ops per page, pre-split into this page's content-stream parts
+    // ops per page, pre-split into this page's content-stream parts;
+    // the LAST page renders line 1 as a UTF-16BE hex show-string and
+    // line 2 through a TJ array, so both show forms ride the fixture
     val partsPerPage: Seq[Seq[String]] = pages.zipWithIndex.map { case (lines, i) =>
       val frags = lines.zipWithIndex.map { case (l, li) =>
-        lineOps(l, li, useTJ = li == 1 && i == n - 1)
+        lineOps(l, li, useTJ = li == 1 && i == n - 1, useHex = li == 0 && i == n - 1)
       }
       val head = "BT /F1 12 Tf 72 720 Td "
       if (i == 1 && frags.size >= 2)

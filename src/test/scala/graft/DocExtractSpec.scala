@@ -159,9 +159,24 @@ class DocExtractSpec extends SparkSpec {
     // page 2's ops are split over a /Contents ARRAY of two streams
     assert(pages(1).text ==
       "Scope of changes.\nPayment terms move to net sixty days.")
-    // last page's second line went through a TJ array
+    // last page: line 1 is a UTF-16BE HEX show-string (Identity-H's
+    // text form), line 2 a TJ array
     assert(pages(2).text ==
       "Governing law stays unchanged.\nSignatures follow on the last page.")
+  }
+
+  test("pdf hex show-strings: UTF-16BE and Latin-1 byte layouts, odd-pad, TJ mix") {
+    // 1-byte codes → Latin-1; zero-high-byte pairs → UTF-16BE
+    assert(DocExtract.decodeContentOps("BT <48656C6C6F> Tj ET") == "Hello")
+    assert(DocExtract.decodeContentOps(
+      "BT <00480065006C006C006F> Tj ET") == "Hello")
+    // odd digit count pads a trailing 0: <48656C6C6F7> = "Hello" + 0x70
+    assert(DocExtract.decodeContentOps("BT <48656C6C6F7> Tj ET") == "Hellop")
+    // hex and literal pieces mix inside one TJ array
+    assert(DocExtract.decodeContentOps(
+      "BT [(He) -10 <6C6C6F> -10 ( there)] TJ ET") == "Hello there")
+    // whitespace inside the hex string is insignificant (spec 7.3.4.3)
+    assert(DocExtract.decodeContentOps("BT <4865 6C6C 6F> Tj ET") == "Hello")
   }
 
   test("pdf 1.5: differential — same text as the classic builder") {
