@@ -405,20 +405,20 @@ object DocExtract {
   // the right answer for damaged files.
 
   /** Minimal PDF COS value model — just what xref/page traversal needs. */
-  private sealed trait PVal
-  private case class PNum(v: Double) extends PVal { def toInt: Int = v.toInt }
-  private case class PRef(num: Int) extends PVal
-  private case class PName(v: String) extends PVal
-  private case class PStr(v: String) extends PVal
-  private case class PDict(m: Map[String, PVal]) extends PVal
-  private case class PArr(items: Vector[PVal]) extends PVal
-  private case object PNullV extends PVal
+  private[graft] sealed trait PVal
+  private[graft] case class PNum(v: Double) extends PVal { def toInt: Int = v.toInt }
+  private[graft] case class PRef(num: Int) extends PVal
+  private[graft] case class PName(v: String) extends PVal
+  private[graft] case class PStr(v: String) extends PVal
+  private[graft] case class PDict(m: Map[String, PVal]) extends PVal
+  private[graft] case class PArr(items: Vector[PVal]) extends PVal
+  private[graft] case object PNullV extends PVal
 
   /** Recursive-descent lexer over the ISO-8859-1 view (char index ==
     * byte offset). Parses dicts/arrays/names/numbers/refs/strings —
     * strings only far enough to skip them correctly (escapes, nested
     * parens, hex). */
-  private final class PdfLex(s: String, var i: Int) {
+  private[graft] final class PdfLex(s: String, var i: Int) {
     private def isDelim(c: Char) = "()<>[]{}/%".indexOf(c) >= 0
     def ws(): Unit = {
       var go = true

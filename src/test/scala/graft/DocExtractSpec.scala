@@ -165,6 +165,58 @@ class DocExtractSpec extends SparkSpec {
       "Governing law stays unchanged.\nSignatures follow on the last page.")
   }
 
+  test("property: PDF COS lexer round-trips random value trees") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    import graft.operators.DocExtract._
+    // deterministic draws — no flaky CI (the BpeSpec samples pattern)
+    def samples[A](g: Gen[A], n: Int): Seq[A] =
+      (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(777L + i)))
+    val nameGen = Gen.choose(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(cs => PName(cs.mkString)))
+    val numGen = Gen.oneOf(
+      Gen.choose(-9999, 9999).map(v => PNum(v.toDouble)),
+      Gen.choose(-99.0, 99.0).map(v => PNum(math.round(v * 100) / 100.0)))
+    val refGen = Gen.choose(1, 9999).map(PRef(_))
+    def valGen(depth: Int): Gen[PVal] =
+      if (depth <= 0) Gen.oneOf(nameGen, numGen, refGen, Gen.const(PNullV))
+      else Gen.frequency(
+        3 -> nameGen, 3 -> numGen, 2 -> refGen, 1 -> Gen.const(PNullV),
+        2 -> Gen.choose(0, 4).flatMap(n =>
+          Gen.listOfN(n, valGen(depth - 1)).map(xs => PArr(xs.toVector))),
+        2 -> Gen.choose(0, 4).flatMap(n =>
+          Gen.listOfN(n, Gen.zip(nameGen.map(_.v), valGen(depth - 1)))
+            .map(kvs => PDict(kvs.toMap))))
+    // canonical serializer — integers render without the .0 tail, the
+    // form real PDFs carry
+    def render(v: PVal): String = v match {
+      case PNum(d) if d == math.floor(d) && !d.isInfinite => d.toLong.toString
+      case PNum(d) => d.toString
+      case PRef(n) => s"$n 0 R"
+      case PName(n) => s"/$n"
+      case PNullV => "null"
+      case PArr(xs) => xs.map(render).mkString("[ ", " ", " ]")
+      case PDict(m) => m.toSeq.sortBy(_._1)
+        .map { case (k, x) => s"/$k ${render(x)}" }.mkString("<< ", " ", " >>")
+      case PStr(s) => s"($s)"
+    }
+    // normalize dict key order for the comparison (maps are unordered)
+    def canon(v: PVal): PVal = v match {
+      case PArr(xs) => PArr(xs.map(canon))
+      case PDict(m) => PDict(m.map { case (k, x) => k -> canon(x) })
+      case other => other
+    }
+    samples(valGen(3), 150).foreach { v =>
+      val text = render(v)
+      val parsed = new PdfLex(text, 0).value()
+      assert(canon(parsed) == canon(v), s"round-trip broke on: $text")
+    }
+    // the ref/number ambiguity the lookahead must resolve per spec:
+    // "1 2 0 R 3" is [1, ref(2), 3], never [ref(1), 0, R, 3]
+    assert(new PdfLex("[ 1 2 0 R 3 ]", 0).value() ==
+      PArr(Vector(PNum(1), PRef(2), PNum(3))))
+  }
+
   test("pdf hex show-strings: UTF-16BE and Latin-1 byte layouts, odd-pad, TJ mix") {
     // 1-byte codes → Latin-1; zero-high-byte pairs → UTF-16BE
     assert(DocExtract.decodeContentOps("BT <48656C6C6F> Tj ET") == "Hello")
