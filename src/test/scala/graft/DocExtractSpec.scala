@@ -217,6 +217,32 @@ class DocExtractSpec extends SparkSpec {
       PArr(Vector(PNum(1), PRef(2), PNum(3))))
   }
 
+  test("fuzz: mutated and truncated PDFs never throw — None or best-effort text") {
+    // the parse contract is total: damaged bytes yield None (or less
+    // text), never an exception and never a hang — the xref reader's
+    // cycle guards (/Prev, ObjStm loading, page-tree visited set) and
+    // the linear fallback's bounds are what this pins
+    val builders = Seq(
+      DocFixtures.pdfBytes(DocFixtures.contractPages),
+      DocFixtures.pdfBytesXrefStream(DocFixtures.amendmentPages),
+      DocFixtures.pdfBytesHybrid(DocFixtures.amendmentPages))
+    val rnd = new scala.util.Random(4242)
+    builders.foreach { base =>
+      // byte flips: 40 single-byte mutations at random offsets
+      (1 to 40).foreach { _ =>
+        val b = base.clone()
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        DocExtract.parsePdf(b) // must return, whatever the Option is
+      }
+      // truncations: every ~7% prefix boundary
+      (1 until 15).foreach { k =>
+        DocExtract.parsePdf(java.util.Arrays.copyOf(base, base.length * k / 15))
+      }
+      // and the unmutated base still parses fully
+      assert(DocExtract.parsePdf(base).exists(_.nonEmpty))
+    }
+  }
+
   test("pdf hex show-strings: UTF-16BE and Latin-1 byte layouts, odd-pad, TJ mix") {
     // 1-byte codes → Latin-1; zero-high-byte pairs → UTF-16BE
     assert(DocExtract.decodeContentOps("BT <48656C6C6F> Tj ET") == "Hello")
