@@ -419,13 +419,31 @@ object IvfIndex {
     // the old tree
     recoverLeafSwaps(fs, dir)
     foldAppends(spark, dir, foldMinRatio, foldMaxBatches, manifestRetain)
-    val total = fs.listStatus(root)
+    val leaves = fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
       .filter(leaf => fs.listStatus(leaf.getPath)
         .exists(f => f.isFile && f.getPath.getName.endsWith(".parquet")))
-      .map(leaf => Tables.compact(spark, leaf.getPath.toString, targetFileBytes,
-        workDir = Some(work.toString)))
-      .sum
+      .map(_.getPath.toString)
+    // leaves rewrite CONCURRENTLY: each leaf's recover/read/write/swap
+    // touches only its own dst and its own `<cell>_compact_tmp/bak`
+    // siblings in the shared work area, so the per-leaf crash-safety
+    // story is unchanged — concurrency only overlaps the per-job
+    // scheduling floor (nlist sequential jobs was the wall-clock of a
+    // maintenance cycle at any scale; on a cluster the same nlist jobs
+    // pipeline through the scheduler instead of serializing on the
+    // driver). Bounded pool: nlist can be 10⁵ — never spawn that many
+    // driver threads.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, leaves.length)))
+    implicit val ec = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val total =
+      try {
+        import scala.concurrent.duration.Duration
+        scala.concurrent.Await.result(
+          scala.concurrent.Future.sequence(leaves.toSeq.map(leaf =>
+            scala.concurrent.Future(Tables.compact(spark, leaf, targetFileBytes,
+              workDir = Some(work.toString))))), Duration.Inf).sum
+      } finally pool.shutdown()
     fs.delete(work, true) // empty after successful swaps
     total
   }
@@ -526,7 +544,16 @@ object IvfIndex {
       val base = spark.read.parquet(s"$dir/vectors")
       spark.read.parquet(s"$dir/centroids").coalesce(1)
         .write.parquet(s"$tmp/centroids")
+      // repartition BY THE PARTITION COLUMN before the partitioned
+      // write: without it every task writes a file into every cell it
+      // holds rows for — task-count × nlist small files at scale, which
+      // the per-leaf pass would then pay a second full rewrite to fix.
+      // Clustered by cell, each cell lands in ~one AQE-sized file and
+      // the per-leaf pass below early-exits (Tables.compact skips a
+      // leaf already at its target file count). One rewrite with the
+      // right layout instead of two.
       base.unionByName(appendsFrame(spark, dir, base.schema).drop("batch"))
+        .repartition(col("cell"))
         .write.partitionBy("cell").parquet(s"$tmp/vectors")
       // record the folded batches in the manifest INSIDE the staged
       // tree (atomic with the swap): their dirs are gone after the
