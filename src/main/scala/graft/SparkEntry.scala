@@ -646,6 +646,12 @@ object SparkEntry {
     // /Contents ARRAY on page 2 — all through the xref-driven reader
     "pdf_pages_xrefstream" -> ((s, d) =>
       DocExtract.pdfPages(DocExtract.xrefFixturesDF(s))),
+    // S4, composite-font tier: every show-string code in this fixture is
+    // an arbitrary 2-byte value — text comes back ONLY through the
+    // font's ToUnicode CMap (bfchar + both bfrange forms, ligature
+    // multi-char destination, page-tree-inherited /Resources)
+    "pdf_pages_cid" -> ((s, d) =>
+      DocExtract.pdfPages(DocExtract.cidFixturesDF(s))),
     "doc_validate" -> ((s, d) =>
       DocExtract.validateAll(DocExtract.fixturesDF(s))),
     // S5-lite: whitespace-alignment table detection over the PDF text
@@ -2913,6 +2919,16 @@ object SparkEntry {
         |   'Payment terms move to net sixty days.'),
         | ('amendment', 3, 'Governing law stays unchanged.' || chr(10) ||
         |   'Signatures follow on the last page.')
+        |) AS t(doc, page, content)""".stripMargin,
+
+    // expectations = DocFixtures.cidPages verbatim (the CMap is the only
+    // route from the fixture's arbitrary codes back to this text)
+    "pdf_pages_cid" ->
+      """SELECT doc, page, content, length(content) AS n_chars FROM (VALUES
+        | ('treaty', 1, 'TREATY OF AMITY' || chr(10) ||
+        |   'An efficient xyz protocol governs here.'),
+        | ('treaty', 2, 'Ratified by both parties in good faith.' || chr(10) ||
+        |   'Signatures follow on the final page.')
         |) AS t(doc, page, content)""".stripMargin,
 
     // S5-lite expectations hand-derived from DocFixtures.invoicePages

@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   * parsers: DOCX is a zip holding `word/document.xml`
   * (`ZipInputStream` + namespace-aware DOM walk), RFC-822 is text
   * (header unfold + multipart walk + QP/base64 transfer decoding), and
-  * the PDF reader handles the dominant real-world shape — FlateDecode
-  * content streams with `Tj`/`TJ`/`'` show operators (`Inflater` is in
-  * the JDK). Exotic PDFs (CID fonts, object streams, encryption) are
-  * out of scope and yield no pages rather than wrong text.
+  * the PDF reader handles the dominant real-world shapes — classic
+  * xref tables AND 1.5+ xref/object streams, FlateDecode content
+  * streams with `Tj`/`TJ`/`'` show operators, and composite (CID)
+  * fonts via their ToUnicode CMaps (`Inflater` is in the JDK).
+  * Encrypted PDFs are out of scope and yield no pages rather than
+  * wrong text.
   *
   * Scale shape: each extractor is a scalar UDF over a BINARY column —
   * per-row, zero-shuffle, parallelism = input splits of the
@@ -305,7 +307,120 @@ object DocExtract {
     else new String(bytes, ISO_8859_1)
   }
 
-  private[graft] def decodeContentOps(ops: String): String = {
+  /** A font's ToUnicode CMap: composite-font (CID) show-strings are
+    * sequences of `codeBytes`-wide codes, each mapped to a Unicode
+    * string (often multi-char: ligatures). The CODES ARE NOT CHARACTER
+    * VALUES — without this table a CID page's hex strings decode to
+    * whatever the code assignment happened to be (reference behavior:
+    * PyMuPDF consults the same table,
+    * `document_processing_service.py:156-185`). */
+  private[graft] final case class ToUnicodeCMap(codeBytes: Int, map: Map[Int, String])
+
+  /** Parse a ToUnicode CMap stream (PDF 32000-1 §9.10.3): the code
+    * width comes from `begincodespacerange`, the mappings from
+    * `beginbfchar` pairs and `beginbfrange` triples (both the
+    * incrementing `<lo> <hi> <dst>` form — the LAST UTF-16 code unit
+    * increments — and the explicit-array form). Destinations are
+    * UTF-16BE per spec. Lenient: unknown tokens are skipped, a
+    * malformed section contributes nothing (less text, never wrong
+    * text), and range width is capped so a hostile `<0000> <FFFF>`
+    * cannot blow past the 2-byte code space. */
+  private[graft] def parseToUnicode(text: String): ToUnicodeCMap = {
+    def hexBytes(h: String): Array[Byte] = {
+      val hex = h.filter(ch => Character.digit(ch, 16) >= 0)
+      val padded = if (hex.length % 2 == 1) hex + "0" else hex
+      padded.grouped(2).map(x => Integer.parseInt(x, 16).toByte).toArray
+    }
+    def hexInt(h: String): Int =
+      hexBytes(h).foldLeft(0)((acc, b) => (acc << 8) | (b & 0xff))
+    def hexStr(h: String): String =
+      new String(hexBytes(h), java.nio.charset.StandardCharsets.UTF_16BE)
+    // tokens: <hex>, [, ], keywords; numbers and everything else inert
+    val tok = "<[0-9a-fA-F\\s]*>|\\[|\\]|[A-Za-z]+".r
+    val toks = tok.findAllIn(text).toArray
+    var codeBytes = 2
+    val map = scala.collection.mutable.Map[Int, String]()
+    var i = 0
+    def isHex(t: String) = t.startsWith("<")
+    def inner(t: String) = t.substring(1, t.length - 1)
+    while (i < toks.length) {
+      toks(i) match {
+        case "begincodespacerange" =>
+          if (i + 1 < toks.length && isHex(toks(i + 1))) {
+            val w = inner(toks(i + 1)).count(ch => Character.digit(ch, 16) >= 0) / 2
+            if (w >= 1 && w <= 4) codeBytes = w
+          }
+          while (i < toks.length && toks(i) != "endcodespacerange") i += 1
+        case "beginbfchar" =>
+          i += 1
+          while (i + 1 < toks.length && isHex(toks(i)) && isHex(toks(i + 1))) {
+            map(hexInt(inner(toks(i)))) = hexStr(inner(toks(i + 1)))
+            i += 2
+          }
+          i -= 1 // main loop advances past endbfchar / the stray token
+        case "beginbfrange" =>
+          i += 1
+          var ok = true
+          while (ok && i + 2 < toks.length && isHex(toks(i)) && isHex(toks(i + 1))) {
+            val lo = hexInt(inner(toks(i)))
+            val hi = hexInt(inner(toks(i + 1)))
+            val n = hi - lo
+            if (n < 0 || n > 0xffff) ok = false
+            else toks(i + 2) match {
+              case "[" =>
+                i += 3
+                var c = lo
+                while (i < toks.length && toks(i) != "]") {
+                  if (isHex(toks(i)) && c <= hi) { map(c) = hexStr(inner(toks(i))); c += 1 }
+                  i += 1
+                }
+                i += 1 // past ]
+              case d if isHex(d) =>
+                val dst = hexStr(inner(d))
+                (0 to n).foreach { k =>
+                  map(lo + k) =
+                    if (dst.isEmpty) ""
+                    else dst.dropRight(1) + (dst.last + k).toChar
+                }
+                i += 3
+              case _ => ok = false
+            }
+          }
+          i -= 1
+        case _ => ()
+      }
+      i += 1
+    }
+    ToUnicodeCMap(codeBytes, map.toMap)
+  }
+
+  /** Map a CID show-string's raw bytes through a ToUnicode CMap.
+    * Unmapped codes emit nothing — degrade to less text, never to
+    * wrong text (the module contract). */
+  private def mapCodes(cm: ToUnicodeCMap, bytes: Array[Byte]): String = {
+    val w = cm.codeBytes
+    val sb = new StringBuilder
+    var k = 0
+    while (k + w <= bytes.length) {
+      var code = 0
+      var j = 0
+      while (j < w) { code = (code << 8) | (bytes(k + j) & 0xff); j += 1 }
+      sb.append(cm.map.getOrElse(code, ""))
+      k += w
+    }
+    sb.toString
+  }
+
+  private[graft] def decodeContentOps(ops: String): String =
+    decodeContentOps(ops, Map.empty)
+
+  /** As [[decodeContentOps]], with per-font ToUnicode CMaps: `Tf`
+    * tracks the current font by resource name, and show-strings (hex
+    * AND literal — a composite font encodes both) decode through its
+    * CMap when one exists; fonts without one keep the byte-level
+    * heuristics. */
+  private[graft] def decodeContentOps(ops: String,
+                                      fonts: Map[String, ToUnicodeCMap]): String = {
     val lines = scala.collection.mutable.ArrayBuffer[String]()
     val cur = new StringBuilder
     var pendingNl = false
@@ -346,9 +461,20 @@ object DocExtract {
       }
       sb.toString
     }
+    var lastName: String = null // most recent /Name operand (Tf's font)
+    var curCmap: ToUnicodeCMap = null
+    def viaCmap(byteChars: String): String =
+      if (curCmap == null) byteChars
+      else mapCodes(curCmap, byteChars.toCharArray.map(_.toByte))
     while (i < n) {
       val c = ops.charAt(i)
-      if (c == '(') lastStrings += readString()
+      if (c == '/') {
+        val j0 = i + 1
+        i += 1
+        while (i < n && !ops.charAt(i).isWhitespace && "()<>[]{}/%".indexOf(ops.charAt(i)) < 0) i += 1
+        lastName = ops.substring(j0, i)
+      }
+      else if (c == '(') lastStrings += viaCmap(readString())
       else if (c == '<') {
         // hex show-string `<48656C6C6F>` — the form CID/Identity-H
         // text uses. `<<` opens an (inline-image or marked-content)
@@ -356,16 +482,22 @@ object DocExtract {
         // ops. Odd hex length pads a trailing 0 (spec §7.3.4.3);
         // 2-byte codes with zero high bytes decode as UTF-16BE (the
         // Identity-H ASCII/Latin layout), anything else as Latin-1
-        // bytes — true CID→Unicode needs the font's ToUnicode CMap,
-        // which is the documented out-of-scope edge (yields '?'-free
-        // best-effort text, never a crash)
+        // bytes. When the CURRENT FONT carries a ToUnicode CMap
+        // (composite/CID font), codes map through it instead — the
+        // heuristic is only the no-CMap fallback
         if (i + 1 < n && ops.charAt(i + 1) == '<') i += 2
         else {
           val e = ops.indexOf('>', i + 1)
           val hex = (if (e < 0) ops.substring(i + 1) else ops.substring(i + 1, e))
             .filterNot(_.isWhitespace)
           i = if (e < 0) n else e + 1
-          lastStrings += decodeHexShow(hex)
+          lastStrings += (
+            if (curCmap != null) {
+              val digits = hex.filter(ch => Character.digit(ch, 16) >= 0)
+              val padded = if (digits.length % 2 == 1) digits + "0" else digits
+              mapCodes(curCmap, padded.grouped(2)
+                .map(h => Integer.parseInt(h, 16).toByte).toArray)
+            } else decodeHexShow(hex))
         }
       }
       else if (c == '[') { inArray = true; lastStrings.clear(); i += 1 }
@@ -380,7 +512,10 @@ object DocExtract {
           case "'" | "\"" => newline(); lastStrings.lastOption.foreach(emit); lastStrings.clear()
           case "Td" | "TD" | "T*" => newline(); if (!inArray) lastStrings.clear()
           case "BT" | "ET" => lastStrings.clear()
-          case _ => () // Tf, numbers handled below, other ops ignored
+          case "Tf" => // `/F1 12 Tf` — select the current font's CMap
+            curCmap = if (lastName == null) null
+                      else fonts.get(lastName).orNull
+          case _ => () // numbers handled below, other ops ignored
         }
       } else i += 1
     }
@@ -785,16 +920,48 @@ object DocExtract {
             .reduceOption((a, b) => a ++ "\n".getBytes(UTF_8) ++ b).getOrElse(Array.emptyByteArray)
         case _ => Array.emptyByteArray
       }
-      def walk(v: PVal, depth: Int): Unit = {
+      // /Resources is INHERITABLE down the page tree (PDF 32000-1
+      // §7.7.3.4): fonts found on an ancestor /Pages node apply to
+      // every descendant page unless shadowed by the page's own
+      // resource of the same name. A font whose ToUnicode stream
+      // fails to parse contributes no CMap (heuristic decode), never
+      // a document failure.
+      def fontsOf(m: Map[String, PVal],
+                  inherited: Map[String, ToUnicodeCMap]): Map[String, ToUnicodeCMap] = {
+        val own = resolve(m.getOrElse("Resources", PNullV)) match {
+          case PDict(res) => resolve(res.getOrElse("Font", PNullV)) match {
+            case PDict(fd) => fd.flatMap { case (fname, fv) =>
+              (resolve(fv) match {
+                case PDict(f) => f.get("ToUnicode").flatMap { tu =>
+                  (tu match {
+                    case PRef(nn) => scala.util.Try(obj(nn)._2).toOption.flatten
+                    case _ => None
+                  }).flatMap(b => scala.util.Try(
+                    parseToUnicode(new String(b, ISO_8859_1))).toOption)
+                }
+                case _ => None
+              }).map(fname -> _)
+            }
+            case _ => Map.empty[String, ToUnicodeCMap]
+          }
+          case _ => Map.empty[String, ToUnicodeCMap]
+        }
+        inherited ++ own
+      }
+      def walk(v: PVal, depth: Int, fonts: Map[String, ToUnicodeCMap]): Unit = {
         if (depth > 32) throw new IllegalArgumentException("pdf: page tree too deep")
         v match { case PRef(n) if !visited.add(n) => return; case _ => () }
         resolve(v) match {
           case PDict(m) if m.get("Type").contains(PName("Page")) || (m.contains("Contents") && !m.contains("Kids")) =>
-            out += decodeContentOps(new String(contentBytes(m.getOrElse("Contents", PNullV)), UTF_8))
+            out += decodeContentOps(
+              new String(contentBytes(m.getOrElse("Contents", PNullV)), UTF_8),
+              fontsOf(m, fonts))
           case PDict(m) =>
             m.get("Kids") match {
               case Some(k) => resolve(k) match {
-                case PArr(kids) => kids.foreach(walk(_, depth + 1))
+                case PArr(kids) =>
+                  val f = fontsOf(m, fonts)
+                  kids.foreach(walk(_, depth + 1, f))
                 case _ => ()
               }
               case None => ()
@@ -802,7 +969,7 @@ object DocExtract {
           case _ => ()
         }
       }
-      walk(pagesV, 0)
+      walk(pagesV, 0, Map.empty)
       out.toSeq
     }
   }
@@ -988,6 +1155,13 @@ object DocExtract {
   def xrefFixturesDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     DocFixtures.xrefAll.toDF("doc", "fmt", "content")
+  }
+
+  /** The composite-font (CID + ToUnicode) fixture corpus — see
+    * [[DocFixtures.pdfBytesCid]]. */
+  def cidFixturesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    DocFixtures.cidAll.toDF("doc", "fmt", "content")
   }
 
   /** S8 surface: one row per DOCX chunk, reference chunk-id scheme

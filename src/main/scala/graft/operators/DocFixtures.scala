@@ -404,6 +404,129 @@ object DocFixtures {
   def xrefAll: Seq[(String, String, Array[Byte])] = Seq(
     ("amendment", "pdf", pdfBytesXrefStream(amendmentPages)))
 
+  // ---- composite (CID) font + ToUnicode CMap ---------------------------
+
+  /** Page texts of the `treaty` CID fixture. "efficient" carries an
+    * `ffi` trigram (shown as ONE ligature code with a 3-char CMap
+    * destination) and "xyz" rides the incrementing bfrange form — the
+    * two mapping shapes a no-CMap heuristic cannot reproduce. */
+  val cidPages: Seq[Seq[String]] = Seq(
+    Seq("TREATY OF AMITY",
+      "An efficient xyz protocol governs here."),
+    Seq("Ratified by both parties in good faith.",
+      "Signatures follow on the final page."))
+
+  /** Composite-font PDF: one Type0 /Identity-H font whose /ToUnicode
+    * CMap is the ONLY route back to the text — every show-string code
+    * is an arbitrary 2-byte value (`0x0101 + k`, never the character's
+    * Unicode), so a reader that ignores the CMap decodes garbage, not
+    * approximately-right text. The font lives in the PAGE-TREE node's
+    * /Resources (pages inherit it — PDF 32000-1 §7.7.3.4); the last
+    * line is shown as a LITERAL string of code bytes (both string
+    * forms are font-encoded in a composite font), the rest as hex
+    * strings; `xyz` maps via an incrementing bfrange, `ffi` via the
+    * array form with a multi-char destination. Code bytes stay ≤ 0x7F
+    * (content streams round-trip through UTF-8 in the reader). */
+  def pdfBytesCid(pages: Seq[Seq[String]]): Array[Byte] = {
+    val LigCode = 0x0300 // "ffi" → one code, three-char destination
+    val XyzBase = 0x0200 // 'x','y','z' → incrementing bfrange
+    val chars: Seq[Char] = pages.flatten.flatMap(_.replace("ffi", "").toSeq)
+      .filterNot("xyz".contains(_)).distinct
+    val charCode: Map[Char, Int] = chars.zipWithIndex.map { case (c, k) =>
+      c -> (0x0101 + (k / 0x7f) * 0x100 + (k % 0x7f))
+    }.toMap
+    def encode(line: String): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer[Int]()
+      var i = 0
+      while (i < line.length) {
+        if (line.startsWith("ffi", i)) { out += LigCode; i += 3 }
+        else if ("xyz".indexOf(line.charAt(i)) >= 0) {
+          out += XyzBase + "xyz".indexOf(line.charAt(i)); i += 1
+        } else { out += charCode(line.charAt(i)); i += 1 }
+      }
+      out.toSeq
+    }
+    def u16(s: String) = s.map(c => f"${c.toInt}%04X").mkString
+    val cmap = new StringBuilder
+    cmap.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+    cmap.append("/CMapName /Graft-UCS def\n/CMapType 2 def\n")
+    cmap.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    cmap.append(s"${chars.size} beginbfchar\n")
+    chars.foreach(c => cmap.append(f"<${charCode(c)}%04X> <${u16(c.toString)}>%n"))
+    cmap.append("endbfchar\n")
+    cmap.append("2 beginbfrange\n")
+    cmap.append(f"<$XyzBase%04X> <${XyzBase + 2}%04X> <${u16("x")}>%n")
+    cmap.append(f"<$LigCode%04X> <$LigCode%04X> [<${u16("ffi")}>]%n")
+    cmap.append("endbfrange\nendcmap\n")
+    cmap.append("CMapName currentdict /CMap defineresource pop\nend\nend\n")
+    val cmapText = cmap.toString
+
+    def hexShow(codes: Seq[Int]) = "<" + codes.map(c => f"$c%04X").mkString + "> Tj "
+    def litShow(codes: Seq[Int]) = {
+      val sb = new StringBuilder("(")
+      codes.flatMap(c => Seq((c >> 8) & 0xff, c & 0xff)).foreach {
+        case 0x28 => sb.append("\\(")
+        case 0x29 => sb.append("\\)")
+        case 0x5c => sb.append("\\\\")
+        case b if b < 0x20 => sb.append(f"\\$b%03o") // raw CR/LF would be line ends
+        case b => sb.append(b.toChar)
+      }
+      sb.append(") Tj ").toString
+    }
+
+    val out = new ByteArrayOutputStream()
+    val iso = StandardCharsets_ISO
+    def w(s: String): Unit = out.write(s.getBytes(iso))
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def beginObj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
+
+    val nPages = pages.size
+    val pageObjNums = (0 until nPages).map(i => 3 + 2 * i)
+    val fontNum = 3 + 2 * nPages
+    val toUniNum = fontNum + 1
+    w("%PDF-1.4\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2)
+    w(s"<< /Type /Pages /Kids [${pageObjNums.map(n => s"$n 0 R").mkString(" ")}] " +
+      s"/Count $nPages /Resources << /Font << /F9 $fontNum 0 R >> >> >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val pageNum = pageObjNums(i)
+      beginObj(pageNum)
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${pageNum + 1} 0 R >>\nendobj\n")
+      val ops = new StringBuilder("BT /F9 12 Tf 72 720 Td ")
+      lines.zipWithIndex.foreach { case (line, li) =>
+        if (li > 0) ops.append("T* ")
+        val codes = encode(line)
+        if (i == nPages - 1 && li == lines.size - 1) ops.append(litShow(codes))
+        else ops.append(hexShow(codes))
+      }
+      ops.append("ET")
+      val data = deflate(ops.toString.getBytes(iso))
+      beginObj(pageNum + 1)
+      w(s"<< /Length ${data.length} /Filter /FlateDecode >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    beginObj(fontNum)
+    w(s"<< /Type /Font /Subtype /Type0 /BaseFont /Graft-CID " +
+      s"/Encoding /Identity-H /ToUnicode $toUniNum 0 R >>\nendobj\n")
+    val cmapData = deflate(cmapText.getBytes(iso))
+    beginObj(toUniNum)
+    w(s"<< /Length ${cmapData.length} /Filter /FlateDecode >>\nstream\n")
+    out.write(cmapData)
+    w("\nendstream\nendobj\n")
+    val xrefPos = out.size()
+    val n = offsets.size + 1
+    w(s"xref\n0 $n\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** CID fixture set for the ToUnicode query surface. */
+  def cidAll: Seq[(String, String, Array[Byte])] = Seq(
+    ("treaty", "pdf", pdfBytesCid(cidPages)))
+
   // ---- assembled fixture set ------------------------------------------
 
   /** (doc, fmt, bytes): the parse-query corpus, including two corrupt

@@ -225,7 +225,8 @@ class DocExtractSpec extends SparkSpec {
     val builders = Seq(
       DocFixtures.pdfBytes(DocFixtures.contractPages),
       DocFixtures.pdfBytesXrefStream(DocFixtures.amendmentPages),
-      DocFixtures.pdfBytesHybrid(DocFixtures.amendmentPages))
+      DocFixtures.pdfBytesHybrid(DocFixtures.amendmentPages),
+      DocFixtures.pdfBytesCid(DocFixtures.cidPages))
     val rnd = new scala.util.Random(4242)
     builders.foreach { base =>
       // byte flips: 40 single-byte mutations at random offsets
@@ -241,6 +242,62 @@ class DocExtractSpec extends SparkSpec {
       // and the unmutated base still parses fully
       assert(DocExtract.parsePdf(base).exists(_.nonEmpty))
     }
+  }
+
+  test("pdf CID: ToUnicode CMap recovers text from arbitrary codes") {
+    // the fixture's show-strings carry codes with NO relation to the
+    // characters (0x0101+k): correct text proves the CMap route is
+    // taken for hex AND literal strings, through bfchar, both bfrange
+    // forms (incrementing `xyz`, array-form `ffi` → 3 chars), and a
+    // page-tree-INHERITED /Resources /Font
+    val pages = DocExtract.parsePdf(DocFixtures.pdfBytesCid(DocFixtures.cidPages))
+    assert(pages.isDefined)
+    assert(pages.get.map(_.text) === DocFixtures.cidPages.map(_.mkString("\n")))
+  }
+
+  test("pdf CID: a font without /ToUnicode keeps the byte heuristics") {
+    // strip the /ToUnicode entry: the same document must still parse
+    // (no crash, no None) but the codes now decode heuristically —
+    // wrong-looking text is acceptable there, failure is not
+    val raw = new String(DocFixtures.pdfBytesCid(DocFixtures.cidPages),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    // the ToUnicode ref sits in the font dict; blank it out in place
+    // (same byte length, so the xref offsets stay valid)
+    val m = "/ToUnicode \\d+ 0 R".r.findFirstMatchIn(raw).get
+    val blanked = raw.substring(0, m.start) + (" " * (m.end - m.start)) + raw.substring(m.end)
+    val pages = DocExtract.parsePdf(
+      blanked.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    assert(pages.isDefined && pages.get.nonEmpty)
+    assert(pages.get.map(_.text) !== DocFixtures.cidPages.map(_.mkString("\n")),
+      "without the CMap the arbitrary codes cannot decode to the real text")
+  }
+
+  test("pdf CID: parseToUnicode handles bfchar, both bfrange forms, and junk") {
+    val cm = DocExtract.parseToUnicode(
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar
+        |<0003> <0041>
+        |<0004> <FB03>
+        |endbfchar
+        |2 beginbfrange
+        |<0010> <0012> <0061>
+        |<0020> <0021> [<00580059005A> <005A>]
+        |endbfrange
+        |endcmap end""".stripMargin)
+    assert(cm.codeBytes === 2)
+    assert(cm.map(0x0003) === "A")
+    assert(cm.map(0x0004) === "ﬃ") // the ffi ligature codepoint
+    assert(cm.map(0x0010) === "a" && cm.map(0x0011) === "b" && cm.map(0x0012) === "c")
+    assert(cm.map(0x0020) === "XYZ" && cm.map(0x0021) === "Z")
+    // junk in, nothing out — never an exception
+    val junk = DocExtract.parseToUnicode("beginbfrange <zz> oops [ endbfrange")
+    assert(junk.map.isEmpty)
+    // a hostile full-space range is capped, not materialized beyond 2^16
+    val wide = DocExtract.parseToUnicode(
+      "1 beginbfrange <0000> <FFFF> <0041> endbfrange")
+    assert(wide.map.size === 0x10000)
   }
 
   test("pdf hex show-strings: UTF-16BE and Latin-1 byte layouts, odd-pad, TJ mix") {
