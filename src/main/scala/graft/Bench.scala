@@ -35,6 +35,22 @@ object Bench {
         .filter($"r" <= 1).count())
       warm(tiny.localCheckpoint().count()) // checkpoint block-manager machinery
     }
+    // Calibration: one fixed-shape scan+agg (the warmup scan, measured
+    // like a real query — min-of-2, noop sink). Its cost depends only
+    // on SF and machine state, so a contended bench window inflates it
+    // exactly the way it inflates the real queries; comparing this ONE
+    // field across runs machine-detects a bad window (rounds 12-14 each
+    // needed per-query archaeology to adjudicate 1.4-2x contended
+    // totals). Read: calibration ~equal across two runs => totals are
+    // comparable; calibration inflated 2x => the whole run is, too.
+    val calibration = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("count(distinct lower(text)) AS n")
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // Min of two back-to-back runs per query: the r7 driver bench was
     // distorted ~1.5-6x by transient machine contention (verified by
     // warm local replay of identical code); a single sample cannot tell
@@ -85,7 +101,7 @@ object Bench {
     }
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + jq(k) + "\":" + fmt(v) }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":${fmt(calibration)},"queries":{"""
     val tail2 = s"""},"sf":"${jq(sfDir)}"}"""
     val fixed = head.length + tail2.length
     val kept = new StringBuilder
