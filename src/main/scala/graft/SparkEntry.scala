@@ -1091,6 +1091,19 @@ object SparkEntry {
       Wordpiece.pieceCounts(Wordpiece.applyMergeHistory(vocab, loaded))
     }),
 
+    // merge EXHAUSTION: a 3-word degenerate corpus has only 2 learnable
+    // pairs, so rounds 3..6 find nothing — the trainer must stop
+    // gracefully (keep the round-2 vocab, learn no phantom merges) and
+    // the oracle's empty-b_j LEFT-JOIN fallback must agree. End-to-end
+    // through the encode so the final vocab is hash-pinned, not just
+    // row-counted
+    "wordpiece_exhausted" -> ((s, d) => {
+      import s.implicits._
+      val (_, finalVocab) =
+        Wordpiece.learnMerges(Seq("aa aa ab").toDF("text"), numMerges = 6)
+      Wordpiece.pieceCounts(finalVocab)
+    }),
+
     // trained NB classifier (the fastText/CCNet-style model-based
     // filter; the heuristic tier is quality_score) — fit on the lang
     // column as target-language weak supervision
@@ -3607,6 +3620,11 @@ object SparkEntry {
     // persisted parquet model), not WHAT they compute — shared oracle
     "wordpiece_artifact" -> wordpieceTokensOracle,
 
+    // same chain over the literal degenerate corpus: rounds past
+    // exhaustion ride the empty-b_j LEFT-JOIN fallback in wpCtes
+    "wordpiece_exhausted" ->
+      wordpieceTokensOracleFor("(SELECT 'aa aa ab' AS text)"),
+
     // NB training: per-term class counts under the lang='en' weak label
     "nb_train" ->
       s"""WITH $nbCtes
@@ -3932,15 +3950,15 @@ object SparkEntry {
     * so w_j LEFT-joins b_j and falls back to w_{j-1}'s sequences when
     * b_j is empty, instead of cascading to an empty (and silently
     * engine-divergent) result through the remaining rounds. */
-  private def wpCtes(numMerges: Int): String = {
+  private def wpCtes(numMerges: Int, src: String = "documents"): String = {
     val sb = new StringBuilder(
-      """w0 AS MATERIALIZED (
+      s"""w0 AS MATERIALIZED (
         | SELECT w AS word, count(*) AS freq,
         |  CASE WHEN len(w) <= 1 THEN w
         |       ELSE substr(w, 1, 1) || ' ' ||
-        |            trim(regexp_replace(substr(w, 2), '(.)', '##\1 ', 'g')) END AS seq
+        |            trim(regexp_replace(substr(w, 2), '(.)', '##\\1 ', 'g')) END AS seq
         | FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        |       FROM documents) uw
+        |       FROM $src) uw
         | GROUP BY w)""".stripMargin)
     for (j <- 1 to numMerges) {
       // spread-replace-collapse, identical to bpeCtes but substituting
@@ -3976,8 +3994,10 @@ object SparkEntry {
     * marker-aware — the matchable surface of a ##-piece is its last
     * `len-2` characters, position 1 may only take unmarked pieces, and
     * the emitted token re-attaches the marker. */
-  private val wordpieceTokensOracle: String =
-    s"""WITH RECURSIVE ${wpCtes(6)},
+  private val wordpieceTokensOracle: String = wordpieceTokensOracleFor("documents")
+
+  private def wordpieceTokensOracleFor(src: String): String =
+    s"""WITH RECURSIVE ${wpCtes(6, src)},
        |wpieces AS (SELECT DISTINCT unnest(string_split(seq, ' ')) AS piece FROM w6),
        |r(word, freq, pos, out) AS (
        | SELECT word, freq, 1, '' FROM w6
