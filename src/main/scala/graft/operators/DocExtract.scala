@@ -548,6 +548,7 @@ object DocExtract {
   private[graft] case class PDict(m: Map[String, PVal]) extends PVal
   private[graft] case class PArr(items: Vector[PVal]) extends PVal
   private[graft] case object PNullV extends PVal
+  private[graft] case class PBool(v: Boolean) extends PVal
 
   /** Recursive-descent lexer over the ISO-8859-1 view (char index ==
     * byte offset). Parses dicts/arrays/names/numbers/refs/strings —
@@ -645,7 +646,9 @@ object DocExtract {
           PNum(n1)
         case _ =>
           keyword() match {
-            case "true" | "false" | "null" => PNullV
+            case "true" => PBool(true)
+            case "false" => PBool(false)
+            case "null" => PNullV
             case k => throw new IllegalArgumentException(s"pdf: unexpected token '$k'")
           }
       }

@@ -178,10 +178,11 @@ class DocExtractSpec extends SparkSpec {
       Gen.choose(-9999, 9999).map(v => PNum(v.toDouble)),
       Gen.choose(-99.0, 99.0).map(v => PNum(math.round(v * 100) / 100.0)))
     val refGen = Gen.choose(1, 9999).map(PRef(_))
+    val boolGen = Gen.oneOf(PBool(true), PBool(false))
     def valGen(depth: Int): Gen[PVal] =
-      if (depth <= 0) Gen.oneOf(nameGen, numGen, refGen, Gen.const(PNullV))
+      if (depth <= 0) Gen.oneOf(nameGen, numGen, refGen, boolGen, Gen.const(PNullV))
       else Gen.frequency(
-        3 -> nameGen, 3 -> numGen, 2 -> refGen, 1 -> Gen.const(PNullV),
+        3 -> nameGen, 3 -> numGen, 2 -> refGen, 1 -> boolGen, 1 -> Gen.const(PNullV),
         2 -> Gen.choose(0, 4).flatMap(n =>
           Gen.listOfN(n, valGen(depth - 1)).map(xs => PArr(xs.toVector))),
         2 -> Gen.choose(0, 4).flatMap(n =>
@@ -194,6 +195,7 @@ class DocExtractSpec extends SparkSpec {
       case PNum(d) => d.toString
       case PRef(n) => s"$n 0 R"
       case PName(n) => s"/$n"
+      case PBool(b) => b.toString
       case PNullV => "null"
       case PArr(xs) => xs.map(render).mkString("[ ", " ", " ]")
       case PDict(m) => m.toSeq.sortBy(_._1)
