@@ -427,14 +427,21 @@ object DocFixtures {
     * strings; `xyz` maps via an incrementing bfrange, `ffi` via the
     * array form with a multi-char destination. Code bytes stay ≤ 0x7F
     * (content streams round-trip through UTF-8 in the reader). */
-  def pdfBytesCid(pages: Seq[Seq[String]]): Array[Byte] = {
-    val LigCode = 0x0300 // "ffi" → one code, three-char destination
-    val XyzBase = 0x0200 // 'x','y','z' → incrementing bfrange
+  def pdfBytesCid(pages: Seq[Seq[String]], codeBytes: Int = 2): Array[Byte] = {
+    require(codeBytes == 1 || codeBytes == 2, "fixture supports 1- or 2-byte codes")
+    // 1-byte layout (legal per spec §9.7.6.2) packs everything ≤ 0x7F;
+    // 2-byte is the Identity-H shape. Either way NO code equals its
+    // character's Unicode value.
+    val LigCode = if (codeBytes == 2) 0x0300 else 0x7a // "ffi" → one code
+    val XyzBase = if (codeBytes == 2) 0x0200 else 0x70 // x,y,z → bfrange
     val chars: Seq[Char] = pages.flatten.flatMap(_.replace("ffi", "").toSeq)
       .filterNot("xyz".contains(_)).distinct
+    require(codeBytes == 2 || chars.size <= 0x4f, "1-byte code space exhausted")
     val charCode: Map[Char, Int] = chars.zipWithIndex.map { case (c, k) =>
-      c -> (0x0101 + (k / 0x7f) * 0x100 + (k % 0x7f))
+      c -> (if (codeBytes == 2) 0x0101 + (k / 0x7f) * 0x100 + (k % 0x7f)
+            else 0x21 + k)
     }.toMap
+    val hexW = codeBytes * 2 // hex digits per code
     def encode(line: String): Seq[Int] = {
       val out = scala.collection.mutable.ArrayBuffer[Int]()
       var i = 0
@@ -450,21 +457,23 @@ object DocFixtures {
     val cmap = new StringBuilder
     cmap.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
     cmap.append("/CMapName /Graft-UCS def\n/CMapType 2 def\n")
-    cmap.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    def cHex(code: Int) = ("%0" + hexW + "X").format(code)
+    cmap.append(s"1 begincodespacerange\n<${"0" * hexW}> <${"F" * hexW}>\nendcodespacerange\n")
     cmap.append(s"${chars.size} beginbfchar\n")
-    chars.foreach(c => cmap.append(f"<${charCode(c)}%04X> <${u16(c.toString)}>%n"))
+    chars.foreach(c => cmap.append(s"<${cHex(charCode(c))}> <${u16(c.toString)}>\n"))
     cmap.append("endbfchar\n")
     cmap.append("2 beginbfrange\n")
-    cmap.append(f"<$XyzBase%04X> <${XyzBase + 2}%04X> <${u16("x")}>%n")
-    cmap.append(f"<$LigCode%04X> <$LigCode%04X> [<${u16("ffi")}>]%n")
+    cmap.append(s"<${cHex(XyzBase)}> <${cHex(XyzBase + 2)}> <${u16("x")}>\n")
+    cmap.append(s"<${cHex(LigCode)}> <${cHex(LigCode)}> [<${u16("ffi")}>]\n")
     cmap.append("endbfrange\nendcmap\n")
     cmap.append("CMapName currentdict /CMap defineresource pop\nend\nend\n")
     val cmapText = cmap.toString
 
-    def hexShow(codes: Seq[Int]) = "<" + codes.map(c => f"$c%04X").mkString + "> Tj "
+    def hexShow(codes: Seq[Int]) = "<" + codes.map(cHex).mkString + "> Tj "
     def litShow(codes: Seq[Int]) = {
       val sb = new StringBuilder("(")
-      codes.flatMap(c => Seq((c >> 8) & 0xff, c & 0xff)).foreach {
+      codes.flatMap(c => if (codeBytes == 2) Seq((c >> 8) & 0xff, c & 0xff)
+                         else Seq(c & 0xff)).foreach {
         case 0x28 => sb.append("\\(")
         case 0x29 => sb.append("\\)")
         case 0x5c => sb.append("\\\\")

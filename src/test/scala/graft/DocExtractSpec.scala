@@ -257,6 +257,16 @@ class DocExtractSpec extends SparkSpec {
     assert(pages.get.map(_.text) === DocFixtures.cidPages.map(_.mkString("\n")))
   }
 
+  test("pdf CID: 1-byte codespace decodes through the same CMap route") {
+    // a composite font may declare a 1-byte code space (§9.7.6.2) —
+    // parseToUnicode reads the width from begincodespacerange and
+    // mapCodes consumes 1-byte codes; same text, half the bytes
+    val pages = DocExtract.parsePdf(
+      DocFixtures.pdfBytesCid(DocFixtures.cidPages, codeBytes = 1))
+    assert(pages.isDefined)
+    assert(pages.get.map(_.text) === DocFixtures.cidPages.map(_.mkString("\n")))
+  }
+
   test("pdf CID: a font without /ToUnicode keeps the byte heuristics") {
     // strip the /ToUnicode entry: the same document must still parse
     // (no crash, no None) but the codes now decode heuristically —
