@@ -954,8 +954,11 @@ object SparkEntry {
     // unigram-LM (SentencePiece-family) Viterbi segmentation: substring
     // seed vocab → pruned inventory → per-word optimal DP, all under
     // the integer (min pieces, max frequency mass) objective
-    "unigram_viterbi" -> ((s, d) =>
-      graft.operators.Unigram.segmentCorpus(Tables.documents(s, d))),
+    "unigram_viterbi" -> ((s, d) => {
+      val vocab = Bpe.wordVocab(Tables.documents(s, d))
+        .select("word", "freq").localCheckpoint()
+      graft.operators.Unigram.viterbiStats(vocab, ugSeedFitted(s, d))
+    }),
     // the unigram artifact lifecycle, mirroring bpe_artifact: fit the
     // seed model, persist it as parquet, LOAD it back, and re-segment
     // the corpus under the loaded model — must equal unigram_viterbi
@@ -973,17 +976,15 @@ object SparkEntry {
     "unigram_em" -> ((s, d) => {
       val vocab = Bpe.wordVocab(Tables.documents(s, d))
         .select("word", "freq").localCheckpoint()
-      graft.operators.Unigram.expectedPieceCounts(
-        vocab, graft.operators.Unigram.fitSeed(vocab))
+      graft.operators.Unigram.expectedPieceCounts(vocab, ugSeedFitted(s, d))
     }),
     // the loop actually closes: M-step counts become the round-2 model
     // (unused pieces pruned), and the corpus re-segments under it
     "unigram_em2" -> ((s, d) => {
       val vocab = Bpe.wordVocab(Tables.documents(s, d))
         .select("word", "freq").localCheckpoint()
-      val m0 = graft.operators.Unigram.fitSeed(vocab)
       graft.operators.Unigram.viterbiStats(vocab,
-        graft.operators.Unigram.emRound(vocab, m0))
+        graft.operators.Unigram.emRound(vocab, ugSeedFitted(s, d)))
     }),
     // EM to CONVERGENCE: iterate M-step refits until the weighted total
     // piece count stops improving (integer rule, oracle-replayable);
@@ -994,7 +995,7 @@ object SparkEntry {
       val vocab = Bpe.wordVocab(Tables.documents(s, d))
         .select("word", "freq").localCheckpoint()
       val (_, iters) = graft.operators.Unigram.emLoop(
-        vocab, graft.operators.Unigram.fitSeed(vocab), maxIters = 4)
+        vocab, ugSeedFitted(s, d), maxIters = 4)
       iters.toDF()
     }),
     // manifest-level file skipping: cluster events on the Z curve, write
@@ -1257,6 +1258,17 @@ object SparkEntry {
   private def wpMerges6(s: SparkSession, d: String): Seq[Bpe.Merge] =
     wpMergeFits.computeIfAbsent(d,
       _ => Wordpiece.learnMerges(Tables.documents(s, d), numMerges = 6)._1)
+
+  /** One fitted unigram seed model per data dir (same pattern): the
+    * SeedModel is a driver-side map bounded by keepTop, but fitting it
+    * pays the corpus-vocab substring-explosion aggregate — which five
+    * queries re-ran. The artifact query keeps its own full
+    * fit -> persist -> load lifecycle. */
+  private val ugSeedFits = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.Unigram.SeedModel]()
+  private def ugSeedFitted(s: SparkSession, d: String): graft.operators.Unigram.SeedModel =
+    ugSeedFits.computeIfAbsent(d, _ => graft.operators.Unigram.fitSeed(
+      Bpe.wordVocab(Tables.documents(s, d)).select("word", "freq")))
 
   private val dsirFitDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dsirFitted(s: SparkSession, d: String): DataFrame =
