@@ -1106,14 +1106,11 @@ object SparkEntry {
     // filter; the heuristic tier is quality_score) — fit on the lang
     // column as target-language weak supervision
     "nb_train" -> ((s, d) =>
-      Classify.nbTrain(Tables.documents(s, d))
-        .select("term", "pos_cnt", "neg_cnt")),
+      nbFitted(s, d).select("term", "pos_cnt", "neg_cnt")),
     // score the corpus under the fitted model: micro-nat fixed-point
     // llr sums, so the result is partitioning-invariant
-    "nb_score" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Classify.nbScore(docs, Classify.nbTrain(docs))
-    }),
+    "nb_score" -> ((s, d) =>
+      Classify.nbScore(Tables.documents(s, d), nbFitted(s, d))),
     // artifact lifecycle: fit → persist → load → score. Must equal
     // nb_score exactly (shared oracle)
     "nb_artifact" -> ((s, d) => {
@@ -1269,6 +1266,20 @@ object SparkEntry {
   private def ugSeedFitted(s: SparkSession, d: String): graft.operators.Unigram.SeedModel =
     ugSeedFits.computeIfAbsent(d, _ => graft.operators.Unigram.fitSeed(
       Bpe.wordVocab(Tables.documents(s, d)).select("word", "freq")))
+
+  /** One trained NB count table per data dir, persisted and re-LOADED
+    * per use (it is corpus-vocabulary-sized — unlike the merge lists it
+    * must never live on the driver): nb_train and nb_score re-ran the
+    * training aggregate; nb_artifact keeps its own full lifecycle. The
+    * parquet roundtrip is exact (integer counts), which nb_artifact's
+    * shared oracle with nb_score already pins. */
+  private val nbFitDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def nbFitted(s: SparkSession, d: String): DataFrame =
+    Classify.loadNb(s, nbFitDirs.computeIfAbsent(d, _ => {
+      val out = tmpQueryDir("graft-nbf-q", "model")
+      Classify.saveNb(Classify.nbTrain(Tables.documents(s, d)), out)
+      out
+    }))
 
   private val dsirFitDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def dsirFitted(s: SparkSession, d: String): DataFrame =
