@@ -267,6 +267,28 @@ class DocExtractSpec extends SparkSpec {
     assert(pages.get.map(_.text) === DocFixtures.cidPages.map(_.mkString("\n")))
   }
 
+  test("property: CID and classic builders extract identical text (both widths)") {
+    // differential: the same random page texts through pdfBytes (plain
+    // Latin-1 show-strings) and pdfBytesCid (arbitrary codes + CMap)
+    // must decode to the same pages — the CMap round-trip is exercised
+    // over arbitrary content, not just the hand-picked fixture
+    val rnd = new scala.util.Random(9090)
+    val alpha = "abcdefghijklmnopqrstuvwxyz ABCDEFGHIJKLMNOPQRSTUVWXYZ.,"
+    (1 to 10).foreach { _ =>
+      val pages = Seq.fill(1 + rnd.nextInt(3))(
+        Seq.fill(1 + rnd.nextInt(4))(
+          // occasionally seed the special trigrams the CMap maps
+          (if (rnd.nextBoolean()) "ffi xyz " else "") +
+            Seq.fill(3 + rnd.nextInt(20))(alpha(rnd.nextInt(alpha.length))).mkString))
+      val classic = DocExtract.parsePdf(DocFixtures.pdfBytes(pages)).get.map(_.text)
+      Seq(1, 2).foreach { w =>
+        val cid = DocExtract.parsePdf(DocFixtures.pdfBytesCid(pages, codeBytes = w))
+        assert(cid.isDefined && cid.get.map(_.text) === classic,
+          s"codeBytes=$w diverged on: $pages")
+      }
+    }
+  }
+
   test("pdf CID: a font without /ToUnicode keeps the byte heuristics") {
     // strip the /ToUnicode entry: the same document must still parse
     // (no crash, no None) but the codes now decode heuristically —
