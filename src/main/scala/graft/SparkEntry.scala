@@ -652,6 +652,11 @@ object SparkEntry {
     // multi-char destination, page-tree-inherited /Resources)
     "pdf_pages_cid" -> ((s, d) =>
       DocExtract.pdfPages(DocExtract.cidFixturesDF(s))),
+    // web-corpus extraction: HTML main-content blocks after the
+    // documented boilerplate heuristics (chrome tags, link density,
+    // length floor) — nav/footer/related-links/script/style must drop,
+    // entities decode, binary garbage yields no rows not an error
+    "html_extract" -> ((s, d) => Html.htmlBlocks(Html.fixturesDF(s))),
     "doc_validate" -> ((s, d) =>
       DocExtract.validateAll(DocExtract.fixturesDF(s))),
     // S5-lite: whitespace-alignment table detection over the PDF text
@@ -2975,6 +2980,21 @@ object SparkEntry {
         | ('amendment', 3, 'Governing law stays unchanged.' || chr(10) ||
         |   'Signatures follow on the last page.')
         |) AS t(doc, page, content)""".stripMargin,
+
+    // expectations hand-derived from DocFixtures.blogHtml under the
+    // documented heuristics (Html.scala scaladoc); the garbage_html
+    // member contributes no rows
+    "html_extract" ->
+      """SELECT doc, title, block_idx, heading, content,
+        |  length(content) AS n_chars FROM (VALUES
+        | ('blog', 'Graft & the Web', 0, TRUE, 'Parsing at scale'),
+        | ('blog', 'Graft & the Web', 1, FALSE,
+        |  'Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.'),
+        | ('blog', 'Graft & the Web', 2, FALSE,
+        |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
+        | ('blog', 'Graft & the Web', 3, FALSE,
+        |  'Entities decode: café & résumé stay readable.')
+        |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
 
     // expectations = DocFixtures.cidPages verbatim (the CMap is the only
     // route from the fixture's arbitrary codes back to this text)

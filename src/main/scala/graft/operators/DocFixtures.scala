@@ -536,6 +536,43 @@ object DocFixtures {
   def cidAll: Seq[(String, String, Array[Byte])] = Seq(
     ("treaty", "pdf", pdfBytesCid(cidPages)))
 
+  // ---- HTML --------------------------------------------------------------
+
+  /** A crawled-page-shaped fixture for [[Html.parseHtml]]: nav/footer
+    * chrome, a link-heavy related-posts block, script/style bodies, a
+    * comment hiding tag soup, and entity-encoded text. The expected
+    * kept blocks (hand-derived under the documented heuristics) are the
+    * `html_extract` oracle's VALUES. */
+  val blogHtml: String =
+    """<!DOCTYPE html>
+      |<html><head>
+      |<title>Graft &amp; the Web</title>
+      |<style>body { color: red; } /* <p>not text</p> */</style>
+      |<script>var x = "<p>not text either</p>";</script>
+      |</head>
+      |<body>
+      |<nav><a href="/">Home</a> <a href="/blog">Blog</a> <a href="/about">About</a></nav>
+      |<header><div>Graft Engineering Blog</div></header>
+      |<article>
+      |<h1>Parsing at scale</h1>
+      |<p>Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.</p>
+      |<p>Short note.</p>
+      |<p>Link density separates navigation chrome from prose: see <a href="/x">the docs</a> for the exact thresholds used here.</p>
+      |<div class="related"><a href="/a">Ten more posts</a> <a href="/b">you might like</a></div>
+      |<!-- a comment <p>ignored</p> -->
+      |<p>Entities decode: caf&#233; &amp; r&#xE9;sum&#xE9; stay readable.</p>
+      |</article>
+      |<footer>Copyright 2026 Graft. All rights reserved for eternity.</footer>
+      |</body></html>
+      |""".stripMargin
+
+  /** HTML fixture set: the blog page plus binary garbage (NUL byte in
+    * the head) that must yield NO rows, not an error. */
+  def htmlAll: Seq[(String, String, Array[Byte])] = Seq(
+    ("blog", "html", blogHtml.getBytes(UTF_8)),
+    ("garbage_html", "html",
+      Array[Byte]('<'.toByte, 'h'.toByte, 0, 1, 2, '>'.toByte)))
+
   // ---- assembled fixture set ------------------------------------------
 
   /** (doc, fmt, bytes): the parse-query corpus, including two corrupt

@@ -1,0 +1,241 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.UTF_8
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** HTML main-content extraction — the web-corpus face of the extractor
+  * family (S4/S8/S9 parse office formats; a 100 TB training pipeline's
+  * dominant raw format is crawled HTML). JDK-only, like the others: a
+  * small tag tokenizer feeds a block segmenter, and a deterministic
+  * boilerplate filter (the jusText/Boilerpipe heuristic family: link
+  * density + block length + structural context) keeps the article and
+  * drops chrome. No DOM library, no network.
+  *
+  * The heuristics are FIXED and documented so the DuckDB oracle can
+  * state expected blocks as literal VALUES:
+  *  - `<script>`/`<style>`/`<template>`/`<noscript>` bodies are dropped
+  *    (raw-text scan to the matching close tag, case-insensitive);
+  *    comments and CDATA are dropped.
+  *  - Block boundaries: p, div, h1..h6, li, td, th, tr, table, ul, ol,
+  *    blockquote, pre, br, hr, section, article, main, header, footer,
+  *    nav, aside, title, plus document start/end. Inline tags (a, b,
+  *    i, em, strong, span, code, u, small, sup, sub) do not break
+  *    blocks.
+  *  - A block is BOILERPLATE when any of: it sits inside nav / footer
+  *    / aside / form (structural chrome); its link density — anchor
+  *    text chars / total chars — is ≥ 1/3; or it is shorter than 25
+  *    characters and is not a heading (h1..h6 keep short text:
+  *    headings are short by nature and anchor the article).
+  *  - Entities: the named five (amp lt gt quot apos) + nbsp and
+  *    numeric `&#NN;`/`&#xHH;` decode; unknown entities pass through
+  *    literally (less cleaning, never lost text).
+  *  - Whitespace inside a block collapses to single spaces, trimmed.
+  *
+  * Scale shape: one scalar UDF over a BINARY/STRING column — per-row,
+  * zero-shuffle, parse failures yield None (the validator contract),
+  * so one bad crawl record cannot kill a job. Parsing is a single
+  * forward scan, O(bytes), no backtracking — hostile input degrades to
+  * less text, never to quadratic time.
+  */
+object Html {
+
+  /** One kept content block, in document order. */
+  case class HtmlBlock(block_idx: Int, heading: Boolean, content: String)
+  case class HtmlParsed(title: Option[String], blocks: Seq[HtmlBlock])
+
+  private val rawTextTags = Set("script", "style", "template", "noscript")
+  private val blockTags = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "td", "th",
+    "tr", "table", "ul", "ol", "blockquote", "pre", "br", "hr",
+    "section", "article", "main", "header", "footer", "nav", "aside",
+    "title", "body", "html", "head")
+  private val chromeTags = Set("nav", "footer", "aside", "form")
+  private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+
+  /** Decode the documented entity set; unknown entities stay literal. */
+  private[graft] def decodeEntities(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        // entity names are short; a far-away ';' means a bare '&'
+        if (semi > i && semi - i <= 10) {
+          val body = s.substring(i + 1, semi)
+          val decoded: Option[String] = body match {
+            case "amp" => Some("&")
+            case "lt" => Some("<")
+            case "gt" => Some(">")
+            case "quot" => Some("\"")
+            case "apos" => Some("'")
+            case "nbsp" => Some(" ")
+            case b if b.startsWith("#x") || b.startsWith("#X") =>
+              scala.util.Try(Integer.parseInt(b.drop(2), 16))
+                .filter(cp => cp > 0 && Character.isValidCodePoint(cp))
+                .map(cp => new String(Character.toChars(cp))).toOption
+            case b if b.startsWith("#") =>
+              scala.util.Try(Integer.parseInt(b.drop(1)))
+                .filter(cp => cp > 0 && Character.isValidCodePoint(cp))
+                .map(cp => new String(Character.toChars(cp))).toOption
+            case _ => None
+          }
+          decoded match {
+            case Some(d) => sb.append(d); i = semi + 1
+            case None => sb.append(c); i += 1
+          }
+        } else { sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Parse HTML bytes to (title, boilerplate-filtered blocks). Total:
+    * any input yields Some (possibly empty-blocked) unless it is not
+    * text at all — a NUL byte in the first 1 KiB marks binary garbage
+    * and yields None (the validator surface). */
+  def parseHtml(bytes: Array[Byte]): Option[HtmlParsed] =
+    try {
+      val head = bytes.take(1024)
+      if (head.contains(0.toByte)) return None
+      val s = new String(bytes, UTF_8)
+      val n = s.length
+      var i = 0
+      var title: Option[String] = None
+      var inTitle = false
+      var chromeDepth = 0 // nested nav/footer/aside/form
+      var anchorDepth = 0
+      var headingDepth = 0
+      // (heading, text, linkChars, totalChars, chrome)
+      val blocks = scala.collection.mutable.ArrayBuffer[(Boolean, String, Long, Long, Boolean)]()
+      val cur = new StringBuilder
+      var curLink = 0L
+      var curTotal = 0L
+      var curHeading = false
+      var curChrome = false
+      def flush(): Unit = {
+        val text = decodeEntities(
+          cur.toString.replaceAll("\\s+", " ").trim)
+        if (text.nonEmpty)
+          blocks += ((curHeading && !curChrome, text, curLink,
+            math.max(1L, curTotal), curChrome))
+        cur.clear(); curLink = 0L; curTotal = 0L
+        curHeading = headingDepth > 0
+        curChrome = chromeDepth > 0
+      }
+      def lower(t: String) = t.toLowerCase(java.util.Locale.ROOT)
+      lazy val ls = lower(s) // once — per-tag lowering would be O(n²)
+      while (i < n) {
+        val c = s.charAt(i)
+        if (c == '<') {
+          if (s.startsWith("<!--", i)) {
+            val e = s.indexOf("-->", i + 4)
+            i = if (e < 0) n else e + 3
+          } else if (s.startsWith("<![CDATA[", i)) {
+            val e = s.indexOf("]]>", i + 9)
+            i = if (e < 0) n else e + 3
+          } else if (i + 1 < n && (s.charAt(i + 1) == '!' || s.charAt(i + 1) == '?')) {
+            val e = s.indexOf('>', i + 1) // doctype / processing instr
+            i = if (e < 0) n else e + 1
+          } else {
+            // a real tag: find its end, honoring quoted attribute values
+            var j = i + 1
+            var quote: Char = 0
+            while (j < n && (quote != 0 || s.charAt(j) != '>')) {
+              val cj = s.charAt(j)
+              if (quote == 0 && (cj == '"' || cj == '\'')) quote = cj
+              else if (quote != 0 && cj == quote) quote = 0
+              j += 1
+            }
+            if (j >= n) { i = n } // unterminated tag: drop the tail
+            else {
+              val inner = s.substring(i + 1, j)
+              val closing = inner.startsWith("/")
+              val name = lower(inner.stripPrefix("/")
+                .takeWhile(ch => ch.isLetterOrDigit))
+              if (!closing && rawTextTags(name) && !inner.endsWith("/")) {
+                // raw-text element: skip to its matching close tag
+                val e = ls.indexOf(s"</$name", j + 1)
+                if (e < 0) i = n
+                else {
+                  val gt = s.indexOf('>', e + 1)
+                  i = if (gt < 0) n else gt + 1
+                }
+              } else {
+                if (blockTags(name)) flush()
+                name match {
+                  case "title" => inTitle = !closing
+                  case "a" =>
+                    anchorDepth = math.max(0, anchorDepth + (if (closing) -1 else 1))
+                  case t if chromeTags(t) =>
+                    chromeDepth = math.max(0, chromeDepth + (if (closing) -1 else 1))
+                  case t if headingTags(t) =>
+                    headingDepth = math.max(0, headingDepth + (if (closing) -1 else 1))
+                  case _ => ()
+                }
+                if (blockTags(name)) { // re-derive context AFTER the tag
+                  curHeading = headingDepth > 0
+                  curChrome = chromeDepth > 0
+                }
+                i = j + 1
+              }
+            }
+          }
+        } else {
+          // text node: consume the whole run to the next tag at once
+          val e = s.indexOf('<', i)
+          val end = if (e < 0) n else e
+          val text = s.substring(i, end)
+          if (inTitle) {
+            if (title.isEmpty) {
+              val t = decodeEntities(text.replaceAll("\\s+", " ").trim)
+              if (t.nonEmpty) title = Some(t)
+            }
+          } else {
+            cur.append(text)
+            // density over NON-whitespace chars — stable under
+            // formatting differences
+            val solid = text.count(!_.isWhitespace).toLong
+            curTotal += solid
+            if (anchorDepth > 0) curLink += solid
+          }
+          i = end
+        }
+      }
+      flush()
+      val kept = blocks.collect {
+        case (heading, text, link, total, chrome)
+          if !chrome && link * 3 < total &&
+             (heading || text.length >= 25) => (heading, text)
+      }
+      Some(HtmlParsed(title,
+        kept.zipWithIndex.map { case ((h, t), k) => HtmlBlock(k, h, t) }.toSeq))
+    } catch { case _: Throwable => None }
+
+  // ---- Spark surface ----------------------------------------------------
+
+  val parseHtmlUdf = udf((bytes: Array[Byte]) => parseHtml(bytes))
+  val validHtmlUdf = udf((bytes: Array[Byte]) => parseHtml(bytes).isDefined)
+
+  /** The HTML fixture corpus as a (doc, fmt, content BINARY) frame. */
+  def fixturesDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    DocFixtures.htmlAll.toDF("doc", "fmt", "content")
+  }
+
+  /** One row per kept content block: (doc, title, block_idx, heading,
+    * content, n_chars) — the extraction surface a web-corpus curation
+    * chain feeds into chunking/dedup/quality. */
+  def htmlBlocks(docs: DataFrame, docCol: String = "doc",
+                 binCol: String = "content"): DataFrame =
+    docs.select(col(docCol).as("doc"), parseHtmlUdf(col(binCol)).as("p"))
+      .select(col("doc"), col("p.title").as("title"),
+        explode(col("p.blocks")).as("b"))
+      .select(col("doc"), col("title"),
+        col("b.block_idx").as("block_idx"),
+        col("b.heading").as("heading"),
+        col("b.content").as("content"),
+        length(col("b.content")).as("n_chars"))
+}

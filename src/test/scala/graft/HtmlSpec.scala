@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.{DocFixtures, Html}
+
+class HtmlSpec extends SparkSpec {
+
+  test("blog fixture: chrome drops, article survives, entities decode") {
+    val p = Html.parseHtml(DocFixtures.blogHtml.getBytes("UTF-8")).get
+    assert(p.title === Some("Graft & the Web"))
+    assert(p.blocks.map(b => (b.block_idx, b.heading, b.content)) === Seq(
+      (0, true, "Parsing at scale"),
+      (1, false, "Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality."),
+      (2, false, "Link density separates navigation chrome from prose: see the docs for the exact thresholds used here."),
+      (3, false, "Entities decode: café & résumé stay readable.")))
+  }
+
+  test("link-density boundary: exactly 1/3 anchor chars is boilerplate") {
+    // 10 anchor chars, 30 total non-ws chars → 10*3 == 30, NOT < → drop;
+    // 9 anchor chars over the same total → keep
+    def page(anchor: String, tail: String) =
+      s"<html><body><p><a href='/'>$anchor</a> $tail</p></body></html>".getBytes("UTF-8")
+    val drop = Html.parseHtml(page("abcdefghij", "klmnopqrst uvwxyzabcd")).get
+    assert(drop.blocks.isEmpty, "exactly one-third link density must drop")
+    val keep = Html.parseHtml(page("abcdefghi", "jklmnopqrst uvwxyzabcd")).get
+    assert(keep.blocks.map(_.content) ===
+      Seq("abcdefghi jklmnopqrst uvwxyzabcd"))
+  }
+
+  test("short non-heading blocks drop; headings of any length survive") {
+    val p = Html.parseHtml(
+      "<body><h2>Tiny</h2><p>too short</p><div>this sentence runs past the length floor.</div></body>"
+        .getBytes("UTF-8")).get
+    assert(p.blocks.map(_.content) ===
+      Seq("Tiny", "this sentence runs past the length floor."))
+    assert(p.blocks.head.heading)
+  }
+
+  test("script/style/comment/CDATA bodies never leak; nested chrome stays chrome") {
+    val p = Html.parseHtml(
+      ("<body><script>document.write('<p>forty characters of injected paragraph</p>')</script>" +
+        "<style>.x{}</style><!-- <p>a comment paragraph that is plenty long</p> -->" +
+        "<nav><div><p>navigation text inside a nested div stays boilerplate</p></div></nav>" +
+        "<p>the one real paragraph of the page body.</p></body>").getBytes("UTF-8")).get
+    assert(p.blocks.map(_.content) === Seq("the one real paragraph of the page body."))
+  }
+
+  test("entity decoding: named five + nbsp + numeric; unknown stays literal") {
+    assert(Html.decodeEntities("a &amp; b &lt;c&gt; &quot;d&quot; &apos;e&apos;&nbsp;f")
+      === "a & b <c> \"d\" 'e' f")
+    assert(Html.decodeEntities("caf&#233; r&#xE9;sum&#xE9; &#x1F600;")
+      === "café résumé 😀")
+    assert(Html.decodeEntities("&eacute; &unknown; & x &#; &#xZZ;")
+      === "&eacute; &unknown; & x &#; &#xZZ;")
+  }
+
+  test("binary garbage yields None; fuzz never throws") {
+    assert(Html.parseHtml(Array[Byte]('<'.toByte, 0, 'p'.toByte)).isEmpty)
+    val base = DocFixtures.blogHtml.getBytes("UTF-8")
+    val rnd = new scala.util.Random(1717)
+    (1 to 60).foreach { _ =>
+      val b = base.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Html.parseHtml(b) // must return, whatever the Option is
+    }
+    (1 until 15).foreach(k =>
+      Html.parseHtml(java.util.Arrays.copyOf(base, base.length * k / 15)))
+    // hostile: many raw-text opens without closes — single forward scan,
+    // must terminate fast and not quadratically
+    val hostile = ("<script>" * 2000 + "x").getBytes("UTF-8")
+    val t0 = System.nanoTime()
+    Html.parseHtml(hostile)
+    assert((System.nanoTime() - t0) / 1e9 < 5.0, "hostile input must stay linear")
+  }
+
+  test("spark surface: blocks explode per doc, garbage doc contributes no rows") {
+    val rows = Html.htmlBlocks(Html.fixturesDF(spark)).collect()
+    assert(rows.length === 4)
+    assert(rows.map(_.getAs[String]("doc")).distinct === Array("blog"))
+    assert(rows.map(_.getAs[String]("title")).distinct === Array("Graft & the Web"))
+  }
+}
