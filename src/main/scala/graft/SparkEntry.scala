@@ -2415,6 +2415,8 @@ object SparkEntry {
          |  WHEN starts_with(head, '${esc(Validation.oleMagic)}') THEN 'application/msword'
          |  WHEN position('Return-Path:' IN substr(head, 1, 500)) > 0
          |    OR position('MIME-Version:' IN substr(head, 1, 500)) > 0 THEN 'message/rfc822'
+         |  WHEN position('<!doctype html' IN lower(substr(head, 1, 100))) > 0
+         |    OR position('<html' IN lower(substr(head, 1, 100))) > 0 THEN 'text/html'
          |  ELSE 'application/octet-stream' END AS mime
          |FROM (VALUES $fixtureValues) AS t(name, head)""".stripMargin
     },

@@ -31,6 +31,8 @@ object Validation {
       .when(head.startsWith(oleMagic), "application/msword")
       .when(instr(substring(head, 1, 500), "Return-Path:") > 0 ||
         instr(substring(head, 1, 500), "MIME-Version:") > 0, "message/rfc822")
+      .when(instr(lower(substring(head, 1, 100)), "<!doctype html") > 0 ||
+        instr(lower(substring(head, 1, 100)), "<html") > 0, "text/html")
       .otherwise("application/octet-stream")
 
   /** P2 — validation predicates accumulated into an error list (reference
@@ -88,6 +90,8 @@ object Validation {
     ("doc_ole", oleMagic + "rest"),
     ("eml_rp", "Return-Path: <a@b.c>"),
     ("eml_mime", "Date: x MIME-Version: 1.0"),
+    ("html_doc", "<!DOCTYPE html><html><body>x"),
+    ("html_upper", "  <HTML><head><title>t</title>"),
     ("junk", "hello world"))
 
   def mimeFixturesDF(spark: SparkSession): DataFrame = {
