@@ -72,6 +72,34 @@ class HtmlSpec extends SparkSpec {
     assert((System.nanoTime() - t0) / 1e9 < 5.0, "hostile input must stay linear")
   }
 
+  test("streaming: binaryFile source → html blocks (the crawl-ingest shape)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_htmlstream").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "blog.html").toPath,
+        DocFixtures.blogHtml.getBytes("UTF-8"))
+      val seen = scala.collection.mutable.ArrayBuffer[(Int, String)]()
+      val src = spark.readStream.format("binaryFile")
+        .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+        .option("pathGlobFilter", "*.html").load(dir.getAbsolutePath)
+        .withColumn("doc", regexp_extract(col("path"), "([^/]+)\\.html$", 1))
+      val q = src.writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = Html.htmlBlocks(batch).collect()
+            .map(r => (r.getAs[Int]("block_idx"), r.getAs[String]("content")))
+          seen.synchronized { seen ++= rows }
+          ()
+        }
+        .start()
+      q.awaitTermination(60000L)
+      assert(seen.sortBy(_._1).map(_._1) === Seq(0, 1, 2, 3))
+      assert(seen.sortBy(_._1).head._2 === "Parsing at scale")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+
   test("spark surface: blocks explode per doc, garbage doc contributes no rows") {
     val rows = Html.htmlBlocks(Html.fixturesDF(spark)).collect()
     assert(rows.length === 4)
