@@ -657,6 +657,24 @@ object SparkEntry {
     // length floor) — nav/footer/related-links/script/style must drop,
     // entities decode, binary garbage yields no rows not an error
     "html_extract" -> ((s, d) => Html.htmlBlocks(Html.fixturesDF(s))),
+    // crawl-key normalization: deterministic messy URLs built from
+    // doc_id (case noise, default port, tracking params, unsorted
+    // params, fragment, %4 adds a trailing slash and drops the real
+    // params) through the documented canonicalizer; the oracle derives
+    // the EXPECTED canonical form independently from doc_id
+    "url_canonical" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val messy = concat(
+        lit("HTTPS://ExAmple.COM:443/Docs/page"), id,
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=news"),
+        when(col("doc_id") % 4 =!= 0,
+          concat(lit("&z="), (col("doc_id") % 3).cast("string"),
+            lit("&a="), (col("doc_id") % 5).cast("string"))).otherwise(lit("")),
+        lit("#sec"), (col("doc_id") % 2).cast("string"))
+      Tables.documents(s, d).select(col("doc_id"), messy.as("url"),
+        UrlOps.canonicalizeUrl(messy).as("canonical_url"))
+    }),
     "doc_validate" -> ((s, d) =>
       DocExtract.validateAll(DocExtract.fixturesDF(s))),
     // S5-lite: whitespace-alignment table detection over the PDF text
@@ -2997,6 +3015,22 @@ object SparkEntry {
         | ('blog', 'Graft & the Web', 3, FALSE,
         |  'Entities decode: café & résumé stay readable.')
         |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
+
+    // the canonical form re-derived from doc_id alone — an independent
+    // derivation, not a replay of the engine's string surgery
+    "url_canonical" ->
+      """SELECT doc_id,
+        | 'HTTPS://ExAmple.COM:443/Docs/page' || doc_id ||
+        |   CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |   '?utm_source=news' ||
+        |   CASE WHEN doc_id % 4 <> 0
+        |        THEN '&z=' || (doc_id % 3) || '&a=' || (doc_id % 5) ELSE '' END ||
+        |   '#sec' || (doc_id % 2) AS url,
+        | 'https://example.com/Docs/page' || doc_id ||
+        |   CASE WHEN doc_id % 4 <> 0
+        |        THEN '?a=' || (doc_id % 5) || '&z=' || (doc_id % 3) ELSE '' END
+        |   AS canonical_url
+        |FROM documents""".stripMargin,
 
     // expectations = DocFixtures.cidPages verbatim (the CMap is the only
     // route from the fixture's arbitrary codes back to this text)

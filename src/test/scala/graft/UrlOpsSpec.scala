@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.UrlOps
+
+class UrlOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: String*): Seq[String] =
+    urls.toDF("u").select(UrlOps.canonicalizeUrl(col("u"))).collect()
+      .map(_.getString(0)).toSeq
+
+  test("scheme/host lowercase, default ports strip, explicit ports survive") {
+    assert(canon(
+      "HTTP://WWW.Example.COM:80/Path/File",
+      "https://Example.com:443/x",
+      "https://example.com:8443/x",
+      "http://example.com:8080/x") === Seq(
+      "http://www.example.com/Path/File", // path case KEPT
+      "https://example.com/x",
+      "https://example.com:8443/x",
+      "http://example.com:8080/x"))
+  }
+
+  test("fragment drops; tracking params drop; survivors sort; empty query drops '?'") {
+    assert(canon(
+      "http://a.com/p?z=1&utm_source=tw&a=2&fbclid=xyz&m=0#top",
+      "http://a.com/p?utm_campaign=x&gclid=1#frag",
+      "http://a.com/p?b=2&a=1&a=0") === Seq(
+      "http://a.com/p?a=2&m=0&z=1",
+      "http://a.com/p",
+      "http://a.com/p?a=0&a=1&b=2")) // duplicates kept, bytewise order
+  }
+
+  test("trailing slash strips on non-root paths only; empty path stays bare") {
+    assert(canon(
+      "http://a.com/docs/",
+      "http://a.com/",
+      "http://a.com",
+      "http://a.com/docs//") === Seq(
+      "http://a.com/docs",
+      "http://a.com/", // ROOT slash survives
+      "http://a.com",
+      "http://a.com/docs/")) // only ONE trailing slash strips (documented)
+  }
+
+  test("non-absolute strings pass through untouched") {
+    assert(canon("not a url", "/relative/path?utm_source=x", "mailto:a@b.c")
+      === Seq("not a url", "/relative/path?utm_source=x", "mailto:a@b.c"))
+  }
+
+  test("a param NAMED like a value of utm stays; only name-prefix matches drop") {
+    assert(canon("http://a.com/p?xutm_source=1&u=utm_source")
+      === Seq("http://a.com/p?u=utm_source&xutm_source=1"))
+  }
+}
