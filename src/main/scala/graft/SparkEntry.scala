@@ -657,6 +657,14 @@ object SparkEntry {
     // length floor) — nav/footer/related-links/script/style must drop,
     // entities decode, binary garbage yields no rows not an error
     "html_extract" -> ((s, d) => Html.htmlBlocks(Html.fixturesDF(s))),
+    // WARC container reading: the SAME five records plain and
+    // member-gzipped must parse to identical rows (CommonCrawl's
+    // .warc.gz framing); request/warcinfo records surface without
+    // HTTP fields
+    "warc_records" -> ((s, d) => Warc.warcRecords(Warc.fixturesDF(s))),
+    // the full crawl chain: WARC → 200/text-html responses → HTML
+    // main-content blocks, one map-side pass (no joins, no shuffles)
+    "warc_html_blocks" -> ((s, d) => Warc.warcHtmlBlocks(Warc.fixturesDF(s))),
     // crawl-key normalization: deterministic messy URLs built from
     // doc_id (case noise, default port, tracking params, unsorted
     // params, fragment, %4 adds a trailing slash and drops the real
@@ -3015,6 +3023,38 @@ object SparkEntry {
         | ('blog', 'Graft & the Web', 3, FALSE,
         |  'Entities decode: café & résumé stay readable.')
         |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
+
+    // expectations hand-derived from DocFixtures.crawlWarc: payload
+    // lengths are the authored bodies' byte counts (the blog page is
+    // 917 ASCII bytes); the gz twin must be byte-identical rows
+    "warc_records" ->
+      """SELECT warc, rec_idx, rec_type, url, http_status, content_type,
+        |  n_payload_bytes FROM (VALUES
+        | (0, 'warcinfo', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+        |  CAST(NULL AS VARCHAR), 29),
+        | (1, 'request', 'http://example.com/blog', NULL, NULL, 41),
+        | (2, 'response', 'http://example.com/blog', 200,
+        |  'text/html; charset=utf-8', 917),
+        | (3, 'response', 'http://example.com/gone', 404, 'text/html', 35),
+        | (4, 'response', 'http://example.com/report.pdf', 200,
+        |  'application/pdf', 13)
+        |) AS r(rec_idx, rec_type, url, http_status, content_type, n_payload_bytes)
+        |CROSS JOIN (VALUES ('crawl'), ('crawl_gz')) AS w(warc)""".stripMargin,
+
+    "warc_html_blocks" ->
+      """SELECT warc, url, title, block_idx, heading, content,
+        |  length(content) AS n_chars FROM (VALUES
+        | (0, TRUE, 'Parsing at scale'),
+        | (1, FALSE,
+        |  'Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.'),
+        | (2, FALSE,
+        |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
+        | (3, FALSE,
+        |  'Entities decode: café & résumé stay readable.')
+        |) AS b(block_idx, heading, content)
+        |CROSS JOIN (VALUES ('crawl'), ('crawl_gz')) AS w(warc)
+        |CROSS JOIN (VALUES ('http://example.com/blog', 'Graft & the Web'))
+        |  AS u(url, title)""".stripMargin,
 
     // the canonical form re-derived from doc_id alone — an independent
     // derivation, not a replay of the engine's string surgery

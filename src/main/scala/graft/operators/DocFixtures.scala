@@ -573,6 +573,78 @@ object DocFixtures {
     ("garbage_html", "html",
       Array[Byte]('<'.toByte, 'h'.toByte, 0, 1, 2, '>'.toByte)))
 
+  // ---- WARC --------------------------------------------------------------
+
+  private def warcRecordBytes(headers: Seq[(String, String)],
+                              body: Array[Byte]): Array[Byte] = {
+    val h = new StringBuilder("WARC/1.0\r\n")
+    headers.foreach { case (k, v) => h ++= s"$k: $v\r\n" }
+    h ++= s"Content-Length: ${body.length}\r\n\r\n"
+    h.toString.getBytes(StandardCharsets_ISO) ++ body ++
+      "\r\n\r\n".getBytes(StandardCharsets_ISO)
+  }
+
+  private def httpResponseBytes(status: Int, reason: String, ctype: String,
+                                payload: Array[Byte]): Array[Byte] =
+    (s"HTTP/1.1 $status $reason\r\nContent-Type: $ctype\r\n" +
+      s"Content-Length: ${payload.length}\r\n\r\n").getBytes(StandardCharsets_ISO) ++
+      payload
+
+  /** A five-record crawl WARC: warcinfo, a request (ignored by the
+    * HTML chain), a 200 text/html response carrying [[blogHtml]], a
+    * 404, and a 200 of the wrong content type. Deterministic bytes. */
+  val crawlWarc: Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    crawlWarcRecords.foreach(out.write)
+    out.toByteArray
+  }
+
+  /** The same records as one gzip MEMBER each, concatenated — the
+    * CommonCrawl `.warc.gz` framing (GZIPInputStream reads members
+    * back-to-back; Java writes MTIME=0, so bytes are deterministic). */
+  val crawlWarcGz: Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    crawlWarcRecords.foreach { rec =>
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(rec); gz.finish()
+    }
+    out.toByteArray
+  }
+
+  private lazy val crawlWarcRecords: Seq[Array[Byte]] = Seq(
+    warcRecordBytes(
+      Seq("WARC-Type" -> "warcinfo", "WARC-Record-ID" -> "<urn:uuid:0001>"),
+      "software: graft-crawler/1.0\r\n".getBytes(StandardCharsets_ISO)),
+    warcRecordBytes(
+      Seq("WARC-Type" -> "request",
+        "WARC-Target-URI" -> "http://example.com/blog",
+        "WARC-Record-ID" -> "<urn:uuid:0002>"),
+      "GET /blog HTTP/1.1\r\nHost: example.com\r\n\r\n".getBytes(StandardCharsets_ISO)),
+    warcRecordBytes(
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.com/blog",
+        "WARC-Record-ID" -> "<urn:uuid:0003>"),
+      httpResponseBytes(200, "OK", "text/html; charset=utf-8",
+        blogHtml.getBytes(UTF_8))),
+    warcRecordBytes(
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.com/gone",
+        "WARC-Record-ID" -> "<urn:uuid:0004>"),
+      httpResponseBytes(404, "Not Found", "text/html",
+        "<html><body>Not Found</body></html>".getBytes(StandardCharsets_ISO))),
+    warcRecordBytes(
+      Seq("WARC-Type" -> "response",
+        "WARC-Target-URI" -> "http://example.com/report.pdf",
+        "WARC-Record-ID" -> "<urn:uuid:0005>"),
+      httpResponseBytes(200, "OK", "application/pdf",
+        "%PDF-1.4 fake".getBytes(StandardCharsets_ISO))))
+
+  /** WARC fixture set: the SAME records plain and member-gzipped — the
+    * reader must produce identical rows for both framings. */
+  def warcAll: Seq[(String, Array[Byte])] = Seq(
+    ("crawl", crawlWarc),
+    ("crawl_gz", crawlWarcGz))
+
   // ---- assembled fixture set ------------------------------------------
 
   /** (doc, fmt, bytes): the parse-query corpus, including two corrupt

@@ -1,0 +1,166 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** WARC (ISO 28500) record reading — the container format web crawls
+  * actually ship in (CommonCrawl, Internet Archive). Completes the
+  * crawl chain: WARC bytes → records → [[Html]] main-content blocks →
+  * the curation tier. JDK-only: WARC is `WARC/1.x` + RFC-822-style
+  * headers + `Content-Length` body, and the standard `.warc.gz`
+  * framing is one gzip MEMBER per record — `GZIPInputStream` reads
+  * concatenated members natively.
+  *
+  * Only what the extraction chain needs is modeled: per record the
+  * WARC-Type, WARC-Target-URI, and — for `response` records — the HTTP
+  * status and Content-Type from the embedded HTTP response, plus the
+  * payload bytes past the HTTP header block. Malformed records
+  * terminate the scan (records already parsed are kept: less data,
+  * never an exception), and a missing/overlong Content-Length stops
+  * the walk rather than mis-framing every later record.
+  *
+  * Scale shape: a scalar UDF over one WARC file's bytes (binaryFile
+  * scan rows). Per-record gzip members are what make `.warc.gz`
+  * SPLITTABLE at the member boundary on a real cluster — a 1 GB WARC
+  * would be split by member offsets from the companion CDX index and
+  * each split fed through this same per-split kernel; the 100 TB story
+  * is the split framing, the parse itself is this forward scan. */
+object Warc {
+
+  case class WarcRecord(rec_type: String, url: Option[String],
+                        http_status: Option[Int], content_type: Option[String],
+                        payload: Array[Byte])
+
+  private def isGzip(b: Array[Byte]) =
+    b.length >= 2 && (b(0) & 0xff) == 0x1f && (b(1) & 0xff) == 0x8b
+
+  private def gunzipAll(b: Array[Byte]): Array[Byte] = {
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(b))
+    try in.readAllBytes() finally in.close()
+  }
+
+  /** Parse one WARC file (plain or member-gzipped) into records. */
+  def parseWarc(bytes: Array[Byte]): Option[Seq[WarcRecord]] =
+    try {
+      val data = if (isGzip(bytes)) gunzipAll(bytes) else bytes
+      val out = scala.collection.mutable.ArrayBuffer[WarcRecord]()
+      var i = 0
+      val n = data.length
+      def lineEnd(from: Int): Int = {
+        var k = from
+        while (k < n && data(k) != '\n') k += 1
+        k
+      }
+      var ok = true
+      while (ok && i < n) {
+        // skip inter-record blank lines
+        while (i < n && (data(i) == '\r' || data(i) == '\n')) i += 1
+        if (i >= n) ok = false
+        else {
+          val verEnd = lineEnd(i)
+          val version = new String(data, i, verEnd - i, ISO_8859_1).trim
+          if (!version.startsWith("WARC/")) ok = false
+          else {
+            i = verEnd + 1
+            // WARC header block to the first blank line
+            val hdrs = scala.collection.mutable.Map[String, String]()
+            var blank = false
+            while (!blank && i < n) {
+              val e = lineEnd(i)
+              val line = new String(data, i, e - i, ISO_8859_1).stripSuffix("\r")
+              i = e + 1
+              if (line.isEmpty) blank = true
+              else {
+                val c = line.indexOf(':')
+                if (c > 0) hdrs(line.substring(0, c).trim.toLowerCase) =
+                  line.substring(c + 1).trim
+              }
+            }
+            val len = hdrs.get("content-length").flatMap(_.toLongOption)
+            len match {
+              case Some(l) if l >= 0 && i + l <= n =>
+                val body = java.util.Arrays.copyOfRange(data, i, i + l.toInt)
+                i += l.toInt
+                val recType = hdrs.getOrElse("warc-type", "unknown")
+                val url = hdrs.get("warc-target-uri")
+                val (status, ctype, payload) =
+                  if (recType == "response") parseHttp(body)
+                  else (None, hdrs.get("content-type"), body)
+                out += WarcRecord(recType, url, status, ctype, payload)
+              case _ => ok = false // unframeable: keep what we have
+            }
+          }
+        }
+      }
+      if (out.isEmpty) None else Some(out.toSeq)
+    } catch { case _: Throwable => None }
+
+  /** Split an HTTP response block into (status, content-type, payload). */
+  private def parseHttp(body: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
+    val asStr = new String(body, ISO_8859_1)
+    val sep = asStr.indexOf("\r\n\r\n")
+    val sepLen = 4
+    val (hdr, payloadStart) =
+      if (sep >= 0) (asStr.substring(0, sep), sep + sepLen)
+      else {
+        val s2 = asStr.indexOf("\n\n")
+        if (s2 >= 0) (asStr.substring(0, s2), s2 + 2) else (asStr, asStr.length)
+      }
+    val lines = hdr.split("\r?\n")
+    val status = lines.headOption
+      .filter(_.startsWith("HTTP/"))
+      .flatMap(_.split(" ").lift(1)).flatMap(_.toIntOption)
+    val ctype = lines.drop(1).collectFirst {
+      case l if l.toLowerCase.startsWith("content-type:") =>
+        l.substring("content-type:".length).trim
+    }
+    (status, ctype, java.util.Arrays.copyOfRange(body, payloadStart, body.length))
+  }
+
+  // ---- Spark surface ------------------------------------------------------
+
+  val parseWarcUdf = udf((bytes: Array[Byte]) => parseWarc(bytes))
+
+  /** The WARC fixture corpus as a (warc, content BINARY) frame — the
+    * same records plain and member-gzipped. */
+  def fixturesDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    DocFixtures.warcAll.toDF("warc", "content")
+  }
+
+  /** One row per WARC record: (warc, rec_idx, rec_type, url,
+    * http_status, content_type, n_payload_bytes). */
+  def warcRecords(files: DataFrame, fileCol: String = "warc",
+                  binCol: String = "content"): DataFrame =
+    files.select(col(fileCol).as("warc"), posexplode(parseWarcUdf(col(binCol))))
+      .select(col("warc"), col("pos").as("rec_idx"),
+        col("col.rec_type").as("rec_type"),
+        col("col.url").as("url"),
+        col("col.http_status").as("http_status"),
+        col("col.content_type").as("content_type"),
+        length(col("col.payload")).as("n_payload_bytes"))
+
+  /** The crawl extraction chain: response records whose payload is
+    * 200/text-html, through [[Html.parseHtml]] — (warc, url, title,
+    * block_idx, heading, content, n_chars). One pass, zero shuffle:
+    * explode records, filter, explode blocks — all map-side. */
+  def warcHtmlBlocks(files: DataFrame, fileCol: String = "warc",
+                     binCol: String = "content"): DataFrame =
+    files
+      .select(col(fileCol).as("warc"), explode(parseWarcUdf(col(binCol))).as("r"))
+      .filter(col("r.rec_type") === "response" &&
+        col("r.http_status") === 200 &&
+        col("r.content_type").startsWith("text/html"))
+      .select(col("warc"), col("r.url").as("url"),
+        Html.parseHtmlUdf(col("r.payload")).as("p"))
+      .select(col("warc"), col("url"), col("p.title").as("title"),
+        explode(col("p.blocks")).as("b"))
+      .select(col("warc"), col("url"), col("title"),
+        col("b.block_idx").as("block_idx"),
+        col("b.heading").as("heading"),
+        col("b.content").as("content"),
+        length(col("b.content")).as("n_chars"))
+}

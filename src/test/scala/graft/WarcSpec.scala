@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.{DocFixtures, Warc}
+
+class WarcSpec extends SparkSpec {
+
+  test("plain and member-gzipped WARC parse to identical records") {
+    val plain = Warc.parseWarc(DocFixtures.crawlWarc).get
+    val gz = Warc.parseWarc(DocFixtures.crawlWarcGz).get
+    assert(plain.length === 5 && gz.length === 5)
+    assert(plain.map(_.rec_type) === Seq("warcinfo", "request", "response", "response", "response"))
+    plain.zip(gz).foreach { case (a, b) =>
+      assert(a.rec_type === b.rec_type && a.url === b.url &&
+        a.http_status === b.http_status && a.content_type === b.content_type)
+      assert(java.util.Arrays.equals(a.payload, b.payload))
+    }
+  }
+
+  test("response records split HTTP header from payload; others keep raw body") {
+    val recs = Warc.parseWarc(DocFixtures.crawlWarc).get
+    val blog = recs(2)
+    assert(blog.http_status === Some(200))
+    assert(blog.content_type === Some("text/html; charset=utf-8"))
+    assert(new String(blog.payload, "UTF-8") === DocFixtures.blogHtml)
+    assert(recs(3).http_status === Some(404))
+    assert(recs(1).http_status === None) // request: no HTTP response parse
+    assert(new String(recs(0).payload, "UTF-8") === "software: graft-crawler/1.0\r\n")
+  }
+
+  test("truncation keeps already-parsed records; garbage yields None") {
+    val base = DocFixtures.crawlWarc
+    // cut inside record 3's body: records 0..2 must survive
+    val upTo = {
+      val s = new String(base, "ISO-8859-1")
+      s.indexOf("Not Found") + 3
+    }
+    val partial = Warc.parseWarc(java.util.Arrays.copyOf(base, upTo))
+    assert(partial.isDefined && partial.get.length === 3)
+    assert(Warc.parseWarc("not a warc at all".getBytes("UTF-8")).isEmpty)
+    // fuzz: byte flips must never throw
+    val rnd = new scala.util.Random(2424)
+    (1 to 60).foreach { _ =>
+      val b = base.clone()
+      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+      Warc.parseWarc(b)
+      val g = DocFixtures.crawlWarcGz.clone()
+      g(rnd.nextInt(g.length)) = rnd.nextInt(256).toByte
+      Warc.parseWarc(g)
+    }
+  }
+
+  test("spark chain: only the 200 text/html response reaches html blocks") {
+    val rows = Warc.warcHtmlBlocks(Warc.fixturesDF(spark)).collect()
+    assert(rows.length === 8) // 4 blocks × 2 framings
+    assert(rows.map(_.getAs[String]("url")).distinct === Array("http://example.com/blog"))
+    assert(rows.map(_.getAs[String]("warc")).distinct.sorted === Array("crawl", "crawl_gz"))
+  }
+}
