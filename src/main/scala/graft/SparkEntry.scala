@@ -657,6 +657,10 @@ object SparkEntry {
     // length floor) — nav/footer/related-links/script/style must drop,
     // entities decode, binary garbage yields no rows not an error
     "html_extract" -> ((s, d) => Html.htmlBlocks(Html.fixturesDF(s))),
+    // legacy encodings: a Latin-1 page via its meta charset (0xE9 must
+    // become é, not a UTF-8 mangle) and a UTF-16LE page via its BOM
+    // (whose NUL bytes would read as binary if the BOM didn't win)
+    "html_charsets" -> ((s, d) => Html.htmlBlocks(Html.charsetFixturesDF(s))),
     // WARC container reading: the SAME five records plain and
     // member-gzipped must parse to identical rows (CommonCrawl's
     // .warc.gz framing); request/warcinfo records surface without
@@ -3022,6 +3026,16 @@ object SparkEntry {
         |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
         | ('blog', 'Graft & the Web', 3, FALSE,
         |  'Entities decode: café & résumé stay readable.')
+        |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
+
+    // hand-derived from DocFixtures.latin1Html / utf16Html
+    "html_charsets" ->
+      """SELECT doc, title, block_idx, heading, content,
+        |  length(content) AS n_chars FROM (VALUES
+        | ('latin1', 'Café menu', 0, FALSE,
+        |  'Un café crème et un pain au chocolat, s''il vous plaît.'),
+        | ('utf16', 'Wide', 0, FALSE,
+        |  'Sixteen-bit pages decode through the byte-order mark.')
         |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
 
     // expectations hand-derived from DocFixtures.crawlWarc: payload

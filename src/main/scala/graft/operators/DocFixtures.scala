@@ -573,6 +573,29 @@ object DocFixtures {
     ("garbage_html", "html",
       Array[Byte]('<'.toByte, 'h'.toByte, 0, 1, 2, '>'.toByte)))
 
+  /** Legacy-encoding pages for the charset-detection surface: a
+    * Latin-1 page whose `é` is the single byte 0xE9 (UTF-8 would
+    * mangle it), and a UTF-16LE page behind its BOM (whose NUL bytes
+    * would read as binary garbage if the BOM check didn't come
+    * first). */
+  val latin1Html: Array[Byte] =
+    ("<html><head><meta charset=\"ISO-8859-1\"><title>Café menu</title></head>" +
+      "<body><p>Un café crème et un pain au chocolat, s'il vous plaît.</p>" +
+      "</body></html>").getBytes(StandardCharsets_ISO)
+
+  val utf16Html: Array[Byte] = {
+    val body = "<html><head><title>Wide</title></head>" +
+      "<body><p>Sixteen-bit pages decode through the byte-order mark.</p></body></html>"
+    Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+      body.getBytes(java.nio.charset.StandardCharsets.UTF_16LE)
+  }
+
+  /** Charset fixture set (kept separate from [[htmlAll]] so its
+    * oracle stays untouched). */
+  def charsetHtmlAll: Seq[(String, String, Array[Byte])] = Seq(
+    ("latin1", "html", latin1Html),
+    ("utf16", "html", utf16Html))
+
   // ---- WARC --------------------------------------------------------------
 
   private def warcRecordBytes(headers: Seq[(String, String)],

@@ -92,15 +92,47 @@ object Html {
     sb.toString
   }
 
+  /** Decode page bytes to chars: BOM first (UTF-8/16 — a UTF-16 page
+    * legitimately carries NUL bytes, so the BOM check must precede the
+    * binary-garbage check), then a `<meta charset=...>` declaration in
+    * the first 1 KiB (scanned byte-transparently via Latin-1 — the
+    * declaration itself is always ASCII), else UTF-8. An unknown or
+    * unsupported charset name falls back to UTF-8 rather than failing
+    * the page. Returns None for BOM-less input with a NUL in the first
+    * 1 KiB (binary garbage, the validator surface). */
+  private[graft] def decodePage(bytes: Array[Byte]): Option[String] = {
+    def str(off: Int, cs: java.nio.charset.Charset) =
+      Some(new String(bytes, off, bytes.length - off, cs))
+    if (bytes.length >= 3 && (bytes(0) & 0xff) == 0xEF &&
+        (bytes(1) & 0xff) == 0xBB && (bytes(2) & 0xff) == 0xBF)
+      str(3, UTF_8)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xFF && (bytes(1) & 0xff) == 0xFE)
+      str(2, java.nio.charset.StandardCharsets.UTF_16LE)
+    else if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xFE && (bytes(1) & 0xff) == 0xFF)
+      str(2, java.nio.charset.StandardCharsets.UTF_16BE)
+    else if (bytes.take(1024).contains(0.toByte)) None
+    else {
+      val head = new String(bytes.take(1024),
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      val cs = "(?i)<meta[^>]*charset\\s*=\\s*[\"']?([A-Za-z0-9_:.+-]+)".r
+        .findFirstMatchIn(head).map(_.group(1))
+        .flatMap(c => scala.util.Try(java.nio.charset.Charset.forName(c)).toOption)
+        .getOrElse(UTF_8)
+      str(0, cs)
+    }
+  }
+
   /** Parse HTML bytes to (title, boilerplate-filtered blocks). Total:
     * any input yields Some (possibly empty-blocked) unless it is not
-    * text at all — a NUL byte in the first 1 KiB marks binary garbage
-    * and yields None (the validator surface). */
+    * text at all — BOM-less bytes with a NUL in the first 1 KiB mark
+    * binary garbage and yield None (the validator surface). Charset
+    * comes from [[decodePage]]: BOM > meta charset > UTF-8. */
   def parseHtml(bytes: Array[Byte]): Option[HtmlParsed] =
     try {
-      val head = bytes.take(1024)
-      if (head.contains(0.toByte)) return None
-      val s = new String(bytes, UTF_8)
+      val s = decodePage(bytes) match {
+        case Some(t) => t
+        case None => return None
+      }
       val n = s.length
       var i = 0
       var title: Option[String] = None
@@ -223,6 +255,12 @@ object Html {
   def fixturesDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import spark.implicits._
     DocFixtures.htmlAll.toDF("doc", "fmt", "content")
+  }
+
+  /** The legacy-encoding fixture corpus (meta charset + BOM pages). */
+  def charsetFixturesDF(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    DocFixtures.charsetHtmlAll.toDF("doc", "fmt", "content")
   }
 
   /** One row per kept content block: (doc, title, block_idx, heading,

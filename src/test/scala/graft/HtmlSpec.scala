@@ -53,6 +53,24 @@ class HtmlSpec extends SparkSpec {
       === "&eacute; &unknown; & x &#; &#xZZ;")
   }
 
+  test("charset detection: meta charset and BOMs beat the UTF-8 default") {
+    val l1 = Html.parseHtml(DocFixtures.latin1Html).get
+    assert(l1.title === Some("Café menu"))
+    assert(l1.blocks.map(_.content) ===
+      Seq("Un café crème et un pain au chocolat, s'il vous plaît."))
+    val w = Html.parseHtml(DocFixtures.utf16Html).get
+    assert(w.title === Some("Wide"))
+    assert(w.blocks.map(_.content) ===
+      Seq("Sixteen-bit pages decode through the byte-order mark."))
+    // UTF-8 BOM strips; unknown charset name falls back to UTF-8
+    assert(Html.decodePage(Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+      "<p>x</p>".getBytes("UTF-8")) === Some("<p>x</p>"))
+    val unk = ("<meta charset=\"no-such-cs\"><p>plain utf-8 body text here.</p>")
+      .getBytes("UTF-8")
+    assert(Html.parseHtml(unk).get.blocks.map(_.content) ===
+      Seq("plain utf-8 body text here."))
+  }
+
   test("binary garbage yields None; fuzz never throws") {
     assert(Html.parseHtml(Array[Byte]('<'.toByte, 0, 'p'.toByte)).isEmpty)
     val base = DocFixtures.blogHtml.getBytes("UTF-8")
