@@ -661,6 +661,22 @@ object SparkEntry {
     // become é, not a UTF-8 mangle) and a UTF-16LE page via its BOM
     // (whose NUL bytes would read as binary if the BOM didn't win)
     "html_charsets" -> ((s, d) => Html.htmlBlocks(Html.charsetFixturesDF(s))),
+    // crawl compliance: RFC 9309 longest-match filtering under the
+    // fixture policy — the graftbot group (press carve-out inside the
+    // disallowed tree, '/tmp' PREFIX semantics catching '/tmpx') must
+    // beat the deny-all '*' group; matching is a codegen'd when-chain
+    // over the per-host rule literals, zero shuffle
+    "robots_filter" -> ((s, d) => {
+      val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+      val id = col("doc_id").cast("string")
+      val path = when(col("doc_id") % 5 === 0, concat(lit("/articles/page"), id))
+        .when(col("doc_id") % 5 === 1, concat(lit("/private/data"), id))
+        .when(col("doc_id") % 5 === 2, concat(lit("/private/press/rel"), id))
+        .when(col("doc_id") % 5 === 3, concat(lit("/tmp/file"), id))
+        .otherwise(concat(lit("/tmpx"), id))
+      Tables.documents(s, d).select(col("doc_id"), path.as("path"),
+        UrlOps.robotsAllowed(rules)(path).as("allowed"))
+    }),
     // WARC container reading: the SAME five records plain and
     // member-gzipped must parse to identical rows (CommonCrawl's
     // .warc.gz framing); request/warcinfo records surface without
@@ -3027,6 +3043,19 @@ object SparkEntry {
         | ('blog', 'Graft & the Web', 3, FALSE,
         |  'Entities decode: café & résumé stay readable.')
         |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
+
+    // expected verdicts re-derived from doc_id alone: %5 in (0, 2) is
+    // allowed (no match; the press carve-out), everything else denied
+    "robots_filter" ->
+      """SELECT doc_id,
+        | CASE doc_id % 5
+        |  WHEN 0 THEN '/articles/page' || doc_id
+        |  WHEN 1 THEN '/private/data' || doc_id
+        |  WHEN 2 THEN '/private/press/rel' || doc_id
+        |  WHEN 3 THEN '/tmp/file' || doc_id
+        |  ELSE '/tmpx' || doc_id END AS path,
+        | doc_id % 5 IN (0, 2) AS allowed
+        |FROM documents""".stripMargin,
 
     // hand-derived from DocFixtures.latin1Html / utf16Html
     "html_charsets" ->

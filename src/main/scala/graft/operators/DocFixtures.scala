@@ -596,6 +596,20 @@ object DocFixtures {
     ("latin1", "html", latin1Html),
     ("utf16", "html", utf16Html))
 
+  /** robots.txt for the compliance-filter surface: the specific agent
+    * group (with a longest-match Allow carve-out and a prefix — not
+    * path-segment — Disallow) must beat the deny-all `*` group. */
+  val robotsTxt: String =
+    """# Graft crawler policy
+      |User-agent: graftbot
+      |Disallow: /private/
+      |Allow: /private/press/   # carve-out inside the disallowed tree
+      |Disallow: /tmp
+      |
+      |User-agent: *
+      |Disallow: /
+      |""".stripMargin
+
   // ---- WARC --------------------------------------------------------------
 
   private def warcRecordBytes(headers: Seq[(String, String)],

@@ -30,6 +30,68 @@ object UrlOps {
 
   private val trackingRe = "^(utm_[^=]*|fbclid|gclid)(=.*)?$"
 
+  /** robots.txt rules for one user-agent: (allow?, path prefix),
+    * already restricted to the matching agent group. */
+  final case class RobotsRules(rules: Seq[(Boolean, String)])
+
+  /** Parse a robots.txt body for one user agent (exact token match or
+    * `*`), longest-match semantics (RFC 9309 §2.2.2): group lines
+    * under their `User-agent:` headers, keep the most specific
+    * matching group (exact agent beats `*`), collect its Allow /
+    * Disallow path prefixes. Empty `Disallow:` means allow-all (the
+    * classic idiom) and contributes no rule. Comments (`#`) strip. A
+    * robots.txt is one bounded file per HOST — driver-side parsing is
+    * the right place; the MATCHING compiles into a column expression
+    * ([[robotsAllowed]]). */
+  def parseRobots(txt: String, agent: String): RobotsRules = {
+    val a = agent.toLowerCase(java.util.Locale.ROOT)
+    var groupAgents = List.empty[String] // agents of the OPEN group
+    var sawRule = false // rules close a group; more User-agent lines reopen
+    val exact = scala.collection.mutable.ArrayBuffer[(Boolean, String)]()
+    val star = scala.collection.mutable.ArrayBuffer[(Boolean, String)]()
+    var exactSeen = false
+    txt.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val c = line.indexOf(':')
+      if (c > 0) {
+        val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+        val value = line.substring(c + 1).trim
+        key match {
+          case "user-agent" =>
+            if (sawRule) { groupAgents = Nil; sawRule = false }
+            groupAgents ::= value.toLowerCase(java.util.Locale.ROOT)
+          case "allow" | "disallow" =>
+            sawRule = true
+            val isAllow = key == "allow"
+            if (value.nonEmpty) {
+              if (groupAgents.contains(a)) { exact += ((isAllow, value)); exactSeen = true }
+              else if (groupAgents.contains("*")) star += ((isAllow, value))
+            } else if (groupAgents.contains(a)) exactSeen = true
+          case _ => () // crawl-delay, sitemap, unknown — ignored
+        }
+      }
+    }
+    RobotsRules(if (exactSeen) exact.toSeq else star.toSeq)
+  }
+
+  /** Is `path` allowed under the rules? Longest matching prefix wins;
+    * Allow wins a length tie; no match ⇒ allowed (RFC 9309 §2.2.2).
+    * Compiled as a codegen'd when-chain over the rule literals — the
+    * rule set is per-host tiny, the URL column is corpus-sized, so the
+    * literals ride the closure and nothing shuffles. */
+  def robotsAllowed(rules: RobotsRules)(path: Column): Column = {
+    // (matchLen, allow) per rule; fold to the best (longest, allow-on-tie)
+    val scored = rules.rules.map { case (isAllow, prefix) =>
+      (when(path.startsWith(prefix), lit(prefix.length)).otherwise(lit(-1)),
+        isAllow)
+    }
+    scored.foldLeft((lit(-1), lit(true))) { case ((bestLen, bestAllow), (len, isAllow)) =>
+      val better = (len > bestLen) || (len === bestLen && lit(isAllow) && !bestAllow)
+      (when(better, len).otherwise(bestLen),
+        when(better, lit(isAllow)).otherwise(bestAllow))
+    }._2
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

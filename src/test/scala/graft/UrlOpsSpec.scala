@@ -49,6 +49,34 @@ class UrlOpsSpec extends SparkSpec {
       === Seq("not a url", "/relative/path?utm_source=x", "mailto:a@b.c"))
   }
 
+  test("robots: exact agent group beats *, longest match wins, allow wins ties") {
+    import graft.operators.DocFixtures
+    val r = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+    assert(r.rules === Seq((false, "/private/"), (true, "/private/press/"),
+      (false, "/tmp")))
+    def allowed(paths: String*): Seq[Boolean] =
+      paths.toDF("p").select(UrlOps.robotsAllowed(r)(col("p"))).collect()
+        .map(_.getBoolean(0)).toSeq
+    assert(allowed("/articles/x", "/private/x", "/private/press/x",
+      "/tmp/x", "/tmpx", "/") ===
+      Seq(true, false, true, false, false, true))
+    // an agent with no exact group falls to *: deny-all
+    val star = UrlOps.parseRobots(DocFixtures.robotsTxt, "otherbot")
+    assert(star.rules === Seq((false, "/")))
+    // allow wins an exact length tie
+    val tie = UrlOps.parseRobots(
+      "User-agent: a\nDisallow: /x\nAllow: /x\n", "a")
+    assert(tie.rules.length === 2)
+    val verdicts = Seq("/x/page").toDF("p")
+      .select(UrlOps.robotsAllowed(tie)(col("p"))).collect().map(_.getBoolean(0))
+    assert(verdicts === Array(true))
+    // empty Disallow (allow-all idiom) contributes no rule but CLAIMS
+    // the group, so * must not apply
+    val empty = UrlOps.parseRobots(
+      "User-agent: a\nDisallow:\n\nUser-agent: *\nDisallow: /\n", "a")
+    assert(empty.rules.isEmpty)
+  }
+
   test("a param NAMED like a value of utm stays; only name-prefix matches drop") {
     assert(canon("http://a.com/p?xutm_source=1&u=utm_source")
       === Seq("http://a.com/p?u=utm_source&xutm_source=1"))
