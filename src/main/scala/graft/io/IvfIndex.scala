@@ -439,10 +439,18 @@ object IvfIndex {
     val total =
       try {
         import scala.concurrent.duration.Duration
-        scala.concurrent.Await.result(
+        // lift each leaf to Try and await ALL of them before surfacing
+        // any failure: a fail-fast Future.sequence would rethrow while
+        // sibling swaps are still IN FLIGHT, and a caller's retry would
+        // then run recoverLeafSwaps concurrently with live renames —
+        // recovery deleting a tmp/bak that is the only copy mid-swap.
+        // Quiescence first, then the first failure propagates.
+        val tries = scala.concurrent.Await.result(
           scala.concurrent.Future.sequence(leaves.toSeq.map(leaf =>
-            scala.concurrent.Future(Tables.compact(spark, leaf, targetFileBytes,
-              workDir = Some(work.toString))))), Duration.Inf).sum
+            scala.concurrent.Future(scala.util.Try(
+              Tables.compact(spark, leaf, targetFileBytes,
+                workDir = Some(work.toString)))))), Duration.Inf)
+        tries.map(_.get).sum
       } finally pool.shutdown()
     fs.delete(work, true) // empty after successful swaps
     total

@@ -177,14 +177,18 @@ object Tables {
       .filter(_.getPath.getName.endsWith(".parquet"))
     val bytes = parquet.map(_.getLen).sum
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-    // already at (or under) the target file count: the rewrite could not
-    // reduce it further, so skip the read+write+swap entirely — the
-    // recovery healing above already ran, which is the other thing an
-    // entry into compact promises. This turns maintenance over a
-    // mostly-compact table (e.g. the leaves a fresh IVF fold just wrote
-    // cell-clustered) into a pure LIST, the no-op cost profile a
-    // periodic compactor needs at 100 TB.
-    if (parquet.length <= nFiles) return parquet.length
+    // already at (or under) the target file count AND no single file
+    // exceeds the target size: the rewrite could neither reduce the
+    // count nor split an oversized file, so skip the read+write+swap
+    // entirely — the recovery healing above already ran, which is the
+    // other thing an entry into compact promises. (The size guard
+    // matters: one 10 GB file IS "count <= ceil(bytes/target)" yet
+    // must still be re-split into target-sized files.) This turns
+    // maintenance over a mostly-compact table (e.g. the leaves a fresh
+    // IVF fold just wrote cell-clustered) into a pure LIST, the no-op
+    // cost profile a periodic compactor needs at 100 TB.
+    if (parquet.length <= nFiles && parquet.forall(_.getLen <= targetFileBytes))
+      return parquet.length
     // a skipping manifest (Layout.writeWithStats) names the PRE-compact
     // files; capture its tracked columns now and re-derive after the
     // swap, or skipping silently stops on the re-filed table. (A crash

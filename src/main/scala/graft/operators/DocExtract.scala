@@ -339,6 +339,12 @@ object DocExtract {
     val tok = "<[0-9a-fA-F\\s]*>|\\[|\\]|[A-Za-z]+".r
     val toks = tok.findAllIn(text).toArray
     var codeBytes = 2
+    // TOTAL cap across ALL sections, not per range: a hostile stream of
+    // thousands of repeated <0000> <FFFF> ranges would otherwise
+    // amplify ~30 bytes each into 2^16 entries each (an OOM the Try in
+    // fontsOf cannot catch). 2^16 is the whole 2-byte code space — a
+    // legitimate CMap cannot need more distinct codes than that.
+    val MaxEntries = 0x10000
     val map = scala.collection.mutable.Map[Int, String]()
     var i = 0
     def isHex(t: String) = t.startsWith("<")
@@ -354,7 +360,8 @@ object DocExtract {
         case "beginbfchar" =>
           i += 1
           while (i + 1 < toks.length && isHex(toks(i)) && isHex(toks(i + 1))) {
-            map(hexInt(inner(toks(i)))) = hexStr(inner(toks(i + 1)))
+            if (map.size < MaxEntries)
+              map(hexInt(inner(toks(i)))) = hexStr(inner(toks(i + 1)))
             i += 2
           }
           i -= 1 // main loop advances past endbfchar / the stray token
@@ -371,16 +378,21 @@ object DocExtract {
                 i += 3
                 var c = lo
                 while (i < toks.length && toks(i) != "]") {
-                  if (isHex(toks(i)) && c <= hi) { map(c) = hexStr(inner(toks(i))); c += 1 }
+                  if (isHex(toks(i)) && c <= hi) {
+                    if (map.size < MaxEntries) map(c) = hexStr(inner(toks(i)))
+                    c += 1
+                  }
                   i += 1
                 }
                 i += 1 // past ]
               case d if isHex(d) =>
                 val dst = hexStr(inner(d))
-                (0 to n).foreach { k =>
+                var k = 0
+                while (k <= n && map.size < MaxEntries) {
                   map(lo + k) =
                     if (dst.isEmpty) ""
                     else dst.dropRight(1) + (dst.last + k).toChar
+                  k += 1
                 }
                 i += 3
               case _ => ok = false
@@ -957,7 +969,13 @@ object DocExtract {
         resolve(v) match {
           case PDict(m) if m.get("Type").contains(PName("Page")) || (m.contains("Contents") && !m.contains("Kids")) =>
             out += decodeContentOps(
-              new String(contentBytes(m.getOrElse("Contents", PNullV)), UTF_8),
+              // ISO-8859-1 decode is BYTE-TRANSPARENT (char i == byte i):
+              // a CID literal show-string's code bytes >= 0x80 must
+              // survive to the CMap lookup; UTF-8 would fold invalid
+              // sequences into U+FFFD and produce WRONG codes. Non-CID
+              // literal strings keep Latin-1 byte semantics — the same
+              // default decodeHexShow falls back to.
+              new String(contentBytes(m.getOrElse("Contents", PNullV)), ISO_8859_1),
               fontsOf(m, fonts))
           case PDict(m) =>
             m.get("Kids") match {
@@ -1025,7 +1043,8 @@ object DocExtract {
             val decoded =
               if (dict.contains("/FlateDecode")) inflate(data)
               else data
-            val text = decodeContentOps(new String(decoded, UTF_8))
+            // byte-transparent decode, same rationale as the xref path
+            val text = decodeContentOps(new String(decoded, ISO_8859_1))
             if (text.nonEmpty) pages += text
             // advance PAST the endstream keyword — "endstream" itself
             // contains "stream", so a shorter hop would re-match it

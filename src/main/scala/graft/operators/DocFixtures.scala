@@ -425,8 +425,9 @@ object DocFixtures {
     * line is shown as a LITERAL string of code bytes (both string
     * forms are font-encoded in a composite font), the rest as hex
     * strings; `xyz` maps via an incrementing bfrange, `ffi` via the
-    * array form with a multi-char destination. Code bytes stay ≤ 0x7F
-    * (content streams round-trip through UTF-8 in the reader). */
+    * array form with a multi-char destination. Per-char code bytes sit
+    * ABOVE 0x7F (byte-transparency proof: a UTF-8 content decode would
+    * mangle them); the xyz/ligature codes stay below it (mixed). */
   def pdfBytesCid(pages: Seq[Seq[String]], codeBytes: Int = 2): Array[Byte] = {
     require(codeBytes == 1 || codeBytes == 2, "fixture supports 1- or 2-byte codes")
     // 1-byte layout (legal per spec §9.7.6.2) packs everything ≤ 0x7F;
@@ -436,10 +437,14 @@ object DocFixtures {
     val XyzBase = if (codeBytes == 2) 0x0200 else 0x70 // x,y,z → bfrange
     val chars: Seq[Char] = pages.flatten.flatMap(_.replace("ffi", "").toSeq)
       .filterNot("xyz".contains(_)).distinct
-    require(codeBytes == 2 || chars.size <= 0x4f, "1-byte code space exhausted")
+    require(codeBytes == 2 || chars.size <= 0x5e, "1-byte code space exhausted")
     val charCode: Map[Char, Int] = chars.zipWithIndex.map { case (c, k) =>
-      c -> (if (codeBytes == 2) 0x0101 + (k / 0x7f) * 0x100 + (k % 0x7f)
-            else 0x21 + k)
+      // HIGH bytes on purpose (both halves >= 0x80 for 2-byte codes,
+      // >= 0xA1 for 1-byte): the reader's content decode must be
+      // byte-transparent for the CMap lookup to see the right codes —
+      // a UTF-8 round-trip would fold these into U+FFFD
+      c -> (if (codeBytes == 2) 0x8081 + (k / 0x7f) * 0x100 + (k % 0x7f)
+            else 0xa1 + k)
     }.toMap
     val hexW = codeBytes * 2 // hex digits per code
     def encode(line: String): Seq[Int] = {

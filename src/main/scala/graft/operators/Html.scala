@@ -52,6 +52,9 @@ object Html {
     "section", "article", "main", "header", "footer", "nav", "aside",
     "title", "body", "html", "head")
   private val chromeTags = Set("nav", "footer", "aside", "form")
+  // hoisted: String.replaceAll would recompile this per BLOCK on the
+  // 100 TB-hot per-row path (CrawlDrill measures this kernel)
+  private val wsRun = java.util.regex.Pattern.compile("\\s+")
   private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
 
   /** Decode the documented entity set; unknown entities stay literal. */
@@ -149,7 +152,7 @@ object Html {
       var curChrome = false
       def flush(): Unit = {
         val text = decodeEntities(
-          cur.toString.replaceAll("\\s+", " ").trim)
+          wsRun.matcher(cur).replaceAll(" ").trim)
         if (text.nonEmpty)
           blocks += ((curHeading && !curChrome, text, curLink,
             math.max(1L, curTotal), curChrome))
@@ -197,6 +200,11 @@ object Html {
                 }
               } else {
                 if (blockTags(name)) flush()
+                // a block tag other than title FORCES the title closed:
+                // <title> cannot contain block content, so a page whose
+                // </title> is missing (truncated crawl payload) must not
+                // swallow its whole body into the title sink
+                if (blockTags(name) && name != "title") inTitle = false
                 name match {
                   case "title" => inTitle = !closing
                   case "a" =>
@@ -222,7 +230,7 @@ object Html {
           val text = s.substring(i, end)
           if (inTitle) {
             if (title.isEmpty) {
-              val t = decodeEntities(text.replaceAll("\\s+", " ").trim)
+              val t = decodeEntities(wsRun.matcher(text).replaceAll(" ").trim)
               if (t.nonEmpty) title = Some(t)
             }
           } else {

@@ -18,7 +18,8 @@ import org.apache.spark.sql.functions._
   *  5. remaining query params sort bytewise (param ORDER is
   *     server-insignificant in practice; sorting makes equal
   *     param-sets equal strings);
-  *  6. a trailing slash strips from a non-root path;
+  *  6. a trailing slash strips from a non-root path, and an EMPTY
+  *     path normalizes to `/` (§6.2.3);
   *  7. an emptied query drops its `?`.
   *
   * Scale shape: a per-row column expression — zero shuffle, no UDF.
@@ -74,16 +75,39 @@ object UrlOps {
     RobotsRules(if (exactSeen) exact.toSeq else star.toSeq)
   }
 
-  /** Is `path` allowed under the rules? Longest matching prefix wins;
-    * Allow wins a length tie; no match ⇒ allowed (RFC 9309 §2.2.2).
-    * Compiled as a codegen'd when-chain over the rule literals — the
-    * rule set is per-host tiny, the URL column is corpus-sized, so the
-    * literals ride the closure and nothing shuffles. */
+  /** One robots path pattern → the anchored regex RFC 9309 §2.2.3
+    * requires: `*` matches any run of characters, a TRAILING `$`
+    * anchors the end, every other character is literal. */
+  private[graft] def robotsPatternRegex(pattern: String): String = {
+    val (body, anchored) =
+      if (pattern.endsWith("$")) (pattern.dropRight(1), true) else (pattern, false)
+    val sb = new StringBuilder("^")
+    body.foreach {
+      case '*' => sb ++= ".*"
+      case c if "\\.[]{}()<>+-=!?^$|".indexOf(c) >= 0 => sb += '\\'; sb += c
+      case c => sb += c
+    }
+    if (anchored) sb += '$'
+    sb.toString
+  }
+
+  /** Is `path` allowed under the rules? The most specific (longest
+    * PATTERN) matching rule wins; Allow wins a length tie; no match ⇒
+    * allowed (RFC 9309 §2.2.2). Patterns support the RFC's `*` and
+    * trailing `$` wildcards via [[robotsPatternRegex]]. Compiled as a
+    * when-chain over the rule literals — the rule set is per-host
+    * tiny, the URL column is corpus-sized, so the literals ride the
+    * closure and nothing shuffles. */
   def robotsAllowed(rules: RobotsRules)(path: Column): Column = {
-    // (matchLen, allow) per rule; fold to the best (longest, allow-on-tie)
-    val scored = rules.rules.map { case (isAllow, prefix) =>
-      (when(path.startsWith(prefix), lit(prefix.length)).otherwise(lit(-1)),
-        isAllow)
+    // (specificity when matched, allow) per rule; fold to the best
+    // (longest pattern, allow-on-tie). Wildcard-free patterns keep the
+    // cheap startsWith; wildcards go through the RFC regex.
+    val scored = rules.rules.map { case (isAllow, pattern) =>
+      val matches =
+        if (pattern.contains('*') || pattern.endsWith("$"))
+          path.rlike(robotsPatternRegex(pattern))
+        else path.startsWith(pattern)
+      (when(matches, lit(pattern.length)).otherwise(lit(-1)), isAllow)
     }
     scored.foldLeft((lit(-1), lit(true))) { case ((bestLen, bestAllow), (len, isAllow)) =>
       val better = (len > bestLen) || (len === bestLen && lit(isAllow) && !bestAllow)
@@ -106,10 +130,12 @@ object UrlOps {
       p => p =!= "" && !p.rlike(trackingRe))
     val sortedQ = array_join(array_sort(params), "&")
     // a URL without "://" is left untouched (not a canonicalizable
-    // absolute URL — less cleaning, never a mangled key)
+    // absolute URL — less cleaning, never a mangled key). An EMPTY
+    // path normalizes to "/" (RFC 3986 §6.2.3: http://h and http://h/
+    // are the same resource — the single most common dup pair).
     when(scheme === "", url).otherwise(concat(
       scheme, lit("://"), host,
-      when(path === "", lit("")).otherwise(path),
+      when(path === "", lit("/")).otherwise(path),
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
   }
 }

@@ -101,14 +101,16 @@ object Warc {
   /** Split an HTTP response block into (status, content-type, payload). */
   private def parseHttp(body: Array[Byte]): (Option[Int], Option[String], Array[Byte]) = {
     val asStr = new String(body, ISO_8859_1)
-    val sep = asStr.indexOf("\r\n\r\n")
-    val sepLen = 4
+    // whichever blank line comes FIRST ends the header block: checking
+    // CRLF before LF would let a bare-LF header block swallow payload
+    // up to the payload's own first CRLF blank line
+    val crlf = asStr.indexOf("\r\n\r\n")
+    val lf = asStr.indexOf("\n\n")
     val (hdr, payloadStart) =
-      if (sep >= 0) (asStr.substring(0, sep), sep + sepLen)
-      else {
-        val s2 = asStr.indexOf("\n\n")
-        if (s2 >= 0) (asStr.substring(0, s2), s2 + 2) else (asStr, asStr.length)
-      }
+      if (crlf >= 0 && (lf < 0 || crlf <= lf))
+        (asStr.substring(0, crlf), crlf + 4)
+      else if (lf >= 0) (asStr.substring(0, lf), lf + 2)
+      else (asStr, asStr.length)
     val lines = hdr.split("\r?\n")
     val status = lines.headOption
       .filter(_.startsWith("HTTP/"))
@@ -153,7 +155,7 @@ object Warc {
       .select(col(fileCol).as("warc"), explode(parseWarcUdf(col(binCol))).as("r"))
       .filter(col("r.rec_type") === "response" &&
         col("r.http_status") === 200 &&
-        col("r.content_type").startsWith("text/html"))
+        lower(col("r.content_type")).startsWith("text/html")) // RFC 9110: type is case-insensitive
       .select(col("warc"), col("r.url").as("url"),
         Html.parseHtmlUdf(col("r.payload")).as("p"))
       .select(col("warc"), col("url"), col("p.title").as("title"),

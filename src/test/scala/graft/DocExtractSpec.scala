@@ -332,6 +332,15 @@ class DocExtractSpec extends SparkSpec {
     val wide = DocExtract.parseToUnicode(
       "1 beginbfrange <0000> <FFFF> <0041> endbfrange")
     assert(wide.map.size === 0x10000)
+    // ...and the cap is TOTAL, not per-range: thousands of repeated
+    // full-space ranges (a ~30-byte line each) must not amplify into
+    // range-count × 2^16 entries (the OOM a Try cannot catch)
+    val hostile = "beginbfrange\n" +
+      ("<0000> <FFFF> <0041>\n" * 3000) + "endbfrange"
+    val t0 = System.nanoTime()
+    val capped = DocExtract.parseToUnicode(hostile)
+    assert(capped.map.size === 0x10000)
+    assert((System.nanoTime() - t0) / 1e9 < 10.0, "amplification must be capped")
   }
 
   test("pdf hex show-strings: UTF-16BE and Latin-1 byte layouts, odd-pad, TJ mix") {

@@ -71,6 +71,17 @@ class HtmlSpec extends SparkSpec {
       Seq("plain utf-8 body text here."))
   }
 
+  test("an unterminated <title> cannot swallow the page body") {
+    // truncated crawl payloads lose </title> routinely: the first block
+    // tag must force the title closed so the body still extracts
+    val p = Html.parseHtml(
+      "<title>Broken<body><p>the body article text still extracts fine here.</p>"
+        .getBytes("UTF-8")).get
+    assert(p.title === Some("Broken"))
+    assert(p.blocks.map(_.content) ===
+      Seq("the body article text still extracts fine here."))
+  }
+
   test("binary garbage yields None; fuzz never throws") {
     assert(Html.parseHtml(Array[Byte]('<'.toByte, 0, 'p'.toByte)).isEmpty)
     val base = DocFixtures.blogHtml.getBytes("UTF-8")

@@ -242,6 +242,33 @@ class LayoutSpec extends SparkSpec {
     assert(none.isEmpty, "re-derived bounds must allow full skips")
   }
 
+  test("compact still SPLITS an oversized file despite the at-target-count early exit") {
+    // one file whose bytes exceed targetFileBytes: count (1) <= nFiles,
+    // but the early exit must not skip the re-split — a hot partition
+    // accumulating into one ever-growing file would otherwise never be
+    // re-filed by any maintenance pass
+    val dir = java.nio.file.Files.createTempDirectory("layout-split").toString + "/t"
+    graft.io.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("event_id", "user_id", "ts_ns")
+      .coalesce(1).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(files().length === 1)
+    val oneFileBytes = files().head.length()
+    // already at target count AND under target size: pure-LIST skip,
+    // the file is not rewritten (names unchanged)
+    val before = files().map(_.getName).toSet
+    assert(graft.io.Tables.compact(spark, dir,
+      targetFileBytes = oneFileBytes * 2) === 1)
+    assert(files().map(_.getName).toSet === before,
+      "an already-compact table must not be rewritten")
+    // target = a quarter of the single file: count (1) <= nFiles (4),
+    // but the SIZE guard must force the re-split
+    val n = graft.io.Tables.compact(spark, dir, targetFileBytes = oneFileBytes / 4)
+    assert(files().length > 1, "an oversized file must be re-split")
+    assert(n === files().length)
+  }
+
   test("nested (dotted) stats columns round-trip the manifest and still prune") {
     val dir = java.nio.file.Files.createTempDirectory("layout-nested").toString + "/t"
     val df = (0L until 100L).map(i => (i, (i * 10, s"p$i")))

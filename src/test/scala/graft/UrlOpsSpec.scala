@@ -32,7 +32,7 @@ class UrlOpsSpec extends SparkSpec {
       "http://a.com/p?a=0&a=1&b=2")) // duplicates kept, bytewise order
   }
 
-  test("trailing slash strips on non-root paths only; empty path stays bare") {
+  test("trailing slash strips on non-root paths only; empty path becomes root") {
     assert(canon(
       "http://a.com/docs/",
       "http://a.com/",
@@ -40,8 +40,21 @@ class UrlOpsSpec extends SparkSpec {
       "http://a.com/docs//") === Seq(
       "http://a.com/docs",
       "http://a.com/", // ROOT slash survives
-      "http://a.com",
+      "http://a.com/", // RFC 3986 §6.2.3: empty path ≡ "/" — same dedup key
       "http://a.com/docs/")) // only ONE trailing slash strips (documented)
+  }
+
+  test("robots: RFC 9309 wildcards — '*' spans, trailing '$' anchors") {
+    val r = UrlOps.RobotsRules(Seq(
+      (false, "/*.php"), (true, "/shop/*.php"), (false, "/draft$")))
+    def allowed(paths: String*): Seq[Boolean] =
+      paths.toDF("p").select(UrlOps.robotsAllowed(r)(col("p"))).collect()
+        .map(_.getBoolean(0)).toSeq
+    assert(allowed("/index.php", "/a/b/page.php", "/shop/cart.php",
+      "/draft", "/drafts", "/plain") ===
+      Seq(false, false, true, false, true, true))
+    // regex metachars in a pattern stay literal
+    assert(UrlOps.robotsPatternRegex("/a+b.c*d$") === "^/a\\+b\\.c.*d$")
   }
 
   test("non-absolute strings pass through untouched") {

@@ -49,6 +49,34 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("bare-LF HTTP headers with a CRLF payload split at the FIRST blank line") {
+    // a lenient server's LF-only header block must not swallow payload
+    // up to the payload's own first CRLF blank line
+    val payload = "line one\r\n\r\nline two after a CRLF blank"
+    val http = s"HTTP/1.1 200 OK\nContent-Type: Text/HTML\n\n$payload"
+    val rec = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+      "WARC-Target-URI: http://x/\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n$http\r\n\r\n").getBytes("ISO-8859-1")
+    val parsed = Warc.parseWarc(rec).get
+    assert(parsed.length === 1)
+    assert(parsed.head.http_status === Some(200))
+    assert(new String(parsed.head.payload, "ISO-8859-1") === payload)
+    // and the chain's content-type filter is case-insensitive (RFC 9110)
+    import spark.implicits._
+    val rows = Warc.warcHtmlBlocks(
+      Seq(("mixed", ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://x/\r\n" +
+        s"Content-Length: ${mixedHttp.length}\r\n\r\n$mixedHttp\r\n\r\n")
+        .getBytes("ISO-8859-1"))).toDF("warc", "content")).collect()
+    assert(rows.length === 1 && rows.head.getAs[String]("content") ===
+      "upper-cased content types must not hide pages from the corpus.")
+  }
+
+  private lazy val mixedHttp: String = {
+    val html = "<html><body><p>upper-cased content types must not hide pages from the corpus.</p></body></html>"
+    s"HTTP/1.1 200 OK\r\nContent-Type: TEXT/Html; charset=utf-8\r\n\r\n$html"
+  }
+
   test("spark chain: only the 200 text/html response reaches html blocks") {
     val rows = Warc.warcHtmlBlocks(Warc.fixturesDF(spark)).collect()
     assert(rows.length === 8) // 4 blocks × 2 framings
