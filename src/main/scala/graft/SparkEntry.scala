@@ -661,6 +661,14 @@ object SparkEntry {
     // become é, not a UTF-8 mangle) and a UTF-16LE page via its BOM
     // (whose NUL bytes would read as binary if the BOM didn't win)
     "html_charsets" -> ((s, d) => Html.htmlBlocks(Html.charsetFixturesDF(s))),
+    // crawl frontier: sitemaps.org urlset + index members (the file a
+    // crawler walks to seed URLs), entities decoded by the hardened
+    // DOM walk, priority in exact micro-units
+    "sitemap_entries" -> ((s, d) => {
+      import s.implicits._
+      UrlOps.sitemapEntries(
+        DocFixtures.sitemapAll.toDF("site", "content"))
+    }),
     // crawl compliance: RFC 9309 longest-match filtering under the
     // fixture policy — the graftbot group (press carve-out inside the
     // disallowed tree, '/tmp' PREFIX semantics catching '/tmpx') must
@@ -3043,6 +3051,19 @@ object SparkEntry {
         | ('blog', 'Graft & the Web', 3, FALSE,
         |  'Entities decode: café & résumé stay readable.')
         |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
+
+    // hand-derived from DocFixtures.sitemapXml / sitemapIndexXml
+    "sitemap_entries" ->
+      """SELECT site, kind, loc, lastmod, priority_micro FROM (VALUES
+        | ('posts', 'url', 'http://example.com/blog', '2026-01-15',
+        |  CAST(800000 AS BIGINT)),
+        | ('posts', 'url', 'http://example.com/about', CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS BIGINT)),
+        | ('posts', 'url', 'http://example.com/search?q=a&lang=en', NULL, 250000),
+        | ('index', 'sitemap', 'http://example.com/sitemap-posts.xml',
+        |  '2026-02-01', NULL),
+        | ('index', 'sitemap', 'http://example.com/sitemap-pages.xml', NULL, NULL)
+        |) AS t(site, kind, loc, lastmod, priority_micro)""".stripMargin,
 
     // expected verdicts re-derived from doc_id alone: %5 in (0, 2) is
     // allowed (no match; the press carve-out), everything else denied

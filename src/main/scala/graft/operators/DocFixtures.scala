@@ -615,6 +615,37 @@ object DocFixtures {
       |Disallow: /
       |""".stripMargin
 
+  /** sitemaps.org fixtures: a urlset (full fields, loc-only, an
+    * entity-escaped loc) and an index pointing at two child maps. */
+  val sitemapXml: String =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      | <url>
+      |  <loc>http://example.com/blog</loc>
+      |  <lastmod>2026-01-15</lastmod>
+      |  <priority>0.8</priority>
+      | </url>
+      | <url><loc>http://example.com/about</loc></url>
+      | <url>
+      |  <loc>http://example.com/search?q=a&amp;lang=en</loc>
+      |  <priority>0.25</priority>
+      | </url>
+      |</urlset>
+      |""".stripMargin
+
+  val sitemapIndexXml: String =
+    """<?xml version="1.0" encoding="UTF-8"?>
+      |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+      | <sitemap><loc>http://example.com/sitemap-posts.xml</loc>
+      |  <lastmod>2026-02-01</lastmod></sitemap>
+      | <sitemap><loc>http://example.com/sitemap-pages.xml</loc></sitemap>
+      |</sitemapindex>
+      |""".stripMargin
+
+  def sitemapAll: Seq[(String, Array[Byte])] = Seq(
+    ("posts", sitemapXml.getBytes(UTF_8)),
+    ("index", sitemapIndexXml.getBytes(UTF_8)))
+
   // ---- WARC --------------------------------------------------------------
 
   private def warcRecordBytes(headers: Seq[(String, String)],

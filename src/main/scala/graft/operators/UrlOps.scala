@@ -116,6 +116,62 @@ object UrlOps {
     }._2
   }
 
+  /** One sitemap entry: `kind` is `url` (a urlset member) or `sitemap`
+    * (an index member pointing at a child sitemap). */
+  final case class SitemapEntry(kind: String, loc: String,
+                                lastmod: Option[String],
+                                priority: Option[Double])
+
+  /** Parse a sitemap.xml / sitemap-index.xml (sitemaps.org protocol):
+    * `<urlset>` yields its `<url>` members, `<sitemapindex>` yields its
+    * `<sitemap>` members — a crawler walks the index to child sitemaps
+    * and the urlsets to fetchable URLs. XXE-hardened DOM (untrusted
+    * bytes, same settings as the DOCX walk); entries without a `<loc>`
+    * are skipped; malformed XML yields None (validator surface). */
+  def parseSitemap(bytes: Array[Byte]): Option[Seq[SitemapEntry]] =
+    try {
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      f.setNamespaceAware(true)
+      f.setFeature("http://apache.org/xml/features/disallow-doctype-decl", true)
+      f.setXIncludeAware(false)
+      f.setExpandEntityReferences(false)
+      val doc = f.newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(bytes))
+      val root = doc.getDocumentElement
+      val kind = root.getLocalName match {
+        case "urlset" => "url"
+        case "sitemapindex" => "sitemap"
+        case _ => return None
+      }
+      def kids(n: org.w3c.dom.Node) = {
+        val cs = n.getChildNodes
+        (0 until cs.getLength).map(cs.item)
+          .collect { case e: org.w3c.dom.Element => e }
+      }
+      def text(e: org.w3c.dom.Element, name: String): Option[String] =
+        kids(e).find(_.getLocalName == name).map(_.getTextContent.trim)
+          .filter(_.nonEmpty)
+      Some(kids(root).filter(_.getLocalName == kind).flatMap { e =>
+        text(e, "loc").map(loc => SitemapEntry(kind, loc,
+          text(e, "lastmod"),
+          text(e, "priority").flatMap(_.toDoubleOption)))
+      })
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  val parseSitemapUdf = udf((bytes: Array[Byte]) => parseSitemap(bytes))
+
+  /** One row per sitemap entry: (site, kind, loc, lastmod,
+    * priority_micro) — priority in exact integer micro-units (the
+    * cross-engine float rule). */
+  def sitemapEntries(files: org.apache.spark.sql.DataFrame,
+                     fileCol: String = "site",
+                     binCol: String = "content"): org.apache.spark.sql.DataFrame =
+    files.select(col(fileCol).as("site"),
+        explode(parseSitemapUdf(col(binCol))).as("e"))
+      .select(col("site"), col("e.kind").as("kind"), col("e.loc").as("loc"),
+        col("e.lastmod").as("lastmod"),
+        round(col("e.priority") * 1e6, 0).cast("long").as("priority_micro"))
+
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

@@ -90,6 +90,23 @@ class UrlOpsSpec extends SparkSpec {
     assert(empty.rules.isEmpty)
   }
 
+  test("sitemaps: urlset and index members, entities, malformed -> None") {
+    import graft.operators.DocFixtures
+    val urls = UrlOps.parseSitemap(DocFixtures.sitemapXml.getBytes("UTF-8")).get
+    assert(urls.map(_.loc) === Seq("http://example.com/blog",
+      "http://example.com/about", "http://example.com/search?q=a&lang=en"))
+    assert(urls.head.priority === Some(0.8) && urls.head.lastmod === Some("2026-01-15"))
+    assert(urls(1).priority === None && urls(1).lastmod === None)
+    val idx = UrlOps.parseSitemap(DocFixtures.sitemapIndexXml.getBytes("UTF-8")).get
+    assert(idx.map(_.kind).distinct === Seq("sitemap") && idx.length === 2)
+    assert(UrlOps.parseSitemap("<html>not a sitemap</html>".getBytes("UTF-8")).isEmpty)
+    assert(UrlOps.parseSitemap("<urlset><url><loc>x".getBytes("UTF-8")).isEmpty)
+    // XXE refused (untrusted bytes): a doctype must not parse
+    assert(UrlOps.parseSitemap(
+      "<!DOCTYPE x [<!ENTITY e SYSTEM 'file:///etc/passwd'>]><urlset/>"
+        .getBytes("UTF-8")).isEmpty)
+  }
+
   test("a param NAMED like a value of utm stays; only name-prefix matches drop") {
     assert(canon("http://a.com/p?xutm_source=1&u=utm_source")
       === Seq("http://a.com/p?u=utm_source&xutm_source=1"))
