@@ -84,15 +84,21 @@ class HtmlSpec extends SparkSpec {
 
   test("binary garbage yields None; fuzz never throws") {
     assert(Html.parseHtml(Array[Byte]('<'.toByte, 0, 'p'.toByte)).isEmpty)
-    val base = DocFixtures.blogHtml.getBytes("UTF-8")
     val rnd = new scala.util.Random(1717)
-    (1 to 60).foreach { _ =>
-      val b = base.clone()
-      b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
-      Html.parseHtml(b) // must return, whatever the Option is
+    // fuzz every HTML fixture framing: UTF-8, meta-charset Latin-1,
+    // BOM'd UTF-16 (flips can corrupt the BOM or the declaration —
+    // the charset route itself must be total)
+    Seq(DocFixtures.blogHtml.getBytes("UTF-8"),
+        DocFixtures.latin1Html, DocFixtures.utf16Html).foreach { base =>
+      (1 to 60).foreach { _ =>
+        val b = base.clone()
+        b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+        Html.parseHtml(b) // must return, whatever the Option is
+      }
+      (1 until 15).foreach(k =>
+        Html.parseHtml(java.util.Arrays.copyOf(base, base.length * k / 15)))
     }
-    (1 until 15).foreach(k =>
-      Html.parseHtml(java.util.Arrays.copyOf(base, base.length * k / 15)))
+    val base = DocFixtures.blogHtml.getBytes("UTF-8")
     // hostile: many raw-text opens without closes — single forward scan,
     // must terminate fast and not quadratically
     val hostile = ("<script>" * 2000 + "x").getBytes("UTF-8")

@@ -105,6 +105,18 @@ class UrlOpsSpec extends SparkSpec {
     assert(UrlOps.parseSitemap(
       "<!DOCTYPE x [<!ENTITY e SYSTEM 'file:///etc/passwd'>]><urlset/>"
         .getBytes("UTF-8")).isEmpty)
+    // fuzz: byte flips and truncations never throw
+    val rnd = new scala.util.Random(3131)
+    Seq(DocFixtures.sitemapXml, DocFixtures.sitemapIndexXml)
+      .map(_.getBytes("UTF-8")).foreach { base =>
+        (1 to 40).foreach { _ =>
+          val b = base.clone()
+          b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
+          UrlOps.parseSitemap(b)
+        }
+        (1 until 10).foreach(k =>
+          UrlOps.parseSitemap(java.util.Arrays.copyOf(base, base.length * k / 10)))
+      }
   }
 
   test("a param NAMED like a value of utm stays; only name-prefix matches drop") {
