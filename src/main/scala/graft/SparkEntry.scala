@@ -693,6 +693,66 @@ object SparkEntry {
     // the full crawl chain: WARC → 200/text-html responses → HTML
     // main-content blocks, one map-side pass (no joins, no shuffles)
     "warc_html_blocks" -> ((s, d) => Warc.warcHtmlBlocks(Warc.fixturesDF(s))),
+    // per-host politeness over the frontier (the third crawl leg after
+    // robots + sitemaps): deterministic doc_id-derived URLs across 7
+    // hosts — messy case/port/fragment through the canonicalizer,
+    // /private/ paths dropped by the graftbot robots rules — then the
+    // next fetch batch of ≤5 per host by (priority desc, url). ONE hash
+    // shuffle on host; the rank filter runs as WindowGroupLimit so a
+    // hot host never materializes past the budget map-side
+    "crawl_frontier" -> ((s, d) => {
+      val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+      val id = col("doc_id").cast("string")
+      val path = when(col("doc_id") % 5 === 1, concat(lit("/private/data"), id))
+        .otherwise(concat(lit("/articles/page"), id))
+      val messy = concat(lit("HTTP://Host"), (col("doc_id") % 7).cast("string"),
+        lit(".Example.COM:80"), path, lit("#frag"))
+      val frontier = Tables.documents(s, d)
+        .filter(UrlOps.robotsAllowed(rules)(path))
+        .select(UrlOps.canonicalizeUrl(messy).as("url"),
+          ((col("doc_id") % 10) * 100000).as("priority_micro"))
+      UrlOps.crawlFrontier(frontier, hostBudget = 5)
+    }),
+    // the crawl loop CLOSED as a stream (§2.10 × the crawl tier): WARC
+    // shards arrive as micro-batches — batch 0 the plain shard, batch 1
+    // its gz twin (a RE-crawl of the same pages: every block keys to the
+    // same fp, so LWW upsert replaces rather than duplicates) — then an
+    // at-least-once REPLAY of batch 1 outside the stream must be a
+    // no-op. Final table ≡ the batch chain's blocks, one copy per page
+    // (the parity the CrawlStreamSpec pins); ingest_ts/fp/doc_id are
+    // merge plumbing, not output
+    "crawl_stream_e2e" -> ((s, d) => {
+      val dir = crawlStreamDir
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // wipe target: every invocation (bench min-of-two, verify) replays
+      // the identical lifecycle from scratch
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Array[Byte])]
+      val q = input.toDF()
+        .selectExpr("_1 AS warc", "_2 AS content")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.streaming.StreamingIngest.crawlUpsertBatch(s, b, dir)
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-crawl-e2e-ck").toString)
+        .start()
+      try {
+        input.addData(DocFixtures.warcAll.filter(_._1 == "crawl")) // batch 0
+        q.processAllAvailable()
+        input.addData(DocFixtures.warcAll.filter(_._1 == "crawl_gz")) // batch 1: re-crawl
+        q.processAllAvailable()
+        // at-least-once replay of batch 1 AFTER its commit: idempotent
+        graft.streaming.StreamingIngest.crawlUpsertBatch(s,
+          DocFixtures.warcAll.filter(_._1 == "crawl_gz").toDF("warc", "content"), dir)
+      } finally q.stop()
+      s.read.parquet(dir)
+        .select("url", "block_idx", "heading", "content", "n_chars")
+    }),
     // crawl-key normalization: deterministic messy URLs built from
     // doc_id (case noise, default port, tracking params, unsorted
     // params, fragment, %4 adds a trailing slash and drops the real
@@ -1241,6 +1301,9 @@ object SparkEntry {
 
   /** The ivf_stream_e2e index location. */
   private lazy val ivfStreamDir: String = tmpQueryDir("graft-ivf-se")
+
+  /** The crawl_stream_e2e corpus-table location. */
+  private lazy val crawlStreamDir: String = tmpQueryDir("graft-crawl-se", "table")
 
   /** The staged URL-ingest fixture dir — per-JVM unique (a fixed
     * world-shared /tmp path raced concurrent processes and collided
@@ -3119,6 +3182,39 @@ object SparkEntry {
         |CROSS JOIN (VALUES ('crawl'), ('crawl_gz')) AS w(warc)
         |CROSS JOIN (VALUES ('http://example.com/blog', 'Graft & the Web'))
         |  AS u(url, title)""".stripMargin,
+
+    // the streamed crawl's final corpus table: the SAME blocks as
+    // warc_html_blocks but ONE copy per page — the gz re-crawl batch and
+    // the replayed batch both collapse into the first copy under the
+    // fp-keyed LWW upsert
+    "crawl_stream_e2e" ->
+      """SELECT url, block_idx, heading, content,
+        |  length(content) AS n_chars FROM (VALUES
+        | (0, TRUE, 'Parsing at scale'),
+        | (1, FALSE,
+        |  'Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.'),
+        | (2, FALSE,
+        |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
+        | (3, FALSE,
+        |  'Entities decode: café & résumé stay readable.')
+        |) AS b(block_idx, heading, content)
+        |CROSS JOIN (VALUES ('http://example.com/blog')) AS u(url)""".stripMargin,
+
+    // frontier re-derived from doc_id alone: %5=1 rows are the robots-
+    // denied /private/ paths; the canonical URL and host re-derive by
+    // string construction (lowercased, port stripped, fragment gone);
+    // the politeness budget is the same rank-limit window in DuckDB
+    "crawl_frontier" ->
+      """WITH f AS (
+        | SELECT 'http://host' || (doc_id % 7) || '.example.com/articles/page'
+        |          || doc_id AS url,
+        |        (doc_id % 10) * 100000 AS priority_micro,
+        |        'host' || (doc_id % 7) || '.example.com' AS host
+        | FROM documents WHERE doc_id % 5 <> 1)
+        |SELECT url, priority_micro, host, fetch_rank FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY host ORDER BY priority_micro DESC, url) AS fetch_rank
+        | FROM f) t WHERE fetch_rank <= 5""".stripMargin,
 
     // the canonical form re-derived from doc_id alone — an independent
     // derivation, not a replay of the engine's string surgery

@@ -679,7 +679,9 @@ object DocFixtures {
     val out = new ByteArrayOutputStream()
     crawlWarcRecords.foreach { rec =>
       val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(rec); gz.finish()
+      // close(), not just finish(): each member leaks a native Deflater
+      // otherwise; closing after finish() on the shared BAOS is safe
+      try gz.write(rec) finally gz.close()
     }
     out.toByteArray
   }

@@ -75,13 +75,18 @@ object Html {
             case "quot" => Some("\"")
             case "apos" => Some("'")
             case "nbsp" => Some(" ")
+            // isValidCodePoint accepts surrogate code points U+D800-DFFF;
+            // an unpaired surrogate corrupts to U+FFFD on any UTF-8 /
+            // parquet round-trip, so reject those too
             case b if b.startsWith("#x") || b.startsWith("#X") =>
               scala.util.Try(Integer.parseInt(b.drop(2), 16))
-                .filter(cp => cp > 0 && Character.isValidCodePoint(cp))
+                .filter(cp => cp > 0 && Character.isValidCodePoint(cp) &&
+                  !(cp >= 0xD800 && cp <= 0xDFFF))
                 .map(cp => new String(Character.toChars(cp))).toOption
             case b if b.startsWith("#") =>
               scala.util.Try(Integer.parseInt(b.drop(1)))
-                .filter(cp => cp > 0 && Character.isValidCodePoint(cp))
+                .filter(cp => cp > 0 && Character.isValidCodePoint(cp) &&
+                  !(cp >= 0xD800 && cp <= 0xDFFF))
                 .map(cp => new String(Character.toChars(cp))).toOption
             case _ => None
           }
@@ -151,8 +156,11 @@ object Html {
       var curHeading = false
       var curChrome = false
       def flush(): Unit = {
-        val text = decodeEntities(
-          wsRun.matcher(cur).replaceAll(" ").trim)
+        // decode FIRST, collapse second: numeric whitespace entities
+        // (&#10; &#9;) and &nbsp; must collapse like literal whitespace,
+        // or decoded newlines/doubles re-enter "collapsed" block text
+        val text = wsRun.matcher(decodeEntities(cur.toString))
+          .replaceAll(" ").trim
         if (text.nonEmpty)
           blocks += ((curHeading && !curChrome, text, curLink,
             math.max(1L, curTotal), curChrome))
@@ -161,7 +169,22 @@ object Html {
         curChrome = chromeDepth > 0
       }
       def lower(t: String) = t.toLowerCase(java.util.Locale.ROOT)
-      lazy val ls = lower(s) // once — per-tag lowering would be O(n²)
+      // ASCII-only lowering, NOT String.toLowerCase: Unicode lowercasing
+      // can change string LENGTH (U+0130 'İ' → "i̇", 2 chars — routine on
+      // Turkish pages), and indices found in the lowered copy are used
+      // against `s` for the raw-text close-tag scan. Tag names are ASCII,
+      // so ASCII-only lowering finds them while guaranteeing ls.length
+      // == s.length (index-compatible by construction).
+      lazy val ls = { // once — per-tag lowering would be O(n²)
+        val a = s.toCharArray
+        var k = 0
+        while (k < a.length) {
+          val ch = a(k)
+          if (ch >= 'A' && ch <= 'Z') a(k) = (ch + 32).toChar
+          k += 1
+        }
+        new String(a)
+      }
       while (i < n) {
         val c = s.charAt(i)
         if (c == '<') {
@@ -230,7 +253,7 @@ object Html {
           val text = s.substring(i, end)
           if (inTitle) {
             if (title.isEmpty) {
-              val t = decodeEntities(wsRun.matcher(text).replaceAll(" ").trim)
+              val t = wsRun.matcher(decodeEntities(text)).replaceAll(" ").trim
               if (t.nonEmpty) title = Some(t)
             }
           } else {

@@ -175,10 +175,16 @@ object UrlOps {
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
-    val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]+)", 1))
-    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+    // RFC 3986 §6.2.2.1 lowercases only scheme and HOST — userinfo is
+    // case-sensitive, so split it off before lowering (else
+    // http://User@h/ and http://user@h/ collapse to one dedup key)
+    val authority = regexp_extract(noFrag, "^[^:/?#]+://([^/?#]+)", 1)
+    val userinfo = regexp_extract(authority, "^([^@]*@)", 1)
+    val hostPort = lower(regexp_replace(authority, "^[^@]*@", ""))
+    val bareHost = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
       .otherwise(hostPort)
+    val host = concat(userinfo, bareHost)
     val rawPath = regexp_extract(noFrag, "^[^:/?#]+://[^/?#]+([^?#]*)", 1)
     val path = regexp_replace(rawPath, "(.)/$", "$1") // non-root trailing slash
     val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
@@ -193,5 +199,38 @@ object UrlOps {
       scheme, lit("://"), host,
       when(path === "", lit("/")).otherwise(path),
       when(sortedQ === "", lit("")).otherwise(concat(lit("?"), sortedQ))))
+  }
+
+  /** Extract the (lowercased) host from an absolute URL — userinfo and
+    * port excluded. Empty string for non-absolute input. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
+
+  /** Per-host politeness scheduling over the crawl frontier — the
+    * distributed analogue of the reference's per-host connection cap
+    * (`ingestion_service.py:76` bounds concurrent fetches; a
+    * distributed crawler bounds the next FETCH BATCH per host instead):
+    * rank each host's candidate URLs by (priority desc, url asc — a
+    * deterministic total order) and keep at most `hostBudget` per host.
+    *
+    * Output adds `host` and `fetch_rank` (1-based; rank r fetches in
+    * politeness tick ceil(r / concurrency), so the rank IS the
+    * schedule). Scale shape: ONE hash shuffle on host; the rank filter
+    * is a rank-limit window, which Spark executes as WindowGroupLimit —
+    * each partition keeps only its top `hostBudget` rows per host
+    * before the sort completes, so a 100 TB frontier with a hot host
+    * (the skew case: one domain contributing millions of URLs) never
+    * materializes more than `hostBudget` rows per host per partition
+    * map-side. */
+  def crawlFrontier(urls: org.apache.spark.sql.DataFrame, hostBudget: Int = 5,
+                    urlCol: String = "url",
+                    prioCol: String = "priority_micro"): org.apache.spark.sql.DataFrame = {
+    require(hostBudget >= 1, s"hostBudget must be >= 1, got $hostBudget")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("host"))
+      .orderBy(col(prioCol).desc_nulls_last, col(urlCol).asc)
+    urls.withColumn("host", urlHost(col(urlCol)))
+      .withColumn("fetch_rank", row_number().over(w))
+      .filter(col("fetch_rank") <= hostBudget)
   }
 }

@@ -165,6 +165,39 @@ object StreamingIngest {
       }
   }
 
+  /** One micro-batch of the STREAMING crawl chain: WARC shard bytes →
+    * [[graft.operators.Warc.warcHtmlBlocks]] (response records, 200 +
+    * text/html, boilerplate-filtered main-content blocks) → content
+    * fingerprint → last-write-wins merge into the parquet corpus table.
+    * The batch twin is `warcHtmlBlocks` alone; this adds the S2
+    * idempotence a continuous crawl needs — a RE-crawled page (same
+    * url/block/content ⇒ same fp) replaces its previous row instead of
+    * duplicating it, and an at-least-once replayed micro-batch is a
+    * no-op. The upsert key is (url, block_idx, content): a page whose
+    * content CHANGED on re-crawl keeps both versions' blocks only where
+    * the text actually differs — exactly the corpus-dedup semantics the
+    * downstream exact-dedup stage expects.
+    *
+    * Scale shape: the extract is the batch chain's zero-shuffle map
+    * pass; the merge costs one fp-hash shuffle over existing ∪ batch —
+    * on a real table this becomes a Delta/Iceberg MERGE (the
+    * [[upsertBatch]] contract). The `warc` shard column is dropped
+    * before the merge: two shards carrying the same page must collapse
+    * to ONE row, and which shard won is meaningless under LWW. */
+  def crawlUpsertBatch(spark: SparkSession, batch: DataFrame,
+                       targetDir: String): Unit = {
+    val blocks = graft.operators.Warc.warcHtmlBlocks(batch)
+      .withColumn("fp", TextAnalysis.fingerprint(concat_ws(" ",
+        col("url"), col("block_idx"), col("content"))))
+      // upsertBatch's LWW window tie-breaks on doc_id: derive a
+      // deterministic one from the page identity so a same-instant
+      // re-ingest of the same block resolves identically everywhere
+      .withColumn("doc_id", xxhash64(col("url"), col("block_idx")))
+      .withColumn("ingest_ts", current_timestamp())
+      .drop("warc")
+    upsertBatch(spark, blocks, targetDir)
+  }
+
   /** Streaming sessionization: event-time `session_window` with a 30 min
     * gap under a watermark — the streaming twin of
     * [[graft.operators.EventOps.sessionize]]'s batch gaps-and-islands.

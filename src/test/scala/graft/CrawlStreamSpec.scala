@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.operators.{DocFixtures, UrlOps, Warc}
+import graft.streaming.StreamingIngest
+
+/** The streamed crawl chain (crawl_stream_e2e) against its batch twin,
+  * plus the frontier politeness window. */
+class CrawlStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/t"
+
+  private def finalCols(df: DataFrame): Seq[(String, Int, Boolean, String)] =
+    df.select("url", "block_idx", "heading", "content")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+  test("streamed crawl upserts equal the batch chain, one copy per page") {
+    val dir = tmp("graft-crawl-parity")
+    val all = DocFixtures.warcAll.toDF("warc", "content")
+    // batch 0: the plain shard; batch 1: its gz twin — a RE-crawl of the
+    // same pages, which the fp-keyed LWW merge must collapse, not append
+    StreamingIngest.crawlUpsertBatch(spark, all.filter($"warc" === "crawl"), dir)
+    StreamingIngest.crawlUpsertBatch(spark, all.filter($"warc" === "crawl_gz"), dir)
+    // at-least-once replay of the second batch: byte-identical no-op
+    StreamingIngest.crawlUpsertBatch(spark, all.filter($"warc" === "crawl_gz"), dir)
+    val streamed = finalCols(spark.read.parquet(dir))
+    val batch = finalCols(Warc.warcHtmlBlocks(all).dropDuplicates("url", "block_idx", "content"))
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+    // exactly ONE row per (url, block): the re-crawl replaced, the
+    // replay no-op'd
+    assert(streamed.map(t => (t._1, t._2)).distinct.size === streamed.size)
+  }
+
+  test("a changed page on re-crawl keeps the new block alongside old-only blocks") {
+    val dir = tmp("graft-crawl-recrawl")
+    val all = DocFixtures.warcAll.toDF("warc", "content")
+    StreamingIngest.crawlUpsertBatch(spark, all.filter($"warc" === "crawl"), dir)
+    val before = spark.read.parquet(dir).count()
+    // synthesize a re-crawl whose page content CHANGED: new text ⇒ new
+    // fp ⇒ a NEW row (block-level dedup is content-keyed, not url-keyed)
+    val changed = DocFixtures.blogHtml.replace(
+      "Parsing at scale", "Parsing at planetary scale")
+    val httpBody = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+      changed).getBytes("ISO-8859-1")
+    val warc =
+      ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: http://example.com/blog\r\n" +
+        "Content-Length: " + httpBody.length + "\r\n\r\n").getBytes("ISO-8859-1") ++ httpBody
+    val parsed = Warc.parseWarc(warc)
+    assert(parsed.isDefined && parsed.get.head.http_status === Some(200))
+    StreamingIngest.crawlUpsertBatch(spark,
+      Seq(("recrawl", warc)).toDF("warc", "content"), dir)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === before + 1)
+    assert(after.filter($"content" === "Parsing at planetary scale").count() === 1)
+    assert(after.filter($"content" === "Parsing at scale").count() === 1)
+  }
+
+  test("crawlFrontier: per-host budget, priority-then-url order, deterministic ranks") {
+    val frontier = Seq(
+      ("http://a.com/p1", 900000L), ("http://a.com/p2", 900000L),
+      ("http://a.com/p3", 100000L), ("http://b.com/q", 500000L),
+      ("http://User@A.com/p4", 950000L) // userinfo excluded from host; host lowercases
+    ).toDF("url", "priority_micro")
+    val out = UrlOps.crawlFrontier(frontier, hostBudget = 2)
+      .select("host", "url", "fetch_rank")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).sortBy(t => (t._1, t._3))
+    assert(out === Seq(
+      ("a.com", "http://User@A.com/p4", 1), // highest priority on a.com
+      ("a.com", "http://a.com/p1", 2), // tie broken by url asc; p3 over budget
+      ("b.com", "http://b.com/q", 1)))
+  }
+}

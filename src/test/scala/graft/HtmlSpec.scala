@@ -51,6 +51,35 @@ class HtmlSpec extends SparkSpec {
       === "café résumé 😀")
     assert(Html.decodeEntities("&eacute; &unknown; & x &#; &#xZZ;")
       === "&eacute; &unknown; & x &#; &#xZZ;")
+    // surrogate code points are NOT valid scalar values: an unpaired
+    // surrogate would corrupt to U+FFFD on any UTF-8/parquet round-trip
+    assert(Html.decodeEntities("&#xD800; &#55296; &#xDFFF;")
+      === "&#xD800; &#55296; &#xDFFF;")
+  }
+
+  test("whitespace entities collapse like literal whitespace in blocks and title") {
+    // decode-then-collapse: &#10;/&#9;/&nbsp; must not reintroduce
+    // newlines or double spaces into "collapsed" block content
+    val p = Html.parseHtml(
+      ("<head><title>One&#10;Two&nbsp; Three</title></head>" +
+        "<body><p>line one&#10;line two&#9;tabbed &nbsp; padded, well past the floor.</p></body>")
+        .getBytes("UTF-8")).get
+    assert(p.title === Some("One Two Three"))
+    assert(p.blocks.map(_.content) ===
+      Seq("line one line two tabbed padded, well past the floor."))
+  }
+
+  test("raw-text close-tag scan survives length-changing Unicode lowercasing") {
+    // 'İ' (U+0130) lowercases to TWO chars under full Unicode rules; if
+    // the close-tag index came from such a lowered copy, the parser
+    // would resume at the wrong offset and leak script bytes into text
+    val p = Html.parseHtml(
+      ("<body><p>İİİİ İstanbul prose paragraph long enough to keep around.</p>" +
+        "<script>var x = 'İİİİİİİİ<p>injected forty characters of script body</p>';</script>" +
+        "<p>the closing real paragraph of the page body.</p></body>").getBytes("UTF-8")).get
+    assert(p.blocks.map(_.content) === Seq(
+      "İİİİ İstanbul prose paragraph long enough to keep around.",
+      "the closing real paragraph of the page body."))
   }
 
   test("charset detection: meta charset and BOMs beat the UTF-8 default") {
