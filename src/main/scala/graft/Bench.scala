@@ -82,6 +82,23 @@ object Bench {
       name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // END-of-run calibration: the start probe certifies the window was
+    // quiet when the bench BEGAN, not throughout — round 15's driver run
+    // carried cal 0.306 yet two adjacent mid-list queries (bench order
+    // 48-49) ran 3.5x their stable four-round anchor cost, a mid-run
+    // contention spike the single probe could not see. Same probe, same
+    // min-of-2; read: start≈end≈anchor ⇒ whole run comparable; end
+    // inflated ⇒ late queries suspect; BOTH low but a query 3x its
+    // neighbor-round cost ⇒ a spike BETWEEN the probes, rerun before
+    // believing it.
+    val calibrationEnd = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      try spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("count(distinct lower(text)) AS n")
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }.min
     // The harness that reads this line keeps only the LAST ~2000 chars of
     // output and parses the JSON line found there; the sbt "[success] ..."
     // line printed after main() returns eats ~70 of those. So the line must
@@ -101,7 +118,7 @@ object Bench {
     }
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + jq(k) + "\":" + fmt(v) }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":${fmt(calibration)},"queries":{"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":${fmt(calibration)},"calibration_end":${fmt(calibrationEnd)},"queries":{"""
     val tail2 = s"""},"sf":"${jq(sfDir)}"}"""
     val fixed = head.length + tail2.length
     val kept = new StringBuilder
