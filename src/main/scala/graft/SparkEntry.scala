@@ -3263,13 +3263,18 @@ object SparkEntry {
         |   'Wire | 0.00' || chr(10) || 'Card | 3.50')
         |) AS t(doc, source, page, table_idx, content)""".stripMargin,
 
+    // error codes: NULL = valid, 'encrypted' = password-protected PDF
+    // (counted, not silently absent), 'parse_failed' = everything else
     "doc_validate" ->
       """SELECT * FROM (VALUES
-        | ('policy', 'docx', true), ('memo', 'docx', true),
-        | ('simple', 'eml', true), ('multi', 'eml', true),
-        | ('contract', 'pdf', true), ('invoice', 'pdf', true),
-        | ('garbage_docx', 'docx', false), ('garbage_pdf', 'pdf', false)
-        |) AS t(doc, fmt, is_valid)""".stripMargin,
+        | ('policy', 'docx', true, CAST(NULL AS VARCHAR)),
+        | ('memo', 'docx', true, NULL),
+        | ('simple', 'eml', true, NULL), ('multi', 'eml', true, NULL),
+        | ('contract', 'pdf', true, NULL), ('invoice', 'pdf', true, NULL),
+        | ('locked', 'pdf', false, 'encrypted'),
+        | ('garbage_docx', 'docx', false, 'parse_failed'),
+        | ('garbage_pdf', 'pdf', false, 'parse_failed')
+        |) AS t(doc, fmt, is_valid, error)""".stripMargin,
 
     "decontam_report" -> decontamReportSql,
 

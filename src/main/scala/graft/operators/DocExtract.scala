@@ -725,6 +725,9 @@ object DocExtract {
     /** obj num → Left(byte offset) | Right((container ObjStm num, idx)). */
     private val entries = scala.collection.mutable.Map[Int, Either[Long, (Int, Int)]]()
     private var rootRef: Option[PRef] = None
+    /** Any trailer in the xref chain carried /Encrypt: strings and
+      * streams are ciphertext — decoding must not be attempted. */
+    var isEncrypted: Boolean = false
     private val cache = scala.collection.mutable.Map[Int, (PVal, Option[Array[Byte]])]()
     private val loading = scala.collection.mutable.Set[Int]()
 
@@ -905,6 +908,7 @@ object DocExtract {
             case r: PRef => rootRef = Some(r)
             case _ => ()
           }
+          if (trailer.m.contains("Encrypt")) isEncrypted = true
           // hybrid-reference file: the classic trailer points at a
           // parallel xref stream holding the ObjStm entries
           trailer.m.get("XRefStm").foreach {
@@ -1065,6 +1069,13 @@ object DocExtract {
     try {
       val raw = new String(bytes, ISO_8859_1)
       if (!raw.startsWith("%PDF")) None
+      // EXPLICIT encryption check, before any decode attempt: without it
+      // the "encrypted → None, never wrong text" invariant held only by
+      // luck — an encrypted file whose xref read failed would fall into
+      // the linear scan, which happily inflates/echoes CIPHERTEXT as
+      // page text. [[pdfEncrypted]] is the validator surface for the
+      // same signal (error code "encrypted").
+      else if (pdfEncrypted(bytes)) None
       else {
         val viaXref =
           try parsePdfXref(bytes, raw)
@@ -1072,6 +1083,35 @@ object DocExtract {
         viaXref.orElse(parsePdfLinear(bytes, raw))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Is this PDF encrypted (trailer /Encrypt — PDF 32000-1 §7.6)? The
+    * xref-chain walk reads the real trailer dict(s); a file whose xref
+    * is damaged falls back to a conservative textual probe for the
+    * `/Encrypt` key (over-reporting on a damaged file is the safe side:
+    * the reader would refuse it anyway, and the validator names WHY).
+    * The reference reads encrypted PDFs transparently via PyMuPDF
+    * (`document_processing_service.py:156-185`); this engine's
+    * documented exclusion surfaces them as a counted P2 validation
+    * error instead of silent absence. */
+  def pdfEncrypted(bytes: Array[Byte]): Boolean =
+    try {
+      val raw = new String(bytes, ISO_8859_1)
+      if (!raw.startsWith("%PDF")) false
+      else {
+        val viaTrailer: Option[Boolean] =
+          try {
+            val sx = raw.lastIndexOf("startxref")
+            if (sx < 0) None
+            else {
+              val lex = new PdfLex(raw, sx + "startxref".length)
+              val doc = new PdfDoc(bytes, raw)
+              doc.loadXrefChain(lex.keyword().toLong)
+              Some(doc.isEncrypted)
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        viaTrailer.getOrElse(raw.contains("/Encrypt"))
+      }
+    } catch { case scala.util.control.NonFatal(_) => false }
 
   // ---- PDF tables (S5-lite) --------------------------------------------
 
@@ -1163,6 +1203,7 @@ object DocExtract {
   val validDocxUdf = udf((bytes: Array[Byte]) => parseDocx(bytes).isDefined)
   val validEmlUdf = udf((bytes: Array[Byte]) => parseEml(bytes).isDefined)
   val validPdfUdf = udf((bytes: Array[Byte]) => parsePdf(bytes).isDefined)
+  val pdfEncryptedUdf = udf((bytes: Array[Byte]) => pdfEncrypted(bytes))
 
   /** The fixture corpus as a (doc, fmt, content BINARY) frame — the same
     * shape a `binaryFile` scan of a staging directory produces. */
@@ -1239,11 +1280,21 @@ object DocExtract {
         col("t.table_idx").as("table_idx"),
         col("t.headers").as("headers"), col("t.rows").as("rows"))
 
-  /** S10 surface: per-format validator verdict for every fixture. */
+  /** S10 surface: per-format validator verdict for every fixture, plus
+    * a P2 error code naming WHY a document was rejected — `encrypted`
+    * for password-protected PDFs (a corpus report must be able to COUNT
+    * them; the reference reads them transparently, this engine
+    * documents them out of scope), `parse_failed` for everything else
+    * invalid, NULL for valid documents. */
   def validateAll(docs: DataFrame): DataFrame =
-    docs.select(col("doc"), col("fmt"),
-      when(col("fmt") === "docx", validDocxUdf(col("content")))
-        .when(col("fmt") === "eml", validEmlUdf(col("content")))
-        .when(col("fmt") === "pdf", validPdfUdf(col("content")))
-        .otherwise(lit(false)).as("is_valid"))
+    docs.select(col("doc"), col("fmt"), col("content"),
+        when(col("fmt") === "docx", validDocxUdf(col("content")))
+          .when(col("fmt") === "eml", validEmlUdf(col("content")))
+          .when(col("fmt") === "pdf", validPdfUdf(col("content")))
+          .otherwise(lit(false)).as("is_valid"))
+      .select(col("doc"), col("fmt"), col("is_valid"),
+        when(col("is_valid"), lit(null).cast("string"))
+          .when(col("fmt") === "pdf" && pdfEncryptedUdf(col("content")),
+            lit("encrypted"))
+          .otherwise(lit("parse_failed")).as("error"))
 }

@@ -722,8 +722,43 @@ object DocFixtures {
 
   // ---- assembled fixture set ------------------------------------------
 
+  /** A structurally-VALID encrypted PDF: proper objects, xref and
+    * trailer, but the trailer carries `/Encrypt 5 0 R` (PDF 32000-1
+    * §7.6, the RC4 "Standard" security-handler shape) and the content
+    * stream holds stand-in CIPHERTEXT (the plaintext ops XOR-scrambled).
+    * The reader must classify it `encrypted` and emit NO text — the
+    * scrambled bytes decoding to garbage "pages" is exactly the failure
+    * the explicit /Encrypt check exists to prevent. */
+  def encryptedPdfBytes: Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets_ISO))
+    val offsets = scala.collection.mutable.ArrayBuffer[Int]()
+    def beginObj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
+    w("%PDF-1.4\n")
+    beginObj(1); w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2); w("<< /Type /Pages /Kids [3 0 R] /Count 1 >>\nendobj\n")
+    beginObj(3); w("<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R >>\nendobj\n")
+    val plain = "BT /F1 12 Tf 72 720 Td (Top secret clause.) Tj ET"
+      .getBytes(StandardCharsets_ISO)
+    val cipher = plain.zipWithIndex
+      .map { case (b, i) => (b ^ (0x5A + i % 7)).toByte }
+    beginObj(4)
+    w(s"<< /Length ${cipher.length} >>\nstream\n"); out.write(cipher)
+    w("\nendstream\nendobj\n")
+    beginObj(5)
+    w("<< /Filter /Standard /V 1 /R 2 /P -44 " +
+      "/O (0123456789abcdef0123456789abcdef) " +
+      "/U (fedcba9876543210fedcba9876543210) >>\nendobj\n")
+    val xrefPos = out.size()
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R /Encrypt 5 0 R >>\n" +
+      s"startxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** (doc, fmt, bytes): the parse-query corpus, including two corrupt
-    * members for the validator surface. */
+    * members and one encrypted member for the validator surface. */
   def all: Seq[(String, String, Array[Byte])] = Seq(
     ("policy", "docx", docxBytes(policyParas, Seq(policyTable))),
     ("memo", "docx", docxBytes(memoParas, Seq.empty)),
@@ -731,6 +766,7 @@ object DocFixtures {
     ("multi", "eml", multiEml.getBytes(UTF_8)),
     ("contract", "pdf", pdfBytes(contractPages)),
     ("invoice", "pdf", pdfBytes(invoicePages)),
+    ("locked", "pdf", encryptedPdfBytes),
     ("garbage_docx", "docx", Array[Byte](0x50, 0x4b, 0x03, 0x04, 0x00, 0x01, 0x02)),
     ("garbage_pdf", "pdf", "%PDF-1.4 not really a pdf".getBytes(UTF_8)))
 }

@@ -432,11 +432,35 @@ class DocExtractSpec extends SparkSpec {
       .collect().map(r => r.getAs[String]("chunk_id")).sorted
     assert(eml.toSeq == Seq("multi_body_0", "multi_headers", "simple_body_1", "simple_body_2", "simple_headers"))
     val valid = DocExtract.validateAll(fx).collect()
-      .map(r => r.getAs[String]("doc") -> r.getAs[Boolean]("is_valid")).toMap
+      .map(r => (r.getAs[String]("doc"),
+        (r.getAs[Boolean]("is_valid"), Option(r.getAs[String]("error"))))).toMap
     assert(valid == Map(
-      "policy" -> true, "memo" -> true, "simple" -> true, "multi" -> true,
-      "contract" -> true, "invoice" -> true,
-      "garbage_docx" -> false, "garbage_pdf" -> false))
+      "policy" -> (true, None), "memo" -> (true, None),
+      "simple" -> (true, None), "multi" -> (true, None),
+      "contract" -> (true, None), "invoice" -> (true, None),
+      "locked" -> (false, Some("encrypted")),
+      "garbage_docx" -> (false, Some("parse_failed")),
+      "garbage_pdf" -> (false, Some("parse_failed"))))
+  }
+
+  test("S4: encrypted PDF classifies 'encrypted' and yields NO text, ever") {
+    val enc = DocFixtures.encryptedPdfBytes
+    assert(DocExtract.pdfEncrypted(enc))
+    assert(DocExtract.parsePdf(enc).isEmpty) // never ciphertext-garbled pages
+    assert(DocExtract.parsePdfTables(enc).isEmpty)
+    // plain fixtures must NOT misclassify
+    assert(!DocExtract.pdfEncrypted(DocFixtures.pdfBytes(DocFixtures.contractPages)))
+    assert(!DocExtract.pdfEncrypted(DocFixtures.pdfBytesXrefStream(DocFixtures.amendmentPages)))
+    assert(!DocExtract.pdfEncrypted("%PDF-1.4 not really a pdf".getBytes("UTF-8")))
+    // a DAMAGED encrypted file (xref clobbered) still reports encrypted
+    // via the conservative textual probe — and still yields no pages
+    val damaged = {
+      val s = new String(enc, "ISO-8859-1")
+      val cut = s.lastIndexOf("startxref")
+      s.substring(0, cut).getBytes("ISO-8859-1")
+    }
+    assert(DocExtract.pdfEncrypted(damaged))
+    assert(DocExtract.parsePdf(damaged).isEmpty)
   }
 
   // ---- S5-lite table detection ----------------------------------------
