@@ -1,0 +1,1229 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators._
+
+/** Curation tier: chunking, text analysis, dedup family, sampling/splitting, decontamination, quality/selection models, graph.
+  * One `queries` entry per operator with its DuckDB oracle twin;
+  * composed into [[SparkEntry.queries]]/[[SparkEntry.oracleSql]]. */
+private[graft] trait EntryCuration extends EntryShared {
+
+  protected def curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "c2_paragraph_chunks" -> ((s, d) => Chunking.paragraphChunks(Tables.documents(s, d))),
+    "c6_sliding_chunks" -> ((s, d) =>
+      Chunking.slidingWindowChunks(Tables.documents(s, d), windowSize = 20, overlap = 4)),
+    "c8_token_counts" -> ((s, d) =>
+      TextAnalysis.tokenCounts(Tables.documents(s, d)).select("doc_id", "ws_tokens", "bpe_ish_tokens")),
+    "a1_doc_stats" -> ((s, d) =>
+      Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
+        .groupBy(col("document_id"))
+        .agg(count(lit(1)).as("chunks_count"), sum(length(col("content"))).as("total_characters"))),
+    "c1_sections" -> ((s, d) => Sections.sectionChunks(Tables.documents(s, d))),
+    "c9_embed_text" -> ((s, d) =>
+      Sections.embedText(Sections.sectionChunks(Tables.documents(s, d)), maxChars = 1000)
+        .select("chunk_id", "document_id", "embed_text")),
+    "s7_strategy" -> ((s, d) =>
+      Sections.extractWithFallback(Tables.documents(s, d),
+        primary = col("text"), fallback = upper(substring(col("text"), 1, 120)), minWords = 40)
+        .select("doc_id", "strategy", "extracted_text")),
+    // C4/C5 ordered folds (flatMapGroups), oracle-checked via recursive
+    // CTEs that replay the greedy state walk. NOTE the synthetic corpus
+    // has no sentence punctuation or blank lines, so the folds take the
+    // passthrough path on this data — the split/merge BEHAVIOR is pinned
+    // by the seeded property tests in ChunkingSpec; the oracle pins ids,
+    // ordering, passthrough content, and counts.,
+    "c4_split_large" -> ((s, d) =>
+      ChunkFolds.splitLargeChunks(
+        Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
+          .select(col("document_id"), col("para_idx").as("position"), col("content")),
+        maxChars = 120).toDF),
+    // C7 rechunk chain: C4 split (120) feeding C5 merge (100), total
+    // order inside a document = (original position, sub index).,
+    "c7_rechunk" -> ((s, d) => {
+      val subs = ChunkFolds.splitLargeChunks(
+        Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
+          .select(col("document_id"), col("para_idx").as("position"), col("content")),
+        maxChars = 120).toDF
+      ChunkFolds.combineSmallChunks(
+        subs.select(col("document_id"),
+          (col("position") * 10000 + col("sub_index")).as("position"), col("content")),
+        minChars = 100).toDF
+    }),
+    "e1_tf_buckets" -> ((s, d) => Embedding.tfBuckets(Tables.documents(s, d), dim = 384)),
+    "rolling_fp" -> ((s, d) =>
+      Tables.documents(s, d).select(col("doc_id"),
+        TextAnalysis.rollingFingerprint(col("text")).as("rh"))),
+    "cdc_chunks" -> ((s, d) => Chunking.cdcChunks(Tables.documents(s, d), modulus = 16)),
+
+    // --- text analysis tier --------------------------------------------,
+    "lang_id" -> ((s, d) =>
+      TextAnalysis.languageId(Tables.documents(s, d))
+        .select(col("doc_id") +: col("pred_lang") +:
+          TextAnalysis.langMarkers.map { case (l, _) => col(s"score_$l") }: _*)),
+    "corpus_datacard" -> ((s, d) =>
+      TextAnalysis.corpusDatacard(Tables.documents(s, d))),
+    "quality_score" -> ((s, d) =>
+      TextAnalysis.qualityScore(Tables.documents(s, d))
+        .select("doc_id", "n_chars", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio")),
+    "redact_pii" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
+    "repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
+
+    // --- dedup tier ----------------------------------------------------,
+    "dedup_exact" -> ((s, d) => Dedup.exactDups(Tables.documents(s, d))),
+    "ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d).filter(col("doc_id") < 100))),
+    "minhash_pairs" -> ((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d).filter(col("doc_id") < 500))),
+    "simhash" -> ((s, d) =>
+      Dedup.simhash32(Tables.documents(s, d)).withColumnRenamed("id", "doc_id")),
+    // span-granularity exact substring dedup (Lee et al. 2022): maximal
+    // cross-document duplicated passages >= 8 words, by word offset,
+    "dup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d))),
+    // ...and the action half: the corpus with those passages clipped
+    // out (demo scoped to a doc subset, the ngram_jaccard precedent —
+    // dup_spans above keeps the full-corpus detection pass),
+    "dup_spans_clip" -> ((s, d) =>
+      Dedup.clipDuplicatedSpans(Tables.documents(s, d).filter(col("doc_id") < 1000))
+        .filter(col("n_words_removed") > 0)),
+    "embed_near_dups" -> ((s, d) =>
+      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.2, signDims = 4)),
+    // SemDeDup two-stage semantic dedup; the synthetic embeddings are
+    // near-orthogonal (max within-cell cosine ≈ 0.49), so the demo
+    // threshold sits below the 0.85 production default to exercise the
+    // flag path. nClusters pinned (oracle replays the 8-cell sample);
+    // maxCellReps = 48 BINDS at sf0.01+ (~62 per cell) so the per-cell
+    // pair cap is itself hash-checked, not just the uncapped path,
+    "semantic_dedup" -> ((s, d) =>
+      Dedup.semanticDedup(Tables.embeddings(s, d), nClusters = 8, threshold = 0.4,
+        maxCellReps = 48)),
+    // canonical-keeper assignment over the minhash candidate pairs — the
+    // step that turns near-dup PAIRS into per-document keep/drop decisions,
+    "dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      Dedup.dupClusters(docs, Dedup.minhashCandidates(docs))
+    }),
+    // iterated min-label propagation to the fixed point — TRUE connected
+    // components; oracle = transitive closure via recursive CTE,
+    "dup_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      Dedup.connectedComponents(docs, Dedup.minhashCandidates(docs))
+    }),
+    // leakage-safe split: hash the COMPONENT label, not the doc id — no
+    // near-dup cluster ever straddles train/test,
+    "leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      Dedup.leakageSafeSplit(docs, Dedup.minhashCandidates(docs))
+    }),
+
+    // --- deterministic sampling / splitting tier -----------------------,
+    "split_train_test" -> ((s, d) =>
+      Sampling.trainTestSplit(Tables.documents(s, d), "doc_id", testFrac = 0.1)
+        .select("doc_id", "bucket", "split")),
+    "stratified_sample" -> ((s, d) =>
+      Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", frac = 0.1)
+        .select("doc_id", "lang")),
+    "len_deciles" -> ((s, d) =>
+      Sampling.quantileBuckets(Tables.documents(s, d), "n_chars", nBuckets = 10)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))),
+    "pack_shards" -> ((s, d) =>
+      Sampling.packShards(Tables.documents(s, d), tokenBudget = 500, nBuckets = 8)),
+    "clip_outliers" -> ((s, d) =>
+      Sampling.winsorize(Tables.events(s, d), "value", lo = 0.05, hi = 0.95)
+        .select(col("event_id"), round(col("value"), 4).as("value"),
+          round(col("value_clipped"), 4).as("value_clipped"), col("was_clipped"))),
+    "sq_embeddings" -> ((s, d) =>
+      Similarity.scalarQuantize(Tables.embeddings(s, d))),
+    "jl_projection" -> ((s, d) =>
+      Embedding.randomProjection(Tables.embeddings(s, d), inDim = 64, outDim = 16)),
+    "label_centroids" -> ((s, d) =>
+      Embedding.labelCentroids(Tables.embeddings(s, d))),
+    "e4_l2norm" -> ((s, d) =>
+      Tables.embeddings(s, d).select(
+        col("vec_id"),
+        round(graft.functions.VectorOps.norm(
+          graft.functions.VectorOps.l2Normalize(col("embedding"))), 4).as("unit_norm"),
+        // + 0.0 collapses IEEE negative zero (a tiny negative component
+        // rounds to -0.0 in one engine and 0.0 in the other)
+        (round(element_at(graft.functions.VectorOps.l2Normalize(col("embedding")), 1), 4)
+          + lit(0.0)).as("c0"))),
+
+    // --- similarity search tier (SURVEY §2.5) --------------------------,
+    "decontam_report" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Decontaminate.report(docs, bench, n = 4)
+    }),
+    "domain_resample" -> ((s, d) =>
+      Sampling.domainResample(Tables.documents(s, d),
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)))
+        .select("doc_id", "lang")),
+    // the sizing step in front of the resample: a 200k-token budget over
+    // the same mixture — en underfills (rate < 1), the rest repeat; 'xx'
+    // names a stratum with no corpus data and must still surface
+    // (available 0, rate/epochs NULL, repeats_data true),
+    "token_budget" -> ((s, d) =>
+      Sampling.tokenBudgetPlan(Tables.documents(s, d),
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15), ("xx", 0.05)),
+        budgetTokens = 200000L)),
+    // the materialized training list the plan sizes: one row per
+    // (doc, epoch), repeating data where the mixture demands it,
+    "epoch_mixture" -> ((s, d) =>
+      Sampling.epochMixture(Tables.documents(s, d),
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15), ("xx", 0.05)),
+        budgetTokens = 200000L)),
+    "q22_year_spine" -> ((s, d) =>
+      Relational.yearSpineAgg(Tables.orders(s, d))),
+    "lm_surprisal" -> ((s, d) =>
+      TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
+    "lm_bigram" -> ((s, d) =>
+      TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
+    // the LM-artifact lifecycle (train → persist → load → score),
+    // mirroring bpe_artifact/unigram_artifact: the corpus gram
+    // aggregate runs once and lands on disk; scoring reads the frozen
+    // model. Must equal lm_surprisal exactly (same oracle) — nothing
+    // about the model may survive only in driver memory,
+    "lm_unigram_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.saveLm(TextAnalysis.trainUnigramLm(docs), lmUnigramModelDir)
+      TextAnalysis.unigramSurprisalWith(docs,
+        TextAnalysis.loadLm(s, lmUnigramModelDir, Seq("term", "cnt", "total")))
+    }),
+    // same lifecycle for the bigram LM — the operator SCALING.md's
+    // ×1000 probe flagged for re-exploding ~1e9 grams per scoring run;
+    // the artifact pays that once at train time,
+    "lm_bigram_artifact" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextAnalysis.saveLm(TextAnalysis.trainBigramLm(docs), lmBigramModelDir)
+      TextAnalysis.bigramSurprisalWith(docs,
+        TextAnalysis.loadLm(s, lmBigramModelDir, Seq("bigram", "c12", "cctx", "v")))
+    }),
+    // seeded MLlib RNG → run-reproducible but not engine-replayable;
+    // the deterministic sign-LSH/IVF twins carry the hash-compared
+    // ranked-list oracles, and THIS query checks the library path
+    // per-query: every question must come back non-empty with ≥ 0.5
+    // recall@10 vs brute force (measured 0.94 aggregate — the verdict
+    // catches per-bucket starvation the aggregate audit can average away),
+    "ann_brp_lsh" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qs = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
+      val cand = e.filter(col("vec_id") >= 5)
+      val exact = Retrieval.knnCosine(qs, cand, k = 10)
+      val hits = Similarity.brpLshTopK(qs, cand, k = 10)
+        .select(col("q_vec_id"), col("vec_id"))
+        .join(exact.select(col("q_vec_id"), col("vec_id")), Seq("q_vec_id", "vec_id"))
+        .groupBy("q_vec_id").agg(count(lit(1)).as("_hits"))
+      qs.select(col("q_vec_id")).join(hits, Seq("q_vec_id"), "left")
+        .select(col("q_vec_id"),
+          (coalesce(col("_hits"), lit(0L)) >= 5).as("recall_ok"))
+    }),
+    "clean_corpus" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Cleaning.cleanCorpus(docs, bench)
+    }),
+    // the curation SPINE — golden_e2e's training-data sibling: quality/
+    // dedup/decontamination verdict -> keep -> duplicated-passage clip
+    // -> token-budget mixture materialized over the CLEANED text. Pins
+    // the whole detect -> act -> size -> materialize chain against one
+    // oracle. Whitelist covers the mixture's strata (a lang the verdict
+    // rejects wholesale would leave a funded stratum nearly empty and
+    // blow its epoch count up to the repetition bound),
+    "curation_e2e" -> ((s, d) => {
+      // full-corpus on purpose: wall-clock here is the chain's ~40-stage
+      // critical path, NOT data (measured 5.4 s warm at sf0.001 AND
+      // sf0.1, scoped or not — the golden_e2e scheduling floor, deeper);
+      // a doc-subset demo would cost the same and test less
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      // the cleaned corpus is MATERIALIZED (localCheckpoint) before the
+      // clip/mixture stages: three downstream consumers shuffle it on
+      // different keys (shingle hash, doc id, stratum), so exchange
+      // reuse never applies and an unmaterialized `kept` re-runs the
+      // whole 11-exchange verdict chain per consumer (measured ~0.8 s
+      // of the query at sf0.1). At scale this is the pipeline's natural
+      // persist point anyway — the keep/drop verdict is exactly what a
+      // curator checkpoints before materializing training mixtures.
+      // Slimmed to the three columns the tail needs before the copy.
+      val kept = docs.select("doc_id", "text", "lang").join(
+        Cleaning.cleanCorpus(docs, bench,
+          langWhitelist = Seq("en", "de", "fr", "es", "pt"))
+          .filter(col("keep")).select("doc_id"),
+        "doc_id").localCheckpoint()
+      val cleaned = Dedup.clipDuplicatedSpans(kept)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(kept.select(col("doc_id"), col("lang")), "doc_id")
+      Sampling.epochMixture(cleaned,
+        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)),
+        budgetTokens = 100000L)
+    }),
+    "q23_lateral" -> ((s, d) =>
+      Relational.lateralTopPerNation(Tables.nation(s, d), Tables.customer(s, d))),
+    "pq_codes" -> ((s, d) =>
+      Similarity.pqCodes(Tables.embeddings(s, d))),
+    "pq_adc_topk" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.pqAdcTopK(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        e.filter(col("vec_id") >= 5), k = 10)
+    }),
+    "cms_heavy_hitters" -> ((s, d) =>
+      TextAnalysis.cmsTermCounts(Tables.documents(s, d), cmsProbeTerms,
+        depth = cmsDepth, width = cmsWidth)),
+
+    // --- r5 additions: simhash pairing, weighted sampling, graph
+    //     centrality, bloom decontam, k-means statistics ---------------,
+    "simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(Tables.documents(s, d))),
+    // the hot-bucket mitigation the x1000 rehearsal motivated: only the
+    // cap smallest ids per band bucket act as pair sources. cap=2 here
+    // so the cap genuinely bites at every test SF (the synthetic corpus
+    // has wide duplicate groups); production calls keep the default 64,
+    "simhash_pairs_capped" -> ((s, d) =>
+      Dedup.simhashPairsCapped(Tables.documents(s, d), cap = 2)),
+    "weighted_sample" -> ((s, d) =>
+      Sampling.weightedSample(Tables.documents(s, d), n = 50,
+        weightCol = "n_chars", keyCol = "doc_id")
+        .select("doc_id", "n_chars", "es_key")),
+    "pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      graft.operators.Graph.pageRank(docs, Dedup.minhashCandidates(docs))
+    }),
+    "bloom_decontam" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Decontaminate.bloomDecontam(docs,
+        docs.filter(col("doc_id") % 25 === 0).select(col("text")))
+    }),
+    "kmeans_step" -> ((s, d) =>
+      Similarity.kmeansStep(Tables.embeddings(s, d))),
+    "token_entropy" -> ((s, d) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, d))),
+    // the synthetic corpus draws from a ~30-term vocabulary, so nearly
+    // every term is corpus-wide — the cap stays high here to exercise
+    // long posting lists; production calls keep the default maxDf,
+    "inverted_index" -> ((s, d) =>
+      TextAnalysis.invertedIndex(Tables.documents(s, d), minDf = 2, maxDf = 10000)),
+    "pmi_cooccur" -> ((s, d) =>
+      TextAnalysis.pmiCooccurrence(Tables.documents(s, d))),
+    "contrastive_triplets" -> ((s, d) =>
+      Embedding.contrastiveTriplets(Tables.embeddings(s, d), nAnchors = 20)),
+    // exact→ANN auto-switch: at verification scale the Catalyst size
+    // statistic keeps it on the exact path, so the brute-force oracle
+    // applies; the ANN path's plan shape is pinned in PlanPropertiesSpec,
+    "knn_auto" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Retrieval.knnAuto(
+        e.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
+        e.filter(col("vec_id") >= 5), k = 10)
+    }),
+    "rrf_fusion" -> ((s, d) => {
+      val qs = questionsDF(s)
+      val docs = Tables.documents(s, d)
+      Retrieval.rrfFuse(
+        Retrieval.bm25Search(qs, docs, k = 10),
+        Retrieval.keywordSearch(qs, docs, k = 10), k = 5)
+    }),
+    // the golden end-to-end spine: the chunk → featurize → vector-kNN +
+    // BM25 → RRF chain entry() runs, in its engine-reproducible form
+    // (md5-bucket tf-idf standing in for HashingTF's Murmur3 — the
+    // SURVEY §7.4 #1 trade, same chain shape),
+    "golden_e2e" -> ((s, d) => {
+      val qs = questionsDF(s)
+      // NOT checkpointed: measured at sf0.1 three times (r7: 3.24 vs
+      // 3.25 s warm; r8 re-probe: within ±0.6 s run noise; r11 re-probe
+      // under the noop-sink methodology: 2.45 s min both ways) — the
+      // chain's cost is its ~25 AQE stages, not chunk re-derivation
+      // (a map-side explode), and a head checkpoint only serializes one
+      // more job before them. Contrast curation_e2e, where the shared
+      // frame IS expensive (the 11-exchange verdict chain) and the
+      // checkpoint pays for itself.
+      val chunks = Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
+        .select(col("chunk_id"), col("content").as("text"))
+      val vector = Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id")
+      val lexical = Retrieval.bm25Search(qs, chunks, k = 10, idCol = "chunk_id")
+      Retrieval.rrfFuse(vector, lexical, k = 3, idCol = "chunk_id")
+        .join(broadcast(qs), "question_id")
+    }),
+    // --- distributed BPE tokenizer training (vocab-compressed): the
+    // corpus collapses once to (word, freq) and every merge iteration
+    // runs over the vocabulary, never the corpus — the SentencePiece/
+    // HuggingFace-trainers compression, so k merges cost k small jobs
+    // regardless of corpus size,
+  )
+
+  protected def curationOracles: Map[String, String] = Map(
+    "c2_paragraph_chunks" ->
+      """WITH parts AS (
+        | SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx, trim(parts[i]) AS content
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS parts FROM documents) t,
+        |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g)
+        |SELECT doc_id || '_p0_para' || para_idx AS chunk_id, doc_id AS document_id,
+        | para_idx, content, 'paragraph' AS chunk_type,
+        | CAST(len(regexp_split_to_array(trim(content), '\s+')) AS INTEGER) AS word_count
+        |FROM parts WHERE length(content) > 50""".stripMargin,
+    "c6_sliding_chunks" ->
+      s"""WITH w AS (
+         | SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |   x -> regexp_full_match(x, '[a-z0-9]+') AND NOT list_contains($stopSql, x)) AS words
+         | FROM documents),
+         |ok AS (SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) >= 20),
+         |wins AS (
+         | SELECT doc_id, CAST(st / 16 AS INTEGER) AS win_idx,
+         |  array_to_string(words[st + 1 : st + 20], ' ') AS content
+         | FROM ok, LATERAL (SELECT unnest(generate_series(0, n - 20, 16)) AS st) g)
+         |SELECT doc_id || '_sliding_' || win_idx AS chunk_id, doc_id AS document_id,
+         | win_idx, content, 'sliding_window' AS chunk_type,
+         | CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS INTEGER) AS word_count
+         |FROM wins""".stripMargin,
+    "c8_token_counts" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS ws_tokens,
+        | CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_ish_tokens
+        |FROM documents""".stripMargin,
+    "a1_doc_stats" ->
+      """WITH parts AS (
+        | SELECT doc_id, trim(parts[i]) AS content
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS parts FROM documents) t,
+        |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g)
+        |SELECT doc_id AS document_id, count(*) AS chunks_count,
+        | CAST(sum(length(content)) AS BIGINT) AS total_characters
+        |FROM parts WHERE length(content) > 20 GROUP BY doc_id""".stripMargin,
+    "lang_id" -> langIdSql,
+
+    // composes the quality_score and dedup_exact formulas, then exact
+    // 1e4-unit means with unrounded quotients,
+    "corpus_datacard" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         |  round(CAST(length(trim(text)) - length(regexp_replace(trim(text), '[.,;:!?]', '', 'g')) AS DOUBLE)
+         |    / greatest(length(trim(text)), 1), 4) AS punct_ratio,
+         |  round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |      w -> list_contains($stopSql, w))) AS DOUBLE)
+         |    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS stopword_ratio
+         | FROM documents),
+         |d AS (SELECT doc_id, rn > 1 AS is_duplicate FROM (
+         | SELECT doc_id, row_number() OVER (
+         |   PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         |   ORDER BY doc_id) AS rn FROM documents))
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_words) AS BIGINT) AS total_words,
+         | CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
+         | CAST(sum(CAST(round(punct_ratio * 1e4) AS BIGINT)) AS DOUBLE) / (count(*) * 10000) AS avg_punct_ratio,
+         | CAST(sum(CAST(round(stopword_ratio * 1e4) AS BIGINT)) AS DOUBLE) / (count(*) * 10000) AS avg_stopword_ratio
+         |FROM q JOIN d USING (doc_id) GROUP BY lang""".stripMargin,
+    "quality_score" ->
+      s"""SELECT doc_id, length(trim(text)) AS n_chars,
+         | CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_words,
+         | round(CAST(length(trim(text)) - (len(regexp_split_to_array(trim(text), '\\s+')) - 1) AS DOUBLE)
+         |   / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len,
+         | round(CAST(length(trim(text)) - length(regexp_replace(trim(text), '[.,;:!?]', '', 'g')) AS DOUBLE)
+         |   / greatest(length(trim(text)), 1), 4) AS punct_ratio,
+         | round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+         |     w -> list_contains($stopSql, w))) AS DOUBLE)
+         |   / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS stopword_ratio
+         |FROM documents""".stripMargin,
+    "redact_pii" -> {
+      val (u, e, ph) = (esc(TextAnalysis.urlPattern),
+        esc(TextAnalysis.emailPattern), esc(TextAnalysis.phonePattern))
+      s"""SELECT doc_id,
+         | len(regexp_extract_all(text, '$u')) AS n_urls,
+         | len(regexp_extract_all(text, '$e')) AS n_emails,
+         | len(regexp_extract_all(text, '$ph')) AS n_phones,
+         | regexp_replace(regexp_replace(regexp_replace(text,
+         |   '$u', '[URL]', 'g'), '$e', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g')
+         |  AS redacted
+         |FROM documents""".stripMargin
+    },
+    "repetition_stats" -> repetitionStatsSql,
+    "dedup_exact" -> dedupExactSql,
+    "ngram_jaccard" ->
+      """WITH sh AS (
+        | SELECT doc_id AS id, unnest(list_distinct(
+        |   CASE WHEN len(words) >= 3
+        |    THEN list_transform(generate_series(1, len(words) - 2), i -> array_to_string(words[i : i + 2], ' '))
+        |    ELSE [array_to_string(words, ' ')] END)) AS shingle
+        | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
+        |       FROM documents WHERE doc_id < 100)),
+        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
+        |shr AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
+        |sizes AS (SELECT id, count(*) AS n_sh FROM shr GROUP BY id),
+        |pairs AS (
+        | SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+        | FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.id < b.id
+        | GROUP BY a.id, b.id)
+        |SELECT id_a, id_b, inter,
+        | round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
+        |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b""".stripMargin,
+
+    // positional 4-grams -> cross-doc duplicated fingerprints ->
+    // gaps-and-islands span merge (windows within n touch or overlap);
+    // same md5-60bit fingerprint and \s+ tokenization as the operator,
+    "dup_spans" ->
+      s"""WITH ${dupSpanCtes("documents")}
+         |SELECT * FROM dsspans""".stripMargin,
+
+    // independent formulation of the clip: per-token anti-join against
+    // the span ranges (the operator uses an index-lambda filter), then
+    // order-preserving string_agg — only docs that lost words emitted.
+    // Detection stays on the lowercased dsw tokens; the SHIPPED tokens
+    // come from a case-preserving split (position-aligned: lower never
+    // changes whitespace) — the operator's casing contract,
+    "dup_spans_clip" ->
+      s"""WITH clip_src AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+         |${dupSpanCtes("clip_src")},
+         |cw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS cs FROM clip_src),
+         |tok AS (SELECT doc_id, i - 1 AS pos, cs[i] AS tk
+         |        FROM cw, LATERAL (SELECT unnest(generate_series(1, len(cs))) AS i) g),
+         |keep AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
+         |         WHERE NOT EXISTS (SELECT 1 FROM dsspans s
+         |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)),
+         |agg AS (SELECT k.doc_id,
+         |         COALESCE(string_agg(k.tk, ' ' ORDER BY k.pos), '') AS clean_text,
+         |         count(*) AS n_kept
+         |        FROM keep k GROUP BY k.doc_id)
+         |SELECT dsw.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+         | CAST(len(dsw.ws) AS INTEGER) AS n_words,
+         | CAST(len(dsw.ws) - COALESCE(a.n_kept, 0) AS INTEGER) AS n_words_removed
+         |FROM dsw LEFT JOIN agg a USING (doc_id)
+         |WHERE len(dsw.ws) - COALESCE(a.n_kept, 0) > 0""".stripMargin,
+    "minhash_pairs" -> {
+      val matchSum = (0 until 8).map(i =>
+        s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$minhashPairsCte
+         |SELECT id_a, id_b, round(($matchSum) / 8.0, 4) AS est_jaccard
+         |FROM pairs JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b""".stripMargin
+    },
+    "dup_components" ->
+      s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+         |          UNION ALL SELECT id_b AS id, id_a AS nbr FROM pairs),
+         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+         |reach(id, lbl) AS (
+         |  SELECT id, id AS lbl FROM docs0
+         |  UNION
+         |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)
+         |SELECT id AS doc_id, min(lbl) AS cluster,
+         | (min(lbl) = id) AS is_canonical
+         |FROM reach GROUP BY id""".stripMargin,
+    "leakage_split" ->
+      s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+         |          UNION ALL SELECT id_b AS id, id_a AS nbr FROM pairs),
+         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+         |reach(id, lbl) AS (
+         |  SELECT id, id AS lbl FROM docs0
+         |  UNION
+         |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr),
+         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id)
+         |SELECT doc_id, cluster,
+         | CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT < 13107
+         |      THEN 'test' ELSE 'train' END AS split
+         |FROM cc""".stripMargin,
+    "dup_clusters" ->
+      s"""$minhashPairsCte,
+         |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
+         |          UNION ALL SELECT id_b AS id, id_a AS nbr FROM pairs),
+         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500)
+         |SELECT d.id AS doc_id,
+         | CASE WHEN min(e.nbr) IS NULL OR d.id < min(e.nbr)
+         |  THEN d.id ELSE min(e.nbr) END AS cluster,
+         | (CASE WHEN min(e.nbr) IS NULL OR d.id < min(e.nbr)
+         |  THEN d.id ELSE min(e.nbr) END = d.id) AS is_canonical
+         |FROM docs0 d LEFT JOIN edges e ON e.id = d.id
+         |GROUP BY d.id""".stripMargin,
+    "simhash" -> s"""${simhashFpCte(32)}
+        |SELECT id AS doc_id, simhash FROM fp""".stripMargin,
+    "simhash_pairs" -> simhashPairsSql(sourcesCte = "banded"),
+
+    // the capped variant: keepers = the 2 smallest ids per band bucket,
+    "simhash_pairs_capped" -> simhashPairsSql(sourcesCte =
+      """(SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY id) AS rk
+        |               FROM banded) WHERE rk <= 2)""".stripMargin),
+    "embed_near_dups" ->
+      """WITH b AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e,
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        | FROM embeddings)
+        |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        | round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score
+        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) >= 0.2""".stripMargin,
+
+    // replays the full SemDeDup path: hash-ordered centroid sample →
+    // argmax-cosine assignment (round 6, cell tiebreak) → within-cell
+    // smaller-id REPRESENTATIVE (per-cell id rank ≤ 48 — the pair cap)
+    // above threshold,
+    "semantic_dedup" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |ranked AS (SELECT vec_id, e, row_number() OVER (ORDER BY
+        |  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn FROM c),
+        |cents AS (SELECT rn - 1 AS cell, e AS cw FROM ranked WHERE rn <= 8),
+        |asg AS (SELECT vec_id, cell, e FROM (
+        | SELECT c.vec_id, ct.cell, c.e, row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |  round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
+        | FROM c CROSS JOIN cents ct) WHERE r = 1),
+        |reps AS (SELECT vec_id, cell, e FROM (
+        | SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rep_rank
+        | FROM asg) WHERE rep_rank <= 48),
+        |dups AS (SELECT DISTINCT b.vec_id FROM reps a JOIN asg b
+        | ON a.cell = b.cell AND a.vec_id < b.vec_id
+        | WHERE round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) >= 0.4)
+        |SELECT asg.vec_id, asg.cell, (dups.vec_id IS NOT NULL) AS is_semantic_dup
+        |FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id""".stripMargin,
+    "e4_l2norm" ->
+      """SELECT vec_id,
+        | round(sqrt(list_inner_product(n, n)), 4) AS unit_norm,
+        | round(n[1], 4) + 0.0 AS c0
+        |FROM (SELECT vec_id,
+        |  list_transform(embedding::DOUBLE[],
+        |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS n
+        | FROM embeddings)""".stripMargin,
+    "sq_embeddings" ->
+      """SELECT vec_id,
+        | round(lo, 6) AS q_min,
+        | round((hi - lo) / 255.0, 9) AS q_scale,
+        | to_json(list_transform(embedding, x -> CASE WHEN hi = lo THEN 0
+        |   ELSE CAST(round((CAST(x AS DOUBLE) - lo) / ((hi - lo) / 255.0)) AS INTEGER)
+        |  END))::VARCHAR AS q_codes
+        |FROM (SELECT vec_id, embedding,
+        |  CAST(list_min(embedding) AS DOUBLE) AS lo,
+        |  CAST(list_max(embedding) AS DOUBLE) AS hi
+        | FROM embeddings)""".stripMargin,
+    "jl_projection" ->
+      """WITH m AS (
+        | SELECT j, i,
+        |  CASE WHEN ('0x' || substr(md5(j || ':' || i), 1, 15))::BIGINT % 2 = 1
+        |   THEN 1 ELSE -1 END AS s
+        | FROM generate_series(0, 15) t(j), generate_series(0, 63) u(i)),
+        |x AS (
+        | SELECT vec_id, i - 1 AS i,
+        |  CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x6
+        | FROM embeddings,
+        |   LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g)
+        |SELECT vec_id, CAST(j AS INTEGER) AS out_pos,
+        | CAST(sum(x6 * s) AS DOUBLE) * (1.0 / sqrt(16.0)) / 1000000.0 AS y
+        |FROM x JOIN m USING (i)
+        |GROUP BY vec_id, j""".stripMargin,
+    "label_centroids" ->
+      """SELECT label, CAST(i - 1 AS INTEGER) AS pos, count(*) AS n_vectors,
+        | round(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
+        |   / count(*) / 1000000.0, 6) AS mean_c
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        |GROUP BY label, i""".stripMargin,
+    "c4_split_large" ->
+      s"""$c4WalkSql
+         |SELECT document_id, document_id || '_' || position || '_sub_' || sub_idx AS chunk_id,
+         | position, CAST(sub_idx AS INTEGER) AS sub_index, content,
+         | CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS INTEGER) AS word_count
+         |FROM subs""".stripMargin,
+    "c7_rechunk" ->
+      s"""$c4WalkSql,
+         |seq AS (
+         | SELECT document_id,
+         |  row_number() OVER (PARTITION BY document_id ORDER BY position, sub_idx) AS i,
+         |  count(*) OVER (PARTITION BY document_id) AS n, content, length(content) AS clen
+         | FROM subs),
+         |merge_walk AS (
+         | SELECT document_id, i, n,
+         |  CASE WHEN clen >= 100 THEN '' ELSE content END AS pending,
+         |  CASE WHEN clen >= 100 THEN [content] ELSE CAST([] AS VARCHAR[]) END AS emitted,
+         |  CASE WHEN clen >= 100 THEN 1 ELSE 0 END AS k_after
+         | FROM seq WHERE i = 1
+         | UNION ALL
+         | SELECT nx.document_id, nx.i, nx.n,
+         |  CASE WHEN nx.clen >= 100 THEN ''
+         |   WHEN length(CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END) >= 100 THEN ''
+         |   ELSE CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END END,
+         |  CASE WHEN nx.clen >= 100 THEN
+         |    CASE WHEN w.pending <> '' THEN [w.pending, nx.content] ELSE [nx.content] END
+         |   WHEN length(CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END) >= 100
+         |    THEN [CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END]
+         |   ELSE CAST([] AS VARCHAR[]) END,
+         |  w.k_after + CASE WHEN nx.clen >= 100 THEN CASE WHEN w.pending <> '' THEN 2 ELSE 1 END
+         |   WHEN length(CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END) >= 100 THEN 1
+         |   ELSE 0 END
+         | FROM merge_walk w JOIN seq nx ON nx.document_id = w.document_id AND nx.i = w.i + 1),
+         |emissions AS (
+         | SELECT document_id, k_after - len(emitted) AS k_before, emitted FROM merge_walk
+         | UNION ALL
+         | SELECT document_id, k_after, [pending] FROM merge_walk WHERE i = n AND pending <> ''),
+         |final AS (
+         | SELECT document_id, CAST(k_before + j - 1 AS INTEGER) AS out_idx, emitted[j] AS content
+         | FROM emissions, LATERAL (SELECT unnest(generate_series(1, len(emitted))) AS j) g)
+         |SELECT document_id, document_id || '_merged_' || out_idx AS chunk_id,
+         | out_idx AS position, out_idx AS sub_index, content,
+         | CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS INTEGER) AS word_count
+         |FROM final""".stripMargin,
+    "split_train_test" ->
+      """SELECT doc_id,
+        | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bucket,
+        | CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < 6554
+        |  THEN 'test' ELSE 'train' END AS split
+        |FROM documents""".stripMargin,
+    "stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        | SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT, doc_id) AS rk,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        | FROM documents) WHERE rk <= ceil(n * 0.1)""".stripMargin,
+    "len_deciles" ->
+      s"""WITH cuts AS (SELECT
+         | ${(1 until 10).map(i => s"round(quantile_cont(n_chars, 0.$i), 4) AS c${i - 1}").mkString(", ")}
+         | FROM documents),
+         |bucketed AS (SELECT n_chars,
+         |  1 + ${(0 until 9).map(i => s"(CASE WHEN n_chars > c$i THEN 1 ELSE 0 END)").mkString(" + ")} AS bucket
+         | FROM documents, cuts)
+         |SELECT bucket, count(*) AS n_docs, min(n_chars) AS min_chars,
+         | max(n_chars) AS max_chars
+         |FROM bucketed GROUP BY bucket""".stripMargin,
+    "pack_shards" ->
+      """SELECT doc_id, bucket, bucket || '_' || shard_in_bucket AS shard_id, n_tokens
+        |FROM (
+        | SELECT doc_id, bucket, n_tokens,
+        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 500)
+        |   AS INTEGER) AS shard_in_bucket
+        | FROM (
+        |  SELECT doc_id,
+        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
+        |    AS INTEGER) AS bucket,
+        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents))""".stripMargin,
+    "clip_outliers" ->
+      """WITH cuts AS (SELECT round(quantile_cont(value, 0.05), 4) AS lo,
+        |  round(quantile_cont(value, 0.95), 4) AS hi FROM events)
+        |SELECT event_id, round(value, 4) AS value,
+        | round(least(greatest(value, lo), hi), 4) AS value_clipped,
+        | (value < lo OR value > hi) AS was_clipped
+        |FROM events, cuts""".stripMargin,
+
+    // ivf_topk with nprobe == nlist probes every cell → exact: must equal
+    // the brute-force oracle (same candidate set, same scoring, same
+    // tiebreak) — upgrading the rows-only check to a full hash compare
+    // while keeping the IVF plan shape under test.,
+    "ann_brp_lsh" ->
+      """SELECT vec_id AS q_vec_id, true AS recall_ok
+        |FROM embeddings WHERE vec_id < 5""".stripMargin,
+
+    // metric replay: same rounded-cosine ranking, ln-quotient log2,
+    // integer micro-unit gains, unrounded ndcg quotient,
+    "golden_e2e" -> goldenE2eSql,
+    "c1_sections" -> c1SectionsSql("""SELECT doc_id || '_s' || section_idx AS chunk_id, doc_id AS document_id,
+        | section_idx, section_title, content, 'section' AS chunk_type,
+        | CAST(len(regexp_split_to_array(content, '\s+')) AS INTEGER) AS word_count
+        |FROM sections WHERE length(content) > 0""".stripMargin),
+    "c9_embed_text" -> c1SectionsSql("""SELECT doc_id || '_s' || section_idx AS chunk_id, doc_id AS document_id,
+        | substr(CASE WHEN position(section_title IN content) = 0
+        |   THEN section_title || chr(10) || chr(10) || content ELSE content END,
+        |  1, 1000) AS embed_text
+        |FROM sections WHERE length(content) > 0""".stripMargin),
+    "s7_strategy" ->
+      """SELECT doc_id,
+        | CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 40
+        |  THEN 'primary' ELSE 'fallback' END AS strategy,
+        | CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 40
+        |  THEN text ELSE upper(substr(text, 1, 120)) END AS extracted_text
+        |FROM documents""".stripMargin,
+    "e1_tf_buckets" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         | FROM documents)
+         |SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 384 AS bucket,
+         | count(*) AS tf
+         |FROM toks WHERE NOT list_contains($stopSql, tok)
+         |GROUP BY doc_id, bucket""".stripMargin,
+    "rolling_fp" ->
+      """SELECT doc_id,
+        | CASE WHEN len(hs) = 0 THEN 0
+        |  ELSE list_reduce(hs, (a, b) -> (a * 1000003 + b) % 1000000007) END AS rh
+        |FROM (SELECT doc_id,
+        |  list_transform(string_split_regex(lower(trim(text)), '\s+'),
+        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS hs
+        | FROM documents)""".stripMargin,
+    "cdc_chunks" ->
+      """WITH tk AS (
+        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
+        |h AS (SELECT doc_id, toks,
+        |  list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS hs
+        | FROM tk),
+        |pre AS (SELECT doc_id, toks,
+        |  list_transform(generate_series(1, len(toks)),
+        |    i -> list_reduce(hs[greatest(i - 3, 1) : i],
+        |           (a, b) -> (a * 1000003 + b) % 1000000007) % 16) AS pmods
+        | FROM h),
+        |b AS (SELECT doc_id, toks,
+        |  list_filter(generate_series(1, len(toks)), i -> pmods[i] = 0) AS bounds FROM pre),
+        |se AS (SELECT doc_id, toks,
+        |  list_prepend(0, bounds) AS starts, list_append(bounds, len(toks)) AS ends FROM b),
+        |seg AS (
+        | SELECT doc_id, toks, i - 1 AS j, starts[i] AS s, ends[i] AS e
+        | FROM se, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i) g
+        | WHERE ends[i] > starts[i])
+        |SELECT doc_id || '_cdc_' || j AS chunk_id, doc_id AS document_id,
+        | CAST(j AS INTEGER) AS cdc_idx,
+        | array_to_string(toks[s + 1 : e], ' ') AS content,
+        | CAST(e - s AS INTEGER) AS n_tokens
+        |FROM seg""".stripMargin,
+    "decontam_report" -> decontamReportSql,
+    "domain_resample" ->
+      """WITH t AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15), ('es', 0.15))
+        |           AS t(lang, share)),
+        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+        |j AS (SELECT c.lang, n, share FROM c JOIN t USING (lang)),
+        |cuts AS (SELECT lang,
+        |  CAST(floor(share * (SELECT min(n / share) FROM j) / n * 65536) AS BIGINT) AS cut
+        | FROM j)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN cuts USING (lang)
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < cut""".stripMargin,
+
+    // exact replay: micro-unit weights (sum 1_050_000 with the absent
+    // 'xx'), integer div allocation, unrounded BIGINT/BIGINT rate;
+    // LEFT join from the targets side mirrors the planner's
+    // absent-stratum contract (available 0, NULL rate/epochs),
+    "token_budget" ->
+      """WITH w AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
+        |  ('fr', 150000), ('es', 150000), ('xx', 50000)) t(lang, w6)),
+        |avail AS (SELECT lang,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> t <> ''))) AS BIGINT) AS available_tokens
+        | FROM documents GROUP BY lang),
+        |j AS (SELECT w.lang, COALESCE(available_tokens, 0) AS available_tokens, w6,
+        |  (200000::BIGINT * w6) // 1050000 AS target_tokens
+        | FROM w LEFT JOIN avail a USING (lang))
+        |SELECT lang, available_tokens, w6, target_tokens,
+        | CASE WHEN available_tokens > 0
+        |  THEN CAST(target_tokens AS DOUBLE) / available_tokens END AS sample_rate,
+        | CASE WHEN available_tokens > 0
+        |  THEN (target_tokens + available_tokens - 1) // available_tokens END AS epochs,
+        | target_tokens > available_tokens AS repeats_data
+        |FROM j""".stripMargin,
+
+    // the plan MATERIALIZED: full epochs for every doc of a repeating
+    // stratum; the remainder epoch keeps docs under the SALTED
+    // 64k-quantized md5 cut (independent of the unsalted split/resample
+    // buckets) PLUS the stratum's hash-minimal doc whenever remainder
+    // tokens exist — funded strata always emit, overshoot bounded by
+    // one doc; absent strata emit nothing,
+    "epoch_mixture" ->
+      """WITH w AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
+        |  ('fr', 150000), ('es', 150000), ('xx', 50000)) t(lang, w6)),
+        |avail AS (SELECT lang,
+        |  CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |    t -> t <> ''))) AS BIGINT) AS a
+        | FROM documents GROUP BY lang),
+        |plan AS (SELECT w.lang, a, (200000::BIGINT * w6) // 1050000 AS tgt
+        |         FROM w JOIN avail USING (lang) WHERE a > 0),
+        |p2 AS (SELECT lang, tgt // a AS fe, ((tgt % a) * 65536) // a AS rem,
+        |        tgt % a > 0 AS has_rem FROM plan),
+        |hm AS (SELECT doc_id, lang,
+        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT AS sb,
+        |        row_number() OVER (PARTITION BY lang ORDER BY
+        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT,
+        |          doc_id) = 1 AS hmin
+        |       FROM documents)
+        |SELECT d.doc_id, d.lang, epoch_idx
+        |FROM documents d JOIN hm USING (doc_id, lang) JOIN p2 USING (lang),
+        | LATERAL (SELECT unnest(generate_series(0, fe)) AS epoch_idx) g
+        |WHERE epoch_idx < fe OR (has_rem AND (sb < rem OR hmin))""".stripMargin,
+    "q22_year_spine" ->
+      """WITH RECURSIVE bounds AS (
+        | SELECT year(min(o_orderdate)) AS lo, year(max(o_orderdate)) AS hi FROM orders),
+        |years(y, hi) AS (
+        | SELECT lo, hi FROM bounds
+        | UNION ALL
+        | SELECT y + 1, hi FROM years WHERE y < hi
+        |)
+        |SELECT y, count(o_orderkey) AS n_orders,
+        | count(DISTINCT o_custkey) AS n_customers
+        |FROM years LEFT JOIN orders ON year(o_orderdate) = y
+        |GROUP BY y""".stripMargin,
+    "lm_surprisal" -> lmSurprisalSql,
+    "lm_bigram" -> lmBigramSql,
+    // the artifact queries change WHERE the model lives, not what it
+    // says — the train-time oracles replay them verbatim,
+    "lm_unigram_artifact" -> lmSurprisalSql,
+    "lm_bigram_artifact" -> lmBigramSql,
+
+    // composed from the five component oracles above — thresholds in
+    // lockstep with Cleaning.cleanCorpus's defaults,
+    "clean_corpus" ->
+      s"""WITH dd AS ($dedupExactSql),
+         |lg AS ($langIdSql),
+         |rp AS ($repetitionStatsSql),
+         |sp AS ($lmSurprisalSql),
+         |dc AS ($decontamReportSql),
+         |j AS (SELECT d.doc_id, dd.is_duplicate, lg.pred_lang,
+         |        rp.top_bigram_ratio, sp.avg_surprisal, dc.contaminated
+         |      FROM documents d
+         |      JOIN dd USING (doc_id) JOIN lg USING (doc_id) JOIN rp USING (doc_id)
+         |      LEFT JOIN sp USING (doc_id) JOIN dc USING (doc_id)),
+         |r AS (SELECT doc_id, list_filter([
+         |   CASE WHEN is_duplicate THEN 'duplicate' END,
+         |   CASE WHEN pred_lang NOT IN ('en', 'pt') THEN 'lang' END,
+         |   CASE WHEN top_bigram_ratio > 0.08 THEN 'repetitive' END,
+         |   CASE WHEN avg_surprisal > 3.5 THEN 'high_surprisal' END,
+         |   CASE WHEN contaminated THEN 'contaminated' END],
+         |  x -> x IS NOT NULL) AS rs FROM j)
+         |SELECT doc_id, COALESCE(array_to_string(rs, ','), '') AS reasons,
+         | len(rs) = 0 AS keep
+         |FROM r""".stripMargin,
+
+    // the curation spine, composed from the same shared sub-oracles the
+    // component queries replay: verdict (wider whitelist covering the
+    // mixture strata) -> kept -> passage clip -> salted/floored epoch
+    // mixture over the CLEANED token counts,
+    "curation_e2e" ->
+      s"""WITH dd AS ($dedupExactSql),
+         |lg AS ($langIdSql),
+         |rp AS ($repetitionStatsSql),
+         |sp AS ($lmSurprisalSql),
+         |dc AS ($decontamReportSql),
+         |vj AS (SELECT d.doc_id, dd.is_duplicate, lg.pred_lang,
+         |        rp.top_bigram_ratio, sp.avg_surprisal, dc.contaminated
+         |      FROM documents d
+         |      JOIN dd USING (doc_id) JOIN lg USING (doc_id) JOIN rp USING (doc_id)
+         |      LEFT JOIN sp USING (doc_id) JOIN dc USING (doc_id)),
+         |vr AS (SELECT doc_id, list_filter([
+         |   CASE WHEN is_duplicate THEN 'duplicate' END,
+         |   CASE WHEN pred_lang NOT IN ('en', 'de', 'fr', 'es', 'pt') THEN 'lang' END,
+         |   CASE WHEN top_bigram_ratio > 0.08 THEN 'repetitive' END,
+         |   CASE WHEN avg_surprisal > 3.5 THEN 'high_surprisal' END,
+         |   CASE WHEN contaminated THEN 'contaminated' END],
+         |  x -> x IS NOT NULL) AS rs FROM vj),
+         |kept AS (SELECT d.doc_id, d.text, d.lang
+         |         FROM documents d JOIN vr USING (doc_id) WHERE len(rs) = 0),
+         |${dupSpanCtes("kept")},
+         |ctok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tk
+         |        FROM dsw, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
+         |ckeep AS (SELECT t.doc_id, t.tk FROM ctok t
+         |         WHERE t.tk <> '' AND NOT EXISTS (SELECT 1 FROM dsspans s
+         |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)),
+         |mavail AS (SELECT k.lang, CAST(count(*) AS BIGINT) AS a
+         |          FROM ckeep c JOIN kept k USING (doc_id) GROUP BY k.lang),
+         |mw AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
+         |  ('fr', 150000), ('es', 150000)) t(lang, w6)),
+         |mplan AS (SELECT mw.lang, a, (100000::BIGINT * w6) // 1000000 AS tgt
+         |         FROM mw JOIN mavail USING (lang) WHERE a > 0),
+         |mp2 AS (SELECT lang, tgt // a AS fe, ((tgt % a) * 65536) // a AS rem,
+         |        tgt % a > 0 AS has_rem FROM mplan),
+         |mhm AS (SELECT doc_id, lang,
+         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT AS sb,
+         |        row_number() OVER (PARTITION BY lang ORDER BY
+         |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT,
+         |          doc_id) = 1 AS hmin
+         |       FROM kept)
+         |SELECT k.doc_id, k.lang, epoch_idx
+         |FROM kept k JOIN mhm USING (doc_id, lang) JOIN mp2 USING (lang),
+         | LATERAL (SELECT unnest(generate_series(0, fe)) AS epoch_idx) g
+         |WHERE epoch_idx < fe OR (has_rem AND (sb < rem OR hmin))""".stripMargin,
+    "q23_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal
+        |         FROM customer
+        |         WHERE c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
+
+    // codebook = the 8 hash-minimal vectors by id; subspace distances
+    // rounded to 6 before the argmin, index tiebreak — in lockstep with
+    // Similarity.pqCodes (m=4 subspaces of 16 dims, k=8 codewords),
+    "pq_codes" ->
+      """WITH ranked AS (
+        | SELECT embedding::DOUBLE[] AS cw,
+        |  row_number() OVER (ORDER BY
+        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn
+        | FROM embeddings),
+        |cb AS (SELECT rn - 1 AS j, cw FROM ranked WHERE rn <= 8),
+        |d AS (
+        | SELECT e.vec_id, s.s, cb.j,
+        |  round(list_sum(list_transform(generate_series(1, 16),
+        |    i -> (e.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i])
+        |       * (e.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i]))), 6) AS d2
+        | FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e
+        | CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+        | CROSS JOIN cb),
+        |best AS (
+        | SELECT vec_id, s, j FROM (
+        |  SELECT vec_id, s, j,
+        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS r
+        |  FROM d) WHERE r = 1)
+        |SELECT vec_id,
+        | CAST(max(CASE WHEN s = 0 THEN j END) AS INTEGER) AS code_0,
+        | CAST(max(CASE WHEN s = 1 THEN j END) AS INTEGER) AS code_1,
+        | CAST(max(CASE WHEN s = 2 THEN j END) AS INTEGER) AS code_2,
+        | CAST(max(CASE WHEN s = 3 THEN j END) AS INTEGER) AS code_3
+        |FROM best GROUP BY vec_id""".stripMargin,
+
+    // ADC over the candidate-set codebook (vec_id >= 5): per (query,
+    // candidate), dot = Σ_s dot(q_s, cw[code_s]_s), score = cosine with
+    // the reconstruction — mirrors Similarity.pqAdcTopK expression for
+    // expression (sum order s=0..3, round 4, id tiebreak),
+    "pq_adc_topk" ->
+      """WITH ranked AS (
+        | SELECT embedding::DOUBLE[] AS cw,
+        |  row_number() OVER (ORDER BY
+        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn
+        | FROM embeddings WHERE vec_id >= 5),
+        |cb AS (SELECT rn - 1 AS j, cw FROM ranked WHERE rn <= 8),
+        |cand AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 5),
+        |d AS (
+        | SELECT cand.vec_id, s.s, cb.j,
+        |  round(list_sum(list_transform(generate_series(1, 16),
+        |    i -> (cand.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i])
+        |       * (cand.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i]))), 6) AS d2
+        | FROM cand
+        | CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
+        | CROSS JOIN cb),
+        |codes AS (
+        | SELECT vec_id, s, j FROM (
+        |  SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS r
+        |  FROM d) WHERE r = 1),
+        |q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
+        |parts AS (
+        | SELECT q.q_vec_id, c.vec_id,
+        |  list_sum(list_transform(generate_series(1, 16),
+        |    i -> q.qe[c.s * 16 + i] * cb.cw[c.s * 16 + i])) AS dot_s,
+        |  list_sum(list_transform(generate_series(1, 16),
+        |    i -> cb.cw[c.s * 16 + i] * cb.cw[c.s * 16 + i])) AS cn_s,
+        |  c.s
+        | FROM q CROSS JOIN codes c JOIN cb ON cb.j = c.j),
+        |scored AS (
+        | SELECT q_vec_id, vec_id,
+        |  (((sum(CASE WHEN s = 0 THEN dot_s END) + sum(CASE WHEN s = 1 THEN dot_s END))
+        |        + sum(CASE WHEN s = 2 THEN dot_s END)) + sum(CASE WHEN s = 3 THEN dot_s END)) AS dot_r,
+        |  (((sum(CASE WHEN s = 0 THEN cn_s END) + sum(CASE WHEN s = 1 THEN cn_s END))
+        |        + sum(CASE WHEN s = 2 THEN cn_s END)) + sum(CASE WHEN s = 3 THEN cn_s END)) AS cnormsq
+        | FROM parts GROUP BY q_vec_id, vec_id),
+        |qn AS (SELECT q_vec_id, sqrt(list_inner_product(qe, qe)) AS qnorm FROM q)
+        |SELECT q_vec_id, vec_id, score, rank FROM (
+        | SELECT s.q_vec_id, s.vec_id,
+        |  round(s.dot_r / (qn.qnorm * sqrt(s.cnormsq)), 4) AS score,
+        |  row_number() OVER (PARTITION BY s.q_vec_id
+        |    ORDER BY round(s.dot_r / (qn.qnorm * sqrt(s.cnormsq)), 4) DESC, s.vec_id) AS rank
+        | FROM scored s JOIN qn USING (q_vec_id)) WHERE rank <= 10""".stripMargin,
+
+    // relational replay of the count-min sketch cell math (md5 bucket
+    // rows, depth 4 × width 256 — in lockstep with CountMinAgg),
+    "cms_heavy_hitters" -> {
+      val probeValues = cmsProbeTerms.map(t => s"('${esc(t)}')").mkString(", ")
+      s"""WITH toks AS (SELECT t AS term FROM (
+         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+         |  FROM documents) WHERE t <> ''),
+         |probes(term) AS (SELECT * FROM (VALUES $probeValues)),
+         |rows_ AS (SELECT unnest(generate_series(0, ${cmsDepth - 1})) AS i),
+         |cells AS (
+         | SELECT r.i,
+         |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.term), 1, 8))::BIGINT % $cmsWidth AS b,
+         |  count(*) AS c
+         | FROM toks t CROSS JOIN rows_ r GROUP BY 1, 2),
+         |pe AS (
+         | SELECT p.term, r.i,
+         |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || p.term), 1, 8))::BIGINT % $cmsWidth AS b
+         | FROM probes p CROSS JOIN rows_ r),
+         |est AS (SELECT pe.term, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS est
+         |        FROM pe LEFT JOIN cells c ON c.i = pe.i AND c.b = pe.b GROUP BY pe.term),
+         |exact AS (SELECT term, count(*) AS n FROM toks GROUP BY term)
+         |SELECT est.term, est.est, CAST(COALESCE(exact.n, 0) AS BIGINT) AS exact
+         |FROM est LEFT JOIN exact USING (term)""".stripMargin
+    },
+    "weighted_sample" ->
+      """SELECT doc_id, n_chars, round(es_raw, 9) AS es_key FROM (
+        | SELECT doc_id, n_chars,
+        |  ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+        |        / 1152921504606846976.0) / n_chars AS es_raw
+        | FROM documents WHERE n_chars > 0)
+        |ORDER BY es_raw DESC, doc_id LIMIT 50""".stripMargin,
+    "pagerank" ->
+      s"""$minhashPairsCte,
+         |edges2 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |           UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
+         |nn AS (SELECT count(*) AS n FROM docs0),
+         |deg AS (SELECT src, count(*) AS deg FROM edges2 GROUP BY src),
+         |pr0 AS (SELECT id, 1000000 // (SELECT n FROM nn) AS pr6 FROM docs0),
+         |${pageRankIterCte("it1", "pr0")},
+         |${pageRankIterCte("it2", "it1")},
+         |${pageRankIterCte("it3", "it2")}
+         |SELECT d.id AS doc_id, COALESCE(g.deg, 0) AS deg, p.pr6
+         |FROM docs0 d LEFT JOIN deg g ON g.src = d.id
+         |JOIN it3 p ON p.id = d.id""".stripMargin,
+    "bloom_decontam" ->
+      """WITH bfp AS (SELECT DISTINCT
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents WHERE doc_id % 25 = 0),
+        |bloom AS (SELECT pos // 64 AS word,
+        |  -- bit 63: DuckDB's checked << overflows on 1<<63, so state the
+        |  -- sign-bit mask (Long.MIN_VALUE, = Spark's wrapping shiftleft)
+        |  bit_or(CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+        |         ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER) END) AS bits
+        | FROM (SELECT ('0x' || substr(fp, 1 + 5 * g.i, 5))::BIGINT % 1024 AS pos
+        |       FROM bfp, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) g)
+        | GROUP BY 1),
+        |dfp AS (SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |probe AS (SELECT doc_id, fp,
+        |  COALESCE(((b.bits >> CAST(pos % 64 AS INTEGER)) & 1) = 1, FALSE) AS bit_set
+        | FROM (SELECT doc_id, fp,
+        |        ('0x' || substr(fp, 1 + 5 * g.i, 5))::BIGINT % 1024 AS pos
+        |       FROM dfp, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) g) d
+        |  LEFT JOIN bloom b ON b.word = d.pos // 64),
+        |verdict AS (SELECT doc_id, fp,
+        |  count(CASE WHEN bit_set THEN 1 END) = 3 AS bloom_hit
+        | FROM probe GROUP BY doc_id, fp)
+        |SELECT v.doc_id, v.bloom_hit, b.fp IS NOT NULL AS exact,
+        | v.bloom_hit AND b.fp IS NULL AS false_positive
+        |FROM verdict v LEFT JOIN bfp b ON b.fp = v.fp""".stripMargin,
+    "kmeans_step" ->
+      """WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |cb AS (SELECT ce, cidx FROM (
+        |        SELECT e AS ce, row_number() OVER (
+        |          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT,
+        |                   vec_id) - 1 AS cidx
+        |        FROM nz) WHERE cidx < 8),
+        |sc AS (SELECT n.vec_id, n.e, c.cidx,
+        |        round(list_inner_product(n.e, c.ce) /
+        |          (sqrt(list_inner_product(n.e, n.e)) * sqrt(list_inner_product(c.ce, c.ce))),
+        |          6) AS score
+        |       FROM nz n CROSS JOIN cb c),
+        |asg AS (SELECT vec_id, e, cidx AS cell FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY score DESC, cidx) AS rn
+        |         FROM sc) WHERE rn = 1)
+        |SELECT a.cell, g.i - 1 AS dim, count(*) AS n_members,
+        | CAST(sum(CAST(round(a.e[g.i] * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum6
+        |FROM asg a, LATERAL (SELECT unnest(generate_series(1, len(a.e))) AS i) g
+        |GROUP BY 1, 2""".stripMargin,
+
+    // knn_auto rides the exact path at verification scale → the SAME
+    // brute-force oracle as knn_cosine (shared constant, no drift),
+    "knn_auto" -> bruteForceKnnSql,
+    "inverted_index" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, t AS term FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+        |  FROM documents)
+        | WHERE t <> '' AND NOT list_contains($stopSql, t)),
+        |dt AS (SELECT DISTINCT doc_id, term FROM toks)
+        |SELECT term, count(*) AS df,
+        | to_json(list_sort(list(doc_id))) AS postings
+        |FROM dt GROUP BY term HAVING count(*) BETWEEN 2 AND 10000""".stripMargin,
+    "pmi_cooccur" ->
+      s"""WITH toks AS (
+        | SELECT doc_id, t AS term FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
+        |  FROM documents)
+        | WHERE t <> '' AND NOT list_contains($stopSql, t)),
+        |pres AS (SELECT DISTINCT doc_id AS id, term FROM toks),
+        |vocab AS (SELECT term, c FROM (
+        |  SELECT term, count(*) AS c,
+        |   row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+        |  FROM pres GROUP BY term) WHERE rn <= 50),
+        |pv AS (SELECT p.id, p.term, v.c FROM pres p JOIN vocab v USING (term)),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+        |pairs AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS c_ab,
+        |           CAST(max(a.c) AS BIGINT) AS c_a, CAST(max(b.c) AS BIGINT) AS c_b
+        |          FROM pv a JOIN pv b ON a.id = b.id AND a.term < b.term
+        |          GROUP BY a.term, b.term HAVING count(*) >= 2)
+        |SELECT term_a, term_b, c_ab, c_a, c_b,
+        | round(ln(CAST(n_docs AS DOUBLE) * c_ab / (c_a * c_b)), 6) AS pmi
+        |FROM pairs, nd""".stripMargin,
+    "token_entropy" ->
+      """WITH toks AS (SELECT doc_id, t AS term FROM (
+        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+        |  FROM documents) WHERE t <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |tn AS (SELECT doc_id, tf,
+        |        CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM tf)
+        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        | round(CAST(sum(tf * CAST(round(round(ln(n::DOUBLE / tf), 6) * 1000000) AS BIGINT))
+        |       AS DOUBLE) / max(n) / 1000000, 4) AS entropy
+        |FROM tn GROUP BY doc_id""".stripMargin,
+    "contrastive_triplets" ->
+      """WITH nz AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
+        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |anc AS (SELECT vec_id AS anchor_id, label AS a_label, e AS ae
+        |        FROM nz WHERE vec_id < 20),
+        |ps AS (SELECT anchor_id, nz.vec_id,
+        |        round(list_inner_product(ae, e) /
+        |          (sqrt(list_inner_product(ae, ae)) * sqrt(list_inner_product(e, e))),
+        |          4) AS pos_score
+        |       FROM anc JOIN nz ON nz.label = a_label AND nz.vec_id <> anchor_id),
+        |pos AS (SELECT anchor_id, vec_id AS pos_id, pos_score FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY anchor_id ORDER BY pos_score DESC, vec_id) AS rn
+        |         FROM ps) WHERE rn = 1),
+        |ns AS (SELECT anchor_id, nz.vec_id,
+        |        ('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':' ||
+        |          CAST(nz.vec_id AS VARCHAR)), 1, 4))::BIGINT AS nk
+        |       FROM anc JOIN nz ON nz.label <> a_label),
+        |neg AS (SELECT anchor_id, vec_id AS neg_id FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY anchor_id ORDER BY nk, vec_id) AS rn
+        |         FROM ns) WHERE rn = 1)
+        |SELECT p.anchor_id, p.pos_id, p.pos_score, n.neg_id
+        |FROM pos p JOIN neg n USING (anchor_id)""".stripMargin,
+    "rrf_fusion" ->
+      s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
+         |toks AS (SELECT doc_id, t AS term FROM (
+         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+         |  FROM documents) WHERE t <> ''),
+         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+         |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |qt AS (SELECT DISTINCT question_id, t AS term FROM (
+         |  SELECT question_id, unnest(regexp_split_to_array(lower(question), '\\s+')) AS t
+         |  FROM qs) WHERE t <> ''),
+         |scored AS (
+         | SELECT qt.question_id, tf.doc_id,
+         |  CAST(round(round(ln((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1), 6)
+         |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))
+         |    * 1000000) AS BIGINT) AS w6
+         | FROM qt JOIN tf USING (term) JOIN dl USING (doc_id)
+         |   JOIN dfreq USING (term), corpus),
+         |aggd AS (SELECT question_id, doc_id, round(sum(w6) / 1000000.0, 4) AS score
+         | FROM scored GROUP BY question_id, doc_id),
+         |fa AS (SELECT question_id, doc_id, rank_a FROM (
+         |  SELECT question_id, doc_id, row_number() OVER (
+         |    PARTITION BY question_id ORDER BY score DESC, doc_id) AS rank_a
+         |  FROM aggd) WHERE rank_a <= 10),
+         |qw AS (SELECT question_id,
+         |        CAST(len(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> '')) AS INTEGER) AS n_words,
+         |        unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> ''))) AS word
+         |       FROM qs),
+         |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
+         |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
+         |      GROUP BY question_id, n_words, doc_id),
+         |fb AS (SELECT question_id, doc_id, rank_b FROM (
+         |  SELECT question_id, doc_id, row_number() OVER (PARTITION BY question_id
+         |    ORDER BY round(CAST(matches AS DOUBLE) / n_words, 4) DESC, doc_id) AS rank_b
+         |  FROM m) WHERE rank_b <= 10),
+         |fused AS (SELECT COALESCE(fa.question_id, fb.question_id) AS question_id,
+         |  COALESCE(fa.doc_id, fb.doc_id) AS doc_id,
+         |  COALESCE(fa.rank_a, 0) AS rank_a, COALESCE(fb.rank_b, 0) AS rank_b,
+         |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + fa.rank_a), 0) +
+         |        COALESCE(CAST(1 AS DOUBLE) / (60 + fb.rank_b), 0), 6) AS rrf6
+         | FROM fa FULL OUTER JOIN fb
+         |  ON fa.question_id = fb.question_id AND fa.doc_id = fb.doc_id)
+         |SELECT question_id, doc_id, rank_a, rank_b, rrf6, rank FROM (
+         | SELECT *, row_number() OVER (
+         |   PARTITION BY question_id ORDER BY rrf6 DESC, doc_id) AS rank
+         | FROM fused) WHERE rank <= 5""".stripMargin,
+  )
+}

@@ -1,0 +1,719 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Tables
+import graft.operators._
+
+/** Document/crawl tier (SURVEY §2.1-2.2): validation + ingest, multimodal decode, binary document extraction (PDF/DOCX/EML/OCR), and the WARC→HTML crawl chain.
+  * One `queries` entry per operator with its DuckDB oracle twin;
+  * composed into [[SparkEntry.queries]]/[[SparkEntry.oracleSql]]. */
+private[graft] trait EntryDocs extends EntryShared {
+
+  protected def docsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mime_sniff" -> ((s, d) =>
+      Validation.mimeFixturesDF(s).select(col("name"), Validation.sniffMime(col("head")).as("mime"))),
+    "validate_docs" -> ((s, d) =>
+      Validation.validate(Tables.documents(s, d), maxChars = 500,
+        langWhitelist = Seq("en", "de", "fr", "es"))
+        .select("doc_id", "errors", "is_valid")),
+    // E6/A5 — usage counters ride the validation job via Dataset.observe
+    // (no second aggregation pass over the corpus); the harvested metrics
+    // project to the reference's 1-row usage-stats shape,
+    "usage_counters" -> ((s, d) => {
+      import s.implicits._
+      val obs = org.apache.spark.sql.Observation()
+      val counted = Validation.withUsageCounters(
+        Validation.validate(Tables.documents(s, d), maxChars = 500,
+          langWhitelist = Seq("en", "de", "fr", "es")), obs)
+      counted.foreach(_ => ()) // the one action the metrics ride
+      val m = obs.get
+      Seq((m("total").asInstanceOf[Long], m("valid").asInstanceOf[Long],
+        m("chars_processed").asInstanceOf[Long]))
+        .toDF("total", "valid", "chars_processed")
+    }),
+    // S13 — table create/overwrite init (the reference's
+    // create-index-with-delete_if_exists): two writes to one location,
+    // the read-back must contain ONLY the second write's rows,
+    "index_init" -> ((s, d) => {
+      import s.implicits._
+      Tables.overwrite(Seq((0L, "stale")).toDF("id", "payload"), indexInitDir)
+      Tables.overwrite(Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+        .toDF("id", "payload"), indexInitDir)
+      s.read.parquet(indexInitDir)
+    }),
+    "ingest_dedup" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Validation.newDocsOnly(docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0))
+        .select("doc_id", "fp")
+    }),
+    // S1: url-list ingestion over the offline file:// transport — retry
+    // metadata, 50MB cap, sha256 + cache naming, layered MIME, type
+    // validation; one URL 404s (3 attempts), one wears a lying extension,
+    "ingest_urls" -> ((s, d) => {
+      import s.implicits._
+      val dir = UrlIngest.stageQueryFixtures()
+      val urls = Seq(
+        s"file://$dir/simple.eml", s"file://$dir/multi.eml",
+        s"file://$dir/notes.txt", s"file://$dir/report.pdf",
+        s"file://$dir/missing.docx").toDF("url")
+      UrlIngest.ingest(urls)
+    }),
+    // S1 over the REAL http:// transport (loopback fixture server):
+    // /flaky/notes.txt eats a genuine 503 + backoff + retry (attempts=2),
+    // missing.docx 404s through all 3 attempts. url/cache_name embed the
+    // server's ephemeral port, so the compared surface is the path — the
+    // port-independent half; naming semantics are ingest_urls' check,
+    "ingest_http" -> ((s, d) => {
+      import s.implicits._
+      val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+      val urls = Seq(s"$base/simple.eml", s"$base/multi.eml", s"$base/notes.txt",
+        s"$base/report.pdf", s"$base/flaky/notes.txt", s"$base/missing.docx").toDF("url")
+      UrlIngest.ingest(urls, backoffMs = 1)
+        .withColumn("path", regexp_replace(col("url"), "^http://[^/]+", ""))
+        .select("path", "file_size", "mime_type", "file_hash", "attempts",
+          "is_valid", "errors")
+    }),
+
+    // --- events / index maintenance (SURVEY §2.1, §2.10) ---------------,
+    "mm_image_stats" -> ((s, d) =>
+      MediaCodec.imageStats(MediaCodec.fixturesDF(s)).toDF()),
+    "mm_image_resize" -> ((s, d) =>
+      MediaCodec.imageResize(MediaCodec.fixturesDF(s), maxSide = 32).toDF()),
+    "mm_wav_stats" -> ((s, d) =>
+      MediaCodec.wavStats(MediaCodec.fixturesDF(s)).toDF()),
+    // real video decode: the uncompressed-AVI RIFF walk + per-frame
+    // pixel stats, sampling every 5th frame (the frameSample contract
+    // over real pixels),
+    "mm_video_frames" -> ((s, d) =>
+      MediaCodec.aviFrames(MediaCodec.fixturesDF(s), step = 5).toDF()),
+    // compressed-video decode: MJPG AVI through the same container walk,
+    // each sampled frame JPEG-decoded with ImageIO; oracle VALUES derived
+    // by decoding the fixture's frame bytes directly (independent pixel
+    // walk — the container walk, sampling, and stream clock are what the
+    // compare actually validates; the JPEG codec is the JDK's only one),
+    "mm_video_mjpg" -> ((s, d) =>
+      MediaCodec.aviFrames(MediaCodec.mjpgFixturesDF(s), step = 5).toDF()),
+    // the multimodal→similarity bridge: integer histogram emitted for
+    // the exact compare; the normalized ARRAY<FLOAT> feeds retrieval,
+    "mm_image_embed" -> ((s, d) =>
+      MediaCodec.imageEmbedding(MediaCodec.fixturesDF(s)).toDF()
+        .select(col("doc"), col("n_pixels"), to_json(col("hist")).as("hist_json"))),
+    "mm_decode_meta" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d)))),
+    "mm_frame_sample" -> ((s, d) =>
+      Multimodal.frameSample(
+        Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d))), step = 10)),
+    "mm_resize" -> ((s, d) =>
+      Multimodal.resizeMeta(
+        Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d))), maxSide = 224)
+        .select("doc_id", "width", "height", "out_width", "out_height", "scaled")),
+
+    // S6-lite: real decode → layout discovery → template recognition
+    // over rendered page scans (tesseract's contract, in-repo kernel),
+    "ocr_extract" -> ((s, d) => Ocr.ocrLines(Ocr.fixturesDF(s)).toDF()),
+
+    // --- binary document extraction (SURVEY §2.1 S4/S8/S9/S10) --------,
+    "docx_extract" -> ((s, d) =>
+      DocExtract.docxChunks(DocExtract.fixturesDF(s).filter(col("fmt") === "docx"))),
+    "eml_extract" -> ((s, d) =>
+      DocExtract.emlChunksDF(DocExtract.fixturesDF(s).filter(col("fmt") === "eml"))),
+    "pdf_pages" -> ((s, d) =>
+      DocExtract.pdfPages(DocExtract.fixturesDF(s).filter(col("fmt") === "pdf"))),
+    // the PDF 1.5+ shape (the dominant modern layout PyMuPDF reads
+    // transparently, document_processing_service.py:156-185): xref
+    // STREAM (FlateDecode + PNG Up predictor), catalog/pages/page dicts
+    // compressed in an OBJECT stream, indirect /Length, and a
+    // /Contents ARRAY on page 2 — all through the xref-driven reader,
+    "pdf_pages_xrefstream" -> ((s, d) =>
+      DocExtract.pdfPages(DocExtract.xrefFixturesDF(s))),
+    // S4, composite-font tier: every show-string code in this fixture is
+    // an arbitrary 2-byte value — text comes back ONLY through the
+    // font's ToUnicode CMap (bfchar + both bfrange forms, ligature
+    // multi-char destination, page-tree-inherited /Resources),
+    "pdf_pages_cid" -> ((s, d) =>
+      DocExtract.pdfPages(DocExtract.cidFixturesDF(s))),
+    // web-corpus extraction: HTML main-content blocks after the
+    // documented boilerplate heuristics (chrome tags, link density,
+    // length floor) — nav/footer/related-links/script/style must drop,
+    // entities decode, binary garbage yields no rows not an error,
+    "html_extract" -> ((s, d) => Html.htmlBlocks(Html.fixturesDF(s))),
+    // legacy encodings: a Latin-1 page via its meta charset (0xE9 must
+    // become é, not a UTF-8 mangle) and a UTF-16LE page via its BOM
+    // (whose NUL bytes would read as binary if the BOM didn't win),
+    "html_charsets" -> ((s, d) => Html.htmlBlocks(Html.charsetFixturesDF(s))),
+    // crawl frontier: sitemaps.org urlset + index members (the file a
+    // crawler walks to seed URLs), entities decoded by the hardened
+    // DOM walk, priority in exact micro-units,
+    "sitemap_entries" -> ((s, d) => {
+      import s.implicits._
+      UrlOps.sitemapEntries(
+        DocFixtures.sitemapAll.toDF("site", "content"))
+    }),
+    // crawl compliance: RFC 9309 longest-match filtering under the
+    // fixture policy — the graftbot group (press carve-out inside the
+    // disallowed tree, '/tmp' PREFIX semantics catching '/tmpx') must
+    // beat the deny-all '*' group; matching is a codegen'd when-chain
+    // over the per-host rule literals, zero shuffle,
+    "robots_filter" -> ((s, d) => {
+      val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+      val id = col("doc_id").cast("string")
+      val path = when(col("doc_id") % 5 === 0, concat(lit("/articles/page"), id))
+        .when(col("doc_id") % 5 === 1, concat(lit("/private/data"), id))
+        .when(col("doc_id") % 5 === 2, concat(lit("/private/press/rel"), id))
+        .when(col("doc_id") % 5 === 3, concat(lit("/tmp/file"), id))
+        .otherwise(concat(lit("/tmpx"), id))
+      Tables.documents(s, d).select(col("doc_id"), path.as("path"),
+        UrlOps.robotsAllowed(rules)(path).as("allowed"))
+    }),
+    // WARC container reading: the SAME five records plain and
+    // member-gzipped must parse to identical rows (CommonCrawl's
+    // .warc.gz framing); request/warcinfo records surface without
+    // HTTP fields,
+    "warc_records" -> ((s, d) => Warc.warcRecords(Warc.fixturesDF(s))),
+    // the full crawl chain: WARC → 200/text-html responses → HTML
+    // main-content blocks, one map-side pass (no joins, no shuffles),
+    "warc_html_blocks" -> ((s, d) => Warc.warcHtmlBlocks(Warc.fixturesDF(s))),
+    // per-host politeness over the frontier (the third crawl leg after
+    // robots + sitemaps): deterministic doc_id-derived URLs across 7
+    // hosts — messy case/port/fragment through the canonicalizer,
+    // /private/ paths dropped by the graftbot robots rules — then the
+    // next fetch batch of ≤5 per host by (priority desc, url). ONE hash
+    // shuffle on host; the rank filter runs as WindowGroupLimit so a
+    // hot host never materializes past the budget map-side,
+    "crawl_frontier" -> ((s, d) => {
+      val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+      val id = col("doc_id").cast("string")
+      val path = when(col("doc_id") % 5 === 1, concat(lit("/private/data"), id))
+        .otherwise(concat(lit("/articles/page"), id))
+      val messy = concat(lit("HTTP://Host"), (col("doc_id") % 7).cast("string"),
+        lit(".Example.COM:80"), path, lit("#frag"))
+      val frontier = Tables.documents(s, d)
+        .filter(UrlOps.robotsAllowed(rules)(path))
+        .select(UrlOps.canonicalizeUrl(messy).as("url"),
+          ((col("doc_id") % 10) * 100000).as("priority_micro"))
+      UrlOps.crawlFrontier(frontier, hostBudget = 5)
+    }),
+    // the crawl loop CLOSED as a stream (§2.10 × the crawl tier): WARC
+    // shards arrive as micro-batches — batch 0 the plain shard, batch 1
+    // its gz twin (a RE-crawl of the same pages: every block keys to the
+    // same fp, so LWW upsert replaces rather than duplicates) — then an
+    // at-least-once REPLAY of batch 1 outside the stream must be a
+    // no-op. Final table ≡ the batch chain's blocks, one copy per page
+    // (the parity the CrawlStreamSpec pins); ingest_ts/fp/doc_id are
+    // merge plumbing, not output,
+    "crawl_stream_e2e" -> ((s, d) => {
+      val dir = crawlStreamDir
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // wipe target: every invocation (bench min-of-two, verify) replays
+      // the identical lifecycle from scratch
+      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Array[Byte])]
+      val q = input.toDF()
+        .selectExpr("_1 AS warc", "_2 AS content")
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.streaming.StreamingIngest.crawlUpsertBatch(s, b, dir)
+        }
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-crawl-e2e-ck").toString)
+        .start()
+      try {
+        input.addData(DocFixtures.warcAll.filter(_._1 == "crawl")) // batch 0
+        q.processAllAvailable()
+        input.addData(DocFixtures.warcAll.filter(_._1 == "crawl_gz")) // batch 1: re-crawl
+        q.processAllAvailable()
+        // at-least-once replay of batch 1 AFTER its commit: idempotent
+        graft.streaming.StreamingIngest.crawlUpsertBatch(s,
+          DocFixtures.warcAll.filter(_._1 == "crawl_gz").toDF("warc", "content"), dir)
+      } finally q.stop()
+      s.read.parquet(dir)
+        .select("url", "block_idx", "heading", "content", "n_chars")
+    }),
+    // crawl-key normalization: deterministic messy URLs built from
+    // doc_id (case noise, default port, tracking params, unsorted
+    // params, fragment, %4 adds a trailing slash and drops the real
+    // params) through the documented canonicalizer; the oracle derives
+    // the EXPECTED canonical form independently from doc_id,
+    "url_canonical" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val messy = concat(
+        lit("HTTPS://ExAmple.COM:443/Docs/page"), id,
+        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=news"),
+        when(col("doc_id") % 4 =!= 0,
+          concat(lit("&z="), (col("doc_id") % 3).cast("string"),
+            lit("&a="), (col("doc_id") % 5).cast("string"))).otherwise(lit("")),
+        lit("#sec"), (col("doc_id") % 2).cast("string"))
+      Tables.documents(s, d).select(col("doc_id"), messy.as("url"),
+        UrlOps.canonicalizeUrl(messy).as("canonical_url"))
+    }),
+    "doc_validate" -> ((s, d) =>
+      DocExtract.validateAll(DocExtract.fixturesDF(s))),
+    // S5-lite: whitespace-alignment table detection over the PDF text
+    // layer (pdfplumber stand-in); arrays emitted as to_json for a
+    // stable hash compare,
+    "pdf_tables" -> ((s, d) =>
+      DocExtract.pdfTables(DocExtract.fixturesDF(s).filter(col("fmt") === "pdf"))
+        .select(col("doc"), col("page"), col("table_idx"),
+          to_json(col("headers")).as("headers_json"),
+          to_json(col("rows")).as("rows_json"))),
+    // C3: both structured table surfaces (DOCX w:tbl + detected PDF
+    // tables) through the same table→text chunk kernel,
+    "c3_table_text" -> ((s, d) => {
+      val fx = DocExtract.fixturesDF(s)
+      DocExtract.docxTables(fx.filter(col("fmt") === "docx"))
+        .withColumn("source", lit("docx"))
+        .unionByName(
+          DocExtract.pdfTables(fx.filter(col("fmt") === "pdf"))
+            .withColumn("source", lit("pdf")))
+        .select(col("doc"), col("source"), col("page"), col("table_idx"),
+          Chunking.tableToText(col("headers"), col("rows")).as("content"))
+    }),
+
+    // --- training-pipeline tier: decontamination + domain mixing -------,
+  )
+
+  protected def docsOracles: Map[String, String] = Map(
+    "mime_sniff" -> {
+      val fixtureValues = Validation.mimeFixtures
+        .map { case (n, h) => s"('${esc(n)}', '${esc(h)}')" }.mkString(", ")
+      s"""SELECT name,
+         | CASE WHEN starts_with(head, '%PDF') THEN 'application/pdf'
+         |  WHEN starts_with(head, '${esc(Validation.zipMagic)}') AND position('word/' IN head) > 0
+         |   THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
+         |  WHEN starts_with(head, '${esc(Validation.zipMagic)}') THEN 'application/zip'
+         |  WHEN starts_with(head, '${esc(Validation.oleMagic)}') THEN 'application/msword'
+         |  WHEN position('Return-Path:' IN substr(head, 1, 500)) > 0
+         |    OR position('MIME-Version:' IN substr(head, 1, 500)) > 0 THEN 'message/rfc822'
+         |  WHEN position('<!doctype html' IN lower(substr(head, 1, 100))) > 0
+         |    OR position('<html' IN lower(substr(head, 1, 100))) > 0 THEN 'text/html'
+         |  ELSE 'application/octet-stream' END AS mime
+         |FROM (VALUES $fixtureValues) AS t(name, head)""".stripMargin
+    },
+    "validate_docs" ->
+      """SELECT doc_id,
+        | COALESCE(array_to_string(list_filter([
+        |   CASE WHEN length(trim(text)) = 0 THEN 'empty_content' END,
+        |   CASE WHEN n_chars > 500 THEN 'file_too_large' END,
+        |   CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_type' END],
+        |  x -> x IS NOT NULL), ','), '') AS errors,
+        | len(list_filter([
+        |   CASE WHEN length(trim(text)) = 0 THEN 'empty_content' END,
+        |   CASE WHEN n_chars > 500 THEN 'file_too_large' END,
+        |   CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_type' END],
+        |  x -> x IS NOT NULL)) = 0 AS is_valid
+        |FROM documents""".stripMargin,
+
+    // independent recount of the observed metrics: valid = zero errors
+    // under the same validate_docs predicates,
+    "usage_counters" ->
+      """SELECT CAST(count(*) AS BIGINT) AS total,
+        | CAST(count(CASE WHEN length(trim(text)) > 0 AND n_chars <= 500
+        |   AND lang IN ('en', 'de', 'fr', 'es') THEN 1 END) AS BIGINT) AS valid,
+        | CAST(sum(length(text)) AS BIGINT) AS chars_processed
+        |FROM documents""".stripMargin,
+
+    // the overwrite-init contract: only the SECOND write's rows survive,
+    "index_init" ->
+      """SELECT CAST(id AS BIGINT) AS id, payload
+        |FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, payload)""".stripMargin,
+    "ingest_dedup" ->
+      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |FROM documents
+        |WHERE doc_id % 2 = 1
+        | AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (
+        |   SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |   FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
+
+    // replays the staged files with read_blob; ASCII-only fixtures +
+    // decode() keep the sha256 byte-faithful (a VARCHAR cast would
+    // \x-escape control bytes like CRLF; see UrlIngest scaladoc).
+    // The sniff CASE carries only the branches these fixtures can hit —
+    // the full branch set is mime_sniff's oracle.,
+    "ingest_urls" ->
+      raw"""WITH f AS (
+        | SELECT filename, size, decode(content) AS txt
+        | FROM read_blob('${urlStageDir}/*.eml')
+        | UNION ALL SELECT filename, size, decode(content)
+        | FROM read_blob('${urlStageDir}/*.txt')
+        | UNION ALL SELECT filename, size, decode(content)
+        | FROM read_blob('${urlStageDir}/*.pdf')),
+        |r AS (SELECT 'file://' || filename AS url, size, txt,
+        |  lower(regexp_extract(filename, '(\.[A-Za-z0-9]+)$$', 1)) AS ext FROM f),
+        |m AS (SELECT url, size, txt, ext,
+        |  CASE WHEN position('Return-Path:' IN substr(txt, 1, 500)) > 0
+        |      OR position('MIME-Version:' IN substr(txt, 1, 500)) > 0 THEN 'message/rfc822'
+        |   WHEN ext = '.txt' THEN 'text/plain'
+        |   ELSE 'application/octet-stream' END AS mime
+        | FROM r),
+        |v AS (SELECT url,
+        |  substr(md5(url), 1, 8) || '_' || substr(sha256(txt), 1, 12) || ext AS cache_name,
+        |  CAST(size AS BIGINT) AS file_size, mime AS mime_type, sha256(txt) AS file_hash,
+        |  1 AS attempts,
+        |  (mime = 'message/rfc822' AND ext = '.eml')
+        |   OR (mime = 'text/plain' AND ext IN ('.txt', '.eml')) AS is_valid,
+        |  CASE WHEN mime IN ('message/rfc822', 'text/plain') THEN '' ELSE 'unsupported_type' END AS errors
+        | FROM m)
+        |SELECT * FROM v
+        |UNION ALL SELECT 'file://${urlStageDir}/missing.docx',
+        | NULL, NULL, NULL, NULL, 3, false, 'download_failed_after_3_attempts:fetch_error'""".stripMargin,
+
+    // same staged bytes replayed path-keyed; the flaky route is the
+    // notes.txt payload at attempts=2, the 404 row carries the http kind,
+    "ingest_http" ->
+      raw"""WITH f AS (
+        | SELECT replace(filename, '${urlStageDir}', '') AS path, size, decode(content) AS txt
+        | FROM read_blob('${urlStageDir}/*.eml')
+        | UNION ALL SELECT replace(filename, '${urlStageDir}', ''), size, decode(content)
+        | FROM read_blob('${urlStageDir}/*.txt')
+        | UNION ALL SELECT replace(filename, '${urlStageDir}', ''), size, decode(content)
+        | FROM read_blob('${urlStageDir}/*.pdf')),
+        |fl AS (SELECT path, size, txt, 1 AS attempts FROM f
+        | UNION ALL SELECT '/flaky' || path, size, txt, 2 FROM f WHERE path = '/notes.txt'),
+        |m AS (SELECT path, size, txt, attempts,
+        |  lower(regexp_extract(path, '(\.[A-Za-z0-9]+)$$', 1)) AS ext,
+        |  CASE WHEN position('Return-Path:' IN substr(txt, 1, 500)) > 0
+        |      OR position('MIME-Version:' IN substr(txt, 1, 500)) > 0 THEN 'message/rfc822'
+        |   WHEN lower(regexp_extract(path, '(\.[A-Za-z0-9]+)$$', 1)) = '.txt' THEN 'text/plain'
+        |   ELSE 'application/octet-stream' END AS mime
+        | FROM fl),
+        |v AS (SELECT path,
+        |  CAST(size AS BIGINT) AS file_size, mime AS mime_type, sha256(txt) AS file_hash,
+        |  attempts,
+        |  (mime = 'message/rfc822' AND ext = '.eml')
+        |   OR (mime = 'text/plain' AND ext IN ('.txt', '.eml')) AS is_valid,
+        |  CASE WHEN mime IN ('message/rfc822', 'text/plain') THEN '' ELSE 'unsupported_type' END AS errors
+        | FROM m)
+        |SELECT * FROM v
+        |UNION ALL SELECT '/missing.docx',
+        | NULL, NULL, NULL, 3, false, 'download_failed_after_3_attempts:http_404'""".stripMargin,
+    "ocr_extract" ->
+      """SELECT * FROM (VALUES
+        | ('scan1', 1, 1, 'CLAIM FORM 7'),
+        | ('scan1', 1, 2, 'POLICY NO 42'),
+        | ('scan1', 2, 1, 'TOTAL DUE 1350'),
+        | ('scan2', 1, 1, 'HELLO WORLD')
+        |) AS t(doc, page, line_no, text)""".stripMargin,
+
+    // Expected rows computed INDEPENDENTLY from the MediaCodec fixture
+    // formulas (python: same pixel/PCM integer math + zlib.crc32, which
+    // matches java.util.zip.CRC32) — a drift in the fixture builder, the
+    // JDK codec path, or the stats kernel breaks the compare.,
+    "mm_image_stats" ->
+      """SELECT doc, codec, width, height, CAST(n_pixels AS BIGINT) AS n_pixels,
+        | CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
+        | CAST(sum_b AS BIGINT) AS sum_b, CAST(rgb_crc32 AS BIGINT) AS rgb_crc32
+        |FROM (VALUES
+        | ('icon','bmp',16,16,256,34304,31744,36224,1230712338),
+        | ('banner','bmp',97,41,3977,505588,516052,516216,2795419054),
+        | ('photo','png',64,48,3072,392960,387584,388864,2943059237),
+        | ('tall','png',20,120,2400,304128,308288,305232,982174910)
+        |) AS t(doc, codec, width, height, n_pixels, sum_r, sum_g, sum_b, rgb_crc32)""".stripMargin,
+    "mm_image_resize" ->
+      """SELECT doc, width, height, out_width, out_height, scaled,
+        | CAST(out_crc32 AS BIGINT) AS out_crc32
+        |FROM (VALUES
+        | ('icon',16,16,16,16,false,1230712338),
+        | ('banner',97,41,32,13,true,3524222829),
+        | ('photo',64,48,32,24,true,3410041458),
+        | ('tall',20,120,5,32,true,3960382074)
+        |) AS t(doc, width, height, out_width, out_height, scaled, out_crc32)""".stripMargin,
+    "mm_image_embed" ->
+      """SELECT doc, CAST(n_pixels AS BIGINT) AS n_pixels, hist_json FROM (VALUES
+        | ('icon',256,'[0,0,0,0,0,0,24,6,14,2,0,0,0,0,0,0,0,0,0,0,12,0,27,31,0,0,0,0,0,0,0,0,0,0,0,0,11,0,13,15,15,0,9,16,0,0,0,0,0,0,0,0,0,0,0,0,30,0,6,25,0,0,0,0]'),
+        | ('banner',3977,'[94,96,93,90,10,12,43,19,107,91,106,107,30,39,37,24,60,73,99,92,47,24,49,57,64,62,66,53,61,68,63,61,0,0,5,15,111,101,95,104,42,60,54,39,90,81,90,108,61,59,48,53,80,91,82,66,33,37,53,50,64,60,66,82]'),
+        | ('photo',3072,'[96,69,62,88,30,22,38,24,82,68,56,77,10,11,10,5,82,67,58,72,26,8,33,39,34,43,33,36,61,64,61,61,7,7,5,2,82,73,70,77,48,48,21,40,80,69,65,94,61,35,42,53,62,53,51,64,33,32,49,50,44,58,30,41]'),
+        | ('tall',2400,'[34,55,32,44,35,34,58,22,59,30,43,63,17,32,31,18,31,32,15,20,26,25,59,63,57,31,34,20,47,59,39,49,17,34,33,33,51,48,61,56,45,42,40,25,37,37,4,32,13,44,36,39,34,37,36,17,61,42,53,60,30,36,20,33]')
+        |) AS t(doc, n_pixels, hist_json)""".stripMargin,
+    "mm_wav_stats" ->
+      """SELECT doc, channels, sample_rate_hz, bits,
+        | CAST(n_frames AS BIGINT) AS n_frames, peak_abs,
+        | CAST(sum_abs AS BIGINT) AS sum_abs
+        |FROM (VALUES
+        | ('beep',1,8000,16,800,10000,4405138),
+        | ('tone',2,16000,16,1600,10000,15842499)
+        |) AS t(doc, channels, sample_rate_hz, bits, n_frames, peak_abs, sum_abs)""".stripMargin,
+    "mm_video_frames" ->
+      """SELECT doc, frame_idx, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
+        | width, height, n_frames, CAST(sum_r AS BIGINT) AS sum_r,
+        | CAST(sum_g AS BIGINT) AS sum_g, CAST(sum_b AS BIGINT) AS sum_b,
+        | CAST(rgb_crc32 AS BIGINT) AS rgb_crc32
+        |FROM (VALUES
+        | ('clip',0,0,24,16,12,51200,52224,49216,2338444615),
+        | ('clip',5,200,24,16,12,47488,52864,47808,2053037352),
+        | ('clip',10,400,24,16,12,48128,42240,49472,1875251231),
+        | ('short',0,0,8,8,3,4480,5888,11104,2577235947)
+        |) AS t(doc, frame_idx, frame_ts_ms, width, height, n_frames,
+        |       sum_r, sum_g, sum_b, rgb_crc32)""".stripMargin,
+    "mm_video_mjpg" -> mmVideoMjpgSql,
+    "mm_decode_meta" ->
+      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
+        | lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
+        | 64 + octet_length(encode(text)) % 576 AS width,
+        | 64 + (octet_length(encode(text)) * 7) % 416 AS height,
+        | octet_length(encode(text)) // 100 + 1 AS n_frames
+        |FROM documents""".stripMargin,
+    "mm_resize" ->
+      """WITH meta AS (
+        | SELECT doc_id,
+        |  64 + octet_length(encode(text)) % 576 AS width,
+        |  64 + (octet_length(encode(text)) * 7) % 416 AS height
+        | FROM documents)
+        |SELECT doc_id, width, height,
+        | CAST(CASE WHEN greatest(width, height) > 224
+        |  THEN (width * 224) // greatest(width, height) ELSE width END AS INTEGER) AS out_width,
+        | CAST(CASE WHEN greatest(width, height) > 224
+        |  THEN (height * 224) // greatest(width, height) ELSE height END AS INTEGER) AS out_height,
+        | greatest(width, height) > 224 AS scaled
+        |FROM meta""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH meta AS (
+        | SELECT doc_id, octet_length(encode(text)) // 100 + 1 AS n_frames FROM documents),
+        |s AS (SELECT doc_id, n_frames, generate_series(0, n_frames - 1, 10) AS fs FROM meta)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sample_idx, fs[i] AS frame_idx,
+        | fs[i] * 40 AS frame_ts_ms
+        |FROM s, LATERAL (SELECT unnest(generate_series(1, len(fs))) AS i) g""".stripMargin,
+
+    // Expected rows hand-derived from the DocFixtures constants (the
+    // fixture builder and these literals are independent statements of
+    // the same contract — either side drifting breaks the hash match).,
+    "docx_extract" ->
+      """SELECT * FROM (VALUES
+        | ('policy', 'policy_para_0', 'section', 'Coverage Policy', 'Heading1', 'Coverage Policy'),
+        | ('policy', 'policy_para_1', 'paragraph', NULL, 'Normal', 'This policy covers accidental damage to insured property.'),
+        | ('policy', 'policy_para_3', 'section', 'Exclusions', 'Heading2', 'Exclusions'),
+        | ('policy', 'policy_para_4', 'paragraph', NULL, 'Normal', 'Damage caused by war or nuclear events is excluded.'),
+        | ('policy', 'policy_para_5', 'paragraph', NULL, 'Normal', 'Contact support for claims.'),
+        | ('policy', 'policy_table_0', 'table', NULL, NULL, 'Item | Limit' || chr(10) || 'Laptop | 1000' || chr(10) || 'Phone | 500'),
+        | ('memo', 'memo_para_0', 'paragraph', NULL, 'Normal', 'Quarterly results improved.'),
+        | ('memo', 'memo_para_1', 'section', 'Next Steps', 'Heading1', 'Next Steps'),
+        | ('memo', 'memo_para_2', 'paragraph', NULL, 'Normal', 'Hire two engineers.')
+        |) AS t(doc, chunk_id, chunk_type, section_title, style, content)""".stripMargin,
+    "eml_extract" ->
+      """SELECT * FROM (VALUES
+        | ('simple', 'simple_headers', 'headers',
+        |  'Subject: Policy renewal' || chr(10) || 'From: alice@example.com' || chr(10) ||
+        |  'To: bob@example.com' || chr(10) || 'Date: Mon, 01 Jan 2024 10:00:00 +0000'),
+        | ('simple', 'simple_body_1', 'paragraph',
+        |  'Your insurance policy is due for renewal next month. Please review the terms.'),
+        | ('simple', 'simple_body_2', 'paragraph',
+        |  'Thanks from the renewals team at Example Insurance.'),
+        | ('multi', 'multi_headers', 'headers',
+        |  'Subject: Meeting notes' || chr(10) || 'From: carol@example.com' || chr(10) ||
+        |  'To: dave@example.com' || chr(10) || 'Date: Tue, 02 Jan 2024 09:30:00 +0000'),
+        | ('multi', 'multi_body_0', 'paragraph',
+        |  'Café meeting confirmed for Tuesday at noon sharp.' || chr(10) ||
+        |  'This is a base64 encoded paragraph body.')
+        |) AS t(doc, chunk_id, chunk_type, content)""".stripMargin,
+    "pdf_pages" ->
+      """SELECT doc, page, content, length(content) AS n_chars FROM (VALUES
+        | ('contract', 1, 'MASTER SERVICE AGREEMENT' || chr(10) ||
+        |   'This agreement is made between the parties.'),
+        | ('contract', 2, 'Termination requires thirty days notice.' || chr(10) ||
+        |   'Signed by both parties.'),
+        | ('invoice', 1, 'INVOICE 2024-001' || chr(10) ||
+        |   'Billed to Example Corp for consulting services.' || chr(10) ||
+        |   'Item      Qty   Price' || chr(10) ||
+        |   'Widget    2     10.00' || chr(10) ||
+        |   'Gadget    1     25.50' || chr(10) ||
+        |   'Assembly  3     45.00' || chr(10) ||
+        |   'Thank you for your business.'),
+        | ('invoice', 2, 'PAYMENT TERMS' || chr(10) ||
+        |   'Net thirty days from invoice date.' || chr(10) ||
+        |   'Method    Fee' || chr(10) ||
+        |   'Wire      0.00' || chr(10) ||
+        |   'Card      3.50')
+        |) AS t(doc, page, content)""".stripMargin,
+
+    // hand-derived from DocFixtures.amendmentPages — the same text the
+    // classic builder would emit, reached through xref stream + ObjStm,
+    "pdf_pages_xrefstream" ->
+      """SELECT doc, page, content, length(content) AS n_chars FROM (VALUES
+        | ('amendment', 1, 'AMENDMENT NO 3' || chr(10) ||
+        |   'Effective date is the first of March.'),
+        | ('amendment', 2, 'Scope of changes.' || chr(10) ||
+        |   'Payment terms move to net sixty days.'),
+        | ('amendment', 3, 'Governing law stays unchanged.' || chr(10) ||
+        |   'Signatures follow on the last page.')
+        |) AS t(doc, page, content)""".stripMargin,
+
+    // expectations hand-derived from DocFixtures.blogHtml under the
+    // documented heuristics (Html.scala scaladoc); the garbage_html
+    // member contributes no rows,
+    "html_extract" ->
+      """SELECT doc, title, block_idx, heading, content,
+        |  length(content) AS n_chars FROM (VALUES
+        | ('blog', 'Graft & the Web', 0, TRUE, 'Parsing at scale'),
+        | ('blog', 'Graft & the Web', 1, FALSE,
+        |  'Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.'),
+        | ('blog', 'Graft & the Web', 2, FALSE,
+        |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
+        | ('blog', 'Graft & the Web', 3, FALSE,
+        |  'Entities decode: café & résumé stay readable.')
+        |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
+
+    // hand-derived from DocFixtures.sitemapXml / sitemapIndexXml,
+    "sitemap_entries" ->
+      """SELECT site, kind, loc, lastmod, priority_micro FROM (VALUES
+        | ('posts', 'url', 'http://example.com/blog', '2026-01-15',
+        |  CAST(800000 AS BIGINT)),
+        | ('posts', 'url', 'http://example.com/about', CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS BIGINT)),
+        | ('posts', 'url', 'http://example.com/search?q=a&lang=en', NULL, 250000),
+        | ('index', 'sitemap', 'http://example.com/sitemap-posts.xml',
+        |  '2026-02-01', NULL),
+        | ('index', 'sitemap', 'http://example.com/sitemap-pages.xml', NULL, NULL)
+        |) AS t(site, kind, loc, lastmod, priority_micro)""".stripMargin,
+
+    // expected verdicts re-derived from doc_id alone: %5 in (0, 2) is
+    // allowed (no match; the press carve-out), everything else denied,
+    "robots_filter" ->
+      """SELECT doc_id,
+        | CASE doc_id % 5
+        |  WHEN 0 THEN '/articles/page' || doc_id
+        |  WHEN 1 THEN '/private/data' || doc_id
+        |  WHEN 2 THEN '/private/press/rel' || doc_id
+        |  WHEN 3 THEN '/tmp/file' || doc_id
+        |  ELSE '/tmpx' || doc_id END AS path,
+        | doc_id % 5 IN (0, 2) AS allowed
+        |FROM documents""".stripMargin,
+
+    // hand-derived from DocFixtures.latin1Html / utf16Html,
+    "html_charsets" ->
+      """SELECT doc, title, block_idx, heading, content,
+        |  length(content) AS n_chars FROM (VALUES
+        | ('latin1', 'Café menu', 0, FALSE,
+        |  'Un café crème et un pain au chocolat, s''il vous plaît.'),
+        | ('utf16', 'Wide', 0, FALSE,
+        |  'Sixteen-bit pages decode through the byte-order mark.')
+        |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
+
+    // expectations hand-derived from DocFixtures.crawlWarc: payload
+    // lengths are the authored bodies' byte counts (the blog page is
+    // 917 ASCII bytes); the gz twin must be byte-identical rows,
+    "warc_records" ->
+      """SELECT warc, rec_idx, rec_type, url, http_status, content_type,
+        |  n_payload_bytes FROM (VALUES
+        | (0, 'warcinfo', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
+        |  CAST(NULL AS VARCHAR), 29),
+        | (1, 'request', 'http://example.com/blog', NULL, NULL, 41),
+        | (2, 'response', 'http://example.com/blog', 200,
+        |  'text/html; charset=utf-8', 917),
+        | (3, 'response', 'http://example.com/gone', 404, 'text/html', 35),
+        | (4, 'response', 'http://example.com/report.pdf', 200,
+        |  'application/pdf', 13)
+        |) AS r(rec_idx, rec_type, url, http_status, content_type, n_payload_bytes)
+        |CROSS JOIN (VALUES ('crawl'), ('crawl_gz')) AS w(warc)""".stripMargin,
+    "warc_html_blocks" ->
+      """SELECT warc, url, title, block_idx, heading, content,
+        |  length(content) AS n_chars FROM (VALUES
+        | (0, TRUE, 'Parsing at scale'),
+        | (1, FALSE,
+        |  'Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.'),
+        | (2, FALSE,
+        |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
+        | (3, FALSE,
+        |  'Entities decode: café & résumé stay readable.')
+        |) AS b(block_idx, heading, content)
+        |CROSS JOIN (VALUES ('crawl'), ('crawl_gz')) AS w(warc)
+        |CROSS JOIN (VALUES ('http://example.com/blog', 'Graft & the Web'))
+        |  AS u(url, title)""".stripMargin,
+
+    // the streamed crawl's final corpus table: the SAME blocks as
+    // warc_html_blocks but ONE copy per page — the gz re-crawl batch and
+    // the replayed batch both collapse into the first copy under the
+    // fp-keyed LWW upsert,
+    "crawl_stream_e2e" ->
+      """SELECT url, block_idx, heading, content,
+        |  length(content) AS n_chars FROM (VALUES
+        | (0, TRUE, 'Parsing at scale'),
+        | (1, FALSE,
+        |  'Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.'),
+        | (2, FALSE,
+        |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
+        | (3, FALSE,
+        |  'Entities decode: café & résumé stay readable.')
+        |) AS b(block_idx, heading, content)
+        |CROSS JOIN (VALUES ('http://example.com/blog')) AS u(url)""".stripMargin,
+
+    // frontier re-derived from doc_id alone: %5=1 rows are the robots-
+    // denied /private/ paths; the canonical URL and host re-derive by
+    // string construction (lowercased, port stripped, fragment gone);
+    // the politeness budget is the same rank-limit window in DuckDB,
+    "crawl_frontier" ->
+      """WITH f AS (
+        | SELECT 'http://host' || (doc_id % 7) || '.example.com/articles/page'
+        |          || doc_id AS url,
+        |        (doc_id % 10) * 100000 AS priority_micro,
+        |        'host' || (doc_id % 7) || '.example.com' AS host
+        | FROM documents WHERE doc_id % 5 <> 1)
+        |SELECT url, priority_micro, host, fetch_rank FROM (
+        | SELECT *, row_number() OVER (
+        |   PARTITION BY host ORDER BY priority_micro DESC, url) AS fetch_rank
+        | FROM f) t WHERE fetch_rank <= 5""".stripMargin,
+
+    // the canonical form re-derived from doc_id alone — an independent
+    // derivation, not a replay of the engine's string surgery,
+    "url_canonical" ->
+      """SELECT doc_id,
+        | 'HTTPS://ExAmple.COM:443/Docs/page' || doc_id ||
+        |   CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+        |   '?utm_source=news' ||
+        |   CASE WHEN doc_id % 4 <> 0
+        |        THEN '&z=' || (doc_id % 3) || '&a=' || (doc_id % 5) ELSE '' END ||
+        |   '#sec' || (doc_id % 2) AS url,
+        | 'https://example.com/Docs/page' || doc_id ||
+        |   CASE WHEN doc_id % 4 <> 0
+        |        THEN '?a=' || (doc_id % 5) || '&z=' || (doc_id % 3) ELSE '' END
+        |   AS canonical_url
+        |FROM documents""".stripMargin,
+
+    // expectations = DocFixtures.cidPages verbatim (the CMap is the only
+    // route from the fixture's arbitrary codes back to this text),
+    "pdf_pages_cid" ->
+      """SELECT doc, page, content, length(content) AS n_chars FROM (VALUES
+        | ('treaty', 1, 'TREATY OF AMITY' || chr(10) ||
+        |   'An efficient xyz protocol governs here.'),
+        | ('treaty', 2, 'Ratified by both parties in good faith.' || chr(10) ||
+        |   'Signatures follow on the final page.')
+        |) AS t(doc, page, content)""".stripMargin,
+
+    // S5-lite expectations hand-derived from DocFixtures.invoicePages
+    // (the contract fixture's prose pages must yield NO tables),
+    "pdf_tables" ->
+      """SELECT * FROM (VALUES
+        | ('invoice', 1, 0, '["Item","Qty","Price"]',
+        |  '[["Widget","2","10.00"],["Gadget","1","25.50"],["Assembly","3","45.00"]]'),
+        | ('invoice', 2, 0, '["Method","Fee"]',
+        |  '[["Wire","0.00"],["Card","3.50"]]')
+        |) AS t(doc, page, table_idx, headers_json, rows_json)""".stripMargin,
+    "c3_table_text" ->
+      """SELECT * FROM (VALUES
+        | ('policy', 'docx', 0, 0, 'Item | Limit' || chr(10) ||
+        |   'Laptop | 1000' || chr(10) || 'Phone | 500'),
+        | ('invoice', 'pdf', 1, 0, 'Item | Qty | Price' || chr(10) ||
+        |   'Widget | 2 | 10.00' || chr(10) || 'Gadget | 1 | 25.50' || chr(10) ||
+        |   'Assembly | 3 | 45.00'),
+        | ('invoice', 'pdf', 2, 0, 'Method | Fee' || chr(10) ||
+        |   'Wire | 0.00' || chr(10) || 'Card | 3.50')
+        |) AS t(doc, source, page, table_idx, content)""".stripMargin,
+
+    // error codes: NULL = valid, 'encrypted' = password-protected PDF
+    // (counted, not silently absent), 'parse_failed' = everything else,
+    "doc_validate" ->
+      """SELECT * FROM (VALUES
+        | ('policy', 'docx', true, CAST(NULL AS VARCHAR)),
+        | ('memo', 'docx', true, NULL),
+        | ('simple', 'eml', true, NULL), ('multi', 'eml', true, NULL),
+        | ('contract', 'pdf', true, NULL), ('invoice', 'pdf', true, NULL),
+        | ('locked', 'pdf', false, 'encrypted'),
+        | ('garbage_docx', 'docx', false, 'parse_failed'),
+        | ('garbage_pdf', 'pdf', false, 'parse_failed')
+        |) AS t(doc, fmt, is_valid, error)""".stripMargin,
+  )
+}

@@ -14,7 +14,8 @@ import graft.operators._
   * names/types and value rounding are kept bit-stable across engines:
   * doubles rounded before ranking, timestamps emitted as epoch seconds.
   */
-object SparkEntry {
+object SparkEntry extends EntryRelational with EntryRetrieval
+    with EntryCuration with EntryDocs with EntryEvents with EntrySubword {
 
   /** Flagship query on sf=0.001 (SURVEY §7.1 minimum slice, extended):
     * documents → paragraph chunks → two retrieval strategies over the
@@ -60,4397 +61,16 @@ object SparkEntry {
   }
 
   // ---------------------------------------------------------------------
-  // shared SQL fragments for the DuckDB oracles
-  private val stopSql = Chunking.stopwords.map(w => s"'$w'").mkString("[", ", ", "]")
-  private def esc(s: String) = s.replace("'", "''")
-  private val questionValuesSql = Retrieval.goldenQuestions.zipWithIndex
-    .map { case (q, i) => s"($i, '${esc(q)}')" }.mkString(", ")
-  private val langScoreSql = TextAnalysis.langMarkers.map { case (lang, words) =>
-    words.map(w => s"(CASE WHEN position(' $w ' IN pad) > 0 THEN 1 ELSE 0 END)")
-      .mkString("(", " + ", s") AS score_$lang")
-  }.mkString(", ")
-  private val langPredSql = {
-    val best = TextAnalysis.langMarkers.map { case (l, _) => s"score_$l" }
-      .mkString("greatest(", ", ", ")")
-    val chain = TextAnalysis.langMarkers.map { case (l, _) =>
-      s"WHEN score_$l = $best AND $best > 0 THEN '$l'"
-    }.mkString(" ")
-    s"CASE $chain ELSE 'und' END"
-  }
-
-  private def questionsDF(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    Retrieval.goldenQuestions.zipWithIndex
-      .map { case (q, i) => (i, q) }.toDF("question_id", "question")
-  }
-
-  // ---------------------------------------------------------------------
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // --- relational tier (SURVEY §2.7-2.8) -----------------------------
-    "q01_pricing_summary" -> ((s, d) => Relational.pricingSummary(Tables.lineitem(s, d))),
-    "q03_shipping_priority" -> ((s, d) =>
-      Relational.shippingPriority(Tables.customer(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
-    "q05_local_supplier" -> ((s, d) =>
-      Relational.localSupplierVolume(Tables.region(s, d), Tables.nation(s, d),
-        Tables.customer(s, d), Tables.supplier(s, d), Tables.orders(s, d), Tables.lineitem(s, d))),
-    "q07_top_customers" -> ((s, d) => Relational.topCustomersPerNation(Tables.customer(s, d))),
-    "q08_running_totals" -> ((s, d) => Relational.runningOrderTotals(Tables.orders(s, d))),
-    "q09_semi_anti" -> ((s, d) =>
-      Relational.customerOrderPresence(Tables.customer(s, d), Tables.orders(s, d))),
-    "q10_rollup" -> ((s, d) => Relational.rollupQuantities(Tables.lineitem(s, d))),
-    "q04_order_priority" -> ((s, d) =>
-      Relational.orderPriorityCounts(Tables.orders(s, d), Tables.lineitem(s, d))),
-    "q06_forecast_revenue" -> ((s, d) => Relational.forecastRevenue(Tables.lineitem(s, d))),
-    "q11_distinct_agg" -> ((s, d) => Relational.nationCustomerStats(Tables.customer(s, d))),
-    "q12_cube" -> ((s, d) => Relational.cubeQuantities(Tables.lineitem(s, d))),
-    "q13_window_frames" -> ((s, d) => Relational.customerOrderWindows(Tables.orders(s, d))),
-    // explicit GROUPING SETS (the general form behind rollup/cube):
-    // per-returnflag and per-linestatus layers only, no cross terms
-    "q15_grouping_sets" -> ((s, d) =>
-      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_gs") match { case _ =>
-        s.sql("""SELECT l_returnflag, l_linestatus,
-                 round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-                 FROM lineitem_gs
-                 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""")
-      }),
-    "q14_percentiles" -> ((s, d) => Relational.eventValuePercentiles(Tables.events(s, d))),
-    "q16_pivot" -> ((s, d) => Relational.pivotOrderStatus(Tables.orders(s, d))),
-    "q17_unpivot" -> ((s, d) => Relational.unpivotCustomer(Tables.customer(s, d))),
-    // correlated scalar subquery — Catalyst decorrelates it into an
-    // aggregate + join; the oracle runs the identical SQL
-    "q18_corr_subquery" -> ((s, d) => {
-      Tables.orders(s, d).createOrReplaceTempView("orders_corr")
-      s.sql("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
-               FROM orders_corr o
-               WHERE o_totalprice = (SELECT max(o2.o_totalprice)
-                                     FROM orders_corr o2
-                                     WHERE o2.o_custkey = o.o_custkey)""")
-    }),
-    "q19_set_ops" -> ((s, d) =>
-      Relational.nationSetOps(Tables.customer(s, d), Tables.supplier(s, d))),
-    // HLL/KLL sketch aggregates: the sketch ESTIMATES are
-    // engine-specific, so the checked projection is the exact twins plus
-    // the bounded-error verdict booleans (deterministic — both sketches
-    // are hash-based, no RNG); the oracle recomputes the exact side and
-    // asserts the verdicts are true. The approx values themselves stay
-    // on the operator's full output for API users.
-    "approx_stats" -> ((s, d) =>
-      Relational.approxEventStats(Tables.events(s, d))
-        .select("event_type", "exact_users", "exact_p50", "n_events",
-          "users_ok", "p50_ok")),
-    "q20_multiset_ops" -> ((s, d) =>
-      Relational.multisetPriorityOps(Tables.orders(s, d))),
-    "q21_range_frame" -> ((s, d) =>
-      Relational.trailingEventWindow(Tables.events(s, d), windowSec = 600)),
-    "doc_keywords" -> ((s, d) =>
-      TextAnalysis.topTfidfTerms(Tables.documents(s, d), k = 3)),
-
-    // --- chunking (SURVEY §2.3) ----------------------------------------
-    "c2_paragraph_chunks" -> ((s, d) => Chunking.paragraphChunks(Tables.documents(s, d))),
-    "c6_sliding_chunks" -> ((s, d) =>
-      Chunking.slidingWindowChunks(Tables.documents(s, d), windowSize = 20, overlap = 4)),
-    "c8_token_counts" -> ((s, d) =>
-      TextAnalysis.tokenCounts(Tables.documents(s, d)).select("doc_id", "ws_tokens", "bpe_ish_tokens")),
-    "a1_doc_stats" -> ((s, d) =>
-      Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
-        .groupBy(col("document_id"))
-        .agg(count(lit(1)).as("chunks_count"), sum(length(col("content"))).as("total_characters"))),
-    "c1_sections" -> ((s, d) => Sections.sectionChunks(Tables.documents(s, d))),
-    "c9_embed_text" -> ((s, d) =>
-      Sections.embedText(Sections.sectionChunks(Tables.documents(s, d)), maxChars = 1000)
-        .select("chunk_id", "document_id", "embed_text")),
-    "s7_strategy" -> ((s, d) =>
-      Sections.extractWithFallback(Tables.documents(s, d),
-        primary = col("text"), fallback = upper(substring(col("text"), 1, 120)), minWords = 40)
-        .select("doc_id", "strategy", "extracted_text")),
-    // C4/C5 ordered folds (flatMapGroups), oracle-checked via recursive
-    // CTEs that replay the greedy state walk. NOTE the synthetic corpus
-    // has no sentence punctuation or blank lines, so the folds take the
-    // passthrough path on this data — the split/merge BEHAVIOR is pinned
-    // by the seeded property tests in ChunkingSpec; the oracle pins ids,
-    // ordering, passthrough content, and counts.
-    "c4_split_large" -> ((s, d) =>
-      ChunkFolds.splitLargeChunks(
-        Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
-          .select(col("document_id"), col("para_idx").as("position"), col("content")),
-        maxChars = 120).toDF),
-    // C7 rechunk chain: C4 split (120) feeding C5 merge (100), total
-    // order inside a document = (original position, sub index).
-    "c7_rechunk" -> ((s, d) => {
-      val subs = ChunkFolds.splitLargeChunks(
-        Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
-          .select(col("document_id"), col("para_idx").as("position"), col("content")),
-        maxChars = 120).toDF
-      ChunkFolds.combineSmallChunks(
-        subs.select(col("document_id"),
-          (col("position") * 10000 + col("sub_index")).as("position"), col("content")),
-        minChars = 100).toDF
-    }),
-    "e1_tf_buckets" -> ((s, d) => Embedding.tfBuckets(Tables.documents(s, d), dim = 384)),
-    "rolling_fp" -> ((s, d) =>
-      Tables.documents(s, d).select(col("doc_id"),
-        TextAnalysis.rollingFingerprint(col("text")).as("rh"))),
-    "cdc_chunks" -> ((s, d) => Chunking.cdcChunks(Tables.documents(s, d), modulus = 16)),
-
-    // --- text analysis tier --------------------------------------------
-    "lang_id" -> ((s, d) =>
-      TextAnalysis.languageId(Tables.documents(s, d))
-        .select(col("doc_id") +: col("pred_lang") +:
-          TextAnalysis.langMarkers.map { case (l, _) => col(s"score_$l") }: _*)),
-    "corpus_datacard" -> ((s, d) =>
-      TextAnalysis.corpusDatacard(Tables.documents(s, d))),
-    "quality_score" -> ((s, d) =>
-      TextAnalysis.qualityScore(Tables.documents(s, d))
-        .select("doc_id", "n_chars", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio")),
-    "redact_pii" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
-    "repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
-
-    // --- dedup tier ----------------------------------------------------
-    "dedup_exact" -> ((s, d) => Dedup.exactDups(Tables.documents(s, d))),
-    "ngram_jaccard" -> ((s, d) =>
-      Dedup.ngramJaccard(Tables.documents(s, d).filter(col("doc_id") < 100))),
-    "minhash_pairs" -> ((s, d) =>
-      Dedup.minhashCandidates(Tables.documents(s, d).filter(col("doc_id") < 500))),
-    "simhash" -> ((s, d) =>
-      Dedup.simhash32(Tables.documents(s, d)).withColumnRenamed("id", "doc_id")),
-    // span-granularity exact substring dedup (Lee et al. 2022): maximal
-    // cross-document duplicated passages >= 8 words, by word offset
-    "dup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d))),
-    // ...and the action half: the corpus with those passages clipped
-    // out (demo scoped to a doc subset, the ngram_jaccard precedent —
-    // dup_spans above keeps the full-corpus detection pass)
-    "dup_spans_clip" -> ((s, d) =>
-      Dedup.clipDuplicatedSpans(Tables.documents(s, d).filter(col("doc_id") < 1000))
-        .filter(col("n_words_removed") > 0)),
-    "embed_near_dups" -> ((s, d) =>
-      Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.2, signDims = 4)),
-    // SemDeDup two-stage semantic dedup; the synthetic embeddings are
-    // near-orthogonal (max within-cell cosine ≈ 0.49), so the demo
-    // threshold sits below the 0.85 production default to exercise the
-    // flag path. nClusters pinned (oracle replays the 8-cell sample);
-    // maxCellReps = 48 BINDS at sf0.01+ (~62 per cell) so the per-cell
-    // pair cap is itself hash-checked, not just the uncapped path
-    "semantic_dedup" -> ((s, d) =>
-      Dedup.semanticDedup(Tables.embeddings(s, d), nClusters = 8, threshold = 0.4,
-        maxCellReps = 48)),
-    // canonical-keeper assignment over the minhash candidate pairs — the
-    // step that turns near-dup PAIRS into per-document keep/drop decisions
-    "dup_clusters" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
-      Dedup.dupClusters(docs, Dedup.minhashCandidates(docs))
-    }),
-    // iterated min-label propagation to the fixed point — TRUE connected
-    // components; oracle = transitive closure via recursive CTE
-    "dup_components" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
-      Dedup.connectedComponents(docs, Dedup.minhashCandidates(docs))
-    }),
-    // leakage-safe split: hash the COMPONENT label, not the doc id — no
-    // near-dup cluster ever straddles train/test
-    "leakage_split" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
-      Dedup.leakageSafeSplit(docs, Dedup.minhashCandidates(docs))
-    }),
-
-    // --- deterministic sampling / splitting tier -----------------------
-    "split_train_test" -> ((s, d) =>
-      Sampling.trainTestSplit(Tables.documents(s, d), "doc_id", testFrac = 0.1)
-        .select("doc_id", "bucket", "split")),
-    "stratified_sample" -> ((s, d) =>
-      Sampling.stratifiedSample(Tables.documents(s, d), "lang", "doc_id", frac = 0.1)
-        .select("doc_id", "lang")),
-    "len_deciles" -> ((s, d) =>
-      Sampling.quantileBuckets(Tables.documents(s, d), "n_chars", nBuckets = 10)
-        .groupBy(col("bucket"))
-        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
-          max(col("n_chars")).as("max_chars"))),
-    "pack_shards" -> ((s, d) =>
-      Sampling.packShards(Tables.documents(s, d), tokenBudget = 500, nBuckets = 8)),
-    "clip_outliers" -> ((s, d) =>
-      Sampling.winsorize(Tables.events(s, d), "value", lo = 0.05, hi = 0.95)
-        .select(col("event_id"), round(col("value"), 4).as("value"),
-          round(col("value_clipped"), 4).as("value_clipped"), col("was_clipped"))),
-    "sq_embeddings" -> ((s, d) =>
-      Similarity.scalarQuantize(Tables.embeddings(s, d))),
-    "jl_projection" -> ((s, d) =>
-      Embedding.randomProjection(Tables.embeddings(s, d), inDim = 64, outDim = 16)),
-    "label_centroids" -> ((s, d) =>
-      Embedding.labelCentroids(Tables.embeddings(s, d))),
-    "e4_l2norm" -> ((s, d) =>
-      Tables.embeddings(s, d).select(
-        col("vec_id"),
-        round(graft.functions.VectorOps.norm(
-          graft.functions.VectorOps.l2Normalize(col("embedding"))), 4).as("unit_norm"),
-        // + 0.0 collapses IEEE negative zero (a tiny negative component
-        // rounds to -0.0 in one engine and 0.0 in the other)
-        (round(element_at(graft.functions.VectorOps.l2Normalize(col("embedding")), 1), 4)
-          + lit(0.0)).as("c0"))),
-
-    // --- similarity search tier (SURVEY §2.5) --------------------------
-    "knn_cosine" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Retrieval.knnCosine(
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
-        e.filter(col("vec_id") >= 5), k = 10)
-    }),
-    "knn_filtered" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Retrieval.knnCosine(
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
-        e.filter(col("vec_id") >= 5), k = 10, indexFilter = col("label") === 3)
-    }),
-    "lsh_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.lshTopK(
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
-        e.filter(col("vec_id") >= 5), k = 10, dims = 4)
-    }),
-    // multi-probe LSH: also probes the two nearest Hamming-1 buckets —
-    // higher recall, same distributable equi-join shape
-    "lsh_multiprobe" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.lshTopK(
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
-        e.filter(col("vec_id") >= 5), k = 10, dims = 4, probes = 3)
-    }),
-    // IVF ANN: KMeans cell assignment isn't reproducible in DuckDB →
-    // rows-only check (row count = k × |queries| is deterministic).
-    "ivf_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.ivfTopK(
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
-        e.filter(col("vec_id") >= 5), k = 10, nlist = 8, nprobe = 8)
-    }),
-    // IVF-SQ8: coarse cells + int8-compressed storage, queries score the
-    // dequantized reconstruction — approximate in BOTH the probe set
-    // (nprobe=2 < nlist) and the stored precision; full DuckDB replay
-    "ivf_sq8_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.ivfSq8TopK(
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
-        e.filter(col("vec_id") >= 5), k = 10, nlist = 8, nprobe = 2)
-    }),
-    // the persisted-index face of IVF: build writes the cell-partitioned
-    // vector table + centroid sidecar, probe reads it back with dynamic
-    // partition pruning; nprobe=2 < nlist → a genuinely approximate run,
-    // replayed end-to-end by the DuckDB oracle
-    "ivf_persisted" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      // ONE temp dir per JVM (lazy val): per-call createTempDirectory
-      // leaked a full vector-table copy per invocation, while a fixed
-      // world-shared path raced concurrent processes (two Verify JVMs
-      // would swap each other's builds) and collided across users.
-      // Per-JVM unique + reused across calls (bench's min-of-two,
-      // verify) bounds the footprint to one copy per run with no race.
-      graft.io.IvfIndex.build(e.filter(col("vec_id") >= 5), ivfDemoDir, nlist = 8)
-      graft.io.IvfIndex.probe(s, ivfDemoDir,
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
-        k = 10, nprobe = 2)
-    }),
-    // the STREAMING lifecycle of the persisted index as one oracle-checked
-    // chain: build from the older corpus half (vec_id >= 200), stream the
-    // rest in through a real micro-batch foreachBatch append (batches 0
-    // and 1), FOLD them into the base tree via compact (foldMinRatio=0
-    // forces it), replay batch 1 afterwards (a zombie retry — the folded
-    // manifest makes it a no-op), then commit batch 2 post-compact so the
-    // final probe unions base + one unfolded append batch. Every row the
-    // stream delivered is probed with the BUILD-half centroids (append
-    // assigns against STORED centroids, never re-trains), so the whole
-    // chain equals one probe over the full corpus with those centroids —
-    // exactly what the DuckDB oracle replays. The MemoryStream feed
-    // collects 195 fixture rows (bounded at every SF) to make the
-    // micro-batch boundaries deterministic.
-    "ivf_stream_e2e" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val dir = ivfStreamDir
-      // rebuild wipes prior appends + manifest: every invocation (bench's
-      // min-of-two, verify) replays the identical lifecycle from scratch
-      graft.io.IvfIndex.build(e.filter(col("vec_id") >= 200), dir, nlist = 8)
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val late = e.filter(col("vec_id") >= 5 && col("vec_id") < 200)
-        .select("vec_id", "embedding").collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(Long, Seq[Float])]
-      val q = input.toDF()
-        .selectExpr("_1 AS vec_id", "CAST(_2 AS ARRAY<FLOAT>) AS embedding")
-        .writeStream
-        .foreachBatch { (b: DataFrame, id: Long) =>
-          graft.io.IvfIndex.append(b, dir, batchId = Some(id))
-        }
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ivf-e2e-ck").toString)
-        .start()
-      try {
-        input.addData(late.filter(_._1 < 70).toSeq) // batch 0
-        q.processAllAvailable()
-        input.addData(late.filter(t => t._1 >= 70 && t._1 < 135).toSeq) // batch 1
-        q.processAllAvailable()
-        // compact between triggers — the documented quiesce window; the
-        // forced fold moves batches 0 and 1 into vectors/
-        graft.io.IvfIndex.compact(s, dir, foldMinRatio = 0.0)
-        // at-least-once replay of batch 1 AFTER its fold: the manifest
-        // (not the long-gone batch dir) must make this a no-op
-        graft.io.IvfIndex.append(
-          e.filter(col("vec_id") >= 70 && col("vec_id") < 135), dir,
-          batchId = Some(1L))
-        input.addData(late.filter(_._1 >= 135).toSeq) // batch 2, stays unfolded
-        q.processAllAvailable()
-      } finally q.stop()
-      graft.io.IvfIndex.probe(s, dir,
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
-        k = 10, nprobe = 2)
-    }),
-    // recall@10 audit of every deterministic approximate path against
-    // brute force — the number an ANN deployment is tuned by; the oracle
-    // replays each method end-to-end in DuckDB
-    "ann_recall" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-      val cand = e.filter(col("vec_id") >= 5)
-      val exact = Retrieval.knnCosine(qs, cand, k = 10)
-      Similarity.recallAudit(exact, Seq(
-        "sign_lsh" -> Similarity.lshTopK(qs, cand, k = 10, dims = 4),
-        "multiprobe" -> Similarity.lshTopK(qs, cand, k = 10, dims = 4, probes = 3),
-        "ivf_nprobe2" -> Similarity.ivfTopK(qs, cand, k = 10, nlist = 8, nprobe = 2),
-        "ivf_sq8_nprobe2" -> Similarity.ivfSq8TopK(qs, cand, k = 10, nlist = 8, nprobe = 2),
-        "pq_adc" -> Similarity.pqAdcTopK(qs, cand, k = 10)))
-    }),
-    // graded IR metrics over the exact kNN lists, relevance = label
-    // match (the standard ANN-benchmark relevance definition)
-    "ranking_quality" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-      val cand = e.filter(col("vec_id") >= 5)
-      val rel = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_vec_id"), col("label").as("_ql"))
-        .join(cand.select(col("vec_id"), col("label")), col("label") === col("_ql"))
-        .select(col("q_vec_id"), col("vec_id"))
-      Retrieval.rankingQuality(Retrieval.knnCosine(qs, cand, k = 10), rel, k = 10)
-    }),
-    // BRP-LSH recall rides MLlib's seeded RNG → the recall VALUE is
-    // run-reproducible (fixed seed) but not engine-replayable, so the
-    // checked projection is a verdict: recall ≥ 0.8, far under the
-    // measured 0.94 tuning point (README's audit table) — the oracle
-    // asserts the verdict, catching bucket-join collapse or a seed/
-    // normalization regression without pinning RNG-specific hyperplanes
-    "ann_recall_brp" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-      val cand = e.filter(col("vec_id") >= 5)
-      val exact = Retrieval.knnCosine(qs, cand, k = 10)
-      Similarity.recallAudit(exact,
-        Seq("brp_lsh" -> Similarity.brpLshTopK(qs, cand, k = 10)))
-        .select(col("method"), col("expected"),
-          (col("recall") >= 0.8).as("recall_ok"))
-    }),
-    // the SparkSessionExtensions SQL surface: the native cosine kernel
-    // invoked from plain SQL text, as an extensions-configured session
-    // (or GraftExtensions.register) exposes it
-    "sql_cosine_pairs" -> ((s, d) => {
-      graft.GraftExtensions.register(s)
-      Tables.embeddings(s, d).createOrReplaceTempView("emb_sql")
-      s.sql("""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               round(cosine_sim(a.embedding, b.embedding), 4) AS score
-               FROM emb_sql a JOIN emb_sql b ON a.vec_id + 1 = b.vec_id
-               WHERE a.vec_id < 50""")
-    }),
-    "index_stats" -> ((s, d) =>
-      Tables.embeddings(s, d).agg(
-        count(lit(1)).as("n_vectors"),
-        count_distinct(col("label")).as("n_labels"),
-        max(size(col("embedding"))).as("dim"))),
-    // Q3 deterministic fallback: vector path "fails" for q_vec_id >= 3
-    // (stands in for the reference's exception case, main.py:129-131);
-    // those questions fall back to the LSH keyword-analogue results.
-    "hybrid_search" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-      val vector = Retrieval.knnCosine(qs, e.filter(col("vec_id") >= 5), k = 10,
-          indexFilter = col("label") === 3)
-        .filter(col("q_vec_id") < 3)
-      val keyword = Similarity.lshTopK(qs, e.filter(col("vec_id") >= 5), k = 10, dims = 4)
-      Retrieval.hybridSearch(vector, keyword, qidCol = "q_vec_id")
-    }),
-    "salted_agg" -> ((s, d) =>
-      Relational.saltedCountSum(Tables.documents(s, d), "lang", "n_chars")),
-
-    // --- keyword fallback (SURVEY §2.6) --------------------------------
-    "keyword_search" -> ((s, d) =>
-      Retrieval.keywordSearch(questionsDF(s), Tables.documents(s, d), k = 3)),
-    "answer_summary" -> ((s, d) =>
-      Retrieval.keywordSearch(questionsDF(s), Tables.documents(s, d), k = 3)
-        .groupBy(col("question_id"))
-        .agg(count(lit(1)).as("n_results"), max(col("score")).as("best_score"),
-          max(when(col("rank") === 1, col("doc_id"))).as("best_doc"))),
-    "answers_payload" -> ((s, d) =>
-      Retrieval.answersPayload(
-        Retrieval.keywordSearch(questionsDF(s), Tables.documents(s, d), k = 3))),
-    "bm25_search" -> ((s, d) =>
-      Retrieval.bm25Search(questionsDF(s), Tables.documents(s, d), k = 3)),
-
-    // --- validation / ingest (SURVEY §2.1-2.2) -------------------------
-    "mime_sniff" -> ((s, d) =>
-      Validation.mimeFixturesDF(s).select(col("name"), Validation.sniffMime(col("head")).as("mime"))),
-    "validate_docs" -> ((s, d) =>
-      Validation.validate(Tables.documents(s, d), maxChars = 500,
-        langWhitelist = Seq("en", "de", "fr", "es"))
-        .select("doc_id", "errors", "is_valid")),
-    // E6/A5 — usage counters ride the validation job via Dataset.observe
-    // (no second aggregation pass over the corpus); the harvested metrics
-    // project to the reference's 1-row usage-stats shape
-    "usage_counters" -> ((s, d) => {
-      import s.implicits._
-      val obs = org.apache.spark.sql.Observation()
-      val counted = Validation.withUsageCounters(
-        Validation.validate(Tables.documents(s, d), maxChars = 500,
-          langWhitelist = Seq("en", "de", "fr", "es")), obs)
-      counted.foreach(_ => ()) // the one action the metrics ride
-      val m = obs.get
-      Seq((m("total").asInstanceOf[Long], m("valid").asInstanceOf[Long],
-        m("chars_processed").asInstanceOf[Long]))
-        .toDF("total", "valid", "chars_processed")
-    }),
-    // S13 — table create/overwrite init (the reference's
-    // create-index-with-delete_if_exists): two writes to one location,
-    // the read-back must contain ONLY the second write's rows
-    "index_init" -> ((s, d) => {
-      import s.implicits._
-      Tables.overwrite(Seq((0L, "stale")).toDF("id", "payload"), indexInitDir)
-      Tables.overwrite(Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
-        .toDF("id", "payload"), indexInitDir)
-      s.read.parquet(indexInitDir)
-    }),
-    "ingest_dedup" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Validation.newDocsOnly(docs.filter(col("doc_id") % 2 === 1), docs.filter(col("doc_id") % 2 === 0))
-        .select("doc_id", "fp")
-    }),
-    // S1: url-list ingestion over the offline file:// transport — retry
-    // metadata, 50MB cap, sha256 + cache naming, layered MIME, type
-    // validation; one URL 404s (3 attempts), one wears a lying extension
-    "ingest_urls" -> ((s, d) => {
-      import s.implicits._
-      val dir = UrlIngest.stageQueryFixtures()
-      val urls = Seq(
-        s"file://$dir/simple.eml", s"file://$dir/multi.eml",
-        s"file://$dir/notes.txt", s"file://$dir/report.pdf",
-        s"file://$dir/missing.docx").toDF("url")
-      UrlIngest.ingest(urls)
-    }),
-    // S1 over the REAL http:// transport (loopback fixture server):
-    // /flaky/notes.txt eats a genuine 503 + backoff + retry (attempts=2),
-    // missing.docx 404s through all 3 attempts. url/cache_name embed the
-    // server's ephemeral port, so the compared surface is the path — the
-    // port-independent half; naming semantics are ingest_urls' check
-    "ingest_http" -> ((s, d) => {
-      import s.implicits._
-      val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
-      val urls = Seq(s"$base/simple.eml", s"$base/multi.eml", s"$base/notes.txt",
-        s"$base/report.pdf", s"$base/flaky/notes.txt", s"$base/missing.docx").toDF("url")
-      UrlIngest.ingest(urls, backoffMs = 1)
-        .withColumn("path", regexp_replace(col("url"), "^http://[^/]+", ""))
-        .select("path", "file_size", "mime_type", "file_hash", "attempts",
-          "is_valid", "errors")
-    }),
-
-    // --- events / index maintenance (SURVEY §2.1, §2.10) ---------------
-    "events_tumbling" -> ((s, d) => EventOps.tumblingAgg(Tables.events(s, d))),
-    "events_sessionize" -> ((s, d) => EventOps.sessionize(Tables.events(s, d))),
-    "upsert_latest" -> ((s, d) => EventOps.latestPerKey(Tables.events(s, d))),
-    "delete_by_ids" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-      EventOps.deleteByIds(ev, ev.filter(col("event_id") % 97 === 0).select("event_id"))
-        .select("event_id")
-    }),
-    "retention_recent" -> ((s, d) =>
-      EventOps.retention(Tables.events(s, d), maxAgeSec = 7 * 86400)
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n_events"))),
-    // funnel on µs-truncated times: DuckDB's TIMESTAMP_NS reader only
-    // surfaces microseconds, so both engines must compare at µs grain
-    "funnel_steps" -> ((s, d) =>
-      EventOps.funnel(Tables.events(s, d)
-        .withColumn("ts_ns", expr("ts_ns div 1000")))),
-    "asof_join" -> ((s, d) => AsOf.asofJoin(Tables.events(s, d))),
-    "range_join" -> ((s, d) => AsOf.rangeJoin(Tables.events(s, d), windowSec = 600)),
-    "json_props" -> ((s, d) => EventOps.propsHistogram(Tables.events(s, d))),
-    "s11_chunks_json" -> ((s, d) =>
-      Tables.documents(s, d)
-        .select(col("doc_id"), to_json(struct(col("doc_id"), col("n_chars"))).as("js"))),
-
-    // --- multimodal tier ----------------------------------------------
-    // real JDK-codec decode kernels (ImageIO / javax.sound.sampled) over
-    // deterministic BMP/PNG/WAV fixtures; oracle VALUES derived from the
-    // pixel/PCM formulas by an independent implementation
-    "mm_image_stats" -> ((s, d) =>
-      MediaCodec.imageStats(MediaCodec.fixturesDF(s)).toDF()),
-    "mm_image_resize" -> ((s, d) =>
-      MediaCodec.imageResize(MediaCodec.fixturesDF(s), maxSide = 32).toDF()),
-    "mm_wav_stats" -> ((s, d) =>
-      MediaCodec.wavStats(MediaCodec.fixturesDF(s)).toDF()),
-    // real video decode: the uncompressed-AVI RIFF walk + per-frame
-    // pixel stats, sampling every 5th frame (the frameSample contract
-    // over real pixels)
-    "mm_video_frames" -> ((s, d) =>
-      MediaCodec.aviFrames(MediaCodec.fixturesDF(s), step = 5).toDF()),
-    // compressed-video decode: MJPG AVI through the same container walk,
-    // each sampled frame JPEG-decoded with ImageIO; oracle VALUES derived
-    // by decoding the fixture's frame bytes directly (independent pixel
-    // walk — the container walk, sampling, and stream clock are what the
-    // compare actually validates; the JPEG codec is the JDK's only one)
-    "mm_video_mjpg" -> ((s, d) =>
-      MediaCodec.aviFrames(MediaCodec.mjpgFixturesDF(s), step = 5).toDF()),
-    // the multimodal→similarity bridge: integer histogram emitted for
-    // the exact compare; the normalized ARRAY<FLOAT> feeds retrieval
-    "mm_image_embed" -> ((s, d) =>
-      MediaCodec.imageEmbedding(MediaCodec.fixturesDF(s)).toDF()
-        .select(col("doc"), col("n_pixels"), to_json(col("hist")).as("hist_json"))),
-    "mm_decode_meta" -> ((s, d) =>
-      Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d)))),
-    "mm_frame_sample" -> ((s, d) =>
-      Multimodal.frameSample(
-        Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d))), step = 10)),
-    "mm_resize" -> ((s, d) =>
-      Multimodal.resizeMeta(
-        Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d))), maxSide = 224)
-        .select("doc_id", "width", "height", "out_width", "out_height", "scaled")),
-
-    // S6-lite: real decode → layout discovery → template recognition
-    // over rendered page scans (tesseract's contract, in-repo kernel)
-    "ocr_extract" -> ((s, d) => Ocr.ocrLines(Ocr.fixturesDF(s)).toDF()),
-
-    // --- binary document extraction (SURVEY §2.1 S4/S8/S9/S10) --------
-    "docx_extract" -> ((s, d) =>
-      DocExtract.docxChunks(DocExtract.fixturesDF(s).filter(col("fmt") === "docx"))),
-    "eml_extract" -> ((s, d) =>
-      DocExtract.emlChunksDF(DocExtract.fixturesDF(s).filter(col("fmt") === "eml"))),
-    "pdf_pages" -> ((s, d) =>
-      DocExtract.pdfPages(DocExtract.fixturesDF(s).filter(col("fmt") === "pdf"))),
-    // the PDF 1.5+ shape (the dominant modern layout PyMuPDF reads
-    // transparently, document_processing_service.py:156-185): xref
-    // STREAM (FlateDecode + PNG Up predictor), catalog/pages/page dicts
-    // compressed in an OBJECT stream, indirect /Length, and a
-    // /Contents ARRAY on page 2 — all through the xref-driven reader
-    "pdf_pages_xrefstream" -> ((s, d) =>
-      DocExtract.pdfPages(DocExtract.xrefFixturesDF(s))),
-    // S4, composite-font tier: every show-string code in this fixture is
-    // an arbitrary 2-byte value — text comes back ONLY through the
-    // font's ToUnicode CMap (bfchar + both bfrange forms, ligature
-    // multi-char destination, page-tree-inherited /Resources)
-    "pdf_pages_cid" -> ((s, d) =>
-      DocExtract.pdfPages(DocExtract.cidFixturesDF(s))),
-    // web-corpus extraction: HTML main-content blocks after the
-    // documented boilerplate heuristics (chrome tags, link density,
-    // length floor) — nav/footer/related-links/script/style must drop,
-    // entities decode, binary garbage yields no rows not an error
-    "html_extract" -> ((s, d) => Html.htmlBlocks(Html.fixturesDF(s))),
-    // legacy encodings: a Latin-1 page via its meta charset (0xE9 must
-    // become é, not a UTF-8 mangle) and a UTF-16LE page via its BOM
-    // (whose NUL bytes would read as binary if the BOM didn't win)
-    "html_charsets" -> ((s, d) => Html.htmlBlocks(Html.charsetFixturesDF(s))),
-    // crawl frontier: sitemaps.org urlset + index members (the file a
-    // crawler walks to seed URLs), entities decoded by the hardened
-    // DOM walk, priority in exact micro-units
-    "sitemap_entries" -> ((s, d) => {
-      import s.implicits._
-      UrlOps.sitemapEntries(
-        DocFixtures.sitemapAll.toDF("site", "content"))
-    }),
-    // crawl compliance: RFC 9309 longest-match filtering under the
-    // fixture policy — the graftbot group (press carve-out inside the
-    // disallowed tree, '/tmp' PREFIX semantics catching '/tmpx') must
-    // beat the deny-all '*' group; matching is a codegen'd when-chain
-    // over the per-host rule literals, zero shuffle
-    "robots_filter" -> ((s, d) => {
-      val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
-      val id = col("doc_id").cast("string")
-      val path = when(col("doc_id") % 5 === 0, concat(lit("/articles/page"), id))
-        .when(col("doc_id") % 5 === 1, concat(lit("/private/data"), id))
-        .when(col("doc_id") % 5 === 2, concat(lit("/private/press/rel"), id))
-        .when(col("doc_id") % 5 === 3, concat(lit("/tmp/file"), id))
-        .otherwise(concat(lit("/tmpx"), id))
-      Tables.documents(s, d).select(col("doc_id"), path.as("path"),
-        UrlOps.robotsAllowed(rules)(path).as("allowed"))
-    }),
-    // WARC container reading: the SAME five records plain and
-    // member-gzipped must parse to identical rows (CommonCrawl's
-    // .warc.gz framing); request/warcinfo records surface without
-    // HTTP fields
-    "warc_records" -> ((s, d) => Warc.warcRecords(Warc.fixturesDF(s))),
-    // the full crawl chain: WARC → 200/text-html responses → HTML
-    // main-content blocks, one map-side pass (no joins, no shuffles)
-    "warc_html_blocks" -> ((s, d) => Warc.warcHtmlBlocks(Warc.fixturesDF(s))),
-    // per-host politeness over the frontier (the third crawl leg after
-    // robots + sitemaps): deterministic doc_id-derived URLs across 7
-    // hosts — messy case/port/fragment through the canonicalizer,
-    // /private/ paths dropped by the graftbot robots rules — then the
-    // next fetch batch of ≤5 per host by (priority desc, url). ONE hash
-    // shuffle on host; the rank filter runs as WindowGroupLimit so a
-    // hot host never materializes past the budget map-side
-    "crawl_frontier" -> ((s, d) => {
-      val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
-      val id = col("doc_id").cast("string")
-      val path = when(col("doc_id") % 5 === 1, concat(lit("/private/data"), id))
-        .otherwise(concat(lit("/articles/page"), id))
-      val messy = concat(lit("HTTP://Host"), (col("doc_id") % 7).cast("string"),
-        lit(".Example.COM:80"), path, lit("#frag"))
-      val frontier = Tables.documents(s, d)
-        .filter(UrlOps.robotsAllowed(rules)(path))
-        .select(UrlOps.canonicalizeUrl(messy).as("url"),
-          ((col("doc_id") % 10) * 100000).as("priority_micro"))
-      UrlOps.crawlFrontier(frontier, hostBudget = 5)
-    }),
-    // the crawl loop CLOSED as a stream (§2.10 × the crawl tier): WARC
-    // shards arrive as micro-batches — batch 0 the plain shard, batch 1
-    // its gz twin (a RE-crawl of the same pages: every block keys to the
-    // same fp, so LWW upsert replaces rather than duplicates) — then an
-    // at-least-once REPLAY of batch 1 outside the stream must be a
-    // no-op. Final table ≡ the batch chain's blocks, one copy per page
-    // (the parity the CrawlStreamSpec pins); ingest_ts/fp/doc_id are
-    // merge plumbing, not output
-    "crawl_stream_e2e" -> ((s, d) => {
-      val dir = crawlStreamDir
-      val fs = new org.apache.hadoop.fs.Path(dir)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      // wipe target: every invocation (bench min-of-two, verify) replays
-      // the identical lifecycle from scratch
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-      import s.implicits._
-      implicit val sqlCtx = s.sqlContext
-      val input = org.apache.spark.sql.execution.streaming.runtime
-        .MemoryStream[(String, Array[Byte])]
-      val q = input.toDF()
-        .selectExpr("_1 AS warc", "_2 AS content")
-        .writeStream
-        .foreachBatch { (b: DataFrame, _: Long) =>
-          graft.streaming.StreamingIngest.crawlUpsertBatch(s, b, dir)
-        }
-        .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-crawl-e2e-ck").toString)
-        .start()
-      try {
-        input.addData(DocFixtures.warcAll.filter(_._1 == "crawl")) // batch 0
-        q.processAllAvailable()
-        input.addData(DocFixtures.warcAll.filter(_._1 == "crawl_gz")) // batch 1: re-crawl
-        q.processAllAvailable()
-        // at-least-once replay of batch 1 AFTER its commit: idempotent
-        graft.streaming.StreamingIngest.crawlUpsertBatch(s,
-          DocFixtures.warcAll.filter(_._1 == "crawl_gz").toDF("warc", "content"), dir)
-      } finally q.stop()
-      s.read.parquet(dir)
-        .select("url", "block_idx", "heading", "content", "n_chars")
-    }),
-    // crawl-key normalization: deterministic messy URLs built from
-    // doc_id (case noise, default port, tracking params, unsorted
-    // params, fragment, %4 adds a trailing slash and drops the real
-    // params) through the documented canonicalizer; the oracle derives
-    // the EXPECTED canonical form independently from doc_id
-    "url_canonical" -> ((s, d) => {
-      val id = col("doc_id").cast("string")
-      val messy = concat(
-        lit("HTTPS://ExAmple.COM:443/Docs/page"), id,
-        when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
-        lit("?utm_source=news"),
-        when(col("doc_id") % 4 =!= 0,
-          concat(lit("&z="), (col("doc_id") % 3).cast("string"),
-            lit("&a="), (col("doc_id") % 5).cast("string"))).otherwise(lit("")),
-        lit("#sec"), (col("doc_id") % 2).cast("string"))
-      Tables.documents(s, d).select(col("doc_id"), messy.as("url"),
-        UrlOps.canonicalizeUrl(messy).as("canonical_url"))
-    }),
-    "doc_validate" -> ((s, d) =>
-      DocExtract.validateAll(DocExtract.fixturesDF(s))),
-    // S5-lite: whitespace-alignment table detection over the PDF text
-    // layer (pdfplumber stand-in); arrays emitted as to_json for a
-    // stable hash compare
-    "pdf_tables" -> ((s, d) =>
-      DocExtract.pdfTables(DocExtract.fixturesDF(s).filter(col("fmt") === "pdf"))
-        .select(col("doc"), col("page"), col("table_idx"),
-          to_json(col("headers")).as("headers_json"),
-          to_json(col("rows")).as("rows_json"))),
-    // C3: both structured table surfaces (DOCX w:tbl + detected PDF
-    // tables) through the same table→text chunk kernel
-    "c3_table_text" -> ((s, d) => {
-      val fx = DocExtract.fixturesDF(s)
-      DocExtract.docxTables(fx.filter(col("fmt") === "docx"))
-        .withColumn("source", lit("docx"))
-        .unionByName(
-          DocExtract.pdfTables(fx.filter(col("fmt") === "pdf"))
-            .withColumn("source", lit("pdf")))
-        .select(col("doc"), col("source"), col("page"), col("table_idx"),
-          Chunking.tableToText(col("headers"), col("rows")).as("content"))
-    }),
-
-    // --- training-pipeline tier: decontamination + domain mixing -------
-    "decontam_report" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bench = docs.filter(col("doc_id") % 25 === 0)
-        .select(col("doc_id").as("bench_id"), col("text"))
-      Decontaminate.report(docs, bench, n = 4)
-    }),
-    "domain_resample" -> ((s, d) =>
-      Sampling.domainResample(Tables.documents(s, d),
-        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)))
-        .select("doc_id", "lang")),
-    // the sizing step in front of the resample: a 200k-token budget over
-    // the same mixture — en underfills (rate < 1), the rest repeat; 'xx'
-    // names a stratum with no corpus data and must still surface
-    // (available 0, rate/epochs NULL, repeats_data true)
-    "token_budget" -> ((s, d) =>
-      Sampling.tokenBudgetPlan(Tables.documents(s, d),
-        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15), ("xx", 0.05)),
-        budgetTokens = 200000L)),
-    // the materialized training list the plan sizes: one row per
-    // (doc, epoch), repeating data where the mixture demands it
-    "epoch_mixture" -> ((s, d) =>
-      Sampling.epochMixture(Tables.documents(s, d),
-        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15), ("xx", 0.05)),
-        budgetTokens = 200000L)),
-    "q22_year_spine" -> ((s, d) =>
-      Relational.yearSpineAgg(Tables.orders(s, d))),
-    "lm_surprisal" -> ((s, d) =>
-      TextAnalysis.unigramSurprisal(Tables.documents(s, d))),
-    "lm_bigram" -> ((s, d) =>
-      TextAnalysis.bigramSurprisal(Tables.documents(s, d))),
-    // the LM-artifact lifecycle (train → persist → load → score),
-    // mirroring bpe_artifact/unigram_artifact: the corpus gram
-    // aggregate runs once and lands on disk; scoring reads the frozen
-    // model. Must equal lm_surprisal exactly (same oracle) — nothing
-    // about the model may survive only in driver memory
-    "lm_unigram_artifact" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      TextAnalysis.saveLm(TextAnalysis.trainUnigramLm(docs), lmUnigramModelDir)
-      TextAnalysis.unigramSurprisalWith(docs,
-        TextAnalysis.loadLm(s, lmUnigramModelDir, Seq("term", "cnt", "total")))
-    }),
-    // same lifecycle for the bigram LM — the operator SCALING.md's
-    // ×1000 probe flagged for re-exploding ~1e9 grams per scoring run;
-    // the artifact pays that once at train time
-    "lm_bigram_artifact" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      TextAnalysis.saveLm(TextAnalysis.trainBigramLm(docs), lmBigramModelDir)
-      TextAnalysis.bigramSurprisalWith(docs,
-        TextAnalysis.loadLm(s, lmBigramModelDir, Seq("bigram", "c12", "cctx", "v")))
-    }),
-    // seeded MLlib RNG → run-reproducible but not engine-replayable;
-    // the deterministic sign-LSH/IVF twins carry the hash-compared
-    // ranked-list oracles, and THIS query checks the library path
-    // per-query: every question must come back non-empty with ≥ 0.5
-    // recall@10 vs brute force (measured 0.94 aggregate — the verdict
-    // catches per-bucket starvation the aggregate audit can average away)
-    "ann_brp_lsh" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      val qs = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding"))
-      val cand = e.filter(col("vec_id") >= 5)
-      val exact = Retrieval.knnCosine(qs, cand, k = 10)
-      val hits = Similarity.brpLshTopK(qs, cand, k = 10)
-        .select(col("q_vec_id"), col("vec_id"))
-        .join(exact.select(col("q_vec_id"), col("vec_id")), Seq("q_vec_id", "vec_id"))
-        .groupBy("q_vec_id").agg(count(lit(1)).as("_hits"))
-      qs.select(col("q_vec_id")).join(hits, Seq("q_vec_id"), "left")
-        .select(col("q_vec_id"),
-          (coalesce(col("_hits"), lit(0L)) >= 5).as("recall_ok"))
-    }),
-    "clean_corpus" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val bench = docs.filter(col("doc_id") % 25 === 0)
-        .select(col("doc_id").as("bench_id"), col("text"))
-      Cleaning.cleanCorpus(docs, bench)
-    }),
-    // the curation SPINE — golden_e2e's training-data sibling: quality/
-    // dedup/decontamination verdict -> keep -> duplicated-passage clip
-    // -> token-budget mixture materialized over the CLEANED text. Pins
-    // the whole detect -> act -> size -> materialize chain against one
-    // oracle. Whitelist covers the mixture's strata (a lang the verdict
-    // rejects wholesale would leave a funded stratum nearly empty and
-    // blow its epoch count up to the repetition bound)
-    "curation_e2e" -> ((s, d) => {
-      // full-corpus on purpose: wall-clock here is the chain's ~40-stage
-      // critical path, NOT data (measured 5.4 s warm at sf0.001 AND
-      // sf0.1, scoped or not — the golden_e2e scheduling floor, deeper);
-      // a doc-subset demo would cost the same and test less
-      val docs = Tables.documents(s, d)
-      val bench = docs.filter(col("doc_id") % 25 === 0)
-        .select(col("doc_id").as("bench_id"), col("text"))
-      // the cleaned corpus is MATERIALIZED (localCheckpoint) before the
-      // clip/mixture stages: three downstream consumers shuffle it on
-      // different keys (shingle hash, doc id, stratum), so exchange
-      // reuse never applies and an unmaterialized `kept` re-runs the
-      // whole 11-exchange verdict chain per consumer (measured ~0.8 s
-      // of the query at sf0.1). At scale this is the pipeline's natural
-      // persist point anyway — the keep/drop verdict is exactly what a
-      // curator checkpoints before materializing training mixtures.
-      // Slimmed to the three columns the tail needs before the copy.
-      val kept = docs.select("doc_id", "text", "lang").join(
-        Cleaning.cleanCorpus(docs, bench,
-          langWhitelist = Seq("en", "de", "fr", "es", "pt"))
-          .filter(col("keep")).select("doc_id"),
-        "doc_id").localCheckpoint()
-      val cleaned = Dedup.clipDuplicatedSpans(kept)
-        .select(col("doc_id"), col("clean_text").as("text"))
-        .join(kept.select(col("doc_id"), col("lang")), "doc_id")
-      Sampling.epochMixture(cleaned,
-        Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)),
-        budgetTokens = 100000L)
-    }),
-    "q23_lateral" -> ((s, d) =>
-      Relational.lateralTopPerNation(Tables.nation(s, d), Tables.customer(s, d))),
-    "pq_codes" -> ((s, d) =>
-      Similarity.pqCodes(Tables.embeddings(s, d))),
-    "pq_adc_topk" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Similarity.pqAdcTopK(
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
-        e.filter(col("vec_id") >= 5), k = 10)
-    }),
-    "cms_heavy_hitters" -> ((s, d) =>
-      TextAnalysis.cmsTermCounts(Tables.documents(s, d), cmsProbeTerms,
-        depth = cmsDepth, width = cmsWidth)),
-
-    // --- r5 additions: simhash pairing, weighted sampling, graph
-    //     centrality, bloom decontam, k-means statistics ---------------
-    "simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(Tables.documents(s, d))),
-    // the hot-bucket mitigation the x1000 rehearsal motivated: only the
-    // cap smallest ids per band bucket act as pair sources. cap=2 here
-    // so the cap genuinely bites at every test SF (the synthetic corpus
-    // has wide duplicate groups); production calls keep the default 64
-    "simhash_pairs_capped" -> ((s, d) =>
-      Dedup.simhashPairsCapped(Tables.documents(s, d), cap = 2)),
-    "weighted_sample" -> ((s, d) =>
-      Sampling.weightedSample(Tables.documents(s, d), n = 50,
-        weightCol = "n_chars", keyCol = "doc_id")
-        .select("doc_id", "n_chars", "es_key")),
-    "pagerank" -> ((s, d) => {
-      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
-      graft.operators.Graph.pageRank(docs, Dedup.minhashCandidates(docs))
-    }),
-    "bloom_decontam" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Decontaminate.bloomDecontam(docs,
-        docs.filter(col("doc_id") % 25 === 0).select(col("text")))
-    }),
-    "kmeans_step" -> ((s, d) =>
-      Similarity.kmeansStep(Tables.embeddings(s, d))),
-    "token_entropy" -> ((s, d) =>
-      TextAnalysis.tokenEntropy(Tables.documents(s, d))),
-    // the synthetic corpus draws from a ~30-term vocabulary, so nearly
-    // every term is corpus-wide — the cap stays high here to exercise
-    // long posting lists; production calls keep the default maxDf
-    "inverted_index" -> ((s, d) =>
-      TextAnalysis.invertedIndex(Tables.documents(s, d), minDf = 2, maxDf = 10000)),
-    "pmi_cooccur" -> ((s, d) =>
-      TextAnalysis.pmiCooccurrence(Tables.documents(s, d))),
-    "contrastive_triplets" -> ((s, d) =>
-      Embedding.contrastiveTriplets(Tables.embeddings(s, d), nAnchors = 20)),
-    // exact→ANN auto-switch: at verification scale the Catalyst size
-    // statistic keeps it on the exact path, so the brute-force oracle
-    // applies; the ANN path's plan shape is pinned in PlanPropertiesSpec
-    "knn_auto" -> ((s, d) => {
-      val e = Tables.embeddings(s, d)
-      Retrieval.knnAuto(
-        e.filter(col("vec_id") < 5)
-          .select(col("vec_id").as("q_vec_id"), col("embedding").as("q_embedding")),
-        e.filter(col("vec_id") >= 5), k = 10)
-    }),
-    "rrf_fusion" -> ((s, d) => {
-      val qs = questionsDF(s)
-      val docs = Tables.documents(s, d)
-      Retrieval.rrfFuse(
-        Retrieval.bm25Search(qs, docs, k = 10),
-        Retrieval.keywordSearch(qs, docs, k = 10), k = 5)
-    }),
-    // the golden end-to-end spine: the chunk → featurize → vector-kNN +
-    // BM25 → RRF chain entry() runs, in its engine-reproducible form
-    // (md5-bucket tf-idf standing in for HashingTF's Murmur3 — the
-    // SURVEY §7.4 #1 trade, same chain shape)
-    "golden_e2e" -> ((s, d) => {
-      val qs = questionsDF(s)
-      // NOT checkpointed: measured at sf0.1 three times (r7: 3.24 vs
-      // 3.25 s warm; r8 re-probe: within ±0.6 s run noise; r11 re-probe
-      // under the noop-sink methodology: 2.45 s min both ways) — the
-      // chain's cost is its ~25 AQE stages, not chunk re-derivation
-      // (a map-side explode), and a head checkpoint only serializes one
-      // more job before them. Contrast curation_e2e, where the shared
-      // frame IS expensive (the 11-exchange verdict chain) and the
-      // checkpoint pays for itself.
-      val chunks = Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
-        .select(col("chunk_id"), col("content").as("text"))
-      val vector = Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id")
-      val lexical = Retrieval.bm25Search(qs, chunks, k = 10, idCol = "chunk_id")
-      Retrieval.rrfFuse(vector, lexical, k = 3, idCol = "chunk_id")
-        .join(broadcast(qs), "question_id")
-    }),
-    // --- distributed BPE tokenizer training (vocab-compressed): the
-    // corpus collapses once to (word, freq) and every merge iteration
-    // runs over the vocabulary, never the corpus — the SentencePiece/
-    // HuggingFace-trainers compression, so k merges cost k small jobs
-    // regardless of corpus size
-    "bpe_pairs" -> ((s, d) =>
-      Bpe.pairCounts(Bpe.wordVocab(Tables.documents(s, d)))
-        .orderBy(desc("freq"), asc("lhs"), asc("rhs")).limit(20)),
-    "bpe_learn" -> ((s, d) =>
-      Bpe.mergesDf(s, bpeMerges6(s, d)).select(col("rank").as("merge_rank"),
-        col("lhs"), col("rhs"), col("merged"), col("freq"))),
-    "bpe_tokens" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val vocab = Bpe.wordVocab(docs).select("word", "freq")
-      Bpe.tokenCounts(docs, Bpe.applyMergeHistory(vocab, bpeMerges6(s, d)))
-    }),
-    // the full model-ARTIFACT lifecycle: train → persist → load in a
-    // (conceptually) different job → re-derive the vocab from the raw
-    // corpus → apply the LOADED merge history → count tokens. Output
-    // must equal bpe_tokens exactly (same oracle), which pins that
-    // nothing about the model survives only in driver memory
-    "bpe_artifact" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val (merges, _) = Bpe.learnMerges(docs, numMerges = 6)
-      Bpe.saveModel(s, merges, bpeModelDir)
-      val loaded = Bpe.loadModel(s, bpeModelDir)
-      val vocab = Bpe.wordVocab(docs).select("word", "freq")
-      Bpe.tokenCounts(docs, Bpe.applyMergeHistory(vocab, loaded))
-    }),
-    // corpus snapshot delta for incremental runs: old = docs minus the
-    // %13 ids (so those read as added), new = docs minus the %17 ids
-    // (removed), with the %5 ids edited (changed) — every status
-    // exercised from the one deterministic table
-    "corpus_delta" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val oldSnap = docs.filter(col("doc_id") % 13 =!= 0)
-      val newSnap = docs.filter(col("doc_id") % 17 =!= 0)
-        .withColumn("text",
-          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" rev2")))
-            .otherwise(col("text")))
-      Snapshot.corpusDelta(oldSnap, newSnap)
-    }),
-    // Z-order (Morton) interleave for multi-dimensional file skipping:
-    // the oracle pins the bit-interleave math; LayoutSpec pins the
-    // layout effect (per-partition min/max rectangles shrink on BOTH
-    // dimensions vs a single-key sort)
-    "zorder_layout" -> ((s, d) => {
-      val xb = expr("user_id % 256")
-      val yb = expr("(ts_ns div 1000000000) % 256")
-      Tables.events(s, d).select(col("event_id"), xb.as("x_bucket"),
-        yb.as("y_bucket"), graft.io.Layout.zValue(xb, yb, 8).as("zval"))
-    }),
-    // greedy longest-match ENCODE under the trained vocab (WordPiece's
-    // inference loop, distinct from bpe_tokens' merge-history lengths):
-    // corpus-wide piece frequencies, segmentation vocab-compressed
-    "subword_encode" -> ((s, d) => {
-      val vocab = Bpe.wordVocab(Tables.documents(s, d)).select("word", "freq")
-      Bpe.greedyPieceCounts(Bpe.applyMergeHistory(vocab, bpeMerges6(s, d)))
-    }),
-    // the per-document face of the same encoder — greedy piece counts
-    // joined back to the exploded corpus
-    "subword_doc_tokens" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val vocab = Bpe.wordVocab(docs).select("word", "freq")
-      Bpe.greedyTokenCounts(docs,
-        Bpe.applyMergeHistory(vocab, bpeMerges6(s, d)))
-    }),
-    // contiguous global training-example ids in key order, with NO
-    // single-partition window (the plan shape is pinned in
-    // PlanPropertiesSpec) — core's zipWithIndex re-expressed on frames
-    "global_index" -> ((s, d) =>
-      graft.io.Layout.globalIndex(
-        Tables.documents(s, d).select("doc_id", "n_chars"), "doc_id")
-        .select("doc_id", "n_chars", "global_idx")),
-    // unigram-LM (SentencePiece-family) Viterbi segmentation: substring
-    // seed vocab → pruned inventory → per-word optimal DP, all under
-    // the integer (min pieces, max frequency mass) objective
-    "unigram_viterbi" -> ((s, d) => {
-      val vocab = Bpe.wordVocab(Tables.documents(s, d))
-        .select("word", "freq").localCheckpoint()
-      graft.operators.Unigram.viterbiStats(vocab, ugSeedFitted(s, d))
-    }),
-    // the unigram artifact lifecycle, mirroring bpe_artifact: fit the
-    // seed model, persist it as parquet, LOAD it back, and re-segment
-    // the corpus under the loaded model — must equal unigram_viterbi
-    // exactly (same oracle, shared by reference)
-    "unigram_artifact" -> ((s, d) => {
-      val vocab = Bpe.wordVocab(Tables.documents(s, d))
-        .select("word", "freq").localCheckpoint()
-      graft.operators.Unigram.saveModel(s,
-        graft.operators.Unigram.fitSeed(vocab), unigramModelDir)
-      graft.operators.Unigram.viterbiStats(vocab,
-        graft.operators.Unigram.loadModel(s, unigramModelDir))
-    }),
-    // the EM M-step over the same model: expected piece counts from the
-    // canonical (longest-piece-first backtrack) optimal segmentations
-    "unigram_em" -> ((s, d) => {
-      val vocab = Bpe.wordVocab(Tables.documents(s, d))
-        .select("word", "freq").localCheckpoint()
-      graft.operators.Unigram.expectedPieceCounts(vocab, ugSeedFitted(s, d))
-    }),
-    // the loop actually closes: M-step counts become the round-2 model
-    // (unused pieces pruned), and the corpus re-segments under it
-    "unigram_em2" -> ((s, d) => {
-      val vocab = Bpe.wordVocab(Tables.documents(s, d))
-        .select("word", "freq").localCheckpoint()
-      graft.operators.Unigram.viterbiStats(vocab,
-        graft.operators.Unigram.emRound(vocab, ugSeedFitted(s, d)))
-    }),
-    // EM to CONVERGENCE: iterate M-step refits until the weighted total
-    // piece count stops improving (integer rule, oracle-replayable);
-    // the output trace — one row per round run, including the stopping
-    // round — witnesses the convergence itself
-    "unigram_em_loop" -> ((s, d) => {
-      import s.implicits._
-      val vocab = Bpe.wordVocab(Tables.documents(s, d))
-        .select("word", "freq").localCheckpoint()
-      val (_, iters) = graft.operators.Unigram.emLoop(
-        vocab, ugSeedFitted(s, d), maxIters = 4)
-      iters.toDF()
-    }),
-    // manifest-level file skipping: cluster events on the Z curve, write
-    // with a footer-derived per-file min/max manifest, then answer a
-    // selective user_id range by reading ONLY the overlapping files
-    // (LayoutSpec asserts genuine file skipping; values must equal the
-    // oracle's plain filter — skipping is an optimization, never a
-    // filter)
-    "stats_prune" -> ((s, d) => {
-      val ev = Tables.events(s, d).select("event_id", "user_id", "ts_ns")
-      graft.io.Layout.writeWithStats(
-        graft.io.Layout.zorderBy(ev, "user_id", "ts_ns", bits = 8, numFiles = 8),
-        statsPruneDir, Seq("user_id", "ts_ns"))
-      graft.io.Layout.readPruned(s, statsPruneDir, "user_id", 10L, 20L)
-        .select("event_id", "user_id", "ts_ns")
-    }),
-    // the skipping manifest feeding a real CONSUMER: the tumbling-agg
-    // tier answers a time-slice question from a z-ordered stats table
-    // through readPruned, so the manifest drops the files whose ts_ns
-    // interval misses the slice before Spark lists them (the 100 TB
-    // shape: an event-log day-slice reads the day's files, not the
-    // year's). The slice [min + span/4, min + span/2] derives from the
-    // data so it is SF-independent; sums are fixed-point micro-units
-    // (order-independent). LayoutSpec asserts genuine file skipping for
-    // this exact consumer; the oracle is the plain unpruned filter —
-    // skipping must be invisible in values
-    "prune_tumbling" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select("event_id", "event_type", "value", "user_id", "ts_ns")
-      // one bounds pass serves both the z-order scaling and the slice
-      // predicate (zorderBy would otherwise re-scan for its min/max)
-      val r = ev.agg(min("user_id"), max("user_id"), min("ts_ns"), max("ts_ns")).head()
-      val (mn, mx) = (r.getLong(2), r.getLong(3))
-      graft.io.Layout.writeWithStats(
-        graft.io.Layout.zorderBy(ev, "user_id", "ts_ns", bits = 8, numFiles = 8,
-          bounds = Some((r.getLong(0), r.getLong(1), mn, mx))),
-        pruneTumblingDir, Seq("user_id", "ts_ns"))
-      val (lo, hi) = (mn + (mx - mn) / 4, mn + (mx - mn) / 2)
-      graft.io.Layout.readPruned(s, pruneTumblingDir, "ts_ns", lo, hi)
-        .groupBy(expr("ts_ns div 600000000000").as("win"), col("event_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(expr("CAST(round(value * 1e6) AS BIGINT)")).as("sum_value_micro"))
-        .select((col("win") * 600).as("win_start_s"), col("event_type"),
-          col("n_events"), col("sum_value_micro"))
-    }),
-    // STRING-column skipping: cluster events by the categorical
-    // event_type (range partition + in-partition sort gives each file a
-    // narrow string interval), write footer-derived string min/max into
-    // the manifest, and answer `event_type = 'purchase'` reading only
-    // the files whose byte-interval admits it — the "read only the
-    // English shards" shape for a lang/source-clustered 100 TB corpus.
-    // Bounds compare as unsigned UTF-8 bytes (parquet's BINARY stats
-    // order), so non-ASCII categories prune correctly too (spec-pinned)
-    "prune_by_type" -> ((s, d) => {
-      val ev = Tables.events(s, d)
-        .select("event_id", "event_type", "user_id", "value")
-      graft.io.Layout.writeWithStats(
-        ev.repartitionByRange(8, col("event_type"), col("event_id"))
-          .sortWithinPartitions("event_type"),
-        pruneTypeDir, Seq("event_type"))
-      graft.io.Layout.readPrunedEq(s, pruneTypeDir, "event_type", "purchase")
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_events"),
-          countDistinct(col("user_id")).as("n_users"),
-          sum(expr("CAST(round(value * 1e6) AS BIGINT)")).as("sum_value_micro"))
-    }),
-
-    // WordPiece training — likelihood-scored merges over the ##-marked
-    // alphabet (the BERT tokenizer family; BPE and unigram-LM are the
-    // other two). 6 merges like bpe_learn so the two trainers' outputs
-    // are directly comparable in the same CORRECTNESS run
-    "wordpiece_learn" -> ((s, d) =>
-      Bpe.mergesDf(s, wpMerges6(s, d)).select(col("rank").as("merge_rank"),
-        col("lhs"), col("rhs"), col("merged"), col("freq"))),
-    // greedy ##-marked encode of the whole corpus under the trained
-    // vocabulary — (piece, freq) with BERT's continuation convention
-    "wordpiece_tokens" -> ((s, d) => {
-      val vocab = Wordpiece.wordVocab(Tables.documents(s, d)).select("word", "freq")
-      Wordpiece.pieceCounts(Wordpiece.applyMergeHistory(vocab, wpMerges6(s, d)))
-    }),
-    // the full artifact lifecycle: train → persist → load → replay the
-    // merge HISTORY over a re-derived raw vocab → encode. Must equal
-    // wordpiece_tokens exactly (shared oracle) — nothing about the
-    // model survives only in driver memory
-    "wordpiece_artifact" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val (merges, _) = Wordpiece.learnMerges(docs, numMerges = 6)
-      Bpe.saveModel(s, merges, wordpieceModelDir)
-      val loaded = Bpe.loadModel(s, wordpieceModelDir)
-      val vocab = Wordpiece.wordVocab(docs).select("word", "freq")
-      Wordpiece.pieceCounts(Wordpiece.applyMergeHistory(vocab, loaded))
-    }),
-
-    // merge EXHAUSTION: a 3-word degenerate corpus has only 2 learnable
-    // pairs, so rounds 3..6 find nothing — the trainer must stop
-    // gracefully (keep the round-2 vocab, learn no phantom merges) and
-    // the oracle's empty-b_j LEFT-JOIN fallback must agree. End-to-end
-    // through the encode so the final vocab is hash-pinned, not just
-    // row-counted
-    "wordpiece_exhausted" -> ((s, d) => {
-      import s.implicits._
-      val (_, finalVocab) =
-        Wordpiece.learnMerges(Seq("aa aa ab").toDF("text"), numMerges = 6)
-      Wordpiece.pieceCounts(finalVocab)
-    }),
-
-    // trained NB classifier (the fastText/CCNet-style model-based
-    // filter; the heuristic tier is quality_score) — fit on the lang
-    // column as target-language weak supervision
-    "nb_train" -> ((s, d) =>
-      nbFitted(s, d).select("term", "pos_cnt", "neg_cnt")),
-    // score the corpus under the fitted model: micro-nat fixed-point
-    // llr sums, so the result is partitioning-invariant
-    "nb_score" -> ((s, d) =>
-      Classify.nbScore(Tables.documents(s, d), nbFitted(s, d))),
-    // artifact lifecycle: fit → persist → load → score. Must equal
-    // nb_score exactly (shared oracle)
-    "nb_artifact" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Classify.saveNb(Classify.nbTrain(docs), nbModelDir)
-      Classify.nbScore(docs, Classify.loadNb(s, nbModelDir))
-    }),
-
-    // DSIR — hashed-n-gram importance resampling (Xie et al. 2023),
-    // the FIXED-SIZE-model member of the selection tier (quality_score
-    // is the heuristic, nb_* the open-vocabulary trained filter): the
-    // model is ≤ numBuckets rows no matter the corpus. Target = the
-    // lang='en' slice as weak supervision, like nb_train
-    "dsir_fit" -> ((s, d) =>
-      Dsir.fitBuckets(Tables.documents(s, d),
-        coalesce(col("lang"), lit("")) === "en")),
-    // per-document log importance weight ln p(x)/q(x) under the fitted
-    // buckets: micro-nat fixed-point cross-ratio sums, so the weight is
-    // partitioning-invariant (the nb_score discipline). The model comes
-    // from the per-dir memoized fit (dsirFitted) — passing the
-    // UNMATERIALIZED fitBuckets frame here re-ran the whole corpus
-    // explode+aggregate twice per query (once for modelTotals' collect,
-    // once for the broadcast side) before scoring even started —
-    // measured 17.6 s/query at sf0.1 vs 11.8 s through the persisted
-    // artifact. The production shape is fit-once-score-many anyway.
-    "dsir_weights" -> ((s, d) =>
-      Dsir.logImportance(Tables.documents(s, d), dsirFitted(s, d))),
-    // the paper's resampling step: Gumbel-top-k without replacement
-    // ∝ exp(logw), md5-derived noise so every engine draws the same 50
-    "dsir_sample" -> ((s, d) =>
-      Dsir.gumbelTopK(
-        Dsir.logImportance(Tables.documents(s, d), dsirFitted(s, d)),
-        n = 50)),
-    // the STATELESS scoring twin: the ≤1024-row model collected into one
-    // map literal, scored with zero joins and zero shuffles (the form a
-    // streaming selector runs). Must equal dsir_weights bit-for-bit
-    // (shared oracle) — the llr values come from the same Spark
-    // expressions, only the delivery differs (broadcast join vs literal)
-    "dsir_score_map" -> ((s, d) =>
-      Dsir.scoreWith(Dsir.collectModel(dsirFitted(s, d)),
-        Tables.documents(s, d))),
-    // artifact lifecycle: fit → persist → load → weight. Must equal
-    // dsir_weights exactly (shared oracle)
-    "dsir_artifact" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      Dsir.saveDsir(
-        Dsir.fitBuckets(docs, coalesce(col("lang"), lit("")) === "en"),
-        dsirModelDir)
-      Dsir.logImportance(docs, Dsir.loadDsir(s, dsirModelDir))
-    })
-  )
-
-  /** A per-JVM-unique, deleted-on-exit demo location: each stateful
-    * query gets its OWN dir (queries may interleave under the bench and
-    * each rebuilds destructively; a fixed world-shared /tmp path would
-    * race concurrent processes), and the shutdown hook keeps repeated
-    * harness runs from accumulating table copies under the system
-    * tmpdir. `leaf` appends a path segment for callers whose writer
-    * wants a not-yet-existing target. */
-  private def tmpQueryDir(prefix: String, leaf: String = ""): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
-    Runtime.getRuntime.addShutdownHook(new Thread(() =>
-      org.apache.commons.io.FileUtils.deleteQuietly(p.toFile): Unit))
-    if (leaf.isEmpty) p.toString else p.toString + "/" + leaf
-  }
-
-  /** The ivf_persisted demo index location — see that query's comment. */
-  private lazy val ivfDemoDir: String = tmpQueryDir("graft-ivf-q")
-
-  /** The ivf_stream_e2e index location. */
-  private lazy val ivfStreamDir: String = tmpQueryDir("graft-ivf-se")
-
-  /** The crawl_stream_e2e corpus-table location. */
-  private lazy val crawlStreamDir: String = tmpQueryDir("graft-crawl-se", "table")
-
-  /** The staged URL-ingest fixture dir — per-JVM unique (a fixed
-    * world-shared /tmp path raced concurrent processes and collided
-    * across users, the exact mode the ivf_persisted comment documents)
-    * but NOT delete-on-exit, unlike [[ivfDemoDir]]: the driver's DuckDB
-    * replay `read_blob`s these files AFTER the Verify JVM exits, so they
-    * must outlive it (few KB of text fixtures). The oracle SQL
-    * interpolates this value, so engine and replay always read the same
-    * files. Staging happens here so the dir is populated even if the
-    * oracle is dumped without the ingest queries having run. */
-  private lazy val urlStageDir: String = UrlIngest.stageQueryFixtures()
-
-  /** The index_init demo table location. */
-  private lazy val indexInitDir: String = tmpQueryDir("graft-init-q", "table")
-
-  /** The stats_prune demo table location. */
-  private lazy val statsPruneDir: String = tmpQueryDir("graft-stats-q", "table")
-
-  /** The prune_tumbling demo table location. */
-  private lazy val pruneTumblingDir: String = tmpQueryDir("graft-ptumb-q", "table")
-
-  /** The prune_by_type demo table location. */
-  private lazy val pruneTypeDir: String = tmpQueryDir("graft-ptype-q", "table")
-
-  /** The bpe_artifact persisted-model location. */
-  private lazy val bpeModelDir: String = tmpQueryDir("graft-bpem-q", "model")
-
-  /** The unigram_artifact persisted-model location. */
-  private lazy val unigramModelDir: String = tmpQueryDir("graft-ugm-q", "model")
-
-  /** The lm_unigram_artifact persisted-model location. */
-  private lazy val lmUnigramModelDir: String = tmpQueryDir("graft-lmu-q", "model")
-
-  /** The lm_bigram_artifact persisted-model location. */
-  private lazy val lmBigramModelDir: String = tmpQueryDir("graft-lmb-q", "model")
-
-  /** The wordpiece_artifact persisted-model location. */
-  private lazy val wordpieceModelDir: String = tmpQueryDir("graft-wpm-q", "model")
-
-  /** The nb_artifact persisted-model location. */
-  private lazy val nbModelDir: String = tmpQueryDir("graft-nbm-q", "model")
-
-  /** The dsir_artifact persisted-model location. */
-  private lazy val dsirModelDir: String = tmpQueryDir("graft-dsm-q", "model")
-
-  /** One fitted DSIR model per data dir, fit ONCE and persisted (the
-    * dsir_artifact shape): dsir_weights / dsir_sample / dsir_score_map
-    * all score under the same model, and re-fitting per query paid ≥2
-    * extra full-corpus explode+aggregate passes each (r13 verdict: 4
-    * DSIR queries = 53 s of a 138 s bench). ConcurrentHashMap because
-    * bench/verify may interleave queries; keyed by data dir so a
-    * different SF never reuses a stale model. */
-  /** One learned 6-merge model per (data dir, trainer) — the
-    * [[dsirFitted]] pattern applied to the subword trainers: five BPE
-    * queries and three WordPiece queries each re-ran the SAME
-    * 6-round training (7 jobs + 6 driver collects per run, ×2 bench
-    * reps). The non-artifact queries now train once per dir and
-    * REPLAY the merge history over a fresh raw vocab (the exact
-    * inference path the `*_artifact` queries pin against the shared
-    * oracles, so results are identical by construction); the artifact
-    * queries keep their own full train → persist → load lifecycle.
-    * Only the driver-side merge Seq is cached — session-independent,
-    * bounded by numMerges — never a DataFrame. */
-  private val bpeMergeFits =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
-  private def bpeMerges6(s: SparkSession, d: String): Seq[Bpe.Merge] =
-    bpeMergeFits.computeIfAbsent(d,
-      _ => Bpe.learnMerges(Tables.documents(s, d), numMerges = 6)._1)
-  private val wpMergeFits =
-    new java.util.concurrent.ConcurrentHashMap[String, Seq[Bpe.Merge]]()
-  private def wpMerges6(s: SparkSession, d: String): Seq[Bpe.Merge] =
-    wpMergeFits.computeIfAbsent(d,
-      _ => Wordpiece.learnMerges(Tables.documents(s, d), numMerges = 6)._1)
-
-  /** One fitted unigram seed model per data dir (same pattern): the
-    * SeedModel is a driver-side map bounded by keepTop, but fitting it
-    * pays the corpus-vocab substring-explosion aggregate — which five
-    * queries re-ran. The artifact query keeps its own full
-    * fit -> persist -> load lifecycle. */
-  private val ugSeedFits = new java.util.concurrent.ConcurrentHashMap[
-    String, graft.operators.Unigram.SeedModel]()
-  private def ugSeedFitted(s: SparkSession, d: String): graft.operators.Unigram.SeedModel =
-    ugSeedFits.computeIfAbsent(d, _ => graft.operators.Unigram.fitSeed(
-      Bpe.wordVocab(Tables.documents(s, d)).select("word", "freq")))
-
-  /** One trained NB count table per data dir, persisted and re-LOADED
-    * per use (it is corpus-vocabulary-sized — unlike the merge lists it
-    * must never live on the driver): nb_train and nb_score re-ran the
-    * training aggregate; nb_artifact keeps its own full lifecycle. The
-    * parquet roundtrip is exact (integer counts), which nb_artifact's
-    * shared oracle with nb_score already pins. */
-  private val nbFitDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def nbFitted(s: SparkSession, d: String): DataFrame =
-    Classify.loadNb(s, nbFitDirs.computeIfAbsent(d, _ => {
-      val out = tmpQueryDir("graft-nbf-q", "model")
-      Classify.saveNb(Classify.nbTrain(Tables.documents(s, d)), out)
-      out
-    }))
-
-  private val dsirFitDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private def dsirFitted(s: SparkSession, d: String): DataFrame =
-    Dsir.loadDsir(s, dsirFitDirs.computeIfAbsent(d, _ => {
-      val out = tmpQueryDir("graft-dsf-q", "model")
-      Dsir.saveDsir(
-        Dsir.fitBuckets(Tables.documents(s, d),
-          coalesce(col("lang"), lit("")) === "en"),
-        out)
-      out
-    }))
-
-  // CMS geometry shared by the query and its oracle — one definition, no
-  // silent drift between the Spark sketch and the SQL cell replay
-  private val cmsProbeTerms = Seq("the", "table", "query", "spark", "zzz_absent")
-  private val cmsDepth = 4
-  private val cmsWidth = 256
-
-  // shared component oracle SQL (also composed into clean_corpus)
-  private val dedupExactSql =
-    """SELECT doc_id, fp, rn AS dup_rank, rn > 1 AS is_duplicate FROM (
-        | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        |  row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |    ORDER BY doc_id) AS rn
-        | FROM documents)""".stripMargin
-
-  private val langIdSql =
-    s"""SELECT doc_id, $langPredSql AS pred_lang,
-         | score_en, score_de, score_es, score_fr, score_pt
-         |FROM (SELECT doc_id, $langScoreSql
-         |      FROM (SELECT doc_id, ' ' || lower(text) || ' ' AS pad FROM documents))""".stripMargin
-
-  private val repetitionStatsSql =
-    """WITH ls AS (
-        | SELECT doc_id, len(l) AS n_lines, len(list_distinct(l)) AS n_distinct_lines
-        | FROM (SELECT doc_id,
-        |   list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
-        |     x -> x <> '') AS l
-        |  FROM documents)),
-        |lp AS (SELECT doc_id, n_lines, n_distinct_lines,
-        |  CASE WHEN n_lines > 0
-        |   THEN round(1.0 - CAST(n_distinct_lines AS DOUBLE) / n_lines, 4)
-        |   ELSE 0.0 END AS dup_line_ratio FROM ls),
-        |bg AS (
-        | SELECT doc_id, w[i] || ' ' || w[i + 1] AS bigram
-        | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
-        |       FROM documents) t,
-        |  LATERAL (SELECT unnest(generate_series(1, len(w) - 1)) AS i) g
-        | WHERE len(w) >= 2),
-        |bs AS (SELECT doc_id, bigram, count(*) AS tf FROM bg GROUP BY doc_id, bigram),
-        |bstat AS (SELECT doc_id, max(tf) AS top_bigram_tf,
-        |  CAST(sum(tf) AS BIGINT) AS n_bigrams,
-        |  round(CAST(max(tf) AS DOUBLE) / sum(tf), 4) AS top_bigram_ratio
-        | FROM bs GROUP BY doc_id)
-        |SELECT lp.doc_id, lp.n_lines, lp.n_distinct_lines, lp.dup_line_ratio,
-        | b.top_bigram_tf, b.n_bigrams, b.top_bigram_ratio
-        |FROM lp LEFT JOIN bstat b ON b.doc_id = lp.doc_id""".stripMargin
-
-  private val lmSurprisalSql =
-    """WITH toks AS (SELECT doc_id, t AS term FROM (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
-        |  FROM documents) WHERE t <> ''),
-        |counts AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term),
-        |total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM counts),
-        |scored AS (SELECT doc_id,
-        |  CAST(round(round(ln(total::DOUBLE / cnt), 6) * 1000000) AS BIGINT) AS s6
-        | FROM toks JOIN counts USING (term), total)
-        |SELECT doc_id, count(*) AS n_tokens,
-        | round(CAST(sum(s6) AS DOUBLE) / count(*) / 1000000, 4) AS avg_surprisal
-        |FROM scored GROUP BY doc_id""".stripMargin
-
-  private val lmBigramSql =
-    """WITH words AS (SELECT doc_id,
-        |  list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '') AS ws
-        | FROM documents),
-        |v AS (SELECT count(DISTINCT t) AS vocab FROM (SELECT unnest(ws) AS t FROM words)),
-        |bigr AS (SELECT doc_id,
-        |  unnest(list_transform(generate_series(1, len(ws) - 1),
-        |    i -> ws[i] || ' ' || ws[i + 1])) AS bigram
-        | FROM words WHERE len(ws) >= 2),
-        |bc AS (SELECT bigram, count(*) AS c12 FROM bigr GROUP BY 1),
-        |cc AS (SELECT split_part(bigram, ' ', 1) AS w1, sum(c12) AS cctx FROM bc GROUP BY 1),
-        |scored AS (SELECT g.doc_id,
-        |  CAST(round(round(ln(CAST(cc.cctx + v.vocab AS DOUBLE) / CAST(bc.c12 + 1 AS DOUBLE)), 6) * 1e6) AS BIGINT) AS s6
-        | FROM bigr g JOIN bc USING (bigram)
-        | JOIN cc ON cc.w1 = split_part(g.bigram, ' ', 1) CROSS JOIN v)
-        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        | round(CAST(sum(s6) AS DOUBLE) / count(*) / 1e6, 4) AS avg_surprisal
-        |FROM scored GROUP BY doc_id""".stripMargin
-
-  private val decontamReportSql =
-    """WITH dw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w FROM documents),
-        |dg AS (SELECT doc_id, unnest(list_distinct(CASE WHEN len(w) >= 4
-        |  THEN list_transform(generate_series(1, len(w) - 3), i -> array_to_string(w[i:i+3], ' '))
-        |  ELSE [array_to_string(w, ' ')] END)) AS shingle FROM dw),
-        |bg AS (SELECT doc_id AS bench_id, shingle FROM dg WHERE doc_id % 25 = 0),
-        |p AS (SELECT dg.doc_id, bench_id, count(*) AS n_shared
-        |      FROM dg JOIN bg USING (shingle) GROUP BY 1, 2),
-        |a AS (SELECT doc_id, count(*) AS n_bench_hits,
-        |             CAST(sum(n_shared) AS BIGINT) AS n_overlap FROM p GROUP BY 1)
-        |SELECT d.doc_id, COALESCE(a.n_bench_hits, 0) AS n_bench_hits,
-        | COALESCE(a.n_overlap, 0) AS n_overlap,
-        | a.n_bench_hits IS NOT NULL AS contaminated
-        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
-
-  /** Shared DuckDB replay of `Dedup.duplicatedSpans` (n=4, minDocs=2,
-    * minSpanWords=8) over source `src(doc_id, text, …)`: a CTE chain
-    * ending in `dsspans(doc_id, span_start, span_end, n_dup_grams,
-    * span_words)`, with the tokenized corpus exposed as `dsw(doc_id,
-    * ws)` for clip tails. Composed by dup_spans, dup_spans_clip AND
-    * curation_e2e — ONE definition, no silent drift (the same
-    * fragment discipline as the verdict sub-oracles). */
-  private def dupSpanCtes(src: String): String =
-    s"""dsw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM $src),
-       |dsp AS (SELECT doc_id, i - 1 AS pos,
-       |       ('0x' || substr(md5(array_to_string(ws[i:i+3], ' ')), 1, 15))::BIGINT AS fp
-       |      FROM dsw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) g
-       |      WHERE len(ws) >= 4),
-       |dsd AS (SELECT fp FROM dsp GROUP BY fp HAVING count(DISTINCT doc_id) >= 2),
-       |dsdp AS (SELECT doc_id, pos FROM dsp JOIN dsd USING (fp)),
-       |dsseg AS (SELECT doc_id, pos,
-       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
-       |         THEN 0 ELSE 1 END AS new_seg
-       |        FROM dsdp),
-       |dsgrp AS (SELECT doc_id, pos,
-       |        sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id FROM dsseg),
-       |dsspans AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 3 AS span_end,
-       |           CAST(count(*) AS BIGINT) AS n_dup_grams,
-       |           max(pos) + 3 - min(pos) + 1 AS span_words
-       |          FROM dsgrp GROUP BY doc_id, seg_id
-       |          HAVING max(pos) + 3 - min(pos) + 1 >= 8)""".stripMargin
-
-  /** Brute-force exact-cosine top-10 over the standard (vec_id < 5
-    * queries) ⨯ (vec_id >= 5 candidates) split — the ONE scoring/rank
-    * contract shared by every exact-equivalent retrieval oracle:
-    * `knn_cosine` (directly), `ivf_topk` (nprobe == nlist probes every
-    * cell → must equal brute force), `knn_auto` (exact path at
-    * verification scale). One constant, no drift. */
-  private val bruteForceKnnSql: String =
-    """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
-      |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
-      |scored AS (
-      | SELECT q_vec_id, vec_id,
-      |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
-      | FROM q CROSS JOIN c)
-      |SELECT q_vec_id, vec_id, score, rank FROM (
-      | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
-      | FROM scored) WHERE rank <= 10""".stripMargin
-
-  /** Replays [[graft.operators.Similarity.recallAudit]] over the four
-    * deterministic ANN paths: each method's full DuckDB replay (the same
-    * expressions as its standalone oracle, with IVF at nprobe=2 — a
-    * genuinely approximate probe set) joined against brute force. */
-  private val annRecallSql: String =
-    """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
-      |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
-      |exact AS (
-      | SELECT q_vec_id, vec_id FROM (
-      |  SELECT q_vec_id, vec_id, row_number() OVER (PARTITION BY q_vec_id ORDER BY
-      |   round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) DESC, vec_id) AS rank
-      |  FROM q CROSS JOIN c) WHERE rank <= 10),
-      |ex_n AS (SELECT count(*) AS expected FROM exact),
-      |cbk AS (SELECT vec_id, e,
-      |  (CASE WHEN e[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[2] >= 0 THEN '1' ELSE '0' END) ||
-      |  (CASE WHEN e[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN e[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-      | FROM c WHERE list_inner_product(e, e) > 0),
-      |qbk AS (SELECT q_vec_id, qe,
-      |  (CASE WHEN qe[1] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN qe[2] >= 0 THEN '1' ELSE '0' END) ||
-      |  (CASE WHEN qe[3] >= 0 THEN '1' ELSE '0' END) || (CASE WHEN qe[4] >= 0 THEN '1' ELSE '0' END) AS b0
-      | FROM q WHERE list_inner_product(qe, qe) > 0),
-      |sign_r AS (SELECT q_vec_id, vec_id FROM (
-      |  SELECT qbk.q_vec_id, cbk.vec_id, row_number() OVER (PARTITION BY qbk.q_vec_id ORDER BY
-      |   round(list_inner_product(qbk.qe, cbk.e) / (sqrt(list_inner_product(qbk.qe, qbk.qe)) * sqrt(list_inner_product(cbk.e, cbk.e))), 4) DESC, cbk.vec_id) AS rank
-      |  FROM qbk JOIN cbk ON qbk.b0 = cbk.bucket) WHERE rank <= 10),
-      |mp_q AS (SELECT q_vec_id, qe, unnest([b0,
-      |   (CASE WHEN substr(b0, 1, 1) = '1' THEN '0' ELSE '1' END) || substr(b0, 2),
-      |   substr(b0, 1, 1) || (CASE WHEN substr(b0, 2, 1) = '1' THEN '0' ELSE '1' END) || substr(b0, 3)
-      |  ]) AS bucket FROM qbk),
-      |mp_r AS (SELECT q_vec_id, vec_id FROM (
-      |  SELECT p.q_vec_id, cbk.vec_id, row_number() OVER (PARTITION BY p.q_vec_id ORDER BY
-      |   round(list_inner_product(p.qe, cbk.e) / (sqrt(list_inner_product(p.qe, p.qe)) * sqrt(list_inner_product(cbk.e, cbk.e))), 4) DESC, cbk.vec_id) AS rank
-      |  FROM mp_q p JOIN cbk USING (bucket)) WHERE rank <= 10),
-      |iv_ranked AS (SELECT e AS cw, row_number() OVER (ORDER BY
-      |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn FROM c),
-      |cents AS (SELECT rn - 1 AS cell, cw FROM iv_ranked WHERE rn <= 8),
-      |asg AS (SELECT vec_id, cell FROM (
-      |  SELECT c.vec_id, ct.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY
-      |   round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
-      |  FROM c CROSS JOIN cents ct) WHERE r = 1),
-      |qpr AS (SELECT q_vec_id, cell FROM (
-      |  SELECT q.q_vec_id, ct.cell, row_number() OVER (PARTITION BY q.q_vec_id ORDER BY
-      |   round(list_inner_product(q.qe, ct.cw) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
-      |  FROM q CROSS JOIN cents ct) WHERE r <= 2),
-      |ivf_r AS (SELECT q_vec_id, vec_id FROM (
-      |  SELECT qp.q_vec_id, c.vec_id, row_number() OVER (PARTITION BY qp.q_vec_id ORDER BY
-      |   round(list_inner_product(q.qe, c.e) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 4) DESC, c.vec_id) AS rank
-      |  FROM qpr qp JOIN q ON q.q_vec_id = qp.q_vec_id
-      |  JOIN asg a ON a.cell = qp.cell JOIN c ON c.vec_id = a.vec_id) WHERE rank <= 10),
-      |sqt AS (SELECT vec_id, round(lo, 6) AS qmin, round((hi - lo) / 255.0, 9) AS qscale,
-      |        list_transform(e, x -> CASE WHEN hi = lo THEN 0
-      |          ELSE CAST(round((x - lo) / ((hi - lo) / 255.0)) AS INTEGER) END) AS codes
-      |       FROM (SELECT vec_id, e, list_min(e) AS lo, list_max(e) AS hi FROM c) t),
-      |rec AS (SELECT vec_id, re FROM (
-      |        SELECT vec_id, list_transform(codes, cd -> qmin + cd * qscale) AS re FROM sqt)
-      |        WHERE list_inner_product(re, re) > 0),
-      |sq8_r AS (SELECT q_vec_id, vec_id FROM (
-      |  SELECT qp.q_vec_id, a.vec_id, row_number() OVER (PARTITION BY qp.q_vec_id ORDER BY
-      |   round(list_inner_product(q.qe, rec.re) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(rec.re, rec.re))), 4) DESC, a.vec_id) AS rank
-      |  FROM qpr qp JOIN q ON q.q_vec_id = qp.q_vec_id
-      |  JOIN asg a ON a.cell = qp.cell JOIN rec ON rec.vec_id = a.vec_id) WHERE rank <= 10),
-      |cb8 AS (SELECT rn - 1 AS j, cw FROM iv_ranked WHERE rn <= 8),
-      |pd AS (SELECT c.vec_id, s.s, cb8.j,
-      |  round(list_sum(list_transform(generate_series(1, 16),
-      |    i -> (c.e[s.s * 16 + i] - cb8.cw[s.s * 16 + i]) * (c.e[s.s * 16 + i] - cb8.cw[s.s * 16 + i]))), 6) AS d2
-      | FROM c CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s CROSS JOIN cb8),
-      |pcodes AS (SELECT vec_id, s, j FROM (
-      |  SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS r FROM pd) WHERE r = 1),
-      |pparts AS (SELECT q.q_vec_id, pc.vec_id, pc.s,
-      |  list_sum(list_transform(generate_series(1, 16), i -> q.qe[pc.s * 16 + i] * cb8.cw[pc.s * 16 + i])) AS dot_s,
-      |  list_sum(list_transform(generate_series(1, 16), i -> cb8.cw[pc.s * 16 + i] * cb8.cw[pc.s * 16 + i])) AS cn_s
-      | FROM q CROSS JOIN pcodes pc JOIN cb8 ON cb8.j = pc.j),
-      |pscored AS (SELECT q_vec_id, vec_id,
-      |  (((sum(CASE WHEN s = 0 THEN dot_s END) + sum(CASE WHEN s = 1 THEN dot_s END))
-      |       + sum(CASE WHEN s = 2 THEN dot_s END)) + sum(CASE WHEN s = 3 THEN dot_s END)) AS dot_r,
-      |  (((sum(CASE WHEN s = 0 THEN cn_s END) + sum(CASE WHEN s = 1 THEN cn_s END))
-      |       + sum(CASE WHEN s = 2 THEN cn_s END)) + sum(CASE WHEN s = 3 THEN cn_s END)) AS cnormsq
-      | FROM pparts GROUP BY q_vec_id, vec_id),
-      |qn AS (SELECT q_vec_id, sqrt(list_inner_product(qe, qe)) AS qnorm FROM q),
-      |pq_r AS (SELECT q_vec_id, vec_id FROM (
-      |  SELECT s.q_vec_id, s.vec_id, row_number() OVER (PARTITION BY s.q_vec_id ORDER BY
-      |   round(s.dot_r / (qn.qnorm * sqrt(s.cnormsq)), 4) DESC, s.vec_id) AS rank
-      |  FROM pscored s JOIN qn USING (q_vec_id)) WHERE rank <= 10),
-      |hits AS (
-      | SELECT 'sign_lsh' AS method, count(*) AS hits FROM sign_r JOIN exact USING (q_vec_id, vec_id)
-      | UNION ALL SELECT 'multiprobe', count(*) FROM mp_r JOIN exact USING (q_vec_id, vec_id)
-      | UNION ALL SELECT 'ivf_nprobe2', count(*) FROM ivf_r JOIN exact USING (q_vec_id, vec_id)
-      | UNION ALL SELECT 'ivf_sq8_nprobe2', count(*) FROM sq8_r JOIN exact USING (q_vec_id, vec_id)
-      | UNION ALL SELECT 'pq_adc', count(*) FROM pq_r JOIN exact USING (q_vec_id, vec_id))
-      |SELECT method, CAST(hits AS BIGINT) AS hits, CAST(expected AS BIGINT) AS expected,
-      | round(CAST(hits AS DOUBLE) / expected, 4) AS recall
-      |FROM hits CROSS JOIN ex_n""".stripMargin
-
-  /** Replays the golden end-to-end chain: paragraph chunks (C2, the
-    * min-20 variant) → md5-bucket tf-idf cosine top-10 + BM25 top-10
-    * over the same chunks → RRF top-3 with the question text joined
-    * back. Mirrors `Retrieval.tfidfCosineSearch` / `bm25Search` /
-    * `rrfFuse` expression for expression (3-decimal fixed-point dot and
-    * norm sums, round-4 ranks, id tiebreaks). */
-  private val goldenE2eSql: String =
-    s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
-       |ch AS (SELECT doc_id || '_p0_para' || para_idx AS chunk_id, content AS text FROM (
-       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx, trim(parts[i]) AS content
-       |  FROM (SELECT doc_id, regexp_split_to_array(text, '\\n{2,}') AS parts FROM documents) t,
-       |       LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g)
-       | WHERE length(content) > 20),
-       |ctoks AS (SELECT chunk_id, t AS tok FROM (
-       |  SELECT chunk_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM ch)
-       | WHERE NOT list_contains($stopSql, t)),
-       |ctf AS (SELECT chunk_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 384 AS bucket,
-       |  count(*) AS tf FROM ctoks GROUP BY 1, 2),
-       |nd AS (SELECT count(*) AS n_docs FROM ch),
-       |idf AS (SELECT bucket, round(ln(CAST(n_docs + 1 AS DOUBLE) / (count(*) + 1)), 6) AS idf
-       | FROM ctf, nd GROUP BY bucket, n_docs),
-       |cw AS (SELECT chunk_id, bucket, CAST(round(tf * idf * 1000) AS BIGINT) AS cw3
-       | FROM ctf JOIN idf USING (bucket)),
-       |cn AS (SELECT chunk_id, CAST(sum(cw3 * cw3) AS BIGINT) AS cn FROM cw GROUP BY chunk_id),
-       |qtoks AS (SELECT question_id, t AS tok FROM (
-       |  SELECT question_id, unnest(regexp_extract_all(lower(question), '[a-z0-9]+')) AS t FROM qs)
-       | WHERE NOT list_contains($stopSql, t)),
-       |qtf AS (SELECT question_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 384 AS bucket,
-       |  count(*) AS tf FROM qtoks GROUP BY 1, 2),
-       |qwt AS (SELECT question_id, bucket,
-       |  CAST(round(tf * COALESCE(idf, round(ln(CAST(n_docs + 1 AS DOUBLE)), 6)) * 1000) AS BIGINT) AS qw3
-       | FROM qtf LEFT JOIN idf USING (bucket), nd),
-       |qn AS (SELECT question_id, CAST(sum(qw3 * qw3) AS BIGINT) AS qn FROM qwt GROUP BY question_id),
-       |vdot AS (SELECT question_id, chunk_id, CAST(sum(qw3 * cw3) AS BIGINT) AS dot
-       | FROM qwt JOIN cw USING (bucket) GROUP BY 1, 2),
-       |va AS (SELECT question_id, chunk_id, rank_a FROM (
-       |  SELECT v.question_id, v.chunk_id, row_number() OVER (PARTITION BY v.question_id ORDER BY
-       |   round(CAST(v.dot AS DOUBLE) / (sqrt(CAST(qn.qn AS DOUBLE)) * sqrt(CAST(cn.cn AS DOUBLE))), 4) DESC,
-       |   v.chunk_id) AS rank_a
-       |  FROM vdot v JOIN qn USING (question_id) JOIN cn USING (chunk_id)) WHERE rank_a <= 10),
-       |btoks AS (SELECT chunk_id, t AS term FROM (
-       |  SELECT chunk_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
-       |  FROM ch) WHERE t <> ''),
-       |btf AS (SELECT chunk_id, term, count(*) AS tf FROM btoks GROUP BY chunk_id, term),
-       |bdl AS (SELECT chunk_id, count(*) AS dl FROM btoks GROUP BY chunk_id),
-       |bcorpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM bdl),
-       |bdf AS (SELECT term, count(*) AS df FROM btf GROUP BY term),
-       |bqt AS (SELECT DISTINCT question_id, t AS term FROM (
-       |  SELECT question_id, unnest(regexp_split_to_array(lower(question), '\\s+')) AS t
-       |  FROM qs) WHERE t <> ''),
-       |bscored AS (
-       | SELECT bqt.question_id, btf.chunk_id,
-       |  CAST(round(round(ln((bcorpus.n_docs - bdf.df + 0.5) / (bdf.df + 0.5) + 1), 6)
-       |    * (btf.tf * 2.2) / (btf.tf + 1.2 * (1 - 0.75 + 0.75 * bdl.dl / bcorpus.avgdl))
-       |    * 1000000) AS BIGINT) AS w6
-       | FROM bqt JOIN btf USING (term) JOIN bdl USING (chunk_id)
-       |   JOIN bdf USING (term), bcorpus),
-       |baggd AS (SELECT question_id, chunk_id, round(sum(w6) / 1000000.0, 4) AS score
-       | FROM bscored GROUP BY question_id, chunk_id),
-       |vb AS (SELECT question_id, chunk_id, rank_b FROM (
-       |  SELECT question_id, chunk_id, row_number() OVER (
-       |    PARTITION BY question_id ORDER BY score DESC, chunk_id) AS rank_b
-       |  FROM baggd) WHERE rank_b <= 10),
-       |fused AS (SELECT COALESCE(va.question_id, vb.question_id) AS question_id,
-       |  COALESCE(va.chunk_id, vb.chunk_id) AS chunk_id,
-       |  COALESCE(va.rank_a, 0) AS rank_a, COALESCE(vb.rank_b, 0) AS rank_b,
-       |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + va.rank_a), 0) +
-       |        COALESCE(CAST(1 AS DOUBLE) / (60 + vb.rank_b), 0), 6) AS rrf6
-       | FROM va FULL OUTER JOIN vb
-       |  ON va.question_id = vb.question_id AND va.chunk_id = vb.chunk_id),
-       |top AS (SELECT question_id, chunk_id, rank_a, rank_b, rrf6, rank FROM (
-       | SELECT *, row_number() OVER (
-       |   PARTITION BY question_id ORDER BY rrf6 DESC, chunk_id) AS rank
-       | FROM fused) WHERE rank <= 3)
-       |SELECT top.*, qs.question FROM top JOIN qs USING (question_id)""".stripMargin
-
-  /** Shared CTE ending in `fp(id, simhash)` — replays
-    * [[graft.operators.Dedup.simhash32]]/`simhash60` (fingerprint width
-    * = `bits`) over the documents table. */
-  private def simhashFpCte(bits: Int): String =
-    s"""WITH toks AS (
-      | SELECT doc_id AS id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
-      | FROM documents),
-      |h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS hv FROM toks),
-      |bits AS (SELECT id, b, CASE WHEN (hv >> b) & 1 = 1 THEN 1 ELSE -1 END AS vote
-      |         FROM h, LATERAL (SELECT unnest(generate_series(0, ${bits - 1})) AS b) g),
-      |v AS (SELECT id, b, sum(vote) AS v FROM bits GROUP BY id, b),
-      |fp AS (SELECT id,
-      | CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
-      | FROM v GROUP BY id)""".stripMargin
-
-  /** One PageRank iteration CTE (replays [[graft.operators.Graph.pageRank]]'s
-    * integer micro-unit update; `prev` is the prior iteration's CTE name). */
-  private def pageRankIterCte(name: String, prev: String): String =
-    s"""$name AS (SELECT d0.id,
-       | (15 * 1000000) // (100 * (SELECT n FROM nn)) +
-       | (85 * COALESCE(s.in6, 0)) // 100 AS pr6
-       |FROM docs0 d0 LEFT JOIN (
-       |  SELECT e.dst, CAST(sum(p.pr6 // g.deg) AS BIGINT) AS in6
-       |  FROM edges2 e JOIN $prev p ON p.id = e.src JOIN deg g ON g.src = e.src
-       |  GROUP BY e.dst) s ON s.dst = d0.id)""".stripMargin
-
-  /** Expected `mm_video_mjpg` rows, derived INDEPENDENTLY of
-    * [[graft.operators.MediaCodec.aviFrames]]: decode each sampled
-    * fixture frame's JPEG bytes directly (no RIFF container in the
-    * loop) with a raw bit-shift pixel walk, and compute the stream
-    * clock from the fixture's (scale, rate) constants. What the compare
-    * validates end-to-end is therefore the container walk, the codec
-    * branch, the frame sampling, and the clock; the JPEG codec itself
-    * is common-mode (the JDK ships exactly one). Lazy: only Verify's
-    * oracle dump forces it. */
-  private lazy val mmVideoMjpgSql: String = {
-    val clips = Seq(("anim", 24, 16, 12, 1, 25), ("mini", 8, 8, 3, 1, 10))
-    val rows = for {
-      (doc, w, h, nFrames, scale, rate) <- clips
-      i <- 0 until nFrames if i % 5 == 0
-    } yield {
-      val img = javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(MediaCodec.mjpgFrameJpeg(w, h, i)))
-      var (sr, sg, sb) = (0L, 0L, 0L)
-      val crc = new java.util.zip.CRC32()
-      for (y <- 0 until h; x <- 0 until w) {
-        val p = img.getRGB(x, y)
-        sr += (p >> 16) & 0xFF; sg += (p >> 8) & 0xFF; sb += p & 0xFF
-        crc.update((p >> 16) & 0xFF); crc.update((p >> 8) & 0xFF); crc.update(p & 0xFF)
-      }
-      s"('$doc',$i,${i.toLong * 1000 * scale / rate},$w,$h,$nFrames,$sr,$sg,$sb,${crc.getValue})"
-    }
-    s"""SELECT doc, frame_idx, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
-       | width, height, n_frames, CAST(sum_r AS BIGINT) AS sum_r,
-       | CAST(sum_g AS BIGINT) AS sum_g, CAST(sum_b AS BIGINT) AS sum_b,
-       | CAST(rgb_crc32 AS BIGINT) AS rgb_crc32
-       |FROM (VALUES
-       | ${rows.mkString(",\n ")}
-       |) AS t(doc, frame_idx, frame_ts_ms, width, height, n_frames,
-       |       sum_r, sum_g, sum_b, rgb_crc32)""".stripMargin
-  }
-
-  // ---------------------------------------------------------------------
-  def oracleSql: Map[String, String] = Map(
-    "q01_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        | round(sum(l_quantity), 2) AS sum_qty,
-        | round(sum(l_extendedprice), 2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-        | round(avg(l_quantity), 4) AS avg_qty,
-        | round(avg(l_extendedprice), 4) AS avg_price,
-        | round(avg(l_discount), 4) AS avg_disc,
-        | count(*) AS count_order
-        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
-
-    "q03_shipping_priority" ->
-      """SELECT l_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,
-        | o_orderpriority,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |WHERE c_mktsegment = 'BUILDING'
-        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
-
-    "q05_local_supplier" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-        |JOIN nation ON s_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY n_name""".stripMargin,
-
-    "q07_top_customers" ->
-      """SELECT c_nationkey, c_custkey, round(c_acctbal, 2) AS acctbal, rank FROM (
-        | SELECT c_nationkey, c_custkey, c_acctbal,
-        |  row_number() OVER (PARTITION BY c_nationkey ORDER BY round(c_acctbal, 2) DESC, c_custkey) AS rank
-        | FROM customer) WHERE rank <= 3""".stripMargin,
-
-    "q08_running_totals" ->
-      """SELECT o_custkey, o_orderkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_epoch,
-        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_total
-        |FROM orders""".stripMargin,
-
-    "q09_semi_anti" ->
-      """SELECT c_custkey, true AS has_orders FROM customer
-        | WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        |UNION ALL
-        |SELECT c_custkey, false AS has_orders FROM customer
-        | WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
-
-    "q10_rollup" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
-
-    "c2_paragraph_chunks" ->
-      """WITH parts AS (
-        | SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx, trim(parts[i]) AS content
-        | FROM (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS parts FROM documents) t,
-        |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g)
-        |SELECT doc_id || '_p0_para' || para_idx AS chunk_id, doc_id AS document_id,
-        | para_idx, content, 'paragraph' AS chunk_type,
-        | CAST(len(regexp_split_to_array(trim(content), '\s+')) AS INTEGER) AS word_count
-        |FROM parts WHERE length(content) > 50""".stripMargin,
-
-    "c6_sliding_chunks" ->
-      s"""WITH w AS (
-         | SELECT doc_id, list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |   x -> regexp_full_match(x, '[a-z0-9]+') AND NOT list_contains($stopSql, x)) AS words
-         | FROM documents),
-         |ok AS (SELECT doc_id, words, len(words) AS n FROM w WHERE len(words) >= 20),
-         |wins AS (
-         | SELECT doc_id, CAST(st / 16 AS INTEGER) AS win_idx,
-         |  array_to_string(words[st + 1 : st + 20], ' ') AS content
-         | FROM ok, LATERAL (SELECT unnest(generate_series(0, n - 20, 16)) AS st) g)
-         |SELECT doc_id || '_sliding_' || win_idx AS chunk_id, doc_id AS document_id,
-         | win_idx, content, 'sliding_window' AS chunk_type,
-         | CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS INTEGER) AS word_count
-         |FROM wins""".stripMargin,
-
-    "c8_token_counts" ->
-      """SELECT doc_id,
-        | CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS INTEGER) AS ws_tokens,
-        | CAST(len(regexp_extract_all(lower(trim(text)), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INTEGER) AS bpe_ish_tokens
-        |FROM documents""".stripMargin,
-
-    "a1_doc_stats" ->
-      """WITH parts AS (
-        | SELECT doc_id, trim(parts[i]) AS content
-        | FROM (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS parts FROM documents) t,
-        |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g)
-        |SELECT doc_id AS document_id, count(*) AS chunks_count,
-        | CAST(sum(length(content)) AS BIGINT) AS total_characters
-        |FROM parts WHERE length(content) > 20 GROUP BY doc_id""".stripMargin,
-
-    "lang_id" -> langIdSql,
-
-    // composes the quality_score and dedup_exact formulas, then exact
-    // 1e4-unit means with unrounded quotients
-    "corpus_datacard" ->
-      s"""WITH q AS (SELECT doc_id, lang,
-         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
-         |  round(CAST(length(trim(text)) - length(regexp_replace(trim(text), '[.,;:!?]', '', 'g')) AS DOUBLE)
-         |    / greatest(length(trim(text)), 1), 4) AS punct_ratio,
-         |  round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |      w -> list_contains($stopSql, w))) AS DOUBLE)
-         |    / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS stopword_ratio
-         | FROM documents),
-         |d AS (SELECT doc_id, rn > 1 AS is_duplicate FROM (
-         | SELECT doc_id, row_number() OVER (
-         |   PARTITION BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
-         |   ORDER BY doc_id) AS rn FROM documents))
-         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
-         | CAST(sum(n_words) AS BIGINT) AS total_words,
-         | CAST(sum(CASE WHEN is_duplicate THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs,
-         | CAST(sum(CAST(round(punct_ratio * 1e4) AS BIGINT)) AS DOUBLE) / (count(*) * 10000) AS avg_punct_ratio,
-         | CAST(sum(CAST(round(stopword_ratio * 1e4) AS BIGINT)) AS DOUBLE) / (count(*) * 10000) AS avg_stopword_ratio
-         |FROM q JOIN d USING (doc_id) GROUP BY lang""".stripMargin,
-
-    "quality_score" ->
-      s"""SELECT doc_id, length(trim(text)) AS n_chars,
-         | CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER) AS n_words,
-         | round(CAST(length(trim(text)) - (len(regexp_split_to_array(trim(text), '\\s+')) - 1) AS DOUBLE)
-         |   / len(regexp_split_to_array(trim(text), '\\s+')), 4) AS avg_word_len,
-         | round(CAST(length(trim(text)) - length(regexp_replace(trim(text), '[.,;:!?]', '', 'g')) AS DOUBLE)
-         |   / greatest(length(trim(text)), 1), 4) AS punct_ratio,
-         | round(CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-         |     w -> list_contains($stopSql, w))) AS DOUBLE)
-         |   / greatest(len(regexp_split_to_array(trim(text), '\\s+')), 1), 4) AS stopword_ratio
-         |FROM documents""".stripMargin,
-
-    "redact_pii" -> {
-      val (u, e, ph) = (esc(TextAnalysis.urlPattern),
-        esc(TextAnalysis.emailPattern), esc(TextAnalysis.phonePattern))
-      s"""SELECT doc_id,
-         | len(regexp_extract_all(text, '$u')) AS n_urls,
-         | len(regexp_extract_all(text, '$e')) AS n_emails,
-         | len(regexp_extract_all(text, '$ph')) AS n_phones,
-         | regexp_replace(regexp_replace(regexp_replace(text,
-         |   '$u', '[URL]', 'g'), '$e', '[EMAIL]', 'g'), '$ph', '[PHONE]', 'g')
-         |  AS redacted
-         |FROM documents""".stripMargin
-    },
-
-    "repetition_stats" -> repetitionStatsSql,
-
-    "dedup_exact" -> dedupExactSql,
-
-    "ngram_jaccard" ->
-      """WITH sh AS (
-        | SELECT doc_id AS id, unnest(list_distinct(
-        |   CASE WHEN len(words) >= 3
-        |    THEN list_transform(generate_series(1, len(words) - 2), i -> array_to_string(words[i : i + 2], ' '))
-        |    ELSE [array_to_string(words, ' ')] END)) AS shingle
-        | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS words
-        |       FROM documents WHERE doc_id < 100)),
-        |rare AS (SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000),
-        |shr AS (SELECT sh.id, sh.shingle FROM sh JOIN rare USING (shingle)),
-        |sizes AS (SELECT id, count(*) AS n_sh FROM shr GROUP BY id),
-        |pairs AS (
-        | SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
-        | FROM shr a JOIN shr b ON a.shingle = b.shingle AND a.id < b.id
-        | GROUP BY a.id, b.id)
-        |SELECT id_a, id_b, inter,
-        | round(CAST(inter AS DOUBLE) / (sa.n_sh + sb.n_sh - inter), 4) AS jaccard
-        |FROM pairs JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b""".stripMargin,
-
-    // positional 4-grams -> cross-doc duplicated fingerprints ->
-    // gaps-and-islands span merge (windows within n touch or overlap);
-    // same md5-60bit fingerprint and \s+ tokenization as the operator
-    "dup_spans" ->
-      s"""WITH ${dupSpanCtes("documents")}
-         |SELECT * FROM dsspans""".stripMargin,
-
-    // independent formulation of the clip: per-token anti-join against
-    // the span ranges (the operator uses an index-lambda filter), then
-    // order-preserving string_agg — only docs that lost words emitted.
-    // Detection stays on the lowercased dsw tokens; the SHIPPED tokens
-    // come from a case-preserving split (position-aligned: lower never
-    // changes whitespace) — the operator's casing contract
-    "dup_spans_clip" ->
-      s"""WITH clip_src AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
-         |${dupSpanCtes("clip_src")},
-         |cw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS cs FROM clip_src),
-         |tok AS (SELECT doc_id, i - 1 AS pos, cs[i] AS tk
-         |        FROM cw, LATERAL (SELECT unnest(generate_series(1, len(cs))) AS i) g),
-         |keep AS (SELECT t.doc_id, t.pos, t.tk FROM tok t
-         |         WHERE NOT EXISTS (SELECT 1 FROM dsspans s
-         |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)),
-         |agg AS (SELECT k.doc_id,
-         |         COALESCE(string_agg(k.tk, ' ' ORDER BY k.pos), '') AS clean_text,
-         |         count(*) AS n_kept
-         |        FROM keep k GROUP BY k.doc_id)
-         |SELECT dsw.doc_id, COALESCE(a.clean_text, '') AS clean_text,
-         | CAST(len(dsw.ws) AS INTEGER) AS n_words,
-         | CAST(len(dsw.ws) - COALESCE(a.n_kept, 0) AS INTEGER) AS n_words_removed
-         |FROM dsw LEFT JOIN agg a USING (doc_id)
-         |WHERE len(dsw.ws) - COALESCE(a.n_kept, 0) > 0""".stripMargin,
-
-    "minhash_pairs" -> {
-      val matchSum = (0 until 8).map(i =>
-        s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""$minhashPairsCte
-         |SELECT id_a, id_b, round(($matchSum) / 8.0, 4) AS est_jaccard
-         |FROM pairs JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b""".stripMargin
-    },
-
-    "dup_components" ->
-      s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
-         |          UNION ALL SELECT id_b AS id, id_a AS nbr FROM pairs),
-         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
-         |reach(id, lbl) AS (
-         |  SELECT id, id AS lbl FROM docs0
-         |  UNION
-         |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr)
-         |SELECT id AS doc_id, min(lbl) AS cluster,
-         | (min(lbl) = id) AS is_canonical
-         |FROM reach GROUP BY id""".stripMargin,
-
-    "leakage_split" ->
-      s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
-         |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
-         |          UNION ALL SELECT id_b AS id, id_a AS nbr FROM pairs),
-         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
-         |reach(id, lbl) AS (
-         |  SELECT id, id AS lbl FROM docs0
-         |  UNION
-         |  SELECT e.id, r.lbl FROM edges e JOIN reach r ON r.id = e.nbr),
-         |cc AS (SELECT id AS doc_id, min(lbl) AS cluster FROM reach GROUP BY id)
-         |SELECT doc_id, cluster,
-         | CASE WHEN ('0x' || substr(md5(CAST(cluster AS VARCHAR)), 1, 4))::BIGINT < 13107
-         |      THEN 'test' ELSE 'train' END AS split
-         |FROM cc""".stripMargin,
-
-    "dup_clusters" ->
-      s"""$minhashPairsCte,
-         |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
-         |          UNION ALL SELECT id_b AS id, id_a AS nbr FROM pairs),
-         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500)
-         |SELECT d.id AS doc_id,
-         | CASE WHEN min(e.nbr) IS NULL OR d.id < min(e.nbr)
-         |  THEN d.id ELSE min(e.nbr) END AS cluster,
-         | (CASE WHEN min(e.nbr) IS NULL OR d.id < min(e.nbr)
-         |  THEN d.id ELSE min(e.nbr) END = d.id) AS is_canonical
-         |FROM docs0 d LEFT JOIN edges e ON e.id = d.id
-         |GROUP BY d.id""".stripMargin,
-
-    "simhash" -> s"""${simhashFpCte(32)}
-        |SELECT id AS doc_id, simhash FROM fp""".stripMargin,
-
-    "simhash_pairs" -> simhashPairsSql(sourcesCte = "banded"),
-
-    // the capped variant: keepers = the 2 smallest ids per band bucket
-    "simhash_pairs_capped" -> simhashPairsSql(sourcesCte =
-      """(SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY id) AS rk
-        |               FROM banded) WHERE rk <= 2)""".stripMargin),
-
-    "embed_near_dups" ->
-      """WITH b AS (
-        | SELECT vec_id, embedding::DOUBLE[] AS e,
-        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-        | FROM embeddings)
-        |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
-        | round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score
-        |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-        |WHERE round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) >= 0.2""".stripMargin,
-
-    // replays the full SemDeDup path: hash-ordered centroid sample →
-    // argmax-cosine assignment (round 6, cell tiebreak) → within-cell
-    // smaller-id REPRESENTATIVE (per-cell id rank ≤ 48 — the pair cap)
-    // above threshold
-    "semantic_dedup" ->
-      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |ranked AS (SELECT vec_id, e, row_number() OVER (ORDER BY
-        |  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn FROM c),
-        |cents AS (SELECT rn - 1 AS cell, e AS cw FROM ranked WHERE rn <= 8),
-        |asg AS (SELECT vec_id, cell, e FROM (
-        | SELECT c.vec_id, ct.cell, c.e, row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |  round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
-        | FROM c CROSS JOIN cents ct) WHERE r = 1),
-        |reps AS (SELECT vec_id, cell, e FROM (
-        | SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rep_rank
-        | FROM asg) WHERE rep_rank <= 48),
-        |dups AS (SELECT DISTINCT b.vec_id FROM reps a JOIN asg b
-        | ON a.cell = b.cell AND a.vec_id < b.vec_id
-        | WHERE round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) >= 0.4)
-        |SELECT asg.vec_id, asg.cell, (dups.vec_id IS NOT NULL) AS is_semantic_dup
-        |FROM asg LEFT JOIN dups ON asg.vec_id = dups.vec_id""".stripMargin,
-
-    "e4_l2norm" ->
-      """SELECT vec_id,
-        | round(sqrt(list_inner_product(n, n)), 4) AS unit_norm,
-        | round(n[1], 4) + 0.0 AS c0
-        |FROM (SELECT vec_id,
-        |  list_transform(embedding::DOUBLE[],
-        |    x -> x / sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS n
-        | FROM embeddings)""".stripMargin,
-
-    "sq_embeddings" ->
-      """SELECT vec_id,
-        | round(lo, 6) AS q_min,
-        | round((hi - lo) / 255.0, 9) AS q_scale,
-        | to_json(list_transform(embedding, x -> CASE WHEN hi = lo THEN 0
-        |   ELSE CAST(round((CAST(x AS DOUBLE) - lo) / ((hi - lo) / 255.0)) AS INTEGER)
-        |  END))::VARCHAR AS q_codes
-        |FROM (SELECT vec_id, embedding,
-        |  CAST(list_min(embedding) AS DOUBLE) AS lo,
-        |  CAST(list_max(embedding) AS DOUBLE) AS hi
-        | FROM embeddings)""".stripMargin,
-
-    "jl_projection" ->
-      """WITH m AS (
-        | SELECT j, i,
-        |  CASE WHEN ('0x' || substr(md5(j || ':' || i), 1, 15))::BIGINT % 2 = 1
-        |   THEN 1 ELSE -1 END AS s
-        | FROM generate_series(0, 15) t(j), generate_series(0, 63) u(i)),
-        |x AS (
-        | SELECT vec_id, i - 1 AS i,
-        |  CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT) AS x6
-        | FROM embeddings,
-        |   LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g)
-        |SELECT vec_id, CAST(j AS INTEGER) AS out_pos,
-        | CAST(sum(x6 * s) AS DOUBLE) * (1.0 / sqrt(16.0)) / 1000000.0 AS y
-        |FROM x JOIN m USING (i)
-        |GROUP BY vec_id, j""".stripMargin,
-
-    "label_centroids" ->
-      """SELECT label, CAST(i - 1 AS INTEGER) AS pos, count(*) AS n_vectors,
-        | round(sum(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT))
-        |   / count(*) / 1000000.0, 6) AS mean_c
-        |FROM embeddings,
-        |  LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
-        |GROUP BY label, i""".stripMargin,
-
-    "knn_cosine" -> bruteForceKnnSql,
-
-    "knn_filtered" ->
-      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5 AND label = 3),
-        |scored AS (
-        | SELECT q_vec_id, vec_id,
-        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
-        | FROM q CROSS JOIN c)
-        |SELECT q_vec_id, vec_id, score, rank FROM (
-        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
-        | FROM scored) WHERE rank <= 10""".stripMargin,
-
-    "lsh_topk" ->
-      """WITH b AS (
-        | SELECT vec_id, embedding,
-        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-        | FROM embeddings
-        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-        |q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, bucket FROM b WHERE vec_id < 5),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e, bucket FROM b WHERE vec_id >= 5),
-        |scored AS (
-        | SELECT q_vec_id, vec_id,
-        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
-        | FROM q JOIN c USING (bucket))
-        |SELECT q_vec_id, vec_id, score, rank FROM (
-        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
-        | FROM scored) WHERE rank <= 10""".stripMargin,
-
-    "lsh_multiprobe" ->
-      """WITH b AS (
-        | SELECT vec_id, embedding,
-        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-        | FROM embeddings
-        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-        |q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, bucket AS b0
-        |      FROM b WHERE vec_id < 5),
-        |qp AS (SELECT q_vec_id, qe, unnest([b0,
-        |   (CASE WHEN substr(b0, 1, 1) = '1' THEN '0' ELSE '1' END) || substr(b0, 2),
-        |   substr(b0, 1, 1) ||
-        |     (CASE WHEN substr(b0, 2, 1) = '1' THEN '0' ELSE '1' END) || substr(b0, 3)
-        |  ]) AS bucket FROM q),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e, bucket FROM b WHERE vec_id >= 5),
-        |scored AS (
-        | SELECT q_vec_id, vec_id,
-        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score
-        | FROM qp JOIN c USING (bucket))
-        |SELECT q_vec_id, vec_id, score, rank FROM (
-        | SELECT *, row_number() OVER (PARTITION BY q_vec_id ORDER BY score DESC, vec_id) AS rank
-        | FROM scored) WHERE rank <= 10""".stripMargin,
-
-    "keyword_search" ->
-      s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
-         |qw AS (SELECT question_id,
-         |        CAST(len(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> '')) AS INTEGER) AS n_words,
-         |        unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> ''))) AS word
-         |       FROM qs),
-         |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
-         |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
-         |      GROUP BY question_id, n_words, doc_id)
-         |SELECT question_id, doc_id, matches,
-         | round(CAST(matches AS DOUBLE) / n_words, 4) AS score, rank
-         |FROM (SELECT *, row_number() OVER (PARTITION BY question_id
-         |        ORDER BY round(CAST(matches AS DOUBLE) / n_words, 4) DESC, doc_id) AS rank
-         |      FROM m) WHERE rank <= 3""".stripMargin,
-
-    "answer_summary" ->
-      s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
-         |qw AS (SELECT question_id,
-         |        CAST(len(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> '')) AS INTEGER) AS n_words,
-         |        unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> ''))) AS word
-         |       FROM qs),
-         |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
-         |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
-         |      GROUP BY question_id, n_words, doc_id),
-         |ranked AS (
-         |  SELECT question_id, doc_id,
-         |   round(CAST(matches AS DOUBLE) / n_words, 4) AS score,
-         |   row_number() OVER (PARTITION BY question_id
-         |     ORDER BY round(CAST(matches AS DOUBLE) / n_words, 4) DESC, doc_id) AS rank
-         |  FROM m)
-         |SELECT question_id, count(*) AS n_results, max(score) AS best_score,
-         | max(CASE WHEN rank = 1 THEN doc_id END) AS best_doc
-         |FROM ranked WHERE rank <= 3 GROUP BY question_id""".stripMargin,
-
-    "c4_split_large" ->
-      s"""$c4WalkSql
-         |SELECT document_id, document_id || '_' || position || '_sub_' || sub_idx AS chunk_id,
-         | position, CAST(sub_idx AS INTEGER) AS sub_index, content,
-         | CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS INTEGER) AS word_count
-         |FROM subs""".stripMargin,
-
-    "c7_rechunk" ->
-      s"""$c4WalkSql,
-         |seq AS (
-         | SELECT document_id,
-         |  row_number() OVER (PARTITION BY document_id ORDER BY position, sub_idx) AS i,
-         |  count(*) OVER (PARTITION BY document_id) AS n, content, length(content) AS clen
-         | FROM subs),
-         |merge_walk AS (
-         | SELECT document_id, i, n,
-         |  CASE WHEN clen >= 100 THEN '' ELSE content END AS pending,
-         |  CASE WHEN clen >= 100 THEN [content] ELSE CAST([] AS VARCHAR[]) END AS emitted,
-         |  CASE WHEN clen >= 100 THEN 1 ELSE 0 END AS k_after
-         | FROM seq WHERE i = 1
-         | UNION ALL
-         | SELECT nx.document_id, nx.i, nx.n,
-         |  CASE WHEN nx.clen >= 100 THEN ''
-         |   WHEN length(CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END) >= 100 THEN ''
-         |   ELSE CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END END,
-         |  CASE WHEN nx.clen >= 100 THEN
-         |    CASE WHEN w.pending <> '' THEN [w.pending, nx.content] ELSE [nx.content] END
-         |   WHEN length(CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END) >= 100
-         |    THEN [CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END]
-         |   ELSE CAST([] AS VARCHAR[]) END,
-         |  w.k_after + CASE WHEN nx.clen >= 100 THEN CASE WHEN w.pending <> '' THEN 2 ELSE 1 END
-         |   WHEN length(CASE WHEN w.pending = '' THEN nx.content ELSE w.pending || chr(10) || chr(10) || nx.content END) >= 100 THEN 1
-         |   ELSE 0 END
-         | FROM merge_walk w JOIN seq nx ON nx.document_id = w.document_id AND nx.i = w.i + 1),
-         |emissions AS (
-         | SELECT document_id, k_after - len(emitted) AS k_before, emitted FROM merge_walk
-         | UNION ALL
-         | SELECT document_id, k_after, [pending] FROM merge_walk WHERE i = n AND pending <> ''),
-         |final AS (
-         | SELECT document_id, CAST(k_before + j - 1 AS INTEGER) AS out_idx, emitted[j] AS content
-         | FROM emissions, LATERAL (SELECT unnest(generate_series(1, len(emitted))) AS j) g)
-         |SELECT document_id, document_id || '_merged_' || out_idx AS chunk_id,
-         | out_idx AS position, out_idx AS sub_index, content,
-         | CAST(len(regexp_split_to_array(trim(content), '\\s+')) AS INTEGER) AS word_count
-         |FROM final""".stripMargin,
-
-    "answers_payload" ->
-      s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
-         |qw AS (SELECT question_id,
-         |        CAST(len(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> '')) AS INTEGER) AS n_words,
-         |        unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> ''))) AS word
-         |       FROM qs),
-         |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
-         |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
-         |      GROUP BY question_id, n_words, doc_id),
-         |ranked AS (
-         |  SELECT question_id, doc_id,
-         |   round(CAST(matches AS DOUBLE) / n_words, 4) AS score,
-         |   row_number() OVER (PARTITION BY question_id
-         |     ORDER BY round(CAST(matches AS DOUBLE) / n_words, 4) DESC, doc_id) AS rank
-         |  FROM m)
-         |SELECT question_id, count(*) AS n_results, max(score) AS best_score,
-         | to_json(list(struct_pack(rank := CAST(rank AS INTEGER), doc_id := doc_id)
-         |   ORDER BY rank))::VARCHAR AS context_json,
-         | printf('Found %d relevant sections', count(*)) AS summary
-         |FROM ranked WHERE rank <= 3 GROUP BY question_id""".stripMargin,
-
-    "bm25_search" ->
-      s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
-         |toks AS (SELECT doc_id, t AS term FROM (
-         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
-         |  FROM documents) WHERE t <> ''),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |qt AS (SELECT DISTINCT question_id, t AS term FROM (
-         |  SELECT question_id, unnest(regexp_split_to_array(lower(question), '\\s+')) AS t
-         |  FROM qs) WHERE t <> ''),
-         |scored AS (
-         | SELECT qt.question_id, tf.doc_id,
-         |  CAST(round(round(ln((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1), 6)
-         |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))
-         |    * 1000000) AS BIGINT) AS w6
-         | FROM qt JOIN tf USING (term) JOIN dl USING (doc_id)
-         |   JOIN dfreq USING (term), corpus),
-         |aggd AS (SELECT question_id, doc_id,
-         |  round(sum(w6) / 1000000.0, 4) AS score, count(*) AS n_terms
-         | FROM scored GROUP BY question_id, doc_id),
-         |ranked AS (SELECT *, row_number() OVER (
-         |  PARTITION BY question_id ORDER BY score DESC, doc_id) AS rank FROM aggd)
-         |SELECT question_id, doc_id, n_terms, score, rank
-         |FROM ranked WHERE rank <= 3""".stripMargin,
-
-    "split_train_test" ->
-      """SELECT doc_id,
-        | ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT AS bucket,
-        | CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < 6554
-        |  THEN 'test' ELSE 'train' END AS split
-        |FROM documents""".stripMargin,
-
-    "stratified_sample" ->
-      """SELECT doc_id, lang FROM (
-        | SELECT doc_id, lang,
-        |  row_number() OVER (PARTITION BY lang
-        |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT, doc_id) AS rk,
-        |  count(*) OVER (PARTITION BY lang) AS n
-        | FROM documents) WHERE rk <= ceil(n * 0.1)""".stripMargin,
-
-    "len_deciles" ->
-      s"""WITH cuts AS (SELECT
-         | ${(1 until 10).map(i => s"round(quantile_cont(n_chars, 0.$i), 4) AS c${i - 1}").mkString(", ")}
-         | FROM documents),
-         |bucketed AS (SELECT n_chars,
-         |  1 + ${(0 until 9).map(i => s"(CASE WHEN n_chars > c$i THEN 1 ELSE 0 END)").mkString(" + ")} AS bucket
-         | FROM documents, cuts)
-         |SELECT bucket, count(*) AS n_docs, min(n_chars) AS min_chars,
-         | max(n_chars) AS max_chars
-         |FROM bucketed GROUP BY bucket""".stripMargin,
-
-    "funnel_steps" ->
-      """WITH s1 AS (
-        | SELECT user_id, min(epoch_us(ts)) AS t1
-        | FROM events WHERE event_type = 'view' GROUP BY user_id),
-        |s2 AS (
-        | SELECT s1.user_id, s1.t1, min(e.tn) AS t2
-        | FROM s1 LEFT JOIN (
-        |   SELECT user_id, epoch_us(ts) AS tn FROM events WHERE event_type = 'click') e
-        |  ON e.user_id = s1.user_id AND e.tn > s1.t1
-        | GROUP BY s1.user_id, s1.t1),
-        |s3 AS (
-        | SELECT s2.user_id, s2.t1, s2.t2, min(e.tn) AS t3
-        | FROM s2 LEFT JOIN (
-        |   SELECT user_id, epoch_us(ts) AS tn FROM events WHERE event_type = 'purchase') e
-        |  ON e.user_id = s2.user_id AND e.tn > s2.t2
-        | GROUP BY s2.user_id, s2.t1, s2.t2)
-        |SELECT user_id, t1, t2, t3,
-        | 1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
-        |   + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS funnel_depth
-        |FROM s3""".stripMargin,
-
-    "pack_shards" ->
-      """SELECT doc_id, bucket, bucket || '_' || shard_in_bucket AS shard_id, n_tokens
-        |FROM (
-        | SELECT doc_id, bucket, n_tokens,
-        |  CAST(floor((sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 500)
-        |   AS INTEGER) AS shard_in_bucket
-        | FROM (
-        |  SELECT doc_id,
-        |   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
-        |    AS INTEGER) AS bucket,
-        |   CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INTEGER) AS n_tokens
-        |  FROM documents))""".stripMargin,
-
-    "clip_outliers" ->
-      """WITH cuts AS (SELECT round(quantile_cont(value, 0.05), 4) AS lo,
-        |  round(quantile_cont(value, 0.95), 4) AS hi FROM events)
-        |SELECT event_id, round(value, 4) AS value,
-        | round(least(greatest(value, lo), hi), 4) AS value_clipped,
-        | (value < lo OR value > hi) AS was_clipped
-        |FROM events, cuts""".stripMargin,
-
-    // ivf_topk with nprobe == nlist probes every cell → exact: must equal
-    // the brute-force oracle (same candidate set, same scoring, same
-    // tiebreak) — upgrading the rows-only check to a full hash compare
-    // while keeping the IVF plan shape under test.
-    "ivf_topk" -> bruteForceKnnSql,
-
-    // full replay of IVF-SQ8: centroid sample + assignment as the IVF
-    // chain, then int8 codes (the sq_embeddings expression), rounded
-    // (min, scale) reconstruction, and cosine over the dequantized
-    // vectors inside the probed cells
-    "ivf_sq8_topk" ->
-      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
-        |iv_ranked AS (SELECT e AS cw, row_number() OVER (ORDER BY
-        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn FROM c),
-        |cents AS (SELECT rn - 1 AS cell, cw FROM iv_ranked WHERE rn <= 8),
-        |asg AS (SELECT vec_id, cell FROM (
-        |  SELECT c.vec_id, ct.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |   round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
-        |  FROM c CROSS JOIN cents ct) WHERE r = 1),
-        |sq AS (SELECT vec_id,
-        |        round(lo, 6) AS qmin, round((hi - lo) / 255.0, 9) AS qscale,
-        |        list_transform(e, x -> CASE WHEN hi = lo THEN 0
-        |          ELSE CAST(round((x - lo) / ((hi - lo) / 255.0)) AS INTEGER) END) AS codes
-        |       FROM (SELECT vec_id, e, list_min(e) AS lo, list_max(e) AS hi FROM c) t),
-        |rec AS (SELECT vec_id, re FROM (
-        |        SELECT vec_id, list_transform(codes, cd -> qmin + cd * qscale) AS re FROM sq)
-        |        WHERE list_inner_product(re, re) > 0),
-        |qpr AS (SELECT q_vec_id, cell FROM (
-        |  SELECT q.q_vec_id, ct.cell, row_number() OVER (PARTITION BY q.q_vec_id ORDER BY
-        |   round(list_inner_product(q.qe, ct.cw) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
-        |  FROM q CROSS JOIN cents ct) WHERE r <= 2)
-        |SELECT q_vec_id, vec_id, score, rank FROM (
-        |  SELECT qp.q_vec_id, a.vec_id,
-        |   round(list_inner_product(q.qe, rec.re) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(rec.re, rec.re))), 4) AS score,
-        |   row_number() OVER (PARTITION BY qp.q_vec_id ORDER BY
-        |    round(list_inner_product(q.qe, rec.re) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(rec.re, rec.re))), 4) DESC, a.vec_id) AS rank
-        |  FROM qpr qp JOIN q ON q.q_vec_id = qp.q_vec_id
-        |  JOIN asg a ON a.cell = qp.cell JOIN rec ON rec.vec_id = a.vec_id) WHERE rank <= 10""".stripMargin,
-
-    // full replay of the persisted-index probe at nprobe=2: the same
-    // hash-minimal centroid sample, argmax-cosine assignment, probe
-    // ranking and exact-cosine scoring the index stores and serves (the
-    // ivf_nprobe2 chain from annRecallSql, with score/rank emitted)
-    "ivf_persisted" ->
-      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
-        |iv_ranked AS (SELECT e AS cw, row_number() OVER (ORDER BY
-        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn FROM c),
-        |cents AS (SELECT rn - 1 AS cell, cw FROM iv_ranked WHERE rn <= 8),
-        |asg AS (SELECT vec_id, cell FROM (
-        |  SELECT c.vec_id, ct.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |   round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
-        |  FROM c CROSS JOIN cents ct) WHERE r = 1),
-        |qpr AS (SELECT q_vec_id, cell FROM (
-        |  SELECT q.q_vec_id, ct.cell, row_number() OVER (PARTITION BY q.q_vec_id ORDER BY
-        |   round(list_inner_product(q.qe, ct.cw) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
-        |  FROM q CROSS JOIN cents ct) WHERE r <= 2)
-        |SELECT q_vec_id, vec_id, score, rank FROM (
-        |  SELECT qp.q_vec_id, c.vec_id,
-        |   round(list_inner_product(q.qe, c.e) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score,
-        |   row_number() OVER (PARTITION BY qp.q_vec_id ORDER BY
-        |    round(list_inner_product(q.qe, c.e) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 4) DESC, c.vec_id) AS rank
-        |  FROM qpr qp JOIN q ON q.q_vec_id = qp.q_vec_id
-        |  JOIN asg a ON a.cell = qp.cell JOIN c ON c.vec_id = a.vec_id) WHERE rank <= 10""".stripMargin,
-
-    // the streaming chain collapses, by construction, to ONE probe over
-    // the full candidate set with centroids hash-sampled from the BUILD
-    // half only (vec_id >= 200): stream-append assigns against stored
-    // centroids, the fold moves rows without rescoring, the batch-1
-    // replay no-ops, and the post-compact batch unions in unchanged —
-    // so the replay is the ivf_persisted SQL with `iv_ranked` drawn
-    // from the build half
-    "ivf_stream_e2e" ->
-      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5),
-        |iv_ranked AS (SELECT e AS cw, row_number() OVER (ORDER BY
-        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn
-        |  FROM c WHERE vec_id >= 200),
-        |cents AS (SELECT rn - 1 AS cell, cw FROM iv_ranked WHERE rn <= 8),
-        |asg AS (SELECT vec_id, cell FROM (
-        |  SELECT c.vec_id, ct.cell, row_number() OVER (PARTITION BY c.vec_id ORDER BY
-        |   round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
-        |  FROM c CROSS JOIN cents ct) WHERE r = 1),
-        |qpr AS (SELECT q_vec_id, cell FROM (
-        |  SELECT q.q_vec_id, ct.cell, row_number() OVER (PARTITION BY q.q_vec_id ORDER BY
-        |   round(list_inner_product(q.qe, ct.cw) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
-        |  FROM q CROSS JOIN cents ct) WHERE r <= 2)
-        |SELECT q_vec_id, vec_id, score, rank FROM (
-        |  SELECT qp.q_vec_id, c.vec_id,
-        |   round(list_inner_product(q.qe, c.e) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score,
-        |   row_number() OVER (PARTITION BY qp.q_vec_id ORDER BY
-        |    round(list_inner_product(q.qe, c.e) / (sqrt(list_inner_product(q.qe, q.qe)) * sqrt(list_inner_product(c.e, c.e))), 4) DESC, c.vec_id) AS rank
-        |  FROM qpr qp JOIN q ON q.q_vec_id = qp.q_vec_id
-        |  JOIN asg a ON a.cell = qp.cell JOIN c ON c.vec_id = a.vec_id) WHERE rank <= 10""".stripMargin,
-
-    "ann_recall" -> annRecallSql,
-
-    // the seeded-RNG BRP paths are replayed as VERDICTS: the oracle
-    // recomputes the deterministic frame (queries / exact-pair count)
-    // and asserts the recall verdicts hold — see the query comments
-    "ann_recall_brp" ->
-      """SELECT 'brp_lsh' AS method,
-        | CAST((SELECT count(*) FROM embeddings WHERE vec_id < 5)
-        |   * least(10, (SELECT count(*) FROM embeddings WHERE vec_id >= 5))
-        |   AS BIGINT) AS expected,
-        | true AS recall_ok""".stripMargin,
-
-    "ann_brp_lsh" ->
-      """SELECT vec_id AS q_vec_id, true AS recall_ok
-        |FROM embeddings WHERE vec_id < 5""".stripMargin,
-
-    // metric replay: same rounded-cosine ranking, ln-quotient log2,
-    // integer micro-unit gains, unrounded ndcg quotient
-    "ranking_quality" ->
-      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, label AS ql
-        |  FROM embeddings WHERE vec_id < 5),
-        |c AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings WHERE vec_id >= 5),
-        |ranked AS (SELECT q_vec_id, vec_id, rank FROM (
-        | SELECT q_vec_id, vec_id, row_number() OVER (PARTITION BY q_vec_id ORDER BY
-        |  round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) DESC, vec_id) AS rank
-        | FROM q CROSS JOIN c) WHERE rank <= 10),
-        |rel AS (SELECT q.q_vec_id, c.vec_id FROM q JOIN c ON c.label = q.ql),
-        |h AS (SELECT r.q_vec_id,
-        |  CAST(sum(CASE WHEN rel.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
-        |  min(CASE WHEN rel.vec_id IS NOT NULL THEN rank END) AS frr,
-        |  CAST(sum(CASE WHEN rel.vec_id IS NOT NULL
-        |    THEN CAST(round(1e6 / round(ln(rank + 1.0) / ln(2.0), 6)) AS BIGINT)
-        |    ELSE 0 END) AS BIGINT) AS dcg6
-        | FROM ranked r LEFT JOIN rel ON rel.q_vec_id = r.q_vec_id AND rel.vec_id = r.vec_id
-        | GROUP BY r.q_vec_id),
-        |ic AS (SELECT q_vec_id,
-        |  CAST(sum(CAST(round(1e6 / round(ln(g.r + 1.0) / ln(2.0), 6)) AS BIGINT)) AS BIGINT) AS idcg6
-        | FROM (SELECT q_vec_id, least(count(*), 10) AS nrel FROM rel GROUP BY 1) n,
-        |  LATERAL (SELECT unnest(generate_series(1, CAST(n.nrel AS INTEGER))) AS r) g
-        | GROUP BY q_vec_id)
-        |SELECT h.q_vec_id, hits_at_k,
-        | COALESCE(frr, 0) AS first_rel_rank,
-        | CAST(CASE WHEN frr IS NOT NULL THEN 1000000 // frr ELSE 0 END AS BIGINT) AS mrr6,
-        | dcg6, CAST(COALESCE(idcg6, 0) AS BIGINT) AS idcg6,
-        | CASE WHEN COALESCE(idcg6, 0) > 0 THEN CAST(dcg6 AS DOUBLE) / idcg6 ELSE 0.0 END AS ndcg
-        |FROM h LEFT JOIN ic ON ic.q_vec_id = h.q_vec_id""".stripMargin,
-
-    "golden_e2e" -> goldenE2eSql,
-
-    "mime_sniff" -> {
-      val fixtureValues = Validation.mimeFixtures
-        .map { case (n, h) => s"('${esc(n)}', '${esc(h)}')" }.mkString(", ")
-      s"""SELECT name,
-         | CASE WHEN starts_with(head, '%PDF') THEN 'application/pdf'
-         |  WHEN starts_with(head, '${esc(Validation.zipMagic)}') AND position('word/' IN head) > 0
-         |   THEN 'application/vnd.openxmlformats-officedocument.wordprocessingml.document'
-         |  WHEN starts_with(head, '${esc(Validation.zipMagic)}') THEN 'application/zip'
-         |  WHEN starts_with(head, '${esc(Validation.oleMagic)}') THEN 'application/msword'
-         |  WHEN position('Return-Path:' IN substr(head, 1, 500)) > 0
-         |    OR position('MIME-Version:' IN substr(head, 1, 500)) > 0 THEN 'message/rfc822'
-         |  WHEN position('<!doctype html' IN lower(substr(head, 1, 100))) > 0
-         |    OR position('<html' IN lower(substr(head, 1, 100))) > 0 THEN 'text/html'
-         |  ELSE 'application/octet-stream' END AS mime
-         |FROM (VALUES $fixtureValues) AS t(name, head)""".stripMargin
-    },
-
-    "validate_docs" ->
-      """SELECT doc_id,
-        | COALESCE(array_to_string(list_filter([
-        |   CASE WHEN length(trim(text)) = 0 THEN 'empty_content' END,
-        |   CASE WHEN n_chars > 500 THEN 'file_too_large' END,
-        |   CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_type' END],
-        |  x -> x IS NOT NULL), ','), '') AS errors,
-        | len(list_filter([
-        |   CASE WHEN length(trim(text)) = 0 THEN 'empty_content' END,
-        |   CASE WHEN n_chars > 500 THEN 'file_too_large' END,
-        |   CASE WHEN lang NOT IN ('en', 'de', 'fr', 'es') THEN 'unsupported_type' END],
-        |  x -> x IS NOT NULL)) = 0 AS is_valid
-        |FROM documents""".stripMargin,
-
-    // independent recount of the observed metrics: valid = zero errors
-    // under the same validate_docs predicates
-    "usage_counters" ->
-      """SELECT CAST(count(*) AS BIGINT) AS total,
-        | CAST(count(CASE WHEN length(trim(text)) > 0 AND n_chars <= 500
-        |   AND lang IN ('en', 'de', 'fr', 'es') THEN 1 END) AS BIGINT) AS valid,
-        | CAST(sum(length(text)) AS BIGINT) AS chars_processed
-        |FROM documents""".stripMargin,
-
-    // the overwrite-init contract: only the SECOND write's rows survive
-    "index_init" ->
-      """SELECT CAST(id AS BIGINT) AS id, payload
-        |FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, payload)""".stripMargin,
-
-    "ingest_dedup" ->
-      """SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        |FROM documents
-        |WHERE doc_id % 2 = 1
-        | AND md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) NOT IN (
-        |   SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |   FROM documents WHERE doc_id % 2 = 0)""".stripMargin,
-
-    // replays the staged files with read_blob; ASCII-only fixtures +
-    // decode() keep the sha256 byte-faithful (a VARCHAR cast would
-    // \x-escape control bytes like CRLF; see UrlIngest scaladoc).
-    // The sniff CASE carries only the branches these fixtures can hit —
-    // the full branch set is mime_sniff's oracle.
-    "ingest_urls" ->
-      raw"""WITH f AS (
-        | SELECT filename, size, decode(content) AS txt
-        | FROM read_blob('${urlStageDir}/*.eml')
-        | UNION ALL SELECT filename, size, decode(content)
-        | FROM read_blob('${urlStageDir}/*.txt')
-        | UNION ALL SELECT filename, size, decode(content)
-        | FROM read_blob('${urlStageDir}/*.pdf')),
-        |r AS (SELECT 'file://' || filename AS url, size, txt,
-        |  lower(regexp_extract(filename, '(\.[A-Za-z0-9]+)$$', 1)) AS ext FROM f),
-        |m AS (SELECT url, size, txt, ext,
-        |  CASE WHEN position('Return-Path:' IN substr(txt, 1, 500)) > 0
-        |      OR position('MIME-Version:' IN substr(txt, 1, 500)) > 0 THEN 'message/rfc822'
-        |   WHEN ext = '.txt' THEN 'text/plain'
-        |   ELSE 'application/octet-stream' END AS mime
-        | FROM r),
-        |v AS (SELECT url,
-        |  substr(md5(url), 1, 8) || '_' || substr(sha256(txt), 1, 12) || ext AS cache_name,
-        |  CAST(size AS BIGINT) AS file_size, mime AS mime_type, sha256(txt) AS file_hash,
-        |  1 AS attempts,
-        |  (mime = 'message/rfc822' AND ext = '.eml')
-        |   OR (mime = 'text/plain' AND ext IN ('.txt', '.eml')) AS is_valid,
-        |  CASE WHEN mime IN ('message/rfc822', 'text/plain') THEN '' ELSE 'unsupported_type' END AS errors
-        | FROM m)
-        |SELECT * FROM v
-        |UNION ALL SELECT 'file://${urlStageDir}/missing.docx',
-        | NULL, NULL, NULL, NULL, 3, false, 'download_failed_after_3_attempts:fetch_error'""".stripMargin,
-
-    // same staged bytes replayed path-keyed; the flaky route is the
-    // notes.txt payload at attempts=2, the 404 row carries the http kind
-    "ingest_http" ->
-      raw"""WITH f AS (
-        | SELECT replace(filename, '${urlStageDir}', '') AS path, size, decode(content) AS txt
-        | FROM read_blob('${urlStageDir}/*.eml')
-        | UNION ALL SELECT replace(filename, '${urlStageDir}', ''), size, decode(content)
-        | FROM read_blob('${urlStageDir}/*.txt')
-        | UNION ALL SELECT replace(filename, '${urlStageDir}', ''), size, decode(content)
-        | FROM read_blob('${urlStageDir}/*.pdf')),
-        |fl AS (SELECT path, size, txt, 1 AS attempts FROM f
-        | UNION ALL SELECT '/flaky' || path, size, txt, 2 FROM f WHERE path = '/notes.txt'),
-        |m AS (SELECT path, size, txt, attempts,
-        |  lower(regexp_extract(path, '(\.[A-Za-z0-9]+)$$', 1)) AS ext,
-        |  CASE WHEN position('Return-Path:' IN substr(txt, 1, 500)) > 0
-        |      OR position('MIME-Version:' IN substr(txt, 1, 500)) > 0 THEN 'message/rfc822'
-        |   WHEN lower(regexp_extract(path, '(\.[A-Za-z0-9]+)$$', 1)) = '.txt' THEN 'text/plain'
-        |   ELSE 'application/octet-stream' END AS mime
-        | FROM fl),
-        |v AS (SELECT path,
-        |  CAST(size AS BIGINT) AS file_size, mime AS mime_type, sha256(txt) AS file_hash,
-        |  attempts,
-        |  (mime = 'message/rfc822' AND ext = '.eml')
-        |   OR (mime = 'text/plain' AND ext IN ('.txt', '.eml')) AS is_valid,
-        |  CASE WHEN mime IN ('message/rfc822', 'text/plain') THEN '' ELSE 'unsupported_type' END AS errors
-        | FROM m)
-        |SELECT * FROM v
-        |UNION ALL SELECT '/missing.docx',
-        | NULL, NULL, NULL, 3, false, 'download_failed_after_3_attempts:http_404'""".stripMargin,
-
-    "events_tumbling" ->
-      """SELECT CAST(floor(epoch(ts) / 600) * 600 AS BIGINT) AS win_start, event_type,
-        | count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM events GROUP BY 1, 2""".stripMargin,
-
-    "events_sessionize" ->
-      """WITH x AS (
-        | SELECT user_id, ts, event_id, value,
-        |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
-        | FROM events),
-        |y AS (
-        | SELECT *, CASE WHEN prev_ts IS NULL
-        |   OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
-        |  THEN 1 ELSE 0 END AS new_session FROM x),
-        |z AS (
-        | SELECT *, CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx FROM y)
-        |SELECT user_id, session_idx,
-        | CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start,
-        | CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end,
-        | count(*) AS n_events, round(sum(value), 4) AS sum_value
-        |FROM z GROUP BY user_id, session_idx""".stripMargin,
-
-    "upsert_latest" ->
-      """SELECT user_id, event_id, event_type,
-        | CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch, round(value, 4) AS value
-        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-        |      FROM events) WHERE rn = 1""".stripMargin,
-
-    "delete_by_ids" ->
-      "SELECT event_id FROM events WHERE event_id % 97 <> 0",
-
-    "retention_recent" ->
-      """SELECT event_type, count(*) AS n_events FROM events
-        |WHERE CAST(floor(epoch(ts)) AS BIGINT) >=
-        | (SELECT max(CAST(floor(epoch(ts)) AS BIGINT)) FROM events) - 604800
-        |GROUP BY event_type""".stripMargin,
-
-    "q04_order_priority" ->
-      """SELECT o_orderpriority, count(*) AS n_orders FROM orders
-        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
-        |GROUP BY o_orderpriority""".stripMargin,
-
-    "q06_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue FROM lineitem
-        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
-        | AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
-
-    "q11_distinct_agg" ->
-      """SELECT c_nationkey, count(*) AS n_customers,
-        | count(DISTINCT c_mktsegment) AS n_segments,
-        | CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS DOUBLE)
-        |   / (count(*) * 100) AS avg_acctbal
-        |FROM customer GROUP BY c_nationkey""".stripMargin,
-
-    "q12_cube" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
-
-    "q15_grouping_sets" ->
-      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
-        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))""".stripMargin,
-
-    "q20_multiset_ops" ->
-      """SELECT o_orderpriority, count(*) AS n, 'intersect_all' AS op FROM (
-        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
-        |  INTERSECT ALL
-        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
-        |GROUP BY o_orderpriority
-        |UNION ALL
-        |SELECT o_orderpriority, count(*) AS n, 'except_all' AS op FROM (
-        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'F'
-        |  EXCEPT ALL
-        |  SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O')
-        |GROUP BY o_orderpriority""".stripMargin,
-
-    // sketch aggregates: the oracle recomputes the exact twins and
-    // asserts the bounded-error verdicts hold — the sketch values
-    // themselves are engine-specific but the verdicts are deterministic
-    // (hash-based sketches, no RNG; see Relational.approxEventStats)
-    "approx_stats" ->
-      """SELECT event_type,
-        | CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
-        | round(median(value), 4) AS exact_p50,
-        | CAST(count(*) AS BIGINT) AS n_events,
-        | true AS users_ok, true AS p50_ok
-        |FROM events GROUP BY event_type""".stripMargin,
-
-    "q21_range_frame" ->
-      """SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s,
-        | count(*) OVER w AS n_in_window,
-        | round(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w / 1000000.0, 4)
-        |   AS sum_in_window
-        |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
-        |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)""".stripMargin,
-
-    "doc_keywords" ->
-      s"""WITH toks AS (
-        | SELECT doc_id, t AS term FROM (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
-        |  FROM documents)
-        | WHERE t <> '' AND NOT list_contains($stopSql, t)),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-        |corpus AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |scored AS (
-        | SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-        |  tf.tf * CAST(round(round(ln(CAST(corpus.n_docs AS DOUBLE) / dfreq.df), 6)
-        |    * 1000000) AS BIGINT) AS w6
-        | FROM tf JOIN dfreq USING (term), corpus),
-        |ranked AS (SELECT *, row_number() OVER (
-        |  PARTITION BY doc_id ORDER BY w6 DESC, term) AS rank FROM scored)
-        |SELECT doc_id, term, tf, df, round(w6 / 1000000.0, 4) AS tfidf, rank
-        |FROM ranked WHERE rank <= 3""".stripMargin,
-
-    "q16_pivot" ->
-      """SELECT o_orderpriority,
-        | round(sum(CASE WHEN o_orderstatus = 'F'
-        |   THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 2) AS "F",
-        | round(sum(CASE WHEN o_orderstatus = 'O'
-        |   THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 2) AS "O",
-        | round(sum(CASE WHEN o_orderstatus = 'P'
-        |   THEN CAST(round(o_totalprice * 100) AS BIGINT) END) / 100.0, 2) AS "P"
-        |FROM orders GROUP BY o_orderpriority""".stripMargin,
-
-    "q17_unpivot" ->
-      """SELECT c_custkey, 'acctbal' AS metric, round(c_acctbal, 2) AS value FROM customer
-        |UNION ALL
-        |SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer""".stripMargin,
-
-    "q18_corr_subquery" ->
-      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price
-        |FROM orders o
-        |WHERE o_totalprice = (SELECT max(o2.o_totalprice) FROM orders o2
-        |                      WHERE o2.o_custkey = o.o_custkey)""".stripMargin,
-
-    "q19_set_ops" ->
-      """SELECT nationkey, 'both' AS side FROM (
-        |  SELECT c_nationkey AS nationkey FROM customer
-        |  INTERSECT SELECT s_nationkey AS nationkey FROM supplier)
-        |UNION ALL
-        |SELECT nationkey, 'customer_only' AS side FROM (
-        |  SELECT c_nationkey AS nationkey FROM customer
-        |  EXCEPT SELECT s_nationkey AS nationkey FROM supplier)
-        |UNION ALL
-        |SELECT nationkey, 'supplier_only' AS side FROM (
-        |  SELECT s_nationkey AS nationkey FROM supplier
-        |  EXCEPT SELECT c_nationkey AS nationkey FROM customer)""".stripMargin,
-
-    "q13_window_frames" ->
-      """SELECT o_custkey, o_orderkey,
-        | round(lag(o_totalprice, 1) OVER w, 2) AS prev_price,
-        | round(avg(o_totalprice) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS mavg3,
-        | CAST(ntile(4) OVER w AS INTEGER) AS quartile
-        |FROM orders
-        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
-
-    "q14_percentiles" ->
-      """SELECT event_type,
-        | round(quantile_cont(value, 0.5), 4) AS p50,
-        | round(quantile_cont(value, 0.9), 4) AS p90,
-        | round(min(value), 4) AS min_v, round(max(value), 4) AS max_v
-        |FROM events GROUP BY event_type""".stripMargin,
-
-    "c1_sections" -> c1SectionsSql("""SELECT doc_id || '_s' || section_idx AS chunk_id, doc_id AS document_id,
-        | section_idx, section_title, content, 'section' AS chunk_type,
-        | CAST(len(regexp_split_to_array(content, '\s+')) AS INTEGER) AS word_count
-        |FROM sections WHERE length(content) > 0""".stripMargin),
-
-    "c9_embed_text" -> c1SectionsSql("""SELECT doc_id || '_s' || section_idx AS chunk_id, doc_id AS document_id,
-        | substr(CASE WHEN position(section_title IN content) = 0
-        |   THEN section_title || chr(10) || chr(10) || content ELSE content END,
-        |  1, 1000) AS embed_text
-        |FROM sections WHERE length(content) > 0""".stripMargin),
-
-    "s7_strategy" ->
-      """SELECT doc_id,
-        | CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 40
-        |  THEN 'primary' ELSE 'fallback' END AS strategy,
-        | CASE WHEN len(regexp_split_to_array(trim(text), '\s+')) >= 40
-        |  THEN text ELSE upper(substr(text, 1, 120)) END AS extracted_text
-        |FROM documents""".stripMargin,
-
-    "e1_tf_buckets" ->
-      s"""WITH toks AS (
-         | SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
-         | FROM documents)
-         |SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT % 384 AS bucket,
-         | count(*) AS tf
-         |FROM toks WHERE NOT list_contains($stopSql, tok)
-         |GROUP BY doc_id, bucket""".stripMargin,
-
-    "rolling_fp" ->
-      """SELECT doc_id,
-        | CASE WHEN len(hs) = 0 THEN 0
-        |  ELSE list_reduce(hs, (a, b) -> (a * 1000003 + b) % 1000000007) END AS rh
-        |FROM (SELECT doc_id,
-        |  list_transform(string_split_regex(lower(trim(text)), '\s+'),
-        |    t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS hs
-        | FROM documents)""".stripMargin,
-
-    "cdc_chunks" ->
-      """WITH tk AS (
-        | SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS toks FROM documents),
-        |h AS (SELECT doc_id, toks,
-        |  list_transform(toks, t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % 1000000007) AS hs
-        | FROM tk),
-        |pre AS (SELECT doc_id, toks,
-        |  list_transform(generate_series(1, len(toks)),
-        |    i -> list_reduce(hs[greatest(i - 3, 1) : i],
-        |           (a, b) -> (a * 1000003 + b) % 1000000007) % 16) AS pmods
-        | FROM h),
-        |b AS (SELECT doc_id, toks,
-        |  list_filter(generate_series(1, len(toks)), i -> pmods[i] = 0) AS bounds FROM pre),
-        |se AS (SELECT doc_id, toks,
-        |  list_prepend(0, bounds) AS starts, list_append(bounds, len(toks)) AS ends FROM b),
-        |seg AS (
-        | SELECT doc_id, toks, i - 1 AS j, starts[i] AS s, ends[i] AS e
-        | FROM se, LATERAL (SELECT unnest(generate_series(1, len(starts))) AS i) g
-        | WHERE ends[i] > starts[i])
-        |SELECT doc_id || '_cdc_' || j AS chunk_id, doc_id AS document_id,
-        | CAST(j AS INTEGER) AS cdc_idx,
-        | array_to_string(toks[s + 1 : e], ' ') AS content,
-        | CAST(e - s AS INTEGER) AS n_tokens
-        |FROM seg""".stripMargin,
-
-    "sql_cosine_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        | round(list_inner_product(a.e, b.e) /
-        |   (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 4) AS score
-        |FROM (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) a
-        |JOIN (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) b
-        |  ON a.vec_id + 1 = b.vec_id
-        |WHERE a.vec_id < 50""".stripMargin,
-
-    "index_stats" ->
-      """SELECT count(*) AS n_vectors, count(DISTINCT label) AS n_labels,
-        | CAST(max(len(embedding)) AS INTEGER) AS dim FROM embeddings""".stripMargin,
-
-    "asof_join" ->
-      """SELECT c.event_id AS left_id, c.user_id, epoch_us(c.ts) AS left_ts_us,
-        | v.event_id AS right_id, epoch_us(v.ts) AS right_ts_us
-        |FROM (SELECT * FROM events WHERE event_type = 'click') c
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
-        | ON c.user_id = v.user_id AND c.ts >= v.ts""".stripMargin,
-
-    "range_join" ->
-      """SELECT l.user_id, l.event_id AS left_id, r.event_id AS right_id,
-        | (epoch_us(r.ts) - epoch_us(l.ts)) // 1000000 AS gap_s
-        |FROM events l JOIN events r ON l.user_id = r.user_id
-        |WHERE l.event_type = 'click' AND r.event_type = 'purchase'
-        | AND epoch_us(r.ts) > epoch_us(l.ts)
-        | AND epoch_us(r.ts) <= epoch_us(l.ts) + 600000000""".stripMargin,
-
-    "json_props" ->
-      """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
-        | count(*) AS n_events
-        |FROM events GROUP BY 1""".stripMargin,
-
-    "s11_chunks_json" ->
-      """SELECT doc_id,
-        | to_json(struct_pack(doc_id := doc_id, n_chars := n_chars))::VARCHAR AS js
-        |FROM documents""".stripMargin,
-
-    // The OCR fixture's ground-truth strings, stated directly
-    "ocr_extract" ->
-      """SELECT * FROM (VALUES
-        | ('scan1', 1, 1, 'CLAIM FORM 7'),
-        | ('scan1', 1, 2, 'POLICY NO 42'),
-        | ('scan1', 2, 1, 'TOTAL DUE 1350'),
-        | ('scan2', 1, 1, 'HELLO WORLD')
-        |) AS t(doc, page, line_no, text)""".stripMargin,
-
-    // Expected rows computed INDEPENDENTLY from the MediaCodec fixture
-    // formulas (python: same pixel/PCM integer math + zlib.crc32, which
-    // matches java.util.zip.CRC32) — a drift in the fixture builder, the
-    // JDK codec path, or the stats kernel breaks the compare.
-    "mm_image_stats" ->
-      """SELECT doc, codec, width, height, CAST(n_pixels AS BIGINT) AS n_pixels,
-        | CAST(sum_r AS BIGINT) AS sum_r, CAST(sum_g AS BIGINT) AS sum_g,
-        | CAST(sum_b AS BIGINT) AS sum_b, CAST(rgb_crc32 AS BIGINT) AS rgb_crc32
-        |FROM (VALUES
-        | ('icon','bmp',16,16,256,34304,31744,36224,1230712338),
-        | ('banner','bmp',97,41,3977,505588,516052,516216,2795419054),
-        | ('photo','png',64,48,3072,392960,387584,388864,2943059237),
-        | ('tall','png',20,120,2400,304128,308288,305232,982174910)
-        |) AS t(doc, codec, width, height, n_pixels, sum_r, sum_g, sum_b, rgb_crc32)""".stripMargin,
-
-    "mm_image_resize" ->
-      """SELECT doc, width, height, out_width, out_height, scaled,
-        | CAST(out_crc32 AS BIGINT) AS out_crc32
-        |FROM (VALUES
-        | ('icon',16,16,16,16,false,1230712338),
-        | ('banner',97,41,32,13,true,3524222829),
-        | ('photo',64,48,32,24,true,3410041458),
-        | ('tall',20,120,5,32,true,3960382074)
-        |) AS t(doc, width, height, out_width, out_height, scaled, out_crc32)""".stripMargin,
-
-    "mm_image_embed" ->
-      """SELECT doc, CAST(n_pixels AS BIGINT) AS n_pixels, hist_json FROM (VALUES
-        | ('icon',256,'[0,0,0,0,0,0,24,6,14,2,0,0,0,0,0,0,0,0,0,0,12,0,27,31,0,0,0,0,0,0,0,0,0,0,0,0,11,0,13,15,15,0,9,16,0,0,0,0,0,0,0,0,0,0,0,0,30,0,6,25,0,0,0,0]'),
-        | ('banner',3977,'[94,96,93,90,10,12,43,19,107,91,106,107,30,39,37,24,60,73,99,92,47,24,49,57,64,62,66,53,61,68,63,61,0,0,5,15,111,101,95,104,42,60,54,39,90,81,90,108,61,59,48,53,80,91,82,66,33,37,53,50,64,60,66,82]'),
-        | ('photo',3072,'[96,69,62,88,30,22,38,24,82,68,56,77,10,11,10,5,82,67,58,72,26,8,33,39,34,43,33,36,61,64,61,61,7,7,5,2,82,73,70,77,48,48,21,40,80,69,65,94,61,35,42,53,62,53,51,64,33,32,49,50,44,58,30,41]'),
-        | ('tall',2400,'[34,55,32,44,35,34,58,22,59,30,43,63,17,32,31,18,31,32,15,20,26,25,59,63,57,31,34,20,47,59,39,49,17,34,33,33,51,48,61,56,45,42,40,25,37,37,4,32,13,44,36,39,34,37,36,17,61,42,53,60,30,36,20,33]')
-        |) AS t(doc, n_pixels, hist_json)""".stripMargin,
-
-    "mm_wav_stats" ->
-      """SELECT doc, channels, sample_rate_hz, bits,
-        | CAST(n_frames AS BIGINT) AS n_frames, peak_abs,
-        | CAST(sum_abs AS BIGINT) AS sum_abs
-        |FROM (VALUES
-        | ('beep',1,8000,16,800,10000,4405138),
-        | ('tone',2,16000,16,1600,10000,15842499)
-        |) AS t(doc, channels, sample_rate_hz, bits, n_frames, peak_abs, sum_abs)""".stripMargin,
-
-    "mm_video_frames" ->
-      """SELECT doc, frame_idx, CAST(frame_ts_ms AS BIGINT) AS frame_ts_ms,
-        | width, height, n_frames, CAST(sum_r AS BIGINT) AS sum_r,
-        | CAST(sum_g AS BIGINT) AS sum_g, CAST(sum_b AS BIGINT) AS sum_b,
-        | CAST(rgb_crc32 AS BIGINT) AS rgb_crc32
-        |FROM (VALUES
-        | ('clip',0,0,24,16,12,51200,52224,49216,2338444615),
-        | ('clip',5,200,24,16,12,47488,52864,47808,2053037352),
-        | ('clip',10,400,24,16,12,48128,42240,49472,1875251231),
-        | ('short',0,0,8,8,3,4480,5888,11104,2577235947)
-        |) AS t(doc, frame_idx, frame_ts_ms, width, height, n_frames,
-        |       sum_r, sum_g, sum_b, rgb_crc32)""".stripMargin,
-
-    "mm_video_mjpg" -> mmVideoMjpgSql,
-
-    "mm_decode_meta" ->
-      """SELECT doc_id, octet_length(encode(text)) AS byte_len,
-        | lower(substr(hex(encode(text)), 1, 16)) AS head_hex,
-        | 64 + octet_length(encode(text)) % 576 AS width,
-        | 64 + (octet_length(encode(text)) * 7) % 416 AS height,
-        | octet_length(encode(text)) // 100 + 1 AS n_frames
-        |FROM documents""".stripMargin,
-
-    "hybrid_search" ->
-      """WITH q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, embedding AS qraw
-        |           FROM embeddings WHERE vec_id < 5),
-        |cf AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id >= 5 AND label = 3),
-        |v AS (
-        | SELECT q_vec_id, vec_id, score, rank FROM (
-        |  SELECT q_vec_id, vec_id,
-        |   round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score,
-        |   row_number() OVER (PARTITION BY q_vec_id
-        |     ORDER BY round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) DESC, vec_id) AS rank
-        |  FROM q CROSS JOIN cf) WHERE rank <= 10 AND q_vec_id < 3),
-        |b AS (
-        | SELECT vec_id, embedding,
-        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
-        |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
-        | FROM embeddings
-        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-        |qb AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe, bucket FROM b WHERE vec_id < 5),
-        |cb AS (SELECT vec_id, embedding::DOUBLE[] AS e, bucket FROM b WHERE vec_id >= 5),
-        |kw AS (
-        | SELECT q_vec_id, vec_id, score, rank FROM (
-        |  SELECT q_vec_id, vec_id,
-        |   round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) AS score,
-        |   row_number() OVER (PARTITION BY q_vec_id
-        |     ORDER BY round(list_inner_product(qe, e) / (sqrt(list_inner_product(qe, qe)) * sqrt(list_inner_product(e, e))), 4) DESC, vec_id) AS rank
-        |  FROM qb JOIN cb USING (bucket)) WHERE rank <= 10)
-        |SELECT q_vec_id, vec_id, score, rank, 'vector' AS search_method FROM v
-        |UNION ALL
-        |SELECT q_vec_id, vec_id, score, rank, 'keyword' AS search_method
-        |FROM kw WHERE q_vec_id NOT IN (SELECT q_vec_id FROM v)""".stripMargin,
-
-    "salted_agg" ->
-      """SELECT lang, count(*) AS n_rows, CAST(sum(n_chars) AS BIGINT) AS sum_val
-        |FROM documents GROUP BY lang""".stripMargin,
-
-    "mm_resize" ->
-      """WITH meta AS (
-        | SELECT doc_id,
-        |  64 + octet_length(encode(text)) % 576 AS width,
-        |  64 + (octet_length(encode(text)) * 7) % 416 AS height
-        | FROM documents)
-        |SELECT doc_id, width, height,
-        | CAST(CASE WHEN greatest(width, height) > 224
-        |  THEN (width * 224) // greatest(width, height) ELSE width END AS INTEGER) AS out_width,
-        | CAST(CASE WHEN greatest(width, height) > 224
-        |  THEN (height * 224) // greatest(width, height) ELSE height END AS INTEGER) AS out_height,
-        | greatest(width, height) > 224 AS scaled
-        |FROM meta""".stripMargin,
-
-    "mm_frame_sample" ->
-      """WITH meta AS (
-        | SELECT doc_id, octet_length(encode(text)) // 100 + 1 AS n_frames FROM documents),
-        |s AS (SELECT doc_id, n_frames, generate_series(0, n_frames - 1, 10) AS fs FROM meta)
-        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sample_idx, fs[i] AS frame_idx,
-        | fs[i] * 40 AS frame_ts_ms
-        |FROM s, LATERAL (SELECT unnest(generate_series(1, len(fs))) AS i) g""".stripMargin,
-
-    // Expected rows hand-derived from the DocFixtures constants (the
-    // fixture builder and these literals are independent statements of
-    // the same contract — either side drifting breaks the hash match).
-    "docx_extract" ->
-      """SELECT * FROM (VALUES
-        | ('policy', 'policy_para_0', 'section', 'Coverage Policy', 'Heading1', 'Coverage Policy'),
-        | ('policy', 'policy_para_1', 'paragraph', NULL, 'Normal', 'This policy covers accidental damage to insured property.'),
-        | ('policy', 'policy_para_3', 'section', 'Exclusions', 'Heading2', 'Exclusions'),
-        | ('policy', 'policy_para_4', 'paragraph', NULL, 'Normal', 'Damage caused by war or nuclear events is excluded.'),
-        | ('policy', 'policy_para_5', 'paragraph', NULL, 'Normal', 'Contact support for claims.'),
-        | ('policy', 'policy_table_0', 'table', NULL, NULL, 'Item | Limit' || chr(10) || 'Laptop | 1000' || chr(10) || 'Phone | 500'),
-        | ('memo', 'memo_para_0', 'paragraph', NULL, 'Normal', 'Quarterly results improved.'),
-        | ('memo', 'memo_para_1', 'section', 'Next Steps', 'Heading1', 'Next Steps'),
-        | ('memo', 'memo_para_2', 'paragraph', NULL, 'Normal', 'Hire two engineers.')
-        |) AS t(doc, chunk_id, chunk_type, section_title, style, content)""".stripMargin,
-
-    "eml_extract" ->
-      """SELECT * FROM (VALUES
-        | ('simple', 'simple_headers', 'headers',
-        |  'Subject: Policy renewal' || chr(10) || 'From: alice@example.com' || chr(10) ||
-        |  'To: bob@example.com' || chr(10) || 'Date: Mon, 01 Jan 2024 10:00:00 +0000'),
-        | ('simple', 'simple_body_1', 'paragraph',
-        |  'Your insurance policy is due for renewal next month. Please review the terms.'),
-        | ('simple', 'simple_body_2', 'paragraph',
-        |  'Thanks from the renewals team at Example Insurance.'),
-        | ('multi', 'multi_headers', 'headers',
-        |  'Subject: Meeting notes' || chr(10) || 'From: carol@example.com' || chr(10) ||
-        |  'To: dave@example.com' || chr(10) || 'Date: Tue, 02 Jan 2024 09:30:00 +0000'),
-        | ('multi', 'multi_body_0', 'paragraph',
-        |  'Café meeting confirmed for Tuesday at noon sharp.' || chr(10) ||
-        |  'This is a base64 encoded paragraph body.')
-        |) AS t(doc, chunk_id, chunk_type, content)""".stripMargin,
-
-    "pdf_pages" ->
-      """SELECT doc, page, content, length(content) AS n_chars FROM (VALUES
-        | ('contract', 1, 'MASTER SERVICE AGREEMENT' || chr(10) ||
-        |   'This agreement is made between the parties.'),
-        | ('contract', 2, 'Termination requires thirty days notice.' || chr(10) ||
-        |   'Signed by both parties.'),
-        | ('invoice', 1, 'INVOICE 2024-001' || chr(10) ||
-        |   'Billed to Example Corp for consulting services.' || chr(10) ||
-        |   'Item      Qty   Price' || chr(10) ||
-        |   'Widget    2     10.00' || chr(10) ||
-        |   'Gadget    1     25.50' || chr(10) ||
-        |   'Assembly  3     45.00' || chr(10) ||
-        |   'Thank you for your business.'),
-        | ('invoice', 2, 'PAYMENT TERMS' || chr(10) ||
-        |   'Net thirty days from invoice date.' || chr(10) ||
-        |   'Method    Fee' || chr(10) ||
-        |   'Wire      0.00' || chr(10) ||
-        |   'Card      3.50')
-        |) AS t(doc, page, content)""".stripMargin,
-
-    // hand-derived from DocFixtures.amendmentPages — the same text the
-    // classic builder would emit, reached through xref stream + ObjStm
-    "pdf_pages_xrefstream" ->
-      """SELECT doc, page, content, length(content) AS n_chars FROM (VALUES
-        | ('amendment', 1, 'AMENDMENT NO 3' || chr(10) ||
-        |   'Effective date is the first of March.'),
-        | ('amendment', 2, 'Scope of changes.' || chr(10) ||
-        |   'Payment terms move to net sixty days.'),
-        | ('amendment', 3, 'Governing law stays unchanged.' || chr(10) ||
-        |   'Signatures follow on the last page.')
-        |) AS t(doc, page, content)""".stripMargin,
-
-    // expectations hand-derived from DocFixtures.blogHtml under the
-    // documented heuristics (Html.scala scaladoc); the garbage_html
-    // member contributes no rows
-    "html_extract" ->
-      """SELECT doc, title, block_idx, heading, content,
-        |  length(content) AS n_chars FROM (VALUES
-        | ('blog', 'Graft & the Web', 0, TRUE, 'Parsing at scale'),
-        | ('blog', 'Graft & the Web', 1, FALSE,
-        |  'Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.'),
-        | ('blog', 'Graft & the Web', 2, FALSE,
-        |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
-        | ('blog', 'Graft & the Web', 3, FALSE,
-        |  'Entities decode: café & résumé stay readable.')
-        |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
-
-    // hand-derived from DocFixtures.sitemapXml / sitemapIndexXml
-    "sitemap_entries" ->
-      """SELECT site, kind, loc, lastmod, priority_micro FROM (VALUES
-        | ('posts', 'url', 'http://example.com/blog', '2026-01-15',
-        |  CAST(800000 AS BIGINT)),
-        | ('posts', 'url', 'http://example.com/about', CAST(NULL AS VARCHAR),
-        |  CAST(NULL AS BIGINT)),
-        | ('posts', 'url', 'http://example.com/search?q=a&lang=en', NULL, 250000),
-        | ('index', 'sitemap', 'http://example.com/sitemap-posts.xml',
-        |  '2026-02-01', NULL),
-        | ('index', 'sitemap', 'http://example.com/sitemap-pages.xml', NULL, NULL)
-        |) AS t(site, kind, loc, lastmod, priority_micro)""".stripMargin,
-
-    // expected verdicts re-derived from doc_id alone: %5 in (0, 2) is
-    // allowed (no match; the press carve-out), everything else denied
-    "robots_filter" ->
-      """SELECT doc_id,
-        | CASE doc_id % 5
-        |  WHEN 0 THEN '/articles/page' || doc_id
-        |  WHEN 1 THEN '/private/data' || doc_id
-        |  WHEN 2 THEN '/private/press/rel' || doc_id
-        |  WHEN 3 THEN '/tmp/file' || doc_id
-        |  ELSE '/tmpx' || doc_id END AS path,
-        | doc_id % 5 IN (0, 2) AS allowed
-        |FROM documents""".stripMargin,
-
-    // hand-derived from DocFixtures.latin1Html / utf16Html
-    "html_charsets" ->
-      """SELECT doc, title, block_idx, heading, content,
-        |  length(content) AS n_chars FROM (VALUES
-        | ('latin1', 'Café menu', 0, FALSE,
-        |  'Un café crème et un pain au chocolat, s''il vous plaît.'),
-        | ('utf16', 'Wide', 0, FALSE,
-        |  'Sixteen-bit pages decode through the byte-order mark.')
-        |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
-
-    // expectations hand-derived from DocFixtures.crawlWarc: payload
-    // lengths are the authored bodies' byte counts (the blog page is
-    // 917 ASCII bytes); the gz twin must be byte-identical rows
-    "warc_records" ->
-      """SELECT warc, rec_idx, rec_type, url, http_status, content_type,
-        |  n_payload_bytes FROM (VALUES
-        | (0, 'warcinfo', CAST(NULL AS VARCHAR), CAST(NULL AS INTEGER),
-        |  CAST(NULL AS VARCHAR), 29),
-        | (1, 'request', 'http://example.com/blog', NULL, NULL, 41),
-        | (2, 'response', 'http://example.com/blog', 200,
-        |  'text/html; charset=utf-8', 917),
-        | (3, 'response', 'http://example.com/gone', 404, 'text/html', 35),
-        | (4, 'response', 'http://example.com/report.pdf', 200,
-        |  'application/pdf', 13)
-        |) AS r(rec_idx, rec_type, url, http_status, content_type, n_payload_bytes)
-        |CROSS JOIN (VALUES ('crawl'), ('crawl_gz')) AS w(warc)""".stripMargin,
-
-    "warc_html_blocks" ->
-      """SELECT warc, url, title, block_idx, heading, content,
-        |  length(content) AS n_chars FROM (VALUES
-        | (0, TRUE, 'Parsing at scale'),
-        | (1, FALSE,
-        |  'Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.'),
-        | (2, FALSE,
-        |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
-        | (3, FALSE,
-        |  'Entities decode: café & résumé stay readable.')
-        |) AS b(block_idx, heading, content)
-        |CROSS JOIN (VALUES ('crawl'), ('crawl_gz')) AS w(warc)
-        |CROSS JOIN (VALUES ('http://example.com/blog', 'Graft & the Web'))
-        |  AS u(url, title)""".stripMargin,
-
-    // the streamed crawl's final corpus table: the SAME blocks as
-    // warc_html_blocks but ONE copy per page — the gz re-crawl batch and
-    // the replayed batch both collapse into the first copy under the
-    // fp-keyed LWW upsert
-    "crawl_stream_e2e" ->
-      """SELECT url, block_idx, heading, content,
-        |  length(content) AS n_chars FROM (VALUES
-        | (0, TRUE, 'Parsing at scale'),
-        | (1, FALSE,
-        |  'Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.'),
-        | (2, FALSE,
-        |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
-        | (3, FALSE,
-        |  'Entities decode: café & résumé stay readable.')
-        |) AS b(block_idx, heading, content)
-        |CROSS JOIN (VALUES ('http://example.com/blog')) AS u(url)""".stripMargin,
-
-    // frontier re-derived from doc_id alone: %5=1 rows are the robots-
-    // denied /private/ paths; the canonical URL and host re-derive by
-    // string construction (lowercased, port stripped, fragment gone);
-    // the politeness budget is the same rank-limit window in DuckDB
-    "crawl_frontier" ->
-      """WITH f AS (
-        | SELECT 'http://host' || (doc_id % 7) || '.example.com/articles/page'
-        |          || doc_id AS url,
-        |        (doc_id % 10) * 100000 AS priority_micro,
-        |        'host' || (doc_id % 7) || '.example.com' AS host
-        | FROM documents WHERE doc_id % 5 <> 1)
-        |SELECT url, priority_micro, host, fetch_rank FROM (
-        | SELECT *, row_number() OVER (
-        |   PARTITION BY host ORDER BY priority_micro DESC, url) AS fetch_rank
-        | FROM f) t WHERE fetch_rank <= 5""".stripMargin,
-
-    // the canonical form re-derived from doc_id alone — an independent
-    // derivation, not a replay of the engine's string surgery
-    "url_canonical" ->
-      """SELECT doc_id,
-        | 'HTTPS://ExAmple.COM:443/Docs/page' || doc_id ||
-        |   CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
-        |   '?utm_source=news' ||
-        |   CASE WHEN doc_id % 4 <> 0
-        |        THEN '&z=' || (doc_id % 3) || '&a=' || (doc_id % 5) ELSE '' END ||
-        |   '#sec' || (doc_id % 2) AS url,
-        | 'https://example.com/Docs/page' || doc_id ||
-        |   CASE WHEN doc_id % 4 <> 0
-        |        THEN '?a=' || (doc_id % 5) || '&z=' || (doc_id % 3) ELSE '' END
-        |   AS canonical_url
-        |FROM documents""".stripMargin,
-
-    // expectations = DocFixtures.cidPages verbatim (the CMap is the only
-    // route from the fixture's arbitrary codes back to this text)
-    "pdf_pages_cid" ->
-      """SELECT doc, page, content, length(content) AS n_chars FROM (VALUES
-        | ('treaty', 1, 'TREATY OF AMITY' || chr(10) ||
-        |   'An efficient xyz protocol governs here.'),
-        | ('treaty', 2, 'Ratified by both parties in good faith.' || chr(10) ||
-        |   'Signatures follow on the final page.')
-        |) AS t(doc, page, content)""".stripMargin,
-
-    // S5-lite expectations hand-derived from DocFixtures.invoicePages
-    // (the contract fixture's prose pages must yield NO tables)
-    "pdf_tables" ->
-      """SELECT * FROM (VALUES
-        | ('invoice', 1, 0, '["Item","Qty","Price"]',
-        |  '[["Widget","2","10.00"],["Gadget","1","25.50"],["Assembly","3","45.00"]]'),
-        | ('invoice', 2, 0, '["Method","Fee"]',
-        |  '[["Wire","0.00"],["Card","3.50"]]')
-        |) AS t(doc, page, table_idx, headers_json, rows_json)""".stripMargin,
-
-    "c3_table_text" ->
-      """SELECT * FROM (VALUES
-        | ('policy', 'docx', 0, 0, 'Item | Limit' || chr(10) ||
-        |   'Laptop | 1000' || chr(10) || 'Phone | 500'),
-        | ('invoice', 'pdf', 1, 0, 'Item | Qty | Price' || chr(10) ||
-        |   'Widget | 2 | 10.00' || chr(10) || 'Gadget | 1 | 25.50' || chr(10) ||
-        |   'Assembly | 3 | 45.00'),
-        | ('invoice', 'pdf', 2, 0, 'Method | Fee' || chr(10) ||
-        |   'Wire | 0.00' || chr(10) || 'Card | 3.50')
-        |) AS t(doc, source, page, table_idx, content)""".stripMargin,
-
-    // error codes: NULL = valid, 'encrypted' = password-protected PDF
-    // (counted, not silently absent), 'parse_failed' = everything else
-    "doc_validate" ->
-      """SELECT * FROM (VALUES
-        | ('policy', 'docx', true, CAST(NULL AS VARCHAR)),
-        | ('memo', 'docx', true, NULL),
-        | ('simple', 'eml', true, NULL), ('multi', 'eml', true, NULL),
-        | ('contract', 'pdf', true, NULL), ('invoice', 'pdf', true, NULL),
-        | ('locked', 'pdf', false, 'encrypted'),
-        | ('garbage_docx', 'docx', false, 'parse_failed'),
-        | ('garbage_pdf', 'pdf', false, 'parse_failed')
-        |) AS t(doc, fmt, is_valid, error)""".stripMargin,
-
-    "decontam_report" -> decontamReportSql,
-
-    "domain_resample" ->
-      """WITH t AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15), ('es', 0.15))
-        |           AS t(lang, share)),
-        |c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
-        |j AS (SELECT c.lang, n, share FROM c JOIN t USING (lang)),
-        |cuts AS (SELECT lang,
-        |  CAST(floor(share * (SELECT min(n / share) FROM j) / n * 65536) AS BIGINT) AS cut
-        | FROM j)
-        |SELECT d.doc_id, d.lang FROM documents d JOIN cuts USING (lang)
-        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT < cut""".stripMargin,
-
-    // exact replay: micro-unit weights (sum 1_050_000 with the absent
-    // 'xx'), integer div allocation, unrounded BIGINT/BIGINT rate;
-    // LEFT join from the targets side mirrors the planner's
-    // absent-stratum contract (available 0, NULL rate/epochs)
-    "token_budget" ->
-      """WITH w AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
-        |  ('fr', 150000), ('es', 150000), ('xx', 50000)) t(lang, w6)),
-        |avail AS (SELECT lang,
-        |  CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |    t -> t <> ''))) AS BIGINT) AS available_tokens
-        | FROM documents GROUP BY lang),
-        |j AS (SELECT w.lang, COALESCE(available_tokens, 0) AS available_tokens, w6,
-        |  (200000::BIGINT * w6) // 1050000 AS target_tokens
-        | FROM w LEFT JOIN avail a USING (lang))
-        |SELECT lang, available_tokens, w6, target_tokens,
-        | CASE WHEN available_tokens > 0
-        |  THEN CAST(target_tokens AS DOUBLE) / available_tokens END AS sample_rate,
-        | CASE WHEN available_tokens > 0
-        |  THEN (target_tokens + available_tokens - 1) // available_tokens END AS epochs,
-        | target_tokens > available_tokens AS repeats_data
-        |FROM j""".stripMargin,
-
-    // the plan MATERIALIZED: full epochs for every doc of a repeating
-    // stratum; the remainder epoch keeps docs under the SALTED
-    // 64k-quantized md5 cut (independent of the unsalted split/resample
-    // buckets) PLUS the stratum's hash-minimal doc whenever remainder
-    // tokens exist — funded strata always emit, overshoot bounded by
-    // one doc; absent strata emit nothing
-    "epoch_mixture" ->
-      """WITH w AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
-        |  ('fr', 150000), ('es', 150000), ('xx', 50000)) t(lang, w6)),
-        |avail AS (SELECT lang,
-        |  CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
-        |    t -> t <> ''))) AS BIGINT) AS a
-        | FROM documents GROUP BY lang),
-        |plan AS (SELECT w.lang, a, (200000::BIGINT * w6) // 1050000 AS tgt
-        |         FROM w JOIN avail USING (lang) WHERE a > 0),
-        |p2 AS (SELECT lang, tgt // a AS fe, ((tgt % a) * 65536) // a AS rem,
-        |        tgt % a > 0 AS has_rem FROM plan),
-        |hm AS (SELECT doc_id, lang,
-        |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT AS sb,
-        |        row_number() OVER (PARTITION BY lang ORDER BY
-        |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT,
-        |          doc_id) = 1 AS hmin
-        |       FROM documents)
-        |SELECT d.doc_id, d.lang, epoch_idx
-        |FROM documents d JOIN hm USING (doc_id, lang) JOIN p2 USING (lang),
-        | LATERAL (SELECT unnest(generate_series(0, fe)) AS epoch_idx) g
-        |WHERE epoch_idx < fe OR (has_rem AND (sb < rem OR hmin))""".stripMargin,
-
-    "q22_year_spine" ->
-      """WITH RECURSIVE bounds AS (
-        | SELECT year(min(o_orderdate)) AS lo, year(max(o_orderdate)) AS hi FROM orders),
-        |years(y, hi) AS (
-        | SELECT lo, hi FROM bounds
-        | UNION ALL
-        | SELECT y + 1, hi FROM years WHERE y < hi
-        |)
-        |SELECT y, count(o_orderkey) AS n_orders,
-        | count(DISTINCT o_custkey) AS n_customers
-        |FROM years LEFT JOIN orders ON year(o_orderdate) = y
-        |GROUP BY y""".stripMargin,
-
-    "lm_surprisal" -> lmSurprisalSql,
-    "lm_bigram" -> lmBigramSql,
-    // the artifact queries change WHERE the model lives, not what it
-    // says — the train-time oracles replay them verbatim
-    "lm_unigram_artifact" -> lmSurprisalSql,
-    "lm_bigram_artifact" -> lmBigramSql,
-
-    // composed from the five component oracles above — thresholds in
-    // lockstep with Cleaning.cleanCorpus's defaults
-    "clean_corpus" ->
-      s"""WITH dd AS ($dedupExactSql),
-         |lg AS ($langIdSql),
-         |rp AS ($repetitionStatsSql),
-         |sp AS ($lmSurprisalSql),
-         |dc AS ($decontamReportSql),
-         |j AS (SELECT d.doc_id, dd.is_duplicate, lg.pred_lang,
-         |        rp.top_bigram_ratio, sp.avg_surprisal, dc.contaminated
-         |      FROM documents d
-         |      JOIN dd USING (doc_id) JOIN lg USING (doc_id) JOIN rp USING (doc_id)
-         |      LEFT JOIN sp USING (doc_id) JOIN dc USING (doc_id)),
-         |r AS (SELECT doc_id, list_filter([
-         |   CASE WHEN is_duplicate THEN 'duplicate' END,
-         |   CASE WHEN pred_lang NOT IN ('en', 'pt') THEN 'lang' END,
-         |   CASE WHEN top_bigram_ratio > 0.08 THEN 'repetitive' END,
-         |   CASE WHEN avg_surprisal > 3.5 THEN 'high_surprisal' END,
-         |   CASE WHEN contaminated THEN 'contaminated' END],
-         |  x -> x IS NOT NULL) AS rs FROM j)
-         |SELECT doc_id, COALESCE(array_to_string(rs, ','), '') AS reasons,
-         | len(rs) = 0 AS keep
-         |FROM r""".stripMargin,
-
-    // the curation spine, composed from the same shared sub-oracles the
-    // component queries replay: verdict (wider whitelist covering the
-    // mixture strata) -> kept -> passage clip -> salted/floored epoch
-    // mixture over the CLEANED token counts
-    "curation_e2e" ->
-      s"""WITH dd AS ($dedupExactSql),
-         |lg AS ($langIdSql),
-         |rp AS ($repetitionStatsSql),
-         |sp AS ($lmSurprisalSql),
-         |dc AS ($decontamReportSql),
-         |vj AS (SELECT d.doc_id, dd.is_duplicate, lg.pred_lang,
-         |        rp.top_bigram_ratio, sp.avg_surprisal, dc.contaminated
-         |      FROM documents d
-         |      JOIN dd USING (doc_id) JOIN lg USING (doc_id) JOIN rp USING (doc_id)
-         |      LEFT JOIN sp USING (doc_id) JOIN dc USING (doc_id)),
-         |vr AS (SELECT doc_id, list_filter([
-         |   CASE WHEN is_duplicate THEN 'duplicate' END,
-         |   CASE WHEN pred_lang NOT IN ('en', 'de', 'fr', 'es', 'pt') THEN 'lang' END,
-         |   CASE WHEN top_bigram_ratio > 0.08 THEN 'repetitive' END,
-         |   CASE WHEN avg_surprisal > 3.5 THEN 'high_surprisal' END,
-         |   CASE WHEN contaminated THEN 'contaminated' END],
-         |  x -> x IS NOT NULL) AS rs FROM vj),
-         |kept AS (SELECT d.doc_id, d.text, d.lang
-         |         FROM documents d JOIN vr USING (doc_id) WHERE len(rs) = 0),
-         |${dupSpanCtes("kept")},
-         |ctok AS (SELECT doc_id, i - 1 AS pos, ws[i] AS tk
-         |        FROM dsw, LATERAL (SELECT unnest(generate_series(1, len(ws))) AS i) g),
-         |ckeep AS (SELECT t.doc_id, t.tk FROM ctok t
-         |         WHERE t.tk <> '' AND NOT EXISTS (SELECT 1 FROM dsspans s
-         |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)),
-         |mavail AS (SELECT k.lang, CAST(count(*) AS BIGINT) AS a
-         |          FROM ckeep c JOIN kept k USING (doc_id) GROUP BY k.lang),
-         |mw AS (SELECT * FROM (VALUES ('en', 500000), ('de', 200000),
-         |  ('fr', 150000), ('es', 150000)) t(lang, w6)),
-         |mplan AS (SELECT mw.lang, a, (100000::BIGINT * w6) // 1000000 AS tgt
-         |         FROM mw JOIN mavail USING (lang) WHERE a > 0),
-         |mp2 AS (SELECT lang, tgt // a AS fe, ((tgt % a) * 65536) // a AS rem,
-         |        tgt % a > 0 AS has_rem FROM mplan),
-         |mhm AS (SELECT doc_id, lang,
-         |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT AS sb,
-         |        row_number() OVER (PARTITION BY lang ORDER BY
-         |          ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':epoch'), 1, 4))::BIGINT,
-         |          doc_id) = 1 AS hmin
-         |       FROM kept)
-         |SELECT k.doc_id, k.lang, epoch_idx
-         |FROM kept k JOIN mhm USING (doc_id, lang) JOIN mp2 USING (lang),
-         | LATERAL (SELECT unnest(generate_series(0, fe)) AS epoch_idx) g
-         |WHERE epoch_idx < fe OR (has_rem AND (sb < rem OR hmin))""".stripMargin,
-
-    "q23_lateral" ->
-      """SELECT n.n_name, t.c_custkey, t.c_acctbal
-        |FROM nation n,
-        |LATERAL (SELECT c_custkey, c_acctbal
-        |         FROM customer
-        |         WHERE c_nationkey = n.n_nationkey
-        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""".stripMargin,
-
-    // codebook = the 8 hash-minimal vectors by id; subspace distances
-    // rounded to 6 before the argmin, index tiebreak — in lockstep with
-    // Similarity.pqCodes (m=4 subspaces of 16 dims, k=8 codewords)
-    "pq_codes" ->
-      """WITH ranked AS (
-        | SELECT embedding::DOUBLE[] AS cw,
-        |  row_number() OVER (ORDER BY
-        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn
-        | FROM embeddings),
-        |cb AS (SELECT rn - 1 AS j, cw FROM ranked WHERE rn <= 8),
-        |d AS (
-        | SELECT e.vec_id, s.s, cb.j,
-        |  round(list_sum(list_transform(generate_series(1, 16),
-        |    i -> (e.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i])
-        |       * (e.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i]))), 6) AS d2
-        | FROM (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) e
-        | CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
-        | CROSS JOIN cb),
-        |best AS (
-        | SELECT vec_id, s, j FROM (
-        |  SELECT vec_id, s, j,
-        |   row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS r
-        |  FROM d) WHERE r = 1)
-        |SELECT vec_id,
-        | CAST(max(CASE WHEN s = 0 THEN j END) AS INTEGER) AS code_0,
-        | CAST(max(CASE WHEN s = 1 THEN j END) AS INTEGER) AS code_1,
-        | CAST(max(CASE WHEN s = 2 THEN j END) AS INTEGER) AS code_2,
-        | CAST(max(CASE WHEN s = 3 THEN j END) AS INTEGER) AS code_3
-        |FROM best GROUP BY vec_id""".stripMargin,
-
-    // ADC over the candidate-set codebook (vec_id >= 5): per (query,
-    // candidate), dot = Σ_s dot(q_s, cw[code_s]_s), score = cosine with
-    // the reconstruction — mirrors Similarity.pqAdcTopK expression for
-    // expression (sum order s=0..3, round 4, id tiebreak)
-    "pq_adc_topk" ->
-      """WITH ranked AS (
-        | SELECT embedding::DOUBLE[] AS cw,
-        |  row_number() OVER (ORDER BY
-        |   ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn
-        | FROM embeddings WHERE vec_id >= 5),
-        |cb AS (SELECT rn - 1 AS j, cw FROM ranked WHERE rn <= 8),
-        |cand AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings WHERE vec_id >= 5),
-        |d AS (
-        | SELECT cand.vec_id, s.s, cb.j,
-        |  round(list_sum(list_transform(generate_series(1, 16),
-        |    i -> (cand.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i])
-        |       * (cand.emb[s.s * 16 + i] - cb.cw[s.s * 16 + i]))), 6) AS d2
-        | FROM cand
-        | CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS s) s
-        | CROSS JOIN cb),
-        |codes AS (
-        | SELECT vec_id, s, j FROM (
-        |  SELECT vec_id, s, j, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, j) AS r
-        |  FROM d) WHERE r = 1),
-        |q AS (SELECT vec_id AS q_vec_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 5),
-        |parts AS (
-        | SELECT q.q_vec_id, c.vec_id,
-        |  list_sum(list_transform(generate_series(1, 16),
-        |    i -> q.qe[c.s * 16 + i] * cb.cw[c.s * 16 + i])) AS dot_s,
-        |  list_sum(list_transform(generate_series(1, 16),
-        |    i -> cb.cw[c.s * 16 + i] * cb.cw[c.s * 16 + i])) AS cn_s,
-        |  c.s
-        | FROM q CROSS JOIN codes c JOIN cb ON cb.j = c.j),
-        |scored AS (
-        | SELECT q_vec_id, vec_id,
-        |  (((sum(CASE WHEN s = 0 THEN dot_s END) + sum(CASE WHEN s = 1 THEN dot_s END))
-        |        + sum(CASE WHEN s = 2 THEN dot_s END)) + sum(CASE WHEN s = 3 THEN dot_s END)) AS dot_r,
-        |  (((sum(CASE WHEN s = 0 THEN cn_s END) + sum(CASE WHEN s = 1 THEN cn_s END))
-        |        + sum(CASE WHEN s = 2 THEN cn_s END)) + sum(CASE WHEN s = 3 THEN cn_s END)) AS cnormsq
-        | FROM parts GROUP BY q_vec_id, vec_id),
-        |qn AS (SELECT q_vec_id, sqrt(list_inner_product(qe, qe)) AS qnorm FROM q)
-        |SELECT q_vec_id, vec_id, score, rank FROM (
-        | SELECT s.q_vec_id, s.vec_id,
-        |  round(s.dot_r / (qn.qnorm * sqrt(s.cnormsq)), 4) AS score,
-        |  row_number() OVER (PARTITION BY s.q_vec_id
-        |    ORDER BY round(s.dot_r / (qn.qnorm * sqrt(s.cnormsq)), 4) DESC, s.vec_id) AS rank
-        | FROM scored s JOIN qn USING (q_vec_id)) WHERE rank <= 10""".stripMargin,
-
-    // relational replay of the count-min sketch cell math (md5 bucket
-    // rows, depth 4 × width 256 — in lockstep with CountMinAgg)
-    "cms_heavy_hitters" -> {
-      val probeValues = cmsProbeTerms.map(t => s"('${esc(t)}')").mkString(", ")
-      s"""WITH toks AS (SELECT t AS term FROM (
-         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
-         |  FROM documents) WHERE t <> ''),
-         |probes(term) AS (SELECT * FROM (VALUES $probeValues)),
-         |rows_ AS (SELECT unnest(generate_series(0, ${cmsDepth - 1})) AS i),
-         |cells AS (
-         | SELECT r.i,
-         |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || t.term), 1, 8))::BIGINT % $cmsWidth AS b,
-         |  count(*) AS c
-         | FROM toks t CROSS JOIN rows_ r GROUP BY 1, 2),
-         |pe AS (
-         | SELECT p.term, r.i,
-         |  ('0x' || substr(md5(CAST(r.i AS VARCHAR) || ':' || p.term), 1, 8))::BIGINT % $cmsWidth AS b
-         | FROM probes p CROSS JOIN rows_ r),
-         |est AS (SELECT pe.term, CAST(min(COALESCE(c.c, 0)) AS BIGINT) AS est
-         |        FROM pe LEFT JOIN cells c ON c.i = pe.i AND c.b = pe.b GROUP BY pe.term),
-         |exact AS (SELECT term, count(*) AS n FROM toks GROUP BY term)
-         |SELECT est.term, est.est, CAST(COALESCE(exact.n, 0) AS BIGINT) AS exact
-         |FROM est LEFT JOIN exact USING (term)""".stripMargin
-    },
-
-    "weighted_sample" ->
-      """SELECT doc_id, n_chars, round(es_raw, 9) AS es_key FROM (
-        | SELECT doc_id, n_chars,
-        |  ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
-        |        / 1152921504606846976.0) / n_chars AS es_raw
-        | FROM documents WHERE n_chars > 0)
-        |ORDER BY es_raw DESC, doc_id LIMIT 50""".stripMargin,
-
-    "pagerank" ->
-      s"""$minhashPairsCte,
-         |edges2 AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |           UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
-         |docs0 AS (SELECT doc_id AS id FROM documents WHERE doc_id < 500),
-         |nn AS (SELECT count(*) AS n FROM docs0),
-         |deg AS (SELECT src, count(*) AS deg FROM edges2 GROUP BY src),
-         |pr0 AS (SELECT id, 1000000 // (SELECT n FROM nn) AS pr6 FROM docs0),
-         |${pageRankIterCte("it1", "pr0")},
-         |${pageRankIterCte("it2", "it1")},
-         |${pageRankIterCte("it3", "it2")}
-         |SELECT d.id AS doc_id, COALESCE(g.deg, 0) AS deg, p.pr6
-         |FROM docs0 d LEFT JOIN deg g ON g.src = d.id
-         |JOIN it3 p ON p.id = d.id""".stripMargin,
-
-    "bloom_decontam" ->
-      """WITH bfp AS (SELECT DISTINCT
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        | FROM documents WHERE doc_id % 25 = 0),
-        |bloom AS (SELECT pos // 64 AS word,
-        |  -- bit 63: DuckDB's checked << overflows on 1<<63, so state the
-        |  -- sign-bit mask (Long.MIN_VALUE, = Spark's wrapping shiftleft)
-        |  bit_or(CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775807 - 1 AS BIGINT)
-        |         ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER) END) AS bits
-        | FROM (SELECT ('0x' || substr(fp, 1 + 5 * g.i, 5))::BIGINT % 1024 AS pos
-        |       FROM bfp, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) g)
-        | GROUP BY 1),
-        |dfp AS (SELECT doc_id,
-        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-        | FROM documents),
-        |probe AS (SELECT doc_id, fp,
-        |  COALESCE(((b.bits >> CAST(pos % 64 AS INTEGER)) & 1) = 1, FALSE) AS bit_set
-        | FROM (SELECT doc_id, fp,
-        |        ('0x' || substr(fp, 1 + 5 * g.i, 5))::BIGINT % 1024 AS pos
-        |       FROM dfp, LATERAL (SELECT unnest(generate_series(0, 2)) AS i) g) d
-        |  LEFT JOIN bloom b ON b.word = d.pos // 64),
-        |verdict AS (SELECT doc_id, fp,
-        |  count(CASE WHEN bit_set THEN 1 END) = 3 AS bloom_hit
-        | FROM probe GROUP BY doc_id, fp)
-        |SELECT v.doc_id, v.bloom_hit, b.fp IS NOT NULL AS exact,
-        | v.bloom_hit AND b.fp IS NULL AS false_positive
-        |FROM verdict v LEFT JOIN bfp b ON b.fp = v.fp""".stripMargin,
-
-    "kmeans_step" ->
-      """WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
-        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-        |cb AS (SELECT ce, cidx FROM (
-        |        SELECT e AS ce, row_number() OVER (
-        |          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT,
-        |                   vec_id) - 1 AS cidx
-        |        FROM nz) WHERE cidx < 8),
-        |sc AS (SELECT n.vec_id, n.e, c.cidx,
-        |        round(list_inner_product(n.e, c.ce) /
-        |          (sqrt(list_inner_product(n.e, n.e)) * sqrt(list_inner_product(c.ce, c.ce))),
-        |          6) AS score
-        |       FROM nz n CROSS JOIN cb c),
-        |asg AS (SELECT vec_id, e, cidx AS cell FROM (
-        |         SELECT *, row_number() OVER (
-        |           PARTITION BY vec_id ORDER BY score DESC, cidx) AS rn
-        |         FROM sc) WHERE rn = 1)
-        |SELECT a.cell, g.i - 1 AS dim, count(*) AS n_members,
-        | CAST(sum(CAST(round(a.e[g.i] * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum6
-        |FROM asg a, LATERAL (SELECT unnest(generate_series(1, len(a.e))) AS i) g
-        |GROUP BY 1, 2""".stripMargin,
-
-    // knn_auto rides the exact path at verification scale → the SAME
-    // brute-force oracle as knn_cosine (shared constant, no drift)
-    "knn_auto" -> bruteForceKnnSql,
-
-    "inverted_index" ->
-      s"""WITH toks AS (
-        | SELECT doc_id, t AS term FROM (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
-        |  FROM documents)
-        | WHERE t <> '' AND NOT list_contains($stopSql, t)),
-        |dt AS (SELECT DISTINCT doc_id, term FROM toks)
-        |SELECT term, count(*) AS df,
-        | to_json(list_sort(list(doc_id))) AS postings
-        |FROM dt GROUP BY term HAVING count(*) BETWEEN 2 AND 10000""".stripMargin,
-
-    "pmi_cooccur" ->
-      s"""WITH toks AS (
-        | SELECT doc_id, t AS term FROM (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t
-        |  FROM documents)
-        | WHERE t <> '' AND NOT list_contains($stopSql, t)),
-        |pres AS (SELECT DISTINCT doc_id AS id, term FROM toks),
-        |vocab AS (SELECT term, c FROM (
-        |  SELECT term, count(*) AS c,
-        |   row_number() OVER (ORDER BY count(*) DESC, term) AS rn
-        |  FROM pres GROUP BY term) WHERE rn <= 50),
-        |pv AS (SELECT p.id, p.term, v.c FROM pres p JOIN vocab v USING (term)),
-        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
-        |pairs AS (SELECT a.term AS term_a, b.term AS term_b, count(*) AS c_ab,
-        |           CAST(max(a.c) AS BIGINT) AS c_a, CAST(max(b.c) AS BIGINT) AS c_b
-        |          FROM pv a JOIN pv b ON a.id = b.id AND a.term < b.term
-        |          GROUP BY a.term, b.term HAVING count(*) >= 2)
-        |SELECT term_a, term_b, c_ab, c_a, c_b,
-        | round(ln(CAST(n_docs AS DOUBLE) * c_ab / (c_a * c_b)), 6) AS pmi
-        |FROM pairs, nd""".stripMargin,
-
-    "token_entropy" ->
-      """WITH toks AS (SELECT doc_id, t AS term FROM (
-        |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
-        |  FROM documents) WHERE t <> ''),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
-        |tn AS (SELECT doc_id, tf,
-        |        CAST(sum(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM tf)
-        |SELECT doc_id, CAST(max(n) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
-        | round(CAST(sum(tf * CAST(round(round(ln(n::DOUBLE / tf), 6) * 1000000) AS BIGINT))
-        |       AS DOUBLE) / max(n) / 1000000, 4) AS entropy
-        |FROM tn GROUP BY doc_id""".stripMargin,
-
-    "contrastive_triplets" ->
-      """WITH nz AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings
-        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-        |anc AS (SELECT vec_id AS anchor_id, label AS a_label, e AS ae
-        |        FROM nz WHERE vec_id < 20),
-        |ps AS (SELECT anchor_id, nz.vec_id,
-        |        round(list_inner_product(ae, e) /
-        |          (sqrt(list_inner_product(ae, ae)) * sqrt(list_inner_product(e, e))),
-        |          4) AS pos_score
-        |       FROM anc JOIN nz ON nz.label = a_label AND nz.vec_id <> anchor_id),
-        |pos AS (SELECT anchor_id, vec_id AS pos_id, pos_score FROM (
-        |         SELECT *, row_number() OVER (
-        |           PARTITION BY anchor_id ORDER BY pos_score DESC, vec_id) AS rn
-        |         FROM ps) WHERE rn = 1),
-        |ns AS (SELECT anchor_id, nz.vec_id,
-        |        ('0x' || substr(md5(CAST(anchor_id AS VARCHAR) || ':' ||
-        |          CAST(nz.vec_id AS VARCHAR)), 1, 4))::BIGINT AS nk
-        |       FROM anc JOIN nz ON nz.label <> a_label),
-        |neg AS (SELECT anchor_id, vec_id AS neg_id FROM (
-        |         SELECT *, row_number() OVER (
-        |           PARTITION BY anchor_id ORDER BY nk, vec_id) AS rn
-        |         FROM ns) WHERE rn = 1)
-        |SELECT p.anchor_id, p.pos_id, p.pos_score, n.neg_id
-        |FROM pos p JOIN neg n USING (anchor_id)""".stripMargin,
-
-    "rrf_fusion" ->
-      s"""WITH qs AS (SELECT * FROM (VALUES $questionValuesSql) AS t(question_id, question)),
-         |toks AS (SELECT doc_id, t AS term FROM (
-         |  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
-         |  FROM documents) WHERE t <> ''),
-         |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
-         |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
-         |corpus AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-         |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-         |qt AS (SELECT DISTINCT question_id, t AS term FROM (
-         |  SELECT question_id, unnest(regexp_split_to_array(lower(question), '\\s+')) AS t
-         |  FROM qs) WHERE t <> ''),
-         |scored AS (
-         | SELECT qt.question_id, tf.doc_id,
-         |  CAST(round(round(ln((corpus.n_docs - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1), 6)
-         |    * (tf.tf * 2.2) / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / corpus.avgdl))
-         |    * 1000000) AS BIGINT) AS w6
-         | FROM qt JOIN tf USING (term) JOIN dl USING (doc_id)
-         |   JOIN dfreq USING (term), corpus),
-         |aggd AS (SELECT question_id, doc_id, round(sum(w6) / 1000000.0, 4) AS score
-         | FROM scored GROUP BY question_id, doc_id),
-         |fa AS (SELECT question_id, doc_id, rank_a FROM (
-         |  SELECT question_id, doc_id, row_number() OVER (
-         |    PARTITION BY question_id ORDER BY score DESC, doc_id) AS rank_a
-         |  FROM aggd) WHERE rank_a <= 10),
-         |qw AS (SELECT question_id,
-         |        CAST(len(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> '')) AS INTEGER) AS n_words,
-         |        unnest(list_distinct(list_filter(regexp_split_to_array(lower(trim(question)), '\\s+'), t -> t <> ''))) AS word
-         |       FROM qs),
-         |m AS (SELECT question_id, n_words, doc_id, count(DISTINCT word) AS matches
-         |      FROM qw JOIN documents ON position(word IN lower(text)) > 0
-         |      GROUP BY question_id, n_words, doc_id),
-         |fb AS (SELECT question_id, doc_id, rank_b FROM (
-         |  SELECT question_id, doc_id, row_number() OVER (PARTITION BY question_id
-         |    ORDER BY round(CAST(matches AS DOUBLE) / n_words, 4) DESC, doc_id) AS rank_b
-         |  FROM m) WHERE rank_b <= 10),
-         |fused AS (SELECT COALESCE(fa.question_id, fb.question_id) AS question_id,
-         |  COALESCE(fa.doc_id, fb.doc_id) AS doc_id,
-         |  COALESCE(fa.rank_a, 0) AS rank_a, COALESCE(fb.rank_b, 0) AS rank_b,
-         |  round(COALESCE(CAST(1 AS DOUBLE) / (60 + fa.rank_a), 0) +
-         |        COALESCE(CAST(1 AS DOUBLE) / (60 + fb.rank_b), 0), 6) AS rrf6
-         | FROM fa FULL OUTER JOIN fb
-         |  ON fa.question_id = fb.question_id AND fa.doc_id = fb.doc_id)
-         |SELECT question_id, doc_id, rank_a, rank_b, rrf6, rank FROM (
-         | SELECT *, row_number() OVER (
-         |   PARTITION BY question_id ORDER BY rrf6 DESC, doc_id) AS rank
-         | FROM fused) WHERE rank <= 5""".stripMargin,
-
-    "bpe_pairs" ->
-      s"""WITH ${bpeCtes(1)}
-         |SELECT lhs, rhs, freq FROM p1
-         |ORDER BY freq DESC, lhs, rhs LIMIT 20""".stripMargin,
-
-    "bpe_learn" -> {
-      val rows = (1 to 6).map(j =>
-        s"SELECT CAST($j AS INTEGER) AS merge_rank, lhs, rhs, lhs || rhs AS merged, freq FROM b$j")
-        .mkString("\nUNION ALL ")
-      s"""WITH ${bpeCtes(6)}
-         |$rows""".stripMargin
-    },
-
-    "bpe_tokens" -> bpeTokensOracle,
-
-    // the artifact roundtrip changes WHERE the merges come from (a
-    // persisted parquet model), not WHAT they compute — the oracle is
-    // bpe_tokens' replay, shared by reference so the two can never
-    // drift
-    "bpe_artifact" -> bpeTokensOracle,
-
-    "corpus_delta" ->
-      """WITH oldc AS (
-        | SELECT doc_id, md5(coalesce(text, '')) AS old_hash
-        | FROM documents WHERE doc_id % 13 <> 0),
-        |newc AS (
-        | SELECT doc_id, md5(coalesce(
-        |   CASE WHEN doc_id % 5 = 0 THEN text || ' rev2' ELSE text END, '')) AS new_hash
-        | FROM documents WHERE doc_id % 17 <> 0)
-        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
-        | CASE WHEN o.old_hash IS NULL THEN 'added'
-        |      WHEN n.new_hash IS NULL THEN 'removed'
-        |      WHEN o.old_hash <> n.new_hash THEN 'changed' END AS status,
-        | o.old_hash, n.new_hash
-        |FROM oldc o FULL OUTER JOIN newc n ON o.doc_id = n.doc_id
-        |WHERE o.old_hash IS NULL OR n.new_hash IS NULL
-        |   OR o.old_hash <> n.new_hash""".stripMargin,
-
-    "zorder_layout" -> {
-      val terms = (0 until 8).flatMap(i => Seq(
-        s"(((xb >> $i) & 1) << ${2 * i})", s"(((yb >> $i) & 1) << ${2 * i + 1})"))
-        .mkString(" | ")
-      s"""WITH b AS (SELECT event_id, user_id % 256 AS xb,
-         | (epoch_us(ts) // 1000000) % 256 AS yb FROM events)
-         |SELECT event_id, xb AS x_bucket, yb AS y_bucket,
-         | CAST($terms AS BIGINT) AS zval FROM b""".stripMargin
-    },
-
-    "subword_encode" ->
-      s"""WITH RECURSIVE ${bpeCtes(6)},
-         |$greedyCtes
-         |SELECT piece, CAST(sum(freq) AS BIGINT) AS freq
-         |FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
-         |      FROM r WHERE pos > len(word)) u
-         |GROUP BY piece""".stripMargin,
-
-    "subword_doc_tokens" ->
-      s"""WITH RECURSIVE ${bpeCtes(6)},
-         |$greedyCtes,
-         |wt AS (SELECT word,
-         |        CAST(len(string_split(trim(out), ' ')) AS INTEGER) AS word_pieces
-         |       FROM r WHERE pos > len(word)),
-         |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-         |       FROM documents)
-         |SELECT doc_id, count(*) AS n_words, CAST(sum(word_pieces) AS BIGINT) AS n_pieces
-         |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin,
-
-    "global_index" ->
-      """SELECT doc_id, n_chars,
-        | CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS global_idx
-        |FROM documents""".stripMargin,
-
-    // replay of `Unigram.segmentCorpus` (maxPieceLen 4, keepTop 40):
-    // substring seed counts, single-chars + top-40 multi-char pruning,
-    // then the per-word Viterbi cost table grown one character per
-    // recursion step — min over pieces ending at the new position via
-    // the correlated scalar subquery, cost base BIG recomputed from the
-    // same definition (max word length · max piece count + 1)
-    "unigram_viterbi" -> unigramViterbiOracle,
-
-    // the artifact roundtrip changes WHERE the model comes from (a
-    // persisted parquet artifact), not WHAT it computes — shared oracle
-    "unigram_artifact" -> unigramViterbiOracle,
-
-    // the unigram chain extended by the canonical backtrack: from each
-    // word's end take the LONGEST piece whose cost edge is tight
-    // (cost(pos−l) + BIG − cnt = cost(pos)) — the same max-length
-    // integer-equality rule `Unigram.backtrack` compiles — then roll
-    // the emitted pieces into frequency-weighted expected counts
-    "unigram_em" ->
-      s"""$unigramCtes,
-         |$unigramBtCtes
-         |SELECT piece, CAST(sum(freq) AS BIGINT) AS expected_cnt
-         |FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
-         |      FROM bt WHERE pos = 0) u
-         |GROUP BY piece""".stripMargin,
-
-    // the unigram chain + the backtrack, then ROUND 2: the expected
-    // counts become pieces2, BIG re-derives over the new count range,
-    // and the same cost-table recursion re-runs under the round-2 model
-    "unigram_em2" ->
-      s"""$unigramCtes,
-         |$unigramBtCtes,
-         |pieces2 AS (
-         |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-         |  FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
-         |        FROM bt WHERE pos = 0) u
-         |  GROUP BY piece),
-         |bigc2 AS (SELECT (SELECT max(len(word)) FROM uv) * (SELECT max(cnt) FROM pieces2) + 1 AS big),
-         |r2(word, freq, pos, costs) AS (
-         |  SELECT word, freq, 0, [CAST(0 AS BIGINT)] FROM uv
-         |  UNION ALL
-         |  SELECT word, freq, pos + 1, list_append(costs,
-         |    (SELECT min(r2.costs[r2.pos + 2 - len(p.piece)] + (SELECT big FROM bigc2) - p.cnt)
-         |     FROM pieces2 p
-         |     WHERE len(p.piece) <= r2.pos + 1
-         |       AND substr(r2.word, r2.pos + 2 - len(p.piece), len(p.piece)) = p.piece))
-         |  FROM r2 WHERE pos < len(word))
-         |SELECT word, freq,
-         |  CAST(costs[len(word) + 1] // (SELECT big FROM bigc2) + 1 AS BIGINT) AS n_pieces,
-         |  CAST((costs[len(word) + 1] // (SELECT big FROM bigc2) + 1) * (SELECT big FROM bigc2)
-         |       - costs[len(word) + 1] AS BIGINT) AS piece_mass
-         |FROM r2 WHERE pos = len(word)""".stripMargin,
-
-    // the EM loop's trace: replay maxIters rounds of (DP → canonical
-    // backtrack → refit) as generated CTEs, compute each round's
-    // corpus totals, then keep rows up to and including the first
-    // non-improving round — the same integer stopping rule the engine
-    // runs
-    "unigram_em_loop" -> unigramLoopSql(maxRounds = 4),
-
-    // file skipping must be invisible to results: the oracle is the
-    // PLAIN filter. epoch_us(ts) is unit-agnostic on the DuckDB side
-    // (µs per the verify-skill gotcha), ×1000 matches Tables.events'
-    // ts_ns normalization
-    "stats_prune" ->
-      """SELECT event_id, user_id, epoch_us(ts) * 1000 AS ts_ns
-        |FROM events WHERE user_id BETWEEN 10 AND 20""".stripMargin,
-
-    // skipping must be invisible to the tumbling consumer too: the
-    // oracle is the plain filtered aggregate over the whole table. The
-    // slice bounds replay the engine's integer arithmetic (positive
-    // spans, so // and Long division agree)
-    "prune_tumbling" ->
-      """WITH b AS (SELECT min(epoch_us(ts) * 1000) AS mn, max(epoch_us(ts) * 1000) AS mx
-        |           FROM events),
-        |f AS (SELECT event_type, epoch_us(ts) * 1000 AS ts_ns, value
-        |      FROM events, b
-        |      WHERE epoch_us(ts) * 1000 BETWEEN mn + (mx - mn) // 4
-        |                                    AND mn + (mx - mn) // 2)
-        |SELECT (ts_ns // 600000000000) * 600 AS win_start_s, event_type,
-        |  CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micro
-        |FROM f GROUP BY 1, 2""".stripMargin,
-
-    // string skipping must be invisible too: plain equality filter
-    "prune_by_type" ->
-      """SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS sum_value_micro
-        |FROM events WHERE event_type = 'purchase'
-        |GROUP BY event_type""".stripMargin,
-
-    // WordPiece training replay: like bpe_learn's chain but each round
-    // also recounts SYMBOL frequencies (sy_j) and ranks pairs by the
-    // likelihood score freq/(fl·fr) — the same IEEE double division the
-    // engine computes — with the fused symbol keeping only the leading
-    // ## marker
-    "wordpiece_learn" -> {
-      val rows = (1 to 6).map(j =>
-        s"SELECT CAST($j AS INTEGER) AS merge_rank, lhs, rhs, merged, freq FROM b$j")
-        .mkString("\nUNION ALL ")
-      s"""WITH ${wpCtes(6)}
-         |$rows""".stripMargin
-    },
-
-    // greedy ##-marked encode under the trained vocabulary: position 1
-    // matches only unmarked pieces, later positions only ##-marked ones
-    // (on their marker-stripped surface), the emitted piece carries the
-    // marker — the engine's wordpiecePieces fold as a recursive CTE
-    "wordpiece_tokens" -> wordpieceTokensOracle,
-
-    // the artifact roundtrip changes WHERE the merges come from (a
-    // persisted parquet model), not WHAT they compute — shared oracle
-    "wordpiece_artifact" -> wordpieceTokensOracle,
-
-    // same chain over the literal degenerate corpus: rounds past
-    // exhaustion ride the empty-b_j LEFT-JOIN fallback in wpCtes
-    "wordpiece_exhausted" ->
-      wordpieceTokensOracleFor("(SELECT 'aa aa ab' AS text)"),
-
-    // NB training: per-term class counts under the lang='en' weak label
-    "nb_train" ->
-      s"""WITH $nbCtes
-         |SELECT term, pos_cnt, neg_cnt FROM counts""".stripMargin,
-
-    "nb_score" -> nbScoreOracle,
-
-    // artifact roundtrip: fit → persist → load → score, same oracle
-    "nb_artifact" -> nbScoreOracle,
-
-    // DSIR fit replay: hashed unigram+bigram features into 1024 buckets
-    // (the repo's md5-prefix integer), raw = whole corpus, target = the
-    // lang='en' slice; every row carries the denormalized totals
-    "dsir_fit" ->
-      s"""WITH $dsirCtes
-         |SELECT bucket, tgt_cnt, raw_cnt, tgt_tot, raw_tot,
-         | CAST(1024 AS BIGINT) AS n_buckets
-         |FROM dcounts CROSS JOIN dtot""".stripMargin,
-
-    "dsir_weights" -> dsirWeightsOracle,
-
-    // the collected-map scoring twin is bit-identical by construction
-    // (same llr expressions, literal delivery) — same oracle
-    "dsir_score_map" -> dsirWeightsOracle,
-
-    // Gumbel-top-k replay: the same micro-nat weight plus
-    // −ln(−ln u), u = (md5-prefix-int + 0.5)/2^60 — deterministic noise
-    // strictly inside (0,1) (at u=1 Spark's log(0) NULLs while DuckDB's
-    // ln(0) raises — the half-step keeps the engines agreeing even on
-    // the ~2⁻⁵³ edge), ranked on the unrounded double (the
-    // weighted_sample discipline)
-    "dsir_sample" ->
-      s"""WITH $dsirCtes,
-         |$dsirWeightCte
-         |SELECT doc_id, n_feats, logw, round(g_raw, 9) AS g_key FROM (
-         | SELECT *, logw - ln(-ln(
-         |   ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 0.5)
-         |      / 1152921504606846976.0))) AS g_raw FROM dw) keyed
-         |ORDER BY g_raw DESC, doc_id LIMIT 50""".stripMargin,
-
-    // artifact roundtrip: fit → persist → load → weight, same oracle
-    "dsir_artifact" -> dsirWeightsOracle
-  )
-
-  /** Shared DSIR CTEs: hashed word-unigram + adjacent-bigram features
-    * (md5-prefix integer % 1024 — [[graft.operators.Dsir.bucketCol]]),
-    * per-bucket target/raw counts, and the totals. Ends inside the WITH
-    * clause. */
-  private val dsirCtes: String =
-    """dbase AS (SELECT doc_id, coalesce(lang, '') = 'en' AS tgt,
-      |           regexp_extract_all(lower(text), '[a-z]+') AS ws FROM documents),
-      |dfeats AS (
-      | SELECT doc_id, tgt, unnest(ws) AS f FROM dbase
-      | UNION ALL
-      | SELECT doc_id, tgt, ws[i] || ' ' || ws[i + 1] AS f
-      | FROM dbase, LATERAL (SELECT unnest(generate_series(1, len(ws) - 1)) AS i) g),
-      |db AS (SELECT doc_id, tgt,
-      |        ('0x' || substr(md5(f), 1, 15))::BIGINT % 1024 AS bucket FROM dfeats),
-      |dcounts AS (SELECT bucket,
-      |  CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS tgt_cnt,
-      |  CAST(count(*) AS BIGINT) AS raw_cnt FROM db GROUP BY bucket),
-      |dtot AS (SELECT CAST(sum(tgt_cnt) AS BIGINT) AS tgt_tot,
-      |          CAST(sum(raw_cnt) AS BIGINT) AS raw_tot FROM dcounts)""".stripMargin
-
-  /** The per-document weight CTE on top of [[dsirCtes]]: each feature's
-    * smoothed cross-ratio log in micro-nats (ONE ln of an integer-count
-    * ratio, rounded to 6 decimals — the nb_score fixed point), summed
-    * order-free per document. */
-  private val dsirWeightCte: String =
-    """dscored AS (SELECT db.doc_id,
-      |  CAST(round(round(ln(
-      |    (CAST(coalesce(c.tgt_cnt, 0) + 1 AS DOUBLE) * CAST(dtot.raw_tot + 1024 AS DOUBLE)) /
-      |    (CAST(coalesce(c.raw_cnt, 0) + 1 AS DOUBLE) * CAST(dtot.tgt_tot + 1024 AS DOUBLE))),
-      |   6) * 1e6) AS BIGINT) AS s6
-      | FROM db LEFT JOIN dcounts c USING (bucket) CROSS JOIN dtot),
-      |dw AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-      |        CAST(sum(s6) AS DOUBLE) / 1e6 AS logw
-      |       FROM dscored GROUP BY doc_id)""".stripMargin
-
-  /** The dsir_weights / dsir_artifact shared oracle. */
-  private val dsirWeightsOracle: String =
-    s"""WITH $dsirCtes,
-       |$dsirWeightCte
-       |SELECT doc_id, n_feats, logw FROM dw""".stripMargin
-
-  /** The unigram-LM chain shared by `unigram_viterbi` and `unigram_em`:
-    * corpus → word vocab, substring seed + pruning, and the recursive
-    * per-word Viterbi cost table (see the `unigram_viterbi` comment).
-    * Ends INSIDE the WITH clause so callers append their own CTEs or a
-    * final SELECT. */
-  private def unigramCtes: String =
-    """WITH RECURSIVE
-      |uv AS (SELECT w AS word, count(*) AS freq
-      |       FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-      |             FROM documents) x GROUP BY w),
-      |sub AS (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
-      |   SELECT freq, substr(word, s, l) AS piece
-      |   FROM uv,
-      |        LATERAL (SELECT unnest(generate_series(1, len(word))) AS s) g1,
-      |        LATERAL (SELECT unnest(generate_series(1, least(4, len(word) - s + 1))) AS l) g2)
-      |  GROUP BY piece),
-      |pieces AS (
-      |  SELECT piece, cnt FROM sub WHERE len(piece) = 1
-      |  UNION ALL
-      |  SELECT piece, cnt FROM (
-      |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece) AS rn
-      |    FROM sub WHERE len(piece) > 1) WHERE rn <= 40),
-      |bigc AS (SELECT (SELECT max(len(word)) FROM uv) * (SELECT max(cnt) FROM pieces) + 1 AS big),
-      |r(word, freq, pos, costs) AS (
-      |  SELECT word, freq, 0, [CAST(0 AS BIGINT)] FROM uv
-      |  UNION ALL
-      |  SELECT word, freq, pos + 1, list_append(costs,
-      |    (SELECT min(r.costs[r.pos + 2 - len(p.piece)] + (SELECT big FROM bigc) - p.cnt)
-      |     FROM pieces p
-      |     WHERE len(p.piece) <= r.pos + 1
-      |       AND substr(r.word, r.pos + 2 - len(p.piece), len(p.piece)) = p.piece))
-      |  FROM r WHERE pos < len(word))""".stripMargin
-
-  /** The canonical-backtrack CTEs shared by `unigram_em`/`unigram_em2`
-    * (`Unigram.backtrack`'s longest-tight-edge walk over the [[
-    * unigramCtes]] cost tables). Ends INSIDE the WITH clause. */
-  private def unigramBtCtes: String =
-    """tab AS (SELECT word, freq, costs FROM r WHERE pos = len(word)),
-      |bt(word, freq, pos, out) AS (
-      |  SELECT word, freq, len(word), '' FROM tab
-      |  UNION ALL
-      |  SELECT bt.word, bt.freq, bt.pos - l, substr(bt.word, bt.pos - l + 1, l) || ' ' || out
-      |  FROM (
-      |    SELECT b.word, b.freq, b.pos, b.out,
-      |      (SELECT max(len(p.piece)) FROM pieces p, tab t
-      |       WHERE t.word = b.word AND len(p.piece) <= b.pos
-      |         AND substr(b.word, b.pos - len(p.piece) + 1, len(p.piece)) = p.piece
-      |         AND t.costs[b.pos - len(p.piece) + 1] + (SELECT big FROM bigc) - p.cnt
-      |             = t.costs[b.pos + 1]) AS l
-      |    FROM bt b WHERE b.pos > 0
-      |  ) bt)""".stripMargin
-
-  /** SimHash banded-pair replay shared by `simhash_pairs` (sources =
-    * the whole banding) and `simhash_pairs_capped` (sources = the
-    * keeper-ranked subquery): ONE copy of the band layout and the
-    * join/distinct/Hamming tail, mirroring `Dedup.banded60`/`pairTail`
-    * on the engine side — neither side of the parity contract can
-    * drift alone. */
-  private def simhashPairsSql(sourcesCte: String): String =
-    s"""${simhashFpCte(60)},
-       |banded AS (SELECT id, simhash, g.b AS bnd, (simhash >> (g.b * 15)) & 32767 AS byt
-       |           FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
-       |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
-       |          a.simhash AS fa, b.simhash AS fb
-       |         FROM $sourcesCte a JOIN banded b
-       |          ON a.bnd = b.bnd AND a.byt = b.byt AND a.id < b.id)
-       |SELECT id_a, id_b, bit_count(xor(fa, fb)) AS hamming
-       |FROM cand WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
-
-  /** Per-document token counts under the 6-merge trained vocab —
-    * `bpe_tokens`' replay, and byte-identically `bpe_artifact`'s (the
-    * artifact query only changes where the merges come from). */
-  private lazy val bpeTokensOracle: String =
-    s"""WITH ${bpeCtes(6)},
-       |dw AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-       |       FROM documents),
-       |wt AS (SELECT word, CAST(len(string_split(seq, ' ')) AS INTEGER) AS word_tokens
-       |       FROM v6)
-       |SELECT doc_id, count(*) AS n_words, CAST(sum(word_tokens) AS BIGINT) AS n_tokens
-       |FROM dw JOIN wt USING (word) GROUP BY doc_id""".stripMargin
-
-  /** Per-word Viterbi segmentation stats under the fitted seed model —
-    * `unigram_viterbi`'s replay, and byte-identically
-    * `unigram_artifact`'s (the artifact query only changes where the
-    * model comes from). */
-  private lazy val unigramViterbiOracle: String =
-    s"""$unigramCtes
-      |SELECT word, freq,
-      |  CAST(costs[len(word) + 1] // (SELECT big FROM bigc) + 1 AS BIGINT) AS n_pieces,
-      |  CAST((costs[len(word) + 1] // (SELECT big FROM bigc) + 1) * (SELECT big FROM bigc)
-      |       - costs[len(word) + 1] AS BIGINT) AS piece_mass
-      |FROM r WHERE pos = len(word)""".stripMargin
-
-  /** The full EM-loop replay (`Unigram.emLoop`): rounds 2..N extend the
-    * [[unigramCtes]]+[[unigramBtCtes]] chain — each round's expected
-    * counts become the next round's piece scores, `BIG` re-derives,
-    * and the DP recursion re-runs — then a per-round summary applies
-    * the engine's exact integer stopping rule (keep rows up to and
-    * including the first round whose weighted total piece count fails
-    * to improve). The last round needs no backtrack: only rounds that
-    * feed a successor build `bt`. */
-  private def unigramLoopSql(maxRounds: Int): String = {
-    require(maxRounds >= 2, "the loop trace needs at least two rounds to compare")
-    val sb = new StringBuilder(unigramCtes + ",\n" + unigramBtCtes)
-    for (j <- 2 to maxRounds) {
-      val prevBt = if (j == 2) "bt" else s"bt${j - 1}"
-      // MATERIALIZED is load-bearing: without it DuckDB inlines the
-      // round-j frames into round j+1's correlated subqueries, and the
-      // r→pieces→bt→tab chain re-evaluates once per outer row per
-      // round — exponential in maxRounds. Materializing each round
-      // boundary pins the replay to one evaluation per round.
-      sb ++= s""",
-        |pieces$j AS MATERIALIZED (SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt
-        |  FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
-        |        FROM $prevBt WHERE pos = 0) u
-        |  GROUP BY piece),
-        |bigc$j AS MATERIALIZED (SELECT (SELECT max(len(word)) FROM uv) * (SELECT max(cnt) FROM pieces$j) + 1 AS big),
-        |r$j(word, freq, pos, costs) AS (
-        |  SELECT word, freq, 0, [CAST(0 AS BIGINT)] FROM uv
-        |  UNION ALL
-        |  SELECT word, freq, pos + 1, list_append(costs,
-        |    (SELECT min(r$j.costs[r$j.pos + 2 - len(p.piece)] + (SELECT big FROM bigc$j) - p.cnt)
-        |     FROM pieces$j p
-        |     WHERE len(p.piece) <= r$j.pos + 1
-        |       AND substr(r$j.word, r$j.pos + 2 - len(p.piece), len(p.piece)) = p.piece))
-        |  FROM r$j WHERE pos < len(word))""".stripMargin
-      if (j < maxRounds) sb ++= s""",
-        |tab$j AS MATERIALIZED (SELECT word, freq, costs FROM r$j WHERE pos = len(word)),
-        |bt$j(word, freq, pos, out) AS (
-        |  SELECT word, freq, len(word), '' FROM tab$j
-        |  UNION ALL
-        |  SELECT s.word, s.freq, s.pos - l, substr(s.word, s.pos - l + 1, l) || ' ' || out
-        |  FROM (
-        |    SELECT b.word, b.freq, b.pos, b.out,
-        |      (SELECT max(len(p.piece)) FROM pieces$j p, tab$j t
-        |       WHERE t.word = b.word AND len(p.piece) <= b.pos
-        |         AND substr(b.word, b.pos - len(p.piece) + 1, len(p.piece)) = p.piece
-        |         AND t.costs[b.pos - len(p.piece) + 1] + (SELECT big FROM bigc$j) - p.cnt
-        |             = t.costs[b.pos + 1]) AS l
-        |    FROM bt$j b WHERE b.pos > 0
-        |  ) s)""".stripMargin
-    }
-    // per-round corpus totals (round 1 = the seed-model names)
-    def roundSummary(j: Int): String = {
-      val (rName, piecesName, bigName) =
-        if (j == 1) ("r", "pieces", "bigc") else (s"r$j", s"pieces$j", s"bigc$j")
-      s"""SELECT $j AS iter, (SELECT count(*) FROM $piecesName) AS model_pieces,
-         |  CAST(sum(freq * (costs[len(word) + 1] // (SELECT big FROM $bigName) + 1)) AS BIGINT) AS total_pieces,
-         |  CAST(sum(freq * ((costs[len(word) + 1] // (SELECT big FROM $bigName) + 1) * (SELECT big FROM $bigName)
-         |       - costs[len(word) + 1])) AS BIGINT) AS total_mass
-         |FROM $rName WHERE pos = len(word)""".stripMargin
-    }
-    sb ++= s""",
-      |summary AS (
-      |${(1 to maxRounds).map(roundSummary).mkString("\nUNION ALL\n")}),
-      |flagged AS (SELECT iter, model_pieces, total_pieces, total_mass,
-      |  CASE WHEN iter = 1 THEN 0
-      |       WHEN total_pieces >= lag(total_pieces) OVER (ORDER BY iter) THEN 1
-      |       ELSE 0 END AS stopf
-      |  FROM summary),
-      |kept AS (SELECT *, sum(stopf) OVER (ORDER BY iter
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
-      |  FROM flagged)
-      |SELECT iter, model_pieces, total_pieces, total_mass
-      |FROM kept WHERE s = 0 OR (stopf = 1 AND s = 1)""".stripMargin
-    sb.toString
-  }
-
-  /** Greedy longest-match ENCODE replay (`Bpe.greedyPieces`) on top of
-    * the [[bpeCtes]] chain: the piece inventory is v6's distinct symbol
-    * set, and the recursion walks each vocab word left-to-right taking
-    * the longest inventory piece that prefixes the remainder (the
-    * correlated max-length scalar subquery), single-char fallback —
-    * the same longest-first probe order the engine's when-chain
-    * compiles. Both oracles over the encoder share this text. */
-  private def greedyCtes: String =
-    """pieces AS (SELECT DISTINCT unnest(string_split(seq, ' ')) AS piece FROM v6),
-      |r(word, freq, pos, out) AS (
-      | SELECT word, freq, 1, '' FROM v6
-      | UNION ALL
-      | SELECT word, freq, pos + l, out || ' ' || substr(word, pos, l)
-      | FROM (
-      |  SELECT word, freq, pos, out,
-      |   coalesce((SELECT max(len(p.piece)) FROM pieces p
-      |             WHERE substr(r.word, r.pos, len(p.piece)) = p.piece
-      |               AND r.pos + len(p.piece) <= len(r.word) + 1), 1) AS l
-      |  FROM r WHERE pos <= len(word)
-      | ) stepped
-      |)""".stripMargin
-
-  /** Shared CTE chain replaying the vocab-compressed BPE trainer
-    * (`graft.operators.Bpe`): v0 = corpus → (word, freq, spaced-chars)
-    * vocabulary, then per merge j: pair counts p_j over v_{j-1}, argmax
-    * b_j under (freq DESC, lhs, rhs), rewrite v_j with the SAME 4-pass
-    * padded leftmost-non-overlapping replace the engine applies — the
-    * merge semantics are pinned by construction on both sides. */
-  private def bpeCtes(numMerges: Int): String = {
-    val sb = new StringBuilder(
-      """v0 AS (
-        | SELECT w AS word, count(*) AS freq,
-        |  trim(regexp_replace(w, '(.)', '\1 ', 'g')) AS seq
-        | FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        |       FROM documents) uw
-        | GROUP BY w)""".stripMargin)
-    for (j <- 1 to numMerges) {
-      // spread-replace-collapse: separators doubled so ONE replace is
-      // the exact token-level greedy merge (Bpe.applyMerge's scaladoc)
-      val rep = "replace(' ' || replace(v.seq, ' ', '  ') || ' ', " +
-        "' ' || b.lhs || '  ' || b.rhs || ' ', ' ' || b.lhs || b.rhs || ' ')"
-      sb ++= s""",
-        |p$j AS (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
-        |         CAST(sum(freq) AS BIGINT) AS freq
-        |        FROM (SELECT freq, string_split(seq, ' ') AS syms FROM v${j - 1}) s,
-        |             LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
-        |        GROUP BY 1, 2),
-        |b$j AS (SELECT lhs, rhs, freq FROM p$j ORDER BY freq DESC, lhs, rhs LIMIT 1),
-        |v$j AS (SELECT v.word, v.freq, trim(replace($rep, '  ', ' ')) AS seq
-        |        FROM v${j - 1} v, b$j b)""".stripMargin
-    }
-    sb.toString
-  }
-
-  /** WordPiece training replay — [[bpeCtes]]' structure over the
-    * ##-marked alphabet with likelihood argmax: w0 seeds `k ##e ##y`
-    * sequences, each round recounts symbol frequencies (sy_j), scores
-    * pairs by `freq / (fl · fr)` as IEEE doubles (the engine's exact
-    * expression), picks the (score DESC, lhs, rhs) head, and rewrites
-    * with the marker-stripped fusion carried in b_j.merged.
-    *
-    * Every w_j is `AS MATERIALIZED`: each round reads its predecessor
-    * from THREE places (sy_j, p_j, and w_j's own projection), so the
-    * default inlining would re-expand the chain 4^k times — measured
-    * 267 s at sf0.001 vs sub-second materialized. ([[bpeCtes]] gets
-    * away without the hint at 2 references per round.)
-    *
-    * Degenerate-corpus parity: when a round has no learnable pair, the
-    * engine's `Wordpiece.learnMerges` stops and keeps the last vocab —
-    * so w_j LEFT-joins b_j and falls back to w_{j-1}'s sequences when
-    * b_j is empty, instead of cascading to an empty (and silently
-    * engine-divergent) result through the remaining rounds. */
-  private def wpCtes(numMerges: Int, src: String = "documents"): String = {
-    val sb = new StringBuilder(
-      s"""w0 AS MATERIALIZED (
-        | SELECT w AS word, count(*) AS freq,
-        |  CASE WHEN len(w) <= 1 THEN w
-        |       ELSE substr(w, 1, 1) || ' ' ||
-        |            trim(regexp_replace(substr(w, 2), '(.)', '##\\1 ', 'g')) END AS seq
-        | FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        |       FROM $src) uw
-        | GROUP BY w)""".stripMargin)
-    for (j <- 1 to numMerges) {
-      // spread-replace-collapse, identical to bpeCtes but substituting
-      // the marker-stripped b.merged (Wordpiece.applyMerge)
-      val rep = "replace(' ' || replace(v.seq, ' ', '  ') || ' ', " +
-        "' ' || b.lhs || '  ' || b.rhs || ' ', ' ' || b.merged || ' ')"
-      sb ++= s""",
-        |sy$j AS MATERIALIZED (SELECT sym, CAST(sum(freq) AS BIGINT) AS cnt
-        |        FROM (SELECT freq, unnest(string_split(seq, ' ')) AS sym FROM w${j - 1}) s
-        |        GROUP BY sym),
-        |p$j AS MATERIALIZED (SELECT syms[i] AS lhs, syms[i + 1] AS rhs,
-        |         CAST(sum(freq) AS BIGINT) AS freq
-        |        FROM (SELECT freq, string_split(seq, ' ') AS syms FROM w${j - 1}) s,
-        |             LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) g
-        |        GROUP BY 1, 2),
-        |b$j AS MATERIALIZED (SELECT p.lhs, p.rhs,
-        |         p.lhs || CASE WHEN p.rhs LIKE '##%' THEN substr(p.rhs, 3)
-        |                       ELSE p.rhs END AS merged, p.freq
-        |        FROM p$j p JOIN sy$j a ON a.sym = p.lhs JOIN sy$j c ON c.sym = p.rhs
-        |        ORDER BY CAST(p.freq AS DOUBLE) /
-        |                 (CAST(a.cnt AS DOUBLE) * CAST(c.cnt AS DOUBLE)) DESC,
-        |                 p.lhs, p.rhs LIMIT 1),
-        |w$j AS MATERIALIZED (
-        | SELECT v.word, v.freq,
-        |  CASE WHEN b.lhs IS NULL THEN v.seq
-        |       ELSE trim(replace($rep, '  ', ' ')) END AS seq
-        | FROM w${j - 1} v LEFT JOIN b$j b ON true)""".stripMargin
-    }
-    sb.toString
-  }
-
-  /** The WordPiece greedy-encode replay: [[greedyCtes]]' walk made
-    * marker-aware — the matchable surface of a ##-piece is its last
-    * `len-2` characters, position 1 may only take unmarked pieces, and
-    * the emitted token re-attaches the marker. */
-  private val wordpieceTokensOracle: String = wordpieceTokensOracleFor("documents")
-
-  private def wordpieceTokensOracleFor(src: String): String =
-    s"""WITH RECURSIVE ${wpCtes(6, src)},
-       |wpieces AS (SELECT DISTINCT unnest(string_split(seq, ' ')) AS piece FROM w6),
-       |r(word, freq, pos, out) AS (
-       | SELECT word, freq, 1, '' FROM w6
-       | UNION ALL
-       | SELECT word, freq, pos + l,
-       |  out || ' ' || CASE WHEN pos = 1 THEN substr(word, pos, l)
-       |                     ELSE '##' || substr(word, pos, l) END
-       | FROM (
-       |  SELECT word, freq, pos, out,
-       |   coalesce((SELECT max(CASE WHEN p.piece LIKE '##%' THEN len(p.piece) - 2
-       |                             ELSE len(p.piece) END)
-       |             FROM wpieces p
-       |             WHERE CASE WHEN r.pos = 1 THEN
-       |                     p.piece NOT LIKE '##%'
-       |                     AND r.pos + len(p.piece) <= len(r.word) + 1
-       |                     AND substr(r.word, r.pos, len(p.piece)) = p.piece
-       |                   ELSE
-       |                     p.piece LIKE '##%'
-       |                     AND r.pos + len(p.piece) - 2 <= len(r.word) + 1
-       |                     AND substr(r.word, r.pos, len(p.piece) - 2) = substr(p.piece, 3)
-       |                   END), 1) AS l
-       |  FROM r WHERE pos <= len(word)
-       | ) stepped
-       |)
-       |SELECT piece, CAST(sum(freq) AS BIGINT) AS freq
-       |FROM (SELECT freq, unnest(string_split(trim(out), ' ')) AS piece
-       |      FROM r WHERE pos > len(word)) u
-       |GROUP BY piece""".stripMargin
-
-  /** Shared NB CTEs: the lang='en' weak label, `[a-z]+` tokens, and the
-    * per-term class counts — one definition for train and score. */
-  private val nbCtes: String =
-    """lab AS (SELECT doc_id, coalesce(lang, '') = 'en' AS pos, text FROM documents),
-      |toks AS (SELECT doc_id, pos,
-      |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term FROM lab),
-      |counts AS (SELECT term,
-      |  CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_cnt,
-      |  CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_cnt
-      | FROM toks GROUP BY term)""".stripMargin
-
-  /** NB scoring replay: the one-logarithm smoothed llr per token,
-    * rounded to 6 decimals then micro-nat fixed point (order-free long
-    * sums — the repo-wide ln discipline), plus the class-prior llr. */
-  private val nbScoreOracle: String =
-    s"""WITH $nbCtes,
-       |tot AS (SELECT CAST(sum(pos_cnt) AS BIGINT) AS pos_tot,
-       |         CAST(sum(neg_cnt) AS BIGINT) AS neg_tot,
-       |         CAST(count(*) AS BIGINT) AS vocab FROM counts),
-       |dt AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS pos_docs,
-       |        CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS neg_docs FROM lab),
-       |pr AS (SELECT CAST(round(round(ln(CAST(pos_docs AS DOUBLE) /
-       |         CAST(neg_docs AS DOUBLE)), 6) * 1e6) AS BIGINT) AS p6 FROM dt),
-       |scored AS (SELECT t.doc_id,
-       |  CAST(round(round(ln(
-       |    (CAST(coalesce(c.pos_cnt, 0) + 1 AS DOUBLE) * CAST(tot.neg_tot + tot.vocab AS DOUBLE)) /
-       |    (CAST(coalesce(c.neg_cnt, 0) + 1 AS DOUBLE) * CAST(tot.pos_tot + tot.vocab AS DOUBLE))),
-       |   6) * 1e6) AS BIGINT) AS s6
-       | FROM toks t LEFT JOIN counts c USING (term) CROSS JOIN tot)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-       | CAST(pr.p6 + sum(s6) AS DOUBLE) / 1e6 AS nb_llr,
-       | CASE WHEN pr.p6 + sum(s6) > 0 THEN 1 ELSE 0 END AS pred
-       |FROM scored CROSS JOIN pr GROUP BY doc_id, pr.p6""".stripMargin
-
-  /** Shared CTE prefix replaying the C4 greedy sentence-packing fold
-    * (recursive walk carrying (sub_idx, cur_len) per chunk; RE2 has no
-    * lookbehind so the sentence split is marker-replace + split). */
-  private val c4WalkSql: String =
-    """WITH RECURSIVE parts AS (
-      | SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx, trim(parts[i]) AS content
-      | FROM (SELECT doc_id, regexp_split_to_array(text, '\n{2,}') AS parts FROM documents) t,
-      |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
-      |pchunks AS (
-      | SELECT CAST(doc_id AS VARCHAR) AS document_id, para_idx AS position, content
-      | FROM parts WHERE length(content) > 20),
-      |sent AS (
-      | SELECT document_id, position,
-      |  list_filter(string_split(regexp_replace(content, '([.!?])\s+', '\1' || chr(1), 'g'), chr(1)),
-      |              x -> length(x) > 0) AS s
-      | FROM pchunks WHERE length(content) > 120),
-      |sent2 AS (
-      | SELECT document_id, position, i, s[i] AS sentence, length(s[i]) AS slen, len(s) AS n
-      | FROM sent, LATERAL (SELECT unnest(generate_series(1, len(s))) AS i) g),
-      |walk AS (
-      | SELECT document_id, position, i, n, 0 AS sub_idx, slen AS cur_len FROM sent2 WHERE i = 1
-      | UNION ALL
-      | SELECT nx.document_id, nx.position, nx.i, nx.n,
-      |  CASE WHEN w.cur_len + 1 + nx.slen <= 120 THEN w.sub_idx ELSE w.sub_idx + 1 END,
-      |  CASE WHEN w.cur_len + 1 + nx.slen <= 120 THEN w.cur_len + 1 + nx.slen ELSE nx.slen END
-      | FROM walk w JOIN sent2 nx
-      |   ON nx.document_id = w.document_id AND nx.position = w.position AND nx.i = w.i + 1),
-      |packed AS (
-      | SELECT w.document_id, w.position, w.sub_idx,
-      |  string_agg(s2.sentence, ' ' ORDER BY w.i) AS content
-      | FROM walk w JOIN sent2 s2
-      |   ON s2.document_id = w.document_id AND s2.position = w.position AND s2.i = w.i
-      | GROUP BY w.document_id, w.position, w.sub_idx),
-      |subs AS (
-      | SELECT document_id, position, 0 AS sub_idx, content FROM pchunks WHERE length(content) <= 120
-      | UNION ALL SELECT * FROM packed)""".stripMargin
-
-  /** Shared shingle→minhash→band→candidate-pair CTE prefix for the
-    * minhash_pairs / dup_clusters oracles (mirrors
-    * [[Dedup.minhashCandidates]] on `documents WHERE doc_id < 500`:
-    * 3-gram shingles, 8 affine hashes, 4 bands of 2). */
-  private lazy val minhashPairsCte: String = {
-    val params = Dedup.minhashParams(8)
-    val p = Dedup.minhashPrime
-    val sigDefs = params.zipWithIndex.map { case ((a, b), i) =>
-      s"min((hv * $a + $b) % $p) AS sig_$i"
-    }.mkString(", ")
-    val bandSelects = (0 until 4).map { bnd =>
-      s"SELECT id, $bnd AS band, CAST(sig_${2 * bnd} AS VARCHAR) || ':' || CAST(sig_${2 * bnd + 1} AS VARCHAR) AS bucket FROM sig"
-    }.mkString(" UNION ALL ")
-    s"""WITH sh AS (
-       | SELECT doc_id AS id, unnest(list_distinct(
-       |   CASE WHEN len(words) >= 3
-       |    THEN list_transform(generate_series(1, len(words) - 2), i -> array_to_string(words[i : i + 2], ' '))
-       |    ELSE [array_to_string(words, ' ')] END)) AS shingle
-       | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
-       |       FROM documents WHERE doc_id < 500)),
-       |h AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS hv FROM sh),
-       |sig AS (SELECT id, $sigDefs FROM h GROUP BY id),
-       |banded AS ($bandSelects),
-       |pairs AS (
-       | SELECT DISTINCT a.id AS id_a, b.id AS id_b
-       | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)""".stripMargin
-  }
-
-  /** Shared line→section CTE prefix for the C1/C9 oracles (mirrors
-    * [[Sections.sectionChunks]] exactly: header regexes, running-count
-    * section ids, ordered reassembly). */
-  private def c1SectionsSql(finalSelect: String): String = {
-    val headerPred = Sections.headerPatterns
-      .map(p => s"regexp_matches(line, '${esc(p)}')").mkString("(", " OR ", ")")
-    s"""WITH lines AS (
-       | SELECT doc_id, CAST(i - 1 AS INTEGER) AS line_idx, parts[i] AS line
-       | FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM documents) t,
-       |      LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
-       |flagged AS (SELECT *, $headerPred AS is_header FROM lines),
-       |numbered AS (
-       | SELECT *, CAST(sum(CASE WHEN is_header THEN 1 ELSE 0 END)
-       |   OVER (PARTITION BY doc_id ORDER BY line_idx
-       |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS section_idx
-       | FROM flagged),
-       |sections AS (
-       | SELECT doc_id, section_idx,
-       |  COALESCE(max(CASE WHEN is_header THEN trim(line) END), 'Introduction') AS section_title,
-       |  trim(COALESCE(string_agg(CASE WHEN NOT is_header THEN line END, chr(10)
-       |    ORDER BY line_idx), ''), ' ' || chr(9) || chr(10) || chr(13)) AS content
-       | FROM numbered GROUP BY doc_id, section_idx)
-       |$finalSelect"""
-  }.stripMargin
+  // The registry: per-tier traits (mechanical round-16 split of the
+  // former 4,400-line monolith) composed into the driver's two maps.
+  // Key sets are disjoint by construction (each query was moved once);
+  // iteration order of the composed HashMap depends only on the key
+  // set, so the bench order is byte-identical to the monolith's.
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    relationalQueries ++ retrievalQueries ++ curationQueries ++
+      docsQueries ++ eventsQueries ++ subwordQueries
+
+  def oracleSql: Map[String, String] =
+    relationalOracles ++ retrievalOracles ++ curationOracles ++
+      docsOracles ++ eventsOracles ++ subwordOracles
 }
