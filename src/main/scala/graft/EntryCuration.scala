@@ -353,11 +353,52 @@ private[graft] trait EntryCuration extends EntryShared {
       Retrieval.rrfFuse(vector, lexical, k = 3, idCol = "chunk_id")
         .join(broadcast(qs), "question_id")
     }),
-    // --- distributed BPE tokenizer training (vocab-compressed): the
-    // corpus collapses once to (word, freq) and every merge iteration
-    // runs over the vocabulary, never the corpus — the SentencePiece/
-    // HuggingFace-trainers compression, so k merges cost k small jobs
-    // regardless of corpus size,
+    // --- published quality-filter families (round 16) ------------------
+    // Gopher rules (Rae et al. 2021 appendix A) over pages decorated
+    // deterministically from doc_id so every rule carries signal: %4
+    // adds two bullet lines (trips the ≤10% bullet rule and the no-
+    // letter '-' word dents alpha_frac), %6 adds an ellipsis-terminated
+    // line (trips symbol + ellipsis counters). Metrics in exact integer
+    // micro-units; the oracle evaluates the SAME RE2-compatible regexes
+    "gopher_quality" -> ((s, d) => {
+      // %3≠0 docs get a stop-word-rich closing sentence (the synthetic
+      // corpus vocabulary carries only 'the' of the 8 Gopher stops, so
+      // without it the stop-word rule — and the composite verdict —
+      // would be constant-false)
+      val page = concat(col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\n- a bullet item\n- another bullet item")).otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          lit("\nthe story continues...")).otherwise(lit("")),
+        when(col("doc_id") % 3 =!= 0,
+          lit("\nthat view of the data shall be joined with care."))
+          .otherwise(lit("")))
+      TextAnalysis.gopherQuality(
+        Tables.documents(s, d).withColumn("page", page), textCol = "page")
+    }),
+    // C4 line/page cleaning (Raffel et al. 2020 §2.2) over a 5-line
+    // synthetic page per doc: l1 always survives, l2 is under the word
+    // floor (and on %13 carries the page-killing 'lorem ipsum'), l3
+    // lacks terminal punctuation, l4 is the 'javascript' line on %7,
+    // l5 carries the page-killing '{' on %11 — the oracle re-derives
+    // the verdicts from doc_id alone, not by replaying the regexes
+    "c4_clean" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val l1 = concat(lit("the first sentence of page "), id,
+        lit(" runs long enough to keep."))
+      val l2 = when(col("doc_id") % 13 === 0, lit("lorem ipsum dolor sit."))
+        .otherwise(lit("too short."))
+      val l3 = concat(lit("no terminal punctuation on line three of page "), id)
+      val l4 = when(col("doc_id") % 7 === 0,
+          lit("inline javascript fragments get dropped here."))
+        .otherwise(concat(lit("a second real sentence stays on page "), id, lit(".")))
+      val l5 = when(col("doc_id") % 11 === 0,
+          concat(lit("a curly { brace taints page "), id, lit(".")))
+        .otherwise(concat(lit("the third sentence closes page "), id, lit(".")))
+      val page = concat_ws("\n", l1, l2, l3, l4, l5)
+      Cleaning.c4Clean(
+        Tables.documents(s, d).withColumn("page", page), textCol = "page")
+    }),
   )
 
   protected def curationOracles: Map[String, String] = Map(
@@ -1225,5 +1266,76 @@ private[graft] trait EntryCuration extends EntryShared {
          | SELECT *, row_number() OVER (
          |   PARTITION BY question_id ORDER BY rrf6 DESC, doc_id) AS rank
          | FROM fused) WHERE rank <= 5""".stripMargin,
+
+    // the SAME RE2-compatible regexes the engine runs (DuckDB is RE2;
+    // the patterns avoid lookbehind for exactly this parity), counts
+    // via regexp_extract_all, micro-units via integer division
+    "gopher_quality" ->
+      """WITH p AS (
+        | SELECT doc_id, text
+        |   || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- a bullet item'
+        |        || chr(10) || '- another bullet item' ELSE '' END
+        |   || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'the story continues...'
+        |        ELSE '' END
+        |   || CASE WHEN doc_id % 3 <> 0
+        |        THEN chr(10) || 'that view of the data shall be joined with care.'
+        |        ELSE '' END AS page
+        | FROM documents),
+        |m AS (
+        | SELECT doc_id,
+        |  len(regexp_split_to_array(trim(page), '\s+')) AS n_words,
+        |  len(regexp_split_to_array(page, chr(10))) AS n_lines,
+        |  length(regexp_replace(page, '\s+', '', 'g')) AS non_ws,
+        |  len(regexp_extract_all(page, '(?m)^\s*[-*]')) AS bullets,
+        |  len(regexp_extract_all(page, '(?m)\.\.\.$')) AS ell_ends,
+        |  len(regexp_extract_all(page, '#'))
+        |    + len(regexp_extract_all(page, '\.\.\.')) AS symbols,
+        |  len(regexp_extract_all(page, '(^|\s)[^\s]*[A-Za-z]')) AS alpha_words,
+        |  (CASE WHEN position(' the '  IN ' ' || lower(page) || ' ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN position(' be '   IN ' ' || lower(page) || ' ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN position(' to '   IN ' ' || lower(page) || ' ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN position(' of '   IN ' ' || lower(page) || ' ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN position(' and '  IN ' ' || lower(page) || ' ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN position(' that ' IN ' ' || lower(page) || ' ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN position(' have ' IN ' ' || lower(page) || ' ') > 0 THEN 1 ELSE 0 END
+        |   + CASE WHEN position(' with ' IN ' ' || lower(page) || ' ') > 0 THEN 1 ELSE 0 END)
+        |    AS n_stop
+        | FROM p)
+        |SELECT doc_id, n_words, n_lines,
+        |  CAST(non_ws * 1000000 // n_words AS BIGINT) AS mean_word_len_micro,
+        |  CAST(symbols * 1000000 // n_words AS BIGINT) AS symbol_ratio_micro,
+        |  CAST(bullets * 1000000 // n_lines AS BIGINT) AS bullet_frac_micro,
+        |  CAST(ell_ends * 1000000 // n_lines AS BIGINT) AS ellipsis_frac_micro,
+        |  CAST(alpha_words * 1000000 // n_words AS BIGINT) AS alpha_frac_micro,
+        |  n_stop,
+        |  (n_words BETWEEN 50 AND 100000
+        |   AND non_ws * 1000000 // n_words BETWEEN 3000000 AND 10000000
+        |   AND symbols * 1000000 // n_words <= 100000
+        |   AND bullets * 1000000 // n_lines <= 100000
+        |   AND ell_ends * 1000000 // n_lines <= 300000
+        |   AND alpha_words * 1000000 // n_words >= 800000
+        |   AND n_stop >= 2) AS gopher_pass
+        |FROM m""".stripMargin,
+
+    // verdicts re-derived from doc_id alone — which lines survive is a
+    // pure function of the %7/%11/%13 branches, no regex replay
+    "c4_clean" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  'the first sentence of page ' || doc_id || ' runs long enough to keep.' AS l1,
+        |  CASE WHEN doc_id % 7 = 0 THEN NULL
+        |       ELSE 'a second real sentence stays on page ' || doc_id || '.' END AS l4,
+        |  CASE WHEN doc_id % 11 = 0 THEN 'a curly { brace taints page ' || doc_id || '.'
+        |       ELSE 'the third sentence closes page ' || doc_id || '.' END AS l5
+        | FROM documents),
+        |k AS (
+        | SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 2 ELSE 3 END AS n_kept,
+        |  (doc_id % 7 <> 0 AND doc_id % 11 <> 0 AND doc_id % 13 <> 0) AS keep_doc,
+        |  l1 || COALESCE(chr(10) || l4, '') || chr(10) || l5 AS joined
+        | FROM p)
+        |SELECT doc_id, 5 AS n_lines, n_kept, keep_doc,
+        |  CASE WHEN keep_doc THEN joined ELSE '' END AS clean_text
+        |FROM k""".stripMargin,
   )
 }

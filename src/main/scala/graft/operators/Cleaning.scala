@@ -26,6 +26,44 @@ import org.apache.spark.sql.functions._
   */
 object Cleaning {
 
+  /** C4-style line/page cleaning (Raffel et al. 2020 §2.2, the
+    * published rules that built C4 from Common Crawl):
+    *
+    *  - LINE level: keep only lines that end in terminal punctuation
+    *    (`.`, `!`, `?`, `"`), have at least `minLineWords` words, and
+    *    do not contain the word "javascript";
+    *  - PAGE level: drop the page if it contains "lorem ipsum" or a
+    *    curly brace `{`, or if fewer than `minKeptLines` lines survive.
+    *
+    * Output per document: `n_lines`, `n_kept`, `keep_doc`, and
+    * `clean_text` (the kept lines re-joined with newlines — empty
+    * string when the page is dropped, so the column hashes stably).
+    *
+    * Scale shape: a pure per-row projection — the line walk is a
+    * bounded fold over one page's line array (the UrlOps precedent:
+    * HOFs are fine over a handful of short per-row tokens, just never
+    * over per-token corpus passes); zero shuffle, zero UDF, zero
+    * explode/regroup round trip. */
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", minLineWords: Int = 5,
+              minKeptLines: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val kept = filter(split(t, "\n"), l =>
+      rtrim(l).rlike("[.!?\"]$") &&
+        size(split(trim(l), "\\s+")) >= minLineWords &&
+        !lower(l).contains("javascript"))
+    docs.select(col(idCol),
+        size(split(t, "\n")).as("n_lines"),
+        size(kept).as("n_kept"),
+        (size(kept) >= minKeptLines &&
+          !lower(t).contains("lorem ipsum") &&
+          !t.contains("{")).as("keep_doc"),
+        kept.as("_kept"))
+      .withColumn("clean_text",
+        when(col("keep_doc"), array_join(col("_kept"), "\n")).otherwise(lit("")))
+      .drop("_kept")
+  }
+
   /** @param lm optional pre-trained unigram LM
     *   ([[TextAnalysis.trainUnigramLm]] output, possibly loaded from a
     *   persisted artifact via [[TextAnalysis.loadLm]]). When given, the

@@ -61,6 +61,61 @@ object TextAnalysis {
           .cast("double") / greatest(size(words), lit(1)), 4))
   }
 
+  /** Gopher-rule stop words (Rae et al. 2021, appendix A: a document
+    * must contain at least two of these to pass the stop-word rule). */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    * Language Models", appendix A — the published thresholds used to
+    * filter MassiveWeb): word count in [50, 100 000]; mean word length
+    * in [3, 10]; symbol-to-word ratio (# and …) ≤ 0.1; ≤ 10 % of lines
+    * start with a bullet; ≤ 30 % of lines end with an ellipsis; ≥ 80 %
+    * of words contain an alphabetic character; ≥ 2 of the 8 Gopher
+    * stop words present.
+    *
+    * All metrics are emitted in exact integer micro-units (the
+    * fixed-point cross-engine rule: floor(x·10⁶) via integer division,
+    * never a float), plus the composite `gopher_pass` verdict.
+    *
+    * Scale shape: pure per-row column expressions — counts come from
+    * `regexp_count`/`length`/`size(split(...))`, all codegen'd, RE2-
+    * compatible patterns so the DuckDB oracle evaluates the SAME
+    * regexes; zero shuffle, zero UDF, zero HOF lambda in the per-token
+    * path. */
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val words = size(split(trim(t), "\\s+"))
+    val nonWs = length(regexp_replace(t, "\\s+", ""))
+    val lines = size(split(t, "\n"))
+    val bullets = regexp_count(t, lit("(?m)^\\s*[-*]"))
+    val ellipsisEnds = regexp_count(t, lit("(?m)\\.\\.\\.$"))
+    val symbols = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
+    val alphaWords = regexp_count(t, lit("(^|\\s)[^\\s]*[A-Za-z]"))
+    val nStop = markerScore(t, gopherStops)
+    // Column `/` is double division — floor+cast gives the exact
+    // integer micro quotient (operands < 2^53, so the double divide of
+    // exactly-representable longs floors identically to DuckDB's `//`)
+    def micro(num: Column, den: Column) =
+      floor(num * 1000000L / den).cast("long")
+    val out = docs.select(col(idCol), words.as("n_words"), lines.as("n_lines"),
+      micro(nonWs, words).as("mean_word_len_micro"),
+      micro(symbols, words).as("symbol_ratio_micro"),
+      micro(bullets, lines).as("bullet_frac_micro"),
+      micro(ellipsisEnds, lines).as("ellipsis_frac_micro"),
+      micro(alphaWords, words).as("alpha_frac_micro"),
+      nStop.as("n_stop"))
+    out.withColumn("gopher_pass",
+      col("n_words").between(50, 100000) &&
+        col("mean_word_len_micro").between(3000000L, 10000000L) &&
+        col("symbol_ratio_micro") <= 100000L &&
+        col("bullet_frac_micro") <= 100000L &&
+        col("ellipsis_frac_micro") <= 300000L &&
+        col("alpha_frac_micro") >= 800000L &&
+        col("n_stop") >= 2)
+  }
+
   /** Per-language corpus DATA CARD — the datasheet summary a curator
     * reads before committing a mixture (Gebru et al.'s datasheets,
     * reduced to the columns this engine computes): document and word

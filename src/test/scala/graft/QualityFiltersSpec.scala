@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cleaning, TextAnalysis}
+
+/** The two published quality-filter families added round 16: Gopher
+  * rules (Rae et al. 2021 appendix A) and C4 line/page cleaning
+  * (Raffel et al. 2020 §2.2). Hand-computed verdicts per rule. */
+class QualityFiltersSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def gopher(texts: String*): Map[Long, org.apache.spark.sql.Row] =
+    TextAnalysis.gopherQuality(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
+  test("gopher: each rule trips independently; a clean page passes") {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
+    val clean = fifty + " and that story had the happy end we hoped it would have."
+    val bullets = clean + "\n- one\n- two\n- three\n- four\n- five\n- six"
+    val symbols = clean + " " + ("#" * 7).mkString(" ")
+    val fewStops = fifty + " plain prose sentence lacking markers entirely."
+    val out = gopher(clean, bullets, symbols, fewStops, "tiny page with that and the stops.")
+    assert(out(0).getAs[Boolean]("gopher_pass"), "clean page must pass")
+    // six bullet lines over seven lines: 857142 micro > the 10% cap
+    assert(out(1).getAs[Long]("bullet_frac_micro") > 100000L)
+    assert(!out(1).getAs[Boolean]("gopher_pass"))
+    // seven '#' over ~63 words: >10% symbol ratio
+    assert(out(2).getAs[Long]("symbol_ratio_micro") > 100000L)
+    assert(!out(2).getAs[Boolean]("gopher_pass"))
+    // only 'the'-free filler: n_stop < 2
+    assert(out(3).getAs[Int]("n_stop") < 2)
+    assert(!out(3).getAs[Boolean]("gopher_pass"))
+    // 7 words: under the 50-word floor
+    assert(out(4).getAs[Int]("n_words") < 50 && !out(4).getAs[Boolean]("gopher_pass"))
+  }
+
+  test("gopher: ellipsis and alpha-word rules; micro-units are exact integer floors") {
+    val out = gopher(
+      "one line.\nto be continued...\nalso unfinished...",
+      "abc 123 456 789 000 111")
+    val e = out(0)
+    // 2 of 3 lines end in '...': 666666 micro > 300000 cap
+    assert(e.getAs[Long]("ellipsis_frac_micro") === 666666L)
+    // 1 of 6 words has a letter: 166666 micro < 800000 floor
+    val a = out(1)
+    assert(a.getAs[Long]("alpha_frac_micro") === 166666L)
+    assert(!a.getAs[Boolean]("gopher_pass"))
+  }
+
+  test("c4: line rules (terminal punct, word floor, javascript) and page rules") {
+    val pages = Seq(
+      (0L, "this first line carries five words.\nshort.\nno terminal punctuation here at all\nthis second keeper also has enough words!\nand a third keeper rounds out the page?"),
+      (1L, "this first line carries five words.\nenable javascript to view this page.\nonly three keepers survive on this one.\nbecause the scripted line is gone now."),
+      (2L, "a fine page with lorem ipsum inside it.\nsecond proper sentence keeps going strong.\nthird proper sentence keeps going strong."),
+      (3L, "a curly json { snippet poisons the page.\nsecond proper sentence keeps going strong.\nthird proper sentence keeps going strong."))
+    val out = Cleaning.c4Clean(pages.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val ok = out(0L)
+    assert(ok.getAs[Boolean]("keep_doc"))
+    assert(ok.getAs[Int]("n_kept") === 3)
+    assert(ok.getAs[String]("clean_text") ===
+      "this first line carries five words.\nthis second keeper also has enough words!\nand a third keeper rounds out the page?")
+    // the javascript line drops; the other three survive
+    assert(out(1L).getAs[Int]("n_kept") === 3 && out(1L).getAs[Boolean]("keep_doc"))
+    assert(!out(1L).getAs[String]("clean_text").contains("javascript"))
+    // lorem ipsum and '{' kill the PAGE even though lines individually pass
+    assert(!out(2L).getAs[Boolean]("keep_doc") && out(2L).getAs[String]("clean_text") === "")
+    assert(!out(3L).getAs[Boolean]("keep_doc") && out(3L).getAs[String]("clean_text") === "")
+  }
+}
