@@ -174,6 +174,32 @@ private[graft] trait EntryDocs extends EntryShared {
     // the full crawl chain: WARC → 200/text-html responses → HTML
     // main-content blocks, one map-side pass (no joins, no shuffles),
     "warc_html_blocks" -> ((s, d) => Warc.warcHtmlBlocks(Warc.fixturesDF(s))),
+    // crawl discovery, leg 1: raw <a href> values in document order
+    // (quoted/bare forms, entity-decoded); binary garbage → no rows
+    "html_links" -> ((s, d) => Html.htmlLinks(Html.fixturesDF(s))),
+    // crawl discovery, the full loop: fetched pages → extracted links →
+    // resolve against the page URL → canonical dedup → robots filter →
+    // per-host politeness budget. The two WARC twins (plain + gz) carry
+    // the same page, so distinct() must collapse their link sets before
+    // the frontier window; shuffles: one for the distinct, one for the
+    // host window — both on crawl-key columns, both AQE-skew-safe
+    "crawl_discover" -> ((s, d) => {
+      val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+      val pages = Warc.fixturesDF(s)
+        .select(explode(Warc.parseWarcUdf(col("content"))).as("r"))
+        .filter(col("r.rec_type") === "response" && col("r.http_status") === 200 &&
+          lower(col("r.content_type")).startsWith("text/html"))
+        .select(col("r.url").as("page_url"), Html.parseHtmlUdf(col("r.payload")).as("p"))
+      val links = pages.select(col("page_url"), explode(col("p.links")).as("href"))
+        .select(UrlOps.canonicalizeUrl(
+          UrlOps.resolveUrl(col("page_url"), col("href"))).as("url"))
+        .distinct()
+        .withColumn("path",
+          regexp_extract(col("url"), "^[^:/?#]+://[^/?#]+([^?#]*)", 1))
+        .filter(UrlOps.robotsAllowed(rules)(col("path")))
+        .select(col("url"), lit(0L).as("priority_micro"))
+      UrlOps.crawlFrontier(links, hostBudget = 5)
+    }),
     // per-host politeness over the frontier (the third crawl leg after
     // robots + sitemaps): deterministic doc_id-derived URLs across 7
     // hosts — messy case/port/fragment through the canonicalizer,
@@ -623,6 +649,25 @@ private[graft] trait EntryDocs extends EntryShared {
         |CROSS JOIN (VALUES ('crawl'), ('crawl_gz')) AS w(warc)
         |CROSS JOIN (VALUES ('http://example.com/blog', 'Graft & the Web'))
         |  AS u(url, title)""".stripMargin,
+
+    // DocFixtures.blogHtml's six anchors in document order; the
+    // garbage page contributes no rows
+    "html_links" ->
+      """SELECT 'blog' AS doc, link_idx, href FROM (VALUES
+        | (0, '/'), (1, '/blog'), (2, '/about'),
+        | (3, '/x'), (4, '/a'), (5, '/b')
+        |) AS t(link_idx, href)""".stripMargin,
+
+    // hand-derived: the blog page's six root-relative links resolve
+    // against http://example.com/blog, canonicalize to one per path,
+    // collapse across the plain/gz WARC twins, all pass the graftbot
+    // robots rules, and the ≤5-per-host budget drops the url-order
+    // last ('/x'); ranks follow bytewise url order at equal priority
+    "crawl_discover" ->
+      """SELECT 'http://example.com' || p AS url, CAST(0 AS BIGINT) AS priority_micro,
+        |  'example.com' AS host, fetch_rank FROM (VALUES
+        | ('/', 1), ('/a', 2), ('/about', 3), ('/b', 4), ('/blog', 5)
+        |) AS t(p, fetch_rank)""".stripMargin,
 
     // the streamed crawl's final corpus table: the SAME blocks as
     // warc_html_blocks but ONE copy per page — the gz re-crawl batch and

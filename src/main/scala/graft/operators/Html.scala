@@ -43,7 +43,12 @@ object Html {
 
   /** One kept content block, in document order. */
   case class HtmlBlock(block_idx: Int, heading: Boolean, content: String)
-  case class HtmlParsed(title: Option[String], blocks: Seq[HtmlBlock])
+  /** `links` = every `<a href>` value in document order (entity-decoded,
+    * whitespace-trimmed, empty hrefs dropped, duplicates kept — the
+    * crawl-discovery stage dedups AFTER resolution/canonicalization,
+    * where two spellings of one URL actually collapse). */
+  case class HtmlParsed(title: Option[String], blocks: Seq[HtmlBlock],
+                        links: Seq[String])
 
   private val rawTextTags = Set("script", "style", "template", "noscript")
   private val blockTags = Set(
@@ -56,6 +61,10 @@ object Html {
   // 100 TB-hot per-row path (CrawlDrill measures this kernel)
   private val wsRun = java.util.regex.Pattern.compile("\\s+")
   private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
+  // href value in an <a> tag's attribute string: double-quoted,
+  // single-quoted, or bare (HTML5 unquoted attribute value)
+  private val hrefRe = java.util.regex.Pattern.compile(
+    "(?i)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
 
   /** Decode the documented entity set; unknown entities stay literal. */
   private[graft] def decodeEntities(s: String): String = {
@@ -150,6 +159,7 @@ object Html {
       var headingDepth = 0
       // (heading, text, linkChars, totalChars, chrome)
       val blocks = scala.collection.mutable.ArrayBuffer[(Boolean, String, Long, Long, Boolean)]()
+      val links = scala.collection.mutable.ArrayBuffer[String]()
       val cur = new StringBuilder
       var curLink = 0L
       var curTotal = 0L
@@ -232,6 +242,15 @@ object Html {
                   case "title" => inTitle = !closing
                   case "a" =>
                     anchorDepth = math.max(0, anchorDepth + (if (closing) -1 else 1))
+                    if (!closing) {
+                      val m = hrefRe.matcher(inner)
+                      if (m.find()) {
+                        val raw = Seq(m.group(1), m.group(2), m.group(3))
+                          .find(_ != null).getOrElse("")
+                        val href = decodeEntities(raw.trim)
+                        if (href.nonEmpty) links += href
+                      }
+                    }
                   case t if chromeTags(t) =>
                     chromeDepth = math.max(0, chromeDepth + (if (closing) -1 else 1))
                   case t if headingTags(t) =>
@@ -274,7 +293,8 @@ object Html {
              (heading || text.length >= 25) => (heading, text)
       }
       Some(HtmlParsed(title,
-        kept.zipWithIndex.map { case ((h, t), k) => HtmlBlock(k, h, t) }.toSeq))
+        kept.zipWithIndex.map { case ((h, t), k) => HtmlBlock(k, h, t) }.toSeq,
+        links.toSeq))
     } catch { case _: Throwable => None }
 
   // ---- Spark surface ----------------------------------------------------
@@ -293,6 +313,16 @@ object Html {
     import spark.implicits._
     DocFixtures.charsetHtmlAll.toDF("doc", "fmt", "content")
   }
+
+  /** One row per extracted `<a href>`: (doc, link_idx, href) in
+    * document order — the raw material of crawl discovery; resolution
+    * against the page URL and canonicalization happen downstream
+    * ([[UrlOps.resolveUrl]] → [[UrlOps.canonicalizeUrl]]). */
+  def htmlLinks(docs: DataFrame, docCol: String = "doc",
+                binCol: String = "content"): DataFrame =
+    docs.select(col(docCol).as("doc"), parseHtmlUdf(col(binCol)).as("p"))
+      .select(col("doc"), posexplode(col("p.links")))
+      .select(col("doc"), col("pos").as("link_idx"), col("col").as("href"))
 
   /** One row per kept content block: (doc, title, block_idx, heading,
     * content, n_chars) — the extraction surface a web-corpus curation

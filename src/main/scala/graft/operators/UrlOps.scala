@@ -206,6 +206,30 @@ object UrlOps {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
 
+  /** Resolve an extracted href against its page URL — the RFC 3986 §5
+    * cases a crawler's discovery stage actually meets: absolute hrefs
+    * pass through; `//host/...` takes the base scheme; `/path` takes
+    * the base origin; empty and `#fragment` hrefs mean "this page";
+    * anything else is path-relative and appends to the base DIRECTORY
+    * (the base URL minus query/fragment and its last path segment).
+    * Dot segments (`../`) are NOT collapsed — a documented subset; the
+    * canonicalizer downstream dedups the common spellings, and a
+    * frontier that re-fetches `a/../b` vs `b` costs one duplicate
+    * fetch, never a wrong key collision. Pure column expression — zero
+    * shuffle, zero UDF. */
+  def resolveUrl(base: Column, href: Column): Column = {
+    val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    val origin = regexp_extract(base, "^([^:/?#]+://[^/?#]+)", 1)
+    val basePath = regexp_extract(base, "^[^:/?#]+://[^/?#]+([^?#]*)", 1)
+    val baseDir = when(basePath.contains("/"),
+      regexp_replace(basePath, "/[^/]*$", "/")).otherwise(lit("/"))
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+      .when(href.startsWith("//"), concat(scheme, lit(":"), href))
+      .when(href.startsWith("/"), concat(origin, href))
+      .when(href === "" || href.startsWith("#"), base)
+      .otherwise(concat(origin, baseDir, href))
+  }
+
   /** Per-host politeness scheduling over the crawl frontier — the
     * distributed analogue of the reference's per-host connection cap
     * (`ingestion_service.py:76` bounds concurrent fetches; a

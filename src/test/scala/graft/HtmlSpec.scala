@@ -82,6 +82,17 @@ class HtmlSpec extends SparkSpec {
       "the closing real paragraph of the page body."))
   }
 
+  test("links: hrefs extract in document order — quoted, bare, entity-decoded") {
+    val p = Html.parseHtml(DocFixtures.blogHtml.getBytes("UTF-8")).get
+    assert(p.links === Seq("/", "/blog", "/about", "/x", "/a", "/b"))
+    val forms = Html.parseHtml(
+      ("<body><a href='/single'>s</a><a href=/bare>b</a>" +
+        "<a HREF=\"/page?a=1&amp;b=2\">amp decodes</a>" +
+        "<a name='no-href'>skipped</a><a href=''>empty skipped</a>" +
+        "<p>padding paragraph long enough to not matter here.</p></body>").getBytes("UTF-8")).get
+    assert(forms.links === Seq("/single", "/bare", "/page?a=1&b=2"))
+  }
+
   test("charset detection: meta charset and BOMs beat the UTF-8 default") {
     val l1 = Html.parseHtml(DocFixtures.latin1Html).get
     assert(l1.title === Some("Café menu"))

@@ -67,6 +67,29 @@ class UrlOpsSpec extends SparkSpec {
       "http://@example.com/x")) // empty userinfo survives verbatim
   }
 
+  test("resolveUrl: the RFC 3986 §5 cases a crawler meets") {
+    def res(pairs: (String, String)*): Seq[String] =
+      pairs.toDF("b", "h").select(UrlOps.resolveUrl(col("b"), col("h")))
+        .collect().map(_.getString(0)).toSeq
+    assert(res(
+      ("http://a.com/dir/page", "http://b.com/x"), // absolute passes through
+      ("https://a.com/dir/page", "//cdn.com/lib.js"), // protocol-relative
+      ("http://a.com/dir/page?q=1", "/root"), // root-relative
+      ("http://a.com/dir/page", "sibling.html"), // path-relative
+      ("http://a.com/dir/sub/page", "up.html"), // deeper base dir
+      ("http://a.com", "rel"), // base without path → "/"
+      ("http://a.com/dir/page", "#sec"), // fragment-only → same page
+      ("http://a.com/dir/page", "")) === Seq( // empty → same page
+      "http://b.com/x",
+      "https://cdn.com/lib.js",
+      "http://a.com/root",
+      "http://a.com/dir/sibling.html",
+      "http://a.com/dir/sub/up.html",
+      "http://a.com/rel",
+      "http://a.com/dir/page",
+      "http://a.com/dir/page"))
+  }
+
   test("non-absolute strings pass through untouched") {
     assert(canon("not a url", "/relative/path?utm_source=x", "mailto:a@b.c")
       === Seq("not a url", "/relative/path?utm_source=x", "mailto:a@b.c"))
