@@ -198,7 +198,9 @@ private[graft] trait EntryDocs extends EntryShared {
           regexp_extract(col("url"), "^[^:/?#]+://[^/?#]+([^?#]*)", 1))
         .filter(UrlOps.robotsAllowed(rules)(col("path")))
         .select(col("url"), lit(0L).as("priority_micro"))
-      UrlOps.crawlFrontier(links, hostBudget = 5)
+      // discovered links honor the same Crawl-delay: 2 fixture policy
+      UrlOps.crawlFrontier(links, hostBudget = 5,
+        crawlDelaySec = rules.crawlDelaySec.getOrElse(1))
     }),
     // per-host politeness over the frontier (the third crawl leg after
     // robots + sitemaps): deterministic doc_id-derived URLs across 7
@@ -218,7 +220,9 @@ private[graft] trait EntryDocs extends EntryShared {
         .filter(UrlOps.robotsAllowed(rules)(path))
         .select(UrlOps.canonicalizeUrl(messy).as("url"),
           ((col("doc_id") % 10) * 100000).as("priority_micro"))
-      UrlOps.crawlFrontier(frontier, hostBudget = 5)
+      // politeness tick honors the fixture robots' Crawl-delay: 2
+      UrlOps.crawlFrontier(frontier, hostBudget = 5,
+        crawlDelaySec = rules.crawlDelaySec.getOrElse(1))
     }),
     // the crawl loop CLOSED as a stream (§2.10 × the crawl tier): WARC
     // shards arrive as micro-batches — batch 0 the plain shard, batch 1
@@ -584,6 +588,8 @@ private[graft] trait EntryDocs extends EntryShared {
         |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
 
     // hand-derived from DocFixtures.sitemapXml / sitemapIndexXml,
+    // posts_gz = the SAME urlset gzip-compressed (sitemap.xml.gz): its
+    // rows must be byte-identical to posts' after the sniff+inflate
     "sitemap_entries" ->
       """SELECT site, kind, loc, lastmod, priority_micro FROM (VALUES
         | ('posts', 'url', 'http://example.com/blog', '2026-01-15',
@@ -591,6 +597,9 @@ private[graft] trait EntryDocs extends EntryShared {
         | ('posts', 'url', 'http://example.com/about', CAST(NULL AS VARCHAR),
         |  CAST(NULL AS BIGINT)),
         | ('posts', 'url', 'http://example.com/search?q=a&lang=en', NULL, 250000),
+        | ('posts_gz', 'url', 'http://example.com/blog', '2026-01-15', 800000),
+        | ('posts_gz', 'url', 'http://example.com/about', NULL, NULL),
+        | ('posts_gz', 'url', 'http://example.com/search?q=a&lang=en', NULL, 250000),
         | ('index', 'sitemap', 'http://example.com/sitemap-posts.xml',
         |  '2026-02-01', NULL),
         | ('index', 'sitemap', 'http://example.com/sitemap-pages.xml', NULL, NULL)
@@ -665,7 +674,8 @@ private[graft] trait EntryDocs extends EntryShared {
     // last ('/x'); ranks follow bytewise url order at equal priority
     "crawl_discover" ->
       """SELECT 'http://example.com' || p AS url, CAST(0 AS BIGINT) AS priority_micro,
-        |  'example.com' AS host, fetch_rank FROM (VALUES
+        |  'example.com' AS host, fetch_rank,
+        |  (fetch_rank - 1) * 2 AS fetch_tick_sec FROM (VALUES
         | ('/', 1), ('/a', 2), ('/about', 3), ('/b', 4), ('/blog', 5)
         |) AS t(p, fetch_rank)""".stripMargin,
 
@@ -697,7 +707,8 @@ private[graft] trait EntryDocs extends EntryShared {
         |        (doc_id % 10) * 100000 AS priority_micro,
         |        'host' || (doc_id % 7) || '.example.com' AS host
         | FROM documents WHERE doc_id % 5 <> 1)
-        |SELECT url, priority_micro, host, fetch_rank FROM (
+        |SELECT url, priority_micro, host, fetch_rank,
+        |  (fetch_rank - 1) * 2 AS fetch_tick_sec FROM (
         | SELECT *, row_number() OVER (
         |   PARTITION BY host ORDER BY priority_micro DESC, url) AS fetch_rank
         | FROM f) t WHERE fetch_rank <= 5""".stripMargin,

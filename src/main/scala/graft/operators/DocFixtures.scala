@@ -610,9 +610,11 @@ object DocFixtures {
       |Disallow: /private/
       |Allow: /private/press/   # carve-out inside the disallowed tree
       |Disallow: /tmp
+      |Crawl-delay: 2
       |
       |User-agent: *
       |Disallow: /
+      |Crawl-delay: 10
       |""".stripMargin
 
   /** sitemaps.org fixtures: a urlset (full fields, loc-only, an
@@ -644,6 +646,14 @@ object DocFixtures {
 
   def sitemapAll: Seq[(String, Array[Byte])] = Seq(
     ("posts", sitemapXml.getBytes(UTF_8)),
+    // sitemap.xml.gz: the same urlset gzip-compressed (sitemaps.org
+    // allows it; large sites ship maps only this way)
+    ("posts_gz", {
+      val out = new ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      try gz.write(sitemapXml.getBytes(UTF_8)) finally gz.close()
+      out.toByteArray
+    }),
     ("index", sitemapIndexXml.getBytes(UTF_8)))
 
   // ---- WARC --------------------------------------------------------------

@@ -32,8 +32,12 @@ object UrlOps {
   private val trackingRe = "^(utm_[^=]*|fbclid|gclid)(=.*)?$"
 
   /** robots.txt rules for one user-agent: (allow?, path prefix),
-    * already restricted to the matching agent group. */
-  final case class RobotsRules(rules: Seq[(Boolean, String)])
+    * already restricted to the matching agent group; `crawlDelaySec`
+    * is the group's `Crawl-delay` directive when present (the de-facto
+    * extension Bing/Yandex honor — RFC 9309 leaves it undefined but a
+    * polite crawler reads it). */
+  final case class RobotsRules(rules: Seq[(Boolean, String)],
+                               crawlDelaySec: Option[Int] = None)
 
   /** Parse a robots.txt body for one user agent (exact token match or
     * `*`), longest-match semantics (RFC 9309 §2.2.2): group lines
@@ -51,6 +55,8 @@ object UrlOps {
     val exact = scala.collection.mutable.ArrayBuffer[(Boolean, String)]()
     val star = scala.collection.mutable.ArrayBuffer[(Boolean, String)]()
     var exactSeen = false
+    var exactDelay: Option[Int] = None
+    var starDelay: Option[Int] = None
     txt.split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
@@ -68,11 +74,18 @@ object UrlOps {
               if (groupAgents.contains(a)) { exact += ((isAllow, value)); exactSeen = true }
               else if (groupAgents.contains("*")) star += ((isAllow, value))
             } else if (groupAgents.contains(a)) exactSeen = true
-          case _ => () // crawl-delay, sitemap, unknown — ignored
+          case "crawl-delay" =>
+            sawRule = true
+            value.toIntOption.filter(_ >= 0).foreach { d =>
+              if (groupAgents.contains(a)) { exactDelay = Some(d); exactSeen = true }
+              else if (groupAgents.contains("*") && starDelay.isEmpty) starDelay = Some(d)
+            }
+          case _ => () // sitemap, unknown — ignored
         }
       }
     }
-    RobotsRules(if (exactSeen) exact.toSeq else star.toSeq)
+    if (exactSeen) RobotsRules(exact.toSeq, exactDelay)
+    else RobotsRules(star.toSeq, starDelay)
   }
 
   /** One robots path pattern → the anchored regex RFC 9309 §2.2.3
@@ -129,6 +142,19 @@ object UrlOps {
     * bytes, same settings as the DOCX walk); entries without a `<loc>`
     * are skipped; malformed XML yields None (validator surface). */
   def parseSitemap(bytes: Array[Byte]): Option[Seq[SitemapEntry]] =
+    try {
+      // sitemaps.org allows gzip-compressed maps (sitemap.xml.gz) —
+      // sniff the magic and inflate before the XML walk
+      val raw =
+        if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try in.readAllBytes() finally in.close()
+        } else bytes
+      parseSitemapXml(raw)
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseSitemapXml(bytes: Array[Byte]): Option[Seq[SitemapEntry]] =
     try {
       val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
       f.setNamespaceAware(true)
@@ -237,9 +263,12 @@ object UrlOps {
     * rank each host's candidate URLs by (priority desc, url asc — a
     * deterministic total order) and keep at most `hostBudget` per host.
     *
-    * Output adds `host` and `fetch_rank` (1-based; rank r fetches in
-    * politeness tick ceil(r / concurrency), so the rank IS the
-    * schedule). Scale shape: ONE hash shuffle on host; the rank filter
+    * Output adds `host`, `fetch_rank` (1-based) and `fetch_tick_sec` =
+    * (rank−1)·`crawlDelaySec` — the earliest polite fetch time for the
+    * URL relative to the host's schedule start, honoring the robots
+    * `Crawl-delay` when the caller passes the parsed value
+    * ([[RobotsRules.crawlDelaySec]]). Scale shape: ONE hash shuffle on
+    * host; the rank filter
     * is a rank-limit window, which Spark executes as WindowGroupLimit —
     * each partition keeps only its top `hostBudget` rows per host
     * before the sort completes, so a 100 TB frontier with a hot host
@@ -247,14 +276,16 @@ object UrlOps {
     * materializes more than `hostBudget` rows per host per partition
     * map-side. */
   def crawlFrontier(urls: org.apache.spark.sql.DataFrame, hostBudget: Int = 5,
-                    urlCol: String = "url",
+                    crawlDelaySec: Int = 1, urlCol: String = "url",
                     prioCol: String = "priority_micro"): org.apache.spark.sql.DataFrame = {
     require(hostBudget >= 1, s"hostBudget must be >= 1, got $hostBudget")
+    require(crawlDelaySec >= 0, s"crawlDelaySec must be >= 0, got $crawlDelaySec")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host"))
       .orderBy(col(prioCol).desc_nulls_last, col(urlCol).asc)
     urls.withColumn("host", urlHost(col(urlCol)))
       .withColumn("fetch_rank", row_number().over(w))
       .filter(col("fetch_rank") <= hostBudget)
+      .withColumn("fetch_tick_sec", (col("fetch_rank") - 1) * crawlDelaySec)
   }
 }

@@ -100,6 +100,10 @@ class UrlOpsSpec extends SparkSpec {
     val r = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
     assert(r.rules === Seq((false, "/private/"), (true, "/private/press/"),
       (false, "/tmp")))
+    // the exact group's Crawl-delay wins over the * group's
+    assert(r.crawlDelaySec === Some(2))
+    assert(UrlOps.parseRobots(DocFixtures.robotsTxt, "otherbot")
+      .crawlDelaySec === Some(10))
     def allowed(paths: String*): Seq[Boolean] =
       paths.toDF("p").select(UrlOps.robotsAllowed(r)(col("p"))).collect()
         .map(_.getBoolean(0)).toSeq
