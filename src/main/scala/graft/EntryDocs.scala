@@ -202,6 +202,43 @@ private[graft] trait EntryDocs extends EntryShared {
       UrlOps.crawlFrontier(links, hostBudget = 5,
         crawlDelaySec = rules.crawlDelaySec.getOrElse(1))
     }),
+    // the frontier as a STREAM (§2.10 × crawl): per-host fetch-slot
+    // state (transformWithState, one int per host) hands out ranks and
+    // polite ticks across micro-batches under a LIFETIME budget of 3 —
+    // batch 1's host-a arrivals compete for the one slot batch 0 left,
+    // and the loser is dropped durably. Within a batch, ranks follow
+    // the batch window's (priority desc, url) order; across batches,
+    // arrival order — the documented streaming contract
+    "frontier_stream_e2e" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val q = graft.streaming.StreamingIngest.streamingFrontier(
+          input.toDF().toDF("url", "priority_micro"),
+          hostBudget = 3, crawlDelaySec = 2)
+        .writeStream.format("memory").queryName("graft_frontier_stream")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-frontier-ck").toString)
+        .start()
+      try {
+        input.addData(("http://a.com/p1", 900000L), ("http://a.com/p2", 100000L),
+          ("http://b.com/q1", 500000L)) // batch 0: a gets ranks 1-2, b rank 1
+        q.processAllAvailable()
+        input.addData(("http://a.com/p3", 800000L), ("http://a.com/p4", 700000L),
+          ("http://b.com/q2", 250000L)) // batch 1: only p3 fits a's last slot
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+      }
+      s.table("graft_frontier_stream")
+    }),
     // per-host politeness over the frontier (the third crawl leg after
     // robots + sitemaps): deterministic doc_id-derived URLs across 7
     // hosts — messy case/port/fragment through the canonicalizer,
@@ -678,6 +715,20 @@ private[graft] trait EntryDocs extends EntryShared {
         |  (fetch_rank - 1) * 2 AS fetch_tick_sec FROM (VALUES
         | ('/', 1), ('/a', 2), ('/about', 3), ('/b', 4), ('/blog', 5)
         |) AS t(p, fetch_rank)""".stripMargin,
+
+    // hand-derived from the two-batch feed: batch 0 ranks a's p1>p2 by
+    // priority and b's q1; batch 1 leaves host a ONE remaining slot
+    // (budget 3) which p3 wins on priority, p4 drops; q2 takes b's
+    // rank 2. Ticks = (rank-1)*2
+    "frontier_stream_e2e" ->
+      """SELECT host, url, priority_micro, fetch_rank,
+        |  CAST((fetch_rank - 1) * 2 AS BIGINT) AS fetch_tick_sec FROM (VALUES
+        | ('a.com', 'http://a.com/p1', CAST(900000 AS BIGINT), 1),
+        | ('a.com', 'http://a.com/p2', 100000, 2),
+        | ('a.com', 'http://a.com/p3', 800000, 3),
+        | ('b.com', 'http://b.com/q1', 500000, 1),
+        | ('b.com', 'http://b.com/q2', 250000, 2)
+        |) AS t(host, url, priority_micro, fetch_rank)""".stripMargin,
 
     // the streamed crawl's final corpus table: the SAME blocks as
     // warc_html_blocks but ONE copy per page — the gz re-crawl batch and

@@ -286,6 +286,7 @@ object UrlOps {
     urls.withColumn("host", urlHost(col(urlCol)))
       .withColumn("fetch_rank", row_number().over(w))
       .filter(col("fetch_rank") <= hostBudget)
-      .withColumn("fetch_tick_sec", (col("fetch_rank") - 1) * crawlDelaySec)
+      .withColumn("fetch_tick_sec",
+        ((col("fetch_rank") - 1) * crawlDelaySec).cast("long"))
   }
 }

@@ -345,6 +345,67 @@ object StreamingIngest {
         TimeMode.None(), OutputMode.Update())
   }
 
+  // ---- streaming crawl frontier: per-host politeness state -----------
+
+  case class FrontierSlot(host: String, url: String, priority_micro: Long,
+                          fetch_rank: Int, fetch_tick_sec: Long)
+
+  /** Per-host politeness scheduling over a STREAM of discovered URLs —
+    * the `transformWithState` twin of
+    * [[graft.operators.UrlOps.crawlFrontier]]: each host key durably
+    * remembers how many fetch slots it has handed out; every arriving
+    * URL takes the next rank (and its `(rank−1)·crawlDelaySec` polite
+    * tick) until the host's lifetime `hostBudget` is exhausted, after
+    * which the host's URLs are dropped (the batch operator's rank
+    * filter, made durable).
+    *
+    * Ordering contract: WITHIN a micro-batch a host's URLs rank by
+    * (priority desc, url asc) — identical to the batch window — but
+    * ACROSS batches ranks follow arrival order, because a stream
+    * cannot re-rank slots already handed out. One batch holding the
+    * whole frontier therefore equals the batch operator exactly (the
+    * parity the spec pins); a drip-fed frontier trades global priority
+    * order for bounded state and immediate scheduling, which is what a
+    * live crawler wants anyway. State per host is ONE int. */
+  class FrontierProcessor(hostBudget: Int, crawlDelaySec: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, String, Long), FrontierSlot] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => E}
+    @transient private var emitted: ValueState[Int] = _
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      emitted = getHandle.getValueState[Int]("emitted", E.scalaInt, TTLConfig.NONE)
+    override def handleInputRows(host: String,
+                                 rows: Iterator[(String, String, Long)],
+                                 tv: TimerValues): Iterator[FrontierSlot] = {
+      var n = if (emitted.exists()) emitted.get() else 0
+      val out = Seq.newBuilder[FrontierSlot]
+      // batch-window order within the micro-batch: priority desc, url asc
+      rows.toSeq.sortBy(r => (-r._3, r._2)).foreach { case (_, url, prio) =>
+        if (n < hostBudget) {
+          n += 1
+          out += FrontierSlot(host, url, prio, n, (n - 1).toLong * crawlDelaySec)
+        }
+      }
+      emitted.update(n)
+      out.result().iterator
+    }
+  }
+
+  def streamingFrontier(urls: DataFrame, hostBudget: Int = 5,
+                        crawlDelaySec: Int = 1)
+      : org.apache.spark.sql.Dataset[FrontierSlot] = {
+    import urls.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    urls.select(graft.operators.UrlOps.urlHost(col("url")).as("host"),
+        col("url"), col("priority_micro"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new FrontierProcessor(hostBudget, crawlDelaySec),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   // ---- streaming NEAR-dup: banded SimHash with per-bucket state ------
 
   case class NearDoc(doc_id: Long, text: String, ingest_epoch: Long)

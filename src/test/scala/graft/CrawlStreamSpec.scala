@@ -61,6 +61,46 @@ class CrawlStreamSpec extends SparkSpec {
     assert(after.filter($"content" === "Parsing at scale").count() === 1)
   }
 
+  test("streamingFrontier: one batch equals the batch operator; budget is durable across batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val urls = Seq(
+      ("http://a.com/p1", 900000L), ("http://a.com/p2", 100000L),
+      ("http://a.com/p3", 800000L), ("http://b.com/q1", 500000L))
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingIngest.streamingFrontier(
+        input.toDF().toDF("url", "priority_micro"), hostBudget = 2, crawlDelaySec = 3)
+      .writeStream.format("memory").queryName("frontier_parity")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft-frontier-parity-ck")).start()
+    try {
+      input.addData(urls) // the WHOLE frontier in one batch → batch parity
+      q.processAllAvailable()
+      val streamed = spark.table("frontier_parity")
+        .select("host", "url", "fetch_rank", "fetch_tick_sec")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      val batch = UrlOps.crawlFrontier(
+          urls.toDF("url", "priority_micro"), hostBudget = 2, crawlDelaySec = 3)
+        .select("host", "url", "fetch_rank", "fetch_tick_sec")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._3)).toSeq
+      assert(streamed === batch)
+      // a LATER batch must see the budget already spent: nothing fits
+      input.addData(Seq(("http://a.com/p9", 999999L)))
+      q.processAllAvailable()
+      assert(spark.table("frontier_parity")
+        .filter($"url" === "http://a.com/p9").count() === 0)
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
+
   test("crawlFrontier: per-host budget, priority-then-url order, deterministic ranks") {
     val frontier = Seq(
       ("http://a.com/p1", 900000L), ("http://a.com/p2", 900000L),
