@@ -376,6 +376,21 @@ private[graft] trait EntryCuration extends EntryShared {
       TextAnalysis.gopherQuality(
         Tables.documents(s, d).withColumn("page", page), textCol = "page")
     }),
+    // Gopher repetition rules over a constructed 2-paragraph page: %5
+    // duplicates the whole first paragraph (trips BOTH paragraph rules
+    // and the line rules through the repeated lines); everything else
+    // is repetition-free. The oracle replays the same list algebra
+    "gopher_repetition" -> ((s, d) => {
+      val id = col("doc_id").cast("string")
+      val l1 = substring(col("text"), 1, 60)
+      val l2 = concat(lit("unique second line for doc "), id)
+      val p1 = concat_ws("\n", l1, l2)
+      val p2 = when(col("doc_id") % 5 === 0, p1)
+        .otherwise(concat(lit("closing paragraph for doc "), id))
+      val page = concat_ws("\n\n", p1, p2)
+      TextAnalysis.gopherRepetition(
+        Tables.documents(s, d).withColumn("page", page), textCol = "page")
+    }),
     // C4 line/page cleaning (Raffel et al. 2020 §2.2) over a 5-line
     // synthetic page per doc: l1 always survives, l2 is under the word
     // floor (and on %13 carries the page-killing 'lorem ipsum'), l3
@@ -1315,6 +1330,46 @@ private[graft] trait EntryCuration extends EntryShared {
         |   AND ell_ends * 1000000 // n_lines <= 300000
         |   AND alpha_words * 1000000 // n_words >= 800000
         |   AND n_stop >= 2) AS gopher_pass
+        |FROM m""".stripMargin,
+
+    // the same list algebra in DuckDB: dup count = len − len(distinct),
+    // dup chars = joined length − distinct-joined length
+    "gopher_repetition" ->
+      """WITH p AS (
+        | SELECT doc_id,
+        |  substring(text, 1, 60) || chr(10) || 'unique second line for doc '
+        |    || doc_id AS p1,
+        |  CASE WHEN doc_id % 5 = 0
+        |       THEN substring(text, 1, 60) || chr(10)
+        |         || 'unique second line for doc ' || doc_id
+        |       ELSE 'closing paragraph for doc ' || doc_id END AS p2
+        | FROM documents),
+        |u AS (
+        | SELECT doc_id,
+        |  string_split(p1 || chr(10) || chr(10) || p2, chr(10)) AS ls,
+        |  string_split(p1 || chr(10) || chr(10) || p2, chr(10) || chr(10)) AS ps
+        | FROM p),
+        |m AS (
+        | SELECT doc_id,
+        |  len(ls) AS n_lines, len(ps) AS n_paras,
+        |  len(ls) - len(list_distinct(ls)) AS dl,
+        |  len(ps) - len(list_distinct(ps)) AS dp,
+        |  length(array_to_string(ls, '')) AS lc,
+        |  length(array_to_string(ls, ''))
+        |    - length(array_to_string(list_distinct(ls), '')) AS dlc,
+        |  length(array_to_string(ps, '')) AS pc,
+        |  length(array_to_string(ps, ''))
+        |    - length(array_to_string(list_distinct(ps), '')) AS dpc
+        | FROM u)
+        |SELECT doc_id, n_lines, n_paras,
+        |  CAST(dl * 1000000 // greatest(n_lines, 1) AS BIGINT) AS dup_line_frac_micro,
+        |  CAST(dlc * 1000000 // greatest(lc, 1) AS BIGINT) AS dup_line_char_frac_micro,
+        |  CAST(dp * 1000000 // greatest(n_paras, 1) AS BIGINT) AS dup_para_frac_micro,
+        |  CAST(dpc * 1000000 // greatest(pc, 1) AS BIGINT) AS dup_para_char_frac_micro,
+        |  (dl * 1000000 // greatest(n_lines, 1) <= 300000
+        |   AND dp * 1000000 // greatest(n_paras, 1) <= 300000
+        |   AND dlc * 1000000 // greatest(lc, 1) <= 200000
+        |   AND dpc * 1000000 // greatest(pc, 1) <= 200000) AS repetition_pass
         |FROM m""".stripMargin,
 
     // verdicts re-derived from doc_id alone — which lines survive is a

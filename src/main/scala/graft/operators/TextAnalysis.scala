@@ -116,6 +116,45 @@ object TextAnalysis {
         col("n_stop") >= 2)
   }
 
+  /** The Gopher REPETITION rule set (Rae et al. 2021 appendix A,
+    * completing [[gopherQuality]]): fraction of duplicate lines ≤ 0.30,
+    * fraction of duplicate paragraphs ≤ 0.30, fraction of CHARACTERS
+    * in duplicate lines ≤ 0.20, in duplicate paragraphs ≤ 0.20 — a
+    * duplicate is any occurrence beyond a line/paragraph's first, so
+    * dup count = n − n_distinct and dup chars = total − distinct chars.
+    * Paragraphs split on blank lines (`\n\n`), lines on `\n` (the
+    * empty strings a blank line produces count like any other line —
+    * identical in both engines, so the compare is exact). Micro-unit
+    * fixed point throughout; `repetition_pass` is the composite.
+    *
+    * Scale shape: per-row projection — distinct-counting rides
+    * `array_distinct`/`array_join` built-ins over one document's own
+    * line array (bounded per row), no lambda, no shuffle, no UDF. The
+    * top-n-gram share half of Gopher's repetition table is the
+    * existing [[repetitionStats]] aggregate. */
+  def gopherRepetition(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    def fracs(units: Column, prefix: String): Seq[(String, Column)] = {
+      val n = size(units)
+      val nDup = n - size(array_distinct(units))
+      val chars = length(array_join(units, ""))
+      val dupChars = chars - length(array_join(array_distinct(units), ""))
+      Seq(s"n_$prefix" -> n,
+        s"dup_${prefix.stripSuffix("s")}_frac_micro" ->
+          floor(nDup * 1000000L / greatest(n, lit(1))).cast("long"),
+        s"dup_${prefix.stripSuffix("s")}_char_frac_micro" ->
+          floor(dupChars * 1000000L / greatest(chars, lit(1))).cast("long"))
+    }
+    val cols = fracs(split(t, "\n"), "lines") ++ fracs(split(t, "\n\n"), "paras")
+    docs.select(col(idCol) +: cols.map { case (nm, c) => c.as(nm) }: _*)
+      .withColumn("repetition_pass",
+        col("dup_line_frac_micro") <= 300000L &&
+          col("dup_para_frac_micro") <= 300000L &&
+          col("dup_line_char_frac_micro") <= 200000L &&
+          col("dup_para_char_frac_micro") <= 200000L)
+  }
+
   /** Per-language corpus DATA CARD — the datasheet summary a curator
     * reads before committing a mixture (Gebru et al.'s datasheets,
     * reduced to the columns this engine computes): document and word

@@ -48,6 +48,34 @@ class QualityFiltersSpec extends SparkSpec {
     assert(!a.getAs[Boolean]("gopher_pass"))
   }
 
+  test("gopher repetition: dup counts are occurrences-beyond-first, by unit and by chars") {
+    val pages = Seq(
+      // 4 distinct lines, 2 distinct paras: repetition-free
+      (0L, "alpha\nbeta\n\ngamma\ndelta"),
+      // the para repeats: lines [alpha(5), beta(4), "", alpha, beta] →
+      // dup lines 2/5 = 400000; dup line chars 9/18 = 500000;
+      // paras [p,p] → dup 1/2 = 500000, dup chars 10/20 = 500000
+      (1L, "alpha\nbeta\n\nalpha\nbeta"),
+      // one line repeats inside one para: 1/3 lines, 3/13 chars; paras unique
+      (2L, "abc\nlonger line\nabc"))
+    val out = TextAnalysis.gopherRepetition(pages.toDF("doc_id", "text"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(0L).getAs[Boolean]("repetition_pass"))
+    assert(out(0L).getAs[Long]("dup_line_frac_micro") === 0L)
+    val dup = out(1L)
+    assert(dup.getAs[Long]("dup_line_frac_micro") === 400000L)
+    assert(dup.getAs[Long]("dup_line_char_frac_micro") === 500000L)
+    assert(dup.getAs[Long]("dup_para_frac_micro") === 500000L)
+    assert(dup.getAs[Long]("dup_para_char_frac_micro") === 500000L)
+    assert(!dup.getAs[Boolean]("repetition_pass"))
+    val part = out(2L)
+    assert(part.getAs[Long]("dup_line_frac_micro") === 333333L)
+    assert(part.getAs[Long]("dup_line_char_frac_micro") === 176470L) // 3/17
+    assert(part.getAs[Long]("dup_para_frac_micro") === 0L)
+    // 333333 > 300000: the line-fraction rule alone fails the page
+    assert(!part.getAs[Boolean]("repetition_pass"))
+  }
+
   test("c4: line rules (terminal punct, word floor, javascript) and page rules") {
     val pages = Seq(
       (0L, "this first line carries five words.\nshort.\nno terminal punctuation here at all\nthis second keeper also has enough words!\nand a third keeper rounds out the page?"),
