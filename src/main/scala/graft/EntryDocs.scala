@@ -202,6 +202,35 @@ private[graft] trait EntryDocs extends EntryShared {
       UrlOps.crawlFrontier(links, hostBudget = 5,
         crawlDelaySec = rules.crawlDelaySec.getOrElse(1))
     }),
+    // the WHOLE crawl pipeline over a REAL transport: seed URLs →
+    // robots filter (the /private/ seed never reaches the wire) →
+    // frontier schedule (budget + Crawl-delay ticks) → HTTP fetch from
+    // the loopback fixture server (genuine GETs, retries on the 404) →
+    // HTML extraction of the fetched bytes. The 404 page fetches null
+    // after 3 attempts and contributes no blocks; only the blog page's
+    // four content blocks survive — exactly the VALUES the oracle pins
+    "crawl_fetch_e2e" -> ((s, d) => {
+      import s.implicits._
+      val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+      val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+      val seeds = Seq(
+        (s"$base/blog.html", 900000L),
+        (s"$base/private/secret.html", 800000L), // robots-denied: never fetched
+        (s"$base/missing.html", 100000L)).toDF("url", "priority_micro")
+      val allowed = seeds
+        .withColumn("path",
+          regexp_extract(col("url"), "^[^:/?#]+://[^/?#]+([^?#]*)", 1))
+        .filter(UrlOps.robotsAllowed(rules)(col("path")))
+        .drop("path")
+      val sched = UrlOps.crawlFrontier(allowed, hostBudget = 5,
+        crawlDelaySec = rules.crawlDelaySec.getOrElse(1))
+      val fetched = UrlIngest.fetchBytes(sched.select("url"), backoffMs = 1)
+      Html.htmlBlocks(fetched.filter(col("content").isNotNull),
+          docCol = "url", binCol = "content")
+        .select(regexp_replace(col("doc"), "^http://[^/]+", "").as("path"),
+          col("title"), col("block_idx"), col("heading"),
+          col("content"), col("n_chars"))
+    }),
     // the frontier as a STREAM (§2.10 × crawl): per-host fetch-slot
     // state (transformWithState, one int per host) hands out ranks and
     // polite ticks across micro-batches under a LIFETIME budget of 3 —
@@ -216,6 +245,15 @@ private[graft] trait EntryDocs extends EntryShared {
       val prev = s.conf.getOption(key)
       s.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // state-store count = shuffle partitions: 32 RocksDB instances per
+      // micro-batch is pure fixed overhead for a 6-row fixture stream
+      // (measured 4.7 s of the query's cost). Scope it down exactly like
+      // the provider conf — a real deployment sizes this to stream
+      // volume; the checkpoint pins it per query, so each invocation's
+      // fresh checkpoint re-reads the scoped value.
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.getOption(shufKey)
+      s.conf.set(shufKey, "2")
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Long)]
       val q = graft.streaming.StreamingIngest.streamingFrontier(
@@ -236,6 +274,7 @@ private[graft] trait EntryDocs extends EntryShared {
       } finally {
         q.stop()
         prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+        prevShuf match { case Some(v) => s.conf.set(shufKey, v); case None => s.conf.unset(shufKey) }
       }
       s.table("graft_frontier_stream")
     }),
@@ -715,6 +754,20 @@ private[graft] trait EntryDocs extends EntryShared {
         |  (fetch_rank - 1) * 2 AS fetch_tick_sec FROM (VALUES
         | ('/', 1), ('/a', 2), ('/about', 3), ('/b', 4), ('/blog', 5)
         |) AS t(p, fetch_rank)""".stripMargin,
+
+    // the blog page's four blocks under its served path; the robots-
+    // denied and 404 seeds contribute no rows (absence IS the contract)
+    "crawl_fetch_e2e" ->
+      """SELECT '/blog.html' AS path, 'Graft & the Web' AS title,
+        |  block_idx, heading, content, length(content) AS n_chars FROM (VALUES
+        | (0, TRUE, 'Parsing at scale'),
+        | (1, FALSE,
+        |  'Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.'),
+        | (2, FALSE,
+        |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
+        | (3, FALSE,
+        |  'Entities decode: café & résumé stay readable.')
+        |) AS b(block_idx, heading, content)""".stripMargin,
 
     // hand-derived from the two-batch feed: batch 0 ranks a's p1>p2 by
     // priority and b's q1; batch 1 leaves host a ONE remaining slot

@@ -167,6 +167,18 @@ object UrlIngest {
           .otherwise(array_join(valErrs, ",")).as("errors"))
   }
 
+  /** The transport half of [[ingest]] with the PAYLOAD kept: one row
+    * per URL with the fetched bytes (NULL after exhausted retries),
+    * attempt count and error kind — the crawl pipeline's fetch stage,
+    * chaining frontier-scheduled URLs into the binary extractors
+    * ([[Html.parseHtml]], [[DocExtract]]). Same retry/backoff/size-cap
+    * semantics as [[ingest]]; same per-row zero-shuffle shape. */
+  def fetchBytes(urls: DataFrame, maxBytes: Long = MaxFileSize, maxRetries: Int = 3,
+                 backoffMs: Long = 0L, urlCol: String = "url"): DataFrame =
+    urls.withColumn("_f", fetchUdf(maxBytes, maxRetries, backoffMs)(col(urlCol)))
+      .select(col(urlCol).as("url"), col("_f.content").as("content"),
+        col("_f.attempts").as("attempts"), col("_f.error").as("error"))
+
   // ---- driver-query fixtures ------------------------------------------
 
   /** ASCII-only members so the DuckDB oracle's `read_blob` →
@@ -197,7 +209,10 @@ object UrlIngest {
       "simple.eml" -> DocFixtures.simpleEml.getBytes(UTF_8),
       "multi.eml" -> DocFixtures.multiEml.getBytes(UTF_8),
       "notes.txt" -> notesTxt.getBytes(UTF_8),
-      "report.pdf" -> reportPdf.getBytes(UTF_8))
+      "report.pdf" -> reportPdf.getBytes(UTF_8),
+      // the crawl_fetch_e2e page — the ingest oracles glob *.eml/*.txt/
+      // *.pdf only, so an .html member cannot disturb them
+      "blog.html" -> DocFixtures.blogHtml.getBytes(UTF_8))
     // the oracle reads this dir back by GLOB — remove anything that is
     // not the current fixture set, or a stale file makes the oracle see
     // rows the engine side never ingested
