@@ -90,6 +90,23 @@ class UrlOpsSpec extends SparkSpec {
       "http://a.com/dir/page"))
   }
 
+  test("gz sitemap parses identically to plain; byte-flip fuzz never throws") {
+    import graft.operators.DocFixtures
+    val plain = UrlOps.parseSitemap(DocFixtures.sitemapXml.getBytes("UTF-8"))
+    val gz = DocFixtures.sitemapAll.collectFirst { case ("posts_gz", b) => b }.get
+    assert(UrlOps.parseSitemap(gz) === plain && plain.exists(_.size === 3))
+    // flips over the GZ framing (header, deflate body, CRC trailer) and
+    // the plain XML must yield None-or-fewer-rows, never an exception
+    val rnd = new scala.util.Random(1616)
+    (1 to 60).foreach { _ =>
+      val g = gz.clone(); g(rnd.nextInt(g.length)) = rnd.nextInt(256).toByte
+      UrlOps.parseSitemap(g)
+      val p = DocFixtures.sitemapXml.getBytes("UTF-8")
+      p(rnd.nextInt(p.length)) = rnd.nextInt(256).toByte
+      UrlOps.parseSitemap(p)
+    }
+  }
+
   test("non-absolute strings pass through untouched") {
     assert(canon("not a url", "/relative/path?utm_source=x", "mailto:a@b.c")
       === Seq("not a url", "/relative/path?utm_source=x", "mailto:a@b.c"))
