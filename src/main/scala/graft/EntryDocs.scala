@@ -256,9 +256,12 @@ private[graft] trait EntryDocs extends EntryShared {
       s.conf.set(shufKey, "2")
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Long)]
+      // b.com published its own Crawl-delay (7 s); a.com takes the
+      // global 2 s — per-host spacing must survive the stream path too
       val q = graft.streaming.StreamingIngest.streamingFrontier(
           input.toDF().toDF("url", "priority_micro"),
-          hostBudget = 3, crawlDelaySec = 2)
+          hostBudget = 3, crawlDelaySec = 2,
+          hostDelays = Map("b.com" -> 7))
         .writeStream.format("memory").queryName("graft_frontier_stream")
         .outputMode("append")
         .option("checkpointLocation",
@@ -286,6 +289,7 @@ private[graft] trait EntryDocs extends EntryShared {
     // shuffle on host; the rank filter runs as WindowGroupLimit so a
     // hot host never materializes past the budget map-side,
     "crawl_frontier" -> ((s, d) => {
+      import s.implicits._
       val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
       val id = col("doc_id").cast("string")
       val path = when(col("doc_id") % 5 === 1, concat(lit("/private/data"), id))
@@ -296,9 +300,15 @@ private[graft] trait EntryDocs extends EntryShared {
         .filter(UrlOps.robotsAllowed(rules)(path))
         .select(UrlOps.canonicalizeUrl(messy).as("url"),
           ((col("doc_id") % 10) * 100000).as("priority_micro"))
-      // politeness tick honors the fixture robots' Crawl-delay: 2
+      // each host is spaced by ITS robots Crawl-delay: host0/host3
+      // published their own (5 s / 0 s — a zero delay is a legal robots
+      // value and must not fall back); every other host takes the
+      // fixture policy's global 2 s
+      val delays = Seq(("host0.example.com", 5), ("host3.example.com", 0))
+        .toDF("host", "crawl_delay_sec")
       UrlOps.crawlFrontier(frontier, hostBudget = 5,
-        crawlDelaySec = rules.crawlDelaySec.getOrElse(1))
+        crawlDelaySec = rules.crawlDelaySec.getOrElse(1),
+        hostDelays = Some(delays))
     }),
     // the crawl loop CLOSED as a stream (§2.10 × the crawl tier): WARC
     // shards arrive as micro-batches — batch 0 the plain shard, batch 1
@@ -772,10 +782,13 @@ private[graft] trait EntryDocs extends EntryShared {
     // hand-derived from the two-batch feed: batch 0 ranks a's p1>p2 by
     // priority and b's q1; batch 1 leaves host a ONE remaining slot
     // (budget 3) which p3 wins on priority, p4 drops; q2 takes b's
-    // rank 2. Ticks = (rank-1)*2
+    // rank 2. Ticks are per-host: a.com spaces by the global 2 s,
+    // b.com by ITS OWN robots delay of 7 s
     "frontier_stream_e2e" ->
       """SELECT host, url, priority_micro, fetch_rank,
-        |  CAST((fetch_rank - 1) * 2 AS BIGINT) AS fetch_tick_sec FROM (VALUES
+        |  CAST((fetch_rank - 1) *
+        |    CASE host WHEN 'b.com' THEN 7 ELSE 2 END AS BIGINT)
+        |    AS fetch_tick_sec FROM (VALUES
         | ('a.com', 'http://a.com/p1', CAST(900000 AS BIGINT), 1),
         | ('a.com', 'http://a.com/p2', 100000, 2),
         | ('a.com', 'http://a.com/p3', 800000, 3),
@@ -803,16 +816,19 @@ private[graft] trait EntryDocs extends EntryShared {
     // frontier re-derived from doc_id alone: %5=1 rows are the robots-
     // denied /private/ paths; the canonical URL and host re-derive by
     // string construction (lowercased, port stripped, fragment gone);
-    // the politeness budget is the same rank-limit window in DuckDB,
+    // the politeness budget is the same rank-limit window in DuckDB.
+    // Ticks are PER-HOST: host0 published Crawl-delay 5, host3 a legal
+    // 0, everyone else takes the global 2,
     "crawl_frontier" ->
       """WITH f AS (
         | SELECT 'http://host' || (doc_id % 7) || '.example.com/articles/page'
         |          || doc_id AS url,
         |        (doc_id % 10) * 100000 AS priority_micro,
-        |        'host' || (doc_id % 7) || '.example.com' AS host
+        |        'host' || (doc_id % 7) || '.example.com' AS host,
+        |        CASE doc_id % 7 WHEN 0 THEN 5 WHEN 3 THEN 0 ELSE 2 END AS delay
         | FROM documents WHERE doc_id % 5 <> 1)
         |SELECT url, priority_micro, host, fetch_rank,
-        |  (fetch_rank - 1) * 2 AS fetch_tick_sec FROM (
+        |  (fetch_rank - 1) * delay AS fetch_tick_sec FROM (
         | SELECT *, row_number() OVER (
         |   PARTITION BY host ORDER BY priority_micro DESC, url) AS fetch_rank
         | FROM f) t WHERE fetch_rank <= 5""".stripMargin,

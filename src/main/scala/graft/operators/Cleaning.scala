@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** The composed corpus-cleaning pass — the single decision every
@@ -33,29 +33,52 @@ object Cleaning {
     *    (`.`, `!`, `?`, `"`), have at least `minLineWords` words, and
     *    do not contain the word "javascript";
     *  - PAGE level: drop the page if it contains "lorem ipsum" or a
-    *    curly brace `{`, or if fewer than `minKeptLines` lines survive.
+    *    curly brace `{`, or if the RETAINED text has fewer than
+    *    `minSentences` SENTENCES (the paper's §2.2 page rule counts
+    *    sentences, not lines — a single kept line holding three
+    *    sentences keeps its page). A sentence = a terminal-punctuation
+    *    run (`.`/`!`/`?`, optional closing quote) followed by
+    *    whitespace or end-of-text, counted over the kept lines.
     *
-    * Output per document: `n_lines`, `n_kept`, `keep_doc`, and
-    * `clean_text` (the kept lines re-joined with newlines — empty
-    * string when the page is dropped, so the column hashes stably).
+    * Output per document: `n_lines`, `n_kept`, `n_sentences`,
+    * `keep_doc`, and `clean_text` (the kept lines re-joined with
+    * newlines — empty string when the page is dropped, so the column
+    * hashes stably).
     *
     * Scale shape: a pure per-row projection — the line walk is a
     * bounded fold over one page's line array (the UrlOps precedent:
     * HOFs are fine over a handful of short per-row tokens, just never
     * over per-token corpus passes); zero shuffle, zero UDF, zero
     * explode/regroup round trip. */
-  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
-              textCol: String = "text", minLineWords: Int = 5,
-              minKeptLines: Int = 3): DataFrame = {
-    val t = col(textCol)
-    val kept = filter(split(t, "\n"), l =>
+  private def c4KeptLines(t: Column, minLineWords: Int): Column =
+    filter(split(t, "\n"), l =>
       rtrim(l).rlike("[.!?\"]$") &&
         size(split(trim(l), "\\s+")) >= minLineWords &&
         !lower(l).contains("javascript"))
+
+  // RE2-compatible (the DuckDB-oracle parity rule): terminal run +
+  // optional closing quote, then whitespace or end of the kept text
+  private def c4SentenceCount(kept: Column): Column =
+    regexp_count(array_join(kept, "\n"), lit("[.!?][\"']?(\\s|$)"))
+
+  /** The composite C4 page verdict as ONE column expression — the
+    * [[graft.operators.TextAnalysis.gopherQualityPass]] twin for
+    * [[cleanCorpus]]'s per-row fold. */
+  def c4KeepDoc(t: Column, minLineWords: Int = 5, minSentences: Int = 3): Column =
+    c4SentenceCount(c4KeptLines(t, minLineWords)) >= minSentences &&
+      !lower(t).contains("lorem ipsum") && !t.contains("{")
+
+  def c4Clean(docs: DataFrame, idCol: String = "doc_id",
+              textCol: String = "text", minLineWords: Int = 5,
+              minSentences: Int = 3): DataFrame = {
+    val t = col(textCol)
+    val kept = c4KeptLines(t, minLineWords)
+    val nSentences = c4SentenceCount(kept)
     docs.select(col(idCol),
         size(split(t, "\n")).as("n_lines"),
         size(kept).as("n_kept"),
-        (size(kept) >= minKeptLines &&
+        nSentences.cast("int").as("n_sentences"),
+        (nSentences >= minSentences &&
           !lower(t).contains("lorem ipsum") &&
           !t.contains("{")).as("keep_doc"),
         kept.as("_kept"))
@@ -71,24 +94,46 @@ object Cleaning {
     *   re-aggregating this corpus — the train-once shape an incremental
     *   100 TB pipeline runs, where each day's batch is scored against
     *   the model fitted on the reference corpus. Default (None) trains
-    *   on `docs` itself, the self-contained batch semantics. */
+    *   on `docs` itself, the self-contained batch semantics.
+    * @param withGopherC4 fold the published web-filter families into
+    *   the verdict (default ON): Gopher quality + repetition (Rae et
+    *   al. 2021 app. A, [[TextAnalysis.gopherQualityPass]] /
+    *   [[TextAnalysis.gopherRepetitionPass]]) and the C4 page rule
+    *   (Raffel et al. 2020 §2.2, [[c4KeepDoc]]) contribute
+    *   `gopher_quality` / `gopher_repetition` / `c4` reasons. All
+    *   three are PER-ROW column expressions riding the same base-scan
+    *   projection as language id — zero extra joins, zero shuffles.
+    *   Turn OFF for corpora that are not web text (the filters encode
+    *   web-page priors: stop-word presence, terminal punctuation —
+    *   a curated books/code corpus configures its own families, which
+    *   is exactly how production pipelines scope C4/Gopher to their
+    *   Common Crawl sources). */
   def cleanCorpus(docs: DataFrame, bench: DataFrame,
                   decontamN: Int = 4,
                   langWhitelist: Seq[String] = Seq("en", "pt"),
                   maxTopBigramRatio: Double = 0.08,
                   maxSurprisal: Double = 3.5,
                   idCol: String = "doc_id",
-                  lm: Option[DataFrame] = None): DataFrame = {
+                  lm: Option[DataFrame] = None,
+                  withGopherC4: Boolean = true): DataFrame = {
     val dd = Dedup.exactDups(docs, idCol).select(col(idCol), col("is_duplicate"))
-    // language id is a PER-ROW computation (marker-score CASE chain) —
-    // kept as a projection of the base scan rather than a component
-    // joined back on the key: one fewer corpus-wide exchange. (The
-    // repetition signal stays RELATIONAL and joined: a per-row
-    // sorted-array run-length tally was measured 5× slower — the HOF
-    // aggregate falls out of whole-stage codegen and pays a per-row
-    // string sort — while groupBy(id, bigram) is partial-combined
-    // Tungsten hash aggregation.)
-    val base = TextAnalysis.languageId(docs).select(col(idCol), col("pred_lang"))
+    // language id — and the gopher/C4 composites when enabled — are
+    // PER-ROW computations (marker-score CASE chain, regexp counters,
+    // a bounded line fold): kept as projections of the base scan
+    // rather than components joined back on the key: no extra
+    // corpus-wide exchange. (The repetition signal stays RELATIONAL
+    // and joined: a per-row sorted-array run-length tally was measured
+    // 5× slower — the HOF aggregate falls out of whole-stage codegen
+    // and pays a per-row string sort — while groupBy(id, bigram) is
+    // partial-combined Tungsten hash aggregation.)
+    val base = {
+      val lid = TextAnalysis.languageId(docs)
+      val extra = if (withGopherC4) Seq(
+        TextAnalysis.gopherQualityPass(col("text")).as("_gq"),
+        TextAnalysis.gopherRepetitionPass(col("text")).as("_gr"),
+        c4KeepDoc(col("text")).as("_c4")) else Nil
+      lid.select(col(idCol) +: col("pred_lang") +: extra: _*)
+    }
     val rp = TextAnalysis.repetitionStats(docs, idCol)
       .select(col(idCol), col("top_bigram_ratio"))
     val sp = TextAnalysis.unigramSurprisalWith(docs,
@@ -96,12 +141,17 @@ object Cleaning {
       .select(col(idCol), col("avg_surprisal"))
     val dc = Decontaminate.report(docs, bench, decontamN, idCol)
       .select(col("doc_id").as(idCol), col("contaminated"))
-    val reasons = array_compact(array(
+    val baseReasons = Seq(
       when(col("is_duplicate"), "duplicate"),
       when(!col("pred_lang").isin(langWhitelist: _*), "lang"),
       when(col("top_bigram_ratio") > maxTopBigramRatio, "repetitive"),
       when(col("avg_surprisal") > maxSurprisal, "high_surprisal"),
-      when(col("contaminated"), "contaminated")))
+      when(col("contaminated"), "contaminated"))
+    val webReasons = if (withGopherC4) Seq(
+      when(!col("_gq"), "gopher_quality"),
+      when(!col("_gr"), "gopher_repetition"),
+      when(!col("_c4"), "c4")) else Nil
+    val reasons = array_compact(array(baseReasons ++ webReasons: _*))
     // sp joins LEFT: a zero-token document has no surprisal row, but it
     // still needs its verdict (its 'lang' reason fires — empty text
     // scores 'und'); an inner join would silently drop it entirely

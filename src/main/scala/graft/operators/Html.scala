@@ -62,9 +62,12 @@ object Html {
   private val wsRun = java.util.regex.Pattern.compile("\\s+")
   private val headingTags = Set("h1", "h2", "h3", "h4", "h5", "h6")
   // href value in an <a> tag's attribute string: double-quoted,
-  // single-quoted, or bare (HTML5 unquoted attribute value)
+  // single-quoted, or bare (HTML5 unquoted attribute value). The
+  // attribute NAME is anchored with a lookbehind — \b alone matches
+  // between '-' and 'h', so data-href=/ng-href= would shadow the real
+  // href and feed tracking URLs into crawl discovery
   private val hrefRe = java.util.regex.Pattern.compile(
-    "(?i)\\bhref\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+    "(?i)(?<![\\w-])href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
 
   /** Decode the documented entity set; unknown entities stay literal. */
   private[graft] def decodeEntities(s: String): String = {

@@ -69,7 +69,7 @@ object TextAnalysis {
   /** The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
     * Language Models", appendix A — the published thresholds used to
     * filter MassiveWeb): word count in [50, 100 000]; mean word length
-    * in [3, 10]; symbol-to-word ratio (# and …) ≤ 0.1; ≤ 10 % of lines
+    * in [3, 10]; symbol-to-word ratio (# and …) ≤ 0.1; ≤ 90 % of lines
     * start with a bullet; ≤ 30 % of lines end with an ellipsis; ≥ 80 %
     * of words contain an alphabetic character; ≥ 2 of the 8 Gopher
     * stop words present.
@@ -83,9 +83,16 @@ object TextAnalysis {
     * compatible patterns so the DuckDB oracle evaluates the SAME
     * regexes; zero shuffle, zero UDF, zero HOF lambda in the per-token
     * path. */
-  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+  // Column `/` is double division — floor+cast gives the exact
+  // integer micro quotient (operands < 2^53, so the double divide of
+  // exactly-representable longs floors identically to DuckDB's `//`)
+  private def microDiv(num: Column, den: Column) =
+    floor(num * 1000000L / den).cast("long")
+
+  /** The Gopher quality metrics as named expressions over one text
+    * column — the single source both the DataFrame surface and the
+    * composed-verdict column ([[gopherQualityPass]]) build from. */
+  private def gopherQualityCols(t: Column): Seq[(String, Column)] = {
     val words = size(split(trim(t), "\\s+"))
     val nonWs = length(regexp_replace(t, "\\s+", ""))
     val lines = size(split(t, "\n"))
@@ -93,28 +100,37 @@ object TextAnalysis {
     val ellipsisEnds = regexp_count(t, lit("(?m)\\.\\.\\.$"))
     val symbols = regexp_count(t, lit("#")) + regexp_count(t, lit("\\.\\.\\."))
     val alphaWords = regexp_count(t, lit("(^|\\s)[^\\s]*[A-Za-z]"))
-    val nStop = markerScore(t, gopherStops)
-    // Column `/` is double division — floor+cast gives the exact
-    // integer micro quotient (operands < 2^53, so the double divide of
-    // exactly-representable longs floors identically to DuckDB's `//`)
-    def micro(num: Column, den: Column) =
-      floor(num * 1000000L / den).cast("long")
-    val out = docs.select(col(idCol), words.as("n_words"), lines.as("n_lines"),
-      micro(nonWs, words).as("mean_word_len_micro"),
-      micro(symbols, words).as("symbol_ratio_micro"),
-      micro(bullets, lines).as("bullet_frac_micro"),
-      micro(ellipsisEnds, lines).as("ellipsis_frac_micro"),
-      micro(alphaWords, words).as("alpha_frac_micro"),
-      nStop.as("n_stop"))
-    out.withColumn("gopher_pass",
-      col("n_words").between(50, 100000) &&
-        col("mean_word_len_micro").between(3000000L, 10000000L) &&
-        col("symbol_ratio_micro") <= 100000L &&
-        col("bullet_frac_micro") <= 100000L &&
-        col("ellipsis_frac_micro") <= 300000L &&
-        col("alpha_frac_micro") >= 800000L &&
-        col("n_stop") >= 2)
+    Seq("n_words" -> words, "n_lines" -> lines,
+      "mean_word_len_micro" -> microDiv(nonWs, words),
+      "symbol_ratio_micro" -> microDiv(symbols, words),
+      "bullet_frac_micro" -> microDiv(bullets, lines),
+      "ellipsis_frac_micro" -> microDiv(ellipsisEnds, lines),
+      "alpha_frac_micro" -> microDiv(alphaWords, words),
+      "n_stop" -> markerScore(t, gopherStops))
   }
+
+  private def gopherPassFrom(m: Map[String, Column]): Column =
+    m("n_words").between(50, 100000) &&
+      m("mean_word_len_micro").between(3000000L, 10000000L) &&
+      m("symbol_ratio_micro") <= 100000L &&
+      m("bullet_frac_micro") <= 900000L &&
+      m("ellipsis_frac_micro") <= 300000L &&
+      m("alpha_frac_micro") >= 800000L &&
+      m("n_stop") >= 2
+
+  def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val cols = gopherQualityCols(col(textCol))
+    val out = docs.select(col(idCol) +: cols.map { case (n, c) => c.as(n) }: _*)
+    out.withColumn("gopher_pass",
+      gopherPassFrom(cols.map { case (n, _) => n -> col(n) }.toMap))
+  }
+
+  /** The composite Gopher quality verdict as ONE column expression —
+    * the shape [[Cleaning.cleanCorpus]] folds into its per-row base
+    * projection (zero joins; the metrics never materialize). */
+  def gopherQualityPass(t: Column): Column =
+    gopherPassFrom(gopherQualityCols(t).toMap)
 
   /** The Gopher REPETITION rule set (Rae et al. 2021 appendix A,
     * completing [[gopherQuality]]): fraction of duplicate lines ≤ 0.30,
@@ -132,9 +148,7 @@ object TextAnalysis {
     * line array (bounded per row), no lambda, no shuffle, no UDF. The
     * top-n-gram share half of Gopher's repetition table is the
     * existing [[repetitionStats]] aggregate. */
-  def gopherRepetition(docs: DataFrame, idCol: String = "doc_id",
-                       textCol: String = "text"): DataFrame = {
-    val t = col(textCol)
+  private def gopherRepetitionCols(t: Column): Seq[(String, Column)] = {
     def fracs(units: Column, prefix: String): Seq[(String, Column)] = {
       val n = size(units)
       val nDup = n - size(array_distinct(units))
@@ -146,14 +160,27 @@ object TextAnalysis {
         s"dup_${prefix.stripSuffix("s")}_char_frac_micro" ->
           floor(dupChars * 1000000L / greatest(chars, lit(1))).cast("long"))
     }
-    val cols = fracs(split(t, "\n"), "lines") ++ fracs(split(t, "\n\n"), "paras")
+    fracs(split(t, "\n"), "lines") ++ fracs(split(t, "\n\n"), "paras")
+  }
+
+  private def gopherRepetitionPassFrom(m: Map[String, Column]): Column =
+    m("dup_line_frac_micro") <= 300000L &&
+      m("dup_para_frac_micro") <= 300000L &&
+      m("dup_line_char_frac_micro") <= 200000L &&
+      m("dup_para_char_frac_micro") <= 200000L
+
+  def gopherRepetition(docs: DataFrame, idCol: String = "doc_id",
+                       textCol: String = "text"): DataFrame = {
+    val cols = gopherRepetitionCols(col(textCol))
     docs.select(col(idCol) +: cols.map { case (nm, c) => c.as(nm) }: _*)
       .withColumn("repetition_pass",
-        col("dup_line_frac_micro") <= 300000L &&
-          col("dup_para_frac_micro") <= 300000L &&
-          col("dup_line_char_frac_micro") <= 200000L &&
-          col("dup_para_char_frac_micro") <= 200000L)
+        gopherRepetitionPassFrom(cols.map { case (n, _) => n -> col(n) }.toMap))
   }
+
+  /** The composite Gopher repetition verdict as ONE column expression
+    * (the [[gopherQualityPass]] twin for [[Cleaning.cleanCorpus]]). */
+  def gopherRepetitionPass(t: Column): Column =
+    gopherRepetitionPassFrom(gopherRepetitionCols(t).toMap)
 
   /** Per-language corpus DATA CARD — the datasheet summary a curator
     * reads before committing a mixture (Gebru et al.'s datasheets,

@@ -141,15 +141,26 @@ object UrlOps {
     * and the urlsets to fetchable URLs. XXE-hardened DOM (untrusted
     * bytes, same settings as the DOCX walk); entries without a `<loc>`
     * are skipped; malformed XML yields None (validator surface). */
-  def parseSitemap(bytes: Array[Byte]): Option[Seq[SitemapEntry]] =
+  def parseSitemap(bytes: Array[Byte],
+                   maxInflate: Long = UrlIngest.MaxFileSize): Option[Seq[SitemapEntry]] =
     try {
       // sitemaps.org allows gzip-compressed maps (sitemap.xml.gz) —
-      // sniff the magic and inflate before the XML walk
+      // sniff the magic and inflate before the XML walk. The inflate
+      // is BOUNDED by the same 50 MB cap as the fetch path
+      // ([[UrlIngest.MaxFileSize]], which is also sitemaps.org's own
+      // uncompressed limit): a small hostile .gz from the open web
+      // must not decompress to gigabytes on an executor — over-cap
+      // maps yield None (the validator surface), never an OOM
       val raw =
         if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
+          val cap = maxInflate.min(Int.MaxValue - 8L).toInt
           val in = new java.util.zip.GZIPInputStream(
             new java.io.ByteArrayInputStream(bytes))
-          try in.readAllBytes() finally in.close()
+          try {
+            val out = in.readNBytes(cap)
+            if (in.read() >= 0) return None // exceeds the cap mid-stream
+            out
+          } finally in.close()
         } else bytes
       parseSitemapXml(raw)
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -233,9 +244,15 @@ object UrlOps {
     lower(regexp_extract(url, "^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
 
   /** Resolve an extracted href against its page URL — the RFC 3986 §5
-    * cases a crawler's discovery stage actually meets: absolute hrefs
-    * pass through; `//host/...` takes the base scheme; `/path` takes
-    * the base origin; empty and `#fragment` hrefs mean "this page";
+    * cases a crawler's discovery stage actually meets: hrefs carrying
+    * ANY scheme pass through unchanged (`http://...` stays a fetchable
+    * absolute URL; authority-less schemes — `mailto:`, `javascript:`,
+    * `tel:`, `data:` — stay themselves so the downstream http(s)
+    * filter drops them, instead of being concatenated into bogus
+    * fetchable URLs); `//host/...` takes the base scheme; `/path`
+    * takes the base origin; empty and `#fragment` hrefs mean "this
+    * page"; a query-only href (`?page=2`) KEEPS the base path
+    * (§5.3: an undefined relative path inherits the base path whole);
     * anything else is path-relative and appends to the base DIRECTORY
     * (the base URL minus query/fragment and its last path segment).
     * Dot segments (`../`) are NOT collapsed — a documented subset; the
@@ -249,12 +266,19 @@ object UrlOps {
     val basePath = regexp_extract(base, "^[^:/?#]+://[^/?#]+([^?#]*)", 1)
     val baseDir = when(basePath.contains("/"),
       regexp_replace(basePath, "/[^/]*$", "/")).otherwise(lit("/"))
-    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*://"), href)
+    when(href.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), href)
       .when(href.startsWith("//"), concat(scheme, lit(":"), href))
       .when(href.startsWith("/"), concat(origin, href))
       .when(href === "" || href.startsWith("#"), base)
+      .when(href.startsWith("?"), concat(origin,
+        when(basePath === "", lit("/")).otherwise(basePath), href))
       .otherwise(concat(origin, baseDir, href))
   }
+
+  /** Is a (resolved) URL something the crawl tier can actually fetch?
+    * http/https only — the gate that drops `mailto:`/`javascript:`/
+    * `tel:`/`data:` hrefs after [[resolveUrl]] passes them through. */
+  def isFetchable(url: Column): Column = url.rlike("^https?://")
 
   /** Per-host politeness scheduling over the crawl frontier — the
     * distributed analogue of the reference's per-host connection cap
@@ -264,29 +288,47 @@ object UrlOps {
     * deterministic total order) and keep at most `hostBudget` per host.
     *
     * Output adds `host`, `fetch_rank` (1-based) and `fetch_tick_sec` =
-    * (rank−1)·`crawlDelaySec` — the earliest polite fetch time for the
-    * URL relative to the host's schedule start, honoring the robots
-    * `Crawl-delay` when the caller passes the parsed value
-    * ([[RobotsRules.crawlDelaySec]]). Scale shape: ONE hash shuffle on
+    * (rank−1)·delay — the earliest polite fetch time for the URL
+    * relative to the host's schedule start. The delay is PER HOST:
+    * `hostDelays` (columns `host`, `crawl_delay_sec` — each host's own
+    * parsed robots `Crawl-delay`, [[RobotsRules.crawlDelaySec]]) joins
+    * in BROADCAST, and hosts it doesn't list fall back to
+    * `crawlDelaySec`. A multi-host frontier spaces each host by ITS
+    * robots delay — one scalar for every host was the round-16
+    * semantics gap. Scale shape: ONE hash shuffle on
     * host; the rank filter
     * is a rank-limit window, which Spark executes as WindowGroupLimit —
     * each partition keeps only its top `hostBudget` rows per host
     * before the sort completes, so a 100 TB frontier with a hot host
     * (the skew case: one domain contributing millions of URLs) never
     * materializes more than `hostBudget` rows per host per partition
-    * map-side. */
+    * map-side. The delay join is a broadcast hash join below the
+    * window (hosts with an EXPLICIT robots delay are few relative to
+    * URLs — the delay table is a per-host sidecar, never corpus-sized),
+    * so it adds zero exchanges. */
   def crawlFrontier(urls: org.apache.spark.sql.DataFrame, hostBudget: Int = 5,
                     crawlDelaySec: Int = 1, urlCol: String = "url",
-                    prioCol: String = "priority_micro"): org.apache.spark.sql.DataFrame = {
+                    prioCol: String = "priority_micro",
+                    hostDelays: Option[org.apache.spark.sql.DataFrame] = None)
+      : org.apache.spark.sql.DataFrame = {
     require(hostBudget >= 1, s"hostBudget must be >= 1, got $hostBudget")
     require(crawlDelaySec >= 0, s"crawlDelaySec must be >= 0, got $crawlDelaySec")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("host"))
       .orderBy(col(prioCol).desc_nulls_last, col(urlCol).asc)
-    urls.withColumn("host", urlHost(col(urlCol)))
+    val withHost = urls.withColumn("host", urlHost(col(urlCol)))
+    val withDelay = hostDelays match {
+      case Some(d) => withHost
+        .join(broadcast(d.select(col("host"),
+          col("crawl_delay_sec").cast("long").as("_host_delay"))), Seq("host"), "left")
+      case None => withHost.withColumn("_host_delay", lit(null).cast("long"))
+    }
+    withDelay
       .withColumn("fetch_rank", row_number().over(w))
       .filter(col("fetch_rank") <= hostBudget)
       .withColumn("fetch_tick_sec",
-        ((col("fetch_rank") - 1) * crawlDelaySec).cast("long"))
+        (col("fetch_rank") - 1).cast("long") *
+          coalesce(col("_host_delay"), lit(crawlDelaySec.toLong)))
+      .drop("_host_delay")
   }
 }

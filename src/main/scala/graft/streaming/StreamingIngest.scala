@@ -366,8 +366,16 @@ object StreamingIngest {
     * whole frontier therefore equals the batch operator exactly (the
     * parity the spec pins); a drip-fed frontier trades global priority
     * order for bounded state and immediate scheduling, which is what a
-    * live crawler wants anyway. State per host is ONE int. */
-  class FrontierProcessor(hostBudget: Int, crawlDelaySec: Int)
+    * live crawler wants anyway. State per host is ONE int.
+    *
+    * `hostDelays` carries each host's OWN robots `Crawl-delay`
+    * (host → seconds; hosts not listed fall back to `crawlDelaySec`) —
+    * the per-host politeness the batch twin's broadcast delay join
+    * gives. It rides the processor's closure: only hosts with an
+    * EXPLICIT robots delay appear, a bounded sidecar, never
+    * frontier-sized. */
+  class FrontierProcessor(hostBudget: Int, crawlDelaySec: Int,
+                          hostDelays: Map[String, Int] = Map.empty)
       extends org.apache.spark.sql.streaming.StatefulProcessor[
         String, (String, String, Long), FrontierSlot] {
     import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
@@ -380,12 +388,13 @@ object StreamingIngest {
                                  rows: Iterator[(String, String, Long)],
                                  tv: TimerValues): Iterator[FrontierSlot] = {
       var n = if (emitted.exists()) emitted.get() else 0
+      val delay = hostDelays.getOrElse(host, crawlDelaySec).toLong
       val out = Seq.newBuilder[FrontierSlot]
       // batch-window order within the micro-batch: priority desc, url asc
       rows.toSeq.sortBy(r => (-r._3, r._2)).foreach { case (_, url, prio) =>
         if (n < hostBudget) {
           n += 1
-          out += FrontierSlot(host, url, prio, n, (n - 1).toLong * crawlDelaySec)
+          out += FrontierSlot(host, url, prio, n, (n - 1).toLong * delay)
         }
       }
       emitted.update(n)
@@ -394,7 +403,8 @@ object StreamingIngest {
   }
 
   def streamingFrontier(urls: DataFrame, hostBudget: Int = 5,
-                        crawlDelaySec: Int = 1)
+                        crawlDelaySec: Int = 1,
+                        hostDelays: Map[String, Int] = Map.empty)
       : org.apache.spark.sql.Dataset[FrontierSlot] = {
     import urls.sparkSession.implicits._
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
@@ -402,7 +412,7 @@ object StreamingIngest {
         col("url"), col("priority_micro"))
       .as[(String, String, Long)]
       .groupByKey(_._1)
-      .transformWithState(new FrontierProcessor(hostBudget, crawlDelaySec),
+      .transformWithState(new FrontierProcessor(hostBudget, crawlDelaySec, hostDelays),
         TimeMode.None(), OutputMode.Append())
   }
 

@@ -115,4 +115,54 @@ class CrawlStreamSpec extends SparkSpec {
       ("a.com", "http://a.com/p1", 2), // tie broken by url asc; p3 over budget
       ("b.com", "http://b.com/q", 1)))
   }
+
+  test("per-host Crawl-delay: each host spaces by ITS robots delay; zero is legal") {
+    val frontier = Seq(
+      ("http://a.com/p1", 900000L), ("http://a.com/p2", 500000L),
+      ("http://b.com/q1", 900000L), ("http://b.com/q2", 500000L),
+      ("http://c.com/r1", 900000L), ("http://c.com/r2", 500000L)
+    ).toDF("url", "priority_micro")
+    // a.com published 5 s, b.com a legal 0 s; c.com falls back to 2 s
+    val delays = Seq(("a.com", 5), ("b.com", 0)).toDF("host", "crawl_delay_sec")
+    val out = UrlOps.crawlFrontier(frontier, hostBudget = 5, crawlDelaySec = 2,
+        hostDelays = Some(delays))
+      .select("host", "fetch_rank", "fetch_tick_sec")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      ("a.com", 1, 0L), ("a.com", 2, 5L),
+      ("b.com", 1, 0L), ("b.com", 2, 0L), // zero delay: both ticks at 0
+      ("c.com", 1, 0L), ("c.com", 2, 2L)))
+
+    // streaming twin: identical ticks under the same delay map
+    // (transformWithState needs the RocksDB provider, like the parity test)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingIngest.streamingFrontier(
+        input.toDF().toDF("url", "priority_micro"), hostBudget = 5,
+        crawlDelaySec = 2, hostDelays = Map("a.com" -> 5, "b.com" -> 0))
+      .writeStream.format("memory").queryName("frontier_delays")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft-frontier-delays-ck")).start()
+    try {
+      input.addData(Seq(
+        ("http://a.com/p1", 900000L), ("http://a.com/p2", 500000L),
+        ("http://b.com/q1", 900000L), ("http://b.com/q2", 500000L),
+        ("http://c.com/r1", 900000L), ("http://c.com/r2", 500000L)))
+      q.processAllAvailable()
+      val streamed = spark.table("frontier_delays")
+        .select("host", "fetch_rank", "fetch_tick_sec")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+      assert(streamed === out)
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }

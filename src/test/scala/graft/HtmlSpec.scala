@@ -91,6 +91,15 @@ class HtmlSpec extends SparkSpec {
         "<a name='no-href'>skipped</a><a href=''>empty skipped</a>" +
         "<p>padding paragraph long enough to not matter here.</p></body>").getBytes("UTF-8")).get
     assert(forms.links === Seq("/single", "/bare", "/page?a=1&b=2"))
+    // the attribute NAME must be anchored: data-href/ng-href are NOT
+    // href — <a data-href="/track" href="/real"> yields /real, and a
+    // tag with ONLY data-href yields nothing
+    val decoys = Html.parseHtml(
+      ("<body><a data-href=\"/track\" href=\"/real\">r</a>" +
+        "<a ng-href='/ng' href='/genuine'>g</a>" +
+        "<a data-href=\"/only-decoy\">d</a>" +
+        "<p>padding paragraph long enough to not matter here.</p></body>").getBytes("UTF-8")).get
+    assert(decoys.links === Seq("/real", "/genuine"))
   }
 
   test("charset detection: meta charset and BOMs beat the UTF-8 default") {

@@ -17,22 +17,31 @@ class QualityFiltersSpec extends SparkSpec {
   test("gopher: each rule trips independently; a clean page passes") {
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ")
     val clean = fifty + " and that story had the happy end we hoped it would have."
-    val bullets = clean + "\n- one\n- two\n- three\n- four\n- five\n- six"
+    val someBullets = clean + "\n- one\n- two\n- three\n- four\n- five\n- six"
+    // a page that is ESSENTIALLY a bullet list: 30 of 31 lines bulleted
+    val allBullets = clean +
+      (1 to 30).map(i => s"\n- the quick brown fox item$i").mkString
     val symbols = clean + " " + ("#" * 7).mkString(" ")
     val fewStops = fifty + " plain prose sentence lacking markers entirely."
-    val out = gopher(clean, bullets, symbols, fewStops, "tiny page with that and the stops.")
+    val out = gopher(clean, someBullets, allBullets, symbols, fewStops,
+      "tiny page with that and the stops.")
     assert(out(0).getAs[Boolean]("gopher_pass"), "clean page must pass")
-    // six bullet lines over seven lines: 857142 micro > the 10% cap
-    assert(out(1).getAs[Long]("bullet_frac_micro") > 100000L)
-    assert(!out(1).getAs[Boolean]("gopher_pass"))
-    // seven '#' over ~63 words: >10% symbol ratio
-    assert(out(2).getAs[Long]("symbol_ratio_micro") > 100000L)
+    // Gopher's bullet rule (Rae et al. 2021 app. A) removes pages with
+    // MORE than 90% bulleted lines — a list-bearing page survives:
+    // six bullet lines over seven lines is 857142 micro, under the cap
+    assert(out(1).getAs[Long]("bullet_frac_micro") === 857142L)
+    assert(out(1).getAs[Boolean]("gopher_pass"), "a 6/7-bullet page must pass")
+    // 30 of 31 lines: 967741 micro > the 90% cap
+    assert(out(2).getAs[Long]("bullet_frac_micro") === 967741L)
     assert(!out(2).getAs[Boolean]("gopher_pass"))
-    // only 'the'-free filler: n_stop < 2
-    assert(out(3).getAs[Int]("n_stop") < 2)
+    // seven '#' over ~63 words: >10% symbol ratio
+    assert(out(3).getAs[Long]("symbol_ratio_micro") > 100000L)
     assert(!out(3).getAs[Boolean]("gopher_pass"))
+    // only 'the'-free filler: n_stop < 2
+    assert(out(4).getAs[Int]("n_stop") < 2)
+    assert(!out(4).getAs[Boolean]("gopher_pass"))
     // 7 words: under the 50-word floor
-    assert(out(4).getAs[Int]("n_words") < 50 && !out(4).getAs[Boolean]("gopher_pass"))
+    assert(out(5).getAs[Int]("n_words") < 50 && !out(5).getAs[Boolean]("gopher_pass"))
   }
 
   test("gopher: ellipsis and alpha-word rules; micro-units are exact integer floors") {
@@ -81,12 +90,16 @@ class QualityFiltersSpec extends SparkSpec {
       (0L, "this first line carries five words.\nshort.\nno terminal punctuation here at all\nthis second keeper also has enough words!\nand a third keeper rounds out the page?"),
       (1L, "this first line carries five words.\nenable javascript to view this page.\nonly three keepers survive on this one.\nbecause the scripted line is gone now."),
       (2L, "a fine page with lorem ipsum inside it.\nsecond proper sentence keeps going strong.\nthird proper sentence keeps going strong."),
-      (3L, "a curly json { snippet poisons the page.\nsecond proper sentence keeps going strong.\nthird proper sentence keeps going strong."))
+      (3L, "a curly json { snippet poisons the page.\nsecond proper sentence keeps going strong.\nthird proper sentence keeps going strong."),
+      // ONE kept line holding THREE sentences: the §2.2 page rule
+      // counts sentences, so this page survives
+      (4L, "one keeper line holds this. also that one does. plus a third sentence ends!\nno terminal punctuation on the second line"))
     val out = Cleaning.c4Clean(pages.toDF("doc_id", "text"))
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
     val ok = out(0L)
     assert(ok.getAs[Boolean]("keep_doc"))
     assert(ok.getAs[Int]("n_kept") === 3)
+    assert(ok.getAs[Int]("n_sentences") === 3)
     assert(ok.getAs[String]("clean_text") ===
       "this first line carries five words.\nthis second keeper also has enough words!\nand a third keeper rounds out the page?")
     // the javascript line drops; the other three survive
@@ -95,5 +108,11 @@ class QualityFiltersSpec extends SparkSpec {
     // lorem ipsum and '{' kill the PAGE even though lines individually pass
     assert(!out(2L).getAs[Boolean]("keep_doc") && out(2L).getAs[String]("clean_text") === "")
     assert(!out(3L).getAs[Boolean]("keep_doc") && out(3L).getAs[String]("clean_text") === "")
+    // one kept line, three sentences: the page-level rule counts
+    // SENTENCES of the retained text, so n_kept=1 still keeps the page
+    val multi = out(4L)
+    assert(multi.getAs[Int]("n_kept") === 1)
+    assert(multi.getAs[Int]("n_sentences") === 3)
+    assert(multi.getAs[Boolean]("keep_doc"))
   }
 }

@@ -88,6 +88,45 @@ class UrlOpsSpec extends SparkSpec {
       "http://a.com/rel",
       "http://a.com/dir/page",
       "http://a.com/dir/page"))
+    // §5.3: a query-only href keeps the base's WHOLE path (not its
+    // directory), and authority-less schemes pass through unmangled
+    // (never concatenated into bogus fetchable http URLs)
+    assert(res(
+      ("http://a.com/dir/page?q=1", "?page=2"),
+      ("http://a.com", "?x=1"), // empty base path → "/"
+      ("http://a.com/dir/page", "mailto:x@y.z"),
+      ("http://a.com/dir/page", "javascript:void(0)"),
+      ("http://a.com/dir/page", "tel:+15551234")) === Seq(
+      "http://a.com/dir/page?page=2",
+      "http://a.com/?x=1",
+      "mailto:x@y.z",
+      "javascript:void(0)",
+      "tel:+15551234"))
+    // the crawl gate drops the non-http(s) pass-throughs
+    val fetchable = Seq("http://a.com/x", "https://b.com/", "mailto:x@y.z",
+        "javascript:void(0)", "data:text/plain,hi")
+      .toDF("u").filter(UrlOps.isFetchable(col("u")))
+      .collect().map(_.getString(0)).toSeq
+    assert(fetchable === Seq("http://a.com/x", "https://b.com/"))
+  }
+
+  test("gz sitemap inflate is capped: an over-cap member yields None, never an OOM") {
+    val gz = graft.operators.DocFixtures.sitemapAll
+      .collectFirst { case ("posts_gz", b) => b }.get
+    val full = UrlOps.parseSitemap(gz)
+    assert(full.exists(_.size === 3))
+    // the same bytes under a cap SMALLER than the inflated size must
+    // refuse (the decompression-bomb guard), not truncate-and-parse
+    assert(UrlOps.parseSitemap(gz, maxInflate = 64) === None)
+    // a cap at exactly the inflated size still parses
+    val inflated = {
+      val in = new java.util.zip.GZIPInputStream(
+        new java.io.ByteArrayInputStream(gz))
+      try in.readAllBytes() finally in.close()
+    }
+    assert(UrlOps.parseSitemap(gz, maxInflate = inflated.length.toLong) === full)
+    // default cap mirrors the fetch-side guard
+    assert(graft.operators.UrlIngest.MaxFileSize === 50L * 1024 * 1024)
   }
 
   test("gz sitemap parses identically to plain; byte-flip fuzz never throws") {
