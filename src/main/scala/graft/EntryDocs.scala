@@ -150,6 +150,20 @@ private[graft] trait EntryDocs extends EntryShared {
       UrlOps.sitemapEntries(
         DocFixtures.sitemapAll.toDF("site", "content"))
     }),
+    // the sitemap tree walked through the REAL transport: seed index →
+    // genuine GETs → child urlsets (one plain, one .xml.gz), with the
+    // index's self-cycle anti-joined away, its ftp: member dropped as
+    // non-fetchable, and its 404 member contributing no rows after 3
+    // real retries — the discovery seeding every production crawler
+    // runs. Paths relativized (the port is ephemeral),
+    "sitemap_tree" -> ((s, d) => {
+      import s.implicits._
+      val base = UrlIngest.sitemapTreeBase
+      val seeds = Seq(s"$base/sitemap-index.xml").toDF("url")
+      UrlOps.sitemapTree(seeds, backoffMs = 1)
+        .select(regexp_replace(col("sitemap"), "^http://[^/]+", "").as("sitemap"),
+          col("loc"), col("lastmod"), col("priority_micro"))
+    }),
     // crawl compliance: RFC 9309 longest-match filtering under the
     // fixture policy — the graftbot group (press carve-out inside the
     // disallowed tree, '/tmp' PREFIX semantics catching '/tmpx') must
@@ -690,6 +704,21 @@ private[graft] trait EntryDocs extends EntryShared {
         |  '2026-02-01', NULL),
         | ('index', 'sitemap', 'http://example.com/sitemap-pages.xml', NULL, NULL)
         |) AS t(site, kind, loc, lastmod, priority_micro)""".stripMargin,
+
+    // the tree walk's expected leaves: the posts urlset verbatim plus
+    // the gz child's two pages; the self-cycle, ftp: and 404 members
+    // contribute nothing (absence IS the contract),
+    "sitemap_tree" ->
+      """SELECT sitemap, loc, lastmod, priority_micro FROM (VALUES
+        | ('/sitemap-posts.xml', 'http://example.com/blog', '2026-01-15',
+        |  CAST(800000 AS BIGINT)),
+        | ('/sitemap-posts.xml', 'http://example.com/about', CAST(NULL AS VARCHAR),
+        |  CAST(NULL AS BIGINT)),
+        | ('/sitemap-posts.xml', 'http://example.com/search?q=a&lang=en',
+        |  NULL, 250000),
+        | ('/sitemap-pages.xml.gz', 'http://example.com/team', '2026-02-02', NULL),
+        | ('/sitemap-pages.xml.gz', 'http://example.com/careers', NULL, 500000)
+        |) AS t(sitemap, loc, lastmod, priority_micro)""".stripMargin,
 
     // expected verdicts re-derived from doc_id alone: %5 in (0, 2) is
     // allowed (no match; the press carve-out), everything else denied,

@@ -215,14 +215,65 @@ object UrlIngest {
       "blog.html" -> DocFixtures.blogHtml.getBytes(UTF_8))
     // the oracle reads this dir back by GLOB — remove anything that is
     // not the current fixture set, or a stale file makes the oracle see
-    // rows the engine side never ingested
-    val keep = files.map(_._1).toSet
+    // rows the engine side never ingested. The sitemap-tree members are
+    // staged SEPARATELY (their index needs the live port for absolute
+    // child <loc>s) — keep them across re-stages
+    val keep = files.map(_._1).toSet ++
+      Set("sitemap-index.xml", "sitemap-posts.xml", "sitemap-pages.xml.gz")
     Option(d.listFiles()).getOrElse(Array.empty)
       .filterNot(f => keep(f.getName)).foreach(_.delete())
     files.foreach { case (n, b) =>
       java.nio.file.Files.write(new java.io.File(d, n).toPath, b)
     }
     dir
+  }
+
+  /** Stage the sitemap TREE fixtures behind the loopback server and
+    * return the server base URL. Staged lazily (the index's child
+    * `<loc>`s must be absolute per sitemaps.org, so they need the live
+    * port): an index whose members are a plain child urlset, a GZIPPED
+    * child urlset (`.xml.gz`, the large-site convention), a cycle back
+    * to the index itself, a non-fetchable scheme, and a 404 child —
+    * every edge the one-level walk ([[UrlOps.sitemapTree]]) must
+    * survive. */
+  lazy val sitemapTreeBase: String = {
+    val base = s"http://127.0.0.1:$fixtureServerPort"
+    val pagesXml =
+      """<?xml version="1.0" encoding="UTF-8"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        | <url>
+        |  <loc>http://example.com/team</loc>
+        |  <lastmod>2026-02-02</lastmod>
+        | </url>
+        | <url><loc>http://example.com/careers</loc><priority>0.5</priority></url>
+        |</urlset>
+        |""".stripMargin
+    val indexXml =
+      s"""<?xml version="1.0" encoding="UTF-8"?>
+         |<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+         | <sitemap><loc>$base/sitemap-posts.xml</loc></sitemap>
+         | <sitemap><loc>$base/sitemap-pages.xml.gz</loc></sitemap>
+         | <sitemap><loc>$base/sitemap-index.xml</loc></sitemap>
+         | <sitemap><loc>ftp://example.com/never.xml</loc></sitemap>
+         | <sitemap><loc>$base/sitemap-missing.xml</loc></sitemap>
+         |</sitemapindex>
+         |""".stripMargin
+    val gzPages = {
+      val out = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      try gz.write(pagesXml.getBytes(UTF_8)) finally gz.close()
+      out.toByteArray
+    }
+    val d = new java.io.File(defaultStageDir)
+    d.mkdirs()
+    Seq[(String, Array[Byte])](
+      "sitemap-index.xml" -> indexXml.getBytes(UTF_8),
+      "sitemap-posts.xml" -> DocFixtures.sitemapXml.getBytes(UTF_8),
+      "sitemap-pages.xml.gz" -> gzPages
+    ).foreach { case (n, b) =>
+      java.nio.file.Files.write(new java.io.File(d, n).toPath, b)
+    }
+    base
   }
 
   /** Loopback HTTP fixture server (JDK `com.sun.net.httpserver`, no

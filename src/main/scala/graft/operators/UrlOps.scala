@@ -209,6 +209,49 @@ object UrlOps {
         col("e.lastmod").as("lastmod"),
         round(col("e.priority") * 1e6, 0).cast("long").as("priority_micro"))
 
+  /** Walk a sitemap TREE through the real transport — the discovery
+    * shape every production crawler runs (robots points at
+    * `sitemap.xml`, which for any large site is an INDEX whose members
+    * are the real urlsets): fetch each seed sitemap
+    * ([[UrlIngest.fetchBytes]] — retry/backoff/size-cap), parse it,
+    * follow `sitemapindex` members ONE level to their child sitemaps,
+    * and emit every urlset member tagged with the sitemap that carried
+    * it. One level is the documented subset (sitemaps.org §"index
+    * files cannot list other index files" — a spec-conformant tree is
+    * exactly two levels); children equal to a seed are cycle-guarded
+    * by anti-join, non-http(s) members drop at [[isFetchable]], and a
+    * failed child fetch (404 after retries, over-cap gz) contributes
+    * no rows — absence, never a job failure.
+    *
+    * Scale shape: fetches are the per-row executor kernel (parallelism
+    * = partitions of the sitemap list); the only exchanges are a
+    * `distinct` + broadcast anti-join over the CHILD SITEMAP LIST —
+    * sitemap counts are thousands-per-host, never corpus-sized. */
+  def sitemapTree(seeds: org.apache.spark.sql.DataFrame,
+                  urlCol: String = "url",
+                  maxBytes: Long = UrlIngest.MaxFileSize,
+                  backoffMs: Long = 0L): org.apache.spark.sql.DataFrame = {
+    def entriesOf(urls: org.apache.spark.sql.DataFrame) =
+      UrlIngest.fetchBytes(urls, maxBytes, backoffMs = backoffMs)
+        .filter(col("content").isNotNull)
+        .select(col("url").as("sitemap"),
+          explode(parseSitemapUdf(col("content"))).as("e"))
+    val seedUrls = seeds.select(col(urlCol).as("url"))
+    val e0 = entriesOf(seedUrls)
+    val children = e0.filter(col("e.kind") === "sitemap")
+      .select(col("e.loc").as("url"))
+      .filter(isFetchable(col("url")))
+      .distinct()
+      .join(broadcast(seedUrls), Seq("url"), "left_anti")
+    // one level: an index member inside a CHILD is ignored (kind filter)
+    val e1 = entriesOf(children)
+    e0.unionByName(e1)
+      .filter(col("e.kind") === "url")
+      .select(col("sitemap"), col("e.loc").as("loc"),
+        col("e.lastmod").as("lastmod"),
+        round(col("e.priority") * 1e6, 0).cast("long").as("priority_micro"))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))

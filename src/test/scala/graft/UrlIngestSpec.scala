@@ -130,6 +130,24 @@ class UrlIngestSpec extends SparkSpec {
       == "download_failed_after_1_attempts:file_too_large")
   }
 
+  test("sitemap tree: index walks to plain + gz children; cycle, ftp and 404 members drop") {
+    import graft.operators.UrlOps
+    val base = UrlIngest.sitemapTreeBase
+    val out = UrlOps.sitemapTree(
+        Seq(s"$base/sitemap-index.xml").toDF("url"), backoffMs = 1)
+      .collect()
+      .map(r => (r.getAs[String]("sitemap").replaceFirst("^http://[^/]+", ""),
+        r.getAs[String]("loc"), r.getAs[String]("lastmod"),
+        Option(r.getAs[java.lang.Long]("priority_micro")).map(_.toLong)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(out === Seq(
+      ("/sitemap-pages.xml.gz", "http://example.com/careers", null, Some(500000L)),
+      ("/sitemap-pages.xml.gz", "http://example.com/team", "2026-02-02", None),
+      ("/sitemap-posts.xml", "http://example.com/about", null, None),
+      ("/sitemap-posts.xml", "http://example.com/blog", "2026-01-15", Some(800000L)),
+      ("/sitemap-posts.xml", "http://example.com/search?q=a&lang=en", null, Some(250000L))))
+  }
+
   test("S1: extension mismatch on a supported MIME is flagged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_url_spec").toFile
     try {
