@@ -245,6 +245,80 @@ private[graft] trait EntryDocs extends EntryShared {
           col("title"), col("block_idx"), col("heading"),
           col("content"), col("n_chars"))
     }),
+    // THE CRAWL->CORPUS FLAGSHIP (curation_e2e's crawl-side sibling):
+    // discovery -> politeness -> real HTTP fetch -> extraction -> the
+    // full 8-family corpus verdict -> banded near-dup -> final corpus
+    // membership, end to end over the loopback mini-site. Every stage
+    // is the production operator, not a demo stub: links resolve
+    // (RFC 3986 §5) and canonicalize (the ?utm_source twin collapses),
+    // the robots-denied /private/ link never reaches the wire, the
+    // frontier budgets/spaces the host, cleanCorpus runs ALL families
+    // incl. the round-17 gopher/C4 fold, and SimHash banding catches
+    // the one-word-changed near-duplicate exact dedup cannot see.
+    // Verdicts are hand-derived in the oracle: hub fails gopher word
+    // count, article3 fails gopher+C4 (word soup, no punctuation),
+    // article4 is benchmark-contaminated, dup.html is an exact text
+    // duplicate, article2 near-dups article1 — article1 and article5
+    // are the corpus,
+    "crawl_corpus_e2e" -> ((s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val base = UrlIngest.crawlSiteBase
+      val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+      val seeds = Seq(s"$base/site.html").toDF("url")
+      // discovery: fetch seeds, extract+resolve+canonicalize links,
+      // drop non-fetchable schemes, robots-filter, collapse dup keys
+      val seedPages = UrlIngest.fetchBytes(seeds, backoffMs = 1)
+        .filter(col("content").isNotNull)
+        .select(col("url").as("page_url"), Html.parseHtmlUdf(col("content")).as("p"))
+      val discovered = seedPages
+        .select(col("page_url"), explode(col("p.links")).as("href"))
+        .select(UrlOps.canonicalizeUrl(
+          UrlOps.resolveUrl(col("page_url"), col("href"))).as("url"))
+        .filter(UrlOps.isFetchable(col("url")))
+        .distinct()
+        .withColumn("path",
+          regexp_extract(col("url"), "^[^:/?#]+://[^/?#]+([^?#]*)", 1))
+        .filter(UrlOps.robotsAllowed(rules)(col("path")))
+        .select(col("url"), lit(0L).as("priority_micro"))
+      val frontier = UrlOps.crawlFrontier(discovered, hostBudget = 10,
+        crawlDelaySec = rules.crawlDelaySec.getOrElse(1))
+      // fetch seed + scheduled pages ('/': the hub's Home link 404s
+      // after 3 real retries and contributes nothing)
+      val fetched = UrlIngest.fetchBytes(
+          seeds.unionByName(frontier.select("url")).distinct(), backoffMs = 1)
+        .filter(col("content").isNotNull)
+      // one row per PAGE: title + blocks joined in document order
+      val pages = Html.htmlBlocks(fetched, docCol = "url", binCol = "content")
+        .groupBy(col("doc"))
+        .agg(max(col("title")).as("title"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("block_idx"), col("content")))),
+            b => b.getField("content")), "\n").as("text"))
+        .withColumn("path", regexp_replace(col("doc"), "^http://[^/]+", ""))
+        // deterministic small-fixture ids (path order); a production
+        // corpus keys on the url hash and never needs a global window
+        .withColumn("doc_id",
+          row_number().over(Window.orderBy(col("path"))).cast("long"))
+      // the full composed verdict; surprisal band parked at 9.0 — a
+      // seven-page corpus LM has ln(total)≈5.5 as its ceiling, so the
+      // family participates without firing (its thresholds are proven
+      // on the big corpus in clean_corpus)
+      val bench = Seq((1L, "the secret benchmark answer key")).toDF("bench_id", "text")
+      val verdict = Cleaning.cleanCorpus(
+        pages.select("doc_id", "text"), bench, maxSurprisal = 9.0)
+      // banded SimHash near-dup: later page maps to its earliest keeper
+      val nd = Dedup.simhashPairs(pages.select("doc_id", "text"), maxHamming = 3)
+        .groupBy(col("id_b").as("doc_id"))
+        .agg(min(col("id_a")).as("_keeper_id"))
+      pages.join(verdict, "doc_id")
+        .join(nd, Seq("doc_id"), "left")
+        .join(pages.select(col("doc_id").as("_keeper_id"),
+          col("path").as("near_dup_of")), Seq("_keeper_id"), "left")
+        .select(col("path"), col("title"), col("reasons"), col("keep"),
+          col("near_dup_of"),
+          (col("keep") && col("near_dup_of").isNull).as("in_corpus"))
+    }),
     // the frontier as a STREAM (§2.10 × crawl): per-host fetch-slot
     // state (transformWithState, one int per host) hands out ranks and
     // polite ticks across micro-batches under a LIFETIME budget of 3 —
@@ -704,6 +778,33 @@ private[graft] trait EntryDocs extends EntryShared {
         |  '2026-02-01', NULL),
         | ('index', 'sitemap', 'http://example.com/sitemap-pages.xml', NULL, NULL)
         |) AS t(site, kind, loc, lastmod, priority_micro)""".stripMargin,
+
+    // hand-derived verdicts for the mini-site, one row per fetched
+    // page: the hub and article3 fail the web filters (12-word pages:
+    // gopher word floor, all-distinct-bigram 'repetitive' artifact,
+    // single-sentence/no-punct C4; article3's word soup also has zero
+    // language markers -> 'lang'), article4 quotes the benchmark
+    // 4-gram, dup.html is the exact text duplicate of article1, and
+    // article2 (one word changed) reaches the corpus gate with a CLEAN
+    // verdict but falls to its SimHash keeper — the miss exact dedup
+    // cannot catch. The robots-denied /private/ link and the mailto:
+    // never fetch; the ?utm_source twin collapses in canonical space;
+    // the hub's '/' link 404s and contributes nothing,
+    "crawl_corpus_e2e" ->
+      """SELECT path, title, reasons, keep, near_dup_of, in_corpus FROM (VALUES
+        | ('/article1.html', 'Polite crawling', '', TRUE,
+        |  CAST(NULL AS VARCHAR), TRUE),
+        | ('/article2.html', 'Polite crawling again', '', TRUE,
+        |  '/article1.html', FALSE),
+        | ('/article3.html', 'Fragments', 'lang,repetitive,gopher_quality,c4',
+        |  FALSE, NULL, FALSE),
+        | ('/article4.html', 'Benchmarks', 'contaminated', FALSE, NULL, FALSE),
+        | ('/article5.html', 'Scaling the crawl', '', TRUE, NULL, TRUE),
+        | ('/dup.html', 'Mirror of polite crawling', 'duplicate', FALSE,
+        |  '/article1.html', FALSE),
+        | ('/site.html', 'Crawl Hub', 'repetitive,gopher_quality,c4',
+        |  FALSE, NULL, FALSE)
+        |) AS t(path, title, reasons, keep, near_dup_of, in_corpus)""".stripMargin,
 
     // the tree walk's expected leaves: the posts urlset verbatim plus
     // the gz child's two pages; the self-cycle, ftp: and 404 members

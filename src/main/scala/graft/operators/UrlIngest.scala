@@ -219,7 +219,9 @@ object UrlIngest {
     // staged SEPARATELY (their index needs the live port for absolute
     // child <loc>s) — keep them across re-stages
     val keep = files.map(_._1).toSet ++
-      Set("sitemap-index.xml", "sitemap-posts.xml", "sitemap-pages.xml.gz")
+      Set("sitemap-index.xml", "sitemap-posts.xml", "sitemap-pages.xml.gz",
+        "site.html", "article1.html", "article2.html", "article3.html",
+        "article4.html", "article5.html", "dup.html")
     Option(d.listFiles()).getOrElse(Array.empty)
       .filterNot(f => keep(f.getName)).foreach(_.delete())
     files.foreach { case (n, b) =>
@@ -271,6 +273,69 @@ object UrlIngest {
       "sitemap-posts.xml" -> DocFixtures.sitemapXml.getBytes(UTF_8),
       "sitemap-pages.xml.gz" -> gzPages
     ).foreach { case (n, b) =>
+      java.nio.file.Files.write(new java.io.File(d, n).toPath, b)
+    }
+    base
+  }
+
+  /** Stage the crawl-corpus mini-site behind the loopback server and
+    * return the base URL — the end-to-end fixture for
+    * `crawl_corpus_e2e`: a hub page whose links exercise every
+    * discovery edge (relative hrefs, a robots-denied path, a mailto:,
+    * a tracking-param duplicate), and five articles whose content
+    * exercises every corpus-verdict family (a clean keeper, a
+    * near-duplicate, a word-soup junk page, a benchmark-contaminated
+    * page, an exact mirror). Deterministic bytes; hand-derived
+    * verdicts live in the oracle. */
+  lazy val crawlSiteBase: String = {
+    val base = s"http://127.0.0.1:$fixtureServerPort"
+    def page(title: String, body: String): Array[Byte] =
+      (s"<html><head><title>$title</title></head><body>\n$body\n</body></html>")
+        .getBytes(UTF_8)
+    val article1Body =
+      "<p>The crawl pipeline fetches pages politely and extracts the main " +
+      "content with care. Boilerplate removal decides corpus quality, so the " +
+      "extractor measures link density for every block. Clean prose survives " +
+      "the published filters that guard the training corpus of this site. " +
+      "We keep sentences that end properly and carry enough words to matter " +
+      "for statistics.</p>"
+    val files: Seq[(String, Array[Byte])] = Seq(
+      "site.html" -> page("Crawl Hub",
+        "<nav><a href=\"/\">Home</a></nav>\n" +
+        "<p>Fresh stories from the graft crawl demo site, updated daily for readers.</p>\n" +
+        "<div class=\"toc\"><a href=\"article1.html\">Parsing</a> " +
+        "<a href=\"article2.html\">Parsing again</a> " +
+        "<a href=\"article3.html\">Fragments</a> " +
+        "<a href=\"article4.html\">Benchmarks</a> " +
+        "<a href=\"article5.html\">Scaling</a> " +
+        "<a href=\"dup.html\">Mirror</a> " +
+        "<a href=\"/private/secret.html\">Secret</a> " +
+        "<a href=\"article1.html?utm_source=feed\">Feed twin</a> " +
+        "<a href=\"mailto:editor@example.com\">Mail us</a></div>"),
+      "article1.html" -> page("Polite crawling", article1Body),
+      // ONE word changed vs article1 ("politely" -> "carefully"): an
+      // exact-dedup miss the banded SimHash near-dup stage must catch
+      "article2.html" -> page("Polite crawling again",
+        article1Body.replace("politely", "carefully")),
+      "article3.html" -> page("Fragments",
+        "<p>spark filter join merge batch stream window hash scan vector column row</p>"),
+      "article4.html" -> page("Benchmarks",
+        "<p>Benchmark leakage is the quiet failure of corpus curation and must " +
+        "be caught early. A document that quotes the secret benchmark answer " +
+        "key poisons every downstream evaluation. Decontamination joins " +
+        "document shingles with the benchmark set to find those quotes. " +
+        "This page exists to prove that the filter works end to end.</p>"),
+      "article5.html" -> page("Scaling the crawl",
+        "<p>Scaling a crawler means carefully spacing requests per host and " +
+        "respecting every robots policy. The frontier ranks urls by priority " +
+        "and hands out polite fetch ticks. Budgets cap how many pages a " +
+        "single host contributes to one batch. That keeps a hot domain from " +
+        "ever flooding the corpus with its pages.</p>"),
+      // the article1 BODY verbatim under another title: exact text dup
+      "dup.html" -> page("Mirror of polite crawling", article1Body))
+    val d = new java.io.File(defaultStageDir)
+    d.mkdirs()
+    files.foreach { case (n, b) =>
       java.nio.file.Files.write(new java.io.File(d, n).toPath, b)
     }
     base

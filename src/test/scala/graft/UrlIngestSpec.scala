@@ -148,6 +148,33 @@ class UrlIngestSpec extends SparkSpec {
       ("/sitemap-posts.xml", "http://example.com/search?q=a&lang=en", null, Some(250000L))))
   }
 
+  test("crawl corpus chain: verdict families and near-dup compose over fetched pages") {
+    import graft.operators.{Cleaning, Dedup, Html, UrlOps}
+    val base = UrlIngest.crawlSiteBase
+    // fetch the five articles directly (the full discovery chain is the
+    // oracle-checked crawl_corpus_e2e query; this pins the two stages
+    // that make corpus membership: verdict + near-dup)
+    val urls = Seq("article1", "article2", "dup")
+      .map(n => s"$base/$n.html").toDF("url")
+    val pages = Html.htmlBlocks(
+        UrlIngest.fetchBytes(urls, backoffMs = 1)
+          .filter(col("content").isNotNull),
+        docCol = "url", binCol = "content")
+      .groupBy(col("doc")).agg(collect_list(col("content")).as("cs"))
+      .select(col("doc"), array_join(col("cs"), "\n").as("text"))
+      .withColumn("doc_id",
+        when(col("doc").endsWith("article1.html"), 1L)
+          .when(col("doc").endsWith("article2.html"), 2L).otherwise(3L))
+    // exact dedup sees only the verbatim mirror…
+    val dd = Dedup.exactDups(pages, "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("is_duplicate")).toMap
+    assert(dd === Map(1L -> false, 2L -> false, 3L -> true))
+    // …while SimHash banding also catches the one-word change
+    val nd = Dedup.simhashPairs(pages.select("doc_id", "text"), maxHamming = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(nd.contains((1L, 2L)) && nd.contains((1L, 3L)))
+  }
+
   test("S1: extension mismatch on a supported MIME is flagged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_url_spec").toFile
     try {
