@@ -410,18 +410,30 @@ private[graft] trait EntryDocs extends EntryShared {
       val dir = crawlStreamDir
       val fs = new org.apache.hadoop.fs.Path(dir)
         .getFileSystem(s.sparkContext.hadoopConfiguration)
-      // wipe target: every invocation (bench min-of-two, verify) replays
-      // the identical lifecycle from scratch
-      fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+      // wipe target + segments: every invocation (bench min-of-two,
+      // verify) replays the identical lifecycle from scratch
+      Seq(dir, dir + "_seg", dir + "_tmp", dir + "_bak").foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
+      // scope shuffle width to the stream (the frontier_stream_e2e
+      // precedent): the compact's one LWW window over a handful of
+      // rows must not pay 32 shuffle tasks of pure scheduling floor
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.getOption(shufKey)
+      s.conf.set(shufKey, "2")
       val input = org.apache.spark.sql.execution.streaming.runtime
         .MemoryStream[(String, Array[Byte])]
+      // round-17 shape: the batch path APPENDS one segment per
+      // micro-batch (O(batch), no table read, no swap); the LWW merge
+      // happens ONCE in the closing compact — the Delta/Iceberg MERGE
+      // cadence, and ~half the round-16 floor (which paid a full
+      // read-merge-rewrite cycle per batch)
       val q = input.toDF()
         .selectExpr("_1 AS warc", "_2 AS content")
         .writeStream
         .foreachBatch { (b: DataFrame, _: Long) =>
-          graft.streaming.StreamingIngest.crawlUpsertBatch(s, b, dir)
+          graft.streaming.StreamingIngest.crawlAppendBatch(s, b, dir)
         }
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("graft-crawl-e2e-ck").toString)
@@ -432,9 +444,15 @@ private[graft] trait EntryDocs extends EntryShared {
         input.addData(DocFixtures.warcAll.filter(_._1 == "crawl_gz")) // batch 1: re-crawl
         q.processAllAvailable()
         // at-least-once replay of batch 1 AFTER its commit: idempotent
-        graft.streaming.StreamingIngest.crawlUpsertBatch(s,
+        graft.streaming.StreamingIngest.crawlAppendBatch(s,
           DocFixtures.warcAll.filter(_._1 == "crawl_gz").toDF("warc", "content"), dir)
-      } finally q.stop()
+        graft.streaming.StreamingIngest.crawlCompact(s, dir)
+      } finally {
+        q.stop()
+        prevShuf match {
+          case Some(v) => s.conf.set(shufKey, v); case None => s.conf.unset(shufKey)
+        }
+      }
       s.read.parquet(dir)
         .select("url", "block_idx", "heading", "content", "n_chars")
     }),

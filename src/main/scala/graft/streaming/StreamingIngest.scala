@@ -185,17 +185,76 @@ object StreamingIngest {
     * before the merge: two shards carrying the same page must collapse
     * to ONE row, and which shard won is meaningless under LWW. */
   def crawlUpsertBatch(spark: SparkSession, batch: DataFrame,
-                       targetDir: String): Unit = {
-    val blocks = graft.operators.Warc.warcHtmlBlocks(batch)
+                       targetDir: String): Unit =
+    upsertBatch(spark, crawlBlocksStamped(batch), targetDir)
+
+  private def crawlBlocksStamped(batch: DataFrame): DataFrame =
+    graft.operators.Warc.warcHtmlBlocks(batch)
       .withColumn("fp", TextAnalysis.fingerprint(concat_ws(" ",
         col("url"), col("block_idx"), col("content"))))
-      // upsertBatch's LWW window tie-breaks on doc_id: derive a
-      // deterministic one from the page identity so a same-instant
-      // re-ingest of the same block resolves identically everywhere
+      // the LWW window tie-breaks on doc_id: derive a deterministic one
+      // from the page identity so a same-instant re-ingest of the same
+      // block resolves identically everywhere
       .withColumn("doc_id", xxhash64(col("url"), col("block_idx")))
       .withColumn("ingest_ts", current_timestamp())
       .drop("warc")
-    upsertBatch(spark, blocks, targetDir)
+
+  /** The O(batch) alternative to [[crawlUpsertBatch]] — the LSM shape a
+    * CONTINUOUS crawl needs: each micro-batch extracts its blocks and
+    * APPENDS one parquet segment under `<target>_seg`; no table read,
+    * no corpus-sized window, no tmp/bak swap on the batch path (the
+    * round-16 anchor showed the per-batch read-merge-rewrite cycle
+    * dominating the stream's floor — 3 micro-batches paid 3 full table
+    * rewrites for a 4-row corpus). LWW resolution moves to read/compact
+    * time: [[crawlCorpusView]] is the always-correct view,
+    * [[crawlCompact]] folds the segments into the base table (amortized
+    * across many batches — the Delta/Iceberg MERGE cadence). An
+    * at-least-once replayed batch simply re-appends; the fp-keyed
+    * newest-wins window collapses the copies at resolve time, so
+    * idempotence is preserved without any per-batch table scan. */
+  def crawlAppendBatch(spark: SparkSession, batch: DataFrame,
+                       targetDir: String): Unit =
+    crawlBlocksStamped(batch).write.mode("append").parquet(targetDir + "_seg")
+
+  /** The resolved corpus over base table + appended segments: one
+    * fp-keyed newest-wins window, identical to [[upsertBatch]]'s merge
+    * semantics (ties on `ingest_ts` break by `doc_id` desc). */
+  def crawlCorpusView(spark: SparkSession, targetDir: String): DataFrame = {
+    val segDir = targetDir + "_seg"
+    val fs = new org.apache.hadoop.fs.Path(targetDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val parts = Seq(targetDir, segDir)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+      .map(spark.read.parquet(_))
+    require(parts.nonEmpty, s"crawlCorpusView: nothing at $targetDir(_seg)")
+    val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("ingest_ts").desc, col("doc_id").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** Fold the appended segments into the base table (the amortized
+    * compaction [[crawlAppendBatch]] defers to): materialize
+    * [[crawlCorpusView]] through the same crash-safe tmp/bak swap as
+    * [[upsertBatch]], then drop the segments. A crash between swap and
+    * segment delete is benign: the next view/compact unions rows that
+    * are already in the base and the LWW window collapses them —
+    * idempotent by construction. */
+  def crawlCompact(spark: SparkSession, targetDir: String): Unit = {
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(targetDir)
+    val tmp = new org.apache.hadoop.fs.Path(targetDir + "_tmp")
+    val bak = new org.apache.hadoop.fs.Path(targetDir + "_bak")
+    val seg = new org.apache.hadoop.fs.Path(targetDir + "_seg")
+    val fs = dst.getFileSystem(hadoopConf)
+    recoverSwap(fs, dst, tmp, bak)
+    if (fs.exists(seg)) {
+      crawlCorpusView(spark, targetDir).write.mode("overwrite").parquet(tmp.toString)
+      swapInto(fs, dst, tmp, bak, "crawlCompact")
+      fs.delete(seg, true)
+      ()
+    }
   }
 
   /** Streaming sessionization: event-time `session_window` with a 30 min

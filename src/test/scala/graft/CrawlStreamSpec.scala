@@ -37,6 +37,33 @@ class CrawlStreamSpec extends SparkSpec {
     assert(streamed.map(t => (t._1, t._2)).distinct.size === streamed.size)
   }
 
+  test("append+compact (LSM path) equals the per-batch upsert chain exactly") {
+    val upsertDir = tmp("graft-crawl-upsert")
+    val appendDir = tmp("graft-crawl-append")
+    val all = DocFixtures.warcAll.toDF("warc", "content")
+    for (shard <- Seq("crawl", "crawl_gz", "crawl_gz")) { // incl. the replay
+      StreamingIngest.crawlUpsertBatch(spark, all.filter($"warc" === shard), upsertDir)
+      StreamingIngest.crawlAppendBatch(spark, all.filter($"warc" === shard), appendDir)
+    }
+    // the view resolves LWW without compacting…
+    assert(finalCols(StreamingIngest.crawlCorpusView(spark, appendDir)) ===
+      finalCols(spark.read.parquet(upsertDir)))
+    // …and compacting materializes the same rows and drops the segments
+    StreamingIngest.crawlCompact(spark, appendDir)
+    assert(finalCols(spark.read.parquet(appendDir)) ===
+      finalCols(spark.read.parquet(upsertDir)))
+    val fs = new org.apache.hadoop.fs.Path(appendDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(appendDir + "_seg")))
+    // compact with no new segments is a no-op; appending after a
+    // compact folds into the existing base on the next one
+    StreamingIngest.crawlCompact(spark, appendDir)
+    StreamingIngest.crawlAppendBatch(spark, all.filter($"warc" === "crawl"), appendDir)
+    StreamingIngest.crawlCompact(spark, appendDir)
+    assert(finalCols(spark.read.parquet(appendDir)) ===
+      finalCols(spark.read.parquet(upsertDir)))
+  }
+
   test("a changed page on re-crawl keeps the new block alongside old-only blocks") {
     val dir = tmp("graft-crawl-recrawl")
     val all = DocFixtures.warcAll.toDF("warc", "content")
