@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Per-stage attribution for the golden_e2e spine (round-17, the
+  * IvfDrill pattern): the query drifted 2.97 → 4.23 s anchor-to-anchor
+  * in round 16 with zero code changes, and isolated QBench confirms
+  * the new level is steady-state — so decompose the chain and time
+  * each leg to a noop sink (min of 2, warm), on the bench SF. Stages:
+  * chunking alone, the tf-idf cosine leg, the BM25 leg, the fused
+  * chain without the final broadcast join, and the full query. */
+object GoldenDrill {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.io.Tables
+    import graft.operators.{Chunking, Retrieval}
+    import spark.implicits._
+    val qs = Retrieval.goldenQuestions.zipWithIndex
+      .map { case (q, i) => (i, q) }.toDF("question_id", "question")
+    def chunks = Chunking.paragraphChunks(Tables.documents(spark, sfDir), minChars = 20)
+      .select(col("chunk_id"), col("content").as("text"))
+    def drill(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
+      val secs = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }.min
+      println(f"GOLDEN $name%-12s $secs%.2f s")
+    }
+    drill("chunks")(chunks)
+    drill("vector")(Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id"))
+    drill("lexical")(Retrieval.bm25Search(qs, chunks, k = 10, idCol = "chunk_id"))
+    drill("fused") {
+      Retrieval.rrfFuse(
+        Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id"),
+        Retrieval.bm25Search(qs, chunks, k = 10, idCol = "chunk_id"),
+        k = 3, idCol = "chunk_id")
+    }
+    drill("full")(SparkEntry.queries("golden_e2e")(spark, sfDir))
+    spark.stop()
+  }
+}
