@@ -264,17 +264,26 @@ private[graft] trait EntryDocs extends EntryShared {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val base = UrlIngest.crawlSiteBase
-      val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+      // the site's robots publishes its sitemap (the group-independent
+      // Sitemap: directive) — BOTH production discovery channels run:
+      // hub-page links AND the sitemap tree (article6 is reachable
+      // only through the latter)
+      val rules = UrlOps.parseRobots(
+        s"Sitemap: $base/site-sitemap.xml\n" + DocFixtures.robotsTxt, "graftbot")
       val seeds = Seq(s"$base/site.html").toDF("url")
-      // discovery: fetch seeds, extract+resolve+canonicalize links,
-      // drop non-fetchable schemes, robots-filter, collapse dup keys
       val seedPages = UrlIngest.fetchBytes(seeds, backoffMs = 1)
         .filter(col("content").isNotNull)
         .select(col("url").as("page_url"), Html.parseHtmlUdf(col("content")).as("p"))
-      val discovered = seedPages
+      val linkUrls = seedPages
         .select(col("page_url"), explode(col("p.links")).as("href"))
-        .select(UrlOps.canonicalizeUrl(
-          UrlOps.resolveUrl(col("page_url"), col("href"))).as("url"))
+        .select(UrlOps.resolveUrl(col("page_url"), col("href")).as("url"))
+      val sitemapUrls = UrlOps.sitemapTree(
+          rules.sitemaps.toDF("url"), backoffMs = 1)
+        .select(col("loc").as("url"))
+      // both channels through ONE canonicalize → fetchable → robots →
+      // dedup chain (article5 arrives via both and must collapse)
+      val discovered = linkUrls.unionByName(sitemapUrls)
+        .select(UrlOps.canonicalizeUrl(col("url")).as("url"))
         .filter(UrlOps.isFetchable(col("url")))
         .distinct()
         .withColumn("path",
@@ -805,9 +814,11 @@ private[graft] trait EntryDocs extends EntryShared {
     // 4-gram, dup.html is the exact text duplicate of article1, and
     // article2 (one word changed) reaches the corpus gate with a CLEAN
     // verdict but falls to its SimHash keeper — the miss exact dedup
-    // cannot catch. The robots-denied /private/ link and the mailto:
-    // never fetch; the ?utm_source twin collapses in canonical space;
-    // the hub's '/' link 404s and contributes nothing,
+    // cannot catch; article6 has NO inbound link and reaches the corpus
+    // through the robots Sitemap: directive alone. The robots-denied
+    // /private/ link and the mailto: never fetch; the ?utm_source twin
+    // and the sitemap's article5 copy collapse in canonical space; the
+    // hub's '/' link 404s and contributes nothing,
     "crawl_corpus_e2e" ->
       """SELECT path, title, reasons, keep, near_dup_of, in_corpus FROM (VALUES
         | ('/article1.html', 'Polite crawling', '', TRUE,
@@ -818,6 +829,7 @@ private[graft] trait EntryDocs extends EntryShared {
         |  FALSE, NULL, FALSE),
         | ('/article4.html', 'Benchmarks', 'contaminated', FALSE, NULL, FALSE),
         | ('/article5.html', 'Scaling the crawl', '', TRUE, NULL, TRUE),
+        | ('/article6.html', 'Sitemap only', '', TRUE, NULL, TRUE),
         | ('/dup.html', 'Mirror of polite crawling', 'duplicate', FALSE,
         |  '/article1.html', FALSE),
         | ('/site.html', 'Crawl Hub', 'repetitive,gopher_quality,c4',

@@ -221,7 +221,8 @@ object UrlIngest {
     val keep = files.map(_._1).toSet ++
       Set("sitemap-index.xml", "sitemap-posts.xml", "sitemap-pages.xml.gz",
         "site.html", "article1.html", "article2.html", "article3.html",
-        "article4.html", "article5.html", "dup.html")
+        "article4.html", "article5.html", "article6.html", "dup.html",
+        "site-sitemap.xml")
     Option(d.listFiles()).getOrElse(Array.empty)
       .filterNot(f => keep(f.getName)).foreach(_.delete())
     files.foreach { case (n, b) =>
@@ -332,7 +333,22 @@ object UrlIngest {
         "single host contributes to one batch. That keeps a hot domain from " +
         "ever flooding the corpus with its pages.</p>"),
       // the article1 BODY verbatim under another title: exact text dup
-      "dup.html" -> page("Mirror of polite crawling", article1Body))
+      "dup.html" -> page("Mirror of polite crawling", article1Body),
+      // reachable ONLY through the site's sitemap (no inbound hub
+      // link): proves the second discovery channel carries real pages
+      "article6.html" -> page("Sitemap only",
+        "<p>Corpus discovery has two channels and a crawler that reads " +
+        "only links misses pages. The sitemap protocol publishes every " +
+        "url a host wants indexed. This page is reachable through that " +
+        "channel alone, with no inbound link from the hub. Counting it " +
+        "in the corpus proves the second channel carries real weight.</p>"),
+      "site-sitemap.xml" ->
+        (s"""<?xml version="1.0" encoding="UTF-8"?>
+            |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+            | <url><loc>$base/article5.html</loc><priority>0.9</priority></url>
+            | <url><loc>$base/article6.html</loc><priority>0.7</priority></url>
+            |</urlset>
+            |""".stripMargin).getBytes(UTF_8))
     val d = new java.io.File(defaultStageDir)
     d.mkdirs()
     files.foreach { case (n, b) =>

@@ -35,9 +35,13 @@ object UrlOps {
     * already restricted to the matching agent group; `crawlDelaySec`
     * is the group's `Crawl-delay` directive when present (the de-facto
     * extension Bing/Yandex honor — RFC 9309 leaves it undefined but a
-    * polite crawler reads it). */
+    * polite crawler reads it); `sitemaps` are the file's `Sitemap:`
+    * directives — GROUP-INDEPENDENT per sitemaps.org (they bind to the
+    * whole file wherever they appear), the entry points a crawler
+    * hands to [[sitemapTree]]. */
   final case class RobotsRules(rules: Seq[(Boolean, String)],
-                               crawlDelaySec: Option[Int] = None)
+                               crawlDelaySec: Option[Int] = None,
+                               sitemaps: Seq[String] = Nil)
 
   /** Parse a robots.txt body for one user agent (exact token match or
     * `*`), longest-match semantics (RFC 9309 §2.2.2): group lines
@@ -57,6 +61,7 @@ object UrlOps {
     var exactSeen = false
     var exactDelay: Option[Int] = None
     var starDelay: Option[Int] = None
+    val sitemaps = scala.collection.mutable.ArrayBuffer[String]()
     txt.split("\n").foreach { raw =>
       val line = raw.takeWhile(_ != '#').trim
       val c = line.indexOf(':')
@@ -80,12 +85,16 @@ object UrlOps {
               if (groupAgents.contains(a)) { exactDelay = Some(d); exactSeen = true }
               else if (groupAgents.contains("*") && starDelay.isEmpty) starDelay = Some(d)
             }
-          case _ => () // sitemap, unknown — ignored
+          case "sitemap" =>
+            // group-independent (sitemaps.org): collected wherever it
+            // appears, and it neither opens nor closes a group
+            if (value.nonEmpty) sitemaps += value
+          case _ => () // unknown — ignored
         }
       }
     }
-    if (exactSeen) RobotsRules(exact.toSeq, exactDelay)
-    else RobotsRules(star.toSeq, starDelay)
+    if (exactSeen) RobotsRules(exact.toSeq, exactDelay, sitemaps.toSeq)
+    else RobotsRules(star.toSeq, starDelay, sitemaps.toSeq)
   }
 
   /** One robots path pattern → the anchored regex RFC 9309 §2.2.3

@@ -79,14 +79,28 @@ class DecontaminateSpec extends SparkSpec {
       (5L, "the rare1 rare2 rare3 rare4 and some rare5 rare6 words") // high surprisal
     ).toDF("doc_id", "text")
     val bench = Seq((9L, clean)).toDF("bench_id", "text") // contaminates 1 and 2
+    // withGopherC4 = false isolates the five statistical families (the
+    // one-line word-soup fixtures are exactly the non-web text the flag
+    // exists for); the fold itself is asserted below and oracle-checked
+    // in clean_corpus / crawl_corpus_e2e
     val out = graft.operators.Cleaning
-      .cleanCorpus(docs, bench, maxTopBigramRatio = 0.2, maxSurprisal = 3.2)
+      .cleanCorpus(docs, bench, maxTopBigramRatio = 0.2, maxSurprisal = 3.2,
+        withGopherC4 = false)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
     assert(out(1L) == (("contaminated", false)))
     assert(out(2L) == (("duplicate,contaminated", false)))
     assert(out(3L)._1.contains("lang") && !out(3L)._2)
     assert(out(4L)._1.contains("repetitive") && !out(4L)._2)
     assert(out(5L)._1.contains("high_surprisal") && !out(5L)._2)
+    // the DEFAULT folds the web families: the same fixtures are
+    // single-line punctuation-free pages, so C4 (and, for these word
+    // counts, the Gopher word floor) must join the reasons — appended
+    // AFTER the statistical five, in the documented order
+    val folded = graft.operators.Cleaning
+      .cleanCorpus(docs, bench, maxTopBigramRatio = 0.2, maxSurprisal = 3.2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(folded(1L) == "contaminated,gopher_quality,c4")
+    assert(folded(2L) == "duplicate,contaminated,gopher_quality,c4")
   }
 
   test("cleanCorpus: a zero-token document still gets a verdict (dropped as 'lang')") {
@@ -94,7 +108,8 @@ class DecontaminateSpec extends SparkSpec {
       (2L, "   ")).toDF("doc_id", "text")
     val bench = Seq((9L, "nothing shared here at all honestly")).toDF("bench_id", "text")
     val out = graft.operators.Cleaning
-      .cleanCorpus(docs, bench, maxTopBigramRatio = 0.5, maxSurprisal = 99.0)
+      .cleanCorpus(docs, bench, maxTopBigramRatio = 0.5, maxSurprisal = 99.0,
+        withGopherC4 = false)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
     assert(out.contains(2L), "empty doc must not vanish from the verdict")
     assert(out(2L)._1.contains("lang") && !out(2L)._2)

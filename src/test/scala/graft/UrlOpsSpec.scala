@@ -67,6 +67,33 @@ class UrlOpsSpec extends SparkSpec {
       "http://@example.com/x")) // empty userinfo survives verbatim
   }
 
+  test("robots Sitemap: directives collect group-independently, in file order") {
+    val txt =
+      """Sitemap: http://a.com/before-any-group.xml
+        |User-agent: graftbot
+        |Disallow: /private/
+        |Sitemap: http://a.com/mid-group.xml
+        |Crawl-delay: 2
+        |
+        |User-agent: *
+        |Disallow: /
+        |Sitemap: http://a.com/other-group.xml
+        |""".stripMargin
+    val r = UrlOps.parseRobots(txt, "graftbot")
+    // the graftbot group's rules are unaffected by the interleaved
+    // Sitemap lines, and ALL sitemaps surface regardless of group
+    assert(r.rules === Seq((false, "/private/")))
+    assert(r.crawlDelaySec === Some(2))
+    assert(r.sitemaps === Seq("http://a.com/before-any-group.xml",
+      "http://a.com/mid-group.xml", "http://a.com/other-group.xml"))
+    // a Sitemap line between User-agent headers must not close the group
+    val joined = UrlOps.parseRobots(
+      "User-agent: a\nSitemap: http://x/s.xml\nUser-agent: graftbot\nDisallow: /x\n",
+      "graftbot")
+    assert(joined.rules === Seq((false, "/x")))
+    assert(joined.sitemaps === Seq("http://x/s.xml"))
+  }
+
   test("resolveUrl: the RFC 3986 §5 cases a crawler meets") {
     def res(pairs: (String, String)*): Seq[String] =
       pairs.toDF("b", "h").select(UrlOps.resolveUrl(col("b"), col("h")))
