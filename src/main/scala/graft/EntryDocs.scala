@@ -309,6 +309,15 @@ private[graft] trait EntryDocs extends EntryShared {
         // corpus keys on the url hash and never needs a global window
         .withColumn("doc_id",
           row_number().over(Window.orderBy(col("path"))).cast("long"))
+        // MATERIALIZED (the curation_e2e precedent, and then some): the
+        // verdict chain consumes this frame ~7 times (dedup, lang+web
+        // filters, repetition, LM train + score, decontam) and the
+        // SimHash band join twice more — unmaterialized, EVERY consumer
+        // re-runs the fetch+parse+window subtree, re-GETting the pages
+        // over HTTP per evaluation (measured 30 s vs ~5 s checkpointed).
+        // At scale this is the pipeline's natural persist point anyway:
+        // the extracted corpus lands in a staging table before curation
+        .localCheckpoint()
       // the full composed verdict; surprisal band parked at 9.0 — a
       // seven-page corpus LM has ln(total)≈5.5 as its ceiling, so the
       // family participates without firing (its thresholds are proven
@@ -320,6 +329,12 @@ private[graft] trait EntryDocs extends EntryShared {
       val nd = Dedup.simhashPairs(pages.select("doc_id", "text"), maxHamming = 3)
         .groupBy(col("id_b").as("doc_id"))
         .agg(min(col("id_a")).as("_keeper_id"))
+      // warm cost ~6 s, the curation_e2e/golden_e2e lifecycle class:
+      // the remaining time is the composed chain's ~30 serial AQE
+      // stages (verdict exchanges, band join, frontier window, two
+      // real-HTTP fetch legs), not data — narrowing shuffle width was
+      // measured a no-op (6.0 s scoped=2 vs 6.0 s at 32), so the
+      // session default stays
       pages.join(verdict, "doc_id")
         .join(nd, Seq("doc_id"), "left")
         .join(pages.select(col("doc_id").as("_keeper_id"),
