@@ -245,104 +245,16 @@ private[graft] trait EntryDocs extends EntryShared {
           col("title"), col("block_idx"), col("heading"),
           col("content"), col("n_chars"))
     }),
-    // THE CRAWL->CORPUS FLAGSHIP (curation_e2e's crawl-side sibling):
-    // discovery -> politeness -> real HTTP fetch -> extraction -> the
-    // full 8-family corpus verdict -> banded near-dup -> final corpus
-    // membership, end to end over the loopback mini-site. Every stage
-    // is the production operator, not a demo stub: links resolve
-    // (RFC 3986 §5) and canonicalize (the ?utm_source twin collapses),
-    // the robots-denied /private/ link never reaches the wire, the
-    // frontier budgets/spaces the host, cleanCorpus runs ALL families
-    // incl. the round-17 gopher/C4 fold, and SimHash banding catches
-    // the one-word-changed near-duplicate exact dedup cannot see.
+    // THE CRAWL->CORPUS FLAGSHIP: the whole chain lives in
+    // operators.CrawlCorpus (discovery -> politeness -> real HTTP
+    // fetch -> extraction -> 8-family verdict -> banded near-dup ->
+    // corpus membership, per-stage drillable via CrawlCorpusDrill).
     // Verdicts are hand-derived in the oracle: hub fails gopher word
     // count, article3 fails gopher+C4 (word soup, no punctuation),
     // article4 is benchmark-contaminated, dup.html is an exact text
-    // duplicate, article2 near-dups article1 — article1 and article5
-    // are the corpus,
-    "crawl_corpus_e2e" -> ((s, d) => {
-      import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      val base = UrlIngest.crawlSiteBase
-      // the site's robots publishes its sitemap (the group-independent
-      // Sitemap: directive) — BOTH production discovery channels run:
-      // hub-page links AND the sitemap tree (article6 is reachable
-      // only through the latter)
-      val rules = UrlOps.parseRobots(
-        s"Sitemap: $base/site-sitemap.xml\n" + DocFixtures.robotsTxt, "graftbot")
-      val seeds = Seq(s"$base/site.html").toDF("url")
-      val seedPages = UrlIngest.fetchBytes(seeds, backoffMs = 1)
-        .filter(col("content").isNotNull)
-        .select(col("url").as("page_url"), Html.parseHtmlUdf(col("content")).as("p"))
-      val linkUrls = seedPages
-        .select(col("page_url"), explode(col("p.links")).as("href"))
-        .select(UrlOps.resolveUrl(col("page_url"), col("href")).as("url"))
-      val sitemapUrls = UrlOps.sitemapTree(
-          rules.sitemaps.toDF("url"), backoffMs = 1)
-        .select(col("loc").as("url"))
-      // both channels through ONE canonicalize → fetchable → robots →
-      // dedup chain (article5 arrives via both and must collapse)
-      val discovered = linkUrls.unionByName(sitemapUrls)
-        .select(UrlOps.canonicalizeUrl(col("url")).as("url"))
-        .filter(UrlOps.isFetchable(col("url")))
-        .distinct()
-        .withColumn("path",
-          regexp_extract(col("url"), "^[^:/?#]+://[^/?#]+([^?#]*)", 1))
-        .filter(UrlOps.robotsAllowed(rules)(col("path")))
-        .select(col("url"), lit(0L).as("priority_micro"))
-      val frontier = UrlOps.crawlFrontier(discovered, hostBudget = 10,
-        crawlDelaySec = rules.crawlDelaySec.getOrElse(1))
-      // fetch seed + scheduled pages ('/': the hub's Home link 404s
-      // after 3 real retries and contributes nothing)
-      val fetched = UrlIngest.fetchBytes(
-          seeds.unionByName(frontier.select("url")).distinct(), backoffMs = 1)
-        .filter(col("content").isNotNull)
-      // one row per PAGE: title + blocks joined in document order
-      val pages = Html.htmlBlocks(fetched, docCol = "url", binCol = "content")
-        .groupBy(col("doc"))
-        .agg(max(col("title")).as("title"),
-          array_join(transform(
-            array_sort(collect_list(struct(col("block_idx"), col("content")))),
-            b => b.getField("content")), "\n").as("text"))
-        .withColumn("path", regexp_replace(col("doc"), "^http://[^/]+", ""))
-        // deterministic small-fixture ids (path order); a production
-        // corpus keys on the url hash and never needs a global window
-        .withColumn("doc_id",
-          row_number().over(Window.orderBy(col("path"))).cast("long"))
-        // MATERIALIZED (the curation_e2e precedent, and then some): the
-        // verdict chain consumes this frame ~7 times (dedup, lang+web
-        // filters, repetition, LM train + score, decontam) and the
-        // SimHash band join twice more — unmaterialized, EVERY consumer
-        // re-runs the fetch+parse+window subtree, re-GETting the pages
-        // over HTTP per evaluation (measured 30 s vs ~5 s checkpointed).
-        // At scale this is the pipeline's natural persist point anyway:
-        // the extracted corpus lands in a staging table before curation
-        .localCheckpoint()
-      // the full composed verdict; surprisal band parked at 9.0 — a
-      // seven-page corpus LM has ln(total)≈5.5 as its ceiling, so the
-      // family participates without firing (its thresholds are proven
-      // on the big corpus in clean_corpus)
-      val bench = Seq((1L, "the secret benchmark answer key")).toDF("bench_id", "text")
-      val verdict = Cleaning.cleanCorpus(
-        pages.select("doc_id", "text"), bench, maxSurprisal = 9.0)
-      // banded SimHash near-dup: later page maps to its earliest keeper
-      val nd = Dedup.simhashPairs(pages.select("doc_id", "text"), maxHamming = 3)
-        .groupBy(col("id_b").as("doc_id"))
-        .agg(min(col("id_a")).as("_keeper_id"))
-      // warm cost ~6 s, the curation_e2e/golden_e2e lifecycle class:
-      // the remaining time is the composed chain's ~30 serial AQE
-      // stages (verdict exchanges, band join, frontier window, two
-      // real-HTTP fetch legs), not data — narrowing shuffle width was
-      // measured a no-op (6.0 s scoped=2 vs 6.0 s at 32), so the
-      // session default stays
-      pages.join(verdict, "doc_id")
-        .join(nd, Seq("doc_id"), "left")
-        .join(pages.select(col("doc_id").as("_keeper_id"),
-          col("path").as("near_dup_of")), Seq("_keeper_id"), "left")
-        .select(col("path"), col("title"), col("reasons"), col("keep"),
-          col("near_dup_of"),
-          (col("keep") && col("near_dup_of").isNull).as("in_corpus"))
-    }),
+    // duplicate, article2 near-dups article1 — article1, article5 and
+    // the sitemap-only article6 are the corpus,
+    "crawl_corpus_e2e" -> ((s, d) => CrawlCorpus.run(s)),
     // the frontier as a STREAM (§2.10 × crawl): per-host fetch-slot
     // state (transformWithState, one int per host) hands out ranks and
     // polite ticks across micro-batches under a LIFETIME budget of 3 —
