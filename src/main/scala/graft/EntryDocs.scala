@@ -245,6 +245,53 @@ private[graft] trait EntryDocs extends EntryShared {
           col("title"), col("block_idx"), col("heading"),
           col("content"), col("n_chars"))
     }),
+    // HTTP transport edges every production crawl hits, against the
+    // loopback server: Location chains (301/302/308, RELATIVE targets
+    // resolved RFC 3986 §5, final_url + hop count recorded), a
+    // self-cycle that must fail FAST at the hop cap (no retry changes
+    // a loop), and a 429 whose explicit Retry-After drives the retry
+    // sleep (capped — a hostile header must not park an executor).
+    // Values are fully deterministic: codes/attempt counts come from
+    // the route design, never timing,
+    "crawl_http_edges" -> ((s, d) => {
+      import s.implicits._
+      val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+      val urls = Seq(
+        s"$base/blog.html",           // direct 200
+        s"$base/redir/1/notes.txt",   // 302 -> /notes.txt
+        s"$base/redir/2/blog.html",   // 308 -> 302 -> /blog.html
+        s"$base/redirloop/a",         // 302 self-cycle -> too_many_redirects
+        s"$base/throttle/notes.txt"   // 429 Retry-After: 1 -> 200 on attempt 2
+      ).toDF("url")
+      UrlIngest.fetchBytes(urls, backoffMs = 1, maxRetryAfterMs = 50)
+        .select(
+          regexp_replace(col("url"), "^http://[^/]+", "").as("path"),
+          regexp_replace(col("final_url"), "^http://[^/]+", "").as("final_path"),
+          col("redirects"), col("attempts"),
+          col("content").isNotNull.as("fetched"),
+          coalesce(col("error"), lit("")).as("error"))
+    }),
+    // the incremental-recrawl contract (S2's idempotence at the HTTP
+    // layer): pass 1 fetches and records each page's ETag; pass 2
+    // revalidates with If-None-Match and must come back 304/no-body
+    // for unchanged pages — at recrawl scale the dominant outcome,
+    // turning a re-extract pass into a header exchange — while a stale
+    // validator (the page changed since last crawl) re-fetches the
+    // body and returns the CURRENT etag for the next cycle,
+    "crawl_revisit" -> ((s, d) => {
+      import s.implicits._
+      val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+      val first = UrlIngest.fetchBytes(
+          Seq(s"$base/blog.html", s"$base/notes.txt").toDF("url"), backoffMs = 1)
+        .select(col("url"), col("etag"), lit("revalidate").as("kind"))
+      val stale = Seq((s"$base/blog.html", "\"stale\"", "changed"))
+        .toDF("url", "etag", "kind")
+      UrlIngest.fetchBytesConditional(first.unionByName(stale), backoffMs = 1)
+        .select(regexp_replace(col("url"), "^http://[^/]+", "").as("path"),
+          col("kind"), col("not_modified"),
+          col("content").isNotNull.as("body_returned"),
+          col("etag").isNotNull.as("has_etag"))
+    }),
     // THE CRAWL->CORPUS FLAGSHIP: the whole chain lives in
     // operators.CrawlCorpus (discovery -> politeness -> real HTTP
     // fetch -> extraction -> 8-family verdict -> banded near-dup ->
@@ -865,6 +912,30 @@ private[graft] trait EntryDocs extends EntryShared {
         | (3, FALSE,
         |  'Entities decode: café & résumé stay readable.')
         |) AS b(block_idx, heading, content)""".stripMargin,
+
+    // hand-derived from the route design: the /redir chain's hop count
+    // and final target, the self-loop's fail-fast at the hop cap
+    // (attempt 1 — a cycle is fatal, not retryable), the throttled
+    // page's exactly-two attempts (429 + Retry-After, then 200),
+    "crawl_http_edges" ->
+      """SELECT path, final_path, redirects, attempts, fetched, error FROM (VALUES
+        | ('/blog.html', '/blog.html', 0, 1, TRUE, ''),
+        | ('/redir/1/notes.txt', '/notes.txt', 1, 1, TRUE, ''),
+        | ('/redir/2/blog.html', '/blog.html', 2, 1, TRUE, ''),
+        | ('/redirloop/a', '/redirloop/a', 0, 1, FALSE,
+        |  'download_failed_after_1_attempts:too_many_redirects'),
+        | ('/throttle/notes.txt', '/throttle/notes.txt', 0, 2, TRUE, '')
+        |) AS t(path, final_path, redirects, attempts, fetched, error)""".stripMargin,
+
+    // the conditional-GET contract: matching validator -> 304, no
+    // body, etag kept; stale validator -> 200 re-fetch with the
+    // current etag,
+    "crawl_revisit" ->
+      """SELECT path, kind, not_modified, body_returned, has_etag FROM (VALUES
+        | ('/blog.html', 'revalidate', TRUE, FALSE, TRUE),
+        | ('/notes.txt', 'revalidate', TRUE, FALSE, TRUE),
+        | ('/blog.html', 'changed', FALSE, TRUE, TRUE)
+        |) AS t(path, kind, not_modified, body_returned, has_etag)""".stripMargin,
 
     // hand-derived from the two-batch feed: batch 0 ranks a's p1>p2 by
     // priority and b's q1; batch 1 leaves host a ONE remaining slot

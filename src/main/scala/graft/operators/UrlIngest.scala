@@ -38,7 +38,28 @@ object UrlIngest {
 
   /** Fetch result; `error` is a stable machine string (the driver's
     * hash compare needs byte-identical output across runs). */
-  case class Fetched(content: Array[Byte], attempts: Int, error: String)
+  case class Fetched(content: Array[Byte], attempts: Int, error: String,
+                     final_url: String, redirects: Int, content_type: String,
+                     etag: String, not_modified: Boolean)
+
+  /** Outcome of ONE HTTP exchange (one hop of one attempt). */
+  private sealed trait HttpHop
+  private final case class HopBody(body: Array[Byte], contentType: String,
+                                   etag: String) extends HttpHop
+  private final case class HopRedirect(location: String) extends HttpHop
+  private case object HopNotModified extends HttpHop
+
+  /** Non-2xx terminal status for one exchange; carries the server's
+    * `Retry-After` (RFC 9110 §10.2.3, delay-seconds form) so the retry
+    * loop can honor an explicit throttle instead of blind backoff. */
+  private final class HttpStatusException(val code: Int,
+                                          val retryAfterSec: Option[Long])
+    extends java.io.IOException(s"http_$code")
+
+  /** Redirect hop cap per attempt (Location chains longer than this —
+    * or any cycle — fail FAST with `too_many_redirects`; browsers and
+    * production fetchers cap at 5-20, curl's default is 50). */
+  val MaxRedirects = 5
 
   /** One `http://` GET, the transport half of [[fetchUdf]]. Mirrors the
     * reference's per-attempt contract (`ingestion_service.py:229-246`):
@@ -50,28 +71,53 @@ object UrlIngest {
     * rides on an `X-Graft-Attempt` header — retry telemetry, and what
     * lets the loopback fixture server fail first attempts
     * deterministically. */
-  private def httpGet(uri: java.net.URI, maxBytes: Long, attempt: Int): Array[Byte] = {
+  private def httpGet(uri: java.net.URI, maxBytes: Long, attempt: Int,
+                      etag: String): HttpHop = {
     val conn = uri.toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(5000)
     conn.setReadTimeout(15000)
+    // redirects are handled EXPLICITLY (hop cap, cycle guard, final-url
+    // accounting) — the JDK's silent same-protocol following would lose
+    // the chain and ignore our per-hop size/status contract
+    conn.setInstanceFollowRedirects(false)
     conn.setRequestProperty("X-Graft-Attempt", attempt.toString)
+    if (etag != null) conn.setRequestProperty("If-None-Match", etag)
     try {
       val code = conn.getResponseCode
-      if (code != 200) {
-        // drain+close the error stream so the connection is reusable
+      def drainError(): Unit =
         Option(conn.getErrorStream).foreach { es => es.readAllBytes(); es.close() }
-        throw new java.io.IOException(s"http_$code")
+      code match {
+        case 200 =>
+          val declared = conn.getContentLengthLong
+          if (declared > maxBytes)
+            throw new IllegalArgumentException("file_too_large")
+          val in = conn.getInputStream
+          try {
+            val body = in.readNBytes(maxBytes.min(Int.MaxValue - 8L).toInt + 1)
+            if (body.length > maxBytes)
+              throw new IllegalArgumentException("file_too_large")
+            HopBody(body, conn.getContentType, conn.getHeaderField("ETag"))
+          } finally in.close()
+        case 301 | 302 | 303 | 307 | 308 =>
+          // drain any redirect body so the connection is reusable
+          Option(conn.getInputStream).foreach { is =>
+            try { is.readAllBytes(); is.close() } catch { case _: Throwable => () }
+          }
+          Option(conn.getHeaderField("Location")) match {
+            case Some(loc) => HopRedirect(loc)
+            case None => throw new HttpStatusException(code, None) // malformed: no target
+          }
+        case 304 =>
+          drainError()
+          HopNotModified
+        case _ =>
+          drainError()
+          // delay-seconds form only (the HTTP-date form needs a clock
+          // comparison — a crawler treats an unparseable value as absent)
+          val retryAfter = Option(conn.getHeaderField("Retry-After"))
+            .filter(_.matches("\\d{1,8}")).map(_.toLong)
+          throw new HttpStatusException(code, retryAfter)
       }
-      val declared = conn.getContentLengthLong
-      if (declared > maxBytes)
-        throw new IllegalArgumentException("file_too_large")
-      val in = conn.getInputStream
-      try {
-        val body = in.readNBytes(maxBytes.min(Int.MaxValue - 8L).toInt + 1)
-        if (body.length > maxBytes)
-          throw new IllegalArgumentException("file_too_large")
-        body
-      } finally in.close()
     } finally conn.disconnect()
   }
 
@@ -86,44 +132,98 @@ object UrlIngest {
     * unsupported scheme, size cap — fail FAST (attempt 1, no backoff):
     * no retry can change them, and the reference likewise validates
     * scheme/size outside its transport retry loop. */
-  def fetchUdf(maxBytes: Long, maxRetries: Int, backoffMs: Long) =
-    udf((url: String) => {
-      var attempt = 0
-      var kind: String = null
-      var fatal = false
-      var out: Array[Byte] = null
-      while (out == null && !fatal && attempt < maxRetries) {
-        attempt += 1
-        try {
-          val uri = new java.net.URI(url)
+  private val FatalKinds =
+    Set("file_too_large", "unsupported_scheme", "too_many_redirects")
+
+  /** The full per-URL fetch kernel: retry loop (exponential backoff OR
+    * the server's explicit `Retry-After`, whichever is larger, capped
+    * at `maxRetryAfterMs` — a hostile header must not park an executor
+    * core for an hour) around a redirect-hop loop (`Location` resolved
+    * RFC 3986 §5 via `URI.resolve`, `maxHops` cap doubles as the cycle
+    * guard, fail-fast — no retry changes a loop). `etag` non-null sends
+    * `If-None-Match` on the FIRST hop (revalidating the cached entry;
+    * a redirect target is fetched unconditionally): 304 returns
+    * `not_modified=true`, no body, the caller's etag kept — the
+    * incremental-recrawl contract. */
+  private[graft] def fetchOne(url: String, maxBytes: Long, maxRetries: Int,
+                              backoffMs: Long, maxHops: Int,
+                              maxRetryAfterMs: Long, etag: String): Fetched = {
+    var attempt = 0
+    var kind: String = null
+    var fatal = false
+    var done: Fetched = null
+    while (done == null && !fatal && attempt < maxRetries) {
+      attempt += 1
+      var retryAfterMs = 0L
+      try {
+        var current = url
+        var hops = 0
+        while (done == null) {
+          val uri = new java.net.URI(current)
           uri.getScheme match {
             case "file" =>
               val p = java.nio.file.Paths.get(uri)
               if (java.nio.file.Files.size(p) > maxBytes)
                 throw new IllegalArgumentException("file_too_large")
-              out = java.nio.file.Files.readAllBytes(p)
+              done = Fetched(java.nio.file.Files.readAllBytes(p), attempt, null,
+                current, hops, null, null, not_modified = false)
             case "http" =>
-              out = httpGet(uri, maxBytes, attempt)
+              httpGet(uri, maxBytes, attempt,
+                  if (hops == 0) etag else null) match {
+                case HopBody(b, ct, et) =>
+                  done = Fetched(b, attempt, null, current, hops, ct, et,
+                    not_modified = false)
+                case HopNotModified =>
+                  done = Fetched(null, attempt, null, current, hops, null, etag,
+                    not_modified = true)
+                case HopRedirect(loc) =>
+                  hops += 1
+                  if (hops > maxHops)
+                    throw new IllegalArgumentException("too_many_redirects")
+                  current = uri.resolve(loc).toString
+              }
             case _ =>
               throw new IllegalArgumentException("unsupported_scheme")
           }
-        } catch {
-          case e: IllegalArgumentException
-              if e.getMessage == "file_too_large" || e.getMessage == "unsupported_scheme" =>
-            kind = e.getMessage
-            fatal = true
-          case e: java.io.IOException if e.getMessage != null &&
-              e.getMessage.startsWith("http_") =>
-            kind = e.getMessage
-          case scala.util.control.NonFatal(_) =>
-            kind = "fetch_error"
         }
-        if (out == null && !fatal && attempt < maxRetries && backoffMs > 0)
-          Thread.sleep(backoffMs << (attempt - 1))
+      } catch {
+        case e: IllegalArgumentException if FatalKinds(e.getMessage) =>
+          kind = e.getMessage
+          fatal = true
+        case e: HttpStatusException =>
+          kind = e.getMessage
+          retryAfterMs = e.retryAfterSec
+            .map(s => (s * 1000L).min(maxRetryAfterMs)).getOrElse(0L)
+        case e: java.io.IOException if e.getMessage != null &&
+            e.getMessage.startsWith("http_") =>
+          kind = e.getMessage
+        case scala.util.control.NonFatal(_) =>
+          kind = "fetch_error"
       }
-      if (out != null) Fetched(out, attempt, null)
-      else Fetched(null, attempt, s"download_failed_after_${attempt}_attempts:$kind")
-    })
+      if (done == null && !fatal && attempt < maxRetries) {
+        val sleepMs = math.max(
+          if (backoffMs > 0) backoffMs << (attempt - 1) else 0L, retryAfterMs)
+        if (sleepMs > 0) Thread.sleep(sleepMs)
+      }
+    }
+    if (done != null) done
+    else Fetched(null, attempt, s"download_failed_after_${attempt}_attempts:$kind",
+      url, 0, null, null, not_modified = false)
+  }
+
+  def fetchUdf(maxBytes: Long, maxRetries: Int, backoffMs: Long,
+               maxHops: Int = MaxRedirects, maxRetryAfterMs: Long = 30000L) =
+    udf((url: String) =>
+      fetchOne(url, maxBytes, maxRetries, backoffMs, maxHops, maxRetryAfterMs,
+        etag = null))
+
+  /** [[fetchUdf]] with a cached validator: (url, etag) → conditional
+    * GET. A null etag degrades to the unconditional fetch. */
+  def fetchCondUdf(maxBytes: Long, maxRetries: Int, backoffMs: Long,
+                   maxHops: Int = MaxRedirects, maxRetryAfterMs: Long = 30000L) =
+    udf((url: String, etag: String) =>
+      fetchOne(url, maxBytes, maxRetries, backoffMs, maxHops, maxRetryAfterMs,
+        etag))
 
   /** Ingest a URL-list DataFrame into the reference's `DocumentInfo`
     * surface: one row per URL with cache name, size, MIME, SHA-256 hash,
@@ -174,10 +274,40 @@ object UrlIngest {
     * ([[Html.parseHtml]], [[DocExtract]]). Same retry/backoff/size-cap
     * semantics as [[ingest]]; same per-row zero-shuffle shape. */
   def fetchBytes(urls: DataFrame, maxBytes: Long = MaxFileSize, maxRetries: Int = 3,
-                 backoffMs: Long = 0L, urlCol: String = "url"): DataFrame =
-    urls.withColumn("_f", fetchUdf(maxBytes, maxRetries, backoffMs)(col(urlCol)))
+                 backoffMs: Long = 0L, urlCol: String = "url",
+                 maxRetryAfterMs: Long = 30000L): DataFrame =
+    urls.withColumn("_f",
+        fetchUdf(maxBytes, maxRetries, backoffMs,
+          maxRetryAfterMs = maxRetryAfterMs)(col(urlCol)))
       .select(col(urlCol).as("url"), col("_f.content").as("content"),
-        col("_f.attempts").as("attempts"), col("_f.error").as("error"))
+        col("_f.attempts").as("attempts"), col("_f.error").as("error"),
+        col("_f.final_url").as("final_url"), col("_f.redirects").as("redirects"),
+        col("_f.content_type").as("content_type"), col("_f.etag").as("etag"))
+
+  /** The incremental-recrawl fetch stage: each row carries the etag its
+    * LAST crawl recorded ([[fetchBytes]]'s `etag` column — NULL for a
+    * never-seen URL, degrading to the unconditional GET); the server
+    * answers 304 for unchanged pages, which come back as
+    * `not_modified=true` with no body — at recrawl scale the dominant
+    * outcome, turning a re-extract pass into a header exchange. All
+    * NON-etag input columns pass through (the caller's join keys);
+    * the output `etag` is the CURRENT validator (the cached one for
+    * 304, the fresh response's for 200 — always what the next crawl
+    * should send). Same per-row zero-shuffle shape as [[fetchBytes]]. */
+  def fetchBytesConditional(urls: DataFrame, maxBytes: Long = MaxFileSize,
+                            maxRetries: Int = 3, backoffMs: Long = 0L,
+                            urlCol: String = "url", etagCol: String = "etag",
+                            maxRetryAfterMs: Long = 30000L): DataFrame = {
+    val passThrough = urls.columns.filterNot(_ == etagCol).map(col).toSeq
+    urls.withColumn("_f",
+        fetchCondUdf(maxBytes, maxRetries, backoffMs,
+          maxRetryAfterMs = maxRetryAfterMs)(col(urlCol), col(etagCol)))
+      .select(passThrough ++ Seq(col("_f.content").as("content"),
+        col("_f.attempts").as("attempts"), col("_f.error").as("error"),
+        col("_f.final_url").as("final_url"), col("_f.redirects").as("redirects"),
+        col("_f.content_type").as("content_type"), col("_f.etag").as("etag"),
+        col("_f.not_modified").as("not_modified")): _*)
+  }
 
   // ---- driver-query fixtures ------------------------------------------
 
@@ -395,20 +525,61 @@ object UrlIngest {
       srv.createContext("/", (ex: com.sun.net.httpserver.HttpExchange) => {
         try {
           val raw = ex.getRequestURI.getPath
-          val flaky = raw.startsWith("/flaky/")
-          val name = (if (flaky) raw.stripPrefix("/flaky/") else raw.stripPrefix("/"))
-            .replace("/", "") // no traversal: fixtures are a flat dir
-          val f = new java.io.File(dir, name)
           val firstAttempt = ex.getRequestHeaders.getFirst("X-Graft-Attempt") == "1"
-          if (flaky && firstAttempt) {
-            val body = "try again".getBytes(UTF_8)
-            ex.sendResponseHeaders(503, body.length); ex.getResponseBody.write(body)
-          } else if (f.isFile) {
+          def reply(code: Int, body: Array[Byte]): Unit = {
+            ex.sendResponseHeaders(code, body.length)
+            ex.getResponseBody.write(body)
+          }
+          /** 200 with ETag (strong validator: content hash) +
+            * Content-Type by extension; If-None-Match hit → 304. The
+            * same serving path backs every file route so conditional
+            * GETs and redirect targets behave like any static server. */
+          def serveFile(name: String): Unit = {
+            val f = new java.io.File(dir, name.replace("/", "")) // flat dir, no traversal
+            if (!f.isFile) { reply(404, "not found".getBytes(UTF_8)); return }
             val body = java.nio.file.Files.readAllBytes(f.toPath)
-            ex.sendResponseHeaders(200, body.length); ex.getResponseBody.write(body)
-          } else {
-            val body = "not found".getBytes(UTF_8)
-            ex.sendResponseHeaders(404, body.length); ex.getResponseBody.write(body)
+            val etag = {
+              val d = java.security.MessageDigest.getInstance("SHA-256").digest(body)
+              "\"" + d.take(8).map(b => f"$b%02x").mkString + "\""
+            }
+            val ct =
+              if (name.endsWith(".html")) "text/html; charset=utf-8"
+              else if (name.endsWith(".xml")) "application/xml"
+              else if (name.endsWith(".gz")) "application/gzip"
+              else if (name.endsWith(".txt")) "text/plain"
+              else "application/octet-stream"
+            ex.getResponseHeaders.set("ETag", etag)
+            ex.getResponseHeaders.set("Content-Type", ct)
+            if (ex.getRequestHeaders.getFirst("If-None-Match") == etag)
+              ex.sendResponseHeaders(304, -1) // no body on 304
+            else reply(200, body)
+          }
+          val redir = "^/redir/(\\d+)/([^/]+)$".r
+          raw match {
+            case _ if raw.startsWith("/flaky/") && firstAttempt =>
+              reply(503, "try again".getBytes(UTF_8)) // no Retry-After: the blind-backoff path
+            case _ if raw.startsWith("/flaky/") =>
+              serveFile(raw.stripPrefix("/flaky/"))
+            case redir(n, name) =>
+              // hop chain: /redir/N/x → /redir/N-1/x → … → /x, rotating
+              // the three GET-preserving permanent/temporary codes;
+              // Location is RELATIVE (RFC 9110 allows it; resolution is
+              // the client's RFC 3986 §5 job)
+              val hops = n.toInt
+              val code = Seq(301, 302, 308)(hops % 3)
+              val loc = if (hops > 1) s"/redir/${hops - 1}/$name" else s"/$name"
+              ex.getResponseHeaders.set("Location", loc)
+              ex.sendResponseHeaders(code, -1)
+            case _ if raw.startsWith("/redirloop/") =>
+              ex.getResponseHeaders.set("Location", raw) // self-cycle
+              ex.sendResponseHeaders(302, -1)
+            case _ if raw.startsWith("/throttle/") && firstAttempt =>
+              ex.getResponseHeaders.set("Retry-After", "1") // explicit delay-seconds
+              reply(429, "slow down".getBytes(UTF_8))
+            case _ if raw.startsWith("/throttle/") =>
+              serveFile(raw.stripPrefix("/throttle/"))
+            case _ =>
+              serveFile(raw.stripPrefix("/"))
           }
         } finally ex.close()
       })

@@ -175,6 +175,74 @@ class UrlIngestSpec extends SparkSpec {
     assert(nd.contains((1L, 2L)) && nd.contains((1L, 3L)))
   }
 
+  test("http: redirect chains follow relative Locations and record the hops") {
+    val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+    val rows = UrlIngest.fetchBytes(
+        Seq(s"$base/redir/3/notes.txt").toDF("url"), backoffMs = 1)
+      .collect()
+    val r = rows.head
+    assert(r.getAs[Int]("redirects") == 3)
+    assert(r.getAs[String]("final_url") == s"$base/notes.txt")
+    assert(new String(r.getAs[Array[Byte]]("content"), UTF_8) == UrlIngest.notesTxt)
+    assert(r.getAs[String]("content_type") == "text/plain")
+    assert(r.getAs[String]("etag") != null)
+  }
+
+  test("http: a redirect cycle fails FAST at the hop cap — no retries") {
+    val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+    val r = UrlIngest.fetchBytes(
+        Seq(s"$base/redirloop/x").toDF("url"), backoffMs = 1)
+      .collect().head
+    assert(r.getAs[Array[Byte]]("content") == null)
+    assert(r.getAs[Int]("attempts") == 1, "a cycle is permanent — retrying cannot help")
+    assert(r.getAs[String]("error")
+      == "download_failed_after_1_attempts:too_many_redirects")
+  }
+
+  test("http: conditional GET — matching etag 304s with no body, stale etag re-fetches") {
+    val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+    val first = UrlIngest.fetchBytes(
+        Seq(s"$base/blog.html").toDF("url"), backoffMs = 1).collect().head
+    val liveTag = first.getAs[String]("etag")
+    assert(liveTag != null && liveTag.startsWith("\""))
+    val out = UrlIngest.fetchBytesConditional(
+        Seq((s"$base/blog.html", liveTag, "match"),
+            (s"$base/blog.html", "\"stale\"", "stale"),
+            (s"$base/blog.html", null, "nulltag"))
+          .toDF("url", "etag", "kind"), backoffMs = 1)
+      .collect().map(r => r.getAs[String]("kind") -> r).toMap
+    assert(out("match").getAs[Boolean]("not_modified"))
+    assert(out("match").getAs[Array[Byte]]("content") == null)
+    assert(out("match").getAs[String]("etag") == liveTag, "validator kept for the next cycle")
+    assert(!out("stale").getAs[Boolean]("not_modified"))
+    assert(out("stale").getAs[Array[Byte]]("content") != null)
+    assert(out("stale").getAs[String]("etag") == liveTag, "fresh validator returned")
+    assert(!out("nulltag").getAs[Boolean]("not_modified"), "null etag = unconditional")
+    assert(out("nulltag").getAs[Array[Byte]]("content") != null)
+  }
+
+  test("http: Retry-After drives the retry sleep and is capped") {
+    val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+    // capped to 50 ms: attempt 2 must happen well before the header's 1 s
+    val t0 = System.nanoTime()
+    val capped = UrlIngest.fetchBytes(
+        Seq(s"$base/throttle/notes.txt").toDF("url"),
+        backoffMs = 0, maxRetryAfterMs = 50).collect().head
+    val cappedMs = (System.nanoTime() - t0) / 1e6
+    assert(capped.getAs[Int]("attempts") == 2)
+    assert(capped.getAs[Array[Byte]]("content") != null)
+    assert(cappedMs < 900, s"capped sleep must undercut the 1 s header (took $cappedMs ms)")
+    // uncapped: the sleep honors the full Retry-After: 1 lower bound
+    // (backoffMs = 0, so ONLY the header can produce the delay)
+    val t1 = System.nanoTime()
+    val honored = UrlIngest.fetchBytes(
+        Seq(s"$base/throttle/blog.html").toDF("url"),
+        backoffMs = 0, maxRetryAfterMs = 10000).collect().head
+    val honoredMs = (System.nanoTime() - t1) / 1e6
+    assert(honored.getAs[Int]("attempts") == 2)
+    assert(honoredMs >= 1000, s"Retry-After: 1 not honored (took $honoredMs ms)")
+  }
+
   test("S1: extension mismatch on a supported MIME is flagged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_url_spec").toFile
     try {
