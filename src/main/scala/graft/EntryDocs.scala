@@ -271,6 +271,65 @@ private[graft] trait EntryDocs extends EntryShared {
           col("content").isNotNull.as("fetched"),
           coalesce(col("error"), lit("")).as("error"))
     }),
+    // incremental recrawl as a STREAM (§2.10 × the round-17b transport):
+    // per-URL validator state (transformWithState, ONE string per URL)
+    // revalidates each due page with If-None-Match across micro-batches
+    // — batch 0 first-crawls both pages (a DUPLICATE due-mark collapses
+    // to one fetch: the oracle's row COUNT pins it), the page then
+    // CHANGES on disk while notes.txt does not, and batch 1 re-fetches
+    // only the changed page (fresh validator stored) while the
+    // unchanged one costs a 304 header exchange with no body,
+    "recrawl_stream_e2e" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+      // a MUTABLE page staged after server init (not in the re-stage
+      // keep set; .html stays outside the ingest oracles' globs)
+      val pageFile = new java.io.File(UrlIngest.defaultStageDir, "recrawl-page.html")
+      def stage(v: String): Unit = {
+        java.nio.file.Files.write(pageFile.toPath,
+          (s"<html><head><title>Recrawl</title></head><body>" +
+            s"<p>Content version $v of the recrawl fixture page.</p>" +
+            s"</body></html>").getBytes("UTF-8"))
+        ()
+      }
+      stage("one")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.getOption(shufKey)
+      s.conf.set(shufKey, "2")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(String, Long)]
+      val q = graft.streaming.StreamingIngest.streamingRecrawl(
+          input.toDS().map { case (u, b) =>
+            graft.streaming.StreamingIngest.RecrawlDue(u, b) },
+          backoffMs = 1)
+        .writeStream.format("memory").queryName("graft_recrawl_stream")
+        .outputMode("append")
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-recrawl-ck").toString)
+        .start()
+      try {
+        input.addData((s"$base/recrawl-page.html", 0L),
+          (s"$base/recrawl-page.html", 0L), // duplicate due-mark: collapses
+          (s"$base/notes.txt", 0L))
+        q.processAllAvailable()
+        stage("two") // the page changes between crawl cycles
+        input.addData((s"$base/recrawl-page.html", 1L), (s"$base/notes.txt", 1L))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        prev match { case Some(v) => s.conf.set(key, v); case None => s.conf.unset(key) }
+        prevShuf match { case Some(v) => s.conf.set(shufKey, v); case None => s.conf.unset(shufKey) }
+      }
+      s.table("graft_recrawl_stream")
+        .select(col("batch_id"),
+          regexp_replace(col("url"), "^http://[^/]+", "").as("path"),
+          col("not_modified"), col("refetched"), col("attempts"), col("has_etag"))
+    }),
     // the incremental-recrawl contract (S2's idempotence at the HTTP
     // layer): pass 1 fetches and records each page's ETag; pass 2
     // revalidates with If-None-Match and must come back 304/no-body
@@ -926,6 +985,18 @@ private[graft] trait EntryDocs extends EntryShared {
         |  'download_failed_after_1_attempts:too_many_redirects'),
         | ('/throttle/notes.txt', '/throttle/notes.txt', 0, 2, TRUE, '')
         |) AS t(path, final_path, redirects, attempts, fetched, error)""".stripMargin,
+
+    // hand-derived from the two-cycle feed: batch 0 first-crawls both
+    // pages (the duplicate due-mark must NOT add a row — 4 rows total
+    // is the collapse proof); batch 1 re-fetches only the page that
+    // changed on disk, the unchanged one 304s,
+    "recrawl_stream_e2e" ->
+      """SELECT batch_id, path, not_modified, refetched, attempts, has_etag FROM (VALUES
+        | (0, '/recrawl-page.html', FALSE, TRUE, 1, TRUE),
+        | (0, '/notes.txt', FALSE, TRUE, 1, TRUE),
+        | (1, '/recrawl-page.html', FALSE, TRUE, 1, TRUE),
+        | (1, '/notes.txt', TRUE, FALSE, 1, TRUE)
+        |) AS t(batch_id, path, not_modified, refetched, attempts, has_etag)""".stripMargin,
 
     // the conditional-GET contract: matching validator -> 304, no
     // body, etag kept; stale validator -> 200 re-fetch with the

@@ -192,4 +192,45 @@ class CrawlStreamSpec extends SparkSpec {
       prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
     }
   }
+
+  test("streaming recrawl: a re-fetched page's FRESH validator 304s on the next cycle") {
+    import graft.operators.UrlIngest
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+    val pageFile = new java.io.File(UrlIngest.defaultStageDir, "recrawl-spec.html")
+    def stage(v: String): Unit = {
+      java.nio.file.Files.write(pageFile.toPath,
+        s"<html><body><p>spec version $v</p></body></html>".getBytes("UTF-8"))
+      ()
+    }
+    stage("one")
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[(String, Long)]
+    val q = StreamingIngest.streamingRecrawl(
+        input.toDS().map { case (u, b) => StreamingIngest.RecrawlDue(u, b) },
+        backoffMs = 1)
+      .writeStream.format("memory").queryName("recrawl_spec")
+      .outputMode("append")
+      .option("checkpointLocation", tmp("graft-recrawl-spec-ck")).start()
+    try {
+      val url = s"$base/recrawl-spec.html"
+      input.addData((url, 0L)); q.processAllAvailable() // first crawl
+      stage("two")
+      input.addData((url, 1L)); q.processAllAvailable() // changed: re-fetch
+      input.addData((url, 2L)); q.processAllAvailable() // unchanged again
+      val out = spark.table("recrawl_spec")
+        .select("batch_id", "not_modified", "refetched")
+        .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+        .sortBy(_._1).toSeq
+      // cycle 2's 304 proves the CHANGED fetch stored its new validator
+      assert(out === Seq((0L, false, true), (1L, false, true), (2L, true, false)))
+    } finally {
+      q.stop()
+      prev match { case Some(v) => spark.conf.set(key, v); case None => spark.conf.unset(key) }
+    }
+  }
 }
