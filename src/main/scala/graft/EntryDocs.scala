@@ -261,7 +261,8 @@ private[graft] trait EntryDocs extends EntryShared {
         s"$base/redir/1/notes.txt",   // 302 -> /notes.txt
         s"$base/redir/2/blog.html",   // 308 -> 302 -> /blog.html
         s"$base/redirloop/a",         // 302 self-cycle -> too_many_redirects
-        s"$base/throttle/notes.txt"   // 429 Retry-After: 1 -> 200 on attempt 2
+        s"$base/throttle/notes.txt",  // 429 Retry-After: 1 -> 200 on attempt 2
+        s"$base/gzbody/blog.html"     // Content-Encoding: gzip, inflated client-side
       ).toDF("url")
       UrlIngest.fetchBytes(urls, backoffMs = 1, maxRetryAfterMs = 50)
         .select(
@@ -983,7 +984,8 @@ private[graft] trait EntryDocs extends EntryShared {
         | ('/redir/2/blog.html', '/blog.html', 2, 1, TRUE, ''),
         | ('/redirloop/a', '/redirloop/a', 0, 1, FALSE,
         |  'download_failed_after_1_attempts:too_many_redirects'),
-        | ('/throttle/notes.txt', '/throttle/notes.txt', 0, 2, TRUE, '')
+        | ('/throttle/notes.txt', '/throttle/notes.txt', 0, 2, TRUE, ''),
+        | ('/gzbody/blog.html', '/gzbody/blog.html', 0, 1, TRUE, '')
         |) AS t(path, final_path, redirects, attempts, fetched, error)""".stripMargin,
 
     // hand-derived from the two-cycle feed: batch 0 first-crawls both

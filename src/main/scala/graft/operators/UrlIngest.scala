@@ -81,6 +81,11 @@ object UrlIngest {
     // the chain and ignore our per-hop size/status contract
     conn.setInstanceFollowRedirects(false)
     conn.setRequestProperty("X-Graft-Attempt", attempt.toString)
+    // crawl-scale bandwidth: HTML compresses 5-10x, so advertise gzip
+    // and inflate ourselves (HttpURLConnection never auto-decompresses);
+    // the size cap applies to the INFLATED bytes — a decompression bomb
+    // must fail the row exactly like an oversized plain body
+    conn.setRequestProperty("Accept-Encoding", "gzip")
     if (etag != null) conn.setRequestProperty("If-None-Match", etag)
     try {
       val code = conn.getResponseCode
@@ -91,8 +96,15 @@ object UrlIngest {
           val declared = conn.getContentLengthLong
           if (declared > maxBytes)
             throw new IllegalArgumentException("file_too_large")
-          val in = conn.getInputStream
+          val gz = Option(conn.getHeaderField("Content-Encoding"))
+            .exists(_.toLowerCase.contains("gzip"))
+          val in0 = conn.getInputStream
+          val in = if (gz) new java.util.zip.GZIPInputStream(in0) else in0
           try {
+            // readNBytes(cap+1): one byte past the cap proves the
+            // violation without materializing an unbounded body — for
+            // gzip this bounds the INFLATED size (the sitemap-side
+            // guard, applied at the transport)
             val body = in.readNBytes(maxBytes.min(Int.MaxValue - 8L).toInt + 1)
             if (body.length > maxBytes)
               throw new IllegalArgumentException("file_too_large")
@@ -578,6 +590,25 @@ object UrlIngest {
               reply(429, "slow down".getBytes(UTF_8))
             case _ if raw.startsWith("/throttle/") =>
               serveFile(raw.stripPrefix("/throttle/"))
+            case _ if raw.startsWith("/gzbody/") =>
+              // gzip transfer coding when (and only when) the client
+              // advertised it — the bandwidth path a real server takes
+              val name = raw.stripPrefix("/gzbody/").replace("/", "")
+              val f = new java.io.File(dir, name)
+              val accepts = Option(ex.getRequestHeaders.getFirst("Accept-Encoding"))
+                .exists(_.toLowerCase.contains("gzip"))
+              if (!f.isFile) reply(404, "not found".getBytes(UTF_8))
+              else if (!accepts) serveFile(name)
+              else {
+                val plain = java.nio.file.Files.readAllBytes(f.toPath)
+                val bos = new java.io.ByteArrayOutputStream()
+                val g = new java.util.zip.GZIPOutputStream(bos)
+                g.write(plain); g.close()
+                ex.getResponseHeaders.set("Content-Encoding", "gzip")
+                ex.getResponseHeaders.set("Content-Type",
+                  if (name.endsWith(".html")) "text/html; charset=utf-8" else "text/plain")
+                reply(200, bos.toByteArray)
+              }
             case _ =>
               serveFile(raw.stripPrefix("/"))
           }

@@ -243,6 +243,32 @@ class UrlIngestSpec extends SparkSpec {
     assert(honoredMs >= 1000, s"Retry-After: 1 not honored (took $honoredMs ms)")
   }
 
+  test("http: gzip Content-Encoding inflates to the plain bytes; the cap bounds the INFLATED size") {
+    val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+    val plain = DocFixtures.blogHtml.getBytes(UTF_8)
+    val r = UrlIngest.fetchBytes(
+        Seq(s"$base/gzbody/blog.html").toDF("url"), backoffMs = 1)
+      .collect().head
+    assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("content"), plain),
+      "inflated body must equal the staged page byte-for-byte")
+    // decompression bomb guard: cap between compressed and inflated
+    // sizes must fail the row fast, exactly like an oversized plain body
+    val gzLen = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(plain); g.close()
+      bos.size()
+    }
+    assert(gzLen < plain.length, "fixture sanity: the page must actually compress")
+    val capped = UrlIngest.fetchBytes(
+        Seq(s"$base/gzbody/blog.html").toDF("url"),
+        maxBytes = gzLen.toLong.max(plain.length / 2L), backoffMs = 1)
+      .collect().head
+    assert(capped.getAs[Array[Byte]]("content") == null)
+    assert(capped.getAs[Int]("attempts") == 1, "cap is permanent — no retry")
+    assert(capped.getAs[String]("error")
+      == "download_failed_after_1_attempts:file_too_large")
+  }
+
   test("S1: extension mismatch on a supported MIME is flagged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_url_spec").toFile
     try {
