@@ -191,6 +191,17 @@ private[graft] trait EntryDocs extends EntryShared {
     // crawl discovery, leg 1: raw <a href> values in document order
     // (quoted/bare forms, entity-decoded); binary garbage → no rows
     "html_links" -> ((s, d) => Html.htmlLinks(Html.fixturesDF(s))),
+    // page-level crawl directives: rel=canonical (first wins, cased
+    // attrs, a second declaration and a data-rel decoy ignored) and
+    // meta robots noindex/nofollow incl. the 'none' shorthand — the
+    // self-declarations a production crawler honors before a page or
+    // its links enter the corpus,
+    "html_directives" -> ((s, d) => {
+      import s.implicits._
+      Html.htmlDirectives(DocFixtures.directivesAll.toDF("doc", "fmt", "content"))
+        .select(col("doc"), coalesce(col("canonical"), lit("")).as("canonical"),
+          col("noindex"), col("nofollow"))
+    }),
     // crawl discovery, the full loop: fetched pages → extracted links →
     // resolve against the page URL → canonical dedup → robots filter →
     // per-host politeness budget. The two WARC twins (plain + gz) carry
@@ -204,9 +215,10 @@ private[graft] trait EntryDocs extends EntryShared {
         .filter(col("r.rec_type") === "response" && col("r.http_status") === 200 &&
           lower(col("r.content_type")).startsWith("text/html"))
         .select(col("r.url").as("page_url"), Html.parseHtmlUdf(col("r.payload")).as("p"))
-      val links = pages.select(col("page_url"), explode(col("p.links")).as("href"))
+      val links = pages.select(col("page_url"), explode(col("p.links")).as("l"))
+        .filter(!col("l.nofollow")) // rel=nofollow never seeds the frontier
         .select(UrlOps.canonicalizeUrl(
-          UrlOps.resolveUrl(col("page_url"), col("href"))).as("url"))
+          UrlOps.resolveUrl(col("page_url"), col("l.href"))).as("url"))
         .distinct()
         .withColumn("path",
           regexp_extract(col("url"), "^[^:/?#]+://[^/?#]+([^?#]*)", 1))
@@ -942,10 +954,22 @@ private[graft] trait EntryDocs extends EntryShared {
     // DocFixtures.blogHtml's six anchors in document order; the
     // garbage page contributes no rows
     "html_links" ->
-      """SELECT 'blog' AS doc, link_idx, href FROM (VALUES
-        | (0, '/'), (1, '/blog'), (2, '/about'),
-        | (3, '/x'), (4, '/a'), (5, '/b')
-        |) AS t(link_idx, href)""".stripMargin,
+      """SELECT 'blog' AS doc, link_idx, href, anchor_text, FALSE AS nofollow
+        |FROM (VALUES
+        | (0, '/', 'Home'), (1, '/blog', 'Blog'), (2, '/about', 'About'),
+        | (3, '/x', 'the docs'), (4, '/a', 'Ten more posts'),
+        | (5, '/b', 'you might like')
+        |) AS t(link_idx, href, anchor_text)""".stripMargin,
+
+    // hand-derived per fixture page: first canonical wins (the second
+    // declaration and the data-rel decoy are ignored), 'none' implies
+    // both verdicts, the robots-custom meta name must not match,
+    "html_directives" ->
+      """SELECT doc, canonical, noindex, nofollow FROM (VALUES
+        | ('directives', 'https://example.com/the-one-true-url', TRUE, TRUE),
+        | ('none_token', '', TRUE, TRUE),
+        | ('plain', '', FALSE, FALSE)
+        |) AS t(doc, canonical, noindex, nofollow)""".stripMargin,
 
     // hand-derived: the blog page's six root-relative links resolve
     // against http://example.com/blog, canonicalize to one per path,

@@ -48,8 +48,11 @@ object CrawlCorpus {
       .filter(col("content").isNotNull)
       .select(col("url").as("page_url"), Html.parseHtmlUdf(col("content")).as("p"))
     val linkUrls = seedPages
-      .select(col("page_url"), explode(col("p.links")).as("href"))
-      .select(UrlOps.resolveUrl(col("page_url"), col("href")).as("url"))
+      .select(col("page_url"), explode(col("p.links")).as("l"))
+      // politeness at discovery: a rel=nofollow link never seeds the
+      // frontier (the mini-site has none; the directives fixture pins it)
+      .filter(!col("l.nofollow"))
+      .select(UrlOps.resolveUrl(col("page_url"), col("l.href")).as("url"))
     import spark.implicits._
     val sitemapUrls = UrlOps.sitemapTree(rules.sitemaps.toDF("url"), backoffMs = 1)
       .select(col("loc").as("url"))

@@ -578,6 +578,43 @@ object DocFixtures {
     ("garbage_html", "html",
       Array[Byte]('<'.toByte, 'h'.toByte, 0, 1, 2, '>'.toByte)))
 
+  /** Crawl-directive pages (`html_directives` oracle): a page carrying
+    * every page-level directive a production crawler honors
+    * (rel=canonical in quoted/cased form, meta robots with mixed-case
+    * comma tokens, a rel=nofollow link), the `none` shorthand (=
+    * noindex+nofollow), and a directive-free page whose decoy
+    * attributes (data-rel, name=robots-something) must not match. */
+  val directivesHtml: String =
+    """<html><head><title>Directives</title>
+      |<link rel="stylesheet" href="/ignored.css">
+      |<link REL="canonical" HREF="https://example.com/the-one-true-url">
+      |<link rel="canonical" href="/a-second-canonical-ignored">
+      |<meta name="ROBOTS" content="NOINDEX, nofollow">
+      |</head><body>
+      |<p>A paragraph long enough to survive the boilerplate filter here.</p>
+      |<p>See <a href="/paid" rel="nofollow sponsored">a paid placement</a> and
+      |<a href="/organic">the organic reference</a> for details.</p>
+      |</body></html>
+      |""".stripMargin
+
+  val directivesNoneHtml: String =
+    """<html><head><meta name="robots" content="none"></head>
+      |<body><p>The none token implies both noindex and nofollow.</p></body></html>
+      |""".stripMargin
+
+  val directivesPlainHtml: String =
+    """<html><head><title>Plain</title>
+      |<link data-rel="canonical" href="/decoy-not-canonical">
+      |<meta name="robots-custom" content="noindex">
+      |</head><body><p>No directives here; decoy attributes must not match.</p>
+      |<a href="/normal">a normal followable link</a></body></html>
+      |""".stripMargin
+
+  def directivesAll: Seq[(String, String, Array[Byte])] = Seq(
+    ("directives", "html", directivesHtml.getBytes(UTF_8)),
+    ("none_token", "html", directivesNoneHtml.getBytes(UTF_8)),
+    ("plain", "html", directivesPlainHtml.getBytes(UTF_8)))
+
   /** Legacy-encoding pages for the charset-detection surface: a
     * Latin-1 page whose `é` is the single byte 0xE9 (UTF-8 would
     * mangle it), and a UTF-16LE page behind its BOM (whose NUL bytes

@@ -43,12 +43,23 @@ object Html {
 
   /** One kept content block, in document order. */
   case class HtmlBlock(block_idx: Int, heading: Boolean, content: String)
-  /** `links` = every `<a href>` value in document order (entity-decoded,
-    * whitespace-trimmed, empty hrefs dropped, duplicates kept — the
-    * crawl-discovery stage dedups AFTER resolution/canonicalization,
-    * where two spellings of one URL actually collapse). */
+  /** One `<a href>` in document order: the (entity-decoded, trimmed)
+    * href, the anchor TEXT (whitespace-collapsed — the label humans
+    * clicked, a classic relevance/quality signal for the TARGET page),
+    * and the `rel=nofollow` bit a polite crawler honors at discovery. */
+  case class HtmlLink(href: String, text: String, nofollow: Boolean)
+  /** `links` = every `<a href>` in document order (empty hrefs dropped,
+    * duplicates kept — the crawl-discovery stage dedups AFTER
+    * resolution/canonicalization, where two spellings of one URL
+    * actually collapse). `canonical` = the first
+    * `<link rel="canonical" href>` (the page's self-declared identity,
+    * a dedup key production crawlers prefer over the fetch URL);
+    * `metaRobots` = the first `<meta name="robots">` content tokens
+    * (lowercased — `noindex`/`nofollow`/`none` are the page-level
+    * directives, honored downstream by [[htmlDirectives]]). */
   case class HtmlParsed(title: Option[String], blocks: Seq[HtmlBlock],
-                        links: Seq[String])
+                        links: Seq[HtmlLink], canonical: Option[String],
+                        metaRobots: Seq[String])
 
   private val rawTextTags = Set("script", "style", "template", "noscript")
   private val blockTags = Set(
@@ -68,6 +79,20 @@ object Html {
   // href and feed tracking URLs into crawl discovery
   private val hrefRe = java.util.regex.Pattern.compile(
     "(?i)(?<![\\w-])href\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+  // same anchoring discipline for the directive attributes
+  private val relRe = java.util.regex.Pattern.compile(
+    "(?i)(?<![\\w-])rel\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+  private val nameAttrRe = java.util.regex.Pattern.compile(
+    "(?i)(?<![\\w-])name\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+  private val contentAttrRe = java.util.regex.Pattern.compile(
+    "(?i)(?<![\\w-])content\\s*=\\s*(?:\"([^\"]*)\"|'([^']*)'|([^\\s\"'>]+))")
+
+  /** First non-null capture group of `re` in the tag's attribute
+    * string (the three groups are the quoted/quoted'/bare forms). */
+  private def attrVal(re: java.util.regex.Pattern, inner: String): Option[String] = {
+    val m = re.matcher(inner)
+    if (m.find()) Seq(m.group(1), m.group(2), m.group(3)).find(_ != null) else None
+  }
 
   /** Decode the documented entity set; unknown entities stay literal. */
   private[graft] def decodeEntities(s: String): String = {
@@ -162,7 +187,20 @@ object Html {
       var headingDepth = 0
       // (heading, text, linkChars, totalChars, chrome)
       val blocks = scala.collection.mutable.ArrayBuffer[(Boolean, String, Long, Long, Boolean)]()
-      val links = scala.collection.mutable.ArrayBuffer[String]()
+      val links = scala.collection.mutable.ArrayBuffer[HtmlLink]()
+      var canonical: Option[String] = None
+      var metaRobots: Seq[String] = Nil
+      // anchor-text capture: text accrues to the MOST RECENT href-bearing
+      // <a> until its close (or the next <a> — nesting is invalid HTML,
+      // latest-wins is the browsers' recovery)
+      val linkText = new StringBuilder
+      var openLink = -1
+      def finishLink(): Unit = {
+        if (openLink >= 0)
+          links(openLink) = links(openLink).copy(text =
+            wsRun.matcher(decodeEntities(linkText.toString)).replaceAll(" ").trim)
+        linkText.setLength(0); openLink = -1
+      }
       val cur = new StringBuilder
       var curLink = 0L
       var curTotal = 0L
@@ -244,16 +282,38 @@ object Html {
                 name match {
                   case "title" => inTitle = !closing
                   case "a" =>
-                    anchorDepth = math.max(0, anchorDepth + (if (closing) -1 else 1))
-                    if (!closing) {
-                      val m = hrefRe.matcher(inner)
-                      if (m.find()) {
-                        val raw = Seq(m.group(1), m.group(2), m.group(3))
-                          .find(_ != null).getOrElse("")
-                        val href = decodeEntities(raw.trim)
-                        if (href.nonEmpty) links += href
+                    if (closing) {
+                      anchorDepth = math.max(0, anchorDepth - 1)
+                      if (anchorDepth == 0) finishLink()
+                    } else {
+                      finishLink() // latest-wins on invalid nesting
+                      val selfClosed = inner.endsWith("/")
+                      if (!selfClosed) anchorDepth += 1
+                      val href = attrVal(hrefRe, inner)
+                        .map(v => decodeEntities(v.trim)).getOrElse("")
+                      if (href.nonEmpty) {
+                        val nofollow = attrVal(relRe, inner).map(lower)
+                          .exists(_.split("[\\s,]+")
+                            .exists(t => t == "nofollow" || t == "none"))
+                        links += HtmlLink(href, "", nofollow)
+                        if (!selfClosed) openLink = links.length - 1
                       }
                     }
+                  case "link" if !closing =>
+                    // first rel=canonical wins (browsers ignore later ones)
+                    if (canonical.isEmpty &&
+                        attrVal(relRe, inner).map(lower)
+                          .exists(_.split("\\s+").contains("canonical")))
+                      canonical = attrVal(hrefRe, inner)
+                        .map(v => decodeEntities(v.trim)).filter(_.nonEmpty)
+                  case "meta" if !closing =>
+                    if (metaRobots.isEmpty &&
+                        attrVal(nameAttrRe, inner)
+                          .exists(v => lower(v.trim) == "robots"))
+                      metaRobots = attrVal(contentAttrRe, inner).toSeq
+                        .flatMap(_.split(","))
+                        .map(t => lower(decodeEntities(t).trim))
+                        .filter(_.nonEmpty)
                   case t if chromeTags(t) =>
                     chromeDepth = math.max(0, chromeDepth + (if (closing) -1 else 1))
                   case t if headingTags(t) =>
@@ -284,11 +344,15 @@ object Html {
             // formatting differences
             val solid = text.count(!_.isWhitespace).toLong
             curTotal += solid
-            if (anchorDepth > 0) curLink += solid
+            if (anchorDepth > 0) {
+              curLink += solid
+              if (openLink >= 0) linkText.append(text)
+            }
           }
           i = end
         }
       }
+      finishLink() // an unclosed trailing <a> keeps its text
       flush()
       val kept = blocks.collect {
         case (heading, text, link, total, chrome)
@@ -297,7 +361,7 @@ object Html {
       }
       Some(HtmlParsed(title,
         kept.zipWithIndex.map { case ((h, t), k) => HtmlBlock(k, h, t) }.toSeq,
-        links.toSeq))
+        links.toSeq, canonical, metaRobots))
     } catch { case _: Throwable => None }
 
   // ---- Spark surface ----------------------------------------------------
@@ -317,15 +381,35 @@ object Html {
     DocFixtures.charsetHtmlAll.toDF("doc", "fmt", "content")
   }
 
-  /** One row per extracted `<a href>`: (doc, link_idx, href) in
-    * document order — the raw material of crawl discovery; resolution
-    * against the page URL and canonicalization happen downstream
-    * ([[UrlOps.resolveUrl]] → [[UrlOps.canonicalizeUrl]]). */
+  /** One row per extracted `<a href>`: (doc, link_idx, href,
+    * anchor_text, nofollow) in document order — the raw material of
+    * crawl discovery; resolution against the page URL and
+    * canonicalization happen downstream ([[UrlOps.resolveUrl]] →
+    * [[UrlOps.canonicalizeUrl]]), and a polite discovery stage filters
+    * `nofollow` before the frontier. */
   def htmlLinks(docs: DataFrame, docCol: String = "doc",
                 binCol: String = "content"): DataFrame =
     docs.select(col(docCol).as("doc"), parseHtmlUdf(col(binCol)).as("p"))
       .select(col("doc"), posexplode(col("p.links")))
-      .select(col("doc"), col("pos").as("link_idx"), col("col").as("href"))
+      .select(col("doc"), col("pos").as("link_idx"), col("col.href").as("href"),
+        col("col.text").as("anchor_text"), col("col.nofollow").as("nofollow"))
+
+  /** Page-level crawl directives: the self-declared `canonical` URL
+    * (the dedup identity production crawlers prefer over the fetch
+    * URL) and the `<meta name="robots">` verdicts — `noindex` (page
+    * must not enter the corpus/index) and `nofollow` (its links must
+    * not feed discovery); the `none` token implies both (the
+    * robots-meta spec). Per-row projection, zero shuffle. */
+  def htmlDirectives(docs: DataFrame, docCol: String = "doc",
+                     binCol: String = "content"): DataFrame = {
+    val p = parseHtmlUdf(col(binCol))
+    docs.select(col(docCol).as("doc"), p.as("p"))
+      .select(col("doc"), col("p.canonical").as("canonical"),
+        coalesce(array_contains(col("p.metaRobots"), "noindex") ||
+          array_contains(col("p.metaRobots"), "none"), lit(false)).as("noindex"),
+        coalesce(array_contains(col("p.metaRobots"), "nofollow") ||
+          array_contains(col("p.metaRobots"), "none"), lit(false)).as("nofollow"))
+  }
 
   /** One row per kept content block: (doc, title, block_idx, heading,
     * content, n_chars) — the extraction surface a web-corpus curation

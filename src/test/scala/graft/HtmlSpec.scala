@@ -84,13 +84,16 @@ class HtmlSpec extends SparkSpec {
 
   test("links: hrefs extract in document order — quoted, bare, entity-decoded") {
     val p = Html.parseHtml(DocFixtures.blogHtml.getBytes("UTF-8")).get
-    assert(p.links === Seq("/", "/blog", "/about", "/x", "/a", "/b"))
+    assert(p.links.map(_.href) === Seq("/", "/blog", "/about", "/x", "/a", "/b"))
+    assert(p.links.map(_.text) === Seq(
+      "Home", "Blog", "About", "the docs", "Ten more posts", "you might like"))
+    assert(p.links.forall(!_.nofollow))
     val forms = Html.parseHtml(
       ("<body><a href='/single'>s</a><a href=/bare>b</a>" +
         "<a HREF=\"/page?a=1&amp;b=2\">amp decodes</a>" +
         "<a name='no-href'>skipped</a><a href=''>empty skipped</a>" +
         "<p>padding paragraph long enough to not matter here.</p></body>").getBytes("UTF-8")).get
-    assert(forms.links === Seq("/single", "/bare", "/page?a=1&b=2"))
+    assert(forms.links.map(_.href) === Seq("/single", "/bare", "/page?a=1&b=2"))
     // the attribute NAME must be anchored: data-href/ng-href are NOT
     // href — <a data-href="/track" href="/real"> yields /real, and a
     // tag with ONLY data-href yields nothing
@@ -99,7 +102,24 @@ class HtmlSpec extends SparkSpec {
         "<a ng-href='/ng' href='/genuine'>g</a>" +
         "<a data-href=\"/only-decoy\">d</a>" +
         "<p>padding paragraph long enough to not matter here.</p></body>").getBytes("UTF-8")).get
-    assert(decoys.links === Seq("/real", "/genuine"))
+    assert(decoys.links.map(_.href) === Seq("/real", "/genuine"))
+  }
+
+  test("directives: canonical first-wins, meta robots tokens, anchor text + nofollow") {
+    val p = Html.parseHtml(DocFixtures.directivesHtml.getBytes("UTF-8")).get
+    assert(p.canonical === Some("https://example.com/the-one-true-url"),
+      "cased attrs parse; the SECOND canonical and the stylesheet link are ignored")
+    assert(p.metaRobots === Seq("noindex", "nofollow"), "tokens lowercase and split on comma")
+    assert(p.links.map(l => (l.href, l.text, l.nofollow)) === Seq(
+      ("/paid", "a paid placement", true),
+      ("/organic", "the organic reference", false)))
+    val none = Html.parseHtml(DocFixtures.directivesNoneHtml.getBytes("UTF-8")).get
+    assert(none.metaRobots === Seq("none"))
+    val plain = Html.parseHtml(DocFixtures.directivesPlainHtml.getBytes("UTF-8")).get
+    assert(plain.canonical === None, "data-rel decoy must not match rel")
+    assert(plain.metaRobots === Nil, "name=robots-custom is not name=robots")
+    assert(plain.links.map(l => (l.text, l.nofollow)) ===
+      Seq(("a normal followable link", false)))
   }
 
   test("charset detection: meta charset and BOMs beat the UTF-8 default") {
