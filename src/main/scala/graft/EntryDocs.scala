@@ -191,6 +191,26 @@ private[graft] trait EntryDocs extends EntryShared {
     // crawl discovery, leg 1: raw <a href> values in document order
     // (quoted/bare forms, entity-decoded); binary garbage → no rows
     "html_links" -> ((s, d) => Html.htmlLinks(Html.fixturesDF(s))),
+    // canonical-identity dedup: a page's crawl KEY is its declared
+    // canonical when present (normalized by the SAME canonicalizer as
+    // fetch URLs — case + tracking params collapse), else its own URL;
+    // the amp/mobile twins land on one key (content dedup could NOT
+    // catch them — their bodies differ) while undeclared pages keep
+    // their own identity. One hash shuffle on the key,
+    "canonical_dedup" -> ((s, d) => {
+      import s.implicits._
+      val pages = (DocFixtures.directivesAll ++ Seq(
+        ("story_amp", "html", DocFixtures.canonicalTwinAHtml.getBytes("UTF-8")),
+        ("story_mobile", "html", DocFixtures.canonicalTwinBHtml.getBytes("UTF-8"))))
+        .toDF("doc", "fmt", "content")
+      Html.htmlDirectives(pages)
+        .withColumn("crawl_key", UrlOps.canonicalizeUrl(
+          coalesce(col("canonical"), concat(lit("http://site.local/"), col("doc")))))
+        .groupBy(col("crawl_key"))
+        .agg(count(lit(1)).cast("long").as("n_pages"),
+          min(col("doc")).as("keeper"),
+          array_join(sort_array(collect_list(col("doc"))), ",").as("docs"))
+    }),
     // page-level crawl directives: rel=canonical (first wins, cased
     // attrs, a second declaration and a data-rel decoy ignored) and
     // meta robots noindex/nofollow incl. the 'none' shorthand — the
@@ -274,7 +294,8 @@ private[graft] trait EntryDocs extends EntryShared {
         s"$base/redir/2/blog.html",   // 308 -> 302 -> /blog.html
         s"$base/redirloop/a",         // 302 self-cycle -> too_many_redirects
         s"$base/throttle/notes.txt",  // 429 Retry-After: 1 -> 200 on attempt 2
-        s"$base/gzbody/blog.html"     // Content-Encoding: gzip, inflated client-side
+        s"$base/gzbody/blog.html",    // Content-Encoding: gzip, inflated client-side
+        s"$base/xnoindex/notes.txt"   // X-Robots-Tag: noindex (HTTP-layer robots)
       ).toDF("url")
       UrlIngest.fetchBytes(urls, backoffMs = 1, maxRetryAfterMs = 50)
         .select(
@@ -282,7 +303,8 @@ private[graft] trait EntryDocs extends EntryShared {
           regexp_replace(col("final_url"), "^http://[^/]+", "").as("final_path"),
           col("redirects"), col("attempts"),
           col("content").isNotNull.as("fetched"),
-          coalesce(col("error"), lit("")).as("error"))
+          coalesce(col("error"), lit("")).as("error"),
+          coalesce(col("x_robots"), lit("")).as("x_robots"))
     }),
     // incremental recrawl as a STREAM (§2.10 × the round-17b transport):
     // per-URL validator state (transformWithState, ONE string per URL)
@@ -961,6 +983,18 @@ private[graft] trait EntryDocs extends EntryShared {
         | (5, '/b', 'you might like')
         |) AS t(link_idx, href, anchor_text)""".stripMargin,
 
+    // hand-derived: the twins' declared canonicals normalize to ONE key
+    // (case + utm strip — the canonicalizer applies to declarations
+    // too); undeclared pages key on their own URL,
+    "canonical_dedup" ->
+      """SELECT crawl_key, CAST(n_pages AS BIGINT) AS n_pages, keeper, docs FROM (VALUES
+        | ('https://example.com/stories/one-story', 2, 'story_amp',
+        |  'story_amp,story_mobile'),
+        | ('https://example.com/the-one-true-url', 1, 'directives', 'directives'),
+        | ('http://site.local/none_token', 1, 'none_token', 'none_token'),
+        | ('http://site.local/plain', 1, 'plain', 'plain')
+        |) AS t(crawl_key, n_pages, keeper, docs)""".stripMargin,
+
     // hand-derived per fixture page: first canonical wins (the second
     // declaration and the data-rel decoy are ignored), 'none' implies
     // both verdicts, the robots-custom meta name must not match,
@@ -1002,15 +1036,17 @@ private[graft] trait EntryDocs extends EntryShared {
     // (attempt 1 — a cycle is fatal, not retryable), the throttled
     // page's exactly-two attempts (429 + Retry-After, then 200),
     "crawl_http_edges" ->
-      """SELECT path, final_path, redirects, attempts, fetched, error FROM (VALUES
-        | ('/blog.html', '/blog.html', 0, 1, TRUE, ''),
-        | ('/redir/1/notes.txt', '/notes.txt', 1, 1, TRUE, ''),
-        | ('/redir/2/blog.html', '/blog.html', 2, 1, TRUE, ''),
+      """SELECT path, final_path, redirects, attempts, fetched, error, x_robots
+        |FROM (VALUES
+        | ('/blog.html', '/blog.html', 0, 1, TRUE, '', ''),
+        | ('/redir/1/notes.txt', '/notes.txt', 1, 1, TRUE, '', ''),
+        | ('/redir/2/blog.html', '/blog.html', 2, 1, TRUE, '', ''),
         | ('/redirloop/a', '/redirloop/a', 0, 1, FALSE,
-        |  'download_failed_after_1_attempts:too_many_redirects'),
-        | ('/throttle/notes.txt', '/throttle/notes.txt', 0, 2, TRUE, ''),
-        | ('/gzbody/blog.html', '/gzbody/blog.html', 0, 1, TRUE, '')
-        |) AS t(path, final_path, redirects, attempts, fetched, error)""".stripMargin,
+        |  'download_failed_after_1_attempts:too_many_redirects', ''),
+        | ('/throttle/notes.txt', '/throttle/notes.txt', 0, 2, TRUE, '', ''),
+        | ('/gzbody/blog.html', '/gzbody/blog.html', 0, 1, TRUE, '', ''),
+        | ('/xnoindex/notes.txt', '/xnoindex/notes.txt', 0, 1, TRUE, '', 'noindex')
+        |) AS t(path, final_path, redirects, attempts, fetched, error, x_robots)""".stripMargin,
 
     // hand-derived from the two-cycle feed: batch 0 first-crawls both
     // pages (the duplicate due-mark must NOT add a row — 4 rows total

@@ -615,6 +615,24 @@ object DocFixtures {
     ("none_token", "html", directivesNoneHtml.getBytes(UTF_8)),
     ("plain", "html", directivesPlainHtml.getBytes(UTF_8)))
 
+  /** Two DIFFERENT fetch URLs (the amp/mobile-variant shape) declaring
+    * the SAME canonical identity — through [[graft.operators.UrlOps
+    * .canonicalizeUrl]] (case + tracking-param normalization applies to
+    * DECLARED canonicals too) they collapse to one corpus row
+    * (`canonical_dedup` oracle). Distinct bodies on purpose: content
+    * dedup would NOT catch these. */
+  val canonicalTwinAHtml: String =
+    """<html><head><title>One Story (AMP)</title>
+      |<link rel="canonical" href="HTTPS://Example.com/stories/one-story?utm_source=amp">
+      |</head><body><p>The AMP rendering of the story body, trimmed for speed.</p></body></html>
+      |""".stripMargin
+
+  val canonicalTwinBHtml: String =
+    """<html><head><title>One Story</title>
+      |<link rel="canonical" href="https://example.com/stories/one-story">
+      |</head><body><p>The full desktop rendering of the story body with extras.</p></body></html>
+      |""".stripMargin
+
   /** Legacy-encoding pages for the charset-detection surface: a
     * Latin-1 page whose `é` is the single byte 0xE9 (UTF-8 would
     * mangle it), and a UTF-16LE page behind its BOM (whose NUL bytes

@@ -40,12 +40,12 @@ object UrlIngest {
     * hash compare needs byte-identical output across runs). */
   case class Fetched(content: Array[Byte], attempts: Int, error: String,
                      final_url: String, redirects: Int, content_type: String,
-                     etag: String, not_modified: Boolean)
+                     etag: String, not_modified: Boolean, x_robots: String)
 
   /** Outcome of ONE HTTP exchange (one hop of one attempt). */
   private sealed trait HttpHop
   private final case class HopBody(body: Array[Byte], contentType: String,
-                                   etag: String) extends HttpHop
+                                   etag: String, xRobots: String) extends HttpHop
   private final case class HopRedirect(location: String) extends HttpHop
   private case object HopNotModified extends HttpHop
 
@@ -108,7 +108,10 @@ object UrlIngest {
             val body = in.readNBytes(maxBytes.min(Int.MaxValue - 8L).toInt + 1)
             if (body.length > maxBytes)
               throw new IllegalArgumentException("file_too_large")
-            HopBody(body, conn.getContentType, conn.getHeaderField("ETag"))
+            HopBody(body, conn.getContentType, conn.getHeaderField("ETag"),
+              // the HTTP-layer twin of <meta name=robots> — a crawler
+              // honors noindex/nofollow from EITHER channel
+              conn.getHeaderField("X-Robots-Tag"))
           } finally in.close()
         case 301 | 302 | 303 | 307 | 308 =>
           // drain any redirect body so the connection is reusable
@@ -178,16 +181,16 @@ object UrlIngest {
               if (java.nio.file.Files.size(p) > maxBytes)
                 throw new IllegalArgumentException("file_too_large")
               done = Fetched(java.nio.file.Files.readAllBytes(p), attempt, null,
-                current, hops, null, null, not_modified = false)
+                current, hops, null, null, not_modified = false, x_robots = null)
             case "http" =>
               httpGet(uri, maxBytes, attempt,
                   if (hops == 0) etag else null) match {
-                case HopBody(b, ct, et) =>
+                case HopBody(b, ct, et, xr) =>
                   done = Fetched(b, attempt, null, current, hops, ct, et,
-                    not_modified = false)
+                    not_modified = false, x_robots = xr)
                 case HopNotModified =>
                   done = Fetched(null, attempt, null, current, hops, null, etag,
-                    not_modified = true)
+                    not_modified = true, x_robots = null)
                 case HopRedirect(loc) =>
                   hops += 1
                   if (hops > maxHops)
@@ -220,7 +223,7 @@ object UrlIngest {
     }
     if (done != null) done
     else Fetched(null, attempt, s"download_failed_after_${attempt}_attempts:$kind",
-      url, 0, null, null, not_modified = false)
+      url, 0, null, null, not_modified = false, x_robots = null)
   }
 
   def fetchUdf(maxBytes: Long, maxRetries: Int, backoffMs: Long,
@@ -294,7 +297,8 @@ object UrlIngest {
       .select(col(urlCol).as("url"), col("_f.content").as("content"),
         col("_f.attempts").as("attempts"), col("_f.error").as("error"),
         col("_f.final_url").as("final_url"), col("_f.redirects").as("redirects"),
-        col("_f.content_type").as("content_type"), col("_f.etag").as("etag"))
+        col("_f.content_type").as("content_type"), col("_f.etag").as("etag"),
+        col("_f.x_robots").as("x_robots"))
 
   /** The incremental-recrawl fetch stage: each row carries the etag its
     * LAST crawl recorded ([[fetchBytes]]'s `etag` column — NULL for a
@@ -590,6 +594,11 @@ object UrlIngest {
               reply(429, "slow down".getBytes(UTF_8))
             case _ if raw.startsWith("/throttle/") =>
               serveFile(raw.stripPrefix("/throttle/"))
+            case _ if raw.startsWith("/xnoindex/") =>
+              // HTTP-layer robots directive (X-Robots-Tag) on an
+              // otherwise normal file response
+              ex.getResponseHeaders.set("X-Robots-Tag", "noindex")
+              serveFile(raw.stripPrefix("/xnoindex/"))
             case _ if raw.startsWith("/gzbody/") =>
               // gzip transfer coding when (and only when) the client
               // advertised it — the bandwidth path a real server takes
