@@ -191,6 +191,19 @@ private[graft] trait EntryDocs extends EntryShared {
     // crawl discovery, leg 1: raw <a href> values in document order
     // (quoted/bare forms, entity-decoded); binary garbage → no rows
     "html_links" -> ((s, d) => Html.htmlLinks(Html.fixturesDF(s))),
+    // iterative BFS crawl over the staged chain a → b → c → d (b also
+    // cycles back to a): bounded driver rounds, each one distributed
+    // fetch+extract pass, visited anti-join as the only per-round
+    // shuffle. maxDepth 2 fetches a/b/c and never discovers d; the
+    // cycle edge cannot re-fetch a,
+    "crawl_bfs" -> ((s, d) => {
+      import s.implicits._
+      val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+      val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+      CrawlCorpus.bfs(s, Seq(s"$base/bfs-a.html").toDF("url"), rules, maxDepth = 2)
+        .select(regexp_replace(col("url"), "^http://[^/]+", "").as("path"),
+          col("depth"), col("fetched"))
+    }),
     // canonical-identity dedup: a page's crawl KEY is its declared
     // canonical when present (normalized by the SAME canonicalizer as
     // fetch URLs — case + tracking params collapse), else its own URL;
@@ -982,6 +995,16 @@ private[graft] trait EntryDocs extends EntryShared {
         | (3, '/x', 'the docs'), (4, '/a', 'Ten more posts'),
         | (5, '/b', 'you might like')
         |) AS t(link_idx, href, anchor_text)""".stripMargin,
+
+    // hand-derived from the chain design: depth = BFS distance from the
+    // seed; d sits at depth 3 behind the cap; the b → a cycle edge adds
+    // no row,
+    "crawl_bfs" ->
+      """SELECT path, depth, fetched FROM (VALUES
+        | ('/bfs-a.html', 0, TRUE),
+        | ('/bfs-b.html', 1, TRUE),
+        | ('/bfs-c.html', 2, TRUE)
+        |) AS t(path, depth, fetched)""".stripMargin,
 
     // hand-derived: the twins' declared canonicals normalize to ONE key
     // (case + utm strip — the canonicalizer applies to declarations

@@ -127,6 +127,66 @@ object CrawlCorpus {
         col("near_dup_of"),
         (col("keep") && col("near_dup_of").isNull).as("in_corpus"))
 
+  /** Iterative BFS crawl — the loop every production crawler runs,
+    * expressed as bounded iterative DataFrame rounds (the PageRank
+    * fixed-point pattern): each round is ONE distributed fetch+extract
+    * pass over the frontier; discovered links go through the same
+    * resolve → canonicalize → fetchable → robots → nofollow chain as
+    * [[discover]], then an anti-join against the visited set (the only
+    * shuffle per round besides the distinct) yields the next frontier
+    * at depth+1. Stops at `maxDepth` or an empty frontier; a cycle
+    * edge can never re-fetch a page. `localCheckpoint` per round
+    * truncates the iterative lineage exactly like the PageRank loop.
+    *
+    * Scale shape: the driver loop is bounded by DEPTH (a crawl's
+    * politeness horizon, single digits), never by data — each round's
+    * work is corpus-sized and fully distributed; the visited set is
+    * the only state that grows, kept as a checkpointed table exactly
+    * as a production frontier DB would be.
+    *
+    * Returns one row per visited page: (url, depth, fetched). */
+  def bfs(spark: SparkSession, seeds: DataFrame, rules: UrlOps.RobotsRules,
+          maxDepth: Int, backoffMs: Long = 1): DataFrame = {
+    var visited = seeds.select(UrlOps.canonicalizeUrl(col("url")).as("url"))
+      .distinct().localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    var out: DataFrame = null
+    var done = false
+    while (!done) {
+      val fetched = UrlIngest.fetchBytes(frontier.select("url"),
+          backoffMs = backoffMs)
+        .select(col("url"), lit(depth).as("depth"), col("content"))
+        .localCheckpoint()
+      val round = fetched.select(col("url"), col("depth"),
+        col("content").isNotNull.as("fetched"))
+      out = if (out == null) round else out.unionByName(round)
+      if (depth >= maxDepth) done = true
+      else {
+        val next = fetched.filter(col("content").isNotNull)
+          .select(col("url").as("page_url"), Html.parseHtmlUdf(col("content")).as("p"))
+          .select(col("page_url"), explode(col("p.links")).as("l"))
+          .filter(!col("l.nofollow"))
+          .select(UrlOps.canonicalizeUrl(
+            UrlOps.resolveUrl(col("page_url"), col("l.href"))).as("url"))
+          .filter(UrlOps.isFetchable(col("url")))
+          .withColumn("path",
+            regexp_extract(col("url"), "^[^:/?#]+://[^/?#]+([^?#]*)", 1))
+          .filter(UrlOps.robotsAllowed(rules)(col("path")))
+          .select("url").distinct()
+          .join(visited, Seq("url"), "left_anti")
+          .localCheckpoint()
+        if (next.isEmpty) done = true
+        else {
+          visited = visited.unionByName(next).localCheckpoint()
+          frontier = next
+          depth += 1
+        }
+      }
+    }
+    out
+  }
+
   /** The whole chain (the `crawl_corpus_e2e` registry body). Warm cost
     * ~6-8 s, the curation_e2e/golden_e2e lifecycle class: the time is
     * the composed chain's ~30 serial AQE stages (verdict exchanges,

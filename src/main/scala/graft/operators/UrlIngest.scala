@@ -351,6 +351,10 @@ object UrlIngest {
   def stageQueryFixtures(dir: String = defaultStageDir): String = {
     val d = new java.io.File(dir)
     d.mkdirs()
+    def bfsPage(title: String, links: String): Array[Byte] =
+      (s"<html><head><title>$title</title></head><body>" +
+        s"<p>A paragraph of page body long enough to keep around here.</p>" +
+        s"<p>$links</p></body></html>").getBytes(UTF_8)
     val files: Seq[(String, Array[Byte])] = Seq(
       "simple.eml" -> DocFixtures.simpleEml.getBytes(UTF_8),
       "multi.eml" -> DocFixtures.multiEml.getBytes(UTF_8),
@@ -358,7 +362,15 @@ object UrlIngest {
       "report.pdf" -> reportPdf.getBytes(UTF_8),
       // the crawl_fetch_e2e page — the ingest oracles glob *.eml/*.txt/
       // *.pdf only, so an .html member cannot disturb them
-      "blog.html" -> DocFixtures.blogHtml.getBytes(UTF_8))
+      "blog.html" -> DocFixtures.blogHtml.getBytes(UTF_8),
+      // the crawl_bfs chain: a → b (and b cycles back to a), b → c,
+      // c → d — with maxDepth 2 the walk fetches a/b/c, never d, and
+      // the cycle edge must not re-fetch a (visited-set semantics)
+      "bfs-a.html" -> bfsPage("BFS A", """Go <a href="bfs-b.html">deeper</a>."""),
+      "bfs-b.html" -> bfsPage("BFS B",
+        """Back <a href="bfs-a.html">up</a> or <a href="bfs-c.html">on</a>."""),
+      "bfs-c.html" -> bfsPage("BFS C", """Last hop <a href="bfs-d.html">there</a>."""),
+      "bfs-d.html" -> bfsPage("BFS D", "The page the depth cap never reaches."))
     // the oracle reads this dir back by GLOB — remove anything that is
     // not the current fixture set, or a stale file makes the oracle see
     // rows the engine side never ingested. The sitemap-tree members are

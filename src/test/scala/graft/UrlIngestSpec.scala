@@ -269,6 +269,23 @@ class UrlIngestSpec extends SparkSpec {
       == "download_failed_after_1_attempts:file_too_large")
   }
 
+  test("crawl BFS: empty frontier terminates before the depth cap; cycle never re-fetches") {
+    import graft.operators.{CrawlCorpus, UrlOps}
+    val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+    val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+    // cap far beyond the chain: the walk must stop at d (whose page has
+    // no links), not spin to depth 9
+    val out = CrawlCorpus.bfs(spark,
+        Seq(s"$base/bfs-a.html").toDF("url"), rules, maxDepth = 9)
+      .collect()
+      .map(r => (r.getString(0).replaceFirst("^http://[^/]+", ""),
+        r.getInt(1), r.getBoolean(2)))
+      .sortBy(_._2).toSeq
+    assert(out === Seq(("/bfs-a.html", 0, true), ("/bfs-b.html", 1, true),
+      ("/bfs-c.html", 2, true), ("/bfs-d.html", 3, true)),
+      "each page exactly once (the b→a cycle adds no row), walk ends at the leaf")
+  }
+
   test("S1: extension mismatch on a supported MIME is flagged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_url_spec").toFile
     try {
