@@ -191,6 +191,28 @@ private[graft] trait EntryDocs extends EntryShared {
     // crawl discovery, leg 1: raw <a href> values in document order
     // (quoted/bare forms, entity-decoded); binary garbage → no rows
     "html_links" -> ((s, d) => Html.htmlLinks(Html.fixturesDF(s))),
+    // inbound ANCHOR TEXT per target page — the label humans clicked,
+    // aggregated across canonicalized targets (the hub's ?utm twin and
+    // its plain link collapse onto article1, carrying BOTH labels): the
+    // classic web-corpus relevance/description signal for a page,
+    // robots-independent (it describes the target, fetched or not) but
+    // nofollow-filtered and scheme-gated. One hash shuffle on target,
+    "anchor_texts" -> ((s, d) => {
+      import s.implicits._
+      val base = UrlIngest.crawlSiteBase
+      val pages = UrlIngest.fetchBytes(
+          Seq(s"$base/site.html").toDF("url"), backoffMs = 1)
+        .filter(col("content").isNotNull)
+      Html.htmlLinks(pages, docCol = "url", binCol = "content")
+        .filter(!col("nofollow"))
+        .select(UrlOps.canonicalizeUrl(
+          UrlOps.resolveUrl(col("doc"), col("href"))).as("target"),
+          col("anchor_text"))
+        .filter(UrlOps.isFetchable(col("target")))
+        .groupBy(regexp_replace(col("target"), "^http://[^/]+", "").as("target_path"))
+        .agg(count(lit(1)).as("n_refs"),
+          array_join(sort_array(collect_list(col("anchor_text"))), "|").as("labels"))
+    }),
     // iterative BFS crawl over the staged chain a → b → c → d (b also
     // cycles back to a): bounded driver rounds, each one distributed
     // fetch+extract pass, visited anti-join as the only per-round
@@ -901,21 +923,22 @@ private[graft] trait EntryDocs extends EntryShared {
     // and the sitemap's article5 copy collapse in canonical space; the
     // hub's '/' link 404s and contributes nothing,
     "crawl_corpus_e2e" ->
-      """SELECT path, title, reasons, keep, near_dup_of, in_corpus FROM (VALUES
+      """SELECT path, title, reasons, keep, near_dup_of, noindex, in_corpus FROM (VALUES
         | ('/article1.html', 'Polite crawling', '', TRUE,
-        |  CAST(NULL AS VARCHAR), TRUE),
+        |  CAST(NULL AS VARCHAR), FALSE, TRUE),
         | ('/article2.html', 'Polite crawling again', '', TRUE,
-        |  '/article1.html', FALSE),
+        |  '/article1.html', FALSE, FALSE),
         | ('/article3.html', 'Fragments', 'lang,repetitive,gopher_quality,c4',
-        |  FALSE, NULL, FALSE),
-        | ('/article4.html', 'Benchmarks', 'contaminated', FALSE, NULL, FALSE),
-        | ('/article5.html', 'Scaling the crawl', '', TRUE, NULL, TRUE),
-        | ('/article6.html', 'Sitemap only', '', TRUE, NULL, TRUE),
+        |  FALSE, NULL, FALSE, FALSE),
+        | ('/article4.html', 'Benchmarks', 'contaminated', FALSE, NULL, FALSE, FALSE),
+        | ('/article5.html', 'Scaling the crawl', '', TRUE, NULL, FALSE, TRUE),
+        | ('/article6.html', 'Sitemap only', '', TRUE, NULL, FALSE, TRUE),
+        | ('/article7.html', 'Embargoed preview', '', TRUE, NULL, TRUE, FALSE),
         | ('/dup.html', 'Mirror of polite crawling', 'duplicate', FALSE,
-        |  '/article1.html', FALSE),
+        |  '/article1.html', FALSE, FALSE),
         | ('/site.html', 'Crawl Hub', 'repetitive,gopher_quality,c4',
-        |  FALSE, NULL, FALSE)
-        |) AS t(path, title, reasons, keep, near_dup_of, in_corpus)""".stripMargin,
+        |  FALSE, NULL, FALSE, FALSE)
+        |) AS t(path, title, reasons, keep, near_dup_of, noindex, in_corpus)""".stripMargin,
 
     // the tree walk's expected leaves: the posts urlset verbatim plus
     // the gz child's two pages; the self-cycle, ftp: and 404 members
@@ -995,6 +1018,24 @@ private[graft] trait EntryDocs extends EntryShared {
         | (3, '/x', 'the docs'), (4, '/a', 'Ten more posts'),
         | (5, '/b', 'you might like')
         |) AS t(link_idx, href, anchor_text)""".stripMargin,
+
+    // hand-derived from the hub's link list: the plain and ?utm links
+    // to article1 collapse in canonical space carrying both labels
+    // (sorted, pipe-joined); mailto: drops at the scheme gate; the
+    // robots-denied /private/ target KEEPS its label (the signal
+    // describes the target, fetched or not),
+    "anchor_texts" ->
+      """SELECT target_path, CAST(n_refs AS BIGINT) AS n_refs, labels FROM (VALUES
+        | ('/', 1, 'Home'),
+        | ('/article1.html', 2, 'Feed twin|Parsing'),
+        | ('/article2.html', 1, 'Parsing again'),
+        | ('/article3.html', 1, 'Fragments'),
+        | ('/article4.html', 1, 'Benchmarks'),
+        | ('/article5.html', 1, 'Scaling'),
+        | ('/article7.html', 1, 'Preview'),
+        | ('/dup.html', 1, 'Mirror'),
+        | ('/private/secret.html', 1, 'Secret')
+        |) AS t(target_path, n_refs, labels)""".stripMargin,
 
     // hand-derived from the chain design: depth = BFS distance from the
     // seed; d sits at depth 3 behind the cap; the b → a cycle edge adds

@@ -83,23 +83,31 @@ object CrawlCorpus {
     * evaluation (measured 30 s vs ~5 s checkpointed). At scale this is
     * the pipeline's natural persist point anyway: the extracted corpus
     * lands in a staging table before curation. */
-  def fetchExtract(seeds: DataFrame, frontier: DataFrame): DataFrame =
-    Html.htmlBlocks(
-        UrlIngest.fetchBytes(
-            seeds.unionByName(frontier.select("url")).distinct(), backoffMs = 1)
-          .filter(col("content").isNotNull),
-        docCol = "url", binCol = "content")
+  def fetchExtract(seeds: DataFrame, frontier: DataFrame): DataFrame = {
+    // bytes materialize once (checkpoint): both the block extraction
+    // and the directive parse read them — no second HTTP pass
+    val fetched = UrlIngest.fetchBytes(
+        seeds.unionByName(frontier.select("url")).distinct(), backoffMs = 1)
+      .filter(col("content").isNotNull)
+      .localCheckpoint()
+    // page-level robots: <meta name=robots> noindex — quality can keep
+    // a page, the directive still excludes it from corpus membership
+    val dirs = Html.htmlDirectives(fetched, docCol = "url", binCol = "content")
+      .select(col("doc"), col("noindex"))
+    Html.htmlBlocks(fetched, docCol = "url", binCol = "content")
       .groupBy(col("doc"))
       .agg(max(col("title")).as("title"),
         array_join(transform(
           array_sort(collect_list(struct(col("block_idx"), col("content")))),
           b => b.getField("content")), "\n").as("text"))
+      .join(dirs, Seq("doc"))
       .withColumn("path", regexp_replace(col("doc"), "^http://[^/]+", ""))
       // deterministic small-fixture ids (path order); a production
       // corpus keys on the url hash and never needs a global window
       .withColumn("doc_id",
         row_number().over(Window.orderBy(col("path"))).cast("long"))
       .localCheckpoint()
+  }
 
   /** The full composed verdict; surprisal band parked at 9.0 — a
     * seven-page corpus LM has ln(total)≈5.5 as its ceiling, so the
@@ -117,15 +125,18 @@ object CrawlCorpus {
       .groupBy(col("id_b").as("doc_id"))
       .agg(min(col("id_a")).as("_keeper_id"))
 
-  /** Final corpus membership: verdict ∧ not-a-near-dup. */
+  /** Final corpus membership: verdict ∧ not-a-near-dup ∧ not
+    * self-excluded (meta-robots noindex — the directive gate is
+    * separate from quality: good text can still opt out). */
   def corpus(pages: DataFrame, verdict: DataFrame, nd: DataFrame): DataFrame =
     pages.join(verdict, "doc_id")
       .join(nd, Seq("doc_id"), "left")
       .join(pages.select(col("doc_id").as("_keeper_id"),
         col("path").as("near_dup_of")), Seq("_keeper_id"), "left")
       .select(col("path"), col("title"), col("reasons"), col("keep"),
-        col("near_dup_of"),
-        (col("keep") && col("near_dup_of").isNull).as("in_corpus"))
+        col("near_dup_of"), col("noindex"),
+        (col("keep") && col("near_dup_of").isNull && !col("noindex"))
+          .as("in_corpus"))
 
   /** Iterative BFS crawl — the loop every production crawler runs,
     * expressed as bounded iterative DataFrame rounds (the PageRank

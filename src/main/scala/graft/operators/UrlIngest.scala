@@ -379,8 +379,8 @@ object UrlIngest {
     val keep = files.map(_._1).toSet ++
       Set("sitemap-index.xml", "sitemap-posts.xml", "sitemap-pages.xml.gz",
         "site.html", "article1.html", "article2.html", "article3.html",
-        "article4.html", "article5.html", "article6.html", "dup.html",
-        "site-sitemap.xml")
+        "article4.html", "article5.html", "article6.html", "article7.html",
+        "dup.html", "site-sitemap.xml")
     Option(d.listFiles()).getOrElse(Array.empty)
       .filterNot(f => keep(f.getName)).foreach(_.delete())
     files.foreach { case (n, b) =>
@@ -468,6 +468,7 @@ object UrlIngest {
         "<a href=\"article4.html\">Benchmarks</a> " +
         "<a href=\"article5.html\">Scaling</a> " +
         "<a href=\"dup.html\">Mirror</a> " +
+        "<a href=\"article7.html\">Preview</a> " +
         "<a href=\"/private/secret.html\">Secret</a> " +
         "<a href=\"article1.html?utm_source=feed\">Feed twin</a> " +
         "<a href=\"mailto:editor@example.com\">Mail us</a></div>"),
@@ -500,6 +501,20 @@ object UrlIngest {
         "url a host wants indexed. This page is reachable through that " +
         "channel alone, with no inbound link from the hub. Counting it " +
         "in the corpus proves the second channel carries real weight.</p>"),
+      // clean prose that passes EVERY cleaning family — but the page
+      // declares <meta name=robots noindex>, the self-exclusion a
+      // polite crawler honors at corpus membership (the directive gate
+      // is separate from quality: good text can still opt out)
+      "article7.html" ->
+        ("<html><head><title>Embargoed preview</title>\n" +
+          "<meta name=\"robots\" content=\"noindex\">\n" +
+          "</head><body>\n" +
+          "<p>Publishers often stage embargoed previews that read perfectly " +
+          "well and still must stay out of every index. The robots meta tag " +
+          "is the contract for that choice, and a polite crawler honors it " +
+          "at corpus membership time. Quality filtering alone would keep " +
+          "this page, which is exactly why the directive gate exists.</p>\n" +
+          "</body></html>").getBytes(UTF_8),
       "site-sitemap.xml" ->
         (s"""<?xml version="1.0" encoding="UTF-8"?>
             |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
