@@ -222,7 +222,8 @@ private[graft] trait EntryDocs extends EntryShared {
       import s.implicits._
       val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
       val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
-      CrawlCorpus.bfs(s, Seq(s"$base/bfs-a.html").toDF("url"), rules, maxDepth = 2)
+      CrawlCorpus.bfs(s, Seq(s"$base/bfs-a.html").toDF("url"), rules, maxDepth = 2,
+        frontierPartitions = 1) // fixture-scale: 2-row frontiers
         .select(regexp_replace(col("url"), "^http://[^/]+", "").as("path"),
           col("depth"), col("fetched"))
     }),

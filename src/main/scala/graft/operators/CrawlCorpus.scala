@@ -155,11 +155,21 @@ object CrawlCorpus {
     * the only state that grows, kept as a checkpointed table exactly
     * as a production frontier DB would be.
     *
-    * Returns one row per visited page: (url, depth, fetched). */
+    * Returns one row per visited page: (url, depth, fetched).
+    *
+    * @param frontierPartitions when > 0, repartition each round's
+    *   frontier to this width before materializing — the fixture-scale
+    *   knob (a 2-row frontier must not pay 32 checkpoint tasks ×
+    *   rounds of pure scheduling floor). Leave 0 in production: the
+    *   frontier keeps the shuffle width the anti-join produced, which
+    *   AQE sizes to the data. */
   def bfs(spark: SparkSession, seeds: DataFrame, rules: UrlOps.RobotsRules,
-          maxDepth: Int, backoffMs: Long = 1): DataFrame = {
-    var visited = seeds.select(UrlOps.canonicalizeUrl(col("url")).as("url"))
-      .distinct().localCheckpoint()
+          maxDepth: Int, backoffMs: Long = 1,
+          frontierPartitions: Int = 0): DataFrame = {
+    def width(df: DataFrame): DataFrame =
+      if (frontierPartitions > 0) df.repartition(frontierPartitions) else df
+    var visited = width(seeds.select(UrlOps.canonicalizeUrl(col("url")).as("url"))
+      .distinct()).localCheckpoint()
     var frontier = visited
     var depth = 0
     var out: DataFrame = null
@@ -186,10 +196,11 @@ object CrawlCorpus {
           .filter(UrlOps.robotsAllowed(rules)(col("path")))
           .select("url").distinct()
           .join(visited, Seq("url"), "left_anti")
+          .transform(width)
           .localCheckpoint()
         if (next.isEmpty) done = true
         else {
-          visited = visited.unionByName(next).localCheckpoint()
+          visited = width(visited.unionByName(next)).localCheckpoint()
           frontier = next
           depth += 1
         }

@@ -276,7 +276,8 @@ class UrlIngestSpec extends SparkSpec {
     // cap far beyond the chain: the walk must stop at d (whose page has
     // no links), not spin to depth 9
     val out = CrawlCorpus.bfs(spark,
-        Seq(s"$base/bfs-a.html").toDF("url"), rules, maxDepth = 9)
+        Seq(s"$base/bfs-a.html").toDF("url"), rules, maxDepth = 9,
+        frontierPartitions = 1)
       .collect()
       .map(r => (r.getString(0).replaceFirst("^http://[^/]+", ""),
         r.getInt(1), r.getBoolean(2)))
