@@ -413,10 +413,18 @@ private[graft] trait EntryDocs extends EntryShared {
       val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
       val first = UrlIngest.fetchBytes(
           Seq(s"$base/blog.html", s"$base/notes.txt").toDF("url"), backoffMs = 1)
-        .select(col("url"), col("etag"), lit("revalidate").as("kind"))
-      val stale = Seq((s"$base/blog.html", "\"stale\"", "changed"))
-        .toDF("url", "etag", "kind")
-      UrlIngest.fetchBytesConditional(first.unionByName(stale), backoffMs = 1)
+      val in = first
+        .select(col("url"), col("etag"),
+          lit(null).cast("string").as("lm"), lit("revalidate").as("kind"))
+        .unionByName(Seq((s"$base/blog.html", "\"stale\"", null: String, "changed"))
+          .toDF("url", "etag", "lm", "kind"))
+        // the many-servers-send-no-ETag path: Last-Modified alone
+        // revalidates via If-Modified-Since (etag NULL)
+        .unionByName(first.filter(col("url").endsWith("/blog.html"))
+          .select(col("url"), lit(null).cast("string").as("etag"),
+            col("last_modified").as("lm"), lit("lm_only").as("kind")))
+      UrlIngest.fetchBytesConditional(in, backoffMs = 1,
+          lastModifiedCol = Some("lm"))
         .select(regexp_replace(col("url"), "^http://[^/]+", "").as("path"),
           col("kind"), col("not_modified"),
           col("content").isNotNull.as("body_returned"),
@@ -1132,7 +1140,8 @@ private[graft] trait EntryDocs extends EntryShared {
       """SELECT path, kind, not_modified, body_returned, has_etag FROM (VALUES
         | ('/blog.html', 'revalidate', TRUE, FALSE, TRUE),
         | ('/notes.txt', 'revalidate', TRUE, FALSE, TRUE),
-        | ('/blog.html', 'changed', FALSE, TRUE, TRUE)
+        | ('/blog.html', 'changed', FALSE, TRUE, TRUE),
+        | ('/blog.html', 'lm_only', TRUE, FALSE, FALSE)
         |) AS t(path, kind, not_modified, body_returned, has_etag)""".stripMargin,
 
     // hand-derived from the two-batch feed: batch 0 ranks a's p1>p2 by

@@ -165,7 +165,8 @@ object CrawlCorpus {
     *   AQE sizes to the data. */
   def bfs(spark: SparkSession, seeds: DataFrame, rules: UrlOps.RobotsRules,
           maxDepth: Int, backoffMs: Long = 1,
-          frontierPartitions: Int = 0): DataFrame = {
+          frontierPartitions: Int = 0,
+          hostBudget: Int = Int.MaxValue, crawlDelaySec: Int = 1): DataFrame = {
     def width(df: DataFrame): DataFrame =
       if (frontierPartitions > 0) df.repartition(frontierPartitions) else df
     var visited = width(seeds.select(UrlOps.canonicalizeUrl(col("url")).as("url"))
@@ -196,6 +197,13 @@ object CrawlCorpus {
           .filter(UrlOps.robotsAllowed(rules)(col("path")))
           .select("url").distinct()
           .join(visited, Seq("url"), "left_anti")
+          // per-round politeness: the frontier window budgets each host
+          // exactly like single-hop discovery; a page dropped by the
+          // budget is NOT marked visited, so a later round can carry it
+          // (the deferred-crawl shape of a production frontier)
+          .transform(nf => if (hostBudget == Int.MaxValue) nf
+            else UrlOps.crawlFrontier(nf.withColumn("priority_micro", lit(0L)),
+              hostBudget, crawlDelaySec).select("url"))
           .transform(width)
           .localCheckpoint()
         if (next.isEmpty) done = true

@@ -40,12 +40,14 @@ object UrlIngest {
     * hash compare needs byte-identical output across runs). */
   case class Fetched(content: Array[Byte], attempts: Int, error: String,
                      final_url: String, redirects: Int, content_type: String,
-                     etag: String, not_modified: Boolean, x_robots: String)
+                     etag: String, not_modified: Boolean, x_robots: String,
+                     last_modified: String)
 
   /** Outcome of ONE HTTP exchange (one hop of one attempt). */
   private sealed trait HttpHop
   private final case class HopBody(body: Array[Byte], contentType: String,
-                                   etag: String, xRobots: String) extends HttpHop
+                                   etag: String, xRobots: String,
+                                   lastModified: String) extends HttpHop
   private final case class HopRedirect(location: String) extends HttpHop
   private case object HopNotModified extends HttpHop
 
@@ -72,7 +74,7 @@ object UrlIngest {
     * lets the loopback fixture server fail first attempts
     * deterministically. */
   private def httpGet(uri: java.net.URI, maxBytes: Long, attempt: Int,
-                      etag: String): HttpHop = {
+                      etag: String, lastModified: String): HttpHop = {
     val conn = uri.toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
     conn.setConnectTimeout(5000)
     conn.setReadTimeout(15000)
@@ -86,7 +88,13 @@ object UrlIngest {
     // the size cap applies to the INFLATED bytes — a decompression bomb
     // must fail the row exactly like an oversized plain body
     conn.setRequestProperty("Accept-Encoding", "gzip")
+    // ETag is the stronger validator and takes precedence; the
+    // Last-Modified date is replayed VERBATIM as If-Modified-Since
+    // (RFC 9110 §13.1.3 — a cache echoes the server's own date, never
+    // reformats it), covering the many servers that send no ETag
     if (etag != null) conn.setRequestProperty("If-None-Match", etag)
+    else if (lastModified != null)
+      conn.setRequestProperty("If-Modified-Since", lastModified)
     try {
       val code = conn.getResponseCode
       def drainError(): Unit =
@@ -111,7 +119,8 @@ object UrlIngest {
             HopBody(body, conn.getContentType, conn.getHeaderField("ETag"),
               // the HTTP-layer twin of <meta name=robots> — a crawler
               // honors noindex/nofollow from EITHER channel
-              conn.getHeaderField("X-Robots-Tag"))
+              conn.getHeaderField("X-Robots-Tag"),
+              conn.getHeaderField("Last-Modified"))
           } finally in.close()
         case 301 | 302 | 303 | 307 | 308 =>
           // drain any redirect body so the connection is reusable
@@ -162,7 +171,8 @@ object UrlIngest {
     * incremental-recrawl contract. */
   private[graft] def fetchOne(url: String, maxBytes: Long, maxRetries: Int,
                               backoffMs: Long, maxHops: Int,
-                              maxRetryAfterMs: Long, etag: String): Fetched = {
+                              maxRetryAfterMs: Long, etag: String,
+                              lastModified: String = null): Fetched = {
     var attempt = 0
     var kind: String = null
     var fatal = false
@@ -181,16 +191,19 @@ object UrlIngest {
               if (java.nio.file.Files.size(p) > maxBytes)
                 throw new IllegalArgumentException("file_too_large")
               done = Fetched(java.nio.file.Files.readAllBytes(p), attempt, null,
-                current, hops, null, null, not_modified = false, x_robots = null)
+                current, hops, null, null, not_modified = false, x_robots = null,
+                last_modified = null)
             case "http" =>
               httpGet(uri, maxBytes, attempt,
-                  if (hops == 0) etag else null) match {
-                case HopBody(b, ct, et, xr) =>
+                  if (hops == 0) etag else null,
+                  if (hops == 0) lastModified else null) match {
+                case HopBody(b, ct, et, xr, lm) =>
                   done = Fetched(b, attempt, null, current, hops, ct, et,
-                    not_modified = false, x_robots = xr)
+                    not_modified = false, x_robots = xr, last_modified = lm)
                 case HopNotModified =>
                   done = Fetched(null, attempt, null, current, hops, null, etag,
-                    not_modified = true, x_robots = null)
+                    not_modified = true, x_robots = null,
+                    last_modified = lastModified)
                 case HopRedirect(loc) =>
                   hops += 1
                   if (hops > maxHops)
@@ -223,7 +236,8 @@ object UrlIngest {
     }
     if (done != null) done
     else Fetched(null, attempt, s"download_failed_after_${attempt}_attempts:$kind",
-      url, 0, null, null, not_modified = false, x_robots = null)
+      url, 0, null, null, not_modified = false, x_robots = null,
+      last_modified = null)
   }
 
   def fetchUdf(maxBytes: Long, maxRetries: Int, backoffMs: Long,
@@ -236,9 +250,9 @@ object UrlIngest {
     * GET. A null etag degrades to the unconditional fetch. */
   def fetchCondUdf(maxBytes: Long, maxRetries: Int, backoffMs: Long,
                    maxHops: Int = MaxRedirects, maxRetryAfterMs: Long = 30000L) =
-    udf((url: String, etag: String) =>
+    udf((url: String, etag: String, lastModified: String) =>
       fetchOne(url, maxBytes, maxRetries, backoffMs, maxHops, maxRetryAfterMs,
-        etag))
+        etag, lastModified))
 
   /** Ingest a URL-list DataFrame into the reference's `DocumentInfo`
     * surface: one row per URL with cache name, size, MIME, SHA-256 hash,
@@ -298,7 +312,8 @@ object UrlIngest {
         col("_f.attempts").as("attempts"), col("_f.error").as("error"),
         col("_f.final_url").as("final_url"), col("_f.redirects").as("redirects"),
         col("_f.content_type").as("content_type"), col("_f.etag").as("etag"),
-        col("_f.x_robots").as("x_robots"))
+        col("_f.x_robots").as("x_robots"),
+        col("_f.last_modified").as("last_modified"))
 
   /** The incremental-recrawl fetch stage: each row carries the etag its
     * LAST crawl recorded ([[fetchBytes]]'s `etag` column — NULL for a
@@ -313,16 +328,23 @@ object UrlIngest {
   def fetchBytesConditional(urls: DataFrame, maxBytes: Long = MaxFileSize,
                             maxRetries: Int = 3, backoffMs: Long = 0L,
                             urlCol: String = "url", etagCol: String = "etag",
-                            maxRetryAfterMs: Long = 30000L): DataFrame = {
-    val passThrough = urls.columns.filterNot(_ == etagCol).map(col).toSeq
+                            maxRetryAfterMs: Long = 30000L,
+                            lastModifiedCol: Option[String] = None): DataFrame = {
+    // ETag precedence; a Last-Modified column (when the caller kept
+    // one) covers the servers that never send ETags — the kernel sends
+    // If-Modified-Since only when the etag is NULL
+    val lm = lastModifiedCol.map(col).getOrElse(lit(null).cast("string"))
+    val passThrough = urls.columns
+      .filterNot(c => c == etagCol || lastModifiedCol.contains(c)).map(col).toSeq
     urls.withColumn("_f",
         fetchCondUdf(maxBytes, maxRetries, backoffMs,
-          maxRetryAfterMs = maxRetryAfterMs)(col(urlCol), col(etagCol)))
+          maxRetryAfterMs = maxRetryAfterMs)(col(urlCol), col(etagCol), lm))
       .select(passThrough ++ Seq(col("_f.content").as("content"),
         col("_f.attempts").as("attempts"), col("_f.error").as("error"),
         col("_f.final_url").as("final_url"), col("_f.redirects").as("redirects"),
         col("_f.content_type").as("content_type"), col("_f.etag").as("etag"),
-        col("_f.not_modified").as("not_modified")): _*)
+        col("_f.not_modified").as("not_modified"),
+        col("_f.last_modified").as("last_modified")): _*)
   }
 
   // ---- driver-query fixtures ------------------------------------------
@@ -591,9 +613,15 @@ object UrlIngest {
               else if (name.endsWith(".gz")) "application/gzip"
               else if (name.endsWith(".txt")) "text/plain"
               else "application/octet-stream"
+            // deterministic per-content date (not wall clock): the
+            // If-Modified-Since exchange is an exact-echo compare
+            val lastMod = s"Mon, 0${(body.length % 9) + 1} Jan 2026 00:00:00 GMT"
             ex.getResponseHeaders.set("ETag", etag)
+            ex.getResponseHeaders.set("Last-Modified", lastMod)
             ex.getResponseHeaders.set("Content-Type", ct)
-            if (ex.getRequestHeaders.getFirst("If-None-Match") == etag)
+            val inm = ex.getRequestHeaders.getFirst("If-None-Match")
+            val ims = ex.getRequestHeaders.getFirst("If-Modified-Since")
+            if (inm == etag || (inm == null && ims == lastMod))
               ex.sendResponseHeaders(304, -1) // no body on 304
             else reply(200, body)
           }

@@ -287,6 +287,47 @@ class UrlIngestSpec extends SparkSpec {
       "each page exactly once (the b→a cycle adds no row), walk ends at the leaf")
   }
 
+  test("crawl BFS: the per-round host budget caps a round, dropped pages stay uncrawled") {
+    import graft.operators.{CrawlCorpus, UrlOps}
+    val base = UrlIngest.crawlSiteBase
+    val rules = UrlOps.parseRobots(DocFixtures.robotsTxt, "graftbot")
+    val out = CrawlCorpus.bfs(spark, Seq(s"$base/site.html").toDF("url"), rules,
+        maxDepth = 1, frontierPartitions = 1, hostBudget = 2)
+      .collect()
+      .map(r => (r.getString(0).replaceFirst("^http://[^/]+", ""),
+        r.getInt(1), r.getBoolean(2)))
+      .sortBy(t => (t._2, t._1)).toSeq
+    // hub discovery yields /, article1-5, article7, dup (robots drops
+    // /private, the scheme gate drops mailto:, the utm twin collapses);
+    // budget 2 keeps the first two in (priority, url) order — '/'
+    // 404s but still consumed a fetch slot, exactly like a real crawl
+    assert(out === Seq(("/site.html", 0, true),
+      ("/", 1, false), ("/article1.html", 1, true)))
+  }
+
+  test("http: Last-Modified alone revalidates when the server sends no usable ETag") {
+    val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+    val first = UrlIngest.fetchBytes(
+        Seq(s"$base/notes.txt").toDF("url"), backoffMs = 1).collect().head
+    val lm = first.getAs[String]("last_modified")
+    assert(lm != null && lm.endsWith("GMT"))
+    val out = UrlIngest.fetchBytesConditional(
+        Seq((s"$base/notes.txt", null: String, lm)).toDF("url", "etag", "lm"),
+        backoffMs = 1, lastModifiedCol = Some("lm"))
+      .collect().head
+    assert(out.getAs[Boolean]("not_modified"), "If-Modified-Since echo must 304")
+    assert(out.getAs[Array[Byte]]("content") == null)
+    // a stale date re-fetches
+    val stale = UrlIngest.fetchBytesConditional(
+        Seq((s"$base/notes.txt", null: String, "Mon, 01 Jan 1990 00:00:00 GMT"))
+          .toDF("url", "etag", "lm"),
+        backoffMs = 1, lastModifiedCol = Some("lm"))
+      .collect().head
+    assert(!stale.getAs[Boolean]("not_modified"))
+    assert(stale.getAs[Array[Byte]]("content") != null)
+    assert(stale.getAs[String]("last_modified") == lm, "fresh validator returned")
+  }
+
   test("S1: extension mismatch on a supported MIME is flagged") {
     val dir = java.nio.file.Files.createTempDirectory("graft_url_spec").toFile
     try {
