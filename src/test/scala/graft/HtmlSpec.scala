@@ -158,7 +158,11 @@ class HtmlSpec extends SparkSpec {
     // BOM'd UTF-16 (flips can corrupt the BOM or the declaration —
     // the charset route itself must be total)
     Seq(DocFixtures.blogHtml.getBytes("UTF-8"),
-        DocFixtures.latin1Html, DocFixtures.utf16Html).foreach { base =>
+        DocFixtures.latin1Html, DocFixtures.utf16Html,
+        // the directive-bearing pages: flips through rel=/name=/content=
+        // attributes and the nofollow link walk must stay total too
+        DocFixtures.directivesHtml.getBytes("UTF-8"),
+        DocFixtures.canonicalTwinAHtml.getBytes("UTF-8")).foreach { base =>
       (1 to 60).foreach { _ =>
         val b = base.clone()
         b(rnd.nextInt(b.length)) = rnd.nextInt(256).toByte
