@@ -172,7 +172,36 @@ object Html {
     * text at all — BOM-less bytes with a NUL in the first 1 KiB mark
     * binary garbage and yield None (the validator surface). Charset
     * comes from [[decodePage]]: BOM > meta charset > UTF-8. */
+  /** ASCII substring scan ignoring case — the cheap guard that keeps
+    * the directive regexes off tags that cannot match (most <a> carry
+    * no rel=, most <link>/<meta> are not canonical/robots; a Matcher
+    * allocation per tag measurably taxes the 100 TB-hot parse). */
+  private def hasIgnoreCase(s: String, sub: String): Boolean = {
+    val n = s.length - sub.length
+    var i = 0
+    while (i <= n) {
+      var k = 0
+      while (k < sub.length && {
+        val c = s.charAt(i + k); val d = sub.charAt(k)
+        c == d || (c >= 'A' && c <= 'Z' && (c + 32) == d)
+      }) k += 1
+      if (k == sub.length) return true
+      i += 1
+    }
+    false
+  }
+
   def parseHtml(bytes: Array[Byte]): Option[HtmlParsed] =
+    parseHtml(bytes, wantLinks = true)
+
+  /** `wantLinks = false` is the EXTRACTION-ONLY mode ([[htmlBlocks]] /
+    * [[graft.operators.Warc.warcHtmlBlocks]]): link capture, anchor
+    * text, and directive parsing are skipped entirely — the blocks
+    * surface never reads them, and serializing an array of link
+    * structs per page through the UDF encoder measurably taxed the
+    * extraction kernel (CrawlDrill). Discovery surfaces keep the full
+    * parse. */
+  def parseHtml(bytes: Array[Byte], wantLinks: Boolean): Option[HtmlParsed] =
     try {
       val s = decodePage(bytes) match {
         case Some(t) => t
@@ -289,25 +318,28 @@ object Html {
                       finishLink() // latest-wins on invalid nesting
                       val selfClosed = inner.endsWith("/")
                       if (!selfClosed) anchorDepth += 1
-                      val href = attrVal(hrefRe, inner)
-                        .map(v => decodeEntities(v.trim)).getOrElse("")
-                      if (href.nonEmpty) {
-                        val nofollow = attrVal(relRe, inner).map(lower)
-                          .exists(_.split("[\\s,]+")
-                            .exists(t => t == "nofollow" || t == "none"))
-                        links += HtmlLink(href, "", nofollow)
-                        if (!selfClosed) openLink = links.length - 1
+                      if (wantLinks) {
+                        val href = attrVal(hrefRe, inner)
+                          .map(v => decodeEntities(v.trim)).getOrElse("")
+                        if (href.nonEmpty) {
+                          val nofollow = hasIgnoreCase(inner, "rel") &&
+                            attrVal(relRe, inner).map(lower)
+                              .exists(_.split("[\\s,]+")
+                                .exists(t => t == "nofollow" || t == "none"))
+                          links += HtmlLink(href, "", nofollow)
+                          if (!selfClosed) openLink = links.length - 1
+                        }
                       }
                     }
-                  case "link" if !closing =>
+                  case "link" if !closing && wantLinks =>
                     // first rel=canonical wins (browsers ignore later ones)
-                    if (canonical.isEmpty &&
+                    if (canonical.isEmpty && hasIgnoreCase(inner, "canonical") &&
                         attrVal(relRe, inner).map(lower)
                           .exists(_.split("\\s+").contains("canonical")))
                       canonical = attrVal(hrefRe, inner)
                         .map(v => decodeEntities(v.trim)).filter(_.nonEmpty)
-                  case "meta" if !closing =>
-                    if (metaRobots.isEmpty &&
+                  case "meta" if !closing && wantLinks =>
+                    if (metaRobots.isEmpty && hasIgnoreCase(inner, "robots") &&
                         attrVal(nameAttrRe, inner)
                           .exists(v => lower(v.trim) == "robots"))
                       metaRobots = attrVal(contentAttrRe, inner).toSeq
@@ -367,6 +399,10 @@ object Html {
   // ---- Spark surface ----------------------------------------------------
 
   val parseHtmlUdf = udf((bytes: Array[Byte]) => parseHtml(bytes))
+  /** Extraction-only parse: blocks + title, no link/directive capture
+    * (and no per-page link-struct serialization) — the [[htmlBlocks]]
+    * kernel. */
+  val parseBlocksUdf = udf((bytes: Array[Byte]) => parseHtml(bytes, wantLinks = false))
   val validHtmlUdf = udf((bytes: Array[Byte]) => parseHtml(bytes).isDefined)
 
   /** The HTML fixture corpus as a (doc, fmt, content BINARY) frame. */
@@ -416,7 +452,7 @@ object Html {
     * chain feeds into chunking/dedup/quality. */
   def htmlBlocks(docs: DataFrame, docCol: String = "doc",
                  binCol: String = "content"): DataFrame =
-    docs.select(col(docCol).as("doc"), parseHtmlUdf(col(binCol)).as("p"))
+    docs.select(col(docCol).as("doc"), parseBlocksUdf(col(binCol)).as("p"))
       .select(col("doc"), col("p.title").as("title"),
         explode(col("p.blocks")).as("b"))
       .select(col("doc"), col("title"),

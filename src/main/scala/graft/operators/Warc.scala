@@ -157,7 +157,7 @@ object Warc {
         col("r.http_status") === 200 &&
         lower(col("r.content_type")).startsWith("text/html")) // RFC 9110: type is case-insensitive
       .select(col("warc"), col("r.url").as("url"),
-        Html.parseHtmlUdf(col("r.payload")).as("p"))
+        Html.parseBlocksUdf(col("r.payload")).as("p"))
       .select(col("warc"), col("url"), col("p.title").as("title"),
         explode(col("p.blocks")).as("b"))
       .select(col("warc"), col("url"), col("title"),
