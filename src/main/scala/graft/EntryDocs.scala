@@ -191,6 +191,28 @@ private[graft] trait EntryDocs extends EntryShared {
     // crawl discovery, leg 1: raw <a href> values in document order
     // (quoted/bare forms, entity-decoded); binary garbage → no rows
     "html_links" -> ((s, d) => Html.htmlLinks(Html.fixturesDF(s))),
+    // the WARC SINK round-trip (the archive pattern every production
+    // crawler runs — fetch → WARC shards → extract): article pages are
+    // fetched over the real transport, archived into 2 deterministic
+    // WARC shards (records sorted by url, digest record-ids, fixed
+    // WARC-Date), then parsed BACK by the reader; the oracle replays
+    // the staged files with read_blob and compares byte-exactly via
+    // size + sha256 — a framing bug on either side breaks the match,
+    "warc_write_roundtrip" -> ((s, d) => {
+      import s.implicits._
+      val base = UrlIngest.crawlSiteBase
+      val urls = (1 to 7).map(i => s"$base/article$i.html").toDF("url")
+      val fetched = UrlIngest.fetchBytes(urls, backoffMs = 1)
+        .filter(col("content").isNotNull)
+        .select(col("url"), col("content_type"), col("content"))
+      Warc.toWarcShards(fetched, nShards = 2)
+        .select(explode(Warc.parseWarcUdf(col("content"))).as("r"))
+        .select(regexp_replace(col("r.url"), "^http://[^/]+", "").as("path"),
+          col("r.rec_type").as("rec_type"),
+          col("r.http_status").as("http_status"),
+          length(col("r.payload")).cast("long").as("n_bytes"),
+          sha2(col("r.payload"), 256).as("payload_sha"))
+    }),
     // inbound ANCHOR TEXT per target page — the label humans clicked,
     // aggregated across canonicalized targets (the hub's ?utm twin and
     // its plain link collapse onto article1, carrying BOTH labels): the
@@ -1027,6 +1049,15 @@ private[graft] trait EntryDocs extends EntryShared {
         | (3, '/x', 'the docs'), (4, '/a', 'Ten more posts'),
         | (5, '/b', 'you might like')
         |) AS t(link_idx, href, anchor_text)""".stripMargin,
+
+    // byte-exact replay of the staged article files: size and sha256
+    // must survive fetch → WARC write → WARC read untouched,
+    "warc_write_roundtrip" ->
+      raw"""SELECT '/' || regexp_extract(filename, '([^/]+)$$', 1) AS path,
+        | 'response' AS rec_type, 200 AS http_status,
+        | CAST(size AS BIGINT) AS n_bytes,
+        | lower(sha256(decode(content))) AS payload_sha
+        |FROM read_blob('${urlStageDir}/article?.html')""".stripMargin,
 
     // hand-derived from the hub's link list: the plain and ?utm links
     // to article1 collapse in canonical space carrying both labels

@@ -165,4 +165,68 @@ object Warc {
         col("b.heading").as("heading"),
         col("b.content").as("content"),
         length(col("b.content")).as("n_chars"))
+
+  // ---- WARC WRITING (the archive sink) --------------------------------
+
+  /** Build one ISO 28500 WARC shard from `(url, content_type, payload)`
+    * response records — the SINK side of the container (production
+    * crawlers persist fetched pages as WARC before extraction; this
+    * closes the fetch → archive → extract loop). Framing matches what
+    * [[parseWarc]] reads back byte-exactly: `WARC/1.0` + headers +
+    * `Content-Length` over the embedded HTTP block, CRLF CRLF
+    * separators, two CRLFs between records. Fully deterministic: the
+    * record id is the payload's own digest (`urn:sha256:…` — also the
+    * natural dedup key an archive wants) and `WARC-Date` is the fixed
+    * `warcDate` parameter, never a wall clock. */
+  private[graft] def buildWarc(records: Iterator[(String, String, Array[Byte])],
+                               warcDate: String,
+                               gzipMembers: Boolean = false): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(1 << 16)
+    records.foreach { case (url, contentType, payload) =>
+      val ct = Option(contentType).filter(_.nonEmpty).getOrElse("application/octet-stream")
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n").getBytes(ISO_8859_1)
+      val digest = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(payload).map(b => f"$b%02x").mkString
+      val hdr = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $url\r\n" +
+        s"WARC-Date: $warcDate\r\n" +
+        s"WARC-Record-ID: <urn:sha256:$digest>\r\n" +
+        s"Content-Length: ${http.length + payload.length}\r\n\r\n").getBytes(ISO_8859_1)
+      // the CommonCrawl .warc.gz framing: each record its own gzip
+      // MEMBER, so a cluster splits the file at member offsets
+      val sink: java.io.OutputStream =
+        if (gzipMembers) new java.util.zip.GZIPOutputStream(out) else out
+      sink.write(hdr); sink.write(http); sink.write(payload)
+      sink.write("\r\n\r\n".getBytes(ISO_8859_1))
+      sink match { case g: java.util.zip.GZIPOutputStream => g.finish(); case _ => () }
+    }
+    out.toByteArray
+  }
+
+  /** Archive a fetched-pages frame as WARC shards: one `(warc, content)`
+    * row per shard key, records sorted by url within the shard (the
+    * deterministic layout a replayed job reproduces byte-for-byte).
+    * Scale shape: ONE hash shuffle on the shard key, then each shard
+    * builds independently in its group — shard count is the
+    * parallelism knob, exactly how production crawlers size WARC files
+    * (~1 GB each). */
+  def toWarcShards(pages: DataFrame, nShards: Int,
+                   urlCol: String = "url", ctCol: String = "content_type",
+                   binCol: String = "content",
+                   warcDate: String = "2026-01-01T00:00:00Z",
+                   gzipMembers: Boolean = false): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(pmod(hash(col(urlCol)), lit(nShards)).as("shard"),
+        col(urlCol).as("url"), col(ctCol).as("ct"), col(binCol).as("payload"))
+      .as[(Int, String, String, Array[Byte])]
+      .groupByKey(_._1)
+      .mapGroups { (shard, rows) =>
+        val sorted = rows.toSeq.sortBy(_._2)
+        (s"shard-$shard" + (if (gzipMembers) ".warc.gz" else ".warc"),
+          buildWarc(sorted.iterator.map(r => (r._2, r._3, r._4)), warcDate,
+            gzipMembers))
+      }
+      .toDF("warc", "content")
+  }
 }

@@ -83,4 +83,39 @@ class WarcSpec extends SparkSpec {
     assert(rows.map(_.getAs[String]("url")).distinct === Array("http://example.com/blog"))
     assert(rows.map(_.getAs[String]("warc")).distinct.sorted === Array("crawl", "crawl_gz"))
   }
+
+  test("WARC writer: plain and member-gz shards parse back identically, byte-exact payloads") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    val pages = Seq(
+      ("http://x.test/a", "text/html; charset=utf-8",
+        "<html><body><p>alpha page body</p></body></html>".getBytes("UTF-8")),
+      ("http://x.test/b", "text/plain", "plain bravo\nsecond line\n".getBytes("UTF-8")),
+      ("http://x.test/c", null.asInstanceOf[String], Array[Byte](0, 1, 2, 3, 255.toByte)))
+      .toDF("url", "content_type", "content")
+    def parsed(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(Warc.parseWarcUdf(col("content"))).as("r"))
+      .select(col("r.url"), col("r.http_status"), col("r.content_type"),
+        col("r.payload"))
+      .collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Int]("http_status"),
+        r.getAs[String]("content_type"),
+        r.getAs[Array[Byte]]("payload").toSeq))
+      .sortBy(_._1).toSeq
+    val plain = Warc.toWarcShards(pages, nShards = 1)
+    val gz = Warc.toWarcShards(pages, nShards = 1, gzipMembers = true)
+    // the gz shard really is member-gzipped bytes, name carries the framing
+    val gzRow = gz.collect().head
+    assert(gzRow.getAs[String]("warc").endsWith(".warc.gz"))
+    val gzBytes = gzRow.getAs[Array[Byte]]("content")
+    assert((gzBytes(0) & 0xff) == 0x1f && (gzBytes(1) & 0xff) == 0x8b)
+    val p = parsed(plain)
+    assert(p === parsed(gz), "framings must carry identical records")
+    assert(p.map(_._1) === Seq("http://x.test/a", "http://x.test/b", "http://x.test/c"))
+    assert(p.forall(_._2 == 200))
+    // byte-exact payloads incl. the binary row; null content-type defaults
+    assert(p(2)._4 === Seq[Byte](0, 1, 2, 3, -1))
+    assert(p(2)._3 == "application/octet-stream")
+    assert(p(0)._3 == "text/html; charset=utf-8")
+  }
 }
