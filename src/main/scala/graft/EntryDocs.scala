@@ -213,6 +213,29 @@ private[graft] trait EntryDocs extends EntryShared {
           length(col("r.payload")).cast("long").as("n_bytes"),
           sha2(col("r.payload"), 256).as("payload_sha"))
     }),
+    // RANDOM ACCESS into the archive — the property that makes a
+    // 100 TB .warc.gz corpus splittable: each CDX entry's
+    // [offset, offset+length) slice is one complete gzip member that
+    // parses STANDALONE (no bytes before it needed), exactly how a
+    // cluster assigns member ranges to tasks. Every slice must parse
+    // to one record whose payload digest matches the CDX digest,
+    "warc_cdx_slice" -> ((s, d) => {
+      import s.implicits._
+      val base = UrlIngest.crawlSiteBase
+      val urls = (1 to 7).map(i => s"$base/article$i.html").toDF("url")
+      val fetched = UrlIngest.fetchBytes(urls, backoffMs = 1)
+        .filter(col("content").isNotNull)
+        .select(col("url"), col("content_type"), col("content"))
+      Warc.toWarcShards(fetched, nShards = 2, gzipMembers = true)
+        .select(col("content"), explode(col("cdx")).as("m"))
+        .select(col("m.url").as("url"), col("m.payload_sha").as("expected_sha"),
+          Warc.parseWarcUdf(
+            expr("substring(content, m.offset + 1, m.length)")).as("recs"))
+        .select(regexp_replace(col("url"), "^http://[^/]+", "").as("path"),
+          coalesce(size(col("recs")) === 1, lit(false)).as("member_parses"),
+          coalesce(sha2(element_at(col("recs"), 1).getField("payload"), 256)
+            === col("expected_sha"), lit(false)).as("digest_matches"))
+    }),
     // inbound ANCHOR TEXT per target page — the label humans clicked,
     // aggregated across canonicalized targets (the hub's ?utm twin and
     // its plain link collapse onto article1, carrying BOTH labels): the
@@ -1049,6 +1072,12 @@ private[graft] trait EntryDocs extends EntryShared {
         | (3, '/x', 'the docs'), (4, '/a', 'Ten more posts'),
         | (5, '/b', 'you might like')
         |) AS t(link_idx, href, anchor_text)""".stripMargin,
+
+    // every member slice stands alone and carries its declared bytes,
+    "warc_cdx_slice" ->
+      """SELECT '/article' || i || '.html' AS path, TRUE AS member_parses,
+        | TRUE AS digest_matches
+        |FROM (SELECT unnest(generate_series(1, 7)) AS i)""".stripMargin,
 
     // byte-exact replay of the staged article files: size and sha256
     // must survive fetch → WARC write → WARC read untouched,

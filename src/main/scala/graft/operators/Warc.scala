@@ -203,9 +203,19 @@ object Warc {
     out.toByteArray
   }
 
-  /** Archive a fetched-pages frame as WARC shards: one `(warc, content)`
-    * row per shard key, records sorted by url within the shard (the
-    * deterministic layout a replayed job reproduces byte-for-byte).
+  /** One CDX member entry: where `url`'s record lives inside its
+    * shard — `[offset, offset+length)` is a SELF-CONTAINED slice (for
+    * gz framing, one complete gzip member) that parses standalone.
+    * This is what makes a 100 TB WARC corpus splittable: a cluster
+    * reads the CDX, assigns member ranges to tasks, and each task
+    * decodes only its slice. */
+  case class CdxEntry(url: String, offset: Long, length: Long,
+                      payload_sha: String)
+
+  /** Archive a fetched-pages frame as WARC shards: one `(warc, content,
+    * cdx)` row per shard key, records sorted by url within the shard
+    * (the deterministic layout a replayed job reproduces
+    * byte-for-byte), `cdx` carrying each member's offset/length/digest.
     * Scale shape: ONE hash shuffle on the shard key, then each shard
     * builds independently in its group — shard count is the
     * parallelism knob, exactly how production crawlers size WARC files
@@ -223,10 +233,19 @@ object Warc {
       .groupByKey(_._1)
       .mapGroups { (shard, rows) =>
         val sorted = rows.toSeq.sortBy(_._2)
+        val out = new java.io.ByteArrayOutputStream(1 << 16)
+        val cdx = Seq.newBuilder[CdxEntry]
+        sorted.foreach { case (_, url, ct, payload) =>
+          val member = buildWarc(Iterator((url, ct, payload)), warcDate,
+            gzipMembers)
+          val digest = java.security.MessageDigest.getInstance("SHA-256")
+            .digest(payload).map(b => f"$b%02x").mkString
+          cdx += CdxEntry(url, out.size().toLong, member.length.toLong, digest)
+          out.write(member)
+        }
         (s"shard-$shard" + (if (gzipMembers) ".warc.gz" else ".warc"),
-          buildWarc(sorted.iterator.map(r => (r._2, r._3, r._4)), warcDate,
-            gzipMembers))
+          out.toByteArray, cdx.result())
       }
-      .toDF("warc", "content")
+      .toDF("warc", "content", "cdx")
   }
 }
