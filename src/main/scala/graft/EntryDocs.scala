@@ -213,6 +213,28 @@ private[graft] trait EntryDocs extends EntryShared {
           length(col("r.payload")).cast("long").as("n_bytes"),
           sha2(col("r.payload"), 256).as("payload_sha"))
     }),
+    // per-host crawl statistics — the monitoring table every crawler
+    // maintains (the reference's A-family stats, extended to the crawl
+    // tier): fetch outcomes over the transport-edges URL set grouped
+    // by host+outcome class. One hash shuffle; counts/bytes are exact
+    // values the route design pins,
+    "crawl_stats" -> ((s, d) => {
+      import s.implicits._
+      val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+      val urls = Seq(
+        s"$base/blog.html", s"$base/notes.txt", s"$base/redir/1/notes.txt",
+        s"$base/redirloop/a", s"$base/throttle/notes.txt",
+        s"$base/missing.html").toDF("url")
+      UrlIngest.fetchBytes(urls, backoffMs = 1, maxRetryAfterMs = 50)
+        .groupBy(UrlOps.urlHost(col("url")).as("host"),
+          when(col("content").isNotNull, "fetched")
+            .otherwise(regexp_extract(col("error"), ":([a-z0-9_]+)$", 1))
+            .as("outcome"))
+        .agg(count(lit(1)).as("n_urls"),
+          sum(col("attempts")).cast("long").as("total_attempts"),
+          sum(coalesce(length(col("content")), lit(0))).cast("long").as("total_bytes"),
+          sum(col("redirects")).cast("long").as("total_redirects"))
+    }),
     // RANDOM ACCESS into the archive — the property that makes a
     // 100 TB .warc.gz corpus splittable: each CDX entry's
     // [offset, offset+length) slice is one complete gzip member that
@@ -1072,6 +1094,25 @@ private[graft] trait EntryDocs extends EntryShared {
         | (3, '/x', 'the docs'), (4, '/a', 'Ten more posts'),
         | (5, '/b', 'you might like')
         |) AS t(link_idx, href, anchor_text)""".stripMargin,
+
+    // hand-derived from the route design (bytes replayed from the
+    // staged files): 4 fetches (one via a redirect, one after a 429)
+    // summing blog + 3x notes bytes; the loop fails fast at attempt 1;
+    // the 404 burns the 3-attempt budget,
+    "crawl_stats" ->
+      raw"""WITH sz AS (SELECT
+        | (SELECT CAST(size AS BIGINT) FROM read_blob('${urlStageDir}/blog.html')) AS blog,
+        | (SELECT CAST(size AS BIGINT) FROM read_blob('${urlStageDir}/notes.txt')) AS notes)
+        |SELECT host, outcome, n_urls, total_attempts,
+        | CASE outcome WHEN 'fetched' THEN blog + 3 * notes
+        |  ELSE CAST(0 AS BIGINT) END AS total_bytes,
+        | total_redirects
+        |FROM sz CROSS JOIN (VALUES
+        | ('127.0.0.1', 'fetched', CAST(4 AS BIGINT), CAST(5 AS BIGINT),
+        |  CAST(1 AS BIGINT)),
+        | ('127.0.0.1', 'too_many_redirects', 1, 1, 0),
+        | ('127.0.0.1', 'http_404', 1, 3, 0)
+        |) AS t(host, outcome, n_urls, total_attempts, total_redirects)""".stripMargin,
 
     // every member slice stands alone and carries its declared bytes,
     "warc_cdx_slice" ->
