@@ -198,7 +198,10 @@ object Warc {
         if (gzipMembers) new java.util.zip.GZIPOutputStream(out) else out
       sink.write(hdr); sink.write(http); sink.write(payload)
       sink.write("\r\n\r\n".getBytes(ISO_8859_1))
-      sink match { case g: java.util.zip.GZIPOutputStream => g.finish(); case _ => () }
+      // close(), not finish(): only close releases the native Deflater
+      // (a per-record leak at archive scale otherwise); closing the
+      // wrapper is safe — ByteArrayOutputStream.close is a no-op
+      sink match { case g: java.util.zip.GZIPOutputStream => g.close(); case _ => () }
     }
     out.toByteArray
   }
