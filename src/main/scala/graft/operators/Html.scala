@@ -342,8 +342,11 @@ object Html {
                     if (metaRobots.isEmpty && hasIgnoreCase(inner, "robots") &&
                         attrVal(nameAttrRe, inner)
                           .exists(v => lower(v.trim) == "robots"))
+                      // same tokenizer discipline as rel=: the malformed
+                      // space-separated form content="noindex nofollow"
+                      // is common in the wild and must still split
                       metaRobots = attrVal(contentAttrRe, inner).toSeq
-                        .flatMap(_.split(","))
+                        .flatMap(_.split("[\\s,]+"))
                         .map(t => lower(decodeEntities(t).trim))
                         .filter(_.nonEmpty)
                   case t if chromeTags(t) =>

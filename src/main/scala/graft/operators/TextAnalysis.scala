@@ -129,6 +129,18 @@ object TextAnalysis {
       m("alpha_frac_micro") >= 800000L &&
       m("n_stop") >= 2
 
+  /** Per-doc Gopher quality metrics + pass verdict (Rae et al. 2021).
+    *
+    * Line-terminator contract: the line-anchored counters (bullets,
+    * ellipsis line-ends) treat `\n` as the ONLY terminator — RE2
+    * `(?m)` semantics, matching the DuckDB oracle — not Java's
+    * extended set (`\r`, `U+0085`, `U+2028`). Text from the repo's
+    * extractors ([[Html]], [[Warc]] block surfaces) is already
+    * `\n`-normalized; callers feeding RAW `\r\n`-bearing payloads
+    * (e.g. HTTP bodies straight off [[UrlIngest.fetchBytes]]) should
+    * normalize first (`regexp_replace(t, '\r\n?', '\n')`) or accept
+    * the RE2 counts. The same contract rides [[gopherQualityPass]]
+    * and therefore [[Cleaning.cleanCorpus]]'s default verdict. */
   def gopherQuality(docs: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val cols = gopherQualityCols(col(textCol))

@@ -123,10 +123,15 @@ object UrlIngest {
               conn.getHeaderField("Last-Modified"))
           } finally in.close()
         case 301 | 302 | 303 | 307 | 308 =>
-          // drain any redirect body so the connection is reusable
-          Option(conn.getInputStream).foreach { is =>
-            try { is.readAllBytes(); is.close() } catch { case _: Throwable => () }
-          }
+          // drain any redirect body so the connection is reusable; the
+          // getInputStream call ITSELF can throw (server closes after
+          // headers) and must not demote an already-received Location
+          // into a retryable fetch_error — the whole drain is best-effort
+          try {
+            Option(conn.getInputStream).foreach { is =>
+              is.readAllBytes(); is.close()
+            }
+          } catch { case _: Throwable => () }
           Option(conn.getHeaderField("Location")) match {
             case Some(loc) => HopRedirect(loc)
             case None => throw new HttpStatusException(code, None) // malformed: no target
@@ -344,6 +349,10 @@ object UrlIngest {
         col("_f.final_url").as("final_url"), col("_f.redirects").as("redirects"),
         col("_f.content_type").as("content_type"), col("_f.etag").as("etag"),
         col("_f.not_modified").as("not_modified"),
+        // column-compatible with fetchBytes: a 200 refetch that newly
+        // added X-Robots-Tag: noindex must reach the recrawl pipeline's
+        // robots surface, not vanish in the conditional path
+        col("_f.x_robots").as("x_robots"),
         col("_f.last_modified").as("last_modified")): _*)
   }
 

@@ -183,27 +183,39 @@ object Warc {
                                gzipMembers: Boolean = false): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(1 << 16)
     records.foreach { case (url, contentType, payload) =>
-      val ct = Option(contentType).filter(_.nonEmpty).getOrElse("application/octet-stream")
-      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n").getBytes(ISO_8859_1)
-      val digest = java.security.MessageDigest.getInstance("SHA-256")
-        .digest(payload).map(b => f"$b%02x").mkString
-      val hdr = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
-        s"WARC-Target-URI: $url\r\n" +
-        s"WARC-Date: $warcDate\r\n" +
-        s"WARC-Record-ID: <urn:sha256:$digest>\r\n" +
-        s"Content-Length: ${http.length + payload.length}\r\n\r\n").getBytes(ISO_8859_1)
-      // the CommonCrawl .warc.gz framing: each record its own gzip
-      // MEMBER, so a cluster splits the file at member offsets
-      val sink: java.io.OutputStream =
-        if (gzipMembers) new java.util.zip.GZIPOutputStream(out) else out
-      sink.write(hdr); sink.write(http); sink.write(payload)
-      sink.write("\r\n\r\n".getBytes(ISO_8859_1))
-      // close(), not finish(): only close releases the native Deflater
-      // (a per-record leak at archive scale otherwise); closing the
-      // wrapper is safe — ByteArrayOutputStream.close is a no-op
-      sink match { case g: java.util.zip.GZIPOutputStream => g.close(); case _ => () }
+      writeWarcMember(out, url, contentType, payload, warcDate, gzipMembers)
     }
     out.toByteArray
+  }
+
+  /** Write ONE record (for gz framing: one complete gzip member)
+    * directly into `out` — the streaming kernel [[buildWarc]] and
+    * [[toWarcShards]] share, so a shard never holds per-record copies
+    * alongside the shard buffer. Returns the member's SHA-256 payload
+    * digest (the CDX column; also the record id). */
+  private def writeWarcMember(out: java.io.OutputStream, url: String,
+                              contentType: String, payload: Array[Byte],
+                              warcDate: String, gzipMembers: Boolean): String = {
+    val ct = Option(contentType).filter(_.nonEmpty).getOrElse("application/octet-stream")
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n").getBytes(ISO_8859_1)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(payload).map(b => f"$b%02x").mkString
+    val hdr = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"WARC-Date: $warcDate\r\n" +
+      s"WARC-Record-ID: <urn:sha256:$digest>\r\n" +
+      s"Content-Length: ${http.length + payload.length}\r\n\r\n").getBytes(ISO_8859_1)
+    // the CommonCrawl .warc.gz framing: each record its own gzip
+    // MEMBER, so a cluster splits the file at member offsets
+    val sink: java.io.OutputStream =
+      if (gzipMembers) new java.util.zip.GZIPOutputStream(out) else out
+    sink.write(hdr); sink.write(http); sink.write(payload)
+    sink.write("\r\n\r\n".getBytes(ISO_8859_1))
+    // close(), not finish(): only close releases the native Deflater
+    // (a per-record leak at archive scale otherwise); closing the
+    // wrapper is safe — ByteArrayOutputStream.close is a no-op
+    sink match { case g: java.util.zip.GZIPOutputStream => g.close(); case _ => () }
+    digest
   }
 
   /** One CDX member entry: where `url`'s record lives inside its
@@ -223,6 +235,13 @@ object Warc {
     * builds independently in its group — shard count is the
     * parallelism knob, exactly how production crawlers size WARC files
     * (~1 GB each). */
+  /** Hard ceiling on one shard's byte size: the shard row carries the
+    * full archive as one BINARY value, whose JVM `Array[Byte]` (and
+    * Parquet page) tops out at 2 GB — fail with an actionable message
+    * well before the buffer's own overflow would. Production sizing is
+    * ~1 GB/shard anyway; the fix is always a larger `nShards`. */
+  private val MaxShardBytes = 1800000000L
+
   def toWarcShards(pages: DataFrame, nShards: Int,
                    urlCol: String = "url", ctCol: String = "content_type",
                    binCol: String = "content",
@@ -234,20 +253,23 @@ object Warc {
         col(urlCol).as("url"), col(ctCol).as("ct"), col(binCol).as("payload"))
       .as[(Int, String, String, Array[Byte])]
       .groupByKey(_._1)
-      .mapGroups { (shard, rows) =>
-        val sorted = rows.toSeq.sortBy(_._2)
+      // sort-merge group iteration (no rows.toSeq) + members written
+      // straight into the one shard buffer (no per-record member copy):
+      // peak task memory is the shard itself, not 3x the shard
+      .flatMapSortedGroups($"url") { (shard, rows) =>
         val out = new java.io.ByteArrayOutputStream(1 << 16)
         val cdx = Seq.newBuilder[CdxEntry]
-        sorted.foreach { case (_, url, ct, payload) =>
-          val member = buildWarc(Iterator((url, ct, payload)), warcDate,
-            gzipMembers)
-          val digest = java.security.MessageDigest.getInstance("SHA-256")
-            .digest(payload).map(b => f"$b%02x").mkString
-          cdx += CdxEntry(url, out.size().toLong, member.length.toLong, digest)
-          out.write(member)
+        rows.foreach { case (_, url, ct, payload) =>
+          val offset = out.size().toLong
+          val digest = writeWarcMember(out, url, ct, payload, warcDate, gzipMembers)
+          if (out.size() > MaxShardBytes)
+            throw new IllegalStateException(
+              s"warc_shard_too_large: shard $shard exceeds $MaxShardBytes bytes " +
+                s"after $url — increase nShards")
+          cdx += CdxEntry(url, offset, out.size() - offset, digest)
         }
-        (s"shard-$shard" + (if (gzipMembers) ".warc.gz" else ".warc"),
-          out.toByteArray, cdx.result())
+        Iterator((s"shard-$shard" + (if (gzipMembers) ".warc.gz" else ".warc"),
+          out.toByteArray, cdx.result()))
       }
       .toDF("warc", "content", "cdx")
   }
