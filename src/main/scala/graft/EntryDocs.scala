@@ -998,12 +998,18 @@ private[graft] trait EntryDocs extends EntryShared {
     // /private/ link and the mailto: never fetch; the ?utm_source twin
     // and the sitemap's article5 copy collapse in canonical space; the
     // hub's '/' link 404s and contributes nothing,
+    // near-dup keeper = smallest doc_id in the cluster; doc_id is the
+    // url-hash key (xxhash64 over the host-stripped path — see
+    // CrawlCorpus.run), so the {article1, article2, dup} cluster's
+    // keeper is article2 (hash -8170...), not path-first article1.
+    // Exact-dup rank is hash-ordered too: article1 (324...) still
+    // precedes dup (8076...), so dup keeps the 'duplicate' reason.
     "crawl_corpus_e2e" ->
       """SELECT path, title, reasons, keep, near_dup_of, noindex, in_corpus FROM (VALUES
         | ('/article1.html', 'Polite crawling', '', TRUE,
-        |  CAST(NULL AS VARCHAR), FALSE, TRUE),
+        |  '/article2.html', FALSE, FALSE),
         | ('/article2.html', 'Polite crawling again', '', TRUE,
-        |  '/article1.html', FALSE, FALSE),
+        |  CAST(NULL AS VARCHAR), FALSE, TRUE),
         | ('/article3.html', 'Fragments', 'lang,repetitive,gopher_quality,c4',
         |  FALSE, NULL, FALSE, FALSE),
         | ('/article4.html', 'Benchmarks', 'contaminated', FALSE, NULL, FALSE, FALSE),
@@ -1011,7 +1017,7 @@ private[graft] trait EntryDocs extends EntryShared {
         | ('/article6.html', 'Sitemap only', '', TRUE, NULL, FALSE, TRUE),
         | ('/article7.html', 'Embargoed preview', '', TRUE, NULL, TRUE, FALSE),
         | ('/dup.html', 'Mirror of polite crawling', 'duplicate', FALSE,
-        |  '/article1.html', FALSE, FALSE),
+        |  '/article2.html', FALSE, FALSE),
         | ('/site.html', 'Crawl Hub', 'repetitive,gopher_quality,c4',
         |  FALSE, NULL, FALSE, FALSE)
         |) AS t(path, title, reasons, keep, near_dup_of, noindex, in_corpus)""".stripMargin,

@@ -82,8 +82,21 @@ object CrawlCorpus {
     * fetch+parse+window subtree, re-GETting the pages over HTTP per
     * evaluation (measured 30 s vs ~5 s checkpointed). At scale this is
     * the pipeline's natural persist point anyway: the extracted corpus
-    * lands in a staging table before curation. */
-  def fetchExtract(seeds: DataFrame, frontier: DataFrame): DataFrame = {
+    * lands in a staging table before curation.
+    *
+    * `doc_id` defaults to the url hash (`xxhash64(idKey)`) — the
+    * production corpus key: content-free, collision-negligible at
+    * archive scale, and assigned per-row with ZERO shuffle. The
+    * ordinal alternative (`ordinalIds = true`) is a FIXTURE-ONLY
+    * convenience — dense 1..n ids via a GLOBAL window, i.e. a
+    * single-partition sort that must never see a real corpus. All
+    * downstream keeper choices (exact-dup rank, near-dup keeper) are
+    * "smallest id in the group" — under the hash key that reads
+    * "canonical representative = smallest-hash member": arbitrary but
+    * deterministic, the production dedup convention. */
+  def fetchExtract(seeds: DataFrame, frontier: DataFrame,
+                   idKey: String = "doc",
+                   ordinalIds: Boolean = false): DataFrame = {
     // bytes materialize once (checkpoint): both the block extraction
     // and the directive parse read them — no second HTTP pass
     val fetched = UrlIngest.fetchBytes(
@@ -102,10 +115,12 @@ object CrawlCorpus {
           b => b.getField("content")), "\n").as("text"))
       .join(dirs, Seq("doc"))
       .withColumn("path", regexp_replace(col("doc"), "^http://[^/]+", ""))
-      // deterministic small-fixture ids (path order); a production
-      // corpus keys on the url hash and never needs a global window
       .withColumn("doc_id",
-        row_number().over(Window.orderBy(col("path"))).cast("long"))
+        if (ordinalIds)
+          // fixture-only: dense 1..n ids through a GLOBAL window — a
+          // single-partition sort, never for a real corpus
+          row_number().over(Window.orderBy(col("path"))).cast("long")
+        else xxhash64(col(idKey)))
       .localCheckpoint()
   }
 
@@ -119,7 +134,9 @@ object CrawlCorpus {
     Cleaning.cleanCorpus(pages.select("doc_id", "text"), bench, maxSurprisal = 9.0)
   }
 
-  /** Banded SimHash near-dup: later page maps to its earliest keeper. */
+  /** Banded SimHash near-dup: each page maps to the smallest-id member
+    * it pairs with (under the url-hash key: the smallest-hash member —
+    * the deterministic canonical-representative convention). */
   def nearDup(pages: DataFrame): DataFrame =
     Dedup.simhashPairs(pages.select("doc_id", "text"), maxHamming = 3)
       .groupBy(col("id_b").as("doc_id"))
@@ -230,7 +247,11 @@ object CrawlCorpus {
     val rules = siteRules(base)
     val seeds = Seq(s"$base/site.html").toDF("url")
     val discovered = discover(spark, seeds, rules)
-    val pages = fetchExtract(seeds, schedule(discovered, rules))
+    // the production url-hash key, applied to the host-stripped path:
+    // the loopback fixture's host carries an ephemeral port that varies
+    // per run, and the oracle is a fixed VALUES table — a real corpus
+    // passes the default idKey = "doc" (the full url)
+    val pages = fetchExtract(seeds, schedule(discovered, rules), idKey = "path")
     corpus(pages, verdict(spark, pages), nearDup(pages))
   }
 }
