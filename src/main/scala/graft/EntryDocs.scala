@@ -626,10 +626,24 @@ private[graft] trait EntryDocs extends EntryShared {
         .option("checkpointLocation",
           java.nio.file.Files.createTempDirectory("graft-crawl-e2e-ck").toString)
         .start()
+      // canonical twins in SEPARATE micro-batches: the amp rendering
+      // lands in batch 0, the desktop rendering in batch 2 — both
+      // declare (case/utm-noised) rel=canonical to the same story, so
+      // the ledger's canonical-identity key must collapse them to ONE
+      // corpus row with the later twin's text, even though their block
+      // contents differ (the class content dedup cannot catch)
+      def twinWarc(url: String, html: String): (String, Array[Byte]) =
+        ("twin", graft.operators.Warc.buildWarc(
+          Iterator((url, "text/html; charset=utf-8", html.getBytes("UTF-8"))),
+          "2026-01-01T00:00:00Z"))
       try {
-        input.addData(DocFixtures.warcAll.filter(_._1 == "crawl")) // batch 0
+        input.addData(DocFixtures.warcAll.filter(_._1 == "crawl") :+ // batch 0
+          twinWarc("http://amp.example.com/story", DocFixtures.canonicalTwinAHtml))
         q.processAllAvailable()
         input.addData(DocFixtures.warcAll.filter(_._1 == "crawl_gz")) // batch 1: re-crawl
+        q.processAllAvailable()
+        input.addData(Seq( // batch 2: the twin's other rendering
+          twinWarc("http://m.example.com/story", DocFixtures.canonicalTwinBHtml)))
         q.processAllAvailable()
         // at-least-once replay of batch 1 AFTER its commit: idempotent
         graft.streaming.StreamingIngest.crawlAppendBatch(s,
@@ -642,7 +656,7 @@ private[graft] trait EntryDocs extends EntryShared {
         }
       }
       s.read.parquet(dir)
-        .select("url", "block_idx", "heading", "content", "n_chars")
+        .select("url", "crawl_key", "block_idx", "heading", "content", "n_chars")
     }),
     // crawl-key normalization: deterministic messy URLs built from
     // doc_id (case noise, default port, tracking params, unsorted
@@ -1272,18 +1286,25 @@ private[graft] trait EntryDocs extends EntryShared {
     // warc_html_blocks but ONE copy per page — the gz re-crawl batch and
     // the replayed batch both collapse into the first copy under the
     // fp-keyed LWW upsert,
+    // the blog page keys on its own url (no declared canonical); the
+    // two twins collapse onto the SAME canonical crawl key, and LWW
+    // keeps the later micro-batch's rendering (desktop, fetched from
+    // m.example.com) — one story row, not two,
     "crawl_stream_e2e" ->
-      """SELECT url, block_idx, heading, content,
+      """SELECT url, crawl_key, block_idx, heading, content,
         |  length(content) AS n_chars FROM (VALUES
-        | (0, TRUE, 'Parsing at scale'),
-        | (1, FALSE,
+        | ('http://example.com/blog', 'http://example.com/blog', 0, TRUE,
+        |  'Parsing at scale'),
+        | ('http://example.com/blog', 'http://example.com/blog', 1, FALSE,
         |  'Crawled HTML is the dominant raw format for training corpora, and boilerplate removal decides corpus quality.'),
-        | (2, FALSE,
+        | ('http://example.com/blog', 'http://example.com/blog', 2, FALSE,
         |  'Link density separates navigation chrome from prose: see the docs for the exact thresholds used here.'),
-        | (3, FALSE,
-        |  'Entities decode: café & résumé stay readable.')
-        |) AS b(block_idx, heading, content)
-        |CROSS JOIN (VALUES ('http://example.com/blog')) AS u(url)""".stripMargin,
+        | ('http://example.com/blog', 'http://example.com/blog', 3, FALSE,
+        |  'Entities decode: café & résumé stay readable.'),
+        | ('http://m.example.com/story', 'https://example.com/stories/one-story',
+        |  0, FALSE,
+        |  'The full desktop rendering of the story body with extras.')
+        |) AS b(url, crawl_key, block_idx, heading, content)""".stripMargin,
 
     // frontier re-derived from doc_id alone: %5=1 rows are the robots-
     // denied /private/ paths; the canonical URL and host re-derive by

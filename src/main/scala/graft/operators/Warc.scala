@@ -166,6 +166,32 @@ object Warc {
         col("b.content").as("content"),
         length(col("b.content")).as("n_chars"))
 
+  /** [[warcHtmlBlocks]] + the page's declared `rel=canonical` — the
+    * FULL parse (directive capture), because the streamed corpus
+    * ledger keys page identity on canonical-url-else-url
+    * ([[graft.streaming.StreamingIngest.crawlAppendBatch]]): an
+    * amp/mobile twin pair declaring the same canonical must collapse
+    * to one corpus row even when the twins arrive in different
+    * micro-batches and their texts differ (the duplicate class content
+    * dedup cannot see). Extraction-only consumers keep the faster
+    * blocks-only [[warcHtmlBlocks]]. */
+  def warcHtmlBlocksCanonical(files: DataFrame, fileCol: String = "warc",
+                              binCol: String = "content"): DataFrame =
+    files
+      .select(col(fileCol).as("warc"), explode(parseWarcUdf(col(binCol))).as("r"))
+      .filter(col("r.rec_type") === "response" &&
+        col("r.http_status") === 200 &&
+        lower(col("r.content_type")).startsWith("text/html"))
+      .select(col("warc"), col("r.url").as("url"),
+        Html.parseHtmlUdf(col("r.payload")).as("p"))
+      .select(col("warc"), col("url"), col("p.title").as("title"),
+        col("p.canonical").as("canonical"), explode(col("p.blocks")).as("b"))
+      .select(col("warc"), col("url"), col("title"), col("canonical"),
+        col("b.block_idx").as("block_idx"),
+        col("b.heading").as("heading"),
+        col("b.content").as("content"),
+        length(col("b.content")).as("n_chars"))
+
   // ---- WARC WRITING (the archive sink) --------------------------------
 
   /** Build one ISO 28500 WARC shard from `(url, content_type, payload)`

@@ -173,10 +173,15 @@ object StreamingIngest {
     * idempotence a continuous crawl needs — a RE-crawled page (same
     * url/block/content ⇒ same fp) replaces its previous row instead of
     * duplicating it, and an at-least-once replayed micro-batch is a
-    * no-op. The upsert key is (url, block_idx, content): a page whose
-    * content CHANGED on re-crawl keeps both versions' blocks only where
-    * the text actually differs — exactly the corpus-dedup semantics the
-    * downstream exact-dedup stage expects.
+    * no-op. The ledger key is (crawl_key, block_idx) where `crawl_key`
+    * = canonicalized rel=canonical-else-fetch-url — the page's DECLARED
+    * identity: an amp/mobile twin pair pointing at the same canonical
+    * collapses to one corpus row even across micro-batches and even
+    * when the twins' texts differ (the batch-side `canonical_dedup`
+    * semantics, honored in the stream). A re-crawl whose content
+    * changed REPLACES the previous extraction (true last-write-wins —
+    * the S12 upsert contract); content-level near-dup detection stays
+    * with the downstream dedup tier.
     *
     * Scale shape: the extract is the batch chain's zero-shuffle map
     * pass; the merge costs one fp-hash shuffle over existing ∪ batch —
@@ -189,15 +194,21 @@ object StreamingIngest {
     upsertBatch(spark, crawlBlocksStamped(batch), targetDir)
 
   private def crawlBlocksStamped(batch: DataFrame): DataFrame =
-    graft.operators.Warc.warcHtmlBlocks(batch)
+    graft.operators.Warc.warcHtmlBlocksCanonical(batch)
+      // canonical-url-else-url, through the canonicalizer: twin pages
+      // whose declared identities differ only by case/utm/default-port
+      // noise normalize to the same key
+      .withColumn("crawl_key", graft.operators.UrlOps.canonicalizeUrl(
+        coalesce(col("canonical"), col("url"))))
       .withColumn("fp", TextAnalysis.fingerprint(concat_ws(" ",
-        col("url"), col("block_idx"), col("content"))))
-      // the LWW window tie-breaks on doc_id: derive a deterministic one
-      // from the page identity so a same-instant re-ingest of the same
-      // block resolves identically everywhere
-      .withColumn("doc_id", xxhash64(col("url"), col("block_idx")))
+        col("crawl_key"), col("block_idx"))))
+      // the LWW window tie-breaks on doc_id: include the content hash
+      // so two twins landing in the SAME micro-batch (equal ingest_ts)
+      // still resolve identically everywhere
+      .withColumn("doc_id",
+        xxhash64(col("crawl_key"), col("block_idx"), col("content")))
       .withColumn("ingest_ts", current_timestamp())
-      .drop("warc")
+      .drop("warc", "canonical")
 
   /** The O(batch) alternative to [[crawlUpsertBatch]] — the LSM shape a
     * CONTINUOUS crawl needs: each micro-batch extracts its blocks and

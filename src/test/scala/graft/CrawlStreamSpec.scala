@@ -64,13 +64,14 @@ class CrawlStreamSpec extends SparkSpec {
       finalCols(spark.read.parquet(upsertDir)))
   }
 
-  test("a changed page on re-crawl keeps the new block alongside old-only blocks") {
+  test("a changed page on re-crawl REPLACES its previous extraction (identity-keyed LWW)") {
     val dir = tmp("graft-crawl-recrawl")
     val all = DocFixtures.warcAll.toDF("warc", "content")
     StreamingIngest.crawlUpsertBatch(spark, all.filter($"warc" === "crawl"), dir)
     val before = spark.read.parquet(dir).count()
-    // synthesize a re-crawl whose page content CHANGED: new text ⇒ new
-    // fp ⇒ a NEW row (block-level dedup is content-keyed, not url-keyed)
+    // a re-crawl whose content CHANGED: same page identity (no declared
+    // canonical → the fetch url), so LWW on (crawl_key, block_idx)
+    // replaces the stale extraction instead of accumulating versions
     val changed = DocFixtures.blogHtml.replace(
       "Parsing at scale", "Parsing at planetary scale")
     val httpBody = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
@@ -83,9 +84,35 @@ class CrawlStreamSpec extends SparkSpec {
     StreamingIngest.crawlUpsertBatch(spark,
       Seq(("recrawl", warc)).toDF("warc", "content"), dir)
     val after = spark.read.parquet(dir)
-    assert(after.count() === before + 1)
+    assert(after.count() === before)
     assert(after.filter($"content" === "Parsing at planetary scale").count() === 1)
-    assert(after.filter($"content" === "Parsing at scale").count() === 1)
+    assert(after.filter($"content" === "Parsing at scale").count() === 0)
+  }
+
+  test("canonical twins collapse to one row per block across separate upserts") {
+    val dir = tmp("graft-crawl-twins")
+    def twinWarc(url: String, html: String): (String, Array[Byte]) = {
+      val httpBody = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+        html).getBytes("UTF-8")
+      ("twin", ("WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: " + url +
+        "\r\nContent-Length: " + httpBody.length + "\r\n\r\n").getBytes("ISO-8859-1")
+        ++ httpBody)
+    }
+    StreamingIngest.crawlUpsertBatch(spark, Seq(
+      twinWarc("http://amp.example.com/story", DocFixtures.canonicalTwinAHtml))
+      .toDF("warc", "content"), dir)
+    StreamingIngest.crawlUpsertBatch(spark, Seq(
+      twinWarc("http://m.example.com/story", DocFixtures.canonicalTwinBHtml))
+      .toDF("warc", "content"), dir)
+    val rows = spark.read.parquet(dir)
+    // both renderings declare the same (case/utm-noised) canonical →
+    // ONE corpus row, the later twin's text, keyed on the normalized
+    // canonical identity
+    assert(rows.count() === 1)
+    val r = rows.collect().head
+    assert(r.getAs[String]("crawl_key") === "https://example.com/stories/one-story")
+    assert(r.getAs[String]("url") === "http://m.example.com/story")
+    assert(r.getAs[String]("content").contains("full desktop rendering"))
   }
 
   test("streamingFrontier: one batch equals the batch operator; budget is durable across batches") {
