@@ -10,6 +10,20 @@ import graft.operators._
   * composed into [[SparkEntry.queries]]/[[SparkEntry.oracleSql]]. */
 private[graft] trait EntryDocs extends EntryShared {
 
+  /** Deterministic multi-cycle fetch history for the recrawl-policy
+    * queries: url per document, 1 + doc_id%4 fetches at 1000 s ticks,
+    * the fetch at `cycle` observed a change iff (doc_id+cycle)%3 == 0 —
+    * a mix of hot, lukewarm and static pages the oracle re-derives
+    * independently. */
+  private def recrawlHistory(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("url", concat(lit("http://h"), (col("doc_id") % 5).cast("string"),
+        lit(".example.com/p"), col("doc_id").cast("string")))
+      .withColumn("cycle",
+        explode(sequence(lit(1L), lit(1L) + col("doc_id") % 4L)))
+      .select(col("url"), (col("cycle") * 1000L).as("fetch_ts_sec"),
+        ((col("doc_id") + col("cycle")) % 3L === 0L).as("changed"))
+
   protected def docsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mime_sniff" -> ((s, d) =>
       Validation.mimeFixturesDF(s).select(col("name"), Validation.sniffMime(col("head")).as("mime"))),
@@ -496,6 +510,25 @@ private[graft] trait EntryDocs extends EntryShared {
           col("kind"), col("not_modified"),
           col("content").isNotNull.as("body_returned"),
           col("etag").isNotNull.as("has_etag"))
+    }),
+    // adaptive revisit policy over a deterministic multi-cycle fetch
+    // history (1..4 fetches per url at 1000 s ticks; a fetch saw change
+    // when (doc_id+cycle)%3=0): change-observing urls earn short
+    // intervals, static ones long, linearly between the bounds — the
+    // due-selection every production recrawl layers on 304s. ONE
+    // url-keyed aggregate, zero windows,
+    "recrawl_schedule" -> ((s, d) => {
+      UrlOps.recrawlSchedule(recrawlHistory(s, d), nowSec = 6500L,
+        minIntervalSec = 500L, maxIntervalSec = 5000L)
+    }),
+    // the recrawl BATCH those schedules select: stalest-first top-12 of
+    // the due set via orderBy+limit (TakeOrderedAndProject — bounded
+    // merge, no global window); ties break on url,
+    "recrawl_due" -> ((s, d) => {
+      UrlOps.dueTopN(UrlOps.recrawlSchedule(recrawlHistory(s, d),
+        nowSec = 6500L, minIntervalSec = 500L, maxIntervalSec = 5000L), 12)
+        .select("url", "n_fetches", "change_rate_micro", "next_due_sec",
+          "overdue_sec")
     }),
     // THE CRAWL->CORPUS FLAGSHIP: the whole chain lives in
     // operators.CrawlCorpus (discovery -> politeness -> real HTTP
@@ -1264,6 +1297,51 @@ private[graft] trait EntryDocs extends EntryShared {
         | ('/blog.html', 'changed', FALSE, TRUE, TRUE),
         | ('/blog.html', 'lm_only', TRUE, FALSE, FALSE)
         |) AS t(path, kind, not_modified, body_returned, has_etag)""".stripMargin,
+
+    // the adaptive-revisit policy re-derived independently: history
+    // regenerated from doc_id, change-rate/interval in exact integer
+    // micro math (DuckDB // == Spark floor-div over these magnitudes),
+    "recrawl_schedule" ->
+      """WITH h AS (
+        | SELECT 'http://h' || (doc_id % 5) || '.example.com/p' || doc_id AS url,
+        |        1000 * g.cycle AS fetch_ts_sec,
+        |        (doc_id + g.cycle) % 3 = 0 AS changed
+        | FROM documents,
+        |   LATERAL (SELECT unnest(generate_series(1, 1 + doc_id % 4)) AS cycle) g),
+        |a AS (
+        | SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+        |        CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |        CAST(max(fetch_ts_sec) AS BIGINT) AS last_fetch_sec
+        | FROM h GROUP BY url),
+        |r AS (SELECT *, n_changes * 1000000 // n_fetches AS change_rate_micro FROM a),
+        |i AS (SELECT *, 500 + (4500 * (1000000 - change_rate_micro)) // 1000000
+        |        AS interval_sec FROM r),
+        |n AS (SELECT *, last_fetch_sec + interval_sec AS next_due_sec FROM i)
+        |SELECT url, n_fetches, n_changes, last_fetch_sec, change_rate_micro,
+        |  interval_sec, next_due_sec, next_due_sec <= 6500 AS due,
+        |  CASE WHEN next_due_sec <= 6500
+        |       THEN 6500 - next_due_sec ELSE CAST(0 AS BIGINT) END AS overdue_sec
+        |FROM n""".stripMargin,
+    "recrawl_due" ->
+      """WITH h AS (
+        | SELECT 'http://h' || (doc_id % 5) || '.example.com/p' || doc_id AS url,
+        |        1000 * g.cycle AS fetch_ts_sec,
+        |        (doc_id + g.cycle) % 3 = 0 AS changed
+        | FROM documents,
+        |   LATERAL (SELECT unnest(generate_series(1, 1 + doc_id % 4)) AS cycle) g),
+        |a AS (
+        | SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+        |        CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |        CAST(max(fetch_ts_sec) AS BIGINT) AS last_fetch_sec
+        | FROM h GROUP BY url),
+        |r AS (SELECT *, n_changes * 1000000 // n_fetches AS change_rate_micro FROM a),
+        |i AS (SELECT *, 500 + (4500 * (1000000 - change_rate_micro)) // 1000000
+        |        AS interval_sec FROM r),
+        |n AS (SELECT *, last_fetch_sec + interval_sec AS next_due_sec FROM i)
+        |SELECT url, n_fetches, change_rate_micro, next_due_sec,
+        |  6500 - next_due_sec AS overdue_sec
+        |FROM n WHERE next_due_sec <= 6500
+        |ORDER BY overdue_sec DESC, url ASC LIMIT 12""".stripMargin,
 
     // hand-derived from the two-batch feed: batch 0 ranks a's p1>p2 by
     // priority and b's q1; batch 1 leaves host a ONE remaining slot

@@ -383,4 +383,63 @@ object UrlOps {
           coalesce(col("_host_delay"), lit(crawlDelaySec.toLong)))
       .drop("_host_delay")
   }
+
+  /** Adaptive revisit scheduling — WHICH urls are due, from the fetch
+    * history the conditional-GET tier records (the policy every
+    * production crawler layers on 304 revalidation; cf. Cho &
+    * Garcia-Molina 2003's change-rate estimators): a page observed to
+    * change often earns a short revisit interval, a static page a long
+    * one, interpolated linearly between the two bounds from the
+    * observed change fraction. All arithmetic is exact integer micro
+    * units (the cross-engine fixed-point rule).
+    *
+    * Input: one row per (url, fetch), `changedCol` BOOLEAN = that fetch
+    * saw new content (a 200 with a fresh validator; a 304 is
+    * unchanged). Output: one row per url —
+    * `(url, n_fetches, n_changes, change_rate_micro, interval_sec,
+    * last_fetch_sec, next_due_sec, due, overdue_sec)`.
+    *
+    * Scale shape: ONE url-keyed partial-combined aggregate over the
+    * history — no window, no join; the history table is append-only
+    * and naturally partitioned by fetch day. Feed the due set to
+    * [[dueTopN]] and then [[UrlIngest.fetchBytesConditional]]. */
+  def recrawlSchedule(history: org.apache.spark.sql.DataFrame, nowSec: Long,
+                      minIntervalSec: Long = 3600L,
+                      maxIntervalSec: Long = 30L * 86400L,
+                      urlCol: String = "url", tsCol: String = "fetch_ts_sec",
+                      changedCol: String = "changed")
+      : org.apache.spark.sql.DataFrame = {
+    require(minIntervalSec >= 1 && maxIntervalSec >= minIntervalSec,
+      s"need 1 <= minIntervalSec <= maxIntervalSec, got $minIntervalSec/$maxIntervalSec")
+    val agged = history.groupBy(col(urlCol).as("url"))
+      .agg(count(lit(1)).as("n_fetches"),
+        sum(col(changedCol).cast("long")).as("n_changes"),
+        max(col(tsCol).cast("long")).as("last_fetch_sec"))
+    // floor(a/b) over exactly-representable longs == integer division
+    // in both engines (operands < 2^53)
+    val rate = floor(col("n_changes") * 1000000L / col("n_fetches")).cast("long")
+    agged
+      .withColumn("change_rate_micro", rate)
+      .withColumn("interval_sec",
+        lit(minIntervalSec) + floor(lit(maxIntervalSec - minIntervalSec) *
+          (lit(1000000L) - col("change_rate_micro")) / 1000000L).cast("long"))
+      .withColumn("next_due_sec", col("last_fetch_sec") + col("interval_sec"))
+      .withColumn("due", col("next_due_sec") <= nowSec)
+      .withColumn("overdue_sec",
+        when(col("due"), lit(nowSec) - col("next_due_sec")).otherwise(lit(0L)))
+  }
+
+  /** The recrawl batch: stalest-first top-N of the due set. An
+    * `orderBy().limit()` — Spark's TakeOrderedAndProject: per-partition
+    * top-N then a bounded merge, never a global sort or a
+    * single-partition window. The result feeds
+    * [[UrlIngest.fetchBytesConditional]] with each url's stored
+    * validator. */
+  def dueTopN(schedule: org.apache.spark.sql.DataFrame, topN: Int)
+      : org.apache.spark.sql.DataFrame = {
+    require(topN >= 1, s"need topN >= 1, got $topN")
+    schedule.filter(col("due"))
+      .orderBy(col("overdue_sec").desc, col("url").asc)
+      .limit(topN)
+  }
 }

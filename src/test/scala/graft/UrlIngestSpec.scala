@@ -221,6 +221,39 @@ class UrlIngestSpec extends SparkSpec {
     assert(out("nulltag").getAs[Array[Byte]]("content") != null)
   }
 
+  test("recrawl policy: the due set from fetch history feeds the conditional fetch") {
+    import graft.operators.UrlOps
+    val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
+    val blog = s"$base/blog.html"
+    val notes = s"$base/notes.txt"
+    // blog changed on every one of 3 fetches (hot → min interval 100 s,
+    // last fetch t=3000, due at now=4000); notes never changed across 3
+    // fetches (static → max interval 5000 s, NOT due)
+    val history = Seq(
+      (blog, 1000L, true), (blog, 2000L, true), (blog, 3000L, true),
+      (notes, 1000L, false), (notes, 2000L, false), (notes, 3000L, false))
+      .toDF("url", "fetch_ts_sec", "changed")
+    val sched = UrlOps.recrawlSchedule(history, nowSec = 4000L,
+      minIntervalSec = 100L, maxIntervalSec = 5000L)
+    val due = UrlOps.dueTopN(sched, topN = 10).collect()
+    assert(due.map(_.getAs[String]("url")).toSeq === Seq(blog))
+    assert(due.head.getAs[Long]("interval_sec") === 100L)
+    assert(due.head.getAs[Long]("overdue_sec") === 4000L - 3100L)
+    val notDue = sched.filter(!col("due")).collect()
+    assert(notDue.map(_.getAs[String]("url")).toSeq === Seq(notes))
+    assert(notDue.head.getAs[Long]("interval_sec") === 5000L)
+    // the due batch rides the stored validator into the conditional
+    // fetch: unchanged on the wire → a 304, no body, validator kept
+    val etag = UrlIngest.fetchBytes(Seq(blog).toDF("url"), backoffMs = 1)
+      .collect().head.getAs[String]("etag")
+    val fetched = UrlIngest.fetchBytesConditional(
+        UrlOps.dueTopN(sched, 10).select(col("url"), lit(etag).as("etag")),
+        backoffMs = 1).collect()
+    assert(fetched.length === 1)
+    assert(fetched.head.getAs[Boolean]("not_modified"))
+    assert(fetched.head.getAs[String]("etag") === etag)
+  }
+
   test("http: Retry-After drives the retry sleep and is capped") {
     val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
     // capped to 50 ms: attempt 2 must happen well before the header's 1 s
