@@ -116,11 +116,24 @@ object UrlOps {
   /** Is `path` allowed under the rules? The most specific (longest
     * PATTERN) matching rule wins; Allow wins a length tie; no match ⇒
     * allowed (RFC 9309 §2.2.2). Patterns support the RFC's `*` and
-    * trailing `$` wildcards via [[robotsPatternRegex]]. Compiled as a
-    * when-chain over the rule literals — the rule set is per-host
-    * tiny, the URL column is corpus-sized, so the literals ride the
-    * closure and nothing shuffles. */
-  def robotsAllowed(rules: RobotsRules)(path: Column): Column = {
+    * trailing `$` wildcards via [[robotsPatternRegex]]. ONE native
+    * expression node ([[graft.functions.RobotsAllowedExpr]]) holding
+    * the precompiled per-host matcher — the rule set rides the plan as
+    * a single reference object instead of a 4-nodes-per-rule
+    * when-chain (quadratic fold nesting was the crawl tier's dominant
+    * driver-side Catalyst cost, SCALING.md r17); the path column is
+    * corpus-sized and nothing shuffles. Match semantics are pinned
+    * slot-for-slot against [[robotsAllowedWhenChain]]. */
+  def robotsAllowed(rules: RobotsRules)(path: Column): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.RobotsAllowedExpr(
+        org.apache.spark.sql.GraftColumns.expression(path),
+        new graft.functions.RobotsMatcher(rules.rules.toArray, robotsPatternRegex)))
+
+  /** The original when-chain formulation — the fuzz-pinning reference
+    * for the native matcher (UrlKernelsSpec) and the shape the DuckDB
+    * oracles replay. */
+  private[graft] def robotsAllowedWhenChain(rules: RobotsRules)(path: Column): Column = {
     // (specificity when matched, allow) per rule; fold to the best
     // (longest pattern, allow-on-tie). Wildcard-free patterns keep the
     // cheap startsWith; wildcards go through the RFC regex.
@@ -261,7 +274,20 @@ object UrlOps {
         round(col("e.priority") * 1e6, 0).cast("long").as("priority_micro"))
   }
 
-  def canonicalizeUrl(url: Column): Column = {
+  /** RFC 3986 §6 canonicalization as ONE native expression node
+    * ([[graft.functions.CanonicalizeUrl]] — a flat char scan inside
+    * whole-stage codegen; rule list below on the column formulation).
+    * The dedup keys it emits are byte-identical to
+    * [[canonicalizeUrlColumnForm]] (fuzz-pinned, UrlKernelsSpec),
+    * which is what the DuckDB oracles replay. */
+  def canonicalizeUrl(url: Column): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.CanonicalizeUrl(
+        org.apache.spark.sql.GraftColumns.expression(url)))
+
+  /** The original ~8-regexp column formulation — the fuzz-pinning
+    * reference for the native kernel and the oracle's shape. */
+  private[graft] def canonicalizeUrlColumnForm(url: Column): Column = {
     val noFrag = regexp_replace(url, "#.*$", "")
     val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
     // RFC 3986 §6.2.2.1 lowercases only scheme and HOST — userinfo is
@@ -310,9 +336,20 @@ object UrlOps {
     * Dot segments (`../`) are NOT collapsed — a documented subset; the
     * canonicalizer downstream dedups the common spellings, and a
     * frontier that re-fetches `a/../b` vs `b` costs one duplicate
-    * fetch, never a wrong key collision. Pure column expression — zero
-    * shuffle, zero UDF. */
-  def resolveUrl(base: Column, href: Column): Column = {
+    * fetch, never a wrong key collision. ONE native expression node
+    * ([[graft.functions.ResolveUrl]]) — zero shuffle, zero UDF,
+    * byte-identical to [[resolveUrlColumnForm]] (fuzz-pinned,
+    * UrlKernelsSpec) including the null algebra (null href ⇒ null; a
+    * null base still resolves scheme-carrying hrefs to themselves). */
+  def resolveUrl(base: Column, href: Column): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.ResolveUrl(
+        org.apache.spark.sql.GraftColumns.expression(base),
+        org.apache.spark.sql.GraftColumns.expression(href)))
+
+  /** The original when-chain formulation — the fuzz-pinning reference
+    * for the native kernel and the oracle's shape. */
+  private[graft] def resolveUrlColumnForm(base: Column, href: Column): Column = {
     val scheme = regexp_extract(base, "^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     val origin = regexp_extract(base, "^([^:/?#]+://[^/?#]+)", 1)
     val basePath = regexp_extract(base, "^[^:/?#]+://[^/?#]+([^?#]*)", 1)
