@@ -214,6 +214,29 @@ object Warc {
     out.toByteArray
   }
 
+  /** Per-thread reusable digest: `MessageDigest.getInstance` does a
+    * provider lookup + allocation — per RECORD that was ~30% of the
+    * write path on small pages (WarcWriteDrill); `reset()` between
+    * records is the documented reuse contract. */
+  private val sha256Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("SHA-256")
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def hex(bytes: Array[Byte]): String = {
+    val out = new Array[Char](bytes.length * 2)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      out(i * 2) = HexDigits(b >>> 4)
+      out(i * 2 + 1) = HexDigits(b & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
   /** Write ONE record (for gz framing: one complete gzip member)
     * directly into `out` — the streaming kernel [[buildWarc]] and
     * [[toWarcShards]] share, so a shard never holds per-record copies
@@ -224,8 +247,9 @@ object Warc {
                               warcDate: String, gzipMembers: Boolean): String = {
     val ct = Option(contentType).filter(_.nonEmpty).getOrElse("application/octet-stream")
     val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ct\r\n\r\n").getBytes(ISO_8859_1)
-    val digest = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(payload).map(b => f"$b%02x").mkString
+    val md = sha256Local.get()
+    md.reset()
+    val digest = hex(md.digest(payload))
     val hdr = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
       s"WARC-Target-URI: $url\r\n" +
       s"WARC-Date: $warcDate\r\n" +
