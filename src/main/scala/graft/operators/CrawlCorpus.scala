@@ -179,22 +179,51 @@ object CrawlCorpus {
     *   knob (a 2-row frontier must not pay 32 checkpoint tasks ×
     *   rounds of pure scheduling floor). Leave 0 in production: the
     *   frontier keeps the shuffle width the anti-join produced, which
-    *   AQE sizes to the data. */
+    *   AQE sizes to the data.
+    * @param fetch the transport seam: urls(url) → (url, content) —
+    *   defaults to the real HTTP kernel ([[UrlIngest.fetchBytes]]);
+    *   the width drill ([[graft.BfsWidthDrill]]) plugs a synthetic
+    *   page generator here so the LOOP mechanics (parse → resolve →
+    *   canonicalize → robots → distinct → anti-join → checkpoint) can
+    *   be measured at 10⁵–10⁶-row frontiers without a socket.
+    * @param visitedCompactEvery the checkpoint-cadence knob: the
+    *   visited set is kept as a LAZY union of the per-round frontier
+    *   checkpoints (each `next` is checkpointed anyway — re-writing
+    *   the whole set every round was O(V·depth) churn), and compacted
+    *   to one checkpoint every N rounds so the anti-join's plan width
+    *   stays bounded at N × frontier partitions.
+    * @param onRound optional per-round probe `(depth, nextRows,
+    *   secs)` — drill instrumentation; null (production) costs
+    *   nothing. */
   def bfs(spark: SparkSession, seeds: DataFrame, rules: UrlOps.RobotsRules,
           maxDepth: Int, backoffMs: Long = 1,
           frontierPartitions: Int = 0,
-          hostBudget: Int = Int.MaxValue, crawlDelaySec: Int = 1): DataFrame = {
+          hostBudget: Int = Int.MaxValue, crawlDelaySec: Int = 1,
+          fetch: DataFrame => DataFrame = null,
+          visitedCompactEvery: Int = 8,
+          onRound: (Int, Long, Double) => Unit = null): DataFrame = {
+    require(visitedCompactEvery >= 1,
+      s"visitedCompactEvery must be >= 1, got $visitedCompactEvery")
+    val doFetch: DataFrame => DataFrame =
+      if (fetch != null) fetch
+      else urls => UrlIngest.fetchBytes(urls, backoffMs = backoffMs)
     def width(df: DataFrame): DataFrame =
       if (frontierPartitions > 0) df.repartition(frontierPartitions) else df
-    var visited = width(seeds.select(UrlOps.canonicalizeUrl(col("url")).as("url"))
-      .distinct()).localCheckpoint()
-    var frontier = visited
+    // visited = union of checkpointed per-round frontiers; compacted
+    // on the cadence so neither lineage nor partition count grows
+    // unboundedly with depth
+    var visitedParts = List(width(
+      seeds.select(UrlOps.canonicalizeUrl(col("url")).as("url"))
+        .distinct()).localCheckpoint())
+    var roundsSinceCompact = 0
+    def visited: DataFrame = visitedParts.reduceLeft(_ unionByName _)
+    var frontier = visitedParts.head
     var depth = 0
     var out: DataFrame = null
     var done = false
     while (!done) {
-      val fetched = UrlIngest.fetchBytes(frontier.select("url"),
-          backoffMs = backoffMs)
+      val t0 = System.nanoTime()
+      val fetched = doFetch(frontier.select("url"))
         .select(col("url"), lit(depth).as("depth"), col("content"))
         .localCheckpoint()
       val round = fetched.select(col("url"), col("depth"),
@@ -225,9 +254,16 @@ object CrawlCorpus {
           .localCheckpoint()
         if (next.isEmpty) done = true
         else {
-          visited = width(visited.unionByName(next)).localCheckpoint()
+          visitedParts ::= next
+          roundsSinceCompact += 1
+          if (roundsSinceCompact >= visitedCompactEvery) {
+            visitedParts = List(width(visited).localCheckpoint())
+            roundsSinceCompact = 0
+          }
           frontier = next
           depth += 1
+          if (onRound != null)
+            onRound(depth, next.count(), (System.nanoTime() - t0) / 1e9)
         }
       }
     }
