@@ -530,6 +530,43 @@ private[graft] trait EntryDocs extends EntryShared {
         .select("url", "n_fetches", "change_rate_micro", "next_due_sec",
           "overdue_sec")
     }),
+    // URL-level quality filtering (RefinedWeb, Penedo et al. 2023
+    // §3.1/G.1) — the filter a curated pipeline runs BEFORE fetching:
+    // registrable-domain blocklist (broadcast equi-join), bad-word
+    // scoring over the URL, digit-heavy hosts, length cap. Synthetic
+    // frontier derived from doc_id: hosts cycle blocked/ccTLD/digit
+    // shapes, every 11th URL carries a bad word, every 13th a 600-char
+    // tail,
+    "url_filter" -> ((s, d) => {
+      import s.implicits._
+      val id = col("doc_id")
+      val host = when(id % 7 === 0, "spamcasino.com")
+        .when(id % 7 === 1, "sub.badsite.org")
+        .when(id % 7 === 2, "news.example.com")
+        .when(id % 7 === 3, "blog.example.co.uk")
+        .when(id % 7 === 4, "1234567.net")
+        .when(id % 7 === 5, "shop.example.com")
+        .otherwise("example.net")
+      val url = concat(lit("http://"), host, lit("/p"), id.cast("string"),
+        when(id % 11 === 0, "/freexxx").otherwise(""),
+        when(id % 13 === 0, concat(lit("/"), lit("x" * 600))).otherwise(""))
+      UrlOps.urlFilter(Tables.documents(s, d).select(url.as("url")),
+        Seq("spamcasino.com", "badsite.org").toDF("domain"))
+    }),
+    // host-level repeated-line removal (CCNet, Wenzek et al. 2020 §2):
+    // the cross-page boilerplate class per-page heuristics cannot see.
+    // Every page gets a nav line shared corpus-wide and a copyright
+    // line shared per host; the operator must strip both (plus any
+    // line the corpus text itself repeats on >=50% of a host's docs)
+    // and keep the rest byte-exact in document order,
+    "host_line_dedup" -> ((s, d) => {
+      val host = concat(lit("h"), (col("doc_id") % 5).cast("string"))
+      val pages = Tables.documents(s, d).select(col("doc_id"), host.as("host"),
+        concat(lit("Home | About | Contact\n"), col("text"),
+          lit("\n(c) site "), host).as("text"))
+      Cleaning.hostLineDedup(pages)
+        .select("doc_id", "host", "n_lines", "n_removed", "clean_text")
+    }),
     // THE CRAWL->CORPUS FLAGSHIP: the whole chain lives in
     // operators.CrawlCorpus (discovery -> politeness -> real HTTP
     // fetch -> extraction -> 8-family verdict -> banded near-dup ->
@@ -1342,6 +1379,86 @@ private[graft] trait EntryDocs extends EntryShared {
         |  6500 - next_due_sec AS overdue_sec
         |FROM n WHERE next_due_sec <= 6500
         |ORDER BY overdue_sec DESC, url ASC LIMIT 12""".stripMargin,
+
+    "url_filter" ->
+      ("""WITH u AS (
+        | SELECT CASE doc_id % 7
+        |   WHEN 0 THEN 'spamcasino.com' WHEN 1 THEN 'sub.badsite.org'
+        |   WHEN 2 THEN 'news.example.com' WHEN 3 THEN 'blog.example.co.uk'
+        |   WHEN 4 THEN '1234567.net' WHEN 5 THEN 'shop.example.com'
+        |   ELSE 'example.net' END AS host,
+        |  'http://' ||
+        |   CASE doc_id % 7
+        |    WHEN 0 THEN 'spamcasino.com' WHEN 1 THEN 'sub.badsite.org'
+        |    WHEN 2 THEN 'news.example.com' WHEN 3 THEN 'blog.example.co.uk'
+        |    WHEN 4 THEN '1234567.net' WHEN 5 THEN 'shop.example.com'
+        |    ELSE 'example.net' END ||
+        |   '/p' || doc_id ||
+        |   CASE WHEN doc_id % 11 = 0 THEN '/freexxx' ELSE '' END ||
+        |   CASE WHEN doc_id % 13 = 0 THEN '/' || repeat('x', 600) ELSE '' END
+        |   AS url
+        | FROM documents),
+        |f AS (
+        | SELECT url, host,
+        |  CASE WHEN len(string_split(host, '.')) >= 3 AND
+        |         string_split(host, '.')[len(string_split(host, '.')) - 1]
+        |           IN ('co','com','org','net','ac','gov','edu')
+        |       THEN array_to_string(
+        |         string_split(host, '.')[len(string_split(host, '.')) - 2:], '.')
+        |       WHEN len(string_split(host, '.')) >= 2
+        |       THEN array_to_string(
+        |         string_split(host, '.')[len(string_split(host, '.')) - 1:], '.')
+        |       ELSE host END AS domain,
+        |  CAST((length(lower(url)) - length(replace(lower(url), 'xxx', ''))) // 3 * 2
+        |   + (length(lower(url)) - length(replace(lower(url), 'casino', ''))) // 6
+        |   AS BIGINT) AS bad_word_score,
+        |  length(regexp_replace(host, '[^0-9]', '', 'g')) AS n_digits,
+        |  length(url) AS ulen
+        | FROM u)
+        |SELECT url, host, domain, bad_word_score,
+        |  concat_ws(',',
+        |   CASE WHEN domain IN ('spamcasino.com', 'badsite.org')
+        |        THEN 'blocked' END,
+        |   CASE WHEN bad_word_score >= 2 THEN 'bad_words' END,
+        |   CASE WHEN n_digits * 2 >= length(host) AND length(host) > 0
+        |        THEN 'digits' END,
+        |   CASE WHEN ulen > 512 THEN 'too_long' END) AS reasons,
+        |  domain NOT IN ('spamcasino.com', 'badsite.org')
+        |   AND bad_word_score < 2
+        |   AND NOT (n_digits * 2 >= length(host) AND length(host) > 0)
+        |   AND ulen <= 512 AS keep
+        |FROM f""".stripMargin),
+
+    "host_line_dedup" ->
+      """WITH pages AS (
+        | SELECT doc_id, 'h' || (doc_id % 5) AS host,
+        |   'Home | About | Contact' || chr(10) || text || chr(10) ||
+        |   '(c) site h' || (doc_id % 5) AS text
+        | FROM documents),
+        |lines AS (
+        | SELECT doc_id, host, g.i - 1 AS pos, parts[g.i] AS line,
+        |        trim(parts[g.i]) AS key
+        | FROM (SELECT doc_id, host, string_split(text, chr(10)) AS parts
+        |       FROM pages) p,
+        |   LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
+        |hd AS (SELECT host, count(DISTINCT doc_id) AS n_docs
+        |       FROM pages GROUP BY host),
+        |b AS (
+        | SELECT l.host, l.key FROM
+        |  (SELECT host, key, count(DISTINCT doc_id) AS n_line_docs
+        |   FROM lines GROUP BY host, key) l
+        |  JOIN hd USING (host)
+        | WHERE n_docs >= 2 AND n_line_docs >= 2
+        |   AND n_line_docs * 1000000 >= 500000 * n_docs)
+        |SELECT doc_id, min(lines.host) AS host,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN b.key IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN b.key IS NULL THEN line END,
+        |    chr(10) ORDER BY pos), '') AS clean_text
+        |FROM lines LEFT JOIN b
+        |  ON lines.host = b.host AND lines.key = b.key
+        |GROUP BY doc_id""".stripMargin,
 
     // hand-derived from the two-batch feed: batch 0 ranks a's p1>p2 by
     // priority and b's q1; batch 1 leaves host a ONE remaining slot

@@ -87,6 +87,60 @@ object Cleaning {
       .drop("_kept")
   }
 
+  /** Host-level repeated-line removal — the cross-PAGE boilerplate
+    * class the per-page heuristics cannot see (CCNet, Wenzek et al.
+    * 2020 §2 dedups paragraphs across shards for exactly this reason;
+    * the per-page extractor drops nav by tag context and link density,
+    * but a bare "Subscribe to our newsletter" line inside content
+    * markup survives every per-page rule — what gives it away is
+    * appearing on most of its HOST's pages):
+    *
+    *  - a line (trimmed) is BOILERPLATE on host H when it occurs in at
+    *    least `minDocs` of H's documents AND in at least
+    *    `maxDocFracMicro` (micro-units, default 0.5) of them;
+    *  - hosts with fewer than `minDocs` documents keep everything (no
+    *    statistical basis);
+    *  - output per document: `n_lines`, `n_removed`, `clean_text`
+    *    (kept lines re-joined in document order; empty lines inside
+    *    the document count and reassemble like any other line, so the
+    *    text round-trips byte-exactly when nothing is removed).
+    *
+    * Scale shape: explode to (host, line) → one partial-combined
+    * distinct-doc count per key → join the flags back on the SAME
+    * (host, line) partitioning (one exchange, reused) → regroup by
+    * document. The per-host doc counts ride a broadcast (hosts ≪
+    * documents). Nothing is ever collected; the line table is
+    * corpus-sized but each key's payload is a count. */
+  def hostLineDedup(pages: DataFrame, minDocs: Int = 2,
+                    maxDocFracMicro: Long = 500000L,
+                    hostCol: String = "host", idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(maxDocFracMicro >= 1 && maxDocFracMicro <= 1000000L,
+      s"maxDocFracMicro must be in [1, 1e6], got $maxDocFracMicro")
+    val lines = pages.select(col(hostCol).as("host"), col(idCol).as("doc_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("key", trim(col("line")))
+    val hostDocs = pages.groupBy(col(hostCol).as("host"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val boiler = lines.groupBy(col("host"), col("key"))
+      .agg(countDistinct(col("doc_id")).as("n_line_docs"))
+      .join(broadcast(hostDocs), Seq("host"))
+      .filter(col("n_docs") >= minDocs &&
+        col("n_line_docs") >= minDocs &&
+        col("n_line_docs") * 1000000L >= lit(maxDocFracMicro) * col("n_docs"))
+      .select(col("host"), col("key"), lit(true).as("_boiler"))
+    lines.join(boiler, Seq("host", "key"), "left")
+      .groupBy(col("doc_id"))
+      .agg(first(col("host")).as("host"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("_boiler"), 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(!coalesce(col("_boiler"), lit(false)),
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+  }
+
   /** @param lm optional pre-trained unigram LM
     *   ([[TextAnalysis.trainUnigramLm]] output, possibly loaded from a
     *   persisted artifact via [[TextAnalysis.loadLm]]). When given, the

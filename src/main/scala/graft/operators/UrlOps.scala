@@ -466,6 +466,78 @@ object UrlOps {
         when(col("due"), lit(nowSec) - col("next_due_sec")).otherwise(lit(0L)))
   }
 
+  /** Second-level TLD labels under which the REGISTRABLE domain takes
+    * three labels (`example.co.uk`), not two — the pragmatic subset of
+    * the public-suffix list a URL filter needs (the full PSL is a
+    * runtime artifact; this fixed set covers the dominant ccTLD
+    * conventions and is documented as an approximation). */
+  private val SecondLevelTlds =
+    Seq("co", "com", "org", "net", "ac", "gov", "edu")
+
+  /** The registrable domain of a (lowercased) host: last two labels,
+    * or last three when the second-to-last is a second-level TLD label
+    * (`co.uk` etc.). A dotless host is its own domain. Pure column
+    * expression over a tiny per-row label array. */
+  def registrableDomain(host: Column): Column = {
+    val labels = split(host, "\\.")
+    val n = size(labels)
+    when(n >= 3 && element_at(labels, -2).isin(SecondLevelTlds: _*),
+        concat_ws(".", slice(labels, -3, 3)))
+      .when(n >= 2, concat_ws(".", slice(labels, -2, 2)))
+      .otherwise(host)
+  }
+
+  /** URL-level quality filtering — the FIRST filter curated web
+    * pipelines run, before a byte of content is fetched (RefinedWeb,
+    * Penedo et al. 2023 §3.1/App. G.1: a domain blocklist plus
+    * URL-feature scoring removes the adult/spam tier at list price):
+    *
+    *  - `blocked`: the host's [[registrableDomain]] appears in
+    *    `blockedDomains` (column `domain`) — an equi-join the planner
+    *    broadcasts (a blocklist is millions of rows at most, a
+    *    frontier is billions);
+    *  - `bad_words`: Σ weight × occurrences of each (word, weight)
+    *    over the lowercased URL reaches `badWordThreshold`
+    *    (occurrences counted by the replace-length trick — exact,
+    *    engine-portable);
+    *  - `digits`: the host is ≥ half digits (micro-int compare — the
+    *    spam-host shape);
+    *  - `too_long`: the URL exceeds `maxLen` chars.
+    *
+    * Output: url, host, domain, bad_word_score, reasons (ordered,
+    * joined), keep. Everything except the broadcast blocklist join is
+    * a per-row projection — zero corpus-sized shuffles. */
+  def urlFilter(urls: org.apache.spark.sql.DataFrame,
+                blockedDomains: org.apache.spark.sql.DataFrame,
+                badWords: Seq[(String, Int)] = Seq(("xxx", 2), ("casino", 1)),
+                badWordThreshold: Int = 2,
+                maxLen: Int = 512,
+                urlCol: String = "url"): org.apache.spark.sql.DataFrame = {
+    require(badWordThreshold >= 1, s"badWordThreshold must be >= 1")
+    val u = col(urlCol)
+    val host = urlHost(u)
+    val lu = lower(u)
+    val score = badWords.map { case (w, wt) =>
+      (length(lu) - length(replace(lu, lit(w)))) / w.length * wt
+    }.reduce(_ + _)
+    val digitCount = length(regexp_replace(host, "[^0-9]", ""))
+    urls
+      .withColumn("host", host)
+      .withColumn("domain", registrableDomain(col("host")))
+      .join(broadcast(blockedDomains.select(col("domain"),
+        lit(true).as("_blocked"))), Seq("domain"), "left")
+      .withColumn("bad_word_score", score.cast("long"))
+      .withColumn("_r", array_compact(array(
+        when(coalesce(col("_blocked"), lit(false)), "blocked"),
+        when(col("bad_word_score") >= badWordThreshold, "bad_words"),
+        when(digitCount * 2 >= length(col("host")) && length(col("host")) > 0,
+          "digits"),
+        when(length(u) > maxLen, "too_long"))))
+      .select(u.as("url"), col("host"), col("domain"), col("bad_word_score"),
+        array_join(col("_r"), ",").as("reasons"),
+        (size(col("_r")) === 0).as("keep"))
+  }
+
   /** The recrawl batch: stalest-first top-N of the due set. An
     * `orderBy().limit()` — Spark's TakeOrderedAndProject: per-partition
     * top-N then a bounded merge, never a global sort or a

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Cleaning, UrlOps}
+
+/** Unit semantics for the round-18 web-curation additions:
+  * [[UrlOps.urlFilter]] (RefinedWeb-style URL filtering) and
+  * [[Cleaning.hostLineDedup]] (CCNet-style cross-page boilerplate
+  * removal). The registry oracles (`url_filter`, `host_line_dedup`)
+  * replay the same math over the documents table; these pin the
+  * operator-level corners a synthetic frontier can miss. */
+class WebCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registrableDomain: two labels, ccTLD second-level, dotless, deep subdomains") {
+    val rows = Seq("sub.badsite.org", "blog.example.co.uk", "localhost",
+      "a.b.c.com", "example.net", "www.gov.uk").toDF("host")
+      .select(col("host"), UrlOps.registrableDomain(col("host")).as("d"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(rows("sub.badsite.org") === "badsite.org")
+    assert(rows("blog.example.co.uk") === "example.co.uk")
+    assert(rows("localhost") === "localhost")
+    assert(rows("a.b.c.com") === "c.com")
+    assert(rows("example.net") === "example.net")
+    // gov.uk is itself a public suffix: the registrable domain of
+    // www.gov.uk is the full three-label name (matches the real PSL)
+    assert(rows("www.gov.uk") === "www.gov.uk")
+  }
+
+  test("urlFilter: blocklist via registrable domain, word score, digits, length") {
+    val blocked = Seq("badsite.org", "spamcasino.com").toDF("domain")
+    val urls = Seq(
+      "http://sub.badsite.org/ok",           // blocked by suffix
+      "http://spamcasino.com/page",          // blocked exact + casino(1) < 2
+      "http://news.example.com/a",           // clean
+      "http://news.example.com/freexxx",     // xxx -> 2 >= 2
+      "http://12345678.net/p",               // 8 digits * 2 >= 12 chars
+      "http://ok.example.com/" + "y" * 600   // too_long
+    ).toDF("url")
+    val out = UrlOps.urlFilter(urls, blocked)
+      .collect().map(r => r.getAs[String]("url") ->
+        (r.getAs[String]("reasons"), r.getAs[Boolean]("keep"))).toMap
+    assert(out("http://sub.badsite.org/ok") === ("blocked", false))
+    assert(out("http://spamcasino.com/page") === ("blocked", false))
+    assert(out("http://news.example.com/a") === ("", true))
+    assert(out("http://news.example.com/freexxx") === ("bad_words", false))
+    assert(out("http://12345678.net/p") === ("digits", false))
+    assert(out("http://ok.example.com/" + "y" * 600) === ("too_long", false))
+  }
+
+  test("urlFilter: multiple reasons stay in fixed order") {
+    val out = UrlOps.urlFilter(
+        Seq("http://spamcasino.com/xxx" + "z" * 600).toDF("url"),
+        Seq("spamcasino.com").toDF("domain"))
+      .select("reasons").as[String].head()
+    assert(out === "blocked,bad_words,too_long")
+  }
+
+  test("hostLineDedup: per-host repeated lines drop, small hosts keep all") {
+    val pages = Seq(
+      // host A, 3 docs: NAV on all 3, PROMO on 2/3 (= 2/3 >= 1/2 drop),
+      // RARE on 1/3 (keep)
+      (1L, "a", "NAV\nalpha one\nPROMO"),
+      (2L, "a", "NAV\nbeta two"),
+      (3L, "a", " NAV \nPROMO\ngamma three"),
+      // host B, 1 doc: below minDocs — NAV survives here
+      (4L, "b", "NAV\ndelta four")
+    ).toDF("doc_id", "host", "text")
+    val out = Cleaning.hostLineDedup(pages)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) === ((2L, "alpha one")))
+    assert(out(2L) === ((1L, "beta two")))
+    // doc 3's NAV is whitespace-padded: the TRIMMED key matches, the
+    // original line is what gets removed
+    assert(out(3L) === ((2L, "gamma three")))
+    assert(out(4L) === ((0L, "NAV\ndelta four")))
+  }
+
+  test("hostLineDedup: byte-exact round trip when nothing repeats") {
+    val text = "one\n\ntwo words here\n  indented  \nlast"
+    val pages = Seq((1L, "a", text), (2L, "a", "totally different\nlines"))
+      .toDF("doc_id", "host", "text")
+    val out = Cleaning.hostLineDedup(pages)
+      .filter(col("doc_id") === 1L)
+      .select("n_lines", "n_removed", "clean_text")
+      .as[(Long, Long, String)].head()
+    assert(out === ((5L, 0L, text)))
+  }
+
+  test("hostLineDedup: within-doc duplicates of a boilerplate line all drop") {
+    val pages = Seq(
+      (1L, "a", "AD\ncontent x\nAD"),
+      (2L, "a", "AD\ncontent y")
+    ).toDF("doc_id", "host", "text")
+    val out = Cleaning.hostLineDedup(pages)
+      .filter(col("doc_id") === 1L)
+      .select("n_removed", "clean_text").as[(Long, String)].head()
+    assert(out === ((2L, "content x")))
+  }
+}
