@@ -530,6 +530,24 @@ private[graft] trait EntryDocs extends EntryShared {
         .select("url", "n_fetches", "change_rate_micro", "next_due_sec",
           "overdue_sec")
     }),
+    // Unicode NFC normalization (functions.NormalizeText) — the pass
+    // that runs before content fingerprinting so composed U+00E9 and
+    // decomposed e+U+0301 share one dedup key. Rows cycle decomposed /
+    // composed / no-precomposed-form / plain-ASCII shapes; `changed`
+    // must fire ONLY on the decomposed class,
+    "nfc_normalize" -> ((s, d) => {
+      val id = col("doc_id")
+      val raw = when(id % 4 === 0,
+          concat(lit("Cafe\u0301 menu "), id.cast("string")))
+        .when(id % 4 === 1, concat(lit("Caf\u00e9 menu "), id.cast("string")))
+        .when(id % 4 === 2, concat(lit("na\u0131\u0308ve "), id.cast("string")))
+        .otherwise(concat(lit("plain ascii "), id.cast("string")))
+      Tables.documents(s, d).select(id.as("doc_id"), raw.as("raw"),
+        TextAnalysis.normalizeText(raw).as("nfc"),
+        (TextAnalysis.normalizeText(raw) =!= raw).as("changed"),
+        length(raw).as("len_raw"),
+        length(TextAnalysis.normalizeText(raw)).as("len_nfc"))
+    }),
     // URL-level quality filtering (RefinedWeb, Penedo et al. 2023
     // §3.1/G.1) — the filter a curated pipeline runs BEFORE fetching:
     // registrable-domain blocklist (broadcast equi-join), bad-word
@@ -1379,6 +1397,19 @@ private[graft] trait EntryDocs extends EntryShared {
         |  6500 - next_due_sec AS overdue_sec
         |FROM n WHERE next_due_sec <= 6500
         |ORDER BY overdue_sec DESC, url ASC LIMIT 12""".stripMargin,
+
+    "nfc_normalize" ->
+      """WITH u AS (
+        | SELECT doc_id, CASE doc_id % 4
+        |  WHEN 0 THEN 'Cafe' || chr(769) || ' menu ' || doc_id
+        |  WHEN 1 THEN 'Caf' || chr(233) || ' menu ' || doc_id
+        |  WHEN 2 THEN 'na' || chr(305) || chr(776) || 've ' || doc_id
+        |  ELSE 'plain ascii ' || doc_id END AS raw
+        | FROM documents)
+        |SELECT doc_id, raw, nfc_normalize(raw) AS nfc,
+        |  nfc_normalize(raw) <> raw AS changed,
+        |  length(raw) AS len_raw, length(nfc_normalize(raw)) AS len_nfc
+        |FROM u""".stripMargin,
 
     "url_filter" ->
       ("""WITH u AS (

@@ -95,6 +95,17 @@ object TextAnalysis {
     org.apache.spark.sql.GraftColumns.column(
       graft.functions.GopherCounts(org.apache.spark.sql.GraftColumns.expression(t)))
 
+  /** Unicode normalization ([[graft.functions.NormalizeText]]) — run
+    * it BEFORE content fingerprinting/shingling so composed and
+    * decomposed spellings of the same text share one dedup key. NFC is
+    * the corpus default; NFKC is the aggressive fold (ligatures,
+    * fullwidth forms) Gopher-style pipelines apply. ASCII rows return
+    * the input buffer untouched. */
+  def normalizeText(t: Column, form: String = "NFC"): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.NormalizeText(
+        org.apache.spark.sql.GraftColumns.expression(t), form))
+
   /** The Gopher quality metrics as named expressions over one text
     * column — the single source both the DataFrame surface and the
     * composed-verdict column ([[gopherQualityPass]]) build from.
