@@ -113,6 +113,15 @@ private[graft] trait EntryDocs extends EntryShared {
     "mm_image_embed" -> ((s, d) =>
       MediaCodec.imageEmbedding(MediaCodec.fixturesDF(s)).toDF()
         .select(col("doc"), col("n_pixels"), to_json(col("hist")).as("hist_json"))),
+    // perceptual image dedup: dHash (9x8 luma gradient bits, codec- and
+    // brightness-invariant) + Hamming-banded near-dup pairs — the
+    // poster/photo codec twins (same pixels, BMP vs PNG) MUST collapse
+    // to the one hamming-0 pair; oracle hashes derived independently
+    // from the fixture pixel formula,
+    "mm_image_dhash" -> ((s, d) =>
+      MediaCodec.imageDHash(MediaCodec.dhashFixturesDF(s)).toDF()),
+    "mm_image_neardup" -> ((s, d) =>
+      MediaCodec.imageNearDups(MediaCodec.dhashFixturesDF(s))),
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d)))),
     "mm_frame_sample" -> ((s, d) =>
@@ -942,6 +951,17 @@ private[graft] trait EntryDocs extends EntryShared {
         | ('photo',3072,'[96,69,62,88,30,22,38,24,82,68,56,77,10,11,10,5,82,67,58,72,26,8,33,39,34,43,33,36,61,64,61,61,7,7,5,2,82,73,70,77,48,48,21,40,80,69,65,94,61,35,42,53,62,53,51,64,33,32,49,50,44,58,30,41]'),
         | ('tall',2400,'[34,55,32,44,35,34,58,22,59,30,43,63,17,32,31,18,31,32,15,20,26,25,59,63,57,31,34,20,47,59,39,49,17,34,33,33,51,48,61,56,45,42,40,25,37,37,4,32,13,44,36,39,34,37,36,17,61,42,53,60,30,36,20,33]')
         |) AS t(doc, n_pixels, hist_json)""".stripMargin,
+    "mm_image_dhash" ->
+      """SELECT doc, CAST(dhash AS BIGINT) AS dhash FROM (VALUES
+        | ('icon', 6926571687223771200),
+        | ('banner', -7988782877595523992),
+        | ('photo', 1171364816565340192),
+        | ('tall', -9187334439409545184),
+        | ('poster', 1171364816565340192)
+        |) AS t(doc, dhash)""".stripMargin,
+    "mm_image_neardup" ->
+      """SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
+        |FROM (VALUES ('photo', 'poster', 0)) AS t(doc_a, doc_b, hamming)""".stripMargin,
     "mm_wav_stats" ->
       """SELECT doc, channels, sample_rate_hz, bits,
         | CAST(n_frames AS BIGINT) AS n_frames, peak_abs,

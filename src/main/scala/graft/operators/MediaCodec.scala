@@ -238,6 +238,18 @@ object MediaCodec {
     rows.toDF("doc", "modality", "codec", "payload")
   }
 
+  /** [[fixturesDF]] plus `poster` — the SAME 64×48 pixels as `photo`
+    * but BMP-encoded: the codec-twin pair the perceptual-dedup tier
+    * must collapse (identical pixels, entirely different bytes — no
+    * content-hash dedup can see it). A separate fixture table so the
+    * established mm_* oracles keep their row sets. */
+  def dhashFixturesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    fixturesDF(spark).unionByName(
+      Seq(("poster", "image", "bmp", bmpBytes(64, 48)))
+        .toDF("doc", "modality", "codec", "payload"))
+  }
+
   // ---- real decode kernels --------------------------------------------
 
   case class ImageStats(doc: String, codec: String, width: Int, height: Int,
@@ -356,6 +368,68 @@ object MediaCodec {
           }
         }
       }
+  }
+
+  case class ImageDHash(doc: String, dhash: Long)
+
+  /** Perceptual difference hash (dHash) — the industrial image
+    * near-dup primitive (the text tier's SimHash twin): decode, reduce
+    * to a 9×8 luma grid with the SAME integer floor geometry as
+    * [[imageResize]] (`src = (x·w ÷ 9, y·h ÷ 8)` — no interpolation,
+    * reproducible on any JVM), integer luma `(299r + 587g + 114b) ÷
+    * 1000`, then 64 horizontal-gradient bits: bit `y·8+x` set iff
+    * `gray(x,y) > gray(x+1,y)`. Gradients make the hash invariant to
+    * global brightness/contrast shifts and to the CODEC (identical
+    * pixels through BMP or PNG hash identically — the twin class a
+    * byte-level content hash can never collapse); 64 bits keep the
+    * whole fingerprint in one long. Undecodable payloads drop the row. */
+  def imageDHash(media: DataFrame): Dataset[ImageDHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "image")
+      .select(col("doc"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (doc, payload) =>
+          decodeImage(payload).map { img =>
+            val (w, h) = (img.getWidth, img.getHeight)
+            val gray = Array.ofDim[Int](8, 9)
+            for (y <- 0 until 8; x <- 0 until 9) {
+              val (r, g, b) = rgbOf(img, x * w / 9, y * h / 8)
+              gray(y)(x) = (299 * r + 587 * g + 114 * b) / 1000
+            }
+            var hash = 0L
+            for (y <- 0 until 8; x <- 0 until 8)
+              if (gray(y)(x) > gray(y)(x + 1)) hash |= 1L << (y * 8 + x)
+            ImageDHash(doc, hash)
+          }
+        }
+      }
+  }
+
+  /** Image near-dup candidate pairs by Hamming banding over the 64-bit
+    * dHash — the [[Dedup.simhashPairs]] plan shape on pixels: 4 bands
+    * of 16 bits, images sharing any band's value become candidates
+    * (equi-join on (band, bucket) — never all-pairs), XOR-popcount
+    * threshold. Pigeonhole: a pair within Hamming distance 3 agrees on
+    * at least one of the 4 bands, so recall is EXACT for `maxHamming`
+    * ≤ 3. The hash table (one long per image) is what checkpoints —
+    * pixels are never rescanned for the pairing. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashes = imageDHash(media).toDF().localCheckpoint()
+    val banded = hashes.select(col("doc"), col("dhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "bucket")))
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.dhash").as("fp_a"), col("b.dhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** Decode WAV audio through `javax.sound.sampled`: format header from

@@ -225,6 +225,39 @@ class MediaCodecSpec extends SparkSpec {
     assert(top(1).getDouble(2) < 1.0)
   }
 
+  test("dHash: codec twins hash identically, brightness shift is invariant") {
+    import java.awt.image.BufferedImage
+    import java.io.ByteArrayOutputStream
+    def png(shift: Int): Array[Byte] = {
+      val img = new BufferedImage(40, 30, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 30; x <- 0 until 40) {
+        def c(v: Int) = math.min(255, math.max(0, v + shift))
+        img.setRGB(x, y, (c((x * 6) % 200) << 16) | (c((y * 7) % 200) << 8) |
+          c((x + y) % 200))
+      }
+      val out = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val df = spark.createDataFrame(Seq(
+        ("base", "image", "png", png(0)),
+        ("bright", "image", "png", png(40)),   // +40 on every channel
+        ("bmp_twin", "image", "bmp", MediaCodec.bmpBytes(64, 48)),
+        ("png_twin", "image", "png", MediaCodec.pngBytes(64, 48))))
+      .toDF("doc", "modality", "codec", "payload")
+    val h = MediaCodec.imageDHash(df).collect().map(r => r.doc -> r.dhash).toMap
+    // gradients survive a uniform brightness shift (unclipped region)
+    assert(h("base") === h("bright"))
+    // identical pixels through different codecs: identical hash
+    assert(h("bmp_twin") === h("png_twin"))
+    val pairs = MediaCodec.imageNearDups(df).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(pairs.contains(("base", "bright", 0)))
+    assert(pairs.contains(("bmp_twin", "png_twin", 0)))
+    // the twin pairs are unrelated images: no cross pair
+    assert(!pairs.exists(p => Set(p._1, p._2) == Set("base", "bmp_twin")))
+  }
+
   test("payload column is pruned out of the scan for metadata-only projections") {
     // through a real parquet round trip — pruning must reach ReadSchema
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
