@@ -122,6 +122,19 @@ private[graft] trait EntryDocs extends EntryShared {
       MediaCodec.imageDHash(MediaCodec.dhashFixturesDF(s)).toDF()),
     "mm_image_neardup" -> ((s, d) =>
       MediaCodec.imageNearDups(MediaCodec.dhashFixturesDF(s))),
+    // per-frame video dHash + trimmed-copy detection: clip2 is clip's
+    // first 8 frames — containment n_shared/min(n_a,n_b) = 8/8; short
+    // shares nothing. Oracle hashes from the frame pixel formula,
+    "mm_video_dhash" -> ((s, d) =>
+      MediaCodec.aviFrameDHash(MediaCodec.dhashFixturesDF(s)).toDF()),
+    "mm_video_shared" -> ((s, d) =>
+      MediaCodec.videoSharedFrames(MediaCodec.dhashFixturesDF(s))),
+    // volume-invariant audio fingerprint (energy-delta signs): the
+    // half-volume beep_soft twin fingerprints identically to beep,
+    "mm_audio_fp" -> ((s, d) =>
+      MediaCodec.wavFingerprint(MediaCodec.dhashFixturesDF(s)).toDF()),
+    "mm_audio_neardup" -> ((s, d) =>
+      MediaCodec.audioNearDups(MediaCodec.dhashFixturesDF(s))),
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d)))),
     "mm_frame_sample" -> ((s, d) =>
@@ -962,6 +975,46 @@ private[graft] trait EntryDocs extends EntryShared {
     "mm_image_neardup" ->
       """SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming
         |FROM (VALUES ('photo', 'poster', 0)) AS t(doc_a, doc_b, hamming)""".stripMargin,
+    "mm_video_dhash" ->
+      """SELECT doc, frame_idx, CAST(dhash AS BIGINT) AS dhash FROM (VALUES
+        | ('clip', 0, 1740720489804861456),
+        | ('clip', 1, 293900025107843080),
+        | ('clip', 2, 435180390886671364),
+        | ('clip', 3, 4865305015193043458),
+        | ('clip', 4, 586106287322890497),
+        | ('clip', 5, -9041668288473432064),
+        | ('clip', 6, 4629772187124949184),
+        | ('clip', 7, 2314885539493471312),
+        | ('clip', 8, 1157442765444100130),
+        | ('clip', 9, 578721382856267792),
+        | ('clip', 10, -8934011345502401528),
+        | ('clip', 11, 4792395161122637316),
+        | ('short', 0, 0),
+        | ('short', 1, 0),
+        | ('short', 2, 4629771061636923520),
+        | ('clip2', 0, 1740720489804861456),
+        | ('clip2', 1, 293900025107843080),
+        | ('clip2', 2, 435180390886671364),
+        | ('clip2', 3, 4865305015193043458),
+        | ('clip2', 4, 586106287322890497),
+        | ('clip2', 5, -9041668288473432064),
+        | ('clip2', 6, 4629772187124949184),
+        | ('clip2', 7, 2314885539493471312)
+        |) AS t(doc, frame_idx, dhash)""".stripMargin,
+    "mm_video_shared" ->
+      """SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+        | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b
+        |FROM (VALUES ('clip', 'clip2', 8, 12, 8))
+        | AS t(doc_a, doc_b, n_shared, n_a, n_b)""".stripMargin,
+    "mm_audio_fp" ->
+      """SELECT doc, n_windows, CAST(fingerprint AS BIGINT) AS fingerprint
+        |FROM (VALUES
+        | ('beep', 8, 56), ('beep_soft', 8, 56), ('tone', 16, 19564)
+        |) AS t(doc, n_windows, fingerprint)""".stripMargin,
+    "mm_audio_neardup" ->
+      """SELECT doc_a, doc_b, CAST(fingerprint AS BIGINT) AS fingerprint
+        |FROM (VALUES ('beep', 'beep_soft', 56))
+        | AS t(doc_a, doc_b, fingerprint)""".stripMargin,
     "mm_wav_stats" ->
       """SELECT doc, channels, sample_rate_hz, bits,
         | CAST(n_frames AS BIGINT) AS n_frames, peak_abs,

@@ -238,15 +238,40 @@ object MediaCodec {
     rows.toDF("doc", "modality", "codec", "payload")
   }
 
-  /** [[fixturesDF]] plus `poster` — the SAME 64×48 pixels as `photo`
-    * but BMP-encoded: the codec-twin pair the perceptual-dedup tier
-    * must collapse (identical pixels, entirely different bytes — no
-    * content-hash dedup can see it). A separate fixture table so the
-    * established mm_* oracles keep their row sets. */
+  /** [[wavBytes]] with a gain applied sample-by-sample
+    * (`|s|·numer/denom`, sign restored — truncation toward zero): the
+    * volume-twin fixture for the audio fingerprint (same audio, half
+    * the amplitude — different bytes everywhere). */
+  private[graft] def wavBytesGain(sampleRate: Int, channels: Int, nFrames: Int,
+                                  numer: Int, denom: Int): Array[Byte] = {
+    val dataSize = nFrames * channels * 2
+    val buf = ByteBuffer.allocate(44 + dataSize).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16).putShort(1)
+      .putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    for (i <- 0 until nFrames; c <- 0 until channels) {
+      val s = pcmSample(i, c)
+      val g = (math.abs(s) * numer / denom) * (if (s >= 0) 1 else -1)
+      buf.putShort(g.toShort)
+    }
+    buf.array()
+  }
+
+  /** [[fixturesDF]] plus the perceptual-dedup twins: `poster` (the
+    * SAME 64×48 pixels as `photo`, BMP-encoded — the codec-twin pair
+    * no byte-level hash can collapse), `clip2` (the first 8 frames of
+    * `clip` — the trimmed-copy video class), and `beep_soft` (`beep`
+    * at half volume — the re-levelled audio class). A separate fixture
+    * table so the established mm_* oracles keep their row sets. */
   def dhashFixturesDF(spark: SparkSession): DataFrame = {
     import spark.implicits._
     fixturesDF(spark).unionByName(
-      Seq(("poster", "image", "bmp", bmpBytes(64, 48)))
+      Seq(("poster", "image", "bmp", bmpBytes(64, 48)),
+        ("clip2", "video", "avi", aviBytes(24, 16, 8)),
+        ("beep_soft", "audio", "wav", wavBytesGain(8000, 1, 800, 1, 2)))
         .toDF("doc", "modality", "codec", "payload"))
   }
 
@@ -372,6 +397,22 @@ object MediaCodec {
 
   case class ImageDHash(doc: String, dhash: Long)
 
+  /** The 64-bit dHash of a w×h pixel source: 9×8 integer-luma grid
+    * (floor resample geometry, `(299r+587g+114b)/1000`), bit `y·8+x`
+    * set iff `gray(x,y) > gray(x+1,y)` — ONE definition shared by the
+    * image and per-video-frame hashers so the two can never diverge. */
+  private def dhash9x8(w: Int, h: Int, rgb: (Int, Int) => (Int, Int, Int)): Long = {
+    val gray = Array.ofDim[Int](8, 9)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val (r, g, b) = rgb(x * w / 9, y * h / 8)
+      gray(y)(x) = (299 * r + 587 * g + 114 * b) / 1000
+    }
+    var hash = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (gray(y)(x) > gray(y)(x + 1)) hash |= 1L << (y * 8 + x)
+    hash
+  }
+
   /** Perceptual difference hash (dHash) — the industrial image
     * near-dup primitive (the text tier's SimHash twin): decode, reduce
     * to a 9×8 luma grid with the SAME integer floor geometry as
@@ -392,16 +433,8 @@ object MediaCodec {
       .mapPartitions { rows =>
         rows.flatMap { case (doc, payload) =>
           decodeImage(payload).map { img =>
-            val (w, h) = (img.getWidth, img.getHeight)
-            val gray = Array.ofDim[Int](8, 9)
-            for (y <- 0 until 8; x <- 0 until 9) {
-              val (r, g, b) = rgbOf(img, x * w / 9, y * h / 8)
-              gray(y)(x) = (299 * r + 587 * g + 114 * b) / 1000
-            }
-            var hash = 0L
-            for (y <- 0 until 8; x <- 0 until 8)
-              if (gray(y)(x) > gray(y)(x + 1)) hash |= 1L << (y * 8 + x)
-            ImageDHash(doc, hash)
+            ImageDHash(doc, dhash9x8(img.getWidth, img.getHeight,
+              (x, y) => rgbOf(img, x, y)))
           }
         }
       }
@@ -430,6 +463,144 @@ object MediaCodec {
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  case class VideoFrameHash(doc: String, frame_idx: Int, dhash: Long)
+
+  /** Per-frame perceptual hashes for video: the AVI container walk
+    * ([[aviFrames]]' geometry — dib rows bottom-up BGR, MJPG frames
+    * through the JPEG codec) with each sampled frame reduced to its
+    * [[dhash9x8]]. A video becomes a small set of longs — the
+    * representation trimmed-copy detection joins on. */
+  def aviFrameDHash(media: DataFrame, step: Int = 1): Dataset[VideoFrameHash] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "video")
+      .select(col("doc"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (doc, payload) =>
+          scala.util.Try(parseAvi(payload)).toOption.toSeq.flatMap { avi =>
+            val sampled = avi.frames.zipWithIndex.filter(_._2 % step == 0)
+            avi.codec match {
+              case "dib" =>
+                val rowBytes = (avi.width * 3 + 3) / 4 * 4
+                sampled
+                  .filter { case (f, _) => f.length == rowBytes * avi.height }
+                  .map { case (frame, i) =>
+                    VideoFrameHash(doc, i, dhash9x8(avi.width, avi.height, { (x, y) =>
+                      val off = (avi.height - 1 - y) * rowBytes + x * 3
+                      ((frame(off + 2) & 0xFF, frame(off + 1) & 0xFF, frame(off) & 0xFF))
+                    }))
+                  }
+              case "mjpg" =>
+                sampled.flatMap { case (frame, i) =>
+                  decodeImage(frame)
+                    .filter(img => img.getWidth == avi.width && img.getHeight == avi.height)
+                    .map(img => VideoFrameHash(doc, i,
+                      dhash9x8(avi.width, avi.height, (x, y) => rgbOf(img, x, y))))
+                }
+            }
+          }
+        }
+      }
+  }
+
+  /** Trimmed-copy / re-encode detection across videos: join per-video
+    * DISTINCT frame hashes on exact dhash equality (a shared hash is a
+    * perceptually identical frame), count shared values per pair, and
+    * carry each side's distinct-hash count so the caller computes
+    * containment (`n_shared / min(n_a, n_b)` = 1.0 for a clean trim).
+    * Distinct-before-join keeps a video with repeated still frames
+    * from exploding the pair space; the join is hash-equi — never
+    * all-pairs, the dedup-tier rule. */
+  def videoSharedFrames(media: DataFrame, step: Int = 1): DataFrame = {
+    val hashes = aviFrameDHash(media, step).toDF()
+      .select(col("doc"), col("dhash")).distinct().localCheckpoint()
+    val counts = hashes.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    hashes.as("a").join(hashes.as("b"),
+        col("a.dhash") === col("b.dhash") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(counts.select(col("doc").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(counts.select(col("doc").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"), col("n_b"))
+  }
+
+  case class AudioFingerprint(doc: String, n_windows: Int, fingerprint: Long)
+
+  /** Volume-invariant audio fingerprint — the dHash idea on PCM: fold
+    * the 16-bit stream into per-window energies (sum of |sample| over
+    * `windowFrames` frames × all channels, integer-exact) and emit one
+    * bit per window boundary: bit `w−1` set iff `E(w) > E(w−1)`, up to
+    * 64 boundaries. Energy-DELTA signs survive uniform gain changes —
+    * a re-levelled copy of the same audio fingerprints identically
+    * while every byte differs. Same decode gate as [[wavStats]]
+    * (PCM-signed 16-bit only; anything else drops the row). */
+  def wavFingerprint(media: DataFrame, windowFrames: Int = 100): Dataset[AudioFingerprint] = {
+    require(windowFrames >= 1, s"windowFrames must be >= 1, got $windowFrames")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(col("modality") === "audio")
+      .select(col("doc"), col("payload"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (doc, payload) =>
+          scala.util.Try {
+            AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
+          }.toOption.filter { in =>
+            val f = in.getFormat
+            f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+              f.getSampleSizeInBits == 16 && !f.isBigEndian
+          }.map { in =>
+            val f = in.getFormat
+            val channels = f.getChannels
+            val bytes = in.readAllBytes()
+            val nFrames = bytes.length / (2 * channels)
+            val nWindows = math.min(nFrames / windowFrames, 65)
+            val energies = new Array[Long](nWindows)
+            var w = 0
+            while (w < nWindows) {
+              var e = 0L
+              var i = w * windowFrames
+              val end = (w + 1) * windowFrames
+              while (i < end) {
+                var c = 0
+                while (c < channels) {
+                  val off = (i * channels + c) * 2
+                  val s = ((bytes(off) & 0xFF) | (bytes(off + 1) << 8)).toShort
+                  e += math.abs(s.toInt)
+                  c += 1
+                }
+                i += 1
+              }
+              energies(w) = e
+              w += 1
+            }
+            var fp = 0L
+            w = 1
+            while (w < nWindows && w <= 64) {
+              if (energies(w) > energies(w - 1)) fp |= 1L << (w - 1)
+              w += 1
+            }
+            AudioFingerprint(doc, nWindows, fp)
+          }
+        }
+      }
+  }
+
+  /** Re-levelled-copy detection across audio docs: exact-equality join
+    * on the volume-invariant fingerprint (plus matching window count,
+    * so a short clip cannot alias a long one through the shared bit
+    * prefix). */
+  def audioNearDups(media: DataFrame, windowFrames: Int = 100): DataFrame = {
+    val fps = wavFingerprint(media, windowFrames).toDF().localCheckpoint()
+    fps.as("a").join(fps.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.n_windows") === col("b.n_windows") &&
+          col("a.doc") < col("b.doc"))
+      .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
+        col("a.fingerprint").as("fingerprint"))
   }
 
   /** Decode WAV audio through `javax.sound.sampled`: format header from

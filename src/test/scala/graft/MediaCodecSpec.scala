@@ -258,6 +258,35 @@ class MediaCodecSpec extends SparkSpec {
     assert(!pairs.exists(p => Set(p._1, p._2) == Set("base", "bmp_twin")))
   }
 
+  test("video trimmed-copy and audio volume-twin detection") {
+    val df = MediaCodec.dhashFixturesDF(spark)
+    // clip2 = clip's first 8 frames: full containment, no short match
+    val vp = MediaCodec.videoSharedFrames(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(vp === Map(("clip", "clip2") -> ((8L, 12L, 8L))))
+    // beep_soft (half volume) fingerprints identically to beep
+    val fp = MediaCodec.wavFingerprint(df).collect()
+      .map(r => r.doc -> (r.n_windows, r.fingerprint)).toMap
+    assert(fp("beep") === fp("beep_soft"))
+    assert(fp("beep") !== fp("tone"))
+    val ap = MediaCodec.audioNearDups(df).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(ap === Set(("beep", "beep_soft")))
+    // the MJPG decode path hashes every sampled frame (NOTE: no
+    // dib-proximity claim here — the fixture's modular-arithmetic
+    // pixels are high-frequency noise, JPEG's worst case, and its
+    // quantization legitimately moves gradient bits; on smooth real
+    // photos dHash survives re-encoding, which is its design point)
+    val jpg = MediaCodec.aviFrameDHash(MediaCodec.mjpgFixturesDF(spark)).collect()
+    assert(jpg.count(_.doc == "anim") === 12)
+    assert(jpg.count(_.doc == "mini") === 3)
+    // step sampling composes with the hash walk
+    val stepped = MediaCodec.aviFrameDHash(MediaCodec.fixturesDF(spark), step = 5)
+      .collect().filter(_.doc == "clip").map(_.frame_idx).sorted
+    assert(stepped.toSeq === Seq(0, 5, 10))
+  }
+
   test("payload column is pruned out of the scan for metadata-only projections") {
     // through a real parquet round trip — pruning must reach ReadSchema
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString
