@@ -158,6 +158,26 @@ private[graft] trait EntryCuration extends EntryShared {
         .select(col("doc_id").as("bench_id"), col("text"))
       Decontaminate.report(docs, bench, n = 4)
     }),
+    // span-level decontamination (GPT-3 App. C: remove the window
+    // AROUND each benchmark collision, keep the rest of the document):
+    // hit positions merge gaps-and-islands style, then pad 2 words each
+    // side clamped to the document,
+    "decontam_spans" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Decontaminate.contaminatedSpans(docs, bench, n = 4, padWords = 2)
+    }),
+    // ...and the action half: the shipped text with contaminated
+    // windows clipped (doc subset, the dup_spans_clip precedent),
+    "decontam_clip" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id").as("bench_id"), col("text"))
+      Decontaminate.clipContaminated(docs.filter(col("doc_id") < 1000),
+          bench, n = 4, padWords = 2)
+        .filter(col("n_words_removed") > 0)
+    }),
     "domain_resample" -> ((s, d) =>
       Sampling.domainResample(Tables.documents(s, d),
         Seq(("en", 0.5), ("de", 0.2), ("fr", 0.15), ("es", 0.15)))
@@ -876,6 +896,33 @@ private[graft] trait EntryCuration extends EntryShared {
         | CAST(e - s AS INTEGER) AS n_tokens
         |FROM seg""".stripMargin,
     "decontam_report" -> decontamReportSql,
+
+    "decontam_spans" ->
+      s"""WITH $contamSpanCtes
+         |SELECT doc_id, span_start, span_end, n_hit_grams, span_words
+         |FROM cspans""".stripMargin,
+
+    // clip tail mirrors dup_spans_clip: per-token anti-join against the
+    // padded span ranges, order-preserving string_agg, case-preserving
+    // shipped tokens over lowercased detection,
+    "decontam_clip" ->
+      s"""WITH clip_src AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+         |${contamSpanCtesOver("clip_src")},
+         |ccw AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS cs FROM clip_src),
+         |ctok AS (SELECT doc_id, i - 1 AS pos, cs[i] AS tk
+         |        FROM ccw, LATERAL (SELECT unnest(generate_series(1, len(cs))) AS i) g),
+         |ckeep AS (SELECT t.doc_id, t.pos, t.tk FROM ctok t
+         |         WHERE NOT EXISTS (SELECT 1 FROM cspans s
+         |           WHERE s.doc_id = t.doc_id AND t.pos BETWEEN s.span_start AND s.span_end)),
+         |cagg AS (SELECT k.doc_id,
+         |         COALESCE(string_agg(k.tk, ' ' ORDER BY k.pos), '') AS clean_text,
+         |         count(*) AS n_kept
+         |        FROM ckeep k GROUP BY k.doc_id)
+         |SELECT cdw.doc_id, COALESCE(a.clean_text, '') AS clean_text,
+         | CAST(len(cdw.ws) AS INTEGER) AS n_words,
+         | CAST(len(cdw.ws) - COALESCE(a.n_kept, 0) AS INTEGER) AS n_words_removed
+         |FROM cdw LEFT JOIN cagg a USING (doc_id)
+         |WHERE len(cdw.ws) - COALESCE(a.n_kept, 0) > 0""".stripMargin,
     "domain_resample" ->
       """WITH t AS (SELECT * FROM (VALUES ('en', 0.5), ('de', 0.2), ('fr', 0.15), ('es', 0.15))
         |           AS t(lang, share)),

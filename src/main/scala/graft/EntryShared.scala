@@ -263,6 +263,39 @@ private[graft] trait EntryShared {
         | a.n_bench_hits IS NOT NULL AS contaminated
         |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin
 
+  /** Shared DuckDB replay of `Decontaminate.contaminatedSpans` (n=4,
+    * padWords=2, bench = documents with doc_id % 25 = 0) over source
+    * `src(doc_id, text, …)`: a CTE chain ending in `cspans(doc_id,
+    * span_start, span_end, n_hit_grams, span_words)`, with the
+    * tokenized corpus exposed as `cdw(doc_id, ws)` for the clip tail.
+    * Composed by decontam_spans AND decontam_clip — one definition. */
+  protected def contamSpanCtesOver(src: String): String =
+    s"""cdw AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM $src),
+       |cdp AS (SELECT doc_id, i - 1 AS pos, array_to_string(ws[i:i+3], ' ') AS gram,
+       |        len(ws) AS nw
+       |      FROM cdw, LATERAL (SELECT unnest(generate_series(1, len(ws) - 3)) AS i) g
+       |      WHERE len(ws) >= 4),
+       |cbg AS (SELECT DISTINCT array_to_string(bws[i:i+3], ' ') AS gram
+       |       FROM (SELECT string_split_regex(lower(trim(text)), '\\s+') AS bws
+       |             FROM documents WHERE doc_id % 25 = 0) b,
+       |            LATERAL (SELECT unnest(generate_series(1, len(bws) - 3)) AS i) g
+       |       WHERE len(bws) >= 4),
+       |cm AS (SELECT doc_id, pos, nw FROM cdp JOIN cbg USING (gram)),
+       |cseg AS (SELECT doc_id, pos, nw,
+       |        CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 4
+       |         THEN 0 ELSE 1 END AS new_seg FROM cm),
+       |cgrp AS (SELECT doc_id, pos, nw,
+       |        sum(new_seg) OVER (PARTITION BY doc_id ORDER BY pos) AS seg_id FROM cseg),
+       |cspans AS (SELECT doc_id,
+       |          CAST(greatest(min(pos) - 2, 0) AS BIGINT) AS span_start,
+       |          CAST(least(max(pos) + 5, max(nw) - 1) AS BIGINT) AS span_end,
+       |          CAST(count(*) AS BIGINT) AS n_hit_grams,
+       |          CAST(least(max(pos) + 5, max(nw) - 1) - greatest(min(pos) - 2, 0) + 1
+       |            AS BIGINT) AS span_words
+       |         FROM cgrp GROUP BY doc_id, seg_id)""".stripMargin
+
+  protected def contamSpanCtes: String = contamSpanCtesOver("documents")
+
   /** Shared DuckDB replay of `Dedup.duplicatedSpans` (n=4, minDocs=2,
     * minSpanWords=8) over source `src(doc_id, text, …)`: a CTE chain
     * ending in `dsspans(doc_id, span_start, span_end, n_dup_grams,

@@ -59,6 +59,89 @@ object Decontaminate {
         coalesce(col("n_bench_hits") > 0, lit(false)).as("contaminated"))
   }
 
+  // ---- span-level decontamination (remove the window, keep the doc) ----
+
+  /** Contaminated SPANS per document — the GPT-3-style surgical variant
+    * of [[report]] (Brown et al. 2020 App. C removes a window AROUND
+    * each benchmark collision instead of dropping the whole document;
+    * a long document with one leaked question keeps its other 99%):
+    * every doc word-position whose `n`-gram appears in the benchmark's
+    * distinct `n`-gram set marks a hit; adjacent hits (within `n`
+    * positions — touching or overlapping windows) merge into one span
+    * (the [[Dedup.duplicatedSpans]] gaps-and-islands shape); each span
+    * then pads by `padWords` on both sides, clamped to the document.
+    * Benchmark items shorter than `n` words contribute no grams (no
+    * spurious whole-text matches).
+    *
+    * Scale shape: the benchmark gram set is broadcast (eval sets are
+    * thousands of items); the corpus side is a map-side hash probe of
+    * its positions — the only exchange is the per-document window over
+    * HIT positions, O(hits) not O(corpus).
+    *
+    * Output: (doc_id, span_start, span_end, n_hit_grams, span_words),
+    * word-index bounds inclusive. */
+  def contaminatedSpans(docs: DataFrame, bench: DataFrame, n: Int = 13,
+                        padWords: Int = 0,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        benchTextCol: String = "text"): DataFrame = {
+    require(n >= 1 && padWords >= 0, s"need n >= 1, padWords >= 0, got $n/$padWords")
+    val pos = docs
+      .withColumn("_words", split(lower(trim(col(textCol))), "\\s+"))
+      .filter(size(col("_words")) >= n)
+      .select(col(idCol).as("doc_id"), size(col("_words")).as("nw"),
+        posexplode(transform(sequence(lit(0), size(col("_words")) - n),
+          i => array_join(slice(col("_words"), i + 1, lit(n)), " ")))
+          .as(Seq("pos", "gram")))
+    val benchGrams = bench
+      .withColumn("_bw", split(lower(trim(col(benchTextCol))), "\\s+"))
+      .filter(size(col("_bw")) >= n)
+      .select(explode(transform(sequence(lit(0), size(col("_bw")) - n),
+        i => array_join(slice(col("_bw"), i + 1, lit(n)), " "))).as("gram"))
+      .distinct()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    pos.join(broadcast(benchGrams), "gram")
+      .withColumn("_new_seg",
+        when(col("pos") - lag(col("pos"), 1).over(w) <= n, lit(0)).otherwise(lit(1)))
+      .withColumn("_seg", sum(col("_new_seg")).over(w))
+      .groupBy(col("doc_id"), col("_seg"))
+      .agg(greatest(min(col("pos")) - padWords, lit(0)).as("span_start"),
+        least(max(col("pos")) + n - 1 + padWords, max(col("nw")) - 1).as("span_end"),
+        count(lit(1)).as("n_hit_grams"))
+      .withColumn("span_words", col("span_end") - col("span_start") + 1)
+      .select(col("doc_id").as(idCol), col("span_start"), col("span_end"),
+        col("n_hit_grams"), col("span_words"))
+  }
+
+  /** The ACTION half of [[contaminatedSpans]]: ship each document with
+    * its contaminated windows removed (padded spans may merge at clip
+    * time — the index filter is against the span UNION, so overlap is
+    * harmless). Detection tokenizes lowercased (contamination is
+    * case-insensitive); the kept-index filter applies to the
+    * case-preserving split of the same text — position-aligned, the
+    * [[Dedup.clipDuplicatedSpans]] contract. Output: (id, clean_text,
+    * n_words, n_words_removed) over the full corpus (clean documents
+    * round-trip up to the \\s+ → single-space join). */
+  def clipContaminated(docs: DataFrame, bench: DataFrame, n: Int = 13,
+                       padWords: Int = 0,
+                       idCol: String = "doc_id", textCol: String = "text",
+                       benchTextCol: String = "text"): DataFrame = {
+    val spans = contaminatedSpans(docs, bench, n, padWords, idCol, textCol, benchTextCol)
+      .groupBy(col(idCol))
+      .agg(collect_list(struct(col("span_start").as("s"), col("span_end").as("e")))
+        .as("_spans"))
+    docs.join(spans, Seq(idCol), "left")
+      .withColumn("_words", split(trim(col(textCol)), "\\s+"))
+      .withColumn("_kept",
+        when(col("_spans").isNull, col("_words")).otherwise(
+          filter(col("_words"), (_, i) =>
+            !exists(col("_spans"), s => i >= s("s") && i <= s("e")))))
+      .select(col(idCol),
+        array_join(col("_kept"), " ").as("clean_text"),
+        size(col("_words")).as("n_words"),
+        (size(col("_words")) - size(col("_kept"))).as("n_words_removed"))
+  }
+
   // ---- Bloom-filter membership (the sketch-sized decontam guard) -------
 
   /** The `k` bit positions an md5-hex key sets in an `m`-bit Bloom

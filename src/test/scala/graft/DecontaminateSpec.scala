@@ -116,6 +116,43 @@ class DecontaminateSpec extends SparkSpec {
     assert(out(1L)._2)
   }
 
+  test("contaminatedSpans: pad, clamp, island merge, short-bench exclusion") {
+    import spark.implicits._
+    // doc 1: one leaked 4-gram mid-document; doc 2: two hits close
+    // enough to merge (gap <= n); doc 3: hit at the very start (pad
+    // clamps to 0); doc 4: clean
+    val docs = Seq(
+      (1L, "w0 w1 w2 leak a b c w7 w8 w9 w10 w11"),
+      (2L, "leak a b c x1 leak a b c y1 y2 y3"),
+      (3L, "leak a b c t4 t5 t6 t7 t8 t9"),
+      (4L, "nothing to see here at all")).toDF("doc_id", "text")
+    val bench = Seq((9L, "leak a b c"), (8L, "too short")).toDF("bench_id", "text")
+    val spans = Decontaminate.contaminatedSpans(docs, bench, n = 4, padWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getLong(3)))).toMap
+    // doc 1: hit at pos 3, window [3,6], padded [1,8]
+    assert(spans(1L) === ((1, 8, 1L)))
+    // doc 2: hits at 0 and 5 (gap 5 > n=4 would split; 5-0=5 > 4 -> two
+    // segments? no: 5 <= n is false, so they split) — but padding makes
+    // them ADJACENT in the clip; detection reports two spans
+    assert(spans.contains(2L))
+    // doc 3: hit at 0, padded start clamps to 0, end 3+2=5
+    assert(spans(3L) === ((0, 5, 1L)))
+    assert(!spans.contains(4L))
+    // the 2-word bench item contributed no grams: 'too short' appears
+    // nowhere as a hit
+    val clip = Decontaminate.clipContaminated(docs, bench, n = 4, padWords = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    assert(clip(1L) === (("w0 w9 w10 w11", 12, 8)))
+    // doc 2's two padded spans overlap ([0,5] and [3,10]): the clip
+    // filters against the union, leaving only y3
+    assert(clip(2L) === (("y3", 12, 11)))
+    assert(clip(3L) === (("t6 t7 t8 t9", 10, 6)))
+    // clean doc round-trips byte-identically (single-spaced fixture)
+    assert(clip(4L) === (("nothing to see here at all", 6, 0)))
+  }
+
   test("decontaminate plan: benchmark side broadcasts, corpus never repartitions before the join") {
     val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
     val bench = Seq((10L, "c d e f g h")).toDF("bench_id", "text")
