@@ -150,6 +150,35 @@ private[graft] trait EntryDocs extends EntryShared {
     "ocr_extract" -> ((s, d) => Ocr.ocrLines(Ocr.fixturesDF(s)).toDF()),
 
     // --- binary document extraction (SURVEY §2.1 S4/S8/S9/S10) --------,
+    // markdown extraction (beyond-reference: the code-adjacent corpus
+    // format) — headings/paras/lists/quotes/fenced code through the
+    // single-line-scan extractor; inline links/images/code/emphasis
+    // clean everywhere EXCEPT code, which stays verbatim,
+    "md_extract" -> ((s, d) => {
+      import s.implicits._
+      val md = Seq(
+        "# Title *One*",
+        "",
+        "Intro paragraph with [a link](http://x) and `code span`",
+        "continuing on a second line.",
+        "",
+        "## Usage ##",
+        "",
+        "- item **bold**",
+        "- another [ref](u)",
+        "1. first",
+        "2) second",
+        "",
+        "> quoted line",
+        "> continues here",
+        "",
+        "```scala",
+        "val x = 1 // code **stays** [raw](u)",
+        "```",
+        "",
+        "Tail para.").mkString("\n")
+      operators.Markdown.markdownBlocks(Seq(("readme", md)).toDF("doc", "text"))
+    }),
     "docx_extract" -> ((s, d) =>
       DocExtract.docxChunks(DocExtract.fixturesDF(s).filter(col("fmt") === "docx"))),
     "eml_extract" -> ((s, d) =>
@@ -1067,6 +1096,20 @@ private[graft] trait EntryDocs extends EntryShared {
     // Expected rows hand-derived from the DocFixtures constants (the
     // fixture builder and these literals are independent statements of
     // the same contract — either side drifting breaks the hash match).,
+    "md_extract" ->
+      """SELECT * FROM (VALUES
+        | ('readme', 0, 'heading', 1, '', 'Title One'),
+        | ('readme', 1, 'para', 0, '',
+        |  'Intro paragraph with a link and code span continuing on a second line.'),
+        | ('readme', 2, 'heading', 2, '', 'Usage'),
+        | ('readme', 3, 'list', 0, '', 'item bold'),
+        | ('readme', 4, 'list', 0, '', 'another ref'),
+        | ('readme', 5, 'list', 0, '', 'first'),
+        | ('readme', 6, 'list', 0, '', 'second'),
+        | ('readme', 7, 'quote', 0, '', 'quoted line continues here'),
+        | ('readme', 8, 'code', 0, 'scala', 'val x = 1 // code **stays** [raw](u)'),
+        | ('readme', 9, 'para', 0, '', 'Tail para.')
+        |) AS t(doc, block_idx, kind, level, lang, content)""".stripMargin,
     "docx_extract" ->
       """SELECT * FROM (VALUES
         | ('policy', 'policy_para_0', 'section', 'Coverage Policy', 'Heading1', 'Coverage Policy'),

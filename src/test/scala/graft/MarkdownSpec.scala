@@ -1,0 +1,63 @@
+package graft
+
+import graft.operators.Markdown
+import graft.operators.Markdown.MdBlock
+
+/** Edge semantics for the markdown extractor: the `md_extract` oracle
+  * pins the golden document; these pin the corners hostile or sloppy
+  * input hits (unclosed fences, CRLF, marker-without-space, heading
+  * overflow, inline cleaning never touching code). */
+class MarkdownSpec extends SparkSpec {
+
+  private def kinds(md: String) = Markdown.parseMarkdown(md).map(b => (b.kind, b.content))
+
+  test("unclosed fence runs to end of input, content verbatim") {
+    val out = Markdown.parseMarkdown("```py\nx = [a](b)\nstill code")
+    assert(out === Seq(MdBlock(0, "code", 0, "py", "x = [a](b)\nstill code")))
+  }
+
+  test("CRLF input: trailing \\r never leaks into content") {
+    val out = Markdown.parseMarkdown("# H\r\n\r\npara one\r\nline two\r\n")
+    assert(out === Seq(
+      MdBlock(0, "heading", 1, "", "H"),
+      MdBlock(1, "para", 0, "", "para one line two")))
+  }
+
+  test("marker without the space is not structure") {
+    // '#notitle' is a hashtag, '-dash' a word, '1.x' a number: all paras
+    assert(kinds("#notitle") === Seq(("para", "#notitle")))
+    assert(kinds("-dash joined") === Seq(("para", "-dash joined")))
+    assert(kinds("1.x versions") === Seq(("para", "1.x versions")))
+  }
+
+  test("seven hashes is a paragraph; trailing hashes strip from real headings") {
+    assert(kinds("####### too deep") === Seq(("para", "####### too deep")))
+    assert(Markdown.parseMarkdown("### Three ###").head ===
+      MdBlock(0, "heading", 3, "", "Three"))
+  }
+
+  test("inline cleaning: images, links, code spans, emphasis; blanks split paras") {
+    assert(kinds("See ![alt text](img.png) and **b** _i_ `c()` now.") ===
+      Seq(("para", "See alt text and b i c() now.")))
+    assert(kinds("one\n\ntwo") === Seq(("para", "one"), ("para", "two")))
+    // intra-word underscores survive (snake_case is not emphasis)
+    assert(kinds("use snake_case here") === Seq(("para", "use snake_case here")))
+  }
+
+  test("quote and list runs break correctly against each other") {
+    val out = kinds("> q1\n- item\n> q2")
+    assert(out === Seq(("quote", "q1"), ("list", "item"), ("quote", "q2")))
+  }
+
+  test("empty, blank-only, and null-free inputs behave") {
+    assert(Markdown.parseMarkdown("") === Seq.empty)
+    assert(Markdown.parseMarkdown("\n\n  \n") === Seq.empty)
+  }
+
+  test("markdownBlocks: null text yields no rows, not a failed task") {
+    import spark.implicits._
+    val df = Seq(("a", "# ok"), ("b", null)).toDF("doc", "text")
+    val rows = Markdown.markdownBlocks(df).collect()
+    assert(rows.map(_.getString(0)).toSeq === Seq("a"))
+  }
+}
