@@ -179,6 +179,28 @@ private[graft] trait EntryDocs extends EntryShared {
         "Tail para.").mkString("\n")
       operators.Markdown.markdownBlocks(Seq(("readme", md)).toDF("doc", "text"))
     }),
+    // ...and the sections view over the same document (the C1-splitter
+    // shape for markdown: blocks grouped under their most recent
+    // heading, preamble-before-any-heading as section 0),
+    "md_sections" -> ((s, d) => {
+      import s.implicits._
+      val md = Seq(
+        "preamble before any heading",
+        "",
+        "# Title *One*",
+        "",
+        "Intro paragraph with [a link](http://x) and `code span`",
+        "continuing on a second line.",
+        "",
+        "## Usage ##",
+        "",
+        "- item **bold**",
+        "",
+        "```scala",
+        "val x = 1",
+        "```").mkString("\n")
+      operators.Markdown.markdownSections(Seq(("readme", md)).toDF("doc", "text"))
+    }),
     "docx_extract" -> ((s, d) =>
       DocExtract.docxChunks(DocExtract.fixturesDF(s).filter(col("fmt") === "docx"))),
     "eml_extract" -> ((s, d) =>
@@ -1110,6 +1132,13 @@ private[graft] trait EntryDocs extends EntryShared {
         | ('readme', 8, 'code', 0, 'scala', 'val x = 1 // code **stays** [raw](u)'),
         | ('readme', 9, 'para', 0, '', 'Tail para.')
         |) AS t(doc, block_idx, kind, level, lang, content)""".stripMargin,
+    "md_sections" ->
+      """SELECT * FROM (VALUES
+        | ('readme', 0, '', 'preamble before any heading', 1),
+        | ('readme', 1, 'Title One',
+        |  'Intro paragraph with a link and code span continuing on a second line.', 1),
+        | ('readme', 2, 'Usage', 'item bold' || chr(10) || 'val x = 1', 2)
+        |) AS t(doc, section_idx, title, content, n_blocks)""".stripMargin,
     "docx_extract" ->
       """SELECT * FROM (VALUES
         | ('policy', 'policy_para_0', 'section', 'Coverage Policy', 'Heading1', 'Coverage Policy'),

@@ -160,4 +160,33 @@ object Markdown {
       .select(col("doc"), col("b.block_idx").as("block_idx"),
         col("b.kind").as("kind"), col("b.level").as("level"),
         col("b.lang").as("lang"), col("b.content").as("content"))
+
+  /** The bridge into the chunking tier — [[markdownBlocks]] grouped
+    * under their governing heading, the [[Sections]] shape for
+    * markdown: each block belongs to the most recent heading at ANY
+    * level (markdown documents nest loosely; the flat
+    * most-recent-heading rule is the C1 splitter's own convention),
+    * blocks before the first heading form section 0 with an empty
+    * title. Output: (doc, section_idx, title, content, n_blocks) with
+    * body blocks joined by newline in document order.
+    *
+    * Scale shape: the window partitions by DOCUMENT (corpus-keyed,
+    * never global) and the regroup is one doc-keyed aggregate. */
+  def markdownSections(docs: DataFrame, docCol: String = "doc",
+                       textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("block_idx"))
+    markdownBlocks(docs, docCol, textCol)
+      .withColumn("section_idx",
+        sum(when(col("kind") === "heading", 1).otherwise(0)).over(w))
+      .withColumn("title",
+        coalesce(last(when(col("kind") === "heading", col("content")), true).over(w),
+          lit("")))
+      .filter(col("kind") =!= "heading")
+      .groupBy(col("doc"), col("section_idx"), col("title"))
+      .agg(array_join(transform(
+          array_sort(collect_list(struct(col("block_idx"), col("content")))),
+          b => b.getField("content")), "\n").as("content"),
+        count(lit(1)).as("n_blocks"))
+  }
 }

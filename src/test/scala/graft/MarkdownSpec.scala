@@ -54,6 +54,21 @@ class MarkdownSpec extends SparkSpec {
     assert(Markdown.parseMarkdown("\n\n  \n") === Seq.empty)
   }
 
+  test("markdownSections: most-recent-heading grouping at any level") {
+    import spark.implicits._
+    val md = "pre\n\n# A\n\npa\n\n### Deep\n\npd\n\n## B\n\npb1\n\npb2"
+    val out = Markdown.markdownSections(Seq(("d", md)).toDF("doc", "text"))
+      .collect().map(r => r.getLong(1) -> ((r.getString(2), r.getString(3), r.getLong(4))))
+      .toMap
+    assert(out(0L) === (("", "pre", 1L)))
+    assert(out(1L) === (("A", "pa", 1L)))
+    assert(out(2L) === (("Deep", "pd", 1L))) // deeper heading still owns its blocks
+    assert(out(3L) === (("B", "pb1\npb2", 2L)))
+    // a heading with no body contributes NO section row (nothing to chunk)
+    val empty = Markdown.markdownSections(Seq(("d", "# Lone")).toDF("doc", "text"))
+    assert(empty.count() === 0)
+  }
+
   test("markdownBlocks: null text yields no rows, not a failed task") {
     import spark.implicits._
     val df = Seq(("a", "# ok"), ("b", null)).toDF("doc", "text")
