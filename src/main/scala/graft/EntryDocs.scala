@@ -621,6 +621,24 @@ private[graft] trait EntryDocs extends EntryShared {
         length(raw).as("len_raw"),
         length(TextAnalysis.normalizeText(raw)).as("len_nfc"))
     }),
+    // sitemap-lastmod staleness (the site-declared due signal next to
+    // recrawl_schedule's observed change rates): never-fetched urls are
+    // 'new', declared-lastmod-after-the-fetch-day 'updated', the rest —
+    // including lastmod-less entries — 'fresh'. Fetch ledger pinned to
+    // 2026-01-15; lastmod days cycle the month; every 7th entry has no
+    // lastmod,
+    "sitemap_staleness" -> ((s, d) => {
+      val id = col("doc_id")
+      val url = concat(lit("http://h"), (id % 5).cast("string"),
+        lit(".example.com/p"), id.cast("string"))
+      val entries = Tables.documents(s, d).select(url.as("loc"),
+        when(id % 7 === 6, lit(null).cast("string"))
+          .otherwise(concat(lit("2026-01-"),
+            lpad((id % 28 + 1).cast("string"), 2, "0"))).as("lastmod"))
+      val ledger = Tables.documents(s, d).filter(id % 3 === 0)
+        .select(url.as("url"), (lit(1768435200L) + id % 1000).as("fetch_ts_sec"))
+      UrlOps.sitemapStaleness(entries, ledger)
+    }),
     // URL-level quality filtering (RefinedWeb, Penedo et al. 2023
     // §3.1/G.1) — the filter a curated pipeline runs BEFORE fetching:
     // registrable-domain blocklist (broadcast equi-join), bad-word
@@ -1555,6 +1573,28 @@ private[graft] trait EntryDocs extends EntryShared {
         |  nfc_normalize(raw) <> raw AS changed,
         |  length(raw) AS len_raw, length(nfc_normalize(raw)) AS len_nfc
         |FROM u""".stripMargin,
+
+    "sitemap_staleness" ->
+      """WITH e AS (
+        | SELECT 'http://h' || (doc_id % 5) || '.example.com/p' || doc_id AS url,
+        |  CASE WHEN doc_id % 7 = 6 THEN NULL
+        |       ELSE date_diff('day', DATE '1970-01-01',
+        |         CAST('2026-01-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |           AS DATE)) * 86400 END AS lastmod_sec
+        | FROM documents),
+        |ee AS (SELECT url, CAST(max(lastmod_sec) AS BIGINT) AS lastmod_sec
+        |       FROM e GROUP BY url),
+        |l AS (SELECT 'http://h' || (doc_id % 5) || '.example.com/p' || doc_id AS url,
+        |      CAST(max(1768435200 + doc_id % 1000) AS BIGINT) AS last_fetch_sec
+        |      FROM documents WHERE doc_id % 3 = 0 GROUP BY 1)
+        |SELECT ee.url, lastmod_sec, last_fetch_sec,
+        | CASE WHEN last_fetch_sec IS NULL THEN 'new'
+        |      WHEN lastmod_sec > last_fetch_sec - last_fetch_sec % 86400
+        |       THEN 'updated' ELSE 'fresh' END AS reason,
+        | CASE WHEN last_fetch_sec IS NULL THEN true
+        |      WHEN lastmod_sec > last_fetch_sec - last_fetch_sec % 86400
+        |       THEN true ELSE false END AS due
+        |FROM ee LEFT JOIN l USING (url)""".stripMargin,
 
     "url_filter" ->
       ("""WITH u AS (

@@ -538,6 +538,50 @@ object UrlOps {
         (size(col("_r")) === 0).as("keep"))
   }
 
+  /** Sitemap-lastmod-driven staleness — the OTHER due signal a
+    * production recrawl layers on [[recrawlSchedule]]'s observed
+    * change rates: the site itself declares when a page changed
+    * (sitemaps.org `<lastmod>`), so a fetch ledger older than the
+    * declared date marks the URL due without spending a conditional
+    * GET. Day granularity by design (real sitemap lastmods are
+    * overwhelmingly date-only; both engines do exact date math, no
+    * timezone algebra). Rules:
+    *  - entries dedupe to MAX lastmod per canonical url (a url may
+    *    appear in several sitemaps);
+    *  - `new`: never fetched; `updated`: declared lastmod strictly
+    *    after the last fetch's day; `fresh`: everything else —
+    *    including entries WITHOUT a lastmod that were fetched before
+    *    (no signal is not a due signal);
+    *  - `due` = new ∨ updated.
+    *
+    * Scale shape: two key-dedup aggregates and ONE url-keyed equi-join
+    * — the sitemap table is site-sized, the ledger corpus-sized, both
+    * partition on the same key. */
+  def sitemapStaleness(entries: org.apache.spark.sql.DataFrame,
+                       ledger: org.apache.spark.sql.DataFrame,
+                       urlCol: String = "loc", lastmodCol: String = "lastmod",
+                       ledgerUrlCol: String = "url",
+                       fetchTsCol: String = "fetch_ts_sec")
+      : org.apache.spark.sql.DataFrame = {
+    val epoch = to_date(lit("1970-01-01"))
+    val e = entries.select(canonicalizeUrl(col(urlCol)).as("url"),
+        (datediff(to_date(col(lastmodCol)), epoch).cast("long") * 86400L)
+          .as("lastmod_sec"))
+      .groupBy(col("url")).agg(max(col("lastmod_sec")).as("lastmod_sec"))
+    val l = ledger.select(canonicalizeUrl(col(ledgerUrlCol)).as("url"),
+        col(fetchTsCol).cast("long").as("fetch_ts_sec"))
+      .groupBy(col("url")).agg(max(col("fetch_ts_sec")).as("last_fetch_sec"))
+    e.join(l, Seq("url"), "left")
+      .withColumn("reason",
+        when(col("last_fetch_sec").isNull, "new")
+          .when(col("lastmod_sec") > col("last_fetch_sec") -
+            pmod(col("last_fetch_sec"), lit(86400L)), "updated")
+          .otherwise("fresh"))
+      .withColumn("due", col("reason") =!= "fresh")
+      .select(col("url"), col("lastmod_sec"), col("last_fetch_sec"),
+        col("reason"), col("due"))
+  }
+
   /** The recrawl batch: stalest-first top-N of the due set. An
     * `orderBy().limit()` — Spark's TakeOrderedAndProject: per-partition
     * top-N then a bounded merge, never a global sort or a
