@@ -1662,7 +1662,7 @@ private[graft] trait EntryDocs extends EntryShared {
         |b AS (
         | SELECT l.host, l.key FROM
         |  (SELECT host, key, count(DISTINCT doc_id) AS n_line_docs
-        |   FROM lines GROUP BY host, key) l
+        |   FROM lines WHERE key <> '' GROUP BY host, key) l
         |  JOIN hd USING (host)
         | WHERE n_docs >= 2 AND n_line_docs >= 2
         |   AND n_line_docs * 1000000 >= 500000 * n_docs)

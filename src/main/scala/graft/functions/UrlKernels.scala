@@ -98,22 +98,40 @@ object UrlKernels {
     override def compare(a: String, b: String): Int = cpCompare(a, b)
   }
 
-  /** rlike(^...$) with Java `find`: the match may exclude one final
-    * line terminator — test both spellings. */
-  private def isTrackingParam(p: String): Boolean = {
-    if (Track.matcher(p).find()) return true
-    val t = finalTermLen(p)
-    t > 0 && Track.matcher(p.substring(0, p.length - t)).find()
-  }
+  /** rlike(^...$) with Java `find` — a single `find` on the ORIGINAL
+    * string IS the column form's semantics (`$` already matches before
+    * one final line terminator; stripping-and-retrying would ADD
+    * matches rlike rejects, e.g. a param with TWO trailing newlines). */
+  private def isTrackingParam(p: String): Boolean = Track.matcher(p).find()
 
   /** The canonicalizer scan — RFC 3986 §6 normalization, identical to
     * the UrlOps column formulation (see its scaladoc for the rule
     * list). Non-absolute input (no `scheme://`) passes through
     * untouched, including its fragment. */
+  /** Does `base[0, e)` end with `suffix` (the `X$` regex test where
+    * `$` may sit before one final line terminator at `e`)? */
+  @inline private def endsWithAt(base: String, suffix: String, e: Int): Boolean =
+    e >= suffix.length && base.regionMatches(e - suffix.length, suffix, 0, suffix.length)
+
   def canonicalize(url: UTF8String): UTF8String = {
     val full = url.toString
-    val hash = full.indexOf('#')
-    val s = if (hash >= 0) full.substring(0, hash) else full
+    // `regexp_replace(url, "#.*$", "")`: `.` excludes line terminators
+    // and `$` sits at the end or before ONE final terminator, so the
+    // match starts at the first '#' with no terminator between it and
+    // that position and removes ONLY [hash, e) — a final terminator
+    // SURVIVES fragment removal, and a '#' separated from the end by
+    // an interior newline is not removed at all (it then stays a
+    // delimiter for the extractions below, which all exclude '#').
+    val fullE = full.length - finalTermLen(full)
+    var lastTerm = -1
+    var k = 0
+    while (k < fullE) { if (isLineTerm(full.charAt(k))) lastTerm = k; k += 1 }
+    val hashPos = {
+      val h = full.indexOf('#', lastTerm + 1)
+      if (h >= 0 && h < fullE) h else -1
+    }
+    val s =
+      if (hashPos >= 0) full.substring(0, hashPos) + full.substring(fullE) else full
     val schemeLen = schemeSlashSlash(s)
     if (schemeLen < 0) return url
     val scheme = sparkLower(s.substring(0, schemeLen))
@@ -122,8 +140,15 @@ object UrlKernels {
     while (authEnd < s.length && {
         val c = s.charAt(authEnd); c != '/' && c != '?' && c != '#' }) authEnd += 1
     val authority = s.substring(authStart, authEnd)
-    val q = s.indexOf('?')
-    val query = if (q >= 0) s.substring(q + 1) else ""
+    // query: `\?([^#]*)` over noFrag — first '?', up to the next '#'
+    val query = {
+      val q = s.indexOf('?')
+      if (q < 0) ""
+      else {
+        val h2 = s.indexOf('#', q + 1)
+        if (h2 >= 0) s.substring(q + 1, h2) else s.substring(q + 1)
+      }
+    }
     var host = ""
     var path = ""
     if (authority.nonEmpty) {
@@ -132,12 +157,17 @@ object UrlKernels {
       val at = authority.indexOf('@')
       val userinfo = if (at >= 0) authority.substring(0, at + 1) else ""
       var hostPort = sparkLower(if (at >= 0) authority.substring(at + 1) else authority)
-      if (scheme == "http" && hostPort.endsWith(":80"))
-        hostPort = hostPort.substring(0, hostPort.length - 3)
-      else if (scheme == "https" && hostPort.endsWith(":443"))
-        hostPort = hostPort.substring(0, hostPort.length - 4)
+      // `:80$`/`:443$` — the `$` may sit before a final line terminator
+      val he = hostPort.length - finalTermLen(hostPort)
+      if (scheme == "http" && endsWithAt(hostPort, ":80", he))
+        hostPort = hostPort.substring(0, he - 3) + hostPort.substring(he)
+      else if (scheme == "https" && endsWithAt(hostPort, ":443", he))
+        hostPort = hostPort.substring(0, he - 4) + hostPort.substring(he)
       host = userinfo + hostPort
-      val pEnd = { val qq = s.indexOf('?', authEnd); if (qq >= 0) qq else s.length }
+      // rawPath: `([^?#]*)` after the authority — stops at '?' OR '#'
+      var pEnd = authEnd
+      while (pEnd < s.length && {
+          val c = s.charAt(pEnd); c != '?' && c != '#' }) pEnd += 1
       var rawPath = s.substring(authEnd, pEnd)
       // `(.)/$` — strip one non-root trailing slash; the `$` may sit
       // before a final line terminator, and `(.)` must NOT be one

@@ -100,6 +100,9 @@ object Cleaning {
     *    `maxDocFracMicro` (micro-units, default 0.5) of them;
     *  - hosts with fewer than `minDocs` documents keep everything (no
     *    statistical basis);
+    *  - BLANK lines (empty after trim) are never boilerplate: they are
+    *    paragraph separators, not content — flagging them would strip
+    *    every paragraph boundary on any multi-doc host;
     *  - output per document: `n_lines`, `n_removed`, `clean_text`
     *    (kept lines re-joined in document order; empty lines inside
     *    the document count and reassemble like any other line, so the
@@ -123,7 +126,8 @@ object Cleaning {
       .withColumn("key", trim(col("line")))
     val hostDocs = pages.groupBy(col(hostCol).as("host"))
       .agg(countDistinct(col(idCol)).as("n_docs"))
-    val boiler = lines.groupBy(col("host"), col("key"))
+    val boiler = lines.filter(col("key") =!= "")
+      .groupBy(col("host"), col("key"))
       .agg(countDistinct(col("doc_id")).as("n_line_docs"))
       .join(broadcast(hostDocs), Seq("host"))
       .filter(col("n_docs") >= minDocs &&

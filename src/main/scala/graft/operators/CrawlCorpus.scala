@@ -257,7 +257,15 @@ object CrawlCorpus {
           visitedParts ::= next
           roundsSinceCompact += 1
           if (roundsSinceCompact >= visitedCompactEvery) {
-            visitedParts = List(width(visited).localCheckpoint())
+            // compaction must also bound the PARTITION count: with
+            // frontierPartitions = 0 (production) the lazy union's
+            // partitions otherwise accumulate across rounds — coalesce
+            // (no shuffle) back to the session's shuffle width
+            val compacted =
+              if (frontierPartitions > 0) width(visited)
+              else visited.coalesce(
+                spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+            visitedParts = List(compacted.localCheckpoint())
             roundsSinceCompact = 0
           }
           frontier = next

@@ -557,10 +557,16 @@ object MediaCodec {
             val channels = f.getChannels
             val bytes = in.readAllBytes()
             val nFrames = bytes.length / (2 * channels)
-            val nWindows = math.min(nFrames / windowFrames, 65)
-            val energies = new Array[Long](nWindows)
+            // n_windows reports the TRUE count (it is the length guard
+            // audioNearDups joins on — capping it would let any two
+            // >65-window audios alias through a shared bit prefix);
+            // only the ENERGY scan stops at the fingerprint's 64
+            // boundaries + 1
+            val nWindows = nFrames / windowFrames
+            val scanWindows = math.min(nWindows, 65)
+            val energies = new Array[Long](scanWindows)
             var w = 0
-            while (w < nWindows) {
+            while (w < scanWindows) {
               var e = 0L
               var i = w * windowFrames
               val end = (w + 1) * windowFrames
@@ -579,7 +585,7 @@ object MediaCodec {
             }
             var fp = 0L
             w = 1
-            while (w < nWindows && w <= 64) {
+            while (w < scanWindows && w <= 64) {
               if (energies(w) > energies(w - 1)) fp |= 1L << (w - 1)
               w += 1
             }

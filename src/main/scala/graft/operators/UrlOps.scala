@@ -524,8 +524,11 @@ object UrlOps {
     urls
       .withColumn("host", host)
       .withColumn("domain", registrableDomain(col("host")))
-      .join(broadcast(blockedDomains.select(col("domain"),
-        lit(true).as("_blocked"))), Seq("domain"), "left")
+      // distinct: an externally-sourced blocklist file routinely lists
+      // a domain twice — without it the left join would DUPLICATE every
+      // matching frontier row
+      .join(broadcast(blockedDomains.select(col("domain")).distinct()
+        .withColumn("_blocked", lit(true))), Seq("domain"), "left")
       .withColumn("bad_word_score", score.cast("long"))
       .withColumn("_r", array_compact(array(
         when(coalesce(col("_blocked"), lit(false)), "blocked"),

@@ -47,7 +47,25 @@ object StreamingIngest {
     * back) before the merge reads `existing`. A failed rename aborts the
     * batch (checkpoint retries after recovery) — never a silent rebuild
     * of the table from one micro-batch. */
-  def upsertBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit = {
+  def upsertBatch(spark: SparkSession, batch: DataFrame, targetDir: String): Unit =
+    upsertBatchWith(spark, batch, targetDir, resolveLww)
+
+  /** The fp-keyed newest-wins resolution [[upsertBatch]] and the
+    * segment views share: ONE row per fp, latest `ingest_ts`, ties by
+    * `doc_id` desc. */
+  private def resolveLww(all: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("fp"))
+      .orderBy(col("ingest_ts").desc, col("doc_id").desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1).drop("_rn")
+  }
+
+  /** [[upsertBatch]] with a caller-chosen merge resolution — the crawl
+    * path resolves per PAGE ([[crawlResolve]]), everything else per
+    * row key ([[resolveLww]]); the crash-safe swap is identical. */
+  private def upsertBatchWith(spark: SparkSession, batch: DataFrame,
+                              targetDir: String,
+                              resolve: DataFrame => DataFrame): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(targetDir)
     val tmp = new org.apache.hadoop.fs.Path(targetDir + "_tmp")
@@ -63,13 +81,30 @@ object StreamingIngest {
     val existing =
       if (fs.exists(dst)) spark.read.parquet(targetDir)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], batch.schema)
-    val w = Window.partitionBy(col("fp"))
-      .orderBy(col("ingest_ts").desc, col("doc_id").desc)
-    val merged = existing.unionByName(batch, allowMissingColumns = true)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    val merged = resolve(existing.unionByName(batch, allowMissingColumns = true))
     merged.write.mode("overwrite").parquet(tmp.toString)
     swapInto(fs, dst, tmp, bak, "upsertBatch")
+  }
+
+  /** Crawl-ledger resolution: the winning RENDERING's blocks, never a
+    * mix. A page's extraction is stamped with one `page_ver` shared by
+    * all its blocks ([[crawlBlocksStamped]]); per `crawl_key` the
+    * newest (`ingest_ts`, `page_ver`) wins and ONLY its rows survive —
+    * so a re-crawl that extracts FEWER blocks truly REPLACES the
+    * previous extraction (the old surplus block rows die with their
+    * version), and two twins landing in one micro-batch resolve to one
+    * twin's whole extraction, never a per-block mix. The fp window
+    * after the winner filter collapses replayed duplicates of the
+    * winning version itself. */
+  private def crawlResolve(all: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("crawl_key"))
+      .orderBy(col("ingest_ts").desc, col("page_ver").desc)
+    resolveLww(all
+      .withColumn("_win_ts", first(col("ingest_ts")).over(w))
+      .withColumn("_win_ver", first(col("page_ver")).over(w))
+      .filter(col("ingest_ts") <=> col("_win_ts") &&
+        col("page_ver") <=> col("_win_ver"))
+      .drop("_win_ts", "_win_ver"))
   }
 
   /** The COMMIT half of the tmp/bak dance, shared by [[upsertBatch]],
@@ -191,9 +226,15 @@ object StreamingIngest {
     * to ONE row, and which shard won is meaningless under LWW. */
   def crawlUpsertBatch(spark: SparkSession, batch: DataFrame,
                        targetDir: String): Unit =
-    upsertBatch(spark, crawlBlocksStamped(batch), targetDir)
+    upsertBatchWith(spark, crawlBlocksStamped(batch), targetDir, crawlResolve)
 
-  private def crawlBlocksStamped(batch: DataFrame): DataFrame =
+  private def crawlBlocksStamped(batch: DataFrame): DataFrame = {
+    // one version stamp per RENDERING (crawl_key x fetched url): the
+    // order-insensitive sum of per-block hashes over the extraction --
+    // every block of one extraction carries the same page_ver, so the
+    // resolve can keep/replace extractions WHOLE (a re-crawl with
+    // fewer blocks must not leave the old surplus rows behind)
+    val pageW = Window.partitionBy(col("crawl_key"), col("url"))
     graft.operators.Warc.warcHtmlBlocksCanonical(batch)
       // canonical-url-else-url, through the canonicalizer: twin pages
       // whose declared identities differ only by case/utm/default-port
@@ -202,6 +243,12 @@ object StreamingIngest {
         coalesce(col("canonical"), col("url"))))
       .withColumn("fp", TextAnalysis.fingerprint(concat_ws(" ",
         col("crawl_key"), col("block_idx"))))
+      // per-block hashes folded mod a large prime: order-insensitive,
+      // and the sum cannot overflow ANSI long arithmetic at any
+      // realistic block count (< 1e13 for thousands of blocks)
+      .withColumn("page_ver",
+        sum(pmod(xxhash64(col("url"), col("block_idx"), col("content")),
+          lit(1000000007L))).over(pageW))
       // the LWW window tie-breaks on doc_id: include the content hash
       // so two twins landing in the SAME micro-batch (equal ingest_ts)
       // still resolve identically everywhere
@@ -209,6 +256,7 @@ object StreamingIngest {
         xxhash64(col("crawl_key"), col("block_idx"), col("content")))
       .withColumn("ingest_ts", current_timestamp())
       .drop("warc", "canonical")
+  }
 
   /** The O(batch) alternative to [[crawlUpsertBatch]] — the LSM shape a
     * CONTINUOUS crawl needs: each micro-batch extracts its blocks and
@@ -239,10 +287,7 @@ object StreamingIngest {
       .map(spark.read.parquet(_))
     require(parts.nonEmpty, s"crawlCorpusView: nothing at $targetDir(_seg)")
     val all = parts.reduce(_.unionByName(_, allowMissingColumns = true))
-    val w = Window.partitionBy(col("fp"))
-      .orderBy(col("ingest_ts").desc, col("doc_id").desc)
-    all.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1).drop("_rn")
+    crawlResolve(all)
   }
 
   /** Fold the appended segments into the base table (the amortized

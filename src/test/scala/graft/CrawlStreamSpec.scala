@@ -89,6 +89,37 @@ class CrawlStreamSpec extends SparkSpec {
     assert(after.filter($"content" === "Parsing at scale").count() === 0)
   }
 
+  test("a re-crawl with FEWER blocks replaces the whole extraction (no stale surplus)") {
+    val dir = tmp("graft-crawl-shrink")
+    def pageWarc(html: String): (String, Array[Byte]) = {
+      val httpBody = ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n\r\n" +
+        html).getBytes("UTF-8")
+      ("shrink", ("WARC/1.0\r\nWARC-Type: response\r\n" +
+        "WARC-Target-URI: http://example.com/shrink\r\n" +
+        "Content-Length: " + httpBody.length + "\r\n\r\n").getBytes("ISO-8859-1")
+        ++ httpBody)
+    }
+    val p1 = "<p>First paragraph with plenty of real content inside.</p>"
+    val p2 = "<p>Second paragraph that the re-crawl later removes entirely.</p>"
+    StreamingIngest.crawlUpsertBatch(spark,
+      Seq(pageWarc(s"<html><body>$p1$p2</body></html>")).toDF("warc", "content"), dir)
+    assert(spark.read.parquet(dir).count() === 2)
+    // the page shrank to ONE block: the old block_idx 1 row must die
+    // with its version, not survive as a franken-document
+    StreamingIngest.crawlUpsertBatch(spark,
+      Seq(pageWarc(s"<html><body>$p1</body></html>")).toDF("warc", "content"), dir)
+    val rows = spark.read.parquet(dir).collect()
+    assert(rows.length === 1, rows.mkString("; "))
+    assert(rows.head.getAs[String]("content").startsWith("First paragraph"))
+    // and the LSM path resolves identically
+    val segDir = tmp("graft-crawl-shrink-seg")
+    StreamingIngest.crawlAppendBatch(spark,
+      Seq(pageWarc(s"<html><body>$p1$p2</body></html>")).toDF("warc", "content"), segDir)
+    StreamingIngest.crawlAppendBatch(spark,
+      Seq(pageWarc(s"<html><body>$p1</body></html>")).toDF("warc", "content"), segDir)
+    assert(StreamingIngest.crawlCorpusView(spark, segDir).count() === 1)
+  }
+
   test("canonical twins collapse to one row per block across separate upserts") {
     val dir = tmp("graft-crawl-twins")
     def twinWarc(url: String, html: String): (String, Array[Byte]) = {

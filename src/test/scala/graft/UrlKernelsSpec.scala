@@ -57,7 +57,14 @@ class UrlKernelsSpec extends SparkSpec {
     checkCanonical(Seq(
       "http://h/a/\n", "http://h/a/\r\n", "http://h/a/\u2028",
       "http://h/\n/", "http://h/p?fbclid\n&a=1", "http://h/p?utm_x=1\r\n&b=2",
-      "http://h/a\n/b/", "http://h/p?a=1\n"))
+      "http://h/a\n/b/", "http://h/p?a=1\n",
+      // the review counterexamples: ports stripped via `$`-before-
+      // final-terminator; fragments NOT stripped when an interior
+      // newline blocks `#.*$`; the terminator surviving a stripped
+      // fragment; double-terminator params staying (rlike rejects)
+      "http://h:80\n", "https://H:443\r\n/x", "http://h/p#x\ny?b=2",
+      "http://h/p#x\n", "http://h/p?gclid\n\n&a=1", "http://h/p?gclid\n",
+      "http://h/p#a#b\nc", "http://h#f\n?q=1", "http://h:80\n/p/"))
   }
 
   test("resolve edge fixtures") {
@@ -94,7 +101,7 @@ class UrlKernelsSpec extends SparkSpec {
     val frags = Array("http://", "https://", "HTTP://", "ftp://", "h", "Host.COM",
       ":80", ":443", ":8080", "@", "user@", "/", "/a", "/b/", "?", "a=1", "&",
       "utm_source=x", "utm_", "fbclid", "gclid=1", "#", "frag", "%20", ".",
-      "π", "\n", "x", "B", "9", "-", "_", "=")
+      "π", "\n", "\r\n", " ", "x", "B", "9", "-", "_", "=")
     val urls = (1 to 600).map { _ =>
       val n = rnd.nextInt(12)
       (0 until n).map(_ => frags(rnd.nextInt(frags.length))).mkString

@@ -77,6 +77,21 @@ class WebCurationSpec extends SparkSpec {
     assert(out(4L) === ((0L, "NAV\ndelta four")))
   }
 
+  test("hostLineDedup: blank separator lines are never boilerplate") {
+    // every doc on the host uses blank-line paragraph separation — the
+    // empty key trivially clears the frequency bar but must NOT strip
+    val pages = Seq(
+      (1L, "a", "p1\n\np2"),
+      (2L, "a", "q1\n\nq2"),
+      (3L, "a", "r1\n\nr2")
+    ).toDF("doc_id", "host", "text")
+    val out = Cleaning.hostLineDedup(pages)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toMap
+    assert(out(1L) === ((0L, "p1\n\np2")))
+    assert(out(2L) === ((0L, "q1\n\nq2")))
+  }
+
   test("hostLineDedup: byte-exact round trip when nothing repeats") {
     val text = "one\n\ntwo words here\n  indented  \nlast"
     val pages = Seq((1L, "a", text), (2L, "a", "totally different\nlines"))
