@@ -69,6 +69,25 @@ class MarkdownSpec extends SparkSpec {
     assert(empty.count() === 0)
   }
 
+  test("fuzz: 500 random marker soups never throw, indices stay contiguous") {
+    val rnd = new scala.util.Random(99)
+    val frags = Array("#", "##", " ", "\n", "\n\n", "-", "*", "+", "1.", "2)",
+      ">", "```", "~~~", "`", "[", "]", "(", ")", "!", "**", "_", "~~", "word",
+      "x", "\t", "\r\n", "scala", "text here")
+    val kinds = Set("heading", "para", "code", "list", "quote")
+    (1 to 500).foreach { _ =>
+      val md = (0 until rnd.nextInt(40))
+        .map(_ => frags(rnd.nextInt(frags.length))).mkString
+      val out = Markdown.parseMarkdown(md)
+      assert(out.map(_.block_idx) === out.indices)
+      out.foreach { b =>
+        assert(kinds(b.kind), s"bad kind ${b.kind} for <$md>")
+        assert(b.kind == "code" || b.content.nonEmpty)
+        assert(b.kind != "heading" || (b.level >= 1 && b.level <= 6))
+      }
+    }
+  }
+
   test("markdownBlocks: null text yields no rows, not a failed task") {
     import spark.implicits._
     val df = Seq(("a", "# ok"), ("b", null)).toDF("doc", "text")

@@ -101,7 +101,7 @@ class UrlKernelsSpec extends SparkSpec {
     val frags = Array("http://", "https://", "HTTP://", "ftp://", "h", "Host.COM",
       ":80", ":443", ":8080", "@", "user@", "/", "/a", "/b/", "?", "a=1", "&",
       "utm_source=x", "utm_", "fbclid", "gclid=1", "#", "frag", "%20", ".",
-      "π", "\n", "\r\n", " ", "x", "B", "9", "-", "_", "=")
+      "π", "\n", "\r\n", "\u2028", "\r", " ", "", "x", "B", "9", "-", "_", "=", ":")
     val urls = (1 to 600).map { _ =>
       val n = rnd.nextInt(12)
       (0 until n).map(_ => frags(rnd.nextInt(frags.length))).mkString
