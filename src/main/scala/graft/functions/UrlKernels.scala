@@ -201,6 +201,38 @@ object UrlKernels {
     UTF8String.fromString(sb.toString)
   }
 
+  /** The `url_host` scan (see [[graft.functions.UrlHost]]): anchored
+    * `scheme://`, optional greedy userinfo-to-first-`@`, then the host
+    * run over `[^/?#:]` — with the empty-host backtrack that re-parses
+    * the userinfo run as the host. */
+  def host(url: UTF8String): UTF8String = {
+    val s = url.toString
+    // `^[^:/?#]+://` — at least one non-special char, then "://"
+    var i = 0
+    while (i < s.length && {
+        val c = s.charAt(i); c != ':' && c != '/' && c != '?' && c != '#' }) i += 1
+    if (i == 0 || !s.startsWith("://", i)) return UTF8String.EMPTY_UTF8
+    val start = i + 3
+    @inline def hostRun(from: Int): String = {
+      var k = from
+      while (k < s.length && {
+          val c = s.charAt(k); c != '/' && c != '?' && c != '#' && c != ':' }) k += 1
+      s.substring(from, k)
+    }
+    // optional userinfo: `[^/?#@]*@` — the run to the FIRST '@' (if one
+    // comes before any of /?#)
+    var j = start
+    while (j < s.length && {
+        val c = s.charAt(j); c != '/' && c != '?' && c != '#' && c != '@' }) j += 1
+    val withUser =
+      if (j < s.length && s.charAt(j) == '@') hostRun(j + 1) else ""
+    val h =
+      if (withUser.nonEmpty) withUser
+      else hostRun(start) // backtrack: no (usable) userinfo group
+    if (h.isEmpty) UTF8String.EMPTY_UTF8
+    else UTF8String.fromString(sparkLower(h))
+  }
+
   /** RFC 3986 §5 resolution, identical to the UrlOps column
     * formulation (see its scaladoc for the case list and the
     * documented dot-segment subset). `base` may be null: an href
@@ -246,6 +278,36 @@ object UrlKernels {
     val baseDir = if (li >= 0) basePath.substring(0, li + 1) else "/"
     UTF8String.fromString(origin + baseDir + h)
   }
+}
+
+/** `url_host(url STRING) -> STRING` — the lowercased host of an
+  * absolute URL, userinfo and port excluded; `""` for non-absolute
+  * input. One node replacing the column form
+  * `lower(regexp_extract(url, "^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))`
+  * — including its BACKTRACKING corner: when the optional userinfo
+  * group consumes up to an `@` but the host class (`[^/?#:]+`) then
+  * fails (e.g. `http://user@:80/`), the regex retries WITHOUT the
+  * group and the `user@` run itself becomes the host. Fuzz-pinned
+  * against the column form (UrlKernelsSpec). */
+case class UrlHost(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"url_host expects STRING, got ${t.simpleString}")
+  }
+  override def dataType: DataType = StringType
+  override def prettyName: String = "url_host"
+
+  override protected def withNewChildInternal(newChild: Expression): UrlHost =
+    copy(child = newChild)
+
+  override def nullSafeEval(url: Any): Any =
+    UrlKernels.host(url.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev,
+      url => s"${ev.value} = graft.functions.UrlKernels.host($url);")
 }
 
 /** `canonicalize_url(url STRING) -> STRING` — one expression node for

@@ -317,8 +317,16 @@ object UrlOps {
   }
 
   /** Extract the (lowercased) host from an absolute URL — userinfo and
-    * port excluded. Empty string for non-absolute input. */
+    * port excluded. Empty string for non-absolute input. ONE native
+    * node ([[graft.functions.UrlHost]] — it rides every per-row
+    * frontier projection: [[crawlFrontier]], [[urlFilter]], the crawl
+    * stats), byte-identical to [[urlHostColumnForm]] (fuzz-pinned). */
   def urlHost(url: Column): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.UrlHost(org.apache.spark.sql.GraftColumns.expression(url)))
+
+  /** The original regexp formulation — the fuzz-pinning reference. */
+  private[graft] def urlHostColumnForm(url: Column): Column =
     lower(regexp_extract(url, "^[^:/?#]+://(?:[^/?#@]*@)?([^/?#:]+)", 1))
 
   /** Resolve an extracted href against its page URL — the RFC 3986 §5

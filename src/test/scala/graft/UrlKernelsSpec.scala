@@ -123,6 +123,30 @@ class UrlKernelsSpec extends SparkSpec {
     checkResolve(pairs)
   }
 
+  test("urlHost: fixtures and fuzz match the regexp form") {
+    def check(urls: Seq[String]): Unit = {
+      val rows = urls.toDF("url")
+        .select(col("url"), UrlOps.urlHost(col("url")).as("k"),
+          UrlOps.urlHostColumnForm(col("url")).as("r"))
+        .collect()
+      rows.foreach { row =>
+        assert(row.getString(1) === row.getString(2),
+          s"urlHost mismatch for <${row.getString(0)}>")
+      }
+    }
+    check(Seq(
+      "http://Example.COM/path", "https://h:8443/x", "http://user@Host/p",
+      "http://user:pass@h:80/x", "http://user@:80", "http://a@b@host/x",
+      "http://a@@host", "http://:80/x", "http://", "not a url", "",
+      "ftp://H", "http://h?q=1", "http://h#f", "1http://h", "http:///x",
+      "http://π.example/x", "http://h\n/x"))
+    val rnd = new scala.util.Random(77)
+    val frags = Array("http://", "h", "Host.COM", ":80", "@", "user@", "a:b",
+      "/", "/x", "?", "#", ":", "", "\n", "π", "X")
+    check((1 to 400).map(_ =>
+      (0 until rnd.nextInt(9)).map(_ => frags(rnd.nextInt(frags.length))).mkString))
+  }
+
   test("robots matcher: fixtures and fuzz match the when-chain form") {
     val ruleSets = Seq(
       UrlOps.RobotsRules(Seq((false, "/private/"), (true, "/private/ok"))),
