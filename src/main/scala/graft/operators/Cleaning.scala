@@ -96,8 +96,10 @@ object Cleaning {
     * appearing on most of its HOST's pages):
     *
     *  - a line (trimmed) is BOILERPLATE on host H when it occurs in at
-    *    least `minDocs` of H's documents AND in at least
-    *    `maxDocFracMicro` (micro-units, default 0.5) of them;
+    *    least `minDocs` of H's documents AND in at LEAST
+    *    `minDocFracMicro` (micro-units, default 0.5 — flag-when-at-
+    *    least semantics: the higher the value, the fewer lines flag)
+    *    of them;
     *  - hosts with fewer than `minDocs` documents keep everything (no
     *    statistical basis);
     *  - BLANK lines (empty after trim) are never boilerplate: they are
@@ -106,21 +108,35 @@ object Cleaning {
     *  - output per document: `n_lines`, `n_removed`, `clean_text`
     *    (kept lines re-joined in document order; empty lines inside
     *    the document count and reassemble like any other line, so the
-    *    text round-trips byte-exactly when nothing is removed).
+    *    text round-trips byte-exactly when nothing is removed);
+    *  - EVERY input document round-trips: a null-text page (a fetch
+    *    that produced no extractable text) yields no line rows, so the
+    *    result is re-anchored on the input keys — such docs come back
+    *    with `n_lines = 0`, `n_removed = 0`, `clean_text = ''` instead
+    *    of silently vanishing (a cleaning pass must never DROP a
+    *    document; membership verdicts belong to the filter tier).
     *
     * Scale shape: explode to (host, line) → one partial-combined
     * distinct-doc count per key → join the flags back on the SAME
     * (host, line) partitioning (one exchange, reused) → regroup by
-    * document. The per-host doc counts ride a broadcast (hosts ≪
-    * documents). Nothing is ever collected; the line table is
-    * corpus-sized but each key's payload is a count. */
+    * document → one doc-keyed left join re-anchoring on the input
+    * (both sides hash-partitioned on the key, and trivially colocated
+    * if the table is bucketed by id). The per-host doc counts join on
+    * host with NO forced hint: hosts ≪ documents at fixture scale and
+    * AQE broadcasts the small side on its own, but a real web corpus
+    * has 10⁷–10⁸ registrable hosts — an unconditional broadcast of an
+    * unbounded aggregate is exactly the hint that OOMs the driver at
+    * the scale this operator is designed for (the ×100 ladder's flip
+    * audit shows AQE making the right per-run choice). Nothing is
+    * ever collected; the line table is corpus-sized but each key's
+    * payload is a count. */
   def hostLineDedup(pages: DataFrame, minDocs: Int = 2,
-                    maxDocFracMicro: Long = 500000L,
+                    minDocFracMicro: Long = 500000L,
                     hostCol: String = "host", idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
-    require(maxDocFracMicro >= 1 && maxDocFracMicro <= 1000000L,
-      s"maxDocFracMicro must be in [1, 1e6], got $maxDocFracMicro")
+    require(minDocFracMicro >= 1 && minDocFracMicro <= 1000000L,
+      s"minDocFracMicro must be in [1, 1e6], got $minDocFracMicro")
     val lines = pages.select(col(hostCol).as("host"), col(idCol).as("doc_id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .withColumn("key", trim(col("line")))
@@ -129,20 +145,25 @@ object Cleaning {
     val boiler = lines.filter(col("key") =!= "")
       .groupBy(col("host"), col("key"))
       .agg(countDistinct(col("doc_id")).as("n_line_docs"))
-      .join(broadcast(hostDocs), Seq("host"))
+      .join(hostDocs, Seq("host"))
       .filter(col("n_docs") >= minDocs &&
         col("n_line_docs") >= minDocs &&
-        col("n_line_docs") * 1000000L >= lit(maxDocFracMicro) * col("n_docs"))
+        col("n_line_docs") * 1000000L >= lit(minDocFracMicro) * col("n_docs"))
       .select(col("host"), col("key"), lit(true).as("_boiler"))
-    lines.join(boiler, Seq("host", "key"), "left")
+    val cleaned = lines.join(boiler, Seq("host", "key"), "left")
       .groupBy(col("doc_id"))
-      .agg(first(col("host")).as("host"),
-        count(lit(1)).as("n_lines"),
+      .agg(count(lit(1)).as("n_lines"),
         sum(when(col("_boiler"), 1L).otherwise(0L)).as("n_removed"),
         array_join(transform(
           array_sort(collect_list(when(!coalesce(col("_boiler"), lit(false)),
             struct(col("pos"), col("line"))))),
           x => x.getField("line")), "\n").as("clean_text"))
+    pages.select(col(idCol).as("doc_id"), col(hostCol).as("host"))
+      .join(cleaned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("host"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
   /** @param lm optional pre-trained unigram LM

@@ -109,14 +109,17 @@ object Markdown {
       } else if (lt.isEmpty) {
         flushAll()
         i += 1
-      } else if (lt.startsWith("#")) {
+      } else if (lt.startsWith("#") && {
+          // validity BEFORE any flush: '#hashtag' or 7+ hashes is a
+          // plain text line and must not split an open paragraph
+          val hashes = lt.takeWhile(_ == '#').length
+          hashes <= 6 && (lt.length == hashes || lt.charAt(hashes) == ' ')
+        }) {
         flushAll()
         val hashes = lt.takeWhile(_ == '#').length
-        if (hashes <= 6 && (lt.length == hashes || lt.charAt(hashes) == ' ')) {
-          val t = cleanInline(
-            lt.drop(hashes).reverse.dropWhile(c => c == '#' || c == ' ').reverse)
-          if (t.nonEmpty) out += MdBlock(out.length, "heading", hashes, "", t)
-        } else { para ++= (if (para.nonEmpty) " " else "") ++= lt }
+        val t = cleanInline(
+          lt.drop(hashes).reverse.dropWhile(c => c == '#' || c == ' ').reverse)
+        if (t.nonEmpty) out += MdBlock(out.length, "heading", hashes, "", t)
         i += 1
       } else if (lt.startsWith(">")) {
         flushPara()

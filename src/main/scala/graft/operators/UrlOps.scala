@@ -525,9 +525,12 @@ object UrlOps {
     val u = col(urlCol)
     val host = urlHost(u)
     val lu = lower(u)
+    // foldLeft over a literal zero: an EMPTY badWords list is a legal
+    // configuration (blocklist-only filtering) — reduce would throw at
+    // plan time
     val score = badWords.map { case (w, wt) =>
-      (length(lu) - length(replace(lu, lit(w)))) / w.length * wt
-    }.reduce(_ + _)
+      ((length(lu) - length(replace(lu, lit(w)))) / w.length * wt).cast("long")
+    }.foldLeft(lit(0L): Column)(_ + _)
     val digitCount = length(regexp_replace(host, "[^0-9]", ""))
     urls
       .withColumn("host", host)

@@ -36,6 +36,15 @@ class MarkdownSpec extends SparkSpec {
       MdBlock(0, "heading", 3, "", "Three"))
   }
 
+  test("an invalid '#' line joins the open paragraph instead of splitting it") {
+    // the scaladoc rule: non-structure lines join into ONE para block —
+    // an invalid heading must not flush the accumulator mid-paragraph
+    assert(kinds("first line\n#hashtag here\nlast line") ===
+      Seq(("para", "first line #hashtag here last line")))
+    assert(kinds("open\n####### deep\nclose") ===
+      Seq(("para", "open ####### deep close")))
+  }
+
   test("inline cleaning: images, links, code spans, emphasis; blanks split paras") {
     assert(kinds("See ![alt text](img.png) and **b** _i_ `c()` now.") ===
       Seq(("para", "See alt text and b i c() now.")))

@@ -103,6 +103,31 @@ class WebCurationSpec extends SparkSpec {
     assert(out === ((5L, 0L, text)))
   }
 
+  test("urlFilter: empty badWords is a legal blocklist-only configuration") {
+    val out = UrlOps.urlFilter(
+        Seq("http://sub.badsite.org/x", "http://ok.example.com/y").toDF("url"),
+        Seq("badsite.org").toDF("domain"), badWords = Seq.empty)
+      .collect().map(r => r.getAs[String]("url") ->
+        (r.getAs[Long]("bad_word_score"), r.getAs[String]("reasons"))).toMap
+    assert(out("http://sub.badsite.org/x") === ((0L, "blocked")))
+    assert(out("http://ok.example.com/y") === ((0L, "")))
+  }
+
+  test("hostLineDedup: null-text docs round-trip as empty rows, never vanish") {
+    val pages = Seq(
+      (1L, "a", "NAV\nalpha"),
+      (2L, "a", "NAV\nbeta"),
+      (3L, "a", null: String)
+    ).toDF("doc_id", "host", "text")
+    val out = Cleaning.hostLineDedup(pages)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("host"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_removed"), r.getAs[String]("clean_text")))).toMap
+    assert(out.size === 3, "every input doc must come back")
+    assert(out(3L) === (("a", 0L, 0L, "")))
+    assert(out(1L) === (("a", 2L, 1L, "alpha")))
+  }
+
   test("hostLineDedup: within-doc duplicates of a boilerplate line all drop") {
     val pages = Seq(
       (1L, "a", "AD\ncontent x\nAD"),
