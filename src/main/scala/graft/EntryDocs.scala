@@ -135,6 +135,19 @@ private[graft] trait EntryDocs extends EntryShared {
       MediaCodec.wavFingerprint(MediaCodec.dhashFixturesDF(s)).toDF()),
     "mm_audio_neardup" -> ((s, d) =>
       MediaCodec.audioNearDups(MediaCodec.dhashFixturesDF(s))),
+    // the CAPPED perceptual pair joins over the hostile degenerate-
+    // bucket fixture (5 identical spacers / a black frame shared by
+    // all 4 videos / 4 silent audios — the web-scale classes that make
+    // an uncapped self-join O(n²)): cap=2 keeps only the 2 smallest
+    // docs per bucket as pair sources (the simhashPairsCapped keeper
+    // rule), every over-cap member still resolves to SOME keeper, and
+    // the legitimate twins (photo/poster, beep/beep_soft) keep pairing,
+    "mm_image_neardup_capped" -> ((s, d) =>
+      MediaCodec.imageNearDupsCapped(MediaCodec.hostileDedupFixturesDF(s), cap = 2)),
+    "mm_video_shared_capped" -> ((s, d) =>
+      MediaCodec.videoSharedFramesCapped(MediaCodec.hostileDedupFixturesDF(s), cap = 2)),
+    "mm_audio_neardup_capped" -> ((s, d) =>
+      MediaCodec.audioNearDupsCapped(MediaCodec.hostileDedupFixturesDF(s), cap = 2)),
     "mm_decode_meta" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.binaryDocs(Tables.documents(s, d)))),
     "mm_frame_sample" -> ((s, d) =>
@@ -602,6 +615,29 @@ private[graft] trait EntryDocs extends EntryShared {
         nowSec = 6500L, minIntervalSec = 500L, maxIntervalSec = 5000L), 12)
         .select("url", "n_fetches", "change_rate_micro", "next_due_sec",
           "overdue_sec")
+    }),
+    // the UNIFIED due set (observed change rate ∪ declared sitemap
+    // lastmod, dedup'd on url, budget-capped): the fixture makes the
+    // signals DISAGREE — every third url is sitemap-listed (every
+    // sixth with a post-fetch lastmod → 'updated', the rest declared
+    // fresh), every eleventh id adds a never-fetched sitemap url
+    // ('new'), and the observed leg fires on its own adaptive
+    // intervals — so the batch holds due-by-both, due-by-either, and
+    // excludes due-by-neither,
+    "recrawl_due_unified" -> ((s, d) => {
+      val id = col("doc_id")
+      val pUrl = concat(lit("http://h"), (id % 5).cast("string"),
+        lit(".example.com/p"), id.cast("string"))
+      val entries = Tables.documents(s, d).filter(id % 3 === 0)
+        .select(pUrl.as("loc"),
+          when(id % 6 === 0, "1970-01-02").otherwise("1970-01-01").as("lastmod"))
+        .unionByName(Tables.documents(s, d).filter(id % 11 === 0)
+          .select(concat(lit("http://h"), (id % 5).cast("string"),
+            lit(".example.com/new"), id.cast("string")).as("loc"),
+            lit("1970-01-03").as("lastmod")))
+      UrlOps.recrawlDueUnified(recrawlHistory(s, d), entries,
+        nowSec = 6500L, topN = 150, minIntervalSec = 500L,
+        maxIntervalSec = 5000L)
     }),
     // Unicode NFC normalization (functions.NormalizeText) — the pass
     // that runs before content fingerprinting so composed U+00E9 and
@@ -1084,6 +1120,28 @@ private[graft] trait EntryDocs extends EntryShared {
       """SELECT doc_a, doc_b, CAST(fingerprint AS BIGINT) AS fingerprint
         |FROM (VALUES ('beep', 'beep_soft', 56))
         | AS t(doc_a, doc_b, fingerprint)""".stripMargin,
+    // keeper-capped pair sets hand-derived from the hostile fixture:
+    // per degenerate bucket only the 2 smallest docs pair FORWARD, so
+    // 5 spacers give 2·(5-1)-1 = 7 pairs, 4 videos/silences give 5;
+    // the legitimate twins ride along untouched,
+    "mm_image_neardup_capped" ->
+      """SELECT doc_a, doc_b, CAST(hamming AS BIGINT) AS hamming FROM (VALUES
+        | ('a0', 'a1', 0), ('a0', 'a2', 0), ('a0', 'a3', 0), ('a0', 'a4', 0),
+        | ('a1', 'a2', 0), ('a1', 'a3', 0), ('a1', 'a4', 0),
+        | ('photo', 'poster', 0)
+        |) AS t(doc_a, doc_b, hamming)""".stripMargin,
+    "mm_video_shared_capped" ->
+      """SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+        | CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b FROM (VALUES
+        | ('v0', 'v1'), ('v0', 'v2'), ('v0', 'v3'), ('v1', 'v2'), ('v1', 'v3')
+        |) AS t(doc_a, doc_b)
+        |CROSS JOIN (VALUES (1, 2, 2)) AS c(n_shared, n_a, n_b)""".stripMargin,
+    "mm_audio_neardup_capped" ->
+      """SELECT doc_a, doc_b, CAST(fingerprint AS BIGINT) AS fingerprint FROM (VALUES
+        | ('s0', 's1', 0), ('s0', 's2', 0), ('s0', 's3', 0),
+        | ('s1', 's2', 0), ('s1', 's3', 0),
+        | ('beep', 'beep_soft', 56)
+        |) AS t(doc_a, doc_b, fingerprint)""".stripMargin,
     "mm_wav_stats" ->
       """SELECT doc, channels, sample_rate_hz, bits,
         | CAST(n_frames AS BIGINT) AS n_frames, peak_abs,
@@ -1560,6 +1618,62 @@ private[graft] trait EntryDocs extends EntryShared {
         |  6500 - next_due_sec AS overdue_sec
         |FROM n WHERE next_due_sec <= 6500
         |ORDER BY overdue_sec DESC, url ASC LIMIT 12""".stripMargin,
+
+    // the unified due set re-derived: observed leg = the recrawl_due
+    // derivation; declared leg = the sitemap_staleness day rule over
+    // the disagree fixture; full-outer on url, stalest-first top-150
+    // (declared-only urls floor at overdue 0 — listed, so due, but no
+    // staleness evidence to jump the queue on),
+    "recrawl_due_unified" ->
+      """WITH h AS (
+        | SELECT 'http://h' || (doc_id % 5) || '.example.com/p' || doc_id AS url,
+        |        1000 * g.cycle AS fetch_ts_sec,
+        |        (doc_id + g.cycle) % 3 = 0 AS changed
+        | FROM documents,
+        |   LATERAL (SELECT unnest(generate_series(1, 1 + doc_id % 4)) AS cycle) g),
+        |a AS (
+        | SELECT url, CAST(count(*) AS BIGINT) AS n_fetches,
+        |        CAST(sum(CASE WHEN changed THEN 1 ELSE 0 END) AS BIGINT) AS n_changes,
+        |        CAST(max(fetch_ts_sec) AS BIGINT) AS last_fetch_sec
+        | FROM h GROUP BY url),
+        |n AS (SELECT url, last_fetch_sec +
+        |        (500 + (4500 * (1000000 - n_changes * 1000000 // n_fetches))
+        |          // 1000000) AS next_due_sec FROM a),
+        |obs AS (SELECT url, CAST(6500 - next_due_sec AS BIGINT) AS overdue_obs
+        |        FROM n WHERE next_due_sec <= 6500),
+        |e AS (
+        | SELECT 'http://h' || (doc_id % 5) || '.example.com/p' || doc_id AS url,
+        |        CASE WHEN doc_id % 6 = 0 THEN 86400 ELSE 0 END AS lastmod_sec
+        | FROM documents WHERE doc_id % 3 = 0
+        | UNION ALL
+        | SELECT 'http://h' || (doc_id % 5) || '.example.com/new' || doc_id,
+        |        172800
+        | FROM documents WHERE doc_id % 11 = 0),
+        |ee AS (SELECT url, CAST(max(lastmod_sec) AS BIGINT) AS lastmod_sec
+        |       FROM e GROUP BY url),
+        |l AS (SELECT url, CAST(max(fetch_ts_sec) AS BIGINT) AS last_fetch_sec
+        |      FROM h GROUP BY url),
+        |dec AS (
+        | SELECT ee.url,
+        |   CASE WHEN l.url IS NULL THEN 'new'
+        |        WHEN lastmod_sec > last_fetch_sec - last_fetch_sec % 86400
+        |         THEN 'updated' ELSE 'fresh' END AS reason,
+        |   GREATEST(CAST(0 AS BIGINT),
+        |     CAST(6500 - lastmod_sec AS BIGINT)) AS overdue_dec
+        | FROM ee LEFT JOIN l ON ee.url = l.url),
+        |decd AS (SELECT * FROM dec WHERE reason <> 'fresh')
+        |SELECT url,
+        |  overdue_obs IS NOT NULL AS due_observed,
+        |  reason IS NOT NULL AS due_declared,
+        |  CASE WHEN overdue_obs IS NOT NULL AND reason = 'updated'
+        |        THEN 'overdue,sitemap_updated'
+        |       WHEN overdue_obs IS NOT NULL THEN 'overdue'
+        |       WHEN reason = 'new' THEN 'sitemap_new'
+        |       ELSE 'sitemap_updated' END AS reasons,
+        |  GREATEST(COALESCE(overdue_obs, 0), COALESCE(overdue_dec, 0))
+        |    AS overdue_sec
+        |FROM obs FULL OUTER JOIN decd USING (url)
+        |ORDER BY overdue_sec DESC, url ASC LIMIT 150""".stripMargin,
 
     "nfc_normalize" ->
       """WITH u AS (

@@ -56,14 +56,50 @@ object MediaCodec {
     * deterministic, no encoder in the loop. The pixel array IS
     * [[dibFrame]] at frame 0 (one writer for the layout both fixtures
     * are contractually pinned to — the spec asserts the CRCs match). */
-  private[graft] def bmpBytes(w: Int, h: Int): Array[Byte] = {
-    val pixels = dibFrame(w, h, 0)
+  private[graft] def bmpBytes(w: Int, h: Int): Array[Byte] =
+    bmpWrap(w, h, dibFrame(w, h, 0))
+
+  private def bmpWrap(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
     val buf = ByteBuffer.allocate(54 + pixels.length).order(ByteOrder.LITTLE_ENDIAN)
     buf.put('B'.toByte).put('M'.toByte).putInt(54 + pixels.length)
       .putShort(0).putShort(0).putInt(54)
     buf.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
       .putInt(0).putInt(pixels.length).putInt(2835).putInt(2835).putInt(0).putInt(0)
     buf.put(pixels)
+    buf.array()
+  }
+
+  /** Uniform-color DIB rows — the SPACER-GIF pixel class: every
+    * gradient bit is 0, so every solid image dHashes to 0 regardless
+    * of its color (the degenerate bucket the capped pair joins are
+    * built for). */
+  private[graft] def dibSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val buf = ByteBuffer.allocate(rowBytes * h)
+    for (_ <- 0 until h) {
+      for (_ <- 0 until w) buf.put(b.toByte).put(g.toByte).put(r.toByte)
+      for (_ <- w * 3 until rowBytes) buf.put(0.toByte)
+    }
+    buf.array()
+  }
+
+  private[graft] def bmpSolid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+    bmpWrap(w, h, dibSolid(w, h, r, g, b))
+
+  /** A white vertical stripe on black (columns x0..x1) — per-seed
+    * DISTINCT dHashes (the stripe edges land on different sampled
+    * columns), the per-video unique frame of the hostile video
+    * fixture. */
+  private[graft] def dibStripe(w: Int, h: Int, x0: Int, x1: Int): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) / 4 * 4
+    val buf = ByteBuffer.allocate(rowBytes * h)
+    for (_ <- 0 until h) {
+      for (x <- 0 until w) {
+        val v = if (x >= x0 && x <= x1) 255.toByte else 0.toByte
+        buf.put(v).put(v).put(v)
+      }
+      for (_ <- w * 3 until rowBytes) buf.put(0.toByte)
+    }
     buf.array()
   }
 
@@ -275,6 +311,43 @@ object MediaCodec {
         .toDF("doc", "modality", "codec", "payload"))
   }
 
+  /** One stripe frame (unique per seed) + one all-black frame: every
+    * video shares the black frame's dHash 0 — the bucket a black frame
+    * makes degenerate at web scale. The stripe runs from the LEFT edge
+    * to the seed-th dHash-sampled column (`seed·w/9` — the 9×8 grid's
+    * own geometry), so its white→black FALLING edge lands on gradient
+    * bit `seed` of every row: distinct nonzero hashes by construction
+    * (dHash sets a bit only on left>right falls — a right-edge stripe
+    * would hash 0 like the black frame). */
+  private[graft] def aviStripeBytes(w: Int, h: Int, seed: Int): Array[Byte] =
+    aviContainer(w, h,
+      Seq(dibStripe(w, h, 0, seed * w / 9), dibSolid(w, h, 0, 0, 0)),
+      handler = "DIB ", biCompression = 0,
+      biSizeImage = (w * 3 + 3) / 4 * 4 * h, chunkId = "00db",
+      scale = 1, rate = 25)
+
+  /** The HOSTILE degenerate-bucket fixture for the capped perceptual
+    * tier — web-scale reality in miniature, every class the VERDICT
+    * names: five identical spacer images (uniform pixels, all dHash
+    * 0), four videos that each carry a unique stripe frame PLUS the
+    * same all-black frame (one shared frame-hash bucket holding every
+    * video), four silent audio docs (all fingerprint 0), and the
+    * legitimate near-dup pairs (photo/poster codec twins,
+    * beep/beep_soft volume twins) that must keep resolving while the
+    * cap defuses the degenerate buckets around them. */
+  def hostileDedupFixturesDF(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows =
+      (0 until 5).map(i => (s"a$i", "image", "bmp", bmpSolid(16, 16, 200, 200, 200))) ++
+      (0 until 4).map(i => (s"v$i", "video", "avi", aviStripeBytes(24, 16, i))) ++
+      (0 until 4).map(i => (s"s$i", "audio", "wav", wavBytesGain(8000, 1, 800, 0, 1))) ++
+      Seq(("photo", "image", "png", pngBytes(64, 48)),
+        ("poster", "image", "bmp", bmpBytes(64, 48)),
+        ("beep", "audio", "wav", wavBytes(8000, 1, 800)),
+        ("beep_soft", "audio", "wav", wavBytesGain(8000, 1, 800, 1, 2)))
+    rows.toDF("doc", "modality", "codec", "payload")
+  }
+
   // ---- real decode kernels --------------------------------------------
 
   case class ImageStats(doc: String, codec: String, width: Int, height: Int,
@@ -440,21 +513,40 @@ object MediaCodec {
       }
   }
 
-  /** Image near-dup candidate pairs by Hamming banding over the 64-bit
-    * dHash — the [[Dedup.simhashPairs]] plan shape on pixels: 4 bands
-    * of 16 bits, images sharing any band's value become candidates
-    * (equi-join on (band, bucket) — never all-pairs), XOR-popcount
-    * threshold. Pigeonhole: a pair within Hamming distance 3 agrees on
-    * at least one of the 4 bands, so recall is EXACT for `maxHamming`
-    * ≤ 3. The hash table (one long per image) is what checkpoints —
-    * pixels are never rescanned for the pairing. */
-  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val hashes = imageDHash(media).toDF().localCheckpoint()
-    val banded = hashes.select(col("doc"), col("dhash"),
+  /** The hot-bucket keeper rule shared by every capped perceptual pair
+    * join below — [[Dedup.simhashPairsCapped]]'s contract applied to
+    * media: only the `cap` smallest docs per bucket act as pair
+    * SOURCES (the a-side); every later doc still compares against all
+    * of them, so a degenerate bucket's work drops from O(n²) to
+    * O(n·cap). Web-scale media corpora GUARANTEE degenerate buckets —
+    * spacer GIFs and blank thumbnails all dHash to one value, a black
+    * frame appears in every video, silence fingerprints to 0 — and an
+    * uncapped self-join is quadratic in exactly those buckets. Within
+    * the cap (no bucket above `cap` members) the capped output is
+    * EXACTLY the uncapped one (spec-pinned); past it, recall loss is
+    * the stated contract: forgone pairs are those whose BOTH ends rank
+    * past the cap in every shared bucket. Deterministic — keepers are
+    * a doc-ordered rank. */
+  private[graft] def cappedSources(df: DataFrame, bucketCols: Seq[String],
+                            cap: Int): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(bucketCols.map(col): _*).orderBy(col("doc"))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap).drop("_rk")
+  }
+
+  private[graft] def imageBanded(hashes: DataFrame): DataFrame =
+    hashes.select(col("doc"), col("dhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("dhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
         .as(Seq("band", "bucket")))
-    banded.as("a").join(banded.as("b"),
+
+  /** The shared image pair tail: (band, bucket)-equi-join `sources`
+    * against the full banding, dedup across bands, Hamming-threshold. */
+  private[graft] def imagePairTail(sources: DataFrame, banded: DataFrame,
+                            maxHamming: Int): DataFrame =
+    sources.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
@@ -463,6 +555,31 @@ object MediaCodec {
       .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+
+  /** Image near-dup candidate pairs by Hamming banding over the 64-bit
+    * dHash — the [[Dedup.simhashPairs]] plan shape on pixels: 4 bands
+    * of 16 bits, images sharing any band's value become candidates
+    * (equi-join on (band, bucket) — never all-pairs), XOR-popcount
+    * threshold. Pigeonhole: a pair within Hamming distance 3 agrees on
+    * at least one of the 4 bands, so recall is EXACT for `maxHamming`
+    * ≤ 3. The hash table (one long per image) is what checkpoints —
+    * pixels are never rescanned for the pairing. Production corpora
+    * use [[imageNearDupsCapped]]: identical-looking images (spacers,
+    * blank thumbnails) make this uncapped join quadratic in their
+    * bucket. */
+  def imageNearDups(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val banded = imageBanded(imageDHash(media).toDF().localCheckpoint())
+    imagePairTail(banded, banded, maxHamming)
+  }
+
+  /** [[imageNearDups]] with the [[cappedSources]] keeper rule per
+    * (band, bucket) — the form a web-scale corpus runs. Exactly equal
+    * to the uncapped output while no bucket exceeds `cap`. */
+  def imageNearDupsCapped(media: DataFrame, maxHamming: Int = 3,
+                          cap: Int = 64): DataFrame = {
+    val banded = imageBanded(imageDHash(media).toDF().localCheckpoint())
+    imagePairTail(cappedSources(banded, Seq("band", "bucket"), cap),
+      banded, maxHamming)
   }
 
   case class VideoFrameHash(doc: String, frame_idx: Int, dhash: Long)
@@ -514,11 +631,30 @@ object MediaCodec {
     * Distinct-before-join keeps a video with repeated still frames
     * from exploding the pair space; the join is hash-equi — never
     * all-pairs, the dedup-tier rule. */
-  def videoSharedFrames(media: DataFrame, step: Int = 1): DataFrame = {
+  def videoSharedFrames(media: DataFrame, step: Int = 1): DataFrame =
+    videoSharedTail(aviFrameDHash(media, step).toDF()
+      .select(col("doc"), col("dhash")).distinct().localCheckpoint(), None)
+
+  /** [[videoSharedFrames]] with the [[cappedSources]] keeper rule per
+    * shared frame-hash value — the form a web-scale corpus runs: a
+    * black frame (or a studio logo card) appears in MILLIONS of
+    * videos, and uncapped that one hash value's pair space is
+    * quadratic. Exactly equal to the uncapped output while no frame
+    * hash is shared by more than `cap` videos; past it, a pair whose
+    * a-side ranks beyond the cap on SOME shared hash undercounts
+    * `n_shared` by those hashes (and vanishes when that holds for all
+    * of them) — the stated lower-bound contract. */
+  def videoSharedFramesCapped(media: DataFrame, step: Int = 1,
+                              cap: Int = 64): DataFrame = {
     val hashes = aviFrameDHash(media, step).toDF()
       .select(col("doc"), col("dhash")).distinct().localCheckpoint()
+    videoSharedTail(hashes, Some(cappedSources(hashes, Seq("dhash"), cap)))
+  }
+
+  private[graft] def videoSharedTail(hashes: DataFrame,
+                              sources: Option[DataFrame]): DataFrame = {
     val counts = hashes.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    hashes.as("a").join(hashes.as("b"),
+    sources.getOrElse(hashes).as("a").join(hashes.as("b"),
         col("a.dhash") === col("b.dhash") && col("a.doc") < col("b.doc"))
       .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("n_shared"))
@@ -601,13 +737,27 @@ object MediaCodec {
     * prefix). */
   def audioNearDups(media: DataFrame, windowFrames: Int = 100): DataFrame = {
     val fps = wavFingerprint(media, windowFrames).toDF().localCheckpoint()
-    fps.as("a").join(fps.as("b"),
+    audioNearDupTail(fps, fps)
+  }
+
+  /** [[audioNearDups]] with the [[cappedSources]] keeper rule per
+    * (fingerprint, n_windows) bucket — the form a web-scale corpus
+    * runs: SILENCE fingerprints to 0 at every length, and an uncapped
+    * equi-join over the silent tier is quadratic. Exactly equal to the
+    * uncapped output while no bucket exceeds `cap`. */
+  def audioNearDupsCapped(media: DataFrame, windowFrames: Int = 100,
+                          cap: Int = 64): DataFrame = {
+    val fps = wavFingerprint(media, windowFrames).toDF().localCheckpoint()
+    audioNearDupTail(cappedSources(fps, Seq("fingerprint", "n_windows"), cap), fps)
+  }
+
+  private[graft] def audioNearDupTail(sources: DataFrame, fps: DataFrame): DataFrame =
+    sources.as("a").join(fps.as("b"),
         col("a.fingerprint") === col("b.fingerprint") &&
           col("a.n_windows") === col("b.n_windows") &&
           col("a.doc") < col("b.doc"))
       .select(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"),
         col("a.fingerprint").as("fingerprint"))
-  }
 
   /** Decode WAV audio through `javax.sound.sampled`: format header from
     * the real codec, then exact integer amplitude statistics over the

@@ -609,4 +609,65 @@ object UrlOps {
       .orderBy(col("overdue_sec").desc, col("url").asc)
       .limit(topN)
   }
+
+  /** THE production recrawl batch — the UNION of the two due signals a
+    * real crawler runs side by side: [[recrawlSchedule]]'s OBSERVED
+    * change rates (due = the adaptive interval elapsed) and
+    * [[sitemapStaleness]]'s DECLARED lastmod (due = the site says the
+    * page changed, or the sitemap lists a page never fetched). A url is
+    * due when EITHER signal fires; the two legs dedupe on canonical
+    * url through one full-outer equi-join, and the batch is
+    * budget-capped stalest-first exactly like [[dueTopN]].
+    *
+    * Urgency (`overdue_sec`) is the max of the legs': the observed
+    * leg's seconds past `next_due_sec`, the declared leg's seconds
+    * since the declared lastmod (never-fetched entries and future
+    * lastmods floor at 0 — listed, so due, but with no staleness
+    * evidence to jump the queue on).
+    *
+    * Output: `(url, due_observed, due_declared, reasons, overdue_sec)`
+    * — reasons ordered `overdue` → `sitemap_new` → `sitemap_updated`
+    * so the column hashes stably.
+    *
+    * Scale shape: each leg is one url-keyed partial-combined aggregate
+    * (the ledger is consumed TWICE but both passes group on the same
+    * key), the unify join is url-keyed equi, and the budget cap is
+    * TakeOrderedAndProject — no window, nothing driver-sized. */
+  def recrawlDueUnified(history: org.apache.spark.sql.DataFrame,
+                        entries: org.apache.spark.sql.DataFrame,
+                        nowSec: Long, topN: Int,
+                        minIntervalSec: Long = 3600L,
+                        maxIntervalSec: Long = 30L * 86400L,
+                        urlCol: String = "url", tsCol: String = "fetch_ts_sec",
+                        changedCol: String = "changed",
+                        entryUrlCol: String = "loc",
+                        lastmodCol: String = "lastmod")
+      : org.apache.spark.sql.DataFrame = {
+    val hist = history.select(canonicalizeUrl(col(urlCol)).as("url"),
+      col(tsCol).cast("long").as("fetch_ts_sec"), col(changedCol).as("changed"))
+    val observed = recrawlSchedule(hist, nowSec, minIntervalSec, maxIntervalSec)
+      .filter(col("due"))
+      .select(col("url"), col("overdue_sec").as("_overdue_obs"))
+    val declared = sitemapStaleness(entries, hist,
+        urlCol = entryUrlCol, lastmodCol = lastmodCol)
+      .filter(col("due"))
+      .select(col("url"), col("reason").as("_declared_reason"),
+        greatest(lit(0L),
+          lit(nowSec) - coalesce(col("lastmod_sec"), lit(nowSec)))
+          .as("_overdue_dec"))
+    observed.join(declared, Seq("url"), "full_outer")
+      .select(col("url"),
+        col("_overdue_obs").isNotNull.as("due_observed"),
+        col("_declared_reason").isNotNull.as("due_declared"),
+        array_join(array_compact(array(
+          when(col("_overdue_obs").isNotNull, "overdue"),
+          when(col("_declared_reason") === "new", "sitemap_new"),
+          when(col("_declared_reason") === "updated", "sitemap_updated"))),
+          ",").as("reasons"),
+        greatest(coalesce(col("_overdue_obs"), lit(0L)),
+          coalesce(col("_overdue_dec"), lit(0L))).as("overdue_sec"),
+        lit(true).as("due"))
+      .transform(s => dueTopN(s, topN))
+      .drop("due")
+  }
 }

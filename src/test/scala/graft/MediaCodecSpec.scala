@@ -287,6 +287,62 @@ class MediaCodecSpec extends SparkSpec {
     assert(stepped.toSeq === Seq(0, 5, 10))
   }
 
+  test("capped perceptual pair joins: exact parity within the cap " +
+      "(the simhashPairsCapped contract on media)") {
+    val df = MediaCodec.hostileDedupFixturesDF(spark)
+    // cap >= every bucket's occupancy => capped output IS the uncapped
+    // output, row for row (5 spacers / 4 black frames / 4 silences)
+    def rows(d: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+      d.collect().map(_.toSeq).toSet
+    assert(rows(MediaCodec.imageNearDupsCapped(df, cap = 5)) ===
+      rows(MediaCodec.imageNearDups(df)))
+    assert(rows(MediaCodec.videoSharedFramesCapped(df, cap = 4)) ===
+      rows(MediaCodec.videoSharedFrames(df)))
+    assert(rows(MediaCodec.audioNearDupsCapped(df, cap = 4)) ===
+      rows(MediaCodec.audioNearDups(df)))
+    // and on the NON-hostile fixture any cap >= 2 is already a no-op
+    val benign = MediaCodec.dhashFixturesDF(spark)
+    assert(rows(MediaCodec.imageNearDupsCapped(benign, cap = 2)) ===
+      rows(MediaCodec.imageNearDups(benign)))
+    assert(rows(MediaCodec.audioNearDupsCapped(benign, cap = 2)) ===
+      rows(MediaCodec.audioNearDups(benign)))
+  }
+
+  test("past the cap only the `cap` smallest docs act as pair sources; " +
+      "legitimate twins keep resolving") {
+    val df = MediaCodec.hostileDedupFixturesDF(spark)
+    // five identical spacers, cap 2: a0/a1 source; a2-a4 still flagged
+    val img = MediaCodec.imageNearDupsCapped(df, cap = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val spacerPairs = Set(("a0", "a1"), ("a0", "a2"), ("a0", "a3"),
+      ("a0", "a4"), ("a1", "a2"), ("a1", "a3"), ("a1", "a4"))
+    assert(img === spacerPairs + (("photo", "poster")),
+      "capped image pairs: keeper-sourced spacers + the codec twin")
+    // every spacer beyond the cap still has SOME keeper
+    assert(Set("a2", "a3", "a4").subsetOf(img.map(_._2)))
+    // four videos share one black frame, cap 2: v0/v1 source
+    val vid = MediaCodec.videoSharedFramesCapped(df, cap = 2).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(vid.keySet === Set(("v0", "v1"), ("v0", "v2"), ("v0", "v3"),
+      ("v1", "v2"), ("v1", "v3")))
+    assert(vid.values.toSet === Set((1L, 2L, 2L)),
+      "each pair shares exactly the black frame; stripe frames are unique")
+    // four silent audios, cap 2: s0/s1 source; the volume twin survives
+    val aud = MediaCodec.audioNearDupsCapped(df, cap = 2).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(aud === Set(("s0", "s1"), ("s0", "s2"), ("s0", "s3"),
+      ("s1", "s2"), ("s1", "s3"), ("beep", "beep_soft")))
+    // the hostile fixture is what it claims: stripes hash distinct and
+    // nonzero, spacers/silence collapse to the degenerate value
+    val stripeHashes = MediaCodec.aviFrameDHash(df).collect()
+      .filter(_.frame_idx == 0).map(_.dhash)
+    assert(stripeHashes.distinct.length === 4 && !stripeHashes.contains(0L))
+    val spacerHashes = MediaCodec.imageDHash(df).collect()
+      .filter(_.doc.startsWith("a")).map(_.dhash).toSet
+    assert(spacerHashes === Set(0L))
+  }
+
   test("payload column is pruned out of the scan for metadata-only projections") {
     // through a real parquet round trip — pruning must reach ReadSchema
     val tmp = java.nio.file.Files.createTempDirectory("graft-media").toString

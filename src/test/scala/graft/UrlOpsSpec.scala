@@ -243,4 +243,42 @@ class UrlOpsSpec extends SparkSpec {
     assert(canon("http://a.com/p?xutm_source=1&u=utm_source")
       === Seq("http://a.com/p?u=utm_source&xutm_source=1"))
   }
+
+  test("recrawlDueUnified: union of observed and declared signals, dedup'd, capped") {
+    // history: /hot changed every fetch (short interval, overdue at
+    // now=10000), /cold never changed (long interval, NOT overdue);
+    // sitemap: /cold declared updated day 2 (declared-only due), /hot
+    // also listed but stale-dated (observed-only due), /brand-new never
+    // fetched (new), /fresh listed+fetched same day (due by neither)
+    val history = Seq(
+      ("http://a.com/hot", 1000L, true), ("http://a.com/hot", 2000L, true),
+      ("http://a.com/cold", 1000L, false), ("http://a.com/cold", 2000L, false),
+      ("http://a.com/fresh", 200000L, false), ("http://a.com/fresh", 201000L, false)
+    ).toDF("url", "fetch_ts_sec", "changed")
+    val entries = Seq(
+      ("http://a.com/cold", "1970-01-02"),
+      ("http://a.com/hot", "1970-01-01"),
+      ("http://a.com/brand-new", "1970-01-03"),
+      ("http://a.com/fresh", "1970-01-02")
+    ).toDF("loc", "lastmod")
+    val out = UrlOps.recrawlDueUnified(history, entries, nowSec = 10000L,
+        topN = 10, minIntervalSec = 500L, maxIntervalSec = 100000L)
+      .collect().map(r => r.getAs[String]("url") ->
+        ((r.getAs[Boolean]("due_observed"), r.getAs[Boolean]("due_declared"),
+          r.getAs[String]("reasons"), r.getAs[Long]("overdue_sec")))).toMap
+    // hot: all fetches changed -> interval 500, due at 2500, overdue 7500
+    assert(out("http://a.com/hot") === ((true, false, "overdue", 7500L)))
+    // cold: zero change rate -> interval 100000, not observed-due; the
+    // sitemap lastmod (day 2) postdates the fetch day (day 0) -> updated
+    assert(out("http://a.com/cold") ===
+      ((false, true, "sitemap_updated", 0L)))
+    assert(out("http://a.com/brand-new") === ((false, true, "sitemap_new", 0L)))
+    assert(!out.contains("http://a.com/fresh"),
+      "due by neither signal stays out of the batch")
+    // the budget cap is a real top-N: cap 1 keeps only the stalest
+    val capped = UrlOps.recrawlDueUnified(history, entries, nowSec = 10000L,
+      topN = 1, minIntervalSec = 500L, maxIntervalSec = 100000L)
+      .collect().map(_.getAs[String]("url")).toSeq
+    assert(capped === Seq("http://a.com/hot"))
+  }
 }
