@@ -69,13 +69,77 @@ object Bench {
     // discards it — the real work, no I/O noise. (Totals from rounds
     // <= 9 undercount those queries; the spread is small because the
     // affected queries are the cheap tail.)
+    // anchor loads BEFORE the sweep (round 19): the outlier-rep stage
+    // trace below needs the 3x-anchor threshold while the rep's stage
+    // events are still fresh in the listener buffer
+    val anchorFile = Option(new java.io.File(".").listFiles()).getOrElse(Array())
+      .filter(_.getName.matches("BENCH_ANCHOR_r\\d+\\.json"))
+      .sortBy(f => "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
+      .lastOption
+    val anchor: Map[String, Double] = anchorFile.map { f =>
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val qsec = txt.indexOf("\"queries\":{")
+        if (qsec < 0) Map.empty[String, Double]
+        else "\"([^\"]+)\":([0-9][0-9.]*)".r
+          .findAllMatchIn(txt.substring(qsec + 11, txt.indexOf('}', qsec)))
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      } catch { case _: Throwable => Map.empty[String, Double] }
+    }.getOrElse(Map.empty)
+    // ---- outlier cause trace (round 19) ---------------------------------
+    // r18's golden_e2e hit 36.8 s on one rep (anchor 2.90) and the
+    // detail captured NO cause — adjudication needed a human replay.
+    // Fix: a stage listener runs for the whole sweep; when a rep
+    // exceeds 3x its anchor (+0.5 s absolute) or a second rep exceeds
+    // 3x the first (+1 s), that rep's completed stages (top 8 by wall
+    // time) are snapshotted into BENCH_DETAIL's `outlier_stages` — the
+    // artifact alone then says WHERE the time went (one slow stage =
+    // contention/GC on a stage floor; uniform inflation = a contended
+    // window; a data-scaled stage = a real regression).
+    // (stageId, callsite, submissionMs, durMs, tasks)
+    val stageBuf = new scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long, Int)]()
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        val si = ev.stageInfo
+        val sub = si.submissionTime.getOrElse(-1L)
+        val dur = (for (s <- si.submissionTime; c <- si.completionTime) yield c - s)
+          .getOrElse(-1L)
+        stageBuf.synchronized {
+          stageBuf += ((si.stageId, si.name, sub, dur, si.numTasks)): Unit
+        }
+      }
+    })
+    // key -> (top stages by duration, each with its submission offset
+    // into the rep — one huge `sec` = a stalled/contended stage, many
+    // small ones with dense `at` offsets = the serial stage-floor class)
+    val outlierStages =
+      new scala.collection.mutable.LinkedHashMap[String, Seq[(Int, String, Double, Long, Int)]]()
+    def snapshotStages(key: String, repStartMs: Long): Unit = {
+      Thread.sleep(300) // listener events are async; let the bus drain
+      val top = stageBuf.synchronized(stageBuf.toList)
+        .sortBy(-_._4).take(8)
+        .map { case (id, nm, sub, dur, tasks) =>
+          (id, nm, if (sub < 0) -1.0 else (sub - repStartMs) / 1e3, dur, tasks) }
+      outlierStages(key) = top
+    }
+    def isOutlier(name: String, sec: Double): Boolean =
+      anchor.get(name).exists(a => sec > 3 * a && sec - a > 0.5)
     val raw = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      var rep1: Double = -1.0
+      val times = (1 to 2).map { rep =>
+        stageBuf.synchronized(stageBuf.clear())
+        val wall0 = System.currentTimeMillis()
         val t0 = System.nanoTime()
         val ok = try {
           fn(spark, sfDir).write.mode("overwrite").format("noop").save(); true
         } catch { case _: Throwable => false }
-        ((System.nanoTime() - t0) / 1e9, ok)
+        val sec = (System.nanoTime() - t0) / 1e9
+        if (isOutlier(name, sec) ||
+            (rep == 2 && rep1 > 0 && sec > 3 * rep1 && sec - rep1 > 1.0))
+          snapshotStages(s"$name/rep$rep", wall0)
+        if (rep == 1) rep1 = sec
+        (sec, ok)
       }
       if (!times.exists(_._2)) System.err.println(s"[bench] $name FAILED every run")
       name -> times
@@ -117,21 +181,9 @@ object Bench {
     // list of queries whose SECOND rep ran >3x the first: rep1-slow is
     // the expected cold/memoized-artifact shape (nb_train, bpe_learn fit
     // once then reuse), so only a slow rep2 marks a mid-run transient —
-    // direction matters. Empty lists => nothing to adjudicate.
-    val anchorFile = Option(new java.io.File(".").listFiles()).getOrElse(Array())
-      .filter(_.getName.matches("BENCH_ANCHOR_r\\d+\\.json"))
-      .sortBy(f => "\\d+".r.findFirstIn(f.getName).fold(0)(_.toInt))
-      .lastOption
-    val anchor: Map[String, Double] = anchorFile.map { f =>
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        val qsec = txt.indexOf("\"queries\":{")
-        if (qsec < 0) Map.empty[String, Double]
-        else "\"([^\"]+)\":([0-9][0-9.]*)".r
-          .findAllMatchIn(txt.substring(qsec + 11, txt.indexOf('}', qsec)))
-          .map(m => m.group(1) -> m.group(2).toDouble).toMap
-      } catch { case _: Throwable => Map.empty[String, Double] }
-    }.getOrElse(Map.empty)
+    // direction matters. Empty lists => nothing to adjudicate. (The
+    // anchor itself loads ABOVE the sweep since round 19 — the outlier
+    // stage trace needs the threshold live per rep.)
     def fmt(v: Double) = BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     // anchor rule: min > 3x anchor AND +0.5 s absolute (a 0.02->0.07 s
     // jitter on a trivial query is not a spike)
@@ -163,12 +215,19 @@ object Bench {
     // which the calibration pair exposes), never a mid-run transient.
     val flagged = (spikes.map(_._1) ++ dirty.map(_._1)).distinct
     val rerun: Map[String, (Double, Boolean)] = flagged.map { name =>
+      stageBuf.synchronized(stageBuf.clear())
+      val wall0 = System.currentTimeMillis()
       val t0 = System.nanoTime()
       val ok = try {
         SparkEntry.queries(name)(spark, sfDir)
           .write.mode("overwrite").format("noop").save(); true
       } catch { case _: Throwable => false }
-      name -> ((System.nanoTime() - t0) / 1e9, ok)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // a rerun STILL past 3x anchor is a true regression (or a fully
+      // contended machine) — that is exactly the rep whose stage
+      // decomposition the adjudicator needs
+      if (isOutlier(name, sec)) snapshotStages(s"$name/rerun", wall0)
+      name -> (sec, ok)
     }.toMap
     val adjusted = results.map { case (name, v) =>
       name -> rerun.get(name).collect { case (t, true) => math.min(v, t) }
@@ -201,6 +260,20 @@ object Bench {
       detail.append(",\"dirty\":").append(dirtyJson)
       val failed = raw.collect { case (n, ts) if !ts.exists(_._2) => "\"" + n + "\"" }
       detail.append(",\"failed\":").append(failed.mkString("[", ",", "]"))
+      // per-stage wall times of every flagged rep (top 8 by duration):
+      // the cause trace that lets a 36.8 s-vs-2.9 s-anchor rep be
+      // adjudicated from the artifact alone
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      }
+      detail.append(",\"outlier_stages\":{")
+      detail.append(outlierStages.map { case (key, stages) =>
+        "\"" + esc(key) + "\":[" + stages.map { case (id, nm, at, ms, tasks) =>
+          s"""{"stage":$id,"at":${fmt(at)},"sec":${fmt(ms / 1e3)},"tasks":$tasks,"name":"${esc(nm.take(120))}"}"""
+        }.mkString(",") + "]"
+      }.mkString(","))
+      detail.append("}")
       detail.append(",\"reps\":{")
       // flagged queries carry their actuator rerun as a third rep
       detail.append(raw.toSeq.sortBy(-_._2.map(_._1).min).map { case (n, ts) =>
