@@ -55,30 +55,66 @@ object BfsWidthDrill {
     sb.toString.getBytes("UTF-8")
   }
 
+  /** DEEP-graph page (the depth ladder, r19 task 7): levels 0..D each
+    * hold `width` pages `/d{l}/p{j}`; page (l, j) links to (l+1, j) and
+    * (l+1, (j+1) mod width) — together the two edges cover every
+    * next-level page — plus a CYCLE edge back to level l/2 (visited by
+    * construction, so every round stresses the anti-join against the
+    * ACCUMULATED visited set, which is what the compaction cadence is
+    * for: at depth 30+ the visited union holds `compactEvery` × frontier
+    * partitions of lineage unless compacted). */
+  private[graft] def synthDeepPage(url: String, width: Int, maxDepth: Int): Array[Byte] = {
+    val m = java.util.regex.Pattern.compile("/d(\\d+)/p(\\d+)$").matcher(url)
+    if (!m.find()) return "<html><body>leaf</body></html>".getBytes("UTF-8")
+    val l = m.group(1).toInt
+    val j = m.group(2).toInt
+    val sb = new StringBuilder(384)
+    sb ++= s"<html><head><title>D$l P$j</title></head><body><p>Deep chain page.</p>"
+    if (l < maxDepth) {
+      val c1 = j; val c2 = (j + 1) % width
+      sb ++= s"""<a href="http://s${(31 * (l + 1) + c1) % 64}.example.com/d${l + 1}/p$c1">down</a> """
+      sb ++= s"""<a href="http://s${(31 * (l + 1) + c2) % 64}.example.com/d${l + 1}/p$c2">diag</a> """
+    }
+    sb ++= s"""<a href="http://s${(31 * (l / 2) + j) % 64}.example.com/d${l / 2}/p$j">cycle</a>"""
+    sb ++= "</body></html>"
+    sb.toString.getBytes("UTF-8")
+  }
+
   def main(args: Array[String]): Unit = {
     val trees = sys.env.getOrElse("BFS_WIDTH_TREES", "73").toInt
     val depth = sys.env.getOrElse("BFS_WIDTH_DEPTH", "5").toInt
     val compactEvery = sys.env.getOrElse("BFS_WIDTH_COMPACT", "8").toInt
+    val deepWidth = sys.env.get("BFS_DEEP_WIDTH").map(_.toInt) // deep mode
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    val synthFetchUdf = udf((url: String) => synthPage(url))
+    val tag = if (deepWidth.isDefined) "BFSDEPTH" else "BFSWIDTH"
+    val synthFetchUdf = deepWidth match {
+      case Some(w) => udf((url: String) => synthDeepPage(url, w, depth))
+      case None => udf((url: String) => synthPage(url))
+    }
     val fetch = (urls: org.apache.spark.sql.DataFrame) =>
       urls.select(col("url"), synthFetchUdf(col("url")).as("content"))
-    val seeds = spark.range(trees.toLong)
-      .select(concat(lit("http://s"), (col("id") * 31) % 64,
-        lit(".example.com/t"), col("id"), lit("/p0")).as("url"))
+    val seeds = deepWidth match {
+      case Some(w) => spark.range(w.toLong)
+        .select(concat(lit("http://s"), (col("id") * 31) % 64,
+          lit(".example.com/d0/p"), col("id")).as("url"))
+      case None => spark.range(trees.toLong)
+        .select(concat(lit("http://s"), (col("id") * 31) % 64,
+          lit(".example.com/t"), col("id"), lit("/p0")).as("url"))
+    }
     val rules = graft.operators.UrlOps.RobotsRules(Seq((false, "/blocked/")))
     val t0 = System.nanoTime()
     val out = graft.operators.CrawlCorpus.bfs(spark, seeds, rules,
       maxDepth = depth, fetch = fetch, visitedCompactEvery = compactEvery,
       onRound = (d, rows, secs) =>
-        println(f"BFSWIDTH round depth=$d rows=$rows%-8d $secs%.2f s"))
+        println(f"$tag round depth=$d rows=$rows%-8d $secs%.2f s"))
     val visited = out.count()
     val total = (System.nanoTime() - t0) / 1e9
-    println(f"BFSWIDTH total trees=$trees depth=$depth compact=$compactEvery " +
+    val shape = deepWidth.map(w => s"width=$w").getOrElse(s"trees=$trees")
+    println(f"$tag total $shape depth=$depth compact=$compactEvery " +
       f"visited=$visited $total%.2f s ${visited / total}%.0f pages/s")
     spark.stop()
   }

@@ -191,7 +191,16 @@ object CrawlCorpus {
     *   checkpoints (each `next` is checkpointed anyway — re-writing
     *   the whole set every round was O(V·depth) churn), and compacted
     *   to one checkpoint every N rounds so the anti-join's plan width
-    *   stays bounded at N × frontier partitions.
+    *   stays bounded at N × frontier partitions. Cost model (the r19
+    *   depth ladder, BfsWidthDrill BFSDEPTH rows): each un-compacted
+    *   part taxes every round's anti-join ~α (scheduling floor per
+    *   part), compaction costs ~β·|visited|; the optimum is
+    *   k* ≈ √(2β·V/α), so DEEP-narrow crawls (100 k pages over 33
+    *   levels: V small, rounds many) measured best at ~4 while WIDE
+    *   crawls (1 M pages in 5 rounds: V large) preferred ≥8. The
+    *   default 8 is the geometric middle of the two measured optima;
+    *   tune DOWN for politeness-horizon crawls past depth ~30, UP for
+    *   archive-width frontiers.
     * @param onRound optional per-round probe `(depth, nextRows,
     *   secs)` — drill instrumentation; null (production) costs
     *   nothing. */
