@@ -35,18 +35,27 @@ object CrawlCorpusDrill {
       println(f"CRAWLCORPUS $name%-10s ${(System.nanoTime() - t0) / 1e9}%.2f s (once, eager)")
       r
     }
+    val blocked = CrawlCorpus.blocklist(spark)
+    // discover WITHOUT vs WITH the RefinedWeb URL filter — the new
+    // stage's own cost is the delta (a per-row projection + the
+    // broadcast blocklist join)
     drill("discover")(CrawlCorpus.discover(spark, seeds, rules))
+    drill("urlfilter")(CrawlCorpus.discover(spark, seeds, rules, blocked))
     drill("frontier")(CrawlCorpus.schedule(
-      CrawlCorpus.discover(spark, seeds, rules), rules))
+      CrawlCorpus.discover(spark, seeds, rules, blocked), rules))
     // fetchExtract localCheckpoints eagerly — time the one-shot build
+    // (now including markdown routing, NFC normalization, and the
+    // CCNet host-line-dedup exchange pair)
     val pages = timed("extract") {
-      CrawlCorpus.fetchExtract(seeds,
-        CrawlCorpus.schedule(CrawlCorpus.discover(spark, seeds, rules), rules))
+      CrawlCorpus.fetchExtract(seeds, CrawlCorpus.schedule(
+        CrawlCorpus.discover(spark, seeds, rules, blocked), rules))
     }
     drill("verdict")(CrawlCorpus.verdict(spark, pages))
     drill("neardup")(CrawlCorpus.nearDup(pages))
+    drill("clip")(CrawlCorpus.clip(spark, pages))
     drill("corpus")(CrawlCorpus.corpus(pages,
-      CrawlCorpus.verdict(spark, pages), CrawlCorpus.nearDup(pages)))
+      CrawlCorpus.verdict(spark, pages), CrawlCorpus.nearDup(pages),
+      CrawlCorpus.clip(spark, pages)))
     drill("full")(CrawlCorpus.run(spark))
     spark.stop()
   }

@@ -1313,14 +1313,25 @@ private[graft] trait EntryDocs extends EntryShared {
     // gopher word floor, all-distinct-bigram 'repetitive' artifact,
     // single-sentence/no-punct C4; article3's word soup also has zero
     // language markers -> 'lang'), article4 quotes the benchmark
-    // 4-gram, dup.html is the exact text duplicate of article1, and
-    // article2 (one word changed) reaches the corpus gate with a CLEAN
-    // verdict but falls to its SimHash keeper — the miss exact dedup
-    // cannot catch; article6 has NO inbound link and reaches the corpus
-    // through the robots Sitemap: directive alone. The robots-denied
-    // /private/ link and the mailto: never fetch; the ?utm_source twin
-    // and the sitemap's article5 copy collapse in canonical space; the
-    // hub's '/' link 404s and contributes nothing,
+    // 4-gram — and since r19 ships CLIPPED (span removed, kept in
+    // corpus) instead of dropped; dup.html is the exact text duplicate
+    // of article1, and article2 (one word changed) reaches the corpus
+    // gate with a CLEAN verdict but falls to its SimHash keeper — the
+    // miss exact dedup cannot catch; article6 has NO inbound link and
+    // reaches the corpus through the robots Sitemap: directive alone;
+    // readme.md arrives through the markdown extractor route. The
+    // robots-denied /private/ link, the mailto:, and the blocklisted
+    // tracker link (RefinedWeb URL filter — dropped BEFORE the
+    // frontier) never fetch; the ?utm_source twin and the sitemap's
+    // article5 copy collapse in canonical space; the hub's '/' link
+    // 404s and contributes nothing.
+    // n_boiler_removed = 1 on every html page (the site-wide footer
+    // line, stripped by the CCNet host-line stage; readme.md carries
+    // no footer); n_chars are the post-NFC post-strip text lengths —
+    // readme's 415 is independently re-derived (python unicodedata:
+    // raw decomposed 416 -> NFC 415, the e + U+0301 composes), and
+    // article1 355 vs article2 356 pins the one-word edit
+    // ('politely' -> 'carefully', +1 char).
     // near-dup keeper = smallest doc_id in the cluster; doc_id is the
     // url-hash key (xxhash64 over the host-stripped path — see
     // CrawlCorpus.run), so the {article1, article2, dup} cluster's
@@ -1328,22 +1339,31 @@ private[graft] trait EntryDocs extends EntryShared {
     // Exact-dup rank is hash-ordered too: article1 (324...) still
     // precedes dup (8076...), so dup keeps the 'duplicate' reason.
     "crawl_corpus_e2e" ->
-      """SELECT path, title, reasons, keep, near_dup_of, noindex, in_corpus FROM (VALUES
+      """SELECT path, title, reasons, keep, near_dup_of, noindex, clipped,
+        |  CAST(n_boiler_removed AS BIGINT) AS n_boiler_removed,
+        |  CAST(n_chars AS BIGINT) AS n_chars, in_corpus FROM (VALUES
         | ('/article1.html', 'Polite crawling', '', TRUE,
-        |  '/article2.html', FALSE, FALSE),
+        |  '/article2.html', FALSE, FALSE, 1, 355, FALSE),
         | ('/article2.html', 'Polite crawling again', '', TRUE,
-        |  CAST(NULL AS VARCHAR), FALSE, TRUE),
+        |  CAST(NULL AS VARCHAR), FALSE, FALSE, 1, 356, TRUE),
         | ('/article3.html', 'Fragments', 'lang,repetitive,gopher_quality,c4',
-        |  FALSE, NULL, FALSE, FALSE),
-        | ('/article4.html', 'Benchmarks', 'contaminated', FALSE, NULL, FALSE, FALSE),
-        | ('/article5.html', 'Scaling the crawl', '', TRUE, NULL, FALSE, TRUE),
-        | ('/article6.html', 'Sitemap only', '', TRUE, NULL, FALSE, TRUE),
-        | ('/article7.html', 'Embargoed preview', '', TRUE, NULL, TRUE, FALSE),
+        |  FALSE, NULL, FALSE, FALSE, 1, 71, FALSE),
+        | ('/article4.html', 'Benchmarks', 'contaminated', FALSE, NULL, FALSE,
+        |  TRUE, 1, 320, TRUE),
+        | ('/article5.html', 'Scaling the crawl', '', TRUE, NULL, FALSE,
+        |  FALSE, 1, 302, TRUE),
+        | ('/article6.html', 'Sitemap only', '', TRUE, NULL, FALSE,
+        |  FALSE, 1, 305, TRUE),
+        | ('/article7.html', 'Embargoed preview', '', TRUE, NULL, TRUE,
+        |  FALSE, 1, 311, FALSE),
         | ('/dup.html', 'Mirror of polite crawling', 'duplicate', FALSE,
-        |  '/article2.html', FALSE, FALSE),
+        |  '/article2.html', FALSE, FALSE, 1, 355, FALSE),
+        | ('/readme.md', 'Graft crawl readme', '', TRUE, NULL, FALSE,
+        |  FALSE, 0, 415, TRUE),
         | ('/site.html', 'Crawl Hub', 'repetitive,gopher_quality,c4',
-        |  FALSE, NULL, FALSE, FALSE)
-        |) AS t(path, title, reasons, keep, near_dup_of, noindex, in_corpus)""".stripMargin,
+        |  FALSE, NULL, FALSE, FALSE, 1, 72, FALSE)
+        |) AS t(path, title, reasons, keep, near_dup_of, noindex, clipped,
+        |  n_boiler_removed, n_chars, in_corpus)""".stripMargin,
 
     // the tree walk's expected leaves: the posts urlset verbatim plus
     // the gz child's two pages; the self-cycle, ftp: and 404 members
@@ -1473,7 +1493,9 @@ private[graft] trait EntryDocs extends EntryShared {
         | ('/article5.html', 1, 'Scaling'),
         | ('/article7.html', 1, 'Preview'),
         | ('/dup.html', 1, 'Mirror'),
-        | ('/private/secret.html', 1, 'Secret')
+        | ('/pix.gif', 1, 'Partner'),
+        | ('/private/secret.html', 1, 'Secret'),
+        | ('/readme.md', 1, 'Readme')
         |) AS t(target_path, n_refs, labels)""".stripMargin,
 
     // hand-derived from the chain design: depth = BFS distance from the

@@ -5,16 +5,22 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 /** THE CRAWL→CORPUS FLAGSHIP (curation_e2e's crawl-side sibling):
-  * discovery → politeness → real HTTP fetch → extraction → the full
-  * 8-family corpus verdict → banded near-dup → final corpus
-  * membership, end to end over the loopback mini-site
+  * discovery → RefinedWeb URL filtering → politeness → real HTTP
+  * fetch → format-routed extraction (HTML + markdown) → Unicode NFC →
+  * CCNet host-line boilerplate removal → the full 8-family corpus
+  * verdict → banded near-dup → span-level decontamination → final
+  * corpus membership, end to end over the loopback mini-site
   * ([[UrlIngest.crawlSiteBase]]). Every stage is the production
   * operator, not a demo stub: links resolve (RFC 3986 §5) and
   * canonicalize (the ?utm_source twin collapses), the robots-denied
-  * /private/ link never reaches the wire, the frontier budgets/spaces
-  * the host, [[Cleaning.cleanCorpus]] runs ALL families including the
-  * gopher/C4 fold, and SimHash banding catches the one-word-changed
-  * near-duplicate exact dedup cannot see.
+  * /private/ link never reaches the wire, the blocklisted tracker
+  * link dies BEFORE the frontier (filter before you fetch), the
+  * frontier budgets/spaces the host, the site-wide footer line is
+  * stripped host-statistically before any fingerprint,
+  * [[Cleaning.cleanCorpus]] runs ALL families including the gopher/C4
+  * fold, SimHash banding catches the one-word-changed near-duplicate
+  * exact dedup cannot see, and the benchmark-contaminated page ships
+  * CLIPPED (leaked span removed) instead of dropped.
   *
   * Factored out of the `crawl_corpus_e2e` registry entry so the chain
   * is (a) a reusable pipeline a caller can run over their own seeds
@@ -38,12 +44,23 @@ object CrawlCorpus {
     UrlOps.parseRobots(
       s"Sitemap: $base/site-sitemap.xml\n" + DocFixtures.robotsTxt, "graftbot")
 
+  /** The URL-quality blocklist the flagship's RefinedWeb stage
+    * consumes (the hub's tracker link resolves into this domain and
+    * must die BEFORE the frontier — filter before you fetch). */
+  def blocklist(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq("spamads.com").toDF("domain")
+  }
+
   /** Discovery: seed-page links ∪ sitemap tree, through ONE
-    * canonicalize → fetchable → robots → dedup chain (article5 arrives
-    * via both channels and must collapse). Returns frontier-ready
-    * (url, priority_micro). */
+    * canonicalize → fetchable → robots → URL-quality chain (article5
+    * arrives via both channels and must collapse; the tracker link is
+    * dropped by [[UrlOps.urlFilter]] at list price — RefinedWeb's
+    * "filter before you fetch", the cheapest filter a crawl runs).
+    * Returns frontier-ready (url, priority_micro). */
   def discover(spark: SparkSession, seeds: DataFrame,
-               rules: UrlOps.RobotsRules): DataFrame = {
+               rules: UrlOps.RobotsRules,
+               blocked: DataFrame = null): DataFrame = {
     val seedPages = UrlIngest.fetchBytes(seeds, backoffMs = 1)
       .filter(col("content").isNotNull)
       .select(col("url").as("page_url"), Html.parseHtmlUdf(col("content")).as("p"))
@@ -63,6 +80,9 @@ object CrawlCorpus {
       .withColumn("path",
         regexp_extract(col("url"), "^[^:/?#]+://[^/?#]+([^?#]*)", 1))
       .filter(UrlOps.robotsAllowed(rules)(col("path")))
+      .transform(d =>
+        if (blocked == null) d
+        else UrlOps.urlFilter(d.select("url"), blocked).filter(col("keep")))
       .select(col("url"), lit(0L).as("priority_micro"))
   }
 
@@ -103,17 +123,47 @@ object CrawlCorpus {
         seeds.unionByName(frontier.select("url")).distinct(), backoffMs = 1)
       .filter(col("content").isNotNull)
       .localCheckpoint()
+    // extractor ROUTING on extension: crawled corpora are not one
+    // format — markdown pages go through the markdown block parser,
+    // everything else through the HTML extractor (the S7 strategy
+    // rule applied at the crawl tier)
+    val isMd = col("url").endsWith(".md")
     // page-level robots: <meta name=robots> noindex — quality can keep
     // a page, the directive still excludes it from corpus membership
-    val dirs = Html.htmlDirectives(fetched, docCol = "url", binCol = "content")
+    // (markdown has no directive channel: noindex = false)
+    val dirs = Html.htmlDirectives(fetched.filter(!isMd),
+        docCol = "url", binCol = "content")
       .select(col("doc"), col("noindex"))
-    Html.htmlBlocks(fetched, docCol = "url", binCol = "content")
+    val htmlPages = Html.htmlBlocks(fetched.filter(!isMd),
+        docCol = "url", binCol = "content")
       .groupBy(col("doc"))
       .agg(max(col("title")).as("title"),
         array_join(transform(
           array_sort(collect_list(struct(col("block_idx"), col("content")))),
           b => b.getField("content")), "\n").as("text"))
       .join(dirs, Seq("doc"))
+    val mdPages = Markdown.markdownBlocks(
+        fetched.filter(isMd).select(col("url").as("doc"),
+          decode(col("content"), "UTF-8").as("text")))
+      .groupBy(col("doc"))
+      .agg(
+        // title = the first heading (the <title> analog); body = every
+        // block in document order, heading lines included (the C1/C4
+        // line rules treat them exactly like HTML heading blocks)
+        coalesce(element_at(transform(
+          array_sort(collect_list(when(col("kind") === "heading",
+            struct(col("block_idx"), col("content"))))),
+          b => b.getField("content")), 1), lit("")).as("title"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("block_idx"), col("content")))),
+          b => b.getField("content")), "\n").as("text"))
+      .withColumn("noindex", lit(false))
+    val pages = htmlPages.unionByName(mdPages)
+      // Unicode NFC before ANY fingerprinting/shingling: composed and
+      // decomposed spellings of the same text must share one dedup key
+      // (the readme's decomposed e + U+0301 composes here)
+      .withColumn("text", TextAnalysis.normalizeText(col("text")))
+      .withColumn("host", UrlOps.urlHost(col("doc")))
       .withColumn("path", regexp_replace(col("doc"), "^http://[^/]+", ""))
       .withColumn("doc_id",
         if (ordinalIds)
@@ -121,18 +171,44 @@ object CrawlCorpus {
           // single-partition sort, never for a real corpus
           row_number().over(Window.orderBy(col("path"))).cast("long")
         else xxhash64(col(idKey)))
+    // CCNet host-level boilerplate-line removal: the cross-page class
+    // the per-page extractor cannot see (the site-wide footer line
+    // survives link-density pruning on every page; what gives it away
+    // is appearing on most of its HOST's pages) — stripped BEFORE the
+    // verdict, exact-dup fingerprints, and SimHash banding, so the
+    // dedup tier keys on content, not chrome
+    val cleaned = Cleaning.hostLineDedup(pages)
+      .select(col("doc_id"), col("clean_text"),
+        col("n_removed").as("n_boiler_lines"))
+    pages.drop("text")
+      .join(cleaned, Seq("doc_id"))
+      .withColumnRenamed("clean_text", "text")
       .localCheckpoint()
+  }
+
+  /** The benchmark table the decontamination families probe — ONE
+    * source for the verdict's n-gram report and the span clipper. */
+  def benchTable(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq((1L, "the secret benchmark answer key")).toDF("bench_id", "text")
   }
 
   /** The full composed verdict; surprisal band parked at 9.0 — a
     * seven-page corpus LM has ln(total)≈5.5 as its ceiling, so the
     * family participates without firing (its thresholds are proven on
     * the big corpus in clean_corpus). */
-  def verdict(spark: SparkSession, pages: DataFrame): DataFrame = {
-    import spark.implicits._
-    val bench = Seq((1L, "the secret benchmark answer key")).toDF("bench_id", "text")
-    Cleaning.cleanCorpus(pages.select("doc_id", "text"), bench, maxSurprisal = 9.0)
-  }
+  def verdict(spark: SparkSession, pages: DataFrame): DataFrame =
+    Cleaning.cleanCorpus(pages.select("doc_id", "text"), benchTable(spark),
+      maxSurprisal = 9.0)
+
+  /** Span-level decontamination (Lee et al. / GPT-3 App. C: clip the
+    * WINDOW, keep the document) — the surgical counterpart to the
+    * verdict's whole-doc `contaminated` reason: a page whose ONLY
+    * failing family is contamination ships with the leaked span
+    * removed instead of being dropped ([[corpus]] consumes both). */
+  def clip(spark: SparkSession, pages: DataFrame): DataFrame =
+    Decontaminate.clipContaminated(pages.select("doc_id", "text"),
+      benchTable(spark), n = 4)
 
   /** Banded SimHash near-dup: each page maps to the smallest-id member
     * it pairs with (under the url-hash key: the smallest-hash member —
@@ -144,16 +220,32 @@ object CrawlCorpus {
 
   /** Final corpus membership: verdict ∧ not-a-near-dup ∧ not
     * self-excluded (meta-robots noindex — the directive gate is
-    * separate from quality: good text can still opt out). */
-  def corpus(pages: DataFrame, verdict: DataFrame, nd: DataFrame): DataFrame =
+    * separate from quality: good text can still opt out) — with the
+    * span-decontamination refinement: a page whose ONLY failing family
+    * is `contaminated` is CLIPPED (leaked span removed) and kept,
+    * provided the clip leaves real text. `clipped` reports the
+    * surgery. */
+  def corpus(pages: DataFrame, verdict: DataFrame, nd: DataFrame,
+             clip: DataFrame): DataFrame =
     pages.join(verdict, "doc_id")
       .join(nd, Seq("doc_id"), "left")
       .join(pages.select(col("doc_id").as("_keeper_id"),
         col("path").as("near_dup_of")), Seq("_keeper_id"), "left")
+      .join(clip.select(col("doc_id"), col("n_words_removed"),
+        (col("n_words") - col("n_words_removed") > 0).as("_kept_words")),
+        Seq("doc_id"))
+      .withColumn("clipped",
+        col("reasons") === "contaminated" && col("n_words_removed") > 0 &&
+          col("_kept_words"))
+      // n_boiler_removed pins the CCNet stage (the site footer must be
+      // gone from every html page); n_chars pins NFC (the readme's
+      // decomposed e + U+0301 counts 2 chars raw, 1 composed)
       .select(col("path"), col("title"), col("reasons"), col("keep"),
-        col("near_dup_of"), col("noindex"),
-        (col("keep") && col("near_dup_of").isNull && !col("noindex"))
-          .as("in_corpus"))
+        col("near_dup_of"), col("noindex"), col("clipped"),
+        col("n_boiler_lines").as("n_boiler_removed"),
+        length(col("text")).cast("long").as("n_chars"),
+        ((col("keep") || col("clipped")) && col("near_dup_of").isNull &&
+          !col("noindex")).as("in_corpus"))
 
   /** Iterative BFS crawl — the loop every production crawler runs,
     * expressed as bounded iterative DataFrame rounds (the PageRank
@@ -299,12 +391,12 @@ object CrawlCorpus {
     val base = UrlIngest.crawlSiteBase
     val rules = siteRules(base)
     val seeds = Seq(s"$base/site.html").toDF("url")
-    val discovered = discover(spark, seeds, rules)
+    val discovered = discover(spark, seeds, rules, blocklist(spark))
     // the production url-hash key, applied to the host-stripped path:
     // the loopback fixture's host carries an ephemeral port that varies
     // per run, and the oracle is a fixed VALUES table — a real corpus
     // passes the default idKey = "doc" (the full url)
     val pages = fetchExtract(seeds, schedule(discovered, rules), idKey = "path")
-    corpus(pages, verdict(spark, pages), nearDup(pages))
+    corpus(pages, verdict(spark, pages), nearDup(pages), clip(spark, pages))
   }
 }

@@ -411,7 +411,7 @@ object UrlIngest {
       Set("sitemap-index.xml", "sitemap-posts.xml", "sitemap-pages.xml.gz",
         "site.html", "article1.html", "article2.html", "article3.html",
         "article4.html", "article5.html", "article6.html", "article7.html",
-        "dup.html", "site-sitemap.xml")
+        "dup.html", "readme.md", "site-sitemap.xml")
     Option(d.listFiles()).getOrElse(Array.empty)
       .filterNot(f => keep(f.getName)).foreach(_.delete())
     files.foreach { case (n, b) =>
@@ -479,8 +479,12 @@ object UrlIngest {
     * verdicts live in the oracle. */
   lazy val crawlSiteBase: String = {
     val base = s"http://127.0.0.1:$fixtureServerPort"
+    // the host-wide boilerplate line every page carries (rendered as
+    // its own block): per-page heuristics cannot see it, the CCNet
+    // host-line-dedup stage must strip it from every extraction
+    val footer = "<p>Subscribe to the graft newsletter for weekly updates.</p>"
     def page(title: String, body: String): Array[Byte] =
-      (s"<html><head><title>$title</title></head><body>\n$body\n</body></html>")
+      (s"<html><head><title>$title</title></head><body>\n$body\n$footer\n</body></html>")
         .getBytes(UTF_8)
     val article1Body =
       "<p>The crawl pipeline fetches pages politely and extracts the main " +
@@ -502,6 +506,11 @@ object UrlIngest {
         "<a href=\"article7.html\">Preview</a> " +
         "<a href=\"/private/secret.html\">Secret</a> " +
         "<a href=\"article1.html?utm_source=feed\">Feed twin</a> " +
+        // the markdown discovery edge (extractor routes on extension)
+        "<a href=\"readme.md\">Readme</a> " +
+        // a blocklisted partner domain: the RefinedWeb URL filter must
+        // drop this BEFORE the frontier — filter before you fetch
+        "<a href=\"http://tracker.spamads.com/pix.gif\">Partner</a> " +
         "<a href=\"mailto:editor@example.com\">Mail us</a></div>"),
       "article1.html" -> page("Polite crawling", article1Body),
       // ONE word changed vs article1 ("politely" -> "carefully"): an
@@ -545,7 +554,20 @@ object UrlIngest {
           "is the contract for that choice, and a polite crawler honors it " +
           "at corpus membership time. Quality filtering alone would keep " +
           "this page, which is exactly why the directive gate exists.</p>\n" +
-          "</body></html>").getBytes(UTF_8),
+          footer + "\n</body></html>").getBytes(UTF_8),
+      // the markdown page (hub-linked): extractor tier must route on
+      // extension; content passes every cleaning family and carries a
+      // DECOMPOSED e + U+0301 the NFC stage must compose
+      "readme.md" ->
+        ("# Graft crawl readme\n\n" +
+          "The graft demo corpus ships one markdown page to prove that the " +
+          "extractor tier handles the format of developer documentation. " +
+          "It reads cleanly and carries enough words for every quality " +
+          "family in the verdict to pass.\n\n" +
+          "A Cafe\u0301 menu line proves that unicode normalization runs " +
+          "before any fingerprint is computed. The sentences end properly " +
+          "and the words stay in plain english for the language filter.\n")
+          .getBytes(UTF_8),
       "site-sitemap.xml" ->
         (s"""<?xml version="1.0" encoding="UTF-8"?>
             |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">

@@ -509,7 +509,10 @@ object UrlOps {
     *    (occurrences counted by the replace-length trick — exact,
     *    engine-portable);
     *  - `digits`: the host is ≥ half digits (micro-int compare — the
-    *    spam-host shape);
+    *    DGA/spam-HOSTNAME shape). IPv4 literals are EXEMPT: an IP is
+    *    a different signal class (datacenter hosting, not a generated
+    *    name) and production pipelines score it separately — flagging
+    *    every `203.0.113.7` as "digits" would conflate the two;
     *  - `too_long`: the URL exceeds `maxLen` chars.
     *
     * Output: url, host, domain, bad_word_score, reasons (ordered,
@@ -544,7 +547,8 @@ object UrlOps {
       .withColumn("_r", array_compact(array(
         when(coalesce(col("_blocked"), lit(false)), "blocked"),
         when(col("bad_word_score") >= badWordThreshold, "bad_words"),
-        when(digitCount * 2 >= length(col("host")) && length(col("host")) > 0,
+        when(!col("host").rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") &&
+          digitCount * 2 >= length(col("host")) && length(col("host")) > 0,
           "digits"),
         when(length(u) > maxLen, "too_long"))))
       .select(u.as("url"), col("host"), col("domain"), col("bad_word_score"),

@@ -175,6 +175,36 @@ class UrlIngestSpec extends SparkSpec {
     assert(nd.contains((1L, 2L)) && nd.contains((1L, 3L)))
   }
 
+  test("crawl corpus chain: URL filter, markdown route, NFC, and footer strip") {
+    import graft.operators.CrawlCorpus
+    val base = UrlIngest.crawlSiteBase
+    val rules = CrawlCorpus.siteRules(base)
+    val seeds = Seq(s"$base/site.html").toDF("url")
+    // the blocklisted tracker link must die at DISCOVERY (before any
+    // fetch); without the filter it reaches the frontier
+    val unfiltered = CrawlCorpus.discover(spark, seeds, rules)
+      .select("url").as[String].collect().toSet
+    val filtered = CrawlCorpus.discover(spark, seeds, rules,
+        CrawlCorpus.blocklist(spark))
+      .select("url").as[String].collect().toSet
+    assert(unfiltered.exists(_.contains("tracker.spamads.com")))
+    assert(!filtered.exists(_.contains("spamads")))
+    assert((unfiltered -- filtered).forall(_.contains("spamads")),
+      "the URL filter must drop ONLY the blocklisted link")
+    // extraction: markdown routes through the md parser, NFC composes
+    // the readme's decomposed accent, the host-wide footer is stripped
+    val pages = CrawlCorpus.fetchExtract(seeds,
+      CrawlCorpus.schedule(filtered.toSeq.toDF("url")
+        .withColumn("priority_micro", lit(0L)), rules))
+    val texts = pages.select(col("path"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(texts("/readme.md").contains("Café"), "NFC must compose")
+    assert(!texts("/readme.md").contains("\u0301"), "no combining mark survives")
+    assert(texts.values.forall(!_.contains("Subscribe to the graft newsletter")),
+      "the site-wide footer line is host-statistical boilerplate")
+    assert(texts("/article1.html").contains("politely"))
+  }
+
   test("http: redirect chains follow relative Locations and record the hops") {
     val base = s"http://127.0.0.1:${UrlIngest.fixtureServerPort}"
     val rows = UrlIngest.fetchBytes(
@@ -330,12 +360,16 @@ class UrlIngestSpec extends SparkSpec {
       .map(r => (r.getString(0).replaceFirst("^http://[^/]+", ""),
         r.getInt(1), r.getBoolean(2)))
       .sortBy(t => (t._2, t._1)).toSeq
-    // hub discovery yields /, article1-5, article7, dup (robots drops
-    // /private, the scheme gate drops mailto:, the utm twin collapses);
-    // budget 2 keeps the first two in (priority, url) order — '/'
-    // 404s but still consumed a fetch slot, exactly like a real crawl
+    // hub discovery yields /, article1-5, article7, dup, readme.md and
+    // the partner tracker (robots drops /private, the scheme gate drops
+    // mailto:, the utm twin collapses); budget 2 is PER HOST, so the
+    // loopback host keeps its first two in (priority, url) order — '/'
+    // 404s but still consumed a fetch slot — while the tracker link
+    // (its own host, no URL filter in THIS loop) takes a slot and fails
+    // on the wire: exactly the wasted fetch the flagship's RefinedWeb
+    // stage exists to prevent
     assert(out === Seq(("/site.html", 0, true),
-      ("/", 1, false), ("/article1.html", 1, true)))
+      ("/", 1, false), ("/article1.html", 1, true), ("/pix.gif", 1, false)))
   }
 
   test("http: Last-Modified alone revalidates when the server sends no usable ETag") {

@@ -103,6 +103,15 @@ class WebCurationSpec extends SparkSpec {
     assert(out === ((5L, 0L, text)))
   }
 
+  test("urlFilter: IPv4-literal hosts are exempt from the digits rule") {
+    val out = UrlOps.urlFilter(
+        Seq("http://203.0.113.7/page", "http://12345678.net/p").toDF("url"),
+        Seq.empty[String].toDF("domain"))
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[String]("reasons")).toMap
+    assert(out("http://203.0.113.7/page") === "")
+    assert(out("http://12345678.net/p") === "digits")
+  }
+
   test("urlFilter: empty badWords is a legal blocklist-only configuration") {
     val out = UrlOps.urlFilter(
         Seq("http://sub.badsite.org/x", "http://ok.example.com/y").toDF("url"),
