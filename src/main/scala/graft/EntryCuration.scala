@@ -72,6 +72,18 @@ private[graft] trait EntryCuration extends EntryShared {
 
     // --- dedup tier ----------------------------------------------------,
     "dedup_exact" -> ((s, d) => Dedup.exactDups(Tables.documents(s, d))),
+    // INCREMENTAL exact dedup — the cross-snapshot daily-batch shape: a
+    // third of the corpus plays the prior snapshots (summarized to the
+    // fingerprint ledger), the rest arrives as today's batch; every
+    // batch doc classifies as cross_snapshot / in_batch / original
+    // with its keeper, batch-sized work however many snapshots the
+    // ledger covers,
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.exactDupsIncremental(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        Dedup.fpLedger(docs.filter(col("doc_id") % 3 === 0)))
+    }),
     "ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d).filter(col("doc_id") < 100))),
     "minhash_pairs" -> ((s, d) =>
@@ -365,6 +377,12 @@ private[graft] trait EntryCuration extends EntryShared {
     }),
     "kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(Tables.embeddings(s, d))),
+    // Lloyd's iteration completed to a fixed 3-round fit (round 1 IS
+    // kmeans_step; rounds 2-3 re-derive centroids from the previous
+    // statistics and re-assign) — the oracle replays the whole
+    // trajectory through generated per-round CTEs,
+    "kmeans_loop" -> ((s, d) =>
+      Similarity.kmeansLoop(Tables.embeddings(s, d), rounds = 3)),
     "token_entropy" -> ((s, d) =>
       TextAnalysis.tokenEntropy(Tables.documents(s, d))),
     // the synthetic corpus draws from a ~30-term vocabulary, so nearly
@@ -477,6 +495,50 @@ private[graft] trait EntryCuration extends EntryShared {
     }),
   )
 
+  /** Generated per-round CTE replay of [[Similarity.kmeansLoop]] (the
+    * unigramLoopSql precedent): round 1 is the kmeans_step derivation
+    * verbatim (hash-minimal seeds); each later round's centroid table
+    * re-derives as sum6/(n·10⁶) over the previous round's statistics —
+    * ONE IEEE division of exact integers, identical doubles in both
+    * engines — re-indexed by cell order, then the same
+    * score→argmax→sufficient-statistics walk. */
+  private def kmeansLoopSql(rounds: Int): String = {
+    val b = new StringBuilder(
+      """WITH nz AS MATERIALIZED (
+        | SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+        | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+        |cb1 AS (SELECT ce, cidx FROM (
+        |        SELECT e AS ce, row_number() OVER (
+        |          ORDER BY ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT,
+        |                   vec_id) - 1 AS cidx
+        |        FROM nz) WHERE cidx < 8)""".stripMargin)
+    for (r <- 1 to rounds) {
+      if (r > 1) b ++= s""",
+        |cb$r AS MATERIALIZED (
+        | SELECT row_number() OVER (ORDER BY cell) - 1 AS cidx, ce FROM (
+        |  SELECT cell, list(CAST(sum6 AS DOUBLE) / (n_members * 1000000.0)
+        |                    ORDER BY dim) AS ce
+        |  FROM st${r - 1} GROUP BY cell))""".stripMargin
+      b ++= s""",
+        |sc$r AS (SELECT n.vec_id, n.e, c.cidx,
+        |        round(list_inner_product(n.e, c.ce) /
+        |          (sqrt(list_inner_product(n.e, n.e)) * sqrt(list_inner_product(c.ce, c.ce))),
+        |          6) AS score
+        |       FROM nz n CROSS JOIN cb$r c),
+        |asg$r AS (SELECT vec_id, e, cidx AS cell FROM (
+        |         SELECT *, row_number() OVER (
+        |           PARTITION BY vec_id ORDER BY score DESC, cidx) AS rn
+        |         FROM sc$r) WHERE rn = 1),
+        |st$r AS MATERIALIZED (
+        | SELECT a.cell, g.i - 1 AS dim, count(*) AS n_members,
+        |  CAST(sum(CAST(round(a.e[g.i] * 1000000, 0) AS BIGINT)) AS BIGINT) AS sum6
+        | FROM asg$r a, LATERAL (SELECT unnest(generate_series(1, len(a.e))) AS i) g
+        | GROUP BY 1, 2)""".stripMargin
+    }
+    b ++= s"\nSELECT cell, dim, n_members, sum6 FROM st$rounds"
+    b.toString
+  }
+
   protected def curationOracles: Map[String, String] = Map(
     "c2_paragraph_chunks" ->
       """WITH parts AS (
@@ -562,6 +624,25 @@ private[graft] trait EntryCuration extends EntryShared {
     },
     "repetition_stats" -> repetitionStatsSql,
     "dedup_exact" -> dedupExactSql,
+    // prior = doc_id % 3 = 0 summarized to (fp, min id); batch = the
+    // rest, ranked within fp; the left join classifies each batch doc,
+    "dedup_incremental" ->
+      """WITH fp AS (
+        | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        | FROM documents),
+        |prior AS (SELECT fp, CAST(min(doc_id) AS BIGINT) AS keeper_id
+        |          FROM fp WHERE doc_id % 3 = 0 GROUP BY fp),
+        |batch AS (SELECT doc_id, fp,
+        |   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk,
+        |   min(doc_id) OVER (PARTITION BY fp) AS bk
+        | FROM fp WHERE doc_id % 3 <> 0)
+        |SELECT b.doc_id, b.fp,
+        |  (p.fp IS NOT NULL OR rk > 1) AS is_duplicate,
+        |  CASE WHEN p.fp IS NOT NULL THEN 'cross_snapshot'
+        |       WHEN rk > 1 THEN 'in_batch' ELSE 'original' END AS dup_class,
+        |  CASE WHEN p.fp IS NOT NULL THEN p.keeper_id
+        |       WHEN rk > 1 THEN CAST(bk AS BIGINT) ELSE NULL END AS dup_of
+        |FROM batch b LEFT JOIN prior p USING (fp)""".stripMargin,
     "ngram_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(
@@ -1308,6 +1389,7 @@ private[graft] trait EntryCuration extends EntryShared {
         |SELECT v.doc_id, v.bloom_hit, b.fp IS NOT NULL AS exact,
         | v.bloom_hit AND b.fp IS NULL AS false_positive
         |FROM verdict v LEFT JOIN bfp b ON b.fp = v.fp""".stripMargin,
+    "kmeans_loop" -> kmeansLoopSql(rounds = 3),
     "kmeans_step" ->
       """WITH nz AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
         | WHERE list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),

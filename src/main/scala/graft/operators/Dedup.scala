@@ -26,6 +26,71 @@ object Dedup {
       .select(col(idCol), col("fp"), col("dup_rank"), col("is_duplicate"))
   }
 
+  /** The cross-snapshot fingerprint LEDGER — the persisted artifact an
+    * INCREMENTAL corpus dedup keeps between batches (a production
+    * pipeline dedups today's crawl against every prior snapshot without
+    * rescanning them: CommonCrawl-style monthly processing): one row
+    * per distinct content fingerprint with its canonical keeper (the
+    * smallest doc id ever seen). Fingerprint-keyed, so it grows with
+    * DISTINCT content, not with corpus-times-snapshots; persist with
+    * [[graft.io.Tables.writeBucketed]] on `fp` and the per-batch join
+    * below is colocated. */
+  def fpLedger(docs: DataFrame, idCol: String = "doc_id",
+               textCol: String = "text"): DataFrame =
+    docs.withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .groupBy(col("fp")).agg(min(col(idCol)).as("keeper_id"))
+
+  /** Incremental exact dedup: TODAY'S batch against the prior
+    * snapshots' [[fpLedger]]. Per batch doc:
+    *  - `cross_snapshot` duplicate — its fingerprint is already in the
+    *    ledger (dup_of = the ledger keeper);
+    *  - `in_batch` duplicate — new fingerprint, but an earlier batch
+    *    doc (smaller id) carries it (dup_of = that doc);
+    *  - `original` — first sighting ever (dup_of null).
+    *
+    * Scale shape: ONE hash shuffle of the batch on fp (the window and
+    * the ledger equi-join reuse it; the ledger side arrives
+    * pre-bucketed on fp when persisted via writeBucketed — zero
+    * ledger shuffle), batch-sized work per day regardless of how many
+    * snapshots the ledger summarizes. [[ledgerAfter]] emits the
+    * updated artifact for the next batch. */
+  def exactDupsIncremental(batch: DataFrame, ledger: DataFrame,
+                           idCol: String = "doc_id",
+                           textCol: String = "text"): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
+    val wAll = Window.partitionBy(col("fp"))
+    batch
+      .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_batch_keeper", min(col(idCol)).over(wAll))
+      .join(ledger.select(col("fp"), col("keeper_id").as("_ledger_keeper")),
+        Seq("fp"), "left")
+      .select(col(idCol), col("fp"),
+        (col("_ledger_keeper").isNotNull || col("_rk") > 1).as("is_duplicate"),
+        when(col("_ledger_keeper").isNotNull, "cross_snapshot")
+          .when(col("_rk") > 1, "in_batch")
+          .otherwise("original").as("dup_class"),
+        when(col("_ledger_keeper").isNotNull, col("_ledger_keeper"))
+          .when(col("_rk") > 1, col("_batch_keeper"))
+          .otherwise(lit(null).cast("long")).as("dup_of"))
+  }
+
+  /** The updated ledger after a batch: prior entries win (their keeper
+    * ids predate the batch); fingerprints first seen in the batch enter
+    * with their in-batch keeper. One fp-keyed aggregate over
+    * ledger ∪ batch-fingerprints. */
+  def ledgerAfter(batch: DataFrame, ledger: DataFrame,
+                  idCol: String = "doc_id",
+                  textCol: String = "text"): DataFrame =
+    ledger.withColumn("_prior", lit(true))
+      .unionByName(fpLedger(batch, idCol, textCol).withColumn("_prior", lit(false)))
+      .groupBy(col("fp"))
+      // prior keeper wins regardless of id magnitude (ids are not
+      // globally ordered across snapshots; the ledger's keeper is
+      // canonical by FIRST SIGHTING, the dedup-tier convention)
+      .agg(min_by(col("keeper_id"), struct(when(col("_prior"), 0).otherwise(1),
+        col("keeper_id"))).as("keeper_id"))
+
   /** Distinct word n-gram shingles over a pre-materialized words array.
     * The words column must be a plain attribute (not an inline
     * expression): the `slice` runs inside a per-position lambda, and an

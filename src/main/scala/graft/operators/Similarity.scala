@@ -425,18 +425,59 @@ object Similarity {
                  vecCol: String = "embedding"): DataFrame = {
     val nz = vecs.filter(VectorOps.normSq(col(vecCol)) > 0)
     val cw = hashMinimalCodebook(nz, kCents, idCol, vecCol)
+    kmeansAssignAgg(nz, cw, vecCol)
+  }
+
+  /** The Lloyd update body both [[kmeansStep]] and [[kmeansLoop]] run:
+    * argmax against ONE k×dim centroid-matrix literal (MatrixArg) — the
+    * single-pass kernel subsumes the old ComputeOnce barrier: there is
+    * no k-way scoring array for CollapseProject to duplicate, and
+    * codegen stays O(1) in kCents. Scores are bit-identical (MatrixArg
+    * computes dot/(√nx·√ny) with the same left-to-right folds as the
+    * old aggregate(zip_with)/normSq/driver-side cwNorm composition). */
+  private def kmeansAssignAgg(nz: DataFrame, cw: Seq[Seq[Double]],
+                              vecCol: String): DataFrame = {
     val v = VectorOps.asDouble(col(vecCol))
-    // argmax against ONE k×dim centroid-matrix literal (MatrixArg): the
-    // single-pass kernel subsumes the old ComputeOnce barrier — there is
-    // no k-way scoring array for CollapseProject to duplicate, and
-    // codegen stays O(1) in kCents. Scores are bit-identical (MatrixArg
-    // computes dot/(√nx·√ny) with the same left-to-right folds as the
-    // old aggregate(zip_with)/normSq/driver-side cwNorm composition).
     nz.withColumn("cell", graft.functions.MatrixArg.argmaxCosine(v, cw, 6))
       .select(col("cell"), posexplode(v).as(Seq("dim", "x")))
       .groupBy(col("cell"), col("dim"))
       .agg(count(lit(1)).as("n_members"),
         sum(round(col("x") * 1e6, 0).cast("long")).as("sum6"))
+  }
+
+  /** Lloyd's k-means run to a FIXED round count — the offline quantizer
+    * refinement behind [[ivfTopK]]/[[pqCodes]], completed from one
+    * sufficient-statistics step to the full iterative fit. Round 1 is
+    * exactly [[kmeansStep]] (hash-minimal seeds); each later round
+    * derives centroids from the previous round's statistics
+    * (`sum6 / (n·10⁶)` — ONE IEEE division of exact integers, so both
+    * engines compute identical doubles), keeps the non-empty cells
+    * ordered by cell id as the new matrix (row index = the new cell
+    * id), and re-runs the same scan→argmax→aggregate body. Fixed
+    * rounds — not a convergence test — keep the whole trajectory
+    * replayable as generated per-round CTEs in the oracle (the
+    * [[graft.operators.Unigram.emLoop]] precedent); a caller wanting
+    * early stop wraps the loop and compares successive statistics.
+    *
+    * Scale shape per round: the centroid matrix is k·dim longs through
+    * the driver (the bounded-model-artifact exception), then one scan
+    * projection + one (cell, dim) partial-combined aggregate of k·dim
+    * output rows — no join, no window, corpus-sized work × rounds. */
+  def kmeansLoop(vecs: DataFrame, kCents: Int = 8, rounds: Int = 3,
+                 idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val nz = vecs.filter(VectorOps.normSq(col(vecCol)) > 0)
+    var stats = kmeansStep(vecs, kCents, idCol, vecCol).localCheckpoint()
+    for (_ <- 2 to rounds) {
+      val rows = stats.select(col("cell"), col("dim"),
+          col("n_members"), col("sum6")).collect()
+      val cw = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+        rs.sortBy(_.getInt(1))
+          .map(r => r.getLong(3) / (r.getLong(2) * 1.0e6)).toSeq
+      }
+      stats = kmeansAssignAgg(nz, cw, vecCol).localCheckpoint()
+    }
+    stats
   }
 
   /** MLlib `BucketedRandomProjectionLSH` top-k — the library ANN path

@@ -52,6 +52,56 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(out.map(_.getAs[Boolean]("is_duplicate")).toSeq === Seq(false, true, false))
   }
 
+  test("incremental dedup: cross-snapshot / in-batch / original classify " +
+      "against the ledger; ledgerAfter keeps prior keepers") {
+    val prior = Seq((10L, "seen before"), (11L, "also known")).toDF("doc_id", "text")
+    val ledger = Dedup.fpLedger(prior)
+    val batch = Seq(
+      (20L, "Seen  BEFORE"),   // cross-snapshot (normalization-invariant)
+      (21L, "fresh content a"),
+      (22L, "fresh content a"),// in-batch dup of 21
+      (23L, "fresh content b")
+    ).toDF("doc_id", "text")
+    val out = Dedup.exactDupsIncremental(batch, ledger).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_duplicate"), r.getAs[String]("dup_class"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+    assert(out(20L) === ((true, "cross_snapshot", Some(10L))))
+    assert(out(21L) === ((false, "original", None)))
+    assert(out(22L) === ((true, "in_batch", Some(21L))))
+    assert(out(23L) === ((false, "original", None)))
+    // the updated ledger: prior keepers survive even against SMALLER
+    // batch ids (keeper = first sighting, not min id); new fps enter
+    val batch2 = Seq((1L, "seen before"), (2L, "brand new")).toDF("doc_id", "text")
+    val after = Dedup.ledgerAfter(batch2, ledger).collect()
+      .map(r => r.getAs[String]("fp") -> r.getAs[Long]("keeper_id")).toMap
+    val fpOf = Dedup.fpLedger(Seq((0L, "seen before")).toDF("doc_id", "text"))
+      .collect().head.getAs[String]("fp")
+    assert(after(fpOf) === 10L, "prior keeper wins over the smaller batch id")
+    assert(after.size === 3)
+  }
+
+  test("kmeansLoop round 1 equals kmeansStep; later rounds re-center") {
+    import graft.operators.Similarity
+    val vecs = (1L to 40L).map(i => (i,
+      Array.tabulate(4)(d => ((i % 5) + 1).toFloat * (d + 1) + (if (d == (i % 4)) 3f else 0f))))
+      .toDF("vec_id", "embedding")
+    val r1 = Similarity.kmeansLoop(vecs, kCents = 4, rounds = 1).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val step = Similarity.kmeansStep(vecs, kCents = 4).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(r1 === step, "rounds = 1 is exactly the single step")
+    val r3 = Similarity.kmeansLoop(vecs, kCents = 4, rounds = 3).collect()
+    assert(r3.nonEmpty)
+    // sufficient-statistics invariant: every round partitions the same
+    // nonzero vectors, so per-dim member totals are conserved
+    val nPerDim = r3.groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(2)).sum).toMap
+    assert(nPerDim.values.toSet === Set(40L))
+    // determinism: the fixed-round fit replays bit-identically
+    val r3b = Similarity.kmeansLoop(vecs, kCents = 4, rounds = 3).collect()
+    assert(r3.map(_.toSeq).toSet === r3b.map(_.toSeq).toSet)
+  }
+
   test("minhash estimated jaccard is 1.0 for identical docs") {
     val docs = Seq((1L, "alpha beta gamma delta epsilon zeta"),
       (2L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
