@@ -712,6 +712,34 @@ private[graft] trait EntryDocs extends EntryShared {
       Cleaning.hostLineDedup(pages)
         .select("doc_id", "host", "n_lines", "n_removed", "clean_text")
     }),
+    // host reputation — the crawl loop's FEEDBACK edge: per-registrable-
+    // domain keep rates from page verdicts (here the Gopher quality
+    // family over the raw corpus), domains below 45% at >= 3 pages flag
+    // as the NEXT round's urlFilter blocklist. 46 synthetic domains
+    // (2 TLD shapes x 23), ~10 pages each at sf0.01,
+    "host_reputation" -> ((s, d) => {
+      val id = col("doc_id")
+      val host = when(id % 2 === 0,
+          concat(lit("www.site"), (id % 23).cast("string"), lit(".com")))
+        .otherwise(concat(lit("shop.site"), (id % 23).cast("string"), lit(".co.uk")))
+      val docs = Tables.documents(s, d)
+      // the gopher_quality fixture decoration (raw synthetic text is
+      // constant-false under the stop-word rule): %3≠0 docs close with
+      // a stop-word-rich sentence, %4 bullets, %6 ellipsis — verdicts
+      // then VARY by domain residue class and the threshold splits
+      val page = concat(col("text"),
+        when(id % 4 === 0,
+          lit("\n- a bullet item\n- another bullet item")).otherwise(lit("")),
+        when(id % 6 === 0,
+          lit("\nthe story continues...")).otherwise(lit("")),
+        when(id % 3 =!= 0,
+          lit("\nthat view of the data shall be joined with care."))
+          .otherwise(lit("")))
+      UrlOps.hostReputation(
+        docs.select(id, host.as("host")),
+        docs.select(id, TextAnalysis.gopherQualityPass(page).as("keep")),
+        minPages = 3, minKeepRateMicro = 450000L)
+    }),
     // THE CRAWL->CORPUS FLAGSHIP: the whole chain lives in
     // operators.CrawlCorpus (discovery -> politeness -> real HTTP
     // fetch -> extraction -> 8-family verdict -> banded near-dup ->
@@ -1811,6 +1839,62 @@ private[graft] trait EntryDocs extends EntryShared {
         |FROM lines LEFT JOIN b
         |  ON lines.host = b.host AND lines.key = b.key
         |GROUP BY doc_id""".stripMargin,
+
+    // the crawl-loop feedback edge re-derived: the Gopher quality pass
+    // (the SAME counter formulas as the gopher_quality/clean_corpus
+    // oracles) joined to the doc_id-derived domain shapes, aggregated
+    // to per-domain keep rates; blocked = >= 3 pages AND < 45%,
+    "host_reputation" ->
+      s"""WITH p AS (
+        | SELECT doc_id, text
+        |   || CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- a bullet item'
+        |        || chr(10) || '- another bullet item' ELSE '' END
+        |   || CASE WHEN doc_id % 6 = 0 THEN chr(10) || 'the story continues...'
+        |        ELSE '' END
+        |   || CASE WHEN doc_id % 3 <> 0
+        |        THEN chr(10) || 'that view of the data shall be joined with care.'
+        |        ELSE '' END AS text
+        | FROM documents),
+        |gq AS (SELECT doc_id,
+         |  (n_words BETWEEN 50 AND 100000
+         |   AND non_ws * 1000000 // n_words BETWEEN 3000000 AND 10000000
+         |   AND symbols * 1000000 // n_words <= 100000
+         |   AND bullets * 1000000 // n_lines <= 900000
+         |   AND ell_ends * 1000000 // n_lines <= 300000
+         |   AND alpha_words * 1000000 // n_words >= 800000
+         |   AND n_stop >= 2) AS keep
+         | FROM (SELECT doc_id,
+         |  len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         |  len(regexp_split_to_array(text, chr(10))) AS n_lines,
+         |  length(regexp_replace(text, '\\s+', '', 'g')) AS non_ws,
+         |  len(regexp_extract_all(text, '(?m)^\\s*[-*]')) AS bullets,
+         |  len(regexp_extract_all(text, '(?m)\\.\\.\\.$$')) AS ell_ends,
+         |  len(regexp_extract_all(text, '#'))
+         |    + len(regexp_extract_all(text, '\\.\\.\\.')) AS symbols,
+         |  len(regexp_extract_all(text, '(^|\\s)[^\\s]*[A-Za-z]')) AS alpha_words,
+         |  (CASE WHEN position(' the '  IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' be '   IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' to '   IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' of '   IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' and '  IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' that ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' have ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END
+         |   + CASE WHEN position(' with ' IN ' ' || lower(text) || ' ') > 0 THEN 1 ELSE 0 END)
+         |    AS n_stop
+         | FROM p) gm),
+        |d AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'site' || (doc_id % 23) || '.com'
+        |       ELSE 'site' || (doc_id % 23) || '.co.uk' END AS domain
+        | FROM documents)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_pages,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        | CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 // count(*)
+        |   AS BIGINT) AS keep_rate_micro,
+        | (count(*) >= 3 AND
+        |  sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1000000 // count(*) < 450000)
+        |  AS blocked
+        |FROM d JOIN gq USING (doc_id)
+        |GROUP BY domain""".stripMargin,
 
     // hand-derived from the two-batch feed: batch 0 ranks a's p1>p2 by
     // priority and b's q1; batch 1 leaves host a ONE remaining slot

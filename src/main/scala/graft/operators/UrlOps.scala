@@ -556,6 +556,45 @@ object UrlOps {
         (size(col("_r")) === 0).as("keep"))
   }
 
+  /** Host-level reputation from per-page corpus verdicts — the
+    * FEEDBACK edge that closes the crawl loop (RefinedWeb curates its
+    * URL blocklist partly from observed content; CCNet ranks hosts by
+    * observed LM quality): aggregate each registrable domain's page
+    * verdicts into a keep rate, and flag domains whose observed rate
+    * falls below `minKeepRateMicro` once they carry at least
+    * `minPages` observations (no statistical basis below that — the
+    * [[graft.operators.Cleaning.hostLineDedup]] rule). The flagged
+    * set IS a [[urlFilter]] `blockedDomains` table for the NEXT crawl
+    * round: verdicts → reputation → blocklist → filter-before-fetch.
+    *
+    * Output: (domain, n_pages, n_keep, keep_rate_micro, blocked) —
+    * exact integer micro units, the cross-engine rule.
+    *
+    * Scale shape: ONE doc-keyed equi-join (pages and verdicts are both
+    * corpus tables partitioned on the id — colocated when bucketed) →
+    * one domain-keyed partial-combined aggregate; domains ≪ pages, so
+    * the output is blocklist-sized. */
+  def hostReputation(pages: org.apache.spark.sql.DataFrame,
+                     verdicts: org.apache.spark.sql.DataFrame,
+                     minPages: Int = 3, minKeepRateMicro: Long = 300000L,
+                     idCol: String = "doc_id", hostCol: String = "host",
+                     keepCol: String = "keep")
+      : org.apache.spark.sql.DataFrame = {
+    require(minPages >= 1, s"need minPages >= 1, got $minPages")
+    require(minKeepRateMicro >= 0 && minKeepRateMicro <= 1000000L,
+      s"minKeepRateMicro must be in [0, 1e6], got $minKeepRateMicro")
+    pages.select(col(idCol), registrableDomain(lower(col(hostCol))).as("domain"))
+      .join(verdicts.select(col(idCol), col(keepCol).cast("boolean").as("_keep")),
+        Seq(idCol))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_pages"),
+        sum(when(col("_keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate_micro",
+        floor(col("n_keep") * 1000000L / col("n_pages")).cast("long"))
+      .withColumn("blocked",
+        col("n_pages") >= minPages && col("keep_rate_micro") < minKeepRateMicro)
+  }
+
   /** Sitemap-lastmod-driven staleness — the OTHER due signal a
     * production recrawl layers on [[recrawlSchedule]]'s observed
     * change rates: the site itself declares when a page changed

@@ -56,6 +56,33 @@ class WebCurationSpec extends SparkSpec {
     assert(out === "blocked,bad_words,too_long")
   }
 
+  test("hostReputation: domain keep rates, the minPages floor, and the " +
+      "blocklist feedback into urlFilter") {
+    val pages = Seq(
+      (1L, "www.good.com"), (2L, "blog.good.com"), (3L, "good.com"),
+      (4L, "a.bad.co.uk"), (5L, "b.bad.co.uk"), (6L, "c.bad.co.uk"),
+      (7L, "one-page.net") // below minPages: never blocked
+    ).toDF("doc_id", "host")
+    val verdicts = Seq((1L, true), (2L, true), (3L, false),
+      (4L, false), (5L, false), (6L, true), (7L, false)).toDF("doc_id", "keep")
+    val rep = UrlOps.hostReputation(pages, verdicts,
+        minPages = 3, minKeepRateMicro = 500000L)
+    val rows = rep.collect().map(r => r.getAs[String]("domain") ->
+      ((r.getAs[Long]("n_pages"), r.getAs[Long]("keep_rate_micro"),
+        r.getAs[Boolean]("blocked")))).toMap
+    assert(rows("good.com") === ((3L, 666666L, false)))
+    assert(rows("bad.co.uk") === ((3L, 333333L, true)))
+    assert(rows("one-page.net") === ((1L, 0L, false)),
+      "one observation is no statistical basis")
+    // the loop closes: the flagged set IS a urlFilter blocklist
+    val out = UrlOps.urlFilter(
+        Seq("http://x.bad.co.uk/p", "http://www.good.com/p").toDF("url"),
+        rep.filter(col("blocked")).select("domain"))
+      .collect().map(r => r.getAs[String]("url") -> r.getAs[Boolean]("keep")).toMap
+    assert(out === Map("http://x.bad.co.uk/p" -> false,
+      "http://www.good.com/p" -> true))
+  }
+
   test("hostLineDedup: per-host repeated lines drop, small hosts keep all") {
     val pages = Seq(
       // host A, 3 docs: NAV on all 3, PROMO on 2/3 (= 2/3 >= 1/2 drop),
