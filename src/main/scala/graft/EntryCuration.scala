@@ -84,6 +84,44 @@ private[graft] trait EntryCuration extends EntryShared {
         docs.filter(col("doc_id") % 3 =!= 0),
         Dedup.fpLedger(docs.filter(col("doc_id") % 3 === 0)))
     }),
+    // ...and the same pair as a 24/7 STREAM (§2.10 × the dedup tier):
+    // the ledger parquet is the durable state OUTSIDE the checkpoint.
+    // Batch 0: a normalization-invariant copy of the seed snapshot
+    // (cross_snapshot), a fresh pair (original + in_batch). Batch 1
+    // proves the ledger LEARNED batch 0 (doc 20 resolves to 11 across
+    // batches), adds an original, and REPLAYS doc 11 verbatim — the
+    // at-least-once arrival classifies as a self-keeper dup, the
+    // idempotence marker,
+    "dedup_stream_e2e" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val work = java.nio.file.Files.createTempDirectory("graft-ledger-stream")
+      val (ledgerDir, verdictDir, ckDir) =
+        (s"$work/ledger", s"$work/verdicts", s"$work/ck")
+      Dedup.fpLedger(Seq((1L, "alpha text"), (2L, "beta text"))
+        .toDF("doc_id", "text")).write.parquet(ledgerDir)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.getOption(shufKey)
+      s.conf.set(shufKey, "2")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingIngest.streamingLedgerDedup(
+        input.toDF().toDF("doc_id", "text"), ledgerDir, verdictDir, ckDir).start()
+      try {
+        input.addData((10L, "ALPHA   text"), (11L, "gamma fresh"),
+          (12L, "gamma fresh"))
+        q.processAllAvailable()
+        input.addData((20L, "gamma fresh"), (21L, "delta new"),
+          (11L, "gamma fresh"))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        prevShuf match { case Some(v) => s.conf.set(shufKey, v); case None => s.conf.unset(shufKey) }
+      }
+      s.read.parquet(verdictDir)
+        .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"),
+          col("is_duplicate"), col("dup_class"), col("dup_of"))
+    }),
     "ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d).filter(col("doc_id") < 100))),
     "minhash_pairs" -> ((s, d) =>
@@ -643,6 +681,19 @@ private[graft] trait EntryCuration extends EntryShared {
         |  CASE WHEN p.fp IS NOT NULL THEN p.keeper_id
         |       WHEN rk > 1 THEN CAST(bk AS BIGINT) ELSE NULL END AS dup_of
         |FROM batch b LEFT JOIN prior p USING (fp)""".stripMargin,
+    // hand-derived from the two-batch feed: 10 matches seed doc 1
+    // through normalization; 12 in-batch-dups 11; batch 1's 20 proves
+    // the ledger learned 11, and the replayed 11 resolves to ITSELF
+    // (keeper by first sighting) — the at-least-once marker,
+    "dedup_stream_e2e" ->
+      """SELECT batch_id, doc_id, is_duplicate, dup_class, dup_of FROM (VALUES
+        | (0, 10, TRUE,  'cross_snapshot', CAST(1 AS BIGINT)),
+        | (0, 11, FALSE, 'original',       CAST(NULL AS BIGINT)),
+        | (0, 12, TRUE,  'in_batch',       11),
+        | (1, 11, TRUE,  'cross_snapshot', 11),
+        | (1, 20, TRUE,  'cross_snapshot', 11),
+        | (1, 21, FALSE, 'original',       NULL)
+        |) AS t(batch_id, doc_id, is_duplicate, dup_class, dup_of)""".stripMargin,
     "ngram_jaccard" ->
       """WITH sh AS (
         | SELECT doc_id AS id, unnest(list_distinct(

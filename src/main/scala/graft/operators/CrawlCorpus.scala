@@ -171,6 +171,11 @@ object CrawlCorpus {
           // single-partition sort, never for a real corpus
           row_number().over(Window.orderBy(col("path"))).cast("long")
         else xxhash64(col(idKey)))
+      // materialize BEFORE the host-line stage: hostLineDedup reads
+      // this frame three times (line explode, host counts, re-anchor)
+      // and the outer join a fourth — unmaterialized, each consumer
+      // re-runs the parse→group→NFC subtree from the byte checkpoint
+      .localCheckpoint()
     // CCNet host-level boilerplate-line removal: the cross-page class
     // the per-page extractor cannot see (the site-wide footer line
     // survives link-density pruning on every page; what gives it away

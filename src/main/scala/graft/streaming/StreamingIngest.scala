@@ -680,4 +680,39 @@ object StreamingIngest {
       .transformWithState(new RecrawlProcessor(maxBytes, maxRetries, backoffMs),
         TimeMode.None(), OutputMode.Append())
   }
+
+  /** Streaming exact dedup against the PERSISTED fingerprint ledger —
+    * [[graft.operators.Dedup.exactDupsIncremental]] lifted to a 24/7
+    * ingest: per micro-batch, classify the arrivals against the ledger
+    * parquet at `ledgerDir` (cross_snapshot / in_batch / original),
+    * land the verdicts under `verdictDir` partitioned by batch id, and
+    * OVERWRITE the ledger with [[graft.operators.Dedup.ledgerAfter]]
+    * so the next batch — or tomorrow's restart — sees every
+    * fingerprint ever ingested. The ledger IS the durable state, kept
+    * OUTSIDE the stream checkpoint (survives checkpoint wipes, shared
+    * with the batch pipeline, bucketable on fp); at-least-once replays
+    * are idempotent on both sides: the verdict write is a dynamic
+    * per-batch partition overwrite, and ledgerAfter is a fixpoint on
+    * replayed content (prior keepers win by first sighting).
+    * Caller starts/stops the query. */
+  def streamingLedgerDedup(docs: DataFrame, ledgerDir: String,
+                           verdictDir: String, checkpointDir: String)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint()
+        val ledger = spark.read.parquet(ledgerDir)
+        graft.operators.Dedup.exactDupsIncremental(b, ledger)
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(verdictDir)
+        // read-then-overwrite the SAME path: materialize first (the
+        // updated ledger is fingerprint-ledger-sized, not corpus-sized)
+        val updated = graft.operators.Dedup.ledgerAfter(b, ledger).localCheckpoint()
+        updated.write.mode("overwrite").parquet(ledgerDir)
+      }
 }

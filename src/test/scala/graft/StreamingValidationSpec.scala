@@ -65,6 +65,43 @@ class StreamingValidationSpec extends SparkSpec {
     assert(gammaTs2 === gammaTs1, "restart replayed the committed batch")
   }
 
+  test("streaming ledger dedup: the fingerprint ledger survives a restart " +
+      "with a FRESH checkpoint (state lives outside the stream)") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = Files.createTempDirectory("graft-ledger-restart")
+    val ledgerDir = s"$work/ledger"; val verdictDir = s"$work/verdicts"
+    Dedup.fpLedger(Seq((1L, "seed content")).toDF("doc_id", "text"))
+      .write.parquet(ledgerDir)
+    def runOnce(ck: String, rows: Seq[(Long, String)]): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = StreamingIngest.streamingLedgerDedup(
+        in.toDF().toDF("doc_id", "text"), ledgerDir, verdictDir, s"$work/$ck").start()
+      try { in.addData(rows: _*); q.processAllAvailable() } finally q.stop()
+    }
+    runOnce("ck1", Seq((10L, "first run original")))
+    // SECOND query, fresh checkpoint — a restarted deployment. Its
+    // batch ids restart at 0, so the verdict landing zone must be a
+    // new dir in this harness (per-batch dynamic overwrite would
+    // otherwise replace run 1's batch-0 partition); the LEDGER path is
+    // the shared state under test.
+    val verdictDir2 = s"$work/verdicts2"
+    val in2 = MemoryStream[(Long, String)]
+    val q2 = StreamingIngest.streamingLedgerDedup(
+      in2.toDF().toDF("doc_id", "text"), ledgerDir, verdictDir2, s"$work/ck2").start()
+    try {
+      in2.addData((20L, "first run original"), (21L, "seed content"))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val out = spark.read.parquet(verdictDir2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("dup_class"), Option(r.getAs[java.lang.Long]("dup_of"))))).toMap
+    assert(out(20L) === (("cross_snapshot", Some(java.lang.Long.valueOf(10L)))),
+      "run 2 must see run 1's fingerprints through the ledger alone")
+    assert(out(21L) === (("cross_snapshot", Some(java.lang.Long.valueOf(1L)))))
+  }
+
   test("upsertBatch swap recovery rolls forward/back without losing the table") {
     import org.apache.hadoop.fs.Path
     val base = Files.createTempDirectory("graft_swap").toString
