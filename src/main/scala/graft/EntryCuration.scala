@@ -68,6 +68,21 @@ private[graft] trait EntryCuration extends EntryShared {
       TextAnalysis.qualityScore(Tables.documents(s, d))
         .select("doc_id", "n_chars", "n_words", "avg_word_len", "punct_ratio", "stopword_ratio")),
     "redact_pii" -> ((s, d) => TextAnalysis.redactPii(Tables.documents(s, d))),
+    // ftfy-class mojibake repair (fix_mojibake kernel): rows cycle
+    // single-encoded / double-encoded / legitimate-non-ASCII / ASCII —
+    // the strict-decode guard must repair the first two COMPLETELY and
+    // refuse the third byte-for-byte,
+    "fix_mojibake" -> ((s, d) => {
+      val id = col("doc_id")
+      val raw = when(id % 4 === 0, lit("Caf\u00c3\u00a9 it\u00e2\u20ac\u2122s \u00e2\u201a\u00ac5 fine."))
+        .when(id % 4 === 1, lit("Caf\u00c3\u0192\u00c2\u00a9 it\u00c3\u00a2\u00e2\u201a\u00ac\u00e2\u201e\u00a2s \u00c3\u00a2\u00e2\u20ac\u0161\u00c2\u00ac5 fine."))
+        .when(id % 4 === 2, lit("d\u00e9j\u00e0 intact"))
+        .otherwise(lit("plain ascii"))
+      val tagged = concat(raw, lit(" d"), id.cast("string"))
+      Tables.documents(s, d).select(id.as("doc_id"), tagged.as("raw"),
+        TextAnalysis.fixMojibake(tagged).as("fixed"),
+        (TextAnalysis.fixMojibake(tagged) =!= tagged).as("changed"))
+    }),
     "repetition_stats" -> ((s, d) => TextAnalysis.repetitionStats(Tables.documents(s, d))),
 
     // --- dedup tier ----------------------------------------------------,
@@ -83,6 +98,20 @@ private[graft] trait EntryCuration extends EntryShared {
       Dedup.exactDupsIncremental(
         docs.filter(col("doc_id") % 3 =!= 0),
         Dedup.fpLedger(docs.filter(col("doc_id") % 3 === 0)))
+    }),
+    // corpus-wide paragraph dedup (CCNet §3.1 — the paragraph-granular
+    // sibling of host_line_dedup's host-scoped lines): every doc gains
+    // a per-class promo paragraph (7 classes: first doc of each class
+    // keeps it) and one corpus-wide footer paragraph (exactly one doc
+    // keeps it); duplicate BODY texts collide on paragraph 0 too, so
+    // the operator must catch all three classes with one fp shuffle,
+    "paragraph_dedup" -> ((s, d) => {
+      val decorated = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          lit("\n\npromo p"), (col("doc_id") % 7).cast("string"),
+          lit(" offer of the week."),
+          lit("\n\nShare and subscribe today.")).as("text"))
+      Cleaning.paragraphDedup(decorated)
     }),
     // ...and the same pair as a 24/7 STREAM (§2.10 × the dedup tier):
     // the ledger parquet is the durable state OUTSIDE the checkpoint.
@@ -661,6 +690,22 @@ private[graft] trait EntryCuration extends EntryShared {
          |FROM documents""".stripMargin
     },
     "repetition_stats" -> repetitionStatsSql,
+    // expected repairs hand-derived from the corruption fixture (the
+    // oracle applies no decoder — the VALUES are the inverse table),
+    "fix_mojibake" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 4
+        |   WHEN 0 THEN 'CafÃ© itâ€™s â‚¬5 fine.'
+        |   WHEN 1 THEN 'CafÃƒÂ© itÃ¢â‚¬â„¢s Ã¢â€šÂ¬5 fine.'
+        |   WHEN 2 THEN 'déjà intact'
+        |   ELSE 'plain ascii' END || ' d' || doc_id AS raw,
+        |  CASE doc_id % 4
+        |   WHEN 0 THEN 'Café it’s €5 fine.'
+        |   WHEN 1 THEN 'Café it’s €5 fine.'
+        |   WHEN 2 THEN 'déjà intact'
+        |   ELSE 'plain ascii' END || ' d' || doc_id AS fixed,
+        |  doc_id % 4 IN (0, 1) AS changed
+        |FROM documents""".stripMargin,
     "dedup_exact" -> dedupExactSql,
     // prior = doc_id % 3 = 0 summarized to (fp, min id); batch = the
     // rest, ranked within fp; the left join classifies each batch doc,
@@ -681,6 +726,31 @@ private[graft] trait EntryCuration extends EntryShared {
         |  CASE WHEN p.fp IS NOT NULL THEN p.keeper_id
         |       WHEN rk > 1 THEN CAST(bk AS BIGINT) ELSE NULL END AS dup_of
         |FROM batch b LEFT JOIN prior p USING (fp)""".stripMargin,
+    // the CCNet paragraph rule re-derived: same decoration, same
+    // whitespace/case-invariant fingerprint, first (doc, pos) keeps,
+    "paragraph_dedup" ->
+      """WITH docs AS (
+        | SELECT doc_id, text
+        |   || chr(10) || chr(10) || 'promo p' || (doc_id % 7)
+        |   || ' offer of the week.'
+        |   || chr(10) || chr(10) || 'Share and subscribe today.' AS text
+        | FROM documents),
+        |paras AS (
+        | SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS para
+        | FROM (SELECT doc_id, regexp_split_to_array(text, '\n\s*\n') AS parts
+        |       FROM docs) p,
+        |   LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+        | WHERE trim(parts[g.i]) <> ''),
+        |rk AS (SELECT doc_id, pos, para, row_number() OVER (
+        |         PARTITION BY md5(regexp_replace(lower(trim(para)), '\s+', ' ', 'g'))
+        |         ORDER BY doc_id, pos) AS rk
+        |       FROM paras)
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_paras,
+        |  CAST(sum(CASE WHEN rk > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  COALESCE(string_agg(CASE WHEN rk = 1 THEN para END,
+        |    chr(10) || chr(10) ORDER BY pos), '') AS clean_text
+        |FROM rk GROUP BY doc_id""".stripMargin,
     // hand-derived from the two-batch feed: 10 matches seed doc 1
     // through normalization; 12 in-batch-dups 11; batch 1's 20 proves
     // the ledger learned 11, and the replayed 11 resolves to ITSELF

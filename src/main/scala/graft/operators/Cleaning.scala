@@ -166,6 +166,49 @@ object Cleaning {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** CORPUS-WIDE paragraph dedup — CCNet's principal dedup pass
+    * (Wenzek et al. 2020 §3.1 deduplicates at the PARAGRAPH level over
+    * the whole shard set; [[hostLineDedup]] is the host-scoped LINE
+    * sibling): every paragraph (split on blank lines, trimmed,
+    * whitespace-collapsed for the key) keeps exactly its FIRST
+    * occurrence corpus-wide — smallest (doc, position) — and every
+    * later copy drops. Output per document: `n_paras`, `n_removed`,
+    * `clean_text` (surviving paragraphs re-joined with blank lines in
+    * document order; docs whose every paragraph drops come back with
+    * empty text, and null-text docs round-trip as empty rows — the
+    * [[hostLineDedup]] re-anchor contract).
+    *
+    * Scale shape: explode to (fp, doc, pos) → ONE hash shuffle on the
+    * 16-byte paragraph fingerprint for the first-occurrence rank →
+    * regroup by document → re-anchor left join on the input keys. The
+    * fingerprint table is paragraph-count-sized; no key carries more
+    * than its duplication factor, and the rank is a WindowGroupLimit-
+    * friendly top-1 per fp. */
+  def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
+                     textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))
+    val paras = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n\\s*\n")).as(Seq("pos", "para")))
+      .filter(trim(col("para")) =!= "")
+      .withColumn("fp", TextAnalysis.fingerprint(col("para")))
+    val ranked = paras
+      .withColumn("_rk", row_number().over(w))
+    val agged = ranked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("_rk") > 1, 1L).otherwise(0L)).as("n_removed"),
+        array_join(transform(
+          array_sort(collect_list(when(col("_rk") === 1,
+            struct(col("pos"), col("para"))))),
+          x => x.getField("para")), "\n\n").as("clean_text"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_paras"), lit(0L)).as("n_paras"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** @param lm optional pre-trained unigram LM
     *   ([[TextAnalysis.trainUnigramLm]] output, possibly loaded from a
     *   persisted artifact via [[TextAnalysis.loadLm]]). When given, the

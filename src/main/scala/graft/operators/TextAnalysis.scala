@@ -106,6 +106,15 @@ object TextAnalysis {
       graft.functions.NormalizeText(
         org.apache.spark.sql.GraftColumns.expression(t), form))
 
+  /** Mojibake repair ([[graft.functions.FixMojibake]]) — the ftfy-class
+    * pass for UTF-8-read-as-cp1252 corruption, run alongside NFC in
+    * the normalization stage; strict-decode guarded, so legitimate
+    * non-ASCII text is untouchable by construction. */
+  def fixMojibake(t: Column): Column =
+    org.apache.spark.sql.GraftColumns.column(
+      graft.functions.FixMojibake(
+        org.apache.spark.sql.GraftColumns.expression(t)))
+
   /** The Gopher quality metrics as named expressions over one text
     * column — the single source both the DataFrame surface and the
     * composed-verdict column ([[gopherQualityPass]]) build from.

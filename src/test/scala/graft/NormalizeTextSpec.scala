@@ -64,4 +64,28 @@ class NormalizeTextSpec extends SparkSpec {
     assert(df.select(col("t")).distinct().count() === 2)
     assert(df.select(TextAnalysis.normalizeText(col("t"))).distinct().count() === 1)
   }
+
+  test("fixMojibake: single and double cp1252 corruption repair; legit " +
+      "text and ASCII are untouchable") {
+    import graft.functions.FixMojibake
+    val clean = "Caf\u00e9 it\u2019s \u20ac5 fine."
+    val single = "Caf\u00c3\u00a9 it\u00e2\u20ac\u2122s \u00e2\u201a\u00ac5 fine."
+    val double = "Caf\u00c3\u0192\u00c2\u00a9 it\u00c3\u00a2\u00e2\u201a\u00ac\u00e2\u201e\u00a2s \u00c3\u00a2\u00e2\u20ac\u0161\u00c2\u00ac5 fine."
+    def fix(x: String): String =
+      FixMojibake.fix(UTF8String.fromString(x)).toString
+    assert(fix(single) === clean)
+    assert(fix(double) === clean, "two passes undo the double encode")
+    // the strict-decode guard: a legitimate accented word whose bytes
+    // do NOT parse as UTF-8 through cp1252 must come back byte-equal
+    assert(fix("d\u00e9j\u00e0 intact") === "d\u00e9j\u00e0 intact")
+    assert(fix(clean) === clean, "already-repaired text is a fixed point")
+    // ASCII zero-copy: the SAME UTF8String instance returns
+    val ascii = UTF8String.fromString("plain ascii only")
+    assert(FixMojibake.fix(ascii) eq ascii)
+    // column path runs inside codegen and nulls pass through
+    val out = Seq((1L, single), (2L, null: String)).toDF("id", "t")
+      .select(TextAnalysis.fixMojibake(col("t")).as("f"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(out.toSeq === Seq(Some(clean), None))
+  }
 }

@@ -83,6 +83,26 @@ class WebCurationSpec extends SparkSpec {
       "http://www.good.com/p" -> true))
   }
 
+  test("paragraphDedup: corpus-wide first occurrence wins; keys are " +
+      "whitespace/case-invariant; docs round-trip") {
+    val pages = Seq(
+      (1L, "Unique intro.\n\nShared closing words."),
+      (2L, "Another body.\n\n  SHARED   closing words. "), // same key, other bytes
+      (3L, "Shared closing words."),                       // every para drops
+      (4L, null: String)
+    ).toDF("doc_id", "text")
+    val out = Cleaning.paragraphDedup(pages).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_paras"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) === ((2L, 0L, "Unique intro.\n\nShared closing words.")))
+    // doc 2 keeps its own paragraph; the shared one drops but the KEPT
+    // text stays byte-original elsewhere (keys normalize, text doesn't)
+    assert(out(2L) === ((2L, 1L, "Another body.")))
+    assert(out(3L) === ((1L, 1L, "")), "all-duplicate docs empty, never vanish")
+    assert(out(4L) === ((0L, 0L, "")), "null text round-trips as an empty row")
+  }
+
   test("hostLineDedup: per-host repeated lines drop, small hosts keep all") {
     val pages = Seq(
       // host A, 3 docs: NAV on all 3, PROMO on 2/3 (= 2/3 >= 1/2 drop),
