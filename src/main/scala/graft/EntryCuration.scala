@@ -99,6 +99,17 @@ private[graft] trait EntryCuration extends EntryShared {
         docs.filter(col("doc_id") % 3 =!= 0),
         Dedup.fpLedger(docs.filter(col("doc_id") % 3 === 0)))
     }),
+    // CCNet head/middle/tail perplexity split (Wenzek et al. 2020
+    // §4.3): per-language tercile thresholds fitted on the corpus
+    // (exact rank ceil(r*n/3), id tiebreak — the bounded-sample fit
+    // stage), then per-row assignment against the frozen boundaries:
+    // zero corpus sorts at assignment, the 100 TB shape,
+    "ppl_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val lm = TextAnalysis.trainUnigramLm(docs)
+      TextAnalysis.assignPerplexityBuckets(docs, lm,
+        TextAnalysis.perplexityThresholds(docs, lm))
+    }),
     // corpus-wide paragraph dedup (CCNet §3.1 — the paragraph-granular
     // sibling of host_line_dedup's host-scoped lines): every doc gains
     // a per-class promo paragraph (7 classes: first doc of each class
@@ -726,6 +737,34 @@ private[graft] trait EntryCuration extends EntryShared {
         |  CASE WHEN p.fp IS NOT NULL THEN p.keeper_id
         |       WHEN rk > 1 THEN CAST(bk AS BIGINT) ELSE NULL END AS dup_of
         |FROM batch b LEFT JOIN prior p USING (fp)""".stripMargin,
+    // thresholds re-derived as exact per-language rank picks over the
+    // shared surprisal sub-oracle; assignment = 1 + boundaries strictly
+    // below (ties low); token-less docs take the tail,
+    "ppl_buckets" ->
+      s"""WITH sp AS ($lmSurprisalSql),
+         |sc AS (SELECT d.doc_id, d.lang, sp.avg_surprisal
+         |       FROM documents d JOIN sp USING (doc_id)),
+         |rk AS (SELECT *, row_number() OVER (
+         |         PARTITION BY lang ORDER BY avg_surprisal, doc_id) AS rk,
+         |         count(*) OVER (PARTITION BY lang) AS n
+         |       FROM sc),
+         |b AS (SELECT lang, g.r AS boundary_idx, avg_surprisal AS boundary
+         |      FROM rk, LATERAL (SELECT unnest(generate_series(1, 2)) AS r) g
+         |      WHERE rk = (g.r * n + 2) // 3),
+         |a AS (SELECT d.doc_id, d.lang, sp.avg_surprisal
+         |      FROM documents d LEFT JOIN sp USING (doc_id))
+         |SELECT a.doc_id, a.lang, a.avg_surprisal,
+         |  CAST(CASE WHEN a.avg_surprisal IS NULL THEN 3
+         |       ELSE 1 + count(CASE WHEN a.avg_surprisal > b.boundary
+         |                      THEN 1 END) END AS INTEGER) AS bucket_idx,
+         |  CASE WHEN a.avg_surprisal IS NULL THEN 'tail'
+         |       WHEN 1 + count(CASE WHEN a.avg_surprisal > b.boundary THEN 1 END) = 1
+         |        THEN 'head'
+         |       WHEN 1 + count(CASE WHEN a.avg_surprisal > b.boundary THEN 1 END) = 3
+         |        THEN 'tail'
+         |       ELSE 'middle' END AS bucket
+         |FROM a LEFT JOIN b ON a.lang = b.lang
+         |GROUP BY a.doc_id, a.lang, a.avg_surprisal""".stripMargin,
     // the CCNet paragraph rule re-derived: same decoration, same
     // whitespace/case-invariant fingerprint, first (doc, pos) keeps,
     "paragraph_dedup" ->

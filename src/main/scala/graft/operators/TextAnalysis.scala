@@ -318,6 +318,69 @@ object TextAnalysis {
           .as("avg_surprisal"))
   }
 
+  /** CCNet perplexity-bucket THRESHOLDS (Wenzek et al. 2020 §4.3: each
+    * language's documents split into head/middle/tail by LM perplexity
+    * percentiles): per language, the `nBuckets−1` boundary values —
+    * boundary r = the surprisal at sorted rank ⌈r·n/k⌉ (exact, id
+    * tiebreak). CCNet computes these on a SAMPLE and ships them as
+    * constants; this is that fit stage — run it on a bounded sample,
+    * persist the (languages × k−1)-row artifact, and let
+    * [[assignPerplexityBuckets]] score any corpus per-row. The window
+    * here sorts only the SAMPLE per language — never the corpus (the
+    * production split a naive global ntile would destroy). */
+  def perplexityThresholds(sample: DataFrame, lm: DataFrame, nBuckets: Int = 3,
+                           idCol: String = "doc_id", langCol: String = "lang",
+                           textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
+    val sp = unigramSurprisalWith(sample, lm, idCol, textCol)
+      .select(col(idCol), col("avg_surprisal"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(langCol)).orderBy(col("avg_surprisal"), col(idCol))
+    val wn = org.apache.spark.sql.expressions.Window.partitionBy(col(langCol))
+    sample.select(col(idCol), col(langCol)).join(sp, Seq(idCol))
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(wn))
+      .withColumn("boundary_idx", explode(sequence(lit(1), lit(nBuckets - 1))))
+      // exact integer ceil(r·n/k) — identical in both engines
+      .filter(col("_rk") ===
+        floor((col("boundary_idx") * col("_n") + nBuckets - 1) / nBuckets)
+          .cast("long"))
+      .select(col(langCol).as("lang"), col("boundary_idx"),
+        col("avg_surprisal").as("boundary"))
+  }
+
+  /** The ASSIGNMENT half: score any corpus against the frozen
+    * [[perplexityThresholds]] artifact — per-row surprisal + a
+    * broadcast threshold join + a ≤(k−1)-element comparison fold; zero
+    * corpus sorts, the shape a 100 TB split runs. `bucket_idx` = 1 +
+    * boundaries strictly below the doc's surprisal (ties stay low);
+    * token-less docs (no surprisal) land in the tail — the most
+    * suspicious bucket, never silently dropped. */
+  def assignPerplexityBuckets(docs: DataFrame, lm: DataFrame,
+                              thresholds: DataFrame, nBuckets: Int = 3,
+                              idCol: String = "doc_id", langCol: String = "lang",
+                              textCol: String = "text"): DataFrame = {
+    val sp = unigramSurprisalWith(docs, lm, idCol, textCol)
+      .select(col(idCol), col("avg_surprisal"))
+    val bounds = thresholds.groupBy(col("lang"))
+      .agg(sort_array(collect_list(struct(col("boundary_idx"), col("boundary"))))
+        .as("_bs"))
+    docs.select(col(idCol), col(langCol).as("lang"))
+      .join(sp, Seq(idCol), "left")
+      .join(broadcast(bounds), Seq("lang"), "left")
+      .withColumn("bucket_idx",
+        // token-less docs AND languages absent from the threshold
+        // artifact both land in the tail — flagged, never dropped
+        when(col("avg_surprisal").isNull || col("_bs").isNull, lit(nBuckets))
+          .otherwise(lit(1) + size(filter(col("_bs"),
+            b => col("avg_surprisal") > b.getField("boundary")))))
+      .select(col(idCol), col("lang"), col("avg_surprisal"),
+        col("bucket_idx"),
+        when(col("bucket_idx") === 1, "head")
+          .when(col("bucket_idx") === nBuckets, "tail")
+          .otherwise("middle").as("bucket"))
+  }
+
   /** Persist a trained LM table (unigram or bigram — both are plain
     * self-describing frames) as the scoring artifact. */
   def saveLm(model: DataFrame, dir: String): Unit =

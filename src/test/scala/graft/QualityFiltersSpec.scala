@@ -115,4 +115,36 @@ class QualityFiltersSpec extends SparkSpec {
     assert(multi.getAs[Int]("n_sentences") === 3)
     assert(multi.getAs[Boolean]("keep_doc"))
   }
+
+  test("CCNet perplexity buckets: exact rank thresholds, frozen-artifact " +
+      "assignment, token-less docs take the tail") {
+    import spark.implicits._
+    // 9 docs, one language, engineered so surprisal strictly increases
+    // with rarity: doc i repeats a common word then adds i rare ones
+    val docs = (1L to 9L).map { i =>
+      val rare = (1L to i).map(j => s"rare${i}x$j").mkString(" ")
+      (i, "en", s"common common common $rare")
+    }.toDF("doc_id", "lang", "text")
+    val lm = TextAnalysis.trainUnigramLm(docs)
+    val th = TextAnalysis.perplexityThresholds(docs, lm)
+    val bounds = th.collect().map(r => r.getAs[Int]("boundary_idx") ->
+      r.getAs[Double]("boundary")).toMap
+    assert(bounds.keySet === Set(1, 2), "k-1 boundaries per language")
+    // boundary r sits at exact rank ceil(r*9/3) = 3 and 6
+    val sp = TextAnalysis.unigramSurprisalWith(docs, lm)
+      .orderBy("avg_surprisal").collect().map(_.getAs[Double]("avg_surprisal"))
+    assert(bounds(1) === sp(2) && bounds(2) === sp(5))
+    val out = TextAnalysis.assignPerplexityBuckets(docs, lm, th).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert((1L to 9L).map(out).groupBy(identity).view.mapValues(_.size).toMap ===
+      Map("head" -> 3, "middle" -> 3, "tail" -> 3))
+    // the artifact is FROZEN: scoring a new batch reuses it per-row
+    val batch = Seq((100L, "en", "common common common"),
+      (101L, "en", ""), (102L, "xx", "common")).toDF("doc_id", "lang", "text")
+    val scored = TextAnalysis.assignPerplexityBuckets(batch, lm, th).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("bucket")).toMap
+    assert(scored(100L) === "head", "all-common text scores below boundary 1")
+    assert(scored(101L) === "tail", "token-less lands in the tail")
+    assert(scored(102L) === "tail", "unknown language lands in the tail")
+  }
 }
