@@ -1355,9 +1355,11 @@ private[graft] trait EntryDocs extends EntryShared {
     // 404s and contributes nothing.
     // n_boiler_removed = 1 on every html page (the site-wide footer
     // line, stripped by the CCNet host-line stage; readme.md carries
-    // no footer); n_chars are the post-NFC post-strip text lengths —
-    // readme's 415 is independently re-derived (python unicodedata:
-    // raw decomposed 416 -> NFC 415, the e + U+0301 composes), and
+    // no footer); n_chars are the post-repair post-NFC post-strip text
+    // lengths — readme's 415 is independently re-derived (python
+    // unicodedata: raw decomposed 416 -> NFC 415, the e + U+0301
+    // composes), article5's 406 pins the MOJIBAKE stage (its corrupted
+    // CafÃ© repairs to Café: unrepaired the page would read 407), and
     // article1 355 vs article2 356 pins the one-word edit
     // ('politely' -> 'carefully', +1 char).
     // near-dup keeper = smallest doc_id in the cluster; doc_id is the
@@ -1379,7 +1381,7 @@ private[graft] trait EntryDocs extends EntryShared {
         | ('/article4.html', 'Benchmarks', 'contaminated', FALSE, NULL, FALSE,
         |  TRUE, 1, 320, TRUE),
         | ('/article5.html', 'Scaling the crawl', '', TRUE, NULL, FALSE,
-        |  FALSE, 1, 302, TRUE),
+        |  FALSE, 1, 406, TRUE),
         | ('/article6.html', 'Sitemap only', '', TRUE, NULL, FALSE,
         |  FALSE, 1, 305, TRUE),
         | ('/article7.html', 'Embargoed preview', '', TRUE, NULL, TRUE,

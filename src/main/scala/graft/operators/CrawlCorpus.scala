@@ -159,10 +159,14 @@ object CrawlCorpus {
           b => b.getField("content")), "\n").as("text"))
       .withColumn("noindex", lit(false))
     val pages = htmlPages.unionByName(mdPages)
-      // Unicode NFC before ANY fingerprinting/shingling: composed and
-      // decomposed spellings of the same text must share one dedup key
-      // (the readme's decomposed e + U+0301 composes here)
-      .withColumn("text", TextAnalysis.normalizeText(col("text")))
+      // encoding repair THEN Unicode NFC, before ANY fingerprinting/
+      // shingling: article5's upstream-corrupted CafÃ© repairs to Café
+      // (the strict-decode guard leaves every legitimately-accented
+      // page byte-identical — the readme's decomposed é makes it
+      // un-unmixable, exactly the conservative contract), and composed
+      // vs decomposed spellings collapse to one dedup key
+      .withColumn("text",
+        TextAnalysis.normalizeText(TextAnalysis.fixMojibake(col("text"))))
       .withColumn("host", UrlOps.urlHost(col("doc")))
       .withColumn("path", regexp_replace(col("doc"), "^http://[^/]+", ""))
       .withColumn("doc_id",

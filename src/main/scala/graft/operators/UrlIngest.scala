@@ -530,7 +530,11 @@ object UrlIngest {
         "respecting every robots policy. The frontier ranks urls by priority " +
         "and hands out polite fetch ticks. Budgets cap how many pages a " +
         "single host contributes to one batch. That keeps a hot domain from " +
-        "ever flooding the corpus with its pages.</p>"),
+        "ever flooding the corpus with its pages.</p>\n" +
+        // an upstream proxy double-decoded this page once: the mojibake
+        // repair stage must hand the Caf\u00c3\u00a9 below back as Caf\u00e9
+        "<p>Some feeds hand us Caf\u00c3\u00a9 menus and the pipeline " +
+        "repairs the encoding before any fingerprint is computed.</p>"),
       // the article1 BODY verbatim under another title: exact text dup
       "dup.html" -> page("Mirror of polite crawling", article1Body),
       // reachable ONLY through the site's sitemap (no inbound hub
