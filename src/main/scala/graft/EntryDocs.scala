@@ -313,6 +313,27 @@ private[graft] trait EntryDocs extends EntryShared {
           length(col("r.payload")).cast("long").as("n_bytes"),
           sha2(col("r.payload"), 256).as("payload_sha"))
     }),
+    // the WET side of the archive family (CommonCrawl's extracted-text
+    // .wet files — what training pipelines actually read): shard the
+    // corpus text as ISO 28500 conversion records in BOTH framings,
+    // parse back with the same reader, and the payload bytes must
+    // round-trip (size + sha256 pinned independently by DuckDB over
+    // the same source text),
+    "wet_roundtrip" -> ((s, d) => {
+      val pages = Tables.documents(s, d).filter(col("doc_id") < 200)
+        .select(concat(lit("http://ex.com/doc"), col("doc_id")).as("url"),
+          col("text"))
+      Seq(false, true).map { gz =>
+        Warc.toWetShards(pages, nShards = 2, gzipMembers = gz)
+          .select(lit(if (gz) "gz" else "plain").as("framing"),
+            explode(Warc.parseWarcUdf(col("content"))).as("r"))
+      }.reduce(_ unionByName _)
+        .select(col("framing"), col("r.url").as("url"),
+          col("r.rec_type").as("rec_type"),
+          col("r.content_type").as("content_type"),
+          length(col("r.payload")).cast("long").as("n_bytes"),
+          sha2(col("r.payload"), 256).as("payload_sha"))
+    }),
     // per-host crawl statistics — the monitoring table every crawler
     // maintains (the reference's A-family stats, extended to the crawl
     // tier): fetch outcomes over the transport-edges URL set grouped
@@ -1432,6 +1453,19 @@ private[graft] trait EntryDocs extends EntryShared {
         | ('utf16', 'Wide', 0, FALSE,
         |  'Sixteen-bit pages decode through the byte-order mark.')
         |) AS t(doc, title, block_idx, heading, content)""".stripMargin,
+
+    // the WET contract re-derived from the SOURCE text: conversion
+    // records carry the exact UTF-8 text bytes, so size and sha256
+    // come straight off the documents table — a framing bug on either
+    // side breaks the hash,
+    "wet_roundtrip" ->
+      """SELECT f.framing, 'http://ex.com/doc' || doc_id AS url,
+        | 'conversion' AS rec_type, 'text/plain' AS content_type,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS payload_sha
+        |FROM documents
+        |CROSS JOIN (VALUES ('plain'), ('gz')) f(framing)
+        |WHERE doc_id < 200""".stripMargin,
 
     // expectations hand-derived from DocFixtures.crawlWarc: payload
     // lengths are the authored bodies' byte counts (the blog page is

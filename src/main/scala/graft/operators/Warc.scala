@@ -292,6 +292,67 @@ object Warc {
     * ~1 GB/shard anyway; the fix is always a larger `nShards`. */
   private val MaxShardBytes = 1800000000L
 
+  /** Write ONE WET `conversion` member — the extracted-TEXT sibling of
+    * [[writeWarcMember]] (ISO 28500 §6.8 conversion records;
+    * CommonCrawl ships them as `.wet` files next to every crawl): no
+    * HTTP envelope, `Content-Type: text/plain` at the WARC level,
+    * payload = the UTF-8 text bytes. Same digest/record-id/gz-member
+    * contract as the response writer. */
+  private def writeWetMember(out: java.io.OutputStream, url: String,
+                             text: Array[Byte], warcDate: String,
+                             gzipMembers: Boolean): String = {
+    val md = sha256Local.get()
+    md.reset()
+    val digest = hex(md.digest(text))
+    val hdr = (s"WARC/1.0\r\nWARC-Type: conversion\r\n" +
+      s"WARC-Target-URI: $url\r\n" +
+      s"WARC-Date: $warcDate\r\n" +
+      s"WARC-Record-ID: <urn:sha256:$digest>\r\n" +
+      s"Content-Type: text/plain\r\n" +
+      s"Content-Length: ${text.length}\r\n\r\n").getBytes(ISO_8859_1)
+    val sink: java.io.OutputStream =
+      if (gzipMembers) new java.util.zip.GZIPOutputStream(out) else out
+    sink.write(hdr); sink.write(text)
+    sink.write("\r\n\r\n".getBytes(ISO_8859_1))
+    sink match { case g: java.util.zip.GZIPOutputStream => g.close(); case _ => () }
+    digest
+  }
+
+  /** Archive an extracted-text corpus as WET shards — the `.wet`
+    * counterpart of [[toWarcShards]] (what a training pipeline
+    * actually reads back: CommonCrawl consumers overwhelmingly start
+    * from WET, not the raw WARC). Same one-shuffle shard shape, same
+    * url-sorted deterministic layout, same per-member CDX so a 100 TB
+    * WET corpus splits at member offsets. */
+  def toWetShards(pages: DataFrame, nShards: Int,
+                  urlCol: String = "url", textCol: String = "text",
+                  warcDate: String = "2026-01-01T00:00:00Z",
+                  gzipMembers: Boolean = false): DataFrame = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages.select(pmod(hash(col(urlCol)), lit(nShards)).as("shard"),
+        col(urlCol).as("url"), col(textCol).as("text"))
+      .as[(Int, String, String)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups($"url") { (shard, rows) =>
+        val out = new java.io.ByteArrayOutputStream(1 << 16)
+        val cdx = Seq.newBuilder[CdxEntry]
+        rows.foreach { case (_, url, text) =>
+          val offset = out.size().toLong
+          val digest = writeWetMember(out,
+            url, Option(text).getOrElse("").getBytes(UTF_8), warcDate, gzipMembers)
+          if (out.size() > MaxShardBytes)
+            throw new IllegalStateException(
+              s"wet_shard_too_large: shard $shard exceeds $MaxShardBytes bytes " +
+                s"after $url — increase nShards")
+          cdx += CdxEntry(url, offset, out.size() - offset, digest)
+        }
+        Iterator((s"shard-$shard" + (if (gzipMembers) ".warc.wet.gz" else ".warc.wet"),
+          out.toByteArray, cdx.result()))
+      }
+      .toDF("wet", "content", "cdx")
+  }
+
   def toWarcShards(pages: DataFrame, nShards: Int,
                    urlCol: String = "url", ctCol: String = "content_type",
                    binCol: String = "content",

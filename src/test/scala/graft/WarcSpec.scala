@@ -118,4 +118,44 @@ class WarcSpec extends SparkSpec {
     assert(p(2)._3 == "application/octet-stream")
     assert(p(0)._3 == "text/html; charset=utf-8")
   }
+
+  test("WET writer: conversion records round-trip text byte-exactly; " +
+      "gz members slice standalone via CDX") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, explode}
+    val pages = Seq(
+      ("http://x.test/a", "alpha text with caf\u00e9 accents"),
+      ("http://x.test/b", "beta body"),
+      ("http://x.test/c", null: String)
+    ).toDF("url", "text")
+    for (gz <- Seq(false, true)) {
+      val shards = Warc.toWetShards(pages, nShards = 2, gzipMembers = gz)
+        .collect()
+      val recs = shards.flatMap(r =>
+        Warc.parseWarc(r.getAs[Array[Byte]]("content")).get)
+        .sortBy(_.url.getOrElse(""))
+      assert(recs.map(_.rec_type).toSeq === Seq.fill(3)("conversion"))
+      assert(recs.map(_.content_type).toSeq === Seq.fill(3)(Some("text/plain")))
+      assert(new String(recs(0).payload, "UTF-8")
+        === "alpha text with caf\u00e9 accents")
+      assert(recs(2).payload.length === 0, "null text writes an empty record")
+      assert(recs.forall(_.http_status.isEmpty), "no HTTP envelope in WET")
+    }
+    // gz splittability: every CDX slice parses standalone to one record
+    // whose digest matches the CDX digest
+    val gzShards = Warc.toWetShards(pages, nShards = 2, gzipMembers = true)
+      .select(col("content"), explode(col("cdx")).as("m")).collect()
+    gzShards.foreach { r =>
+      val content = r.getAs[Array[Byte]]("content")
+      val m = r.getAs[org.apache.spark.sql.Row]("m")
+      val slice = java.util.Arrays.copyOfRange(content,
+        m.getAs[Long]("offset").toInt,
+        (m.getAs[Long]("offset") + m.getAs[Long]("length")).toInt)
+      val recs = Warc.parseWarc(slice).get
+      assert(recs.size === 1)
+      val sha = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(recs.head.payload).map("%02x".format(_)).mkString
+      assert(sha === m.getAs[String]("payload_sha"))
+    }
+  }
 }
