@@ -99,6 +99,24 @@ private[graft] trait EntryCuration extends EntryShared {
         docs.filter(col("doc_id") % 3 =!= 0),
         Dedup.fpLedger(docs.filter(col("doc_id") % 3 === 0)))
     }),
+    // within-doc consecutive-duplicate-line collapse (the trim ACTION
+    // next to the repetition detectors): every doc gains a stutter —
+    // its id%5+1 extra echo copies with varied case/whitespace (the
+    // invariant key must collapse them all) around a blank separator
+    // that must survive,
+    "collapse_repeats" -> ((s, d) => {
+      val id = col("doc_id")
+      val echo = concat(lit("echo line "), (id % 7).cast("string"))
+      val loud = concat(lit("  ECHO LINE "), (id % 7).cast("string"), lit(" "))
+      val page = concat(col("text"), lit("\n"), echo,
+        when(id % 5 >= 1, concat(lit("\n"), loud)).otherwise(lit("")),
+        when(id % 5 >= 2, concat(lit("\n"), echo)).otherwise(lit("")),
+        lit("\n\n"),
+        when(id % 5 >= 3, concat(echo, lit("\n"))).otherwise(lit("")),
+        lit("closing line."))
+      Cleaning.collapseRepeatedLines(
+        Tables.documents(s, d).select(id, page.as("text")))
+    }),
     // CCNet head/middle/tail perplexity split (Wenzek et al. 2020
     // §4.3): per-language tercile thresholds fitted on the corpus
     // (exact rank ceil(r*n/3), id tiebreak — the bounded-sample fit
@@ -737,6 +755,34 @@ private[graft] trait EntryCuration extends EntryShared {
         |  CASE WHEN p.fp IS NOT NULL THEN p.keeper_id
         |       WHEN rk > 1 THEN CAST(bk AS BIGINT) ELSE NULL END AS dup_of
         |FROM batch b LEFT JOIN prior p USING (fp)""".stripMargin,
+    // the collapse rule re-derived with one lag per line — equality is
+    // transitive under the invariant key, so previous-line comparison
+    // equals previous-KEPT comparison; blanks never collapse,
+    "collapse_repeats" ->
+      """WITH docs AS (
+        | SELECT doc_id, text || chr(10) || 'echo line ' || (doc_id % 7)
+        |  || CASE WHEN doc_id % 5 >= 1
+        |       THEN chr(10) || '  ECHO LINE ' || (doc_id % 7) || ' ' ELSE '' END
+        |  || CASE WHEN doc_id % 5 >= 2
+        |       THEN chr(10) || 'echo line ' || (doc_id % 7) ELSE '' END
+        |  || chr(10) || chr(10)
+        |  || CASE WHEN doc_id % 5 >= 3
+        |       THEN 'echo line ' || (doc_id % 7) || chr(10) ELSE '' END
+        |  || 'closing line.' AS text
+        | FROM documents),
+        |lines AS (
+        | SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS line,
+        |   regexp_replace(lower(trim(parts[g.i])), '\s+', ' ', 'g') AS key
+        | FROM (SELECT doc_id, string_split(text, chr(10)) AS parts FROM docs) p,
+        |   LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g),
+        |d AS (SELECT *, key <> '' AND
+        |        lag(key) OVER (PARTITION BY doc_id ORDER BY pos) = key AS dropped
+        |      FROM lines)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT) AS n_collapsed,
+        |  COALESCE(string_agg(CASE WHEN NOT COALESCE(dropped, FALSE) THEN line END,
+        |    chr(10) ORDER BY pos), '') AS clean_text
+        |FROM d GROUP BY doc_id""".stripMargin,
     // thresholds re-derived as exact per-language rank picks over the
     // shared surprisal sub-oracle; assignment = 1 + boundaries strictly
     // below (ties low); token-less docs take the tail,

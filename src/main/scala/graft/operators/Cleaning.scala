@@ -166,6 +166,52 @@ object Cleaning {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** WITHIN-document consecutive-duplicate-line collapse — the ACTION
+    * half of the repetition family ([[TextAnalysis.repetitionStats]] /
+    * `gopherRepetitionPass` DETECT; Dolma-class pipelines also TRIM:
+    * a page stuttering `Buy now!` fifty times keeps one line and stays
+    * in the corpus instead of tripping the whole-doc repetition drop).
+    * A line survives iff it differs from the PREVIOUS kept line under
+    * the whitespace/case-invariant key (so `SPAM` / ` spam ` runs
+    * collapse together); since equality is transitive under the key,
+    * "differs from previous kept" = "differs from previous line" — one
+    * lag per line, no iteration. Blank lines are paragraph separators
+    * and never collapse. Output: `n_lines`, `n_collapsed`,
+    * `clean_text`; null-text docs round-trip as empty rows.
+    *
+    * Scale shape: explode to lines → ONE doc-keyed window (lag) →
+    * regroup by the same key (the exchange is reused) → re-anchor left
+    * join. Zero corpus-global state — this is the per-document
+    * complement of [[paragraphDedup]]'s corpus-wide rule. */
+  def collapseRepeatedLines(docs: DataFrame, idCol: String = "doc_id",
+                            textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    val lines = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("key",
+        regexp_replace(lower(trim(col("line"))), "\\s+", " "))
+    val agged = lines
+      // coalesce: the first line's lag is null, and a null verdict
+      // would silently drop it from the collect_list below
+      .withColumn("_drop", coalesce(
+        col("key") =!= "" && lag(col("key"), 1).over(w) === col("key"),
+        lit(false)))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when(col("_drop"), 1L).otherwise(0L)).as("n_collapsed"),
+        array_join(transform(
+          array_sort(collect_list(when(!col("_drop"),
+            struct(col("pos"), col("line"))))),
+          x => x.getField("line")), "\n").as("clean_text"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(agged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_collapsed"), lit(0L)).as("n_collapsed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** CORPUS-WIDE paragraph dedup — CCNet's principal dedup pass
     * (Wenzek et al. 2020 §3.1 deduplicates at the PARAGRAPH level over
     * the whole shard set; [[hostLineDedup]] is the host-scoped LINE

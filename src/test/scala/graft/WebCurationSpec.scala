@@ -83,6 +83,25 @@ class WebCurationSpec extends SparkSpec {
       "http://www.good.com/p" -> true))
   }
 
+  test("collapseRepeatedLines: case/whitespace-invariant runs collapse to " +
+      "one; blanks break runs and never collapse; docs round-trip") {
+    val pages = Seq(
+      (1L, "Buy now!\n BUY NOW! \nbuy   now!\ncontent a"),
+      (2L, "keep\n\n\nkeep"),       // blank run survives; keep repeats NON-adjacently
+      (3L, "x\nx\n\nx"),            // blank breaks the run: third x survives
+      (4L, null: String)
+    ).toDF("doc_id", "text")
+    val out = Cleaning.collapseRepeatedLines(pages).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_lines"), r.getAs[Long]("n_collapsed"),
+          r.getAs[String]("clean_text")))).toMap
+    assert(out(1L) === ((4L, 2L, "Buy now!\ncontent a")),
+      "the FIRST spelling of the run is what survives")
+    assert(out(2L) === ((4L, 0L, "keep\n\n\nkeep")))
+    assert(out(3L) === ((4L, 1L, "x\n\nx")))
+    assert(out(4L) === ((0L, 0L, "")))
+  }
+
   test("paragraphDedup: corpus-wide first occurrence wins; keys are " +
       "whitespace/case-invariant; docs round-trip") {
     val pages = Seq(
