@@ -458,6 +458,18 @@ private[graft] trait EntryCuration extends EntryShared {
     // has wide duplicate groups); production calls keep the default 64,
     "simhash_pairs_capped" -> ((s, d) =>
       Dedup.simhashPairsCapped(Tables.documents(s, d), cap = 2)),
+    // incremental NEAR-dup against the O(buckets·cap) banded keeper
+    // ledger (the exact-fp ledger's banded sibling): a third of the
+    // corpus plays the prior snapshots, the rest today's batch; output
+    // classifies ledger hits (no id ordering across snapshots) apart
+    // from capped in-batch pairs. cap=2 so both caps genuinely bite,
+    "simhash_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.simhashPairsIncremental(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        Dedup.simhashLedger(docs.filter(col("doc_id") % 3 === 0), cap = 2),
+        cap = 2)
+    }),
     "weighted_sample" -> ((s, d) =>
       Sampling.weightedSample(Tables.documents(s, d), n = 50,
         weightCol = "n_chars", keyCol = "doc_id")
@@ -952,6 +964,32 @@ private[graft] trait EntryCuration extends EntryShared {
     "simhash_pairs_capped" -> simhashPairsSql(sourcesCte =
       """(SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY id) AS rk
         |               FROM banded) WHERE rk <= 2)""".stripMargin),
+    // the incremental form: ledger = capped banding of the prior third,
+    // crossed (no id order across snapshots) against the batch banding,
+    // plus the capped in-batch pairs — the engine's exact derivation,
+    "simhash_incremental" ->
+      s"""${simhashFpCte(60)},
+        |banded AS (SELECT id, simhash, g.b AS bnd, (simhash >> (g.b * 15)) & 32767 AS byt
+        |           FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
+        |led AS (SELECT * FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY id) AS rk
+        |         FROM banded WHERE id % 3 = 0) WHERE rk <= 2),
+        |nb AS (SELECT * FROM banded WHERE id % 3 <> 0),
+        |nk AS (SELECT * FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY id) AS rk
+        |        FROM nb) WHERE rk <= 2),
+        |crossp AS (SELECT DISTINCT l.id AS id_a, n.id AS id_b,
+        |            l.simhash AS fa, n.simhash AS fb
+        |           FROM led l JOIN nb n ON l.bnd = n.bnd AND l.byt = n.byt),
+        |inb AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |         a.simhash AS fa, b.simhash AS fb
+        |        FROM nk a JOIN nb b
+        |         ON a.bnd = b.bnd AND a.byt = b.byt AND a.id < b.id)
+        |SELECT 'ledger' AS source, id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+        |FROM crossp WHERE bit_count(xor(fa, fb)) <= 3
+        |UNION ALL
+        |SELECT 'batch' AS source, id_a, id_b, bit_count(xor(fa, fb)) AS hamming
+        |FROM inb WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
     "embed_near_dups" ->
       """WITH b AS (
         | SELECT vec_id, embedding::DOUBLE[] AS e,

@@ -352,6 +352,75 @@ object Dedup {
     pairTail(keepers, banded, maxHamming)
   }
 
+  /** The banded-SimHash KEEPER ledger — [[fpLedger]]'s NEAR-dup
+    * analogue, the artifact an incremental pipeline persists between
+    * snapshots: per (band, bucket) only the `cap` smallest ids with
+    * their fingerprints. The cap bounds the artifact at
+    * O(buckets · cap) REGARDLESS of how many snapshots it summarizes —
+    * the property that lets a daily batch near-dup against years of
+    * history without rescanning a byte of it. Columns mirror the
+    * in-batch banding: (id, simhash, band, bucket). */
+  def simhashLedger(docs: DataFrame, cap: Int = 64,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    banded60(docs, idCol, textCol)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap).drop("_rk")
+  }
+
+  /** Incremental NEAR-dup: today's batch against the prior snapshots'
+    * [[simhashLedger]], plus capped in-batch pairs — the
+    * [[exactDupsIncremental]] shape lifted to the banded tier. Output
+    * rows carry `source`:
+    *  - `ledger` — (ledger keeper, new doc) within `maxHamming` on
+    *    some shared band bucket (ids are NOT ordered across snapshots,
+    *    so no `<` condition: every ledger keeper is a legitimate
+    *    canonical for a new arrival);
+    *  - `batch` — the [[simhashPairsCapped]] pairs within the batch.
+    *
+    * Scale shape: batch-sized banding, two (band, bucket) equi-joins
+    * (ledger side O(buckets·cap)), the keeper rank — batch work per
+    * day, history-sized never. [[simhashLedgerAfter]] emits the next
+    * ledger: union + re-rank, capped by construction. */
+  def simhashPairsIncremental(batch: DataFrame, ledger: DataFrame,
+                              maxHamming: Int = 3, cap: Int = 64,
+                              idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    val bandedNew = banded60(batch, idCol, textCol)
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val keepersNew = bandedNew
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap).drop("_rk")
+    val cross = ledger.as("a").join(bandedNew.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(lit("ledger").as("source"), col("id_a"), col("id_b"), col("hamming"))
+    val inBatch = pairTail(keepersNew, bandedNew, maxHamming)
+      .select(lit("batch").as("source"), col("id_a"), col("id_b"), col("hamming"))
+    cross.unionByName(inBatch)
+  }
+
+  /** The updated near-dup ledger after a batch: union the prior
+    * entries with the batch's banding and re-rank to the cap — the
+    * keeper convention is the batch tier's own (smallest id per
+    * bucket), applied across the union, so the artifact stays
+    * O(buckets · cap) forever. */
+  def simhashLedgerAfter(batch: DataFrame, ledger: DataFrame, cap: Int = 64,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    ledger.unionByName(banded60(batch, idCol, textCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap).drop("_rk")
+  }
+
   /** Distinct (id_a < id_b) candidate pairs → symmetric directed edge
     * list — THE edge contract every graph consumer of the dedup family
     * shares ([[dupClusters]], [[connectedComponents]],

@@ -81,6 +81,36 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(after.size === 3)
   }
 
+  test("simhash ledger: batch near-dups classify against prior snapshots; " +
+      "the updated ledger stays capped per bucket") {
+    val base = "the crawl pipeline fetches pages politely and extracts " +
+      "the main content with care while boilerplate removal decides " +
+      "corpus quality so the extractor measures link density for every " +
+      "block and clean prose survives the published filters"
+    val prior = Seq((10L, base)).toDF("doc_id", "text")
+    val ledger = Dedup.simhashLedger(prior, cap = 2)
+    val batch = Seq(
+      (20L, base.replace("politely", "carefully")), // one-word edit of prior 10
+      (21L, "completely different vocabulary entirely here now"),
+      (22L, "completely different vocabulary entirely here now") // in-batch
+    ).toDF("doc_id", "text")
+    val out = Dedup.simhashPairsIncremental(batch, ledger, cap = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains(("ledger", 10L, 20L)),
+      "the one-word edit must resolve to the prior snapshot's keeper")
+    assert(out.contains(("batch", 21L, 22L)))
+    assert(!out.exists(t => t._1 == "ledger" && t._3 == 21L),
+      "fresh content matches no prior keeper")
+    // ledger update: add 50 same-text docs; every bucket stays <= cap
+    val flood = (100L to 149L).map(i => (i, base)).toDF("doc_id", "text")
+    val after = Dedup.simhashLedgerAfter(flood, ledger, cap = 2)
+    val worst = after.groupBy("band", "bucket").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(worst <= 2L, "the artifact is O(buckets x cap) by construction")
+    // prior keeper 10 outranks every flood id inside its buckets
+    assert(after.filter(col("id") === 10L).count() === 4L)
+  }
+
   test("kmeansLoop round 1 equals kmeansStep; later rounds re-center") {
     import graft.operators.Similarity
     val vecs = (1L to 40L).map(i => (i,
