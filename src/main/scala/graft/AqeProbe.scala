@@ -44,9 +44,14 @@ object AqeProbe {
           println(s"AQEFINAL $name NOT-FINAL (adaptive plan did not finalize)")
         } else {
           def c(s: String) = s.r.findAllIn(p).size
+          // win counts full Window exec nodes; wgl the WindowGroupLimit
+          // pushdown variant (a rank<=k filter that partial-limits
+          // map-side — the acceptable capped-bucket shape, distinct
+          // from the skew-prone unbounded window)
           println(f"AQEFINAL $name%-22s smj=${c("SortMergeJoin")}%d " +
             f"bhj=${c("BroadcastHashJoin")}%d bnlj=${c("BroadcastNestedLoopJoin")}%d " +
-            f"shj=${c("ShuffledHashJoin")}%d final=${if (adaptive) "aqe" else "static"}%s")
+            f"shj=${c("ShuffledHashJoin")}%d win=${c("\\bWindow\\b")}%d " +
+            f"wgl=${c("WindowGroupLimit")}%d final=${if (adaptive) "aqe" else "static"}%s")
         }
       } catch { case e: Throwable =>
         println(s"AQEFINAL $name ERROR ${e.getMessage.take(80)}")

@@ -194,11 +194,18 @@ object Bench {
           .map(a => (name, times.map(_._1), a))
       }
     }.sortBy(-_._2.min).take(6)
-    // dirty-window rule: rep2 > 3x rep1 (and >1 s apart) — the min is
-    // still sound, but a transient provably crossed the run mid-flight
+    // dirty-window rule: the two reps disagree by >3x (and >1 s apart),
+    // EITHER order — the min is still sound, but a transient provably
+    // crossed the run mid-flight. The rule was one-sided (rep2 > 3x
+    // rep1) through round 19, which let a rep1-spiked golden_e2e
+    // [27.5, 8.1] ship its 8.1 s min with no actuator rerun: a rep1
+    // spike leaves rep2 still partially contended (the transient's
+    // tail), so the symmetric form matters — the third rep at sweep
+    // end is the decorrelated sample either way
     val dirty = raw.toSeq.collect {
       case (name, Seq((t1, true), (t2, true)))
-          if t2 > 3 * t1 && t2 - t1 > 1.0 => (name, Seq(t1, t2))
+          if math.max(t1, t2) > 3 * math.min(t1, t2) &&
+            math.max(t1, t2) - math.min(t1, t2) > 1.0 => (name, Seq(t1, t2))
     }.sortBy(-_._2.max).take(6)
     // ---- spike ACTUATOR (round 18) ---------------------------------------
     // Round 17 proved detection without actuation is not enough: pagerank

@@ -148,8 +148,10 @@ private[graft] trait EntryCuration extends EntryShared {
     // (cross_snapshot), a fresh pair (original + in_batch). Batch 1
     // proves the ledger LEARNED batch 0 (doc 20 resolves to 11 across
     // batches), adds an original, and REPLAYS doc 11 verbatim — the
-    // at-least-once arrival classifies as a self-keeper dup, the
-    // idempotence marker,
+    // at-least-once arrival hits the ledger with ITSELF as keeper and
+    // classifies original (the replay-stable rule: a redelivered
+    // canonical copy must never be marked a duplicate of itself, or a
+    // downstream drop-duplicates consumer loses the corpus's only copy),
     "dedup_stream_e2e" -> ((s, d) => {
       import s.implicits._
       implicit val sqlCtx = s.sqlContext
@@ -749,7 +751,11 @@ private[graft] trait EntryCuration extends EntryShared {
         |FROM documents""".stripMargin,
     "dedup_exact" -> dedupExactSql,
     // prior = doc_id % 3 = 0 summarized to (fp, min id); batch = the
-    // rest, ranked within fp; the left join classifies each batch doc,
+    // rest with their in-batch min-id keeper; the left join classifies
+    // each batch doc. The self-keeper CASE mirrors the engine's replay
+    // rule (ledger keeper == own id => original) — unexercised here
+    // (prior/batch ids are disjoint) but kept in parity so a fixture
+    // change surfaces any divergence instead of hiding it,
     "dedup_incremental" ->
       """WITH fp AS (
         | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
@@ -757,15 +763,17 @@ private[graft] trait EntryCuration extends EntryShared {
         |prior AS (SELECT fp, CAST(min(doc_id) AS BIGINT) AS keeper_id
         |          FROM fp WHERE doc_id % 3 = 0 GROUP BY fp),
         |batch AS (SELECT doc_id, fp,
-        |   row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rk,
         |   min(doc_id) OVER (PARTITION BY fp) AS bk
         | FROM fp WHERE doc_id % 3 <> 0)
         |SELECT b.doc_id, b.fp,
-        |  (p.fp IS NOT NULL OR rk > 1) AS is_duplicate,
-        |  CASE WHEN p.fp IS NOT NULL THEN 'cross_snapshot'
-        |       WHEN rk > 1 THEN 'in_batch' ELSE 'original' END AS dup_class,
-        |  CASE WHEN p.fp IS NOT NULL THEN p.keeper_id
-        |       WHEN rk > 1 THEN CAST(bk AS BIGINT) ELSE NULL END AS dup_of
+        |  CASE WHEN p.keeper_id = b.doc_id THEN FALSE
+        |       ELSE (p.fp IS NOT NULL OR b.doc_id <> bk) END AS is_duplicate,
+        |  CASE WHEN p.keeper_id = b.doc_id THEN 'original'
+        |       WHEN p.fp IS NOT NULL THEN 'cross_snapshot'
+        |       WHEN b.doc_id <> bk THEN 'in_batch' ELSE 'original' END AS dup_class,
+        |  CASE WHEN p.keeper_id = b.doc_id THEN NULL
+        |       WHEN p.fp IS NOT NULL THEN p.keeper_id
+        |       WHEN b.doc_id <> bk THEN CAST(bk AS BIGINT) ELSE NULL END AS dup_of
         |FROM batch b LEFT JOIN prior p USING (fp)""".stripMargin,
     // the collapse rule re-derived with one lag per line — equality is
     // transitive under the invariant key, so previous-line comparison
@@ -797,7 +805,11 @@ private[graft] trait EntryCuration extends EntryShared {
         |FROM d GROUP BY doc_id""".stripMargin,
     // thresholds re-derived as exact per-language rank picks over the
     // shared surprisal sub-oracle; assignment = 1 + boundaries strictly
-    // below (ties low); token-less docs take the tail,
+    // below (ties low); token-less docs take the tail, and so does a
+    // language with NO fitted boundary rows (count(b.boundary)=0 after
+    // the LEFT JOIN) — mirroring the engine's `_bs IS NULL` flag-don't-
+    // drop branch so the latent branch stays in parity even though the
+    // fixture fits thresholds on the same corpus,
     "ppl_buckets" ->
       s"""WITH sp AS ($lmSurprisalSql),
          |sc AS (SELECT d.doc_id, d.lang, sp.avg_surprisal
@@ -812,10 +824,10 @@ private[graft] trait EntryCuration extends EntryShared {
          |a AS (SELECT d.doc_id, d.lang, sp.avg_surprisal
          |      FROM documents d LEFT JOIN sp USING (doc_id))
          |SELECT a.doc_id, a.lang, a.avg_surprisal,
-         |  CAST(CASE WHEN a.avg_surprisal IS NULL THEN 3
+         |  CAST(CASE WHEN a.avg_surprisal IS NULL OR count(b.boundary) = 0 THEN 3
          |       ELSE 1 + count(CASE WHEN a.avg_surprisal > b.boundary
          |                      THEN 1 END) END AS INTEGER) AS bucket_idx,
-         |  CASE WHEN a.avg_surprisal IS NULL THEN 'tail'
+         |  CASE WHEN a.avg_surprisal IS NULL OR count(b.boundary) = 0 THEN 'tail'
          |       WHEN 1 + count(CASE WHEN a.avg_surprisal > b.boundary THEN 1 END) = 1
          |        THEN 'head'
          |       WHEN 1 + count(CASE WHEN a.avg_surprisal > b.boundary THEN 1 END) = 3
@@ -850,14 +862,15 @@ private[graft] trait EntryCuration extends EntryShared {
         |FROM rk GROUP BY doc_id""".stripMargin,
     // hand-derived from the two-batch feed: 10 matches seed doc 1
     // through normalization; 12 in-batch-dups 11; batch 1's 20 proves
-    // the ledger learned 11, and the replayed 11 resolves to ITSELF
-    // (keeper by first sighting) — the at-least-once marker,
+    // the ledger learned 11, and the replayed 11 hits the ledger with
+    // ITSELF as keeper => original (the replay-stable at-least-once
+    // rule — a self-keeper hit never marks the canonical copy a dup),
     "dedup_stream_e2e" ->
       """SELECT batch_id, doc_id, is_duplicate, dup_class, dup_of FROM (VALUES
         | (0, 10, TRUE,  'cross_snapshot', CAST(1 AS BIGINT)),
         | (0, 11, FALSE, 'original',       CAST(NULL AS BIGINT)),
         | (0, 12, TRUE,  'in_batch',       11),
-        | (1, 11, TRUE,  'cross_snapshot', 11),
+        | (1, 11, FALSE, 'original',       NULL),
         | (1, 20, TRUE,  'cross_snapshot', 11),
         | (1, 21, FALSE, 'original',       NULL)
         |) AS t(batch_id, doc_id, is_duplicate, dup_class, dup_of)""".stripMargin,

@@ -178,11 +178,15 @@ private[graft] trait EntryShared {
 
   // shared component oracle SQL (also composed into clean_corpus)
   protected val dedupExactSql =
-    """SELECT doc_id, fp, rn AS dup_rank, rn > 1 AS is_duplicate FROM (
-        | SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
-        |  row_number() OVER (PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-        |    ORDER BY doc_id) AS rn
-        | FROM documents)""".stripMargin
+    """SELECT f.doc_id, f.fp, f.doc_id <> k.keeper AS is_duplicate,
+        |  CASE WHEN f.doc_id <> k.keeper
+        |       THEN CAST(k.keeper AS BIGINT) END AS dup_of
+        |FROM (SELECT doc_id,
+        |        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+        |      FROM documents) f
+        |JOIN (SELECT md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |        min(doc_id) AS keeper
+        |      FROM documents GROUP BY 1) k USING (fp)""".stripMargin
 
   protected val langIdSql =
     s"""SELECT doc_id, $langPredSql AS pred_lang,

@@ -224,27 +224,35 @@ object Cleaning {
     * empty text, and null-text docs round-trip as empty rows — the
     * [[hostLineDedup]] re-anchor contract).
     *
-    * Scale shape: explode to (fp, doc, pos) → ONE hash shuffle on the
-    * 16-byte paragraph fingerprint for the first-occurrence rank →
-    * regroup by document → re-anchor left join on the input keys. The
-    * fingerprint table is paragraph-count-sized; no key carries more
-    * than its duplication factor, and the rank is a WindowGroupLimit-
-    * friendly top-1 per fp. */
+    * Scale shape: explode to (fp, doc, pos) → first occurrence per
+    * fingerprint as `groupBy(fp).agg(min(struct(doc, pos)))` — a
+    * PARTIAL-COMBINED hash aggregate, deliberately NOT a
+    * `row_number() OVER (PARTITION BY fp)` window: a corpus-wide
+    * boilerplate paragraph ("Share and subscribe", cookie banners) puts
+    * a copy in EVERY document, and a window would shuffle all of them
+    * into one task and sort there (AQE skew splitting does not apply to
+    * window partitions) — the guaranteed-degenerate case this operator
+    * exists to clean. The aggregate collapses the hot fingerprint to
+    * one row per mapper; the fp equi-join back (keeper side
+    * fp-distinct) IS AQE-skew-splittable → regroup by document →
+    * re-anchor left join on the input keys. The fingerprint table is
+    * paragraph-count-sized. */
   def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("fp")).orderBy(col("doc_id"), col("pos"))
     val paras = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n\\s*\n")).as(Seq("pos", "para")))
       .filter(trim(col("para")) =!= "")
       .withColumn("fp", TextAnalysis.fingerprint(col("para")))
-    val ranked = paras
-      .withColumn("_rk", row_number().over(w))
+    val keepers = paras.groupBy(col("fp"))
+      .agg(min(struct(col("doc_id"), col("pos"))).as("_keeper"))
+    val ranked = paras.join(keepers, Seq("fp"))
+      .withColumn("_is_first",
+        col("doc_id") === col("_keeper.doc_id") && col("pos") === col("_keeper.pos"))
     val agged = ranked.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_paras"),
-        sum(when(col("_rk") > 1, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(!col("_is_first"), 1L).otherwise(0L)).as("n_removed"),
         array_join(transform(
-          array_sort(collect_list(when(col("_rk") === 1,
+          array_sort(collect_list(when(col("_is_first"),
             struct(col("pos"), col("para"))))),
           x => x.getField("para")), "\n\n").as("clean_text"))
     docs.select(col(idCol).as("doc_id"))

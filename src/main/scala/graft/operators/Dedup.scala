@@ -14,16 +14,30 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Exact duplicate detection: whitespace/case-invariant md5 fingerprint,
-    * first doc per fingerprint (lowest id) is the keeper. One hash-shuffle
-    * on the 16-byte fingerprint — the canonical 100 TB exact-dedup plan. */
+    * first doc per fingerprint (lowest id) is the keeper; every other
+    * copy is `is_duplicate` with `dup_of` = the keeper id.
+    *
+    * Plan shape: keeper = `groupBy(fp).agg(min(id))` — a PARTIAL-COMBINED
+    * hash aggregate (every mapper collapses its copies of a fingerprint
+    * to one row before the exchange) — then an fp equi-join back. This
+    * deliberately replaces the earlier `row_number() OVER (PARTITION BY
+    * fp)` window: a window cannot map-side combine, so every copy of the
+    * hottest fingerprint shuffled to ONE task and sorted there (AQE skew
+    * splitting does not apply to window partitions) — a guaranteed
+    * degenerate task on the boilerplate corpora exact dedup exists for.
+    * The join back IS AQE-skew-splittable (the keeper side is
+    * fp-distinct), so the hot key's probe rows spread across tasks. */
   def exactDups(docs: DataFrame, idCol: String = "doc_id",
                 textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
-    docs
+    val fpd = docs
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("dup_rank", row_number().over(w))
-      .withColumn("is_duplicate", col("dup_rank") > 1)
-      .select(col(idCol), col("fp"), col("dup_rank"), col("is_duplicate"))
+      .select(col(idCol), col("fp"))
+    val keepers = fpd.groupBy(col("fp")).agg(min(col(idCol)).as("_keeper"))
+    fpd.join(keepers, Seq("fp"))
+      .select(col(idCol), col("fp"),
+        (col(idCol) =!= col("_keeper")).as("is_duplicate"),
+        when(col(idCol) =!= col("_keeper"), col("_keeper"))
+          .otherwise(lit(null).cast("long")).as("dup_of"))
   }
 
   /** The cross-snapshot fingerprint LEDGER — the persisted artifact an
@@ -48,30 +62,52 @@ object Dedup {
     *    doc (smaller id) carries it (dup_of = that doc);
     *  - `original` — first sighting ever (dup_of null).
     *
-    * Scale shape: ONE hash shuffle of the batch on fp (the window and
-    * the ledger equi-join reuse it; the ledger side arrives
-    * pre-bucketed on fp when persisted via writeBucketed — zero
-    * ledger shuffle), batch-sized work per day regardless of how many
+    * REPLAY STABILITY: a ledger hit whose keeper id IS the batch doc's
+    * own id classifies as `original` — that row is the corpus's
+    * canonical copy re-arriving (an at-least-once redelivery, or a
+    * micro-batch replayed after the ledger write committed but the
+    * checkpoint didn't). Without this rule a replay marked the keeper a
+    * cross_snapshot duplicate OF ITSELF, and a downstream
+    * drop-duplicates consumer lost the corpus's only copy. The
+    * self-keeper override beats the in-batch rank too: if a replayed
+    * keeper shares its fingerprint with a smaller-id batch arrival,
+    * the keeper stays original (first sighting is canonical) and the
+    * arrival classifies cross_snapshot against it.
+    *
+    * Scale shape: ONE partial-combined hash aggregate of the batch on
+    * fp for the in-batch keeper (map-side combine collapses a hot
+    * fingerprint to one row per mapper — the window form this replaced
+    * sorted EVERY copy of the hottest fp in one task), then two fp
+    * equi-joins (both AQE-skew-splittable; the ledger side arrives
+    * pre-bucketed on fp when persisted via writeBucketed — zero ledger
+    * shuffle), batch-sized work per day regardless of how many
     * snapshots the ledger summarizes. [[ledgerAfter]] emits the
     * updated artifact for the next batch. */
   def exactDupsIncremental(batch: DataFrame, ledger: DataFrame,
                            idCol: String = "doc_id",
                            textCol: String = "text"): DataFrame = {
-    val w = Window.partitionBy(col("fp")).orderBy(col(idCol))
-    val wAll = Window.partitionBy(col("fp"))
-    batch
+    val fpd = batch
       .withColumn("fp", TextAnalysis.fingerprint(col(textCol)))
-      .withColumn("_rk", row_number().over(w))
-      .withColumn("_batch_keeper", min(col(idCol)).over(wAll))
+      .select(col(idCol), col("fp"))
+    val batchKeepers = fpd.groupBy(col("fp"))
+      .agg(min(col(idCol)).as("_batch_keeper"))
+    // null-safe: a ledger miss (null keeper) is NOT a self-keeper, and
+    // must not poison the is_duplicate conjunction with a null verdict
+    val selfKeeper = col("_ledger_keeper") <=> col(idCol)
+    fpd
+      .join(batchKeepers, Seq("fp"))
       .join(ledger.select(col("fp"), col("keeper_id").as("_ledger_keeper")),
         Seq("fp"), "left")
       .select(col(idCol), col("fp"),
-        (col("_ledger_keeper").isNotNull || col("_rk") > 1).as("is_duplicate"),
-        when(col("_ledger_keeper").isNotNull, "cross_snapshot")
-          .when(col("_rk") > 1, "in_batch")
+        (!selfKeeper && (col("_ledger_keeper").isNotNull ||
+          col(idCol) =!= col("_batch_keeper"))).as("is_duplicate"),
+        when(selfKeeper, "original")
+          .when(col("_ledger_keeper").isNotNull, "cross_snapshot")
+          .when(col(idCol) =!= col("_batch_keeper"), "in_batch")
           .otherwise("original").as("dup_class"),
-        when(col("_ledger_keeper").isNotNull, col("_ledger_keeper"))
-          .when(col("_rk") > 1, col("_batch_keeper"))
+        when(selfKeeper, lit(null).cast("long"))
+          .when(col("_ledger_keeper").isNotNull, col("_ledger_keeper"))
+          .when(col(idCol) =!= col("_batch_keeper"), col("_batch_keeper"))
           .otherwise(lit(null).cast("long")).as("dup_of"))
   }
 
@@ -407,18 +443,31 @@ object Dedup {
   }
 
   /** The updated near-dup ledger after a batch: union the prior
-    * entries with the batch's banding and re-rank to the cap — the
-    * keeper convention is the batch tier's own (smallest id per
-    * bucket), applied across the union, so the artifact stays
-    * O(buckets · cap) forever. */
+    * entries with the batch's banding and re-rank to the cap. PRIOR
+    * ledger entries win their slots before batch entries fill the
+    * remainder — the [[ledgerAfter]] first-sighting convention: ids
+    * are explicitly NOT ordered across snapshots, so ranking the union
+    * by bare id would let a batch doc with a smaller id EVICT a prior
+    * keeper, and near-dups against that evicted history would be
+    * silently missed even in buckets that never exceeded the cap.
+    * (Within each class the tiebreak stays smallest-id — the batch
+    * tier's own keeper rule.) A replayed batch re-unions rows the
+    * ledger already holds; the pre-rank (band, bucket, id) collapse
+    * makes that a no-op instead of a double-counted slot. The artifact
+    * stays O(buckets · cap) forever. */
   def simhashLedgerAfter(batch: DataFrame, ledger: DataFrame, cap: Int = 64,
                          idCol: String = "doc_id",
                          textCol: String = "text"): DataFrame = {
     require(cap >= 1, s"need cap >= 1, got $cap")
-    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
-    ledger.unionByName(banded60(batch, idCol, textCol))
+    val w = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("_ord"), col("id"))
+    ledger.withColumn("_ord", lit(0))
+      .unionByName(banded60(batch, idCol, textCol).withColumn("_ord", lit(1)))
+      .groupBy(col("band"), col("bucket"), col("id"), col("simhash"))
+      .agg(min(col("_ord")).as("_ord"))
       .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") <= cap).drop("_rk")
+      .filter(col("_rk") <= cap)
+      .select(col("id"), col("simhash"), col("band"), col("bucket"))
   }
 
   /** Distinct (id_a < id_b) candidate pairs → symmetric directed edge

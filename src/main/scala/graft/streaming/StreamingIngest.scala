@@ -681,19 +681,84 @@ object StreamingIngest {
         TimeMode.None(), OutputMode.Append())
   }
 
+  /** List the `ledgerDir/v<N>` version subdirectories: (all version
+    * numbers present, committed version numbers). Committed = carries
+    * Spark's `_SUCCESS` marker — an uncommitted dir is a crashed
+    * write's debris, never read. Hadoop FS, not java.io.File: the
+    * ledger lives wherever the pipeline's storage is (HDFS/S3/local). */
+  private def ledgerVersions(spark: org.apache.spark.sql.SparkSession,
+                             ledgerDir: String)
+      : (Array[org.apache.hadoop.fs.FileStatus], Seq[Long], Seq[Long]) = {
+    val root = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries: Array[org.apache.hadoop.fs.FileStatus] =
+      if (fs.exists(root)) fs.listStatus(root)
+      else Array.empty
+    val versionDirs = entries
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+    val all = versionDirs.map(_.getPath.getName.drop(1).toLong).toSeq
+    val committed = versionDirs
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.getName.drop(1).toLong).toSeq
+    (entries, all, committed)
+  }
+
+  /** The LATEST COMMITTED ledger state under `ledgerDir`, plus the
+    * version number the next write should use. Versions are a
+    * monotone sequence `v0, v1, ...` independent of micro-batch ids
+    * (a fresh checkpoint restarts batch ids at 0, but the ledger's
+    * history keeps counting) — each write lands in a NEW version dir,
+    * never overwriting a committed one, so a crash mid-write can only
+    * lose the version being written, never the history. (The earlier
+    * in-place `mode("overwrite")` of `ledgerDir` itself deleted the
+    * whole prior ledger before writing; a failure there destroyed the
+    * entire cross-snapshot dedup state.)
+    *
+    * Bootstrap: no committed version subdirs => fall back to a flat
+    * parquet ledger at `ledgerDir` itself (the batch-pipeline seed
+    * layout, e.g. [[graft.operators.Dedup.fpLedger]] written there);
+    * if the path does not exist at all => an empty ledger — a fresh
+    * deployment's first micro-batch needs no pre-seeding. */
+  private[graft] def ledgerLatest(spark: org.apache.spark.sql.SparkSession,
+                                  ledgerDir: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (entries, all, committed) = ledgerVersions(spark, ledgerDir)
+    val next = if (all.isEmpty) 0L else all.max + 1L
+    val df =
+      if (committed.nonEmpty)
+        spark.read.parquet(s"$ledgerDir/v${committed.max}")
+      else if (entries.exists(st => st.isFile &&
+          (st.getPath.getName.endsWith(".parquet") || st.getPath.getName == "_SUCCESS")))
+        spark.read.parquet(ledgerDir)
+      else
+        spark.range(0).select(
+          col("id").cast("string").as("fp"), lit(null).cast("long").as("keeper_id"))
+    (df, next)
+  }
+
   /** Streaming exact dedup against the PERSISTED fingerprint ledger —
     * [[graft.operators.Dedup.exactDupsIncremental]] lifted to a 24/7
-    * ingest: per micro-batch, classify the arrivals against the ledger
-    * parquet at `ledgerDir` (cross_snapshot / in_batch / original),
-    * land the verdicts under `verdictDir` partitioned by batch id, and
-    * OVERWRITE the ledger with [[graft.operators.Dedup.ledgerAfter]]
-    * so the next batch — or tomorrow's restart — sees every
+    * ingest: per micro-batch, classify the arrivals against the latest
+    * committed ledger state at `ledgerDir` (cross_snapshot / in_batch /
+    * original), land the verdicts under `verdictDir` partitioned by
+    * batch id, and write the post-batch ledger
+    * ([[graft.operators.Dedup.ledgerAfter]]) as a NEW version
+    * `ledgerDir/v<N>` (see [[ledgerLatest]]) so the next batch — or
+    * tomorrow's restart, even with a fresh checkpoint — sees every
     * fingerprint ever ingested. The ledger IS the durable state, kept
     * OUTSIDE the stream checkpoint (survives checkpoint wipes, shared
     * with the batch pipeline, bucketable on fp); at-least-once replays
-    * are idempotent on both sides: the verdict write is a dynamic
-    * per-batch partition overwrite, and ledgerAfter is a fixpoint on
-    * replayed content (prior keepers win by first sighting).
+    * are idempotent on every side: the verdict write is a dynamic
+    * per-batch partition overwrite; a replayed batch reads a ledger
+    * that already carries its fingerprints, where
+    * [[graft.operators.Dedup.ledgerAfter]] is a FIXPOINT (prior keepers
+    * win by first sighting — the appended version is byte-equal
+    * content, never a regression) and a redelivered canonical copy
+    * classifies `original` via the incremental operator's self-keeper
+    * rule instead of becoming a duplicate of itself. Old versions are
+    * retained as the ledger's history (each is
+    * fingerprint-ledger-sized; a janitor can prune all but the latest
+    * committed version at any time without coordination).
     * Caller starts/stops the query. */
   def streamingLedgerDedup(docs: DataFrame, ledgerDir: String,
                            verdictDir: String, checkpointDir: String)
@@ -704,15 +769,17 @@ object StreamingIngest {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val b = batch.localCheckpoint()
-        val ledger = spark.read.parquet(ledgerDir)
+        val (ledger, nextVersion) = ledgerLatest(spark, ledgerDir)
         graft.operators.Dedup.exactDupsIncremental(b, ledger)
           .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id").parquet(verdictDir)
-        // read-then-overwrite the SAME path: materialize first (the
-        // updated ledger is fingerprint-ledger-sized, not corpus-sized)
+        // materialize before writing (the updated ledger is
+        // fingerprint-ledger-sized, not corpus-sized); overwrite can
+        // only touch the fresh version dir (an uncommitted crash
+        // residue at worst), never a committed version
         val updated = graft.operators.Dedup.ledgerAfter(b, ledger).localCheckpoint()
-        updated.write.mode("overwrite").parquet(ledgerDir)
+        updated.write.mode("overwrite").parquet(s"$ledgerDir/v$nextVersion")
       }
 }

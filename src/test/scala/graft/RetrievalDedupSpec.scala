@@ -45,11 +45,19 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(out.head.getAs[Double]("score") === 1.0)
   }
 
-  test("exact dedup ranks duplicates by id with whitespace/case-invariant fp") {
+  test("exact dedup flags duplicates with whitespace/case-invariant fp " +
+      "and points each at its min-id keeper") {
     val docs = Seq((1L, "Hello  World"), (2L, "hello world"), (3L, "other"))
       .toDF("doc_id", "text")
     val out = Dedup.exactDups(docs).orderBy("doc_id").collect()
     assert(out.map(_.getAs[Boolean]("is_duplicate")).toSeq === Seq(false, true, false))
+    assert(out.map(r => Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)).toSeq
+      === Seq(None, Some(1L), None))
+    // plan shape: the keeper is a partial-combined aggregate + fp join,
+    // NOT a corpus-wide window (a boilerplate fp would serialize the
+    // corpus through one window task at scale)
+    val plan = Dedup.exactDups(docs).queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"expected no Window node, got:\n$plan")
   }
 
   test("incremental dedup: cross-snapshot / in-batch / original classify " +
@@ -70,6 +78,30 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(out(21L) === ((false, "original", None)))
     assert(out(22L) === ((true, "in_batch", Some(21L))))
     assert(out(23L) === ((false, "original", None)))
+    // plan shape: in-batch keeper via aggregate + join, no fp window
+    val plan = Dedup.exactDupsIncremental(batch, ledger)
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Window"), s"expected no Window node, got:\n$plan")
+    // REPLAY STABILITY: a redelivered batch sees its own fingerprints
+    // in the ledger (keeper == own id) and must classify original —
+    // never a cross_snapshot duplicate of itself, which would make a
+    // drop-duplicates consumer delete the corpus's only copy. The
+    // smaller-id fresh arrival sharing its fp classifies against the
+    // canonical keeper, not the other way around.
+    val replayLedger = Dedup.ledgerAfter(batch, ledger)
+    val replay = Seq(
+      (21L, "fresh content a"),  // its own keeper in the ledger
+      (5L, "fresh content a"),   // smaller id, but 21 stays canonical
+      (30L, "never seen")
+    ).toDF("doc_id", "text")
+    val rout = Dedup.exactDupsIncremental(replay, replayLedger).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("is_duplicate"), r.getAs[String]("dup_class"),
+          Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong)))).toMap
+    assert(rout(21L) === ((false, "original", None)),
+      "a self-keeper ledger hit is the canonical copy re-arriving")
+    assert(rout(5L) === ((true, "cross_snapshot", Some(21L))))
+    assert(rout(30L) === ((false, "original", None)))
     // the updated ledger: prior keepers survive even against SMALLER
     // batch ids (keeper = first sighting, not min id); new fps enter
     val batch2 = Seq((1L, "seen before"), (2L, "brand new")).toDF("doc_id", "text")
@@ -109,6 +141,18 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(worst <= 2L, "the artifact is O(buckets x cap) by construction")
     // prior keeper 10 outranks every flood id inside its buckets
     assert(after.filter(col("id") === 10L).count() === 4L)
+    // prior keepers win their slots even against SMALLER batch ids —
+    // ids are not ordered across snapshots, so a bare-id re-rank would
+    // evict keeper 10 here and near-dups against that history would be
+    // silently missed in buckets that never exceeded the cap
+    val smallIds = Seq((1L, base), (2L, base)).toDF("doc_id", "text")
+    val after2 = Dedup.simhashLedgerAfter(smallIds, ledger, cap = 2)
+    assert(after2.filter(col("id") === 10L).count() === 4L,
+      "the prior keeper holds all four band slots against smaller batch ids")
+    // replay idempotence: re-unioning rows the ledger already holds is
+    // a no-op, not a double-counted slot
+    val replayed = Dedup.simhashLedgerAfter(prior, ledger, cap = 2)
+    assert(replayed.collect().toSet === ledger.collect().toSet)
   }
 
   test("kmeansLoop round 1 equals kmeansStep; later rounds re-center") {

@@ -100,6 +100,33 @@ class StreamingValidationSpec extends SparkSpec {
     assert(out(20L) === (("cross_snapshot", Some(java.lang.Long.valueOf(10L)))),
       "run 2 must see run 1's fingerprints through the ledger alone")
     assert(out(21L) === (("cross_snapshot", Some(java.lang.Long.valueOf(1L)))))
+    // durability layout: every batch wrote a NEW committed version —
+    // the prior ledger state is never deleted, so a crash mid-write
+    // can only lose the version being written, never the history
+    val versions = new java.io.File(ledgerDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.matches("v\\d+"))
+      .map(_.getName).sorted
+    assert(versions.toSeq === Seq("v0", "v1"),
+      s"expected one immutable version per batch, got ${versions.mkString(",")}")
+  }
+
+  test("streaming ledger dedup bootstraps with NO pre-seeded ledger " +
+      "(first micro-batch of a fresh deployment)") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val work = Files.createTempDirectory("graft-ledger-fresh")
+    val ledgerDir = s"$work/ledger"; val verdictDir = s"$work/verdicts"
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingIngest.streamingLedgerDedup(
+      in.toDF().toDF("doc_id", "text"), ledgerDir, verdictDir, s"$work/ck").start()
+    try {
+      in.addData((1L, "first ever"), (2L, "first ever"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(verdictDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("dup_class")).toMap
+    assert(out === Map(1L -> "original", 2L -> "in_batch"),
+      "an absent ledger path is an empty ledger, not an AnalysisException")
   }
 
   test("upsertBatch swap recovery rolls forward/back without losing the table") {
