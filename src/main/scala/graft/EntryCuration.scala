@@ -186,6 +186,17 @@ private[graft] trait EntryCuration extends EntryShared {
       Dedup.ngramJaccard(Tables.documents(s, d).filter(col("doc_id") < 100))),
     "minhash_pairs" -> ((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d).filter(col("doc_id") < 500))),
+    // incremental MinHash near-dup against the banded-signature keeper
+    // ledger — the simhash_incremental shape on the MinHash tier: a
+    // third of the (scoped) corpus plays the prior snapshots, the rest
+    // today's batch; cap=2 so the keeper caps genuinely bite,
+    "minhash_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+      Dedup.minhashPairsIncremental(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        Dedup.minhashLedger(docs.filter(col("doc_id") % 3 === 0), cap = 2),
+        cap = 2)
+    }),
     "simhash" -> ((s, d) =>
       Dedup.simhash32(Tables.documents(s, d)).withColumnRenamed("id", "doc_id")),
     // span-granularity exact substring dedup (Lee et al. 2022): maximal
@@ -208,6 +219,20 @@ private[graft] trait EntryCuration extends EntryShared {
     "semantic_dedup" -> ((s, d) =>
       Dedup.semanticDedup(Tables.embeddings(s, d), nClusters = 8, threshold = 0.4,
         maxCellReps = 48)),
+    // incremental SemDeDup against the per-cell representative ledger
+    // under FROZEN centroids (fitted on the prior snapshot — the
+    // train-once artifact that keeps cell ids stable across batches):
+    // a third of the vectors play the prior snapshots, the rest
+    // today's batch; maxCellReps=12 so the rep caps bite on both sides,
+    "semantic_incremental" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val prior = e.filter(col("vec_id") % 3 === 0)
+      val cents = Similarity.coarseCentroids(prior, 8, "vec_id", "embedding")
+      Dedup.semanticDedupIncremental(
+        e.filter(col("vec_id") % 3 =!= 0),
+        Dedup.semanticLedger(prior, cents, maxCellReps = 12),
+        cents, threshold = 0.4, maxCellReps = 12)
+    }),
     // canonical-keeper assignment over the minhash candidate pairs — the
     // step that turns near-dup PAIRS into per-document keep/drop decisions,
     "dup_clusters" -> ((s, d) => {
@@ -392,21 +417,48 @@ private[graft] trait EntryCuration extends EntryShared {
       // decorated median so the band keeps its discriminating power
       Cleaning.cleanCorpus(docs, bench, maxSurprisal = 4.5)
     }),
-    // the curation SPINE — golden_e2e's training-data sibling: quality/
+    // the curation SPINE — golden_e2e's training-data sibling, now in
+    // CCNet's published order (Wenzek et al. 2020): corpus-wide
+    // PARAGRAPH DEDUP first (§3.1) -> LM perplexity terciles as a
+    // verdict dimension (§4.3, tail = a ppl_tail reason) -> quality/
     // dedup/decontamination verdict -> keep -> duplicated-passage clip
     // -> token-budget mixture materialized over the CLEANED text. Pins
-    // the whole detect -> act -> size -> materialize chain against one
-    // oracle. Whitelist covers the mixture's strata (a lang the verdict
-    // rejects wholesale would leave a funded stratum nearly empty and
-    // blow its epoch count up to the repetition bound),
+    // the whole dedup -> score -> detect -> act -> size -> materialize
+    // chain against one oracle. Whitelist covers the mixture's strata
+    // (a lang the verdict rejects wholesale would leave a funded
+    // stratum nearly empty and blow its epoch count up to the
+    // repetition bound),
     "curation_e2e" -> ((s, d) => {
       // full-corpus on purpose: wall-clock here is the chain's ~40-stage
       // critical path, NOT data (measured 5.4 s warm at sf0.001 AND
       // sf0.1, scoped or not — the golden_e2e scheduling floor, deeper);
       // a doc-subset demo would cost the same and test less
       val docs = Tables.documents(s, d)
-      val bench = docs.filter(col("doc_id") % 25 === 0)
+      // the paragraph_dedup decoration: per-class promo paragraphs and
+      // one corpus-wide footer make the stage observable — exactly one
+      // doc keeps the footer, the first of each class keeps its promo,
+      // duplicate bodies collide on paragraph 0
+      val decorated = docs.select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          lit("\n\npromo p"), (col("doc_id") % 7).cast("string"),
+          lit(" offer of the week."),
+          lit("\n\nShare and subscribe today.")).as("text"))
+      // CCNet stage 1: corpus-wide paragraph dedup BEFORE any scoring —
+      // the LM below is trained on the deduped text, so boilerplate
+      // cannot drag every page's surprisal toward its own distribution
+      val docs2 = Cleaning.paragraphDedup(decorated)
+        .select(col("doc_id"), col("clean_text").as("text"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint()
+      val bench = docs2.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
+      // CCNet stage 2: unigram LM on the deduped corpus, tercile
+      // thresholds fitted once, buckets assigned per-row; the tail
+      // tercile joins the verdict as a ppl_tail reason
+      val lm = TextAnalysis.trainUnigramLm(docs2)
+      val buckets = TextAnalysis.assignPerplexityBuckets(docs2, lm,
+        TextAnalysis.perplexityThresholds(docs2, lm))
+        .select(col("doc_id"), col("bucket"))
       // the cleaned corpus is MATERIALIZED (localCheckpoint) before the
       // clip/mixture stages: three downstream consumers shuffle it on
       // different keys (shingle hash, doc id, stratum), so exchange
@@ -421,11 +473,13 @@ private[graft] trait EntryCuration extends EntryShared {
       // Gopher stops) — the web-filter families would empty every
       // mixture stratum; this pipeline scopes them to the crawl source
       // (crawl_corpus_e2e) exactly as production pipelines scope
-      // C4/Gopher to Common Crawl and not to curated books/code
-      val kept = docs.select("doc_id", "text", "lang").join(
-        Cleaning.cleanCorpus(docs, bench,
+      // C4/Gopher to Common Crawl and not to curated books/code.
+      // maxSurprisal is effectively superseded by the ppl_tail tercile
+      // (relative, CCNet) but kept as the absolute backstop
+      val kept = docs2.select("doc_id", "text", "lang").join(
+        Cleaning.cleanCorpus(docs2, bench,
           langWhitelist = Seq("en", "de", "fr", "es", "pt"),
-          withGopherC4 = false)
+          withGopherC4 = false, lm = Some(lm), pplBuckets = Some(buckets))
           .filter(col("keep")).select("doc_id"),
         "doc_id").localCheckpoint()
       val cleaned = Dedup.clipDuplicatedSpans(kept)
@@ -931,6 +985,40 @@ private[graft] trait EntryCuration extends EntryShared {
          |SELECT id_a, id_b, round(($matchSum) / 8.0, 4) AS est_jaccard
          |FROM pairs JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b""".stripMargin
     },
+    "minhash_incremental" -> minhashIncrementalSql,
+    // the incremental SemDeDup replay: centroids sampled from the PRIOR
+    // third only (the frozen artifact), assignment over everything,
+    // ledger = per-cell id rank <= 12 of the prior, batch reps likewise;
+    // ledger dups exclude the self id, batch dups use rep_id < id,
+    "semantic_incremental" ->
+      """WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |ranked AS (SELECT vec_id, e, row_number() OVER (ORDER BY
+        |  ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 4))::BIGINT, vec_id) AS rn
+        | FROM c WHERE vec_id % 3 = 0),
+        |cents AS (SELECT rn - 1 AS cell, e AS cw FROM ranked WHERE rn <= 8),
+        |asg AS (SELECT vec_id, cell, e FROM (
+        | SELECT c.vec_id, ct.cell, c.e, row_number() OVER (PARTITION BY c.vec_id ORDER BY
+        |  round(list_inner_product(c.e, ct.cw) / (sqrt(list_inner_product(c.e, c.e)) * sqrt(list_inner_product(ct.cw, ct.cw))), 6) DESC, ct.cell) AS r
+        | FROM c CROSS JOIN cents ct) WHERE r = 1),
+        |led AS (SELECT * FROM (
+        | SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+        | FROM asg WHERE vec_id % 3 = 0) WHERE rk <= 12),
+        |bat AS (SELECT * FROM asg WHERE vec_id % 3 <> 0),
+        |bk AS (SELECT * FROM (
+        | SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rk
+        | FROM bat) WHERE rk <= 12),
+        |ldup AS (SELECT DISTINCT b.vec_id FROM led a JOIN bat b
+        | ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        | WHERE round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) >= 0.4),
+        |bdup AS (SELECT DISTINCT b.vec_id FROM bk a JOIN bat b
+        | ON a.cell = b.cell AND a.vec_id < b.vec_id
+        | WHERE round(list_inner_product(a.e, b.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(b.e, b.e))), 6) >= 0.4)
+        |SELECT bat.vec_id, bat.cell,
+        | (l.vec_id IS NOT NULL OR d.vec_id IS NOT NULL) AS is_semantic_dup,
+        | CASE WHEN l.vec_id IS NOT NULL THEN 'ledger'
+        |      WHEN d.vec_id IS NOT NULL THEN 'batch' END AS dup_source
+        |FROM bat LEFT JOIN ldup l ON bat.vec_id = l.vec_id
+        |LEFT JOIN bdup d ON bat.vec_id = d.vec_id""".stripMargin,
     "dup_components" ->
       s"""${minhashPairsCte.replaceFirst("WITH ", "WITH RECURSIVE ")},
          |edges AS (SELECT id_a AS id, id_b AS nbr FROM pairs
@@ -1441,25 +1529,72 @@ private[graft] trait EntryCuration extends EntryShared {
          |FROM r""".stripMargin,
 
     // the curation spine, composed from the same shared sub-oracles the
-    // component queries replay: verdict (wider whitelist covering the
-    // mixture strata) -> kept -> passage clip -> salted/floored epoch
-    // mixture over the CLEANED token counts,
+    // component queries replay, in CCNet order: the decorated corpus is
+    // paragraph-deduped in a CTE that SHADOWS the documents view, so
+    // every shared sub-oracle (dedup, lang, repetition, surprisal,
+    // decontam — including the LM fit itself) re-derives over the
+    // deduped text exactly as the engine does; per-lang surprisal
+    // terciles add the ppl_tail verdict reason -> kept -> passage clip
+    // -> salted/floored epoch mixture over the CLEANED token counts,
     "curation_e2e" ->
-      s"""WITH dd AS ($dedupExactSql),
+      s"""WITH pdocs AS (
+         | SELECT doc_id, text
+         |   || chr(10) || chr(10) || 'promo p' || (doc_id % 7)
+         |   || ' offer of the week.'
+         |   || chr(10) || chr(10) || 'Share and subscribe today.' AS text
+         | FROM main.documents),
+         |pparas AS (
+         | SELECT doc_id, g.i - 1 AS pos, parts[g.i] AS para
+         | FROM (SELECT doc_id, regexp_split_to_array(text, '\\n\\s*\\n') AS parts
+         |       FROM pdocs) p,
+         |   LATERAL (SELECT unnest(generate_series(1, len(parts))) AS i) g
+         | WHERE trim(parts[g.i]) <> ''),
+         |prk AS (SELECT doc_id, pos, para, row_number() OVER (
+         |         PARTITION BY md5(regexp_replace(lower(trim(para)), '\\s+', ' ', 'g'))
+         |         ORDER BY doc_id, pos) AS rk
+         |       FROM pparas),
+         |pclean AS (SELECT doc_id,
+         |  COALESCE(string_agg(CASE WHEN rk = 1 THEN para END,
+         |    chr(10) || chr(10) ORDER BY pos), '') AS text
+         | FROM prk GROUP BY doc_id),
+         |documents AS (SELECT d.doc_id, COALESCE(pc.text, '') AS text, d.lang
+         |              FROM main.documents d LEFT JOIN pclean pc USING (doc_id)),
+         |dd AS ($dedupExactSql),
          |lg AS ($langIdSql),
          |rp AS ($repetitionStatsSql),
          |sp AS ($lmSurprisalSql),
          |dc AS ($decontamReportSql),
+         |brk AS (SELECT d.doc_id, d.lang, sp.avg_surprisal,
+         |         row_number() OVER (PARTITION BY d.lang
+         |           ORDER BY sp.avg_surprisal, d.doc_id) AS rk,
+         |         count(*) OVER (PARTITION BY d.lang) AS n
+         |       FROM documents d JOIN sp USING (doc_id)),
+         |bb AS (SELECT lang, avg_surprisal AS boundary
+         |      FROM brk, LATERAL (SELECT unnest(generate_series(1, 2)) AS r) g
+         |      WHERE rk = (g.r * n + 2) // 3),
+         |ppl AS (SELECT a.doc_id,
+         |  CASE WHEN a.avg_surprisal IS NULL OR count(bb.boundary) = 0 THEN 'tail'
+         |       WHEN 1 + count(CASE WHEN a.avg_surprisal > bb.boundary THEN 1 END) = 1
+         |        THEN 'head'
+         |       WHEN 1 + count(CASE WHEN a.avg_surprisal > bb.boundary THEN 1 END) = 3
+         |        THEN 'tail'
+         |       ELSE 'middle' END AS bucket
+         | FROM (SELECT d.doc_id, d.lang, sp.avg_surprisal
+         |       FROM documents d LEFT JOIN sp USING (doc_id)) a
+         | LEFT JOIN bb ON a.lang = bb.lang
+         | GROUP BY a.doc_id, a.lang, a.avg_surprisal),
          |vj AS (SELECT d.doc_id, dd.is_duplicate, lg.pred_lang,
-         |        rp.top_bigram_ratio, sp.avg_surprisal, dc.contaminated
+         |        rp.top_bigram_ratio, sp.avg_surprisal, dc.contaminated, ppl.bucket
          |      FROM documents d
          |      JOIN dd USING (doc_id) JOIN lg USING (doc_id) JOIN rp USING (doc_id)
-         |      LEFT JOIN sp USING (doc_id) JOIN dc USING (doc_id)),
+         |      LEFT JOIN sp USING (doc_id) JOIN dc USING (doc_id)
+         |      JOIN ppl USING (doc_id)),
          |vr AS (SELECT doc_id, list_filter([
          |   CASE WHEN is_duplicate THEN 'duplicate' END,
          |   CASE WHEN pred_lang NOT IN ('en', 'de', 'fr', 'es', 'pt') THEN 'lang' END,
          |   CASE WHEN top_bigram_ratio > 0.08 THEN 'repetitive' END,
          |   CASE WHEN avg_surprisal > 3.5 THEN 'high_surprisal' END,
+         |   CASE WHEN bucket = 'tail' THEN 'ppl_tail' END,
          |   CASE WHEN contaminated THEN 'contaminated' END],
          |  x -> x IS NOT NULL) AS rs FROM vj),
          |kept AS (SELECT d.doc_id, d.text, d.lang

@@ -1033,6 +1033,55 @@ private[graft] trait EntryShared {
        | FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)""".stripMargin
   }
 
+  /** Independent replay of the incremental MinHash pair derivation:
+    * same shingle→affine-minhash signature CTEs as [[minhashPairsCte]],
+    * ledger = capped banding of the prior third (doc_id % 3 = 0,
+    * per-bucket id rank ≤ 2), crossed against the batch banding with
+    * the self-id exclusion, plus the capped in-batch pairs; Jaccard
+    * estimate = matching signature components / 8. */
+  protected lazy val minhashIncrementalSql: String = {
+    val params = Dedup.minhashParams(8)
+    val p = Dedup.minhashPrime
+    val sigDefs = params.zipWithIndex.map { case ((a, b), i) =>
+      s"min((hv * $a + $b) % $p) AS sig_$i"
+    }.mkString(", ")
+    val bandSelects = (0 until 4).map { bnd =>
+      s"SELECT id, $bnd AS band, CAST(sig_${2 * bnd} AS VARCHAR) || ':' || CAST(sig_${2 * bnd + 1} AS VARCHAR) AS bucket FROM sig"
+    }.mkString(" UNION ALL ")
+    val matchSum = (0 until 8).map(i =>
+      s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH sh AS (
+       | SELECT doc_id AS id, unnest(list_distinct(
+       |   CASE WHEN len(words) >= 3
+       |    THEN list_transform(generate_series(1, len(words) - 2), i -> array_to_string(words[i : i + 2], ' '))
+       |    ELSE [array_to_string(words, ' ')] END)) AS shingle
+       | FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS words
+       |       FROM documents WHERE doc_id < 500)),
+       |h AS (SELECT id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $p AS hv FROM sh),
+       |sig AS (SELECT id, $sigDefs FROM h GROUP BY id),
+       |banded AS ($bandSelects),
+       |led AS (SELECT * FROM (
+       |         SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY id) AS rk
+       |         FROM banded WHERE id % 3 = 0) WHERE rk <= 2),
+       |nb AS (SELECT * FROM banded WHERE id % 3 <> 0),
+       |nk AS (SELECT * FROM (
+       |        SELECT *, row_number() OVER (PARTITION BY band, bucket ORDER BY id) AS rk
+       |        FROM nb) WHERE rk <= 2),
+       |crossp AS (SELECT DISTINCT l.id AS id_a, n.id AS id_b
+       |           FROM led l JOIN nb n
+       |            ON l.band = n.band AND l.bucket = n.bucket AND l.id <> n.id),
+       |inb AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |        FROM nk a JOIN nb b
+       |         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id)
+       |SELECT 'ledger' AS source, id_a, id_b,
+       | round(($matchSum) / 8.0, 4) AS est_jaccard
+       |FROM crossp JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b
+       |UNION ALL
+       |SELECT 'batch' AS source, id_a, id_b,
+       | round(($matchSum) / 8.0, 4) AS est_jaccard
+       |FROM inb JOIN sig sa ON sa.id = id_a JOIN sig sb ON sb.id = id_b""".stripMargin
+  }
+
   /** Shared line→section CTE prefix for the C1/C9 oracles (mirrors
     * [[Sections.sectionChunks]] exactly: header regexes, running-count
     * section ids, ordered reassembly). */

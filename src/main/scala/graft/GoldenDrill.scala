@@ -25,13 +25,24 @@ object GoldenDrill {
       .map { case (q, i) => (i, q) }.toDF("question_id", "question")
     def chunks = Chunking.paragraphChunks(Tables.documents(spark, sfDir), minChars = 20)
       .select(col("chunk_id"), col("content").as("text"))
+    // stage COUNT per rep alongside wall time: the chain's cost at the
+    // bench SF is ~0.15 s of scheduling floor per serial AQE stage, so
+    // the count is the quantity a structural change must move
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          ev: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        { stages.incrementAndGet(); () }
+    })
     def drill(name: String)(df: => org.apache.spark.sql.DataFrame): Unit = {
-      val secs = (1 to 2).map { _ =>
+      val (secs, n) = (1 to 2).map { _ =>
+        stages.set(0)
         val t0 = System.nanoTime()
         df.write.mode("overwrite").format("noop").save()
-        (System.nanoTime() - t0) / 1e9
-      }.min
-      println(f"GOLDEN $name%-12s $secs%.2f s")
+        Thread.sleep(200) // let the listener bus drain
+        ((System.nanoTime() - t0) / 1e9, stages.get())
+      }.minBy(_._1)
+      println(f"GOLDEN $name%-12s $secs%.2f s  stages=$n%d")
     }
     drill("chunks")(chunks)
     drill("vector")(Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id"))

@@ -224,37 +224,67 @@ object Cleaning {
     * empty text, and null-text docs round-trip as empty rows — the
     * [[hostLineDedup]] re-anchor contract).
     *
-    * Scale shape: explode to (fp, doc, pos) → first occurrence per
-    * fingerprint as `groupBy(fp).agg(min(struct(doc, pos)))` — a
-    * PARTIAL-COMBINED hash aggregate, deliberately NOT a
-    * `row_number() OVER (PARTITION BY fp)` window: a corpus-wide
-    * boilerplate paragraph ("Share and subscribe", cookie banners) puts
-    * a copy in EVERY document, and a window would shuffle all of them
-    * into one task and sort there (AQE skew splitting does not apply to
-    * window partitions) — the guaranteed-degenerate case this operator
-    * exists to clean. The aggregate collapses the hot fingerprint to
-    * one row per mapper; the fp equi-join back (keeper side
-    * fp-distinct) IS AQE-skew-splittable → regroup by document →
-    * re-anchor left join on the input keys. The fingerprint table is
-    * paragraph-count-sized. */
+    * Scale shape — two rules, each forced by a measured failure mode
+    * of the alternatives on the hostile 50%-hot-fp ladder (HotFpDrill,
+    * SCALING.md):
+    *
+    *  1. '''The first-occurrence keeper is a PARTIAL-COMBINED hash
+    *     aggregate''' (`groupBy(fp).agg(min(struct(doc, pos)))`),
+    *     deliberately NOT a `row_number() OVER (PARTITION BY fp)`
+    *     window: a corpus-wide boilerplate paragraph ("Share and
+    *     subscribe", cookie banners) puts a copy in EVERY document,
+    *     and a window shuffles all of them into one task and sorts
+    *     there (AQE skew splitting does not apply to window
+    *     partitions). The aggregate collapses the hot fingerprint to
+    *     one row per mapper; the fp equi-join back IS
+    *     AQE-skew-splittable.
+    *  2. '''Paragraph STRINGS never ride the fp shuffle.''' The
+    *     fingerprint tier runs on slim (doc, pos, fp) rows; the
+    *     verdict regroups per document on narrow rows and meets the
+    *     string side in a doc-keyed join of two aggregates that share
+    *     one exchange. Joining the keeper back onto string-carrying
+    *     rows instead puts the hot key's full text through one
+    *     reducer — measured 3.6× WORSE than even the window form at
+    *     ×1000 (257 s vs 71 s, max task 165 s) — while this shape's
+    *     strings shuffle exactly once, on the uniform document key the
+    *     regroup needs anyway.
+    *
+    * The per-doc reassembly zips the pos-sorted paragraph and verdict
+    * arrays (equal length by construction — both aggregate the same
+    * exploded rows). */
   def paragraphDedup(docs: DataFrame, idCol: String = "doc_id",
                      textCol: String = "text"): DataFrame = {
+    // paras feeds both the slim fingerprint tier and the string-side
+    // regroup — MATERIALIZED (the duplicatedSpans localCheckpoint
+    // rationale): measured on the hostile ×100/×1000 rungs, the
+    // unmaterialized twin re-runs the explode subtree per consumer and
+    // its doubled branches degenerate under AQE (195 s at ×100 vs
+    // 15 s checkpointed); at cluster scale this is the positions table
+    // a curation run lands on shared storage anyway
     val paras = docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n\\s*\n")).as(Seq("pos", "para")))
       .filter(trim(col("para")) =!= "")
-      .withColumn("fp", TextAnalysis.fingerprint(col("para")))
-    val keepers = paras.groupBy(col("fp"))
+      .localCheckpoint()
+    val slim = paras.select(col("doc_id"), col("pos"),
+      TextAnalysis.fingerprint(col("para")).as("fp"))
+    val keepers = slim.groupBy(col("fp"))
       .agg(min(struct(col("doc_id"), col("pos"))).as("_keeper"))
-    val ranked = paras.join(keepers, Seq("fp"))
-      .withColumn("_is_first",
-        col("doc_id") === col("_keeper.doc_id") && col("pos") === col("_keeper.pos"))
-    val agged = ranked.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_paras"),
-        sum(when(!col("_is_first"), 1L).otherwise(0L)).as("n_removed"),
-        array_join(transform(
-          array_sort(collect_list(when(col("_is_first"),
-            struct(col("pos"), col("para"))))),
-          x => x.getField("para")), "\n\n").as("clean_text"))
+    val verdict = slim.join(keepers, Seq("fp"))
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") === col("_keeper.doc_id") &&
+          col("pos") === col("_keeper.pos")).as("_is_first"))
+    val vAgg = verdict.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("_is_first")))).as("_fs"))
+    val pAgg = paras.groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("para")))).as("_ps"))
+    val agged = pAgg.join(vAgg, Seq("doc_id"))
+      .select(col("doc_id"),
+        size(col("_ps")).cast("long").as("n_paras"),
+        size(filter(col("_fs"), f => !f.getField("_is_first")))
+          .cast("long").as("n_removed"),
+        array_join(array_compact(zip_with(col("_ps"), col("_fs"),
+          (p, f) => when(f.getField("_is_first"), p.getField("para")))), "\n\n")
+          .as("clean_text"))
     docs.select(col(idCol).as("doc_id"))
       .join(agged, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -283,7 +313,16 @@ object Cleaning {
     *   web-page priors: stop-word presence, terminal punctuation —
     *   a curated books/code corpus configures its own families, which
     *   is exactly how production pipelines scope C4/Gopher to their
-    *   Common Crawl sources). */
+    *   Common Crawl sources).
+    * @param pplBuckets optional per-document CCNet perplexity buckets
+    *   ([[TextAnalysis.assignPerplexityBuckets]] output — `idCol`,
+    *   `bucket`): when given, the verdict carries the bucket as a
+    *   `ppl_bucket` column and the `tail` tercile contributes a
+    *   `ppl_tail` reason — CCNet §4.3's split folded into the verdict
+    *   (Wenzek et al. keep head/middle and treat tail as the
+    *   discard/re-review stratum). The bucket artifact is fitted on a
+    *   bounded sample and assigned per-row, so the fold adds one
+    *   broadcast-sized left join — no corpus sort. */
   def cleanCorpus(docs: DataFrame, bench: DataFrame,
                   decontamN: Int = 4,
                   langWhitelist: Seq[String] = Seq("en", "pt"),
@@ -291,7 +330,8 @@ object Cleaning {
                   maxSurprisal: Double = 3.5,
                   idCol: String = "doc_id",
                   lm: Option[DataFrame] = None,
-                  withGopherC4: Boolean = true): DataFrame = {
+                  withGopherC4: Boolean = true,
+                  pplBuckets: Option[DataFrame] = None): DataFrame = {
     val dd = Dedup.exactDups(docs, idCol).select(col(idCol), col("is_duplicate"))
     // language id — and the gopher/C4 composites when enabled — are
     // PER-ROW computations (marker-score CASE chain, regexp counters,
@@ -317,11 +357,14 @@ object Cleaning {
       .select(col(idCol), col("avg_surprisal"))
     val dc = Decontaminate.report(docs, bench, decontamN, idCol)
       .select(col("doc_id").as(idCol), col("contaminated"))
+    val pplReason = pplBuckets.toSeq.map(_ =>
+      when(col("ppl_bucket") === "tail", "ppl_tail"))
     val baseReasons = Seq(
       when(col("is_duplicate"), "duplicate"),
       when(!col("pred_lang").isin(langWhitelist: _*), "lang"),
       when(col("top_bigram_ratio") > maxTopBigramRatio, "repetitive"),
-      when(col("avg_surprisal") > maxSurprisal, "high_surprisal"),
+      when(col("avg_surprisal") > maxSurprisal, "high_surprisal")) ++
+      pplReason ++ Seq(
       when(col("contaminated"), "contaminated"))
     val webReasons = if (withGopherC4) Seq(
       when(!col("_gq"), "gopher_quality"),
@@ -331,12 +374,17 @@ object Cleaning {
     // sp joins LEFT: a zero-token document has no surprisal row, but it
     // still needs its verdict (its 'lang' reason fires — empty text
     // scores 'und'); an inner join would silently drop it entirely
-    base
+    val joined = base
       .join(dd, idCol).join(rp, idCol)
       .join(sp, Seq(idCol), "left").join(dc, idCol)
+    val withPpl = pplBuckets.fold(joined)(pb => joined.join(
+      pb.select(col(idCol), col("bucket").as("ppl_bucket")), Seq(idCol), "left"))
+    val outCols = Seq(col(idCol),
+      array_join(col("_r"), ",").as("reasons"),
+      (size(col("_r")) === 0).as("keep")) ++
+      pplBuckets.toSeq.map(_ => col("ppl_bucket"))
+    withPpl
       .withColumn("_r", reasons)
-      .select(col(idCol),
-        array_join(col("_r"), ",").as("reasons"),
-        (size(col("_r")) === 0).as("keep"))
+      .select(outCols: _*)
   }
 }

@@ -218,33 +218,124 @@ object Dedup {
     * estimated Jaccard = fraction of matching signature components.
     * The pair join is on (band index, band values) — a distributed,
     * shuffle-friendly key; no all-pairs blowup. */
-  def minhashCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
-                        bandSize: Int = 2, idCol: String = "doc_id",
-                        textCol: String = "text"): DataFrame = {
+  /** The banded MinHash signature table shared by the batch and
+    * incremental pair operators — ONE definition of the band layout
+    * (the [[banded60]] sharing rule): (id, sig ARRAY<LONG>,
+    * band, bucket) where bucket is the ':'-joined band signature.
+    * Signatures feed both sides of every band join — materialized
+    * (localCheckpoint over persist for the ngramJaccard GC-cleanup
+    * reason); one row of numHashes longs per doc, tiny vs the corpus. */
+  private def bandedSigs(docs: DataFrame, n: Int, numHashes: Int, bandSize: Int,
+                         idCol: String, textCol: String): DataFrame = {
     val numBands = numHashes / bandSize
-    // Signatures feed both sides of the band join — materialize to avoid
-    // recomputing the shingle→minhash aggregation twice (localCheckpoint
-    // over persist for the same GC-cleanup reason as ngramJaccard). One
-    // row of numHashes longs per doc: tiny relative to the corpus.
     val sigs = minhashSignatures(docs, n, numHashes, idCol, textCol)
       .localCheckpoint()
     val sigCols = (0 until numHashes).map(i => col(s"sig_$i"))
-    val banded = sigs.select(
+    sigs.select(
       col("id"),
       array(sigCols: _*).as("sig"),
       posexplode(array((0 until numBands).map(b =>
         concat_ws(":", (0 until bandSize).map(j => col(s"sig_${b * bandSize + j}")): _*)): _*))
         .as(Seq("band", "bucket")))
+  }
+
+  /** Estimated Jaccard from two equal-length signature arrays: the
+    * fraction of matching components, rounded to 4. */
+  private def estJaccard(a: Column, b: Column, numHashes: Int): Column =
+    round(size(filter(zip_with(a, b, (x, y) => x === y), x => x))
+      .cast("double") / numHashes, 4)
+
+  def minhashCandidates(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
+                        bandSize: Int = 2, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val banded = bandedSigs(docs, n, numHashes, bandSize, idCol, textCol)
     val pairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .distinct()
-    pairs.withColumn("est_jaccard",
-        round(size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y),
-          x => x)).cast("double") / numHashes, 4))
+    pairs.withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** The banded-MinHash KEEPER ledger — [[simhashLedger]]'s MinHash
+    * sibling, the artifact an incremental near-dup pipeline persists
+    * between snapshots: per (band, bucket) only the `cap` smallest ids
+    * with their full signatures (the signature rides along because the
+    * pair stage needs it for the Jaccard estimate). O(buckets · cap)
+    * regardless of how many snapshots it summarizes. */
+  def minhashLedger(docs: DataFrame, n: Int = 3, numHashes: Int = 8,
+                    bandSize: Int = 2, cap: Int = 64,
+                    idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    bandedSigs(docs, n, numHashes, bandSize, idCol, textCol)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap).drop("_rk")
+  }
+
+  /** Incremental MinHash near-dup: today's batch against the prior
+    * snapshots' [[minhashLedger]], plus capped in-batch pairs — the
+    * [[simhashPairsIncremental]] shape on the MinHash tier. `source`
+    * is `ledger` (prior keeper × new doc; ids are NOT ordered across
+    * snapshots so no `<` — but a replayed doc meeting ITSELF in the
+    * ledger is excluded, the self-keeper replay rule) or `batch`
+    * (capped in-batch pairs). Batch-sized banding, two (band, bucket)
+    * equi-joins, batch work per day however deep the history. */
+  def minhashPairsIncremental(batch: DataFrame, ledger: DataFrame,
+                              n: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+                              cap: Int = 64, idCol: String = "doc_id",
+                              textCol: String = "text"): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    val bandedNew = bandedSigs(batch, n, numHashes, bandSize, idCol, textCol)
+    val w = Window.partitionBy(col("band"), col("bucket")).orderBy(col("id"))
+    val keepersNew = bandedNew
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap).drop("_rk")
+    val cross = ledger.as("a").join(bandedNew.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .select(lit("ledger").as("source"), col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+    val inBatch = keepersNew.as("a").join(bandedNew.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .select(lit("batch").as("source"), col("id_a"), col("id_b"),
+        estJaccard(col("sig_a"), col("sig_b"), numHashes).as("est_jaccard"))
+    cross.unionByName(inBatch)
+  }
+
+  /** The updated MinHash ledger after a batch — [[simhashLedgerAfter]]'s
+    * rules on the MinHash tier: prior entries win their slots before
+    * batch entries fill the remainder (ids are not ordered across
+    * snapshots), replayed rows collapse before ranking, the artifact
+    * stays O(buckets · cap). The signature for a collapsed (band,
+    * bucket, id) row is the PRIOR one (first sighting is canonical —
+    * a doc whose content changed across snapshots keeps its original
+    * signature until re-admitted under a fresh id). */
+  def minhashLedgerAfter(batch: DataFrame, ledger: DataFrame,
+                         n: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
+                         cap: Int = 64, idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    val w = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("_ord"), col("id"))
+    ledger.withColumn("_ord", lit(0))
+      .unionByName(bandedSigs(batch, n, numHashes, bandSize, idCol, textCol)
+        .withColumn("_ord", lit(1)))
+      .groupBy(col("band"), col("bucket"), col("id"))
+      .agg(min(col("_ord")).as("_ord"),
+        min_by(col("sig"), col("_ord")).as("sig"))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap)
+      .select(col("id"), col("sig"), col("band"), col("bucket"))
   }
 
   /** The shared SimHash vote pipeline: per token, md5-derived bits vote
@@ -645,6 +736,90 @@ object Dedup {
     assigned.select(col(idCol), col("cell"))
       .join(dupIds.withColumn("is_semantic_dup", lit(true)), Seq(idCol), "left")
       .withColumn("is_semantic_dup", coalesce(col("is_semantic_dup"), lit(false)))
+  }
+
+  /** The per-cell REPRESENTATIVE ledger — [[semanticDedup]]'s
+    * incremental artifact (the [[fpLedger]]/[[simhashLedger]] pattern
+    * on the embedding tier): per quantizer cell, the `maxCellReps`
+    * smallest-id members with their vectors. Persisted NEXT TO the
+    * frozen centroid sample (`cents` — the bounded model artifact that
+    * makes cell ids stable across snapshots): together they let a
+    * daily batch semantic-dedup against years of history with
+    * O(cells · cap) state and zero history rescans. */
+  def semanticLedger(vecs: DataFrame, cents: Seq[(Int, Seq[Float])],
+                     maxCellReps: Int = 4096,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(maxCellReps >= 1, s"need maxCellReps >= 1, got $maxCellReps")
+    val w = Window.partitionBy(col("cell")).orderBy(col(idCol))
+    Similarity.assignCells(vecs.select(col(idCol), col(vecCol)), cents, vecCol)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxCellReps).drop("_rk")
+      .select(col("cell"), col(idCol), col(vecCol))
+  }
+
+  /** Incremental SemDeDup: today's batch against the prior snapshots'
+    * [[semanticLedger]], under the SAME frozen centroids. Per batch
+    * vector: `ledger` dup — a prior-snapshot representative in its
+    * cell scores ≥ `threshold` (a replayed vector meeting ITSELF is
+    * excluded — the self-keeper replay rule; without it every
+    * at-least-once redelivery flags the corpus's canonical copy);
+    * `batch` dup — the capped in-batch [[semanticCandidatePairs]]
+    * rule; else original. Assignment is map-side against the frozen
+    * matrix literal; the only shuffles are the two cell-keyed joins —
+    * batch-sized work per day. [[semanticLedgerAfter]] emits the next
+    * artifact. */
+  def semanticDedupIncremental(batch: DataFrame, ledger: DataFrame,
+                               cents: Seq[(Int, Seq[Float])],
+                               threshold: Double = 0.85, maxCellReps: Int = 4096,
+                               idCol: String = "vec_id",
+                               vecCol: String = "embedding"): DataFrame = {
+    require(maxCellReps >= 1, s"need maxCellReps >= 1, got $maxCellReps")
+    val assigned = Similarity.assignCells(
+      batch.select(col(idCol), col(vecCol)), cents, vecCol)
+    val ledgerDups = ledger.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col(s"a.$idCol") =!= col(s"b.$idCol"))
+      .withColumn("score", graft.functions.ComputeOnce.once(
+        round(graft.functions.VectorOps.cosineNative(
+          col(s"a.$vecCol"), col(s"b.$vecCol")), 6)))
+      .filter(col("score") >= threshold)
+      .select(col(s"b.$idCol").as(idCol)).distinct()
+      .withColumn("_led", lit(true))
+    val batchDups = semanticCandidatePairs(assigned, maxCellReps, idCol, vecCol)
+      .filter(col("score") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+      .withColumn("_bat", lit(true))
+    assigned.select(col(idCol), col("cell"))
+      .join(ledgerDups, Seq(idCol), "left")
+      .join(batchDups, Seq(idCol), "left")
+      .select(col(idCol), col("cell"),
+        (coalesce(col("_led"), lit(false)) || coalesce(col("_bat"), lit(false)))
+          .as("is_semantic_dup"),
+        when(col("_led"), "ledger").when(col("_bat"), "batch")
+          .otherwise(lit(null).cast("string")).as("dup_source"))
+  }
+
+  /** The updated representative ledger after a batch — prior entries
+    * win their per-cell slots before batch entries fill the remainder
+    * (the [[simhashLedgerAfter]] first-sighting rule; ids are not
+    * ordered across snapshots), replayed rows collapse before ranking
+    * (prior vector wins), O(cells · maxCellReps) forever. */
+  def semanticLedgerAfter(batch: DataFrame, ledger: DataFrame,
+                          cents: Seq[(Int, Seq[Float])], maxCellReps: Int = 4096,
+                          idCol: String = "vec_id",
+                          vecCol: String = "embedding"): DataFrame = {
+    require(maxCellReps >= 1, s"need maxCellReps >= 1, got $maxCellReps")
+    val w = Window.partitionBy(col("cell")).orderBy(col("_ord"), col(idCol))
+    ledger.withColumn("_ord", lit(0))
+      .unionByName(
+        Similarity.assignCells(batch.select(col(idCol), col(vecCol)), cents, vecCol)
+          .select(col("cell"), col(idCol), col(vecCol))
+          .withColumn("_ord", lit(1)))
+      .groupBy(col("cell"), col(idCol))
+      .agg(min(col("_ord")).as("_ord"),
+        min_by(col(vecCol), col("_ord")).as(vecCol))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= maxCellReps)
+      .select(col("cell"), col(idCol), col(vecCol))
   }
 
   /** Duplicated-PASSAGE extraction — exact substring dedup at span

@@ -155,6 +155,85 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(replayed.collect().toSet === ledger.collect().toSet)
   }
 
+  test("minhash ledger: batch near-dups classify against prior snapshots; " +
+      "prior keepers survive smaller batch ids; replay is a no-op") {
+    val base = "the quick brown fox jumps over the lazy dog near the river " +
+      "bank while the miller watches the water wheel turn slowly all day"
+    val prior = Seq((10L, base)).toDF("doc_id", "text")
+    val ledger = Dedup.minhashLedger(prior, cap = 2)
+    val batch = Seq(
+      (20L, base), // identical content arriving under a new id
+      (21L, "completely different vocabulary entirely here now today"),
+      (22L, "completely different vocabulary entirely here now today")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashPairsIncremental(batch, ledger, cap = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out.contains(("ledger", 10L, 20L)),
+      "identical content must resolve to the prior snapshot's keeper")
+    assert(out.contains(("batch", 21L, 22L)))
+    assert(!out.exists(t => t._1 == "ledger" && t._3 == 21L))
+    // a REPLAYED prior doc meets itself in the ledger: excluded (the
+    // self-keeper rule), not a near-dup of itself
+    val replayOut = Dedup.minhashPairsIncremental(prior, ledger, cap = 2).collect()
+    assert(!replayOut.exists(r => r.getLong(1) == 10L && r.getLong(2) == 10L))
+    // ledger update: prior keeper 10 holds its slots against smaller
+    // batch ids (first sighting wins), buckets stay capped, replay no-op
+    val smallIds = Seq((1L, base), (2L, base), (3L, base)).toDF("doc_id", "text")
+    val after = Dedup.minhashLedgerAfter(smallIds, ledger, cap = 2)
+    assert(after.filter(col("id") === 10L).count() === 4L,
+      "the prior keeper holds all four band slots")
+    val worst = after.groupBy("band", "bucket").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head().getLong(0)
+    assert(worst <= 2L)
+    val replayedLedger = Dedup.minhashLedgerAfter(prior, ledger, cap = 2)
+    assert(replayedLedger.collect().toSet === ledger.collect().toSet)
+  }
+
+  test("semantic incremental: ledger reps flag batch dups under frozen " +
+      "centroids; self-replay stays original; ledgerAfter keeps priors") {
+    import graft.operators.Similarity
+    // 12 vectors in two well-separated directions; ids chosen so the
+    // prior third (id%3==0) covers both cells
+    def vec(dir: Int, eps: Float) = Array.tabulate(4)(d =>
+      (if (d == dir) 1f else 0f) + (if (d == (dir + 1) % 4) eps else 0f))
+    val rows = Seq(
+      (3L, vec(0, 0.01f)), (6L, vec(2, 0.01f)), (9L, vec(0, 0.02f)),
+      (1L, vec(0, 0.015f)), (2L, vec(2, 0.015f)), (4L, vec(1, 0.9f)),
+      (5L, vec(2, 0.025f)), (7L, vec(0, 0.03f)), (8L, vec(3, 0.9f))
+    )
+    val all = rows.toDF("vec_id", "embedding")
+    val prior = all.filter(col("vec_id") % 3 === 0)
+    val batch = all.filter(col("vec_id") % 3 =!= 0)
+    val cents = Similarity.coarseCentroids(prior, 2, "vec_id", "embedding")
+    val ledger = Dedup.semanticLedger(prior, cents, maxCellReps = 2)
+    val out = Dedup.semanticDedupIncremental(batch, ledger, cents,
+      threshold = 0.95, maxCellReps = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Boolean]("is_semantic_dup"), r.getAs[String]("dup_source")))).toMap
+    assert(out(1L) === ((true, "ledger")),
+      "a batch vector within threshold of a prior rep is a ledger dup")
+    assert(out(7L) === ((true, "ledger")))
+    assert(out(5L) === ((true, "ledger")),
+      "direction-2 batch vectors resolve against the direction-2 rep")
+    // the replayed prior doc meets only ITSELF above threshold (its
+    // nearest non-self rep lands at ~0.99995 after round-6) => original
+    val replay = Dedup.semanticDedupIncremental(
+      all.filter(col("vec_id") === 9L), ledger, cents,
+      threshold = 0.99999, maxCellReps = 2).collect()
+    assert(replay.forall(!_.getAs[Boolean]("is_semantic_dup")),
+      "a replayed vector must not become a semantic dup of itself")
+    // ledgerAfter: priors keep their per-cell slots against smaller ids
+    val after = Dedup.semanticLedgerAfter(batch, ledger, cents, maxCellReps = 2)
+    val perCell = after.groupBy("cell").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCell.values.forall(_ <= 2L))
+    assert(after.filter(col("vec_id").isin(3L, 6L, 9L)).count() >= 2L,
+      "prior reps are not evicted by smaller batch ids")
+    val replayedAfter = Dedup.semanticLedgerAfter(prior, ledger, cents, maxCellReps = 2)
+    assert(replayedAfter.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+      === ledger.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
+  }
+
   test("kmeansLoop round 1 equals kmeansStep; later rounds re-center") {
     import graft.operators.Similarity
     val vecs = (1L to 40L).map(i => (i,
