@@ -581,16 +581,16 @@ private[graft] trait EntryCuration extends EntryShared {
     // SURVEY §7.4 #1 trade, same chain shape),
     "golden_e2e" -> ((s, d) => {
       val qs = questionsDF(s)
-      // NOT checkpointed: measured at sf0.1 three times (r7: 3.24 vs
-      // 3.25 s warm; r8 re-probe: within ±0.6 s run noise; r11 re-probe
-      // under the noop-sink methodology: 2.45 s min both ways) — the
-      // chain's cost is its ~25 AQE stages, not chunk re-derivation
-      // (a map-side explode), and a head checkpoint only serializes one
-      // more job before them. Contrast curation_e2e, where the shared
-      // frame IS expensive (the 11-exchange verdict chain) and the
-      // checkpoint pays for itself.
+      // LAZY checkpoint (round 20; supersedes the r7/r8/r11 "not
+      // checkpointed" probes, which measured the EAGER form — a
+      // serialized head job): four consumers re-derive this explode
+      // otherwise (the tf-idf tokenize, its n_docs scalar, bm25's
+      // corpus stats, bm25's scoring tokenize — four corpus passes at
+      // 100 TB); lazy materializes inside whichever consumer runs
+      // first, no extra barrier, passes 4→1.
       val chunks = Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
         .select(col("chunk_id"), col("content").as("text"))
+        .localCheckpoint()
       val vector = Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id")
       val lexical = Retrieval.bm25Search(qs, chunks, k = 10, idCol = "chunk_id")
       Retrieval.rrfFuse(vector, lexical, k = 3, idCol = "chunk_id")

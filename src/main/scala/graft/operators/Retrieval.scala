@@ -324,9 +324,15 @@ object Retrieval {
     // folds, eager fit-state literals, chunk checkpoint) — the
     // checkpoint is kept for the corpus-pass count (3→1 tokenize+
     // aggregate passes), which is what scales, not for the local floor.
+    // LAZY checkpoint (round 20): the eager form ran the whole
+    // tokenize+aggregate DAG as a standalone job at CONSTRUCTION time,
+    // serializing a ~1.2 s barrier (BENCH_DETAIL r19 stage trace)
+    // before the lexical leg of a fused chain could schedule at all;
+    // lazy materializes inside the first consumer's job — same
+    // single-tokenize guarantee, one fewer serial barrier
     val ctf = Embedding.tfBuckets(docs, dim, idCol, textCol)
       .withColumnRenamed("doc_id", "_cid")
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // tf rows are distinct (doc, bucket) ⇒ the count IS document freq
     val idf = broadcast(ctf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
       .crossJoin(nDocs)
