@@ -57,6 +57,10 @@ object QualityDrill {
     drill("gopher_quality")(graft.operators.TextAnalysis.gopherQuality(docs))
     drill("gopher_repetition")(graft.operators.TextAnalysis.gopherRepetition(docs))
     drill("c4_clean")(graft.operators.Cleaning.c4Clean(docs))
+    // the trim ACTION next to the detectors — a doc-scoped window
+    // (bounded by page size, no corpus-global key), so the ladder's
+    // job is to prove the per-page constant and the flat decade slope
+    drill("collapse_repeats")(graft.operators.Cleaning.collapseRepeatedLines(docs))
     spark.stop()
   }
 }

@@ -51,6 +51,24 @@ object WarcWriteDrill {
       println(f"WARCWRITEDRILL $framing rep$rep pages=$pages shards=$nShards " +
         f"${s}%.2f s ${pages / s}%.0f pages/s ${bytes / s / 1e6}%.1f MB/s")
     }
+    // the WET side (conversion records over extracted text) — same
+    // one-shuffle url-sorted shard shape, text members instead of
+    // response members; the drill pins whether it keeps WARC's
+    // throughput story (it should: same digest+frame kernel, minus
+    // the HTTP header block per member)
+    val textDf = df.select(col("url"),
+        decode(col("content"), "UTF-8").as("text"))
+      .localCheckpoint()
+    val textBytes = textDf.agg(sum(length(col("text")))).head().getLong(0)
+    for (gz <- Seq(false, true); rep <- 1 to 2) {
+      val t0 = System.nanoTime()
+      graft.operators.Warc.toWetShards(textDf, nShards, gzipMembers = gz)
+        .write.mode("overwrite").format("noop").save()
+      val s = (System.nanoTime() - t0) / 1e9
+      val framing = if (gz) "gz" else "plain"
+      println(f"WETWRITEDRILL $framing rep$rep pages=$pages shards=$nShards " +
+        f"${s}%.2f s ${pages / s}%.0f pages/s ${textBytes / s / 1e6}%.1f MB/s")
+    }
     spark.stop()
   }
 }
