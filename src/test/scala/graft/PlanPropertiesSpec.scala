@@ -83,9 +83,20 @@ class PlanPropertiesSpec extends SparkSpec {
       "user_id equi key lost — band-only join is quadratic per key")
   }
 
-  test("exact dedup shuffles once on the fingerprint") {
-    assert("Exchange".r.findAllIn(planTree("dedup_exact")).size <= 1,
-      "one hash-partition on fp is enough")
+  test("exact dedup: partial-combined keeper aggregate, no fp window") {
+    val p = planTree("dedup_exact")
+    // round 20: the keeper is groupBy(fp).agg(min) + an fp equi-join —
+    // two fp exchanges statically (the aggregate's and the probe
+    // side's; the agg output reuses its own partitioning), which AQE
+    // demotes to one + a broadcast at small scale. The property that
+    // matters is the NEGATIVE one: no Window node — a window cannot
+    // map-side combine, so a hot boilerplate fingerprint would
+    // serialize the corpus through one task
+    assert("Exchange".r.findAllIn(p).size <= 2,
+      "keeper aggregate + probe-side hash partition on fp is enough")
+    assert(!p.contains("Window"), "the fp rank window is the skew wall")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "the keeper must be a partial-combinable aggregate")
   }
 
   test("frame sampling is a pure generator — no shuffle at all") {
