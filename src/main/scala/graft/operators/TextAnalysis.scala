@@ -612,35 +612,33 @@ object TextAnalysis {
 
   /** Top TF-IDF terms per document — the "document keywords" extractor of
     * a training-data pipeline. ONE tokenize+aggregate pass builds tf;
-    * df rides along as `count(*) over (partition by term)` — every
-    * (doc, term) row is distinct after the tf aggregate, so the window
-    * count IS the document frequency, with no second tokenize pass, no
-    * vocabulary re-aggregation, and no broadcast build job. idf =
+    * df is a `groupBy(term)` count joined back on term — the round-20
+    * dedup-tier rule applied here too: every (doc, term) row is
+    * distinct after the tf aggregate, so the count IS the document
+    * frequency, and the PARTIAL-COMBINED aggregate collapses a hot
+    * vocabulary term to one row per mapper where the earlier
+    * `count(*) over (partition by term)` window shuffled one row per
+    * DOCUMENT carrying that term into a single task (stopwords are
+    * dropped, but "data"/"page"-class common words still reach
+    * O(corpus) multiplicity — and AQE's skew splitting does NOT apply
+    * to window partitions, only to the join this form uses). idf =
     * ln(N/df) rounded to 6 (the one libm step), weight = tf·idf in
     * fixed-point micro-units (exact, order-free), then a per-document
-    * rank-limit (WindowGroupLimit keeps O(k) rows/task). Stopwords
-    * dropped — they'd win every document otherwise.
+    * rank-limit (WindowGroupLimit keeps O(k) rows/task).
     *
-    * Shuffle ledger: (id,term) hash-agg → term window → id rank window,
-    * each moving the already-aggregated tf table (≤ one row per distinct
-    * (doc,term), far smaller than the token stream). The alternative —
-    * aggregate the vocabulary separately and broadcast it into a scoring
-    * join — reads and tokenizes the corpus twice unless tf is cached;
-    * with a 100 TB scan that only wins when the tf table is persisted,
-    * so the single-pass shape is the default. Term-partition skew is
-    * bounded: ≤ one row per document per term, and AQE splits any hot
-    * vocabulary term. Measured (r7, sf0.1 local[32], warm): the
-    * count-table join variant (df via groupBy(term) + equi-join,
-    * exchange-reused) runs 0.90–1.03× of this window form — no win;
-    * the tf exchange dominates both. */
+    * Shuffle ledger: (id,term) hash-agg → df aggregate + term
+    * equi-join (both on the already-aggregated tf table, ≤ one row per
+    * distinct (doc,term)) → id rank window. Measured (r7, sf0.1
+    * local[32], warm): this join variant runs 0.90–1.03× of the window
+    * form — cost-neutral locally, skew-safe at scale. */
   def topTfidfTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
     val tf = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
     val corpus = docs.agg(count_distinct(col(idCol)).as("n_docs"))
-    val wDf = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("w6").desc, col("term"))
-    tf.withColumn("df", count(lit(1)).over(wDf))
+    tf.join(dfCounts, "term")
       .crossJoin(broadcast(corpus))
       .withColumn("idf", round(log(col("n_docs").cast("double") / col("df")), 6))
       .withColumn("w6", (col("tf") * round(col("idf") * 1e6, 0).cast("long")))
