@@ -1,6 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** The dirty-pair rule: the two reps of one query disagree by >3×
+    * and >1 s — a transient provably crossed the run mid-flight, so
+    * the actuator owes the query a third, decorrelated rep. SYMMETRIC
+    * on purpose (round 20): the one-sided `t2 > 3·t1` form missed a
+    * rep1-spiked golden_e2e [27.5, 8.1] in round 19 — rep1 spikes
+    * leave rep2 carrying the transient's tail, so direction must not
+    * matter. Exposed for the spec; Bench's sweep applies it verbatim. */
+  private[graft] def isDirtyPair(t1: Double, t2: Double): Boolean = {
+    val (lo, hi) = (math.min(t1, t2), math.max(t1, t2))
+    hi > 3 * lo && hi - lo > 1.0
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -204,8 +215,7 @@ object Bench {
     // end is the decorrelated sample either way
     val dirty = raw.toSeq.collect {
       case (name, Seq((t1, true), (t2, true)))
-          if math.max(t1, t2) > 3 * math.min(t1, t2) &&
-            math.max(t1, t2) - math.min(t1, t2) > 1.0 => (name, Seq(t1, t2))
+          if isDirtyPair(t1, t2) => (name, Seq(t1, t2))
     }.sortBy(-_._2.max).take(6)
     // ---- spike ACTUATOR (round 18) ---------------------------------------
     // Round 17 proved detection without actuation is not enough: pagerank
