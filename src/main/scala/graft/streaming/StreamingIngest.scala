@@ -782,4 +782,32 @@ object StreamingIngest {
         val updated = graft.operators.Dedup.ledgerAfter(b, ledger).localCheckpoint()
         updated.write.mode("overwrite").parquet(s"$ledgerDir/v$nextVersion")
       }
+
+  /** The ledger janitor: delete every COMMITTED version below the
+    * latest `keep` committed ones, plus any uncommitted crash residue
+    * OLDER than the latest committed version (an uncommitted dir newer
+    * than it may be a write in flight — never touched). Safe to run at
+    * any time, concurrently with the stream: the reader only ever
+    * opens the latest committed version, which is always retained
+    * (`keep` is clamped to ≥ 1). Returns the deleted version numbers. */
+  def pruneLedgerVersions(spark: org.apache.spark.sql.SparkSession,
+                          ledgerDir: String, keep: Int = 2): Seq[Long] = {
+    val root = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return Seq.empty
+    val versionDirs = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.matches("v\\d+"))
+      .map(st => (st.getPath.getName.drop(1).toLong, st.getPath,
+        fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "_SUCCESS"))))
+    val committed = versionDirs.collect { case (v, _, true) => v }.sorted
+    if (committed.isEmpty) return Seq.empty
+    val keepFloor = committed.takeRight(math.max(1, keep)).head
+    val latestCommitted = committed.last
+    val doomed = versionDirs.filter { case (v, _, isCommitted) =>
+      if (isCommitted) v < keepFloor
+      else v < latestCommitted // residue provably superseded
+    }
+    doomed.foreach { case (_, path, _) => fs.delete(path, true) }
+    doomed.map(_._1).sorted.toSeq
+  }
 }

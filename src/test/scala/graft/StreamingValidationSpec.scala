@@ -129,6 +129,37 @@ class StreamingValidationSpec extends SparkSpec {
       "an absent ledger path is an empty ledger, not an AnalysisException")
   }
 
+  test("ledger janitor prunes old committed versions, keeps the live tail " +
+      "and any possibly-in-flight newer residue") {
+    import graft.operators.Dedup
+    val work = Files.createTempDirectory("graft-ledger-janitor")
+    val ledgerDir = s"$work/ledger"
+    def writeVersion(v: Long): Unit =
+      Dedup.fpLedger(Seq((v, s"content $v")).toDF("doc_id", "text"))
+        .write.parquet(s"$ledgerDir/v$v")
+    (0L to 3L).foreach(writeVersion)
+    // uncommitted residue: v1x older than the latest committed (delete),
+    // v9 newer (a write possibly in flight — keep)
+    def bareDir(name: String): Unit = {
+      val d = new java.io.File(s"$ledgerDir/$name"); d.mkdirs()
+      java.nio.file.Files.write(d.toPath.resolve("part-junk.parquet"),
+        Array[Byte](1, 2, 3))
+    }
+    new java.io.File(s"$ledgerDir/v2/_SUCCESS").delete() // v2 -> uncommitted
+    bareDir("v9")
+    val deleted = StreamingIngest.pruneLedgerVersions(spark, ledgerDir, keep = 2)
+    assert(deleted === Seq(0L, 2L),
+      "v0 is an old committed version; v2 is residue older than v3")
+    val left = new java.io.File(ledgerDir).listFiles()
+      .filter(_.isDirectory).map(_.getName).sorted.toSeq
+    assert(left === Seq("v1", "v3", "v9"),
+      "the keep=2 committed tail (v1, v3) and the newer residue survive")
+    // the reader still resolves the latest committed state
+    val (df, next) = StreamingIngest.ledgerLatest(spark, ledgerDir)
+    assert(df.count() === 1L && next === 10L)
+    assert(StreamingIngest.pruneLedgerVersions(spark, s"$work/absent") === Seq.empty)
+  }
+
   test("upsertBatch swap recovery rolls forward/back without losing the table") {
     import org.apache.hadoop.fs.Path
     val base = Files.createTempDirectory("graft_swap").toString
