@@ -10,6 +10,17 @@ import graft.operators._
   * composed into [[SparkEntry.queries]]/[[SparkEntry.oracleSql]]. */
 private[graft] trait EntryCuration extends EntryShared {
 
+  // the neardup_stream_e2e fixture pages — shared between the query and
+  // its oracle so the DuckDB side re-derives the SAME simhashes: a long
+  // distinct-token base page (one-word edits stay within Hamming 3), a
+  // one-word edit, and an unrelated page
+  private val ndBase = "the crawl pipeline fetches pages politely and " +
+    "extracts the main content with care while boilerplate removal decides " +
+    "corpus quality so the extractor measures link density for every block " +
+    "and clean prose survives the published filters"
+  private val ndEdit = ndBase.replace("politely", "carefully")
+  private val ndDiff = "completely different vocabulary entirely here now today"
+
   protected def curationQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c2_paragraph_chunks" -> ((s, d) => Chunking.paragraphChunks(Tables.documents(s, d))),
     "c6_sliding_chunks" -> ((s, d) =>
@@ -181,6 +192,43 @@ private[graft] trait EntryCuration extends EntryShared {
       s.read.parquet(verdictDir)
         .select(col("batch_id").cast("long").as("batch_id"), col("doc_id"),
           col("is_duplicate"), col("dup_class"), col("dup_of"))
+    }),
+    // ...and the NEAR-dup sibling: the banded-SimHash keeper ledger as
+    // a 24/7 stream (versioned ledger outside the checkpoint, cap=2 so
+    // the keeper caps bite). Batch 0: a one-word edit of the seed page
+    // resolves through the ledger; a fresh pair resolves in-batch.
+    // Batch 1 proves the ledger LEARNED batch 0 (the verbatim re-crawl
+    // of the seed page pairs against BOTH the seed keeper and batch
+    // 0's edit), and the replayed doc 11 pairs against its bucket mate
+    // but never against ITSELF (the self-id exclusion),
+    "neardup_stream_e2e" -> ((s, d) => {
+      import s.implicits._
+      implicit val sqlCtx = s.sqlContext
+      val work = java.nio.file.Files.createTempDirectory("graft-neardup-stream")
+      val (ledgerDir, pairsDir, ckDir) =
+        (s"$work/ledger", s"$work/pairs", s"$work/ck")
+      Dedup.simhashLedger(Seq((1L, ndBase)).toDF("doc_id", "text"), cap = 2)
+        .write.parquet(ledgerDir)
+      val shufKey = "spark.sql.shuffle.partitions"
+      val prevShuf = s.conf.getOption(shufKey)
+      s.conf.set(shufKey, "2")
+      val input = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)]
+      val q = graft.streaming.StreamingIngest.streamingNearDupLedger(
+        input.toDF().toDF("doc_id", "text"), ledgerDir, pairsDir, ckDir,
+        cap = 2).start()
+      try {
+        input.addData((10L, ndEdit), (11L, ndDiff), (12L, ndDiff))
+        q.processAllAvailable()
+        input.addData((20L, ndBase), (11L, ndDiff))
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        prevShuf match { case Some(v) => s.conf.set(shufKey, v); case None => s.conf.unset(shufKey) }
+      }
+      s.read.parquet(pairsDir)
+        .select(col("batch_id").cast("long").as("batch_id"), col("source"),
+          col("id_a"), col("id_b"), col("hamming"))
     }),
     "ngram_jaccard" -> ((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d).filter(col("doc_id") < 100))),
@@ -1081,7 +1129,8 @@ private[graft] trait EntryCuration extends EntryShared {
         |        FROM nb) WHERE rk <= 2),
         |crossp AS (SELECT DISTINCT l.id AS id_a, n.id AS id_b,
         |            l.simhash AS fa, n.simhash AS fb
-        |           FROM led l JOIN nb n ON l.bnd = n.bnd AND l.byt = n.byt),
+        |           FROM led l JOIN nb n
+        |            ON l.bnd = n.bnd AND l.byt = n.byt AND l.id <> n.id),
         |inb AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
         |         a.simhash AS fa, b.simhash AS fb
         |        FROM nk a JOIN nb b
@@ -1091,6 +1140,66 @@ private[graft] trait EntryCuration extends EntryShared {
         |UNION ALL
         |SELECT 'batch' AS source, id_a, id_b, bit_count(xor(fa, fb)) AS hamming
         |FROM inb WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin,
+    // the streaming near-dup ledger replay: the fixture pages shadow
+    // documents, DuckDB re-derives their 60-bit simhashes, the seed
+    // ledger / per-batch keeper caps / prior-wins ledger update are
+    // replayed as rank CTEs, and both batches' pair sets are derived
+    // under the self-id exclusion — nothing is a VALUES echo,
+    "neardup_stream_e2e" -> {
+      val fixture = Seq(1 -> ndBase, 10 -> ndEdit, 11 -> ndDiff,
+        12 -> ndDiff, 20 -> ndBase)
+        .map { case (id, t) => s"($id, '${t.replace("'", "''")}')" }
+        .mkString(", ")
+      simhashFpCte(60).replaceFirst("WITH ",
+        s"WITH documents AS (SELECT * FROM (VALUES $fixture) AS t(doc_id, text)), ") +
+      """,
+        |banded AS (SELECT id, simhash, g.b AS bnd, (simhash >> (g.b * 15)) & 32767 AS byt
+        |           FROM fp, LATERAL (SELECT unnest(generate_series(0, 3)) AS b) g),
+        |led0 AS (SELECT id, simhash, bnd, byt FROM (
+        |         SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY id) AS rk
+        |         FROM banded WHERE id = 1) WHERE rk <= 2),
+        |nb0 AS (SELECT id, simhash, bnd, byt FROM banded WHERE id IN (10, 11, 12)),
+        |nk0 AS (SELECT id, simhash, bnd, byt FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY id) AS rk
+        |        FROM nb0) WHERE rk <= 2),
+        |cross0 AS (SELECT DISTINCT l.id AS id_a, n.id AS id_b,
+        |            l.simhash AS fa, n.simhash AS fb
+        |           FROM led0 l JOIN nb0 n
+        |            ON l.bnd = n.bnd AND l.byt = n.byt AND l.id <> n.id),
+        |inb0 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |          a.simhash AS fa, b.simhash AS fb
+        |         FROM nk0 a JOIN nb0 b
+        |          ON a.bnd = b.bnd AND a.byt = b.byt AND a.id < b.id),
+        |led1 AS (SELECT id, simhash, bnd, byt FROM (
+        |   SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY ord, id) AS rk
+        |   FROM (SELECT id, simhash, bnd, byt, 0 AS ord FROM led0
+        |         UNION ALL SELECT id, simhash, bnd, byt, 1 AS ord FROM nb0) u)
+        |  WHERE rk <= 2),
+        |nb1 AS (SELECT id, simhash, bnd, byt FROM banded WHERE id IN (20, 11)),
+        |nk1 AS (SELECT id, simhash, bnd, byt FROM (
+        |        SELECT *, row_number() OVER (PARTITION BY bnd, byt ORDER BY id) AS rk
+        |        FROM nb1) WHERE rk <= 2),
+        |cross1 AS (SELECT DISTINCT l.id AS id_a, n.id AS id_b,
+        |            l.simhash AS fa, n.simhash AS fb
+        |           FROM led1 l JOIN nb1 n
+        |            ON l.bnd = n.bnd AND l.byt = n.byt AND l.id <> n.id),
+        |inb1 AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |          a.simhash AS fa, b.simhash AS fb
+        |         FROM nk1 a JOIN nb1 b
+        |          ON a.bnd = b.bnd AND a.byt = b.byt AND a.id < b.id)
+        |SELECT 0 AS batch_id, 'ledger' AS source, id_a, id_b,
+        | bit_count(xor(fa, fb)) AS hamming
+        |FROM cross0 WHERE bit_count(xor(fa, fb)) <= 3
+        |UNION ALL
+        |SELECT 0, 'batch', id_a, id_b, bit_count(xor(fa, fb))
+        |FROM inb0 WHERE bit_count(xor(fa, fb)) <= 3
+        |UNION ALL
+        |SELECT 1, 'ledger', id_a, id_b, bit_count(xor(fa, fb))
+        |FROM cross1 WHERE bit_count(xor(fa, fb)) <= 3
+        |UNION ALL
+        |SELECT 1, 'batch', id_a, id_b, bit_count(xor(fa, fb))
+        |FROM inb1 WHERE bit_count(xor(fa, fb)) <= 3""".stripMargin
+    },
     "embed_near_dups" ->
       """WITH b AS (
         | SELECT vec_id, embedding::DOUBLE[] AS e,

@@ -520,8 +520,13 @@ object Dedup {
     val keepersNew = bandedNew
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") <= cap).drop("_rk")
+    // a.id =!= b.id: a REPLAYED doc meets itself in the ledger at
+    // hamming 0 — without the exclusion every at-least-once redelivery
+    // reports the corpus's canonical copy as a near-dup of itself
+    // (the exact-dedup self-keeper rule, on the banded tier)
     val cross = ledger.as("a").join(bandedNew.as("b"),
-        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.simhash").as("fp_a"), col("b.simhash").as("fp_b"))
       .distinct()

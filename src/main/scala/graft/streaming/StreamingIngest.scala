@@ -719,21 +719,31 @@ object StreamingIngest {
     * layout, e.g. [[graft.operators.Dedup.fpLedger]] written there);
     * if the path does not exist at all => an empty ledger — a fresh
     * deployment's first micro-batch needs no pre-seeding. */
-  private[graft] def ledgerLatest(spark: org.apache.spark.sql.SparkSession,
-                                  ledgerDir: String): (DataFrame, Long) = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val (entries, all, committed) = ledgerVersions(spark, ledgerDir)
+  /** Generic versioned-state reader: (latest committed state under
+    * `dir`, the version number the next write should use). `empty` is
+    * the fresh-deployment bootstrap frame — each ledger family brings
+    * its own schema. */
+  private[graft] def versionedLatest(spark: org.apache.spark.sql.SparkSession,
+                                     dir: String, empty: => DataFrame)
+      : (DataFrame, Long) = {
+    val (entries, all, committed) = ledgerVersions(spark, dir)
     val next = if (all.isEmpty) 0L else all.max + 1L
     val df =
       if (committed.nonEmpty)
-        spark.read.parquet(s"$ledgerDir/v${committed.max}")
+        spark.read.parquet(s"$dir/v${committed.max}")
       else if (entries.exists(st => st.isFile &&
           (st.getPath.getName.endsWith(".parquet") || st.getPath.getName == "_SUCCESS")))
-        spark.read.parquet(ledgerDir)
-      else
-        spark.range(0).select(
-          col("id").cast("string").as("fp"), lit(null).cast("long").as("keeper_id"))
+        spark.read.parquet(dir)
+      else empty
     (df, next)
+  }
+
+  private[graft] def ledgerLatest(spark: org.apache.spark.sql.SparkSession,
+                                  ledgerDir: String): (DataFrame, Long) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    versionedLatest(spark, ledgerDir,
+      spark.range(0).select(
+        col("id").cast("string").as("fp"), lit(null).cast("long").as("keeper_id")))
   }
 
   /** Streaming exact dedup against the PERSISTED fingerprint ledger —
@@ -780,6 +790,49 @@ object StreamingIngest {
         // only touch the fresh version dir (an uncommitted crash
         // residue at worst), never a committed version
         val updated = graft.operators.Dedup.ledgerAfter(b, ledger).localCheckpoint()
+        updated.write.mode("overwrite").parquet(s"$ledgerDir/v$nextVersion")
+      }
+
+  /** Streaming NEAR-dup against the persisted banded-SimHash keeper
+    * ledger — [[streamingLedgerDedup]]'s sibling on the near-dup tier
+    * ([[graft.operators.Dedup.simhashPairsIncremental]] lifted to a
+    * 24/7 ingest): per micro-batch, emit the batch's near-dup pairs
+    * against the latest committed ledger version (`source = ledger`)
+    * plus the capped in-batch pairs (`source = batch`), land them
+    * under `pairsDir` partitioned by batch id, and write the
+    * post-batch ledger ([[graft.operators.Dedup.simhashLedgerAfter]] —
+    * prior keepers win their slots, O(buckets · cap) forever) as a new
+    * immutable `ledgerDir/v<N>`. Same durability/replay contract as
+    * the exact tier: versions never overwrite committed history,
+    * bootstrap is a flat seed parquet or an empty banding, the verdict
+    * write is a per-batch dynamic partition overwrite, and a
+    * redelivered doc meeting ITSELF in the ledger is excluded by the
+    * pair operator's self-id rule (it still pairs against its
+    * legitimate bucket mates — deterministic under replay).
+    * [[pruneLedgerVersions]] applies unchanged. */
+  def streamingNearDupLedger(docs: DataFrame, ledgerDir: String,
+                             pairsDir: String, checkpointDir: String,
+                             maxHamming: Int = 3, cap: Int = 64)
+      : DataStreamWriter[Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint()
+        val (ledger, nextVersion) = versionedLatest(spark, ledgerDir,
+          spark.range(0).select(col("id"),
+            lit(null).cast("long").as("simhash"),
+            lit(null).cast("int").as("band"),
+            lit(null).cast("long").as("bucket")))
+        graft.operators.Dedup.simhashPairsIncremental(b, ledger, maxHamming, cap)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id").parquet(pairsDir)
+        val updated = graft.operators.Dedup
+          .simhashLedgerAfter(b, ledger, cap).localCheckpoint()
         updated.write.mode("overwrite").parquet(s"$ledgerDir/v$nextVersion")
       }
 

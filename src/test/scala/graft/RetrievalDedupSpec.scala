@@ -133,6 +133,10 @@ class RetrievalDedupSpec extends SparkSpec {
     assert(out.contains(("batch", 21L, 22L)))
     assert(!out.exists(t => t._1 == "ledger" && t._3 == 21L),
       "fresh content matches no prior keeper")
+    // a REPLAYED prior doc meets only itself in the ledger => no pairs
+    // (the self-id exclusion; without it every redelivery reported the
+    // canonical copy as a near-dup of itself at hamming 0)
+    assert(Dedup.simhashPairsIncremental(prior, ledger, cap = 2).collect().isEmpty)
     // ledger update: add 50 same-text docs; every bucket stays <= cap
     val flood = (100L to 149L).map(i => (i, base)).toDF("doc_id", "text")
     val after = Dedup.simhashLedgerAfter(flood, ledger, cap = 2)
