@@ -250,6 +250,19 @@ private[graft] trait EntryCuration extends EntryShared {
     // span-granularity exact substring dedup (Lee et al. 2022): maximal
     // cross-document duplicated passages >= 8 words, by word offset,
     "dup_spans" -> ((s, d) => Dedup.duplicatedSpans(Tables.documents(s, d))),
+    // ...and its incremental form: the prior third's gram ledger (the
+    // minDocs smallest doc ids per positional-gram fingerprint —
+    // bounded exact saturation state) classifies today's batch, so a
+    // gram seen once last snapshot and once today is caught; the
+    // oracle is the STRONGER global re-derivation — dup fps over the
+    // whole corpus, spans restricted to batch docs — which the capped
+    // ledger math must equal exactly,
+    "dup_spans_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.duplicatedSpansIncremental(
+        docs.filter(col("doc_id") % 3 =!= 0),
+        Dedup.gramLedger(docs.filter(col("doc_id") % 3 === 0)))
+    }),
     // ...and the action half: the corpus with those passages clipped
     // out (demo scoped to a doc subset, the ngram_jaccard precedent —
     // dup_spans above keeps the full-corpus detection pass),
@@ -1001,6 +1014,14 @@ private[graft] trait EntryCuration extends EntryShared {
     "dup_spans" ->
       s"""WITH ${dupSpanCtes("documents")}
          |SELECT * FROM dsspans""".stripMargin,
+    // the incremental spans equal the GLOBAL truth: dup fingerprints
+    // over prior ∪ batch (= the whole corpus), spans over batch docs —
+    // an independent formulation that never builds the ledger at all,
+    // so the engine's capped smallest-ids saturation state is checked
+    // against what it claims to represent,
+    "dup_spans_incremental" ->
+      s"""WITH ${dupSpanCtes("documents")}
+         |SELECT * FROM dsspans WHERE doc_id % 3 <> 0""".stripMargin,
 
     // independent formulation of the clip: per-token anti-join against
     // the span ranges (the operator uses an index-lambda filter), then

@@ -859,21 +859,23 @@ object Dedup {
     // cost) runs twice. localCheckpoint over persist for the
     // ngramJaccard GC-cleanup reason; at cluster scale this is the
     // positions table a curation run would land on local disk anyway.
-    val pos = docs
-      .withColumn("_words", split(lower(trim(col(textCol))), "\\s+"))
-      .filter(size(col("_words")) >= n)
-      .select(col(idCol).as("id"),
-        posexplode(transform(sequence(lit(0), size(col("_words")) - n),
-          i => array_join(slice(col("_words"), i + 1, lit(n)), " "))).as(Seq("pos", "gram")))
-      .select(col("id"), col("pos"), md5Hash60(col("gram")).as("fp"))
-      .localCheckpoint()
+    val pos = positionalGrams(docs, n, idCol, textCol).localCheckpoint()
     val dup = pos.groupBy("fp")
       .agg(countDistinct(col("id")).as("ndocs"))
       .filter(col("ndocs") >= minDocs)
       .select("fp")
+    spanMerge(pos.join(dup, "fp"), n, minSpanWords, idCol)
+  }
+
+  /** The gaps-and-islands span merge shared by the batch and
+    * incremental span operators: duplicated positions per doc →
+    * maximal spans ≥ `minSpanWords`. Input: (id, pos) rows (extra
+    * columns ignored). */
+  private def spanMerge(dupPos: DataFrame, n: Int, minSpanWords: Int,
+                        idCol: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("id")).orderBy(col("pos"))
-    pos.join(dup, "fp")
+    dupPos
       // windows [pos, pos+n-1] within n of each other touch or overlap
       .withColumn("_new_seg",
         when(col("pos") - lag(col("pos"), 1).over(w) <= n, lit(0)).otherwise(lit(1)))
@@ -886,6 +888,98 @@ object Dedup {
       .filter(col("span_words") >= minSpanWords)
       .select(col("id").as(idCol), col("span_start"), col("span_end"),
         col("n_dup_grams"), col("span_words"))
+  }
+
+  /** Positional n-gram fingerprints: (id, pos, fp) — the shared front
+    * of [[duplicatedSpans]] and the incremental span tier. Narrow rows
+    * (no gram strings survive the projection). */
+  private def positionalGrams(docs: DataFrame, n: Int, idCol: String,
+                              textCol: String): DataFrame =
+    docs
+      .withColumn("_words", split(lower(trim(col(textCol))), "\\s+"))
+      .filter(size(col("_words")) >= n)
+      .select(col(idCol).as("id"),
+        posexplode(transform(sequence(lit(0), size(col("_words")) - n),
+          i => array_join(slice(col("_words"), i + 1, lit(n)), " "))).as(Seq("pos", "gram")))
+      .select(col("id"), col("pos"), md5Hash60(col("gram")).as("fp"))
+
+  /** Per-gram smallest distinct doc ids, capped at `minDocs` — the
+    * bounded exact state the gram LEDGER stores per fingerprint. The
+    * cap is a WindowGroupLimit rank (map-side partial top-k), never an
+    * unbounded collect: a corpus-wide boilerplate gram contributes
+    * `minDocs` rows to the aggregate, not one per document. */
+  private def topDocsPerGram(pos: DataFrame, minDocs: Int): DataFrame = {
+    val w = Window.partitionBy(col("fp")).orderBy(col("id"))
+    pos.select(col("fp"), col("id")).distinct()
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= minDocs)
+      .groupBy(col("fp"))
+      .agg(sort_array(collect_list(col("id"))).as("docs"))
+  }
+
+  /** The cross-snapshot GRAM ledger — [[fpLedger]]'s span-granularity
+    * sibling, the state an incremental [[duplicatedSpans]] keeps
+    * between batches: per positional-n-gram fingerprint, the `minDocs`
+    * SMALLEST distinct doc ids ever seen (fewer if the gram hasn't
+    * reached `minDocs` documents yet). `size(docs) == minDocs` IS the
+    * saturation flag — the gram is known-duplicated forever after.
+    * EXACT for the ≥ `minDocs` predicate at O(minDocs) state per
+    * fingerprint: an unsaturated entry holds ALL its historical doc
+    * ids, so unioning it with a batch's capped set can never
+    * under-count, and the smallest-k-of-smallest-k merge property
+    * keeps the stored ids the true global minima. */
+  def gramLedger(docs: DataFrame, n: Int = 4, minDocs: Int = 2,
+                 idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 1, s"need minDocs >= 1, got $minDocs")
+    topDocsPerGram(positionalGrams(docs, n, idCol, textCol), minDocs)
+  }
+
+  /** Incremental duplicated-passage extraction: TODAY'S batch against
+    * the prior snapshots' [[gramLedger]] — a batch position is
+    * duplicated when the gram's distinct documents across
+    * (ledger ∪ batch) reach `minDocs`, so cross-snapshot boilerplate
+    * (the gram seen once last month and once today) is caught — the
+    * case a batch-only [[duplicatedSpans]] run is blind to. Output =
+    * the batch's maximal spans, same columns as [[duplicatedSpans]].
+    *
+    * Scale shape: batch positional grams (narrow, checkpointed once
+    * for the two consumers), the capped per-gram doc rank
+    * (WindowGroupLimit), one fp equi-join against the ledger, the
+    * doc-scoped span merge — batch-sized work per day regardless of
+    * history depth. [[gramLedgerAfter]] emits the next artifact. */
+  def duplicatedSpansIncremental(batch: DataFrame, ledger: DataFrame,
+                                 n: Int = 4, minDocs: Int = 2,
+                                 minSpanWords: Int = 8,
+                                 idCol: String = "doc_id",
+                                 textCol: String = "text"): DataFrame = {
+    require(minDocs >= 1, s"need minDocs >= 1, got $minDocs")
+    val pos = positionalGrams(batch, n, idCol, textCol).localCheckpoint()
+    val dup = topDocsPerGram(pos, minDocs)
+      .join(ledger.withColumnRenamed("docs", "_ldocs"), Seq("fp"), "left")
+      .filter(size(array_distinct(concat(
+        coalesce(col("_ldocs"), array().cast("array<long>")),
+        col("docs")))) >= minDocs)
+      .select("fp")
+    spanMerge(pos.join(dup, "fp"), n, minSpanWords, idCol)
+  }
+
+  /** The updated gram ledger after a batch: per fingerprint, the
+    * `minDocs` smallest distinct doc ids of (prior ∪ batch) — the
+    * smallest-k of two smallest-k sets is the global smallest-k, so
+    * the merge stays exact at bounded state; replays are a no-op
+    * (the union with an already-recorded id is idempotent). */
+  def gramLedgerAfter(batch: DataFrame, ledger: DataFrame,
+                      n: Int = 4, minDocs: Int = 2,
+                      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(minDocs >= 1, s"need minDocs >= 1, got $minDocs")
+    topDocsPerGram(positionalGrams(batch, n, idCol, textCol), minDocs)
+      .withColumnRenamed("docs", "_bdocs")
+      .join(ledger.withColumnRenamed("docs", "_ldocs"), Seq("fp"), "full_outer")
+      .select(col("fp"),
+        slice(array_sort(array_distinct(concat(
+          coalesce(col("_ldocs"), array().cast("array<long>")),
+          coalesce(col("_bdocs"), array().cast("array<long>"))))),
+          1, minDocs).as("docs"))
   }
 
   /** The ACTION half of [[duplicatedSpans]]: emit each document with

@@ -238,6 +238,41 @@ class RetrievalDedupSpec extends SparkSpec {
       === ledger.collect().map(r => (r.getInt(0), r.getLong(1))).toSet)
   }
 
+  test("gram ledger: cross-snapshot duplicated passages are caught, " +
+      "batch-only runs are blind to them; state stays capped and exact") {
+    val passage = "the quick brown fox jumps over the lazy dog beside the river"
+    val prior = Seq((100L, s"opening words here $passage closing words here"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (200L, s"totally different intro $passage and a different outro"),
+      (201L, "no shared passages in this one at all whatsoever today")
+    ).toDF("doc_id", "text")
+    // batch-only: the passage appears in ONE batch doc => no spans
+    assert(Dedup.duplicatedSpans(batch).collect().isEmpty)
+    // incremental: the ledger remembers the prior sighting => the span
+    val ledger = Dedup.gramLedger(prior)
+    val spans = Dedup.duplicatedSpansIncremental(batch, ledger).collect()
+    assert(spans.nonEmpty && spans.forall(_.getAs[Long]("doc_id") == 200L),
+      "the cross-snapshot duplicated passage must surface, on the batch doc")
+    // state is capped at minDocs ids per gram, exactly the smallest
+    val flood = (1L to 9L).map(i => (i, s"pad$i $passage tail$i")).toDF("doc_id", "text")
+    val after = Dedup.gramLedgerAfter(flood, ledger)
+    val sizes = after.select(size(col("docs"))).collect().map(_.getInt(0))
+    assert(sizes.forall(_ <= 2))
+    // a passage gram seen by prior doc 100 and flood docs keeps the
+    // two smallest ids (1, 2) — the global minima, not first-writes
+    val passageFp = Dedup.gramLedger(
+        Seq((0L, passage)).toDF("doc_id", "text"))
+      .select("fp").collect().map(_.getLong(0)).toSet
+    val merged = after.filter(col("fp").isin(passageFp.toSeq: _*))
+      .select(col("docs")).collect().map(_.getSeq[Long](0))
+    assert(merged.nonEmpty && merged.forall(_ == Seq(1L, 2L)))
+    // replay is a no-op
+    val replayed = Dedup.gramLedgerAfter(prior, ledger)
+    assert(replayed.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+      === ledger.collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet)
+  }
+
   test("kmeansLoop round 1 equals kmeansStep; later rounds re-center") {
     import graft.operators.Similarity
     val vecs = (1L to 40L).map(i => (i,
