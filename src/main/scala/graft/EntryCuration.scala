@@ -648,10 +648,13 @@ private[graft] trait EntryCuration extends EntryShared {
       // otherwise (the tf-idf tokenize, its n_docs scalar, bm25's
       // corpus stats, bm25's scoring tokenize — four corpus passes at
       // 100 TB); lazy materializes inside whichever consumer runs
-      // first, no extra barrier, passes 4→1.
+      // first, no extra barrier, passes 4→1. (r21: the call itself now
+      // matches the rationale — `localCheckpoint()` defaults to
+      // eager=true in Spark, so the r20 form still paid the serialized
+      // head job the comment said it removed.)
       val chunks = Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
         .select(col("chunk_id"), col("content").as("text"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val vector = Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id")
       val lexical = Retrieval.bm25Search(qs, chunks, k = 10, idCol = "chunk_id")
       Retrieval.rrfFuse(vector, lexical, k = 3, idCol = "chunk_id")

@@ -316,10 +316,12 @@ object Dedup {
     * rules on the MinHash tier: prior entries win their slots before
     * batch entries fill the remainder (ids are not ordered across
     * snapshots), replayed rows collapse before ranking, the artifact
-    * stays O(buckets · cap). The signature for a collapsed (band,
-    * bucket, id) row is the PRIOR one (first sighting is canonical —
-    * a doc whose content changed across snapshots keeps its original
-    * signature until re-admitted under a fresh id). */
+    * stays O(buckets · cap). The first-sighting rule is scoped to rows
+    * COLLIDING IN THE SAME (band, bucket): a collapsed (band, bucket,
+    * id) row keeps its PRIOR signature there, but a changed-content
+    * doc's new banding still enters under the same id in OTHER buckets
+    * — the ledger can legitimately hold both signatures for one id,
+    * each canonical within its own bucket. */
   def minhashLedgerAfter(batch: DataFrame, ledger: DataFrame,
                          n: Int = 3, numHashes: Int = 8, bandSize: Int = 2,
                          cap: Int = 64, idCol: String = "doc_id",

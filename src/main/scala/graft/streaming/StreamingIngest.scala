@@ -703,26 +703,17 @@ object StreamingIngest {
     (entries, all, committed)
   }
 
-  /** The LATEST COMMITTED ledger state under `ledgerDir`, plus the
-    * version number the next write should use. Versions are a
-    * monotone sequence `v0, v1, ...` independent of micro-batch ids
-    * (a fresh checkpoint restarts batch ids at 0, but the ledger's
+  /** Generic versioned-state reader: (latest committed state under
+    * `dir`, the version number the next write should use). Versions
+    * are a monotone sequence `v0, v1, ...` independent of micro-batch
+    * ids (a fresh checkpoint restarts batch ids at 0, but the state's
     * history keeps counting) — each write lands in a NEW version dir,
     * never overwriting a committed one, so a crash mid-write can only
-    * lose the version being written, never the history. (The earlier
-    * in-place `mode("overwrite")` of `ledgerDir` itself deleted the
-    * whole prior ledger before writing; a failure there destroyed the
-    * entire cross-snapshot dedup state.)
-    *
-    * Bootstrap: no committed version subdirs => fall back to a flat
-    * parquet ledger at `ledgerDir` itself (the batch-pipeline seed
-    * layout, e.g. [[graft.operators.Dedup.fpLedger]] written there);
-    * if the path does not exist at all => an empty ledger — a fresh
-    * deployment's first micro-batch needs no pre-seeding. */
-  /** Generic versioned-state reader: (latest committed state under
-    * `dir`, the version number the next write should use). `empty` is
-    * the fresh-deployment bootstrap frame — each ledger family brings
-    * its own schema. */
+    * lose the version being written, never the history. Bootstrap: no
+    * committed version subdirs => fall back to a flat parquet table at
+    * `dir` itself (the batch-pipeline seed layout); if the path does
+    * not exist at all => `empty`, the fresh-deployment bootstrap frame
+    * — each state family brings its own schema. */
   private[graft] def versionedLatest(spark: org.apache.spark.sql.SparkSession,
                                      dir: String, empty: => DataFrame)
       : (DataFrame, Long) = {
