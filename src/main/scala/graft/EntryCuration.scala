@@ -271,6 +271,15 @@ private[graft] trait EntryCuration extends EntryShared {
         .filter(col("n_words_removed") > 0)),
     "embed_near_dups" -> ((s, d) =>
       Dedup.embeddingNearDups(Tables.embeddings(s, d), threshold = 0.2, signDims = 4)),
+    // ...and the capped production form (r21, closing the r20 weak —
+    // the LAST uncapped near-dup pair generator): only the cap smallest
+    // ids per sign bucket act as pair sources. cap=2 so the cap
+    // genuinely bites at every test SF (16 buckets over ≥500 vectors);
+    // production calls keep the default 64. Within-cap parity with the
+    // exact form is spec-pinned (EmbedNearDupCapSpec),
+    "embed_near_dups_capped" -> ((s, d) =>
+      Dedup.embeddingNearDupsCapped(Tables.embeddings(s, d), threshold = 0.2,
+        signDims = 4, cap = 2)),
     // SemDeDup two-stage semantic dedup; the synthetic embeddings are
     // near-orthogonal (max within-cell cosine ≈ 0.49), so the demo
     // threshold sits below the 0.85 production default to exercise the
@@ -507,10 +516,9 @@ private[graft] trait EntryCuration extends EntryShared {
       // CCNet stage 1: corpus-wide paragraph dedup BEFORE any scoring —
       // the LM below is trained on the deduped text, so boilerplate
       // cannot drag every page's surprisal toward its own distribution
-      val docs2 = Cleaning.paragraphDedup(decorated)
+      val docs2 = Mat.point(Cleaning.paragraphDedup(decorated)
         .select(col("doc_id"), col("clean_text").as("text"))
-        .join(docs.select("doc_id", "lang"), "doc_id")
-        .localCheckpoint()
+        .join(docs.select("doc_id", "lang"), "doc_id"))
       val bench = docs2.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id").as("bench_id"), col("text"))
       // CCNet stage 2: unigram LM on the deduped corpus, tercile
@@ -537,12 +545,12 @@ private[graft] trait EntryCuration extends EntryShared {
       // C4/Gopher to Common Crawl and not to curated books/code.
       // maxSurprisal is effectively superseded by the ppl_tail tercile
       // (relative, CCNet) but kept as the absolute backstop
-      val kept = docs2.select("doc_id", "text", "lang").join(
+      val kept = Mat.point(docs2.select("doc_id", "text", "lang").join(
         Cleaning.cleanCorpus(docs2, bench,
           langWhitelist = Seq("en", "de", "fr", "es", "pt"),
           withGopherC4 = false, lm = Some(lm), pplBuckets = Some(buckets))
           .filter(col("keep")).select("doc_id"),
-        "doc_id").localCheckpoint()
+        "doc_id"))
       val cleaned = Dedup.clipDuplicatedSpans(kept)
         .select(col("doc_id"), col("clean_text").as("text"))
         .join(kept.select(col("doc_id"), col("lang")), "doc_id")
@@ -652,9 +660,9 @@ private[graft] trait EntryCuration extends EntryShared {
       // matches the rationale — `localCheckpoint()` defaults to
       // eager=true in Spark, so the r20 form still paid the serialized
       // head job the comment said it removed.)
-      val chunks = Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
-        .select(col("chunk_id"), col("content").as("text"))
-        .localCheckpoint(eager = false)
+      val chunks = Mat.point(
+        Chunking.paragraphChunks(Tables.documents(s, d), minChars = 20)
+          .select(col("chunk_id"), col("content").as("text")))
       val vector = Retrieval.tfidfCosineSearch(qs, chunks, k = 10, idCol = "chunk_id")
       val lexical = Retrieval.bm25Search(qs, chunks, k = 10, idCol = "chunk_id")
       Retrieval.rrfFuse(vector, lexical, k = 3, idCol = "chunk_id")
@@ -1235,6 +1243,24 @@ private[graft] trait EntryCuration extends EntryShared {
         |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
         | round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score
         |FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+        |WHERE round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) >= 0.2""".stripMargin,
+    // the capped form's replay: the same bucketing, pair sources
+    // restricted to the per-bucket id rank <= 2 — the keeper rule
+    // re-derived independently, not an echo of the Spark output,
+    "embed_near_dups_capped" ->
+      """WITH b AS (
+        | SELECT vec_id, embedding::DOUBLE[] AS e,
+        |  (CASE WHEN embedding[1] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[2] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[3] >= 0 THEN '1' ELSE '0' END) ||
+        |  (CASE WHEN embedding[4] >= 0 THEN '1' ELSE '0' END) AS bucket
+        | FROM embeddings),
+        |k AS (SELECT vec_id, e, bucket FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+        |  FROM b) WHERE rk <= 2)
+        |SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+        | round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) AS score
+        |FROM k a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
         |WHERE round(list_inner_product(a.e, c.e) / (sqrt(list_inner_product(a.e, a.e)) * sqrt(list_inner_product(c.e, c.e))), 4) >= 0.2""".stripMargin,
 
     // replays the full SemDeDup path: hash-ordered centroid sample →

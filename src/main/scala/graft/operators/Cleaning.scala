@@ -261,10 +261,9 @@ object Cleaning {
     // its doubled branches degenerate under AQE (195 s at ×100 vs
     // 15 s checkpointed); at cluster scale this is the positions table
     // a curation run lands on shared storage anyway
-    val paras = docs.select(col(idCol).as("doc_id"),
+    val paras = Mat.point(docs.select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), "\n\\s*\n")).as(Seq("pos", "para")))
-      .filter(trim(col("para")) =!= "")
-      .localCheckpoint()
+      .filter(trim(col("para")) =!= ""))
     val slim = paras.select(col("doc_id"), col("pos"),
       TextAnalysis.fingerprint(col("para")).as("fp"))
     val keepers = slim.groupBy(col("fp"))

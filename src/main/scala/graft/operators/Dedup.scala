@@ -175,10 +175,9 @@ object Dedup {
     // checkpoint: one id-partitioned pass instead of a separate sizes
     // aggregate joined back twice after the pair join (two fewer join
     // stages; n_sh is constant per id so `first` recovers it per pair)
-    val shr = sh.join(rare, "shingle")
+    val shr = Mat.point(sh.join(rare, "shingle")
       .withColumn("n_sh", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("id"))))
-      .localCheckpoint()
+        org.apache.spark.sql.expressions.Window.partitionBy(col("id")))))
     shr.as("a").join(shr.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -228,8 +227,7 @@ object Dedup {
   private def bandedSigs(docs: DataFrame, n: Int, numHashes: Int, bandSize: Int,
                          idCol: String, textCol: String): DataFrame = {
     val numBands = numHashes / bandSize
-    val sigs = minhashSignatures(docs, n, numHashes, idCol, textCol)
-      .localCheckpoint()
+    val sigs = Mat.point(minhashSignatures(docs, n, numHashes, idCol, textCol))
     val sigCols = (0 until numHashes).map(i => col(s"sig_$i"))
     sigs.select(
       col("id"),
@@ -426,8 +424,7 @@ object Dedup {
     * the scan's codegen stage, so the only exchanges left in the pair
     * queries are the band-bucket join's own. */
   private def banded60(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), simhash60Col(col(textCol)).as("simhash"))
-      .localCheckpoint()
+    Mat.point(docs.select(col(idCol).as("id"), simhash60Col(col(textCol)).as("simhash")))
       .select(col("id"), col("simhash"),
         posexplode(array((0 until 4).map(b =>
           shiftright(col("simhash"), b * 15).bitwiseAND(lit(32767L))): _*))
@@ -655,11 +652,57 @@ object Dedup {
 
   /** Embedding-cosine near-dup: pairs with cosine ≥ `threshold` among
     * vectors sharing a sign-LSH bucket (see [[Similarity.signBuckets]]) —
-    * the scale path; brute-force variant available for small inputs. */
+    * the scale path; brute-force variant available for small inputs.
+    *
+    * SCALE WARNING (the r20 weak): with `signDims = 4` there are only
+    * 16 buckets corpus-wide and the bucket self-join has no per-bucket
+    * source cap — O(n²/16) pairs on any corpus, fully quadratic inside
+    * a bucket of near-identical vectors (exactly the population a
+    * dedup pass exists to find). Production near-dup passes use
+    * [[embeddingNearDupsCapped]]; this uncapped form is the exact
+    * all-pairs reference (and the oracle-replayed demo query). */
   def embeddingNearDups(vecs: DataFrame, threshold: Double, signDims: Int = 4,
                         idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bucketed = vecs.withColumn("bucket", Similarity.signBucket(col(vecCol), signDims))
-    bucketed.as("a").join(bucketed.as("b"),
+    pairScoreTail(bucketed, bucketed, threshold, idCol, vecCol)
+  }
+
+  /** [[embeddingNearDups]] with the [[simhashPairsCapped]] per-bucket
+    * KEEPER cap — the r20 verdict's prescription, closing the last
+    * uncapped near-dup pair generator: only the `cap` smallest ids per
+    * sign bucket act as pair SOURCES; every later vector still compares
+    * against all of them, so each vector is still matched to SOME
+    * earlier keeper while the bucket's pair space drops from O(n²) to
+    * O(n · cap). Any bucket within the cap produces EXACTLY
+    * [[embeddingNearDups]]' output (spec-pinned,
+    * [[graft.EmbedNearDupCapSpec]]); past the cap the forgone pairs are
+    * hits against rank > cap sources — the same stated-contract recall
+    * loss as the simhash/media/minhash/semantic caps. Deterministic:
+    * keepers are an id-ordered rank. */
+  def embeddingNearDupsCapped(vecs: DataFrame, threshold: Double,
+                              signDims: Int = 4, cap: Int = 64,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    require(cap >= 1, s"need cap >= 1, got $cap")
+    // the bucketed table feeds both the source rank and the probe side —
+    // materialized once (the banded60 discipline)
+    val bucketed = Mat.point(
+      vecs.withColumn("bucket", Similarity.signBucket(col(vecCol), signDims)))
+    val w = Window.partitionBy(col("bucket")).orderBy(col(idCol))
+    val keepers = bucketed
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= cap).drop("_rk")
+    pairScoreTail(keepers, bucketed, threshold, idCol, vecCol)
+  }
+
+  /** The shared cosine pair tail of the embedding near-dup pair: bucket
+    * equi-join `sources` against the full bucketing, score once, apply
+    * the threshold (one definition so the capped and exact forms cannot
+    * drift — the [[pairTail]] rule on the embedding tier). */
+  private def pairScoreTail(sources: DataFrame, bucketed: DataFrame,
+                            threshold: Double, idCol: String,
+                            vecCol: String): DataFrame =
+    sources.as("a").join(bucketed.as("b"),
         col("a.bucket") === col("b.bucket") && col(s"a.$idCol") < col(s"b.$idCol"))
       // ComputeOnce: without the barrier the threshold filter is pushed
       // below this projection and the cosine kernel runs TWICE per pair
@@ -668,7 +711,6 @@ object Dedup {
         round(graft.functions.VectorOps.cosineNative(col(s"a.$vecCol"), col(s"b.$vecCol")), 4)))
       .filter(col("score") >= threshold)
       .select(col(s"a.$idCol").as("id_a"), col(s"b.$idCol").as("id_b"), col("score"))
-  }
 
   /** The capped within-cell candidate stage of [[semanticDedup]]: each
     * member is paired against the cell's `maxCellReps` LOWEST-ID members
@@ -858,10 +900,10 @@ object Dedup {
                       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     // pos feeds BOTH the dup aggregate and the flag-back join; without
     // materialization the gram explode + per-position md5 (the dominant
-    // cost) runs twice. localCheckpoint over persist for the
-    // ngramJaccard GC-cleanup reason; at cluster scale this is the
-    // positions table a curation run would land on local disk anyway.
-    val pos = positionalGrams(docs, n, idCol, textCol).localCheckpoint()
+    // cost) runs twice. Mat.point (localCheckpoint) over persist for
+    // the ngramJaccard GC-cleanup reason; at cluster scale the
+    // `reliable:` mode lands this positions table on shared storage.
+    val pos = Mat.point(positionalGrams(docs, n, idCol, textCol))
     val dup = pos.groupBy("fp")
       .agg(countDistinct(col("id")).as("ndocs"))
       .filter(col("ndocs") >= minDocs)
@@ -955,7 +997,7 @@ object Dedup {
                                  idCol: String = "doc_id",
                                  textCol: String = "text"): DataFrame = {
     require(minDocs >= 1, s"need minDocs >= 1, got $minDocs")
-    val pos = positionalGrams(batch, n, idCol, textCol).localCheckpoint()
+    val pos = Mat.point(positionalGrams(batch, n, idCol, textCol))
     val dup = topDocsPerGram(pos, minDocs)
       .join(ledger.withColumnRenamed("docs", "_ldocs"), Seq("fp"), "left")
       .filter(size(array_distinct(concat(

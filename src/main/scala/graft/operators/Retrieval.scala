@@ -330,9 +330,8 @@ object Retrieval {
     // before the lexical leg of a fused chain could schedule at all;
     // lazy materializes inside the first consumer's job — same
     // single-tokenize guarantee, one fewer serial barrier
-    val ctf = Embedding.tfBuckets(docs, dim, idCol, textCol)
-      .withColumnRenamed("doc_id", "_cid")
-      .localCheckpoint(eager = false)
+    val ctf = Mat.point(Embedding.tfBuckets(docs, dim, idCol, textCol)
+      .withColumnRenamed("doc_id", "_cid"))
     // tf rows are distinct (doc, bucket) ⇒ the count IS document freq
     val idf = broadcast(ctf.groupBy(col("bucket")).agg(count(lit(1)).as("df"))
       .crossJoin(nDocs)

@@ -687,8 +687,8 @@ object TextAnalysis {
     // term set — a corpus-wide stop-like term never accumulates its
     // full list in an aggregation buffer just to be discarded. dt feeds
     // both the df aggregate and the join → checkpoint once.
-    val dt = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
-      .localCheckpoint()
+    val dt = Mat.point(
+      termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true))
     val kept = broadcast(dt.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .filter(col("df").between(minDf, maxDf)))
     dt.join(kept, "term")
@@ -713,9 +713,9 @@ object TextAnalysis {
     // turn feeds both sides of the pair self-join) — checkpoint at the
     // source so the corpus is tokenized exactly once; everything
     // downstream is a broadcast probe over the materialized frame.
-    val present = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
-      .select(col(idCol).as("id"), col("term"))
-      .localCheckpoint()
+    val present = Mat.point(
+      termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
+        .select(col(idCol).as("id"), col("term")))
     val vocab = broadcast(present.groupBy(col("term"))
       .agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("term")).limit(vocabSize))
