@@ -43,12 +43,16 @@ object CrawlCorpusDrill {
     drill("urlfilter")(CrawlCorpus.discover(spark, seeds, rules, blocked))
     drill("frontier")(CrawlCorpus.schedule(
       CrawlCorpus.discover(spark, seeds, rules, blocked), rules))
-    // fetchExtract localCheckpoints eagerly — time the one-shot build
-    // (now including markdown routing, NFC normalization, and the
-    // CCNet host-line-dedup exchange pair)
+    // fetchExtract materializes through the Mat seam (lazy by default
+    // since r21) — force the build inside the timed region with a noop
+    // write so this row still times the one-shot build (markdown
+    // routing, NFC normalization, the CCNet host-line-dedup exchange
+    // pair) and downstream rows time only their own work
     val pages = timed("extract") {
-      CrawlCorpus.fetchExtract(seeds, CrawlCorpus.schedule(
+      val p = CrawlCorpus.fetchExtract(seeds, CrawlCorpus.schedule(
         CrawlCorpus.discover(spark, seeds, rules, blocked), rules))
+      p.write.mode("overwrite").format("noop").save()
+      p
     }
     drill("verdict")(CrawlCorpus.verdict(spark, pages))
     drill("neardup")(CrawlCorpus.nearDup(pages))

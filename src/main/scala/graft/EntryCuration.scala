@@ -136,8 +136,14 @@ private[graft] trait EntryCuration extends EntryShared {
     "ppl_buckets" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val lm = TextAnalysis.trainUnigramLm(docs)
+      // score once — the threshold fit and the assignment share the
+      // same per-doc surprisal frame (r21; identical math, one pass)
+      val sp = if (s.conf.get("spark.graft.sharesp", "on") == "on")
+        Some(Mat.point(TextAnalysis.unigramSurprisalWith(docs, lm)))
+      else None
       TextAnalysis.assignPerplexityBuckets(docs, lm,
-        TextAnalysis.perplexityThresholds(docs, lm))
+        TextAnalysis.perplexityThresholds(docs, lm, surprisal = sp),
+        surprisal = sp)
     }),
     // corpus-wide paragraph dedup (CCNet §3.1 — the paragraph-granular
     // sibling of host_line_dedup's host-scoped lines): every doc gains
@@ -523,10 +529,23 @@ private[graft] trait EntryCuration extends EntryShared {
         .select(col("doc_id").as("bench_id"), col("text"))
       // CCNet stage 2: unigram LM on the deduped corpus, tercile
       // thresholds fitted once, buckets assigned per-row; the tail
-      // tercile joins the verdict as a ppl_tail reason
+      // tercile joins the verdict as a ppl_tail reason. The corpus is
+      // SCORED ONCE (r21): the same per-doc surprisal frame feeds the
+      // threshold fit, the bucket assignment AND the verdict's
+      // surprisal family — three identical corpus scoring passes
+      // collapsed to one materialized frame
       val lm = TextAnalysis.trainUnigramLm(docs2)
+      // TEMP A/B gate (r21 measurement): on = all three share one
+      // scored frame; mid = thresholds recompute (the fit is
+      // sample-sized in production), assignment + verdict share;
+      // off = three independent scoring passes
+      val gate = s.conf.get("spark.graft.sharesp", "mid")
+      val sp = if (gate == "off") None
+      else Some(Mat.point(TextAnalysis.unigramSurprisalWith(docs2, lm)))
       val buckets = TextAnalysis.assignPerplexityBuckets(docs2, lm,
-        TextAnalysis.perplexityThresholds(docs2, lm))
+        TextAnalysis.perplexityThresholds(docs2, lm,
+          surprisal = if (gate == "on") sp else None),
+        surprisal = sp)
         .select(col("doc_id"), col("bucket"))
       // the cleaned corpus is MATERIALIZED (localCheckpoint) before the
       // clip/mixture stages: three downstream consumers shuffle it on
@@ -548,7 +567,8 @@ private[graft] trait EntryCuration extends EntryShared {
       val kept = Mat.point(docs2.select("doc_id", "text", "lang").join(
         Cleaning.cleanCorpus(docs2, bench,
           langWhitelist = Seq("en", "de", "fr", "es", "pt"),
-          withGopherC4 = false, lm = Some(lm), pplBuckets = Some(buckets))
+          withGopherC4 = false, lm = Some(lm), pplBuckets = Some(buckets),
+          surprisal = sp)
           .filter(col("keep")).select("doc_id"),
         "doc_id"))
       val cleaned = Dedup.clipDuplicatedSpans(kept)

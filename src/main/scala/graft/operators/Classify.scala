@@ -48,11 +48,14 @@ object Classify {
   def nbTrain(docs: DataFrame, label: Column = col("lang") === "en",
               textCol: String = "text"): DataFrame = {
     val labeled = docs.select(label.as("pos"), col(textCol).as("_t"))
-    val counts = labeled
+    // counts feeds BOTH the broadcast totals and the main side —
+    // unmaterialized, the corpus tokenize+explode+aggregate ran twice
+    // per fit (r21; vocabulary-sized frame, the cheap thing to pin)
+    val counts = Mat.point(labeled
       .select(col("pos"), explode(wordsCol(col("_t"))).as("term"))
       .groupBy("term").agg(
         sum(when(col("pos"), 1L).otherwise(0L)).as("pos_cnt"),
-        sum(when(col("pos"), 0L).otherwise(1L)).as("neg_cnt"))
+        sum(when(col("pos"), 0L).otherwise(1L)).as("neg_cnt")))
     val totals = counts.agg(
       sum("pos_cnt").as("pos_tot"), sum("neg_cnt").as("neg_tot"),
       count(lit(1)).as("vocab"))

@@ -330,7 +330,8 @@ object Cleaning {
                   idCol: String = "doc_id",
                   lm: Option[DataFrame] = None,
                   withGopherC4: Boolean = true,
-                  pplBuckets: Option[DataFrame] = None): DataFrame = {
+                  pplBuckets: Option[DataFrame] = None,
+                  surprisal: Option[DataFrame] = None): DataFrame = {
     val dd = Dedup.exactDups(docs, idCol).select(col(idCol), col("is_duplicate"))
     // language id — and the gopher/C4 composites when enabled — are
     // PER-ROW computations (marker-score CASE chain, regexp counters,
@@ -351,8 +352,11 @@ object Cleaning {
     }
     val rp = TextAnalysis.repetitionStats(docs, idCol)
       .select(col(idCol), col("top_bigram_ratio"))
-    val sp = TextAnalysis.unigramSurprisalWith(docs,
-        lm.getOrElse(TextAnalysis.trainUnigramLm(docs)), idCol)
+    // `surprisal` = a pre-scored frame from the caller's chain (the
+    // CCNet flagship scores the corpus once for thresholds, buckets
+    // and this verdict — r21); default recomputes, self-contained
+    val sp = surprisal.getOrElse(TextAnalysis.unigramSurprisalWith(docs,
+        lm.getOrElse(TextAnalysis.trainUnigramLm(docs)), idCol))
       .select(col(idCol), col("avg_surprisal"))
     val dc = Decontaminate.report(docs, bench, decontamN, idCol)
       .select(col("doc_id").as(idCol), col("contaminated"))

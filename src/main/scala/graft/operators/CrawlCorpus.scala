@@ -119,10 +119,9 @@ object CrawlCorpus {
                    ordinalIds: Boolean = false): DataFrame = {
     // bytes materialize once (checkpoint): both the block extraction
     // and the directive parse read them — no second HTTP pass
-    val fetched = UrlIngest.fetchBytes(
+    val fetched = Mat.point(UrlIngest.fetchBytes(
         seeds.unionByName(frontier.select("url")).distinct(), backoffMs = 1)
-      .filter(col("content").isNotNull)
-      .localCheckpoint()
+      .filter(col("content").isNotNull))
     // extractor ROUTING on extension: crawled corpora are not one
     // format — markdown pages go through the markdown block parser,
     // everything else through the HTML extractor (the S7 strategy
@@ -179,7 +178,7 @@ object CrawlCorpus {
       // this frame three times (line explode, host counts, re-anchor)
       // and the outer join a fourth — unmaterialized, each consumer
       // re-runs the parse→group→NFC subtree from the byte checkpoint
-      .localCheckpoint()
+      .transform(Mat.point)
     // CCNet host-level boilerplate-line removal: the cross-page class
     // the per-page extractor cannot see (the site-wide footer line
     // survives link-density pruning on every page; what gives it away
@@ -189,10 +188,9 @@ object CrawlCorpus {
     val cleaned = Cleaning.hostLineDedup(pages)
       .select(col("doc_id"), col("clean_text"),
         col("n_removed").as("n_boiler_lines"))
-    pages.drop("text")
+    Mat.point(pages.drop("text")
       .join(cleaned, Seq("doc_id"))
-      .withColumnRenamed("clean_text", "text")
-      .localCheckpoint()
+      .withColumnRenamed("clean_text", "text"))
   }
 
   /** The benchmark table the decontamination families probe — ONE

@@ -101,9 +101,13 @@ object Dsir {
       .withColumn("_ws", wordsCol(col(textCol)))
       .select(target.as("tgt"), explode(featuresFromWords(col("_ws"))).as("_f"))
       .select(col("tgt"), bucketCol(col("_f"), numBuckets).as("bucket"))
-    val counts = feats.groupBy("bucket").agg(
+    // counts feeds BOTH the broadcast totals and the main side —
+    // unmaterialized, the corpus featurize+explode+md5 aggregate (the
+    // expensive half of the fit) ran twice (r21; the ≤numBuckets-row
+    // frame is the cheap thing to pin)
+    val counts = Mat.point(feats.groupBy("bucket").agg(
       sum(when(col("tgt"), 1L).otherwise(0L)).as("tgt_cnt"),
-      count(lit(1)).as("raw_cnt"))
+      count(lit(1)).as("raw_cnt")))
     val totals = counts.agg(
       sum("tgt_cnt").as("tgt_tot"), sum("raw_cnt").as("raw_tot"))
     counts.crossJoin(broadcast(totals))

@@ -30,6 +30,11 @@ object Mat {
   def point(df: DataFrame): DataFrame =
     df.sparkSession.conf.get(ModeKey, "lazy") match {
       case "eager" => df.localCheckpoint()
+      // `none` = passthrough (no materialization at all) — the
+      // measurement control [[graft.MatDrill]] uses to price a site's
+      // repeated-subtree cost inside one JVM; never a production mode
+      // (multi-consumer sites re-run their upstream pass per consumer)
+      case "none" => df
       case m if m.startsWith("reliable:") =>
         val dir = m.stripPrefix("reliable:") + "/" +
           java.util.UUID.randomUUID().toString

@@ -287,9 +287,14 @@ object TextAnalysis {
     * (CCNet ships its KenLM model the same way). Vocabulary-sized
     * output (sublinear in corpus size, Heaps' law). */
   def trainUnigramLm(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val counts = docs.select(wsTokens(col(textCol)).as("_w"))
+    // counts feeds BOTH the broadcast total and the main side — left
+    // unmaterialized, the corpus tokenize+explode+aggregate (the
+    // expensive half of the whole train) ran TWICE per fit, once to
+    // build the broadcast scalar and once for the join side (r21;
+    // the vocabulary-sized frame is the cheap thing to pin)
+    val counts = Mat.point(docs.select(wsTokens(col(textCol)).as("_w"))
       .select(explode(col("_w")).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt")))
     counts.crossJoin(broadcast(counts.agg(sum(col("cnt")).as("total"))))
   }
 
@@ -330,9 +335,14 @@ object TextAnalysis {
     * production split a naive global ntile would destroy). */
   def perplexityThresholds(sample: DataFrame, lm: DataFrame, nBuckets: Int = 3,
                            idCol: String = "doc_id", langCol: String = "lang",
-                           textCol: String = "text"): DataFrame = {
+                           textCol: String = "text",
+                           surprisal: Option[DataFrame] = None): DataFrame = {
     require(nBuckets >= 2, s"need nBuckets >= 2, got $nBuckets")
-    val sp = unigramSurprisalWith(sample, lm, idCol, textCol)
+    // `surprisal` lets a chain that already scored the corpus (the
+    // CCNet flagship scores once and feeds thresholds, assignment AND
+    // the verdict — three scoring passes collapsed to one, r21) hand
+    // the frame in; default recomputes, the self-contained semantics
+    val sp = surprisal.getOrElse(unigramSurprisalWith(sample, lm, idCol, textCol))
       .select(col(idCol), col("avg_surprisal"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(langCol)).orderBy(col("avg_surprisal"), col(idCol))
@@ -359,8 +369,9 @@ object TextAnalysis {
   def assignPerplexityBuckets(docs: DataFrame, lm: DataFrame,
                               thresholds: DataFrame, nBuckets: Int = 3,
                               idCol: String = "doc_id", langCol: String = "lang",
-                              textCol: String = "text"): DataFrame = {
-    val sp = unigramSurprisalWith(docs, lm, idCol, textCol)
+                              textCol: String = "text",
+                              surprisal: Option[DataFrame] = None): DataFrame = {
+    val sp = surprisal.getOrElse(unigramSurprisalWith(docs, lm, idCol, textCol))
       .select(col(idCol), col("avg_surprisal"))
     val bounds = thresholds.groupBy(col("lang"))
       .agg(sort_array(collect_list(struct(col("boundary_idx"), col("boundary"))))
@@ -448,12 +459,16 @@ object TextAnalysis {
     val words = docs.select(wsTokens(col(textCol)).as("_words"))
     val vocab = words.select(explode(col("_words")).as("term"))
       .agg(count_distinct(col("term")).as("v"))
-    val bcounts = words.filter(size(col("_words")) >= 2)
+    // bcounts feeds BOTH the context-count re-aggregate (broadcast) and
+    // the main join side — unmaterialized, the corpus bigram
+    // explode+aggregate ran twice per fit (r21; bigram-inventory-sized
+    // frame, the cheap thing to pin)
+    val bcounts = Mat.point(words.filter(size(col("_words")) >= 2)
       .select(explode(zip_with(
         slice(col("_words"), lit(1), size(col("_words")) - 1),
         slice(col("_words"), lit(2), size(col("_words")) - 1),
         (a, b) => concat_ws(" ", a, b))).as("bigram"))
-      .groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("c12")))
     val ccounts = bcounts
       .groupBy(substring_index(col("bigram"), " ", 1).as("w1"))
       .agg(sum(col("c12")).as("cctx"))
@@ -633,7 +648,11 @@ object TextAnalysis {
     * form — cost-neutral locally, skew-safe at scale. */
   def topTfidfTerms(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
                     textCol: String = "text"): DataFrame = {
-    val tf = termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true)
+    // tf feeds BOTH the df aggregate and the scoring join —
+    // unmaterialized, the corpus tokenize+explode+aggregate ran twice
+    // (r21; the invertedIndex `dt` discipline applied here)
+    val tf = Mat.point(
+      termTf(docs, idCol, textCol, trimFirst = true, dropStopwords = true))
     val corpus = docs.agg(count_distinct(col(idCol)).as("n_docs"))
     val dfCounts = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
